@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Loaders for the TESTDATA star schema (TESTDATA.md) plus numeric helpers
+  * that make aggregates bit-deterministic across engines.
+  *
+  * Scale note: each loader is a plain parquet scan, so Catalyst column
+  * pruning and filter pushdown reach the file source (`PushedFilters` /
+  * `ReadSchema` in .explain). At 100 TB these tables would be
+  * partitioned/bucketed on their join keys; everything downstream only
+  * assumes "a DataFrame with this schema", so swapping the loader for a
+  * bucketed catalog table changes no query code.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  /** events.ts is physically parquet INT64 TIMESTAMP(NANOS), which Spark 4
+    * only reads via spark.sql.legacy.parquet.nanosAsLong (LongType nanos).
+    * Convert to TimestampType by integer-dividing to micros — the same
+    * truncation DuckDB applies casting timestamp_ns -> timestamp, so event
+    * times agree with the oracle to the microsecond.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = table(s, d, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Exact decimal sum of a double column, returned as double.
+    *
+    * Why: a straight `sum(double)` depends on partition/row order, so two
+    * engines (or two runs) can disagree in the last bits. Monetary columns in
+    * TESTDATA carry <= `scale` decimal digits, so the per-row cast to
+    * DECIMAL is exact, the decimal sum is order-independent, and the final
+    * cast back to double is a single deterministic conversion. This is also
+    * the right call at 100 TB: decimal sums stay inside whole-stage codegen
+    * and partial aggregation (map-side combine) still applies.
+    */
+  def dsum(c: Column, precision: Int = 30, scale: Int = 6): Column =
+    sum(c.cast(DecimalType(precision, scale))).cast(DoubleType)
+
+  /** Order-independent average of a double column: exact decimal sum divided
+    * by the count, both deterministic, division done once in double space.
+    */
+  def davg(c: Column, precision: Int = 30, scale: Int = 6): Column =
+    (sum(c.cast(DecimalType(precision, scale))).cast(DoubleType) / count(c))
+}

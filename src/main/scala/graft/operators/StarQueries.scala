@@ -1,0 +1,685 @@
+package graft.operators
+
+import graft.Tables
+import graft.Tables.{dsum, davg}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Relational operator catalog over the TESTDATA star schema.
+  *
+  * Re-expresses the reference's operator inventory (SURVEY.md §2: groupBy
+  * count/avg — Steel Industry Energy Consumption Prediction.py:45-92;
+  * Pearson corr — py:125; orderBy desc — py:57; SQL CTE/scalar-subquery
+  * histogram — ipynb:131375/132279) on the oracle-checkable star schema, and
+  * adds the generality tier (joins, windows, set ops, rollup, percentiles)
+  * that any user of a Spark-based engine needs.
+  *
+  * Every query:
+  *   - has a deterministic total ORDER BY (hash-compare safe),
+  *   - routes double sums through exact DECIMAL casts ([[graft.Tables.dsum]]),
+  *   - is written so Catalyst pushes filters/projections into the parquet
+  *     scan and picks broadcast joins for dimension tables.
+  *
+  * Scale notes are on each query — the local[32] plan and the
+  * 1000-executor plan are the same shape; only partition counts differ.
+  */
+object StarQueries {
+
+  // ---------------------------------------------------------------- q01
+  /** TPC-H Q1-shaped pricing summary: scan -> partial agg -> shuffle on the
+    * tiny (flag,status) key space -> final agg. The analog of the
+    * reference's groupBy().agg() EDA (py:45-92) at scale. l_quantity is
+    * integral-valued double so its sum/avg are exact without decimals;
+    * price expressions go through DECIMAL.
+    * At 100 TB: map-side partial aggregation reduces the shuffle to
+    * (#partitions x 6 groups) rows — the shuffle is never the bottleneck.
+    */
+  def q01PricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= to_timestamp(lit("2001-06-01 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice"), 30, 2).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 30, 6).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 30, 6).as("sum_charge"),
+        (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        davg(col("l_discount"), 30, 2).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val q01Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  SUM(l_quantity) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
+      |  SUM(l_quantity) / COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2001-06-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q02
+  /** Frequency table — the reference's groupBy().count() (py:45,49,53). */
+  def q02CountByPriority(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
+  val q02Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q03
+  /** groupBy().avg() ordered desc — the reference's EDA shape (py:57-92).
+    * Average via exact decimal sum / count (order-independent).
+    */
+  def q03AvgBalanceBySegment(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .groupBy(col("c_mktsegment"))
+      .agg(davg(col("c_acctbal"), 30, 2).as("avg_acctbal"), count(lit(1)).as("n"))
+      .orderBy(col("avg_acctbal").desc, col("c_mktsegment"))
+
+  val q03Sql: String =
+    """SELECT c_mktsegment,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*) AS avg_acctbal,
+      |  COUNT(*) AS n
+      |FROM customer GROUP BY c_mktsegment ORDER BY avg_acctbal DESC, c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- q04
+  /** Pearson correlation computed from exact co-moments — the reference's
+    * corr(CO2, Usage_kWh) (py:125) made bit-deterministic: all five sums are
+    * exact decimals (quantity is integral, price has 2dp), the final
+    * combination is a fixed sequence of IEEE double ops, identical in any
+    * engine. A single-pass, map-side-combinable aggregate at any scale.
+    */
+  def q04CorrExact(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val agg = li.agg(
+      count(lit(1)).cast(DoubleType).as("n"),
+      sum(col("l_quantity")).as("sx"),
+      dsum(col("l_extendedprice"), 30, 2).as("sy"),
+      sum(col("l_quantity") * col("l_quantity")).as("sxx"),
+      dsum(col("l_extendedprice") * col("l_extendedprice"), 38, 4).as("syy"),
+      dsum(col("l_quantity") * col("l_extendedprice"), 38, 2).as("sxy"))
+    agg.select(
+      ((col("n") * col("sxy") - col("sx") * col("sy")) /
+        (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+         sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr_qty_price"))
+  }
+
+  val q04Sql: String =
+    """WITH m AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |    SUM(l_quantity) AS sx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sy,
+      |    SUM(l_quantity * l_quantity) AS sxx,
+      |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS syy,
+      |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS sxy
+      |  FROM lineitem)
+      |SELECT (n * sxy - sx * sy) / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)) AS corr_qty_price
+      |FROM m""".stripMargin
+
+  // ---------------------------------------------------------------- q05
+  /** Built-in Corr aggregate (py:125), rounded for cross-engine hash
+    * stability (both engines use single-pass co-moment updates whose last
+    * bits can differ with partition order).
+    */
+  def q05CorrBuiltin(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 3).as("corr_r3"))
+
+  val q05Sql: String =
+    "SELECT ROUND(CORR(l_quantity, l_extendedprice), 3) AS corr_r3 FROM lineitem"
+
+  // ---------------------------------------------------------------- q06
+  /** Global top-k — orderBy(desc).limit (py:57/86 + show(5)). Catalyst plans
+    * TakeOrderedAndProject: per-partition heaps, no full sort, no full
+    * shuffle — the only top-k that works at 100 TB.
+    */
+  def q06TopOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  val q06Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q07
+  /** TPC-H Q6-shaped selective filter + single-row aggregate. The predicates
+    * push into the parquet scan (PushedFilters) — at 100 TB row-group min/max
+    * stats skip most of the input before decode.
+    */
+  def q07SelectiveFilter(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1998-01-01 00:00:00")) &&
+        col("l_shipdate") < to_timestamp(lit("1999-01-01 00:00:00")) &&
+        col("l_discount") >= 0.02 && col("l_discount") <= 0.06 &&
+        col("l_quantity") < 24)
+      .agg(
+        dsum(col("l_extendedprice") * col("l_discount"), 30, 6).as("revenue"),
+        count(lit(1)).as("n"))
+
+  val q07Sql: String =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+      |  AND l_discount >= 0.02 AND l_discount <= 0.06 AND l_quantity < 24""".stripMargin
+
+  // ---------------------------------------------------------------- q08
+  /** Star join through two broadcast dimensions: orders -> customer (fact ->
+    * mid) -> nation -> region. nation/region are tiny and explicitly
+    * broadcast — zero shuffle for the dimension side at any scale; the
+    * orders/customer join shuffles on custkey (or broadcasts customer when it
+    * fits, which AQE decides from runtime stats).
+    */
+  def q08RevenueByRegionNation(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(dsum(col("o_totalprice"), 30, 2).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  val q08Sql: String =
+    """SELECT r_name, n_name,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q09
+  /** Fact-to-fact join (lineitem x orders on orderkey) then time rollup.
+    * This is the one genuinely large shuffle in the schema; at 100 TB both
+    * sides would be bucketed by orderkey so the join is co-located
+    * (zero-shuffle sort-merge). AQE handles skewed order keys.
+    */
+  def q09MonthlyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 30, 6).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("yr"), col("mo"))
+  }
+
+  val q09Sql: String =
+    """SELECT YEAR(o_orderdate) AS yr, MONTH(o_orderdate) AS mo,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY YEAR(o_orderdate), MONTH(o_orderdate) ORDER BY yr, mo""".stripMargin
+
+  // ---------------------------------------------------------------- q10
+  /** Left-semi join (SQL EXISTS): customers that placed a >200k order.
+    * Semi-join only ships the join key and short-circuits on first match —
+    * far cheaper than join+distinct at scale.
+    */
+  def q10SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val big = Tables.orders(s, dir).filter(col("o_totalprice") > 200000.0)
+    c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q10Sql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_customers
+      |FROM customer WHERE EXISTS (
+      |  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000.0)
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- q11
+  /** Left-anti join (SQL NOT EXISTS): customers with no orders, by nation. */
+  def q11AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  val q11Sql: String =
+    """SELECT c_nationkey, COUNT(*) AS n_customers
+      |FROM customer WHERE NOT EXISTS (
+      |  SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  // ---------------------------------------------------------------- q12
+  /** Set operations: nations serving customers vs nations hosting suppliers
+    * (INTERSECT / EXCEPT / UNION ALL). Each leg reduces to distinct keys
+    * before combining — tiny shuffles regardless of fact size.
+    */
+  def q12SetOps(s: SparkSession, dir: String): DataFrame = {
+    val cn = Tables.customer(s, dir).select(col("c_nationkey").as("nk")).distinct()
+    val sn = Tables.supplier(s, dir).select(col("s_nationkey").as("nk")).distinct()
+    val both = cn.intersect(sn).withColumn("which", lit("both"))
+    val custOnly = cn.except(sn).withColumn("which", lit("customer_only"))
+    val supOnly = sn.except(cn).withColumn("which", lit("supplier_only"))
+    both.unionAll(custOnly).unionAll(supOnly).orderBy(col("which"), col("nk"))
+  }
+
+  val q12Sql: String =
+    """WITH cn AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+      |     sn AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+      |SELECT nk, which FROM (
+      |  SELECT nk, 'both' AS which FROM (SELECT nk FROM cn INTERSECT SELECT nk FROM sn)
+      |  UNION ALL
+      |  SELECT nk, 'customer_only' AS which FROM (SELECT nk FROM cn EXCEPT SELECT nk FROM sn)
+      |  UNION ALL
+      |  SELECT nk, 'supplier_only' AS which FROM (SELECT nk FROM sn EXCEPT SELECT nk FROM cn))
+      |ORDER BY which, nk""".stripMargin
+
+  // ---------------------------------------------------------------- q13
+  /** Exact distinct aggregation (count(DISTINCT ...)) per group — expands to
+    * a two-phase aggregate in Spark; at 100 TB prefer approx_count_distinct
+    * (see [[q14ApproxDistinct]]) unless exactness is required.
+    */
+  def q13DistinctAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_suppliers"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  val q13Sql: String =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(DISTINCT l_suppkey) AS n_suppliers,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q14
+  /** HLL++ approximate distinct — the scale path for cardinality. Not
+    * oracle-checked (sketch internals are engine-specific); validated in
+    * ScalaTest against the exact count within rsd.
+    */
+  def q14ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+
+  // ---------------------------------------------------------------- q15
+  /** Window top-n per group: top 3 orders per customer (rank partitioned by
+    * custkey). One shuffle on the partition key; at 100 TB this is the
+    * standard dedup/top-n shape and AQE splits skewed customers.
+    */
+  def q15WindowTopN(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  val q15Sql: String =
+    """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  // ---------------------------------------------------------------- q16
+  /** Running aggregate over an event stream ordered by time (cumulative sum
+    * per user). The frame is ROWS UNBOUNDED PRECEDING..CURRENT — sequential
+    * within a partition in both engines, so the double sum is deterministic.
+    */
+  def q16RunningSum(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("running_value", round(sum(col("value")).over(w), 4))
+      .select(col("user_id"), col("event_id"), col("running_value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val q16Sql: String =
+    """SELECT user_id, event_id,
+      |  ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+      |FROM events ORDER BY user_id, event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q17
+  /** lag/lead: per-user deltas between consecutive events. */
+  def q17LagLead(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("prev_value").isNotNull)
+      .select(
+        col("user_id"), col("event_id"),
+        round(col("value") - col("prev_value"), 4).as("delta"),
+        col("next_type"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val q17Sql: String =
+    """SELECT user_id, event_id, ROUND(value - prev_value, 4) AS delta, next_type FROM (
+      |  SELECT user_id, event_id, value, ts,
+      |    LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+      |    LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      |  FROM events)
+      |WHERE prev_value IS NOT NULL ORDER BY user_id, event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q18
+  /** Sessionization: split each user's event stream at >30-minute gaps via
+    * lag + conditional cumulative sum — the classic two-window pattern. All
+    * arithmetic on integral microseconds (unix_micros / epoch_us), so it is
+    * exact. One shuffle on user_id covers both windows and the final group.
+    */
+  def q18Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(byUser))
+      .withColumn("is_new", when(col("gap").isNull || col("gap") > 1800000000L, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        expr("(max(us) - min(us)) div 1000000").as("duration_sec"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val q18Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
+      |g AS (
+      |  SELECT user_id, event_id, us,
+      |    us - LAG(us, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      |  FROM e),
+      |sess AS (
+      |  SELECT user_id, us,
+      |    SUM(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY us, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM g)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      |  (MAX(us) - MIN(us)) // 1000000 AS duration_sec
+      |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
+
+  // ---------------------------------------------------------------- q19
+  /** Date-part kit (the reference imports the full set at py:13 without
+    * calling it — declared intent): year/quarter/month/dayofweek rollup of
+    * orders. DuckDB dayofweek() is 0=Sunday vs Spark's 1=Sunday — the oracle
+    * adds 1.
+    */
+  def q19DateParts(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(
+        year(col("o_orderdate")).as("yr"),
+        quarter(col("o_orderdate")).as("qtr"),
+        dayofweek(col("o_orderdate")).as("dow"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 30, 2).as("total"))
+      .orderBy(col("yr"), col("qtr"), col("dow"))
+
+  val q19Sql: String =
+    """SELECT YEAR(o_orderdate) AS yr, QUARTER(o_orderdate) AS qtr,
+      |  CAST(DAYOFWEEK(o_orderdate) + 1 AS INT) AS dow,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY 1, 2, 3 ORDER BY yr, qtr, dow""".stripMargin
+
+  // ---------------------------------------------------------------- q20
+  /** The Databricks auto-histogram (ipynb:131375/132279) re-expressed
+    * portably: CTE chain + scalar MIN/MAX subqueries + bucket arithmetic +
+    * LEAST — exercised through spark.sql on a temp view, exactly like the
+    * reference's %sql path (py:106-111). Catalyst plans the two scalar
+    * subqueries once each (ReusedSubquery) and broadcasts the scalars.
+    */
+  def q20Histogram(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+    s.sql(
+      """WITH mm AS (
+        |  SELECT (SELECT MIN(o_totalprice) FROM orders_v) AS mn,
+        |         (SELECT MAX(o_totalprice) FROM orders_v) AS mx),
+        |b AS (
+        |  SELECT LEAST(9, CAST(FLOOR((o_totalprice - mn) / ((mx - mn) / 10.0)) AS INT)) AS bucket
+        |  FROM orders_v CROSS JOIN mm)
+        |SELECT bucket, COUNT(*) AS n FROM b GROUP BY bucket ORDER BY bucket""".stripMargin)
+  }
+
+  val q20Sql: String =
+    """WITH mm AS (
+      |  SELECT (SELECT MIN(o_totalprice) FROM orders) AS mn,
+      |         (SELECT MAX(o_totalprice) FROM orders) AS mx),
+      |b AS (
+      |  SELECT LEAST(9, CAST(FLOOR((o_totalprice - mn) / ((mx - mn) / 10.0)) AS INT)) AS bucket
+      |  FROM orders CROSS JOIN mm)
+      |SELECT bucket, COUNT(*) AS n FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------- q21
+  /** Conditional expressions (IF/CASE/LEAST/GREATEST/COALESCE — F2-F4 in
+    * SURVEY §2.6): effective-rate classification of lineitems.
+    */
+  def q21Conditional(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .withColumn("eff_rate", least(col("l_discount"), col("l_tax")))
+      .withColumn("band",
+        when(col("l_quantity") >= 40, lit("heavy"))
+          .when(col("l_quantity") >= 15, lit("mid"))
+          .otherwise(lit("light")))
+      .groupBy(col("band"))
+      .agg(
+        count(lit(1)).as("n"),
+        davg(col("eff_rate"), 30, 2).as("avg_eff_rate"),
+        dsum(when(col("l_returnflag") === "R", col("l_extendedprice")).otherwise(lit(0.0)), 30, 2)
+          .as("returned_value"))
+      .orderBy(col("band"))
+
+  val q21Sql: String =
+    """SELECT
+      |  CASE WHEN l_quantity >= 40 THEN 'heavy'
+      |       WHEN l_quantity >= 15 THEN 'mid'
+      |       ELSE 'light' END AS band,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(LEAST(l_discount, l_tax) AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*) AS avg_eff_rate,
+      |  CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0.0 END AS DECIMAL(30,2))) AS DOUBLE) AS returned_value
+      |FROM lineitem GROUP BY 1 ORDER BY band""".stripMargin
+
+  // ---------------------------------------------------------------- q22
+  /** Pivot (categorical columns -> wide counts). Oracle side uses portable
+    * conditional aggregation; Spark uses the native pivot operator with an
+    * explicit value list (never let pivot scan for distinct values at scale).
+    */
+  def q22Pivot(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("yr"))
+
+  val q22Sql: String =
+    """SELECT YEAR(o_orderdate) AS yr,
+      |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
+      |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
+      |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
+      |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin
+
+  // ---------------------------------------------------------------- q23
+  /** ROLLUP: hierarchical subtotals (status, priority) with NULL grand-total
+    * rows; both sides order NULLS FIRST for hash stability.
+    */
+  def q23Rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 30, 2).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  val q23Sql: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- q24
+  /** Exact percentiles (median / p90) per group. l_quantity is integral so
+    * linear interpolation is bit-deterministic. At 100 TB switch to
+    * approx_percentile — exact percentile requires a per-group sort.
+    */
+  def q24Percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"))
+      .orderBy(col("l_returnflag"))
+
+  val q24Sql: String =
+    """SELECT l_returnflag,
+      |  QUANTILE_CONT(l_quantity, 0.5) AS median_qty,
+      |  QUANTILE_CONT(l_quantity, 0.9) AS p90_qty,
+      |  MIN(l_quantity) AS min_qty,
+      |  MAX(l_quantity) AS max_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q25
+  /** String function kit (upper/substring/LIKE/length/concat) over part. */
+  def q25StringFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .withColumn("brand_code", upper(substring(col("p_brand"), 7, 2)))
+      .groupBy(col("p_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("brand_code")).as("n_brands"),
+        sum(when(col("p_name").like("%widget%"), 1L).otherwise(0L)).as("n_widgets"),
+        (sum(length(col("p_name"))) / count(lit(1))).as("avg_name_len"))
+      .orderBy(col("p_type"))
+
+  val q25Sql: String =
+    """SELECT p_type, COUNT(*) AS n,
+      |  COUNT(DISTINCT UPPER(SUBSTRING(p_brand, 7, 2))) AS n_brands,
+      |  SUM(CASE WHEN p_name LIKE '%widget%' THEN 1 ELSE 0 END) AS n_widgets,
+      |  SUM(LENGTH(p_name)) / COUNT(*) AS avg_name_len
+      |FROM part GROUP BY p_type ORDER BY p_type""".stripMargin
+
+  // ---------------------------------------------------------------- q26
+  /** Semi-structured extraction: pull the integer k out of the JSON-ish
+    * props string with a regex (portable across engines; in pure Spark,
+    * get_json_object / from_json are equivalent) then aggregate.
+    */
+  def q26JsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k", regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast(IntegerType))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(col("k")) / count(col("k"))).as("avg_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  val q26Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  SUM(k) * 1.0 / COUNT(k) AS avg_k,
+      |  MAX(k) AS max_k
+      |FROM (SELECT event_type, CAST(REGEXP_EXTRACT(props, '"k": ([0-9]+)', 1) AS INT) AS k FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q27
+  /** Tumbling-window aggregation over event time — the batch shape of a
+    * Structured Streaming windowed count (streaming variant in
+    * graft.streaming.EventStream, validated against this in tests).
+    */
+  def q27TumblingWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 30, 2).as("total_value"))
+      .orderBy(col("hour_start"), col("event_type"))
+
+  val q27Sql: String =
+    """SELECT DATE_TRUNC('hour', ts) AS hour_start, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin
+
+  // ------------------------------------------------------------------
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01PricingSummary _),
+    "q02_count_by_priority" -> (q02CountByPriority _),
+    "q03_avg_balance_by_segment" -> (q03AvgBalanceBySegment _),
+    "q04_corr_exact" -> (q04CorrExact _),
+    "q05_corr_builtin" -> (q05CorrBuiltin _),
+    "q06_top_orders" -> (q06TopOrders _),
+    "q07_selective_filter" -> (q07SelectiveFilter _),
+    "q08_revenue_by_region_nation" -> (q08RevenueByRegionNation _),
+    "q09_monthly_revenue" -> (q09MonthlyRevenue _),
+    "q10_semi_join" -> (q10SemiJoin _),
+    "q11_anti_join" -> (q11AntiJoin _),
+    "q12_set_ops" -> (q12SetOps _),
+    "q13_distinct_agg" -> (q13DistinctAgg _),
+    "q14_approx_distinct" -> (q14ApproxDistinct _),
+    "q15_window_topn" -> (q15WindowTopN _),
+    "q16_running_sum" -> (q16RunningSum _),
+    "q17_lag_lead" -> (q17LagLead _),
+    "q18_sessionize" -> (q18Sessionize _),
+    "q19_date_parts" -> (q19DateParts _),
+    "q20_histogram" -> (q20Histogram _),
+    "q21_conditional" -> (q21Conditional _),
+    "q22_pivot" -> (q22Pivot _),
+    "q23_rollup" -> (q23Rollup _),
+    "q24_percentiles" -> (q24Percentiles _),
+    "q25_string_funcs" -> (q25StringFuncs _),
+    "q26_json_extract" -> (q26JsonExtract _),
+    "q27_tumbling_window" -> (q27TumblingWindow _))
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01Sql,
+    "q02_count_by_priority" -> q02Sql,
+    "q03_avg_balance_by_segment" -> q03Sql,
+    "q04_corr_exact" -> q04Sql,
+    "q05_corr_builtin" -> q05Sql,
+    "q06_top_orders" -> q06Sql,
+    "q07_selective_filter" -> q07Sql,
+    "q08_revenue_by_region_nation" -> q08Sql,
+    "q09_monthly_revenue" -> q09Sql,
+    "q10_semi_join" -> q10Sql,
+    "q11_anti_join" -> q11Sql,
+    "q12_set_ops" -> q12Sql,
+    "q13_distinct_agg" -> q13Sql,
+    "q15_window_topn" -> q15Sql,
+    "q16_running_sum" -> q16Sql,
+    "q17_lag_lead" -> q17Sql,
+    "q18_sessionize" -> q18Sql,
+    "q19_date_parts" -> q19Sql,
+    "q20_histogram" -> q20Sql,
+    "q21_conditional" -> q21Sql,
+    "q22_pivot" -> q22Sql,
+    "q23_rollup" -> q23Sql,
+    "q24_percentiles" -> q24Sql,
+    "q25_string_funcs" -> q25Sql,
+    "q26_json_extract" -> q26Sql,
+    "q27_tumbling_window" -> q27Sql)
+}
