@@ -17,10 +17,16 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.StarQueries.queries
+    operators.StarQueries.queries ++
+      operators.TextQueries.queries ++
+      operators.DedupQueries.queries ++
+      operators.SimilarityQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    operators.StarQueries.oracle
+    operators.StarQueries.oracle ++
+      operators.TextQueries.oracle ++
+      operators.DedupQueries.oracle ++
+      operators.SimilarityQueries.oracle
 }

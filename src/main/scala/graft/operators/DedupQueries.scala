@@ -1,0 +1,212 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators over `documents` — the core of any LLM training
+  * data pipeline. Four tiers, all shuffle-frugal:
+  *
+  *  - exact: hash-groupBy on a canonical fingerprint (one shuffle on the
+  *    16-byte hash, never on the text itself);
+  *  - n-gram Jaccard: inverted-index self-join on shingles (shuffle on
+  *    shingle hash — linear in total shingle count, never the O(n^2)
+  *    cross join);
+  *  - MinHash + LSH banding: constant-size signatures, candidate pairs only
+  *    from shared bands (sub-linear candidate set);
+  *  - SimHash: 64-bit sketch per doc, near-dups = small Hamming distance
+  *    within band buckets.
+  *
+  * The reference has no dedup surface; this is the north-star tier
+  * (SURVEY.md §7.2 step 9). Everything is built-in expressions (codegen'd);
+  * hashing is xxhash64 — Spark's native 64-bit hash, computed per shingle,
+  * no UDFs anywhere.
+  */
+object DedupQueries {
+
+  /** Canonicalization shared by the dedup family: lowercase, strip
+    * non-alnum, collapse whitespace. */
+  private def canon(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
+  // ---------------------------------------------------------------- d01
+  /** Exact dedup: group documents by content hash; emit one row per
+    * distinct content with the keeper (min doc_id) and the duplicate count.
+    * At 100 TB: shuffle carries only (hash, doc_id) — bytes per row, not
+    * documents.
+    */
+  def d01ExactDedup(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), md5(canon(col("text"))).as("h"))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keeper_doc_id"))
+
+  val d01Sql: String =
+    """SELECT md5(TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS h,
+      |  MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY keeper_doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- d02
+  /** Word 3-gram shingle sets per document (distinct), as the exploded
+    * (doc_id, shingle) inverted index — shared building block for d03.
+    */
+  private def shingles(s: SparkSession, dir: String, n: Int = 3): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", split(canon(col("text")), " "))
+      .withColumn("sh", expr(
+        s"array_distinct(transform(sequence(1, greatest(size(toks) - ${n - 1}, 0)), i -> array_join(slice(toks, i, $n), ' ')))"))
+      .select(col("doc_id"), col("source"), explode(col("sh")).as("shingle"))
+
+  // ---------------------------------------------------------------- d03
+  /** N-gram Jaccard near-dup pairs via inverted index: join docs on shared
+    * shingles, count the intersection per pair, derive the union from
+    * per-doc shingle counts, keep pairs with J >= 0.5. The join is on
+    * shingle (scoped per source partition to bound fan-out), so cost is
+    * sum over shingles of (docs sharing it)^2 — the LSH tiers (d04) bound
+    * that further; this exact tier is the verifier.
+    */
+  def d03NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir).cache()
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("source"), col("doc_id").as("da"), col("shingle"))
+    val b = sh.select(col("source").as("source_b"), col("doc_id").as("db"), col("shingle").as("shingle_b"))
+    val inter = a.join(b,
+        a("source") === b("source_b") && a("shingle") === b("shingle_b") && a("da") < b("db"))
+      .groupBy(col("da"), col("db"))
+      .agg(count(lit(1)).as("n_inter"))
+    val ca = counts.select(col("doc_id").as("da"), col("n_sh").as("na"))
+    val cb = counts.select(col("doc_id").as("db"), col("n_sh").as("nb"))
+    inter.join(ca, "da").join(cb, "db")
+      .withColumn("jaccard", round(
+        col("n_inter").cast(DoubleType) / (col("na") + col("nb") - col("n_inter")).cast(DoubleType), 4))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("da"), col("db"), col("jaccard"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  val d03Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, source,
+      |    string_split(TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, source, array_to_string(toks[i:i+2], ' ') AS shingle
+      |  FROM docs, unnest(generate_series(1, GREATEST(len(toks) - 2, 0))) AS u(i)),
+      |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_inter
+      |  FROM sh a JOIN sh b
+      |    ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT da, db,
+      |  ROUND(CAST(n_inter AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - n_inter AS DOUBLE), 4) AS jaccard
+      |FROM inter
+      |JOIN counts ca ON inter.da = ca.doc_id
+      |JOIN counts cb ON inter.db = cb.doc_id
+      |WHERE CAST(n_inter AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - n_inter AS DOUBLE) >= 0.5
+      |ORDER BY da, db""".stripMargin
+
+  // ---------------------------------------------------------------- d04
+  /** MinHash + LSH banding, built from first principles on xxhash64 (no
+    * MLlib dependency, fully codegen'd):
+    *
+    *   1. per doc: shingle hashes h_i = xxhash64(shingle);
+    *   2. signature: for P permutations min over shingles of (a_p*h + b_p)
+    *     (64-bit wrap-around arithmetic — a classic universal-ish family);
+    *   3. band the P values into B bands of R rows, hash each band;
+    *   4. docs sharing any (band, bandhash) bucket are candidate pairs;
+    *   5. estimated Jaccard = fraction of equal signature components.
+    *
+    * Shuffles: one groupBy doc (signature build), one groupBy band bucket.
+    * Candidate volume is controlled by B/R (here 8x4: catches J>=0.5 pairs
+    * w.h.p.). Not SQL-oracle-checkable (engine-specific hash); validated in
+    * ScalaTest against d03's exact Jaccard.
+    */
+  val NumPerms = 32
+  val Bands = 8
+  val RowsPerBand = 4
+
+  def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    // Permutation family via seeded re-hash: xxhash64(h, i) is an
+    // independent-enough 64-bit mix per permutation index, and avoids the
+    // wrap-around multiply that ANSI mode (Spark 4 default) rejects.
+    val sh = shingles(s, dir).withColumn("h", xxhash64(col("shingle")))
+    val sigCols = (0 until NumPerms).map { i =>
+      min(xxhash64(col("h"), lit(i))).as(s"sig_$i")
+    }
+    sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  def d04MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSignatures(s, dir).cache()
+    // band hash = xxhash64 over the band's signature components
+    val banded = (0 until Bands).map { b =>
+      val cols = (0 until RowsPerBand).map(r => col(s"sig_${b * RowsPerBand + r}"))
+      sig.select(col("doc_id"), lit(b).as("band"), xxhash64(cols: _*).as("bh"))
+    }.reduce(_ unionAll _)
+    val l = banded.select(col("band"), col("bh"), col("doc_id").as("da"))
+    val r = banded.select(col("band").as("band_r"), col("bh").as("bh_r"), col("doc_id").as("db"))
+    val cand = l.join(r, l("band") === r("band_r") && l("bh") === r("bh_r") && l("da") < r("db"))
+      .select(col("da"), col("db")).distinct()
+    // estimate Jaccard from full signatures
+    val sa = sig.select(col("doc_id").as("da") +: (0 until NumPerms).map(i => col(s"sig_$i").as(s"a_$i")): _*)
+    val sb = sig.select(col("doc_id").as("db") +: (0 until NumPerms).map(i => col(s"sig_$i").as(s"b_$i")): _*)
+    val matches = (0 until NumPerms)
+      .map(i => when(col(s"a_$i") === col(s"b_$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(sa, "da").join(sb, "db")
+      .withColumn("est_jaccard", round(matches.cast(DoubleType) / lit(NumPerms.toDouble), 4))
+      .select(col("da"), col("db"), col("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.5)
+      .orderBy(col("da"), col("db"))
+  }
+
+  // ---------------------------------------------------------------- d05
+  /** SimHash: 64-bit sketch = per-bit majority vote over token hashes.
+    * Implemented as 64 conditional-sum aggregates over the exploded token
+    * index then reassembled with constant bit masks — all codegen'd, one
+    * shuffle on doc_id. Near-dup candidates share one of four 16-bit bands;
+    * pairs kept when Hamming distance <= 3 (bit_count of xor).
+    */
+  def simhashes(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(canon(col("text")), " ")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"bit_$b")
+    }
+    val agg = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 64)
+      .map(b => when(col(s"bit_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    agg.select(col("doc_id"), sim.as("simhash"))
+  }
+
+  def d05Simhash(s: SparkSession, dir: String): DataFrame = {
+    val sh = simhashes(s, dir).cache()
+    val banded = (0 until 4).map { b =>
+      sh.select(col("doc_id"), lit(b).as("band"), expr(s"(simhash >> ${b * 16}) & 65535").as("bh"),
+        col("simhash"))
+    }.reduce(_ unionAll _)
+    val l = banded.select(col("band"), col("bh"), col("doc_id").as("da"), col("simhash").as("ha"))
+    val r = banded.select(col("band").as("band_r"), col("bh").as("bh_r"), col("doc_id").as("db"), col("simhash").as("hb"))
+    l.join(r, l("band") === r("band_r") && l("bh") === r("bh_r") && l("da") < r("db"))
+      .select(col("da"), col("db"), expr("cast(bit_count(ha ^ hb) as int)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("da"), col("db"))
+  }
+
+  // ------------------------------------------------------------------
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_exact_dedup" -> (d01ExactDedup _),
+    "d03_ngram_jaccard" -> (d03NgramJaccard _),
+    "d04_minhash_lsh" -> (d04MinhashLsh _),
+    "d05_simhash" -> (d05Simhash _))
+
+  val oracle: Map[String, String] = Map(
+    "d01_exact_dedup" -> d01Sql,
+    "d03_ngram_jaccard" -> d03Sql)
+}

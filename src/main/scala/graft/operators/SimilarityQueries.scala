@@ -1,0 +1,185 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Three tiers:
+  *  - brute-force cosine top-k: broadcast the (small) query set against the
+  *    corpus — a single map stage + per-partition top-k; the exactness
+  *    baseline every ANN variant is tested against;
+  *  - random-hyperplane LSH: 16-bit signatures bucket the corpus; queries
+  *    only score their own bucket — sub-linear candidate sets at 100 TB
+  *    (signatures are computed in one map pass and the bucket join is a
+  *    shuffle on a 16-bit key);
+  *  - per-label stats / near-dup pairs: embedding-cosine near-dedup scoped
+  *    by a coarse key (label here; at scale, an IVF cluster id) so the
+  *    pairwise step is bounded per group.
+  *
+  * Dot products use higher-order functions (zip_with + aggregate) — fully
+  * codegen'd, no UDF. The fold is sequential with a 0.0 seed, so bits match
+  * DuckDB's list_reduce exactly, making cosine oracle-checkable.
+  */
+object SimilarityQueries {
+
+  /** embedding as array<double> (deterministic float->double widening). */
+  private val embD: Column = expr("transform(embedding, x -> cast(x as double))")
+
+  private def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)")
+
+  // ---------------------------------------------------------------- s01
+  /** Exact cosine top-10 neighbors for query vectors (vec_id < 5).
+    * Plan: tiny query side broadcast, corpus scanned once, window top-k
+    * per query. At 100 TB the window becomes a per-partition heap
+    * (TakeOrdered per query) — same declarative shape.
+    */
+  def s01AnnBruteForce(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).withColumn("v", embD)
+      .withColumn("norm", sqrt(dot("v", "v")))
+      .select(col("vec_id"), col("v"), col("norm"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", round(dot("qv", "v") / (col("qnorm") * col("norm")), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"), col("cosine"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  val s01Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, v,
+      |    SQRT(list_reduce(list_transform(generate_series(1, 64), i -> v[i] * v[i]), (x, y) -> x + y)) AS nrm
+      |  FROM e),
+      |scored AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+      |    ROUND(list_reduce(list_transform(generate_series(1, 64), i -> q.v[i] * c.v[i]), (x, y) -> x + y)
+      |      / (q.nrm * c.nrm), 6) AS cosine
+      |  FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+      |ranked AS (
+      |  SELECT q_id, neighbor_id, cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rnk
+      |  FROM scored)
+      |SELECT q_id, rnk, neighbor_id, cosine FROM ranked WHERE rnk <= 10
+      |ORDER BY q_id, rnk""".stripMargin
+
+  // ---------------------------------------------------------------- s02
+  /** Random-hyperplane LSH ANN, banded: 32 fixed hyperplanes (seeded,
+    * embedded as literal arrays) -> 4 bands of 8 sign bits. A corpus vector
+    * is a candidate for a query if ANY band matches (8 matching sign bits
+    * ~= small angular distance with multiple chances), then candidates get
+    * an exact cosine rerank, top-5 per query.
+    *
+    * Plan shape at scale: signatures are one map pass; the candidate join
+    * keys on (band, 8-bit bucket) against a broadcast query side — the
+    * corpus is never pairwise-compared. Recall vs the exact s01 baseline is
+    * asserted in ScalaTest. Not oracle-checked (the SQL equivalent would
+    * embed 2048 generated literals — not hand-auditable).
+    */
+  val NumPlanes = 32
+  val BandBits = 8
+  val NumBands: Int = NumPlanes / BandBits
+  val Dim = 64
+
+  private lazy val hyperplanes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(20240612L)
+    Array.fill(NumPlanes, Dim)(rnd.nextGaussian())
+  }
+
+  /** vec_id, v, norm, band, bucket — one row per (vector, band). */
+  private def bandedSignatures(s: SparkSession, dir: String): DataFrame = {
+    val planesLit = array(hyperplanes.map(p => array(p.map(lit): _*)): _*)
+    val e = Tables.embeddings(s, dir)
+      .withColumn("v", embD)
+      .withColumn("planes", planesLit)
+      .withColumn("bits", expr(
+        """transform(planes, p ->
+          |  if(aggregate(zip_with(p, v, (x, y) -> x * y), cast(0.0 as double), (acc, w) -> acc + w) >= 0d, 1, 0))""".stripMargin))
+      .withColumn("norm", sqrt(dot("v", "v")))
+    val banded = (0 until NumBands).map { b =>
+      val bucket = (0 until BandBits)
+        .map(i => expr(s"element_at(bits, ${b * BandBits + i + 1}) * ${1 << i}"))
+        .reduce(_ + _)
+      e.select(col("vec_id"), col("v"), col("norm"), lit(b).as("band"), bucket.as("bucket"))
+    }
+    banded.reduce(_ unionAll _)
+  }
+
+  def s02AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val sig = bandedSignatures(s, dir).select(col("vec_id"), col("band"), col("bucket"))
+    val qsig = sig.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("band").as("q_band"), col("bucket").as("q_bucket"))
+    // candidate pairs: any shared (band, bucket); dedupe on ids only (cheap)
+    val pairs = sig.join(broadcast(qsig),
+        col("band") === col("q_band") && col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id")).distinct()
+    val vecs = Tables.embeddings(s, dir).withColumn("v", embD)
+      .withColumn("norm", sqrt(dot("v", "v")))
+      .select(col("vec_id"), col("v"), col("norm"))
+    val qvecs = vecs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val cand = pairs.join(vecs, "vec_id").join(broadcast(qvecs), "q_id")
+      .withColumn("cosine", round(dot("qv", "v") / (col("qnorm") * col("norm")), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    cand.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"), col("cosine"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  // ---------------------------------------------------------------- s03
+  /** Embedding-cosine near-dup, scoped by label (the coarse-quantization
+    * pattern: at scale the scope key is an IVF centroid id so the pairwise
+    * comparison is bounded per cell). Emits per-label pair stats.
+    */
+  def s03NearDupStats(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).withColumn("v", embD)
+      .withColumn("norm", sqrt(dot("v", "v")))
+      .select(col("label"), col("vec_id"), col("v"), col("norm"))
+    val a = e.select(col("label"), col("vec_id").as("da"), col("v").as("va"), col("norm").as("na"))
+    val b = e.select(col("label").as("label_b"), col("vec_id").as("db"), col("v").as("vb"), col("norm").as("nb"))
+    a.join(b, a("label") === b("label_b") && a("da") < b("db"))
+      .withColumn("cosine", round(dot("va", "vb") / (col("na") * col("nb")), 6))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        max(col("cosine")).as("max_cosine"),
+        sum(when(col("cosine") >= 0.8, 1L).otherwise(0L)).as("n_near_dup"))
+      .orderBy(col("label"))
+  }
+
+  val s03Sql: String =
+    """WITH e AS (
+      |  SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (
+      |  SELECT label, vec_id, v,
+      |    SQRT(list_reduce(list_transform(generate_series(1, 64), i -> v[i] * v[i]), (x, y) -> x + y)) AS nrm
+      |  FROM e),
+      |pairs AS (
+      |  SELECT a.label,
+      |    ROUND(list_reduce(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i]), (x, y) -> x + y)
+      |      / (a.nrm * b.nrm), 6) AS cosine
+      |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+      |SELECT label, COUNT(*) AS n_pairs, MAX(cosine) AS max_cosine,
+      |  SUM(CASE WHEN cosine >= 0.8 THEN 1 ELSE 0 END) AS n_near_dup
+      |FROM pairs GROUP BY label ORDER BY label""".stripMargin
+
+  // ------------------------------------------------------------------
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s01_ann_bruteforce" -> (s01AnnBruteForce _),
+    "s02_ann_lsh" -> (s02AnnLsh _),
+    "s03_near_dup_stats" -> (s03NearDupStats _))
+
+  val oracle: Map[String, String] = Map(
+    "s01_ann_bruteforce" -> s01Sql,
+    "s03_near_dup_stats" -> s03Sql)
+}

@@ -1,0 +1,196 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators over the `documents` table — the pieces a
+  * large-scale training-data pipeline runs before dedup/filtering:
+  * token statistics, quality scoring, language ID, fingerprinting.
+  *
+  * All operators are embarrassingly parallel per-document projections
+  * (no shuffle except the final presentation ORDER BY, which exists only
+  * for the oracle hash-compare; a production pipeline would write
+  * unordered). Everything stays inside whole-stage codegen — regex and
+  * string built-ins only, no UDFs.
+  *
+  * The reference has no text surface (SURVEY.md §2.9: zero UDFs), so this
+  * tier is net-new capability mandated by the build plan (SURVEY.md §7.2
+  * step 9).
+  */
+object TextQueries {
+
+  /** Word tokens: ASCII alnum runs — the same regex class evaluates
+    * identically under Java regex (Spark) and RE2 (DuckDB). */
+  private val TokenPattern = "[A-Za-z0-9]+"
+
+  // ---------------------------------------------------------------- t01
+  /** Per-document token statistics: token count (regex word runs),
+    * whitespace-split count, distinct tokens, type-token ratio, mean token
+    * length. Pure projection — at 100 TB this is a single map stage.
+    */
+  def t01DocStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", expr(s"regexp_extract_all(text, '$TokenPattern', 0)"))
+      .withColumn("n_tokens", size(col("toks")).cast(LongType))
+      .withColumn("n_ws_tokens", size(split(col("text"), " ")).cast(LongType))
+      .withColumn("n_distinct_tokens", size(array_distinct(col("toks"))).cast(LongType))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("n_ws_tokens"),
+        col("n_distinct_tokens"),
+        round(col("n_distinct_tokens").cast(DoubleType) / col("n_tokens"), 4).as("ttr"),
+        round(length(col("text")).cast(DoubleType) / col("n_tokens"), 4).as("chars_per_token"))
+      .orderBy(col("doc_id"))
+
+  val t01Sql: String =
+    s"""SELECT doc_id, n_tokens, n_ws_tokens, n_distinct_tokens,
+       |  ROUND(CAST(n_distinct_tokens AS DOUBLE) / n_tokens, 4) AS ttr,
+       |  ROUND(CAST(n_chars2 AS DOUBLE) / n_tokens, 4) AS chars_per_token
+       |FROM (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(text, '$TokenPattern')) AS BIGINT) AS n_tokens,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       |    CAST(len(list_distinct(regexp_extract_all(text, '$TokenPattern'))) AS BIGINT) AS n_distinct_tokens,
+       |    LENGTH(text) AS n_chars2
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t02
+  /** Heuristic language ID: count stopword markers per candidate language,
+    * argmax with a fixed precedence for ties. Deterministic; emitted as a
+    * (predicted, labeled) confusion matrix. On real corpora the marker sets
+    * widen to n-gram profiles — the plan shape (pure projection + tiny agg)
+    * is unchanged.
+    */
+  private val markers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|of|and|to|a|in)\\b",
+    "de" -> "\\b(der|die|und|das|ist)\\b",
+    "fr" -> "\\b(le|la|et|les|est)\\b",
+    "es" -> "\\b(el|los|las|y|es)\\b")
+
+  def t02LangId(s: SparkSession, dir: String): DataFrame = {
+    val df0 = Tables.documents(s, dir)
+    // Spark SQL string literals interpret backslash escapes ('\b' would be a
+    // backspace), DuckDB's do not — double them for the Spark side only.
+    val withHits = markers.foldLeft(df0) { case (df, (langName, pat)) =>
+      val sparkPat = pat.replace("\\", "\\\\")
+      df.withColumn(s"hits_$langName", expr(s"size(regexp_extract_all(lower(text), '$sparkPat', 0))"))
+    }
+    val best = markers.map { case (l, _) => col(s"hits_$l") }
+    val anyHit = best.reduce(_ + _) > 0
+    val predicted = when(!anyHit, lit("unknown"))
+      .otherwise(
+        markers.foldRight(lit("unknown"): Column) { case ((l, _), acc) =>
+          when(markers.filter(_._1 != l).map(o => col(s"hits_$l") >= col(s"hits_${o._1}"))
+            .reduce(_ && _), lit(l)).otherwise(acc)
+        })
+    withHits
+      .withColumn("predicted_lang", predicted)
+      .groupBy(col("predicted_lang"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("predicted_lang"), col("lang"))
+  }
+
+  val t02Sql: String = {
+    val hitCols = markers.map { case (l, pat) =>
+      s"len(regexp_extract_all(lower(text), '$pat')) AS hits_$l"
+    }.mkString(",\n    ")
+    val caseArms = markers.map { case (l, _) =>
+      val conds = markers.filter(_._1 != l).map(o => s"hits_$l >= hits_${o._1}").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString("\n      ")
+    s"""WITH h AS (
+       |  SELECT lang,
+       |    $hitCols
+       |  FROM documents),
+       |p AS (
+       |  SELECT lang,
+       |    CASE WHEN hits_en + hits_de + hits_fr + hits_es = 0 THEN 'unknown'
+       |      $caseArms
+       |      ELSE 'unknown' END AS predicted_lang
+       |  FROM h)
+       |SELECT predicted_lang, lang, COUNT(*) AS n
+       |FROM p GROUP BY predicted_lang, lang ORDER BY predicted_lang, lang""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- t03
+  /** Quality scoring: length score, stopword ratio, chars-per-token band —
+    * the standard cheap filters before expensive dedup. Fixed double-op
+    * sequence so both engines produce identical bits; per-doc output (no
+    * double-sum aggregation).
+    */
+  def t03QualityScore(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("n_tokens", expr(s"size(regexp_extract_all(text, '$TokenPattern', 0))").cast(DoubleType))
+      .withColumn("n_stop", expr("size(regexp_extract_all(lower(text), '\\\\b(the|of|and|to|a|in|is)\\\\b', 0))").cast(DoubleType))
+      .withColumn("len_score", least(lit(1.0), length(col("text")).cast(DoubleType) / lit(500.0)))
+      .withColumn("stop_ratio", col("n_stop") / col("n_tokens"))
+      .withColumn("cpt", length(col("text")).cast(DoubleType) / col("n_tokens"))
+      // NOTE: no ROUND here — both engines compute this identical IEEE op
+      // sequence on identical inputs, so raw doubles are bit-equal, while
+      // ROUND at a half-way boundary (e.g. 0.78175) disagrees between
+      // Spark (decimal-string HALF_UP) and DuckDB (binary scaling).
+      .withColumn("quality",
+        col("len_score") * 0.5 +
+          least(lit(1.0), col("stop_ratio") * 5.0) * 0.3 +
+          when(col("cpt") >= 3.0 && col("cpt") <= 12.0, lit(1.0)).otherwise(lit(0.0)) * 0.2)
+      .select(col("doc_id"), col("quality"), col("stop_ratio"), col("len_score"))
+      .orderBy(col("doc_id"))
+
+  val t03Sql: String =
+    s"""SELECT doc_id, len_score * 0.5 + LEAST(1.0, stop_ratio * 5.0) * 0.3 +
+       |    (CASE WHEN cpt >= 3.0 AND cpt <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.2 AS quality,
+       |  stop_ratio,
+       |  len_score
+       |FROM (
+       |  SELECT doc_id,
+       |    LEAST(1.0, CAST(LENGTH(text) AS DOUBLE) / 500.0) AS len_score,
+       |    CAST(len(regexp_extract_all(lower(text), '\\b(the|of|and|to|a|in|is)\\b')) AS DOUBLE)
+       |      / CAST(len(regexp_extract_all(text, '$TokenPattern')) AS DOUBLE) AS stop_ratio,
+       |    CAST(LENGTH(text) AS DOUBLE)
+       |      / CAST(len(regexp_extract_all(text, '$TokenPattern')) AS DOUBLE) AS cpt
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t04
+  /** Document fingerprinting: canonical form (lowercase, punctuation
+    * stripped, whitespace collapsed) hashed to a compact hex id — content-
+    * addressable dedup key, join-able across snapshots. md5 keeps the
+    * oracle cross-engine; production would use xxhash64 (cheaper, see
+    * [[DedupQueries]]).
+    */
+  def t04Fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("canon",
+        trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")))
+      .select(
+        col("doc_id"),
+        substring(md5(col("canon")), 1, 16).as("fingerprint"),
+        length(col("canon")).as("canon_len"))
+      .orderBy(col("doc_id"))
+
+  val t04Sql: String =
+    """SELECT doc_id, SUBSTRING(md5(canon), 1, 16) AS fingerprint,
+      |  CAST(LENGTH(canon) AS INT) AS canon_len
+      |FROM (
+      |  SELECT doc_id,
+      |    TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS canon
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t01_doc_stats" -> (t01DocStats _),
+    "t02_lang_id" -> (t02LangId _),
+    "t03_quality_score" -> (t03QualityScore _),
+    "t04_fingerprint" -> (t04Fingerprint _))
+
+  val oracle: Map[String, String] = Map(
+    "t01_doc_stats" -> t01Sql,
+    "t02_lang_id" -> t02Sql,
+    "t03_quality_score" -> t03Sql,
+    "t04_fingerprint" -> t04Sql)
+}
