@@ -20,7 +20,8 @@ object SparkEntry {
     operators.StarQueries.queries ++
       operators.TextQueries.queries ++
       operators.DedupQueries.queries ++
-      operators.SimilarityQueries.queries
+      operators.SimilarityQueries.queries ++
+      operators.SteelQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

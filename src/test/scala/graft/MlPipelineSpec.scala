@@ -1,0 +1,98 @@
+package graft
+
+import graft.etl.SteelSchema
+import graft.ml._
+import org.apache.spark.ml.PipelineModel
+import org.apache.spark.ml.feature.StringIndexerModel
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.sql.functions._
+
+/** ML-path regression tests with metric thresholds (SURVEY.md §5.2.3:
+  * randomSplit partitioning differs across Spark versions, so assert
+  * thresholds around the notebook's recorded values, not bit equality). */
+class MlPipelineSpec extends SparkTestBase {
+
+  lazy val data = SteelSchema.renamed(SteelSchema.load(spark)).cache()
+  lazy val splits = data.randomSplit(Array(0.75, 0.25), seed = 64)
+
+  test("randomSplit 75/25 seed=64 ratio (py:155; reference 26247/8793)") {
+    val Array(train, test) = splits
+    val total = data.count().toDouble
+    val ratio = train.count() / total
+    assert(math.abs(ratio - 0.75) < 0.01)
+    assert(train.count() + test.count() === 35040L)
+  }
+
+  test("StringIndexer orders by descending frequency (pipe:0 metadata; nb:216)") {
+    val model = FeaturePipeline.pipeline(Regressors.linearRegression()).fit(splits(0))
+    val loadTypeIndexer = model.stages.collect {
+      case m: StringIndexerModel if m.getInputCol == "Load_Type" => m
+    }.head
+    // Light_Load (18072) > Medium_Load (9696) > Maximum_Load (7272)
+    assert(loadTypeIndexer.labelsArray.head.toSeq === Seq("Light_Load", "Medium_Load", "Maximum_Load"))
+  }
+
+  test("StandardScaler output has unit variance, not centered (py:173 defaults)") {
+    val model = FeaturePipeline.pipeline(Regressors.linearRegression()).fit(splits(0))
+    val transformed = model.transform(splits(1))
+    val vecs = transformed.select("scaledFeatures").limit(2000)
+      .collect().map(_.getAs[Vector](0).toArray)
+    // NSM is feature index 5: raw mean ~ 43000 s; scaled-not-centered keeps
+    // the mean >> 0 while variance ~ 1
+    val nsm = vecs.map(_(5))
+    val mean = nsm.sum / nsm.length
+    assert(mean > 1.0, "withMean=false must keep the raw offset")
+  }
+
+  test("VectorAssembler handleInvalid=skip drops nothing on this dataset (py:172)") {
+    val model = FeaturePipeline.pipeline(Regressors.linearRegression()).fit(splits(0))
+    assert(model.transform(splits(1)).count() === splits(1).count())
+  }
+
+  test("baseline LinearRegression metrics near the notebook run (py:237; R2 0.978373)") {
+    val model = FeaturePipeline.pipeline(Regressors.linearRegression()).fit(splits(0))
+    val m = Evaluate.metrics(model.transform(splits(1)))
+    assert(m.r2 > 0.97 && m.r2 < 0.99, s"r2=${m.r2}")
+    assert(math.abs(m.rmse - 4.906425) < 0.5, s"rmse=${m.rmse}")
+    assert(math.abs(m.mae - 2.576966) < 0.4, s"mae=${m.mae}")
+    // MSE must equal RMSE^2; Explained Variance is absolute (~1089), not a ratio
+    assert(math.abs(m.mse - m.rmse * m.rmse) < 1e-6)
+    assert(m.explainedVariance > 900 && m.explainedVariance < 1300)
+  }
+
+  test("baseline DecisionTree beats LinearRegression (py:241; R2 0.987733)") {
+    val model = FeaturePipeline.pipeline(Regressors.decisionTree()).fit(splits(0))
+    val m = Evaluate.metrics(model.transform(splits(1)))
+    assert(m.r2 > 0.98, s"r2=${m.r2}")
+  }
+
+  test("comparison DataFrame has the reference schema incl. 'Explained Variance' (py:274-294)") {
+    val m = Evaluate.Metrics(0.9, 1.0, 2.0, 3.0, 4.0)
+    val df = Evaluate.comparisonDf(spark, Seq("A" -> m, "B" -> m.copy(r2 = 0.99)))
+    assert(df.schema === Evaluate.comparisonSchema)
+    // ordered by R2 desc
+    assert(df.collect().map(_.getString(0)).toSeq === Seq("B", "A"))
+  }
+
+  test("pipeline save/load round-trip preserves stages and params (py:482; S2)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pipe").toString
+    val pipeline = FeaturePipeline.pipeline(Regressors.decisionTree())
+    Tune.savePipeline(pipeline, s"$dir/p")
+    val loaded = Tune.loadPipeline(s"$dir/p")
+    val stages = loaded.getStages
+    assert(stages.length === 6)
+    val va = stages(3).asInstanceOf[org.apache.spark.ml.feature.VectorAssembler]
+    assert(va.getHandleInvalid === "skip")
+    assert(va.getInputCols.toSeq === FeaturePipeline.FeatureInputs.toSeq)
+  }
+
+  test("fitted PipelineModel round-trips and predicts identically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_model").toString
+    val model = FeaturePipeline.pipeline(Regressors.linearRegression()).fit(splits(0))
+    model.write.overwrite().save(s"$dir/m")
+    val loaded = PipelineModel.load(s"$dir/m")
+    val a = model.transform(splits(1)).agg(sum("prediction")).collect()(0).getDouble(0)
+    val b = loaded.transform(splits(1)).agg(sum("prediction")).collect()(0).getDouble(0)
+    assert(a === b)
+  }
+}

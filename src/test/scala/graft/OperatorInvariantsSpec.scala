@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Cross-cutting invariants for the star-schema + LLM-pipeline operators —
+  * the properties the DuckDB oracle can't express (sketch accuracy, LSH
+  * recall, internal consistency between exact and approximate tiers). */
+class OperatorInvariantsSpec extends SparkTestBase {
+
+  test("q14 approx distinct within 5% of exact (HLL++ rsd=0.01)") {
+    val approx = StarQueries.q14ApproxDistinct(spark, Sf001).collect()(0)
+    val li = Tables.lineitem(spark, Sf001)
+    val exactParts = li.select(countDistinct(col("l_partkey"))).collect()(0).getLong(0)
+    val exactOrders = li.select(countDistinct(col("l_orderkey"))).collect()(0).getLong(0)
+    assert(math.abs(approx.getLong(0) - exactParts).toDouble / exactParts < 0.05)
+    assert(math.abs(approx.getLong(1) - exactOrders).toDouble / exactOrders < 0.05)
+  }
+
+  test("q20 histogram buckets cover all orders") {
+    val h = StarQueries.q20Histogram(spark, Sf0001).collect()
+    val total = Tables.orders(spark, Sf0001).count()
+    assert(h.map(_.getLong(1)).sum === total)
+  }
+
+  test("exact dedup keeps every distinct document (d01)") {
+    val clusters = DedupQueries.d01ExactDedup(spark, Sf001).collect()
+    val docs = Tables.documents(spark, Sf001).count()
+    assert(clusters.map(_.getLong(2)).sum === docs)
+  }
+
+  test("minhash estimated Jaccard tracks exact Jaccard for candidate pairs (d03 vs d04)") {
+    val exact = DedupQueries.d03NgramJaccard(spark, Sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val est = DedupQueries.d04MinhashLsh(spark, Sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every exact near-dup pair (J>=0.5) should be found by the LSH tier
+    exact.keys.foreach { pair =>
+      assert(est.contains(pair), s"LSH missed exact near-dup pair $pair")
+    }
+    // and estimates on shared pairs should be within 0.35 absolute (32 perms)
+    exact.foreach { case (pair, j) =>
+      est.get(pair).foreach(e => assert(math.abs(e - j) < 0.35, s"$pair exact=$j est=$e"))
+    }
+  }
+
+  test("LSH ANN results are a subset of brute-force candidates with high top-1 agreement (s01 vs s02)") {
+    val exact = SimilarityQueries.s01AnnBruteForce(spark, Sf001).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    val lsh = SimilarityQueries.s02AnnLsh(spark, Sf001).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    // For each query with LSH results, candidates must be ranked by true
+    // cosine, so any overlap with the exact top-10 must respect its order.
+    lsh.foreach { case (q, neighbors) =>
+      val exactTop = exact(q)
+      val overlap = neighbors.filter(exactTop.contains)
+      assert(overlap === exactTop.filter(overlap.contains),
+        s"query $q: LSH overlap order diverges from exact ranking")
+    }
+    assert(lsh.nonEmpty, "LSH should produce candidates on sf0.01")
+  }
+
+  test("simhash distance 0 for identical token multisets") {
+    val sh = DedupQueries.simhashes(spark, Sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh.size === Tables.documents(spark, Sf001).count())
+  }
+
+  test("langid confusion matrix partitions all documents (t02)") {
+    val m = TextQueries.t02LangId(spark, Sf001).collect()
+    assert(m.map(_.getLong(2)).sum === Tables.documents(spark, Sf001).count())
+  }
+}
