@@ -173,13 +173,37 @@ object SimilarityQueries {
       |  SUM(CASE WHEN cosine >= 0.8 THEN 1 ELSE 0 END) AS n_near_dup
       |FROM pairs GROUP BY label ORDER BY label""".stripMargin
 
+  // ---------------------------------------------------------------- s04
+  /** s01 recomputed through the native codegen'd Catalyst expression
+    * ([[graft.functions.CosineSimilarity]]): one fused primitive loop per
+    * row instead of the HOF's intermediate product array. Accumulation
+    * order matches, so results are bit-identical — same oracle as s01 —
+    * and the PerfSpec compares their wall-clock.
+    */
+  def s04AnnNative(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir).withColumn("v", embD)
+      .select(col("vec_id"), col("v"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", round(expr("graft_cosine(qv, v)"), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"), col("cosine"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> (s01AnnBruteForce _),
     "s02_ann_lsh" -> (s02AnnLsh _),
-    "s03_near_dup_stats" -> (s03NearDupStats _))
+    "s03_near_dup_stats" -> (s03NearDupStats _),
+    "s04_ann_native" -> (s04AnnNative _))
 
   val oracle: Map[String, String] = Map(
     "s01_ann_bruteforce" -> s01Sql,
-    "s03_near_dup_stats" -> s03Sql)
+    "s03_near_dup_stats" -> s03Sql,
+    "s04_ann_native" -> s01Sql)
 }

@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.{SimilarityQueries, StarQueries}
+
+/** Physical-plan shape assertions — the scale-readiness checks the prompt
+  * calls out: filters must reach the parquet scan, dimension joins must
+  * broadcast, global top-k must avoid a total sort, and nothing may fall
+  * back to a cartesian product or a Scala UDF.
+  */
+class PlanShapeSpec extends SparkTestBase {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q07: predicates are pushed into the parquet scan") {
+    val p = plan(StarQueries.q07SelectiveFilter(spark, Sf001))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("l_discount"), "discount predicate should reach the scan")
+    // and the scan must not read unused columns
+    assert(!p.contains("l_comment"))
+    assert(p.contains("ReadSchema"))
+  }
+
+  test("q08: dimension joins are broadcast (no shuffle for nation/region)") {
+    val p = plan(StarQueries.q08RevenueByRegionNation(spark, Sf001))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q06: global top-k plans TakeOrderedAndProject, not a full sort") {
+    val p = plan(StarQueries.q06TopOrders(spark, Sf001))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q01: aggregation is two-phase (partial before the exchange)") {
+    val p = plan(StarQueries.q01PricingSummary(spark, Sf001))
+    assert(p.contains("HashAggregate"), p)
+    assert(p.toLowerCase.contains("partial"), "expected partial aggregation")
+  }
+
+  test("s04: native cosine stays inside whole-stage codegen") {
+    val df = SimilarityQueries.s04AnnNative(spark, Sf0001)
+    df.collect() // finalize the adaptive plan so codegen spans are visible
+    val p = plan(df)
+    assert(p.toLowerCase.contains("graft_cosine"), p.take(800))
+    // the row computing graft_cosine must carry the *(n) codegen marker
+    val cosineLine = p.linesIterator.find(_.toLowerCase.contains("graft_cosine")).get
+    assert(cosineLine.contains("*("), s"native expression fell out of codegen: $cosineLine")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))
+  }
+
+  test("no query plans a cartesian product except the scalar-histogram cross join") {
+    val exempt = Set("q20_histogram")
+    SparkEntry.queries.filterNot { case (name, _) =>
+      exempt(name) || name.startsWith("steel") || name.startsWith("ml")
+    }.foreach { case (name, fn) =>
+      val p = plan(fn(spark, Sf0001))
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
+    }
+  }
+}
