@@ -42,4 +42,36 @@ object SteelEda {
     * 0.9881797716789519 on the pre-rename column). */
   def corrCo2Usage(data: DataFrame): DataFrame =
     data.select(corr("CO2(tCO2)", "Usage_kWh"))
+
+  /** The declared-intent date kit (py:13 imports `to_timestamp, hour,
+    * month, year, dayofweek, ...` but never calls them — SURVEY.md §1.1):
+    * parse the dd/MM/yyyy HH:mm strings and expose every imported part.
+    * The parsed timestamps must reconstruct NSM and Day_of_week exactly,
+    * which SteelEdaSpec asserts — the strongest possible check that the
+    * parse is right.
+    */
+  def withParsedDate(data: DataFrame): DataFrame =
+    data
+      .withColumn("ts", to_timestamp(col("date"), "dd/MM/yyyy HH:mm"))
+      .withColumn("ts_year", year(col("ts")))
+      .withColumn("ts_month", month(col("ts")))
+      .withColumn("ts_day", dayofmonth(col("ts")))
+      .withColumn("ts_hour", hour(col("ts")))
+      .withColumn("ts_minute", minute(col("ts")))
+      .withColumn("ts_second", second(col("ts")))
+      .withColumn("ts_dayofweek", dayofweek(col("ts")))
+      .withColumn("ts_dayofyear", dayofyear(col("ts")))
+      .withColumn("ts_weekofyear", weekofyear(col("ts")))
+      .withColumn("nsm_derived", col("ts_hour") * 3600 + col("ts_minute") * 60 + col("ts_second"))
+
+  /** Monthly consumption profile from the parsed timestamps — the analysis
+    * the reference's import list implies but never runs. */
+  def monthlyProfile(data: DataFrame): DataFrame =
+    withParsedDate(data)
+      .groupBy(col("ts_year").as("yr"), col("ts_month").as("mo"))
+      .agg(
+        count(lit(1)).as("n"),
+        avg(col("Usage_kWh")).as("avg_usage"),
+        max(col("Usage_kWh")).as("max_usage"))
+      .orderBy(col("yr"), col("mo"))
 }

