@@ -681,8 +681,55 @@ object StarQueries {
       |WHERE SUBSTRING(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = 'a'
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // ---------------------------------------------------------------- q31
+  /** As-of join (point-in-time lookup): each event gets the price of the
+    * latest order its user placed at-or-before the event time.
+    *
+    * Spark has no native ASOF JOIN; the scalable formulation is the
+    * union+window trick: tag both streams, sort each key's timeline once,
+    * and carry the last non-null order attribute forward. ONE shuffle on
+    * the key — versus a range-join which explodes to an inequality join.
+    * This is the tier-(a) answer (compose built-ins) from the custom-
+    * operator preference order; a custom SparkPlan would only pay off if
+    * the timeline didn't fit a partition.
+    */
+  def q31AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      col("o_custkey").as("k"), col("o_orderdate").as("ts"),
+      lit(1).as("is_order"), col("o_orderkey").as("src_id"),
+      col("o_totalprice").as("price"))
+    val e = Tables.events(s, dir).select(
+      col("user_id").as("k"), col("ts"),
+      lit(0).as("is_order"), col("event_id").as("src_id"),
+      lit(null).cast(DoubleType).as("price"))
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("ts"), col("is_order").desc, col("src_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.unionAll(e)
+      .withColumn("asof_price", last(col("price"), ignoreNulls = true).over(w))
+      .filter(col("is_order") === 0)
+      .select(col("k").as("user_id"), col("src_id").as("event_id"), col("asof_price"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val q31Sql: String =
+    """WITH tagged AS (
+      |  SELECT o_custkey AS k, o_orderdate AS ts, 1 AS is_order,
+      |         o_orderkey AS src_id, o_totalprice AS price FROM orders
+      |  UNION ALL
+      |  SELECT user_id, ts, 0, event_id, CAST(NULL AS DOUBLE) FROM events),
+      |tl AS (
+      |  SELECT k, is_order, src_id,
+      |    LAST_VALUE(price IGNORE NULLS) OVER (
+      |      PARTITION BY k ORDER BY ts, is_order DESC, src_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_price
+      |  FROM tagged)
+      |SELECT k AS user_id, src_id AS event_id, asof_price
+      |FROM tl WHERE is_order = 0 ORDER BY user_id, event_id""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_asof_join" -> (q31AsofJoin _),
     "q28_cube" -> (q28Cube _),
     "q29_grouping_sets" -> (q29GroupingSets _),
     "q30_hash_sample" -> (q30HashSample _),
@@ -715,6 +762,7 @@ object StarQueries {
     "q27_tumbling_window" -> (q27TumblingWindow _))
 
   val oracle: Map[String, String] = Map(
+    "q31_asof_join" -> q31Sql,
     "q28_cube" -> q28Sql,
     "q29_grouping_sets" -> q29Sql,
     "q30_hash_sample" -> q30Sql,

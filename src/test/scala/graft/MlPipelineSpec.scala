@@ -66,6 +66,17 @@ class MlPipelineSpec extends SparkTestBase {
     assert(m.r2 > 0.98, s"r2=${m.r2}")
   }
 
+  test("one-hot variant (py:11 declared intent) beats ordinal encoding for LR") {
+    val ordinal = Evaluate.metrics(
+      FeaturePipeline.pipeline(Regressors.linearRegression()).fit(splits(0)).transform(splits(1)))
+    val oneHot = Evaluate.metrics(
+      FeaturePipeline.oneHotPipeline(Regressors.linearRegression()).fit(splits(0)).transform(splits(1)))
+    assert(oneHot.r2 > 0.97, s"one-hot r2=${oneHot.r2}")
+    // one-hot removes the fake ordinal ordering on categoricals, so for a
+    // linear model it should not be (meaningfully) worse
+    assert(oneHot.r2 >= ordinal.r2 - 0.005, s"one-hot=${oneHot.r2} ordinal=${ordinal.r2}")
+  }
+
   test("comparison DataFrame has the reference schema incl. 'Explained Variance' (py:274-294)") {
     val m = Evaluate.Metrics(0.9, 1.0, 2.0, 3.0, 4.0)
     val df = Evaluate.comparisonDf(spark, Seq("A" -> m, "B" -> m.copy(r2 = 0.99)))

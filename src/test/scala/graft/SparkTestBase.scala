@@ -12,6 +12,8 @@ trait SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.warehouse.dir",
+      s"/tmp/graft_test_warehouse_${ProcessHandle.current().pid()}")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
