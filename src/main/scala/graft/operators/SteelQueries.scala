@@ -42,6 +42,12 @@ object SteelQueries {
     SteelSql.sumBy(s, "Day_of_week", "NSM", "column_5cb3def13")
   }
 
+  /** F7 date kit on the real `date` strings: parse with to_timestamp and
+    * roll up monthly (the analysis the reference's py:13 import list
+    * implies; tests prove the parse reconstructs NSM + Day_of_week). */
+  def steel06MonthlyProfile(s: SparkSession, dir: String): DataFrame =
+    SteelEda.monthlyProfile(loaded(s))
+
   /** The ML path end-to-end, kept cheap for per-round verification: fit the
     * reference's 6-stage pipeline with LinearRegression on the seed-64
     * 75/25 split and emit the 5-metric comparison row (py:237 ->
@@ -62,6 +68,7 @@ object SteelQueries {
     "steel03_corr" -> (steel03Corr _),
     "steel04_histogram_sql" -> (steel04HistogramSql _),
     "steel05_sum_nsm_by_day" -> (steel05SumNsmByDay _),
+    "steel06_monthly_profile" -> (steel06MonthlyProfile _),
     "ml01_lr_metrics" -> (ml01LrMetrics _))
 
   /** No DuckDB oracle — golden-tested against BASELINE.md instead. */
