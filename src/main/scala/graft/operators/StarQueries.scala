@@ -727,8 +727,131 @@ object StarQueries {
       |SELECT k AS user_id, src_id AS event_id, asof_price
       |FROM tl WHERE is_order = 0 ORDER BY user_id, event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q32
+  /** Salted join — the manual skew treatment: replicate the small side
+    * SALT times, scatter the large side's hot keys across salts, join on
+    * (key, salt). Results are identical to the plain join (the oracle
+    * computes the plain join), but no single reducer sees a whole hot key.
+    * AQE's skew-join split handles most cases adaptively; explicit salting
+    * remains the tool when a single key exceeds what one task can hold.
+    */
+  def q32SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val Salt = 8
+    val e = Tables.events(s, dir)
+      .withColumn("salt", pmod(xxhash64(col("event_id")), lit(Salt)))
+    val c = Tables.customer(s, dir)
+      .withColumn("salt", explode(array((0 until Salt).map(i => lit(i.toLong)): _*)))
+    e.join(c, e("user_id") === c("c_custkey") && e("salt") === c("salt"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value"), 30, 2).as("total_value"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q32Sql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- q33
+  /** Statistical moments from exact power sums: mean, sample stddev,
+    * skewness, kurtosis per group — computed from decimal-exact
+    * sum(x^k), so bit-deterministic in any engine (built-in stddev /
+    * skewness aggregates use engine-specific one-pass updates whose last
+    * bits differ; the ScalaTest cross-checks them within epsilon).
+    * value has 2dp in [0, ~200] so x^4 fits DECIMAL(38,8) comfortably.
+    */
+  def q33Moments(s: SparkSession, dir: String): DataFrame = {
+    val x = col("value")
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).cast(DoubleType).as("n"),
+        dsum(x, 38, 2).as("s1"),
+        dsum(x * x, 38, 4).as("s2"),
+        dsum(x * x * x, 38, 6).as("s3"),
+        dsum(x * x * x * x, 38, 8).as("s4"))
+      .select(
+        col("event_type"),
+        col("n").cast(LongType).as("n"),
+        (col("s1") / col("n")).as("mean"),
+        sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1.0)).as("stddev"),
+        (((col("s3") - lit(3.0) * col("s1") * col("s2") / col("n")
+          + lit(2.0) * col("s1") * col("s1") * col("s1") / (col("n") * col("n"))) / col("n"))
+          / pow((col("s2") - col("s1") * col("s1") / col("n")) / col("n"), 1.5)).as("skewness"))
+      .orderBy(col("event_type"))
+  }
+
+  val q33Sql: String =
+    """WITH m AS (
+      |  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(value * value AS DECIMAL(38,4))) AS DOUBLE) AS s2,
+      |    CAST(SUM(CAST(value * value * value AS DECIMAL(38,6))) AS DOUBLE) AS s3,
+      |    CAST(SUM(CAST(value * value * value * value AS DECIMAL(38,8))) AS DOUBLE) AS s4
+      |  FROM events GROUP BY event_type)
+      |SELECT event_type, CAST(n AS BIGINT) AS n,
+      |  s1 / n AS mean,
+      |  SQRT((s2 - s1 * s1 / n) / (n - 1.0)) AS stddev,
+      |  ((s3 - 3.0 * s1 * s2 / n + 2.0 * s1 * s1 * s1 / (n * n)) / n)
+      |    / POW((s2 - s1 * s1 / n) / n, 1.5) AS skewness
+      |FROM m ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q34
+  /** Built-in session_window (gap-based sessions, 30 min) — the same
+    * semantics q18 derives manually with two windows; tests assert the two
+    * agree, and the oracle recomputes sessions the manual way.
+    */
+  def q34SessionWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), max(col("n_events")).as("max_session_events"))
+      .orderBy(col("user_id"))
+
+  val q34Sql: String =
+    """WITH g AS (
+      |  SELECT user_id,
+      |    epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap,
+      |    epoch_us(ts) AS us, event_id
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id,
+      |    SUM(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY us, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM g),
+      |per AS (SELECT user_id, session_id, COUNT(*) AS n_events FROM sess GROUP BY 1, 2)
+      |SELECT user_id, COUNT(*) AS n_sessions, MAX(n_events) AS max_session_events
+      |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q35
+  /** Sliding windows (2h window, 1h slide): each event lands in two
+    * windows. Spark's window() generates the assignment; the oracle
+    * reproduces it with an explicit two-offset union.
+    */
+  def q35SlidingWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+      .orderBy(col("win_start"), col("event_type"))
+
+  val q35Sql: String =
+    """WITH assigned AS (
+      |  SELECT DATE_TRUNC('hour', ts) AS win_start, event_type FROM events
+      |  UNION ALL
+      |  SELECT DATE_TRUNC('hour', ts) - INTERVAL 1 HOUR, event_type FROM events)
+      |SELECT win_start, event_type, COUNT(*) AS n
+      |FROM assigned GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_salted_join" -> (q32SaltedJoin _),
+    "q33_moments" -> (q33Moments _),
+    "q34_session_window" -> (q34SessionWindow _),
+    "q35_sliding_window" -> (q35SlidingWindow _),
     "q31_asof_join" -> (q31AsofJoin _),
     "q28_cube" -> (q28Cube _),
     "q29_grouping_sets" -> (q29GroupingSets _),
@@ -762,6 +885,10 @@ object StarQueries {
     "q27_tumbling_window" -> (q27TumblingWindow _))
 
   val oracle: Map[String, String] = Map(
+    "q32_salted_join" -> q32Sql,
+    "q33_moments" -> q33Sql,
+    "q34_session_window" -> q34Sql,
+    "q35_sliding_window" -> q35Sql,
     "q31_asof_join" -> q31Sql,
     "q28_cube" -> q28Sql,
     "q29_grouping_sets" -> q29Sql,

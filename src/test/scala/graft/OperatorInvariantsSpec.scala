@@ -83,6 +83,42 @@ class OperatorInvariantsSpec extends SparkTestBase {
     assert(sh.size === Tables.documents(spark, Sf001).count())
   }
 
+  test("built-in session_window agrees with the manual two-window sessionization (q34 vs q18)") {
+    val manual = StarQueries.q18Sessionize(spark, Sf001)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), max(col("n_events")).as("max_session_events"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val builtin = StarQueries.q34SessionWindow(spark, Sf001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(builtin === manual)
+  }
+
+  test("exact-power-sum moments agree with built-in stddev/skewness within 1e-6 (q33)") {
+    val manual = StarQueries.q33Moments(spark, Sf001).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val builtin = Tables.events(spark, Sf001)
+      .groupBy(col("event_type"))
+      .agg(avg(col("value")).as("m"), stddev_samp(col("value")).as("sd"), skewness(col("value")).as("sk"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    manual.foreach { case (k, (m, sd, sk)) =>
+      assert(math.abs(m - builtin(k)._1) < 1e-6)
+      assert(math.abs(sd - builtin(k)._2) < 1e-6)
+      assert(math.abs(sk - builtin(k)._3) < 1e-5, s"$k skew $sk vs ${builtin(k)._3}")
+    }
+  }
+
+  test("salted join equals the plain join (q32)") {
+    val salted = StarQueries.q32SaltedJoin(spark, Sf001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val e = Tables.events(spark, Sf001)
+    val c = Tables.customer(spark, Sf001)
+    val plain = e.join(c, e("user_id") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), Tables.dsum(col("value"), 30, 2).as("tv"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(salted === plain)
+  }
+
   test("langid confusion matrix partitions all documents (t02)") {
     val m = TextQueries.t02LangId(spark, Sf001).collect()
     assert(m.map(_.getLong(2)).sum === Tables.documents(spark, Sf001).count())

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Source/sink format breadth: the same relation must survive round-trips
+  * through every bundled file format (parquet is the system of record;
+  * csv/json/orc are interchange). Schema fidelity differences are part of
+  * the contract being tested: csv/json need explicit schemas on read.
+  */
+class SourceFormatsSpec extends SparkTestBase {
+
+  lazy val orders = Tables.orders(spark, Sf0001).cache()
+
+  private def digest(df: org.apache.spark.sql.DataFrame): Array[org.apache.spark.sql.Row] =
+    df.select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"),
+        col("o_orderdate").cast("string").as("od"))
+      .orderBy(col("o_orderkey")).collect()
+
+  test("parquet round-trip preserves everything") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    orders.write.mode("overwrite").parquet(s"$dir/o")
+    val back = spark.read.parquet(s"$dir/o")
+    assert(back.schema === orders.schema)
+    assert(digest(back).toSeq === digest(orders).toSeq)
+  }
+
+  test("orc round-trip preserves everything") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    orders.write.mode("overwrite").orc(s"$dir/o")
+    val back = spark.read.orc(s"$dir/o")
+    assert(back.schema === orders.schema)
+    assert(digest(back).toSeq === digest(orders).toSeq)
+  }
+
+  test("json round-trip with declared schema preserves values") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_json").toString
+    orders.write.mode("overwrite").json(s"$dir/o")
+    val back = spark.read.schema(orders.schema).json(s"$dir/o")
+    assert(digest(back).toSeq === digest(orders).toSeq)
+  }
+
+  test("csv round-trip with declared schema + timestamp format preserves values") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    orders.write.mode("overwrite").option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+      .csv(s"$dir/o")
+    val back = spark.read.schema(orders.schema).option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+      .csv(s"$dir/o")
+    assert(digest(back).toSeq === digest(orders).toSeq)
+  }
+
+  test("partitioned parquet write prunes partitions on read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    orders.withColumn("yr", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("yr").parquet(s"$dir/o")
+    val pruned = spark.read.parquet(s"$dir/o").filter(col("yr") === 1997)
+    pruned.collect()
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(yr"), plan.take(600))
+    val expected = orders.filter(year(col("o_orderdate")) === 1997).count()
+    assert(pruned.count() === expected)
+  }
+}
