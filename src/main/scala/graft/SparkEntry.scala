@@ -22,7 +22,8 @@ object SparkEntry {
       operators.DedupQueries.queries ++
       operators.SimilarityQueries.queries ++
       operators.SteelQueries.queries ++
-      operators.Multimodal.queries
+      operators.Multimodal.queries ++
+      operators.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +31,6 @@ object SparkEntry {
     operators.StarQueries.oracle ++
       operators.TextQueries.oracle ++
       operators.DedupQueries.oracle ++
-      operators.SimilarityQueries.oracle
+      operators.SimilarityQueries.oracle ++
+      operators.PipelineQueries.oracle
 }

@@ -46,6 +46,35 @@ class CosineExpressionSpec extends SparkTestBase {
     assert(math.abs(floats - 1.0) < 1e-7)
   }
 
+  test("perf note: native fused cosine vs HOF composition on identical pair workload") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // synthetic: 200k pairs of 64-dim vectors, same data for both paths
+    val base = spark.range(200000)
+      .select(col("id"),
+        expr("transform(sequence(1, 64), i -> cast(pmod(hash(id, i), 1000) as double) / 1000.0)").as("a"),
+        expr("transform(sequence(1, 64), i -> cast(pmod(hash(id, i, 7), 1000) as double) / 1000.0)").as("b"))
+      .cache()
+    base.count()
+    def time(q: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val t0 = System.nanoTime()
+      val r = q.agg(org.apache.spark.sql.functions.sum("c")).collect()(0).getDouble(0)
+      ((System.nanoTime() - t0) / 1e9, r)
+    }
+    val hofExpr = "aggregate(zip_with(a, b, (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)" +
+      " / (sqrt(aggregate(zip_with(a, a, (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v))" +
+      " * sqrt(aggregate(zip_with(b, b, (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)))"
+    // warmup both
+    time(base.selectExpr(s"$hofExpr as c")); time(base.selectExpr("graft_cosine(a, b) as c"))
+    val (tHof, rHof) = time(base.selectExpr(s"$hofExpr as c"))
+    val (tNative, rNative) = time(base.selectExpr("graft_cosine(a, b) as c"))
+    info(f"HOF: $tHof%.2fs  native: $tNative%.2fs  speedup: ${tHof / tNative}%.1fx")
+    assert(rHof === rNative, "identical op order must give bit-identical sums")
+    // the fused loop must not be slower; allow slack for the noisy box
+    assert(tNative <= tHof * 1.2, f"native $tNative%.2fs vs HOF $tHof%.2fs")
+    base.unpersist()
+  }
+
   test("interpreted eval matches codegen") {
     GraftFunctions.register(spark)
     import spark.implicits._
