@@ -846,8 +846,58 @@ object StarQueries {
       |SELECT win_start, event_type, COUNT(*) AS n
       |FROM assigned GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q36
+  /** Unpivot (wide -> long): melt the part measure columns into
+    * (measure, value) rows — Spark's native unpivot operator; the oracle
+    * reproduces it with the portable UNION ALL formulation.
+    */
+  def q36Unpivot(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(col("p_partkey"),
+        col("p_size").cast(DoubleType).as("size"),
+        col("p_retailprice").as("retailprice"))
+      .unpivot(Array(col("p_partkey")), Array(col("size"), col("retailprice")), "measure", "value")
+      .groupBy(col("measure"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 30, 2).as("total"))
+      .orderBy(col("measure"))
+
+  val q36Sql: String =
+    """WITH long AS (
+      |  SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
+      |  UNION ALL
+      |  SELECT p_partkey, 'retailprice', p_retailprice FROM part)
+      |SELECT measure, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total
+      |FROM long GROUP BY measure ORDER BY measure""".stripMargin
+
+  // ---------------------------------------------------------------- q37
+  /** Correlated scalar subquery: orders priced above 1.5x their customer's
+    * own average — Catalyst decorrelates the inner aggregate into a join
+    * (DecorrelateInnerQuery), so this plans as one aggregate + one join,
+    * not a per-row loop. Exercised through spark.sql like the reference's
+    * %sql path.
+    */
+  def q37CorrelatedSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_corr_v")
+    s.sql(
+      """SELECT o_custkey, COUNT(*) AS n_above
+        |FROM orders_corr_v o
+        |WHERE o_totalprice > 1.5 * (
+        |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*) FROM orders_corr_v i WHERE i.o_custkey = o.o_custkey)
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
+  }
+
+  val q37Sql: String =
+    """SELECT o_custkey, COUNT(*) AS n_above
+      |FROM orders o
+      |WHERE o_totalprice > 1.5 * (
+      |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+      |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_unpivot" -> (q36Unpivot _),
+    "q37_correlated_subquery" -> (q37CorrelatedSubquery _),
     "q32_salted_join" -> (q32SaltedJoin _),
     "q33_moments" -> (q33Moments _),
     "q34_session_window" -> (q34SessionWindow _),
@@ -885,6 +935,8 @@ object StarQueries {
     "q27_tumbling_window" -> (q27TumblingWindow _))
 
   val oracle: Map[String, String] = Map(
+    "q36_unpivot" -> q36Sql,
+    "q37_correlated_subquery" -> q37Sql,
     "q32_salted_join" -> q32Sql,
     "q33_moments" -> q33Sql,
     "q34_session_window" -> q34Sql,
