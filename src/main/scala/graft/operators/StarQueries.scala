@@ -53,11 +53,11 @@ object StarQueries {
   val q01Sql: String =
     """SELECT l_returnflag, l_linestatus,
       |  SUM(l_quantity) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
-      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+      |  CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+      |  CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) AS sum_charge,
       |  SUM(l_quantity) / COUNT(*) AS avg_qty,
-      |  CAST(SUM(CAST(l_discount AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      |  CAST(CAST(SUM(CAST(l_discount AS DECIMAL(30,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_disc,
       |  COUNT(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '2001-06-01 00:00:00'
@@ -88,7 +88,7 @@ object StarQueries {
 
   val q03Sql: String =
     """SELECT c_mktsegment,
-      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*) AS avg_acctbal,
+      |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_acctbal,
       |  COUNT(*) AS n
       |FROM customer GROUP BY c_mktsegment ORDER BY avg_acctbal DESC, c_mktsegment""".stripMargin
 
@@ -118,10 +118,10 @@ object StarQueries {
     """WITH m AS (
       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
       |    SUM(l_quantity) AS sx,
-      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sy,
+      |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS VARCHAR) AS DOUBLE) AS sy,
       |    SUM(l_quantity * l_quantity) AS sxx,
-      |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS syy,
-      |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS sxy
+      |    CAST(CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS syy,
+      |    CAST(CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,2))) AS VARCHAR) AS DOUBLE) AS sxy
       |  FROM lineitem)
       |SELECT (n * sxy - sx * sy) / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)) AS corr_qty_price
       |FROM m""".stripMargin
@@ -170,7 +170,7 @@ object StarQueries {
 
   val q07Sql: String =
     """SELECT
-      |  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+      |  CAST(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) AS revenue,
       |  COUNT(*) AS n
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
@@ -199,7 +199,7 @@ object StarQueries {
 
   val q08Sql: String =
     """SELECT r_name, n_name,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS VARCHAR) AS DOUBLE) AS revenue,
       |  COUNT(*) AS n_orders
       |FROM orders
       |JOIN customer ON o_custkey = c_custkey
@@ -226,7 +226,7 @@ object StarQueries {
 
   val q09Sql: String =
     """SELECT YEAR(o_orderdate) AS yr, MONTH(o_orderdate) AS mo,
-      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+      |  CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) AS revenue,
       |  COUNT(*) AS n_items
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY YEAR(o_orderdate), MONTH(o_orderdate) ORDER BY yr, mo""".stripMargin
@@ -448,7 +448,7 @@ object StarQueries {
     """SELECT YEAR(o_orderdate) AS yr, QUARTER(o_orderdate) AS qtr,
       |  CAST(DAYOFWEEK(o_orderdate) + 1 AS INT) AS dow,
       |  COUNT(*) AS n,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS VARCHAR) AS DOUBLE) AS total
       |FROM orders GROUP BY 1, 2, 3 ORDER BY yr, qtr, dow""".stripMargin
 
   // ---------------------------------------------------------------- q20
@@ -504,8 +504,8 @@ object StarQueries {
       |       WHEN l_quantity >= 15 THEN 'mid'
       |       ELSE 'light' END AS band,
       |  COUNT(*) AS n,
-      |  CAST(SUM(CAST(LEAST(l_discount, l_tax) AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*) AS avg_eff_rate,
-      |  CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0.0 END AS DECIMAL(30,2))) AS DOUBLE) AS returned_value
+      |  CAST(CAST(SUM(CAST(LEAST(l_discount, l_tax) AS DECIMAL(30,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_eff_rate,
+      |  CAST(CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0.0 END AS DECIMAL(30,2))) AS VARCHAR) AS DOUBLE) AS returned_value
       |FROM lineitem GROUP BY 1 ORDER BY band""".stripMargin
 
   // ---------------------------------------------------------------- q22
@@ -540,7 +540,7 @@ object StarQueries {
 
   val q23Sql: String =
     """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS VARCHAR) AS DOUBLE) AS total
       |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
@@ -622,7 +622,7 @@ object StarQueries {
 
   val q27Sql: String =
     """SELECT DATE_TRUNC('hour', ts) AS hour_start, event_type, COUNT(*) AS n,
-      |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total_value
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(30,2))) AS VARCHAR) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin
 
   // ---------------------------------------------------------------- q28
@@ -635,7 +635,7 @@ object StarQueries {
 
   val q28Sql: String =
     """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS VARCHAR) AS DOUBLE) AS total
       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
@@ -676,7 +676,7 @@ object StarQueries {
 
   val q30Sql: String =
     """SELECT o_orderstatus, COUNT(*) AS n,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS VARCHAR) AS DOUBLE) AS total
       |FROM orders
       |WHERE SUBSTRING(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = 'a'
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
@@ -749,7 +749,7 @@ object StarQueries {
 
   val q32Sql: String =
     """SELECT c_mktsegment, COUNT(*) AS n_events,
-      |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total_value
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(30,2))) AS VARCHAR) AS DOUBLE) AS total_value
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
@@ -778,23 +778,23 @@ object StarQueries {
         sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1.0)).as("stddev"),
         (((col("s3") - lit(3.0) * col("s1") * col("s2") / col("n")
           + lit(2.0) * col("s1") * col("s1") * col("s1") / (col("n") * col("n"))) / col("n"))
-          / pow((col("s2") - col("s1") * col("s1") / col("n")) / col("n"), 1.5)).as("skewness"))
+          / { val v = (col("s2") - col("s1") * col("s1") / col("n")) / col("n"); v * sqrt(v) }).as("skewness"))
       .orderBy(col("event_type"))
   }
 
   val q33Sql: String =
     """WITH m AS (
       |  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
-      |    CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS s1,
-      |    CAST(SUM(CAST(value * value AS DECIMAL(38,4))) AS DOUBLE) AS s2,
-      |    CAST(SUM(CAST(value * value * value AS DECIMAL(38,6))) AS DOUBLE) AS s3,
-      |    CAST(SUM(CAST(value * value * value * value AS DECIMAL(38,8))) AS DOUBLE) AS s4
+      |    CAST(CAST(SUM(CAST(value AS DECIMAL(38,2))) AS VARCHAR) AS DOUBLE) AS s1,
+      |    CAST(CAST(SUM(CAST(value * value AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS s2,
+      |    CAST(CAST(SUM(CAST(value * value * value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS s3,
+      |    CAST(CAST(SUM(CAST(value * value * value * value AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS s4
       |  FROM events GROUP BY event_type)
       |SELECT event_type, CAST(n AS BIGINT) AS n,
       |  s1 / n AS mean,
       |  SQRT((s2 - s1 * s1 / n) / (n - 1.0)) AS stddev,
       |  ((s3 - 3.0 * s1 * s2 / n + 2.0 * s1 * s1 * s1 / (n * n)) / n)
-      |    / POW((s2 - s1 * s1 / n) / n, 1.5) AS skewness
+      |    / (((s2 - s1 * s1 / n) / n) * SQRT((s2 - s1 * s1 / n) / n)) AS skewness
       |FROM m ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------- q34
@@ -867,7 +867,7 @@ object StarQueries {
       |  UNION ALL
       |  SELECT p_partkey, 'retailprice', p_retailprice FROM part)
       |SELECT measure, COUNT(*) AS n,
-      |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(30,2))) AS VARCHAR) AS DOUBLE) AS total
       |FROM long GROUP BY measure ORDER BY measure""".stripMargin
 
   // ---------------------------------------------------------------- q37
@@ -883,7 +883,7 @@ object StarQueries {
       """SELECT o_custkey, COUNT(*) AS n_above
         |FROM orders_corr_v o
         |WHERE o_totalprice > 1.5 * (
-        |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*) FROM orders_corr_v i WHERE i.o_custkey = o.o_custkey)
+        |  SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS STRING) AS DOUBLE) / COUNT(*) FROM orders_corr_v i WHERE i.o_custkey = o.o_custkey)
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
   }
 
@@ -891,11 +891,83 @@ object StarQueries {
     """SELECT o_custkey, COUNT(*) AS n_above
       |FROM orders o
       |WHERE o_totalprice > 1.5 * (
-      |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+      |  SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
       |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q38
+  /** Array aggregation: collect each nation's customer keys as a sorted
+    * array (sort_array makes the nondeterministic collect order canonical)
+    * plus distinct segment list. Arrays as first-class aggregate outputs —
+    * the pattern for building per-entity feature lists.
+    */
+  def q38ArrayAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .groupBy(col("c_nationkey"))
+      .agg(
+        sort_array(collect_list(col("c_custkey"))).as("custkeys"),
+        sort_array(collect_set(col("c_mktsegment"))).as("segments"),
+        count(lit(1)).as("n"))
+      .select(col("c_nationkey"),
+        size(col("custkeys")).as("n_keys"),
+        element_at(col("custkeys"), 1).as("min_key"),
+        element_at(col("custkeys"), -1).as("max_key"),
+        array_join(col("segments"), ",").as("segments_csv"),
+        col("n"))
+      .orderBy(col("c_nationkey"))
+
+  val q38Sql: String =
+    """SELECT c_nationkey,
+      |  CAST(len(ks) AS INT) AS n_keys,
+      |  ks[1] AS min_key,
+      |  ks[len(ks)] AS max_key,
+      |  array_to_string(segs, ',') AS segments_csv,
+      |  n
+      |FROM (
+      |  SELECT c_nationkey,
+      |    list_sort(list(c_custkey)) AS ks,
+      |    list_sort(list(DISTINCT c_mktsegment)) AS segs,
+      |    COUNT(*) AS n
+      |  FROM customer GROUP BY c_nationkey)
+      |ORDER BY c_nationkey""".stripMargin
+
+  // ---------------------------------------------------------------- q40
+  /** TPC-H Q3 shape (shipping priority): selective filters on two sides of
+    * a 3-way join, revenue aggregation, top-10. The canonical "filter
+    * early, join narrow, take the top" OLAP pattern; both fact filters
+    * push into their scans before the join.
+    */
+  def q40ShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = to_timestamp(lit("1998-06-01 00:00:00"))
+    val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val o = Tables.orders(s, dir).filter(col("o_orderdate") < cutoff)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
+    val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > cutoff)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 30, 6).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q40Sql: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
 
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_array_agg" -> (q38ArrayAgg _),
+    "q40_shipping_priority" -> (q40ShippingPriority _),
     "q36_unpivot" -> (q36Unpivot _),
     "q37_correlated_subquery" -> (q37CorrelatedSubquery _),
     "q32_salted_join" -> (q32SaltedJoin _),
@@ -935,6 +1007,8 @@ object StarQueries {
     "q27_tumbling_window" -> (q27TumblingWindow _))
 
   val oracle: Map[String, String] = Map(
+    "q38_array_agg" -> q38Sql,
+    "q40_shipping_priority" -> q40Sql,
     "q36_unpivot" -> q36Sql,
     "q37_correlated_subquery" -> q37Sql,
     "q32_salted_join" -> q32Sql,
