@@ -964,8 +964,40 @@ object StarQueries {
       |GROUP BY l_orderkey, o_orderdate, o_orderpriority
       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------- q41
+  /** Edit-distance fuzzy matching: near-identical part names within a
+    * brand (levenshtein <= 2), aggregated per brand. The string analogue
+    * of near-dup detection — scoped by brand exactly like dedup scopes by
+    * source so the pairwise step stays bounded per group.
+    */
+  def q41FuzzyNames(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"), col("p_name"))
+    val a = p.select(col("p_brand"), col("p_partkey").as("ka"), col("p_name").as("na"))
+    val b = p.select(col("p_brand").as("brand_b"), col("p_partkey").as("kb"), col("p_name").as("nb"))
+    // |len(a)-len(b)| <= 2 is a necessary condition for dist <= 2 — a cheap
+    // band predicate that prunes most pairs before the O(n*m) distance;
+    // the bounded levenshtein(_, _, 2) early-exits on the rest.
+    a.join(b, col("p_brand") === col("brand_b") && col("ka") < col("kb") &&
+        abs(length(col("na")) - length(col("nb"))) <= 2)
+      .withColumn("dist", expr("levenshtein(na, nb, 2)"))
+      .filter(col("dist") >= 0 && col("dist") <= 2)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_near_pairs"), sum(col("dist")).as("total_dist"))
+      .orderBy(col("p_brand"))
+  }
+
+  val q41Sql: String =
+    """SELECT a.p_brand, COUNT(*) AS n_near_pairs,
+      |  SUM(levenshtein(a.p_name, b.p_name)) AS total_dist
+      |FROM part a JOIN part b
+      |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      |  AND ABS(LENGTH(a.p_name) - LENGTH(b.p_name)) <= 2
+      |WHERE levenshtein(a.p_name, b.p_name) <= 2
+      |GROUP BY a.p_brand ORDER BY a.p_brand""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_fuzzy_names" -> (q41FuzzyNames _),
     "q38_array_agg" -> (q38ArrayAgg _),
     "q40_shipping_priority" -> (q40ShippingPriority _),
     "q36_unpivot" -> (q36Unpivot _),
@@ -1007,6 +1039,7 @@ object StarQueries {
     "q27_tumbling_window" -> (q27TumblingWindow _))
 
   val oracle: Map[String, String] = Map(
+    "q41_fuzzy_names" -> q41Sql,
     "q38_array_agg" -> q38Sql,
     "q40_shipping_priority" -> q40Sql,
     "q36_unpivot" -> q36Sql,

@@ -181,14 +181,54 @@ object TextQueries {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t05
+  /** BPE-style pre-tokenization count: the GPT-2-ish splitter pattern
+    * (contractions, space-prefixed letter runs, digit runs, punctuation
+    * runs, whitespace) — the token-budget estimator a data pipeline runs
+    * before the real tokenizer. Pattern kept lookahead-free so Java regex
+    * (Spark) and RE2 (DuckDB) agree.
+    */
+  private val BpePattern =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+
+  /** Contraction apostrophes need dialect-specific literal escaping. */
+  private def sqlQuoteDuck(p: String): String = p.replace("'", "''")
+
+  def t05BpeTokens(s: SparkSession, dir: String): DataFrame = {
+    val sparkPat = BpePattern.replace("\\", "\\\\").replace("'", "\\'")
+    Tables.documents(s, dir)
+      .withColumn("pieces", expr(s"regexp_extract_all(text, '$sparkPat', 0)"))
+      .withColumn("n_pieces", size(col("pieces")).cast(LongType))
+      .withColumn("n_ws", expr("size(filter(pieces, p -> trim(p) = ''))").cast(LongType))
+      .select(
+        col("doc_id"),
+        col("n_pieces"),
+        (col("n_pieces") - col("n_ws")).as("n_tokens_est"),
+        col("n_chars"),
+        (col("n_chars").cast(DoubleType) / (col("n_pieces") - col("n_ws"))).as("chars_per_bpe_token"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t05Sql: String =
+    s"""SELECT doc_id, n_pieces, n_pieces - n_ws AS n_tokens_est, n_chars,
+       |  CAST(n_chars AS DOUBLE) / (n_pieces - n_ws) AS chars_per_bpe_token
+       |FROM (
+       |  SELECT doc_id, n_chars,
+       |    CAST(len(regexp_extract_all(text, '${sqlQuoteDuck(BpePattern)}')) AS BIGINT) AS n_pieces,
+       |    CAST(len(list_filter(regexp_extract_all(text, '${sqlQuoteDuck(BpePattern)}'), p -> trim(p) = '')) AS BIGINT) AS n_ws
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t05_bpe_tokens" -> (t05BpeTokens _),
     "t01_doc_stats" -> (t01DocStats _),
     "t02_lang_id" -> (t02LangId _),
     "t03_quality_score" -> (t03QualityScore _),
     "t04_fingerprint" -> (t04Fingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "t05_bpe_tokens" -> t05Sql,
     "t01_doc_stats" -> t01Sql,
     "t02_lang_id" -> t02Sql,
     "t03_quality_score" -> t03Sql,
