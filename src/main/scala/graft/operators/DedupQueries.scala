@@ -49,15 +49,26 @@ object DedupQueries {
       |FROM documents GROUP BY 1 ORDER BY keeper_doc_id""".stripMargin
 
   // ---------------------------------------------------------------- d02
-  /** Word 3-gram shingle sets per document (distinct), as the exploded
-    * (doc_id, shingle) inverted index — shared building block for d03.
+  /** Distinct word 3-gram shingle set as a SQL expression over a `toks`
+    * array column — the single shared builder for d03/d04.
+    *
+    * Guarded for short documents: Spark's sequence(1, 0) is the DESCENDING
+    * array [1, 0] (not empty like DuckDB's generate_series), so an
+    * unguarded transform would call slice(toks, 0, 3) and crash on any
+    * document with fewer than 3 tokens.
     */
-  private def shingles(s: SparkSession, dir: String, n: Int = 3): DataFrame =
+  private[operators] val shingleArrExpr: String =
+    """if(size(toks) >= 3,
+      |   array_distinct(transform(sequence(1, size(toks) - 2), i -> array_join(slice(toks, i, 3), ' '))),
+      |   cast(array() as array<string>))""".stripMargin
+
+  /** doc_id, source, sh_arr (distinct 3-gram shingles; empty for <3-token
+    * docs), n_sh. */
+  private def shingleSets(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .withColumn("toks", split(canon(col("text")), " "))
-      .withColumn("sh", expr(
-        s"array_distinct(transform(sequence(1, greatest(size(toks) - ${n - 1}, 0)), i -> array_join(slice(toks, i, $n), ' ')))"))
-      .select(col("doc_id"), col("source"), explode(col("sh")).as("shingle"))
+      .withColumn("sh_arr", expr(shingleArrExpr))
+      .select(col("doc_id"), col("source"), col("sh_arr"), size(col("sh_arr")).as("n_sh"))
 
   // ---------------------------------------------------------------- d03
   /** Exact n-gram Jaccard near-dup pairs (J >= 0.5) with PPJoin-style
@@ -81,12 +92,7 @@ object DedupQueries {
     */
   def d03NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val t = 0.5
-    val sets = Tables.documents(s, dir)
-      .withColumn("toks", split(canon(col("text")), " "))
-      .withColumn("sh_arr", expr(
-        "array_distinct(transform(sequence(1, greatest(size(toks) - 2, 0)), i -> array_join(slice(toks, i, 3), ' ')))"))
-      .select(col("doc_id"), col("source"), col("sh_arr"), size(col("sh_arr")).as("n_sh"))
-      .cache()
+    val sets = shingleSets(s, dir).cache()
     sets.count() // eager: several branches below; lazy branches would race and recompute
     val exploded = sets.select(col("doc_id"), col("source"), col("n_sh"), explode(col("sh_arr")).as("shingle"))
     val freq = exploded.groupBy(col("shingle")).agg(count(lit(1)).as("gf"))
@@ -168,12 +174,7 @@ object DedupQueries {
     //    the optimizer inlines the regex+split lineage into the fan-out,
     //    re-evaluating it per element. Hence: materialize the per-doc
     //    shingle arrays first, then explode from the materialized frame.
-    val sets = Tables.documents(s, dir)
-      .withColumn("toks", split(canon(col("text")), " "))
-      .withColumn("sh_arr", expr(
-        "array_distinct(transform(sequence(1, greatest(size(toks) - 2, 0)), i -> array_join(slice(toks, i, 3), ' ')))"))
-      .select(col("doc_id"), col("sh_arr"))
-      .cache()
+    val sets = shingleSets(s, dir).select(col("doc_id"), col("sh_arr")).cache()
     sets.count()
     val exploded = sets
       .select(col("doc_id"), explode(col("sh_arr")).as("shingle"))

@@ -58,7 +58,9 @@ object Multimodal {
           case 1 => "audio"
           case _ => "video"
         }
-        val base = text.getBytes("UTF-8")
+        // empty documents still get a payload (modulo-by-zero guard)
+        val raw = text.getBytes("UTF-8")
+        val base = if (raw.isEmpty) Array[Byte](0) else raw
         val len = kind match {
           case "image" => 4096
           case "audio" => 8192

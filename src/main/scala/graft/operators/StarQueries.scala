@@ -598,13 +598,13 @@ object StarQueries {
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        (sum(col("k")) / count(col("k"))).as("avg_k"),
+        (sum(col("k")) / nullif(count(col("k")), lit(0L))).as("avg_k"),
         max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
 
   val q26Sql: String =
     """SELECT event_type, COUNT(*) AS n,
-      |  SUM(k) * 1.0 / COUNT(k) AS avg_k,
+      |  SUM(k) * 1.0 / NULLIF(COUNT(k), 0) AS avg_k,
       |  MAX(k) AS max_k
       |FROM (SELECT event_type, CAST(REGEXP_EXTRACT(props, '"k": ([0-9]+)', 1) AS INT) AS k FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
@@ -798,9 +798,11 @@ object StarQueries {
       |FROM m ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------- q34
-  /** Built-in session_window (gap-based sessions, 30 min) — the same
-    * semantics q18 derives manually with two windows; tests assert the two
-    * agree, and the oracle recomputes sessions the manual way.
+  /** Built-in session_window (gap-based sessions, 30 min). Boundary
+    * semantics verified empirically (EdgeCaseSpec): Spark MERGES an event
+    * arriving exactly gap after the previous one (session extension is
+    * start <= currentEnd, inclusive), so the manual split condition is
+    * strictly gap > 30 min — matching q18's convention and the oracle.
     */
   def q34SessionWindow(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)

@@ -41,14 +41,14 @@ object TextQueries {
         col("n_tokens"),
         col("n_ws_tokens"),
         col("n_distinct_tokens"),
-        round(col("n_distinct_tokens").cast(DoubleType) / col("n_tokens"), 4).as("ttr"),
-        round(length(col("text")).cast(DoubleType) / col("n_tokens"), 4).as("chars_per_token"))
+        round(col("n_distinct_tokens").cast(DoubleType) / nullif(col("n_tokens"), lit(0L)), 4).as("ttr"),
+        round(length(col("text")).cast(DoubleType) / nullif(col("n_tokens"), lit(0L)), 4).as("chars_per_token"))
       .orderBy(col("doc_id"))
 
   val t01Sql: String =
     s"""SELECT doc_id, n_tokens, n_ws_tokens, n_distinct_tokens,
-       |  ROUND(CAST(n_distinct_tokens AS DOUBLE) / n_tokens, 4) AS ttr,
-       |  ROUND(CAST(n_chars2 AS DOUBLE) / n_tokens, 4) AS chars_per_token
+       |  ROUND(CAST(n_distinct_tokens AS DOUBLE) / NULLIF(n_tokens, 0), 4) AS ttr,
+       |  ROUND(CAST(n_chars2 AS DOUBLE) / NULLIF(n_tokens, 0), 4) AS chars_per_token
        |FROM (
        |  SELECT doc_id,
        |    CAST(len(regexp_extract_all(text, '$TokenPattern')) AS BIGINT) AS n_tokens,
@@ -127,8 +127,8 @@ object TextQueries {
       .withColumn("n_tokens", expr(s"size(regexp_extract_all(text, '$TokenPattern', 0))").cast(DoubleType))
       .withColumn("n_stop", expr("size(regexp_extract_all(lower(text), '\\\\b(the|of|and|to|a|in|is)\\\\b', 0))").cast(DoubleType))
       .withColumn("len_score", least(lit(1.0), length(col("text")).cast(DoubleType) / lit(500.0)))
-      .withColumn("stop_ratio", col("n_stop") / col("n_tokens"))
-      .withColumn("cpt", length(col("text")).cast(DoubleType) / col("n_tokens"))
+      .withColumn("stop_ratio", col("n_stop") / nullif(col("n_tokens"), lit(0.0)))
+      .withColumn("cpt", length(col("text")).cast(DoubleType) / nullif(col("n_tokens"), lit(0.0)))
       // NOTE: no ROUND here — both engines compute this identical IEEE op
       // sequence on identical inputs, so raw doubles are bit-equal, while
       // ROUND at a half-way boundary (e.g. 0.78175) disagrees between
@@ -149,9 +149,9 @@ object TextQueries {
        |  SELECT doc_id,
        |    LEAST(1.0, CAST(LENGTH(text) AS DOUBLE) / 500.0) AS len_score,
        |    CAST(len(regexp_extract_all(lower(text), '\\b(the|of|and|to|a|in|is)\\b')) AS DOUBLE)
-       |      / CAST(len(regexp_extract_all(text, '$TokenPattern')) AS DOUBLE) AS stop_ratio,
+       |      / NULLIF(CAST(len(regexp_extract_all(text, '$TokenPattern')) AS DOUBLE), 0.0) AS stop_ratio,
        |    CAST(LENGTH(text) AS DOUBLE)
-       |      / CAST(len(regexp_extract_all(text, '$TokenPattern')) AS DOUBLE) AS cpt
+       |      / NULLIF(CAST(len(regexp_extract_all(text, '$TokenPattern')) AS DOUBLE), 0.0) AS cpt
        |  FROM documents)
        |ORDER BY doc_id""".stripMargin
 
@@ -205,13 +205,13 @@ object TextQueries {
         col("n_pieces"),
         (col("n_pieces") - col("n_ws")).as("n_tokens_est"),
         col("n_chars"),
-        (col("n_chars").cast(DoubleType) / (col("n_pieces") - col("n_ws"))).as("chars_per_bpe_token"))
+        (col("n_chars").cast(DoubleType) / nullif(col("n_pieces") - col("n_ws"), lit(0L))).as("chars_per_bpe_token"))
       .orderBy(col("doc_id"))
   }
 
   val t05Sql: String =
     s"""SELECT doc_id, n_pieces, n_pieces - n_ws AS n_tokens_est, n_chars,
-       |  CAST(n_chars AS DOUBLE) / (n_pieces - n_ws) AS chars_per_bpe_token
+       |  CAST(n_chars AS DOUBLE) / NULLIF(n_pieces - n_ws, 0) AS chars_per_bpe_token
        |FROM (
        |  SELECT doc_id, n_chars,
        |    CAST(len(regexp_extract_all(text, '${sqlQuoteDuck(BpePattern)}')) AS BIGINT) AS n_pieces,

@@ -11,8 +11,10 @@ class BucketedJoinSpec extends SparkTestBase {
 
   test("bucketed tables co-locate: sort-merge join with no Exchange") {
     // tiny test data would auto-broadcast (and AQE overrides join hints);
-    // disable so the join strategy is what a 100 TB fact-fact join gets
+    // disable so the join strategy is what a 100 TB fact-fact join gets.
+    // try/finally: the shared session must not leak this into later suites.
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
     val li = Tables.lineitem(spark, Sf0001)
     val o = Tables.orders(spark, Sf0001)
     li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
@@ -39,6 +41,8 @@ class BucketedJoinSpec extends SparkTestBase {
     assert(plan.contains("Bucketed: true"), "scan did not use bucketing")
     spark.sql("DROP TABLE IF EXISTS li_bucketed")
     spark.sql("DROP TABLE IF EXISTS o_bucketed")
-    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
   }
 }

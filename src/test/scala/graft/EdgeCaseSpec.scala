@@ -1,0 +1,94 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Regression tests for inputs the shipped corpus happens to avoid:
+  * documents with <3 tokens (Spark's sequence(1,0) is DESCENDING, so an
+  * unguarded shingle transform crashes), zero-token text (ANSI-mode
+  * division by zero), and empty text (modulo-by-zero in the media stub).
+  */
+class EdgeCaseSpec extends SparkTestBase {
+
+  /** A documents-shaped parquet dir with pathological rows. */
+  lazy val edgeDir: String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_edge").toString
+    Seq(
+      (0L, "hello", "en", "src0", 5L),                       // 1 token
+      (1L, "two tokens", "en", "src0", 10L),                 // 2 tokens
+      (2L, "", "en", "src1", 0L),                            // empty
+      (3L, "!!! ??? ...", "en", "src1", 11L),                // zero alnum tokens
+      (4L, "alpha beta gamma delta epsilon zeta", "en", "src2", 35L),
+      (5L, "alpha beta gamma delta epsilon zeta", "de", "src2", 35L)) // exact dup
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("shingle-based dedup survives <3-token and empty documents") {
+    val jac = DedupQueries.d03NgramJaccard(spark, edgeDir).collect()
+    // docs 4 and 5 are identical -> Jaccard 1.0 within their source
+    assert(jac.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      === Set((4L, 5L, 1.0)))
+    val mh = DedupQueries.d04MinhashLsh(spark, edgeDir).collect()
+    assert(mh.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((4L, 5L)))
+  }
+
+  test("exact dedup clusters duplicates; empty and punctuation-only canon collide") {
+    val clusters = DedupQueries.d01ExactDedup(spark, edgeDir).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // docs 4/5 share text -> keeper 4, 2 copies
+    assert(clusters(4L) === 2L)
+    // docs 2 ("" ) and 3 ("!!! ??? ...") both canonicalize to "" -> one cluster
+    assert(clusters(2L) === 2L)
+    assert(clusters.values.sum === 6L)
+  }
+
+  test("text stats emit null ratios (not crashes) for zero-token docs") {
+    val t01 = TextQueries.t01DocStats(spark, edgeDir).collect()
+    assert(t01.length === 6)
+    val zeroTok = t01.find(_.getLong(0) == 3L).get
+    assert(zeroTok.getLong(1) === 0L)      // n_tokens
+    assert(zeroTok.isNullAt(4), "ttr must be null, not a crash")
+    val t03 = TextQueries.t03QualityScore(spark, edgeDir).collect()
+    assert(t03.length === 6)
+    val t05 = TextQueries.t05BpeTokens(spark, edgeDir).collect()
+    assert(t05.length === 6)
+  }
+
+  test("simhash and fingerprint handle empty documents") {
+    val fp = TextQueries.t04Fingerprint(spark, edgeDir).collect()
+    assert(fp.length === 6)
+    val sh = DedupQueries.d05Simhash(spark, edgeDir).collect()
+    // identical docs 4/5 must collide at Hamming distance 0
+    assert(sh.exists(r => r.getLong(0) == 4L && r.getLong(1) == 5L && r.getInt(2) == 0))
+  }
+
+  test("media synthesis handles empty text (no modulo-by-zero)") {
+    val media = Multimodal.mediaTable(spark, edgeDir).collect()
+    assert(media.length === 6)
+    assert(media.forall(_.payload.nonEmpty))
+    val feats = Multimodal.extractFeatures(Multimodal.mediaTable(spark, edgeDir)).collect()
+    assert(feats.length === 6)
+  }
+
+  test("session_window boundary: exactly-gap event MERGES; gap+1us splits") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_edge_ev").toString
+    // user 1: exactly 30:00.000000 apart -> session extension is inclusive
+    // (start <= currentEnd) so they MERGE — matching q18/oracle's strict ">"
+    // split convention. user 2: one microsecond past the gap -> split.
+    Seq(
+      (0L, 1000000000000L, 1L, "click", 1.0, "{}"),
+      (1L, 1000000000000L + 1800L * 1000000L, 1L, "click", 1.0, "{}"),
+      (2L, 2000000000000L, 2L, "click", 1.0, "{}"),
+      (3L, 2000000000000L + 1800L * 1000000L + 1L, 2L, "click", 1.0, "{}"))
+      .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = StarQueries.q34SessionWindow(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 2L))
+  }
+}

@@ -84,6 +84,8 @@ class OperatorInvariantsSpec extends SparkTestBase {
   }
 
   test("built-in session_window agrees with the manual two-window sessionization (q34 vs q18)") {
+    // Boundary semantics (verified in EdgeCaseSpec): session_window MERGES
+    // at an exactly-gap interval, so q18's strict-> split is the same rule.
     val manual = StarQueries.q18Sessionize(spark, Sf001)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_sessions"), max(col("n_events")).as("max_session_events"))

@@ -16,12 +16,6 @@ import sys
 import duckdb
 
 
-def norm(v):
-    if isinstance(v, float):
-        return v
-    return v
-
-
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
