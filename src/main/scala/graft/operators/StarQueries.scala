@@ -997,8 +997,95 @@ object StarQueries {
       |WHERE levenshtein(a.p_name, b.p_name) <= 2
       |GROUP BY a.p_brand ORDER BY a.p_brand""".stripMargin
 
+  // ---------------------------------------------------------------- q42
+  /** SQL-standard FILTER clause on aggregates — one scan, many
+    * conditional aggregates (the idiomatic replacement for N self-joins).
+    */
+  def q42FilterClause(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_f_v")
+    s.sql(
+      """SELECT l_linestatus,
+        |  COUNT(*) AS n,
+        |  COUNT(*) FILTER (WHERE l_returnflag = 'R') AS n_returned,
+        |  COUNT(*) FILTER (WHERE l_quantity >= 25) AS n_bulk,
+        |  SUM(l_quantity) FILTER (WHERE l_discount > 0.05) AS qty_discounted
+        |FROM lineitem_f_v
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)
+  }
+
+  val q42Sql: String =
+    """SELECT l_linestatus,
+      |  COUNT(*) AS n,
+      |  COUNT(*) FILTER (WHERE l_returnflag = 'R') AS n_returned,
+      |  COUNT(*) FILTER (WHERE l_quantity >= 25) AS n_bulk,
+      |  SUM(l_quantity) FILTER (WHERE l_discount > 0.05) AS qty_discounted
+      |FROM lineitem
+      |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q43
+  /** IN / NOT IN subqueries through the SQL parser (the DF-level
+    * semi/anti joins are q10/q11): parts ordered by BUILDING customers.
+    */
+  def q43InSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_in_v")
+    Tables.orders(s, dir).createOrReplaceTempView("orders_in_v")
+    Tables.customer(s, dir).createOrReplaceTempView("customer_in_v")
+    s.sql(
+      """SELECT l_returnflag, COUNT(*) AS n
+        |FROM lineitem_in_v
+        |WHERE l_orderkey IN (
+        |  SELECT o_orderkey FROM orders_in_v WHERE o_custkey IN (
+        |    SELECT c_custkey FROM customer_in_v WHERE c_mktsegment = 'BUILDING'))
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
+  val q43Sql: String =
+    """SELECT l_returnflag, COUNT(*) AS n
+      |FROM lineitem
+      |WHERE l_orderkey IN (
+      |  SELECT o_orderkey FROM orders WHERE o_custkey IN (
+      |    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'))
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q44
+  /** The full rank-function family over a unique total order (unique keys
+    * make every rank deterministic): dense_rank, percent_rank, cume_dist,
+    * ntile.
+    */
+  def q44WindowRanks(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("drk", dense_rank().over(w))
+      .withColumn("pct", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .filter(col("rn") <= 5)
+      .select(col("o_orderpriority"), col("rn"), col("o_orderkey"),
+        col("drk"), round(col("pct"), 8).as("pct"), round(col("cd"), 8).as("cd"), col("quartile"))
+      .orderBy(col("o_orderpriority"), col("rn"))
+  }
+
+  val q44Sql: String =
+    """SELECT o_orderpriority, rn, o_orderkey, drk,
+      |  ROUND(pct, 8) AS pct, ROUND(cd, 8) AS cd, quartile
+      |FROM (
+      |  SELECT o_orderpriority, o_orderkey,
+      |    ROW_NUMBER() OVER w AS rn,
+      |    DENSE_RANK() OVER w AS drk,
+      |    PERCENT_RANK() OVER w AS pct,
+      |    CUME_DIST() OVER w AS cd,
+      |    NTILE(4) OVER w AS quartile
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey))
+      |WHERE rn <= 5 ORDER BY o_orderpriority, rn""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q42_filter_clause" -> (q42FilterClause _),
+    "q43_in_subquery" -> (q43InSubquery _),
+    "q44_window_ranks" -> (q44WindowRanks _),
     "q41_fuzzy_names" -> (q41FuzzyNames _),
     "q38_array_agg" -> (q38ArrayAgg _),
     "q40_shipping_priority" -> (q40ShippingPriority _),
@@ -1041,6 +1128,9 @@ object StarQueries {
     "q27_tumbling_window" -> (q27TumblingWindow _))
 
   val oracle: Map[String, String] = Map(
+    "q42_filter_clause" -> q42Sql,
+    "q43_in_subquery" -> q43Sql,
+    "q44_window_ranks" -> q44Sql,
     "q41_fuzzy_names" -> q41Sql,
     "q38_array_agg" -> q38Sql,
     "q40_shipping_priority" -> q40Sql,
