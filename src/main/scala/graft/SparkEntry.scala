@@ -18,6 +18,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.StarQueries.queries ++
+      operators.ExtendedQueries.queries ++
       operators.TextQueries.queries ++
       operators.DedupQueries.queries ++
       operators.SimilarityQueries.queries ++
@@ -29,6 +30,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.StarQueries.oracle ++
+      operators.ExtendedQueries.oracle ++
       operators.TextQueries.oracle ++
       operators.DedupQueries.oracle ++
       operators.SimilarityQueries.oracle ++

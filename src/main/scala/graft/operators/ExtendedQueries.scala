@@ -1,0 +1,338 @@
+package graft.operators
+
+import graft.Tables
+import graft.Tables.{dsum, davg}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Second relational catalog: operators beyond StarQueries' inventory that a
+  * complete engine (and a training-data pipeline at 100 TB) needs — lateral
+  * explode, outer joins, value-window functions, RANGE frames, HAVING,
+  * higher-order array functions, median/mode, stratified sampling, SQL null
+  * semantics, and schema-evolution unions.
+  *
+  * Same contract as StarQueries: deterministic total ORDER BY, exact decimal
+  * routing for double sums ([[graft.Tables.dsum]]), filters/projections
+  * written to push into the parquet scan. The reference exercises none of
+  * these directly (it is single-table EDA + MLlib — SURVEY.md §2.5/§2.9
+  * "none"), so each is built from the Spark operator that scales, with the
+  * portable-SQL oracle defining the semantics.
+  */
+object ExtendedQueries {
+
+  // ---------------------------------------------------------------- q45
+  /** Lateral explode (flatMap shape): documents -> words -> bigrams ->
+    * corpus-wide top-20. The Generate (explode) runs map-side before the
+    * single count shuffle; at 100 TB the partial aggregation absorbs the
+    * per-document fan-out, and top-k fuses to TakeOrderedAndProject.
+    */
+  def q45ExplodeBigrams(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(split(col("text"), " ").as("ws"))
+      .select(explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
+        .as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20)
+
+  val q45Sql: String =
+    """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+      |bg AS (SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bigram FROM w)
+      |SELECT bigram, COUNT(*) AS n FROM bg
+      |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q46
+  /** Full outer join of two pre-aggregated sides (per-nation customer vs
+    * supplier counts) with COALESCE key recovery. Aggregating BEFORE the
+    * outer join keeps both sides at key cardinality — the outer join is
+    * then trivially broadcastable at any fact scale.
+    */
+  def q46FullOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val cn = Tables.customer(s, dir).groupBy(col("c_nationkey").as("nk"))
+      .agg(count(lit(1)).as("n_cust"))
+    val sn = Tables.supplier(s, dir).groupBy(col("s_nationkey").as("snk"))
+      .agg(count(lit(1)).as("n_supp"))
+    cn.join(sn, cn("nk") === sn("snk"), "full_outer")
+      .select(
+        coalesce(col("nk"), col("snk")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy(col("nationkey"))
+  }
+
+  val q46Sql: String =
+    """WITH cn AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+      |     sn AS (SELECT s_nationkey AS snk, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+      |SELECT COALESCE(nk, snk) AS nationkey,
+      |  COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+      |FROM cn FULL OUTER JOIN sn ON nk = snk ORDER BY nationkey""".stripMargin
+
+  // ---------------------------------------------------------------- q47
+  /** Value window functions: first/last/nth event value per user timeline.
+    * last/nth need the full-partition frame (UNBOUNDED..UNBOUNDED) — the
+    * default RANGE..CURRENT frame would make them row-dependent. One
+    * shuffle on user_id; emitted once per user via row_number()=1 rather
+    * than DISTINCT over window outputs (cheaper: no second aggregate).
+    */
+  def q47FirstLastNth(s: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val full = order.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(order))
+      .withColumn("first_value", first(col("value")).over(full))
+      .withColumn("last_value", last(col("value")).over(full))
+      .withColumn("second_value", nth_value(col("value"), 2).over(full))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("first_value"), col("last_value"), col("second_value"))
+      .orderBy(col("user_id"))
+  }
+
+  val q47Sql: String =
+    """SELECT user_id, first_value, last_value, second_value FROM (
+      |  SELECT user_id,
+      |    ROW_NUMBER() OVER w AS rn,
+      |    FIRST_VALUE(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_value,
+      |    LAST_VALUE(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_value,
+      |    NTH_VALUE(value, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_value
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q48
+  /** RANGE frame over event time: per-event trailing-1-hour sum per user.
+    * The frame is value-based (all peers included), so membership is
+    * order-independent; the sum itself goes through decimal so the result
+    * is too. Ordering on integral microseconds keeps the frame boundary
+    * arithmetic exact and portable.
+    */
+  def q48RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-3600000000L, 0L)
+    Tables.events(s, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("hour_sum",
+        sum(col("value").cast(DecimalType(30, 2))).over(w).cast(DoubleType))
+      .select(col("user_id"), col("event_id"), col("hour_sum"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val q48Sql: String =
+    """SELECT user_id, event_id,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(30,2))) OVER (
+      |    PARTITION BY user_id ORDER BY epoch_us(ts)
+      |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS hour_sum
+      |FROM events ORDER BY user_id, event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q49
+  /** TPC-H Q18 shape (large-volume orders): aggregate-then-filter (SQL
+    * HAVING) on the fact, join the survivors back to their headers. The
+    * HAVING output is tiny, so the back-join broadcasts it — the fact
+    * never shuffles twice. l_quantity is integral-valued double, exact.
+    */
+  def q49LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 300.0)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    o.join(broadcast(big), o("o_orderkey") === big("l_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  val q49Sql: String =
+    """SELECT c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+      |FROM (SELECT l_orderkey, SUM(l_quantity) AS total_qty
+      |      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300.0) big
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q50
+  /** Higher-order array functions (filter / aggregate / exists) over
+    * per-order quantity arrays — the array-column toolkit for feature
+    * lists. The HOFs run inside whole-stage codegen over the collected
+    * arrays; the final rollup keys on the small n_big domain.
+    */
+  def q50HigherOrderArrays(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(collect_list(col("l_quantity")).as("arr"))
+      .select(
+        size(expr("filter(arr, x -> x > 25.0)")).as("n_big"),
+        expr("aggregate(arr, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)").as("order_qty"),
+        expr("exists(arr, x -> x >= 49.0)").as("has_max"))
+      .groupBy(col("n_big"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("order_qty")).as("total_qty"),
+        sum(when(col("has_max"), 1L).otherwise(0L)).as("n_with_max"))
+      .orderBy(col("n_big"))
+
+  val q50Sql: String =
+    """WITH per_order AS (
+      |  SELECT l_orderkey,
+      |    COUNT(CASE WHEN l_quantity > 25.0 THEN 1 END) AS n_big,
+      |    SUM(l_quantity) AS order_qty,
+      |    MAX(CASE WHEN l_quantity >= 49.0 THEN 1 ELSE 0 END) AS has_max
+      |  FROM lineitem GROUP BY l_orderkey)
+      |SELECT n_big, COUNT(*) AS n_orders, SUM(order_qty) AS total_qty,
+      |  SUM(has_max) AS n_with_max
+      |FROM per_order GROUP BY n_big ORDER BY n_big""".stripMargin
+
+  // ---------------------------------------------------------------- q51
+  /** Median + deterministic mode per group. Built-in mode() breaks ties
+    * arbitrarily, so the mode is computed as frequency-table + rank with a
+    * total tie-break (highest count, then smallest value) — deterministic
+    * in any engine. Both sides share the one grouped scan shape.
+    */
+  def q51MedianMode(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val freq = li.groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("c").desc, col("l_quantity"))
+    val mode = freq.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag").as("rf"), col("l_quantity").as("mode_qty"))
+    li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        count(lit(1)).as("n"))
+      .join(broadcast(mode), col("l_returnflag") === col("rf"))
+      .select(col("l_returnflag"), col("median_qty"), col("mode_qty"), col("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q51Sql: String =
+    """WITH freq AS (
+      |  SELECT l_returnflag, l_quantity, COUNT(*) AS c
+      |  FROM lineitem GROUP BY 1, 2),
+      |md AS (
+      |  SELECT l_returnflag AS rf, l_quantity AS mode_qty,
+      |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY c DESC, l_quantity) AS rn
+      |  FROM freq)
+      |SELECT l_returnflag, QUANTILE_CONT(l_quantity, 0.5) AS median_qty,
+      |  ANY_VALUE(mode_qty) AS mode_qty, COUNT(*) AS n
+      |FROM lineitem JOIN md ON l_returnflag = rf AND rn = 1
+      |GROUP BY l_returnflag, mode_qty ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q52
+  /** Stratified sampling with per-stratum rates (the deterministic
+    * sampleBy): keep key mod 100 < rate(stratum). Unlike rand()-based
+    * sampleBy this is reproducible across runs, engines, and partitionings,
+    * and the predicate is a pure pushdown-able filter — no shuffle, no RNG
+    * state to coordinate across 1000 executors.
+    */
+  def q52StratifiedSample(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .withColumn("rate",
+        when(col("o_orderstatus") === "F", 10L)
+          .when(col("o_orderstatus") === "O", 5L)
+          .otherwise(50L))
+      .filter(pmod(col("o_orderkey"), lit(100L)) < col("rate"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_sampled"), dsum(col("o_totalprice"), 30, 2).as("total"))
+      .orderBy(col("o_orderstatus"))
+
+  val q52Sql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n_sampled,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS VARCHAR) AS DOUBLE) AS total
+      |FROM orders
+      |WHERE o_orderkey % 100 < (CASE o_orderstatus WHEN 'F' THEN 10 WHEN 'O' THEN 5 ELSE 50 END)
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // ---------------------------------------------------------------- q53
+  /** SQL null semantics end-to-end: NULLIF to introduce nulls, null-safe
+    * equality (Spark <=>, portable IS NOT DISTINCT FROM), null-skipping
+    * vs null-counting aggregates, and COALESCE recovery — the semantics
+    * every engine must pin down before nulls flow through 100 TB of
+    * joins.
+    */
+  def q53NullSemantics(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .withColumn("d", nullif(col("l_discount"), lit(0.0)))
+      .withColumn("t", nullif(col("l_tax"), lit(0.0)))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("d")).as("n_discounted"),
+        sum(when(col("d").isNull, 1L).otherwise(0L)).as("n_zero_discount"),
+        sum(when(col("d") <=> col("t"), 1L).otherwise(0L)).as("n_same_rate"),
+        davg(coalesce(col("d"), lit(0.0)), 30, 2).as("avg_discount"))
+      .orderBy(col("l_linestatus"))
+
+  val q53Sql: String =
+    """SELECT l_linestatus,
+      |  COUNT(*) AS n,
+      |  COUNT(NULLIF(l_discount, 0.0)) AS n_discounted,
+      |  SUM(CASE WHEN NULLIF(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END) AS n_zero_discount,
+      |  SUM(CASE WHEN NULLIF(l_discount, 0.0) IS NOT DISTINCT FROM NULLIF(l_tax, 0.0) THEN 1 ELSE 0 END) AS n_same_rate,
+      |  CAST(CAST(SUM(CAST(COALESCE(NULLIF(l_discount, 0.0), 0.0) AS DECIMAL(30,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_discount
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q54
+  /** Schema-evolution union: unionByName(allowMissingColumns) combines two
+    * differently-shaped projections, padding the missing columns with
+    * nulls — how heterogeneous batches land in one table without
+    * rewriting old data. Position-based unionAll would silently misalign.
+    */
+  def q54UnionByName(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val highValue = o.filter(col("o_totalprice") > 300000.0)
+      .select(col("o_orderkey"), col("o_totalprice"), lit("high_value").as("tag"))
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderpriority"), lit("urgent").as("tag"))
+    highValue.unionByName(urgent, allowMissingColumns = true)
+      .groupBy(col("tag"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("o_totalprice")).as("n_with_price"),
+        count(col("o_orderpriority")).as("n_with_priority"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("tag"))
+  }
+
+  val q54Sql: String =
+    """WITH u AS (
+      |  SELECT o_orderkey, o_totalprice, 'high_value' AS tag, NULL AS o_orderpriority
+      |  FROM orders WHERE o_totalprice > 300000.0
+      |  UNION ALL BY NAME
+      |  SELECT o_orderkey, o_orderpriority, 'urgent' AS tag, NULL AS o_totalprice
+      |  FROM orders WHERE o_orderpriority = '1-URGENT')
+      |SELECT tag, COUNT(*) AS n, COUNT(o_totalprice) AS n_with_price,
+      |  COUNT(o_orderpriority) AS n_with_priority,
+      |  COUNT(DISTINCT o_orderkey) AS n_orders
+      |FROM u GROUP BY tag ORDER BY tag""".stripMargin
+
+  // ------------------------------------------------------------------
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q45_explode_bigrams" -> (q45ExplodeBigrams _),
+    "q46_full_outer_join" -> (q46FullOuterJoin _),
+    "q47_first_last_nth" -> (q47FirstLastNth _),
+    "q48_range_frame" -> (q48RangeFrame _),
+    "q49_large_orders" -> (q49LargeOrders _),
+    "q50_higher_order_arrays" -> (q50HigherOrderArrays _),
+    "q51_median_mode" -> (q51MedianMode _),
+    "q52_stratified_sample" -> (q52StratifiedSample _),
+    "q53_null_semantics" -> (q53NullSemantics _),
+    "q54_union_by_name" -> (q54UnionByName _))
+
+  val oracle: Map[String, String] = Map(
+    "q45_explode_bigrams" -> q45Sql,
+    "q46_full_outer_join" -> q46Sql,
+    "q47_first_last_nth" -> q47Sql,
+    "q48_range_frame" -> q48Sql,
+    "q49_large_orders" -> q49Sql,
+    "q50_higher_order_arrays" -> q50Sql,
+    "q51_median_mode" -> q51Sql,
+    "q52_stratified_sample" -> q52Sql,
+    "q53_null_semantics" -> q53Sql,
+    "q54_union_by_name" -> q54Sql)
+}

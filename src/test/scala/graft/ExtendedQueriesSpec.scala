@@ -1,0 +1,116 @@
+package graft
+
+import graft.operators.ExtendedQueries
+import org.apache.spark.sql.functions._
+
+/** Invariant checks for the ExtendedQueries catalog (q45-q54). The DuckDB
+  * oracle is the primary correctness gate (all ten are oracle-checked at
+  * sf0.01); these specs pin the semantic properties the oracle's hash can't
+  * explain on its own — frame membership, null padding, tie-breaks.
+  */
+class ExtendedQueriesSpec extends SparkTestBase {
+
+  test("q46 full outer covers the union of both sides' keys, padding with zero") {
+    val out = ExtendedQueries.q46FullOuterJoin(spark, Sf0001).collect()
+    val custNations = Tables.customer(spark, Sf0001)
+      .select("c_nationkey").distinct().collect().map(_.getInt(0)).toSet
+    val suppNations = Tables.supplier(spark, Sf0001)
+      .select("s_nationkey").distinct().collect().map(_.getInt(0)).toSet
+    assert(out.map(_.getInt(0)).toSet == (custNations ++ suppNations))
+    // padded rows: a nation with no suppliers reports n_supp = 0, not null
+    assert(out.forall(r => !r.isNullAt(1) && !r.isNullAt(2)))
+  }
+
+  test("q47 first <= last timeline order and nth(2) is null only for 1-event users") {
+    val out = ExtendedQueries.q47FirstLastNth(spark, Sf0001)
+    val counts = Tables.events(spark, Sf0001).groupBy("user_id").count()
+    val joined = out.join(counts, "user_id").collect()
+    joined.foreach { r =>
+      val n = r.getAs[Long]("count")
+      val secondNull = r.isNullAt(r.fieldIndex("second_value"))
+      assert(secondNull == (n < 2), s"user ${r.get(0)}: n=$n secondNull=$secondNull")
+    }
+  }
+
+  test("q48 trailing-hour sum always includes the current row's value") {
+    val ev = Tables.events(spark, Sf0001)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val out = ExtendedQueries.q48RangeFrame(spark, Sf0001)
+    val joined = out.join(ev, Seq("user_id", "event_id")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val hs = r.getAs[Double]("hour_sum")
+      val v = r.getAs[Double]("value")
+      assert(hs >= v - 1e-9, s"event ${r.get(1)}: hour_sum $hs < value $v")
+    }
+  }
+
+  test("q50 HOF formulation equals the plain conditional-aggregate formulation") {
+    val hof = ExtendedQueries.q50HigherOrderArrays(spark, Sf0001)
+    val plain = Tables.lineitem(spark, Sf0001)
+      .groupBy(col("l_orderkey"))
+      .agg(
+        sum(when(col("l_quantity") > 25.0, 1L).otherwise(0L)).cast("int").as("n_big"),
+        sum(col("l_quantity")).as("order_qty"),
+        max(when(col("l_quantity") >= 49.0, 1L).otherwise(0L)).as("has_max"))
+      .groupBy(col("n_big"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("order_qty")).as("total_qty"),
+        sum(col("has_max")).as("n_with_max"))
+      .orderBy(col("n_big"))
+    assert(hof.collect().toSeq == plain.collect().toSeq)
+  }
+
+  test("q51 mode is the argmax of the frequency table with (count desc, value asc) ties") {
+    val out = ExtendedQueries.q51MedianMode(spark, Sf0001).collect()
+    val freq = Tables.lineitem(spark, Sf0001)
+      .groupBy("l_returnflag", "l_quantity").count().collect()
+      .groupBy(_.getString(0))
+    out.foreach { r =>
+      val rf = r.getString(0)
+      val best = freq(rf).map(x => (x.getLong(2), x.getDouble(1)))
+        .minBy { case (c, v) => (-c, v) }._2
+      assert(r.getDouble(2) == best, s"$rf: mode ${r.getDouble(2)} != $best")
+    }
+  }
+
+  test("q52 stratified rates bound each stratum's sample near rate% of its stratum") {
+    val full = Tables.orders(spark, Sf0001)
+      .groupBy("o_orderstatus").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates = Map("F" -> 0.10, "O" -> 0.05, "P" -> 0.50)
+    ExtendedQueries.q52StratifiedSample(spark, Sf0001).collect().foreach { r =>
+      val st = r.getString(0)
+      val frac = r.getLong(1).toDouble / full(st)
+      // orderkeys are dense-ish, so modulus sampling tracks the rate closely
+      assert(math.abs(frac - rates(st)) < 0.05, s"$st: got $frac want ~${rates(st)}")
+    }
+  }
+
+  test("q54 missing columns are null-padded per tag") {
+    val rows = ExtendedQueries.q54UnionByName(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val hv = rows("high_value")
+    assert(hv.getAs[Long]("n_with_price") == hv.getAs[Long]("n") &&
+      hv.getAs[Long]("n_with_priority") == 0L)
+    val ur = rows("urgent")
+    assert(ur.getAs[Long]("n_with_priority") == ur.getAs[Long]("n") &&
+      ur.getAs[Long]("n_with_price") == 0L)
+  }
+
+  test("q45 bigram counts: total bigrams = total words - total docs (with non-empty text)") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, Sf0001)
+    val nBigramsTotal = docs
+      .select(size(split(col("text"), " ")).as("nw"))
+      .agg(sum(when(col("nw") >= 2, col("nw") - 1).otherwise(0L))).as[Long].head()
+    val allBigrams = docs
+      .select(split(col("text"), " ").as("ws"))
+      .select(explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
+        .as("bigram"))
+      .count()
+    assert(allBigrams == nBigramsTotal)
+  }
+}
