@@ -25,7 +25,7 @@ object PipelineQueries {
       .withColumn("len_score", least(lit(1.0), length(col("text")).cast(DoubleType) / lit(500.0)))
       .filter(col("n_tokens") >= 10 && col("len_score") >= 0.2)
       .withColumn("canon",
-        trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")))
+        trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
       .withColumn("fp", md5(col("canon")))
     val keepers = scored
       .groupBy(col("fp"))
