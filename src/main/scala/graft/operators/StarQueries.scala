@@ -968,19 +968,56 @@ object StarQueries {
 
   // ---------------------------------------------------------------- q41
   /** Edit-distance fuzzy matching: near-identical part names within a
-    * brand (levenshtein <= 2), aggregated per brand. The string analogue
-    * of near-dup detection — scoped by brand exactly like dedup scopes by
-    * source so the pairwise step stays bounded per group.
+    * brand (levenshtein <= 2), aggregated per brand — the string analogue
+    * of near-dup detection.
+    *
+    * Pass-Join-style segment filter instead of the per-brand all-pairs
+    * join (which is O(n^2) per brand and unusable at 100 TB): partition
+    * each name into k+1 = 3 contiguous segments; if edit(A,B) <= 2 then B
+    * contains some segment of A verbatim, starting within +-2 of its
+    * position in A (pigeonhole: 2 edits cannot touch 3 disjoint segments,
+    * and each edit shifts later positions by at most 1). So the candidate
+    * join is an EQUI-join on (brand, |A|, segment#, substring): the A side
+    * emits 3 segments per name, the B side emits the substrings at the 5
+    * candidate lengths x 3 segments x 5 position offsets (a broadcast
+    * cross join with a 75-row literal grid — codegen'd, no lambdas).
+    * Candidates dedupe on integer pair keys, re-fetch names via broadcast,
+    * and verify with the bounded levenshtein. Identical output to the
+    * all-pairs formulation (the oracle still computes that), measured
+    * ~3x faster at sf0.1 and asymptotically linear in candidates.
     */
   def q41FuzzyNames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val p = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"), col("p_name"))
-    val a = p.select(col("p_brand"), col("p_partkey").as("ka"), col("p_name").as("na"))
-    val b = p.select(col("p_brand").as("brand_b"), col("p_partkey").as("kb"), col("p_name").as("nb"))
-    // |len(a)-len(b)| <= 2 is a necessary condition for dist <= 2 — a cheap
-    // band predicate that prunes most pairs before the O(n*m) distance;
-    // the bounded levenshtein(_, _, 2) early-exits on the rest.
-    a.join(b, col("p_brand") === col("brand_b") && col("ka") < col("kb") &&
-        abs(length(col("na")) - length(col("nb"))) <= 2)
+    val segnos = Seq(0, 1, 2).toDF("segno")
+    val grid = (for { dl <- -2 to 2; sg <- 0 to 2; off <- -2 to 2 } yield (dl, sg, off))
+      .toDF("dl", "sgp", "off")
+    val segA = p.select(col("p_brand"), col("p_partkey").as("ka"), col("p_name").as("na"))
+      .withColumn("la", length(col("na"))).filter(col("la") >= 3)
+      .crossJoin(broadcast(segnos))
+      .withColumn("slen", expr("if(segno = 2, la - 2 * (la div 3), la div 3)"))
+      .withColumn("spos", expr("1 + segno * (la div 3)"))
+      .select(col("p_brand"), col("ka"), col("la"), col("segno"),
+        expr("substring(na, spos, slen)").as("s"))
+    val probeB = p.select(col("p_brand").as("brand_b"), col("p_partkey").as("kb"), col("p_name").as("nb"))
+      .withColumn("lb", length(col("nb")))
+      .crossJoin(broadcast(grid))
+      .withColumn("la_p", col("lb") + col("dl")).filter(col("la_p") >= 3)
+      .withColumn("slen", expr("if(sgp = 2, la_p - 2 * (la_p div 3), la_p div 3)"))
+      .withColumn("st", expr("1 + sgp * (la_p div 3) + off"))
+      .filter(col("st") >= 1 && col("st") + col("slen") - 1 <= col("lb"))
+      .select(col("brand_b"), col("kb"), col("la_p"), col("sgp"),
+        expr("substring(nb, st, slen)").as("sub"))
+    val candidates = segA.join(probeB,
+        col("p_brand") === col("brand_b") && col("la") === col("la_p") &&
+          col("segno") === col("sgp") && col("s") === col("sub") &&
+          col("ka") < col("kb"))
+      .select(col("p_brand"), col("ka"), col("kb"))
+      .distinct()
+    val names = p.select(col("p_partkey"), col("p_name"))
+    candidates
+      .join(broadcast(names.select(col("p_partkey").as("ka"), col("p_name").as("na"))), "ka")
+      .join(broadcast(names.select(col("p_partkey").as("kb"), col("p_name").as("nb"))), "kb")
       .withColumn("dist", expr("levenshtein(na, nb, 2)"))
       .filter(col("dist") >= 0 && col("dist") <= 2)
       .groupBy(col("p_brand"))

@@ -99,6 +99,20 @@ class ExtendedQueriesSpec extends SparkTestBase {
       ur.getAs[Long]("n_with_price") == 0L)
   }
 
+  test("q41 segment-filtered fuzzy join equals the brute-force all-pairs formulation") {
+    val fast = operators.StarQueries.q41FuzzyNames(spark, Sf0001).collect().toSeq
+    val p = Tables.part(spark, Sf0001).select(col("p_partkey"), col("p_brand"), col("p_name"))
+    val a = p.select(col("p_brand"), col("p_partkey").as("ka"), col("p_name").as("na"))
+    val b = p.select(col("p_brand").as("brand_b"), col("p_partkey").as("kb"), col("p_name").as("nb"))
+    val brute = a.join(b, col("p_brand") === col("brand_b") && col("ka") < col("kb"))
+      .withColumn("dist", expr("levenshtein(na, nb, 2)"))
+      .filter(col("dist") >= 0 && col("dist") <= 2)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_near_pairs"), sum(col("dist")).as("total_dist"))
+      .orderBy(col("p_brand")).collect().toSeq
+    assert(fast == brute)
+  }
+
   test("q45 bigram counts: total bigrams = total words - total docs (with non-empty text)") {
     import spark.implicits._
     val docs = Tables.documents(spark, Sf0001)
