@@ -101,6 +101,57 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Streaming exact dedup — the unbounded twin of the batch d01 operator:
+    * keep the first event per (user_id, minute) key. State is bounded by
+    * the watermark: dropDuplicatesWithinWatermark evicts keys once the
+    * event-time watermark passes them, so state is O(keys per watermark
+    * horizon), not O(stream length) — the only dedup that survives an
+    * unbounded stream. Only the key columns are emitted (which duplicate
+    * wins is arbitrary), keeping the result deterministic.
+    */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withColumn("minute", date_trunc("minute", col("ts")))
+      .withWatermark("minute", "2 hours")
+      .dropDuplicatesWithinWatermark("user_id", "minute")
+      .select(col("user_id"), col("minute"))
+
+  def runDedup(spark: SparkSession, dir: String, queryName: String = "graft_stream_dedup"): DataFrame = {
+    val q = dedupedEvents(readEvents(spark, dir))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  /** Streaming session windows (30-minute gap) — the unbounded twin of the
+    * batch q34: per-user sessions close when the watermark passes the gap,
+    * so completed sessions emit incrementally (append mode) and state
+    * holds only open sessions.
+    */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"), col("n_events"))
+
+  def runSessionAgg(spark: SparkSession, dir: String, queryName: String = "graft_stream_sessions"): DataFrame = {
+    val q = sessionAgg(readEvents(spark, dir))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Custom stateful operator: running per-user event counter + last-seen
     * timestamp via mapGroupsWithState — the KeyValueGroupedDataset state
     * API the prompt's streaming tier calls for. State per user is O(1).

@@ -40,6 +40,50 @@ class StreamingSpec extends SparkTestBase {
     assert(batch.nonEmpty, "fixture should produce at least one purchase-after-click pair")
   }
 
+  test("streaming dropDuplicatesWithinWatermark equals batch distinct on the key") {
+    val streamed = EventStream.runDedup(spark, Sf0001, "dedup_spec")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+    val batch = Tables.events(spark, Sf0001)
+      .select(col("user_id"), date_trunc("minute", col("ts")).as("minute"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+    assert(streamed === batch)
+    // the fixture must actually contain duplicates for this to test anything
+    assert(batch.size < Tables.events(spark, Sf0001).count())
+  }
+
+  test("streaming session windows equal the batch session_window agg (q34 tie-in)") {
+    // Append mode emits a session only once the watermark passes its end;
+    // on a bounded run the final watermark is maxTs - 2h, so sessions
+    // ending inside that horizon legitimately stay open. The spec asserts
+    // (a) every emitted session matches batch exactly and (b) every
+    // non-emitted batch session ends inside the open horizon.
+    val streamed = EventStream.runSessionAgg(spark, Sf0001, "sess_spec")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1)) -> r.getLong(2)).toMap
+    val batchRows = Tables.events(spark, Sf0001)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start"),
+        col("session_window.end"), col("n_events"))
+      .collect()
+    val batch = batchRows.map(r => (r.getLong(0), r.getTimestamp(1)) -> r.getLong(3)).toMap
+    val maxTsMicros = Tables.events(spark, Sf0001)
+      .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    val watermarkMicros = maxTsMicros - 2L * 3600 * 1000000
+    streamed.foreach { case (k, n) =>
+      assert(batch.get(k).contains(n), s"streamed session $k -> $n not in batch")
+    }
+    batchRows.foreach { r =>
+      val k = (r.getLong(0), r.getTimestamp(1))
+      if (!streamed.contains(k)) {
+        val endMicros = r.getTimestamp(2).getTime * 1000
+        assert(endMicros >= watermarkMicros,
+          s"closed session $k (end before watermark) was never emitted")
+      }
+    }
+    assert(streamed.nonEmpty && streamed.size < batch.size)
+  }
+
   test("mapGroupsWithState per-user counters match batch groupBy") {
     val streamed = EventStream.userCounts(spark, Sf0001, "user_spec")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
