@@ -93,18 +93,26 @@ object GraftFunctions {
     "graft_cosine(a, b) - cosine similarity between two numeric arrays.", "")
 
   /** Register graft SQL functions on an existing session (idempotent). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_topk", exprs => GraftTopK(exprs(0), exprs(1), exprs(2)), "built-in")
+  }
 }
 
 /** Session-extension registration (spark.sql.extensions=graft.functions.GraftExtensions)
   * — the deployment path for clusters, equivalent to [[GraftFunctions.register]].
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectFunction((
       FunctionIdentifier("graft_cosine"),
       GraftFunctions.cosineInfo,
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_topk"),
+      TopKAggregate.info,
+      (exprs: Seq[Expression]) => GraftTopK(exprs(0), exprs(1), exprs(2))))
+  }
 }

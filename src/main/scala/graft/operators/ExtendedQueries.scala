@@ -311,8 +311,38 @@ object ExtendedQueries {
       |  COUNT(DISTINCT o_orderkey) AS n_orders
       |FROM u GROUP BY tag ORDER BY tag""".stripMargin
 
+  // ---------------------------------------------------------------- q55
+  /** Per-customer top-3 orders via the custom [[graft.functions.GraftTopK]]
+    * aggregate — same result as the window formulation (q15) with a
+    * fundamentally better plan: the window must shuffle + sort EVERY order
+    * row on o_custkey before dropping any; graft_topk is algebraic, so map
+    * tasks keep a 3-slot buffer per customer and the shuffle carries at
+    * most 3 pairs per (task, customer). Planned as ObjectHashAggregate
+    * with partial aggregation. The oracle is the standard window SQL —
+    * proving the custom operator's semantics against a stock engine.
+    */
+  def q55TopKNative(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Tables.orders(s, dir).createOrReplaceTempView("orders_topk_v")
+    s.sql(
+      """SELECT o_custkey, CAST(pos + 1 AS INT) AS rn,
+        |  e.payload AS o_orderkey, e.ord AS o_totalprice
+        |FROM (SELECT o_custkey, graft_topk(o_totalprice, o_orderkey, 3) AS tk
+        |      FROM orders_topk_v GROUP BY o_custkey)
+        |LATERAL VIEW posexplode(tk) AS pos, e
+        |ORDER BY o_custkey, rn""".stripMargin)
+  }
+
+  val q55Sql: String =
+    """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q55_topk_native" -> (q55TopKNative _),
     "q45_explode_bigrams" -> (q45ExplodeBigrams _),
     "q46_full_outer_join" -> (q46FullOuterJoin _),
     "q47_first_last_nth" -> (q47FirstLastNth _),
@@ -325,6 +355,7 @@ object ExtendedQueries {
     "q54_union_by_name" -> (q54UnionByName _))
 
   val oracle: Map[String, String] = Map(
+    "q55_topk_native" -> q55Sql,
     "q45_explode_bigrams" -> q45Sql,
     "q46_full_outer_join" -> q46Sql,
     "q47_first_last_nth" -> q47Sql,
