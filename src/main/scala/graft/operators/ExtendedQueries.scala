@@ -340,8 +340,122 @@ object ExtendedQueries {
       |  FROM orders)
       |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
 
+  // ---------------------------------------------------------------- q56
+  /** MapType end-to-end: per-year status->count maps built with
+    * map_from_entries over sorted collected structs, consumed with
+    * element_at / map_keys / aggregate-over-map_values. Maps as
+    * first-class columns are how per-entity feature dictionaries ship in
+    * a training pipeline; the oracle proves the round-trip against plain
+    * conditional aggregation.
+    */
+  def q56MapFunctions(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(year(col("o_orderdate")).as("yr"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("yr"))
+      .agg(map_from_entries(sort_array(collect_list(struct(col("o_orderstatus"), col("n")))))
+        .as("m"))
+      .select(
+        col("yr"),
+        size(col("m")).as("n_statuses"),
+        coalesce(element_at(col("m"), "F"), lit(0L)).as("f_cnt"),
+        coalesce(element_at(col("m"), "O"), lit(0L)).as("o_cnt"),
+        coalesce(element_at(col("m"), "P"), lit(0L)).as("p_cnt"),
+        expr("aggregate(map_values(m), 0L, (acc, x) -> acc + x)").as("total"))
+      .orderBy(col("yr"))
+
+  val q56Sql: String =
+    """SELECT YEAR(o_orderdate) AS yr,
+      |  CAST(COUNT(DISTINCT o_orderstatus) AS INT) AS n_statuses,
+      |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS f_cnt,
+      |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS o_cnt,
+      |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS p_cnt,
+      |  COUNT(*) AS total
+      |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin
+
+  // ---------------------------------------------------------------- q57
+  /** Generated calendar dimension (sequence + explode) left-joined to
+    * per-day order counts: finds empty days per month. Dimension
+    * generation needs no input scan, and the per-day aggregate reduces
+    * the fact BEFORE the join — at 100 TB the calendar join touches
+    * O(days) rows, not O(orders).
+    */
+  def q57CalendarJoin(s: SparkSession, dir: String): DataFrame = {
+    val cal = s.sql(
+      "SELECT explode(sequence(to_date('1995-01-01'), to_date('1998-12-31'), interval 1 day)) AS d")
+    val perDay = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("od")).agg(count(lit(1)).as("n"))
+    cal.join(perDay, cal("d") === perDay("od"), "left")
+      .groupBy(year(col("d")).as("yr"), month(col("d")).as("mo"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(when(col("n").isNull, 1L).otherwise(0L)).as("n_empty_days"),
+        coalesce(sum(col("n")), lit(0L)).as("n_orders"))
+      .orderBy(col("yr"), col("mo"))
+  }
+
+  val q57Sql: String =
+    """WITH cal AS (
+      |  SELECT unnest(generate_series(DATE '1995-01-01', DATE '1998-12-31', INTERVAL 1 DAY))::DATE AS d),
+      |per_day AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS od, COUNT(*) AS n FROM orders GROUP BY 1)
+      |SELECT YEAR(d) AS yr, MONTH(d) AS mo, COUNT(*) AS n_days,
+      |  CAST(SUM(CASE WHEN n IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_days,
+      |  CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_orders
+      |FROM cal LEFT JOIN per_day ON d = od
+      |GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin
+
+  // ---------------------------------------------------------------- q58
+  /** TPC-H Q16 shape: 3-way join with an IN value list and a NOT IN
+    * subquery, count(DISTINCT) per group. NOT IN plans as a null-aware
+    * anti join; the supplier exclusion list is tiny and broadcasts.
+    * Exercised through the SQL parser like the reference's %sql path.
+    */
+  def q58SupplierParts(s: SparkSession, dir: String): DataFrame = {
+    Tables.part(s, dir).createOrReplaceTempView("part_q16_v")
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_q16_v")
+    Tables.supplier(s, dir).createOrReplaceTempView("supplier_q16_v")
+    s.sql(
+      """SELECT p_type, p_size, COUNT(DISTINCT s_suppkey) AS supplier_cnt
+        |FROM part_q16_v JOIN lineitem_q16_v ON p_partkey = l_partkey
+        |JOIN supplier_q16_v ON l_suppkey = s_suppkey
+        |WHERE p_size IN (1, 5, 9, 13) AND s_suppkey NOT IN (
+        |  SELECT s_suppkey FROM supplier_q16_v WHERE s_acctbal < 0)
+        |GROUP BY p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_type, p_size LIMIT 20""".stripMargin)
+  }
+
+  val q58Sql: String =
+    """SELECT p_type, p_size, COUNT(DISTINCT s_suppkey) AS supplier_cnt
+      |FROM part JOIN lineitem ON p_partkey = l_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE p_size IN (1, 5, 9, 13) AND s_suppkey NOT IN (
+      |  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_type, p_size LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q59
+  /** approx_percentile (t-digest-style sketch) — the 100 TB path for
+    * quantiles q24 computes exactly. Sketch internals are
+    * engine-specific, so this is rows-only for the driver; the spec
+    * asserts each approximation lands within the exact neighboring
+    * values of the distribution.
+    */
+  def q59ApproxPercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50"),
+        expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("p90"),
+        expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("p99"))
+      .orderBy(col("l_returnflag"))
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_map_functions" -> (q56MapFunctions _),
+    "q57_calendar_join" -> (q57CalendarJoin _),
+    "q58_supplier_parts" -> (q58SupplierParts _),
+    "q59_approx_percentiles" -> (q59ApproxPercentiles _),
     "q55_topk_native" -> (q55TopKNative _),
     "q45_explode_bigrams" -> (q45ExplodeBigrams _),
     "q46_full_outer_join" -> (q46FullOuterJoin _),
@@ -356,6 +470,9 @@ object ExtendedQueries {
 
   val oracle: Map[String, String] = Map(
     "q55_topk_native" -> q55Sql,
+    "q56_map_functions" -> q56Sql,
+    "q57_calendar_join" -> q57Sql,
+    "q58_supplier_parts" -> q58Sql,
     "q45_explode_bigrams" -> q45Sql,
     "q46_full_outer_join" -> q46Sql,
     "q47_first_last_nth" -> q47Sql,
