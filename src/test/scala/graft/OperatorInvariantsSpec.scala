@@ -83,6 +83,14 @@ class OperatorInvariantsSpec extends SparkTestBase {
     assert(sh.size === Tables.documents(spark, Sf001).count())
   }
 
+  test("lane-packed simhash is bit-identical to the unpacked 64-aggregate definition") {
+    val packed = DedupQueries.simhashes(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val unpacked = DedupQueries.simhashesUnpacked(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(packed === unpacked)
+  }
+
   test("built-in session_window agrees with the manual two-window sessionization (q34 vs q18)") {
     // Boundary semantics (verified in EdgeCaseSpec): session_window MERGES
     // at an exactly-gap interval, so q18's strict-> split is the same rule.
