@@ -55,9 +55,55 @@ object PipelineQueries {
       |FROM keepers JOIN filtered USING (fp, doc_id)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** Incremental (cross-batch) dedup — the shape every recurring training
+    * crawl runs: a new batch (sources src0/src1) is deduped AGAINST the
+    * accumulated history (every other source) by canonical fingerprint,
+    * then within itself (keep lowest doc_id). The anti join ships only
+    * 16-byte hashes; at 100 TB the history side is a bucketed fingerprint
+    * table, so the anti join is co-located and the new batch never
+    * re-reads historical text.
+    */
+  def p02IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val canon = md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
+    val docs = Tables.documents(s, dir).withColumn("fp", canon)
+    val isNew = col("source").isin("src0", "src1")
+    val history = docs.filter(!isNew).select(col("fp"))
+    val fresh = docs.filter(isNew)
+      .join(history, Seq("fp"), "left_anti")
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_in_batch"))
+    fresh
+      .join(docs.select(col("doc_id").as("keeper_doc_id"), col("source"), col("n_chars")),
+        Seq("keeper_doc_id"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        sum(col("n_in_batch")).as("n_batch_copies"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("source"))
+  }
+
+  val p02Sql: String =
+    """WITH fps AS (
+      |  SELECT doc_id, source, n_chars,
+      |    md5(TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+      |  FROM documents),
+      |fresh AS (
+      |  SELECT fp, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_in_batch
+      |  FROM fps b
+      |  WHERE source IN ('src0', 'src1') AND NOT EXISTS (
+      |    SELECT 1 FROM fps h WHERE h.source NOT IN ('src0', 'src1') AND h.fp = b.fp)
+      |  GROUP BY fp)
+      |SELECT source, COUNT(*) AS n_kept, SUM(n_in_batch) AS n_batch_copies,
+      |  SUM(n_chars) AS total_chars
+      |FROM fresh JOIN fps ON keeper_doc_id = doc_id
+      |GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "p01_clean_corpus" -> (p01CleanCorpus _))
+    "p01_clean_corpus" -> (p01CleanCorpus _),
+    "p02_incremental_dedup" -> (p02IncrementalDedup _))
 
   val oracle: Map[String, String] = Map(
-    "p01_clean_corpus" -> p01Sql)
+    "p01_clean_corpus" -> p01Sql,
+    "p02_incremental_dedup" -> p02Sql)
 }

@@ -49,6 +49,29 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))
   }
 
+  test("join strategy hints flip the physical join operator") {
+    import org.apache.spark.sql.functions._
+    val o = Tables.orders(spark, Sf0001)
+    val c = Tables.customer(spark, Sf0001)
+    // default for this size: broadcast; hints must override the planner
+    val merge = plan(o.join(c.hint("merge"), o("o_custkey") === c("c_custkey")))
+    assert(merge.contains("SortMergeJoin"), merge.take(600))
+    val shuffleHash = plan(o.join(c.hint("shuffle_hash"), o("o_custkey") === c("c_custkey")))
+    assert(shuffleHash.contains("ShuffledHashJoin"), shuffleHash.take(600))
+    val bcast = plan(o.join(broadcast(c), o("o_custkey") === c("c_custkey")))
+    assert(bcast.contains("BroadcastHashJoin"), bcast.take(600))
+  }
+
+  test("p02: incremental dedup anti join ships hashes, not text") {
+    val df = operators.PipelineQueries.p02IncrementalDedup(spark, Sf0001)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("LeftAnti"), p.take(800))
+    // the history side projected into the anti join must be the fp hash only
+    assert(!p.linesIterator.exists(l => l.contains("LeftAnti") && l.contains("text")),
+      "anti join condition should operate on fingerprints")
+  }
+
   test("no query plans a cartesian product except the scalar-histogram cross join") {
     val exempt = Set("q20_histogram")
     SparkEntry.queries.filterNot { case (name, _) =>
