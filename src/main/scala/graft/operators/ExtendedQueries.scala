@@ -450,8 +450,35 @@ object ExtendedQueries {
         expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("p99"))
       .orderBy(col("l_returnflag"))
 
+  // ---------------------------------------------------------------- q60
+  /** ANSI-safe arithmetic: Spark 4 runs ANSI mode by default, where /0 and
+    * overflow THROW. try_divide gives the null-on-error semantics a
+    * pipeline wants for dirty data — here the per-unit tax ratio is null
+    * for zero-discount rows and aggregates skip it, proven against the
+    * oracle's NULLIF formulation.
+    */
+  def q60TryArithmetic(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .withColumn("tax_per_discount", try_divide(col("l_tax"), col("l_discount")))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("tax_per_discount")).as("n_defined"),
+        sum(when(col("tax_per_discount").isNull, 1L).otherwise(0L)).as("n_zero_discount"),
+        round(davg(col("tax_per_discount"), 30, 8), 4).as("avg_ratio"))
+      .orderBy(col("l_returnflag"))
+
+  val q60Sql: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  COUNT(l_tax / NULLIF(l_discount, 0.0)) AS n_defined,
+      |  SUM(CASE WHEN l_discount = 0.0 THEN 1 ELSE 0 END) AS n_zero_discount,
+      |  ROUND(CAST(CAST(SUM(CAST(l_tax / NULLIF(l_discount, 0.0) AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)
+      |    / COUNT(l_tax / NULLIF(l_discount, 0.0)), 4) AS avg_ratio
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_try_arithmetic" -> (q60TryArithmetic _),
     "q56_map_functions" -> (q56MapFunctions _),
     "q57_calendar_join" -> (q57CalendarJoin _),
     "q58_supplier_parts" -> (q58SupplierParts _),
@@ -470,6 +497,7 @@ object ExtendedQueries {
 
   val oracle: Map[String, String] = Map(
     "q55_topk_native" -> q55Sql,
+    "q60_try_arithmetic" -> q60Sql,
     "q56_map_functions" -> q56Sql,
     "q57_calendar_join" -> q57Sql,
     "q58_supplier_parts" -> q58Sql,

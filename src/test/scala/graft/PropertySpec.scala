@@ -87,4 +87,31 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("property: TopKBuffer equals sort-desc-take-k for arbitrary inserts and merges") {
+    val pairGen = for {
+      o <- Gen.choose(-100.0, 100.0)
+      p <- Gen.choose(0L, 50L) // small payload range forces ord ties
+    } yield (o, p)
+    val caseGen = for {
+      k <- Gen.choose(1, 8)
+      xs <- Gen.listOf(pairGen)
+      split <- Gen.choose(0, math.max(xs.size, 1))
+    } yield (k, xs, split)
+    forAllSamples(caseGen, n = 200, seed = 13L) { case (k, xs, split) =>
+      val expected = xs.distinct.sortBy { case (o, p) => (-o, p) }.take(k)
+      // distinct: duplicate (ord,payload) pairs are kept by the buffer too,
+      // so feed unique pairs to keep the reference order total
+      val uniq = xs.distinct
+      val (l, r) = uniq.splitAt(math.min(split, uniq.size))
+      val bufL = new graft.functions.TopKBuffer(k)
+      val bufR = new graft.functions.TopKBuffer(k)
+      l.foreach { case (o, p) => bufL.add(o, p) }
+      r.foreach { case (o, p) => bufR.add(o, p) }
+      // merge r into l the way partial aggregation does
+      (0 until bufR.size).foreach(i => bufL.add(bufR.ords(i), bufR.payloads(i)))
+      val got = (0 until bufL.size).map(i => (bufL.ords(i), bufL.payloads(i)))
+      assert(got == expected, s"k=$k xs=$uniq got=$got want=$expected")
+    }
+  }
 }
