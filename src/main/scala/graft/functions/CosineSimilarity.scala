@@ -114,5 +114,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("graft_topk"),
       TopKAggregate.info,
       (exprs: Seq[Expression]) => GraftTopK(exprs(0), exprs(1), exprs(2))))
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoin.Strategy)
   }
 }

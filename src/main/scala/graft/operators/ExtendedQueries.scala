@@ -476,8 +476,35 @@ object ExtendedQueries {
       |    / COUNT(l_tax / NULLIF(l_discount, 0.0)), 4) AS avg_ratio
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q61
+  /** Native as-of join ([[graft.plans.AsOfJoin]] — the engine's one
+    * tier-(c) custom operator): each event gets the price of its user's
+    * latest at-or-before order. Same semantics and oracle SQL as the
+    * composed union+window q31, but planned as a co-partitioned streaming
+    * merge: one exchange per side in its own narrow schema, O(1) state,
+    * no window buffer over a unioned timeline.
+    */
+  def q61AsofNative(s: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val orders = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"), col("o_totalprice"))
+    graft.plans.AsOfJoin.asofJoin(
+        events, orders,
+        leftKeyCol = "user_id", leftTimeCol = "ts",
+        rightKeyCol = "o_custkey", rightTimeCol = "o_orderdate",
+        rightSeqCol = "o_orderkey", rightValueCol = "o_totalprice",
+        asofColName = "asof_price")
+      .select(col("user_id"), col("event_id"), col("asof_price"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Same oracle as q31 — the two formulations must agree exactly. */
+  val q61Sql: String = StarQueries.q31Sql
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_asof_native" -> (q61AsofNative _),
     "q60_try_arithmetic" -> (q60TryArithmetic _),
     "q56_map_functions" -> (q56MapFunctions _),
     "q57_calendar_join" -> (q57CalendarJoin _),
@@ -498,6 +525,7 @@ object ExtendedQueries {
   val oracle: Map[String, String] = Map(
     "q55_topk_native" -> q55Sql,
     "q60_try_arithmetic" -> q60Sql,
+    "q61_asof_native" -> q61Sql,
     "q56_map_functions" -> q56Sql,
     "q57_calendar_join" -> q57Sql,
     "q58_supplier_parts" -> q58Sql,

@@ -1,0 +1,181 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlShim, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.DoubleType
+
+/** Native AS-OF JOIN — the one operator in this engine whose semantics no
+  * built-in composition plans optimally. Tier (c) of the custom-operator
+  * preference order: a LogicalPlan node + SparkStrategy + SparkPlan,
+  * registered per-session (see [[AsOfJoin.enable]]).
+  *
+  * Semantics (identical to the composed union+window formulation,
+  * operators.StarQueries.q31, and therefore to its DuckDB oracle): each
+  * left row (key, time) receives the `value` of the right row with the
+  * same key and the greatest (time, seq) <= (left time, +inf); null if no
+  * such row. Ties on right time resolve to the highest seq — matching the
+  * window formulation's ORDER BY ts, is_order DESC, src_id.
+  *
+  * Why a custom physical operator beats the composition at scale: the
+  * union+window shape shuffles BOTH streams into one sorted timeline and
+  * materializes a window frame over it; this operator instead requires
+  * only co-partitioning on the key plus a per-side local sort
+  * (EnsureRequirements inserts the exchanges/sorts), then streams a
+  * per-partition two-pointer merge in O(left + right) with O(1) state —
+  * no window buffer, no unioned row inflation, and each side shuffles in
+  * its own (narrower) schema. The right side carries only
+  * (key, time, seq, value).
+  */
+object AsOfJoin {
+
+  /** Logical node: output = left.output :+ asof value column. */
+  case class AsOfJoinNode(
+      left: LogicalPlan,
+      right: LogicalPlan,
+      leftKey: Attribute,
+      leftTime: Attribute,
+      rightKey: Attribute,
+      rightTime: Attribute,
+      rightSeq: Attribute,
+      rightValue: Attribute,
+      asofOut: AttributeReference)
+    extends BinaryNode {
+    override def output: Seq[Attribute] = left.output :+ asofOut
+    // asofOut is synthesized by this operator, not consumed from children
+    override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+      org.apache.spark.sql.catalyst.expressions.AttributeSet(asofOut)
+    override protected def withNewChildrenInternal(
+        newLeft: LogicalPlan, newRight: LogicalPlan): LogicalPlan =
+      copy(left = newLeft, right = newRight)
+  }
+
+  object Strategy extends SparkStrategy {
+    override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+      case AsOfJoinNode(l, r, lk, lt, rk, rt, rs, rv, out) =>
+        AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, rs, rv, out) :: Nil
+      case _ => Nil
+    }
+  }
+
+  /** Idempotently add the strategy to a session. */
+  def enable(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(Strategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ Strategy
+
+  /** Public API: left rows gain `asofColName` = latest right `valueCol`
+    * at-or-before the left time within the same key. Key and seq columns
+    * must be bigint; time columns timestamp (micros); value double.
+    */
+  def asofJoin(
+      left: DataFrame, right: DataFrame,
+      leftKeyCol: String, leftTimeCol: String,
+      rightKeyCol: String, rightTimeCol: String,
+      rightSeqCol: String, rightValueCol: String,
+      asofColName: String): DataFrame = {
+    val spark = left.sparkSession
+    enable(spark)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def attr(p: LogicalPlan, name: String): Attribute =
+      p.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found in ${p.output.map(_.name)}"))
+    val node = AsOfJoinNode(
+      lPlan, rPlan,
+      attr(lPlan, leftKeyCol), attr(lPlan, leftTimeCol),
+      attr(rPlan, rightKeyCol), attr(rPlan, rightTimeCol),
+      attr(rPlan, rightSeqCol), attr(rPlan, rightValueCol),
+      AttributeReference(asofColName, DoubleType, nullable = true)())
+    GraftSqlShim.ofRows(spark, node)
+  }
+}
+
+/** Physical as-of join: co-partitioned on the key (ClusteredDistribution,
+  * like SortMergeJoin), each side locally sorted by (key, time[, seq]);
+  * doExecute streams both iterators through a two-pointer merge carrying
+  * (current key, last value at-or-before) — O(1) state per partition.
+  */
+case class AsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKey: Attribute,
+    leftTime: Attribute,
+    rightKey: Attribute,
+    rightTime: Attribute,
+    rightSeq: Attribute,
+    rightValue: Attribute,
+    asofOut: AttributeReference)
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output :+ asofOut
+
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(asofOut)
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending),
+      SortOrder(rightSeq, Ascending)))
+
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lkIdx = left.output.indexWhere(_.exprId == leftKey.exprId)
+    val ltIdx = left.output.indexWhere(_.exprId == leftTime.exprId)
+    val rkIdx = right.output.indexWhere(_.exprId == rightKey.exprId)
+    val rtIdx = right.output.indexWhere(_.exprId == rightTime.exprId)
+    val rvIdx = right.output.indexWhere(_.exprId == rightValue.exprId)
+    val out = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val proj = UnsafeProjection.create(out, out)
+      val extra = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      val rBuf = rIter.buffered
+      // state: the latest right (key, value) consumed so far
+      var haveVal = false
+      var valKey = 0L
+      var lastVal = 0.0
+      lIter.map { lRow =>
+        if (lRow.isNullAt(lkIdx) || lRow.isNullAt(ltIdx)) {
+          extra.setNullAt(0)
+        } else {
+          val lk = lRow.getLong(lkIdx)
+          val lt = lRow.getLong(ltIdx)
+          // consume right rows with key < lk, or same key and time <= lt;
+          // within the consumed prefix the last same-key row wins (sorted
+          // by (key, time, seq), so that is the greatest (time, seq) <= lt)
+          var advance = true
+          while (advance && rBuf.hasNext) {
+            val r = rBuf.head
+            if (r.isNullAt(rkIdx) || r.isNullAt(rtIdx)) { rBuf.next(); }
+            else {
+              val rk = r.getLong(rkIdx)
+              if (rk < lk || (rk == lk && r.getLong(rtIdx) <= lt)) {
+                if (rk == lk && !r.isNullAt(rvIdx)) {
+                  haveVal = true; valKey = rk; lastVal = r.getDouble(rvIdx)
+                }
+                rBuf.next()
+              } else advance = false
+            }
+          }
+          if (haveVal && valKey == lk) extra.update(0, lastVal)
+          else extra.setNullAt(0)
+        }
+        proj(joined(lRow, extra))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
+    copy(left = newLeft, right = newRight)
+}
