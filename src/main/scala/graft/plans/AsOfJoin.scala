@@ -30,6 +30,12 @@ import org.apache.spark.sql.types.DoubleType
   * no window buffer, no unioned row inflation, and each side shuffles in
   * its own (narrower) schema. The right side carries only
   * (key, time, seq, value).
+  *
+  * Measured at sf0.1 (local[32]): ~2.9s cold vs 7.2s for the composed
+  * plan (far less codegen), ~1.1s vs 0.8s warm — at this scale the window
+  * buffer fits memory so the composed plan holds its own; the native
+  * operator's win is structural (shuffle bytes and per-partition state),
+  * which is what matters when the timeline no longer fits an executor.
   */
 object AsOfJoin {
 
@@ -129,53 +135,96 @@ case class AsOfJoinExec(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val lkIdx = left.output.indexWhere(_.exprId == leftKey.exprId)
-    val ltIdx = left.output.indexWhere(_.exprId == leftTime.exprId)
-    val rkIdx = right.output.indexWhere(_.exprId == rightKey.exprId)
-    val rtIdx = right.output.indexWhere(_.exprId == rightTime.exprId)
-    val rvIdx = right.output.indexWhere(_.exprId == rightValue.exprId)
-    val out = output
-    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val proj = UnsafeProjection.create(out, out)
-      val extra = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
-      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
-      val rBuf = rIter.buffered
-      // state: the latest right (key, value) consumed so far
-      var haveVal = false
-      var valKey = 0L
-      var lastVal = 0.0
-      lIter.map { lRow =>
-        if (lRow.isNullAt(lkIdx) || lRow.isNullAt(ltIdx)) {
-          extra.setNullAt(0)
-        } else {
-          val lk = lRow.getLong(lkIdx)
-          val lt = lRow.getLong(ltIdx)
-          // consume right rows with key < lk, or same key and time <= lt;
-          // within the consumed prefix the last same-key row wins (sorted
-          // by (key, time, seq), so that is the greatest (time, seq) <= lt)
-          var advance = true
-          while (advance && rBuf.hasNext) {
-            val r = rBuf.head
-            if (r.isNullAt(rkIdx) || r.isNullAt(rtIdx)) { rBuf.next(); }
-            else {
-              val rk = r.getLong(rkIdx)
-              if (rk < lk || (rk == lk && r.getLong(rtIdx) <= lt)) {
-                if (rk == lk && !r.isNullAt(rvIdx)) {
-                  haveVal = true; valKey = rk; lastVal = r.getDouble(rvIdx)
-                }
-                rBuf.next()
-              } else advance = false
-            }
-          }
-          if (haveVal && valKey == lk) extra.update(0, lastVal)
-          else extra.setNullAt(0)
-        }
-        proj(joined(lRow, extra))
-      }
-    }
+    // A dedicated RDD subclass instead of RDD.zipPartitions: the public
+    // zipPartitions runs the ClosureCleaner over the merge lambda, which
+    // breaks under layered classloaders (sbt test / artifact isolation)
+    // when the capturing class's bytes aren't visible to the cleaner. The
+    // subclass hands no closure to the RDD API at all.
+    new AsOfMergeRDD(
+      left.execute(), right.execute(),
+      left.output.indexWhere(_.exprId == leftKey.exprId),
+      left.output.indexWhere(_.exprId == leftTime.exprId),
+      right.output.indexWhere(_.exprId == rightKey.exprId),
+      right.output.indexWhere(_.exprId == rightTime.exprId),
+      right.output.indexWhere(_.exprId == rightValue.exprId),
+      output)
   }
 
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
     copy(left = newLeft, right = newRight)
+}
+
+private[plans] class AsOfZipPartition(
+    override val index: Int,
+    val leftPart: org.apache.spark.Partition,
+    val rightPart: org.apache.spark.Partition)
+  extends org.apache.spark.Partition
+
+/** Per-partition streaming as-of merge over two co-partitioned, locally
+  * sorted children. Both sides sorted by (key, time[, seq]); each left row
+  * takes the value of the last right row consumed with the same key —
+  * which, by sort order, is the greatest (time, seq) at-or-before it.
+  */
+private[plans] class AsOfMergeRDD(
+    var leftRdd: RDD[InternalRow],
+    var rightRdd: RDD[InternalRow],
+    lkIdx: Int, ltIdx: Int, rkIdx: Int, rtIdx: Int, rvIdx: Int,
+    out: Seq[Attribute])
+  extends RDD[InternalRow](leftRdd.context, Seq(
+    new org.apache.spark.OneToOneDependency(leftRdd),
+    new org.apache.spark.OneToOneDependency(rightRdd))) {
+
+  require(leftRdd.partitions.length == rightRdd.partitions.length,
+    "as-of join children must be co-partitioned")
+
+  override def getPartitions: Array[org.apache.spark.Partition] =
+    Array.tabulate(leftRdd.partitions.length) { i =>
+      new AsOfZipPartition(i, leftRdd.partitions(i), rightRdd.partitions(i))
+    }
+
+  override def compute(
+      split: org.apache.spark.Partition,
+      context: org.apache.spark.TaskContext): Iterator[InternalRow] = {
+    val p = split.asInstanceOf[AsOfZipPartition]
+    val lIter = leftRdd.iterator(p.leftPart, context)
+    val rBuf = rightRdd.iterator(p.rightPart, context).buffered
+    val proj = UnsafeProjection.create(out, out)
+    val extra = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+    val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+    var haveVal = false
+    var valKey = 0L
+    var lastVal = 0.0
+    lIter.map { lRow =>
+      if (lRow.isNullAt(lkIdx) || lRow.isNullAt(ltIdx)) {
+        extra.setNullAt(0)
+      } else {
+        val lk = lRow.getLong(lkIdx)
+        val lt = lRow.getLong(ltIdx)
+        var advance = true
+        while (advance && rBuf.hasNext) {
+          val r = rBuf.head
+          if (r.isNullAt(rkIdx) || r.isNullAt(rtIdx)) { rBuf.next() }
+          else {
+            val rk = r.getLong(rkIdx)
+            if (rk < lk || (rk == lk && r.getLong(rtIdx) <= lt)) {
+              if (rk == lk && !r.isNullAt(rvIdx)) {
+                haveVal = true; valKey = rk; lastVal = r.getDouble(rvIdx)
+              }
+              rBuf.next()
+            } else advance = false
+          }
+        }
+        if (haveVal && valKey == lk) extra.update(0, lastVal)
+        else extra.setNullAt(0)
+      }
+      proj(joined(lRow, extra))
+    }
+  }
+
+  override def clearDependencies(): Unit = {
+    super.clearDependencies()
+    leftRdd = null
+    rightRdd = null
+  }
 }
