@@ -502,8 +502,34 @@ object ExtendedQueries {
   /** Same oracle as q31 — the two formulations must agree exactly. */
   val q61Sql: String = StarQueries.q31Sql
 
+  // ---------------------------------------------------------------- q62
+  /** Typed Dataset API end-to-end: case-class Encoder -> groupByKey ->
+    * custom [[graft.functions.TypedAggregators.WeightedMeanPrice]]
+    * Aggregator. The typed agg plans into the same partial+final
+    * aggregate as the untyped tier; exactness comes from the
+    * integer-cents buffer, proven against the oracle's arithmetic.
+    */
+  def q62TypedAggregator(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TypedAggregators._
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
+      .as[PricedItem]
+      .groupByKey(_.l_returnflag)
+      .agg(WeightedMeanPrice.toColumn.name("wavg_price"))
+      .toDF("l_returnflag", "wavg_price")
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q62Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+      |    / CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / 100.0 AS wavg_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q62_typed_aggregator" -> (q62TypedAggregator _),
     "q61_asof_native" -> (q61AsofNative _),
     "q60_try_arithmetic" -> (q60TryArithmetic _),
     "q56_map_functions" -> (q56MapFunctions _),
@@ -526,6 +552,7 @@ object ExtendedQueries {
     "q55_topk_native" -> q55Sql,
     "q60_try_arithmetic" -> q60Sql,
     "q61_asof_native" -> q61Sql,
+    "q62_typed_aggregator" -> q62Sql,
     "q56_map_functions" -> q56Sql,
     "q57_calendar_join" -> q57Sql,
     "q58_supplier_parts" -> q58Sql,
