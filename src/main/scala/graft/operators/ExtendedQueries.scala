@@ -527,8 +527,61 @@ object ExtendedQueries {
       |    / CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / 100.0 AS wavg_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q63
+  /** Date arithmetic kit beyond q19's extraction: last_day boundaries,
+    * quarter alignment via date_trunc, day-offsets from year start —
+    * integral day counts, so every aggregate is exact.
+    */
+  def q63DateArith(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .withColumn("d", to_date(col("o_orderdate")))
+      .groupBy(year(col("d")).as("yr"))
+      .agg(
+        sum(when(col("d") === last_day(col("d")), 1L).otherwise(0L)).as("n_month_end"),
+        sum(when(to_date(date_trunc("quarter", col("d"))) === col("d"), 1L).otherwise(0L))
+          .as("n_quarter_start"),
+        max(datediff(col("d"), to_date(date_trunc("year", col("d"))))).as("max_doy_offset"),
+        (sum(dayofmonth(col("d"))) / count(lit(1))).as("avg_dom"))
+      .orderBy(col("yr"))
+
+  val q63Sql: String =
+    """SELECT YEAR(d) AS yr,
+      |  SUM(CASE WHEN d = last_day(d) THEN 1 ELSE 0 END) AS n_month_end,
+      |  SUM(CASE WHEN CAST(date_trunc('quarter', d) AS DATE) = d THEN 1 ELSE 0 END) AS n_quarter_start,
+      |  CAST(MAX(datediff('day', CAST(date_trunc('year', d) AS DATE), d)) AS INT) AS max_doy_offset,
+      |  SUM(DAY(d)) * 1.0 / COUNT(*) AS avg_dom
+      |FROM (SELECT CAST(o_orderdate AS DATE) AS d FROM orders)
+      |GROUP BY 1 ORDER BY yr""".stripMargin
+
+  // ---------------------------------------------------------------- q64
+  /** Outer generators: explode_outer keeps a row (with null) for orders
+    * whose qualifying-quantity array is empty — the LEFT JOIN LATERAL
+    * semantics a plain explode silently drops. collect_list skips the
+    * when()'s nulls, so the array holds exactly the qualifying values.
+    */
+  def q64ExplodeOuter(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(collect_list(when(col("l_quantity") > 45.0, col("l_quantity"))).as("big"))
+      .select(col("l_orderkey"), explode_outer(col("big")).as("bigqty"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("bigqty")).as("n_vals"),
+        sum(when(col("bigqty").isNull, 1L).otherwise(0L)).as("n_empty_orders"))
+
+  val q64Sql: String =
+    """WITH per AS (
+      |  SELECT l_orderkey, COUNT(CASE WHEN l_quantity > 45.0 THEN 1 END) AS c
+      |  FROM lineitem GROUP BY 1)
+      |SELECT SUM(CASE WHEN c = 0 THEN 1 ELSE c END) AS n_rows,
+      |  SUM(c) AS n_vals,
+      |  SUM(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS n_empty_orders
+      |FROM per""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q63_date_arith" -> (q63DateArith _),
+    "q64_explode_outer" -> (q64ExplodeOuter _),
     "q62_typed_aggregator" -> (q62TypedAggregator _),
     "q61_asof_native" -> (q61AsofNative _),
     "q60_try_arithmetic" -> (q60TryArithmetic _),
@@ -553,6 +606,8 @@ object ExtendedQueries {
     "q60_try_arithmetic" -> q60Sql,
     "q61_asof_native" -> q61Sql,
     "q62_typed_aggregator" -> q62Sql,
+    "q63_date_arith" -> q63Sql,
+    "q64_explode_outer" -> q64Sql,
     "q56_map_functions" -> q56Sql,
     "q57_calendar_join" -> q57Sql,
     "q58_supplier_parts" -> q58Sql,
