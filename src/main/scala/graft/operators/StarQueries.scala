@@ -990,7 +990,10 @@ object StarQueries {
     import s.implicits._
     val p = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"), col("p_name"))
     val segnos = Seq(0, 1, 2).toDF("segno")
-    val grid = (for { dl <- -2 to 2; sg <- 0 to 2; off <- -2 to 2 } yield (dl, sg, off))
+    // probe only the shorter-or-equal side's lengths (dl <= 0): each pair
+    // is found exactly once with the shorter string segmented, so the
+    // probe fan-out is 45 keys per name instead of 75
+    val grid = (for { dl <- -2 to 0; sg <- 0 to 2; off <- -2 to 2 } yield (dl, sg, off))
       .toDF("dl", "sgp", "off")
     val segA = p.select(col("p_brand"), col("p_partkey").as("ka"), col("p_name").as("na"))
       .withColumn("la", length(col("na"))).filter(col("la") >= 3)
@@ -1006,13 +1009,19 @@ object StarQueries {
       .withColumn("slen", expr("if(sgp = 2, la_p - 2 * (la_p div 3), la_p div 3)"))
       .withColumn("st", expr("1 + sgp * (la_p div 3) + off"))
       .filter(col("st") >= 1 && col("st") + col("slen") - 1 <= col("lb"))
-      .select(col("brand_b"), col("kb"), col("la_p"), col("sgp"),
+      .select(col("brand_b"), col("kb"), col("lb"), col("la_p"), col("sgp"),
         expr("substring(nb, st, slen)").as("sub"))
+    // the segmented side is the strictly-shorter one (single direction);
+    // equal lengths would match in both directions, so they keep ka < kb —
+    // each unordered pair is emitted exactly one way, recovered with
+    // least/greatest
     val candidates = segA.join(probeB,
         col("p_brand") === col("brand_b") && col("la") === col("la_p") &&
           col("segno") === col("sgp") && col("s") === col("sub") &&
-          col("ka") < col("kb"))
-      .select(col("p_brand"), col("ka"), col("kb"))
+          (col("la") < col("lb") || col("ka") < col("kb")))
+      .select(col("p_brand"),
+        least(col("ka"), col("kb")).as("ka"),
+        greatest(col("ka"), col("kb")).as("kb"))
       .distinct()
     val names = p.select(col("p_partkey"), col("p_name"))
     candidates
