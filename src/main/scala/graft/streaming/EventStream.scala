@@ -152,6 +152,26 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** foreachBatch file sink with idempotent per-batch directories — the
+    * production exactly-once pattern: each micro-batch writes to
+    * out/batch_<id> with overwrite mode, so a replayed batch (failure
+    * recovery re-runs the last uncommitted batch) lands in the same
+    * directory instead of duplicating rows. The aggregation state comes
+    * from the engine; the sink only needs batch-id idempotence.
+    */
+  def runHourlyToFiles(spark: SparkSession, dir: String, outDir: String): Unit = {
+    val q = hourlyAgg(readEvents(spark, dir))
+      .writeStream
+      .outputMode(OutputMode.Complete)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
+      }
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Custom stateful operator: running per-user event counter + last-seen
     * timestamp via mapGroupsWithState — the KeyValueGroupedDataset state
     * API the prompt's streaming tier calls for. State per user is O(1).

@@ -91,4 +91,27 @@ class EdgeCaseSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(1L -> 1L, 2L -> 2L))
   }
+
+  test("graft_topk rejects a non-literal or non-positive k with a clear error") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq((1L, 1.0, 1L)).toDF("g", "v", "id").createOrReplaceTempView("tk_err")
+    val nonLiteral = intercept[Exception] {
+      spark.sql("SELECT graft_topk(v, id, CAST(v AS INT)) FROM tk_err GROUP BY g").collect()
+    }
+    assert(nonLiteral.getMessage.contains("k must be a literal"), nonLiteral.getMessage)
+    val nonPositive = intercept[Exception] {
+      spark.sql("SELECT graft_topk(v, id, 0) FROM tk_err GROUP BY g").collect()
+    }
+    assert(nonPositive.getMessage.contains("k must be positive"), nonPositive.getMessage)
+  }
+
+  test("asofJoin rejects a missing column name with a clear error") {
+    import spark.implicits._
+    val df = Seq((1L, 1L)).toDF("k", "t")
+    val e = intercept[IllegalArgumentException] {
+      graft.plans.AsOfJoin.asofJoin(df, df, "k", "nope", "k", "t", "k", "t", "x")
+    }
+    assert(e.getMessage.contains("nope"))
+  }
 }

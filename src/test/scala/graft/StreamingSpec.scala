@@ -84,6 +84,26 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.nonEmpty && streamed.size < batch.size)
   }
 
+  test("foreachBatch file sink: last batch directory equals the batch aggregation") {
+    val out = s"/tmp/graft_stream_sink_${ProcessHandle.current().pid()}"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    if (new java.io.File(out).exists()) rm(new java.io.File(out))
+    EventStream.runHourlyToFiles(spark, Sf0001, out)
+    val dirs = new java.io.File(out).listFiles().map(_.getName).filter(_.startsWith("batch_"))
+    assert(dirs.nonEmpty, "at least one micro-batch directory must exist")
+    val last = dirs.map(_.stripPrefix("batch_").toLong).max
+    val sunk = spark.read.parquet(s"$out/batch_$last")
+      .select(col("hour_start"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = StarQueries.q27TumblingWindow(spark, Sf0001)
+      .select(col("hour_start"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(sunk === batch)
+  }
+
   test("mapGroupsWithState per-user counters match batch groupBy") {
     val streamed = EventStream.userCounts(spark, Sf0001, "user_spec")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
