@@ -578,8 +578,62 @@ object ExtendedQueries {
       |  SUM(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS n_empty_orders
       |FROM per""".stripMargin
 
+  // ---------------------------------------------------------------- q65
+  /** Band (interval) join: purchases matched to the same user's clicks in
+    * the preceding hour — the batch twin of the watermarked stream-stream
+    * join (streaming.EventStream.purchaseAfterClick). The equi key
+    * (user_id) drives the shuffle; the band predicate evaluates inside
+    * the join, so this stays a hash/sort-merge join, never a cartesian.
+    */
+  def q65RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"), col("event_id").as("p_id"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"), col("event_id").as("c_id"))
+    p.join(c, col("pu") === col("cu") &&
+        col("cts") <= col("pts") && col("cts") >= col("pts") - expr("INTERVAL 1 HOUR"))
+      .groupBy(col("pu").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"), countDistinct(col("p_id")).as("n_purchases"))
+      .orderBy(col("user_id"))
+  }
+
+  val q65Sql: String =
+    """SELECT p.user_id, COUNT(*) AS n_pairs, COUNT(DISTINCT p.event_id) AS n_purchases
+      |FROM events p JOIN events c
+      |  ON p.user_id = c.user_id
+      | AND p.event_type = 'purchase' AND c.event_type = 'click'
+      | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+      |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q66
+  /** Pairwise correlation matrix in ONE scan: all six corr pairs over the
+    * four lineitem measures computed as parallel aggregates (the
+    * multi-statistic EDA shape; the reference computes one corr at
+    * py:125). Rounded for cross-engine hash stability like q05.
+    */
+  def q66CorrMatrix(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val aggs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield round(corr(col(cols(i)), col(cols(j))), 3).as(s"${cols(i)}__${cols(j)}")
+    Tables.lineitem(s, dir).agg(aggs.head, aggs.tail: _*)
+  }
+
+  val q66Sql: String =
+    """SELECT
+      |  ROUND(CORR(l_quantity, l_extendedprice), 3) AS l_quantity__l_extendedprice,
+      |  ROUND(CORR(l_quantity, l_discount), 3) AS l_quantity__l_discount,
+      |  ROUND(CORR(l_quantity, l_tax), 3) AS l_quantity__l_tax,
+      |  ROUND(CORR(l_extendedprice, l_discount), 3) AS l_extendedprice__l_discount,
+      |  ROUND(CORR(l_extendedprice, l_tax), 3) AS l_extendedprice__l_tax,
+      |  ROUND(CORR(l_discount, l_tax), 3) AS l_discount__l_tax
+      |FROM lineitem""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_range_join" -> (q65RangeJoin _),
+    "q66_corr_matrix" -> (q66CorrMatrix _),
     "q63_date_arith" -> (q63DateArith _),
     "q64_explode_outer" -> (q64ExplodeOuter _),
     "q62_typed_aggregator" -> (q62TypedAggregator _),
@@ -608,6 +662,8 @@ object ExtendedQueries {
     "q62_typed_aggregator" -> q62Sql,
     "q63_date_arith" -> q63Sql,
     "q64_explode_outer" -> q64Sql,
+    "q65_range_join" -> q65Sql,
+    "q66_corr_matrix" -> q66Sql,
     "q56_map_functions" -> q56Sql,
     "q57_calendar_join" -> q57Sql,
     "q58_supplier_parts" -> q58Sql,
