@@ -40,6 +40,25 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
+  /** Spread a small scan across the cluster before compute-heavy map work.
+    *
+    * Single-file parquet with one row group plans as ONE input partition,
+    * so everything before the first exchange (regex canonicalization,
+    * shingling, hashing, per-row vector math) runs in a single task no
+    * matter how many cores exist. This helper round-robins such inputs to
+    * defaultParallelism — and is a deliberate NO-OP when the scan already
+    * has enough partitions, which is exactly the 100 TB case (thousands
+    * of files): the repartition exists to parallelize pathologically
+    * small inputs, never to add a shuffle at scale.
+    *
+    * Only use BELOW compute-heavy map phases; never between a filter and
+    * its scan (a user repartition blocks predicate pushdown).
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < math.max(2, p / 2)) df.repartition(p) else df
+  }
+
   /** Exact decimal sum of a double column, returned as double.
     *
     * Why: a straight `sum(double)` depends on partition/row order, so two

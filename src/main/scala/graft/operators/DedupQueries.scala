@@ -41,7 +41,7 @@ object DedupQueries {
     * documents.
     */
   def d01ExactDedup(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.spread(Tables.documents(s, dir))
       .select(col("doc_id"), md5(canon(col("text"))).as("h"))
       .groupBy(col("h"))
       .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
@@ -70,7 +70,7 @@ object DedupQueries {
   /** doc_id, source, sh_arr (distinct 3-gram shingles; empty for <3-token
     * docs), n_sh. */
   private def shingleSets(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.spread(Tables.documents(s, dir))
       .withColumn("toks", split(canon(col("text")), " "))
       .withColumn("sh_arr", expr(shingleArrExpr))
       .select(col("doc_id"), col("source"), col("sh_arr"), size(col("sh_arr")).as("n_sh"))
@@ -253,7 +253,7 @@ object DedupQueries {
     * Hamming distance <= 3 (bit_count of xor).
     */
   def simhashes(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
+    val toks = Tables.spread(Tables.documents(s, dir))
       .select(col("doc_id"), explode(split(canon(col("text")), " ")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
     val packedSums = (0 until 16).map { g =>
@@ -274,7 +274,7 @@ object DedupQueries {
   /** The unpacked 64-aggregate formulation, kept as the semantic
     * definition [[simhashes]] is tested against. */
   private[graft] def simhashesUnpacked(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
+    val toks = Tables.spread(Tables.documents(s, dir))
       .select(col("doc_id"), explode(split(canon(col("text")), " ")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
     val bitSums = (0 until 64).map { b =>

@@ -29,7 +29,7 @@ object ExtendedQueries {
     * per-document fan-out, and top-k fuses to TakeOrderedAndProject.
     */
   def q45ExplodeBigrams(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.spread(Tables.documents(s, dir))
       .select(split(col("text"), " ").as("ws"))
       .select(explode(expr(
         "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))

@@ -49,7 +49,7 @@ object Multimodal {
     */
   def mediaTable(spark: SparkSession, dir: String): Dataset[Media] = {
     import spark.implicits._
-    Tables.documents(spark, dir)
+    Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .map { case (id, text) =>

@@ -19,7 +19,7 @@ object PipelineQueries {
     * volume. One shuffle for the dedup, one for the final rollup.
     */
   def p01CleanCorpus(s: SparkSession, dir: String): DataFrame = {
-    val scored = Tables.documents(s, dir)
+    val scored = Tables.spread(Tables.documents(s, dir))
       .withColumn("n_tokens",
         expr("size(regexp_extract_all(text, '[A-Za-z0-9]+', 0))").cast(DoubleType))
       .withColumn("len_score", least(lit(1.0), length(col("text")).cast(DoubleType) / lit(500.0)))
@@ -65,7 +65,7 @@ object PipelineQueries {
     */
   def p02IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
     val canon = md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
-    val docs = Tables.documents(s, dir).withColumn("fp", canon)
+    val docs = Tables.spread(Tables.documents(s, dir)).withColumn("fp", canon)
     val isNew = col("source").isin("src0", "src1")
     val history = docs.filter(!isNew).select(col("fp"))
     val fresh = docs.filter(isNew)

@@ -39,7 +39,7 @@ object SimilarityQueries {
     * (TakeOrdered per query) — same declarative shape.
     */
   def s01AnnBruteForce(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir).withColumn("v", embD)
+    val e = Tables.spread(Tables.embeddings(s, dir)).withColumn("v", embD)
       .withColumn("norm", sqrt(dot("v", "v")))
       .select(col("vec_id"), col("v"), col("norm"))
     val q = e.filter(col("vec_id") < 5)
@@ -102,7 +102,7 @@ object SimilarityQueries {
     */
   private def bandedSignatures(s: SparkSession, dir: String): DataFrame = {
     val planesLit = array(hyperplanes.map(p => array(p.map(lit): _*)): _*)
-    val withBits = Tables.embeddings(s, dir)
+    val withBits = Tables.spread(Tables.embeddings(s, dir))
       .withColumn("v", embD)
       .withColumn("planes", planesLit)
       .withColumn("bits", expr(
@@ -125,7 +125,7 @@ object SimilarityQueries {
     val pairs = sig.join(broadcast(qsig),
         col("band") === col("q_band") && col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id")).distinct()
-    val vecs = Tables.embeddings(s, dir).withColumn("v", embD)
+    val vecs = Tables.spread(Tables.embeddings(s, dir)).withColumn("v", embD)
       .withColumn("norm", sqrt(dot("v", "v")))
       .select(col("vec_id"), col("v"), col("norm"))
     val qvecs = vecs.filter(col("vec_id") < 5)
@@ -145,7 +145,7 @@ object SimilarityQueries {
     * comparison is bounded per cell). Emits per-label pair stats.
     */
   def s03NearDupStats(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir).withColumn("v", embD)
+    val e = Tables.spread(Tables.embeddings(s, dir)).withColumn("v", embD)
       .withColumn("norm", sqrt(dot("v", "v")))
       .select(col("label"), col("vec_id"), col("v"), col("norm"))
     val a = e.select(col("label"), col("vec_id").as("da"), col("v").as("va"), col("norm").as("na"))
@@ -185,7 +185,7 @@ object SimilarityQueries {
     */
   def s04AnnNative(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val e = Tables.embeddings(s, dir).withColumn("v", embD)
+    val e = Tables.spread(Tables.embeddings(s, dir)).withColumn("v", embD)
       .select(col("vec_id"), col("v"))
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
@@ -213,7 +213,7 @@ object SimilarityQueries {
     * ScalaTest. Rows-only (centroid means are float-sum order-dependent).
     */
   def s05AnnIvf(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir).withColumn("v", embD)
+    val e = Tables.spread(Tables.embeddings(s, dir)).withColumn("v", embD)
       .withColumn("norm", sqrt(dot("v", "v")))
       .select(col("vec_id"), col("label"), col("v"), col("norm"))
     // 1. centroids: posexplode dims, mean per (label, dim), re-assemble

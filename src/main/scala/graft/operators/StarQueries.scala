@@ -988,7 +988,9 @@ object StarQueries {
     */
   def q41FuzzyNames(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val p = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"), col("p_name"))
+    // spread: the single-row-group part file otherwise serializes the whole
+    // segment/probe/verify pipeline into one task
+    val p = Tables.spread(Tables.part(s, dir)).select(col("p_partkey"), col("p_brand"), col("p_name"))
     val segnos = Seq(0, 1, 2).toDF("segno")
     // probe only the shorter-or-equal side's lengths (dl <= 0): each pair
     // is found exactly once with the shorter string segmented, so the

@@ -31,7 +31,7 @@ object TextQueries {
     * length. Pure projection — at 100 TB this is a single map stage.
     */
   def t01DocStats(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.spread(Tables.documents(s, dir))
       .withColumn("toks", expr(s"regexp_extract_all(text, '$TokenPattern', 0)"))
       .withColumn("n_tokens", size(col("toks")).cast(LongType))
       .withColumn("n_ws_tokens", size(split(col("text"), " ")).cast(LongType))
@@ -72,7 +72,7 @@ object TextQueries {
     "es" -> "\\b(el|los|las|y|es)\\b")
 
   def t02LangId(s: SparkSession, dir: String): DataFrame = {
-    val df0 = Tables.documents(s, dir)
+    val df0 = Tables.spread(Tables.documents(s, dir))
     // Spark SQL string literals interpret backslash escapes ('\b' would be a
     // backspace), DuckDB's do not — double them for the Spark side only.
     val withHits = markers.foldLeft(df0) { case (df, (langName, pat)) =>
@@ -123,7 +123,7 @@ object TextQueries {
     * double-sum aggregation).
     */
   def t03QualityScore(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.spread(Tables.documents(s, dir))
       .withColumn("n_tokens", expr(s"size(regexp_extract_all(text, '$TokenPattern', 0))").cast(DoubleType))
       .withColumn("n_stop", expr("size(regexp_extract_all(lower(text), '\\\\b(the|of|and|to|a|in|is)\\\\b', 0))").cast(DoubleType))
       .withColumn("len_score", least(lit(1.0), length(col("text")).cast(DoubleType) / lit(500.0)))
@@ -163,7 +163,7 @@ object TextQueries {
     * [[DedupQueries]]).
     */
   def t04Fingerprint(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.spread(Tables.documents(s, dir))
       .withColumn("canon",
         trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
       .select(
@@ -196,7 +196,7 @@ object TextQueries {
 
   def t05BpeTokens(s: SparkSession, dir: String): DataFrame = {
     val sparkPat = BpePattern.replace("\\", "\\\\").replace("'", "\\'")
-    Tables.documents(s, dir)
+    Tables.spread(Tables.documents(s, dir))
       .withColumn("pieces", expr(s"regexp_extract_all(text, '$sparkPat', 0)"))
       .withColumn("n_pieces", size(col("pieces")).cast(LongType))
       .withColumn("n_ws", expr("size(filter(pieces, p -> trim(p) = ''))").cast(LongType))
