@@ -630,8 +630,43 @@ object ExtendedQueries {
       |  ROUND(CORR(l_discount, l_tax), 3) AS l_discount__l_tax
       |FROM lineitem""".stripMargin
 
+  // ---------------------------------------------------------------- q67
+  /** Nested struct + JSON round-trip: build a struct column, serialize
+    * with to_json, re-parse with from_json against an explicit schema,
+    * and aggregate over dotted field access — the schema-on-write /
+    * schema-on-read loop every event pipeline runs. The final output is
+    * flat, so the oracle computes the same values directly; any loss in
+    * the round-trip would break the hash match.
+    */
+  def q67NestedStructs(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .withColumn("payload", struct(
+        col("o_orderkey").as("id"),
+        struct(col("o_orderstatus").as("status"), col("o_orderpriority").as("prio")).as("meta"),
+        col("o_totalprice").as("price")))
+      .withColumn("js", to_json(col("payload")))
+      .withColumn("back", from_json(col("js"),
+        StructType(Seq(
+          StructField("id", LongType),
+          StructField("meta", StructType(Seq(
+            StructField("status", StringType), StructField("prio", StringType)))),
+          StructField("price", DoubleType)))))
+      .groupBy(col("back.meta.status").as("status"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("back.price"), 30, 2).as("total"),
+        countDistinct(col("back.meta.prio")).as("n_prios"))
+      .orderBy(col("status"))
+
+  val q67Sql: String =
+    """SELECT o_orderstatus AS status, COUNT(*) AS n,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS VARCHAR) AS DOUBLE) AS total,
+      |  COUNT(DISTINCT o_orderpriority) AS n_prios
+      |FROM orders GROUP BY 1 ORDER BY status""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_nested_structs" -> (q67NestedStructs _),
     "q65_range_join" -> (q65RangeJoin _),
     "q66_corr_matrix" -> (q66CorrMatrix _),
     "q63_date_arith" -> (q63DateArith _),
@@ -664,6 +699,7 @@ object ExtendedQueries {
     "q64_explode_outer" -> q64Sql,
     "q65_range_join" -> q65Sql,
     "q66_corr_matrix" -> q66Sql,
+    "q67_nested_structs" -> q67Sql,
     "q56_map_functions" -> q56Sql,
     "q57_calendar_join" -> q57Sql,
     "q58_supplier_parts" -> q58Sql,

@@ -50,6 +50,21 @@ class SourceFormatsSpec extends SparkTestBase {
     assert(digest(back).toSeq === digest(orders).toSeq)
   }
 
+  test("mergeSchema unions evolved parquet schemas, null-padding old files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    orders.select(col("o_orderkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$dir/t/batch=1")
+    orders.select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .write.mode("overwrite").parquet(s"$dir/t/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$dir/t")
+    assert(merged.columns.toSet == Set("o_orderkey", "o_totalprice", "o_orderstatus", "batch"))
+    val n = orders.count()
+    assert(merged.count() == 2 * n)
+    // old-batch rows surface the evolved column as null
+    assert(merged.filter(col("batch") === 1 && col("o_orderstatus").isNull).count() == n)
+    assert(merged.filter(col("batch") === 2 && col("o_orderstatus").isNotNull).count() == n)
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     orders.withColumn("yr", year(col("o_orderdate")))
