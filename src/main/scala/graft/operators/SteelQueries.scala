@@ -57,9 +57,15 @@ object SteelQueries {
   def ml01LrMetrics(s: SparkSession, dir: String): DataFrame = {
     val data = SteelSchema.renamed(loaded(s))
     val Array(train, test) = data.randomSplit(Array(0.75, 0.25), seed = 64)
-    val model = FeaturePipeline.pipeline(Regressors.linearRegression()).fit(train)
-    val m = Evaluate.metrics(model.transform(test))
-    Evaluate.comparisonDf(s, Seq("LinearRegression" -> m))
+    // cache the splits: each of the 6 pipeline stages' fit/transform jobs
+    // otherwise re-reads and re-splits the CSV. The split itself runs on
+    // the uncached frame, so the seed-64 row assignment is untouched.
+    train.cache(); test.cache()
+    try {
+      val model = FeaturePipeline.pipeline(Regressors.linearRegression()).fit(train)
+      val m = Evaluate.metrics(model.transform(test))
+      Evaluate.comparisonDf(s, Seq("LinearRegression" -> m))
+    } finally { train.unpersist(); test.unpersist() }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
