@@ -40,6 +40,16 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
+  /** Shared text canonicalization for the dedup/fingerprint family:
+    * lowercase, then one regex pass collapsing every maximal run of
+    * non-alphanumerics to a single space, trimmed. All operators that
+    * compare or hash canonical text (d01, d03/d04 shingles, p01/p02
+    * fingerprints, t04) MUST use this one definition — fingerprint
+    * compatibility across operators depends on it.
+    */
+  def canonText(c: Column): Column =
+    trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
+
   /** Spread a small scan across the cluster before compute-heavy map work.
     *
     * Single-file parquet with one row group plans as ONE input partition,
@@ -56,7 +66,11 @@ object Tables {
     */
   def spread(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < math.max(2, p / 2)) df.repartition(p) else df
+    // file count approximates scan parallelism without df.rdd's throwaway
+    // physical planning (the listing is already cached by the FileIndex);
+    // a single huge multi-row-group file would repartition unnecessarily,
+    // an acceptable trade for a helper aimed at pathologically small inputs
+    if (df.inputFiles.length < math.max(2, p / 2)) df.repartition(p) else df
   }
 
   /** Exact decimal sum of a double column, returned as double.

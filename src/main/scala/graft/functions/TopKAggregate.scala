@@ -19,8 +19,26 @@ final class TopKBuffer(val k: Int) {
   val payloads = new Array[Long](k)
   var size = 0
 
-  private def beats(o: Double, p: Long, i: Int): Boolean =
-    o > ords(i) || (o == ords(i) && p < payloads(i))
+  /** SQL sort order on doubles: NaN sorts greatest (so it is "best" when
+    * descending), -0.0 equals 0.0. Plain IEEE comparisons return false
+    * for any NaN operand, which would let a buffered NaN block later
+    * legitimate inserts — hence the explicit total order, matching what
+    * the window/oracle formulations produce.
+    */
+  private def cmpOrd(a: Double, b: Double): Int = {
+    val an = a.isNaN
+    val bn = b.isNaN
+    if (an && bn) 0
+    else if (an) 1
+    else if (bn) -1
+    else if (a == b) 0
+    else if (a > b) 1 else -1
+  }
+
+  private def beats(o: Double, p: Long, i: Int): Boolean = {
+    val c = cmpOrd(o, ords(i))
+    c > 0 || (c == 0 && p < payloads(i))
+  }
 
   def add(o: Double, p: Long): Unit = {
     if (size == k && !beats(o, p, k - 1)) return

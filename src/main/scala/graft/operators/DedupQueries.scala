@@ -25,14 +25,12 @@ import org.apache.spark.sql.types._
   */
 object DedupQueries {
 
-  /** Canonicalization shared by the dedup family: lowercase, strip
-    * non-alnum, collapse whitespace. One regex pass: a maximal run of
-    * non-alphanumerics (punctuation and/or spaces) becomes a single
-    * space — byte-identical to the two-pass strip-then-collapse the
-    * oracle SQL spells out (d01 hash-matches DuckDB), at half the regex
-    * cost over 100 TB of text. */
-  private def canon(c: Column): Column =
-    trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
+  /** Canonicalization shared by the dedup family ([[graft.Tables.canonText]]).
+    * One regex pass: a maximal run of non-alphanumerics (punctuation
+    * and/or spaces) becomes a single space — byte-identical to the
+    * two-pass strip-then-collapse the oracle SQL spells out (d01
+    * hash-matches DuckDB), at half the regex cost over 100 TB of text. */
+  private def canon(c: Column): Column = Tables.canonText(c)
 
   // ---------------------------------------------------------------- d01
   /** Exact dedup: group documents by content hash; emit one row per
@@ -268,7 +266,13 @@ object DedupQueries {
       when(expr(s"((p_${b / 4} >> ${(b % 4) * 16}) & 65535) * 2") > col("n_tok"),
         lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
-    agg.select(col("doc_id"), sim.as("simhash"))
+    // overflow guard INSIDE the live expression (a separate assert column
+    // would be pruned away): beyond 32767 tokens the lane counters would
+    // silently carry into the neighbor lane, so fail loudly instead
+    val guarded = when(col("n_tok") <= 32767, sim).otherwise(
+      expr("raise_error('simhash lane overflow: document exceeds 32767 tokens; " +
+        "halve the packing to 2 lanes of 32 bits for such corpora')").cast(LongType))
+    agg.select(col("doc_id"), guarded.as("simhash"))
   }
 
   /** The unpacked 64-aggregate formulation, kept as the semantic

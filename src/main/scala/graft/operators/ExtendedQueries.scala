@@ -31,8 +31,13 @@ object ExtendedQueries {
   def q45ExplodeBigrams(s: SparkSession, dir: String): DataFrame =
     Tables.spread(Tables.documents(s, dir))
       .select(split(col("text"), " ").as("ws"))
+      // guarded like DedupQueries.shingleArrExpr: sequence(1, 0) is the
+      // DESCENDING [1, 0] in Spark, so a 1-token doc would otherwise call
+      // element_at(ws, 0) — a 1-based-indexing error
       .select(explode(expr(
-        "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
+        """if(size(ws) >= 2,
+          |   transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))),
+          |   cast(array() as array<string>))""".stripMargin))
         .as("bigram"))
       .groupBy(col("bigram"))
       .agg(count(lit(1)).as("n"))

@@ -25,7 +25,7 @@ object PipelineQueries {
       .withColumn("len_score", least(lit(1.0), length(col("text")).cast(DoubleType) / lit(500.0)))
       .filter(col("n_tokens") >= 10 && col("len_score") >= 0.2)
       .withColumn("canon",
-        trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
+        Tables.canonText(col("text")))
       .withColumn("fp", md5(col("canon")))
     val keepers = scored
       .groupBy(col("fp"))
@@ -64,7 +64,7 @@ object PipelineQueries {
     * re-reads historical text.
     */
   def p02IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
-    val canon = md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
+    val canon = md5(Tables.canonText(col("text")))
     val docs = Tables.spread(Tables.documents(s, dir)).withColumn("fp", canon)
     val isNew = col("source").isin("src0", "src1")
     val history = docs.filter(!isNew).select(col("fp"))

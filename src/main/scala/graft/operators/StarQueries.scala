@@ -1017,14 +1017,27 @@ object StarQueries {
     // equal lengths would match in both directions, so they keep ka < kb —
     // each unordered pair is emitted exactly one way, recovered with
     // least/greatest
-    val candidates = segA.join(probeB,
+    val segCandidates = segA.join(probeB,
         col("p_brand") === col("brand_b") && col("la") === col("la_p") &&
           col("segno") === col("sgp") && col("s") === col("sub") &&
           (col("la") < col("lb") || col("ka") < col("kb")))
       .select(col("p_brand"),
         least(col("ka"), col("kb")).as("ka"),
         greatest(col("ka"), col("kb")).as("kb"))
-      .distinct()
+    // names shorter than 3 chars cannot be segmented (la >= 3 filter), so
+    // pairs whose SHORTER side is such a name would be silently missed;
+    // they can only match names of length <= la + 2 <= 4, so the
+    // supplemental candidate set (short x short-ish, within brand) is tiny
+    val shortA = p.filter(length(col("p_name")) < 3)
+      .select(col("p_brand"), col("p_partkey").as("ka"))
+    val shortish = p.filter(length(col("p_name")) <= 4)
+      .select(col("p_brand").as("brand_b"), col("p_partkey").as("kb"))
+    val shortCandidates = broadcast(shortA).join(shortish,
+        col("p_brand") === col("brand_b") && col("ka") =!= col("kb"))
+      .select(col("p_brand"),
+        least(col("ka"), col("kb")).as("ka"),
+        greatest(col("ka"), col("kb")).as("kb"))
+    val candidates = segCandidates.unionAll(shortCandidates).distinct()
     val names = p.select(col("p_partkey"), col("p_name"))
     candidates
       .join(broadcast(names.select(col("p_partkey").as("ka"), col("p_name").as("na"))), "ka")

@@ -165,7 +165,7 @@ object TextQueries {
   def t04Fingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.spread(Tables.documents(s, dir))
       .withColumn("canon",
-        trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
+        Tables.canonText(col("text")))
       .select(
         col("doc_id"),
         substring(md5(col("canon")), 1, 16).as("fingerprint"),

@@ -88,14 +88,24 @@ object AsOfJoin {
     enable(spark)
     val lPlan = left.queryExecution.analyzed
     val rPlan = right.queryExecution.analyzed
-    def attr(p: LogicalPlan, name: String): Attribute =
-      p.output.find(_.name == name).getOrElse(
+    def attr(p: LogicalPlan, name: String, accepted: Seq[org.apache.spark.sql.types.DataType],
+        role: String): Attribute = {
+      val a = p.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"column $name not found in ${p.output.map(_.name)}"))
+      // the merge reads raw getLong/getDouble — a wrong-typed column would
+      // produce silently wrong joins, so types are enforced here
+      require(accepted.contains(a.dataType),
+        s"$role column $name must be one of ${accepted.mkString("/")}, got ${a.dataType}")
+      a
+    }
+    import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
+    val keyT = Seq(LongType)
+    val timeT = Seq(TimestampType, TimestampNTZType, LongType)
     val node = AsOfJoinNode(
       lPlan, rPlan,
-      attr(lPlan, leftKeyCol), attr(lPlan, leftTimeCol),
-      attr(rPlan, rightKeyCol), attr(rPlan, rightTimeCol),
-      attr(rPlan, rightSeqCol), attr(rPlan, rightValueCol),
+      attr(lPlan, leftKeyCol, keyT, "key"), attr(lPlan, leftTimeCol, timeT, "time"),
+      attr(rPlan, rightKeyCol, keyT, "key"), attr(rPlan, rightTimeCol, timeT, "time"),
+      attr(rPlan, rightSeqCol, keyT, "seq"), attr(rPlan, rightValueCol, Seq(DoubleType), "value"),
       AttributeReference(asofColName, DoubleType, nullable = true)())
     GraftSqlShim.ofRows(spark, node)
   }

@@ -51,6 +51,23 @@ class TopKAggregateSpec extends SparkTestBase {
     assert(r.map(x => (x.getDouble(0), x.getLong(1))) == Seq((5.0, 10L)))
   }
 
+  test("NaN ords sort greatest (SQL order) and never block later inserts") {
+    val buf = new TopKBuffer(2)
+    buf.add(5.0, 5L)
+    buf.add(Double.NaN, 7L)
+    // 9.0 must displace 5.0 even though the last slot holds... order is
+    // [NaN, 5.0]; 9.0 beats 5.0 -> [NaN, 9.0]
+    buf.add(9.0, 9L)
+    val got = (0 until buf.size).map(i => (buf.ords(i), buf.payloads(i)))
+    assert(got.head._1.isNaN && got.head._2 == 7L)
+    assert(got(1) == (9.0, 9L))
+    // two NaNs tie-break on payload
+    val b2 = new TopKBuffer(2)
+    b2.add(Double.NaN, 9L); b2.add(Double.NaN, 3L); b2.add(100.0, 1L)
+    val g2 = (0 until b2.size).map(i => b2.payloads(i))
+    assert(g2 == Seq(3L, 9L))
+  }
+
   test("TopKBuffer keeps a sorted bounded window under adversarial insert order") {
     val buf = new TopKBuffer(3)
     Seq(1.0 -> 1L, 9.0 -> 9L, 5.0 -> 5L, 9.0 -> 2L, 0.5 -> 0L, 9.0 -> 1L)
