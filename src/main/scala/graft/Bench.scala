@@ -29,7 +29,8 @@ object Bench {
       "d05_simhash" -> warmSf,
       "t05_bpe_tokens" -> warmSf,
       "s01_ann_bruteforce" -> warmSf,
-      "q41_fuzzy_names" -> warmSf
+      "q41_fuzzy_names" -> warmSf,
+      "q67_nested_structs" -> warmSf
     ).foreach { case (q, dir) =>
       try SparkEntry.queries(q)(spark, dir).count()
       catch { case _: Throwable => () }
