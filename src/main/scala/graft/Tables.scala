@@ -34,9 +34,16 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = table(s, d, "events")
     if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      raw.withColumn("ts", tsFromNanos(col("ts")))
     else raw
   }
+
+  /** Nanos-long -> TimestampType conversion shared by the batch and
+    * streaming events readers: INTEGER-divide to micros (double division
+    * would lose precision — nanos exceed 2^53) — the same truncation
+    * DuckDB applies casting timestamp_ns -> timestamp. Takes a simple
+    * column reference (the name is spliced into a SQL `div`). */
+  def tsFromNanos(c: Column): Column = expr(s"timestamp_micros(${c.toString} div 1000)")
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

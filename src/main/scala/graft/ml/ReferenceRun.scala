@@ -15,6 +15,9 @@ import org.apache.spark.ml.Pipeline
 object ReferenceRun {
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("baseline")
+    val validModes = Set("baseline", "tune", "cv", "all")
+    require(validModes.contains(mode),
+      s"unknown mode '$mode' — expected one of ${validModes.mkString(", ")}")
     val outDir = args.drop(1).headOption.getOrElse("/tmp/graft_ml")
     val spark = GraftSession("graft-reference-run")
     val data = SteelSchema.renamed(SteelSchema.load(spark))

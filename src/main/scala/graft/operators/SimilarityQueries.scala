@@ -12,10 +12,10 @@ import org.apache.spark.sql.types._
   *  - brute-force cosine top-k: broadcast the (small) query set against the
   *    corpus — a single map stage + per-partition top-k; the exactness
   *    baseline every ANN variant is tested against;
-  *  - random-hyperplane LSH: 16-bit signatures bucket the corpus; queries
-  *    only score their own bucket — sub-linear candidate sets at 100 TB
-  *    (signatures are computed in one map pass and the bucket join is a
-  *    shuffle on a 16-bit key);
+  *  - random-hyperplane LSH: 32 sign bits per vector, banded 4 x 8 bits;
+  *    queries score only vectors sharing at least one band bucket —
+  *    sub-linear candidate sets at 100 TB (signatures are one map pass,
+  *    the bucket join shuffles on small band keys);
   *  - per-label stats / near-dup pairs: embedding-cosine near-dedup scoped
   *    by a coarse key (label here; at scale, an IVF cluster id) so the
   *    pairwise step is bounded per group.
@@ -45,7 +45,7 @@ object SimilarityQueries {
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .withColumn("cosine", round(dot("qv", "v") / (col("qnorm") * col("norm")), 6))
+      .withColumn("cosine", floor(dot("qv", "v") / (col("qnorm") * col("norm")) * 1e6 + 0.5) / 1e6)
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 10)
@@ -62,8 +62,8 @@ object SimilarityQueries {
       |  FROM e),
       |scored AS (
       |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
-      |    ROUND(list_reduce(list_transform(generate_series(1, 64), i -> q.v[i] * c.v[i]), (x, y) -> x + y)
-      |      / (q.nrm * c.nrm), 6) AS cosine
+      |    FLOOR(list_reduce(list_transform(generate_series(1, 64), i -> q.v[i] * c.v[i]), (x, y) -> x + y)
+      |      / (q.nrm * c.nrm) * 1e6 + 0.5) / 1e6 AS cosine
       |  FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
       |ranked AS (
       |  SELECT q_id, neighbor_id, cosine,
@@ -131,7 +131,7 @@ object SimilarityQueries {
     val qvecs = vecs.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
     val cand = pairs.join(vecs, "vec_id").join(broadcast(qvecs), "q_id")
-      .withColumn("cosine", round(dot("qv", "v") / (col("qnorm") * col("norm")), 6))
+      .withColumn("cosine", floor(dot("qv", "v") / (col("qnorm") * col("norm")) * 1e6 + 0.5) / 1e6)
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
     cand.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
@@ -151,7 +151,7 @@ object SimilarityQueries {
     val a = e.select(col("label"), col("vec_id").as("da"), col("v").as("va"), col("norm").as("na"))
     val b = e.select(col("label").as("label_b"), col("vec_id").as("db"), col("v").as("vb"), col("norm").as("nb"))
     a.join(b, a("label") === b("label_b") && a("da") < b("db"))
-      .withColumn("cosine", round(dot("va", "vb") / (col("na") * col("nb")), 6))
+      .withColumn("cosine", floor(dot("va", "vb") / (col("na") * col("nb")) * 1e6 + 0.5) / 1e6)
       .groupBy(col("label"))
       .agg(
         count(lit(1)).as("n_pairs"),
@@ -169,8 +169,8 @@ object SimilarityQueries {
       |  FROM e),
       |pairs AS (
       |  SELECT a.label,
-      |    ROUND(list_reduce(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i]), (x, y) -> x + y)
-      |      / (a.nrm * b.nrm), 6) AS cosine
+      |    FLOOR(list_reduce(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i]), (x, y) -> x + y)
+      |      / (a.nrm * b.nrm) * 1e6 + 0.5) / 1e6 AS cosine
       |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
       |SELECT label, COUNT(*) AS n_pairs, MAX(cosine) AS max_cosine,
       |  SUM(CASE WHEN cosine >= 0.8 THEN 1 ELSE 0 END) AS n_near_dup
@@ -190,7 +190,7 @@ object SimilarityQueries {
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .withColumn("cosine", round(expr("graft_cosine(qv, v)"), 6))
+      .withColumn("cosine", floor(expr("graft_cosine(qv, v)") * 1e6 + 0.5) / 1e6)
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 10)
@@ -235,7 +235,7 @@ object SimilarityQueries {
     // 3. exact rerank within probed cells only
     val cand = e.join(broadcast(probes), Seq("label"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cosine", round(dot("qv", "v") / (col("qnorm") * col("norm")), 6))
+      .withColumn("cosine", floor(dot("qv", "v") / (col("qnorm") * col("norm")) * 1e6 + 0.5) / 1e6)
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
     cand.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)

@@ -41,14 +41,18 @@ object TextQueries {
         col("n_tokens"),
         col("n_ws_tokens"),
         col("n_distinct_tokens"),
-        round(col("n_distinct_tokens").cast(DoubleType) / nullif(col("n_tokens"), lit(0L)), 4).as("ttr"),
-        round(length(col("text")).cast(DoubleType) / nullif(col("n_tokens"), lit(0L)), 4).as("chars_per_token"))
+        // floor(x*1e4 + 0.5)/1e4 instead of round(): Spark rounds via the
+        // decimal string (HALF_UP) while DuckDB scales in binary, so exact
+        // .5 boundaries can disagree by 1 ulp of the last digit; the
+        // explicit floor formula is the same IEEE op sequence in both
+        (floor(col("n_distinct_tokens").cast(DoubleType) / nullif(col("n_tokens"), lit(0L)) * 10000.0 + 0.5) / 10000.0).as("ttr"),
+        (floor(length(col("text")).cast(DoubleType) / nullif(col("n_tokens"), lit(0L)) * 10000.0 + 0.5) / 10000.0).as("chars_per_token"))
       .orderBy(col("doc_id"))
 
   val t01Sql: String =
     s"""SELECT doc_id, n_tokens, n_ws_tokens, n_distinct_tokens,
-       |  ROUND(CAST(n_distinct_tokens AS DOUBLE) / NULLIF(n_tokens, 0), 4) AS ttr,
-       |  ROUND(CAST(n_chars2 AS DOUBLE) / NULLIF(n_tokens, 0), 4) AS chars_per_token
+       |  FLOOR(CAST(n_distinct_tokens AS DOUBLE) / NULLIF(n_tokens, 0) * 10000.0 + 0.5) / 10000.0 AS ttr,
+       |  FLOOR(CAST(n_chars2 AS DOUBLE) / NULLIF(n_tokens, 0) * 10000.0 + 0.5) / 10000.0 AS chars_per_token
        |FROM (
        |  SELECT doc_id,
        |    CAST(len(regexp_extract_all(text, '$TokenPattern')) AS BIGINT) AS n_tokens,
@@ -199,7 +203,10 @@ object TextQueries {
     Tables.spread(Tables.documents(s, dir))
       .withColumn("pieces", expr(s"regexp_extract_all(text, '$sparkPat', 0)"))
       .withColumn("n_pieces", size(col("pieces")).cast(LongType))
-      .withColumn("n_ws", expr("size(filter(pieces, p -> trim(p) = ''))").cast(LongType))
+      // regex whitespace test, not trim(p) = '': trim strips only ASCII
+      // spaces, so newline/tab pieces from the \s+ alternative would be
+      // miscounted as real tokens
+      .withColumn("n_ws", expr("size(filter(pieces, p -> p rlike '^\\\\s+$'))").cast(LongType))
       .select(
         col("doc_id"),
         col("n_pieces"),
@@ -215,7 +222,7 @@ object TextQueries {
        |FROM (
        |  SELECT doc_id, n_chars,
        |    CAST(len(regexp_extract_all(text, '${sqlQuoteDuck(BpePattern)}')) AS BIGINT) AS n_pieces,
-       |    CAST(len(list_filter(regexp_extract_all(text, '${sqlQuoteDuck(BpePattern)}'), p -> trim(p) = '')) AS BIGINT) AS n_ws
+       |    CAST(len(list_filter(regexp_extract_all(text, '${sqlQuoteDuck(BpePattern)}'), p -> regexp_matches(p, '^\\s+$$'))) AS BIGINT) AS n_ws
        |  FROM documents)
        |ORDER BY doc_id""".stripMargin
 

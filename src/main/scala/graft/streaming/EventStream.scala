@@ -38,18 +38,27 @@ object EventStream {
     spark.readStream
       .schema(rawSchema)
       .parquet(s"$dir/events.parque[t]")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", graft.Tables.tsFromNanos(col("ts")))
 
   /** 1-hour tumbling window counts/sums with a 2-hour watermark — the
-    * streaming twin of the batch q27. Watermark bounds state: closed
-    * windows are evicted, so state size is O(active windows x types)
-    * regardless of stream length.
+    * streaming twin of the batch q27. The decimal-routed sum matches
+    * q27's dsum exactly, so streaming and batch agree bit-for-bit, not
+    * just after rounding.
+    *
+    * State note: in Append/Update mode the watermark evicts closed
+    * windows (state O(active windows x types)); the bounded-run helpers
+    * below use Complete mode to surface the full result table, which
+    * retains all windows — an unbounded production deployment pairs this
+    * aggregation with Append mode + a real sink (see runHourlyToFiles'
+    * per-batch snapshot pattern).
     */
   def hourlyAgg(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(30, 2)))
+          .cast(org.apache.spark.sql.types.DoubleType).as("total_value"))
       .select(col("window.start").as("hour_start"), col("event_type"), col("n"), col("total_value"))
 
   /** Run the streaming aggregation to completion over the bounded input and
@@ -186,6 +195,10 @@ object EventStream {
       .as[UserEvent]
     val counted = events
       .groupByKey(_.user_id)
+      // NoTimeout is fine for the bounded harness run; an unbounded
+      // deployment with an open-ended key space sets an event-time or
+      // processing-time timeout and removes expired state, like the
+      // watermark-bounded operators above
       .mapGroupsWithState[UserState, (Long, Long, Long)](GroupStateTimeout.NoTimeout()) {
         case (uid, rows, state: GroupState[UserState]) =>
           val prev = state.getOption.getOrElse(UserState(0L, 0L))
@@ -203,6 +216,11 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // Update mode + memory sink appends every batch's updated rows, so a
+    // multi-batch run leaves stale earlier snapshots per user; n_events
+    // grows monotonically, so the max row per user IS the current state
     spark.table(queryName)
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"), max(col("last_seen_micros")).as("last_seen_micros"))
   }
 }

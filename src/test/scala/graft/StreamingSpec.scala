@@ -9,14 +9,14 @@ import org.apache.spark.sql.functions._
 class StreamingSpec extends SparkTestBase {
 
   test("streaming hourly agg equals the batch tumbling window (q27 triangle)") {
+    // bit-exact, no rounding: both sides route the double sum through the
+    // same decimal cast, so the values are order-independent
     val streamed = EventStream.runBounded(spark, Sf0001, "agg_spec")
-      .select(col("hour_start"), col("event_type"), col("n"),
-        round(col("total_value"), 4).as("tv"))
+      .select(col("hour_start"), col("event_type"), col("n"), col("total_value"))
       .collect()
       .map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
     val batch = StarQueries.q27TumblingWindow(spark, Sf0001)
-      .select(col("hour_start"), col("event_type"), col("n"),
-        round(col("total_value"), 4).as("tv"))
+      .select(col("hour_start"), col("event_type"), col("n"), col("total_value"))
       .collect()
       .map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
     assert(streamed === batch)
