@@ -669,8 +669,59 @@ object ExtendedQueries {
       |  COUNT(DISTINCT o_orderpriority) AS n_prios
       |FROM orders GROUP BY 1 ORDER BY status""".stripMargin
 
+  // ---------------------------------------------------------------- q68
+  /** Centered moving average (ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING):
+    * the smoothing window every time-series feature pipeline needs. The
+    * frame is position-based over a unique total order, so membership is
+    * deterministic; the 3-row sum goes through decimal for exactness.
+    */
+  def q68MovingAverage(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-1, 1)
+    Tables.events(s, dir)
+      .withColumn("ma3",
+        (sum(col("value").cast(DecimalType(30, 2))).over(w).cast(DoubleType) /
+          count(lit(1)).over(w)))
+      .select(col("user_id"), col("event_id"), col("ma3"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val q68Sql: String =
+    """SELECT user_id, event_id,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(30,2))) OVER w AS VARCHAR) AS DOUBLE)
+      |    / COUNT(*) OVER w AS ma3
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q69
+  /** Ratio-to-report: each order's share of its customer's total spend —
+    * a whole-partition window aggregate (no frame clause needed for sum
+    * over the full partition... Spark's default frame for an aggregate
+    * without ORDER BY is the full partition, same as the SQL standard).
+    * The numerator/denominator are both decimal-exact; one division.
+    */
+  def q69RatioToTotal(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+    Tables.orders(s, dir)
+      .withColumn("cust_total",
+        sum(col("o_totalprice").cast(DecimalType(30, 2))).over(w).cast(DoubleType))
+      .select(col("o_custkey"), col("o_orderkey"),
+        (col("o_totalprice") / col("cust_total")).as("share"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val q69Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  o_totalprice / (CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2)))
+      |    OVER (PARTITION BY o_custkey) AS VARCHAR) AS DOUBLE)) AS share
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q68_moving_average" -> (q68MovingAverage _),
+    "q69_ratio_to_total" -> (q69RatioToTotal _),
     "q67_nested_structs" -> (q67NestedStructs _),
     "q65_range_join" -> (q65RangeJoin _),
     "q66_corr_matrix" -> (q66CorrMatrix _),
@@ -705,6 +756,8 @@ object ExtendedQueries {
     "q65_range_join" -> q65Sql,
     "q66_corr_matrix" -> q66Sql,
     "q67_nested_structs" -> q67Sql,
+    "q68_moving_average" -> q68Sql,
+    "q69_ratio_to_total" -> q69Sql,
     "q56_map_functions" -> q56Sql,
     "q57_calendar_join" -> q57Sql,
     "q58_supplier_parts" -> q58Sql,
