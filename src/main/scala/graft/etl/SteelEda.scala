@@ -21,22 +21,23 @@ object SteelEda {
   def countBy(data: DataFrame, column: String): DataFrame =
     data.groupBy(column).count()
 
-  /** The py:57/66/75 chain: avg Usage_kWh by a category, ordered desc,
-    * formatted to 2 decimals with thousands separators. */
-  def avgUsageBy(data: DataFrame, column: String): DataFrame =
+  /** The shared py:57-92 chain: avg(metric) by a category with the
+    * reference's auto-generated `avg(metric)` name reproduced, ordered
+    * desc, renamed, formatted to 2 decimals with thousands separators. */
+  private def avgChain(data: DataFrame, column: String, metric: String, outName: String): DataFrame =
     data.groupBy(column)
-      .agg(avg("Usage_kWh").as("avg(Usage_kWh)"))
-      .orderBy(col("avg(Usage_kWh)").desc)
-      .withColumnRenamed("avg(Usage_kWh)", "avg_energy_consumption")
-      .select(col(column), format_number(col("avg_energy_consumption"), 2).as("avg_energy_consumption"))
+      .agg(avg(metric).as(s"avg($metric)"))
+      .orderBy(col(s"avg($metric)").desc)
+      .withColumnRenamed(s"avg($metric)", outName)
+      .select(col(column), format_number(col(outName), 2).as(outName))
+
+  /** The py:57/66/75 chain: avg Usage_kWh by a category. */
+  def avgUsageBy(data: DataFrame, column: String): DataFrame =
+    avgChain(data, column, "Usage_kWh", "avg_energy_consumption")
 
   /** avg NSM by Load_Type (py:84-92). */
   def avgNsmByLoadType(data: DataFrame): DataFrame =
-    data.groupBy("Load_Type")
-      .agg(avg("NSM").as("avg(NSM)"))
-      .orderBy(col("avg(NSM)").desc)
-      .withColumnRenamed("avg(NSM)", "avg_nsm")
-      .select(col("Load_Type"), format_number(col("avg_nsm"), 2).as("avg_nsm"))
+    avgChain(data, "Load_Type", "NSM", "avg_nsm")
 
   /** Whole-table Pearson correlation as a 1x1 frame (py:125; expected
     * 0.9881797716789519 on the pre-rename column). */

@@ -130,11 +130,14 @@ object DedupQueries {
     cand
       .join(broadcast(sets.select(col("doc_id").as("da"), col("sh_arr").as("arr_a"))), "da")
       .join(broadcast(sets.select(col("doc_id").as("db"), col("sh_arr").as("arr_b"))), "db")
-      .withColumn("jaccard", round(
+      // threshold on the UNROUNDED ratio (matching the oracle's WHERE);
+      // filtering post-round would admit pairs in [t - 0.00005, t) that
+      // round up to t — round only for the output column
+      .withColumn("jraw",
         size(array_intersect(col("arr_a"), col("arr_b"))).cast(DoubleType) /
-          size(array_union(col("arr_a"), col("arr_b"))).cast(DoubleType), 4))
-      .filter(col("jaccard") >= t)
-      .select(col("da"), col("db"), col("jaccard"))
+          size(array_union(col("arr_a"), col("arr_b"))).cast(DoubleType))
+      .filter(col("jraw") >= t)
+      .select(col("da"), col("db"), round(col("jraw"), 4).as("jaccard"))
       .orderBy(col("da"), col("db"))
   }
 

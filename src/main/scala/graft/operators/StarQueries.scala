@@ -108,10 +108,13 @@ object StarQueries {
       sum(col("l_quantity") * col("l_quantity")).as("sxx"),
       dsum(col("l_extendedprice") * col("l_extendedprice"), 38, 4).as("syy"),
       dsum(col("l_quantity") * col("l_extendedprice"), 38, 2).as("sxy"))
+    // nullif: a constant column makes the denominator exactly 0.0, which
+    // ANSI mode turns into DIVIDE_BY_ZERO; null matches how the built-in
+    // corr (q05) and the oracle degrade
     agg.select(
       ((col("n") * col("sxy") - col("sx") * col("sy")) /
-        (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
-         sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr_qty_price"))
+        nullif(sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+          sqrt(col("n") * col("syy") - col("sy") * col("sy")), lit(0.0))).as("corr_qty_price"))
   }
 
   val q04Sql: String =
@@ -123,7 +126,7 @@ object StarQueries {
       |    CAST(CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS syy,
       |    CAST(CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,2))) AS VARCHAR) AS DOUBLE) AS sxy
       |  FROM lineitem)
-      |SELECT (n * sxy - sx * sy) / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)) AS corr_qty_price
+      |SELECT (n * sxy - sx * sy) / NULLIF(SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy), 0.0) AS corr_qty_price
       |FROM m""".stripMargin
 
   // ---------------------------------------------------------------- q05
@@ -460,10 +463,15 @@ object StarQueries {
     */
   def q20Histogram(s: SparkSession, dir: String): DataFrame = {
     Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+    // IF(mx = mn, mx + 1, mx): the degenerate all-equal range guard the
+    // Databricks original carries (SteelSql.histogram) — without it the
+    // bucket width is 0 and ANSI mode throws DIVIDE_BY_ZERO
     s.sql(
       """WITH mm AS (
         |  SELECT (SELECT MIN(o_totalprice) FROM orders_v) AS mn,
-        |         (SELECT MAX(o_totalprice) FROM orders_v) AS mx),
+        |         IF((SELECT MAX(o_totalprice) FROM orders_v) = (SELECT MIN(o_totalprice) FROM orders_v),
+        |            (SELECT MAX(o_totalprice) FROM orders_v) + 1,
+        |            (SELECT MAX(o_totalprice) FROM orders_v)) AS mx),
         |b AS (
         |  SELECT LEAST(9, CAST(FLOOR((o_totalprice - mn) / ((mx - mn) / 10.0)) AS INT)) AS bucket
         |  FROM orders_v CROSS JOIN mm)
@@ -473,7 +481,9 @@ object StarQueries {
   val q20Sql: String =
     """WITH mm AS (
       |  SELECT (SELECT MIN(o_totalprice) FROM orders) AS mn,
-      |         (SELECT MAX(o_totalprice) FROM orders) AS mx),
+      |         IF((SELECT MAX(o_totalprice) FROM orders) = (SELECT MIN(o_totalprice) FROM orders),
+      |            (SELECT MAX(o_totalprice) FROM orders) + 1,
+      |            (SELECT MAX(o_totalprice) FROM orders)) AS mx),
       |b AS (
       |  SELECT LEAST(9, CAST(FLOOR((o_totalprice - mn) / ((mx - mn) / 10.0)) AS INT)) AS bucket
       |  FROM orders CROSS JOIN mm)
@@ -775,10 +785,14 @@ object StarQueries {
         col("event_type"),
         col("n").cast(LongType).as("n"),
         (col("s1") / col("n")).as("mean"),
-        sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1.0)).as("stddev"),
+        // nullif guards: a singleton group (n-1 = 0) or zero-variance group
+        // would otherwise DIVIDE_BY_ZERO under Spark 4's default ANSI mode;
+        // null (matching the oracle's NULLIF) degrades gracefully instead
+        sqrt((col("s2") - col("s1") * col("s1") / col("n")) / nullif(col("n") - 1.0, lit(0.0))).as("stddev"),
         (((col("s3") - lit(3.0) * col("s1") * col("s2") / col("n")
           + lit(2.0) * col("s1") * col("s1") * col("s1") / (col("n") * col("n"))) / col("n"))
-          / { val v = (col("s2") - col("s1") * col("s1") / col("n")) / col("n"); v * sqrt(v) }).as("skewness"))
+          / { val v = (col("s2") - col("s1") * col("s1") / col("n")) / col("n")
+              nullif(v * sqrt(v), lit(0.0)) }).as("skewness"))
       .orderBy(col("event_type"))
   }
 
@@ -792,9 +806,9 @@ object StarQueries {
       |  FROM events GROUP BY event_type)
       |SELECT event_type, CAST(n AS BIGINT) AS n,
       |  s1 / n AS mean,
-      |  SQRT((s2 - s1 * s1 / n) / (n - 1.0)) AS stddev,
+      |  SQRT((s2 - s1 * s1 / n) / NULLIF(n - 1.0, 0.0)) AS stddev,
       |  ((s3 - 3.0 * s1 * s2 / n + 2.0 * s1 * s1 * s1 / (n * n)) / n)
-      |    / (((s2 - s1 * s1 / n) / n) * SQRT((s2 - s1 * s1 / n) / n)) AS skewness
+      |    / NULLIF(((s2 - s1 * s1 / n) / n) * SQRT((s2 - s1 * s1 / n) / n), 0.0) AS skewness
       |FROM m ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------- q34
@@ -989,8 +1003,11 @@ object StarQueries {
   def q41FuzzyNames(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // spread: the single-row-group part file otherwise serializes the whole
-    // segment/probe/verify pipeline into one task
-    val p = Tables.spread(Tables.part(s, dir)).select(col("p_partkey"), col("p_brand"), col("p_name"))
+    // segment/probe/verify pipeline into one task. Cached: six derived
+    // branches (segments, probes, short-name fallback x2, name lookup x2)
+    // would each re-run the scan + repartition.
+    val p = Tables.spread(Tables.part(s, dir))
+      .select(col("p_partkey"), col("p_brand"), col("p_name")).cache()
     val segnos = Seq(0, 1, 2).toDF("segno")
     // probe only the shorter-or-equal side's lengths (dl <= 0): each pair
     // is found exactly once with the shorter string segmented, so the
