@@ -92,6 +92,28 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(got === Map(1L -> 1L, 2L -> 2L))
   }
 
+  test("q33 degrades to null (not ANSI DIVIDE_BY_ZERO) for singleton and constant groups") {
+    import spark.implicits._
+    val dir = s"/tmp/graft_edge_moments_${ProcessHandle.current().pid()}"
+    Seq(
+      (1L, 1000000L, 1L, "solo", 5.0, "{}"),          // singleton group: n-1 = 0
+      (2L, 2000000L, 1L, "flat", 3.0, "{}"),          // constant group: variance 0
+      (3L, 3000000L, 1L, "flat", 3.0, "{}"),
+      (4L, 4000000L, 1L, "vary", 1.0, "{}"),          // healthy group
+      (5L, 5000000L, 1L, "vary", 2.0, "{}"),
+      (6L, 6000000L, 1L, "vary", 4.0, "{}"))
+      .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = StarQueries.q33Moments(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows("solo").isNullAt(3) && rows("solo").isNullAt(4),
+      "singleton group: stddev and skewness must be null")
+    assert(rows("flat").getDouble(3) == 0.0 && rows("flat").isNullAt(4),
+      "constant group: stddev 0, skewness null")
+    assert(!rows("vary").isNullAt(3) && !rows("vary").isNullAt(4))
+  }
+
   test("graft_topk rejects a non-literal or non-positive k with a clear error") {
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
