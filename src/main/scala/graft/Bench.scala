@@ -36,16 +36,36 @@ object Bench {
       catch { case _: Throwable => () }
       finally spark.catalog.clearCache()
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       finally spark.catalog.clearCache() // release per-query caches
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def f(v: Double): String = f"$v%.3f"
+    // Full per-query breakdown to a file for local profiling; stdout must
+    // stay minimal (see below) and stderr may be merged into the captured
+    // tail by the harness.
+    val detail = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
+      .mkString("{", ",\n ", "}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json"), detail + "\n")
+    // The driver captures a bounded TAIL of stdout and parses the JSON line
+    // from it — all 90+ per-query timings (~4 KB) overflow that window and
+    // the line arrives truncated (round-1 BENCH had parsed:null). Keep the
+    // line compact: total over ALL queries + a representative headline
+    // subset, one per operator family.
+    val headline = Seq(
+      "q01_pricing_summary", "q08_revenue_by_region_nation", "q15_window_topn",
+      "q31_asof_join", "q41_fuzzy_names", "q27_tumbling_window",
+      "d01_exact_dedup", "d04_minhash_lsh", "d05_simhash",
+      "s01_ann_bruteforce", "s04_ann_native", "t03_quality_score",
+      "p01_clean_corpus", "ml01_lr_metrics", "steel04_histogram_sql")
+    val rm = results.toMap
+    val qs = headline.flatMap(k => rm.get(k).map(v => "\"" + k + "\":" + f(v)))
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    println(s"""{"metric":"total_sec_all_${results.size}_queries","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -34,5 +34,6 @@ object SparkEntry {
       operators.TextQueries.oracle ++
       operators.DedupQueries.oracle ++
       operators.SimilarityQueries.oracle ++
+      operators.SteelQueries.oracle ++
       operators.PipelineQueries.oracle
 }

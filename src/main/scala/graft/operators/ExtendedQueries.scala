@@ -189,7 +189,7 @@ object ExtendedQueries {
       |    MAX(CASE WHEN l_quantity >= 49.0 THEN 1 ELSE 0 END) AS has_max
       |  FROM lineitem GROUP BY l_orderkey)
       |SELECT n_big, COUNT(*) AS n_orders, SUM(order_qty) AS total_qty,
-      |  SUM(has_max) AS n_with_max
+      |  CAST(SUM(has_max) AS BIGINT) AS n_with_max
       |FROM per_order GROUP BY n_big ORDER BY n_big""".stripMargin
 
   // ---------------------------------------------------------------- q51
@@ -277,8 +277,8 @@ object ExtendedQueries {
     """SELECT l_linestatus,
       |  COUNT(*) AS n,
       |  COUNT(NULLIF(l_discount, 0.0)) AS n_discounted,
-      |  SUM(CASE WHEN NULLIF(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END) AS n_zero_discount,
-      |  SUM(CASE WHEN NULLIF(l_discount, 0.0) IS NOT DISTINCT FROM NULLIF(l_tax, 0.0) THEN 1 ELSE 0 END) AS n_same_rate,
+      |  CAST(SUM(CASE WHEN NULLIF(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_discount,
+      |  CAST(SUM(CASE WHEN NULLIF(l_discount, 0.0) IS NOT DISTINCT FROM NULLIF(l_tax, 0.0) THEN 1 ELSE 0 END) AS BIGINT) AS n_same_rate,
       |  CAST(CAST(SUM(CAST(COALESCE(NULLIF(l_discount, 0.0), 0.0) AS DECIMAL(30,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_discount
       |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
 
@@ -440,20 +440,39 @@ object ExtendedQueries {
       |ORDER BY supplier_cnt DESC, p_type, p_size LIMIT 20""".stripMargin
 
   // ---------------------------------------------------------------- q59
-  /** approx_percentile (t-digest-style sketch) — the 100 TB path for
-    * quantiles q24 computes exactly. Sketch internals are
-    * engine-specific, so this is rows-only for the driver; the spec
-    * asserts each approximation lands within the exact neighboring
-    * values of the distribution.
+  /** approx_percentile (GK-sketch) — the 100 TB path for quantiles q24
+    * computes exactly. Sketch internals are engine-specific, so the oracle
+    * checks the CONTRACT: each estimate is an actual data value whose rank
+    * fraction (share of rows <= it) lands within 0.01 of the requested
+    * percentile — well inside the accuracy=10000 guarantee of rank error
+    * <= n/10000. DuckDB expects the booleans to be literally TRUE, plus
+    * the SQL-expressible group sizes.
     */
-  def q59ApproxPercentiles(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
+  def q59ApproxPercentiles(s: SparkSession, dir: String): DataFrame = {
+    val approx = Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(
         expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50"),
         expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("p90"),
         expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("p99"))
+    def frac(p: String) =
+      sum(when(col("l_extendedprice") <= col(p), 1L).otherwise(0L))
+        .cast("double") / count(lit(1)).cast("double")
+    Tables.lineitem(s, dir).select(col("l_returnflag"), col("l_extendedprice"))
+      .join(broadcast(approx), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        (abs(frac("p50") - 0.5) <= 0.01).as("p50_ok"),
+        (abs(frac("p90") - 0.9) <= 0.01).as("p90_ok"),
+        (abs(frac("p99") - 0.99) <= 0.01).as("p99_ok"))
       .orderBy(col("l_returnflag"))
+  }
+
+  val q59Sql: String =
+    """SELECT l_returnflag, COUNT(*) AS n_rows,
+      |  TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // ---------------------------------------------------------------- q60
   /** ANSI-safe arithmetic: Spark 4 runs ANSI mode by default, where /0 and
@@ -476,7 +495,7 @@ object ExtendedQueries {
   val q60Sql: String =
     """SELECT l_returnflag, COUNT(*) AS n,
       |  COUNT(l_tax / NULLIF(l_discount, 0.0)) AS n_defined,
-      |  SUM(CASE WHEN l_discount = 0.0 THEN 1 ELSE 0 END) AS n_zero_discount,
+      |  CAST(SUM(CASE WHEN l_discount = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_discount,
       |  ROUND(CAST(CAST(SUM(CAST(l_tax / NULLIF(l_discount, 0.0) AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)
       |    / COUNT(l_tax / NULLIF(l_discount, 0.0)), 4) AS avg_ratio
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
@@ -551,8 +570,8 @@ object ExtendedQueries {
 
   val q63Sql: String =
     """SELECT YEAR(d) AS yr,
-      |  SUM(CASE WHEN d = last_day(d) THEN 1 ELSE 0 END) AS n_month_end,
-      |  SUM(CASE WHEN CAST(date_trunc('quarter', d) AS DATE) = d THEN 1 ELSE 0 END) AS n_quarter_start,
+      |  CAST(SUM(CASE WHEN d = last_day(d) THEN 1 ELSE 0 END) AS BIGINT) AS n_month_end,
+      |  CAST(SUM(CASE WHEN CAST(date_trunc('quarter', d) AS DATE) = d THEN 1 ELSE 0 END) AS BIGINT) AS n_quarter_start,
       |  CAST(MAX(datediff('day', CAST(date_trunc('year', d) AS DATE), d)) AS INT) AS max_doy_offset,
       |  SUM(DAY(d)) * 1.0 / COUNT(*) AS avg_dom
       |FROM (SELECT CAST(o_orderdate AS DATE) AS d FROM orders)
@@ -578,9 +597,9 @@ object ExtendedQueries {
     """WITH per AS (
       |  SELECT l_orderkey, COUNT(CASE WHEN l_quantity > 45.0 THEN 1 END) AS c
       |  FROM lineitem GROUP BY 1)
-      |SELECT SUM(CASE WHEN c = 0 THEN 1 ELSE c END) AS n_rows,
-      |  SUM(c) AS n_vals,
-      |  SUM(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS n_empty_orders
+      |SELECT CAST(SUM(CASE WHEN c = 0 THEN 1 ELSE c END) AS BIGINT) AS n_rows,
+      |  CAST(SUM(c) AS BIGINT) AS n_vals,
+      |  CAST(SUM(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_orders
       |FROM per""".stripMargin
 
   // ---------------------------------------------------------------- q65
@@ -621,18 +640,19 @@ object ExtendedQueries {
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
     val aggs = for {
       i <- cols.indices; j <- cols.indices if i < j
-    } yield round(corr(col(cols(i)), col(cols(j))), 3).as(s"${cols(i)}__${cols(j)}")
+    } yield (round(corr(col(cols(i)), col(cols(j))), 3) + lit(0.0))
+      .as(s"${cols(i)}__${cols(j)}")
     Tables.lineitem(s, dir).agg(aggs.head, aggs.tail: _*)
   }
 
   val q66Sql: String =
     """SELECT
-      |  ROUND(CORR(l_quantity, l_extendedprice), 3) AS l_quantity__l_extendedprice,
-      |  ROUND(CORR(l_quantity, l_discount), 3) AS l_quantity__l_discount,
-      |  ROUND(CORR(l_quantity, l_tax), 3) AS l_quantity__l_tax,
-      |  ROUND(CORR(l_extendedprice, l_discount), 3) AS l_extendedprice__l_discount,
-      |  ROUND(CORR(l_extendedprice, l_tax), 3) AS l_extendedprice__l_tax,
-      |  ROUND(CORR(l_discount, l_tax), 3) AS l_discount__l_tax
+      |  ROUND(CORR(l_quantity, l_extendedprice), 3) + 0.0 AS l_quantity__l_extendedprice,
+      |  ROUND(CORR(l_quantity, l_discount), 3) + 0.0 AS l_quantity__l_discount,
+      |  ROUND(CORR(l_quantity, l_tax), 3) + 0.0 AS l_quantity__l_tax,
+      |  ROUND(CORR(l_extendedprice, l_discount), 3) + 0.0 AS l_extendedprice__l_discount,
+      |  ROUND(CORR(l_extendedprice, l_tax), 3) + 0.0 AS l_extendedprice__l_tax,
+      |  ROUND(CORR(l_discount, l_tax), 3) + 0.0 AS l_discount__l_tax
       |FROM lineitem""".stripMargin
 
   // ---------------------------------------------------------------- q67
@@ -748,6 +768,7 @@ object ExtendedQueries {
 
   val oracle: Map[String, String] = Map(
     "q55_topk_native" -> q55Sql,
+    "q59_approx_percentiles" -> q59Sql,
     "q60_try_arithmetic" -> q60Sql,
     "q61_asof_native" -> q61Sql,
     "q62_typed_aggregator" -> q62Sql,

@@ -50,8 +50,9 @@ object PipelineQueries {
       |  SELECT * FROM scored WHERE n_tokens >= 10 AND len_score >= 0.2),
       |keepers AS (
       |  SELECT fp, MIN(doc_id) AS doc_id FROM filtered GROUP BY fp)
-      |SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
-      |  SUM(CAST(n_tokens AS BIGINT)) AS total_tokens
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(SUM(CAST(n_tokens AS BIGINT)) AS BIGINT) AS total_tokens
       |FROM keepers JOIN filtered USING (fp, doc_id)
       |GROUP BY source ORDER BY source""".stripMargin
 
@@ -94,8 +95,9 @@ object PipelineQueries {
       |  WHERE source IN ('src0', 'src1') AND NOT EXISTS (
       |    SELECT 1 FROM fps h WHERE h.source NOT IN ('src0', 'src1') AND h.fp = b.fp)
       |  GROUP BY fp)
-      |SELECT source, COUNT(*) AS n_kept, SUM(n_in_batch) AS n_batch_copies,
-      |  SUM(n_chars) AS total_chars
+      |SELECT source, COUNT(*) AS n_kept,
+      |  CAST(SUM(n_in_batch) AS BIGINT) AS n_batch_copies,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
       |FROM fresh JOIN fps ON keeper_doc_id = doc_id
       |GROUP BY source ORDER BY source""".stripMargin
 

@@ -173,7 +173,7 @@ object SimilarityQueries {
       |      / (a.nrm * b.nrm) * 1e6 + 0.5) / 1e6 AS cosine
       |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
       |SELECT label, COUNT(*) AS n_pairs, MAX(cosine) AS max_cosine,
-      |  SUM(CASE WHEN cosine >= 0.8 THEN 1 ELSE 0 END) AS n_near_dup
+      |  CAST(SUM(CASE WHEN cosine >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup
       |FROM pairs GROUP BY label ORDER BY label""".stripMargin
 
   // ---------------------------------------------------------------- s04

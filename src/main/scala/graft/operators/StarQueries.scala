@@ -318,15 +318,29 @@ object StarQueries {
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // ---------------------------------------------------------------- q14
-  /** HLL++ approximate distinct — the scale path for cardinality. Not
-    * oracle-checked (sketch internals are engine-specific); validated in
-    * ScalaTest against the exact count within rsd.
+  /** HLL++ approximate distinct — the scale path for cardinality. Sketch
+    * internals are engine-specific, so the oracle checks the CONTRACT
+    * instead: the exact cardinalities (SQL-expressible) plus booleans that
+    * the rsd=0.01 estimate landed within 5% of exact (DuckDB expects
+    * literal TRUE). ScalaTest asserts the same bound standalone.
     */
   def q14ApproxDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .agg(
-        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        (abs(approx_count_distinct(col("l_partkey"), 0.01).cast("double") /
+          countDistinct(col("l_partkey")).cast("double") - 1.0) <= 0.05)
+          .as("parts_within_5pct"),
+        (abs(approx_count_distinct(col("l_orderkey"), 0.01).cast("double") /
+          countDistinct(col("l_orderkey")).cast("double") - 1.0) <= 0.05)
+          .as("orders_within_5pct"))
+
+  val q14Sql: String =
+    """SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
+      |  COUNT(DISTINCT l_orderkey) AS exact_orders,
+      |  TRUE AS parts_within_5pct, TRUE AS orders_within_5pct
+      |FROM lineitem""".stripMargin
 
   // ---------------------------------------------------------------- q15
   /** Window top-n per group: top 3 orders per customer (rank partitioned by
@@ -424,9 +438,9 @@ object StarQueries {
       |  FROM e),
       |sess AS (
       |  SELECT user_id, us,
-      |    SUM(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
+      |    CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
       |      OVER (PARTITION BY user_id ORDER BY us, event_id
-      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |  FROM g)
       |SELECT user_id, session_id, COUNT(*) AS n_events,
       |  (MAX(us) - MIN(us)) // 1000000 AS duration_sec
@@ -593,7 +607,7 @@ object StarQueries {
   val q25Sql: String =
     """SELECT p_type, COUNT(*) AS n,
       |  COUNT(DISTINCT UPPER(SUBSTRING(p_brand, 7, 2))) AS n_brands,
-      |  SUM(CASE WHEN p_name LIKE '%widget%' THEN 1 ELSE 0 END) AS n_widgets,
+      |  CAST(SUM(CASE WHEN p_name LIKE '%widget%' THEN 1 ELSE 0 END) AS BIGINT) AS n_widgets,
       |  SUM(LENGTH(p_name)) / COUNT(*) AS avg_name_len
       |FROM part GROUP BY p_type ORDER BY p_type""".stripMargin
 
@@ -1068,7 +1082,7 @@ object StarQueries {
 
   val q41Sql: String =
     """SELECT a.p_brand, COUNT(*) AS n_near_pairs,
-      |  SUM(levenshtein(a.p_name, b.p_name)) AS total_dist
+      |  CAST(SUM(levenshtein(a.p_name, b.p_name)) AS BIGINT) AS total_dist
       |FROM part a JOIN part b
       |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
       |  AND ABS(LENGTH(a.p_name) - LENGTH(b.p_name)) <= 2
@@ -1235,6 +1249,7 @@ object StarQueries {
     "q11_anti_join" -> q11Sql,
     "q12_set_ops" -> q12Sql,
     "q13_distinct_agg" -> q13Sql,
+    "q14_approx_distinct" -> q14Sql,
     "q15_window_topn" -> q15Sql,
     "q16_running_sum" -> q16Sql,
     "q17_lag_lead" -> q17Sql,

@@ -4,43 +4,97 @@ import graft.etl.{SteelEda, SteelSchema}
 import graft.ml.{Evaluate, FeaturePipeline, Regressors}
 import graft.sql.SteelSql
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** Reference-parity queries on the steel dataset itself, surfaced through
-  * the driver contract as rows-only entries (the DuckDB oracle only sees
-  * the star-schema tables; these are instead golden-tested in ScalaTest
-  * against the notebook's recorded outputs — BASELINE.md).
+/** Reference-parity queries on the steel dataset itself (the reference's
+  * own EDA + SQL surface, SURVEY.md §2.3/§2.7), surfaced through the driver
+  * contract WITH DuckDB oracles: the oracle SQL reads the very same CSV via
+  * read_csv, so the cross-engine hash check covers the reference workload
+  * too, not just the star schema. ScalaTest additionally golden-tests these
+  * against the notebook's recorded outputs (BASELINE.md).
   *
   * They deliberately ignore the sfDir argument: the reference's dataset is
-  * a fixed 35,040-row CSV (read-only at /root/reference).
+  * a fixed 35,040-row CSV (read-only at /root/reference). Where the
+  * reference chain has no deterministic row order (groupBy().count()), the
+  * driver-facing wrapper appends an orderBy so the dump is hash-stable;
+  * the unordered reference shape stays covered in SteelEdaSpec.
   */
 object SteelQueries {
 
   private def loaded(s: SparkSession): DataFrame =
     SteelSchema.load(s)
 
+  /** DuckDB-side scan of the same CSV. `date` pinned to VARCHAR so the
+    * sniffer can't auto-parse the dd/MM/yyyy strings into a timestamp. */
+  private val csvRel =
+    "read_csv('" + SteelSchema.DefaultCsvPath + "', header=true, types={'date':'VARCHAR'})"
+
   /** py:45 — groupBy count (Light 18072 / Medium 9696 / Maximum 7272). */
   def steel01CountByLoadType(s: SparkSession, dir: String): DataFrame =
-    SteelEda.countBy(loaded(s), "Load_Type")
+    SteelEda.countBy(loaded(s), "Load_Type").orderBy(col("Load_Type"))
+
+  val steel01Sql: String =
+    s"""SELECT Load_Type, COUNT(*) AS count FROM $csvRel
+       |GROUP BY Load_Type ORDER BY Load_Type""".stripMargin
 
   /** py:57 — avg Usage by day, desc, format_number(2) (Thu 35.11 ... Sun 7.55). */
   def steel02AvgUsageByDay(s: SparkSession, dir: String): DataFrame =
     SteelEda.avgUsageBy(loaded(s), "Day_of_week")
 
-  /** py:125 — corr(CO2(tCO2), Usage_kWh) = 0.9881797716789519. */
-  def steel03Corr(s: SparkSession, dir: String): DataFrame =
-    SteelEda.corrCo2Usage(loaded(s))
+  // printf('%.2f') matches format_number(.., 2) here because every daily
+  // average is < 1000 (max 35.11) — no thousands separator can appear.
+  val steel02Sql: String =
+    s"""SELECT Day_of_week, printf('%.2f', AVG(Usage_kWh)) AS avg_energy_consumption
+       |FROM $csvRel GROUP BY Day_of_week ORDER BY AVG(Usage_kWh) DESC""".stripMargin
 
-  /** ipynb ~131375 — the verbatim Databricks WIDTH_BUCKET histogram SQL. */
+  /** py:125 — corr(CO2(tCO2), Usage_kWh) = 0.9881797716789519. Rounded to
+    * 9 places for the cross-engine dump (DuckDB's one-pass corr differs in
+    * the last 2 ulps); the full-precision reference value is asserted in
+    * SteelEdaSpec. */
+  def steel03Corr(s: SparkSession, dir: String): DataFrame =
+    loaded(s).agg(round(corr(col("CO2(tCO2)"), col("Usage_kWh")), 9).as("corr_co2_usage"))
+
+  val steel03Sql: String =
+    s"""SELECT ROUND(CORR("CO2(tCO2)", Usage_kWh), 9) AS corr_co2_usage FROM $csvRel"""
+
+  /** ipynb ~131375 — the verbatim Databricks WIDTH_BUCKET histogram SQL.
+    * Oracle reproduces Spark's WidthBucket bucket arithmetic
+    * ((n * (v - lo)) / (hi - lo) truncated toward zero, v >= hi -> n+1)
+    * with explicit FLOOR so DuckDB's rounding double->int cast is avoided. */
   def steel04HistogramSql(s: SparkSession, dir: String): DataFrame = {
     SteelSql.registerView(loaded(s))
-    SteelSql.histogram(s, "Usage_kWh")
+    SteelSql.histogram(s, "Usage_kWh").orderBy(col("Usage_kWh_BIN"))
   }
+
+  val steel04Sql: String =
+    s"""WITH q AS (SELECT Usage_kWh AS v FROM $csvRel),
+       |mm AS (SELECT MAX(v) AS mx, MIN(v) AS mn FROM q),
+       |meta AS (SELECT v, mn AS min_value,
+       |  CASE WHEN mx = mn THEN mx + 1 ELSE mx END AS max_value,
+       |  (mx - mn) / 10 AS step FROM q, mm),
+       |b AS (SELECT v, min_value, step,
+       |  CASE WHEN v IS NULL THEN NULL ELSE LEAST(
+       |    CASE WHEN v < min_value THEN 0
+       |         WHEN v >= max_value THEN 11
+       |         ELSE CAST(FLOOR((10.0 * (v - min_value)) / (max_value - min_value)) AS BIGINT) + 1
+       |    END, 10) END AS bin
+       |  FROM meta)
+       |SELECT bin AS "Usage_kWh_BIN",
+       |  FIRST(min_value + (bin - 1) * step) AS "Usage_kWh_BIN_LOWER_BOUND",
+       |  FIRST(step) AS "Usage_kWh_BIN_STEP",
+       |  COUNT(v) AS "COUNT"
+       |FROM b GROUP BY bin ORDER BY bin""".stripMargin
 
   /** ipynb ~130659 — SUM bar-chart feed with generated alias. */
   def steel05SumNsmByDay(s: SparkSession, dir: String): DataFrame = {
     SteelSql.registerView(loaded(s))
     SteelSql.sumBy(s, "Day_of_week", "NSM", "column_5cb3def13")
+      .orderBy(col("Day_of_week"))
   }
+
+  val steel05Sql: String =
+    s"""SELECT Day_of_week, CAST(SUM(NSM) AS BIGINT) AS column_5cb3def13
+       |FROM $csvRel GROUP BY Day_of_week ORDER BY Day_of_week""".stripMargin
 
   /** F7 date kit on the real `date` strings: parse with to_timestamp and
     * roll up monthly (the analysis the reference's py:13 import list
@@ -48,11 +102,18 @@ object SteelQueries {
   def steel06MonthlyProfile(s: SparkSession, dir: String): DataFrame =
     SteelEda.monthlyProfile(loaded(s))
 
+  val steel06Sql: String =
+    s"""WITH p AS (SELECT strptime("date", '%d/%m/%Y %H:%M') AS ts, Usage_kWh FROM $csvRel)
+       |SELECT year(ts) AS yr, month(ts) AS mo, COUNT(*) AS n,
+       |  AVG(Usage_kWh) AS avg_usage, MAX(Usage_kWh) AS max_usage
+       |FROM p GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin
+
   /** The ML path end-to-end, kept cheap for per-round verification: fit the
     * reference's 6-stage pipeline with LinearRegression on the seed-64
     * 75/25 split and emit the 5-metric comparison row (py:237 ->
     * R2 ~ 0.978). The full 8-family sweep + tuning runs in
-    * [[graft.ml.ReferenceRun]] and the ScalaTest suite.
+    * [[graft.ml.ReferenceRun]] and the ScalaTest suite. No oracle — not
+    * SQL-expressible; thresholds asserted in MlPipelineSpec.
     */
   def ml01LrMetrics(s: SparkSession, dir: String): DataFrame = {
     val data = SteelSchema.renamed(loaded(s))
@@ -77,6 +138,11 @@ object SteelQueries {
     "steel06_monthly_profile" -> (steel06MonthlyProfile _),
     "ml01_lr_metrics" -> (ml01LrMetrics _))
 
-  /** No DuckDB oracle — golden-tested against BASELINE.md instead. */
-  val oracle: Map[String, String] = Map()
+  val oracle: Map[String, String] = Map(
+    "steel01_count_by_load_type" -> steel01Sql,
+    "steel02_avg_usage_by_day" -> steel02Sql,
+    "steel03_corr" -> steel03Sql,
+    "steel04_histogram_sql" -> steel04Sql,
+    "steel05_sum_nsm_by_day" -> steel05Sql,
+    "steel06_monthly_profile" -> steel06Sql)
 }

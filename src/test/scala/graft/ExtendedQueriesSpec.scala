@@ -99,22 +99,15 @@ class ExtendedQueriesSpec extends SparkTestBase {
       ur.getAs[Long]("n_with_price") == 0L)
   }
 
-  test("q59 approx percentiles bracket the exact ones") {
-    val approx = ExtendedQueries.q59ApproxPercentiles(spark, Sf0001).collect()
-      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
-    val exact = Tables.lineitem(spark, Sf0001)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        expr("percentile(l_extendedprice, 0.5)").as("p50"),
-        expr("percentile(l_extendedprice, 0.9)").as("p90"),
-        expr("percentile(l_extendedprice, 0.99)").as("p99"))
-      .collect()
-      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
-    approx.foreach { case (rf, (a50, a90, a99)) =>
-      val (e50, e90, e99) = exact(rf)
-      assert(math.abs(a50 - e50) / e50 < 0.02, s"$rf p50: $a50 vs $e50")
-      assert(math.abs(a90 - e90) / e90 < 0.02, s"$rf p90: $a90 vs $e90")
-      assert(math.abs(a99 - e99) / e99 < 0.02, s"$rf p99: $a99 vs $e99")
+  test("q59 approx percentiles satisfy the rank-fraction contract per group") {
+    val out = ExtendedQueries.q59ApproxPercentiles(spark, Sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val rf = r.getString(0)
+      assert(r.getAs[Long]("n_rows") > 0, s"$rf: empty group")
+      Seq("p50_ok", "p90_ok", "p99_ok").foreach { c =>
+        assert(r.getAs[Boolean](c), s"$rf: $c false — estimate outside rank bound")
+      }
     }
   }
 

@@ -44,6 +44,16 @@ def main(sf_dir, out_dir):
         exp_s = exp.reindex(sorted(exp.columns), axis=1)
         ok = True
         msgs = []
+        # dtype KIND must agree: the driver hashes stringified values, so a
+        # DuckDB HUGEINT (pandas float64: "3.0") vs Spark BIGINT ("3")
+        # hash-mismatches even when pandas == says equal. int32 vs int64 is
+        # fine (same repr); float-vs-int or object-vs-numeric is not.
+        for c in set(got_s.columns) & set(exp_s.columns):
+            gk, ek = got_s[c].dtype.kind, exp_s[c].dtype.kind
+            if gk != ek and not ({gk, ek} <= {"i", "u"}):
+                ok = False
+                msgs.append(f"dtype kind of {c}: spark={got_s[c].dtype} "
+                            f"oracle={exp_s[c].dtype} (driver hash differs)")
         if list(got_s.columns) != list(exp_s.columns):
             ok = False
             msgs.append(f"columns {list(got_s.columns)} != {list(exp_s.columns)}")
@@ -60,6 +70,11 @@ def main(sf_dir, out_dir):
                     if isinstance(a, float) and isinstance(b, float):
                         if math.isnan(a) and math.isnan(b):
                             continue
+                        if a == b and repr(a) != repr(b):
+                            # -0.0 == 0.0 but the driver hashes the repr
+                            ok = False
+                            msgs.append(
+                                f"row {i} col {got_s.columns[j]}: {a!r} != {b!r} (signed zero)")
                         if a != b:
                             close = math.isclose(a, b, rel_tol=1e-9)
                             ok = False
