@@ -172,33 +172,39 @@ object DedupQueries {
     *     (64-bit wrap-around arithmetic — a classic universal-ish family);
     *   3. band the P values into B bands of R rows, hash each band;
     *   4. docs sharing any (band, bandhash) bucket are candidate pairs;
-    *   5. estimated Jaccard = fraction of equal signature components.
+    *   5. estimated Jaccard = fraction of equal signature components;
+    *   6. exact verify: candidates re-checked against true shingle Jaccard.
     *
     * Shuffles: one groupBy doc (signature build), one groupBy band bucket.
     * Candidate volume is controlled by B/R (here 8x4: catches J>=0.5 pairs
-    * w.h.p.). Not SQL-oracle-checkable (engine-specific hash); validated in
-    * ScalaTest against d03's exact Jaccard.
+    * w.h.p.). The verify step (standard in production LSH dedup) makes the
+    * whole pipeline oracle-checkable end-to-end: the output must equal
+    * DuckDB's exact corpus-wide pair list, so a banding recall miss — not
+    * just a verify bug — fails the hash compare. The est_ok column pins the
+    * signature-estimate accuracy contract (|est - exact| <= 0.35 at 32
+    * perms; ~6.6 sigma at J = 0.5).
     */
   val NumPerms = 32
   val Bands = 8
   val RowsPerBand = 4
 
-  def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
-    // Permutation family via seeded re-hash: xxhash64(h, i) is an
-    // independent-enough 64-bit mix per permutation index, and avoids the
-    // wrap-around multiply that ANSI mode (Spark 4 default) rejects.
-    //
-    // The P per-permutation minima run as codegen'd min aggregates over the
-    // exploded shingle-hash column: P*|shingles| fused xxhash64 calls.
-    // Two measured pitfalls shape this formulation (sf0.1 numbers):
-    //  - array_min over nested transform lambdas (shuffle-free) is 10x
-    //    slower: higher-order lambdas evaluate interpreted and boxed;
-    //  - feeding explode from the lazy shingle expression is ~20x slower:
-    //    the optimizer inlines the regex+split lineage into the fan-out,
-    //    re-evaluating it per element. Hence: materialize the per-doc
-    //    shingle arrays first, then explode from the materialized frame.
-    val sets = shingleSets(s, dir).select(col("doc_id"), col("sh_arr")).cache()
-    sets.count()
+  /** Signatures from an already-materialized (doc_id, sh_arr) frame.
+    *
+    * Permutation family via seeded re-hash: xxhash64(h, i) is an
+    * independent-enough 64-bit mix per permutation index, and avoids the
+    * wrap-around multiply that ANSI mode (Spark 4 default) rejects.
+    *
+    * The P per-permutation minima run as codegen'd min aggregates over the
+    * exploded shingle-hash column: P*|shingles| fused xxhash64 calls.
+    * Two measured pitfalls shape this formulation (sf0.1 numbers):
+    *  - array_min over nested transform lambdas (shuffle-free) is 10x
+    *    slower: higher-order lambdas evaluate interpreted and boxed;
+    *  - feeding explode from the lazy shingle expression is ~20x slower:
+    *    the optimizer inlines the regex+split lineage into the fan-out,
+    *    re-evaluating it per element. Hence: materialize the per-doc
+    *    shingle arrays first, then explode from the materialized frame.
+    */
+  private def minhashSignaturesFrom(sets: DataFrame): DataFrame = {
     val exploded = sets
       .select(col("doc_id"), explode(col("sh_arr")).as("shingle"))
       .withColumn("h", xxhash64(col("shingle")))
@@ -208,11 +214,19 @@ object DedupQueries {
     exploded.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
   }
 
+  def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    val sets = shingleSets(s, dir).select(col("doc_id"), col("sh_arr")).cache()
+    sets.count()
+    minhashSignaturesFrom(sets)
+  }
+
   def d04MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sets = shingleSets(s, dir).select(col("doc_id"), col("sh_arr")).cache()
+    sets.count()
     // Eagerly materialize the signatures: the banded/est branches below
     // reference this frame several times, and lazy cache branches racing in
     // one job each recompute it (8x the hashing at sf0.1).
-    val sig = minhashSignatures(s, dir).cache()
+    val sig = minhashSignaturesFrom(sets).cache()
     sig.count()
     // band hash = xxhash64 over the band's signature components; one pass,
     // one row per (doc, band) via posexplode — no union of recomputations.
@@ -229,12 +243,56 @@ object DedupQueries {
     val matches = (0 until NumPerms)
       .map(i => when(col(s"a_$i") === col(s"b_$i"), 1).otherwise(0))
       .reduce(_ + _)
-    cand.join(sa, "da").join(sb, "db")
-      .withColumn("est_jaccard", round(matches.cast(DoubleType) / lit(NumPerms.toDouble), 4))
+    val est = cand.join(sa, "da").join(sb, "db")
+      .withColumn("est_jaccard", matches.cast(DoubleType) / lit(NumPerms.toDouble))
       .select(col("da"), col("db"), col("est_jaccard"))
-      .filter(col("est_jaccard") >= 0.5)
+    // Exact verification — the standard last stage of production LSH dedup:
+    // candidates re-check against the true shingle-set Jaccard, so false
+    // positives never survive and the output is exactly the corpus-wide
+    // J >= 0.5 pair set (assuming banding recall, which the B/R choice
+    // provides w.h.p. — and which the DuckDB oracle now AUDITS, since a
+    // recall miss shows up as a missing row against the exact-SQL pair
+    // list). Candidates are sub-linear, so the verify join is cheap; the
+    // per-doc array side is broadcast (at 100 TB it becomes a shuffle join
+    // on da/db, still linear in candidates).
+    est
+      .join(broadcast(sets.select(col("doc_id").as("da"), col("sh_arr").as("arr_a"))), "da")
+      .join(broadcast(sets.select(col("doc_id").as("db"), col("sh_arr").as("arr_b"))), "db")
+      .withColumn("jraw",
+        size(array_intersect(col("arr_a"), col("arr_b"))).cast(DoubleType) /
+          size(array_union(col("arr_a"), col("arr_b"))).cast(DoubleType))
+      .filter(col("jraw") >= 0.5)
+      .select(col("da"), col("db"), round(col("jraw"), 4).as("jaccard"),
+        (abs(col("est_jaccard") - col("jraw")) <= 0.35).as("est_ok"))
       .orderBy(col("da"), col("db"))
   }
+
+  /** Corpus-wide exact J >= 0.5 pair list (the verify-step output d04 must
+    * reproduce end-to-end), plus the literal-TRUE estimate-accuracy
+    * contract. Unlike d03 the pairing is NOT source-scoped: LSH banding
+    * buckets globally. */
+  val d04Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id,
+      |    string_split(TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+      |  FROM docs, unnest(generate_series(1, GREATEST(len(toks) - 2, 0))) AS u(i)),
+      |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_inter
+      |  FROM sh a JOIN sh b
+      |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT da, db,
+      |  ROUND(CAST(n_inter AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - n_inter AS DOUBLE), 4) AS jaccard,
+      |  TRUE AS est_ok
+      |FROM inter
+      |JOIN counts ca ON inter.da = ca.doc_id
+      |JOIN counts cb ON inter.db = cb.doc_id
+      |WHERE CAST(n_inter AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - n_inter AS DOUBLE) >= 0.5
+      |ORDER BY da, db""".stripMargin
 
   // ---------------------------------------------------------------- d05
   /** SimHash: 64-bit sketch = per-bit majority vote over token hashes.
@@ -318,5 +376,6 @@ object DedupQueries {
 
   val oracle: Map[String, String] = Map(
     "d01_exact_dedup" -> d01Sql,
-    "d03_ngram_jaccard" -> d03Sql)
+    "d03_ngram_jaccard" -> d03Sql,
+    "d04_minhash_lsh" -> d04Sql)
 }

@@ -243,16 +243,124 @@ object SimilarityQueries {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  // ---------------------------------------------------------------- s06
+  /** End-to-end oracle-checkable LSH ANN — the standard ANN benchmark
+    * probe. Queries are DERIVED near-duplicates of corpus vectors
+    * (q_i = v_i + 0.15 * v_((i+241) mod N), i < 10), so each query has a
+    * planted nearest neighbor (its base vector, cosine ~0.989 vs <=0.4 for
+    * everything else) and the true answer is SQL-expressible: DuckDB
+    * recomputes the same derived queries and brute-forces the argmax.
+    *
+    * The Spark side must find it through the full LSH pipeline —
+    * signatures, band-bucket join, exact cosine rerank — so the oracle
+    * audits RECALL end-to-end, not just the rerank arithmetic: a banding
+    * miss surfaces as a wrong neighbor row. 64 hyperplanes in 8 bands of 8
+    * sign bits put the per-query miss probability at (1-p^8)^8 ~ 1e-4 for
+    * cosine 0.989 (p = 1 - acos(c)/pi ~ 0.953) — and the run is fully
+    * deterministic (fixed seed, fixed data), so green once = green always.
+    *
+    * Plan shape at scale: corpus signatures are one map pass (64 fused dot
+    * products per row), the candidate join keys on (band, bucket) against
+    * a broadcast 80-row query signature set, and only candidates are
+    * reranked — the corpus is never pairwise-compared. s02 keeps the
+    * recall-free top-k variant on raw queries; this one is the audited
+    * near-duplicate-retrieval path.
+    */
+  val S06Planes = 64
+  val S06BandBits = 8
+  val S06Bands: Int = S06Planes / S06BandBits
+
+  private lazy val s06Hyperplanes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(77031402L)
+    Array.fill(S06Planes, Dim)(rnd.nextGaussian())
+  }
+
+  /** (id, band, bucket) rows for any (idCol, vecCol) frame: 64 sign bits
+    * in one pass, posexplode over the 8 per-band bucket values. */
+  private def s06Signatures(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val planesLit = array(s06Hyperplanes.map(p => array(p.map(lit): _*)): _*)
+    val withBits = df
+      .withColumn("planes", planesLit)
+      .withColumn("bits", expr(
+        s"""transform(planes, p ->
+           |  if(aggregate(zip_with(p, $vecCol, (x, y) -> x * y), cast(0.0 as double), (acc, w) -> acc + w) >= 0d, 1, 0))""".stripMargin))
+    val buckets = array((0 until S06Bands).map { b =>
+      (0 until S06BandBits)
+        .map(i => expr(s"element_at(bits, ${b * S06BandBits + i + 1}) * ${1 << i}"))
+        .reduce(_ + _)
+    }: _*)
+    withBits.select(col(idCol), posexplode(buckets).as(Seq("band", "bucket")))
+  }
+
+  def s06AnnVerified(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.spread(Tables.embeddings(s, dir)).withColumn("v", embD)
+      .select(col("vec_id"), col("v"))
+    val n = e.count() // corpus size: one cheap metadata-ish action, any scale
+    val q = e.filter(col("vec_id") < 10)
+      .withColumn("partner", (col("vec_id") + 241) % n)
+      .join(e.select(col("vec_id").as("partner"), col("v").as("pv")), "partner")
+      .select(col("vec_id").as("q_id"),
+        expr("zip_with(v, pv, (a, b) -> a + 0.15d * b)").as("qv"))
+    val cSig = s06Signatures(e, "vec_id", "v")
+    val qSig = s06Signatures(q, "q_id", "qv")
+      .select(col("q_id"), col("band").as("q_band"), col("bucket").as("q_bucket"))
+    val candIds = cSig.join(broadcast(qSig),
+        col("band") === col("q_band") && col("bucket") === col("q_bucket"))
+      .select(col("q_id"), col("vec_id")).distinct()
+    val qn = q.withColumn("qnorm", sqrt(dot("qv", "qv")))
+    val cand = candIds
+      .join(e, "vec_id")
+      .join(broadcast(qn), "q_id")
+      .withColumn("norm", sqrt(dot("v", "v")))
+      .withColumn("cosine", floor(dot("qv", "v") / (col("qnorm") * col("norm")) * 1e6 + 0.5) / 1e6)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    cand.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cosine"))
+      .orderBy(col("q_id"))
+  }
+
+  val s06Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cnt AS (SELECT COUNT(*) AS n FROM e),
+      |q AS (
+      |  SELECT b.vec_id AS q_id,
+      |    list_transform(generate_series(1, 64), i -> b.v[i] + 0.15 * p.v[i]) AS qv
+      |  FROM e b JOIN cnt ON TRUE JOIN e p ON p.vec_id = (b.vec_id + 241) % cnt.n
+      |  WHERE b.vec_id < 10),
+      |qn AS (
+      |  SELECT q_id, qv,
+      |    SQRT(list_reduce(list_transform(generate_series(1, 64), i -> qv[i] * qv[i]), (x, y) -> x + y)) AS qnrm
+      |  FROM q),
+      |cn AS (
+      |  SELECT vec_id, v,
+      |    SQRT(list_reduce(list_transform(generate_series(1, 64), i -> v[i] * v[i]), (x, y) -> x + y)) AS nrm
+      |  FROM e),
+      |scored AS (
+      |  SELECT q_id, vec_id AS neighbor_id,
+      |    FLOOR(list_reduce(list_transform(generate_series(1, 64), i -> qv[i] * v[i]), (x, y) -> x + y)
+      |      / (qnrm * nrm) * 1e6 + 0.5) / 1e6 AS cosine
+      |  FROM qn CROSS JOIN cn),
+      |ranked AS (
+      |  SELECT q_id, neighbor_id, cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rnk
+      |  FROM scored)
+      |SELECT q_id, neighbor_id, cosine FROM ranked WHERE rnk = 1
+      |ORDER BY q_id""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> (s01AnnBruteForce _),
     "s02_ann_lsh" -> (s02AnnLsh _),
     "s03_near_dup_stats" -> (s03NearDupStats _),
     "s04_ann_native" -> (s04AnnNative _),
-    "s05_ann_ivf" -> (s05AnnIvf _))
+    "s05_ann_ivf" -> (s05AnnIvf _),
+    "s06_ann_verified" -> (s06AnnVerified _))
 
   val oracle: Map[String, String] = Map(
     "s01_ann_bruteforce" -> s01Sql,
     "s03_near_dup_stats" -> s03Sql,
-    "s04_ann_native" -> s01Sql)
+    "s04_ann_native" -> s01Sql,
+    "s06_ann_verified" -> s06Sql)
 }

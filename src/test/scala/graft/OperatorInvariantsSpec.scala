@@ -29,18 +29,20 @@ class OperatorInvariantsSpec extends SparkTestBase {
     assert(clusters.map(_.getLong(2)).sum === docs)
   }
 
-  test("minhash estimated Jaccard tracks exact Jaccard for candidate pairs (d03 vs d04)") {
+  test("minhash LSH verify step reproduces exact Jaccard pairs (d03 vs d04)") {
     val exact = DedupQueries.d03NgramJaccard(spark, Sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    val est = DedupQueries.d04MinhashLsh(spark, Sf001).collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    // every exact near-dup pair (J>=0.5) should be found by the LSH tier
-    exact.keys.foreach { pair =>
-      assert(est.contains(pair), s"LSH missed exact near-dup pair $pair")
-    }
-    // and estimates on shared pairs should be within 0.35 absolute (32 perms)
+    val verified = DedupQueries.d04MinhashLsh(spark, Sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    // every exact same-source near-dup pair (d03, J>=0.5) must also be in
+    // d04's corpus-wide verified output, with the SAME exact Jaccard value
     exact.foreach { case (pair, j) =>
-      est.get(pair).foreach(e => assert(math.abs(e - j) < 0.35, s"$pair exact=$j est=$e"))
+      assert(verified.contains(pair), s"LSH missed exact near-dup pair $pair")
+      assert(verified(pair)._1 === j, s"$pair verify value diverged")
+    }
+    // the signature estimate honored its 0.35 accuracy contract everywhere
+    verified.foreach { case (pair, (_, estOk)) =>
+      assert(estOk, s"$pair minhash estimate outside 0.35 of exact")
     }
   }
 
@@ -60,6 +62,18 @@ class OperatorInvariantsSpec extends SparkTestBase {
         s"query $q: LSH overlap order diverges from exact ranking")
     }
     assert(lsh.nonEmpty, "LSH should produce candidates on sf0.01")
+  }
+
+  test("verified LSH ANN recovers every planted nearest neighbor (s06)") {
+    val out = SimilarityQueries.s06AnnVerified(spark, Sf001).collect()
+    assert(out.length === 10)
+    out.foreach { r =>
+      // query i = base vector i + 0.15 * partner, so the true argmax is the
+      // base itself at cosine ~0.989 — the LSH path must retrieve exactly it
+      assert(r.getLong(1) === r.getLong(0),
+        s"query ${r.getLong(0)}: LSH returned ${r.getLong(1)}, not the planted base")
+      assert(r.getDouble(2) > 0.95, s"query ${r.getLong(0)}: cosine ${r.getDouble(2)}")
+    }
   }
 
   test("IVF ANN recall: probed-cell search finds most of the exact top-5 (s05 vs s01)") {
