@@ -738,8 +738,46 @@ object ExtendedQueries {
       |    OVER (PARTITION BY o_custkey) AS VARCHAR) AS DOUBLE)) AS share
       |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q70
+  /** Hive-partitioned layout + partition-pruned scan — the 100 TB storage
+    * primitive: facts land partitioned by a low-cardinality time key, and
+    * date-scoped queries list (and read) ONLY the matching directories.
+    * `.explain` shows the year predicate as a PartitionFilter on the scan,
+    * not a post-scan Filter — zero bytes of other years are even opened.
+    *
+    * The query re-lays-out `orders` by order year into a deterministic
+    * scratch dir (idempotent overwrite; the write path itself is part of
+    * the exercised surface), then computes a single-year priority profile
+    * through the pruned read. The oracle computes the same profile from
+    * the unpartitioned table — so the round-trip (dynamic partition write,
+    * partition-value recovery from dir names, pruned scan) must be
+    * lossless.
+    */
+  def q70PartitionPruning(s: SparkSession, dir: String): DataFrame = {
+    val out = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      "graft_orders_by_year_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    Tables.orders(s, dir)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(out)
+    s.read.parquet(out)
+      .filter(col("o_year") === 1995)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        Tables.dsum(col("o_totalprice")).as("total_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q70Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) AS total_price
+      |FROM orders WHERE YEAR(o_orderdate) = 1995
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_partition_pruning" -> (q70PartitionPruning _),
     "q68_moving_average" -> (q68MovingAverage _),
     "q69_ratio_to_total" -> (q69RatioToTotal _),
     "q67_nested_structs" -> (q67NestedStructs _),
@@ -767,6 +805,7 @@ object ExtendedQueries {
     "q54_union_by_name" -> (q54UnionByName _))
 
   val oracle: Map[String, String] = Map(
+    "q70_partition_pruning" -> q70Sql,
     "q55_topk_native" -> q55Sql,
     "q59_approx_percentiles" -> q59Sql,
     "q60_try_arithmetic" -> q60Sql,

@@ -72,6 +72,16 @@ class PlanShapeSpec extends SparkTestBase {
       "anti join condition should operate on fingerprints")
   }
 
+  test("q70: year predicate becomes a PartitionFilter — other years never scanned") {
+    val df = operators.ExtendedQueries.q70PartitionPruning(spark, Sf0001)
+    val p = plan(df)
+    // the filter must prune at the partition level (directory listing), not
+    // as a per-row predicate after reading every year's files
+    assert(p.contains("PartitionFilters"), p.take(800))
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(scanLine.contains("o_year"), s"o_year not in partition filters: $scanLine")
+  }
+
   test("no query plans a cartesian product except the scalar-histogram cross join") {
     val exempt = Set("q20_histogram")
     SparkEntry.queries.filterNot { case (name, _) =>
