@@ -226,15 +226,81 @@ object TextQueries {
        |  FROM documents)
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t06
+  /** Within-document repetition signals — the Gopher-style quality filter
+    * that catches boilerplate and degenerate generations: the fraction of
+    * duplicated word bigrams and the share claimed by the single most
+    * frequent bigram, plus the pass/fail verdict at the dup <= 0.3
+    * threshold.
+    *
+    * Shape at 100 TB: explode to (doc, bigram), count per (doc, bigram),
+    * re-aggregate per doc — both shuffles key on doc_id(+bigram), so the
+    * work is perfectly data-parallel and AQE-coalesced; no global state.
+    * (A mapPartitions per-doc hash map would save the shuffle but lose
+    * codegen and spill handling; declarative wins until profiling says
+    * otherwise.)
+    */
+  def t06Repetition(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.spread(Tables.documents(s, dir))
+      .withColumn("toks", expr(s"regexp_extract_all(text, '$TokenPattern', 0)"))
+      .withColumn("bg", expr(
+        """if(size(toks) >= 2,
+          |   transform(sequence(1, size(toks) - 1),
+          |     i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))),
+          |   cast(array() as array<string>))""".stripMargin))
+      .select(col("doc_id"), explode_outer(col("bg")).as("bigram"))
+    val perGram = grams.groupBy(col("doc_id"), col("bigram"))
+      .agg(count(col("bigram")).as("c"))
+    perGram.groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_bigrams"),
+        count(col("bigram")).as("n_distinct"),
+        max(col("c")).as("top_count"))
+      .select(
+        col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        (floor((lit(1.0) - col("n_distinct").cast(DoubleType) /
+          nullif(col("n_bigrams"), lit(0L))) * 10000.0 + 0.5) / 10000.0).as("dup_2gram_frac"),
+        (floor(col("top_count").cast(DoubleType) /
+          nullif(col("n_bigrams"), lit(0L)) * 10000.0 + 0.5) / 10000.0).as("top_2gram_frac"))
+      .withColumn("passes_repetition_filter",
+        coalesce(col("dup_2gram_frac") <= 0.3, lit(true)))
+      .orderBy(col("doc_id"))
+  }
+
+  val t06Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS t FROM documents),
+      |grams AS (
+      |  SELECT doc_id, t[i] || ' ' || t[i + 1] AS bigram
+      |  FROM toks, unnest(generate_series(1, GREATEST(len(t) - 1, 0))) AS u(i)),
+      |per_gram AS (
+      |  SELECT doc_id, bigram, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+      |per_doc AS (
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+      |    COUNT(*) AS n_distinct, MAX(c) AS top_count
+      |  FROM per_gram GROUP BY 1)
+      |SELECT d.doc_id,
+      |  COALESCE(p.n_bigrams, 0) AS n_bigrams,
+      |  FLOOR((1.0 - CAST(n_distinct AS DOUBLE) / NULLIF(n_bigrams, 0)) * 10000.0 + 0.5) / 10000.0 AS dup_2gram_frac,
+      |  FLOOR(CAST(top_count AS DOUBLE) / NULLIF(n_bigrams, 0) * 10000.0 + 0.5) / 10000.0 AS top_2gram_frac,
+      |  COALESCE(FLOOR((1.0 - CAST(n_distinct AS DOUBLE) / NULLIF(n_bigrams, 0)) * 10000.0 + 0.5) / 10000.0 <= 0.3, TRUE)
+      |    AS passes_repetition_filter
+      |FROM (SELECT DISTINCT doc_id FROM documents) d
+      |LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t05_bpe_tokens" -> (t05BpeTokens _),
     "t01_doc_stats" -> (t01DocStats _),
     "t02_lang_id" -> (t02LangId _),
     "t03_quality_score" -> (t03QualityScore _),
-    "t04_fingerprint" -> (t04Fingerprint _))
+    "t04_fingerprint" -> (t04Fingerprint _),
+    "t06_repetition" -> (t06Repetition _))
 
   val oracle: Map[String, String] = Map(
+    "t06_repetition" -> t06Sql,
     "t05_bpe_tokens" -> t05Sql,
     "t01_doc_stats" -> t01Sql,
     "t02_lang_id" -> t02Sql,
