@@ -367,15 +367,111 @@ object DedupQueries {
       .orderBy(col("da"), col("db"))
   }
 
+  // ---------------------------------------------------------------- d06
+  /** Duplicate-cluster resolution — the stage after pair finding that a
+    * production dedup pipeline actually ships: near-dup PAIRS (from d04's
+    * verified LSH output) resolved into connected COMPONENTS, one keeper
+    * per component. Without it, pairwise dedup double-drops transitive
+    * chains (A~B, B~C keeps A and C even when A,C are both near B).
+    *
+    * Algorithm: iterative min-label propagation. Each round every vertex
+    * takes the minimum label over itself and its neighbors — one shuffle
+    * on the edge key + one on the vertex key per round, converging in
+    * O(component diameter) rounds. Near-dup clusters are shallow (stars
+    * around a template doc), so 2-4 rounds in practice; at 100 TB with
+    * adversarially long chains, switch the round body to alternating
+    * large-star/small-star (Kiveris et al., "Connected Components in
+    * MapReduce"), which converges in O(log n) rounds over the same
+    * primitives. Lineage is truncated per round with localCheckpoint
+    * (cluster: checkpoint to durable storage) so the plan doesn't grow
+    * exponentially across iterations.
+    *
+    * Convergence test is one scan, no join: labels only ever decrease, so
+    * sum(label) is strictly monotone and stable iff the round was a
+    * fixpoint.
+    *
+    * Output: every doc in some near-dup pair, its cluster id (= min doc_id
+    * in the component), the component size, and the keeper flag.
+    */
+  def d06DupClusters(s: SparkSession, dir: String): DataFrame = {
+    // cache the pair list BEFORE the two-direction union: both union
+    // branches reference it, and uncached each would re-run the whole
+    // LSH candidate+verify pipeline
+    val pairs = d04MinhashLsh(s, dir).select(col("da"), col("db")).cache()
+    pairs.count()
+    val edges = pairs.union(pairs.select(col("db"), col("da")))
+      .toDF("u", "v").cache()
+    edges.count()
+    var labels = edges.select(col("u").as("doc_id")).distinct()
+      .withColumn("lbl", col("doc_id")).localCheckpoint()
+    var prevSum = labels.agg(sum(col("lbl"))).head.getLong(0)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      labels = edges
+        .join(labels.select(col("doc_id").as("v"), col("lbl")), "v")
+        .select(col("u"), col("lbl"))
+        .union(labels.select(col("doc_id").as("u"), col("lbl")))
+        .groupBy(col("u")).agg(min(col("lbl")).as("lbl"))
+        .withColumnRenamed("u", "doc_id")
+        .localCheckpoint()
+      val s2 = labels.agg(sum(col("lbl"))).head.getLong(0)
+      converged = s2 == prevSum
+      prevSum = s2
+      iter += 1
+    }
+    require(converged, s"d06 label propagation did not converge in $iter rounds")
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lbl")
+      .select(col("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("lbl")).as("is_keeper"))
+      .orderBy(col("cluster_id"), col("doc_id"))
+  }
+
+  /** d04's exact pair list extended to components with a recursive CTE:
+    * reach(u, w) = transitive closure over the undirected edge set;
+    * cluster id = min reachable vertex. */
+  val d06Sql: String =
+    """WITH RECURSIVE docs AS (
+      |  SELECT doc_id,
+      |    string_split(TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+      |  FROM docs, unnest(generate_series(1, GREATEST(len(toks) - 2, 0))) AS u(i)),
+      |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_inter
+      |  FROM sh a JOIN sh b
+      |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT da, db FROM inter
+      |  JOIN counts ca ON inter.da = ca.doc_id
+      |  JOIN counts cb ON inter.db = cb.doc_id
+      |  WHERE CAST(n_inter AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - n_inter AS DOUBLE) >= 0.5),
+      |edges AS (SELECT da AS u, db AS v FROM pairs UNION SELECT db, da FROM pairs),
+      |reach(u, v) AS (
+      |  SELECT u, u FROM edges
+      |  UNION
+      |  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+      |comp AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u)
+      |SELECT doc_id, cluster_id,
+      |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+      |  (doc_id = cluster_id) AS is_keeper
+      |FROM comp ORDER BY cluster_id, doc_id""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> (d01ExactDedup _),
     "d03_ngram_jaccard" -> (d03NgramJaccard _),
     "d04_minhash_lsh" -> (d04MinhashLsh _),
-    "d05_simhash" -> (d05Simhash _))
+    "d05_simhash" -> (d05Simhash _),
+    "d06_dup_clusters" -> (d06DupClusters _))
 
   val oracle: Map[String, String] = Map(
     "d01_exact_dedup" -> d01Sql,
     "d03_ngram_jaccard" -> d03Sql,
-    "d04_minhash_lsh" -> d04Sql)
+    "d04_minhash_lsh" -> d04Sql,
+    "d06_dup_clusters" -> d06Sql)
 }

@@ -101,11 +101,64 @@ object PipelineQueries {
       |FROM fresh JOIN fps ON keeper_doc_id = doc_id
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** p02 with a Bloom pre-filter — the 100 TB shape of incremental dedup.
+    * The history side is summarized into a Bloom filter (built with the
+    * distributed `df.stat.bloomFilter` aggregate — ~10 bits/key at 1% fpp,
+    * so a billion-doc history is ~1.2 GB, broadcastable) and the new batch
+    * is split WITHOUT a shuffle:
+    *
+    *  - bloom says "absent"  → definitely new; skips the anti-join
+    *    entirely (no false negatives);
+    *  - bloom says "present" → maybe-duplicate (1% of the batch are false
+    *    positives); only THIS sliver pays the exact anti-join against
+    *    history.
+    *
+    * The join input shrinks from |batch| to |true dups| + fpp·|batch|,
+    * which is the difference between shuffling the whole crawl and
+    * shuffling ~nothing when most of a recrawl is genuinely new. Output is
+    * bit-identical to p02 (the exact path catches every bloom false
+    * positive); the oracle pins that equivalence.
+    *
+    * The membership probe is a broadcast-closure predicate (Spark exposes
+    * no public Column API over `util.sketch.BloomFilter`); it gates only
+    * the join input, so the scan/filter pushdown path is unaffected.
+    */
+  def p03BloomIncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val canon = md5(Tables.canonText(col("text")))
+    val docs = Tables.spread(Tables.documents(s, dir)).withColumn("fp", canon)
+    val isNew = col("source").isin("src0", "src1")
+    val history = docs.filter(!isNew).select(col("fp")).cache()
+    val bloom = history.stat.bloomFilter("fp", 100000L, 0.01)
+    val bloomB = s.sparkContext.broadcast(bloom)
+    val mightContain = udf((fp: String) => bloomB.value.mightContainString(fp))
+    val batch = docs.filter(isNew).cache()
+    val definitelyNew = batch.filter(!mightContain(col("fp")))
+    val maybeDup = batch.filter(mightContain(col("fp")))
+      .join(history, Seq("fp"), "left_anti")
+    val fresh = definitelyNew.unionByName(maybeDup)
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_in_batch"))
+    fresh
+      .join(docs.select(col("doc_id").as("keeper_doc_id"), col("source"), col("n_chars")),
+        Seq("keeper_doc_id"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        sum(col("n_in_batch")).as("n_batch_copies"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_clean_corpus" -> (p01CleanCorpus _),
-    "p02_incremental_dedup" -> (p02IncrementalDedup _))
+    "p02_incremental_dedup" -> (p02IncrementalDedup _),
+    "p03_bloom_incremental_dedup" -> (p03BloomIncrementalDedup _))
 
   val oracle: Map[String, String] = Map(
     "p01_clean_corpus" -> p01Sql,
-    "p02_incremental_dedup" -> p02Sql)
+    "p02_incremental_dedup" -> p02Sql,
+    // p03 is the bloom-accelerated twin of p02: the exact anti-join on the
+    // maybe-duplicate sliver guarantees the SAME output, so it shares the
+    // exact-semantics oracle
+    "p03_bloom_incremental_dedup" -> p02Sql)
 }

@@ -290,8 +290,51 @@ object TextQueries {
       |LEFT JOIN per_doc p ON d.doc_id = p.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t07
+  /** Corpus heavy hitters, sketch-audited: the exact top-10 tokens by
+    * frequency (count desc, token asc — deterministic under ties), each
+    * row carrying a `cms_ok` contract bit that the Count-Min-Sketch
+    * estimate honored its published guarantee (overestimate-only, within
+    * eps·N with confidence 1-delta).
+    *
+    * The sketch is built with `df.stat.countMinSketch` — a distributed
+    * merge of per-partition CMS tables (width eps=0.1%, depth from
+    * delta=1%), constant memory per executor regardless of cardinality.
+    * At 100 TB the exact top-k shown here is itself fine (two-stage hash
+    * agg on token), but the CMS answers point frequency queries WITHOUT
+    * the token-keyed shuffle — that's the operator being certified. The
+    * oracle computes the exact list in DuckDB with a literal-TRUE
+    * contract column, so a sketch accuracy violation fails the hash
+    * compare (same pattern as d04's est_ok).
+    */
+  def t07HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val eps = 0.001
+    val toks = Tables.spread(Tables.documents(s, dir))
+      .select(explode(expr(s"regexp_extract_all(text, '$TokenPattern', 0)")).as("tok"))
+      .cache()
+    val total = toks.count()
+    val cms = toks.stat.countMinSketch("tok", eps, 0.99, 42)
+    val cmsB = s.sparkContext.broadcast(cms)
+    val bound = (eps * total).toLong
+    val cmsOk = udf((tok: String, n: Long) => {
+      val est = cmsB.value.estimateCount(tok)
+      est >= n && est <= n + bound
+    })
+    toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(10)
+      .withColumn("cms_ok", cmsOk(col("tok"), col("n")))
+      .orderBy(col("n").desc, col("tok"))
+  }
+
+  val t07Sql: String =
+    """WITH toks AS (
+      |  SELECT unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS tok FROM documents)
+      |SELECT tok, COUNT(*) AS n, TRUE AS cms_ok
+      |FROM toks GROUP BY tok ORDER BY n DESC, tok LIMIT 10""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t07_heavy_hitters" -> (t07HeavyHitters _),
     "t05_bpe_tokens" -> (t05BpeTokens _),
     "t01_doc_stats" -> (t01DocStats _),
     "t02_lang_id" -> (t02LangId _),
@@ -300,6 +343,7 @@ object TextQueries {
     "t06_repetition" -> (t06Repetition _))
 
   val oracle: Map[String, String] = Map(
+    "t07_heavy_hitters" -> t07Sql,
     "t06_repetition" -> t06Sql,
     "t05_bpe_tokens" -> t05Sql,
     "t01_doc_stats" -> t01Sql,

@@ -46,6 +46,52 @@ class OperatorInvariantsSpec extends SparkTestBase {
     }
   }
 
+  test("dup clusters are the connected components of the verified pair list (d06 vs d04)") {
+    val pairs = DedupQueries.d04MinhashLsh(spark, Sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val rows = DedupQueries.d06DupClusters(spark, Sf001).collect()
+    val cluster = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // membership: exactly the docs appearing in some pair
+    assert(cluster.keySet === pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+    // every edge's endpoints share a cluster
+    pairs.foreach { case (a, b) =>
+      assert(cluster(a) === cluster(b), s"edge ($a,$b) split across clusters")
+    }
+    // cluster id is the component minimum, keeper flag marks exactly it
+    rows.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(0))
+      assert(r.getBoolean(3) === (r.getLong(0) === r.getLong(1)))
+    }
+    // sizes sum to the doc count and match per-cluster multiplicity
+    val bySize = rows.groupBy(_.getLong(1))
+    rows.foreach(r => assert(r.getLong(2) === bySize(r.getLong(1)).length.toLong))
+    // union-find ground truth over the pair edges
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    cluster.foreach { case (d, c) => assert(find(d) === c, s"doc $d: expected component ${find(d)}, got $c") }
+  }
+
+  test("bloom-prefiltered incremental dedup is bit-identical to the exact anti-join (p03 vs p02)") {
+    val exact = PipelineQueries.p02IncrementalDedup(spark, Sf001).collect().toSeq
+    val bloom = PipelineQueries.p03BloomIncrementalDedup(spark, Sf001).collect().toSeq
+    assert(bloom === exact)
+  }
+
+  test("count-min sketch honors its error contract on the heavy hitters (t07)") {
+    val rows = TextQueries.t07HeavyHitters(spark, Sf001).collect()
+    assert(rows.length === 10)
+    rows.foreach(r => assert(r.getBoolean(2), s"CMS bound violated for token ${r.getString(0)}"))
+    // exact counts descend, ties broken by token ascending
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(1) > b.getLong(1) ||
+        (a.getLong(1) === b.getLong(1) && a.getString(0) < b.getString(0)))
+    }
+  }
+
   test("LSH ANN results are a subset of brute-force candidates with high top-1 agreement (s01 vs s02)") {
     val exact = SimilarityQueries.s01AnnBruteForce(spark, Sf001).collect()
       .groupBy(_.getLong(0))
