@@ -404,7 +404,11 @@ object DedupQueries {
     edges.count()
     var labels = edges.select(col("u").as("doc_id")).distinct()
       .withColumn("lbl", col("doc_id")).localCheckpoint()
-    var prevSum = labels.agg(sum(col("lbl"))).head.getLong(0)
+    // coalesce: sum over an EMPTY vertex set (corpus with no near-dup
+    // pairs) is null, and the fixpoint test must see 0, not NPE
+    def labelSum(): Long =
+      labels.agg(coalesce(sum(col("lbl")), lit(0L))).head.getLong(0)
+    var prevSum = labelSum()
     var converged = false
     var iter = 0
     while (!converged && iter < 20) {
@@ -415,7 +419,7 @@ object DedupQueries {
         .groupBy(col("u")).agg(min(col("lbl")).as("lbl"))
         .withColumnRenamed("u", "doc_id")
         .localCheckpoint()
-      val s2 = labels.agg(sum(col("lbl"))).head.getLong(0)
+      val s2 = labelSum()
       converged = s2 == prevSum
       prevSum = s2
       iter += 1

@@ -45,6 +45,23 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(clusters.values.sum === 6L)
   }
 
+  test("dup-cluster resolution handles the edge corpus and an empty pair list") {
+    // edge corpus: exactly one near-dup pair (4,5) -> one 2-doc cluster
+    val rows = DedupQueries.d06DupClusters(spark, edgeDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.toSet === Set((4L, 4L, 2L, true), (5L, 4L, 2L, false)))
+    // corpus with NO near-dup pairs: empty result, not an NPE from the
+    // null sum over an empty vertex set
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_edge_nodup").toString
+    Seq(
+      (0L, "alpha beta gamma delta epsilon", "en", "src0", 30L),
+      (1L, "one two three four five six", "en", "src0", 27L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(DedupQueries.d06DupClusters(spark, dir).collect().isEmpty)
+  }
+
   test("text stats emit null ratios (not crashes) for zero-token docs") {
     val t01 = TextQueries.t01DocStats(spark, edgeDir).collect()
     assert(t01.length === 6)
