@@ -149,10 +149,59 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  /** Sequence packing — the last hop before the trainer: documents are
+    * concatenated in a deterministic order (per source, by doc_id) and
+    * chopped into fixed 512-token training windows ("concat-and-chop",
+    * the standard GPT-style packing). Each document reports the window
+    * it starts in and whether it straddles a window boundary (the
+    * fraction of straddlers is the attention-contamination metric packing
+    * studies trade off against padding waste).
+    *
+    * Scale shape: one window function per source partition — the
+    * exclusive running token sum — and nothing else; no shuffle beyond
+    * the source-keyed exchange the window needs. At 100 TB, source is
+    * the natural partition axis (per-crawl packing), so the window never
+    * sees a global sort; a production writer would follow with
+    * repartitionByRange(bin_id) to emit one file per window range.
+    */
+  def p04SequencePacking(s: SparkSession, dir: String): DataFrame = {
+    val cap = 512
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.spread(Tables.documents(s, dir))
+      .withColumn("n_tokens",
+        expr("size(regexp_extract_all(text, '[A-Za-z0-9]+', 0))").cast(LongType))
+      .withColumn("start_off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin_id", expr(s"start_off div $cap"))
+      .withColumn("spans_boundary",
+        col("n_tokens") > 0 && expr(s"(start_off + n_tokens - 1) div $cap") =!= col("bin_id"))
+      .select(col("source"), col("doc_id"), col("n_tokens"), col("start_off"),
+        col("bin_id"), col("spans_boundary"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  val p04Sql: String =
+    """WITH toks AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |offs AS (
+      |  SELECT source, doc_id, n_tokens,
+      |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+      |  FROM toks)
+      |SELECT source, doc_id, n_tokens, start_off,
+      |  start_off // 512 AS bin_id,
+      |  (n_tokens > 0 AND (start_off + n_tokens - 1) // 512 <> start_off // 512)
+      |    AS spans_boundary
+      |FROM offs ORDER BY source, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_clean_corpus" -> (p01CleanCorpus _),
     "p02_incremental_dedup" -> (p02IncrementalDedup _),
-    "p03_bloom_incremental_dedup" -> (p03BloomIncrementalDedup _))
+    "p03_bloom_incremental_dedup" -> (p03BloomIncrementalDedup _),
+    "p04_sequence_packing" -> (p04SequencePacking _))
 
   val oracle: Map[String, String] = Map(
     "p01_clean_corpus" -> p01Sql,
@@ -160,5 +209,6 @@ object PipelineQueries {
     // p03 is the bloom-accelerated twin of p02: the exact anti-join on the
     // maybe-duplicate sliver guarantees the SAME output, so it shares the
     // exact-semantics oracle
-    "p03_bloom_incremental_dedup" -> p02Sql)
+    "p03_bloom_incremental_dedup" -> p02Sql,
+    "p04_sequence_packing" -> p04Sql)
 }

@@ -332,8 +332,72 @@ object TextQueries {
       |SELECT tok, COUNT(*) AS n, TRUE AS cms_ok
       |FROM toks GROUP BY tok ORDER BY n DESC, tok LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------- t08
+  /** Benchmark decontamination — the pipeline stage that keeps eval sets
+    * out of training data: every training document is scored by its
+    * 3-gram shingle overlap against the eval corpus (here: the
+    * deterministic doc_id % 100 == 0 slice stands in for the benchmark
+    * suite) and flagged when the overlap fraction crosses 0.2.
+    *
+    * Scale shape: the eval side is tiny by construction (benchmarks are
+    * KBs–MBs against a 100 TB corpus), so its distinct shingle set
+    * BROADCASTS and contamination scoring is a map-side semi-join over
+    * the training corpus's exploded shingles — one aggregation shuffle
+    * keyed by doc_id, no corpus-vs-corpus join. Shares the d03/d04
+    * shingle builder, so "overlap" means the same thing across the
+    * dedup and decontamination tiers.
+    */
+  def t08Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(s, dir))
+      .withColumn("toks", split(Tables.canonText(col("text")), " "))
+      .withColumn("sh_arr", expr(DedupQueries.shingleArrExpr))
+      .select(col("doc_id"), col("sh_arr"), size(col("sh_arr")).as("n_sh"))
+    val isEval = col("doc_id") % 100 === 0
+    val evalSh = docs.filter(isEval)
+      .select(explode(col("sh_arr")).as("shingle")).distinct()
+    val train = docs.filter(!isEval)
+    val overlap = train
+      .select(col("doc_id"), explode(col("sh_arr")).as("shingle"))
+      .join(broadcast(evalSh), Seq("shingle"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+    train.select(col("doc_id"), col("n_sh"))
+      .join(overlap, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (floor(coalesce(col("n_overlap"), lit(0L)).cast(DoubleType) * 10000.0 /
+          nullif(col("n_sh"), lit(0)) + 0.5) / 10000.0).as("overlap_frac"))
+      .withColumn("contaminated", coalesce(col("overlap_frac") >= 0.2, lit(false)))
+      .orderBy(col("doc_id"))
+  }
+
+  val t08Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id,
+      |    string_split(TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+      |  FROM docs, unnest(generate_series(1, GREATEST(len(toks) - 2, 0))) AS u(i)),
+      |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      |eval_sh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 100 = 0),
+      |ov AS (
+      |  SELECT s.doc_id, COUNT(*) AS n_overlap
+      |  FROM sh s JOIN eval_sh e USING (shingle)
+      |  WHERE s.doc_id % 100 <> 0 GROUP BY s.doc_id)
+      |SELECT d.doc_id,
+      |  COALESCE(n_overlap, 0) AS n_overlap,
+      |  FLOOR(COALESCE(n_overlap, 0) * 10000.0 / NULLIF(n_sh, 0) + 0.5) / 10000.0 AS overlap_frac,
+      |  COALESCE(FLOOR(COALESCE(n_overlap, 0) * 10000.0 / NULLIF(n_sh, 0) + 0.5) / 10000.0 >= 0.2, FALSE)
+      |    AS contaminated
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 100 <> 0) d
+      |LEFT JOIN counts USING (doc_id)
+      |LEFT JOIN ov USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t08_decontaminate" -> (t08Decontaminate _),
     "t07_heavy_hitters" -> (t07HeavyHitters _),
     "t05_bpe_tokens" -> (t05BpeTokens _),
     "t01_doc_stats" -> (t01DocStats _),
@@ -343,6 +407,7 @@ object TextQueries {
     "t06_repetition" -> (t06Repetition _))
 
   val oracle: Map[String, String] = Map(
+    "t08_decontaminate" -> t08Sql,
     "t07_heavy_hitters" -> t07Sql,
     "t06_repetition" -> t06Sql,
     "t05_bpe_tokens" -> t05Sql,
