@@ -157,22 +157,42 @@ object PipelineQueries {
     * fraction of straddlers is the attention-contamination metric packing
     * studies trade off against padding waste).
     *
-    * Scale shape: one window function per source partition — the
-    * exclusive running token sum — and nothing else; no shuffle beyond
-    * the source-keyed exchange the window needs. At 100 TB, source is
-    * the natural partition axis (per-crawl packing), so the window never
-    * sees a global sort; a production writer would follow with
-    * repartitionByRange(bin_id) to emit one file per window range.
+    * Scale shape: a running sum partitioned only by source would pack a
+    * 10 TB crawl in ONE task, so the prefix sum is computed at two
+    * levels — the classic distributed scan:
+    *
+    *   1. docs are bucketed by doc_id range WITHIN source (bucket order
+    *      = doc order, so concatenation order is unchanged);
+    *   2. within-bucket exclusive running sums run in parallel across
+    *      (source, bucket) partitions;
+    *   3. per-bucket totals (one row per bucket — tiny) get their own
+    *      exclusive running sum per source, giving each bucket's global
+    *      starting offset;
+    *   4. a join on (source, bucket) adds the two.
+    *
+    * Identical output to the single-window formulation (the oracle pins
+    * it), but the heavy scan parallelizes to any bucket granularity; a
+    * production writer would follow with repartitionByRange(bin_id) to
+    * emit one file per window range.
     */
   def p04SequencePacking(s: SparkSession, dir: String): DataFrame = {
     val cap = 512
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    Tables.spread(Tables.documents(s, dir))
+    val W = org.apache.spark.sql.expressions.Window
+    val withinBucket = W.partitionBy(col("source"), col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val acrossBuckets = W.partitionBy(col("source")).orderBy(col("bucket"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val toks = Tables.spread(Tables.documents(s, dir))
       .withColumn("n_tokens",
         expr("size(regexp_extract_all(text, '[A-Za-z0-9]+', 0))").cast(LongType))
-      .withColumn("start_off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bucket", expr("doc_id div 1000"))
+      .withColumn("within_off", coalesce(sum(col("n_tokens")).over(withinBucket), lit(0L)))
+    val bucketOffs = toks.groupBy(col("source"), col("bucket"))
+      .agg(sum(col("n_tokens")).as("bucket_total"))
+      .withColumn("bucket_off", coalesce(sum(col("bucket_total")).over(acrossBuckets), lit(0L)))
+      .select(col("source"), col("bucket"), col("bucket_off"))
+    toks.join(bucketOffs, Seq("source", "bucket"))
+      .withColumn("start_off", col("bucket_off") + col("within_off"))
       .withColumn("bin_id", expr(s"start_off div $cap"))
       .withColumn("spans_boundary",
         col("n_tokens") > 0 && expr(s"(start_off + n_tokens - 1) div $cap") =!= col("bin_id"))
