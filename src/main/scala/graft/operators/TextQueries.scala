@@ -395,8 +395,68 @@ object TextQueries {
       |LEFT JOIN ov USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t09
+  /** BM25 ranked retrieval — keyword search over the corpus, the lookup
+    * side of a data-curation workbench ("show me the docs about X").
+    * Standard Robertson/Sparck-Jones BM25 (k1=1.2, b=0.75) for a fixed
+    * query term set, top-20 by score with doc_id tiebreak.
+    *
+    * Fully declarative one-plan formulation: corpus stats (N, avgdl) are
+    * 1-row aggregates cross-joined in (broadcast — no collect), document
+    * frequencies and term frequencies are two hash aggregations over the
+    * term-filtered token stream. The term filter lands BEFORE the
+    * exploded-token aggregation, so the shuffle carries only
+    * query-matching tokens — at 100 TB with a 3-term query that is a
+    * vanishing fraction of the corpus. Scores are rounded to 4 decimals
+    * through the shared floor pattern for cross-engine determinism.
+    */
+  def t09Bm25(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("spark", "table", "query")
+    val (k1, b) = (1.2, 0.75)
+    val toks = Tables.spread(Tables.documents(s, dir))
+      .select(col("doc_id"), explode(split(Tables.canonText(col("text")), " ")).as("tok"))
+      .cache()
+    toks.count() // eager: dl and tf branches both read it (see d04's note)
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = toks.filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("dfreq"))
+    tf.join(dfreq, "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf",
+        log((col("n_docs") - col("dfreq") + 0.5) / (col("dfreq") + 0.5) + 1.0))
+      .withColumn("contrib",
+        col("idf") * col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg((floor(sum(col("contrib")) * 10000.0 + 0.5) / 10000.0).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val t09Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS tok
+      |  FROM documents),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+      |corpus AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+      |tf AS (
+      |  SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+      |  WHERE tok IN ('spark', 'table', 'query') GROUP BY doc_id, tok),
+      |dfreq AS (SELECT tok, COUNT(*) AS dfreq FROM tf GROUP BY tok)
+      |SELECT doc_id,
+      |  FLOOR(SUM(
+      |    ln((n_docs - dfreq + 0.5) / (dfreq + 0.5) + 1.0) * tf * 2.2 /
+      |      (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+      |  ) * 10000.0 + 0.5) / 10000.0 AS bm25
+      |FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id) CROSS JOIN corpus
+      |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t09_bm25" -> (t09Bm25 _),
     "t08_decontaminate" -> (t08Decontaminate _),
     "t07_heavy_hitters" -> (t07HeavyHitters _),
     "t05_bpe_tokens" -> (t05BpeTokens _),
@@ -407,6 +467,7 @@ object TextQueries {
     "t06_repetition" -> (t06Repetition _))
 
   val oracle: Map[String, String] = Map(
+    "t09_bm25" -> t09Sql,
     "t08_decontaminate" -> t08Sql,
     "t07_heavy_hitters" -> t07Sql,
     "t06_repetition" -> t06Sql,
