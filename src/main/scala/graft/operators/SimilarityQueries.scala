@@ -349,8 +349,70 @@ object SimilarityQueries {
       |SELECT q_id, neighbor_id, cosine FROM ranked WHERE rnk = 1
       |ORDER BY q_id""".stripMargin
 
+  // ---------------------------------------------------------------- s07
+  /** kNN classification — retrieval as a classifier, the standard
+    * label-propagation baseline over an embedding store: each query
+    * vector takes the majority label among its exact top-10 cosine
+    * neighbors (ties broken toward the smaller label for determinism),
+    * reported against its own label.
+    *
+    * Plan: s01's broadcast-query scan + per-query top-k, then one tiny
+    * aggregation over k·|queries| rows for the vote. At 100 TB the
+    * neighbor search swaps to the banded/IVF tier (s02/s05) and the vote
+    * is unchanged — the classifier is a 2-line suffix on any ANN
+    * backend.
+    */
+  def s07KnnClassify(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.spread(Tables.embeddings(s, dir)).withColumn("v", embD)
+      .withColumn("norm", sqrt(dot("v", "v")))
+      .select(col("vec_id"), col("label"), col("v"), col("norm"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("label").as("true_label"),
+        col("v").as("qv"), col("norm").as("qnorm"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", floor(dot("qv", "v") / (col("qnorm") * col("norm")) * 1e6 + 0.5) / 1e6)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    val votes = scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .groupBy(col("q_id"), col("true_label"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val wv = Window.partitionBy(col("q_id")).orderBy(col("n_votes").desc, col("label"))
+    votes.withColumn("r", row_number().over(wv)).filter(col("r") === 1)
+      .select(col("q_id"), col("label").as("predicted_label"), col("n_votes"),
+        col("true_label"), (col("label") === col("true_label")).as("correct"))
+      .orderBy(col("q_id"))
+  }
+
+  val s07Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, label, v,
+      |    SQRT(list_reduce(list_transform(generate_series(1, 64), i -> v[i] * v[i]), (x, y) -> x + y)) AS nrm
+      |  FROM e),
+      |scored AS (
+      |  SELECT q.vec_id AS q_id, q.label AS true_label, c.vec_id AS neighbor_id, c.label AS nb_label,
+      |    FLOOR(list_reduce(list_transform(generate_series(1, 64), i -> q.v[i] * c.v[i]), (x, y) -> x + y)
+      |      / (q.nrm * c.nrm) * 1e6 + 0.5) / 1e6 AS cosine
+      |  FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+      |ranked AS (
+      |  SELECT q_id, true_label, nb_label,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rnk
+      |  FROM scored),
+      |votes AS (
+      |  SELECT q_id, true_label, nb_label, COUNT(*) AS n_votes
+      |  FROM ranked WHERE rnk <= 10 GROUP BY q_id, true_label, nb_label),
+      |best AS (
+      |  SELECT q_id, true_label, nb_label, n_votes,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY n_votes DESC, nb_label) AS r
+      |  FROM votes)
+      |SELECT q_id, nb_label AS predicted_label, n_votes, true_label,
+      |  (nb_label = true_label) AS correct
+      |FROM best WHERE r = 1 ORDER BY q_id""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s07_knn_classify" -> (s07KnnClassify _),
     "s01_ann_bruteforce" -> (s01AnnBruteForce _),
     "s02_ann_lsh" -> (s02AnnLsh _),
     "s03_near_dup_stats" -> (s03NearDupStats _),
@@ -359,6 +421,7 @@ object SimilarityQueries {
     "s06_ann_verified" -> (s06AnnVerified _))
 
   val oracle: Map[String, String] = Map(
+    "s07_knn_classify" -> s07Sql,
     "s01_ann_bruteforce" -> s01Sql,
     "s03_near_dup_stats" -> s03Sql,
     "s04_ann_native" -> s01Sql,
