@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{SimilarityQueries, StarQueries}
+import org.apache.spark.sql.functions.{lit, lpad, when}
 
 /** Physical-plan shape assertions — the scale-readiness checks the prompt
   * calls out: filters must reach the parquet scan, dimension joins must
@@ -80,6 +81,39 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("PartitionFilters"), p.take(800))
     val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).get
     assert(scanLine.contains("o_year"), s"o_year not in partition filters: $scanLine")
+  }
+
+  test("AQE splits a skewed sort-merge join at runtime (skew=true in the final plan)") {
+    import spark.implicits._
+    // 90% of the left side lands on key 0 — the runtime-skew shape that
+    // salting (q32) handles statically; here AQE must detect and split the
+    // hot partition without any query rewrite. Thresholds are lowered so
+    // the test corpus trips the same detector a hot key trips at TB scale.
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32768")
+    try {
+      val left = spark.range(200000).select(
+        when($"id" < 180000, lit(0L)).otherwise($"id" % 97).as("k"),
+        lpad($"id".cast("string"), 100, "x").as("pad"))
+      val right = spark.range(1000).select($"id".as("k"), ($"id" * 2).as("w"))
+      val j = left.join(right, "k")
+      // execute THIS frame (count() builds its own query tree and would
+      // leave j's adaptive plan unfinalized)
+      assert(j.collect().length === 200000)
+      val p = plan(j)
+      assert(p.contains("skew=true"), s"expected AQE skew split in:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("no query plans a cartesian product except the scalar-histogram cross join") {
