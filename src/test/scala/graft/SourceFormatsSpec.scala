@@ -76,4 +76,24 @@ class SourceFormatsSpec extends SparkTestBase {
     val expected = orders.filter(year(col("o_orderdate")) === 1997).count()
     assert(pruned.count() === expected)
   }
+
+  test("small-files compaction: repartition + maxRecordsPerFile bound output file count and size") {
+    // the operational tail of every 100 TB ingest: a directory of many tiny
+    // files (here: 64-way write of 1.5k rows) compacted into few bounded
+    // files, contents unchanged
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    orders.repartition(64).write.mode("overwrite").parquet(s"$dir/small")
+    def parquetFiles(p: String): Array[java.io.File] =
+      new java.io.File(p).listFiles().filter(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles(s"$dir/small").length === 64)
+    val n = orders.count()
+    spark.read.parquet(s"$dir/small")
+      .repartition(2)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", (n / 2 + 1).toString)
+      .parquet(s"$dir/compact")
+    val files = parquetFiles(s"$dir/compact")
+    assert(files.length === 2, s"expected 2 compacted files, got ${files.length}")
+    assert(digest(spark.read.parquet(s"$dir/compact")) === digest(orders))
+  }
 }
