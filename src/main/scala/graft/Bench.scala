@@ -41,15 +41,24 @@ object Bench {
     // two independent end-to-end runs (caches dropped between them, so
     // each pays full I/O + compute) is the standard way to report the
     // machine's actual capability rather than the neighbors' load.
+    // A failed run must never be eligible for the minimum (its
+    // time-to-exception would masquerade as a fast success): failures
+    // score +Infinity within a pass, and a query that failed BOTH passes
+    // reports -1 — visible in the output rather than silently averaged.
     def pass(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        finally spark.catalog.clearCache() // release per-query caches
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+          finally spark.catalog.clearCache() // release per-query caches
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else Double.PositiveInfinity)
       }
     val (p1, p2) = (pass(), pass().toMap)
-    val results = p1.map { case (name, t) => name -> math.min(t, p2(name)) }
+    val results = p1.map { case (name, t) =>
+      val best = math.min(t, p2(name))
+      name -> (if (best.isInfinity) -1.0 else best)
+    }
     def f(v: Double): String = f"$v%.3f"
     // Full per-query breakdown to a file for local profiling; stdout must
     // stay minimal (see below) and stderr may be merged into the captured

@@ -411,7 +411,13 @@ object DedupQueries {
     var prevSum = labelSum()
     var converged = false
     var iter = 0
-    while (!converged && iter < 20) {
+    // 64 rounds covers any component of diameter <= 64 — far beyond what
+    // near-dup clusters (stars around template docs) produce. A corpus
+    // that legitimately trips this has adversarially long similarity
+    // chains; the fix there is the documented large-star/small-star
+    // O(log n) variant, not a silently wrong partial answer — so fail
+    // loudly (require below) rather than emit unconverged labels.
+    while (!converged && iter < 64) {
       labels = edges
         .join(labels.select(col("doc_id").as("v"), col("lbl")), "v")
         .select(col("u"), col("lbl"))

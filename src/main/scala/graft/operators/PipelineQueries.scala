@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -64,13 +64,18 @@ object PipelineQueries {
     * table, so the anti join is co-located and the new batch never
     * re-reads historical text.
     */
-  def p02IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
-    val canon = md5(Tables.canonText(col("text")))
-    val docs = Tables.spread(Tables.documents(s, dir)).withColumn("fp", canon)
-    val isNew = col("source").isin("src0", "src1")
-    val history = docs.filter(!isNew).select(col("fp"))
-    val fresh = docs.filter(isNew)
-      .join(history, Seq("fp"), "left_anti")
+  /** Shared stages of the p02/p03 pair (they must stay bit-identical —
+    * the bloom variant shares p02's oracle and an equality spec, so the
+    * only difference between them is how the anti-join input is gated). */
+  private val isNewBatch: Column = col("source").isin("src0", "src1")
+
+  private def fingerprinted(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.documents(s, dir))
+      .withColumn("fp", md5(Tables.canonText(col("text"))))
+
+  /** survivors (fp, keeper_doc_id, n_in_batch) → per-source keeper report. */
+  private def keeperReport(survivors: DataFrame, docs: DataFrame): DataFrame = {
+    val fresh = survivors
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_in_batch"))
     fresh
@@ -82,6 +87,12 @@ object PipelineQueries {
         sum(col("n_in_batch")).as("n_batch_copies"),
         sum(col("n_chars")).as("total_chars"))
       .orderBy(col("source"))
+  }
+
+  def p02IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = fingerprinted(s, dir)
+    val history = docs.filter(!isNewBatch).select(col("fp"))
+    keeperReport(docs.filter(isNewBatch).join(history, Seq("fp"), "left_anti"), docs)
   }
 
   val p02Sql: String =
@@ -124,29 +135,20 @@ object PipelineQueries {
     * the join input, so the scan/filter pushdown path is unaffected.
     */
   def p03BloomIncrementalDedup(s: SparkSession, dir: String): DataFrame = {
-    val canon = md5(Tables.canonText(col("text")))
-    val docs = Tables.spread(Tables.documents(s, dir)).withColumn("fp", canon)
-    val isNew = col("source").isin("src0", "src1")
-    val history = docs.filter(!isNew).select(col("fp")).cache()
+    val docs = fingerprinted(s, dir)
+    val history = docs.filter(!isNewBatch).select(col("fp")).cache()
     val bloom = history.stat.bloomFilter("fp", 100000L, 0.01)
     val bloomB = s.sparkContext.broadcast(bloom)
-    val mightContain = udf((fp: String) => bloomB.value.mightContainString(fp))
-    val batch = docs.filter(isNew).cache()
+    // null fp (null text upstream) = "absent": the sketch can't hold it
+    // and the exact anti-join treats null as matching nothing, so routing
+    // nulls down the definitely-new path preserves p02's semantics
+    // (a bare mightContainString(null) would NPE)
+    val mightContain = udf((fp: String) => fp != null && bloomB.value.mightContainString(fp))
+    val batch = docs.filter(isNewBatch).cache()
     val definitelyNew = batch.filter(!mightContain(col("fp")))
     val maybeDup = batch.filter(mightContain(col("fp")))
       .join(history, Seq("fp"), "left_anti")
-    val fresh = definitelyNew.unionByName(maybeDup)
-      .groupBy(col("fp"))
-      .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_in_batch"))
-    fresh
-      .join(docs.select(col("doc_id").as("keeper_doc_id"), col("source"), col("n_chars")),
-        Seq("keeper_doc_id"))
-      .groupBy(col("source"))
-      .agg(
-        count(lit(1)).as("n_kept"),
-        sum(col("n_in_batch")).as("n_batch_copies"),
-        sum(col("n_chars")).as("total_chars"))
-      .orderBy(col("source"))
+    keeperReport(definitelyNew.unionByName(maybeDup), docs)
   }
 
   /** Sequence packing — the last hop before the trainer: documents are
@@ -182,12 +184,19 @@ object PipelineQueries {
       .rowsBetween(W.unboundedPreceding, -1)
     val acrossBuckets = W.partitionBy(col("source")).orderBy(col("bucket"))
       .rowsBetween(W.unboundedPreceding, -1)
-    val toks = Tables.spread(Tables.documents(s, dir))
+    // cache the tokenized narrow frame (no text column): the window
+    // branch and the bucket-totals branch both consume it, and uncached
+    // the regex tokenization pass over every document runs twice
+    val counted = Tables.spread(Tables.documents(s, dir))
       .withColumn("n_tokens",
         expr("size(regexp_extract_all(text, '[A-Za-z0-9]+', 0))").cast(LongType))
       .withColumn("bucket", expr("doc_id div 1000"))
+      .select(col("source"), col("doc_id"), col("n_tokens"), col("bucket"))
+      .cache()
+    counted.count()
+    val toks = counted
       .withColumn("within_off", coalesce(sum(col("n_tokens")).over(withinBucket), lit(0L)))
-    val bucketOffs = toks.groupBy(col("source"), col("bucket"))
+    val bucketOffs = counted.groupBy(col("source"), col("bucket"))
       .agg(sum(col("n_tokens")).as("bucket_total"))
       .withColumn("bucket_off", coalesce(sum(col("bucket_total")).over(acrossBuckets), lit(0L)))
       .select(col("source"), col("bucket"), col("bucket_off"))

@@ -38,20 +38,28 @@ object SimilarityQueries {
     * per query. At 100 TB the window becomes a per-partition heap
     * (TakeOrdered per query) — same declarative shape.
     */
-  def s01AnnBruteForce(s: SparkSession, dir: String): DataFrame = {
+  /** Shared exact-top-k core for s01/s07: per query vector (vec_id < 5),
+    * the top-10 cosine neighbors with deterministic rounding/tie-break.
+    * Columns: q_id, q_label, rnk, neighbor vec_id, label, cosine. Both
+    * consumers hash-match oracles that restate this computation, so it
+    * must live in exactly one place. */
+  private def exactTopNeighbors(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.spread(Tables.embeddings(s, dir)).withColumn("v", embD)
       .withColumn("norm", sqrt(dot("v", "v")))
-      .select(col("vec_id"), col("v"), col("norm"))
+      .select(col("vec_id"), col("label"), col("v"), col("norm"))
     val q = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("v").as("qv"), col("norm").as("qnorm"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .withColumn("cosine", floor(dot("qv", "v") / (col("qnorm") * col("norm")) * 1e6 + 0.5) / 1e6)
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 10)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
+  }
+
+  def s01AnnBruteForce(s: SparkSession, dir: String): DataFrame =
+    exactTopNeighbors(s, dir)
       .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"), col("cosine"))
       .orderBy(col("q_id"), col("rnk"))
-  }
 
   val s01Sql: String =
     """WITH e AS (
@@ -363,17 +371,8 @@ object SimilarityQueries {
     * backend.
     */
   def s07KnnClassify(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.spread(Tables.embeddings(s, dir)).withColumn("v", embD)
-      .withColumn("norm", sqrt(dot("v", "v")))
-      .select(col("vec_id"), col("label"), col("v"), col("norm"))
-    val q = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"), col("label").as("true_label"),
-        col("v").as("qv"), col("norm").as("qnorm"))
-    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .withColumn("cosine", floor(dot("qv", "v") / (col("qnorm") * col("norm")) * 1e6 + 0.5) / 1e6)
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
-    val votes = scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 10)
+    val votes = exactTopNeighbors(s, dir)
+      .select(col("q_id"), col("q_label").as("true_label"), col("label"))
       .groupBy(col("q_id"), col("true_label"), col("label"))
       .agg(count(lit(1)).as("n_votes"))
     val wv = Window.partitionBy(col("q_id")).orderBy(col("n_votes").desc, col("label"))
