@@ -26,9 +26,15 @@ object Bench {
     Seq(
       "q01_pricing_summary" -> sfDir,
       "d03_ngram_jaccard" -> warmSf,
+      "d04_minhash_lsh" -> warmSf, // 32-min-agg signature codegen: ~10s JIT cold
       "d05_simhash" -> warmSf,
+      "d06_dup_clusters" -> warmSf, // label-propagation loop plan shapes
       "t05_bpe_tokens" -> warmSf,
+      "t07_heavy_hitters" -> warmSf,
+      "t09_bm25" -> warmSf,
       "s01_ann_bruteforce" -> warmSf,
+      "s06_ann_verified" -> warmSf,
+      "ml01_lr_metrics" -> warmSf, // MLlib fit path (BLAS init, LBFGS classes)
       "q41_fuzzy_names" -> warmSf,
       "q67_nested_structs" -> warmSf
     ).foreach { case (q, dir) =>

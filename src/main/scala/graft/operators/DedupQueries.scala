@@ -399,11 +399,18 @@ object DedupQueries {
     // LSH candidate+verify pipeline
     val pairs = d04MinhashLsh(s, dir).select(col("da"), col("db")).cache()
     pairs.count()
+    // localCheckpoint (not cache): truncates the d04 lineage, so every
+    // loop round below plans over a 2-column leaf instead of re-analyzing
+    // the whole LSH pipeline tree each iteration
     val edges = pairs.union(pairs.select(col("db"), col("da")))
-      .toDF("u", "v").cache()
-    edges.count()
-    var labels = edges.select(col("u").as("doc_id")).distinct()
-      .withColumn("lbl", col("doc_id")).localCheckpoint()
+      .toDF("u", "v").localCheckpoint()
+    // Initialization IS the first propagation round: both edge directions
+    // are present, so min-over-neighbors-and-self per vertex is one
+    // aggregation — no join, and it subsumes the identity labeling + the
+    // distinct-vertex pass.
+    var labels = edges.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      .select(col("u").as("doc_id"), least(col("u"), col("mn")).as("lbl"))
+      .localCheckpoint()
     // coalesce: sum over an EMPTY vertex set (corpus with no near-dup
     // pairs) is null, and the fixpoint test must see 0, not NPE
     def labelSum(): Long =
