@@ -393,16 +393,28 @@ object DedupQueries {
     * Output: every doc in some near-dup pair, its cluster id (= min doc_id
     * in the component), the component size, and the keeper flag.
     */
-  def d06DupClusters(s: SparkSession, dir: String): DataFrame = {
-    // cache the pair list BEFORE the two-direction union: both union
-    // branches reference it, and uncached each would re-run the whole
-    // LSH candidate+verify pipeline
-    val pairs = d04MinhashLsh(s, dir).select(col("da"), col("db")).cache()
-    pairs.count()
-    // localCheckpoint (not cache): truncates the d04 lineage, so every
-    // loop round below plans over a 2-column leaf instead of re-analyzing
-    // the whole LSH pipeline tree each iteration
-    val edges = pairs.union(pairs.select(col("db"), col("da")))
+  /** Connected components over an UNDIRECTED pair list (da, db) via
+    * iterative min-label propagation — the shared resolution core of
+    * d06 (shingle near-dups) and d07 (embedding near-dups).
+    *
+    * Each round every vertex takes the minimum label over itself and its
+    * neighbors — one shuffle on the edge key + one on the vertex key per
+    * round, converging in O(component diameter) rounds. Lineage is
+    * truncated per round with localCheckpoint (cluster: checkpoint to
+    * durable storage) so the plan doesn't grow across iterations.
+    *
+    * Convergence test is one scan, no join: labels only ever decrease, so
+    * sum(label) is strictly monotone and stable iff the round was a
+    * fixpoint.
+    *
+    * Returns (doc_id, lbl) where lbl = min vertex id in the component.
+    */
+  private[operators] def connectedComponents(pairs: DataFrame): DataFrame = {
+    // localCheckpoint (not cache): truncates the upstream pair-finding
+    // lineage, so every loop round below plans over a 2-column leaf
+    // instead of re-analyzing the whole pipeline tree each iteration
+    val p = pairs.toDF("da", "db")
+    val edges = p.union(p.select(col("db"), col("da")))
       .toDF("u", "v").localCheckpoint()
     // Initialization IS the first propagation round: both edge directions
     // are present, so min-over-neighbors-and-self per vertex is one
@@ -422,7 +434,8 @@ object DedupQueries {
     // near-dup clusters (stars around template docs) produce. A corpus
     // that legitimately trips this has adversarially long similarity
     // chains; the fix there is the documented large-star/small-star
-    // O(log n) variant, not a silently wrong partial answer — so fail
+    // O(log n) variant (Kiveris et al., "Connected Components in
+    // MapReduce"), not a silently wrong partial answer — so fail
     // loudly (require below) rather than emit unconverged labels.
     while (!converged && iter < 64) {
       labels = edges
@@ -437,12 +450,28 @@ object DedupQueries {
       prevSum = s2
       iter += 1
     }
-    require(converged, s"d06 label propagation did not converge in $iter rounds")
+    require(converged, s"label propagation did not converge in $iter rounds")
+    labels
+  }
+
+  /** (doc_id, cluster_id, cluster_size, is_keeper) presentation shared by
+    * d06/d07: component labels joined with component sizes, keeper = the
+    * component's min id. */
+  private def clusterReport(labels: DataFrame): DataFrame = {
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "lbl")
       .select(col("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"),
         (col("doc_id") === col("lbl")).as("is_keeper"))
       .orderBy(col("cluster_id"), col("doc_id"))
+  }
+
+  def d06DupClusters(s: SparkSession, dir: String): DataFrame = {
+    // cache the pair list BEFORE the two-direction union inside
+    // connectedComponents: both union branches reference it, and uncached
+    // each would re-run the whole LSH candidate+verify pipeline
+    val pairs = d04MinhashLsh(s, dir).select(col("da"), col("db")).cache()
+    pairs.count()
+    clusterReport(connectedComponents(pairs))
   }
 
   /** d04's exact pair list extended to components with a recursive CTE:
@@ -478,17 +507,100 @@ object DedupQueries {
       |  (doc_id = cluster_id) AS is_keeper
       |FROM comp ORDER BY cluster_id, doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- d07
+  /** Embedding-cosine near-dup dedup — the vector-space member of the
+    * dedup family (d01 exact, d03/d04 lexical, d05 bitwise, d07 semantic):
+    * documents whose EMBEDDINGS nearly coincide are duplicates even when
+    * their token streams differ (translations, templated rewrites).
+    *
+    * The raw corpus has no true embedding near-dups (max within-label
+    * cosine < 0.8), so — like s06's planted-neighbor probe — the operator
+    * first DERIVES a corpus with known duplicates: for vec_id < 40 a
+    * perturbed copy v' = v + 0.1 * v_((id+13) mod n) with id' = id + 10^6.
+    * The perturbation is dominated by the base vector, so cos(v', v) >=
+    * 0.995 regardless of the partner (min over partner cosine c of
+    * (1+0.1c)/sqrt(1.01+0.2c) is ~0.9876, and c >= -0.5 in practice keeps
+    * it above 0.995), while every non-planted within-label pair stays
+    * below 0.8 — the 0.99 threshold separates them with wide margins on
+    * both sides, and the DuckDB oracle re-derives the same corpus so a
+    * recall or precision miss fails the hash.
+    *
+    * Pipeline: pairwise cosine scoped by label (the coarse-quantization
+    * pattern — at 100 TB the scope key is an IVF cell id, bounding the
+    * pairwise step per cell; see s03/s05), threshold on the ROUNDED
+    * cosine (same floor(x*1e6+0.5)/1e6 both engines), then the shared
+    * [[connectedComponents]] min-label propagation and keeper report —
+    * transitive chains (A~B, B~C) collapse to one keeper exactly as in
+    * d06.
+    */
+  def d07EmbeddingDedup(s: SparkSession, dir: String): DataFrame = {
+    import SimilarityQueries.{embD, dot}
+    val e = Tables.spread(Tables.embeddings(s, dir)).withColumn("v", embD)
+      .select(col("vec_id"), col("label"), col("v"))
+    val n = e.count() // corpus size for the mod-n partner index
+    val derived = e.filter(col("vec_id") < 40)
+      .withColumn("partner", (col("vec_id") + 13) % n)
+      .join(e.select(col("vec_id").as("partner"), col("v").as("pv")), "partner")
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("label"),
+        expr("zip_with(v, pv, (a, b) -> a + 0.1d * b)").as("v"))
+    val corpus = e.unionByName(derived)
+      .withColumn("norm", sqrt(dot("v", "v")))
+      .localCheckpoint() // both sides of the self-join below
+    val a = corpus.select(col("label"), col("vec_id").as("da"), col("v").as("va"), col("norm").as("na"))
+    val b = corpus.select(col("label").as("label_b"), col("vec_id").as("db"), col("v").as("vb"), col("norm").as("nb"))
+    val pairs = a.join(b, a("label") === b("label_b") && a("da") < b("db"))
+      .withColumn("cosine", floor(dot("va", "vb") / (col("na") * col("nb")) * 1e6 + 0.5) / 1e6)
+      .filter(col("cosine") >= 0.99)
+      .select(col("da"), col("db"))
+      .cache()
+    pairs.count()
+    clusterReport(connectedComponents(pairs))
+      .withColumnRenamed("doc_id", "vec_id")
+  }
+
+  val d07Sql: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cnt AS (SELECT COUNT(*) AS n FROM e),
+      |drv AS (
+      |  SELECT b.vec_id + 1000000 AS vec_id, b.label,
+      |    list_transform(generate_series(1, 64), i -> b.v[i] + 0.1 * p.v[i]) AS v
+      |  FROM e b JOIN cnt ON TRUE JOIN e p ON p.vec_id = (b.vec_id + 13) % cnt.n
+      |  WHERE b.vec_id < 40),
+      |corpus AS (SELECT * FROM e UNION ALL SELECT * FROM drv),
+      |nrm AS (
+      |  SELECT vec_id, label, v,
+      |    SQRT(list_reduce(list_transform(generate_series(1, 64), i -> v[i] * v[i]), (x, y) -> x + y)) AS nrm
+      |  FROM corpus),
+      |pairs AS (
+      |  SELECT a.vec_id AS da, b.vec_id AS db
+      |  FROM nrm a JOIN nrm b ON a.label = b.label AND a.vec_id < b.vec_id
+      |  WHERE FLOOR(list_reduce(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i]), (x, y) -> x + y)
+      |          / (a.nrm * b.nrm) * 1e6 + 0.5) / 1e6 >= 0.99),
+      |edges AS (SELECT da AS u, db AS v FROM pairs UNION SELECT db, da FROM pairs),
+      |reach(u, v) AS (
+      |  SELECT u, u FROM edges
+      |  UNION
+      |  SELECT e2.u, r.v FROM edges e2 JOIN reach r ON e2.v = r.u),
+      |comp AS (SELECT u AS vec_id, MIN(v) AS cluster_id FROM reach GROUP BY u)
+      |SELECT vec_id, cluster_id,
+      |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+      |  (vec_id = cluster_id) AS is_keeper
+      |FROM comp ORDER BY cluster_id, vec_id""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> (d01ExactDedup _),
     "d03_ngram_jaccard" -> (d03NgramJaccard _),
     "d04_minhash_lsh" -> (d04MinhashLsh _),
     "d05_simhash" -> (d05Simhash _),
-    "d06_dup_clusters" -> (d06DupClusters _))
+    "d06_dup_clusters" -> (d06DupClusters _),
+    "d07_embedding_dedup" -> (d07EmbeddingDedup _))
 
   val oracle: Map[String, String] = Map(
     "d01_exact_dedup" -> d01Sql,
     "d03_ngram_jaccard" -> d03Sql,
     "d04_minhash_lsh" -> d04Sql,
-    "d06_dup_clusters" -> d06Sql)
+    "d06_dup_clusters" -> d06Sql,
+    "d07_embedding_dedup" -> d07Sql)
 }

@@ -226,13 +226,73 @@ object PipelineQueries {
       |    AS spans_boundary
       |FROM offs ORDER BY source, doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- p05
+  /** Training-mixture construction — the sampling stage that turns a
+    * cleaned corpus into a training mix with per-source weights (e.g.
+    * up-weight curated sources, down-weight crawl): each source gets a
+    * target rate, and documents are kept by DETERMINISTIC hash sampling
+    * (first md5 hex digit of doc_id against the rate's hex threshold —
+    * the q30 pattern), so the sample is reproducible run-to-run, stable
+    * under re-partitioning, and needs no RNG state. Rates here are
+    * assigned by source index mod 4 -> {1, 1/2, 1/4, 1/8}; hex-prefix
+    * thresholds make each rate EXACT over the hash space.
+    *
+    * Output is the mixture report a pipeline operator would log: docs and
+    * token volume kept per source, achieved vs target rate. One map pass
+    * + one rollup shuffle on source; at 100 TB the filter rides the scan
+    * and only survivors' token counts flow into the aggregate.
+    */
+  def p05MixtureSample(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.documents(s, dir))
+      .withColumn("m", expr("cast(substring(source, 4) as int) % 4"))
+      .withColumn("target_rate",
+        when(col("m") === 0, 1.0).when(col("m") === 1, 0.5)
+          .when(col("m") === 2, 0.25).otherwise(0.125))
+      .withColumn("hx", substring(md5(col("doc_id").cast(StringType)), 1, 1))
+      .withColumn("kept",
+        when(col("m") === 0, lit(true))
+          .when(col("m") === 1, col("hx") < "8")
+          .when(col("m") === 2, col("hx") < "4")
+          .otherwise(col("hx") < "2"))
+      .withColumn("n_toks",
+        size(split(Tables.canonText(col("text")), " ")).cast(LongType))
+      .groupBy(col("source"), col("target_rate"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(col("kept"), col("n_toks")).otherwise(0L)).as("sampled_tokens"))
+      .withColumn("achieved_rate",
+        floor(col("n_sampled").cast(DoubleType) / col("n_docs") * 10000.0 + 0.5) / 10000.0)
+      .orderBy(col("source"))
+
+  val p05Sql: String =
+    """WITH d AS (
+      |  SELECT source, doc_id,
+      |    CAST(substring(source, 4) AS INT) % 4 AS m,
+      |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS hx,
+      |    CAST(len(string_split(TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS BIGINT) AS n_toks
+      |  FROM documents),
+      |t AS (
+      |  SELECT source,
+      |    CAST(CASE m WHEN 0 THEN 1.0 WHEN 1 THEN 0.5 WHEN 2 THEN 0.25 ELSE 0.125 END AS DOUBLE) AS target_rate,
+      |    (m = 0 OR (m = 1 AND hx < '8') OR (m = 2 AND hx < '4') OR (m = 3 AND hx < '2')) AS kept,
+      |    n_toks
+      |  FROM d)
+      |SELECT source, target_rate, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+      |  CAST(SUM(CASE WHEN kept THEN n_toks ELSE 0 END) AS BIGINT) AS sampled_tokens,
+      |  FLOOR(CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS achieved_rate
+      |FROM t GROUP BY 1, 2 ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p05_mixture_sample" -> (p05MixtureSample _),
     "p01_clean_corpus" -> (p01CleanCorpus _),
     "p02_incremental_dedup" -> (p02IncrementalDedup _),
     "p03_bloom_incremental_dedup" -> (p03BloomIncrementalDedup _),
     "p04_sequence_packing" -> (p04SequencePacking _))
 
   val oracle: Map[String, String] = Map(
+    "p05_mixture_sample" -> p05Sql,
     "p01_clean_corpus" -> p01Sql,
     "p02_incremental_dedup" -> p02Sql,
     // p03 is the bloom-accelerated twin of p02: the exact anti-join on the

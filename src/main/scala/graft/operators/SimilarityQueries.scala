@@ -26,10 +26,11 @@ import org.apache.spark.sql.types._
   */
 object SimilarityQueries {
 
-  /** embedding as array<double> (deterministic float->double widening). */
-  private val embD: Column = expr("transform(embedding, x -> cast(x as double))")
+  /** embedding as array<double> (deterministic float->double widening).
+    * Shared with the dedup family (d07 embedding-cosine dedup). */
+  private[operators] val embD: Column = expr("transform(embedding, x -> cast(x as double))")
 
-  private def dot(a: String, b: String): Column =
+  private[operators] def dot(a: String, b: String): Column =
     expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)")
 
   // ---------------------------------------------------------------- s01

@@ -454,8 +454,81 @@ object TextQueries {
       |FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id) CROSS JOIN corpus
       |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- t10
+  /** Bigram language-model scoring — the classic LM-based quality /
+    * perplexity filter (the heaviest text signal a pretraining pipeline
+    * computes that is still pure SQL): train an add-one-smoothed bigram
+    * model ON the corpus itself, then score every document by its average
+    * negative log-likelihood under that model. High avg_nll = the
+    * document's word transitions are rare in the corpus (outlier / noisy
+    * text); low = templated/repetitive text.
+    *
+    *   P(w2 | w1) = (c(w1 w2) + 1) / (c(w1 ·) + V)
+    *   avg_nll(doc) = mean over the doc's bigram INSTANCES of -ln P
+    *
+    * Plan shape at 100 TB: the bigram instance list is a per-doc map
+    * stage; the model (c2/c1 tables over a bounded vocabulary) aggregates
+    * with map-side combine and broadcasts back to the scoring join — the
+    * corpus is scanned twice, shuffled never (model tables are vocab- not
+    * corpus-sized). Determinism: the per-doc sum runs through the
+    * DECIMAL(30,6) path ([[graft.Tables.dsum]] rationale) so it is
+    * order-independent, and ln() is bit-compatible with DuckDB's
+    * (established by t09 BM25's oracle).
+    */
+  def t10LmScore(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.spread(Tables.documents(s, dir))
+      .select(col("doc_id"), split(Tables.canonText(col("text")), " ").as("toks"))
+      .cache() // read twice: bigram instances + vocabulary size
+    // short-doc guard: sequence(1, 0) is the DESCENDING [1, 0], not empty
+    // (see shingleArrExpr) — a <2-token doc must yield zero bigrams
+    val big = toks
+      .withColumn("bigs", expr(
+        """if(size(toks) >= 2,
+          |   transform(sequence(1, size(toks) - 1),
+          |     i -> named_struct('w1', element_at(toks, i), 'w2', element_at(toks, i + 1))),
+          |   cast(array() as array<struct<w1: string, w2: string>>))""".stripMargin))
+      .select(col("doc_id"), explode(col("bigs")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .cache() // three readers: c2, c1, scoring join
+    big.count()
+    val vocab = toks.select(explode(col("toks")).as("tok"))
+      .agg(countDistinct(col("tok"))).head.getLong(0)
+    val c2 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt2"))
+    val c1 = big.groupBy(col("w1")).agg(count(lit(1)).as("cnt1"))
+    big
+      .join(broadcast(c2), Seq("w1", "w2"))
+      .join(broadcast(c1), Seq("w1"))
+      .withColumn("nll",
+        -log((col("cnt2") + 1).cast(DoubleType) / (col("cnt1") + lit(vocab)).cast(DoubleType)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (floor(sum(col("nll").cast(DecimalType(30, 6))).cast(DoubleType)
+          / count(lit(1)) * 10000.0 + 0.5) / 10000.0).as("avg_nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t10Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split(TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+      |  FROM documents),
+      |big AS (
+      |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      |  FROM docs, unnest(generate_series(1, GREATEST(len(toks) - 1, 0))) AS u(i)),
+      |v AS (SELECT COUNT(DISTINCT tok) AS vocab FROM (SELECT unnest(toks) AS tok FROM docs)),
+      |c2 AS (SELECT w1, w2, COUNT(*) AS cnt2 FROM big GROUP BY 1, 2),
+      |c1 AS (SELECT w1, COUNT(*) AS cnt1 FROM big GROUP BY 1),
+      |scored AS (
+      |  SELECT big.doc_id,
+      |    -LN(CAST(cnt2 + 1 AS DOUBLE) / CAST(cnt1 + vocab AS DOUBLE)) AS nll
+      |  FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  FLOOR(CAST(CAST(SUM(CAST(nll AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE)
+      |    / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS avg_nll
+      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t10_lm_score" -> (t10LmScore _),
     "t09_bm25" -> (t09Bm25 _),
     "t08_decontaminate" -> (t08Decontaminate _),
     "t07_heavy_hitters" -> (t07HeavyHitters _),
@@ -467,6 +540,7 @@ object TextQueries {
     "t06_repetition" -> (t06Repetition _))
 
   val oracle: Map[String, String] = Map(
+    "t10_lm_score" -> t10Sql,
     "t09_bm25" -> t09Sql,
     "t08_decontaminate" -> t08Sql,
     "t07_heavy_hitters" -> t07Sql,

@@ -193,4 +193,59 @@ class OperatorInvariantsSpec extends SparkTestBase {
     val m = TextQueries.t02LangId(spark, Sf001).collect()
     assert(m.map(_.getLong(2)).sum === Tables.documents(spark, Sf001).count())
   }
+
+  test("embedding dedup recovers exactly the planted duplicates (d07)") {
+    val rows = DedupQueries.d07EmbeddingDedup(spark, Sf001).collect()
+    // 40 planted near-dup copies -> 40 two-member clusters, nothing else
+    assert(rows.length === 80)
+    val byCluster = rows.groupBy(_.getLong(1))
+    assert(byCluster.size === 40)
+    byCluster.foreach { case (cid, members) =>
+      assert(members.length === 2)
+      assert(members.forall(_.getLong(2) === 2L)) // cluster_size
+      val ids = members.map(_.getLong(0)).sorted
+      assert(ids(0) === cid, s"cluster id $cid is not the min member")
+      assert(ids(1) === cid + 1000000L, s"cluster $cid pairs base with its derived copy")
+      // keeper flag marks exactly the base vector
+      assert(members.find(_.getLong(0) === cid).get.getBoolean(3))
+      assert(!members.find(_.getLong(0) === cid + 1000000L).get.getBoolean(3))
+    }
+  }
+
+  test("bigram LM score: n_bigrams = tokens - 1, scores in (0, ln(corpus bigrams + vocab)] (t10)") {
+    val scored = TextQueries.t10LmScore(spark, Sf001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val toks = Tables.documents(spark, Sf001)
+      .select(col("doc_id"),
+        size(split(Tables.canonText(col("text")), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scored.keySet === toks.filter(_._2 >= 2).keySet)
+    scored.foreach { case (id, (nb, _)) => assert(nb === toks(id) - 1) }
+    // -ln P bounds: P in (0, 1) under add-one smoothing with unseen mass,
+    // and P >= 1/(max c1 + V) so nll <= ln(total bigrams + vocab)
+    val totalBigrams = scored.values.map(_._1).sum
+    val vocabBound = math.log(totalBigrams + 100000.0)
+    scored.values.foreach { case (_, nll) =>
+      assert(nll > 0.0 && nll < vocabBound)
+    }
+  }
+
+  test("mixture sample: exact rates for rate-1 sources, budgets respected, deterministic (p05)") {
+    val rows = PipelineQueries.p05MixtureSample(spark, Sf001).collect()
+    assert(rows.length === 20) // one row per source
+    rows.foreach { r =>
+      val (src, target, nDocs, nSampled) =
+        (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3))
+      val m = src.stripPrefix("src").toInt % 4
+      assert(target === Seq(1.0, 0.5, 0.25, 0.125)(m))
+      assert(nSampled <= nDocs)
+      if (m == 0) assert(nSampled === nDocs) // rate 1.0 keeps everything
+      // hash sampling concentrates around the target (loose 3-sigma-ish
+      // bound at 25 docs/source; deterministic, so no flake)
+      else assert(math.abs(nSampled.toDouble / nDocs - target) < 0.35)
+    }
+    // determinism: identical output on a second run
+    val again = PipelineQueries.p05MixtureSample(spark, Sf001).collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
 }
