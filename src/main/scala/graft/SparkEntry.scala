@@ -24,6 +24,7 @@ object SparkEntry {
       operators.SimilarityQueries.queries ++
       operators.SteelQueries.queries ++
       operators.Multimodal.queries ++
+      operators.MlQueries.queries ++
       operators.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -223,4 +223,81 @@ object EventStream {
       .groupBy(col("user_id"))
       .agg(max(col("n_events")).as("n_events"), max(col("last_seen_micros")).as("last_seen_micros"))
   }
+
+  // ------------------------------------------------------------------
+  /** Custom sessionization via flatMapGroupsWithState with an EVENT-TIME
+    * TIMEOUT — the full custom-state API surface that session_window
+    * (above) hides: explicit per-key state, multi-row emission, and
+    * watermark-driven state EVICTION. The built-in covers fixed-gap
+    * sessions; this operator is the template for session logic the
+    * built-in can't express (per-session value caps, custom close rules).
+    *
+    * Per user: events extend the open session while the gap stays under
+    * 30 minutes; a longer gap closes it (emitted inline) and opens a new
+    * one. The open session registers a timeout at last_event + gap; when
+    * the event-time watermark passes that, the state times out, emits the
+    * closed session, and is REMOVED — state is O(open sessions), never
+    * O(users), which is what survives an unbounded key space at scale.
+    */
+  /** ts stays in the projection (not just the derived micros): the
+    * event-time-timeout checker requires the WATERMARKED column to be
+    * present on the stateful operator's input. */
+  case class SessEvent(user_id: Long, ts: java.sql.Timestamp, tsMicros: Long)
+  case class SessState(startMicros: Long, lastMicros: Long, n: Long)
+  case class ClosedSession(user_id: Long, session_start_micros: Long, n_events: Long)
+
+  private val SessionGapMicros: Long = 30L * 60 * 1000000
+
+  def timeoutSessions(spark: SparkSession, dir: String, queryName: String = "graft_timeout_sessions"): DataFrame = {
+    import spark.implicits._
+    val events = readEvents(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("tsMicros"))
+      .as[SessEvent]
+    val sessions = events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, rows, state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last_event + gap: the session is closed for
+            // good (no earlier event can still arrive) — emit and evict
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(uid, s.startMicros, s.n))
+          } else {
+            // within-batch order is not guaranteed; per-user-per-batch
+            // volume is small, so a local sort is safe at any scale
+            val sorted = rows.toArray.sortBy(_.tsMicros)
+            val out = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.tsMicros - s.lastMicros <= SessionGapMicros =>
+                  cur = Some(s.copy(lastMicros = e.tsMicros, n = s.n + 1))
+                case Some(s) =>
+                  out += ClosedSession(uid, s.startMicros, s.n)
+                  cur = Some(SessState(e.tsMicros, e.tsMicros, 1))
+                case None =>
+                  cur = Some(SessState(e.tsMicros, e.tsMicros, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // timeout fires once watermark > last + gap (API takes ms)
+              state.setTimeoutTimestamp((s.lastMicros + SessionGapMicros) / 1000)
+            }
+            out.iterator
+          }
+      }
+      .toDF("user_id", "session_start_micros", "n_events")
+    val q = sessions.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
 }

@@ -104,6 +104,37 @@ class StreamingSpec extends SparkTestBase {
     assert(sunk === batch)
   }
 
+  test("flatMapGroupsWithState timeout sessions match batch sessionization") {
+    // Sessions closed by a longer gap within the stream emit inline; the
+    // final open session per user emits only if the event-time watermark
+    // (maxTs - 2h on a bounded run) passes its last_event + gap timeout.
+    val streamed = EventStream.timeoutSessions(spark, Sf0001, "timeout_sess_spec")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batchRows = Tables.events(spark, Sf0001)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"))
+      .collect()
+    val batch = batchRows.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    streamed.foreach { case (k, n) =>
+      assert(batch.get(k).contains(n), s"streamed session $k -> $n not in batch")
+    }
+    val maxTsMicros = Tables.events(spark, Sf0001)
+      .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    val watermarkMicros = maxTsMicros - 2L * 3600 * 1000000
+    batchRows.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      if (!streamed.contains(k))
+        // batch session end = last event + gap = exactly the timeout ts
+        assert(r.getLong(2) >= watermarkMicros,
+          s"session $k timed out inside the horizon but was never emitted")
+    }
+    assert(streamed.nonEmpty)
+  }
+
   test("mapGroupsWithState per-user counters match batch groupBy") {
     val streamed = EventStream.userCounts(spark, Sf0001, "user_spec")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
