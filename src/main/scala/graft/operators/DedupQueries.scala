@@ -15,12 +15,13 @@ import org.apache.spark.sql.types._
   *    cross join);
   *  - MinHash + LSH banding: constant-size signatures, candidate pairs only
   *    from shared bands (sub-linear candidate set);
-  *  - SimHash: 64-bit sketch per doc, near-dups = small Hamming distance
+  *  - SimHash: 60-bit sketch per doc, near-dups = small Hamming distance
   *    within band buckets.
   *
   * The reference has no dedup surface; this is the north-star tier
   * (SURVEY.md §7.2 step 9). Everything is built-in expressions (codegen'd);
-  * hashing is xxhash64 — Spark's native 64-bit hash, computed per shingle,
+  * shingle hashing is xxhash64 — Spark's native 64-bit hash — while d05's
+  * per-token hash is an md5 prefix so the DuckDB oracle can reproduce it;
   * no UDFs anywhere.
   */
 object DedupQueries {
@@ -295,12 +296,21 @@ object DedupQueries {
       |ORDER BY da, db""".stripMargin
 
   // ---------------------------------------------------------------- d05
-  /** SimHash: 64-bit sketch = per-bit majority vote over token hashes.
+  /** SimHash: 60-bit sketch = per-bit majority vote over token hashes.
     *
-    * Lane-packed: instead of 64 separate per-bit aggregates (whose
+    * Token hash: the first 15 hex chars of md5(tok) as a 60-bit integer —
+    * chosen over xxhash64 because BOTH engines compute it verbatim
+    * (Spark `conv(substring(md5(tok),1,15),16,10)` ≡ DuckDB
+    * `('0x'||substr(md5(tok),1,15))::BIGINT`), which is what lets the
+    * d05 pair list be oracle-HASH-checked end-to-end instead of
+    * rows-only. 60 bits fits a signed BIGINT in both engines with no
+    * sign edge; a production corpus can swap xxhash64 back in (cheaper
+    * per token) without touching the banding/vote math.
+    *
+    * Lane-packed: instead of 60 separate per-bit aggregates (whose
     * generated aggregate class is so large it dominates the query at
     * ~11s of codegen/JIT before any row flows), each long sum carries
-    * FOUR 16-bit counters — 16 aggregate buffers total, 4x less
+    * FOUR 16-bit counters — 15 aggregate buffers total, 4x less
     * generated code, measured ~3x faster end-to-end cold with
     * bit-identical sketches (spec asserts equality with the unpacked
     * formulation). Bit b of the sketch is set iff 2*count(bit set) >
@@ -308,14 +318,14 @@ object DedupQueries {
     * per document at 32767; beyond that (book-length docs at 100 TB)
     * halve the packing to 2 lanes of 32 bits.
     *
-    * Near-dup candidates share one of four 16-bit bands; pairs kept when
+    * Near-dup candidates share one of four 15-bit bands; pairs kept when
     * Hamming distance <= 3 (bit_count of xor).
     */
   def simhashes(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.spread(Tables.documents(s, dir))
       .select(col("doc_id"), explode(split(canon(col("text")), " ")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val packedSums = (0 until 16).map { g =>
+      .withColumn("h", expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"))
+    val packedSums = (0 until 15).map { g =>
       sum(expr(
         s"(((h >> ${g * 4}) & 1) << 0) | (((h >> ${g * 4 + 1}) & 1) << 16) | " +
           s"(((h >> ${g * 4 + 2}) & 1) << 32) | (((h >> ${g * 4 + 3}) & 1) << 48)"))
@@ -323,7 +333,7 @@ object DedupQueries {
     }
     val agg = toks.groupBy(col("doc_id"))
       .agg(packedSums.head, (packedSums.tail :+ count(lit(1)).as("n_tok")): _*)
-    val sim = (0 until 64).map { b =>
+    val sim = (0 until 60).map { b =>
       when(expr(s"((p_${b / 4} >> ${(b % 4) * 16}) & 65535) * 2") > col("n_tok"),
         lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
@@ -336,17 +346,17 @@ object DedupQueries {
     agg.select(col("doc_id"), guarded.as("simhash"))
   }
 
-  /** The unpacked 64-aggregate formulation, kept as the semantic
+  /** The unpacked 60-aggregate formulation, kept as the semantic
     * definition [[simhashes]] is tested against. */
   private[graft] def simhashesUnpacked(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.spread(Tables.documents(s, dir))
       .select(col("doc_id"), explode(split(canon(col("text")), " ")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { b =>
+      .withColumn("h", expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"))
+    val bitSums = (0 until 60).map { b =>
       sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"bit_$b")
     }
     val agg = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val sim = (0 until 64)
+    val sim = (0 until 60)
       .map(b => when(col(s"bit_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
     agg.select(col("doc_id"), sim.as("simhash"))
@@ -356,7 +366,7 @@ object DedupQueries {
     val sh = simhashes(s, dir).cache()
     sh.count() // materialize once; see d04
     val banded = sh.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(b => expr(s"(simhash >> ${b * 16}) & 65535")): _*))
+      posexplode(array((0 until 4).map(b => expr(s"(simhash >> ${b * 15}) & 32767")): _*))
         .as(Seq("band", "bh")))
     val l = banded.select(col("band"), col("bh"), col("doc_id").as("da"), col("simhash").as("ha"))
     val r = banded.select(col("band").as("band_r"), col("bh").as("bh_r"), col("doc_id").as("db"), col("simhash").as("hb"))
@@ -366,6 +376,36 @@ object DedupQueries {
       .filter(col("hamming") <= 3)
       .orderBy(col("da"), col("db"))
   }
+
+  /** Exact restatement of [[d05Simhash]] in DuckDB: same 60-bit md5-prefix
+    * token hash, same strict-majority vote (2*count_set > n_tok; ties →
+    * 0 bit, matching the +-1 sum > 0 form), same 4x15-bit banding, same
+    * Hamming <= 3 cut via xor + bit_count. */
+  val d05Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id,
+      |    string_split(TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+      |  FROM documents),
+      |th AS (
+      |  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+      |  FROM docs, unnest(toks) AS u(tok)),
+      |n AS (SELECT doc_id, COUNT(*) AS n_tok FROM th GROUP BY 1),
+      |bitcnt AS (
+      |  SELECT doc_id, b, COUNT(*) FILTER (WHERE ((h >> b) & 1) = 1) AS c
+      |  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) bs
+      |  GROUP BY 1, 2),
+      |sh AS (
+      |  SELECT bitcnt.doc_id,
+      |    CAST(SUM(CASE WHEN 2 * c > n_tok THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM bitcnt JOIN n USING (doc_id) GROUP BY 1),
+      |banded AS (
+      |  SELECT doc_id, simhash, band, (simhash >> (band * 15)) & 32767 AS bh
+      |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) bb),
+      |pairs AS (
+      |  SELECT DISTINCT l.doc_id AS da, r.doc_id AS db,
+      |    CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
+      |  FROM banded l JOIN banded r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id)
+      |SELECT da, db, hamming FROM pairs WHERE hamming <= 3 ORDER BY da, db""".stripMargin
 
   // ---------------------------------------------------------------- d06
   /** Duplicate-cluster resolution — the stage after pair finding that a
@@ -601,6 +641,7 @@ object DedupQueries {
     "d01_exact_dedup" -> d01Sql,
     "d03_ngram_jaccard" -> d03Sql,
     "d04_minhash_lsh" -> d04Sql,
+    "d05_simhash" -> d05Sql,
     "d06_dup_clusters" -> d06Sql,
     "d07_embedding_dedup" -> d07Sql)
 }
