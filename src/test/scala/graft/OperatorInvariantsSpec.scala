@@ -96,7 +96,7 @@ class OperatorInvariantsSpec extends SparkTestBase {
     val exact = SimilarityQueries.s01AnnBruteForce(spark, Sf001).collect()
       .groupBy(_.getLong(0))
       .map { case (q, rows) => q -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
-    val lsh = SimilarityQueries.s02AnnLsh(spark, Sf001).collect()
+    val lsh = SimilarityQueries.s02TopKRaw(spark, Sf001).collect()
       .groupBy(_.getLong(0))
       .map { case (q, rows) => q -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
     // For each query with LSH results, candidates must be ranked by true
@@ -108,6 +108,21 @@ class OperatorInvariantsSpec extends SparkTestBase {
         s"query $q: LSH overlap order diverges from exact ranking")
     }
     assert(lsh.nonEmpty, "LSH should produce candidates on sf0.01")
+  }
+
+  test("planted-probe retrieval through the 32-plane LSH and 2-probe IVF paths (s02/s05)") {
+    for ((out, name) <- Seq(
+        (SimilarityQueries.s02AnnLsh(spark, Sf001).collect(), "s02"),
+        (SimilarityQueries.s05AnnIvf(spark, Sf001).collect(), "s05"))) {
+      assert(out.length === 8, s"$name: expected 8 planted queries")
+      out.foreach { r =>
+        // query i = base vector i + 0.1 * partner, so the true argmax is the
+        // base itself at cosine ~0.995 — the banded/probed path must find it
+        assert(r.getLong(1) === r.getLong(0),
+          s"$name query ${r.getLong(0)}: returned ${r.getLong(1)}, not the planted base")
+        assert(r.getDouble(2) > 0.95, s"$name query ${r.getLong(0)}: cosine ${r.getDouble(2)}")
+      }
+    }
   }
 
   test("verified LSH ANN recovers every planted nearest neighbor (s06)") {
@@ -126,7 +141,7 @@ class OperatorInvariantsSpec extends SparkTestBase {
     val exact = SimilarityQueries.s01AnnBruteForce(spark, Sf001).collect()
       .filter(_.getInt(1) <= 5)
       .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
-    val ivf = SimilarityQueries.s05AnnIvf(spark, Sf001).collect()
+    val ivf = SimilarityQueries.s05TopKRaw(spark, Sf001).collect()
       .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
     assert(ivf.nonEmpty)
     // with 2 of 10 cells probed on label-structured data, expect some overlap
