@@ -565,13 +565,23 @@ object DedupQueries {
     * both sides, and the DuckDB oracle re-derives the same corpus so a
     * recall or precision miss fails the hash.
     *
-    * Pipeline: pairwise cosine scoped by label (the coarse-quantization
-    * pattern — at 100 TB the scope key is an IVF cell id, bounding the
-    * pairwise step per cell; see s03/s05), threshold on the ROUNDED
-    * cosine (same floor(x*1e6+0.5)/1e6 both engines), then the shared
-    * [[connectedComponents]] min-label propagation and keeper report —
-    * transitive chains (A~B, B~C) collapse to one keeper exactly as in
-    * d06.
+    * Pipeline: candidate pairs are scoped by SHARED IVF CELL — every
+    * corpus vector is assigned to its 2 nearest centroids (the
+    * [[SimilarityQueries.codebook]] literal codebook; one shuffle-free
+    * map pass), and the pairwise cosine runs only inside each cell, so
+    * the quadratic step is bounded by cell size (O(sum of cell^2), not
+    * O(n^2/|groups|) over an arbitrary label grouping). The 2-probe
+    * replication makes a near-dup pair share a cell even when the pair
+    * straddles a Voronoi boundary — a true duplicate (cosine >= 0.99) has
+    * near-identical centroid similarities, so its top-2 cells overlap.
+    * Threshold on the ROUNDED cosine (same floor(x*1e6+0.5)/1e6 both
+    * engines), then the shared [[connectedComponents]] min-label
+    * propagation and keeper report — transitive chains (A~B, B~C)
+    * collapse to one keeper exactly as in d06. The oracle scopes by
+    * label instead (SQL-friendly); both scopes contain every planted
+    * pair and nothing else clears the 0.99 cut, so the outputs agree —
+    * and a cell-assignment recall miss would surface as a missing row
+    * against the oracle's list.
     */
   def d07EmbeddingDedup(s: SparkSession, dir: String): DataFrame = {
     import SimilarityQueries.{embD, dot}
@@ -585,13 +595,17 @@ object DedupQueries {
         expr("zip_with(v, pv, (a, b) -> a + 0.1d * b)").as("v"))
     val corpus = e.unionByName(derived)
       .withColumn("norm", sqrt(dot("v", "v")))
-      .localCheckpoint() // both sides of the self-join below
-    val a = corpus.select(col("label"), col("vec_id").as("da"), col("v").as("va"), col("norm").as("na"))
-    val b = corpus.select(col("label").as("label_b"), col("vec_id").as("db"), col("v").as("vb"), col("norm").as("nb"))
-    val pairs = a.join(b, a("label") === b("label_b") && a("da") < b("db"))
+      .localCheckpoint() // both sides of the self-join below + codebook scan
+    val cents = SimilarityQueries.codebook(corpus)
+    val assigned = corpus.select(col("vec_id"), col("v"), col("norm"),
+      explode(SimilarityQueries.probeCells(cents, col("v"), col("norm"), 2)).as("cell"))
+    val a = assigned.select(col("cell"), col("vec_id").as("da"), col("v").as("va"), col("norm").as("na"))
+    val b = assigned.select(col("cell").as("cell_b"), col("vec_id").as("db"), col("v").as("vb"), col("norm").as("nb"))
+    val pairs = a.join(b, a("cell") === b("cell_b") && a("da") < b("db"))
       .withColumn("cosine", floor(dot("va", "vb") / (col("na") * col("nb")) * 1e6 + 0.5) / 1e6)
       .filter(col("cosine") >= 0.99)
       .select(col("da"), col("db"))
+      .distinct() // a pair sharing both probed cells must count once
       .cache()
     pairs.count()
     clusterReport(connectedComponents(pairs))

@@ -225,26 +225,43 @@ object SimilarityQueries {
   }
 
   // ---------------------------------------------------------------- s03
-  /** Embedding-cosine near-dup, scoped by label (the coarse-quantization
-    * pattern: at scale the scope key is an IVF centroid id so the pairwise
-    * comparison is bounded per cell). Emits per-label pair stats.
+  /** Per-cell embedding near-dup stats — the monitoring surface of a
+    * vector-dedup pipeline: within each IVF cell (geometric assignment,
+    * same quantizer as s05/d07), the pair count, the max pairwise cosine,
+    * and how many pairs clear the 0.8 near-dup bar.
+    *
+    * The scope key is the vector's NEAREST-CENTROID cell, not an
+    * arbitrary metadata grouping, so the quadratic step is bounded by
+    * cell size — the coarse-quantization pattern that makes within-group
+    * pairwise viable at 100 TB (cells are capped by construction: k grows
+    * with the corpus). The DuckDB oracle recomputes the identical cells —
+    * DECIMAL-exact centroid means, same argmax tie-break — so the cell
+    * assignment itself is hash-audited, not just the pair arithmetic.
     */
   def s03NearDupStats(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.spread(Tables.embeddings(s, dir)).withColumn("v", embD)
       .withColumn("norm", sqrt(dot("v", "v")))
       .select(col("label"), col("vec_id"), col("v"), col("norm"))
-    val a = e.select(col("label"), col("vec_id").as("da"), col("v").as("va"), col("norm").as("na"))
-    val b = e.select(col("label").as("label_b"), col("vec_id").as("db"), col("v").as("vb"), col("norm").as("nb"))
-    a.join(b, a("label") === b("label_b") && a("da") < b("db"))
+    val cents = codebook(e)
+    val assigned = e
+      .withColumn("cell", element_at(probeCells(cents, col("v"), col("norm"), 1), 1))
+      .select(col("cell"), col("vec_id"), col("v"), col("norm"))
+    val a = assigned.select(col("cell"), col("vec_id").as("da"), col("v").as("va"), col("norm").as("na"))
+    val b = assigned.select(col("cell").as("cell_b"), col("vec_id").as("db"), col("v").as("vb"), col("norm").as("nb"))
+    a.join(b, a("cell") === b("cell_b") && a("da") < b("db"))
       .withColumn("cosine", floor(dot("va", "vb") / (col("na") * col("nb")) * 1e6 + 0.5) / 1e6)
-      .groupBy(col("label"))
+      .groupBy(col("cell"))
       .agg(
         count(lit(1)).as("n_pairs"),
         max(col("cosine")).as("max_cosine"),
         sum(when(col("cosine") >= 0.8, 1L).otherwise(0L)).as("n_near_dup"))
-      .orderBy(col("label"))
+      .orderBy(col("cell"))
   }
 
+  /** Recomputes the quantizer verbatim: per-label DECIMAL-exact means
+    * (the [[graft.Tables.davg]] arithmetic — VARCHAR hop matches Spark's
+    * Decimal.toDouble), cell = argmax cosine with ties toward the larger
+    * cell id (probeCells sorts ascending then reverses). */
   val s03Sql: String =
     """WITH e AS (
       |  SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -252,14 +269,35 @@ object SimilarityQueries {
       |  SELECT label, vec_id, v,
       |    SQRT(list_reduce(list_transform(generate_series(1, 64), i -> v[i] * v[i]), (x, y) -> x + y)) AS nrm
       |  FROM e),
+      |ex AS (SELECT label, u.i AS dim, v[u.i] AS x FROM e, unnest(generate_series(1, 64)) AS u(i)),
+      |m AS (
+      |  SELECT label, dim,
+      |    CAST(CAST(SUM(CAST(x AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS m
+      |  FROM ex GROUP BY 1, 2),
+      |cent AS (SELECT label AS cell, list(m ORDER BY dim) AS cv FROM m GROUP BY label),
+      |cn AS (
+      |  SELECT cell, cv,
+      |    SQRT(list_reduce(list_transform(generate_series(1, 64), i -> cv[i] * cv[i]), (x, y) -> x + y)) AS cnrm
+      |  FROM cent),
+      |sim AS (
+      |  SELECT n.vec_id, c.cell,
+      |    list_reduce(list_transform(generate_series(1, 64), i -> n.v[i] * c.cv[i]), (x, y) -> x + y)
+      |      / (n.nrm * c.cnrm) AS csim
+      |  FROM n CROSS JOIN cn c),
+      |asg AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell DESC) AS rk
+      |    FROM sim) WHERE rk = 1),
+      |av AS (SELECT a.cell, n.vec_id, n.v, n.nrm FROM asg a JOIN n ON n.vec_id = a.vec_id),
       |pairs AS (
-      |  SELECT a.label,
+      |  SELECT a.cell,
       |    FLOOR(list_reduce(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i]), (x, y) -> x + y)
       |      / (a.nrm * b.nrm) * 1e6 + 0.5) / 1e6 AS cosine
-      |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
-      |SELECT label, COUNT(*) AS n_pairs, MAX(cosine) AS max_cosine,
+      |  FROM av a JOIN av b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+      |SELECT cell, COUNT(*) AS n_pairs, MAX(cosine) AS max_cosine,
       |  CAST(SUM(CASE WHEN cosine >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup
-      |FROM pairs GROUP BY label ORDER BY label""".stripMargin
+      |FROM pairs GROUP BY cell ORDER BY cell""".stripMargin
 
   // ---------------------------------------------------------------- s04
   /** s01 recomputed through the native codegen'd Catalyst expression
@@ -347,7 +385,7 @@ object SimilarityQueries {
     * shuffle and NO per-row join. Means go through [[Tables.davg]] (exact
     * DECIMAL sum / count) so the codebook — and everything downstream —
     * is independent of partitioning and float reduction order. */
-  private def codebook(e: DataFrame): Array[(Int, Array[Double], Double)] =
+  private[operators] def codebook(e: DataFrame): Array[(Int, Array[Double], Double)] =
     e.select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy(col("label"), col("dim")).agg(Tables.davg(col("x")).as("m"))
       .groupBy(col("label"))
@@ -362,7 +400,7 @@ object SimilarityQueries {
     * descending (csim, cell), slice the head. Fully codegen'd, zero
     * exchange. Ties (measure-zero on real data) break toward the larger
     * cell id — deterministically, since the codebook itself is exact. */
-  private def probeCells(cents: Array[(Int, Array[Double], Double)],
+  private[operators] def probeCells(cents: Array[(Int, Array[Double], Double)],
       vc: Column, nc: Column, nProbe: Int): Column = {
     val entries = array(cents.map { case (cell, cv, cn) =>
       val cvLit = array(cv.map(lit): _*)

@@ -463,17 +463,28 @@ object TextQueries {
     * document's word transitions are rare in the corpus (outlier / noisy
     * text); low = templated/repetitive text.
     *
-    *   P(w2 | w1) = (c(w1 w2) + 1) / (c(w1 ·) + V)
+    *   P(w2 | w1) = (c'(w1 w2) + 1) / (c(w1 ·) + V)
     *   avg_nll(doc) = mean over the doc's bigram INSTANCES of -ln P
     *
+    * where c' is the COUNT-PRUNED bigram table: types seen < 3 times score
+    * as unseen (c' = 0) and the add-one smoothing absorbs them — the
+    * standard count-cutoff every corpus-scale LM applies, and what keeps
+    * the model table orders of magnitude smaller than the raw bigram-type
+    * list (which grows near-linearly with web-scale corpora and killed the
+    * previous hard broadcast hint).
+    *
     * Plan shape at 100 TB: the bigram instance list is a per-doc map
-    * stage; the model (c2/c1 tables over a bounded vocabulary) aggregates
-    * with map-side combine and broadcasts back to the scoring join — the
-    * corpus is scanned twice, shuffled never (model tables are vocab- not
-    * corpus-sized). Determinism: the per-doc sum runs through the
-    * DECIMAL(30,6) path ([[graft.Tables.dsum]] rationale) so it is
-    * order-independent, and ln() is bit-compatible with DuckDB's
-    * (established by t09 BM25's oracle).
+    * stage; the c2/c1 model tables aggregate with map-side combine. The
+    * scoring join carries NO broadcast hint for c2 — AQE broadcasts the
+    * pruned model while it fits and degrades to a shuffle join (the honest
+    * fallback) when even the pruned table outgrows the threshold; c1 is
+    * vocabulary-sized (Heaps-law sublinear) and stays hinted. The per-doc
+    * aggregations shuffle model-/doc-keyed rows only — there is no
+    * corpus-sized shuffle unless AQE chooses the c2 shuffle join.
+    * Determinism: the per-doc sum runs through the DECIMAL(30,6) path
+    * ([[graft.Tables.dsum]] rationale) so it is order-independent, and
+    * ln() is bit-compatible with DuckDB's (established by t09 BM25's
+    * oracle).
     */
   def t10LmScore(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.spread(Tables.documents(s, dir))
@@ -490,21 +501,29 @@ object TextQueries {
       .select(col("doc_id"), explode(col("bigs")).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
       .cache() // three readers: c2, c1, scoring join
-    big.count()
-    val vocab = toks.select(explode(col("toks")).as("tok"))
-      .agg(countDistinct(col("tok"))).head.getLong(0)
-    val c2 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt2"))
-    val c1 = big.groupBy(col("w1")).agg(count(lit(1)).as("cnt1"))
-    big
-      .join(broadcast(c2), Seq("w1", "w2"))
-      .join(broadcast(c1), Seq("w1"))
-      .withColumn("nll",
-        -log((col("cnt2") + 1).cast(DoubleType) / (col("cnt1") + lit(vocab)).cast(DoubleType)))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        (floor(sum(col("nll").cast(DecimalType(30, 6))).cast(DoubleType)
-          / count(lit(1)) * 10000.0 + 0.5) / 10000.0).as("avg_nll"))
-      .orderBy(col("doc_id"))
+    try {
+      big.count()
+      val vocab = toks.select(explode(col("toks")).as("tok"))
+        .agg(countDistinct(col("tok"))).head.getLong(0)
+      val c2 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt2"))
+        .filter(col("cnt2") >= 3)
+      val c1 = big.groupBy(col("w1")).agg(count(lit(1)).as("cnt1"))
+      big
+        .join(c2, Seq("w1", "w2"), "left")
+        .join(broadcast(c1), Seq("w1"))
+        .withColumn("nll",
+          -log((coalesce(col("cnt2"), lit(0L)) + 1).cast(DoubleType)
+            / (col("cnt1") + lit(vocab)).cast(DoubleType)))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          (floor(sum(col("nll").cast(DecimalType(30, 6))).cast(DoubleType)
+            / count(lit(1)) * 10000.0 + 0.5) / 10000.0).as("avg_nll"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint() // materialize before the caches below are released
+    } finally {
+      big.unpersist()
+      toks.unpersist()
+    }
   }
 
   val t10Sql: String =
@@ -515,12 +534,12 @@ object TextQueries {
       |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
       |  FROM docs, unnest(generate_series(1, GREATEST(len(toks) - 1, 0))) AS u(i)),
       |v AS (SELECT COUNT(DISTINCT tok) AS vocab FROM (SELECT unnest(toks) AS tok FROM docs)),
-      |c2 AS (SELECT w1, w2, COUNT(*) AS cnt2 FROM big GROUP BY 1, 2),
+      |c2 AS (SELECT w1, w2, COUNT(*) AS cnt2 FROM big GROUP BY 1, 2 HAVING COUNT(*) >= 3),
       |c1 AS (SELECT w1, COUNT(*) AS cnt1 FROM big GROUP BY 1),
       |scored AS (
       |  SELECT big.doc_id,
-      |    -LN(CAST(cnt2 + 1 AS DOUBLE) / CAST(cnt1 + vocab AS DOUBLE)) AS nll
-      |  FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+      |    -LN(CAST(COALESCE(cnt2, 0) + 1 AS DOUBLE) / CAST(cnt1 + vocab AS DOUBLE)) AS nll
+      |  FROM big LEFT JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
       |SELECT doc_id, COUNT(*) AS n_bigrams,
       |  FLOOR(CAST(CAST(SUM(CAST(nll AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE)
       |    / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS avg_nll
