@@ -68,9 +68,19 @@ object Bench {
     def f(v: Double): String = f"$v%.3f"
     // Full per-query breakdown to a file for local profiling; stdout must
     // stay minimal (see below) and stderr may be merged into the captured
-    // tail by the harness.
-    val detail = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
-      .mkString("{", ",\n ", "}")
+    // tail by the harness. Each entry carries best/min/max across the two
+    // passes: the SPREAD separates co-tenant interference (one inflated
+    // pass, large spread) from a real regression (both passes slow, small
+    // spread) when diffing BENCH_DETAIL across rounds.
+    val p1m = p1.toMap
+    val detail = results.map { case (k, v) =>
+      val (a, b) = (p1m(k), p2(k))
+      val (mn, mx) =
+        (if (math.min(a, b).isInfinity) -1.0 else math.min(a, b),
+         if (math.max(a, b).isInfinity) -1.0 else math.max(a, b))
+      "\"" + k + "\":{\"best\":" + f(v) + ",\"min\":" + f(mn) +
+        ",\"max\":" + f(mx) + ",\"spread\":" + f(if (mn < 0 || mx < 0) -1.0 else mx - mn) + "}"
+    }.mkString("{", ",\n ", "}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json"), detail + "\n")
     // The driver captures a bounded TAIL of stdout and parses the JSON line

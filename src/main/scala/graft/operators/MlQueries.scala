@@ -23,16 +23,19 @@ object MlQueries {
     * curated-vs-crawl contrast or LLM judgments; the plumbing is
     * identical).
     *
-    * Weak label here: >= 2 occurrences of the marker token "spark" —
-    * deterministic, so the run is reproducible and the spec can assert
-    * holdout agreement. Features: RegexTokenizer -> HashingTF(2^15) ->
+    * Weak label here: >= 2 occurrences of the marker token "spark" in the
+    * LOWERCASED text — the same token stream the (lowercasing)
+    * RegexTokenizer feeds the features, so the rule really is linear in
+    * the hashed counts on any corpus, not just an all-lowercase one.
+    * Deterministic, so the run is reproducible and the spec can assert
+    * holdout agreement. Features: RegexTokenizer -> HashingTF(2^10) ->
     * IDF -> LogisticRegression. The rule is linear in the hashed counts,
     * so a correctly-wired pipeline recovers it almost exactly on held-out
     * docs — low agreement means broken feature plumbing, which is what
     * the spec guards.
     *
     * Scale: tokenize/hash are per-row map work; IDF and LR aggregate with
-    * tree-reduction (no corpus-sized shuffle). 2^15 features keeps the
+    * tree-reduction (no corpus-sized shuffle). 2^10 features keeps the
     * coefficient vector broadcast-sized; at 100 TB you train on a sample
     * and SCORE the full corpus with the fitted model — scoring is a pure
     * map stage.
@@ -43,7 +46,7 @@ object MlQueries {
   def ml02QualityClassifier(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.spread(Tables.documents(s, dir))
       .select(col("doc_id"), col("text"),
-        (size(expr("regexp_extract_all(text, '\\\\bspark\\\\b', 0)")) >= 2)
+        (size(expr("regexp_extract_all(lower(text), '\\\\bspark\\\\b', 0)")) >= 2)
           .cast(DoubleType).as("label"))
     val Array(train, test) = docs.randomSplit(Array(0.8, 0.2), seed = 42)
     train.cache(); test.cache()
@@ -51,19 +54,33 @@ object MlQueries {
       val tok = new RegexTokenizer()
         .setInputCol("text").setOutputCol("words")
         .setPattern("[^a-z0-9]+") // split on non-alnum: Tables.canonText's tokenization
-      // 2^12 buckets: collision-free headroom for the synthetic ~40-token
-      // vocabulary (a production corpus would use 2^18-2^20 — the LBFGS
-      // cost scales with the bucket count, so size it to the vocabulary)
+      // 2^10 buckets: still collision-light headroom for the synthetic
+      // ~40-token vocabulary (a production corpus would use 2^18-2^20 —
+      // every LBFGS step treeAggregates a gradient vector of this size,
+      // so size it to the vocabulary, not to a default)
       val tf = new HashingTF()
-        .setInputCol("words").setOutputCol("tf").setNumFeatures(1 << 12)
+        .setInputCol("words").setOutputCol("tf").setNumFeatures(1 << 10)
       val idf = new IDF().setInputCol("tf").setOutputCol("features")
-      // 10 LBFGS steps at loose tol: each step is a full treeAggregate
-      // job, and the linear rule separates in a handful of steps — the
-      // spec's 0.9-agreement gate is the arbiter of "enough"
+      // 8 LBFGS steps at loose tol: each step is a full treeAggregate
+      // job, and the linear rule separates in ~7 (6 leaves the sf0.001
+      // holdout at 0.879 agreement, 8 clears the spec's 0.9 gate at both
+      // SFs) — trimming from 10 shaves two full-corpus jobs off the bench
       val lr = new LogisticRegression()
-        .setMaxIter(10).setTol(1e-4).setRegParam(1e-4)
-      val model = new Pipeline().setStages(Array(tok, tf, idf, lr)).fit(train)
-      val pred = model.transform(test).cache()
+        .setMaxIter(8).setTol(1e-4).setRegParam(1e-4)
+      // Featurize spread (regex tokenization is the map-heavy part), but
+      // COALESCE the tiny label+vector frame before the iterative fit:
+      // every LBFGS step is a treeAggregate over this frame, and 32
+      // near-empty partitions made each of the ~10 fit jobs pay 32 task
+      // launches for microseconds of math (measured: ml02 wall-clock was
+      // flat from sf0.001 to sf0.1 — pure scheduler overhead). This IS
+      // the 100 TB shape: the classifier trains on a bounded sample, so
+      // the fit input is small by construction; only scoring scans the
+      // corpus, and that stays a spread map stage.
+      val featPipe = new Pipeline().setStages(Array(tok, tf, idf)).fit(train)
+      val lrModel = lr.fit(
+        featPipe.transform(train).select(col("label"), col("features")).coalesce(4))
+      val pred = lrModel.transform(
+        featPipe.transform(test).select(col("label"), col("features")).coalesce(4)).cache()
       try {
         val acc = new MulticlassClassificationEvaluator()
           .setMetricName("accuracy").evaluate(pred)

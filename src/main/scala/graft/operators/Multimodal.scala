@@ -1,5 +1,10 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -13,11 +18,19 @@ import org.apache.spark.sql.types._
   * metadata struct), partition-batched processing (`mapPartitions` over a
   * typed Dataset, the Scala-native analogue of PySpark's mapInPandas:
   * one iterator per partition, amortizing any per-batch decoder setup),
-  * and explode-shaped frame sampling. The actual codec work is STUBBED
-  * with a deterministic fake (this container has no image/audio libs):
-  * every function below that says "STUB" derives its output from a hash of
-  * the payload bytes, so tests are exact and the plumbing (schemas, batch
-  * shape, row multiplicity, partitioning) is fully exercised.
+  * and explode-shaped frame sampling.
+  *
+  * Codecs: the container ships no media libraries, but the JDK itself
+  * carries two real ones, and this module uses them —
+  *  - image rows are REAL BMPs encoded with `javax.imageio` and decoded
+  *    back (ImageIO.read) in the feature and resize stages: actual
+  *    header parse, actual pixel raster, actual W x H recovered;
+  *  - audio rows are REAL RIFF/WAVE files encoded and decoded with
+  *    `javax.sound.sampled`: actual format negotiation, frame count and
+  *    amplitude read from the PCM stream;
+  *  - video decode has no JVM codec, so it remains the documented
+  *    deterministic STUB (hash-derived pseudo-dimensions) behind the same
+  *    interface.
   *
   * At 100 TB: payloads dominate storage — they stay in parquet binary
   * columns, scans prune them unless a stage needs bytes, and the feature
@@ -38,14 +51,22 @@ object Multimodal {
       media_id: Long,
       kind: String,
       n_bytes: Int,
-      mean_byte: Double,
+      decoded_w: Int,            // image: pixel width; audio: PCM frames
+      decoded_h: Int,            // image: pixel height; audio: channels
+      mean_byte: Double,         // image: mean luminance; audio: mean |sample|
       feature: Array[Float])     // fixed 16-dim descriptor
 
   case class Frame(media_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
 
-  /** Deterministic synthetic media table derived from `documents` (the
-    * container ships no real media): payload = text bytes cycled to a
-    * kind-dependent length. Deterministic — same dir, same table.
+  val ImageW = 64
+  val ImageH = 48
+  val AudioSamples = 4000                 // 0.5 s at 8 kHz mono 16-bit
+  val AudioRateHz = 8000f
+
+  /** Deterministic synthetic media table derived from `documents` (no real
+    * media ships with the testdata): image/audio payloads are REAL encoded
+    * files whose content derives from the text bytes; video payloads are
+    * opaque cycled bytes. Deterministic — same dir, same table.
     */
   def mediaTable(spark: SparkSession, dir: String): Dataset[Media] = {
     import spark.implicits._
@@ -53,27 +74,101 @@ object Multimodal {
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
-        val kind = (id % 3) match {
-          case 0 => "image"
-          case 1 => "audio"
-          case _ => "video"
-        }
         // empty documents still get a payload (modulo-by-zero guard)
         val raw = text.getBytes("UTF-8")
         val base = if (raw.isEmpty) Array[Byte](0) else raw
-        val len = kind match {
-          case "image" => 4096
-          case "audio" => 8192
-          case _ => 16384
+        (id % 3) match {
+          case 0 =>
+            Media(id, "image", encodeBmp(base), ImageW, ImageH, 0)
+          case 1 =>
+            Media(id, "audio", encodeWav(base), 0, 0,
+              (AudioSamples * 1000 / AudioRateHz.toInt))
+          case _ =>
+            val payload = Array.tabulate[Byte](16384)(i => base(i % base.length))
+            Media(id, "video", payload, ImageW, ImageH, 30000)
         }
-        val payload = Array.tabulate[Byte](len)(i => base(i % base.length))
-        Media(id, kind, payload, 64, 48, if (kind == "image") 0 else 30000)
       }
   }
 
-  /** STUB decode: real implementation would parse the codec header; the
-    * fake derives "decoded" dimensions and luminance from the bytes, so it
-    * is pure, deterministic, and exercises the same signature.
+  /** Real BMP encode (javax.imageio): 64x48 RGB raster whose pixels cycle
+    * through the seed bytes — the payload is a well-formed file any BMP
+    * reader decodes. */
+  private[operators] def encodeBmp(base: Array[Byte]): Array[Byte] = {
+    val img = new BufferedImage(ImageW, ImageH, BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    while (i < ImageW * ImageH) {
+      val r = base(i % base.length) & 0xff
+      val g = base((i * 7 + 3) % base.length) & 0xff
+      val b = base((i * 13 + 11) % base.length) & 0xff
+      img.setRGB(i % ImageW, i / ImageW, (r << 16) | (g << 8) | b)
+      i += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "bmp", out)
+    out.toByteArray
+  }
+
+  /** Real RIFF/WAVE encode (javax.sound.sampled): 8 kHz mono 16-bit PCM,
+    * samples cycled from the seed bytes. */
+  private[operators] def encodeWav(base: Array[Byte]): Array[Byte] = {
+    val fmt = new AudioFormat(AudioRateHz, 16, 1, true, false)
+    val pcm = new Array[Byte](AudioSamples * 2)
+    var i = 0
+    while (i < AudioSamples) {
+      val s = ((base(i % base.length) & 0xff) - 128) * 256 // 16-bit from byte
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new ByteArrayInputStream(pcm), fmt, AudioSamples.toLong),
+      AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Real image decode: full BMP parse via ImageIO — returns (width,
+    * height, mean luminance in [0,255]). Throws on malformed payload
+    * (a corrupt file should fail loudly, not produce fake stats). */
+  private[operators] def decodeImage(payload: Array[Byte]): (Int, Int, Double) = {
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    require(img != null, "payload is not a decodable image")
+    var sum = 0.0
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    (img.getWidth, img.getHeight, sum / (img.getWidth * img.getHeight))
+  }
+
+  /** Real audio decode: WAVE header parse + PCM read via javax.sound —
+    * returns (frame count, channels, mean |sample| over 16-bit LE PCM). */
+  private[operators] def decodeAudio(payload: Array[Byte]): (Int, Int, Double) = {
+    val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+    try {
+      val frames = in.getFrameLength.toInt
+      val channels = in.getFormat.getChannels
+      val bytes = in.readAllBytes()
+      var sum = 0.0
+      var i = 0
+      while (i + 1 < bytes.length) {
+        val s = ((bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort
+        sum += math.abs(s.toDouble)
+        i += 2
+      }
+      (frames, channels, if (bytes.length >= 2) sum / (bytes.length / 2) else 0.0)
+    } finally in.close()
+  }
+
+  /** STUB decode for kinds with no JVM codec (video): derives
+    * pseudo-dimensions and a luminance stand-in from a rolling hash of the
+    * bytes — pure, deterministic, same signature as the real decoders.
     */
   private[operators] def decodeStub(payload: Array[Byte]): (Int, Int, Double) = {
     var h = 1125899906842597L // FNV-ish rolling hash over the payload
@@ -89,17 +184,26 @@ object Multimodal {
     (w, hgt, sum.toDouble / payload.length)
   }
 
+  /** Kind dispatch: real codec where the JVM has one, stub otherwise. */
+  private[operators] def decode(kind: String, payload: Array[Byte]): (Int, Int, Double) =
+    kind match {
+      case "image" => decodeImage(payload)
+      case "audio" => decodeAudio(payload)
+      case _ => decodeStub(payload)
+    }
+
   /** Feature extraction, partition-batched: one decoder context per
     * partition (the mapPartitions iterator is the batch), 16-dim descriptor
-    * per item. The descriptor here is a byte-histogram projection (STUB for
-    * a real embedding model).
+    * per item. Image/audio go through the REAL decoders; the descriptor is
+    * a byte-histogram projection (STUB for a real embedding model).
     */
   def extractFeatures(media: Dataset[Media]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { batch =>
-      // per-partition setup would open the decoder library once, here a no-op
+      // per-partition setup would pin decoder buffers once; ImageIO and
+      // AudioSystem keep their reader registries in statics already
       batch.map { m =>
-        val (_, _, meanLum) = decodeStub(m.payload)
+        val (dw, dh, meanLum) = decode(m.kind, m.payload)
         val hist = new Array[Float](16)
         var i = 0
         while (i < m.payload.length) {
@@ -109,21 +213,36 @@ object Multimodal {
         val n = m.payload.length.toFloat
         var j = 0
         while (j < 16) { hist(j) /= n; j += 1 }
-        MediaFeatures(m.media_id, m.kind, m.payload.length, meanLum, hist)
+        MediaFeatures(m.media_id, m.kind, m.payload.length, dw, dh, meanLum, hist)
       }
     }
   }
 
-  /** STUB resize: updates declared dimensions and (fake-)re-encodes by
-    * subsampling the payload — keeps the contract (binary in, binary out,
-    * metadata updated) without a codec.
+  /** Resize: REAL for images — decode, nearest-neighbor rescale on the
+    * pixel raster, re-encode as BMP (all javax.imageio / headless-safe
+    * Graphics2D); STUB byte-subsample for codec-less video; audio rows
+    * pass through untouched (resize is a spatial op — mangling a WAV
+    * container would just break its decoder downstream).
     */
   def resize(media: Dataset[Media], w: Int, h: Int): Dataset[Media] = {
     import media.sparkSession.implicits._
     media.map { m =>
-      val stride = math.max(1, m.payload.length / math.max(1, w * h))
-      val out = m.payload.indices.by(stride).map(m.payload).toArray
-      m.copy(payload = out, declared_w = w, declared_h = h)
+      if (m.kind == "audio") {
+        m
+      } else if (m.kind == "image") {
+        val src = ImageIO.read(new ByteArrayInputStream(m.payload))
+        require(src != null, "payload is not a decodable image")
+        val dst = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        try g.drawImage(src, 0, 0, w, h, null) finally g.dispose()
+        val out = new ByteArrayOutputStream()
+        ImageIO.write(dst, "bmp", out)
+        m.copy(payload = out.toByteArray, declared_w = w, declared_h = h)
+      } else {
+        val stride = math.max(1, m.payload.length / math.max(1, w * h))
+        val out = m.payload.indices.by(stride).map(m.payload).toArray
+        m.copy(payload = out, declared_w = w, declared_h = h)
+      }
     }
   }
 
@@ -145,7 +264,9 @@ object Multimodal {
 
   /** Driver-contract query: full multimodal pass — synthesize, extract,
     * aggregate per kind (rows-only; payload bytes never leave the
-    * executors, only the small aggregates do).
+    * executors, only the small aggregates do). decoded_w/h aggregates pin
+    * the real codecs: images must all decode to 64x48, audio to
+    * 4000 frames x 1 channel.
     */
   def m01MediaFeatures(s: SparkSession, dir: String): DataFrame =
     extractFeatures(mediaTable(s, dir)).toDF()
@@ -153,6 +274,8 @@ object Multimodal {
       .agg(
         count(lit(1)).as("n"),
         sum(col("n_bytes")).as("total_bytes"),
+        min(col("decoded_w")).as("min_dw"), max(col("decoded_w")).as("max_dw"),
+        min(col("decoded_h")).as("min_dh"), max(col("decoded_h")).as("max_dh"),
         round(avg(col("mean_byte")), 4).as("avg_mean_byte"),
         round(avg(element_at(col("feature"), 1)), 6).as("avg_feat0"))
       .orderBy(col("kind"))
@@ -170,6 +293,7 @@ object Multimodal {
     "m01_media_features" -> (m01MediaFeatures _),
     "m02_frame_sample" -> (m02FrameSample _))
 
-  /** STUB-backed media synthesis is engine-side only — no SQL oracle. */
+  /** Engine-side media synthesis + codecs — no SQL oracle; MultimodalSpec
+    * pins real decoded dimensions, multiplicity, and determinism. */
   val oracle: Map[String, String] = Map()
 }
