@@ -960,6 +960,33 @@ object StarQueries {
       |  FROM customer GROUP BY c_nationkey)
       |ORDER BY c_nationkey""".stripMargin
 
+  // ---------------------------------------------------------------- q39
+  /** TPC-H Q13 shape (customer distribution): LEFT OUTER join customers to
+    * their orders so zero-order customers survive, count per customer,
+    * then histogram the counts — the two-level aggregation whose first
+    * level must preserve unmatched build rows. At 100 TB both aggregations
+    * map-side combine and the join shuffles on custkey only; the second
+    * aggregation's key space (distinct order counts) is tiny by
+    * construction.
+    */
+  def q39CustomerDistribution(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(col("c_custkey"))
+      .join(Tables.orders(s, dir).select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count")) // count(col) skips nulls
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  val q39Sql: String =
+    """SELECT c_count, COUNT(*) AS custdist
+      |FROM (
+      |  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      |  FROM customer c LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+      |  GROUP BY c.c_custkey)
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
   // ---------------------------------------------------------------- q40
   /** TPC-H Q3 shape (shipping priority): selective filters on two sides of
     * a 3-way join, revenue aggregation, top-10. The canonical "filter
@@ -1180,6 +1207,7 @@ object StarQueries {
     "q44_window_ranks" -> (q44WindowRanks _),
     "q41_fuzzy_names" -> (q41FuzzyNames _),
     "q38_array_agg" -> (q38ArrayAgg _),
+    "q39_customer_distribution" -> (q39CustomerDistribution _),
     "q40_shipping_priority" -> (q40ShippingPriority _),
     "q36_unpivot" -> (q36Unpivot _),
     "q37_correlated_subquery" -> (q37CorrelatedSubquery _),
@@ -1225,6 +1253,7 @@ object StarQueries {
     "q44_window_ranks" -> q44Sql,
     "q41_fuzzy_names" -> q41Sql,
     "q38_array_agg" -> q38Sql,
+    "q39_customer_distribution" -> q39Sql,
     "q40_shipping_priority" -> q40Sql,
     "q36_unpivot" -> q36Sql,
     "q37_correlated_subquery" -> q37Sql,
