@@ -775,8 +775,137 @@ object ExtendedQueries {
       |FROM orders WHERE YEAR(o_orderdate) = 1995
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q71
+  /** Distribution-rank window functions — NTILE quartiles, PERCENT_RANK
+    * and CUME_DIST over customer balances within each market segment.
+    * Ordering key is (c_acctbal, c_custkey) so tie-broken row order — and
+    * therefore NTILE bucket assignment — is deterministic across engines.
+    *
+    * Scale note: one hash partition per segment and only ~5 segments, so
+    * a naive run serializes on 5 tasks. That is inherent to exact global
+    * ranks per group; at 100 TB the move is a range-partitioned two-pass
+    * (per-range counts -> prefix offsets -> rank = offset + local rank),
+    * the same shape q16's running sum documents. The window form here is
+    * the semantics contract the two-pass must reproduce.
+    */
+  def q71NtileRanks(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, dir)
+      .select(col("c_mktsegment"), col("c_custkey"),
+        ntile(4).over(w).as("quartile"),
+        (floor(percent_rank().over(w) * 1e6 + 0.5) / 1e6).as("pct_rank"),
+        (floor(cume_dist().over(w) * 1e6 + 0.5) / 1e6).as("cume"))
+      .orderBy(col("c_mktsegment"), col("c_custkey"))
+  }
+
+  val q71Sql: String =
+    """SELECT c_mktsegment, c_custkey,
+      |  NTILE(4) OVER w AS quartile,
+      |  FLOOR(PERCENT_RANK() OVER w * 1e6 + 0.5) / 1e6 AS pct_rank,
+      |  FLOOR(CUME_DIST() OVER w * 1e6 + 0.5) / 1e6 AS cume
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_mktsegment, c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q72
+  /** Correlated EXISTS / NOT EXISTS in SQL text. Catalyst decorrelates
+    * both to LEFT SEMI / LEFT ANTI hash joins on s_suppkey (the plan q10
+    * and q11 build directly with the DataFrame API) — the win is that the
+    * 600-rows-per-supplier fact side is aggregated away by the semi/anti
+    * semantics before any supplier-level work, and both subquery filters
+    * push into the lineitem scan. No per-row re-execution of the inner
+    * query ever happens, which is exactly what makes the 100 TB plan
+    * viable.
+    */
+  def q72ExistsSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.supplier(s, dir).createOrReplaceTempView("supplier_ex_v")
+    Tables.nation(s, dir).createOrReplaceTempView("nation_ex_v")
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_ex_v")
+    s.sql(
+      """SELECT n_name, COUNT(*) AS n_suppliers
+        |FROM supplier_ex_v JOIN nation_ex_v ON s_nationkey = n_nationkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem_ex_v
+        |              WHERE l_suppkey = s_suppkey AND l_returnflag = 'R' AND l_quantity <= 2)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem_ex_v
+        |                  WHERE l_suppkey = s_suppkey AND l_quantity >= 50 AND l_discount >= 0.09)
+        |GROUP BY n_name ORDER BY n_name""".stripMargin)
+  }
+
+  val q72Sql: String =
+    """SELECT n_name, COUNT(*) AS n_suppliers
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_suppkey = s_suppkey AND l_returnflag = 'R' AND l_quantity <= 2)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem
+      |                  WHERE l_suppkey = s_suppkey AND l_quantity >= 50 AND l_discount >= 0.09)
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q73
+  /** Correlated LATERAL subquery with ORDER BY + LIMIT — "top 2 orders
+    * per customer" as the user writes it in SQL. Catalyst decorrelates
+    * the limit to a rank-based rewrite (window rank <= 2 partitioned by
+    * the correlation key), i.e. one shuffle on o_custkey instead of a
+    * per-customer inner query — the same physical plan q15 builds
+    * explicitly, reached from the lateral form. Customer filter keeps
+    * the output bounded and pushes into the outer scan.
+    */
+  def q73LateralTopn(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer_lat_v")
+    Tables.orders(s, dir).createOrReplaceTempView("orders_lat_v")
+    s.sql(
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer_lat_v c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders_lat_v
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |WHERE c.c_custkey < 200
+        |ORDER BY c.c_custkey, t.o_orderkey""".stripMargin)
+  }
+
+  val q73Sql: String =
+    """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      |FROM customer c, LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      |WHERE c.c_custkey < 200
+      |ORDER BY c.c_custkey, t.o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q74
+  /** Ordered string aggregation — LISTAGG ... WITHIN GROUP (Spark 4.0's
+    * ANSI form; DuckDB spells it string_agg(expr, sep ORDER BY ...)).
+    * Differs from q38's array_agg in that the ordering is part of the
+    * AGGREGATE semantics, not a post-sort: partial aggregation still
+    * applies (collect + merge-sort of small per-nation name lists), and
+    * the per-group result is bounded by group cardinality (suppliers per
+    * nation), not corpus size — fine at 100 TB where nations stay small;
+    * for unbounded groups you'd cap with a slice() like q38 documents.
+    */
+  def q74Listagg(s: SparkSession, dir: String): DataFrame = {
+    Tables.supplier(s, dir).createOrReplaceTempView("supplier_la_v")
+    Tables.nation(s, dir).createOrReplaceTempView("nation_la_v")
+    s.sql(
+      """SELECT n_name,
+        |  COUNT(*) AS n_suppliers,
+        |  LISTAGG(s_name, ',') WITHIN GROUP (ORDER BY s_name) AS supplier_names
+        |FROM supplier_la_v JOIN nation_la_v ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin)
+  }
+
+  val q74Sql: String =
+    """SELECT n_name,
+      |  COUNT(*) AS n_suppliers,
+      |  string_agg(s_name, ',' ORDER BY s_name) AS supplier_names
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q71_ntile_ranks" -> (q71NtileRanks _),
+    "q72_exists_subquery" -> (q72ExistsSubquery _),
+    "q73_lateral_topn" -> (q73LateralTopn _),
+    "q74_listagg" -> (q74Listagg _),
     "q70_partition_pruning" -> (q70PartitionPruning _),
     "q68_moving_average" -> (q68MovingAverage _),
     "q69_ratio_to_total" -> (q69RatioToTotal _),
@@ -805,6 +934,10 @@ object ExtendedQueries {
     "q54_union_by_name" -> (q54UnionByName _))
 
   val oracle: Map[String, String] = Map(
+    "q71_ntile_ranks" -> q71Sql,
+    "q72_exists_subquery" -> q72Sql,
+    "q73_lateral_topn" -> q73Sql,
+    "q74_listagg" -> q74Sql,
     "q70_partition_pruning" -> q70Sql,
     "q55_topk_native" -> q55Sql,
     "q59_approx_percentiles" -> q59Sql,
