@@ -658,8 +658,58 @@ object DedupQueries {
       |  (vec_id = cluster_id) AS is_keeper
       |FROM comp ORDER BY cluster_id, vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- d08
+  /** Cross-source duplication matrix — the provenance-level audit behind
+    * every dedup rollout decision: for each pair of sources, how many
+    * distinct content fingerprints appear in BOTH. High off-diagonal
+    * counts mean two crawls/snapshots overlap and one should be dropped
+    * or date-fenced before mixing.
+    *
+    * Fingerprint = md5 of the SORTED DISTINCT TOKEN SET of the canonical
+    * text — the coarse bag-of-vocabulary key (order- and count-
+    * insensitive), one tier looser than d01's exact-text hash, so
+    * reorderings and repetition edits still collide. The key is computed
+    * per row (map work), then:
+    *
+    *   1. distinct (h, source) — one hash shuffle, corpus collapses to
+    *      fingerprint-presence pairs;
+    *   2. self-join on h with source_a < source_b — group size per h is
+    *      bounded by the SOURCE COUNT (each source contributes at most
+    *      one presence row per fingerprint), so the pairwise expansion is
+    *      O(|sources|^2) per fingerprint, NOT O(docs^2): safe however
+    *      many documents share a fingerprint at 100 TB;
+    *   3. count per (source_a, source_b) — output bounded by the source-
+    *      pair count.
+    */
+  def d08CrossSourceDups(s: SparkSession, dir: String): DataFrame = {
+    val hs = Tables.spread(Tables.documents(s, dir))
+      .select(
+        md5(concat_ws(" ",
+          array_sort(array_distinct(split(canon(col("text")), " "))))).as("h"),
+        col("source"))
+      .distinct()
+    hs.as("a")
+      .join(hs.as("b"), col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val d08Sql: String =
+    """WITH k AS (
+      |  SELECT DISTINCT
+      |    md5(array_to_string(list_sort(list_distinct(string_split(
+      |      TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')),
+      |      ' '))), ' ')) AS h,
+      |    source
+      |  FROM documents)
+      |SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+      |FROM k a JOIN k b ON a.h = b.h AND a.source < b.source
+      |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d08_cross_source_dups" -> (d08CrossSourceDups _),
     "d01_exact_dedup" -> (d01ExactDedup _),
     "d03_ngram_jaccard" -> (d03NgramJaccard _),
     "d04_minhash_lsh" -> (d04MinhashLsh _),
@@ -668,6 +718,7 @@ object DedupQueries {
     "d07_embedding_dedup" -> (d07EmbeddingDedup _))
 
   val oracle: Map[String, String] = Map(
+    "d08_cross_source_dups" -> d08Sql,
     "d01_exact_dedup" -> d01Sql,
     "d03_ngram_jaccard" -> d03Sql,
     "d04_minhash_lsh" -> d04Sql,

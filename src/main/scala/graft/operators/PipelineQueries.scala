@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -284,7 +285,53 @@ object PipelineQueries {
       |  FLOOR(CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS achieved_rate
       |FROM t GROUP BY 1, 2 ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- p06
+  /** Per-domain document cap — the anti-over-representation rule every
+    * web-scale mixture applies (no single domain may contribute more than
+    * K documents): rank each source's documents by a deterministic
+    * content-free hash (md5 of the id, so the survivor set is a uniform
+    * random-but-reproducible sample, not a scan-order artifact) and keep
+    * the first K. Output is the per-source audit row: volume before/after
+    * and the survivor id-sum as a set fingerprint.
+    *
+    * Plan: one shuffle on source for the window, one rollup. The
+    * ROW_NUMBER window is the semantics contract; at 100 TB a mega-domain
+    * (single source holding a double-digit share of the corpus) makes one
+    * window partition a straggler, and the fix is bounded partial top-K —
+    * the [[graft.functions.GraftTopK]] aggregate q55 runs keeps only K
+    * rows of state per group ON THE MAP SIDE, turning the skewed sort
+    * into a merge of K-element buffers. (Kept as the window form here
+    * because the hash rank key is a string; GraftTopK orders by a numeric
+    * key.)
+    */
+  def p06DomainCap(s: SparkSession, dir: String): DataFrame = {
+    val cap = 10
+    val w = Window.partitionBy(col("source")).orderBy(col("hx"), col("doc_id"))
+    Tables.spread(Tables.documents(s, dir))
+      .select(col("doc_id"), col("source"),
+        md5(col("doc_id").cast(StringType)).as("hx"))
+      .withColumn("kept", row_number().over(w) <= cap)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("doc_id"))).as("kept_id_sum"))
+      .orderBy(col("source"))
+  }
+
+  val p06Sql: String =
+    """WITH r AS (
+      |  SELECT doc_id, source,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 10 AS kept
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN kept THEN doc_id END) AS BIGINT) AS kept_id_sum
+      |FROM r GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p06_domain_cap" -> (p06DomainCap _),
     "p05_mixture_sample" -> (p05MixtureSample _),
     "p01_clean_corpus" -> (p01CleanCorpus _),
     "p02_incremental_dedup" -> (p02IncrementalDedup _),
@@ -292,6 +339,7 @@ object PipelineQueries {
     "p04_sequence_packing" -> (p04SequencePacking _))
 
   val oracle: Map[String, String] = Map(
+    "p06_domain_cap" -> p06Sql,
     "p05_mixture_sample" -> p05Sql,
     "p01_clean_corpus" -> p01Sql,
     "p02_incremental_dedup" -> p02Sql,

@@ -424,8 +424,11 @@ object SimilarityQueries {
     // csim through the codegen'd CosineSimilarity expression (fused loop,
     // norms included — bit-identical to dot/(|a||b|) with HOF sequential
     // sums): the k interpreted HOF dot products per row were the single
-    // most expensive piece of the cell-scoped operators. Callers must
-    // have GraftFunctions.register'd the session before analysis.
+    // most expensive piece of the cell-scoped operators. Self-registers
+    // (idempotent) so resolution never depends on WHICH query analyzed
+    // first on the session — caller-order registration bit us once when a
+    // catalog-map reshuffle changed Verify's iteration order.
+    graft.functions.GraftFunctions.register(SparkSession.active)
     val entries = array(cents.map { case (cell, cv, _) =>
       val cvLit = array(cv.map(lit): _*)
       struct(
@@ -649,8 +652,84 @@ object SimilarityQueries {
       |  (nb_label = true_label) AS correct
       |FROM best WHERE r = 1 ORDER BY q_id""".stripMargin
 
+  // ---------------------------------------------------------------- s08
+  /** Per-class centroid summary — the embedding-store health report a
+    * pipeline runs after ingest: for every label, the exact per-dimension
+    * mean vector, its norm, and the mean cosine of the class's members to
+    * their own centroid (intra-class cohesion; low values flag label
+    * noise or collapsed embeddings).
+    *
+    * Unlike s05's codebook (collected to the driver as plan literals
+    * because probing needs it row-side), this stays FULLY distributed —
+    * the shape that still works when the label space is millions of
+    * fine-grained clusters, not 10:
+    *
+    *   1. posexplode to (label, dim, x) and aggregate per (label, dim)
+    *      with [[graft.Tables.davg]] — exact DECIMAL sums, so centroids
+    *      are independent of partitioning and float order. Map-side
+    *      combine absorbs the 64x row fan-out before the shuffle;
+    *   2. fold the 64 per-dim means back to an array per label
+    *      (array_sort over (dim, m) structs — one more label-keyed
+    *      shuffle of 64-row groups);
+    *   3. join members to their label centroid (broadcast here; at
+    *      millions of labels AQE picks the shuffle join — both sides are
+    *      label-keyed) and score with the codegen'd
+    *      [[graft.functions.CosineSimilarity]] expression;
+    *   4. roll up per label, mean cosine through the same DECIMAL path
+    *      over the 1e-6-floored per-member cosines.
+    *
+    * No all-pairs step anywhere: cost is O(n·dim) map work + label-keyed
+    * shuffles. The oracle recomputes every stage in DuckDB with the
+    * identical decimal/fold arithmetic.
+    */
+  def s08LabelCentroids(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.spread(Tables.embeddings(s, dir)).withColumn("v", embD)
+    val carr = e.select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim")).agg(Tables.davg(col("x")).as("m"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, m))), s -> s.m)").as("cv"))
+      .withColumn("cnorm", sqrt(dot("cv", "cv")))
+    e.join(broadcast(carr), Seq("label"))
+      .withColumn("cos", floor(expr("graft_cosine(v, cv)") * 1e6 + 0.5) / 1e6)
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        (floor(max(col("cnorm")) * 1e6 + 0.5) / 1e6).as("centroid_norm"),
+        (floor(Tables.davg(col("cos")) * 1e6 + 0.5) / 1e6).as("mean_cos"))
+      .orderBy(col("label"))
+  }
+
+  val s08Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |flat AS (
+      |  SELECT label, i AS dim, v[i] AS x
+      |  FROM e, unnest(generate_series(1, 64)) AS u(i)),
+      |cent AS (
+      |  SELECT label, dim,
+      |    CAST(CAST(SUM(CAST(x AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS m
+      |  FROM flat GROUP BY 1, 2),
+      |carr AS (
+      |  SELECT label, list(m ORDER BY dim) AS cv FROM cent GROUP BY label),
+      |cn AS (
+      |  SELECT label, cv,
+      |    SQRT(list_reduce(list_transform(generate_series(1, 64), i -> cv[i] * cv[i]), (x, y) -> x + y)) AS cnorm
+      |  FROM carr),
+      |sc AS (
+      |  SELECT e.label, cn.cnorm,
+      |    FLOOR(list_reduce(list_transform(generate_series(1, 64), i -> e.v[i] * cn.cv[i]), (x, y) -> x + y)
+      |      / (SQRT(list_reduce(list_transform(generate_series(1, 64), i -> e.v[i] * e.v[i]), (x, y) -> x + y)) * cn.cnorm)
+      |      * 1e6 + 0.5) / 1e6 AS cos
+      |  FROM e JOIN cn USING (label))
+      |SELECT label, COUNT(*) AS n_vecs,
+      |  FLOOR(MAX(cnorm) * 1e6 + 0.5) / 1e6 AS centroid_norm,
+      |  FLOOR(CAST(CAST(SUM(CAST(cos AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6 AS mean_cos
+      |FROM sc GROUP BY label ORDER BY label""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s08_label_centroids" -> (s08LabelCentroids _),
     "s07_knn_classify" -> (s07KnnClassify _),
     "s01_ann_bruteforce" -> (s01AnnBruteForce _),
     "s02_ann_lsh" -> (s02AnnLsh _),
@@ -660,6 +739,7 @@ object SimilarityQueries {
     "s06_ann_verified" -> (s06AnnVerified _))
 
   val oracle: Map[String, String] = Map(
+    "s08_label_centroids" -> s08Sql,
     "s07_knn_classify" -> s07Sql,
     "s01_ann_bruteforce" -> s01Sql,
     "s02_ann_lsh" -> s02Sql,

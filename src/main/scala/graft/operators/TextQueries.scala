@@ -545,8 +545,65 @@ object TextQueries {
       |    / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS avg_nll
       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t11
+  /** PII scrub — the redaction pass every pretraining pipeline runs
+    * before training: find and mask email addresses and IPv4 literals,
+    * reporting per-document match counts and the hash of the scrubbed
+    * text (so a downstream exact-dedup keys on the PII-free form).
+    *
+    * The synthetic corpus carries no PII (all-alpha word soup), so the
+    * query first plants a deterministic contact line DERIVED FROM the row
+    * itself (doc_id + source): the regex extraction and the double
+    * redaction pass run against non-degenerate text with varying counts,
+    * and the oracle re-derives the identical line, so the hash compare
+    * proves the scrub arithmetic end to end. On a real crawl the planting
+    * select is dropped and the same scrub runs unchanged.
+    *
+    * Both patterns evaluate identically under Java regex (Spark) and RE2
+    * (DuckDB): character classes, bounded repetition, and ASCII \b only.
+    * Scale: pure per-row map work (two extraction passes + two global
+    * replaces + md5), embarrassingly parallel, no shuffle except the
+    * presentation ORDER BY.
+    */
+  def t11PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val ipRe = "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b"
+    Tables.spread(Tables.documents(s, dir))
+      .withColumn("pii_text", concat(
+        substring(col("text"), 1, 40),
+        lit(" contact user"), col("doc_id").cast(StringType),
+        lit("@"), col("source"), lit(".org from 10."),
+        (col("doc_id") % 256).cast(StringType), lit(".0."),
+        ((col("doc_id") * 7) % 256).cast(StringType),
+        when(col("doc_id") % 3 === 0, lit(" cc admin@example.com")).otherwise(lit(""))))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("pii_text"), lit(emailRe), lit(0))).as("n_email"),
+        size(regexp_extract_all(col("pii_text"), lit(ipRe), lit(0))).as("n_ip"),
+        md5(regexp_replace(
+          regexp_replace(col("pii_text"), emailRe, "<EMAIL>"),
+          ipRe, "<IP>")).as("scrubbed_h"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t11Sql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    substr(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR)
+      |      || '@' || source || '.org from 10.' || CAST(doc_id % 256 AS VARCHAR)
+      |      || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+      |      || (CASE WHEN doc_id % 3 = 0 THEN ' cc admin@example.com' ELSE '' END) AS pii_text
+      |  FROM documents)
+      |SELECT doc_id,
+      |  len(regexp_extract_all(pii_text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_email,
+      |  len(regexp_extract_all(pii_text, '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b')) AS n_ip,
+      |  md5(regexp_replace(
+      |    regexp_replace(pii_text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+      |    '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b', '<IP>', 'g')) AS scrubbed_h
+      |FROM p ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t11_pii_redact" -> (t11PiiRedact _),
     "t10_lm_score" -> (t10LmScore _),
     "t09_bm25" -> (t09Bm25 _),
     "t08_decontaminate" -> (t08Decontaminate _),
@@ -559,6 +616,7 @@ object TextQueries {
     "t06_repetition" -> (t06Repetition _))
 
   val oracle: Map[String, String] = Map(
+    "t11_pii_redact" -> t11Sql,
     "t10_lm_score" -> t10Sql,
     "t09_bm25" -> t09Sql,
     "t08_decontaminate" -> t08Sql,

@@ -143,4 +143,58 @@ class ExtendedQueriesSpec extends SparkTestBase {
     val top20 = guarded.map(_.getLong(1)).sum
     assert(top20 <= nBigramsTotal)
   }
+
+  test("q71 quartiles are balanced (sizes differ by <= 1) and ranks are monotone") {
+    val out = ExtendedQueries.q71NtileRanks(spark, Sf0001).collect()
+    out.groupBy(_.getString(0)).foreach { case (seg, rows) =>
+      val sizes = rows.groupBy(_.getInt(2)).view.mapValues(_.length).values
+      assert(sizes.max - sizes.min <= 1, s"segment $seg quartile sizes $sizes")
+      // cume_dist is non-decreasing in (acctbal, custkey) order and ends at 1
+      rows.foreach { r =>
+        assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+        assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0)
+      }
+      assert(rows.map(_.getDouble(4)).max === 1.0, s"segment $seg cume_dist max")
+    }
+  }
+
+  test("q72 SQL EXISTS/NOT EXISTS equals the explicit semi/anti join plan (q10/q11 shape)") {
+    val sqlForm = ExtendedQueries.q72ExistsSubquery(spark, Sf0001).collect().toSeq
+    val li = Tables.lineitem(spark, Sf0001)
+    val semiKeys = li.filter(col("l_returnflag") === "R" && col("l_quantity") <= 2)
+      .select(col("l_suppkey")).distinct()
+    val antiKeys = li.filter(col("l_quantity") >= 50 && col("l_discount") >= 0.09)
+      .select(col("l_suppkey")).distinct()
+    val joinForm = Tables.supplier(spark, Sf0001)
+      .join(semiKeys, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(antiKeys, col("s_suppkey") === col("l_suppkey"), "left_anti")
+      .join(Tables.nation(spark, Sf0001), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name")).agg(count(lit(1)).as("n_suppliers"))
+      .orderBy(col("n_name")).collect().toSeq
+    assert(sqlForm == joinForm)
+  }
+
+  test("q73 lateral top-n equals the window rank formulation and caps at 2 per customer") {
+    val lateral = ExtendedQueries.q73LateralTopn(spark, Sf0001).collect().toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val windowed = Tables.orders(spark, Sf0001)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .join(Tables.customer(spark, Sf0001).filter(col("c_custkey") < 200),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("c_custkey"), col("o_orderkey")).collect().toSeq
+    assert(lateral == windowed)
+    assert(lateral.groupBy(_.getLong(0)).values.forall(_.length <= 2))
+  }
+
+  test("q74 listagg emits sorted CSVs whose length matches the group count") {
+    val out = ExtendedQueries.q74Listagg(spark, Sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val names = r.getString(2).split(',').toSeq
+      assert(names.length.toLong === r.getLong(1), s"nation ${r.getString(0)}")
+      assert(names == names.sorted, s"nation ${r.getString(0)}: unsorted listagg")
+    }
+  }
 }

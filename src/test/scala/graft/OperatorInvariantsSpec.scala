@@ -263,4 +263,85 @@ class OperatorInvariantsSpec extends SparkTestBase {
     val again = PipelineQueries.p05MixtureSample(spark, Sf001).collect()
     assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
+
+  test("PII scrub removes every email/IP match and counts them exactly (t11)") {
+    val out = TextQueries.t11PiiRedact(spark, Sf001).collect()
+    assert(out.length === 500)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      // planting rule: 1 contact email + 1 IP always; cc email on id % 3 == 0
+      assert(r.getInt(1) === (if (id % 3 == 0) 2 else 1), s"doc $id n_email")
+      assert(r.getInt(2) === 1, s"doc $id n_ip")
+    }
+    // completeness: re-derive the planted text, scrub it with the same
+    // patterns, and confirm (a) the hashes agree with the query output and
+    // (b) NO residual email/IP match survives the scrub
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val ipRe = "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b"
+    val rederived = Tables.documents(spark, Sf001)
+      .withColumn("pii_text", concat(
+        substring(col("text"), 1, 40),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@"), col("source"), lit(".org from 10."),
+        (col("doc_id") % 256).cast("string"), lit(".0."),
+        ((col("doc_id") * 7) % 256).cast("string"),
+        when(col("doc_id") % 3 === 0, lit(" cc admin@example.com")).otherwise(lit(""))))
+      .withColumn("scrubbed",
+        regexp_replace(regexp_replace(col("pii_text"), emailRe, "<EMAIL>"), ipRe, "<IP>"))
+      .select(col("doc_id"), md5(col("scrubbed")).as("h"),
+        size(regexp_extract_all(col("scrubbed"), lit(emailRe), lit(0))).as("resid_email"),
+        size(regexp_extract_all(col("scrubbed"), lit(ipRe), lit(0))).as("resid_ip"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2), r.getInt(3))).toMap
+    out.foreach { r =>
+      val (h, re, ri) = rederived(r.getLong(0))
+      assert(r.getString(3) === h)
+      assert(re === 0 && ri === 0, s"doc ${r.getLong(0)}: residual PII after scrub")
+    }
+  }
+
+  test("domain cap keeps exactly min(cap, n_docs) per source, deterministically (p06)") {
+    val rows = PipelineQueries.p06DomainCap(spark, Sf001).collect()
+    assert(rows.length === 20)
+    val corpus = Tables.documents(spark, Sf001).count()
+    assert(rows.map(_.getLong(1)).sum === corpus) // partition of the corpus
+    rows.foreach { r =>
+      assert(r.getLong(2) === math.min(10L, r.getLong(1)), s"source ${r.getString(0)}")
+    }
+    val again = PipelineQueries.p06DomainCap(spark, Sf001).collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
+  test("cross-source dup matrix totals match the per-fingerprint pair formula (d08)") {
+    val out = DedupQueries.d08CrossSourceDups(spark, Sf001).collect()
+    assert(out.nonEmpty)
+    // independent recomputation: sum over fingerprints of C(n_sources, 2)
+    // must equal the sum of all matrix cells
+    val expected = Tables.documents(spark, Sf001)
+      .select(
+        md5(concat_ws(" ", array_sort(array_distinct(
+          split(Tables.canonText(col("text")), " "))))).as("h"),
+        col("source"))
+      .distinct()
+      .groupBy("h").agg(countDistinct("source").as("ns"))
+      .select(sum(expr("ns * (ns - 1) DIV 2")))
+      .collect()(0).getLong(0)
+    assert(out.map(_.getLong(2)).sum === expected)
+    // strict upper-triangle output: source_a < source_b, no self-pairs
+    out.foreach(r => assert(r.getString(0) < r.getString(1)))
+  }
+
+  test("label centroid summary is a corpus partition with cosines in (0, 1] (s08)") {
+    val out = SimilarityQueries.s08LabelCentroids(spark, Sf001).collect()
+    val total = Tables.embeddings(spark, Sf001).count()
+    assert(out.map(_.getLong(1)).sum === total)
+    out.foreach { r =>
+      val (norm, mc) = (r.getDouble(2), r.getDouble(3))
+      assert(norm > 0.0)
+      assert(mc > 0.0 && mc <= 1.0, s"label ${r.getInt(0)}: mean_cos $mc")
+    }
+    // labels cluster the synthetic embeddings only WEAKLY (mean ~0.14;
+    // the strong-signal pairs are d07's planted dups) — but the mean must
+    // still sit measurably above the ~0 of orthogonal noise
+    assert(out.forall(_.getDouble(3) > 0.05))
+  }
 }
