@@ -900,8 +900,41 @@ object ExtendedQueries {
       |FROM supplier JOIN nation ON s_nationkey = n_nationkey
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  // ---------------------------------------------------------------- q75
+  /** VARIANT ingestion — Spark 4's semi-structured type: parse the JSON
+    * props payload ONCE into a VARIANT column, then extract typed fields
+    * with variant_get / try_variant_get. Against q26's per-field
+    * get_json_object (which re-parses the string per extraction), the
+    * variant parse is a single pass producing a binary-encoded tree;
+    * every subsequent path access is a cheap offset walk — the 100 TB
+    * difference when event payloads carry dozens of consumed fields.
+    * try_variant_get on an absent path returns null (not an error),
+    * giving the missing-field audit for free.
+    */
+  def q75VariantExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("v", expr("parse_json(props)"))
+      .select(col("event_type"),
+        expr("variant_get(v, '$.k', 'int')").as("k"),
+        expr("try_variant_get(v, '$.missing', 'int')").as("absent"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("k")).cast(LongType).as("k_sum"),
+        max(col("k")).as("k_max"),
+        sum(when(col("absent").isNull, 1L).otherwise(0L)).as("n_missing"))
+      .orderBy(col("event_type"))
+
+  val q75Sql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
+      |  MAX(CAST(json_extract(props, '$.k') AS INT)) AS k_max,
+      |  CAST(SUM(CASE WHEN json_extract(props, '$.missing') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q75_variant_extract" -> (q75VariantExtract _),
     "q71_ntile_ranks" -> (q71NtileRanks _),
     "q72_exists_subquery" -> (q72ExistsSubquery _),
     "q73_lateral_topn" -> (q73LateralTopn _),
@@ -934,6 +967,7 @@ object ExtendedQueries {
     "q54_union_by_name" -> (q54UnionByName _))
 
   val oracle: Map[String, String] = Map(
+    "q75_variant_extract" -> q75Sql,
     "q71_ntile_ranks" -> q71Sql,
     "q72_exists_subquery" -> q72Sql,
     "q73_lateral_topn" -> q73Sql,

@@ -116,6 +116,28 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("observe() metrics ride the pass for free and match a direct aggregate") {
+    // the ops story at 100 TB: row counts / quality tallies come from
+    // CollectMetrics ON the production pass, not from a second scan.
+    import org.apache.spark.sql.functions._
+    val observed = Tables.lineitem(spark, Sf0001)
+      .observe("li_metrics",
+        count(lit(1)).as("rows"),
+        sum(col("l_quantity")).as("qty"),
+        max(col("l_shipdate")).as("last_ship"))
+      .filter(col("l_quantity") > 25.0) // metrics see PRE-filter rows (observe sits below)
+    // collect() (not count()) — count() builds a NEW QueryExecution, so the
+    // observed plan would never run and the metrics map would stay empty
+    val kept = observed.collect().length.toLong
+    val m = observed.queryExecution.observedMetrics("li_metrics")
+    val direct = Tables.lineitem(spark, Sf0001)
+      .agg(count(lit(1)), sum(col("l_quantity")), max(col("l_shipdate"))).head
+    assert(m.getLong(0) === direct.getLong(0))
+    assert(math.abs(m.getDouble(1) - direct.getDouble(1)) < 1e-6)
+    assert(m.get(2) === direct.get(2))
+    assert(kept < m.getLong(0)) // the filter really ran above the metrics point
+  }
+
   test("no query plans a cartesian product except the scalar-histogram cross join") {
     val exempt = Set("q20_histogram")
     SparkEntry.queries.filterNot { case (name, _) =>
