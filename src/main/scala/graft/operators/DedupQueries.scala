@@ -658,6 +658,76 @@ object DedupQueries {
       |  (vec_id = cluster_id) AS is_keeper
       |FROM comp ORDER BY cluster_id, vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- d09
+  /** Canonical-copy pruning — what the pipeline DOES with a near-dup pair
+    * list: of every verified J >= 0.5 pair, the copy that loses on
+    * (longer text, then smaller doc_id) is dominated and dropped, the
+    * winner survives. "Dominated by at least one neighbor" is a
+    * deterministic per-doc predicate (no cluster resolution needed — a
+    * doc beaten by any neighbor is never the canonical copy of its
+    * group), so this composes directly on d04's pair list where d06's
+    * full connected-components pass would be overkill. Reported as the
+    * per-source audit: volume in, dropped count, characters saved.
+    *
+    * Scale: pair list is sub-linear (d04's banding); the dominance check
+    * is one join of the pair list against per-doc lengths + one distinct;
+    * no O(n^2) step and no iteration anywhere.
+    */
+  def d09CanonicalPrune(s: SparkSession, dir: String): DataFrame = {
+    val pairs = d04MinhashLsh(s, dir).select(col("da"), col("db"))
+    val docs = Tables.spread(Tables.documents(s, dir))
+      .select(col("doc_id"), col("source"), length(col("text")).as("len"))
+    // both directions: u is dropped if neighbor v wins (lv, -v) > (lu, -u)
+    val directed = pairs.select(col("da").as("u"), col("db").as("v"))
+      .unionAll(pairs.select(col("db").as("u"), col("da").as("v")))
+    val dropped = directed
+      .join(docs.select(col("doc_id").as("u"), col("len").as("lu")), "u")
+      .join(docs.select(col("doc_id").as("v"), col("len").as("lv")), "v")
+      .filter(col("lv") > col("lu") || (col("lv") === col("lu") && col("v") < col("u")))
+      .select(col("u").as("doc_id")).distinct()
+      .withColumn("is_dropped", lit(true))
+    docs.join(dropped, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("is_dropped"), 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("is_dropped"), col("len")).otherwise(0L)).as("chars_dropped"))
+      .orderBy(col("source"))
+  }
+
+  /** d04's exact pair semantics (the oracle recomputes the J >= 0.5 pair
+    * list the naive way) + the dominance drop rule + per-source rollup. */
+  val d09Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id,
+      |    string_split(TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+      |  FROM docs, unnest(generate_series(1, GREATEST(len(toks) - 2, 0))) AS u(i)),
+      |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT da, db FROM inter
+      |  JOIN counts ca ON inter.da = ca.doc_id
+      |  JOIN counts cb ON inter.db = cb.doc_id
+      |  WHERE CAST(n_inter AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - n_inter AS DOUBLE) >= 0.5),
+      |directed AS (SELECT da AS u, db AS v FROM pairs UNION ALL SELECT db, da FROM pairs),
+      |lens AS (SELECT doc_id, source, LENGTH(text) AS len FROM documents),
+      |dropped AS (
+      |  SELECT DISTINCT u AS doc_id FROM directed
+      |  JOIN lens lu ON directed.u = lu.doc_id
+      |  JOIN lens lv ON directed.v = lv.doc_id
+      |  WHERE lv.len > lu.len OR (lv.len = lu.len AND v < u))
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN dropped.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+      |  CAST(SUM(CASE WHEN dropped.doc_id IS NOT NULL THEN len ELSE 0 END) AS BIGINT) AS chars_dropped
+      |FROM lens LEFT JOIN dropped USING (doc_id)
+      |GROUP BY source ORDER BY source""".stripMargin
+
   // ---------------------------------------------------------------- d08
   /** Cross-source duplication matrix — the provenance-level audit behind
     * every dedup rollout decision: for each pair of sources, how many
@@ -709,6 +779,7 @@ object DedupQueries {
 
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d09_canonical_prune" -> (d09CanonicalPrune _),
     "d08_cross_source_dups" -> (d08CrossSourceDups _),
     "d01_exact_dedup" -> (d01ExactDedup _),
     "d03_ngram_jaccard" -> (d03NgramJaccard _),
@@ -718,6 +789,7 @@ object DedupQueries {
     "d07_embedding_dedup" -> (d07EmbeddingDedup _))
 
   val oracle: Map[String, String] = Map(
+    "d09_canonical_prune" -> d09Sql,
     "d08_cross_source_dups" -> d08Sql,
     "d01_exact_dedup" -> d01Sql,
     "d03_ngram_jaccard" -> d03Sql,

@@ -932,8 +932,43 @@ object ExtendedQueries {
       |  CAST(SUM(CASE WHEN json_extract(props, '$.missing') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q76
+  /** Last-observation-carried-forward gap fill — IGNORE NULLS value
+    * windows, the sensor/telemetry repair primitive: every 7th reading is
+    * masked to null (deterministically, so the oracle can re-mask), then
+    * recovered as the latest non-null value in (ts, event_id) order per
+    * user. last(_, ignoreNulls) over a running frame is the Spark
+    * spelling; DuckDB spells it LAST_VALUE(x IGNORE NULLS). Leading nulls
+    * (no prior observation) stay null in both.
+    *
+    * Scale: one shuffle on user_id, per-partition running state is a
+    * single value — the same shape as q16's running sum.
+    */
+  def q76GapFill(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("masked_value",
+        when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value")))
+      .withColumn("filled", last(col("masked_value"), ignoreNulls = true).over(w))
+      .select(col("user_id"), col("event_id"), col("masked_value"), col("filled"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val q76Sql: String =
+    """SELECT user_id, event_id, masked_value,
+      |  LAST_VALUE(masked_value IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+      |FROM (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS masked_value
+      |  FROM events)
+      |ORDER BY user_id, event_id""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q76_gap_fill" -> (q76GapFill _),
     "q75_variant_extract" -> (q75VariantExtract _),
     "q71_ntile_ranks" -> (q71NtileRanks _),
     "q72_exists_subquery" -> (q72ExistsSubquery _),
@@ -967,6 +1002,7 @@ object ExtendedQueries {
     "q54_union_by_name" -> (q54UnionByName _))
 
   val oracle: Map[String, String] = Map(
+    "q76_gap_fill" -> q76Sql,
     "q75_variant_extract" -> q75Sql,
     "q71_ntile_ranks" -> q71Sql,
     "q72_exists_subquery" -> q72Sql,

@@ -280,6 +280,102 @@ object Multimodal {
         round(avg(element_at(col("feature"), 1)), 6).as("avg_feat0"))
       .orderBy(col("kind"))
 
+  /** 64-bit average-hash (aHash) over the decoded raster: nearest-neighbor
+    * 8x8 grayscale downsample (headless Graphics2D), bit i set iff cell
+    * luminance >= the 64-cell mean. The standard cheap perceptual
+    * fingerprint: robust to small edits and re-encodes, 8 bytes per image
+    * — the image-modality analogue of d05's SimHash.
+    */
+  private[operators] def aHash(payload: Array[Byte]): Long = {
+    val src = ImageIO.read(new ByteArrayInputStream(payload))
+    require(src != null, "payload is not a decodable image")
+    val dst = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    try g.drawImage(src, 0, 0, 8, 8, null) finally g.dispose()
+    val lum = new Array[Double](64)
+    var sum = 0.0
+    var i = 0
+    while (i < 64) {
+      val rgb = dst.getRGB(i % 8, i / 8)
+      lum(i) = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+      sum += lum(i)
+      i += 1
+    }
+    val mean = sum / 64
+    var bits = 0L
+    i = 0
+    while (i < 64) { if (lum(i) >= mean) bits |= (1L << i); i += 1 }
+    bits
+  }
+
+  /** Watermark-ish edit used to PLANT image near-duplicates: brighten the
+    * top-left 8x6 pixel block by +16 per channel (clamped) and re-encode —
+    * same dimensions, visually near-identical. The block covers exactly
+    * ONE cell of aHash's 8x8 sampling grid (64x48 / 8x8 = 8x6 per cell),
+    * so at most one bit flips directly and the 64-cell mean moves by
+    * <= 16/64 — a handful of borderline bits at worst, far inside the
+    * Hamming <= 7 verify budget. (A 16x12/+24 edit was measured to push
+    * ~2% of byte-noise images past 7 bits via the mean shift.) */
+  private[operators] def perturb(payload: Array[Byte]): Array[Byte] = {
+    val src = ImageIO.read(new ByteArrayInputStream(payload))
+    require(src != null, "payload is not a decodable image")
+    var y = 0
+    while (y < 6) {
+      var x = 0
+      while (x < 8) {
+        val rgb = src.getRGB(x, y)
+        val r = math.min(255, ((rgb >> 16) & 0xff) + 16)
+        val gg = math.min(255, ((rgb >> 8) & 0xff) + 16)
+        val b = math.min(255, (rgb & 0xff) + 16)
+        src.setRGB(x, y, (r << 16) | (gg << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(src, "bmp", out)
+    out.toByteArray
+  }
+
+  /** Driver-contract query: image near-dup dedup via banded aHash — the
+    * multimodal tier's end-to-end retrieval audit (the image analogue of
+    * s06's planted-probe construction). Each corpus image gets a perturbed
+    * twin (media_id + 1,000,000); both are aHashed (REAL decode +
+    * downsample per row), the 64 bits band into 8 x 8-bit bucket keys, and
+    * only band-bucket collisions are verified with exact Hamming <= 7.
+    * Pigeonhole: 7 differing bits cannot touch all 8 disjoint bands, so
+    * any true pair ALWAYS shares a band — recall is structural, not
+    * probabilistic; MultimodalSpec asserts the output is exactly the
+    * planted pair set.
+    *
+    * Scale: hashing is per-row map work; candidates are band-bucket
+    * collisions only (random 64-bit hashes sit ~32 bits apart, so
+    * non-dup collisions are rare); no all-pairs step. The same shape as
+    * d05's banded Hamming join, applied to binary media.
+    */
+  def m03ImageDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val imgs = mediaTable(s, dir).filter(_.kind == "image")
+    val twins = imgs.map(m => m.copy(media_id = m.media_id + 1000000L,
+      payload = perturb(m.payload)))
+    val hashed = imgs.union(twins).map(m => (m.media_id, aHash(m.payload)))
+      .toDF("media_id", "h")
+    val banded = hashed.select(col("media_id"), col("h"), explode(expr(
+        "transform(sequence(0, 7), b -> named_struct('band', b, 'bucket', (h >> (b * 8)) & 255))")).as("bb"))
+      .select(col("media_id"), col("h"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("ida"), col("a.h").as("ha"),
+        col("b.media_id").as("idb"), col("b.h").as("hb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      .filter(col("hamming") <= 7)
+      .select(col("ida"), col("idb"), col("hamming"))
+      .orderBy(col("ida"), col("idb"))
+  }
+
   /** Driver-contract query: frame-sampling multiplicity stats (rows-only). */
   def m02FrameSample(s: SparkSession, dir: String): DataFrame =
     sampleFrames(mediaTable(s, dir)).toDF()
@@ -291,7 +387,8 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_features" -> (m01MediaFeatures _),
-    "m02_frame_sample" -> (m02FrameSample _))
+    "m02_frame_sample" -> (m02FrameSample _),
+    "m03_image_dedup" -> (m03ImageDedup _))
 
   /** Engine-side media synthesis + codecs — no SQL oracle; MultimodalSpec
     * pins real decoded dimensions, multiplicity, and determinism. */

@@ -88,4 +88,17 @@ class MultimodalSpec extends SparkTestBase {
     assert(frames.length === videos * 6)
     assert(frames.map(_.frame_idx).toSet === (0 until 6).toSet)
   }
+
+  test("aHash image dedup retrieves exactly the planted perturbed twins (m03)") {
+    val out = Multimodal.m03ImageDedup(spark, Sf0001).collect()
+    val imageIds = media.filter(_.kind == "image").collect().map(_.media_id).toSet
+    // exact set equality: every planted (id, id + 1e6) pair found through
+    // the banded path, and NOTHING else survives the hamming <= 7 verify
+    val expected = imageIds.map(id => (id, id + 1000000L))
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet === expected)
+    out.foreach(r => assert(r.getInt(2) >= 0 && r.getInt(2) <= 7))
+    // determinism: hashing + banding is pure per-row compute
+    val again = Multimodal.m03ImageDedup(spark, Sf0001).collect()
+    assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
 }
