@@ -966,8 +966,111 @@ object ExtendedQueries {
       |  FROM events)
       |ORDER BY user_id, event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q77
+  /** Multiset (bag) set operations — INTERSECT ALL / EXCEPT ALL, the
+    * duplicate-preserving semantics q12's distinct-set tier doesn't
+    * cover: per value, intersect keeps min(count_a, count_b) copies and
+    * except keeps count_a - count_b. Spark plans both WITHOUT
+    * materializing per-row duplicates: a count-aggregate per side, a
+    * join, and a generate of the surviving multiplicity (see
+    * replicate_rows in the plan) — group-cardinality work, not
+    * row-cardinality, which is what makes bag semantics affordable at
+    * 100 TB. The rollup output pins the multiplicities exactly.
+    */
+  def q77BagSetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderkey") % 100 < 3)
+      .select(year(col("o_orderdate")).as("y"), col("o_orderpriority").as("p"))
+    val a = o.filter(col("y") === 1995).select(col("p"))
+    val b = o.filter(col("y") === 1996).select(col("p"))
+    a.intersectAll(b).groupBy(col("p")).agg(count(lit(1)).as("n"))
+      .withColumn("which", lit("inter"))
+      .unionAll(
+        a.exceptAll(b).groupBy(col("p")).agg(count(lit(1)).as("n"))
+          .withColumn("which", lit("except")))
+      .select(col("which"), col("p"), col("n"))
+      .orderBy(col("which"), col("p"))
+  }
+
+  val q77Sql: String =
+    """WITH a AS (SELECT o_orderpriority AS p FROM orders
+      |           WHERE YEAR(o_orderdate) = 1995 AND o_orderkey % 100 < 3),
+      |     b AS (SELECT o_orderpriority AS p FROM orders
+      |           WHERE YEAR(o_orderdate) = 1996 AND o_orderkey % 100 < 3)
+      |SELECT 'inter' AS which, p, COUNT(*) AS n
+      |FROM (SELECT p FROM a INTERSECT ALL SELECT p FROM b) GROUP BY 2
+      |UNION ALL
+      |SELECT 'except', p, COUNT(*)
+      |FROM (SELECT p FROM a EXCEPT ALL SELECT p FROM b) GROUP BY 2
+      |ORDER BY which, p""".stripMargin
+
+  // ---------------------------------------------------------------- q78
+  /** Explicit null-ordering semantics — the cross-engine trap: Spark's
+    * default ASC sort puts nulls FIRST, DuckDB's puts them LAST, so any
+    * null-bearing ORDER BY that doesn't say which is silently
+    * engine-dependent. This query pins both spellings (ASC NULLS FIRST
+    * and DESC NULLS LAST) explicitly over a deterministically
+    * null-masked value column; the oracle hash fails if either engine
+    * deviates from the requested placement.
+    */
+  def q78NullsOrdering(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("v").desc_nulls_last, col("event_id"))
+    Tables.events(s, dir)
+      .filter(col("event_id") < 2000)
+      .select(col("event_id"),
+        when(col("event_id") % 5 === 0, lit(null)).otherwise(col("value")).as("v"))
+      .withColumn("rank_desc_nl", row_number().over(w))
+      .orderBy(col("v").asc_nulls_first, col("event_id"))
+      .select(col("event_id"), col("v"), col("rank_desc_nl"))
+  }
+
+  val q78Sql: String =
+    """WITH m AS (
+      |  SELECT event_id,
+      |    CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+      |  FROM events WHERE event_id < 2000)
+      |SELECT event_id, v,
+      |  ROW_NUMBER() OVER (ORDER BY v DESC NULLS LAST, event_id) AS rank_desc_nl
+      |FROM m
+      |ORDER BY v ASC NULLS FIRST, event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q79
+  /** Recursive CTE — Spark 4's WITH RECURSIVE: transitive closure over a
+    * deterministic DAG derived from the nation table (edge i -> i + 3),
+    * the fixed-point iteration pattern behind hierarchy/lineage queries.
+    * Spark executes it as an iterated union with a loop guard (the same
+    * execution shape d06's connected components builds by hand with
+    * localCheckpoint; this is the declarative spelling). Output: per
+    * start node, how many nodes it reaches and the farthest hop count.
+    */
+  def q79RecursiveCte(s: SparkSession, dir: String): DataFrame = {
+    Tables.nation(s, dir).createOrReplaceTempView("nation_rec_v")
+    s.sql(
+      """WITH RECURSIVE reach(src, dst, hops) AS (
+        |  SELECT n_nationkey, n_nationkey, 0 FROM nation_rec_v
+        |  UNION ALL
+        |  SELECT r.src, e.n_nationkey + 3, r.hops + 1
+        |  FROM reach r JOIN nation_rec_v e ON e.n_nationkey = r.dst
+        |  WHERE e.n_nationkey + 3 < 25)
+        |SELECT src, COUNT(*) AS n_reachable, MAX(hops) AS max_hops
+        |FROM reach GROUP BY src ORDER BY src""".stripMargin)
+  }
+
+  val q79Sql: String =
+    """WITH RECURSIVE reach(src, dst, hops) AS (
+      |  SELECT n_nationkey, n_nationkey, 0 FROM nation
+      |  UNION ALL
+      |  SELECT r.src, e.n_nationkey + 3, r.hops + 1
+      |  FROM reach r JOIN nation e ON e.n_nationkey = r.dst
+      |  WHERE e.n_nationkey + 3 < 25)
+      |SELECT src, COUNT(*) AS n_reachable, MAX(hops) AS max_hops
+      |FROM reach GROUP BY src ORDER BY src""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q77_bag_set_ops" -> (q77BagSetOps _),
+    "q78_nulls_ordering" -> (q78NullsOrdering _),
+    "q79_recursive_cte" -> (q79RecursiveCte _),
     "q76_gap_fill" -> (q76GapFill _),
     "q75_variant_extract" -> (q75VariantExtract _),
     "q71_ntile_ranks" -> (q71NtileRanks _),
@@ -1002,6 +1105,9 @@ object ExtendedQueries {
     "q54_union_by_name" -> (q54UnionByName _))
 
   val oracle: Map[String, String] = Map(
+    "q77_bag_set_ops" -> q77Sql,
+    "q78_nulls_ordering" -> q78Sql,
+    "q79_recursive_cte" -> q79Sql,
     "q76_gap_fill" -> q76Sql,
     "q75_variant_extract" -> q75Sql,
     "q71_ntile_ranks" -> q71Sql,
