@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -777,9 +778,77 @@ object DedupQueries {
       |FROM k a JOIN k b ON a.h = b.h AND a.source < b.source
       |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
 
+  // ---------------------------------------------------------------- d10
+  /** Segment-level (sub-document) dedup — the CCNet/RefinedWeb move:
+    * instead of dropping whole near-duplicate documents, delete the
+    * REPEATED SPANS and keep the rest. The corpus here has no newline
+    * structure, so "segment" = each consecutive run of [[SegW]] canonical
+    * words (the last one may be shorter); real corpora would split on
+    * line/paragraph breaks with the identical plan downstream.
+    *
+    * Keep-first semantics: every occurrence of a segment except the
+    * lexicographically-first (doc_id, seg_idx) is removed, so each
+    * distinct segment survives exactly once corpus-wide. Output: the doc
+    * with its surviving text reassembled in order plus kept/dropped
+    * counts.
+    *
+    * Scale shape (two shuffles, both necessary): (1) window-min over the
+    * segment's 16-byte md5 key finds each segment's first occurrence —
+    * the partition key is the hash, never the text, and the per-key state
+    * is one (doc_id, seg_idx) pair; (2) the groupBy(doc_id) reassembly
+    * shuffles only SURVIVING segment text — bounded by output size. No
+    * join, no driver state, no O(n^2) anywhere; skew is bounded because a
+    * hot segment's bucket holds ids, not text.
+    */
+  private val SegW = 5
+
+  def d10SegmentDedup(s: SparkSession, dir: String): DataFrame = {
+    val segs = Tables.spread(Tables.documents(s, dir))
+      .select(col("doc_id"), split(canon(col("text")), " ").as("w"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, cast(ceil(size(w) / ${SegW}.0) as int) - 1),
+           |          i -> array_join(slice(w, i * $SegW + 1, $SegW), ' '))""".stripMargin)))
+      .withColumnRenamed("pos", "seg_idx")
+      .withColumnRenamed("col", "seg")
+    val firstOcc = Window.partitionBy(md5(col("seg")))
+    segs
+      .withColumn("kept",
+        struct(col("doc_id"), col("seg_idx")) ===
+          min(struct(col("doc_id"), col("seg_idx"))).over(firstOcc))
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("kept"), struct(col("seg_idx"), col("seg"))))),
+            kv => kv.getField("seg")),
+          " ").as("clean_text"),
+        count(lit(1)).as("n_segs"),
+        count(when(!col("kept"), lit(1))).as("n_drop"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d10Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id,
+      |    string_split(TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS ws
+      |  FROM documents),
+      |seg AS (
+      |  SELECT doc_id, i AS seg_idx, array_to_string(ws[i*5+1 : i*5+5], ' ') AS seg
+      |  FROM docs, unnest(generate_series(0, CAST(CEIL(len(ws) / 5.0) AS INT) - 1)) AS u(i)),
+      |r AS (
+      |  SELECT doc_id, seg_idx, seg,
+      |    ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+      |  FROM seg)
+      |SELECT doc_id,
+      |  COALESCE(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE rn = 1), '') AS clean_text,
+      |  COUNT(*) AS n_segs,
+      |  COUNT(*) FILTER (WHERE rn > 1) AS n_drop
+      |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d09_canonical_prune" -> (d09CanonicalPrune _),
+    "d10_segment_dedup" -> (d10SegmentDedup _),
     "d08_cross_source_dups" -> (d08CrossSourceDups _),
     "d01_exact_dedup" -> (d01ExactDedup _),
     "d03_ngram_jaccard" -> (d03NgramJaccard _),
@@ -790,6 +859,7 @@ object DedupQueries {
 
   val oracle: Map[String, String] = Map(
     "d09_canonical_prune" -> d09Sql,
+    "d10_segment_dedup" -> d10Sql,
     "d08_cross_source_dups" -> d08Sql,
     "d01_exact_dedup" -> d01Sql,
     "d03_ngram_jaccard" -> d03Sql,

@@ -1066,8 +1066,97 @@ object ExtendedQueries {
       |SELECT src, COUNT(*) AS n_reachable, MAX(hops) AS max_hops
       |FROM reach GROUP BY src ORDER BY src""".stripMargin
 
+  // ---------------------------------------------------------------- q80
+  /** Linear-regression aggregates — the SQL:2003 REGR_* family
+    * (regr_count/slope/intercept/r2), fitting price-vs-quantity per
+    * return flag in ONE grouped aggregation pass (no per-group model
+    * loop). Spark and DuckDB both accumulate single-pass co-moments whose
+    * last bits depend on partition order, so the doubles are rounded for
+    * cross-engine hash stability exactly like q05's built-in corr; the
+    * slope/intercept are O(1e3) and r2 is O(1e-3), so 3/6 fractional
+    * digits sit ~1e12 ulps away from any rounding boundary. At 100 TB
+    * this is a plain partial-aggregate shuffle on the group key — the
+    * cheapest possible shape for a regression over every group at once.
+    */
+  def q80RegrAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("regr_count(l_extendedprice, l_quantity)").cast(LongType).as("n"),
+        round(expr("regr_slope(l_extendedprice, l_quantity)"), 3).as("slope"),
+        round(expr("regr_intercept(l_extendedprice, l_quantity)"), 3).as("intercept"),
+        round(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2"))
+      .orderBy(col("l_returnflag"))
+
+  val q80Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+      |  ROUND(regr_slope(l_extendedprice, l_quantity), 3) AS slope,
+      |  ROUND(regr_intercept(l_extendedprice, l_quantity), 3) AS intercept,
+      |  ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q81
+  /** Bitwise aggregates — bit_or/bit_xor/bit_count as a grouped presence
+    * bitmap: which ISO weekdays (bit i = Monday+i) each order priority
+    * ships on, plus an xor checksum of the member keys (the classic
+    * cheap set-digest: xor of all keys is order-independent and
+    * constant-space). Integer-only math, so the oracle hash is exact
+    * with no rounding. Engine trap pinned here: Spark's weekday() is
+    * Monday=0 while DuckDB's isodow is Monday=1 — the oracle spells the
+    * -1 shift explicitly. Scale shape = one partial-aggregate shuffle
+    * carrying an int mask and a long checksum per group.
+    */
+  def q81BitAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr("bit_or(shiftleft(1L, weekday(o_orderdate)))").as("weekday_mask"),
+        expr("bit_count(bit_or(shiftleft(1L, weekday(o_orderdate))))").cast(LongType).as("n_weekdays"),
+        expr("bit_xor(o_orderkey)").as("key_parity"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
+  val q81Sql: String =
+    """SELECT o_orderpriority,
+      |  bit_or(1::BIGINT << (isodow(o_orderdate) - 1)) AS weekday_mask,
+      |  CAST(bit_count(bit_or(1::BIGINT << (isodow(o_orderdate) - 1))) AS BIGINT) AS n_weekdays,
+      |  bit_xor(o_orderkey) AS key_parity,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q82
+  /** Boolean aggregates — every/some (SQL bool_and/bool_or) and count_if,
+    * the predicate-rollup surface a data-quality gate uses ("did every
+    * row pass?", "did any row trip the alarm?", "how many violations?").
+    * Booleans and counts only — bit-exact across engines by construction.
+    * Both engines fold these to partial aggregates (AND/OR are
+    * associative+commutative), so the shuffle carries three booleans and
+    * two longs per group regardless of input size.
+    */
+  def q82BoolAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("every(l_quantity < 50)").as("all_small"),
+        expr("some(l_discount >= 0.1)").as("any_deep_discount"),
+        expr("count_if(l_tax = 0)").as("n_tax_free"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  val q82Sql: String =
+    """SELECT l_returnflag,
+      |  bool_and(l_quantity < 50) AS all_small,
+      |  bool_or(l_discount >= 0.1) AS any_deep_discount,
+      |  COUNT(*) FILTER (WHERE l_tax = 0) AS n_tax_free,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q80_regr_agg" -> (q80RegrAgg _),
+    "q81_bit_agg" -> (q81BitAgg _),
+    "q82_bool_agg" -> (q82BoolAgg _),
     "q77_bag_set_ops" -> (q77BagSetOps _),
     "q78_nulls_ordering" -> (q78NullsOrdering _),
     "q79_recursive_cte" -> (q79RecursiveCte _),
@@ -1105,6 +1194,9 @@ object ExtendedQueries {
     "q54_union_by_name" -> (q54UnionByName _))
 
   val oracle: Map[String, String] = Map(
+    "q80_regr_agg" -> q80Sql,
+    "q81_bit_agg" -> q81Sql,
+    "q82_bool_agg" -> q82Sql,
     "q77_bag_set_ops" -> q77Sql,
     "q78_nulls_ordering" -> q78Sql,
     "q79_recursive_cte" -> q79Sql,

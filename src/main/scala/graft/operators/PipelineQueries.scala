@@ -330,7 +330,51 @@ object PipelineQueries {
       |  CAST(SUM(CASE WHEN kept THEN doc_id END) AS BIGINT) AS kept_id_sum
       |FROM r GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- p07
+  /** Overlapping document chunking — the context-window shaping step of a
+    * training / RAG pipeline: each document becomes chunks of
+    * [[ChunkW]] canonical words advancing by [[ChunkStride]] (so
+    * consecutive chunks share ChunkW - ChunkStride words of context, and
+    * no split point ever loses cross-boundary tokens). Chunk starts are
+    * i*stride for i*stride < n_words; trailing chunks may be shorter.
+    *
+    * Unlike p04 (which PACKS whole docs into fixed token budgets), this
+    * SPLITS single docs; a real pipeline runs p07 then p04. Scale shape:
+    * pure per-row map + Generate (posexplode) — zero shuffles beyond the
+    * presentation orderBy, so it pipelines inside one whole-stage-codegen
+    * pass at any corpus size, and output bytes = input bytes * (W/stride)
+    * overhead, chosen here as 4/3.
+    */
+  private val ChunkW = 16
+  private val ChunkStride = 12
+
+  def p07ChunkOverlap(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.documents(s, dir))
+      .select(col("doc_id"), split(Tables.canonText(col("text")), " ").as("w"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, cast(ceil(size(w) / ${ChunkStride}.0) as int) - 1),
+           |          i -> struct(array_join(slice(w, i * $ChunkStride + 1, $ChunkW), ' ') AS txt,
+           |                      size(slice(w, i * $ChunkStride + 1, $ChunkW)) AS nw))""".stripMargin)))
+      .select(
+        col("doc_id"),
+        col("pos").cast(LongType).as("chunk_id"),
+        col("col.txt").as("chunk_text"),
+        col("col.nw").cast(LongType).as("n_words"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  val p07Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id,
+      |    string_split(TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS ws
+      |  FROM documents)
+      |SELECT doc_id, i AS chunk_id,
+      |  array_to_string(ws[i*12+1 : i*12+16], ' ') AS chunk_text,
+      |  CAST(len(ws[i*12+1 : i*12+16]) AS BIGINT) AS n_words
+      |FROM docs, unnest(generate_series(0, CAST(CEIL(len(ws) / 12.0) AS INT) - 1)) AS u(i)
+      |ORDER BY doc_id, chunk_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p07_chunk_overlap" -> (p07ChunkOverlap _),
     "p06_domain_cap" -> (p06DomainCap _),
     "p05_mixture_sample" -> (p05MixtureSample _),
     "p01_clean_corpus" -> (p01CleanCorpus _),
@@ -339,6 +383,7 @@ object PipelineQueries {
     "p04_sequence_packing" -> (p04SequencePacking _))
 
   val oracle: Map[String, String] = Map(
+    "p07_chunk_overlap" -> p07Sql,
     "p06_domain_cap" -> p06Sql,
     "p05_mixture_sample" -> p05Sql,
     "p01_clean_corpus" -> p01Sql,

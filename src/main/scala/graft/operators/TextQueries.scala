@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -602,7 +603,56 @@ object TextQueries {
       |FROM p ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // ---------------------------------------------------------------- t12
+  /** Cross-document n-gram novelty — the "how much of this doc has the
+    * corpus already seen?" curation signal (the complement of the
+    * previously-seen-n-gram filters used in dataset decontamination and
+    * freshness scoring). Per document: its distinct word-3-gram shingles
+    * ([[DedupQueries.shingleArrExpr]] — the same definition d03/d04
+    * band on), how many of them FIRST appear in this document (first =
+    * min doc_id corpus-wide), and the novel fraction. Near-duplicate
+    * documents score near 0; the corpus's first copy scores high.
+    *
+    * Integer counts + one exact double division + round(4): bit-stable
+    * across engines with no decimal routing needed. Scale shape: one
+    * window-min partitioned by the shingle (keyed on the shingle's
+    * xxhash64 at 100 TB — here the raw string so the oracle's grouping is
+    * literally identical), then a groupBy(doc_id) rollup of two longs;
+    * both shuffles carry ids and counts, never document text. Docs with
+    * <3 tokens have no shingles and drop out (matching the SQL).
+    */
+  def t12NgramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.spread(Tables.documents(s, dir))
+      .withColumn("toks", split(Tables.canonText(col("text")), " "))
+      .withColumn("sh_arr", expr(DedupQueries.shingleArrExpr))
+      .select(col("doc_id"), explode(col("sh_arr")).as("shingle"))
+    val firstDoc = Window.partitionBy(col("shingle"))
+    sh.withColumn("novel", col("doc_id") === min(col("doc_id")).over(firstDoc))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_sh"),
+        count(when(col("novel"), lit(1))).as("n_novel"))
+      .withColumn("novelty", round(col("n_novel").cast(DoubleType) / col("n_sh"), 4))
+      .orderBy(col("doc_id"))
+  }
+
+  val t12Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id,
+      |    string_split(TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+      |  FROM docs, unnest(generate_series(1, GREATEST(len(toks) - 2, 0))) AS u(i)),
+      |f AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY 1)
+      |SELECT s.doc_id, COUNT(*) AS n_sh,
+      |  COUNT(*) FILTER (WHERE f.first_doc = s.doc_id) AS n_novel,
+      |  ROUND(CAST(COUNT(*) FILTER (WHERE f.first_doc = s.doc_id) AS DOUBLE) / COUNT(*), 4) AS novelty
+      |FROM sh s JOIN f USING (shingle)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t12_ngram_novelty" -> (t12NgramNovelty _),
     "t11_pii_redact" -> (t11PiiRedact _),
     "t10_lm_score" -> (t10LmScore _),
     "t09_bm25" -> (t09Bm25 _),
@@ -616,6 +666,7 @@ object TextQueries {
     "t06_repetition" -> (t06Repetition _))
 
   val oracle: Map[String, String] = Map(
+    "t12_ngram_novelty" -> t12Sql,
     "t11_pii_redact" -> t11Sql,
     "t10_lm_score" -> t10Sql,
     "t09_bm25" -> t09Sql,

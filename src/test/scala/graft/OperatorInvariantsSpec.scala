@@ -344,4 +344,115 @@ class OperatorInvariantsSpec extends SparkTestBase {
     // still sit measurably above the ~0 of orthogonal noise
     assert(out.forall(_.getDouble(3) > 0.05))
   }
+
+  test("segment dedup keeps each distinct segment exactly once corpus-wide (d10)") {
+    val out = DedupQueries.d10SegmentDedup(spark, Sf001).collect()
+    // every document row survives (possibly with empty clean_text)
+    assert(out.length === Tables.documents(spark, Sf001).count())
+    // reassembled text concatenates surviving segments, so original segment
+    // boundaries are not recoverable from it — check alignment-free totals
+    val raw = Tables.documents(spark, Sf001)
+      .select(split(Tables.canonText(col("text")), " ").as("w")).collect()
+      .flatMap(_.getSeq[String](0).grouped(5).map(_.mkString(" ")))
+    assert(out.map(_.getLong(2)).sum === raw.length.toLong)            // n_segs covers corpus
+    assert(out.map(_.getLong(3)).sum === (raw.length - raw.distinct.length).toLong) // drops = dup occurrences
+    // word conservation: kept words = total words - words inside dropped segments
+    val keptWords = out.map(r => if (r.getString(1).isEmpty) 0 else r.getString(1).split(" ").length).sum
+    val allWords = raw.map(_.split(" ").length).sum
+    val dupWords = raw.groupBy(identity).values.map(g => g.head.split(" ").length * (g.length - 1)).sum
+    assert(keptWords === allWords - dupWords)
+  }
+
+  test("overlapping chunks cover every word with the configured stride (p07)") {
+    val out = PipelineQueries.p07ChunkOverlap(spark, Sf0001).collect()
+    val docs = Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), split(Tables.canonText(col("text")), " ").as("w")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val byDoc = out.groupBy(_.getLong(0))
+    assert(byDoc.keySet === docs.keySet)
+    byDoc.foreach { case (id, chunks) =>
+      val w = docs(id)
+      val sorted = chunks.sortBy(_.getLong(1))
+      // chunk i = words [i*12, i*12+16)
+      sorted.foreach { c =>
+        val i = c.getLong(1).toInt
+        val expect = w.slice(i * 12, i * 12 + 16)
+        assert(c.getString(2) === expect.mkString(" "), s"doc $id chunk $i text")
+        assert(c.getLong(3) === expect.length.toLong, s"doc $id chunk $i n_words")
+      }
+      // count: ceil(n/stride); consecutive full chunks overlap by 4 words
+      assert(sorted.length === math.ceil(w.length / 12.0).toInt)
+    }
+  }
+
+  test("novelty is 1.0 for the first doc and sums to the distinct shingle count (t12)") {
+    val out = TextQueries.t12NgramNovelty(spark, Sf001).collect()
+    // first doc (min doc_id with >=1 shingle) has nothing before it
+    val first = out.minBy(_.getLong(0))
+    assert(first.getDouble(3) === 1.0)
+    out.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    // each distinct shingle is novel in exactly one doc
+    val distinctShingles = Tables.documents(spark, Sf001)
+      .withColumn("toks", split(Tables.canonText(col("text")), " "))
+      .select(explode(expr(
+        """if(size(toks) >= 3,
+          |   transform(sequence(1, size(toks) - 2),
+          |     i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))),
+          |   cast(array() as array<string>))""".stripMargin)).as("sh"))
+      .select(countDistinct(col("sh"))).collect()(0).getLong(0)
+    assert(out.map(_.getLong(2)).sum === distinctShingles)
+  }
+
+  test("regression aggregates agree with the decimal-exact closed form (q80)") {
+    val rows = ExtendedQueries.q80RegrAgg(spark, Sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0, "r2 in [0,1]")
+    }
+    // slope recomputed exactly per group via decimal sums matches round(_, 3)
+    val manual = Tables.lineitem(spark, Sf001)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        Tables.dsum(col("l_quantity"), 30, 2).as("sx"),
+        Tables.dsum(col("l_extendedprice"), 30, 2).as("sy"),
+        Tables.dsum(col("l_quantity") * col("l_quantity"), 38, 4).as("sxx"),
+        Tables.dsum(col("l_quantity") * col("l_extendedprice"), 38, 4).as("sxy"))
+      .select(col("l_returnflag"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(2) - manual(r.getString(0))) < 5e-4,
+        s"${r.getString(0)}: regr_slope ${r.getDouble(2)} vs exact ${manual(r.getString(0))}")
+    }
+  }
+
+  test("xor checksum distributes over groups and weekday mask is 7-bit (q81)") {
+    val rows = ExtendedQueries.q81BitAgg(spark, Sf001).collect()
+    rows.foreach { r =>
+      val mask = r.getLong(1)
+      assert(mask > 0 && mask < 128, s"mask $mask outside 7 weekday bits")
+      assert(java.lang.Long.bitCount(mask).toLong === r.getLong(2))
+    }
+    // xor is associative/commutative: group checksums fold to the global one
+    val global = Tables.orders(spark, Sf001)
+      .agg(expr("bit_xor(o_orderkey)")).collect()(0).getLong(0)
+    assert(rows.map(_.getLong(3)).reduce(_ ^ _) === global)
+  }
+
+  test("boolean aggregates match their counted definitions (q82)") {
+    val rows = ExtendedQueries.q82BoolAgg(spark, Sf001).collect()
+    val li = Tables.lineitem(spark, Sf001)
+    rows.foreach { r =>
+      val flag = r.getString(0)
+      val big = li.filter(col("l_returnflag") === flag && col("l_quantity") >= 50).count()
+      val deep = li.filter(col("l_returnflag") === flag && col("l_discount") >= 0.1).count()
+      assert(r.getBoolean(1) === (big === 0L), s"$flag every")
+      assert(r.getBoolean(2) === (deep > 0L), s"$flag some")
+    }
+  }
 }
