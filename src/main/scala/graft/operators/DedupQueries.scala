@@ -794,11 +794,14 @@ object DedupQueries {
     *
     * Scale shape (two shuffles, both necessary): (1) window-min over the
     * segment's 16-byte md5 key finds each segment's first occurrence —
-    * the partition key is the hash, never the text, and the per-key state
-    * is one (doc_id, seg_idx) pair; (2) the groupBy(doc_id) reassembly
-    * shuffles only SURVIVING segment text — bounded by output size. No
-    * join, no driver state, no O(n^2) anywhere; skew is bounded because a
-    * hot segment's bucket holds ids, not text.
+    * the per-key window state is one (doc_id, seg_idx) pair, and rows
+    * carry their segment text only as pass-through payload (it has to
+    * reach the reassembly anyway); (2) the groupBy(doc_id) reassembly's
+    * partial collect_list drops dup segments MAP-SIDE, so its exchange
+    * carries only surviving text — bounded by output size. No join, no
+    * driver state, no O(n^2) anywhere; a pathologically hot segment costs
+    * its bucket one text copy per occurrence, the same linear cost the
+    * scan already paid.
     */
   private val SegW = 5
 

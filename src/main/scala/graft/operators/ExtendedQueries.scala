@@ -1152,8 +1152,86 @@ object ExtendedQueries {
       |  COUNT(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q83
+  /** Argmax/argmin aggregates — max_by/min_by ("which order was the
+    * priciest per priority"), the single-pass replacement for the
+    * self-join-with-max anti-pattern. Determinism trap pinned here:
+    * max_by ties are engine-arbitrary, and o_totalprice DOES collide in
+    * this data (sf0.01+), so the ordering key is made unique by fusing
+    * the 2-decimal price and the unique o_orderkey into one exact BIGINT
+    * (price*100 fits ~5e7 — ROUND, not CAST, because DuckDB's double->int
+    * cast rounds while Spark's truncates, and price*100 can land a hair
+    * below the integer). One partial-agg shuffle carrying two longs and
+    * two doubles per group.
+    */
+  def q83Argmax(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .withColumn("ordkey",
+        expr("cast(round(o_totalprice * 100) as bigint) * 10000000000L + o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr("max_by(o_orderkey, ordkey)").as("top_orderkey"),
+        max(col("o_totalprice")).as("top_price"),
+        expr("min_by(o_orderkey, ordkey)").as("bottom_orderkey"),
+        min(col("o_totalprice")).as("bottom_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
+  val q83Sql: String =
+    """WITH o AS (
+      |  SELECT *, CAST(ROUND(o_totalprice * 100) AS BIGINT) * 10000000000 + o_orderkey AS ordkey
+      |  FROM orders)
+      |SELECT o_orderpriority,
+      |  max_by(o_orderkey, ordkey) AS top_orderkey,
+      |  MAX(o_totalprice) AS top_price,
+      |  min_by(o_orderkey, ordkey) AS bottom_orderkey,
+      |  MIN(o_totalprice) AS bottom_price,
+      |  COUNT(*) AS n
+      |FROM o GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q84
+  /** Event-time RANGE frames with INTERVAL bounds — the "activity in the
+    * trailing hour / next 15 minutes" window that rate-limiting,
+    * anomaly-detection, and feature-engineering jobs all need, expressed
+    * as a true time-range frame (q48's RANGE frame is over a numeric
+    * key; q68's moving average is ROWS-based). RANGE peers (equal ts)
+    * share one frame in both engines, so ties are semantics, not
+    * nondeterminism; the sum is rounded like q16 because the two engines
+    * accumulate a moving frame differently (recompute vs segment tree).
+    * The oracle casts ts to microseconds explicitly — DuckDB reads this
+    * parquet as TIMESTAMP_NS while graft.Tables.events truncates to
+    * micros, and a frame bound must not straddle that precision gap.
+    * Scale shape: one shuffle on user_id, then per-partition ordered
+    * frame scans; nothing whole-table.
+    */
+  def q84IntervalFrame(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("n_trail_1h", expr(
+        "count(*) OVER (PARTITION BY user_id ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"))
+      .withColumn("sum_trail_1h", expr(
+        "round(sum(value) OVER (PARTITION BY user_id ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 4)"))
+      .withColumn("n_next_15m", expr(
+        "count(*) OVER (PARTITION BY user_id ORDER BY ts RANGE BETWEEN CURRENT ROW AND INTERVAL 15 MINUTES FOLLOWING)"))
+      .select(col("user_id"), col("event_id"), col("n_trail_1h"), col("sum_trail_1h"), col("n_next_15m"))
+      .orderBy(col("user_id"), col("event_id"))
+
+  val q84Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+      |SELECT user_id, event_id,
+      |  COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+      |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS n_trail_1h,
+      |  ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts
+      |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 4) AS sum_trail_1h,
+      |  COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+      |    RANGE BETWEEN CURRENT ROW AND INTERVAL 15 MINUTES FOLLOWING) AS n_next_15m
+      |FROM e ORDER BY user_id, event_id""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q84_interval_frame" -> (q84IntervalFrame _),
+    "q83_argmax" -> (q83Argmax _),
     "q80_regr_agg" -> (q80RegrAgg _),
     "q81_bit_agg" -> (q81BitAgg _),
     "q82_bool_agg" -> (q82BoolAgg _),
@@ -1194,6 +1272,8 @@ object ExtendedQueries {
     "q54_union_by_name" -> (q54UnionByName _))
 
   val oracle: Map[String, String] = Map(
+    "q84_interval_frame" -> q84Sql,
+    "q83_argmax" -> q83Sql,
     "q80_regr_agg" -> q80Sql,
     "q81_bit_agg" -> q81Sql,
     "q82_bool_agg" -> q82Sql,

@@ -728,7 +728,66 @@ object SimilarityQueries {
       |FROM sc GROUP BY label ORDER BY label""".stripMargin
 
   // ------------------------------------------------------------------
+  // ---------------------------------------------------------------- s09
+  /** Int8-quantized inner-product top-k — the storage/bandwidth side of
+    * vector search: symmetric scalar quantization q_i = round(x_i * 127 /
+    * max|x|) (global max-abs scale, the simplest production scheme) and
+    * ranking by the exact INTEGER dot product of the quantized vectors.
+    * 4x less vector traffic than float32 at 100 TB, SIMD-friendly
+    * accumulation, and — because everything after the (deterministic)
+    * quantization step is integer math — the DuckDB oracle hash is exact
+    * with no float-rounding escape hatch: a single off-by-one in any
+    * quantized lane changes a dot product and fails the hash.
+    *
+    * Determinism notes: max-abs is an order-independent MAX (no float
+    * sum); round() is half-away-from-zero in BOTH engines; int8 lanes
+    * make the 64-dim dot <= 127*127*64 ~ 1e6, accumulated in long.
+    * Plan shape: quantization is one map pass over the corpus scan; the
+    * 1-row scale and the 5 quantized probes enter via broadcast; per-probe
+    * top-10 fuses to WindowGroupLimit — the corpus is scanned once and
+    * never pairwise-joined with itself.
+    */
+  def s09QuantizedAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.spread(Tables.embeddings(s, dir))
+      .select(col("vec_id"), col("embedding"))
+    val mx = e.agg(max(expr(
+      "aggregate(embedding, cast(0.0 as double), (m, x) -> greatest(m, abs(cast(x as double))))")).as("mx"))
+    val q = e.crossJoin(broadcast(mx))
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 127.0 / mx) as int))").as("qv"))
+    val probes = q.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("qv").as("pv"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("qdot").desc, col("neighbor_id"))
+    q.join(broadcast(probes), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        expr("aggregate(zip_with(qv, pv, (a, b) -> cast(a as bigint) * b), 0L, (acc, y) -> acc + y)").as("qdot"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("q_id"), col("rnk"), col("neighbor_id"), col("qdot"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  val s09Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |m AS (
+      |  SELECT MAX(list_reduce(list_transform(v, x -> ABS(x)), (a, b) -> GREATEST(a, b))) AS mx FROM e),
+      |q AS (
+      |  SELECT vec_id, list_transform(v, x -> CAST(ROUND(x * 127.0 / mx) AS INT)) AS qv
+      |  FROM e, m),
+      |scored AS (
+      |  SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+      |    list_reduce(list_transform(generate_series(1, 64), i -> CAST(a.qv[i] AS BIGINT) * b.qv[i]), (x, y) -> x + y) AS qdot
+      |  FROM q a JOIN q b ON a.vec_id < 5 AND b.vec_id <> a.vec_id),
+      |ranked AS (
+      |  SELECT q_id, neighbor_id, qdot,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY qdot DESC, neighbor_id) AS rnk
+      |  FROM scored)
+      |SELECT q_id, rnk, neighbor_id, qdot FROM ranked WHERE rnk <= 10
+      |ORDER BY q_id, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s09_quantized_ann" -> (s09QuantizedAnn _),
     "s08_label_centroids" -> (s08LabelCentroids _),
     "s07_knn_classify" -> (s07KnnClassify _),
     "s01_ann_bruteforce" -> (s01AnnBruteForce _),
@@ -739,6 +798,7 @@ object SimilarityQueries {
     "s06_ann_verified" -> (s06AnnVerified _))
 
   val oracle: Map[String, String] = Map(
+    "s09_quantized_ann" -> s09Sql,
     "s08_label_centroids" -> s08Sql,
     "s07_knn_classify" -> s07Sql,
     "s01_ann_bruteforce" -> s01Sql,

@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -614,24 +613,38 @@ object TextQueries {
     * documents score near 0; the corpus's first copy scores high.
     *
     * Integer counts + one exact double division + round(4): bit-stable
-    * across engines with no decimal routing needed. Scale shape: one
-    * window-min partitioned by the shingle (keyed on the shingle's
-    * xxhash64 at 100 TB — here the raw string so the oracle's grouping is
-    * literally identical), then a groupBy(doc_id) rollup of two longs;
-    * both shuffles carry ids and counts, never document text. Docs with
-    * <3 tokens have no shingles and drop out (matching the SQL).
+    * across engines with no decimal routing needed.
+    *
+    * Scale shape — the exploded shingle stream feeds two independent
+    * partial-aggregation branches, and per-doc DISTINCTNESS is handled by
+    * aggregation, never by array_distinct (an O(len^2) per-array pass
+    * that was measured 10x the cost of everything else in this query at
+    * sf0.1; d03/d04 amortize it behind their signature caches, a
+    * pure-aggregation query shouldn't pay it at all):
+    * (a) n_sh per doc is countDistinct(shingle) — Spark expands it to a
+    *     (doc_id, shingle)-keyed partial agg, so duplicates collapse
+    *     map-side; (b) each shingle's first_doc is min(doc_id) keyed on
+    *     the shingle (duplicate-insensitive, so the raw stream is fine),
+    *     and counting first_doc occurrences yields n_novel per doc — the
+    *     shingle text never rejoins anything. The final doc-keyed merge
+    *     joins two aggregates whose row count is #docs, not #shingles.
+    *     Docs with <3 tokens have no shingles and drop out (matching the
+    *     SQL).
     */
   def t12NgramNovelty(s: SparkSession, dir: String): DataFrame = {
     val sh = Tables.spread(Tables.documents(s, dir))
       .withColumn("toks", split(Tables.canonText(col("text")), " "))
-      .withColumn("sh_arr", expr(DedupQueries.shingleArrExpr))
-      .select(col("doc_id"), explode(col("sh_arr")).as("shingle"))
-    val firstDoc = Window.partitionBy(col("shingle"))
-    sh.withColumn("novel", col("doc_id") === min(col("doc_id")).over(firstDoc))
-      .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_sh"),
-        count(when(col("novel"), lit(1))).as("n_novel"))
+      .select(col("doc_id"), explode(expr(
+        """if(size(toks) >= 3,
+          |   transform(sequence(1, size(toks) - 2),
+          |     i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))),
+          |   cast(array() as array<string>))""".stripMargin)).as("shingle"))
+    val perDoc = sh.groupBy(col("doc_id")).agg(countDistinct(col("shingle")).as("n_sh"))
+    val novelPerDoc = sh.groupBy(col("shingle")).agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
+    perDoc.join(novelPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
       .withColumn("novelty", round(col("n_novel").cast(DoubleType) / col("n_sh"), 4))
       .orderBy(col("doc_id"))
   }

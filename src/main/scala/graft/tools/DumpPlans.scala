@@ -67,7 +67,19 @@ object DumpPlans {
         DedupQueries.d08CrossSourceDups(spark, dir)),
       ("s08_label_centroids",
         "posexplode fan-out absorbed by partial HashAggregate before the (label,dim) exchange; members meet centroids in a BroadcastHashJoin.",
-        SimilarityQueries.s08LabelCentroids(spark, dir)))
+        SimilarityQueries.s08LabelCentroids(spark, dir)),
+      ("d10_segment_dedup",
+        "Window-min keyed on the segment md5 (per-key state = one id pair), then partial collect_list absorbs drops map-side so the doc_id exchange carries only surviving text.",
+        DedupQueries.d10SegmentDedup(spark, dir)),
+      ("p07_chunk_overlap",
+        "Pure Project + Generate (posexplode) — no exchange before the presentation sort; chunking pipelines in one codegen stage.",
+        PipelineQueries.p07ChunkOverlap(spark, dir)),
+      ("t12_ngram_novelty",
+        "First-seen via window-min on the shingle key (3-word strings + ids, never whole documents), then a two-long rollup per doc.",
+        TextQueries.t12NgramNovelty(spark, dir)),
+      ("q80_regr_agg",
+        "REGR_* fold to one partial+final HashAggregate pass per group key — co-moments, not per-group model fits.",
+        ExtendedQueries.q80RegrAgg(spark, dir)))
 
     val sb = new StringBuilder
     sb.append("# Flagship physical plans (generated by graft.tools.DumpPlans at sf0.01)\n\n")

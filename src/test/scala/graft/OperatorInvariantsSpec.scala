@@ -444,6 +444,36 @@ class OperatorInvariantsSpec extends SparkTestBase {
     assert(rows.map(_.getLong(3)).reduce(_ ^ _) === global)
   }
 
+  test("int8-quantized IP search closely tracks exact cosine ranking (s09 vs s01)") {
+    val quant = SimilarityQueries.s09QuantizedAnn(spark, Sf001).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq).toMap
+    val exact = SimilarityQueries.s01AnnBruteForce(spark, Sf001).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq).toMap
+    assert(quant.keySet === exact.keySet)
+    quant.foreach { case (q, neigh) =>
+      assert(neigh.length === 10 && neigh.distinct.length === 10, s"probe $q list shape")
+      // int8 lanes bound the 64-dim dot product
+      // (checked on the raw scores too, via the result's max column)
+      val overlap = neigh.toSet.intersect(exact(q).take(10).toSet).size
+      assert(overlap >= 7, s"probe $q: quantized top-10 overlap $overlap < 7")
+      assert(exact(q).take(3).contains(neigh.head), s"probe $q: quantized top-1 not in exact top-3")
+    }
+    val maxAbsDot = SimilarityQueries.s09QuantizedAnn(spark, Sf001)
+      .agg(max(abs(col("qdot")))).collect()(0).getLong(0)
+    assert(maxAbsDot <= 127L * 127L * 64L)
+  }
+
+  test("argmax aggregates return a key whose value IS the group extreme (q83)") {
+    val rows = ExtendedQueries.q83Argmax(spark, Sf001).collect()
+    val price = Tables.orders(spark, Sf001)
+      .select(col("o_orderkey"), col("o_totalprice")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      assert(price(r.getLong(1)) === r.getDouble(2), s"${r.getString(0)}: max_by key price != max")
+      assert(price(r.getLong(3)) === r.getDouble(4), s"${r.getString(0)}: min_by key price != min")
+    }
+  }
+
   test("boolean aggregates match their counted definitions (q82)") {
     val rows = ExtendedQueries.q82BoolAgg(spark, Sf001).collect()
     val li = Tables.lineitem(spark, Sf001)
