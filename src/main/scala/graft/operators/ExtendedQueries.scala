@@ -1228,8 +1228,44 @@ object ExtendedQueries {
       |    RANGE BETWEEN CURRENT ROW AND INTERVAL 15 MINUTES FOLLOWING) AS n_next_15m
       |FROM e ORDER BY user_id, event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q85
+  /** Ordered-set aggregates — PERCENTILE_DISC / PERCENTILE_CONT ... WITHIN
+    * GROUP (ORDER BY ...), the SQL:2003 inverse-distribution surface (q24
+    * exercises the plain percentile() function; this is the standard
+    * spelling, parsed and planned by both engines). percentile_disc
+    * SELECTS an actual input value (first value with cume_dist >= p) —
+    * integer-exact across engines; percentile_cont interpolates with the
+    * same (1-f)*a + f*b IEEE expression in both engines on this data (the
+    * un-rounded q24 hash already proves that). One grouped-aggregate
+    * shuffle; inverse-distribution aggs buffer per-group values, so at
+    * 100 TB you'd pre-filter or switch to approx_percentile (q59) for
+    * ungrouped whole-corpus quantiles — the group-key cardinality here
+    * bounds the buffers.
+    */
+  def q85WithinGroup(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_wg_v")
+    s.sql(
+      """SELECT l_returnflag,
+        |  percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity) AS p25_disc,
+        |  percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_quantity) AS p50_disc,
+        |  percentile_disc(0.9)  WITHIN GROUP (ORDER BY l_quantity) AS p90_disc,
+        |  percentile_cont(0.5)  WITHIN GROUP (ORDER BY l_quantity) AS p50_cont,
+        |  COUNT(*) AS n
+        |FROM lineitem_wg_v GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
+  val q85Sql: String =
+    """SELECT l_returnflag,
+      |  percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity) AS p25_disc,
+      |  percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_quantity) AS p50_disc,
+      |  percentile_disc(0.9)  WITHIN GROUP (ORDER BY l_quantity) AS p90_disc,
+      |  percentile_cont(0.5)  WITHIN GROUP (ORDER BY l_quantity) AS p50_cont,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q85_within_group" -> (q85WithinGroup _),
     "q84_interval_frame" -> (q84IntervalFrame _),
     "q83_argmax" -> (q83Argmax _),
     "q80_regr_agg" -> (q80RegrAgg _),
@@ -1272,6 +1308,7 @@ object ExtendedQueries {
     "q54_union_by_name" -> (q54UnionByName _))
 
   val oracle: Map[String, String] = Map(
+    "q85_within_group" -> q85Sql,
     "q84_interval_frame" -> q84Sql,
     "q83_argmax" -> q83Sql,
     "q80_regr_agg" -> q80Sql,

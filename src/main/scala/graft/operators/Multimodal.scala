@@ -39,6 +39,15 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO defaults to a DISK-backed stream cache: every read/write spills
+  // through a temp file, which degrades badly in a long-lived session (32
+  // concurrent decoders churning temp-file create/delete was measured 4x
+  // slower late in a bench run than in a fresh JVM). Every payload here is
+  // an in-memory byte array, so the disk cache buys nothing — force the
+  // heap path. Object-init runs once per JVM (driver and executors alike,
+  // on first classload of this object's closures).
+  ImageIO.setUseCache(false)
+
   case class Media(
       media_id: Long,
       kind: String,              // image | audio | video

@@ -373,7 +373,73 @@ object PipelineQueries {
       |FROM docs, unnest(generate_series(0, CAST(CEIL(len(ws) / 12.0) AS INT) - 1)) AS u(i)
       |ORDER BY doc_id, chunk_id""".stripMargin
 
+  // ---------------------------------------------------------------- p08
+  /** Chunk-then-pack — the composed shape a real pretraining pipeline
+    * runs: p07's overlapping chunks become the packing units, and each
+    * source's chunk stream is packed into fixed 64-word training bins
+    * with p04's two-level distributed prefix sum (within-bucket window +
+    * one-row-per-bucket offsets — NOT one giant window per source, so a
+    * hot source still parallelizes). Composition is literal: the chunk
+    * frame IS [[p07ChunkOverlap]]'s output joined to each doc's source —
+    * operators compose as DataFrames, no re-implementation.
+    *
+    * Output: one row per chunk with its global start offset, bin id, and
+    * whether it straddles a bin boundary (a training loader would split
+    * or pad there). Deterministic: integer word counts, total ordering
+    * by (source, doc_id, chunk_id).
+    */
+  def p08ChunkPack(s: SparkSession, dir: String): DataFrame = {
+    val cap = 64
+    val W = org.apache.spark.sql.expressions.Window
+    val withinBucket = W.partitionBy(col("source"), col("bucket"))
+      .orderBy(col("doc_id"), col("chunk_id")).rowsBetween(W.unboundedPreceding, -1)
+    val acrossBuckets = W.partitionBy(col("source")).orderBy(col("bucket"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    // narrow frame: ids + counts only; cached because the window branch
+    // and the bucket-totals branch both consume it (p04's rationale)
+    val chunks = p07ChunkOverlap(s, dir)
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
+      .withColumn("bucket", expr("doc_id div 1000"))
+      .select(col("source"), col("doc_id"), col("chunk_id"), col("n_words"), col("bucket"))
+      .cache()
+    chunks.count()
+    val within = chunks
+      .withColumn("within_off", coalesce(sum(col("n_words")).over(withinBucket), lit(0L)))
+    val bucketOffs = chunks.groupBy(col("source"), col("bucket"))
+      .agg(sum(col("n_words")).as("bucket_total"))
+      .withColumn("bucket_off", coalesce(sum(col("bucket_total")).over(acrossBuckets), lit(0L)))
+      .select(col("source"), col("bucket"), col("bucket_off"))
+    within.join(bucketOffs, Seq("source", "bucket"))
+      .withColumn("start_off", col("bucket_off") + col("within_off"))
+      .withColumn("bin_id", expr(s"start_off div $cap"))
+      .withColumn("spans_boundary",
+        col("n_words") > 0 && expr(s"(start_off + n_words - 1) div $cap") =!= col("bin_id"))
+      .select(col("source"), col("doc_id"), col("chunk_id"), col("n_words"),
+        col("start_off"), col("bin_id"), col("spans_boundary"))
+      .orderBy(col("source"), col("doc_id"), col("chunk_id"))
+  }
+
+  val p08Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, source,
+      |    string_split(TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS ws
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, source, i AS chunk_id,
+      |    CAST(len(ws[i*12+1 : i*12+16]) AS BIGINT) AS n_words
+      |  FROM docs, unnest(generate_series(0, CAST(CEIL(len(ws) / 12.0) AS INT) - 1)) AS u(i)),
+      |offs AS (
+      |  SELECT source, doc_id, chunk_id, n_words,
+      |    CAST(COALESCE(SUM(n_words) OVER (PARTITION BY source ORDER BY doc_id, chunk_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+      |  FROM c)
+      |SELECT source, doc_id, chunk_id, n_words, start_off,
+      |  start_off // 64 AS bin_id,
+      |  (n_words > 0 AND (start_off + n_words - 1) // 64 <> start_off // 64) AS spans_boundary
+      |FROM offs ORDER BY source, doc_id, chunk_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p08_chunk_pack" -> (p08ChunkPack _),
     "p07_chunk_overlap" -> (p07ChunkOverlap _),
     "p06_domain_cap" -> (p06DomainCap _),
     "p05_mixture_sample" -> (p05MixtureSample _),
@@ -383,6 +449,7 @@ object PipelineQueries {
     "p04_sequence_packing" -> (p04SequencePacking _))
 
   val oracle: Map[String, String] = Map(
+    "p08_chunk_pack" -> p08Sql,
     "p07_chunk_overlap" -> p07Sql,
     "p06_domain_cap" -> p06Sql,
     "p05_mixture_sample" -> p05Sql,

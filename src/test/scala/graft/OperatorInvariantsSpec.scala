@@ -474,6 +474,26 @@ class OperatorInvariantsSpec extends SparkTestBase {
     }
   }
 
+  test("chunk-pack offsets are the exact prefix sums of p07's chunk stream (p08)") {
+    val rows = PipelineQueries.p08ChunkPack(spark, Sf0001).collect()
+    // per source: offsets strictly follow the cumulative word count in
+    // (doc_id, chunk_id) order, and the boundary flag matches the math
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      val sorted = rs.sortBy(r => (r.getLong(1), r.getLong(2)))
+      var off = 0L
+      sorted.foreach { r =>
+        assert(r.getLong(4) === off, s"$src doc ${r.getLong(1)} chunk ${r.getLong(2)} offset")
+        assert(r.getLong(5) === off / 64, "bin_id")
+        val spans = r.getLong(3) > 0 && (off + r.getLong(3) - 1) / 64 != off / 64
+        assert(r.getBoolean(6) === spans, "spans_boundary")
+        off += r.getLong(3)
+      }
+    }
+    // composition: chunk multiset matches p07 exactly
+    val p07n = PipelineQueries.p07ChunkOverlap(spark, Sf0001).count()
+    assert(rows.length.toLong === p07n)
+  }
+
   test("boolean aggregates match their counted definitions (q82)") {
     val rows = ExtendedQueries.q82BoolAgg(spark, Sf001).collect()
     val li = Tables.lineitem(spark, Sf001)
