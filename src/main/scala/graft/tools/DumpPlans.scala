@@ -75,8 +75,11 @@ object DumpPlans {
         "Pure Project + Generate (posexplode) — no exchange before the presentation sort; chunking pipelines in one codegen stage.",
         PipelineQueries.p07ChunkOverlap(spark, dir)),
       ("t12_ngram_novelty",
-        "First-seen via window-min on the shingle key (3-word strings + ids, never whole documents), then a two-long rollup per doc.",
+        "No window, no array_distinct: countDistinct partial agg per doc + duplicate-insensitive min per shingle, merged doc-keyed.",
         TextQueries.t12NgramNovelty(spark, dir)),
+      ("p08_chunk_pack",
+        "Composition exhibit: p07's chunk_text is PRUNED out by Catalyst across the operator boundary (ReadSchema keeps ids+counts); two-level prefix sum windows per (source,bucket).",
+        PipelineQueries.p08ChunkPack(spark, dir)),
       ("q80_regr_agg",
         "REGR_* fold to one partial+final HashAggregate pass per group key — co-moments, not per-group model fits.",
         ExtendedQueries.q80RegrAgg(spark, dir)))

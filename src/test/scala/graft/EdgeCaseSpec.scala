@@ -153,4 +153,37 @@ class EdgeCaseSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("nope"))
   }
+
+  test("segment dedup on degenerate docs: empty canon collides, full dups lose every span (d10)") {
+    val out = DedupQueries.d10SegmentDedup(spark, edgeDir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.size === 6) // every doc keeps its row
+    // docs 2 ("") and 3 ("!!! ??? ...") both canonicalize to one empty
+    // segment; the doc-2 occurrence wins, doc 3's is dropped
+    assert(out(2L)._3 === 0L && out(3L)._3 === 1L)
+    assert(out(3L)._1 === "")
+    // doc 5 duplicates doc 4 exactly -> loses all segments
+    assert(out(4L)._1 === "alpha beta gamma delta epsilon zeta")
+    assert(out(5L)._1 === "" && out(5L)._3 === out(5L)._2)
+  }
+
+  test("chunking emits one chunk per stride window even for 1-token and empty docs (p07)") {
+    val out = PipelineQueries.p07ChunkOverlap(spark, edgeDir).collect()
+    val byDoc = out.groupBy(_.getLong(0))
+    // every doc's word count <= 12 here -> exactly one chunk each
+    assert(byDoc.keySet === (0L to 5L).toSet)
+    assert(byDoc.values.forall(_.length === 1))
+    assert(byDoc(0L).head.getString(2) === "hello")
+    // empty canon splits to [""] -> one empty 1-"word" chunk, like the oracle
+    assert(byDoc(2L).head.getString(2) === "")
+  }
+
+  test("novelty covers only shingle-bearing docs; a full dup scores exactly 0 (t12)") {
+    val out = TextQueries.t12NgramNovelty(spark, edgeDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // docs 0-3 have <3 canonical tokens -> no shingles -> absent
+    assert(out.keySet === Set(4L, 5L))
+    assert(out(4L) === ((4L, 4L, 1.0)))   // first copy: all shingles novel
+    assert(out(5L) === ((4L, 0L, 0.0)))   // exact dup: nothing novel (left-join null -> 0)
+  }
 }
