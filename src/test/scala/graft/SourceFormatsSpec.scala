@@ -105,4 +105,32 @@ class SourceFormatsSpec extends SparkTestBase {
     assert(parquetFiles(s"$dir/capped").length >= 4)
     assert(digest(spark.read.parquet(s"$dir/capped")) === digest(orders))
   }
+
+  test("binaryFile source ingests raw media files byte-identically, glob-filtered") {
+    // the ingestion path a multimodal pipeline starts from: opaque files on
+    // disk -> (path, length, content) rows -> join to metadata by filename
+    val media = graft.operators.Multimodal.mediaTable(spark, Sf0001)
+      .filter(_.kind != "video").collect().take(12)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bin").toString
+    media.foreach { m =>
+      val ext = if (m.kind == "image") "bmp" else "wav"
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/media_${m.media_id}.$ext"), m.payload)
+    }
+    val read = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bmp") // partition-style pruning at listing time
+      .load(dir)
+      .select(regexp_extract(col("path"), "media_(\\d+)\\.bmp", 1).cast("long").as("media_id"),
+        col("length"), col("content"))
+      .collect()
+    val images = media.filter(_.kind == "image")
+    assert(read.length === images.length, "glob filter must keep only the BMPs")
+    val byId = images.map(m => m.media_id -> m.payload).toMap
+    read.foreach { r =>
+      val expect = byId(r.getLong(0))
+      assert(r.getLong(1) === expect.length.toLong)
+      assert(java.util.Arrays.equals(r.getAs[Array[Byte]](2), expect),
+        s"media ${r.getLong(0)}: content not byte-identical")
+    }
+  }
 }
