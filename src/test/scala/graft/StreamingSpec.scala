@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.StarQueries
-import graft.streaming.EventStream
+import graft.streaming.{CorpusStream, EventStream}
 import org.apache.spark.sql.functions._
 
 /** Streaming-vs-batch consistency: the streaming tumbling-window result
@@ -141,6 +141,17 @@ class StreamingSpec extends SparkTestBase {
     val batch = Tables.events(spark, Sf0001)
       .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed === batch)
+  }
+
+  test("streaming corpus ingestion dedup matches batch distinct fingerprints per source") {
+    val streamed = CorpusStream.runBounded(spark, Sf0001, "corpus_dedup_spec")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // batch twin: d01's fingerprint definition, counted distinct per source
+    val batch = Tables.documents(spark, Sf0001)
+      .groupBy(col("source"))
+      .agg(countDistinct(md5(Tables.canonText(col("text")))).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(streamed === batch)
   }
 }
