@@ -1263,8 +1263,51 @@ object ExtendedQueries {
       |  COUNT(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q86
+  /** Mergeable HLL sketches (Apache DataSketches surface) — the shape that
+    * actually matters at 100 TB: per-partition/per-source sketches are
+    * built ONCE (hll_sketch_agg), persisted bytes-sized, and any rollup —
+    * here the all-sources union — is a sketch MERGE (hll_union_agg), not
+    * a data re-scan. q14's approx_count_distinct gives one number; this
+    * gives reusable, composable state.
+    *
+    * Oracle contract (t07's literal-TRUE pattern): the sketch estimates
+    * are deterministic but not reproducible in DuckDB, so the output
+    * carries the EXACT per-source distinct count (SQL-checkable), the
+    * merged-estimate accuracy flag est_ok — Spark must emit literal TRUE
+    * by honoring the HLL error bound (lgConfigK=12 -> ~1.6% rsd; checked
+    * at 4 sigma), and the union's exact target. A broken sketch or merge
+    * flips est_ok and fails the hash.
+    */
+  def q86HllSketch(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val perSrc = o.groupBy(col("o_orderpriority"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_exact"),
+        expr("hll_sketch_agg(o_custkey, 12)").as("sk"))
+    val merged = perSrc.agg(
+      expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est"))
+    val globalExact = o.agg(countDistinct(col("o_custkey")).as("n_global"))
+    perSrc.select(col("o_orderpriority"), col("n_exact"))
+      .crossJoin(broadcast(merged))
+      .crossJoin(broadcast(globalExact))
+      .select(
+        col("o_orderpriority"), col("n_exact"), col("n_global"),
+        (abs(col("est") - col("n_global")) / col("n_global") <= lit(0.065)).as("est_ok"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q86Sql: String =
+    """WITH g AS (SELECT COUNT(DISTINCT o_custkey) AS n_global FROM orders)
+      |SELECT o_orderpriority,
+      |  COUNT(DISTINCT o_custkey) AS n_exact,
+      |  (SELECT n_global FROM g) AS n_global,
+      |  TRUE AS est_ok
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q86_hll_sketch" -> (q86HllSketch _),
     "q85_within_group" -> (q85WithinGroup _),
     "q84_interval_frame" -> (q84IntervalFrame _),
     "q83_argmax" -> (q83Argmax _),
@@ -1308,6 +1351,7 @@ object ExtendedQueries {
     "q54_union_by_name" -> (q54UnionByName _))
 
   val oracle: Map[String, String] = Map(
+    "q86_hll_sketch" -> q86Sql,
     "q85_within_group" -> q85Sql,
     "q84_interval_frame" -> q84Sql,
     "q83_argmax" -> q83Sql,
