@@ -848,10 +848,87 @@ object DedupQueries {
       |  COUNT(*) FILTER (WHERE rn > 1) AS n_drop
       |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- d11
+  /** Containment near-dup pairs — ASYMMETRIC overlap C(A->B) =
+    * |A∩B| / |A| >= 0.7: "most of document A's shingles appear inside
+    * B", the relation symmetric Jaccard (d03) misses when a small doc is
+    * quoted/wrapped by a much larger one (boilerplate shells, quote
+    * inclusions). Output is ordered pairs, both directions evaluated.
+    *
+    * Candidate generation is the asymmetric PPJoin variant: if
+    * C(A->B) >= t, then B must contain one of A's first
+    * n_A - ceil(t*n_A) + 1 shingles in a fixed global rarity order — so
+    * only A's PREFIX probes the index, but (unlike d03) the index side
+    * must keep FULL postings, because B's matching shingle can sit
+    * anywhere in B. Two prunings keep that affordable at 100 TB: the
+    * prefix bound on the probe side, and the length filter
+    * n_B >= ceil(t * n_A) (B needs at least that many of A's shingles).
+    * Hash-keyed (8-byte) candidates, exact string-array verify, same
+    * per-source scoping and UNROUNDED-threshold discipline as d03.
+    */
+  def d11Containment(s: SparkSession, dir: String): DataFrame = {
+    val t = 0.7
+    val sets = shingleSets(s, dir).cache()
+    sets.count()
+    val exploded = sets
+      .select(col("doc_id"), col("source"), col("n_sh"), explode(col("sh_arr")).as("shingle"))
+      .select(col("doc_id"), col("source"), col("n_sh"), xxhash64(col("shingle")).as("h"))
+    val freq = exploded.groupBy(col("h")).agg(count(lit(1)).as("gf"))
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("gf"), col("h"))
+    // cached: the probe prefix and the full index are both projections of
+    // this ranked frame
+    val ranked = exploded.join(freq, "h")
+      .withColumn("rk", row_number().over(byRarity))
+      .cache()
+    ranked.count()
+    val probe = ranked
+      .filter(col("rk") <= col("n_sh") - ceil(col("n_sh") * t) + 1)
+      .select(col("source"), col("doc_id").as("da"), col("n_sh").as("na"), col("h"))
+    val index = ranked.select(col("source").as("src_b"), col("doc_id").as("db"),
+      col("n_sh").as("nb"), col("h").as("hb"))
+    val cand = probe.join(index,
+        col("source") === col("src_b") && col("h") === col("hb") &&
+          col("da") =!= col("db") && col("nb") >= ceil(col("na") * t))
+      .select(col("da"), col("db"))
+      .distinct()
+    cand
+      .join(broadcast(sets.select(col("doc_id").as("da"), col("sh_arr").as("arr_a"))), "da")
+      .join(broadcast(sets.select(col("doc_id").as("db"), col("sh_arr").as("arr_b"))), "db")
+      .withColumn("craw",
+        size(array_intersect(col("arr_a"), col("arr_b"))).cast(DoubleType) /
+          size(col("arr_a")).cast(DoubleType))
+      .filter(col("craw") >= t)
+      .select(col("da"), col("db"), round(col("craw"), 4).as("containment"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  val d11Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, source,
+      |    string_split(TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, source, array_to_string(toks[i:i+2], ' ') AS shingle
+      |  FROM docs, unnest(generate_series(1, GREATEST(len(toks) - 2, 0))) AS u(i)),
+      |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_inter
+      |  FROM sh a JOIN sh b
+      |    ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT da, db,
+      |  ROUND(CAST(n_inter AS DOUBLE) / CAST(ca.n_sh AS DOUBLE), 4) AS containment
+      |FROM inter
+      |JOIN counts ca ON inter.da = ca.doc_id
+      |WHERE CAST(n_inter AS DOUBLE) / CAST(ca.n_sh AS DOUBLE) >= 0.7
+      |ORDER BY da, db""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d09_canonical_prune" -> (d09CanonicalPrune _),
     "d10_segment_dedup" -> (d10SegmentDedup _),
+    "d11_containment" -> (d11Containment _),
     "d08_cross_source_dups" -> (d08CrossSourceDups _),
     "d01_exact_dedup" -> (d01ExactDedup _),
     "d03_ngram_jaccard" -> (d03NgramJaccard _),
@@ -863,6 +940,7 @@ object DedupQueries {
   val oracle: Map[String, String] = Map(
     "d09_canonical_prune" -> d09Sql,
     "d10_segment_dedup" -> d10Sql,
+    "d11_containment" -> d11Sql,
     "d08_cross_source_dups" -> d08Sql,
     "d01_exact_dedup" -> d01Sql,
     "d03_ngram_jaccard" -> d03Sql,

@@ -178,6 +178,13 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(byDoc(2L).head.getString(2) === "")
   }
 
+  test("containment finds exact duplicates in both directions at exactly 1.0 (d11)") {
+    val pairs = DedupQueries.d11Containment(spark, edgeDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // docs 4/5 are identical (and the only shingle-bearing near-dups)
+    assert(pairs === Map((4L, 5L) -> 1.0, (5L, 4L) -> 1.0))
+  }
+
   test("novelty covers only shingle-bearing docs; a full dup scores exactly 0 (t12)") {
     val out = TextQueries.t12NgramNovelty(spark, edgeDir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap

@@ -494,6 +494,22 @@ class OperatorInvariantsSpec extends SparkTestBase {
     assert(rows.length.toLong === p07n)
   }
 
+  test("containment dominates Jaccard: every d03 pair at J>=0.7 appears both ways (d11)") {
+    val cont = DedupQueries.d11Containment(spark, Sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // C(A->B) = |∩|/|A| >= |∩|/|∪| = J, so a symmetric near-dup pair at
+    // J >= t must surface in BOTH directions with containment >= J
+    DedupQueries.d03NgramJaccard(spark, Sf001).collect()
+      .filter(_.getDouble(2) >= 0.7)
+      .foreach { r =>
+        val (a, b, j) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+        assert(cont.contains((a, b)) && cont.contains((b, a)), s"pair ($a,$b) missing")
+        assert(cont((a, b)) >= j - 1e-4 && cont((b, a)) >= j - 1e-4)
+      }
+    // containment is a valid ratio everywhere
+    cont.values.foreach(c => assert(c >= 0.7 && c <= 1.0))
+  }
+
   test("boolean aggregates match their counted definitions (q82)") {
     val rows = ExtendedQueries.q82BoolAgg(spark, Sf001).collect()
     val li = Tables.lineitem(spark, Sf001)
