@@ -664,7 +664,67 @@ object TextQueries {
       |FROM sh s JOIN f USING (shingle)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- t13
+  /** Composite quality gate with REASONS — the Gopher-rule-style filter
+    * stage as an operations surface: each document gets a pass/fail
+    * verdict plus the comma-joined list of WHICH rules failed (the
+    * explainability a curation pipeline logs so filter-rate shifts can
+    * be attributed to a rule, not rediscovered by diffing corpora).
+    * Rules, all deterministic on the canonical token stream:
+    * token count in [10, 500]; mean token length in [2, 12]; alphanumeric
+    * character ratio of the RAW text >= 0.6; distinct-token ratio >= 0.3
+    * (the repetition screen, t06's signal as a gate). reasons uses
+    * concat_ws's skip-NULL semantics — identical in DuckDB — so the
+    * string is a stable rule-name list with no placeholder commas.
+    * Map-only over the scan (one regex + one split + one array_distinct
+    * per row, no explode, no shuffle but the presentation sort).
+    */
+  def t13QualityGate(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.documents(s, dir))
+      .withColumn("toks", split(Tables.canonText(col("text")), " "))
+      .withColumn("n_tokens", size(col("toks")).cast(LongType))
+      .withColumn("mean_len",
+        (length(Tables.canonText(col("text"))) - (col("n_tokens") - 1)).cast(DoubleType) / col("n_tokens"))
+      .withColumn("alpha_ratio",
+        length(regexp_replace(col("text"), "[^A-Za-z0-9]", "")).cast(DoubleType) /
+          nullif(length(col("text")), lit(0)))
+      .withColumn("distinct_ratio",
+        size(array_distinct(col("toks"))).cast(DoubleType) / col("n_tokens"))
+      .withColumn("reasons", concat_ws(",",
+        when(!col("n_tokens").between(10, 500), lit("length")),
+        when(!col("mean_len").between(2.0, 12.0), lit("mean_len")),
+        when(!coalesce(col("alpha_ratio") >= 0.6, lit(false)), lit("alpha")),
+        when(!(col("distinct_ratio") >= 0.3), lit("repetition"))))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("reasons") === "").as("passes"), col("reasons"))
+      .orderBy(col("doc_id"))
+
+  val t13Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text,
+      |    string_split(TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks,
+      |    TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS canon
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id,
+      |    CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    CAST(length(canon) - (len(toks) - 1) AS DOUBLE) / len(toks) AS mean_len,
+      |    CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE)
+      |      / NULLIF(length(text), 0) AS alpha_ratio,
+      |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_ratio
+      |  FROM d),
+      |r AS (
+      |  SELECT doc_id, n_tokens, concat_ws(',',
+      |    CASE WHEN NOT (n_tokens BETWEEN 10 AND 500) THEN 'length' END,
+      |    CASE WHEN NOT (mean_len BETWEEN 2.0 AND 12.0) THEN 'mean_len' END,
+      |    CASE WHEN NOT COALESCE(alpha_ratio >= 0.6, FALSE) THEN 'alpha' END,
+      |    CASE WHEN NOT (distinct_ratio >= 0.3) THEN 'repetition' END) AS reasons
+      |  FROM m)
+      |SELECT doc_id, n_tokens, reasons = '' AS passes, reasons
+      |FROM r ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t13_quality_gate" -> (t13QualityGate _),
     "t12_ngram_novelty" -> (t12NgramNovelty _),
     "t11_pii_redact" -> (t11PiiRedact _),
     "t10_lm_score" -> (t10LmScore _),
@@ -679,6 +739,7 @@ object TextQueries {
     "t06_repetition" -> (t06Repetition _))
 
   val oracle: Map[String, String] = Map(
+    "t13_quality_gate" -> t13Sql,
     "t12_ngram_novelty" -> t12Sql,
     "t11_pii_redact" -> t11Sql,
     "t10_lm_score" -> t10Sql,

@@ -178,6 +178,21 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(byDoc(2L).head.getString(2) === "")
   }
 
+  test("quality gate emits every failed rule by name, in rule order (t13)") {
+    val out = TextQueries.t13QualityGate(spark, edgeDir).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(2), r.getString(3)))).toMap
+    assert(out(0L) === ((false, "length")))           // "hello": 1 token
+    // empty text: 1 empty token -> length fails; mean_len 0 fails; alpha
+    // ratio is null (0-length text) -> fails closed
+    assert(out(2L) === ((false, "length,mean_len,alpha")))
+    // punctuation-only: canon is empty like doc 2, raw text non-empty ->
+    // alpha ratio 0 fails
+    assert(out(3L) === ((false, "length,mean_len,alpha")))
+    // 6 distinct real words: only the length rule fires
+    assert(out(4L) === ((false, "length")))
+    assert(out.values.forall { case (p, r) => p === r.isEmpty })
+  }
+
   test("containment finds exact duplicates in both directions at exactly 1.0 (d11)") {
     val pairs = DedupQueries.d11Containment(spark, edgeDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
