@@ -1305,8 +1305,35 @@ object ExtendedQueries {
       |  TRUE AS est_ok
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q87
+  /** Bitmap-accelerated EXACT distinct counting — Spark's bitmap_*
+    * aggregate family: keys map to (bucket, bit position), per-bucket
+    * bitmaps build with bitmap_construct_agg, and the distinct count is
+    * the sum of bitmap popcounts. Unlike q86's HLL (approximate,
+    * fixed-size) this is exact, and the per-bucket bitmaps are the
+    * MATERIALIZABLE intermediate: persist them per ingest segment and
+    * any later distinct-count over any segment union is a bitmap_or_agg
+    * + popcount — no re-scan of raw keys. Two-level aggregation keeps
+    * both shuffles bounded: the inner one carries one bitmap per
+    * (group, bucket), the outer one a long per group. Oracle = plain
+    * COUNT(DISTINCT) — the bitmap path must reproduce it exactly.
+    */
+  def q87BitmapDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"), expr("bitmap_bucket_number(o_custkey)").as("bkt"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))").as("bm"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(expr("bitmap_count(bm)")).as("n_distinct"))
+      .orderBy(col("o_orderpriority"))
+
+  val q87Sql: String =
+    """SELECT o_orderpriority,
+      |  COUNT(DISTINCT o_custkey) AS n_distinct
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q87_bitmap_distinct" -> (q87BitmapDistinct _),
     "q86_hll_sketch" -> (q86HllSketch _),
     "q85_within_group" -> (q85WithinGroup _),
     "q84_interval_frame" -> (q84IntervalFrame _),
@@ -1351,6 +1378,7 @@ object ExtendedQueries {
     "q54_union_by_name" -> (q54UnionByName _))
 
   val oracle: Map[String, String] = Map(
+    "q87_bitmap_distinct" -> q87Sql,
     "q86_hll_sketch" -> q86Sql,
     "q85_within_group" -> q85Sql,
     "q84_interval_frame" -> q84Sql,

@@ -80,6 +80,9 @@ object DumpPlans {
       ("p08_chunk_pack",
         "Composition exhibit: p07's chunk_text is PRUNED out by Catalyst across the operator boundary (ReadSchema keeps ids+counts); two-level prefix sum windows per (source,bucket).",
         PipelineQueries.p08ChunkPack(spark, dir)),
+      ("d11_containment",
+        "Asymmetric PPJoin: prefix-filtered probe side meets FULL postings in an equi-join on the 8-byte shingle hash, with the n_B >= ceil(t*n_A) length filter in the join condition.",
+        DedupQueries.d11Containment(spark, dir)),
       ("q80_regr_agg",
         "REGR_* fold to one partial+final HashAggregate pass per group key — co-moments, not per-group model fits.",
         ExtendedQueries.q80RegrAgg(spark, dir)))
