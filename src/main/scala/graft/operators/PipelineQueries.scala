@@ -438,7 +438,79 @@ object PipelineQueries {
       |  (n_words > 0 AND (start_off + n_words - 1) // 64 <> start_off // 64) AS spans_boundary
       |FROM offs ORDER BY source, doc_id, chunk_id""".stripMargin
 
+  // ---------------------------------------------------------------- p09
+  /** Corpus snapshot diff — the dataset-versioning delta report: given
+    * two corpus versions, classify every document as added / removed /
+    * changed / same by comparing canonical-content fingerprints under the
+    * stable doc identity, and roll the counts up per source (what a
+    * dataset card's "changes since v1" table holds). Versions here are
+    * derived deterministically from the one shipped table so the oracle
+    * can rebuild both: OLD = docs with doc_id % 10 != 0 (and for
+    * doc_id % 5 == 0 the text truncated to its first 40 chars — a
+    * "content edit"); NEW = docs with doc_id % 10 != 3 with true text.
+    * So %10==0 rows are added, %10==3 removed, %10==5 changed.
+    *
+    * Scale shape: fingerprints are 16-byte md5s computed map-side on each
+    * scan; the FULL OUTER join ships (doc_id, source, hash) — never text
+    * — and the per-source rollup is a counting aggregate. Version scans
+    * are independent, so at 100 TB this is two parquet snapshots joined
+    * on their id column, the cheapest possible diff.
+    */
+  def p09SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    def fp(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), col("source"),
+        md5(Tables.canonText(col("text"))).as("h"))
+    val docs = Tables.spread(Tables.documents(s, dir))
+    val old = fp(docs.filter(col("doc_id") % 10 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 5 === 0, substring(col("text"), 1, 40)).otherwise(col("text"))))
+      .select(col("doc_id").as("o_id"), col("source").as("o_src"), col("h").as("o_h"))
+    val neu = fp(docs.filter(col("doc_id") % 10 =!= 3))
+    neu.join(old, col("doc_id") === col("o_id"), "full_outer")
+      .select(
+        coalesce(col("source"), col("o_src")).as("src"),
+        when(col("o_id").isNull, "added")
+          .when(col("doc_id").isNull, "removed")
+          .when(col("h") =!= col("o_h"), "changed")
+          .otherwise("same").as("status"))
+      .groupBy(col("src"))
+      .agg(
+        count(when(col("status") === "added", 1)).as("n_added"),
+        count(when(col("status") === "removed", 1)).as("n_removed"),
+        count(when(col("status") === "changed", 1)).as("n_changed"),
+        count(when(col("status") === "same", 1)).as("n_same"))
+      .orderBy(col("src"))
+  }
+
+  val p09Sql: String =
+    """WITH canon AS (
+      |  SELECT doc_id, source, text FROM documents),
+      |old AS (
+      |  SELECT doc_id, source,
+      |    md5(TRIM(regexp_replace(regexp_replace(LOWER(
+      |      CASE WHEN doc_id % 5 = 0 THEN substr(text, 1, 40) ELSE text END),
+      |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS h
+      |  FROM canon WHERE doc_id % 10 <> 0),
+      |neu AS (
+      |  SELECT doc_id, source,
+      |    md5(TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS h
+      |  FROM canon WHERE doc_id % 10 <> 3),
+      |d AS (
+      |  SELECT COALESCE(n.source, o.source) AS src,
+      |    CASE WHEN o.doc_id IS NULL THEN 'added'
+      |         WHEN n.doc_id IS NULL THEN 'removed'
+      |         WHEN n.h <> o.h THEN 'changed'
+      |         ELSE 'same' END AS status
+      |  FROM neu n FULL OUTER JOIN old o ON n.doc_id = o.doc_id)
+      |SELECT src,
+      |  COUNT(*) FILTER (WHERE status = 'added') AS n_added,
+      |  COUNT(*) FILTER (WHERE status = 'removed') AS n_removed,
+      |  COUNT(*) FILTER (WHERE status = 'changed') AS n_changed,
+      |  COUNT(*) FILTER (WHERE status = 'same') AS n_same
+      |FROM d GROUP BY src ORDER BY src""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p09_snapshot_diff" -> (p09SnapshotDiff _),
     "p08_chunk_pack" -> (p08ChunkPack _),
     "p07_chunk_overlap" -> (p07ChunkOverlap _),
     "p06_domain_cap" -> (p06DomainCap _),
@@ -449,6 +521,7 @@ object PipelineQueries {
     "p04_sequence_packing" -> (p04SequencePacking _))
 
   val oracle: Map[String, String] = Map(
+    "p09_snapshot_diff" -> p09Sql,
     "p08_chunk_pack" -> p08Sql,
     "p07_chunk_overlap" -> p07Sql,
     "p06_domain_cap" -> p06Sql,
