@@ -115,5 +115,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       TopKAggregate.info,
       (exprs: Seq[Expression]) => GraftTopK(exprs(0), exprs(1), exprs(2))))
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoin.Strategy)
+    e.injectOptimizerRule(_ => graft.plans.LevenshteinGuard)
   }
 }

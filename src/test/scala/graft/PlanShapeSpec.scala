@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.{SimilarityQueries, StarQueries}
-import org.apache.spark.sql.functions.{lit, lpad, when}
+import org.apache.spark.sql.functions.{col, levenshtein, lit, lpad, when}
 
 /** Physical-plan shape assertions — the scale-readiness checks the prompt
   * calls out: filters must reach the parquet scan, dimension joins must
@@ -146,5 +146,25 @@ class PlanShapeSpec extends SparkTestBase {
       val p = plan(fn(spark, Sf0001))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
     }
+  }
+
+  test("LevenshteinGuard rule derives the length guard and preserves results") {
+    def q = Tables.part(spark, Sf0001)
+      .filter(levenshtein(col("p_name"), lit("steel plate")) <= 3)
+      .select(col("p_partkey"))
+    // baseline BEFORE the rule is registered on this shared session
+    val before = q.collect().map(_.getLong(0)).sorted
+    val planBefore = q.queryExecution.optimizedPlan.toString
+    assert(!planBefore.contains("abs("), "guard must not pre-exist")
+    graft.plans.LevenshteinGuard.ensureRegistered(spark)
+    val planAfter = q.queryExecution.optimizedPlan.toString
+    assert(planAfter.contains("abs(") && planAfter.contains("length("),
+      s"derived length guard missing:\n$planAfter")
+    // the guard is a NECESSARY condition: result set identical
+    assert(q.collect().map(_.getLong(0)).sorted === before)
+    // fixed-point safety: registering twice must not stack guards
+    graft.plans.LevenshteinGuard.ensureRegistered(spark)
+    val occurrences = "abs\\(".r.findAllIn(q.queryExecution.optimizedPlan.toString).size
+    assert(occurrences === 1, "guard added more than once")
   }
 }
