@@ -1331,8 +1331,33 @@ object ExtendedQueries {
       |  COUNT(DISTINCT o_custkey) AS n_distinct
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q88
+  /** LIMIT/OFFSET pagination — page 3 (rows 41-60) of the price-ranked
+    * order book, under a TOTAL order (price desc, then the unique key —
+    * pagination without a total order silently returns different pages
+    * per run on any engine). Spark plans offset+limit as a single
+    * CollectLimit(offset, limit) over per-partition top-(offset+limit)
+    * heaps — fine for UI-depth pages; the scaladoc caveat is that
+    * OFFSET cost grows with depth, so a 100 TB scan paginates by keyset
+    * (WHERE (price, key) < last-seen, the q06 top-k shape) instead of
+    * deep OFFSET. Both spellings are this one operator; the oracle pins
+    * the OFFSET semantics.
+    */
+  def q88Pagination(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .offset(40)
+      .limit(20)
+
+  val q88Sql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 20 OFFSET 40""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q88_pagination" -> (q88Pagination _),
     "q87_bitmap_distinct" -> (q87BitmapDistinct _),
     "q86_hll_sketch" -> (q86HllSketch _),
     "q85_within_group" -> (q85WithinGroup _),
@@ -1378,6 +1403,7 @@ object ExtendedQueries {
     "q54_union_by_name" -> (q54UnionByName _))
 
   val oracle: Map[String, String] = Map(
+    "q88_pagination" -> q88Sql,
     "q87_bitmap_distinct" -> q87Sql,
     "q86_hll_sketch" -> q86Sql,
     "q85_within_group" -> q85Sql,
