@@ -509,7 +509,132 @@ object PipelineQueries {
       |  COUNT(*) FILTER (WHERE status = 'same') AS n_same
       |FROM d GROUP BY src ORDER BY src""".stripMargin
 
+  // ---------------------------------------------------------------- p10
+  /** Token-budgeted mixture — the THIRD cap variant in the sampling
+    * toolkit (p05 samples by RATE, p06 caps DOC COUNT, p10 caps TOKEN
+    * volume): each source gets a token budget, documents are taken in
+    * deterministic hash order (md5 of the id — reproducible, content-free,
+    * partition-order-independent), and a document is kept while the
+    * EXCLUSIVE prefix of token counts is still under budget — so the
+    * first document that crosses the line is the last one in (standard
+    * "fill until full" semantics; budgets are soft by at most one doc).
+    *
+    * Mixture weights in real pipelines are TOKEN weights, not doc
+    * weights — this is the operator that actually enforces them. Budgets
+    * here derive from the source index (mod 3 → {2000, 8000, 32000}
+    * tokens) so the oracle can rebuild them.
+    *
+    * Scale shape: one window per source over (hash, id) order carrying an
+    * 8-byte running sum. A mega-source makes that window a straggler; the
+    * fix is p04's two-level prefix sum over hash-range buckets (identical
+    * output, any parallelism). Kept single-window here because the
+    * semantics contract — exclusive prefix < budget — is the thing the
+    * oracle pins, and the two-level rewrite is already proven in p04/p08.
+    */
+  def p10TokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("hx"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.spread(Tables.documents(s, dir))
+      .withColumn("n_toks",
+        expr("size(regexp_extract_all(text, '[A-Za-z0-9]+', 0))").cast(LongType))
+      .withColumn("budget",
+        expr("cast(pow(4, cast(substring(source, 4) as int) % 3) as bigint) * 2000"))
+      .withColumn("hx", md5(col("doc_id").cast(StringType)))
+      .withColumn("taken_before", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+      .withColumn("kept", col("taken_before") < col("budget"))
+      .groupBy(col("source"), col("budget"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("n_toks")).otherwise(0L)).as("kept_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val p10Sql: String =
+    """WITH d AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_toks,
+      |    CAST(POW(4, CAST(substring(source, 4) AS INT) % 3) AS BIGINT) * 2000 AS budget,
+      |    md5(CAST(doc_id AS VARCHAR)) AS hx
+      |  FROM documents),
+      |o AS (
+      |  SELECT source, budget, n_toks,
+      |    CAST(COALESCE(SUM(n_toks) OVER (PARTITION BY source ORDER BY hx, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) < budget AS kept
+      |  FROM d)
+      |SELECT source, budget, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN kept THEN n_toks ELSE 0 END) AS BIGINT) AS kept_tokens
+      |FROM o GROUP BY 1, 2 ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- p11
+  /** Epoch upsampling — mixture weights ABOVE 1.0: a curated source with
+    * weight w contributes floor(w) full passes ("epochs") plus a
+    * fractional epoch holding a deterministic hash-sampled w - floor(w)
+    * of its documents (the DoReMi/Pile recipe for up-weighting small
+    * high-quality sources against a huge crawl). p05 can only THIN a
+    * source; this REPEATS it — together they implement any positive
+    * weight.
+    *
+    * The repeat is a Generate (posexplode of a sequence built per row):
+    * pure map-side fan-out, no shuffle, no join — output volume is
+    * exactly sum(w_s * |s|), the same bytes the trainer will read, so
+    * nothing is amplified beyond the intended mix. Each emitted row
+    * carries its epoch index (trainers shuffle on (epoch, hash) so
+    * repeats land in different batches). Weights derive from the source
+    * index (mod 4 → {0.5, 1.0, 1.5, 2.5}); the fractional-epoch keep
+    * rule reuses p05's exact hex-threshold trick (hash digit < 8 = rate
+    * 1/2), so every stage is reproducible in the oracle.
+    */
+  def p11UpsampleEpochs(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.documents(s, dir))
+      .withColumn("m", expr("cast(substring(source, 4) as int) % 4"))
+      .withColumn("weight",
+        when(col("m") === 0, 0.5).when(col("m") === 1, 1.0)
+          .when(col("m") === 2, 1.5).otherwise(2.5))
+      .withColumn("n_toks",
+        expr("size(regexp_extract_all(text, '[A-Za-z0-9]+', 0))").cast(LongType))
+      .withColumn("in_frac",
+        substring(md5(col("doc_id").cast(StringType)), 1, 1) < lit("8"))
+      // epochs 0..floor(w)-1 are full; epoch floor(w) exists only for the
+      // fractional remainder and keeps the hash-sampled half (all our
+      // fractional parts are .5, so one hex-digit threshold is exact)
+      .withColumn("n_full", floor(col("weight")).cast(IntegerType))
+      .withColumn("epoch", explode(expr(
+        """filter(sequence(0, n_full),
+          |       e -> e < n_full OR (weight > n_full AND in_frac))""".stripMargin)))
+      .groupBy(col("source"), col("weight"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_emitted"),
+        sum(col("n_toks")).as("emitted_tokens"),
+        max(col("epoch")).as("max_epoch"))
+      .orderBy(col("source"))
+
+  val p11Sql: String =
+    """WITH d AS (
+      |  SELECT source, doc_id,
+      |    CAST(substring(source, 4) AS INT) % 4 AS m,
+      |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_toks,
+      |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8' AS in_frac
+      |  FROM documents),
+      |w AS (
+      |  SELECT source, doc_id, n_toks, in_frac,
+      |    CAST(CASE m WHEN 0 THEN 0.5 WHEN 1 THEN 1.0 WHEN 2 THEN 1.5 ELSE 2.5 END AS DOUBLE) AS weight,
+      |    CAST(FLOOR(CASE m WHEN 0 THEN 0.5 WHEN 1 THEN 1.0 WHEN 2 THEN 1.5 ELSE 2.5 END) AS INT) AS n_full
+      |  FROM d),
+      |e AS (
+      |  SELECT source, weight, doc_id, n_toks, CAST(epoch AS INT) AS epoch
+      |  FROM w, unnest(generate_series(0, n_full)) AS u(epoch)
+      |  WHERE epoch < n_full OR (weight > n_full AND in_frac))
+      |SELECT source, weight, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_emitted,
+      |  CAST(SUM(n_toks) AS BIGINT) AS emitted_tokens,
+      |  MAX(epoch) AS max_epoch
+      |FROM e GROUP BY 1, 2 ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p11_upsample_epochs" -> (p11UpsampleEpochs _),
+    "p10_token_budget" -> (p10TokenBudget _),
     "p09_snapshot_diff" -> (p09SnapshotDiff _),
     "p08_chunk_pack" -> (p08ChunkPack _),
     "p07_chunk_overlap" -> (p07ChunkOverlap _),
@@ -521,6 +646,8 @@ object PipelineQueries {
     "p04_sequence_packing" -> (p04SequencePacking _))
 
   val oracle: Map[String, String] = Map(
+    "p11_upsample_epochs" -> p11Sql,
+    "p10_token_budget" -> p10Sql,
     "p09_snapshot_diff" -> p09Sql,
     "p08_chunk_pack" -> p08Sql,
     "p07_chunk_overlap" -> p07Sql,

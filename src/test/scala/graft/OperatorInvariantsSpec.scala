@@ -521,4 +521,63 @@ class OperatorInvariantsSpec extends SparkTestBase {
       assert(r.getBoolean(2) === (deep > 0L), s"$flag some")
     }
   }
+
+  test("token budget keeps exactly the fill-until-full prefix in hash order (p10)") {
+    val rows = PipelineQueries.p10TokenBudget(spark, Sf001).collect()
+    assert(rows.length === 20) // one row per source
+    // independent simulation: per source, walk docs in (md5(id), id) order
+    // accumulating token counts while the EXCLUSIVE prefix is under budget
+    val docs = Tables.documents(spark, Sf001)
+      .select(col("source"), col("doc_id"),
+        expr("size(regexp_extract_all(text, '[A-Za-z0-9]+', 0))").cast("long").as("nt"),
+        md5(col("doc_id").cast("string")).as("hx"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val (src, budget, nDocs, nKept, keptToks) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(budget === (1L << (2 * (src.stripPrefix("src").toInt % 3))) * 2000)
+      val ordered = docs(src).sortBy(d => (d._4, d._2))
+      assert(nDocs === ordered.length.toLong)
+      var acc = 0L; var kept = 0L; var toks = 0L
+      ordered.foreach { d =>
+        if (acc < budget) { kept += 1; toks += d._3 }
+        acc += d._3
+      }
+      assert(nKept === kept, s"$src n_kept")
+      assert(keptToks === toks, s"$src kept_tokens")
+    }
+    val again = PipelineQueries.p10TokenBudget(spark, Sf001).collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
+  test("epoch upsampling emits floor(w) full passes plus a hash-exact fractional one (p11)") {
+    val rows = PipelineQueries.p11UpsampleEpochs(spark, Sf001).collect()
+    assert(rows.length === 20)
+    // per source: n docs and how many fall in the fractional half
+    // (first md5 hex digit < '8')
+    val bySrc = Tables.documents(spark, Sf001)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(substring(md5(col("doc_id").cast("string")), 1, 1) < "8", 1L)
+          .otherwise(0L)).as("nf"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.foreach { r =>
+      val (src, w, nDocs, nEmit, maxEp) =
+        (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3), r.getInt(5))
+      val (n, nf) = bySrc(src)
+      val m = src.stripPrefix("src").toInt % 4
+      assert(w === Seq(0.5, 1.0, 1.5, 2.5)(m))
+      val (expDocs, expEmit, expMax) = m match {
+        case 0 => (nf, nf, 0)          // fractional epoch only
+        case 1 => (n, n, 0)            // exactly one full pass
+        case 2 => (n, n + nf, 1)       // one full + fractional
+        case _ => (n, 2 * n + nf, 2)   // two full + fractional
+      }
+      assert(nDocs === expDocs, s"$src n_docs")
+      assert(nEmit === expEmit, s"$src n_emitted")
+      assert(maxEp === expMax, s"$src max_epoch")
+    }
+  }
 }
