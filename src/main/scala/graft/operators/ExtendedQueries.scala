@@ -1355,8 +1355,37 @@ object ExtendedQueries {
       |ORDER BY o_totalprice DESC, o_orderkey
       |LIMIT 20 OFFSET 40""".stripMargin
 
+  // ---------------------------------------------------------------- q89
+  /** GROUP BY ALL / ORDER BY ALL — the DuckDB-originated shorthand Spark
+    * adopted (3.4+): every non-aggregate SELECT item becomes a grouping
+    * key, and ORDER BY ALL totals the order over the output columns left
+    * to right. Same resolved plan as the explicit spelling (the
+    * resolution is purely syntactic, so pushdown/partial-agg behavior is
+    * unchanged); the point of covering it is that a user's ad-hoc
+    * notebook SQL written against DuckDB runs on this engine verbatim.
+    * l_quantity is a double holding small integers (exact in IEEE754 and
+    * far under 2^53 in total), so the sum is order-independent and the
+    * hash compare is safe without the dsum detour — q01 relies on the
+    * same property.
+    */
+  def q89GroupByAll(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_gba_v")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  SUM(l_quantity) AS sum_qty, COUNT(*) AS n
+        |FROM lineitem_gba_v
+        |GROUP BY ALL ORDER BY ALL""".stripMargin)
+  }
+
+  val q89Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  SUM(l_quantity) AS sum_qty, COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY ALL ORDER BY ALL""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q89_group_by_all" -> (q89GroupByAll _),
     "q88_pagination" -> (q88Pagination _),
     "q87_bitmap_distinct" -> (q87BitmapDistinct _),
     "q86_hll_sketch" -> (q86HllSketch _),
@@ -1403,6 +1432,7 @@ object ExtendedQueries {
     "q54_union_by_name" -> (q54UnionByName _))
 
   val oracle: Map[String, String] = Map(
+    "q89_group_by_all" -> q89Sql,
     "q88_pagination" -> q88Sql,
     "q87_bitmap_distinct" -> q87Sql,
     "q86_hll_sketch" -> q86Sql,

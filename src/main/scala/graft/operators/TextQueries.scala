@@ -723,7 +723,85 @@ object TextQueries {
       |SELECT doc_id, n_tokens, reasons = '' AS passes, reasons
       |FROM r ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t14
+  /** Per-domain boilerplate detection — the CCNet/RefinedWeb line-dedup
+    * signal as an audit surface: spans repeated across MOST documents of
+    * one source (navigation chrome, footers, taglines) are boilerplate,
+    * and a cleaning pass strips them before training. The shipped corpus
+    * has no newline structure, so the span unit is d10's 5-word canonical
+    * segment; and — like t11's planted PII — a deterministic per-source
+    * tagline is PREPENDED so detection has a live, oracle-rebuildable
+    * signal: 'visit www <source> com now' canonicalizes to exactly one
+    * 5-word segment shared by every document of its source.
+    *
+    * Rule: a segment type is boilerplate when it appears in at least
+    * max(3, ceil(D/2)) DISTINCT documents of the source (D = the
+    * source's doc count). Output per source: segment types, boilerplate
+    * types, their total occurrences, and the word share they cover.
+    *
+    * Scale shape: segment fan-out is map-only (one Generate); the type
+    * count shuffles (source, segment) keys — linear in total segments
+    * (hash the segment to 16 bytes at 100 TB); the per-source doc-count
+    * threshold is one row per source, a broadcast join. No quadratic
+    * step anywhere; a mega-source costs its hash buckets linear work.
+    */
+  def t14Boilerplate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(s, dir))
+      .select(col("doc_id"), col("source"),
+        split(Tables.canonText(
+          concat(lit("visit www "), col("source"), lit(" com now "), col("text"))),
+          " ").as("w"))
+    val segs = docs
+      .select(col("doc_id"), col("source"), explode(expr(
+        """transform(sequence(0, cast(ceil(size(w) / 5.0) as int) - 1),
+          |          i -> array_join(slice(w, i * 5 + 1, 5), ' '))""".stripMargin)).as("seg"))
+      .withColumn("nw", size(split(col("seg"), " ")).cast(LongType))
+    val types = segs.groupBy(col("source"), col("seg"))
+      .agg(countDistinct(col("doc_id")).as("nd"), count(lit(1)).as("occ"),
+        max(col("nw")).as("nw"))
+    val perSource = Tables.documents(s, dir)
+      .groupBy(col("source")).agg(countDistinct(col("doc_id")).as("d_docs"))
+    types.join(broadcast(perSource), "source")
+      .withColumn("boiler",
+        col("nd") >= greatest(lit(3L), ceil(col("d_docs") / lit(2.0)).cast(LongType)))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_seg_types"),
+        sum(when(col("boiler"), 1L).otherwise(0L)).as("n_boiler_types"),
+        sum(when(col("boiler"), col("occ")).otherwise(0L)).as("boiler_hits"),
+        (floor(sum(when(col("boiler"), col("occ") * col("nw")).otherwise(0L)).cast(DoubleType) /
+          sum(col("occ") * col("nw")).cast(DoubleType) * 10000.0 + 0.5) / 10000.0)
+          .as("boiler_word_share"))
+      .orderBy(col("source"))
+  }
+
+  val t14Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, source,
+      |    string_split(TRIM(regexp_replace(regexp_replace(LOWER(
+      |      'visit www ' || source || ' com now ' || text),
+      |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS ws
+      |  FROM documents),
+      |seg AS (
+      |  SELECT doc_id, source, array_to_string(ws[i*5+1 : i*5+5], ' ') AS seg,
+      |    CAST(len(ws[i*5+1 : i*5+5]) AS BIGINT) AS nw
+      |  FROM docs, unnest(generate_series(0, CAST(CEIL(len(ws) / 5.0) AS INT) - 1)) AS u(i)),
+      |types AS (
+      |  SELECT source, seg, COUNT(DISTINCT doc_id) AS nd, COUNT(*) AS occ, MAX(nw) AS nw
+      |  FROM seg GROUP BY 1, 2),
+      |d AS (SELECT source, COUNT(DISTINCT doc_id) AS d_docs FROM documents GROUP BY 1),
+      |b AS (
+      |  SELECT types.*, nd >= GREATEST(3, CAST(CEIL(d_docs / 2.0) AS BIGINT)) AS boiler
+      |  FROM types JOIN d USING (source))
+      |SELECT source, COUNT(*) AS n_seg_types,
+      |  CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler_types,
+      |  CAST(SUM(CASE WHEN boiler THEN occ ELSE 0 END) AS BIGINT) AS boiler_hits,
+      |  FLOOR(CAST(SUM(CASE WHEN boiler THEN occ * nw ELSE 0 END) AS DOUBLE)
+      |    / CAST(SUM(occ * nw) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS boiler_word_share
+      |FROM b GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t14_boilerplate" -> (t14Boilerplate _),
     "t13_quality_gate" -> (t13QualityGate _),
     "t12_ngram_novelty" -> (t12NgramNovelty _),
     "t11_pii_redact" -> (t11PiiRedact _),
@@ -739,6 +817,7 @@ object TextQueries {
     "t06_repetition" -> (t06Repetition _))
 
   val oracle: Map[String, String] = Map(
+    "t14_boilerplate" -> t14Sql,
     "t13_quality_gate" -> t13Sql,
     "t12_ngram_novelty" -> t12Sql,
     "t11_pii_redact" -> t11Sql,

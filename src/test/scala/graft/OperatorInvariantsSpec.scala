@@ -522,6 +522,34 @@ class OperatorInvariantsSpec extends SparkTestBase {
     }
   }
 
+  test("boilerplate detection catches the planted per-source tagline (t14)") {
+    val rows = TextQueries.t14Boilerplate(spark, Sf001).collect()
+    assert(rows.length === 20)
+    val perSrc = Tables.documents(spark, Sf001).groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (src, types, bt, hits, share) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      // the prepended 'visit www <src> com now' segment appears in EVERY
+      // doc of the source, so at least one boilerplate type must surface
+      // and its hits must cover the whole source
+      assert(bt >= 1, s"$src: planted tagline not detected")
+      assert(hits >= perSrc(src), s"$src: tagline must hit every doc")
+      assert(share > 0.0 && share < 0.5, s"$src share=$share")
+      assert(types > bt) // the body segments are not boilerplate
+    }
+  }
+
+  test("GROUP BY ALL resolves to the explicit grouping spelling (q89)") {
+    val viaAll = ExtendedQueries.q89GroupByAll(spark, Sf001).collect()
+    val explicit = Tables.lineitem(spark, Sf001)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+      .collect()
+    assert(viaAll.map(_.toString).toSeq === explicit.map(_.toString).toSeq)
+  }
+
   test("token budget keeps exactly the fill-until-full prefix in hash order (p10)") {
     val rows = PipelineQueries.p10TokenBudget(spark, Sf001).collect()
     assert(rows.length === 20) // one row per source
