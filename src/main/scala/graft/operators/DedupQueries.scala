@@ -924,8 +924,65 @@ object DedupQueries {
       |WHERE CAST(n_inter AS DOUBLE) / CAST(ca.n_sh AS DOUBLE) >= 0.7
       |ORDER BY da, db""".stripMargin
 
+  // ---------------------------------------------------------------- d12
+  /** Cross-source NEAR-duplication matrix — d08's provenance audit lifted
+    * from exact fingerprints to verified near-dup pairs: for every
+    * J >= 0.5 pair from d04's banded+verified LSH output, attribute the
+    * pair to its (source, source) cell (normalized so a <= b; the
+    * diagonal holds within-source near-dups). Where d08 answers "which
+    * crawls share identical documents", d12 answers the harder and more
+    * common question — which crawls share REWRITES of the same content —
+    * the signal that actually drives date-fencing decisions between
+    * overlapping snapshots.
+    *
+    * Pure composition: d04's sub-linear pair list + two id->source
+    * lookups (hash joins on doc_id, shipping one string each) + a rollup
+    * bounded by the source-pair count. No new quadratic surface; the
+    * heavy lifting stays inside the already-banded d04.
+    */
+  def d12CrossSourceNearDups(s: SparkSession, dir: String): DataFrame = {
+    val pairs = d04MinhashLsh(s, dir).select(col("da"), col("db"))
+    val src = Tables.spread(Tables.documents(s, dir))
+      .select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("da"), col("source").as("sa")), "da")
+      .join(src.select(col("doc_id").as("db"), col("source").as("sb")), "db")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** d04's exact pair semantics + source attribution. */
+  val d12Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id,
+      |    string_split(TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+      |  FROM docs, unnest(generate_series(1, GREATEST(len(toks) - 2, 0))) AS u(i)),
+      |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT da, db FROM inter
+      |  JOIN counts ca ON inter.da = ca.doc_id
+      |  JOIN counts cb ON inter.db = cb.doc_id
+      |  WHERE CAST(n_inter AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - n_inter AS DOUBLE) >= 0.5)
+      |SELECT LEAST(va.source, vb.source) AS source_a,
+      |  GREATEST(va.source, vb.source) AS source_b, COUNT(*) AS n_pairs
+      |FROM pairs
+      |JOIN documents va ON pairs.da = va.doc_id
+      |JOIN documents vb ON pairs.db = vb.doc_id
+      |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d12_cross_source_neardups" -> (d12CrossSourceNearDups _),
     "d09_canonical_prune" -> (d09CanonicalPrune _),
     "d10_segment_dedup" -> (d10SegmentDedup _),
     "d11_containment" -> (d11Containment _),
@@ -938,6 +995,7 @@ object DedupQueries {
     "d07_embedding_dedup" -> (d07EmbeddingDedup _))
 
   val oracle: Map[String, String] = Map(
+    "d12_cross_source_neardups" -> d12Sql,
     "d09_canonical_prune" -> d09Sql,
     "d10_segment_dedup" -> d10Sql,
     "d11_containment" -> d11Sql,

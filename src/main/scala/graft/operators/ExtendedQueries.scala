@@ -1383,8 +1383,68 @@ object ExtendedQueries {
       |FROM lineitem
       |GROUP BY ALL ORDER BY ALL""".stripMargin
 
+  // ---------------------------------------------------------------- q90
+  /** Ordered funnel analysis — view -> click-after-view ->
+    * purchase-after-click per user, the sequence-constrained conversion
+    * query behind every product-analytics dashboard (and, in pipeline
+    * terms, the pattern for any ordered-milestone attribution). Stage
+    * timestamps chain: the click must be strictly AFTER the user's first
+    * view, the purchase strictly after that click — a plain per-type min
+    * would overcount (a purchase before any view is not a conversion).
+    *
+    * Plan shape: three chained MIN-over-user windows. All three share
+    * the user_id partitioning, so Catalyst plans ONE exchange + sort and
+    * stacks the Window operators over it — the whole funnel costs a
+    * single shuffle of (user_id, ts, type) triples, then a per-user
+    * rollup and a scalar count. At 100 TB this is the optimal shape
+    * short of a pre-bucketed event table (which would make it
+    * shuffle-free).
+    */
+  def q90Funnel(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .withColumn("tv", min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("tc",
+        min(when(col("event_type") === "click" && col("ts") > col("tv"), col("ts"))).over(w))
+      .withColumn("tp",
+        min(when(col("event_type") === "purchase" && col("ts") > col("tc"), col("ts"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(col("tv")).as("tv"), max(col("tc")).as("tc"), max(col("tp")).as("tp"))
+      .agg(
+        count(col("tv")).as("n_view"),
+        count(col("tc")).as("n_click_after_view"),
+        count(col("tp")).as("n_purchase_after_click"),
+        (floor(count(col("tc")).cast(DoubleType) / count(col("tv")) * 10000.0 + 0.5) / 10000.0)
+          .as("view_to_click"),
+        (floor(count(col("tp")).cast(DoubleType) / count(col("tc")) * 10000.0 + 0.5) / 10000.0)
+          .as("click_to_purchase"))
+  }
+
+  val q90Sql: String =
+    """WITH w1 AS (
+      |  SELECT user_id, ts, event_type,
+      |    MIN(CASE WHEN event_type = 'view' THEN ts END)
+      |      OVER (PARTITION BY user_id) AS tv
+      |  FROM events),
+      |w2 AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > tv THEN ts END)
+      |      OVER (PARTITION BY user_id) AS tc
+      |  FROM w1),
+      |w3 AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > tc THEN ts END)
+      |      OVER (PARTITION BY user_id) AS tp
+      |  FROM w2),
+      |u AS (SELECT user_id, MAX(tv) AS tv, MAX(tc) AS tc, MAX(tp) AS tp FROM w3 GROUP BY 1)
+      |SELECT COUNT(tv) AS n_view, COUNT(tc) AS n_click_after_view,
+      |  COUNT(tp) AS n_purchase_after_click,
+      |  FLOOR(CAST(COUNT(tc) AS DOUBLE) / COUNT(tv) * 10000.0 + 0.5) / 10000.0 AS view_to_click,
+      |  FLOOR(CAST(COUNT(tp) AS DOUBLE) / COUNT(tc) * 10000.0 + 0.5) / 10000.0 AS click_to_purchase
+      |FROM u""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q90_funnel" -> (q90Funnel _),
     "q89_group_by_all" -> (q89GroupByAll _),
     "q88_pagination" -> (q88Pagination _),
     "q87_bitmap_distinct" -> (q87BitmapDistinct _),
@@ -1432,6 +1492,7 @@ object ExtendedQueries {
     "q54_union_by_name" -> (q54UnionByName _))
 
   val oracle: Map[String, String] = Map(
+    "q90_funnel" -> q90Sql,
     "q89_group_by_all" -> q89Sql,
     "q88_pagination" -> q88Sql,
     "q87_bitmap_distinct" -> q87Sql,

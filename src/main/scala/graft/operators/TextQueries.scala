@@ -800,7 +800,42 @@ object TextQueries {
       |    / CAST(SUM(occ * nw) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS boiler_word_share
       |FROM b GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- t15
+  /** Vocabulary frequency spectrum — the Zipf audit run before tokenizer
+    * training: token types bucketed by occurrence count into power-of-two
+    * bands (bucket b holds types seen 2^b .. 2^(b+1)-1 times), reporting
+    * types and total occurrences per band. The head bands say how much a
+    * frequency-capped vocab covers; the b=0 singleton band sizes the
+    * hapax tail (misspellings, ids, noise) a BPE merge pass will never
+    * promote.
+    *
+    * Bucket index is length(bin(cnt)) - 1 — the BIT LENGTH of the count,
+    * an integer-exact floor(log2) both engines compute identically
+    * (float log2 at exact powers of two is an ulp gamble not worth
+    * taking). Plan: one token-keyed count (map-side partial, the only
+    * corpus-sized shuffle), then a <64-row rollup. At 100 TB vocab
+    * counting is exactly this shape; nothing here is corpus-quadratic.
+    */
+  def t15ZipfSpectrum(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.documents(s, dir))
+      .select(explode(split(Tables.canonText(col("text")), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .withColumn("bucket", (length(bin(col("cnt"))) - 1).cast(LongType))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_types"), sum(col("cnt")).as("n_occurrences"))
+      .orderBy(col("bucket"))
+
+  val t15Sql: String =
+    """WITH toks AS (
+      |  SELECT unnest(string_split(TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS tok
+      |  FROM documents),
+      |c AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY 1)
+      |SELECT CAST(length(bin(cnt)) - 1 AS BIGINT) AS bucket,
+      |  COUNT(*) AS n_types, CAST(SUM(cnt) AS BIGINT) AS n_occurrences
+      |FROM c GROUP BY 1 ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t15_zipf_spectrum" -> (t15ZipfSpectrum _),
     "t14_boilerplate" -> (t14Boilerplate _),
     "t13_quality_gate" -> (t13QualityGate _),
     "t12_ngram_novelty" -> (t12NgramNovelty _),
@@ -817,6 +852,7 @@ object TextQueries {
     "t06_repetition" -> (t06Repetition _))
 
   val oracle: Map[String, String] = Map(
+    "t15_zipf_spectrum" -> t15Sql,
     "t14_boilerplate" -> t14Sql,
     "t13_quality_gate" -> t13Sql,
     "t12_ngram_novelty" -> t12Sql,

@@ -522,6 +522,54 @@ class OperatorInvariantsSpec extends SparkTestBase {
     }
   }
 
+  test("cross-source near-dup matrix partitions d04's pair list exactly (d12)") {
+    val cells = DedupQueries.d12CrossSourceNearDups(spark, Sf001).collect()
+    val totalPairs = DedupQueries.d04MinhashLsh(spark, Sf001).count()
+    assert(cells.map(_.getLong(2)).sum === totalPairs) // every pair lands in one cell
+    cells.foreach { r =>
+      assert(r.getString(0) <= r.getString(1), "cells are normalized a <= b")
+      assert(r.getLong(2) > 0)
+    }
+  }
+
+  test("zipf spectrum conserves the corpus token count with tight band bounds (t15)") {
+    val bands = TextQueries.t15ZipfSpectrum(spark, Sf001).collect()
+    val totalToks = Tables.documents(spark, Sf001)
+      .select(size(split(Tables.canonText(col("text")), " ")).cast("long").as("n"))
+      .agg(sum(col("n"))).head.getLong(0)
+    assert(bands.map(_.getLong(2)).sum === totalToks)
+    bands.foreach { r =>
+      val (b, types, occ) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      // band b holds counts in [2^b, 2^(b+1) - 1]
+      assert(occ >= types * (1L << b) && occ <= types * ((1L << (b + 1)) - 1),
+        s"band $b: $types types, $occ occurrences")
+    }
+  }
+
+  test("funnel stages match a per-user replay of the event log (q90)") {
+    val row = ExtendedQueries.q90Funnel(spark, Sf0001).head
+    // independent replay: per user, first view, first click after it,
+    // first purchase after that
+    val byUser = Tables.events(spark, Sf0001)
+      .select(col("user_id"), col("ts"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000L +
+        (r.getTimestamp(1).getNanos / 1000L) % 1000L, r.getString(2)))
+      .groupBy(_._1)
+    var (nv, nc, np) = (0L, 0L, 0L)
+    byUser.values.foreach { evs =>
+      val tv = evs.filter(_._3 == "view").map(_._2).minOption
+      val tc = tv.flatMap(v => evs.filter(e => e._3 == "click" && e._2 > v).map(_._2).minOption)
+      val tp = tc.flatMap(c => evs.filter(e => e._3 == "purchase" && e._2 > c).map(_._2).minOption)
+      if (tv.isDefined) nv += 1
+      if (tc.isDefined) nc += 1
+      if (tp.isDefined) np += 1
+    }
+    assert(row.getLong(0) === nv)
+    assert(row.getLong(1) === nc)
+    assert(row.getLong(2) === np)
+    assert(nv >= nc && nc >= np) // funnel monotonicity
+  }
+
   test("boilerplate detection catches the planted per-source tagline (t14)") {
     val rows = TextQueries.t14Boilerplate(spark, Sf001).collect()
     assert(rows.length === 20)
