@@ -85,7 +85,19 @@ object DumpPlans {
         DedupQueries.d11Containment(spark, dir)),
       ("q80_regr_agg",
         "REGR_* fold to one partial+final HashAggregate pass per group key — co-moments, not per-group model fits.",
-        ExtendedQueries.q80RegrAgg(spark, dir)))
+        ExtendedQueries.q80RegrAgg(spark, dir)),
+      ("q90_funnel",
+        "Three chained stage-min windows share the user_id partitioning: ONE exchange + sort, Window operators stacked over it.",
+        ExtendedQueries.q90Funnel(spark, dir)),
+      ("t14_boilerplate",
+        "Segment fan-out is one Generate; per-source doc-count thresholds enter via BroadcastHashJoin over the (source,segment) partial agg.",
+        TextQueries.t14Boilerplate(spark, dir)),
+      ("p10_token_budget",
+        "Exclusive prefix-sum window per source feeding the fill-until-full filter; rollup is a 20-row aggregate.",
+        PipelineQueries.p10TokenBudget(spark, dir)),
+      ("p11_upsample_epochs",
+        "Epoch fan-out is a map-only Generate (sequence + filter) — no shuffle before the audit rollup; output volume = the intended mix exactly.",
+        PipelineQueries.p11UpsampleEpochs(spark, dir)))
 
     val sb = new StringBuilder
     sb.append("# Flagship physical plans (generated by graft.tools.DumpPlans at sf0.01)\n\n")

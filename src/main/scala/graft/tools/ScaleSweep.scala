@@ -61,7 +61,13 @@ object ScaleSweep {
       "q84_interval_frame" -> "event-time INTERVAL range frames",
       "d11_containment" -> "containment pairs (asymmetric prefix probe)",
       "t13_quality_gate" -> "composite quality gate (map-only rules)",
-      "q86_hll_sketch" -> "mergeable HLL sketches (union rollup)")
+      "q86_hll_sketch" -> "mergeable HLL sketches (union rollup)",
+      "p10_token_budget" -> "token-budget mixture (prefix-sum window)",
+      "p11_upsample_epochs" -> "epoch upsampling (map-only fan-out)",
+      "t14_boilerplate" -> "boilerplate audit (segment type counts)",
+      "t15_zipf_spectrum" -> "vocab frequency spectrum (token count)",
+      "d12_cross_source_neardups" -> "cross-source near-dups (d04 composition)",
+      "q90_funnel" -> "ordered funnel (stacked per-user windows)")
 
     // warm the JVM/codegen on the smallest sf so cold-start lands nowhere
     queries.foreach { case (q, _) =>
