@@ -517,8 +517,10 @@ object DedupQueries {
 
   /** d04's exact pair list extended to components with a recursive CTE:
     * reach(u, w) = transitive closure over the undirected edge set;
-    * cluster id = min reachable vertex. */
-  val d06Sql: String =
+    * cluster id = min reachable vertex. Factored as a CTE prefix so
+    * p12 (leakage-safe split) can reuse the identical cluster
+    * derivation in its own oracle. */
+  private[operators] val d06Ctes: String =
     """WITH RECURSIVE docs AS (
       |  SELECT doc_id,
       |    string_split(TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
@@ -542,11 +544,112 @@ object DedupQueries {
       |  SELECT u, u FROM edges
       |  UNION
       |  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
-      |comp AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u)
+      |comp AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u)""".stripMargin
+
+  val d06Sql: String = d06Ctes +
+    """
       |SELECT doc_id, cluster_id,
       |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
       |  (doc_id = cluster_id) AS is_keeper
       |FROM comp ORDER BY cluster_id, doc_id""".stripMargin
+
+  /** Every document's duplicate-cluster id — d06's component label where
+    * the doc belongs to a near-dup component, else the doc's own id
+    * (singleton cluster). The grouping unit p12 (leakage-safe split)
+    * assigns train/val/test on: splitting CLUSTERS, not docs, is what
+    * keeps near-duplicates of a validation document out of train. */
+  private[operators] def clusterAssignment(s: SparkSession, dir: String): DataFrame = {
+    val pairs = d04MinhashLsh(s, dir).select(col("da"), col("db")).cache()
+    pairs.count()
+    val labels = connectedComponents(pairs)
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+  }
+
+  // ---------------------------------------------------------------- d13
+  /** Span-level exact substring dedup — the sequence-granular member of
+    * the dedup family (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better": repeated >= k-token substrings are
+    * memorization fuel even when whole documents differ). Every k=8-token
+    * window of every document is keyed; windows whose text occurs in
+    * >= 2 DISTINCT documents are "duplicated spans", and each document
+    * reports how much of its token stream those spans cover. Within-doc
+    * repetition is deliberately excluded (that is t06's signal).
+    *
+    * Plan shape at 100 TB: the window stream carries (xxhash64(span),
+    * doc_id, start) — 24 bytes per window, never the span text — through
+    * ONE shuffle keyed by the span hash; the distinct-doc count is a
+    * partial-aggregated count-distinct (map-side dedup bounds heavy-
+    * hitter boilerplate spans before the exchange). Covered-position
+    * counting re-joins the window stream to the duplicated-hash set on
+    * the same key (no second corpus scan — the cached window stream is
+    * hash+ints only) and aggregates per doc. Output-vs-oracle equality is
+    * on the aggregate columns, so the oracle can use raw span text while
+    * the Spark side ships hashes (an xxhash64 collision at 2^-64 per pair
+    * would surface as a hash mismatch — accepted, as in d03/d04).
+    */
+  def d13SpanDedup(s: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val base = Tables.spread(Tables.documents(s, dir))
+      .withColumn("toks", split(canon(col("text")), " "))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast(LongType).as("n_toks"))
+    // one row per k-token window: (span hash, doc, 1-based start)
+    val wins = base.filter(col("n_toks") >= k)
+      .select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(1, size(toks) - ${k - 1}), " +
+          s"i -> xxhash64(concat_ws(' ', slice(toks, i, $k))))")))
+      .select(col("doc_id"), (col("pos") + 1).as("start"), col("col").as("h"))
+      .cache()
+    wins.count() // materialize: the dup-set agg and the cover join both read it
+    val dup = wins.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"))
+    val cov = wins.join(dup, "h")
+      .select(col("doc_id"), col("start"),
+        explode(sequence(col("start"), col("start") + lit(k - 1))).as("p"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("start")).as("n_dup_spans"),
+        countDistinct(col("p")).as("n_dup_positions"))
+    base.select(col("doc_id"), col("n_toks"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_toks"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("n_dup_positions"), lit(0L)).as("n_dup_positions"),
+        (floor(coalesce(col("n_dup_positions"), lit(0L)).cast(DoubleType) * 10000.0 /
+          nullif(col("n_toks"), lit(0L)) + 0.5) / 10000.0).as("dup_frac"))
+      .withColumn("keep", col("dup_frac") < 0.3)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Naive restatement: raw span strings as the join key, interval cover
+    * via generate_series fan-out. */
+  val d13Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id,
+      |    string_split(TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+      |  FROM documents),
+      |base AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_toks FROM docs),
+      |wins AS (
+      |  SELECT doc_id, i AS start, array_to_string(toks[i:i+7], ' ') AS span
+      |  FROM base, unnest(generate_series(1, len(toks) - 7)) AS u(i)
+      |  WHERE n_toks >= 8),
+      |dup AS (SELECT span FROM wins GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2),
+      |cov AS (
+      |  SELECT doc_id,
+      |    COUNT(DISTINCT start) AS n_dup_spans,
+      |    COUNT(DISTINCT p) AS n_dup_positions
+      |  FROM (SELECT w.doc_id, w.start FROM wins w JOIN dup USING (span)) h,
+      |    unnest(generate_series(start, start + 7)) AS g(p)
+      |  GROUP BY doc_id)
+      |SELECT b.doc_id, b.n_toks,
+      |  COALESCE(n_dup_spans, 0) AS n_dup_spans,
+      |  COALESCE(n_dup_positions, 0) AS n_dup_positions,
+      |  FLOOR(COALESCE(n_dup_positions, 0) * 10000.0 / NULLIF(b.n_toks, 0) + 0.5) / 10000.0 AS dup_frac,
+      |  FLOOR(COALESCE(n_dup_positions, 0) * 10000.0 / NULLIF(b.n_toks, 0) + 0.5) / 10000.0 < 0.3 AS keep
+      |FROM base b LEFT JOIN cov USING (doc_id) ORDER BY b.doc_id""".stripMargin
 
   // ---------------------------------------------------------------- d07
   /** Embedding-cosine near-dup dedup — the vector-space member of the
@@ -982,6 +1085,7 @@ object DedupQueries {
 
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d13_span_dedup" -> (d13SpanDedup _),
     "d12_cross_source_neardups" -> (d12CrossSourceNearDups _),
     "d09_canonical_prune" -> (d09CanonicalPrune _),
     "d10_segment_dedup" -> (d10SegmentDedup _),
@@ -995,6 +1099,7 @@ object DedupQueries {
     "d07_embedding_dedup" -> (d07EmbeddingDedup _))
 
   val oracle: Map[String, String] = Map(
+    "d13_span_dedup" -> d13Sql,
     "d12_cross_source_neardups" -> d12Sql,
     "d09_canonical_prune" -> d09Sql,
     "d10_segment_dedup" -> d10Sql,

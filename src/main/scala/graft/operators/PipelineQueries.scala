@@ -632,7 +632,85 @@ object PipelineQueries {
       |  MAX(epoch) AS max_epoch
       |FROM e GROUP BY 1, 2 ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- p12
+  /** Leakage-safe train/val/test split — the assignment unit is the
+    * DUPLICATE CLUSTER (d06's connected component over verified near-dup
+    * pairs; singleton docs are their own cluster), not the document.
+    * Splitting per-document leaks: a near-duplicate of a validation
+    * document lands in train and the eval overestimates generalization.
+    * Hashing the CLUSTER id makes every member of a component land in
+    * the same split by construction.
+    *
+    * Split rule: first two hex chars of md5(cluster_id) — < 'cd' (204/256
+    * ~= 79.7%) train, < 'e6' (230/256, next ~10.2%) val, else test. The
+    * same deterministic-hash-threshold discipline as p05's mixture
+    * sampler, so the split is reproducible across engines, runs, and
+    * corpus growth (a cluster keeps its split when new data arrives).
+    *
+    * Output: per-split doc/cluster volumes plus the leakage audit — the
+    * count of clusters straddling >1 split, which the hash construction
+    * pins to 0 (the audit column exists to PROVE it on real output, the
+    * way a production pipeline would gate promotion).
+    *
+    * Scale shape: cluster resolution is d06's bounded iteration; the
+    * split itself adds one map pass (md5 of an 8-byte key) and a
+    * cluster-keyed size join — no new corpus-sized shuffle. The audit is
+    * a cluster-keyed aggregate, and its 1-row result joins back via
+    * broadcast (t09's no-collect pattern).
+    */
+  def p12LeakageSplit(s: SparkSession, dir: String): DataFrame = {
+    val assigned = DedupQueries.clusterAssignment(s, dir)
+      .withColumn("hx", substring(md5(col("cluster_id").cast(StringType)), 1, 2))
+      .withColumn("split",
+        when(col("hx") < "cd", "train").when(col("hx") < "e6", "val").otherwise("test"))
+      .cache() // three readers: cluster sizes, the leakage audit, the rollup
+    try {
+      assigned.count()
+      val sizes = assigned.groupBy(col("cluster_id")).agg(count(lit(1)).as("csize"))
+      val leaky = assigned.groupBy(col("cluster_id"))
+        .agg(countDistinct(col("split")).as("ns"))
+        .filter(col("ns") > 1)
+        .agg(count(lit(1)).as("leaky_clusters"))
+      assigned.join(sizes, "cluster_id")
+        .groupBy(col("split"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_id")).as("n_clusters"),
+          sum(when(col("csize") > 1, 1L).otherwise(0L)).as("n_docs_in_multi"))
+        .crossJoin(broadcast(leaky))
+        .orderBy(col("split"))
+        .localCheckpoint() // materialize before the cache below is released
+    } finally {
+      assigned.unpersist()
+    }
+  }
+
+  /** d06's recursive-CTE component derivation (shared text, so the
+    * cluster definition cannot drift between the two oracles) + the
+    * hash-threshold split restated over it. */
+  val p12Sql: String = DedupQueries.d06Ctes +
+    """,
+      |assigned AS (
+      |  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+      |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+      |sp AS (
+      |  SELECT doc_id, cluster_id,
+      |    CASE WHEN substring(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+      |         WHEN substring(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM assigned),
+      |sizes AS (SELECT cluster_id, COUNT(*) AS csize FROM sp GROUP BY 1),
+      |leak AS (
+      |  SELECT COUNT(*) AS leaky_clusters FROM (
+      |    SELECT cluster_id FROM sp GROUP BY cluster_id HAVING COUNT(DISTINCT split) > 1))
+      |SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT s.cluster_id) AS n_clusters,
+      |  CAST(SUM(CASE WHEN csize > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_in_multi,
+      |  leaky_clusters
+      |FROM sp s JOIN sizes z USING (cluster_id) CROSS JOIN leak
+      |GROUP BY split, leaky_clusters ORDER BY split""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p12_leakage_split" -> (p12LeakageSplit _),
     "p11_upsample_epochs" -> (p11UpsampleEpochs _),
     "p10_token_budget" -> (p10TokenBudget _),
     "p09_snapshot_diff" -> (p09SnapshotDiff _),
@@ -646,6 +724,7 @@ object PipelineQueries {
     "p04_sequence_packing" -> (p04SequencePacking _))
 
   val oracle: Map[String, String] = Map(
+    "p12_leakage_split" -> p12Sql,
     "p11_upsample_epochs" -> p11Sql,
     "p10_token_budget" -> p10Sql,
     "p09_snapshot_diff" -> p09Sql,

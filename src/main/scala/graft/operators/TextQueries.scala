@@ -834,10 +834,96 @@ object TextQueries {
       |  COUNT(*) AS n_types, CAST(SUM(cnt) AS BIGINT) AS n_occurrences
       |FROM c GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  // ---------------------------------------------------------------- t16
+  /** PMI collocations — pointwise mutual information over adjacent token
+    * pairs, the classic phrase-induction signal (Church & Hanks 1990;
+    * word2vec's phrase pass and modern tokenizer merge heuristics are the
+    * same statistic). For bigram (x, y):
+    *
+    *   pmi = ln( (c(x,y)/N2) / ( (c(x)/N1) * (c(y)/N1) ) )
+    *
+    * with N1 = total token instances, N2 = total bigram instances. Only
+    * bigram types seen >= 5 times are scored (rarer pairs have unstable
+    * PMI — the standard frequency floor), top 30 by PMI with a (w1, w2)
+    * tiebreak.
+    *
+    * Plan shape at 100 TB: two token-keyed hash aggregations (unigram +
+    * bigram counts, both map-side partial), then joins that are VOCAB-
+    * sized, not corpus-sized — and the >= 5 floor prunes the bigram side
+    * BEFORE either join, the same bounded-model discipline t10 applies.
+    * No broadcast hints: vocabulary grows with the corpus (t10's lesson),
+    * so AQE picks the strategy per actual size. The two grand totals are
+    * 1-row aggregates cross-joined in (t09's no-collect pattern). The
+    * double expression is the same op sequence in both engines, rounded
+    * through the shared floor-1e4 pattern.
+    */
+  def t16PmiCollocations(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(s, dir))
+      .select(split(Tables.canonText(col("text")), " ").as("toks"))
+      .cache() // unigram and bigram branches both read the token arrays
+    try {
+      docs.count()
+      t16Body(docs)
+        .localCheckpoint() // materialize before the cache below is released
+    } finally {
+      docs.unpersist()
+    }
+  }
+
+  private def t16Body(docs: DataFrame): DataFrame = {
+    val uni = docs.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val n1 = uni.agg(sum(col("c")).as("n1"))
+    val big = docs.filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> named_struct('w1', element_at(toks, i), 'w2', element_at(toks, i + 1)))")).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val n2 = big.agg(sum(col("c12")).as("n2"))
+    big.filter(col("c12") >= 5)
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(n1))
+      .crossJoin(broadcast(n2))
+      .select(
+        col("w1"), col("w2"),
+        col("c12").as("n_xy"), col("c1").as("n_x"), col("c2").as("n_y"),
+        (floor(log(
+          (col("c12").cast(DoubleType) / col("n2")) /
+            ((col("c1").cast(DoubleType) / col("n1")) *
+              (col("c2").cast(DoubleType) / col("n1")))) * 10000.0 + 0.5) / 10000.0).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(30)
+  }
+
+  val t16Sql: String =
+    """WITH docs AS (
+      |  SELECT string_split(TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+      |  FROM documents),
+      |uc AS (SELECT w, COUNT(*) AS c FROM (SELECT unnest(toks) AS w FROM docs) GROUP BY w),
+      |n1 AS (SELECT SUM(c) AS n1 FROM uc),
+      |bc AS (
+      |  SELECT w1, w2, COUNT(*) AS c12
+      |  FROM (
+      |    SELECT toks[i] AS w1, toks[i+1] AS w2
+      |    FROM docs, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+      |    WHERE len(toks) >= 2)
+      |  GROUP BY w1, w2),
+      |n2 AS (SELECT SUM(c12) AS n2 FROM bc)
+      |SELECT w1, w2, c12 AS n_xy, a.c AS n_x, b.c AS n_y,
+      |  FLOOR(ln((CAST(c12 AS DOUBLE) / n2) /
+      |    ((CAST(a.c AS DOUBLE) / n1) * (CAST(b.c AS DOUBLE) / n1))) * 10000.0 + 0.5) / 10000.0 AS pmi
+      |FROM bc JOIN uc a ON bc.w1 = a.w JOIN uc b ON bc.w2 = b.w
+      |CROSS JOIN n1 CROSS JOIN n2
+      |WHERE c12 >= 5
+      |ORDER BY pmi DESC, w1, w2 LIMIT 30""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t15_zipf_spectrum" -> (t15ZipfSpectrum _),
     "t14_boilerplate" -> (t14Boilerplate _),
     "t13_quality_gate" -> (t13QualityGate _),
+    "t16_pmi_collocations" -> (t16PmiCollocations _),
     "t12_ngram_novelty" -> (t12NgramNovelty _),
     "t11_pii_redact" -> (t11PiiRedact _),
     "t10_lm_score" -> (t10LmScore _),
@@ -852,6 +938,7 @@ object TextQueries {
     "t06_repetition" -> (t06Repetition _))
 
   val oracle: Map[String, String] = Map(
+    "t16_pmi_collocations" -> t16Sql,
     "t15_zipf_spectrum" -> t15Sql,
     "t14_boilerplate" -> t14Sql,
     "t13_quality_gate" -> t13Sql,
