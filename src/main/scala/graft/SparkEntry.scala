@@ -25,7 +25,8 @@ object SparkEntry {
       operators.SteelQueries.queries ++
       operators.Multimodal.queries ++
       operators.MlQueries.queries ++
-      operators.PipelineQueries.queries
+      operators.PipelineQueries.queries ++
+      operators.GraphQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -36,5 +37,6 @@ object SparkEntry {
       operators.DedupQueries.oracle ++
       operators.SimilarityQueries.oracle ++
       operators.SteelQueries.oracle ++
-      operators.PipelineQueries.oracle
+      operators.PipelineQueries.oracle ++
+      operators.GraphQueries.oracle
 }

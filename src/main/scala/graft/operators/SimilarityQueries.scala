@@ -786,7 +786,99 @@ object SimilarityQueries {
       |SELECT q_id, rnk, neighbor_id, qdot FROM ranked WHERE rnk <= 10
       |ORDER BY q_id, rnk""".stripMargin
 
+  // ---------------------------------------------------------------- s10
+  /** Hybrid retrieval with reciprocal-rank fusion — the RAG-era lookup
+    * pattern: a sparse leg (t09's BM25 over the token stream) and a dense
+    * leg (s01's exact cosine against a probe embedding) each produce a
+    * top-20 ranked list, fused by RRF (Cormack et al. 2009):
+    *
+    *   rrf(doc) = sum over lists containing doc of 1 / (60 + rank)
+    *
+    * The probe is vec_id 0's embedding and the term set is t09's, with
+    * doc_id = vec_id row alignment (TESTDATA builds both tables over the
+    * same ids). Output: top-10 fused docs with both leg ranks (null when
+    * a doc appears in only one list — the normal RRF case).
+    *
+    * Plan shape at 100 TB: each leg is already scale-shaped (BM25's
+    * shuffle carries only query-term tokens; the dense leg is one corpus
+    * scan — swap in s06's banded LSH leg when the corpus outgrows exact
+    * scan). The fusion itself joins two 20-row lists — a broadcast-sized
+    * full outer join no matter the corpus size.
+    */
+  def s10HybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val wSparse = Window.orderBy(col("bm25").desc, col("doc_id"))
+    val sparse = TextQueries.t09Bm25(s, dir)
+      .withColumn("sparse_rank", row_number().over(wSparse).cast(LongType))
+      .select(col("doc_id"), col("sparse_rank"))
+    val e = Tables.spread(Tables.embeddings(s, dir)).withColumn("v", embD)
+      .withColumn("norm", sqrt(dot("v", "v")))
+      .select(col("vec_id"), col("v"), col("norm"))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("norm").as("qnorm"))
+    // top-20 via orderBy+limit (TakeOrderedAndProject: per-partition heaps,
+    // no single-partition corpus-wide window), then rank the 20-row list
+    val wDense = Window.orderBy(col("cosine").desc, col("vec_id"))
+    val dense = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= 0)
+      .withColumn("cosine", floor(dot("qv", "v") / (col("qnorm") * col("norm")) * 1e6 + 0.5) / 1e6)
+      .select(col("vec_id"), col("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(20)
+      .withColumn("dense_rank", row_number().over(wDense).cast(LongType))
+      .select(col("vec_id").as("doc_id"), col("dense_rank"))
+    sparse.join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        floor((coalesce(lit(1.0) / (lit(60) + col("sparse_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("dense_rank")), lit(0.0))) * 1e6 + 0.5) / 1e6)
+      .select(col("doc_id"), col("sparse_rank"), col("dense_rank"), col("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  /** t09's BM25 CTE chain + s01's cosine chain, fused with the same RRF
+    * arithmetic. */
+  val s10Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS tok
+      |  FROM documents),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+      |corpus AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+      |tf AS (
+      |  SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+      |  WHERE tok IN ('spark', 'table', 'query') GROUP BY doc_id, tok),
+      |dfreq AS (SELECT tok, COUNT(*) AS dfreq FROM tf GROUP BY tok),
+      |bm AS (
+      |  SELECT doc_id,
+      |    FLOOR(SUM(
+      |      ln((n_docs - dfreq + 0.5) / (dfreq + 0.5) + 1.0) * tf * 2.2 /
+      |        (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+      |    ) * 10000.0 + 0.5) / 10000.0 AS bm25
+      |  FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id) CROSS JOIN corpus
+      |  GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20),
+      |sparse AS (
+      |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS sparse_rank FROM bm),
+      |e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, v,
+      |    SQRT(list_reduce(list_transform(generate_series(1, 64), i -> v[i] * v[i]), (x, y) -> x + y)) AS nrm
+      |  FROM e),
+      |dense0 AS (
+      |  SELECT c.vec_id AS doc_id,
+      |    FLOOR(list_reduce(list_transform(generate_series(1, 64), i -> q.v[i] * c.v[i]), (x, y) -> x + y)
+      |      / (q.nrm * c.nrm) * 1e6 + 0.5) / 1e6 AS cosine
+      |  FROM n q JOIN n c ON q.vec_id = 0 AND c.vec_id <> 0),
+      |dense AS (
+      |  SELECT doc_id, dense_rank FROM (
+      |    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS dense_rank FROM dense0)
+      |  WHERE dense_rank <= 20)
+      |SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id, sparse_rank, dense_rank,
+      |  FLOOR((COALESCE(1.0 / (60 + sparse_rank), 0.0) + COALESCE(1.0 / (60 + dense_rank), 0.0)) * 1e6 + 0.5) / 1e6 AS rrf
+      |FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id
+      |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s10_hybrid_rrf" -> (s10HybridRrf _),
     "s09_quantized_ann" -> (s09QuantizedAnn _),
     "s08_label_centroids" -> (s08LabelCentroids _),
     "s07_knn_classify" -> (s07KnnClassify _),
@@ -798,6 +890,7 @@ object SimilarityQueries {
     "s06_ann_verified" -> (s06AnnVerified _))
 
   val oracle: Map[String, String] = Map(
+    "s10_hybrid_rrf" -> s10Sql,
     "s09_quantized_ann" -> s09Sql,
     "s08_label_centroids" -> s08Sql,
     "s07_knn_classify" -> s07Sql,
