@@ -589,9 +589,14 @@ object DedupQueries {
     * the Spark side ships hashes (an xxhash64 collision at 2^-64 per pair
     * would surface as a hash mismatch — accepted, as in d03/d04).
     */
-  def d13SpanDedup(s: SparkSession, dir: String): DataFrame = {
+  def d13SpanDedup(s: SparkSession, dir: String): DataFrame =
+    d13Body(Tables.spread(Tables.documents(s, dir)))
+
+  /** Body over an explicit (doc_id, text) frame so specs can plant
+    * duplicates with known coverage. */
+  private[graft] def d13Body(documents: DataFrame): DataFrame = {
     val k = 8
-    val base = Tables.spread(Tables.documents(s, dir))
+    val base = documents
       .withColumn("toks", split(canon(col("text")), " "))
       .select(col("doc_id"), col("toks"), size(col("toks")).cast(LongType).as("n_toks"))
     // one row per k-token window: (span hash, doc, 1-based start)

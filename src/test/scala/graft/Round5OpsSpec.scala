@@ -1,0 +1,142 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Invariants for the round-5 operators (span dedup, PMI, leakage-safe
+  * split, hybrid RRF, PageRank) beyond their DuckDB hash oracles: internal
+  * consistency between tiers and the properties SQL restatement can't
+  * separately witness. */
+class Round5OpsSpec extends SparkTestBase {
+
+  test("d13: a planted exact duplicate is fully span-covered (dup_frac = 1)") {
+    // copy one >= 8-token document under a fresh id: both copies consist
+    // ONLY of spans occurring in >= 2 docs, so d13 must report full
+    // coverage for both — and an untouched long unique doc must not move
+    val docs = Tables.documents(spark, Sf001).select(col("doc_id"), col("text"))
+    val victim = docs.filter(col("doc_id") === 7)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val before = DedupQueries.d13Body(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    val after = DedupQueries.d13Body(docs.union(victim)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(4))).toMap
+    assert(after(7L)._1 >= 8, "victim doc must have >= 8 canonical tokens")
+    assert(after(7L)._2 == 1.0 && after(1000007L)._2 == 1.0,
+      "both copies of the planted duplicate must be fully covered")
+    // a doc sharing no 8-token span with doc 7 keeps its coverage
+    val unaffected = after.keys.find(id => id != 7L && id != 1000007L &&
+      after(id)._2 == before(id)).isDefined
+    assert(unaffected)
+  }
+
+  test("d13: coverage bounds — positions within [spans, n_toks], short docs zero") {
+    val k = 8
+    DedupQueries.d13SpanDedup(spark, Sf001).collect().foreach { r =>
+      val (nToks, nSpans, nPos) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      if (nToks < k) assert(nSpans == 0 && nPos == 0)
+      if (nSpans > 0) {
+        assert(nPos >= k, s"a duplicated span covers at least $k positions")
+        assert(nPos <= math.min(nSpans + k - 1, nToks),
+          "cover cannot exceed the interval union upper bound")
+      } else assert(nPos == 0)
+    }
+  }
+
+  test("t16: PMI arithmetic reproduced from raw corpus counts for every row") {
+    val docs = Tables.documents(spark, Sf001)
+      .select(split(Tables.canonText(col("text")), " ").as("toks")).cache()
+    try {
+      val uni = docs.select(explode(col("toks")).as("w"))
+        .groupBy("w").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val n1 = uni.values.sum
+      val bigRows = docs.select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> named_struct('a', element_at(toks, i), 'b', element_at(toks, i + 1)))")).as("bg"))
+        .groupBy(col("bg.a"), col("bg.b")).count().collect()
+      val big = bigRows.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val n2 = big.values.sum
+      val out = TextQueries.t16PmiCollocations(spark, Sf001).collect()
+      assert(out.length == 30)
+      out.foreach { r =>
+        val (w1, w2) = (r.getString(0), r.getString(1))
+        val (cxy, cx, cy) = (r.getLong(2), r.getLong(3), r.getLong(4))
+        assert(cxy == big((w1, w2)) && cx == uni(w1) && cy == uni(w2))
+        assert(cxy >= 5 && cx >= cxy && cy >= cxy)
+        val pmi = math.floor(math.log((cxy.toDouble / n2) /
+          ((cx.toDouble / n1) * (cy.toDouble / n1))) * 10000.0 + 0.5) / 10000.0
+        assert(r.getDouble(5) == pmi, s"pmi mismatch for ($w1, $w2)")
+      }
+    } finally docs.unpersist()
+  }
+
+  test("p12: splits partition the corpus, audit pinned to zero, ~80/10/10") {
+    val rows = PipelineQueries.p12LeakageSplit(spark, Sf001).collect()
+    assert(rows.map(_.getString(0)).toSet == Set("train", "val", "test"))
+    val total = Tables.documents(spark, Sf001).count()
+    assert(rows.map(_.getLong(1)).sum == total, "every doc lands in exactly one split")
+    rows.foreach(r => assert(r.getLong(4) == 0, "no cluster may straddle splits"))
+    val train = rows.find(_.getString(0) == "train").get.getLong(1).toDouble / total
+    assert(train > 0.6 && train < 0.95, s"train fraction $train far from 0.8")
+  }
+
+  test("p12: near-dup pair members always share a split") {
+    // recompute the split rule over d06's cluster map and check both ends
+    // of every verified LSH pair agree — the leakage property itself, not
+    // just the aggregated audit column
+    val cluster = DedupQueries.d06DupClusters(spark, Sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def splitOf(c: Long): String = {
+      val hx = java.security.MessageDigest.getInstance("MD5")
+        .digest(c.toString.getBytes("UTF-8"))
+        .take(1).map("%02x".format(_)).mkString
+      if (hx < "cd") "train" else if (hx < "e6") "val" else "test"
+    }
+    val pairs = DedupQueries.d04MinhashLsh(spark, Sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(splitOf(cluster(a)) == splitOf(cluster(b)),
+        s"near-dup pair ($a, $b) straddles splits")
+    }
+  }
+
+  test("s10: fusion arithmetic and ordering hold on the emitted rows") {
+    val rows = SimilarityQueries.s10HybridRrf(spark, Sf001).collect()
+    assert(rows.length == 10)
+    var prev = Double.MaxValue
+    rows.foreach { r =>
+      val sr = if (r.isNullAt(1)) None else Some(r.getLong(1))
+      val dr = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      assert(sr.isDefined || dr.isDefined)
+      (sr ++ dr).foreach(x => assert(x >= 1 && x <= 20))
+      val expect = math.floor((sr.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        dr.map(x => 1.0 / (60 + x)).getOrElse(0.0)) * 1e6 + 0.5) / 1e6
+      assert(r.getDouble(3) == expect)
+      assert(r.getDouble(3) <= prev, "rows must be ordered by rrf desc")
+      prev = r.getDouble(3)
+    }
+  }
+
+  test("g01: ranks bounded below by the teleport base and deterministic") {
+    val base = 15L * 1000000000000L / 100L
+    val a = GraphQueries.g01PageRank(spark, Sf0001).collect()
+    assert(a.length == 20)
+    a.foreach { r =>
+      assert(r.getLong(2) >= base, "every node keeps at least the teleport mass")
+      val id = r.getLong(0)
+      if (r.getString(1) == "supplier") assert(id >= 1000000L) else assert(id < 1000000L)
+    }
+    // fixed-point arithmetic: a second run must be bit-identical
+    val b = GraphQueries.g01PageRank(spark, Sf0001).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
+
+  test("g01: high-degree hubs outrank leaves (suppliers lead at sf0.001)") {
+    // sf0.001 has 10 suppliers vs 1500 customers over ~5k distinct trade
+    // pairs — every supplier is a hub, so the top of the ranking must be
+    // supplier-dominated and the global top-1 a supplier
+    val rows = GraphQueries.g01PageRank(spark, Sf0001).collect()
+    assert(rows.head.getString(1) == "supplier")
+    assert(rows.take(10).count(_.getString(1) == "supplier") == 10)
+  }
+}
