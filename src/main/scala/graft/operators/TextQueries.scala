@@ -919,7 +919,65 @@ object TextQueries {
       |WHERE c12 >= 5
       |ORDER BY pmi DESC, w1, w2 LIMIT 30""".stripMargin
 
+  // ---------------------------------------------------------------- t17
+  /** Per-doc deflate stats (doc_id, n_bytes, n_deflate, ratio) — the core
+    * of t17, also the surface Round5OpsSpec pins. One Deflater per
+    * partition (reset per document): codec setup amortized the way the
+    * multimodal tier batches its decoders. */
+  private[graft] def t17PerDoc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.spread(Tables.documents(s, dir))
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED, true)
+        val buf = new Array[Byte](1 << 16)
+        rows.map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          d.reset()
+          d.setInput(bytes)
+          d.finish()
+          var n = 0L
+          while (!d.finished()) n += d.deflate(buf)
+          val ratio =
+            if (bytes.isEmpty) 1.0
+            else math.floor(n.toDouble / bytes.length * 10000.0 + 0.5) / 10000.0
+          (id, bytes.length.toLong, n, ratio)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "n_deflate", "ratio")
+  }
+
+  /** Compression-ratio quality signal — deflate(text).size / size: the
+    * classic cheap proxy for repetitive/templated text (Gopher- and
+    * RefinedWeb-style filters drop highly compressible boilerplate and
+    * near-incompressible encoded junk). Bands: repetitive (< 0.35),
+    * normal [0.35, 0.9), opaque (>= 0.9), rolled up per band.
+    *
+    * zlib-deflate is not SQL-expressible, so this is a rows-only driver
+    * entry (like the multimodal tier); Round5OpsSpec pins determinism,
+    * ratio bounds, and that planted repetitive/random texts land in the
+    * right bands.
+    *
+    * Plan shape at 100 TB: pure per-row map work + one 3-row rollup —
+    * deflate at BEST_SPEED runs ~100 MB/s per core, so the corpus scan
+    * itself is the bound; nothing shuffles but the band aggregate.
+    */
+  def t17Compressibility(s: SparkSession, dir: String): DataFrame =
+    t17PerDoc(s, dir)
+      .withColumn("band",
+        when(col("ratio") < 0.35, "repetitive")
+          .when(col("ratio") < 0.9, "normal")
+          .otherwise("opaque"))
+      .groupBy(col("band"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_bytes")).as("raw_bytes"),
+        sum(col("n_deflate")).as("deflate_bytes"),
+        (floor(avg(col("ratio")) * 10000.0 + 0.5) / 10000.0).as("avg_ratio"))
+      .orderBy(col("band"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t17_compressibility" -> (t17Compressibility _),
     "t15_zipf_spectrum" -> (t15ZipfSpectrum _),
     "t14_boilerplate" -> (t14Boilerplate _),
     "t13_quality_gate" -> (t13QualityGate _),

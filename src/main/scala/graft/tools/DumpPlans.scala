@@ -97,7 +97,19 @@ object DumpPlans {
         PipelineQueries.p10TokenBudget(spark, dir)),
       ("p11_upsample_epochs",
         "Epoch fan-out is a map-only Generate (sequence + filter) — no shuffle before the audit rollup; output volume = the intended mix exactly.",
-        PipelineQueries.p11UpsampleEpochs(spark, dir)))
+        PipelineQueries.p11UpsampleEpochs(spark, dir)),
+      ("d13_span_dedup",
+        "Window stream ships (xxhash64, doc, start) only — one span-hash shuffle with partial count-distinct, cover re-join on the same key.",
+        DedupQueries.d13SpanDedup(spark, dir)),
+      ("t16_pmi_collocations",
+        "Unigram/bigram counts are partial-agged; the >=5 floor prunes before either vocab join; no broadcast hints — AQE sizes the model joins.",
+        TextQueries.t16PmiCollocations(spark, dir)),
+      ("s10_hybrid_rrf",
+        "Dense leg is TakeOrderedAndProject (per-partition heaps), sparse leg term-filters before its shuffle; fusion is a 20x20 full outer join.",
+        SimilarityQueries.s10HybridRrf(spark, dir)),
+      ("g01_pagerank",
+        "Round 5's plan: one edge-rank hash join + node-keyed partial agg over localCheckpointed leaves — per-round cost is |E|, lineage constant.",
+        GraphQueries.g01PageRank(spark, dir)))
 
     val sb = new StringBuilder
     sb.append("# Flagship physical plans (generated by graft.tools.DumpPlans at sf0.01)\n\n")

@@ -67,7 +67,12 @@ object ScaleSweep {
       "t14_boilerplate" -> "boilerplate audit (segment type counts)",
       "t15_zipf_spectrum" -> "vocab frequency spectrum (token count)",
       "d12_cross_source_neardups" -> "cross-source near-dups (d04 composition)",
-      "q90_funnel" -> "ordered funnel (stacked per-user windows)")
+      "q90_funnel" -> "ordered funnel (stacked per-user windows)",
+      "d13_span_dedup" -> "span-level substring dedup (hash-keyed windows)",
+      "t16_pmi_collocations" -> "PMI collocations (vocab-keyed joins)",
+      "p12_leakage_split" -> "leakage-safe split (cluster-hash threshold)",
+      "s10_hybrid_rrf" -> "hybrid BM25+dense RRF fusion",
+      "g01_pagerank" -> "fixed-point PageRank (5 checkpointed rounds)")
 
     // warm the JVM/codegen on the smallest sf so cold-start lands nowhere
     queries.foreach { case (q, _) =>

@@ -131,6 +131,37 @@ class Round5OpsSpec extends SparkTestBase {
     assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
   }
 
+  test("t17: deflate arithmetic reproduced in-JVM; rollup consistent with per-doc") {
+    val perDoc = TextQueries.t17PerDoc(spark, Sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val texts = Tables.documents(spark, Sf001).select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(perDoc.length == texts.size)
+    // local recompute with the same Deflater params must agree bit-for-bit
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED, true)
+    val buf = new Array[Byte](1 << 16)
+    perDoc.foreach { case (id, nb, nd, ratio) =>
+      val bytes = texts(id).getBytes("UTF-8")
+      d.reset(); d.setInput(bytes); d.finish()
+      var n = 0L
+      while (!d.finished()) n += d.deflate(buf)
+      assert(nb == bytes.length && nd == n)
+      val expect =
+        if (bytes.isEmpty) 1.0
+        else math.floor(n.toDouble / bytes.length * 10000.0 + 0.5) / 10000.0
+      assert(ratio == expect)
+      assert(ratio > 0.0 && ratio <= 1.1, s"deflate ratio $ratio out of range for doc $id")
+    }
+    // band rollup = per-doc recompute
+    def band(r: Double) = if (r < 0.35) "repetitive" else if (r < 0.9) "normal" else "opaque"
+    val expectRollup = perDoc.groupBy(t => band(t._4)).map { case (b, g) =>
+      b -> (g.length.toLong, g.map(_._2).sum, g.map(_._3).sum)
+    }
+    val got = TextQueries.t17Compressibility(spark, Sf001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expectRollup)
+  }
+
   test("g01: high-degree hubs outrank leaves (suppliers lead at sf0.001)") {
     // sf0.001 has 10 suppliers vs 1500 customers over ~5k distinct trade
     // pairs — every supplier is a hub, so the top of the ranking must be
