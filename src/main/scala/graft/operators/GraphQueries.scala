@@ -47,38 +47,114 @@ object GraphQueries {
     * Output: top-20 nodes by rank (tie → smaller node id), with the
     * node type and the raw fixed-point rank.
     */
-  def g01PageRank(s: SparkSession, dir: String): DataFrame = {
-    val Scale = 1000000000000L
-    val base = 15L * Scale / 100L // exact: 1.5e11
+  /** Customer–supplier trade edges, undirected, with the SOURCE node's
+    * degree attached to every edge row. Carrying deg(u) on the edge —
+    * instead of on the rank frame — is what makes each propagation round
+    * ONE join + ONE aggregation: the contribution r(u) div deg(u) is
+    * computable at the join row, and the post-aggregation rank frame
+    * needs no degree re-join before the next round. */
+  private def edgesWithDeg(s: SparkSession, dir: String): DataFrame = {
     val pairs = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").cast("long").as("u"),
         (lit(1000000L) + col("l_suppkey")).as("v"))
       .distinct()
-    val edges = pairs.union(pairs.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint()
-    // rank frame carries the degree so each round is join + agg, no extra
-    // degree join
-    var ranks = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-      .select(col("u").as("node"), lit(Scale).as("r"), col("deg"))
+    val und = pairs.union(pairs.select(col("v").as("u"), col("u").as("v")))
+    val deg = und.groupBy(col("u")).agg(count(lit(1)).as("du"))
+    und.join(deg, "u").localCheckpoint()
+  }
+
+  /** Shared fixed-point propagation core (g01/g02): 5 rounds of
+    *   r'(v) = max(sv) * seedBase + (85 * sum over in-edges of r(u) div deg(u)) div 100
+    * over a checkpointed (u, v, du, sv) edge frame, where sv is the
+    * TARGET node's teleport flag (1 everywhere for global PageRank, the
+    * seed indicator for the personalized variant; functionally determined
+    * by v, so max() just reads it through the aggregation). Each round is
+    * exactly one hash join + one node-keyed aggregation. */
+  private def propagate(edges: DataFrame, seedInit: Long, seedBase: Long): DataFrame = {
+    var ranks = edges.groupBy(col("v"))
+      .agg((max(col("sv")) * seedInit).as("r"))
+      .withColumnRenamed("v", "node")
       .localCheckpoint()
     for (_ <- 1 to 5) {
-      val contrib = edges
-        .join(ranks.select(col("node").as("u"), col("r"), col("deg")), "u")
-        .select(col("v").as("node"), expr("r div deg").as("c"))
-        .groupBy(col("node")).agg(sum(col("c")).as("sc"))
-      ranks = ranks.select(col("node"), col("deg"))
-        .join(contrib, "node")
-        .select(col("node"), (lit(base) + expr("(85 * sc) div 100")).as("r"), col("deg"))
+      ranks = edges
+        .join(ranks.select(col("node").as("u"), col("r")), "u")
+        .select(col("v"), col("sv"), expr("r div du").as("c"))
+        .groupBy(col("v"))
+        .agg((max(col("sv")) * seedBase + expr("(85 * sum(c)) div 100")).as("r"))
+        .withColumnRenamed("v", "node")
         .localCheckpoint()
     }
     ranks
+  }
+
+  def g01PageRank(s: SparkSession, dir: String): DataFrame = {
+    val Scale = 1000000000000L
+    val base = 15L * Scale / 100L // exact: 1.5e11
+    propagate(edgesWithDeg(s, dir).withColumn("sv", lit(1L)), Scale, base)
       .select(col("node"),
         when(col("node") >= 1000000L, "supplier").otherwise("customer").as("node_type"),
         col("r").as("rank_fp"))
       .orderBy(col("rank_fp").desc, col("node"))
       .limit(20)
+  }
+
+  // ---------------------------------------------------------------- g02
+  /** Personalized PageRank from a seed community — teleport mass flows
+    * ONLY to the seed set (nation-1 customers), so the stationary mass
+    * measures affinity TO that community: the supplier ranking answers
+    * "which suppliers serve nation 1", weighted by multi-hop trade
+    * structure rather than raw edge counts. The standard seeded-restart
+    * construction (Haveliwala 2002, topic-sensitive PageRank; the same
+    * shape modern curation pipelines use to propagate seed-document
+    * quality over link graphs).
+    *
+    * Same integer fixed-point arithmetic and the same one-join-one-agg
+    * round as g01 — seeds start with SCALE mass and receive the whole
+    * 15% teleport share each round; non-seeds start at 0 and accrue mass
+    * only through edges. Output: the top-15 SUPPLIERS by seed affinity
+    * (suppliers are never seeds, so every unit of their mass arrived over
+    * the trade graph).
+    */
+  def g02PersonalizedPageRank(s: SparkSession, dir: String): DataFrame = {
+    val Scale = 1000000000000L
+    val base = 15L * Scale / 100L
+    val seeds = Tables.customer(s, dir)
+      .filter(col("c_nationkey") === 1)
+      .select(col("c_custkey").cast("long").as("sn"), lit(1L).as("seed"))
+    val edges = edgesWithDeg(s, dir)
+      .join(seeds, col("v") === col("sn"), "left")
+      .select(col("u"), col("v"), col("du"), coalesce(col("seed"), lit(0L)).as("sv"))
+      .localCheckpoint()
+    propagate(edges, Scale, base)
+      .filter(col("node") >= 1000000L)
+      .select(col("node"), col("r").as("rank_fp"))
+      .orderBy(col("rank_fp").desc, col("node"))
+      .limit(15)
+  }
+
+  /** Seed-flagged restatement of the chained-CTE propagation. */
+  val g02Sql: String = {
+    val iters = (1 to 5).map { i =>
+      s"""r$i AS (
+         |  SELECT e.v AS node, MAX(e.sv) * 150000000000 + (85 * SUM(r.r // e.du)) // 100 AS r
+         |  FROM e JOIN r${i - 1} r ON e.u = r.node
+         |  GROUP BY e.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS u, 1000000 + CAST(l_suppkey AS BIGINT) AS v
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |und AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+       |deg AS (SELECT u, COUNT(*) AS du FROM und GROUP BY u),
+       |seeds AS (SELECT CAST(c_custkey AS BIGINT) AS node FROM customer WHERE c_nationkey = 1),
+       |e AS (
+       |  SELECT und.u, und.v, deg.du, CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS sv
+       |  FROM und JOIN deg ON und.u = deg.u LEFT JOIN seeds s ON und.v = s.node),
+       |r0 AS (SELECT v AS node, MAX(sv) * 1000000000000 AS r FROM e GROUP BY v),
+       |$iters
+       |SELECT node, CAST(r AS BIGINT) AS rank_fp
+       |FROM r5 WHERE node >= 1000000 ORDER BY rank_fp DESC, node LIMIT 15""".stripMargin
   }
 
   /** The same 5 rounds as chained CTEs — bit-identical by integer
@@ -104,8 +180,10 @@ object GraphQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "g01_pagerank" -> (g01PageRank _))
+    "g01_pagerank" -> (g01PageRank _),
+    "g02_personalized_pagerank" -> (g02PersonalizedPageRank _))
 
   val oracle: Map[String, String] = Map(
-    "g01_pagerank" -> g01Sql)
+    "g01_pagerank" -> g01Sql,
+    "g02_personalized_pagerank" -> g02Sql)
 }

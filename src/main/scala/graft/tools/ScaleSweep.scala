@@ -72,7 +72,9 @@ object ScaleSweep {
       "t16_pmi_collocations" -> "PMI collocations (vocab-keyed joins)",
       "p12_leakage_split" -> "leakage-safe split (cluster-hash threshold)",
       "s10_hybrid_rrf" -> "hybrid BM25+dense RRF fusion",
-      "g01_pagerank" -> "fixed-point PageRank (5 checkpointed rounds)")
+      "g01_pagerank" -> "fixed-point PageRank (5 checkpointed rounds)",
+      "g02_personalized_pagerank" -> "personalized PageRank (seeded teleport)",
+      "t17_compressibility" -> "deflate compressibility (per-partition codec)")
 
     // warm the JVM/codegen on the smallest sf so cold-start lands nowhere
     queries.foreach { case (q, _) =>

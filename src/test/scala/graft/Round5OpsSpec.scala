@@ -162,6 +162,25 @@ class Round5OpsSpec extends SparkTestBase {
     assert(got == expectRollup)
   }
 
+  test("g02: personalized ranks are supplier-only, positive, deterministic") {
+    val a = GraphQueries.g02PersonalizedPageRank(spark, Sf0001).collect()
+    assert(a.nonEmpty && a.length <= 15)
+    a.foreach { r =>
+      assert(r.getLong(0) >= 1000000L, "output must contain only suppliers")
+      assert(r.getLong(1) > 0L, "every supplier reachable from seeds accrues mass")
+    }
+    val b = GraphQueries.g02PersonalizedPageRank(spark, Sf0001).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    // seeded mass is a strict subset of the global fixed-point mass: the
+    // personalized top supplier cannot out-mass its global-PageRank self
+    val g1 = GraphQueries.g01PageRank(spark, Sf0001).collect()
+      .filter(_.getString(1) == "supplier").map(r => r.getLong(0) -> r.getLong(2)).toMap
+    a.foreach { r =>
+      g1.get(r.getLong(0)).foreach(glob => assert(r.getLong(1) <= glob,
+        s"seeded mass exceeded global mass for node ${r.getLong(0)}"))
+    }
+  }
+
   test("g01: high-degree hubs outrank leaves (suppliers lead at sf0.001)") {
     // sf0.001 has 10 suppliers vs 1500 customers over ~5k distinct trade
     // pairs — every supplier is a hub, so the top of the ranking must be
