@@ -877,7 +877,115 @@ object SimilarityQueries {
       |FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id
       |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------- s11
+  /** K-means topic-mixture audit — Lloyd's algorithm run EXACTLY, with a
+    * bit-matching SQL oracle: k = 8 centroids seeded from vec_id 0..7,
+    * two update rounds (cosine argmax assignment -> DECIMAL-exact per-dim
+    * centroid means, s08's determinism recipe) and a final assignment,
+    * rolled up per (cluster, source) against the documents table — the
+    * "what topics does my corpus hold, per source" curation surface
+    * (SemDeDup-style cluster-then-curate starts exactly like this).
+    *
+    * Every arithmetic step is order-independent: assignment cosines are
+    * the same IEEE fold both engines run (graft_cosine keeps the HOF
+    * accumulation order), argmax is a rank-1 window with the cell-id
+    * tiebreak, and centroid means go through DECIMAL sums (Tables.davg /
+    * VARCHAR-round-trip in DuckDB). Empty clusters (impossible with these
+    * seeds, handled anyway) keep their previous centroid via the LEFT
+    * JOIN + COALESCE, identically in both engines — so three rounds of
+    * genuinely iterative ML hash-match the oracle.
+    *
+    * Plan shape at 100 TB: per round, ONE broadcast of k x 64 doubles
+    * against the corpus scan (the window is 8 rows per vec_id — no
+    * corpus-wide window), one (cell, dim)-keyed partial-agged mean
+    * shuffle; lineage cut per round with localCheckpoint. That is the
+    * standard distributed Lloyd's layout — cost k·d per row map-side,
+    * k·d rows per shuffle.
+    */
+  def s11KmeansTopics(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.spread(Tables.embeddings(s, dir))
+      .select(col("vec_id"), embD.as("v")).cache()
+    try {
+      e.count() // seeds, every assignment pass, and the rollup read it
+      var cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cell"),
+          posexplode(col("v")).as(Seq("dim", "m")))
+        .localCheckpoint()
+      def assign(c: DataFrame): DataFrame = {
+        val carr = c.groupBy(col("cell"))
+          .agg(expr("transform(array_sort(collect_list(struct(dim, m))), t -> t.m)").as("cv"))
+        val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cell"))
+        e.crossJoin(broadcast(carr))
+          .withColumn("cos", expr("graft_cosine(v, cv)"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("v"), col("cell"))
+      }
+      for (_ <- 1 to 2) {
+        val upd = assign(cents)
+          .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+          .groupBy(col("cell"), col("dim")).agg(Tables.davg(col("x")).as("mn"))
+        cents = cents.select(col("cell"), col("dim"), col("m").as("om"))
+          .join(upd, Seq("cell", "dim"), "left")
+          .select(col("cell"), col("dim"), coalesce(col("mn"), col("om")).as("m"))
+          .localCheckpoint()
+      }
+      val byCluster = Window.partitionBy(col("cluster"))
+      assign(cents)
+        .join(Tables.documents(s, dir).select(col("doc_id").as("vec_id"), col("source")), "vec_id")
+        .groupBy(col("cell").as("cluster"), col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("cluster_total", sum(col("n_docs")).over(byCluster))
+        .orderBy(col("cluster"), col("source"))
+        .localCheckpoint() // materialize before the cache below is released
+    } finally {
+      e.unpersist()
+    }
+  }
+
+  /** The same two updates + final assignment as chained CTEs. */
+  val s11Sql: String = {
+    val cos = (v: String, c: String) =>
+      s"""list_reduce(list_transform(generate_series(1, 64), j -> $v[j] * $c[j]), (x, y) -> x + y)
+         |          / (SQRT(list_reduce(list_transform(generate_series(1, 64), j -> $v[j] * $v[j]), (x, y) -> x + y))
+         |             * SQRT(list_reduce(list_transform(generate_series(1, 64), j -> $c[j] * $c[j]), (x, y) -> x + y)))""".stripMargin
+    def assignCte(i: Int): String =
+      s"""a$i AS (
+         |  SELECT vec_id, v, cell FROM (
+         |    SELECT e.vec_id, e.v, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${cos("e.v", "c.cv")} DESC, c.cell) AS rn
+         |    FROM e CROSS JOIN carr${i - 1} c) WHERE rn = 1)""".stripMargin
+    def updateCte(i: Int): String =
+      s"""cent$i AS (
+         |  SELECT p.cell, p.dim, COALESCE(u.mn, p.m) AS m
+         |  FROM cent${i - 1} p LEFT JOIN (
+         |    SELECT cell, j AS dim,
+         |      CAST(CAST(SUM(CAST(v[j] AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS mn
+         |    FROM a$i, unnest(generate_series(1, 64)) AS g(j) GROUP BY cell, j) u
+         |  ON p.cell = u.cell AND p.dim = u.dim),
+         |carr$i AS (SELECT cell, list(m ORDER BY dim) AS cv FROM cent$i GROUP BY cell)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cent0 AS (
+       |  SELECT CAST(vec_id AS INT) AS cell, j AS dim, v[j] AS m
+       |  FROM e, unnest(generate_series(1, 64)) AS g(j) WHERE vec_id < 8),
+       |carr0 AS (SELECT cell, list(m ORDER BY dim) AS cv FROM cent0 GROUP BY cell),
+       |${assignCte(1)},
+       |${updateCte(1)},
+       |${assignCte(2)},
+       |${updateCte(2)},
+       |${assignCte(3)}
+       |SELECT a3.cell AS cluster, d.source, COUNT(*) AS n_docs,
+       |  CAST(SUM(COUNT(*)) OVER (PARTITION BY a3.cell) AS BIGINT) AS cluster_total
+       |FROM a3 JOIN documents d ON a3.vec_id = d.doc_id
+       |GROUP BY a3.cell, d.source
+       |ORDER BY cluster, d.source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s11_kmeans_topics" -> (s11KmeansTopics _),
     "s10_hybrid_rrf" -> (s10HybridRrf _),
     "s09_quantized_ann" -> (s09QuantizedAnn _),
     "s08_label_centroids" -> (s08LabelCentroids _),
@@ -890,6 +998,7 @@ object SimilarityQueries {
     "s06_ann_verified" -> (s06AnnVerified _))
 
   val oracle: Map[String, String] = Map(
+    "s11_kmeans_topics" -> s11Sql,
     "s10_hybrid_rrf" -> s10Sql,
     "s09_quantized_ann" -> s09Sql,
     "s08_label_centroids" -> s08Sql,

@@ -109,7 +109,10 @@ object DumpPlans {
         SimilarityQueries.s10HybridRrf(spark, dir)),
       ("g01_pagerank",
         "Round 5's plan: one edge-rank hash join + node-keyed partial agg over localCheckpointed leaves — per-round cost is |E|, lineage constant.",
-        GraphQueries.g01PageRank(spark, dir)))
+        GraphQueries.g01PageRank(spark, dir)),
+      ("s11_kmeans_topics",
+        "Final Lloyd's pass: k x 64 centroid array enters via BroadcastNestedLoopJoin; the argmax window is 8 rows per vec_id; rollup is (cluster, source)-keyed.",
+        SimilarityQueries.s11KmeansTopics(spark, dir)))
 
     val sb = new StringBuilder
     sb.append("# Flagship physical plans (generated by graft.tools.DumpPlans at sf0.01)\n\n")

@@ -74,7 +74,8 @@ object ScaleSweep {
       "s10_hybrid_rrf" -> "hybrid BM25+dense RRF fusion",
       "g01_pagerank" -> "fixed-point PageRank (5 checkpointed rounds)",
       "g02_personalized_pagerank" -> "personalized PageRank (seeded teleport)",
-      "t17_compressibility" -> "deflate compressibility (per-partition codec)")
+      "t17_compressibility" -> "deflate compressibility (per-partition codec)",
+      "s11_kmeans_topics" -> "exact Lloyd's k-means (3 broadcast rounds)")
 
     // warm the JVM/codegen on the smallest sf so cold-start lands nowhere
     queries.foreach { case (q, _) =>

@@ -181,6 +181,21 @@ class Round5OpsSpec extends SparkTestBase {
     }
   }
 
+  test("s11: k-means rollup conserves the corpus and clusters are genuinely used") {
+    val rows = SimilarityQueries.s11KmeansTopics(spark, Sf001).collect()
+    val total = Tables.documents(spark, Sf001).count()
+    assert(rows.map(_.getLong(2)).sum == total, "every doc lands in exactly one cluster cell")
+    // cluster_total must equal the sum of its (cluster, source) rows
+    rows.groupBy(_.getInt(0)).foreach { case (_, g) =>
+      assert(g.map(_.getLong(2)).sum == g.head.getLong(3))
+    }
+    val used = rows.map(_.getInt(0)).distinct.length
+    assert(used >= 2, s"Lloyd's must keep >= 2 populated clusters, got $used")
+    // determinism: iterative DECIMAL means + seeded init => bit-stable
+    val again = SimilarityQueries.s11KmeansTopics(spark, Sf001).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("g01: high-degree hubs outrank leaves (suppliers lead at sf0.001)") {
     // sf0.001 has 10 suppliers vs 1500 customers over ~5k distinct trade
     // pairs — every supplier is a hub, so the top of the ranking must be
