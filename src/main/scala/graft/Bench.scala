@@ -36,7 +36,9 @@ object Bench {
       "s06_ann_verified" -> warmSf,
       "ml01_lr_metrics" -> warmSf, // MLlib fit path (BLAS init, LBFGS classes)
       "q41_fuzzy_names" -> warmSf,
-      "q67_nested_structs" -> warmSf
+      "q67_nested_structs" -> warmSf,
+      "g01_pagerank" -> warmSf, // iterative join+agg round shapes
+      "t17_compressibility" -> warmSf // Deflater JNI + Dataset codec path
     ).foreach { case (q, dir) =>
       try SparkEntry.queries(q)(spark, dir).count()
       catch { case _: Throwable => () }

@@ -903,45 +903,53 @@ object SimilarityQueries {
     * k·d rows per shuffle.
     */
   def s11KmeansTopics(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
     val e = Tables.spread(Tables.embeddings(s, dir))
       .select(col("vec_id"), embD.as("v")).cache()
     try {
       e.count() // seeds, every assignment pass, and the rollup read it
-      var cents = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("cell"),
-          posexplode(col("v")).as(Seq("dim", "m")))
-        .localCheckpoint()
-      def assign(c: DataFrame): DataFrame = {
-        val carr = c.groupBy(col("cell"))
-          .agg(expr("transform(array_sort(collect_list(struct(dim, m))), t -> t.m)").as("cv"))
-        val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cell"))
-        e.crossJoin(broadcast(carr))
-          .withColumn("cos", expr("graft_cosine(v, cv)"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("v"), col("cell"))
-      }
-      for (_ <- 1 to 2) {
-        val upd = assign(cents)
-          .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
-          .groupBy(col("cell"), col("dim")).agg(Tables.davg(col("x")).as("mn"))
-        cents = cents.select(col("cell"), col("dim"), col("m").as("om"))
-          .join(upd, Seq("cell", "dim"), "left")
-          .select(col("cell"), col("dim"), coalesce(col("mn"), col("om")).as("m"))
-          .localCheckpoint()
-      }
-      val byCluster = Window.partitionBy(col("cluster"))
-      assign(cents)
-        .join(Tables.documents(s, dir).select(col("doc_id").as("vec_id"), col("source")), "vec_id")
-        .groupBy(col("cell").as("cluster"), col("source"))
-        .agg(count(lit(1)).as("n_docs"))
-        .withColumn("cluster_total", sum(col("n_docs")).over(byCluster))
-        .orderBy(col("cluster"), col("source"))
+      s11Build(s, dir, e)
         .localCheckpoint() // materialize before the cache below is released
     } finally {
       e.unpersist()
     }
+  }
+
+  /** Lazy body over an explicit (cached) embedding frame — also the
+    * surface DumpPlans explains, so the final-pass plan (broadcast
+    * centroids, 8-row argmax window, rollup) is visible instead of a
+    * checkpoint leaf. */
+  private[graft] def s11Build(s: SparkSession, dir: String, e: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    var cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cell"),
+        posexplode(col("v")).as(Seq("dim", "m")))
+      .localCheckpoint()
+    def assign(c: DataFrame): DataFrame = {
+      val carr = c.groupBy(col("cell"))
+        .agg(expr("transform(array_sort(collect_list(struct(dim, m))), t -> t.m)").as("cv"))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cell"))
+      e.crossJoin(broadcast(carr))
+        .withColumn("cos", expr("graft_cosine(v, cv)"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("v"), col("cell"))
+    }
+    for (_ <- 1 to 2) {
+      val upd = assign(cents)
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim")).agg(Tables.davg(col("x")).as("mn"))
+      cents = cents.select(col("cell"), col("dim"), col("m").as("om"))
+        .join(upd, Seq("cell", "dim"), "left")
+        .select(col("cell"), col("dim"), coalesce(col("mn"), col("om")).as("m"))
+        .localCheckpoint()
+    }
+    val byCluster = Window.partitionBy(col("cluster"))
+    assign(cents)
+      .join(Tables.documents(s, dir).select(col("doc_id").as("vec_id"), col("source")), "vec_id")
+      .groupBy(col("cell").as("cluster"), col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("cluster_total", sum(col("n_docs")).over(byCluster))
+      .orderBy(col("cluster"), col("source"))
   }
 
   /** The same two updates + final assignment as chained CTEs. */

@@ -111,8 +111,11 @@ object DumpPlans {
         "Round 5's plan: one edge-rank hash join + node-keyed partial agg over localCheckpointed leaves — per-round cost is |E|, lineage constant.",
         GraphQueries.g01PageRank(spark, dir)),
       ("s11_kmeans_topics",
-        "Final Lloyd's pass: k x 64 centroid array enters via BroadcastNestedLoopJoin; the argmax window is 8 rows per vec_id; rollup is (cluster, source)-keyed.",
-        SimilarityQueries.s11KmeansTopics(spark, dir)))
+        "Final Lloyd's pass: k x 64 centroid array enters via a broadcast join; the argmax window is 8 rows per vec_id; rollup is (cluster, source)-keyed.",
+        SimilarityQueries.s11Build(spark, dir,
+          graft.Tables.spread(graft.Tables.embeddings(spark, dir))
+            .select(org.apache.spark.sql.functions.col("vec_id"),
+              org.apache.spark.sql.functions.expr("transform(embedding, x -> cast(x as double))").as("v")))))
 
     val sb = new StringBuilder
     sb.append("# Flagship physical plans (generated by graft.tools.DumpPlans at sf0.01)\n\n")
