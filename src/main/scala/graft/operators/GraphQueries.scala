@@ -38,9 +38,10 @@ object GraphQueries {
     *
     * Plan shape at 100 TB: the edge list (distinct key pairs — 16 bytes a
     * row) is shuffled ONCE into existence, localCheckpointed (cluster:
-    * durable checkpoint), and each round is one edge⨝rank hash join plus
-    * one node-keyed aggregation — the d06 discipline: lineage truncated
-    * per round, cost linear in |E| per round, rounds fixed. Degrees ride
+    * durable checkpoint) because all 5 rounds read it, and each round is
+    * one edge⨝rank hash join plus one node-keyed aggregation, composed
+    * into a single 10-stage plan (see [[propagate]] for why the fixed
+    * round count skips d06's per-round checkpoints). Degrees ride
     * along inside the rank frame (rank AND degree keyed by node), so a
     * round shuffles |E| contribution rows and nothing else.
     *
@@ -71,12 +72,19 @@ object GraphQueries {
     * TARGET node's teleport flag (1 everywhere for global PageRank, the
     * seed indicator for the personalized variant; functionally determined
     * by v, so max() just reads it through the aggregation). Each round is
-    * exactly one hash join + one node-keyed aggregation. */
+    * exactly one hash join + one node-keyed aggregation.
+    *
+    * The FIXED round count composes all 5 rounds into one Catalyst plan
+    * (10 shuffle stages over the checkpointed edge leaf) instead of
+    * materializing |V| rank rows per round the way d06's
+    * convergence-tested loop must: when the iteration bound is static
+    * and small, the composed plan skips 5 RDD materialize/read cycles —
+    * the d06 checkpoint discipline is for DYNAMIC loops whose plans
+    * would otherwise grow without bound. */
   private def propagate(edges: DataFrame, seedInit: Long, seedBase: Long): DataFrame = {
     var ranks = edges.groupBy(col("v"))
       .agg((max(col("sv")) * seedInit).as("r"))
       .withColumnRenamed("v", "node")
-      .localCheckpoint()
     for (_ <- 1 to 5) {
       ranks = edges
         .join(ranks.select(col("node").as("u"), col("r")), "u")
@@ -84,7 +92,6 @@ object GraphQueries {
         .groupBy(col("v"))
         .agg((max(col("sv")) * seedBase + expr("(85 * sum(c)) div 100")).as("r"))
         .withColumnRenamed("v", "node")
-        .localCheckpoint()
     }
     ranks
   }

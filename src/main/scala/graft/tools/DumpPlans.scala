@@ -108,7 +108,7 @@ object DumpPlans {
         "Dense leg is TakeOrderedAndProject (per-partition heaps), sparse leg term-filters before its shuffle; fusion is a 20x20 full outer join.",
         SimilarityQueries.s10HybridRrf(spark, dir)),
       ("g01_pagerank",
-        "Round 5's plan: one edge-rank hash join + node-keyed partial agg over localCheckpointed leaves — per-round cost is |E|, lineage constant.",
+        "All 5 rounds compose into ONE plan: a 10-stage join+agg stack over the single checkpointed edge leaf — no per-round materialization (fixed round count).",
         GraphQueries.g01PageRank(spark, dir)),
       ("s11_kmeans_topics",
         "Final Lloyd's pass: k x 64 centroid array enters via a broadcast join; the argmax window is 8 rows per vec_id; rollup is (cluster, source)-keyed.",
