@@ -148,6 +148,35 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("s10: both retrieval legs bound their lists with TakeOrderedAndProject") {
+    val p = plan(SimilarityQueries.s10HybridRrf(spark, Sf0001))
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("d13: the span shuffle carries xxhash64 keys, never span text") {
+    val p = plan(graft.operators.DedupQueries.d13SpanDedup(spark, Sf0001))
+    assert(p.contains("xxhash64"), "span windows must be hashed before the exchange")
+    // the only string-typed work is the tokenizer projection below the hash;
+    // no concat_ws may appear ABOVE an Exchange (i.e., flow through a shuffle)
+    val lines = p.linesIterator.toSeq
+    val firstExchange = lines.indexWhere(_.contains("Exchange"))
+    assert(firstExchange >= 0)
+    assert(!lines.take(firstExchange).exists(_.contains("concat_ws")),
+      "span text leaked above an exchange")
+  }
+
+  test("g01: fixed rounds compose into one plan over the checkpointed edge leaf") {
+    val df = graft.operators.GraphQueries.g01PageRank(spark, Sf0001)
+    val p = plan(df)
+    // per-round checkpoints would leave exactly ONE ExistingRDD leaf (the
+    // final ranks); the composed plan references the edge leaf once per
+    // round — so multiple leaf scans prove the rounds fused
+    val leafScans = "Scan ExistingRDD".r.findAllIn(p).size
+    assert(leafScans >= 5, s"expected the 5 composed rounds to reread the edge leaf, saw $leafScans")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 must be heap-based")
+  }
+
   test("LevenshteinGuard rule derives the length guard and preserves results") {
     def q = Tables.part(spark, Sf0001)
       .filter(levenshtein(col("p_name"), lit("steel plate")) <= 3)
