@@ -196,6 +196,32 @@ class Round5OpsSpec extends SparkTestBase {
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("g01: distributed fixed-point ranks equal a sequential in-memory reference") {
+    // independent single-threaded implementation of the same integer
+    // recurrence over the same derived graph — validates the distributed
+    // join/agg loop against plain Scala, not just against DuckDB's SQL
+    val o = Tables.orders(spark, Sf0001).select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(spark, Sf0001).select(col("l_orderkey"), col("l_suppkey"))
+    val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").cast("long"), (lit(1000000L) + col("l_suppkey")).cast("long"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val und = pairs ++ pairs.map(p => (p._2, p._1))
+    val deg = und.groupBy(_._1).map { case (u, es) => u -> es.length.toLong }
+    val Scale = 1000000000000L
+    val base = 15L * Scale / 100L
+    var r = deg.keys.map(_ -> Scale).toMap
+    for (_ <- 1 to 5) {
+      val in = und.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => r(u) / deg(u) }.sum
+      }
+      r = r.keys.map(v => v -> (base + 85L * in(v) / 100L)).toMap
+    }
+    val expectTop = r.toSeq.sortBy { case (n, rk) => (-rk, n) }.take(20)
+    val got = GraphQueries.g01PageRank(spark, Sf0001).collect()
+      .map(row => (row.getLong(0), row.getLong(2))).toSeq
+    assert(got == expectTop, "distributed top-20 diverged from the sequential reference")
+  }
+
   test("g01: high-degree hubs outrank leaves (suppliers lead at sf0.001)") {
     // sf0.001 has 10 suppliers vs 1500 customers over ~5k distinct trade
     // pairs — every supplier is a hub, so the top of the ranking must be
