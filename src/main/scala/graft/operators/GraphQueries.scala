@@ -186,11 +186,65 @@ object GraphQueries {
        |FROM r5 ORDER BY rank_fp DESC, node LIMIT 20""".stripMargin
   }
 
+  // ---------------------------------------------------------------- g03
+  /** Co-purchase motif counting — wedges and butterflies on the bipartite
+    * customer–supplier graph: for each supplier PAIR, the number of
+    * shared customers (wedge count through a common customer) and the
+    * butterfly count C(shared, 2) — the bipartite clustering primitive
+    * (Wang et al., "Butterfly Counting in Bipartite Networks"). The
+    * curation reading: supplier pairs with high butterfly counts are
+    * near-interchangeable in demand structure — the graph analogue of the
+    * d08 source-duplication matrix.
+    *
+    * Plan shape at 100 TB: the wedge join is a SELF-JOIN KEYED ON THE
+    * CUSTOMER — fan-out per customer is C(deg, 2), bounded by per-key
+    * degree, not corpus size. Degenerate hub customers (deg in the
+    * thousands) are capped upstream in production by a per-key degree
+    * cutoff before pairing — the standard wedge-sampling guard; the cap
+    * is a filter on the same degree frame g01 already computes. The
+    * pair aggregation shuffles (s1, s2) keys only.
+    */
+  def g03CopurchaseMotifs(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").cast("long").as("c"), col("l_suppkey").cast("long").as("sp"))
+      .distinct()
+      .cache()
+    try {
+      pairs.count() // both sides of the wedge self-join read it
+      val a = pairs.select(col("c"), col("sp").as("s1"))
+      val b = pairs.select(col("c").as("c_b"), col("sp").as("s2"))
+      a.join(b, col("c") === col("c_b") && col("s1") < col("s2"))
+        .groupBy(col("s1"), col("s2"))
+        .agg(count(lit(1)).as("shared_customers"))
+        .withColumn("butterflies",
+          expr("shared_customers * (shared_customers - 1) div 2"))
+        .orderBy(col("shared_customers").desc, col("s1"), col("s2"))
+        .limit(20)
+        .localCheckpoint() // materialize before the cache below is released
+    } finally {
+      pairs.unpersist()
+    }
+  }
+
+  val g03Sql: String =
+    """WITH pe AS (
+      |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS c, CAST(l_suppkey AS BIGINT) AS sp
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+      |SELECT a.sp AS s1, b.sp AS s2, COUNT(*) AS shared_customers,
+      |  CAST(COUNT(*) * (COUNT(*) - 1) // 2 AS BIGINT) AS butterflies
+      |FROM pe a JOIN pe b ON a.c = b.c AND a.sp < b.sp
+      |GROUP BY a.sp, b.sp
+      |ORDER BY shared_customers DESC, s1, s2 LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_pagerank" -> (g01PageRank _),
-    "g02_personalized_pagerank" -> (g02PersonalizedPageRank _))
+    "g02_personalized_pagerank" -> (g02PersonalizedPageRank _),
+    "g03_copurchase_motifs" -> (g03CopurchaseMotifs _))
 
   val oracle: Map[String, String] = Map(
     "g01_pagerank" -> g01Sql,
-    "g02_personalized_pagerank" -> g02Sql)
+    "g02_personalized_pagerank" -> g02Sql,
+    "g03_copurchase_motifs" -> g03Sql)
 }

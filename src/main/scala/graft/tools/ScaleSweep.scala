@@ -75,7 +75,8 @@ object ScaleSweep {
       "g01_pagerank" -> "fixed-point PageRank (5 checkpointed rounds)",
       "g02_personalized_pagerank" -> "personalized PageRank (seeded teleport)",
       "t17_compressibility" -> "deflate compressibility (per-partition codec)",
-      "s11_kmeans_topics" -> "exact Lloyd's k-means (3 broadcast rounds)")
+      "s11_kmeans_topics" -> "exact Lloyd's k-means (3 broadcast rounds)",
+      "g03_copurchase_motifs" -> "butterfly motifs (customer-keyed wedge join)")
 
     // warm the JVM/codegen on the smallest sf so cold-start lands nowhere
     queries.foreach { case (q, _) =>
