@@ -709,7 +709,58 @@ object PipelineQueries {
       |FROM sp s JOIN sizes z USING (cluster_id) CROSS JOIN leak
       |GROUP BY split, leaky_clusters ORDER BY split""".stripMargin
 
+  // ---------------------------------------------------------------- p13
+  /** Curated-corpus composition — the round-5 signals chained the way a
+    * pretraining pipeline gates a shard: a document survives iff it
+    * passes t13's composite quality gate AND d13's span-dedup keep rule
+    * (< 30% of its tokens inside cross-document repeated 8-token spans).
+    * The rollup attributes every drop to quality-only / span-only / both
+    * — the triage view a curation run reports per source.
+    *
+    * Composition is BY REFERENCE: the Spark side calls the two public
+    * operators and joins their outputs (doc_id-keyed), and the oracle
+    * embeds the SAME t13Sql/d13Sql texts as nested CTE bodies — the gate
+    * definitions cannot drift from their standalone, separately-oracled
+    * forms. Scale: both inputs end doc_id-keyed, so the join adds no new
+    * corpus-wide shuffle beyond what its components already pay.
+    */
+  def p13CuratedCorpus(s: SparkSession, dir: String): DataFrame = {
+    val quality = TextQueries.t13QualityGate(s, dir).select(col("doc_id"), col("passes"))
+    val spans = DedupQueries.d13SpanDedup(s, dir)
+      .select(col("doc_id"), col("keep"), col("n_toks"))
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    src.join(quality, "doc_id").join(spans, "doc_id")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("passes") && col("keep"), 1L).otherwise(0L)).as("n_survivors"),
+        sum(when(col("passes") && col("keep"), col("n_toks")).otherwise(0L)).as("survivor_tokens"),
+        sum(when(!col("passes") && col("keep"), 1L).otherwise(0L)).as("fail_quality_only"),
+        sum(when(col("passes") && !col("keep"), 1L).otherwise(0L)).as("fail_span_only"),
+        sum(when(!col("passes") && !col("keep"), 1L).otherwise(0L)).as("fail_both"))
+      .orderBy(col("source"))
+  }
+
+  val p13Sql: String =
+    s"""WITH q AS (
+       |${TextQueries.t13Sql}
+       |),
+       |sd AS (
+       |${DedupQueries.d13Sql}
+       |),
+       |src AS (SELECT doc_id, source FROM documents)
+       |SELECT source,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN passes AND keep THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+       |  CAST(SUM(CASE WHEN passes AND keep THEN sd.n_toks ELSE 0 END) AS BIGINT) AS survivor_tokens,
+       |  CAST(SUM(CASE WHEN NOT passes AND keep THEN 1 ELSE 0 END) AS BIGINT) AS fail_quality_only,
+       |  CAST(SUM(CASE WHEN passes AND NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS fail_span_only,
+       |  CAST(SUM(CASE WHEN NOT passes AND NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS fail_both
+       |FROM src JOIN q USING (doc_id) JOIN sd USING (doc_id)
+       |GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p13_curated_corpus" -> (p13CuratedCorpus _),
     "p12_leakage_split" -> (p12LeakageSplit _),
     "p11_upsample_epochs" -> (p11UpsampleEpochs _),
     "p10_token_budget" -> (p10TokenBudget _),
@@ -724,6 +775,7 @@ object PipelineQueries {
     "p04_sequence_packing" -> (p04SequencePacking _))
 
   val oracle: Map[String, String] = Map(
+    "p13_curated_corpus" -> p13Sql,
     "p12_leakage_split" -> p12Sql,
     "p11_upsample_epochs" -> p11Sql,
     "p10_token_budget" -> p10Sql,
