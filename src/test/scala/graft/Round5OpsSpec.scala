@@ -222,6 +222,35 @@ class Round5OpsSpec extends SparkTestBase {
     assert(got == expectTop, "distributed top-20 diverged from the sequential reference")
   }
 
+  test("p13: drop attribution partitions every source's documents exactly") {
+    val rows = PipelineQueries.p13CuratedCorpus(spark, Sf001).collect()
+    rows.foreach { r =>
+      val (n, surv, fq, fs, fb) =
+        (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(surv + fq + fs + fb == n,
+        s"source ${r.getString(0)}: attribution classes must partition its docs")
+    }
+    val total = Tables.documents(spark, Sf001).count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    // composition really gates: survivors are a strict subset somewhere
+    assert(rows.map(_.getLong(2)).sum < total)
+  }
+
+  test("g03: butterfly arithmetic and wedge bounds hold on the emitted pairs") {
+    val nCust = Tables.customer(spark, Sf0001).count()
+    val rows = GraphQueries.g03CopurchaseMotifs(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    var prev = Long.MaxValue
+    rows.foreach { r =>
+      val (s1, s2, shared, bf) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(s1 < s2, "pair must be normalized")
+      assert(shared >= 1 && shared <= nCust, "wedge count bounded by the customer universe")
+      assert(bf == shared * (shared - 1) / 2, "butterflies must equal C(shared, 2)")
+      assert(shared <= prev, "rows ordered by shared_customers desc")
+      prev = shared
+    }
+  }
+
   test("g01: high-degree hubs outrank leaves (suppliers lead at sf0.001)") {
     // sf0.001 has 10 suppliers vs 1500 customers over ~5k distinct trade
     // pairs — every supplier is a hub, so the top of the ranking must be
