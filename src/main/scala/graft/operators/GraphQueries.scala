@@ -37,13 +37,14 @@ object GraphQueries {
     * an operator that is genuinely iterative-distributed.
     *
     * Plan shape at 100 TB: the edge list (distinct key pairs — 16 bytes a
-    * row) is shuffled ONCE into existence, localCheckpointed (cluster:
-    * durable checkpoint) because all 5 rounds read it, and each round is
-    * one edge⨝rank hash join plus one node-keyed aggregation, composed
-    * into a single 10-stage plan (see [[propagate]] for why the fixed
-    * round count skips d06's per-round checkpoints). Degrees ride
-    * along inside the rank frame (rank AND degree keyed by node), so a
-    * round shuffles |E| contribution rows and nothing else.
+    * row) is shuffled ONCE into existence, clustered + sorted on the
+    * round-join key u and localCheckpointed (cluster: durable
+    * checkpoint) because all 5 rounds read it ([[checkpointByU]]), and
+    * each round is one edge⨝rank hash join plus one node-keyed
+    * aggregation, composed into a single 10-stage plan (see
+    * [[propagate]] for why the fixed round count skips d06's per-round
+    * checkpoints). Degrees ride along on the edge row, so a round
+    * shuffles |E| contribution rows and nothing else.
     *
     * Output: top-20 nodes by rank (tie → smaller node id), with the
     * node type and the raw fixed-point rank.
@@ -63,7 +64,44 @@ object GraphQueries {
       .distinct()
     val und = pairs.union(pairs.select(col("v").as("u"), col("u").as("v")))
     val deg = und.groupBy(col("u")).agg(count(lit(1)).as("du"))
-    und.join(deg, "u").localCheckpoint()
+    und.join(deg, "u")
+  }
+
+  /** Hash-partition + sort the edge frame on the per-round join key u
+    * BEFORE checkpointing: localCheckpoint preserves the physical plan's
+    * outputPartitioning/outputOrdering on its LogicalRDD, so all 5 round
+    * joins read an already-clustered, already-sorted edge leaf — one
+    * partitioning paid once instead of an |E|-row exchange (+ sort, for
+    * a sort-merge round join) inside EVERY round. Locally AQE broadcasts
+    * the |V|-row rank side anyway; on a 1000-executor cluster where |V|
+    * no longer broadcasts, this is what keeps each round shuffle-free on
+    * the edge side.
+    *
+    * Two traps keep the preserved layout honest:
+    *  - the partition COUNT is pinned (REPARTITION_BY_NUM): a bare
+    *    repartition(col) is coalescible by AQE, and a coalesced leaf no
+    *    longer co-partitions with the N-partition rank aggregate;
+    *  - the checkpoint itself is materialized with AQE OFF: with AQE on,
+    *    the executed plan is an AdaptiveSparkPlanExec, which does NOT
+    *    override outputPartitioning/outputOrdering (it reports the
+    *    LeafExecNode default UnknownPartitioning), so localCheckpoint
+    *    would record an unpartitioned LogicalRDD and every round join
+    *    would re-exchange the edges (observed: ENSURE_REQUIREMENTS
+    *    exchanges above the ExistingRDD scan). The subplan here is one
+    *    shuffle + local sort — AQE has nothing to add to it. */
+  private def checkpointByU(edges: DataFrame): DataFrame = {
+    // phase 1 under AQE: the edge CONSTRUCTION (fact join, distinct,
+    // degree join) keeps its adaptive broadcast conversions
+    val staged = edges.localCheckpoint()
+    val conf = edges.sparkSession.conf
+    val n = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val prev = conf.get("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    // phase 2 AQE-off: one exchange + local sort over the staged leaf —
+    // nothing for AQE to improve, and the plain executed plan is what
+    // lets localCheckpoint record the partitioning/ordering
+    try staged.repartition(n, col("u")).sortWithinPartitions(col("u")).localCheckpoint()
+    finally conf.set("spark.sql.adaptive.enabled", prev)
   }
 
   /** Shared fixed-point propagation core (g01/g02): 5 rounds of
@@ -99,7 +137,7 @@ object GraphQueries {
   def g01PageRank(s: SparkSession, dir: String): DataFrame = {
     val Scale = 1000000000000L
     val base = 15L * Scale / 100L // exact: 1.5e11
-    propagate(edgesWithDeg(s, dir).withColumn("sv", lit(1L)), Scale, base)
+    propagate(checkpointByU(edgesWithDeg(s, dir).withColumn("sv", lit(1L))), Scale, base)
       .select(col("node"),
         when(col("node") >= 1000000L, "supplier").otherwise("customer").as("node_type"),
         col("r").as("rank_fp"))
@@ -130,10 +168,9 @@ object GraphQueries {
     val seeds = Tables.customer(s, dir)
       .filter(col("c_nationkey") === 1)
       .select(col("c_custkey").cast("long").as("sn"), lit(1L).as("seed"))
-    val edges = edgesWithDeg(s, dir)
+    val edges = checkpointByU(edgesWithDeg(s, dir)
       .join(seeds, col("v") === col("sn"), "left")
-      .select(col("u"), col("v"), col("du"), coalesce(col("seed"), lit(0L)).as("sv"))
-      .localCheckpoint()
+      .select(col("u"), col("v"), col("du"), coalesce(col("seed"), lit(0L)).as("sv")))
     propagate(edges, Scale, base)
       .filter(col("node") >= 1000000L)
       .select(col("node"), col("r").as("rank_fp"))
@@ -204,25 +241,37 @@ object GraphQueries {
     * is a filter on the same degree frame g01 already computes. The
     * pair aggregation shuffles (s1, s2) keys only.
     */
-  def g03CopurchaseMotifs(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+  /** Distinct (customer, supplier) purchase pairs — the bipartite edge
+    * frame both sides of the wedge self-join read. */
+  private[graft] def g03Pairs(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").cast("long").as("c"), col("l_suppkey").cast("long").as("sp"))
       .distinct()
-      .cache()
+
+  /** Lazy motif plan over a pair frame — exposed separately because the
+    * public query checkpoints its result (collapsing any plan exhibit to
+    * a Scan ExistingRDD leaf); DumpPlans calls this on a cached pair
+    * frame to show the real wedge-join shape. */
+  private[graft] def g03Plan(pairs: DataFrame): DataFrame = {
+    val a = pairs.select(col("c"), col("sp").as("s1"))
+    val b = pairs.select(col("c").as("c_b"), col("sp").as("s2"))
+    a.join(b, col("c") === col("c_b") && col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("shared_customers"))
+      .withColumn("butterflies",
+        expr("shared_customers * (shared_customers - 1) div 2"))
+      .orderBy(col("shared_customers").desc, col("s1"), col("s2"))
+      .limit(20)
+  }
+
+  def g03CopurchaseMotifs(s: SparkSession, dir: String): DataFrame = {
+    val pairs = g03Pairs(s, dir).cache()
     try {
       pairs.count() // both sides of the wedge self-join read it
-      val a = pairs.select(col("c"), col("sp").as("s1"))
-      val b = pairs.select(col("c").as("c_b"), col("sp").as("s2"))
-      a.join(b, col("c") === col("c_b") && col("s1") < col("s2"))
-        .groupBy(col("s1"), col("s2"))
-        .agg(count(lit(1)).as("shared_customers"))
-        .withColumn("butterflies",
-          expr("shared_customers * (shared_customers - 1) div 2"))
-        .orderBy(col("shared_customers").desc, col("s1"), col("s2"))
-        .limit(20)
-        .localCheckpoint() // materialize before the cache below is released
+      // materialize before the cache below is released
+      g03Plan(pairs).localCheckpoint()
     } finally {
       pairs.unpersist()
     }

@@ -108,8 +108,14 @@ object DumpPlans {
         "Dense leg is TakeOrderedAndProject (per-partition heaps), sparse leg term-filters before its shuffle; fusion is a 20x20 full outer join.",
         SimilarityQueries.s10HybridRrf(spark, dir)),
       ("g01_pagerank",
-        "All 5 rounds compose into ONE plan: a 10-stage join+agg stack over the single checkpointed edge leaf — no per-round materialization (fixed round count).",
+        "All 5 rounds compose into ONE plan over the single checkpointed edge leaf, pre-partitioned+sorted on u — the leaf streams straight into every round join (no per-round edge exchange); only the v-keyed contribution aggregations shuffle.",
         GraphQueries.g01PageRank(spark, dir)),
+      ("g03_copurchase_motifs",
+        "Wedge self-join is EQUI-keyed on the customer (per-key fan-out = C(deg,2)); the pair aggregation shuffles (s1,s2) keys only; both sides read one cached distinct pair frame.",
+        GraphQueries.g03Plan(GraphQueries.g03Pairs(spark, dir).cache())),
+      ("p13_curated_corpus",
+        "Quality gate and span-dedup gate compose into ONE plan over a single documents scan branch; per-source attribution is a (source, verdict) rollup — no operator-boundary materialization.",
+        PipelineQueries.p13CuratedCorpus(spark, dir)),
       ("s11_kmeans_topics",
         "Final Lloyd's pass: k x 64 centroid array enters via a broadcast join; the argmax window is 8 rows per vec_id; rollup is (cluster, source)-keyed.",
         SimilarityQueries.s11Build(spark, dir,

@@ -76,7 +76,8 @@ object ScaleSweep {
       "g02_personalized_pagerank" -> "personalized PageRank (seeded teleport)",
       "t17_compressibility" -> "deflate compressibility (per-partition codec)",
       "s11_kmeans_topics" -> "exact Lloyd's k-means (3 broadcast rounds)",
-      "g03_copurchase_motifs" -> "butterfly motifs (customer-keyed wedge join)")
+      "g03_copurchase_motifs" -> "butterfly motifs (customer-keyed wedge join)",
+      "p13_curated_corpus" -> "curation composition (quality ∧ span gates, one plan)")
 
     // warm the JVM/codegen on the smallest sf so cold-start lands nowhere
     queries.foreach { case (q, _) =>

@@ -175,6 +175,12 @@ class PlanShapeSpec extends SparkTestBase {
     val leafScans = "Scan ExistingRDD".r.findAllIn(p).size
     assert(leafScans >= 5, s"expected the 5 composed rounds to reread the edge leaf, saw $leafScans")
     assert(p.contains("TakeOrderedAndProject"), "top-20 must be heap-based")
+    // the edge leaf is checkpointed pre-partitioned on the round-join key
+    // u (checkpointByU materializes it with AQE off so the LogicalRDD
+    // keeps its HashPartitioning) — no round may re-exchange the edges;
+    // the only shuffles left are the v-keyed contribution aggregations
+    assert(!p.contains("Exchange hashpartitioning(u#"),
+      s"edge leaf re-exchanged on u — checkpoint lost its partitioning:\n$p")
   }
 
   test("LevenshteinGuard rule derives the length guard and preserves results") {
