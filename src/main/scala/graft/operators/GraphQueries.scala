@@ -287,13 +287,132 @@ object GraphQueries {
       |GROUP BY a.sp, b.sp
       |ORDER BY shared_customers DESC, s1, s2 LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- g04
+  /** Triangle counting on the supplier k-nearest-neighbor co-purchase
+    * graph — the cohesion primitive (local clustering, community
+    * tightness) over the same projection g03 scores pairwise.
+    *
+    * Graph construction is the standard kNN-graph cut: every supplier
+    * keeps its k=8 STRONGEST partners by shared-customer count (ties →
+    * smaller partner id), and an undirected edge exists when either
+    * endpoint kept the other. The per-node window is what makes the cut
+    * scale-free: the raw projection is near-complete at every SF (the
+    * absolute weight scale varies 10x between SFs, so no fixed threshold
+    * transfers), while the kNN graph has degree <= 2k by construction —
+    * the same reason embedding pipelines build kNN graphs instead of
+    * epsilon-graphs.
+    *
+    * Triangle enumeration is the degree-ordered orientation algorithm
+    * (Ortmann & Brandes; the MapReduce form is Suri & Vassilvitskii's
+    * "Counting Triangles and the Curse of the Last Reducer"): orient
+    * every edge from its lower endpoint to its higher in (degree, id)
+    * order, generate wedges by self-joining oriented edges on the SOURCE,
+    * and close each wedge with a hash join against the oriented edge
+    * list. Orientation bounds per-node wedge fan-out by out-degree
+    * O(sqrt(|E|)) on general graphs (arboricity argument) — the hub node
+    * that makes the naive undirected wedge join quadratic generates NO
+    * wedges at all, because every hub edge points INTO it. Each triangle
+    * is produced exactly once.
+    *
+    * Plan shape at 100 TB: one windowed top-k (WindowGroupLimit — partial
+    * per-partition heaps before the shuffle), one degree aggregation, one
+    * wedge self-join keyed on the oriented source, one closing hash join
+    * keyed on the (v, w) endpoint pair, one explode + count. Every join
+    * is equi-keyed; nothing is quadratic in nodes or edges.
+    *
+    * Output: top-20 suppliers by triangle participation (tie → smaller
+    * id) with their kNN-graph degree.
+    */
+  private[graft] def g04Plan(s: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val pe = g03Pairs(s, dir)
+    val a = pe.select(col("c"), col("sp").as("s1"))
+    val b = pe.select(col("c").as("c_b"), col("sp").as("s2"))
+    val pw = a.join(b, col("c") === col("c_b") && col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("n"))
+    val adj = pw.select(col("s1").as("u"), col("s2").as("v"), col("n"))
+      .union(pw.select(col("s2"), col("s1"), col("n")))
+    val knn = adj
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("u")).orderBy(col("n").desc, col("v"))))
+      .filter(col("rk") <= k)
+    val edges = knn.select(least(col("u"), col("v")).as("x"),
+        greatest(col("u"), col("v")).as("y")).distinct()
+    val deg = edges.select(col("x").as("node")).union(edges.select(col("y")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // orient low (deg, id) -> high; carry the DEST's (deg, id) key on the
+    // edge row so the wedge join can order its two legs without re-joining
+    // degrees (the closing edge between wedge tips v, w is oriented
+    // v -> w exactly when (dv, v) < (dw, w) — same comparator)
+    val withDeg = edges
+      .join(deg.select(col("node").as("x"), col("deg").as("dx")), "x")
+      .join(deg.select(col("node").as("y"), col("deg").as("dy")), "y")
+    val oriented = withDeg.select(
+      when(col("dx") < col("dy") || (col("dx") === col("dy") && col("x") < col("y")),
+        struct(col("x").as("src"), col("y").as("dst"), col("dy").as("dd")))
+        .otherwise(struct(col("y").as("src"), col("x").as("dst"), col("dx").as("dd")))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.dd").as("dd"))
+    val o1 = oriented.select(col("src"), col("dst").as("v"), col("dd").as("dv"))
+    val o2 = oriented.select(col("src").as("src_b"), col("dst").as("w"), col("dd").as("dw"))
+    val wedges = o1.join(o2,
+      col("src") === col("src_b") &&
+        (col("dv") < col("dw") || (col("dv") === col("dw") && col("v") < col("w"))))
+      .select(col("src").as("u"), col("v"), col("w"))
+    val closing = oriented.select(col("src").as("v_c"), col("dst").as("w_c"))
+    val tri = wedges.join(closing, col("v") === col("v_c") && col("w") === col("w_c"))
+      .select(col("u"), col("v"), col("w"))
+    val tcnt = tri.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+    deg.join(tcnt, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .orderBy(col("triangles").desc, col("node"))
+      .limit(20)
+  }
+
+  def g04TriangleCounts(s: SparkSession, dir: String): DataFrame =
+    g04Plan(s, dir)
+
+  /** Orientation-free restatement: LEAST/GREATEST-canonical edges, one
+    * a<b<c triple join (counting is orientation-invariant), per-node
+    * participation by unnesting the triple. */
+  val g04Sql: String =
+    """WITH pe AS (
+      |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS c, CAST(l_suppkey AS BIGINT) AS sp
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |pw AS (
+      |  SELECT a.sp AS s1, b.sp AS s2, COUNT(*) AS n
+      |  FROM pe a JOIN pe b ON a.c = b.c AND a.sp < b.sp GROUP BY 1, 2),
+      |adj AS (SELECT s1 AS u, s2 AS v, n FROM pw UNION ALL SELECT s2, s1, n FROM pw),
+      |knn AS (
+      |  SELECT u, v FROM (
+      |    SELECT u, v, ROW_NUMBER() OVER (PARTITION BY u ORDER BY n DESC, v) AS rk
+      |    FROM adj) WHERE rk <= 8),
+      |edges AS (SELECT DISTINCT LEAST(u, v) AS x, GREATEST(u, v) AS y FROM knn),
+      |tri AS (
+      |  SELECT e1.x AS a, e1.y AS b, e2.y AS c
+      |  FROM edges e1 JOIN edges e2 ON e1.y = e2.x
+      |    JOIN edges e3 ON e3.x = e1.x AND e3.y = e2.y),
+      |nodes AS (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri),
+      |tcnt AS (SELECT node, COUNT(*) AS triangles FROM nodes GROUP BY 1),
+      |deg AS (
+      |  SELECT node, COUNT(*) AS deg
+      |  FROM (SELECT x AS node FROM edges UNION ALL SELECT y FROM edges) GROUP BY 1)
+      |SELECT d.node, d.deg, COALESCE(t.triangles, 0) AS triangles
+      |FROM deg d LEFT JOIN tcnt t USING (node)
+      |ORDER BY triangles DESC, node LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_pagerank" -> (g01PageRank _),
     "g02_personalized_pagerank" -> (g02PersonalizedPageRank _),
-    "g03_copurchase_motifs" -> (g03CopurchaseMotifs _))
+    "g03_copurchase_motifs" -> (g03CopurchaseMotifs _),
+    "g04_triangle_counts" -> (g04TriangleCounts _))
 
   val oracle: Map[String, String] = Map(
     "g01_pagerank" -> g01Sql,
     "g02_personalized_pagerank" -> g02Sql,
-    "g03_copurchase_motifs" -> g03Sql)
+    "g03_copurchase_motifs" -> g03Sql,
+    "g04_triangle_counts" -> g04Sql)
 }

@@ -113,6 +113,9 @@ object DumpPlans {
       ("g03_copurchase_motifs",
         "Wedge self-join is EQUI-keyed on the customer (per-key fan-out = C(deg,2)); the pair aggregation shuffles (s1,s2) keys only; both sides read one cached distinct pair frame.",
         GraphQueries.g03Plan(GraphQueries.g03Pairs(spark, dir).cache())),
+      ("g04_triangle_counts",
+        "kNN cut is a WindowGroupLimit top-8 per node; wedges self-join EQUI-keyed on the oriented source (hub nodes emit no wedges); closing is a hash join on the (v,w) endpoint pair.",
+        GraphQueries.g04Plan(spark, dir)),
       ("p13_curated_corpus",
         "Quality gate and span-dedup gate compose into ONE plan over a single documents scan branch; per-source attribution is a (source, verdict) rollup — no operator-boundary materialization.",
         PipelineQueries.p13CuratedCorpus(spark, dir)),

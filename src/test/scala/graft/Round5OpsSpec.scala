@@ -259,4 +259,41 @@ class Round5OpsSpec extends SparkTestBase {
     assert(rows.head.getString(1) == "supplier")
     assert(rows.take(10).count(_.getString(1) == "supplier") == 10)
   }
+
+  test("g04: oriented-wedge triangle counts equal a sequential reference") {
+    // Re-derive the kNN edge set independently (collected weighted
+    // adjacency, per-node top-8 by (n desc, id asc), symmetrized) and
+    // count each node's triangles with a brute-force triple loop — the
+    // distributed degree-ordered orientation must agree exactly, which
+    // also witnesses that orientation produces each triangle ONCE.
+    val pairs = GraphQueries.g03Pairs(spark, Sf0001)
+      .groupBy(col("c")).agg(collect_set(col("sp")).as("sps"))
+      .collect().flatMap { r =>
+        val sps = r.getSeq[Long](1)
+        for (a <- sps; b <- sps if a < b) yield (a, b)
+      }
+    val w = pairs.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val adj = w.toSeq.flatMap { case ((a, b), n) => Seq((a, b, n), (b, a, n)) }
+    val knn = adj.groupBy(_._1).values.flatMap {
+      _.sortBy { case (_, v, n) => (-n, v) }.take(8)
+    }
+    val edges = knn.map { case (u, v, _) => (math.min(u, v), math.max(u, v)) }.toSet
+    val deg = edges.toSeq.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val nodes = deg.keys.toSeq.sorted
+    val triCnt = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for (i <- nodes.indices; j <- i + 1 until nodes.length; k <- j + 1 until nodes.length) {
+      val (a, b, c) = (nodes(i), nodes(j), nodes(k))
+      if (edges((a, b)) && edges((b, c)) && edges((a, c))) {
+        triCnt(a) += 1; triCnt(b) += 1; triCnt(c) += 1
+      }
+    }
+    val expect = nodes.map(n => (n, deg(n), triCnt(n)))
+      .sortBy { case (n, _, t) => (-t, n) }.take(20)
+    val got = GraphQueries.g04TriangleCounts(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect, s"distributed $got vs sequential $expect")
+    // participation bound: a node's triangles fit inside its degree pairs
+    got.foreach { case (_, d, t) => assert(t <= d * (d - 1) / 2) }
+  }
 }
