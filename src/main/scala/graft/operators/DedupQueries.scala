@@ -498,7 +498,7 @@ object DedupQueries {
   /** (doc_id, cluster_id, cluster_size, is_keeper) presentation shared by
     * d06/d07: component labels joined with component sizes, keeper = the
     * component's min id. */
-  private def clusterReport(labels: DataFrame): DataFrame = {
+  private[operators] def clusterReport(labels: DataFrame): DataFrame = {
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "lbl")
       .select(col("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"),

@@ -404,15 +404,110 @@ object GraphQueries {
       |FROM deg d LEFT JOIN tcnt t USING (node)
       |ORDER BY triangles DESC, node LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- g05
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * the O(log n)-round algorithm d06's docstring points to for
+    * adversarially long similarity chains, here as code: d06's min-label
+    * propagation needs O(component diameter) rounds, so a 10,000-doc
+    * chained-plagiarism component costs 10,000 shuffle rounds there but
+    * ~log rounds here. Run on the SAME d04 near-dup pair graph as d06,
+    * with the same recursive-CTE oracle — the two algorithms must emit
+    * identical cluster reports (asserted in Round5OpsSpec too), which is
+    * the strongest cross-check either can get.
+    *
+    * Edges are kept oriented hi -> lo throughout:
+    *  - large-star (per node a over the SYMMETRIC neighborhood): every
+    *    neighbor b > a is re-pointed at m = min(N(a) ∪ {a}) — hubs
+    *    disperse their large neighbors onto their minimum in one round;
+    *  - small-star (per node a over smaller neighbors only): every
+    *    b ∈ N⁻(a) and a itself re-point at m = min(N⁻(a)) — local stars
+    *    flatten.
+    * Every emission (x, m) has m ≤ a ≤ x by construction, so per-node
+    * minimum labels are NON-INCREASING round over round; the fixpoint is
+    * the star forest whose roots are component minima. Convergence test
+    * is the d06 monotone-sum scan (labels only decrease ⇒ sum stable iff
+    * no label moved), demanded stable for TWO consecutive rounds because
+    * the label view of a mid-collapse edge set can transiently stall
+    * while edges still move.
+    *
+    * Plan shape at 100 TB: each round is two groupBy-min aggregations and
+    * two equi-joins over a 2-column edge frame, localCheckpointed per
+    * round (cluster: durable checkpoint) exactly like d06's loop — but
+    * the ROUND COUNT is logarithmic in component size instead of linear
+    * in diameter, which is the entire point at web scale where near-dup
+    * graphs grow chain-shaped tails.
+    */
+  private[graft] def starComponents(pairsIn: DataFrame): DataFrame = {
+    val p = pairsIn.toDF("da", "db")
+    val nodes = p.select(col("da").as("node")).union(p.select(col("db")))
+      .distinct().localCheckpoint()
+    var e = p.filter(col("da") =!= col("db"))
+      .select(greatest(col("da"), col("db")).as("hi"), least(col("da"), col("db")).as("lo"))
+      .distinct().localCheckpoint()
+
+    def largeStar(ed: DataFrame): DataFrame = {
+      val sym = ed.select(col("hi").as("a"), col("lo").as("b"))
+        .union(ed.select(col("lo"), col("hi")))
+      val mins = sym.groupBy(col("a")).agg(min(col("b")).as("mn"))
+        .select(col("a"), least(col("a"), col("mn")).as("m"))
+      sym.join(mins, "a")
+        .filter(col("b") > col("a"))
+        .select(col("b").as("hi"), col("m").as("lo"))
+        .distinct()
+    }
+    def smallStar(ed: DataFrame): DataFrame = {
+      val mins = ed.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+      val withM = ed.join(mins, "hi")
+      withM.filter(col("lo") =!= col("m"))
+        .select(col("lo").as("hi"), col("m").as("lo"))
+        .union(mins.select(col("hi"), col("m").as("lo")))
+        .distinct()
+    }
+    def labels(ed: DataFrame): DataFrame =
+      nodes.join(
+        ed.groupBy(col("hi")).agg(min(col("lo")).as("mn"))
+          .select(col("hi").as("node"), col("mn")),
+        Seq("node"), "left")
+        .select(col("node").as("doc_id"), coalesce(col("mn"), col("node")).as("lbl"))
+    def labelSum(ed: DataFrame): Long =
+      labels(ed).agg(coalesce(sum(col("lbl")), lit(0L))).head.getLong(0)
+
+    var prevSum = labelSum(e)
+    var stable = 0
+    var iter = 0
+    while (stable < 2 && iter < 48) {
+      e = smallStar(largeStar(e)).localCheckpoint()
+      val s2 = labelSum(e)
+      stable = if (s2 == prevSum) stable + 1 else 0
+      prevSum = s2
+      iter += 1
+    }
+    require(stable >= 2, s"star rounds did not converge in $iter iterations")
+    labels(e)
+  }
+
+  def g05StarComponents(s: SparkSession, dir: String): DataFrame = {
+    val pairs = DedupQueries.d04MinhashLsh(s, dir)
+      .select(col("da"), col("db")).cache()
+    pairs.count()
+    try DedupQueries.clusterReport(starComponents(pairs)).localCheckpoint()
+    finally pairs.unpersist()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_pagerank" -> (g01PageRank _),
     "g02_personalized_pagerank" -> (g02PersonalizedPageRank _),
     "g03_copurchase_motifs" -> (g03CopurchaseMotifs _),
-    "g04_triangle_counts" -> (g04TriangleCounts _))
+    "g04_triangle_counts" -> (g04TriangleCounts _),
+    "g05_star_components" -> (g05StarComponents _))
 
   val oracle: Map[String, String] = Map(
     "g01_pagerank" -> g01Sql,
     "g02_personalized_pagerank" -> g02Sql,
     "g03_copurchase_motifs" -> g03Sql,
-    "g04_triangle_counts" -> g04Sql)
+    "g04_triangle_counts" -> g04Sql,
+    // identical output contract to d06 — deliberately the same recursive
+    // CTE: two independent distributed algorithms against one oracle
+    "g05_star_components" -> DedupQueries.d06Sql)
 }

@@ -78,7 +78,8 @@ object ScaleSweep {
       "s11_kmeans_topics" -> "exact Lloyd's k-means (3 broadcast rounds)",
       "g03_copurchase_motifs" -> "butterfly motifs (customer-keyed wedge join)",
       "p13_curated_corpus" -> "curation composition (quality ∧ span gates, one plan)",
-      "g04_triangle_counts" -> "triangle counts (kNN cut + degree-ordered wedges)")
+      "g04_triangle_counts" -> "triangle counts (kNN cut + degree-ordered wedges)",
+      "g05_star_components" -> "large-star/small-star CC (log-round components)")
 
     // warm the JVM/codegen on the smallest sf so cold-start lands nowhere
     queries.foreach { case (q, _) =>

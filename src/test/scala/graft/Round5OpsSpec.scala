@@ -296,4 +296,26 @@ class Round5OpsSpec extends SparkTestBase {
     // participation bound: a node's triangles fit inside its degree pairs
     got.foreach { case (_, d, t) => assert(t <= d * (d - 1) / 2) }
   }
+
+  test("g05: star components equal d06 min-label propagation on the near-dup graph") {
+    val g05 = GraphQueries.g05StarComponents(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val d06 = DedupQueries.d06DupClusters(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(g05.nonEmpty && g05.sameElements(d06),
+      "two independent CC algorithms must agree on the same pair graph")
+  }
+
+  test("g05: a 1500-node chain collapses in logarithmic rounds") {
+    // the adversarial shape d06's diameter-bound propagation cannot
+    // finish (1500 rounds needed, capped at 64): a single path graph.
+    // Large-star/small-star must fold it to one star under the 48-round
+    // cap — in practice ~10 rounds — with every label = 0.
+    import spark.implicits._
+    val n = 1500L
+    val chain = spark.range(n - 1).select(col("id").as("da"), (col("id") + 1L).as("db"))
+    val labels = GraphQueries.starComponents(chain).collect()
+    assert(labels.length == n)
+    assert(labels.forall(_.getLong(1) == 0L), "all chain nodes label to the minimum")
+  }
 }
