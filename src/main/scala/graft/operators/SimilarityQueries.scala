@@ -992,7 +992,109 @@ object SimilarityQueries {
        |ORDER BY cluster, d.source""".stripMargin
   }
 
+  // ---------------------------------------------------------------- s12
+  /** Maximum-inner-product search (MIPS) top-k via the norm-augmentation
+    * reduction (Bachrach et al. 2014; the transform behind asymmetric-LSH
+    * MIPS, Shrivastava & Li 2014) — the retrieval mode recommender and
+    * reward-model scorers need, where cosine is WRONG because vector
+    * magnitude carries signal (popularity, confidence): argmax <q, x>,
+    * not argmax angle.
+    *
+    * The reduction: with M = max corpus norm (an order-independent MAX —
+    * no float-sum drift), augment every corpus vector with one extra
+    * coordinate aug = sqrt(max(M^2 - |x|^2, 0)), so |x'| = M for every
+    * row, and give queries aug 0. Then
+    *
+    *   cos(q', x') = <q, x> / (|q| * M)
+    *
+    * is a strictly increasing function of the inner product — cosine
+    * machinery (s01's exact scan or s02's hyperplane bands) solves MIPS
+    * unchanged. Ranking here uses the inner product itself (the monotone
+    * image — immune to ULP collapse in the divided form); the emitted
+    * aug_cosine column carries the full reduction arithmetic (M, the
+    * augmented coordinate, both norms) through the DuckDB hash compare,
+    * so the transform every downstream ANN variant would consume is
+    * cross-engine-pinned, not decorative.
+    *
+    * The synthetic embeddings are unit-normalized (MIPS would collapse
+    * to cosine and the augmented coordinate to 0), so the corpus side
+    * carries a DETERMINISTIC per-row magnitude w = 1 + (vec_id mod 7)/4
+    * — the stand-in for the popularity/confidence weight that makes MIPS
+    * differ from angular search in production (on a real corpus the
+    * magnitudes arrive with the vectors and this select drops out).
+    * Probes stay unscaled. The spec asserts the reduction's monotonicity
+    * (aug_cosine ordering == dot ordering) and that the magnitude
+    * actually reorders at least one probe's top-1 vs pure cosine.
+    *
+    * Plan shape at 100 TB: M is a 1-row broadcast (like s09's scale);
+    * augmentation is one map pass fused into the corpus scan; the 5
+    * probes broadcast; per-probe top-10 fuses to WindowGroupLimit. The
+    * sub-linear path is exactly s02 over the augmented vectors — same
+    * bands, same buckets, nothing else changes; that composition is the
+    * point of the reduction.
+    */
+  def s12MipsTopk(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.spread(Tables.embeddings(s, dir)).withColumn("v0", embD)
+    val e = base
+      .withColumn("w", lit(1.0) + (col("vec_id") % 7).cast(DoubleType) / 4.0)
+      .withColumn("v", expr("transform(v0, x -> x * w)"))
+      .withColumn("n2", dot("v", "v"))
+      .select(col("vec_id"), col("v"), col("n2"))
+    val m = e.agg(max(sqrt(col("n2"))).as("mx"))
+    val aug = e.crossJoin(broadcast(m))
+      .withColumn("aug", sqrt(greatest(col("mx") * col("mx") - col("n2"), lit(0.0))))
+      .withColumn("anorm", sqrt(col("n2") + col("aug") * col("aug")))
+      .select(col("vec_id"), col("v"), col("anorm"))
+    val probes = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v0").as("qv"), sqrt(dot("v0", "v0")).as("qnorm"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("dot").desc, col("neighbor_id"))
+    aug.join(broadcast(probes), col("vec_id") =!= col("q_id"))
+      .withColumn("raw", dot("qv", "v"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        (floor(col("raw") * 1e6 + 0.5) / 1e6).as("dot"),
+        (floor(col("raw") / (col("qnorm") * col("anorm")) * 1e6 + 0.5) / 1e6).as("aug_cosine"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("q_id"), col("rnk"), col("neighbor_id"), col("dot"), col("aug_cosine"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  val s12Sql: String =
+    """WITH e0 AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, v0,
+      |    list_transform(v0, x -> x * (1.0 + CAST(vec_id % 7 AS DOUBLE) / 4.0)) AS v
+      |  FROM e0),
+      |n2t AS (
+      |  SELECT vec_id, v0, v,
+      |    list_reduce(list_transform(generate_series(1, 64), i -> v[i] * v[i]), (x, y) -> x + y) AS n2
+      |  FROM n),
+      |m AS (SELECT MAX(SQRT(n2)) AS mx FROM n2t),
+      |aug AS (
+      |  SELECT vec_id, v,
+      |    SQRT(n2 + SQRT(GREATEST(mx * mx - n2, 0)) * SQRT(GREATEST(mx * mx - n2, 0))) AS anorm
+      |  FROM n2t, m),
+      |probes AS (
+      |  SELECT vec_id AS q_id, v0 AS qv,
+      |    SQRT(list_reduce(list_transform(generate_series(1, 64), i -> v0[i] * v0[i]), (x, y) -> x + y)) AS qnorm
+      |  FROM n2t WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT q_id, a.vec_id AS neighbor_id,
+      |    list_reduce(list_transform(generate_series(1, 64), i -> qv[i] * a.v[i]), (x, y) -> x + y) AS raw,
+      |    qnorm, anorm
+      |  FROM aug a JOIN probes ON a.vec_id <> q_id),
+      |ranked AS (
+      |  SELECT q_id, neighbor_id,
+      |    FLOOR(raw * 1e6 + 0.5) / 1e6 AS dot,
+      |    FLOOR(raw / (qnorm * anorm) * 1e6 + 0.5) / 1e6 AS aug_cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY FLOOR(raw * 1e6 + 0.5) / 1e6 DESC, neighbor_id) AS rnk
+      |  FROM scored)
+      |SELECT q_id, rnk, neighbor_id, dot, aug_cosine FROM ranked WHERE rnk <= 10
+      |ORDER BY q_id, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s12_mips_topk" -> (s12MipsTopk _),
     "s11_kmeans_topics" -> (s11KmeansTopics _),
     "s10_hybrid_rrf" -> (s10HybridRrf _),
     "s09_quantized_ann" -> (s09QuantizedAnn _),
@@ -1006,6 +1108,7 @@ object SimilarityQueries {
     "s06_ann_verified" -> (s06AnnVerified _))
 
   val oracle: Map[String, String] = Map(
+    "s12_mips_topk" -> s12Sql,
     "s11_kmeans_topics" -> s11Sql,
     "s10_hybrid_rrf" -> s10Sql,
     "s09_quantized_ann" -> s09Sql,

@@ -79,7 +79,8 @@ object ScaleSweep {
       "g03_copurchase_motifs" -> "butterfly motifs (customer-keyed wedge join)",
       "p13_curated_corpus" -> "curation composition (quality ∧ span gates, one plan)",
       "g04_triangle_counts" -> "triangle counts (kNN cut + degree-ordered wedges)",
-      "g05_star_components" -> "large-star/small-star CC (log-round components)")
+      "g05_star_components" -> "large-star/small-star CC (log-round components)",
+      "s12_mips_topk" -> "MIPS via norm augmentation (broadcast probes, one scan)")
 
     // warm the JVM/codegen on the smallest sf so cold-start lands nowhere
     queries.foreach { case (q, _) =>

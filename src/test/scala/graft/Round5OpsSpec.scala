@@ -306,6 +306,39 @@ class Round5OpsSpec extends SparkTestBase {
       "two independent CC algorithms must agree on the same pair graph")
   }
 
+  test("s12: augmented-cosine ordering is monotone in the dot; magnitude reorders cosine") {
+    val rows = SimilarityQueries.s12MipsTopk(spark, Sf001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    // the reduction's point: cos(q', x') strictly increases with <q, x>,
+    // so the per-probe aug_cosine sequence must be non-increasing down
+    // the dot-ranked list
+    rows.groupBy(_._1).values.foreach { rs =>
+      val s = rs.sortBy(_._2)
+      s.map(_._4).sliding(2).foreach { case Array(a, b) => assert(a >= b); case _ => }
+      s.map(_._5).sliding(2).foreach { case Array(a, b) =>
+        assert(a >= b, "aug_cosine must be monotone in the ranked dot")
+      case _ => }
+    }
+    // magnitude must matter: recompute the pure-cosine top-1 per probe
+    // from the raw vectors and require at least one probe to disagree
+    // with the MIPS top-1 (the weighted corpus reorders winners)
+    val vecs = Tables.spread(Tables.embeddings(spark, Sf001))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val cosTop1 = (0L until 5L).map { q =>
+      q -> vecs.keys.filter(_ != q)
+        .map(id => (id, cos(vecs(q), vecs(id)))).minBy { case (id, c) => (-c, id) }._1
+    }.toMap
+    val mipsTop1 = rows.filter(_._2 == 1).map(r => r._1 -> r._3).toMap
+    assert((0L until 5L).exists(q => mipsTop1(q) != cosTop1(q)),
+      "weighted corpus must reorder at least one probe's winner vs pure cosine")
+  }
+
   test("g05: a 1500-node chain collapses in logarithmic rounds") {
     // the adversarial shape d06's diameter-bound propagation cannot
     // finish (1500 rounds needed, capped at 64): a single path graph.
