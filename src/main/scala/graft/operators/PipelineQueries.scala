@@ -759,7 +759,85 @@ object PipelineQueries {
        |FROM src JOIN q USING (doc_id) JOIN sd USING (doc_id)
        |GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- p14
+  /** Deterministic global training-order shuffle — the step that turns a
+    * curated corpus into an epoch's READ ORDER. The naive
+    * `ORDER BY rand()` is wrong twice at 100 TB: it is irreproducible (a
+    * retried stage resamples and the epoch silently changes), and the
+    * global sort's random keys can't be re-derived by a resumed reader.
+    * The production pattern is a KEYED HASH PERMUTATION: order key =
+    * md5(epoch || ':' || doc_id) — a pure function of (epoch, doc_id),
+    * so any worker can recompute any slice, epochs decorrelate by
+    * construction (new epoch = new salt, no reshuffle job), and the
+    * order is stable under retries, stragglers, and corpus re-reads.
+    *
+    * Global POSITIONS (the training-step index of each doc) use the same
+    * two-level distributed prefix sum as p04: the hash key's first byte
+    * is a 256-way range bucket (uniform by construction — md5 bytes),
+    * within-bucket ranks come from a bucket-partitioned window, bucket
+    * offsets from a 256-row running sum, position = offset + rank - 1.
+    * No single-partition global window anywhere — that is the difference
+    * between this and `row_number() OVER (ORDER BY key)`, which funnels
+    * 100 TB through one task. A range-partitioned write by (epoch,
+    * bucket) materializes training shards already in read order.
+    *
+    * Output (bounded, order-witnessing): the first 10 positions of each
+    * of 2 epochs plus each epoch's LAST position — the tail row proves
+    * the prefix sum covered the whole corpus (position N-1 exists
+    * exactly once). The oracle restates the permutation with a flat
+    * global window — the hash key's prefix IS the bucket, so ordering by
+    * key alone is the identical total order.
+    */
+  private[graft] def p14Positions(docs: DataFrame): DataFrame = {
+    val keyed = docs.withColumn("epoch", explode(array(lit(0), lit(1))))
+      .withColumn("key", md5(concat(col("epoch").cast(StringType), lit(":"),
+        col("doc_id").cast(StringType))))
+      .withColumn("bucket", expr("cast(conv(substring(key, 1, 2), 16, 10) as int)"))
+    val wIn = Window.partitionBy(col("epoch"), col("bucket"))
+      .orderBy(col("key"), col("doc_id"))
+    val ranked = keyed.withColumn("rk", row_number().over(wIn))
+    // 512 rows total (2 epochs x 256 buckets): the running-sum window is
+    // over a bucket-count frame, never the corpus
+    val wOff = Window.partitionBy(col("epoch")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy(col("epoch"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+      .select(col("epoch"), col("bucket"), col("off"))
+    ranked.join(offsets, Seq("epoch", "bucket"))
+      .withColumn("position", col("off") + col("rk") - 1L)
+  }
+
+  def p14TrainingOrder(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(s, dir))
+      .select(col("doc_id"), col("source"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    p14Positions(docs)
+      .crossJoin(broadcast(n))
+      .filter(col("position") < 10 || col("position") === col("n") - 1L)
+      .select(col("epoch"), col("position"), col("doc_id"), col("source"))
+      .orderBy(col("epoch"), col("position"))
+  }
+
+  val p14Sql: String =
+    """WITH e AS (
+      |  SELECT doc_id, source, epoch
+      |  FROM documents, unnest([0, 1]) AS u(epoch)),
+      |k AS (
+      |  SELECT epoch, doc_id, source,
+      |    md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS key
+      |  FROM e),
+      |r AS (
+      |  SELECT epoch, doc_id, source,
+      |    ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY key, doc_id) - 1 AS position
+      |  FROM k),
+      |n AS (SELECT COUNT(*) AS n FROM documents)
+      |SELECT epoch, position, doc_id, source FROM r, n
+      |WHERE position < 10 OR position = n - 1
+      |ORDER BY epoch, position""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p14_training_order" -> (p14TrainingOrder _),
     "p13_curated_corpus" -> (p13CuratedCorpus _),
     "p12_leakage_split" -> (p12LeakageSplit _),
     "p11_upsample_epochs" -> (p11UpsampleEpochs _),
@@ -775,6 +853,7 @@ object PipelineQueries {
     "p04_sequence_packing" -> (p04SequencePacking _))
 
   val oracle: Map[String, String] = Map(
+    "p14_training_order" -> p14Sql,
     "p13_curated_corpus" -> p13Sql,
     "p12_leakage_split" -> p12Sql,
     "p11_upsample_epochs" -> p11Sql,

@@ -80,7 +80,8 @@ object ScaleSweep {
       "p13_curated_corpus" -> "curation composition (quality ∧ span gates, one plan)",
       "g04_triangle_counts" -> "triangle counts (kNN cut + degree-ordered wedges)",
       "g05_star_components" -> "large-star/small-star CC (log-round components)",
-      "s12_mips_topk" -> "MIPS via norm augmentation (broadcast probes, one scan)")
+      "s12_mips_topk" -> "MIPS via norm augmentation (broadcast probes, one scan)",
+      "p14_training_order" -> "hash-permutation training order (two-level prefix sum)")
 
     // warm the JVM/codegen on the smallest sf so cold-start lands nowhere
     queries.foreach { case (q, _) =>

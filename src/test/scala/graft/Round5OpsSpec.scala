@@ -339,6 +339,27 @@ class Round5OpsSpec extends SparkTestBase {
       "weighted corpus must reorder at least one probe's winner vs pure cosine")
   }
 
+  test("p14: hash permutation is a bijection onto 0..N-1 per epoch; epochs decorrelate") {
+    val docs = Tables.spread(Tables.documents(spark, Sf0001))
+      .select(col("doc_id"), col("source"))
+    val n = docs.count()
+    val pos = PipelineQueries.p14Positions(docs)
+      .select(col("epoch"), col("doc_id"), col("position")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // each epoch's positions are exactly {0 .. N-1}: the two-level prefix
+    // sum produced a permutation with no gap, overlap, or overflow
+    for (ep <- Seq(0, 1)) {
+      val ps = pos.filter(_._1 == ep).map(_._3)
+      assert(ps.length == n && ps.distinct.length == n)
+      assert(ps.min == 0 && ps.max == n - 1)
+    }
+    // new epoch = new salt: the permutations must actually differ (a
+    // salt-insensitive key would repeat the epoch-0 order verbatim)
+    val e0 = pos.filter(_._1 == 0).map(t => t._2 -> t._3).toMap
+    val moved = pos.filter(_._1 == 1).count(t => e0(t._2) != t._3)
+    assert(moved > n / 2, s"only $moved of $n docs moved between epochs")
+  }
+
   test("g05: a 1500-node chain collapses in logarithmic rounds") {
     // the adversarial shape d06's diameter-bound propagation cannot
     // finish (1500 rounds needed, capped at 64): a single path graph.
