@@ -124,7 +124,16 @@ object DumpPlans {
         SimilarityQueries.s11Build(spark, dir,
           graft.Tables.spread(graft.Tables.embeddings(spark, dir))
             .select(org.apache.spark.sql.functions.col("vec_id"),
-              org.apache.spark.sql.functions.expr("transform(embedding, x -> cast(x as double))").as("v")))))
+              org.apache.spark.sql.functions.expr("transform(embedding, x -> cast(x as double))").as("v")))),
+      ("g05_star_components",
+        "Each star round is one hi-keyed min-aggregation joined back on the same key plus a distinct — 2-column frames only; labels re-join the node list once at the end.",
+        GraphQueries.g05StarComponents(spark, dir)),
+      ("s12_mips_topk",
+        "Max-norm M is a 1-row broadcast; augmentation fuses into the corpus scan's project; 5 probes broadcast; per-probe top-10 is WindowGroupLimit — one corpus pass total.",
+        SimilarityQueries.s12MipsTopk(spark, dir)),
+      ("p14_training_order",
+        "Keyed hash permutation: within-bucket rank windows partition on (epoch,bucket); the offset running-sum window sees 256 rows per epoch, never the corpus — no global sort or single-partition window.",
+        PipelineQueries.p14TrainingOrder(spark, dir)))
 
     val sb = new StringBuilder
     sb.append("# Flagship physical plans (generated by graft.tools.DumpPlans at sf0.01)\n\n")
