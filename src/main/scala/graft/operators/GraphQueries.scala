@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over the star schema's implicit graphs.
@@ -37,80 +37,100 @@ object GraphQueries {
     * an operator that is genuinely iterative-distributed.
     *
     * Plan shape at 100 TB: the edge list (distinct key pairs — 16 bytes a
-    * row) is shuffled ONCE into existence, clustered + sorted on the
-    * round-join key u and localCheckpointed (cluster: durable
-    * checkpoint) because all 5 rounds read it ([[checkpointByU]]), and
-    * each round is one edge⨝rank hash join plus one node-keyed
-    * aggregation, composed into a single 10-stage plan (see
-    * [[propagate]] for why the fixed round count skips d06's per-round
-    * checkpoints). Degrees ride along on the edge row, so a round
-    * shuffles |E| contribution rows and nothing else.
+    * row) is shuffled ONCE into existence and folded into degree-
+    * segmented ADJACENCY rows clustered on the round-join key u
+    * ([[segmentedAdj]]: |V| + hub-segment rows, localCheckpointed;
+    * cluster: durable checkpoint). Each round then joins adjacency rows
+    * with the rank frame, computes the per-source contribution
+    * r(u) div deg(u) once per row, fans targets out in codegen, and
+    * shuffles only the v-keyed partial sums — composed into a single
+    * plan across the 5 fixed rounds (see [[propagate]] for why the fixed
+    * round count skips d06's per-round checkpoints). Degrees ride on the
+    * adjacency row, so the rank frame never re-joins degrees.
     *
     * Output: top-20 nodes by rank (tie → smaller node id), with the
     * node type and the raw fixed-point rank.
     */
-  /** Customer–supplier trade edges, undirected, with the SOURCE node's
-    * degree attached to every edge row. Carrying deg(u) on the edge —
-    * instead of on the rank frame — is what makes each propagation round
-    * ONE join + ONE aggregation: the contribution r(u) div deg(u) is
-    * computable at the join row, and the post-aggregation rank frame
-    * needs no degree re-join before the next round. */
-  private def edgesWithDeg(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+  /** Distinct customer–supplier trade pairs (u = custkey, v = suppkey +
+    * 1,000,000), localCheckpointed: the fact join + distinct runs ONCE
+    * under AQE (broadcast conversions intact) and both the forward and
+    * flipped edge branches — plus the degree aggregation — read the
+    * checkpoint instead of recomputing the join. */
+  private def tradePairs(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").cast("long").as("u"),
         (lit(1000000L) + col("l_suppkey")).as("v"))
       .distinct()
-    val und = pairs.union(pairs.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+
+  /** (u, v, du, sv) undirected edge rows from a flagged pair frame
+    * (u = customer, v = supplier, svFwd/svBwd = the TARGET node's teleport
+    * flag for the forward and flipped direction) with the source degree
+    * attached. Composed lazily — [[segmentedAdj]] materializes it. */
+  private def edgesWithDeg(pairs: DataFrame, svFwd: Column, svBwd: Column): DataFrame = {
+    val und = pairs.select(col("u"), col("v"), svFwd.as("sv"))
+      .union(pairs.select(col("v"), col("u"), svBwd.as("sv")))
     val deg = und.groupBy(col("u")).agg(count(lit(1)).as("du"))
     und.join(deg, "u")
   }
 
-  /** Hash-partition + sort the edge frame on the per-round join key u
-    * BEFORE checkpointing: localCheckpoint preserves the physical plan's
-    * outputPartitioning/outputOrdering on its LogicalRDD, so all 5 round
-    * joins read an already-clustered, already-sorted edge leaf — one
-    * partitioning paid once instead of an |E|-row exchange (+ sort, for
-    * a sort-merge round join) inside EVERY round. Locally AQE broadcasts
-    * the |V|-row rank side anyway; on a 1000-executor cluster where |V|
-    * no longer broadcasts, this is what keeps each round shuffle-free on
-    * the edge side.
+  /** Degree-SEGMENTED adjacency lists from a (u, v, du, sv) edge frame:
+    * one row per (u, segment of <= SegCap targets), with the node's TOTAL
+    * degree du on every segment. This is the round-loop edge layout:
+    * a propagation round joins |V|-proportional adjacency rows instead of
+    * |E| edge rows, explodes the target arrays inside codegen (no |E|-row
+    * checkpoint scan per round), and partial-aggregates before the one
+    * v-keyed shuffle. The SEGMENT CAP is what makes the layout hub-safe
+    * at 100 TB: a 100M-degree hub becomes 100M/4096 bounded rows (~64 KB
+    * each) rather than one giant array row that skews task memory — and
+    * the round arithmetic is segment-invariant because the contribution
+    * r(u) div du uses the TOTAL degree while sum(c) re-assembles across
+    * segments under the v-keyed aggregation.
     *
-    * Two traps keep the preserved layout honest:
-    *  - the partition COUNT is pinned (REPARTITION_BY_NUM): a bare
-    *    repartition(col) is coalescible by AQE, and a coalesced leaf no
-    *    longer co-partitions with the N-partition rank aggregate;
-    *  - the checkpoint itself is materialized with AQE OFF: with AQE on,
-    *    the executed plan is an AdaptiveSparkPlanExec, which does NOT
-    *    override outputPartitioning/outputOrdering (it reports the
-    *    LeafExecNode default UnknownPartitioning), so localCheckpoint
-    *    would record an unpartitioned LogicalRDD and every round join
-    *    would re-exchange the edges (observed: ENSURE_REQUIREMENTS
-    *    exchanges above the ExistingRDD scan). The subplan here is one
-    *    shuffle + local sort — AQE has nothing to add to it. */
-  private def checkpointByU(edges: DataFrame): DataFrame = {
-    // phase 1 under AQE: the edge CONSTRUCTION (fact join, distinct,
-    // degree join) keeps its adaptive broadcast conversions
-    val staged = edges.localCheckpoint()
-    val conf = edges.sparkSession.conf
-    val n = edges.sparkSession.sessionState.conf.numShufflePartitions
-    val prev = conf.get("spark.sql.adaptive.enabled", "true")
-    conf.set("spark.sql.adaptive.enabled", "false")
-    // phase 2 AQE-off: one exchange + local sort over the staged leaf —
-    // nothing for AQE to improve, and the plain executed plan is what
-    // lets localCheckpoint record the partitioning/ordering
-    try staged.repartition(n, col("u")).sortWithinPartitions(col("u")).localCheckpoint()
-    finally conf.set("spark.sql.adaptive.enabled", prev)
+    * Construction is one window rank (hash-partition by u + sort — the
+    * same single |E|-row exchange any u-clustering would pay) followed
+    * by a mostly-local (u, seg) aggregation; the result
+    * (|V| + #hub-segments rows) is localCheckpointed (cluster: durable
+    * checkpoint) clustered on the round-join key u. AQE stays on: the
+    * rank side of the round join is small enough that each round join is
+    * broadcast locally, and on a 1000-executor cluster where |V| stops
+    * broadcasting, the adjacency side is already hash-clustered on u. */
+  private val SegCap = 4096
+
+  private def segmentedAdj(edges: DataFrame): DataFrame = {
+    // AQE OFF for the materialized subplan, for the same reason
+    // documented on d06's loop: an AdaptiveSparkPlanExec leaf does not
+    // expose outputPartitioning, so localCheckpoint under AQE would
+    // record an UNPARTITIONED LogicalRDD and every round join could
+    // re-exchange the adjacency side. The subplan is one u-keyed
+    // exchange feeding sort-merge degree join + window + a local
+    // (u, seg) aggregation — nothing AQE could improve anyway.
+    val s = edges.sparkSession
+    val prev = s.conf.get("spark.sql.adaptive.enabled", "true")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("u")).orderBy(col("v"))
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try edges
+      .withColumn("rn", row_number().over(w))
+      .withColumn("seg", expr(s"(rn - 1) div $SegCap"))
+      .groupBy(col("u"), col("seg"))
+      .agg(max(col("du")).as("du"),
+        collect_list(struct(col("v"), col("sv"))).as("ts"))
+      .localCheckpoint()
+    finally s.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
   /** Shared fixed-point propagation core (g01/g02): 5 rounds of
     *   r'(v) = max(sv) * seedBase + (85 * sum over in-edges of r(u) div deg(u)) div 100
-    * over a checkpointed (u, v, du, sv) edge frame, where sv is the
-    * TARGET node's teleport flag (1 everywhere for global PageRank, the
-    * seed indicator for the personalized variant; functionally determined
-    * by v, so max() just reads it through the aggregation). Each round is
-    * exactly one hash join + one node-keyed aggregation.
+    * over a checkpointed segmented-adjacency frame ([[segmentedAdj]]:
+    * u, seg, du, ts = array of (v, sv) targets), where sv is the TARGET
+    * node's teleport flag (1 everywhere for global PageRank, the seed
+    * indicator for the personalized variant; functionally determined by
+    * v, so max() just reads it through the aggregation). Each round is
+    * exactly one |V|-proportional hash join + an in-codegen target
+    * fan-out + one node-keyed aggregation.
     *
     * The FIXED round count composes all 5 rounds into one Catalyst plan
     * (10 shuffle stages over the checkpointed edge leaf) instead of
@@ -119,14 +139,21 @@ object GraphQueries {
     * and small, the composed plan skips 5 RDD materialize/read cycles —
     * the d06 checkpoint discipline is for DYNAMIC loops whose plans
     * would otherwise grow without bound. */
-  private def propagate(edges: DataFrame, seedInit: Long, seedBase: Long): DataFrame = {
-    var ranks = edges.groupBy(col("v"))
-      .agg((max(col("sv")) * seedInit).as("r"))
+  private def propagate(adj: DataFrame, seedInit: Long, seedBase: Long): DataFrame = {
+    var ranks = adj.select(explode(col("ts")).as("t"))
+      .groupBy(col("t.v").as("v"))
+      .agg((max(col("t.sv")) * seedInit).as("r"))
       .withColumnRenamed("v", "node")
     for (_ <- 1 to 5) {
-      ranks = edges
+      // one round = join |V|-proportional adjacency rows with the rank
+      // frame on u, compute the per-source contribution r div du ONCE per
+      // adjacency row, fan targets out inside codegen (Generate over the
+      // segment array — never an |E|-row leaf scan), partial-aggregate,
+      // and shuffle only the v-keyed partial sums
+      ranks = adj
         .join(ranks.select(col("node").as("u"), col("r")), "u")
-        .select(col("v"), col("sv"), expr("r div du").as("c"))
+        .select(expr("r div du").as("c"), explode(col("ts")).as("t"))
+        .select(col("t.v").as("v"), col("t.sv").as("sv"), col("c"))
         .groupBy(col("v"))
         .agg((max(col("sv")) * seedBase + expr("(85 * sum(c)) div 100")).as("r"))
         .withColumnRenamed("v", "node")
@@ -137,7 +164,8 @@ object GraphQueries {
   def g01PageRank(s: SparkSession, dir: String): DataFrame = {
     val Scale = 1000000000000L
     val base = 15L * Scale / 100L // exact: 1.5e11
-    propagate(checkpointByU(edgesWithDeg(s, dir).withColumn("sv", lit(1L))), Scale, base)
+    val adj = segmentedAdj(edgesWithDeg(tradePairs(s, dir), lit(1L), lit(1L)))
+    propagate(adj, Scale, base)
       .select(col("node"),
         when(col("node") >= 1000000L, "supplier").otherwise("customer").as("node_type"),
         col("r").as("rank_fp"))
@@ -168,10 +196,15 @@ object GraphQueries {
     val seeds = Tables.customer(s, dir)
       .filter(col("c_nationkey") === 1)
       .select(col("c_custkey").cast("long").as("sn"), lit(1L).as("seed"))
-    val edges = checkpointByU(edgesWithDeg(s, dir)
-      .join(seeds, col("v") === col("sn"), "left")
-      .select(col("u"), col("v"), col("du"), coalesce(col("seed"), lit(0L)).as("sv")))
-    propagate(edges, Scale, base)
+    // the teleport flag belongs to the TARGET node; only the flipped edge
+    // branch targets customers, so the seed lookup lands once on the
+    // pair checkpoint's customer column (broadcast join, no shuffle) and
+    // the forward branch — supplier targets, never seeds — is a constant 0
+    val flagged = tradePairs(s, dir)
+      .join(seeds, col("u") === col("sn"), "left")
+      .select(col("u"), col("v"), coalesce(col("seed"), lit(0L)).as("su"))
+    val adj = segmentedAdj(edgesWithDeg(flagged, lit(0L), col("su")))
+    propagate(adj, Scale, base)
       .filter(col("node") >= 1000000L)
       .select(col("node"), col("r").as("rank_fp"))
       .orderBy(col("rank_fp").desc, col("node"))
@@ -323,7 +356,13 @@ object GraphQueries {
     * Output: top-20 suppliers by triangle participation (tie → smaller
     * id) with their kNN-graph degree.
     */
-  private[graft] def g04Plan(s: SparkSession, dir: String): DataFrame = {
+  /** The supplier kNN co-purchase graph (k = 8 strongest partners by
+    * shared-customer count, tie -> smaller id; undirected edge when either
+    * endpoint kept the other) as canonical (x < y) edge rows — the graph
+    * g04 counts triangles on and g06 propagates labels over. The per-node
+    * window (WindowGroupLimit) is the scale cut: degree <= 2k by
+    * construction regardless of corpus size. */
+  private[graft] def g04KnnEdges(s: SparkSession, dir: String): DataFrame = {
     val k = 8
     val pe = g03Pairs(s, dir)
     val a = pe.select(col("c"), col("sp").as("s1"))
@@ -337,8 +376,12 @@ object GraphQueries {
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("u")).orderBy(col("n").desc, col("v"))))
       .filter(col("rk") <= k)
-    val edges = knn.select(least(col("u"), col("v")).as("x"),
-        greatest(col("u"), col("v")).as("y")).distinct()
+    knn.select(least(col("u"), col("v")).as("x"),
+      greatest(col("u"), col("v")).as("y")).distinct()
+  }
+
+  private[graft] def g04Plan(s: SparkSession, dir: String): DataFrame = {
+    val edges = g04KnnEdges(s, dir)
     val deg = edges.select(col("x").as("node")).union(edges.select(col("y")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
     // orient low (deg, id) -> high; carry the DEST's (deg, id) key on the
