@@ -267,12 +267,13 @@ object GraphQueries {
     * d08 source-duplication matrix.
     *
     * Plan shape at 100 TB: the wedge join is a SELF-JOIN KEYED ON THE
-    * CUSTOMER — fan-out per customer is C(deg, 2), bounded by per-key
-    * degree, not corpus size. Degenerate hub customers (deg in the
-    * thousands) are capped upstream in production by a per-key degree
-    * cutoff before pairing — the standard wedge-sampling guard; the cap
-    * is a filter on the same degree frame g01 already computes. The
-    * pair aggregation shuffles (s1, s2) keys only.
+    * CUSTOMER ([[wedgePairs]]) — fan-out per customer is C(deg, 2),
+    * bounded by per-key degree, not corpus size. Degenerate hub
+    * customers (deg in the thousands) are capped upstream in production
+    * by a per-key degree cutoff before pairing — the standard
+    * wedge-sampling guard; the cap is a filter on the same degree frame
+    * g01 already computes. The pair aggregation shuffles (s1, s2) keys
+    * only.
     */
   /** Distinct (customer, supplier) purchase pairs — the bipartite edge
     * frame both sides of the wedge self-join read. */
@@ -287,17 +288,30 @@ object GraphQueries {
     * public query checkpoints its result (collapsing any plan exhibit to
     * a Scan ExistingRDD leaf); DumpPlans calls this on a cached pair
     * frame to show the real wedge-join shape. */
-  private[graft] def g03Plan(pairs: DataFrame): DataFrame = {
+  /** Supplier-pair shared-customer counts (s1 < s2, n) — the wedge
+    * aggregation both g03 and g04 start from: a customer-keyed self-join
+    * (fan-out per customer is C(deg, 2), bounded by per-key degree) into
+    * a pair-keyed count. An array-combination rewrite (collect each
+    * customer's sorted supplier list, emit combinations via nested
+    * transforms) was measured ~45% SLOWER at sf0.1 — the interpreted HOF
+    * pair materialization loses to the codegen'd hash-join probe — so
+    * the join form stays. Callers that read `pairs` from both sides
+    * cache it (the two projections canonicalize to different exchanges,
+    * so ReuseExchange alone would recompute the fact join). */
+  private def wedgePairs(pairs: DataFrame): DataFrame = {
     val a = pairs.select(col("c"), col("sp").as("s1"))
     val b = pairs.select(col("c").as("c_b"), col("sp").as("s2"))
     a.join(b, col("c") === col("c_b") && col("s1") < col("s2"))
-      .groupBy(col("s1"), col("s2"))
-      .agg(count(lit(1)).as("shared_customers"))
+      .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("n"))
+  }
+
+  private[graft] def g03Plan(pairs: DataFrame): DataFrame =
+    wedgePairs(pairs)
+      .withColumnRenamed("n", "shared_customers")
       .withColumn("butterflies",
         expr("shared_customers * (shared_customers - 1) div 2"))
       .orderBy(col("shared_customers").desc, col("s1"), col("s2"))
       .limit(20)
-  }
 
   def g03CopurchaseMotifs(s: SparkSession, dir: String): DataFrame = {
     val pairs = g03Pairs(s, dir).cache()
@@ -362,13 +376,9 @@ object GraphQueries {
     * g04 counts triangles on and g06 propagates labels over. The per-node
     * window (WindowGroupLimit) is the scale cut: degree <= 2k by
     * construction regardless of corpus size. */
-  private[graft] def g04KnnEdges(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def g04KnnEdgesFrom(pairs: DataFrame): DataFrame = {
     val k = 8
-    val pe = g03Pairs(s, dir)
-    val a = pe.select(col("c"), col("sp").as("s1"))
-    val b = pe.select(col("c").as("c_b"), col("sp").as("s2"))
-    val pw = a.join(b, col("c") === col("c_b") && col("s1") < col("s2"))
-      .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("n"))
+    val pw = wedgePairs(pairs)
     val adj = pw.select(col("s1").as("u"), col("s2").as("v"), col("n"))
       .union(pw.select(col("s2"), col("s1"), col("n")))
     val knn = adj
@@ -380,8 +390,14 @@ object GraphQueries {
       greatest(col("u"), col("v")).as("y")).distinct()
   }
 
-  private[graft] def g04Plan(s: SparkSession, dir: String): DataFrame = {
-    val edges = g04KnnEdges(s, dir)
+  private[graft] def g04KnnEdges(s: SparkSession, dir: String): DataFrame =
+    g04KnnEdgesFrom(g03Pairs(s, dir))
+
+  private[graft] def g04Plan(s: SparkSession, dir: String): DataFrame =
+    g04PlanFrom(g03Pairs(s, dir))
+
+  private[graft] def g04PlanFrom(pairs: DataFrame): DataFrame = {
+    val edges = g04KnnEdgesFrom(pairs)
     val deg = edges.select(col("x").as("node")).union(edges.select(col("y")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
     // orient low (deg, id) -> high; carry the DEST's (deg, id) key on the
@@ -415,6 +431,11 @@ object GraphQueries {
       .limit(20)
   }
 
+  // NOTE: deliberately NOT cached — pre-materializing the pair frame
+  // (the g03 cache dance) was measured 6x SLOWER here at sf0.1: the
+  // accurate in-memory size estimate flips the wedge join to broadcast
+  // and the whole downstream plan re-strategizes around it, while the
+  // lazy form lets AQE shape each stage from runtime sizes.
   def g04TriangleCounts(s: SparkSession, dir: String): DataFrame =
     g04Plan(s, dir)
 
@@ -513,14 +534,27 @@ object GraphQueries {
           .select(col("hi").as("node"), col("mn")),
         Seq("node"), "left")
         .select(col("node").as("doc_id"), coalesce(col("mn"), col("node")).as("lbl"))
+    // The convergence scan never touches the node list: a node's label is
+    // min(incident lo) when it appears as a hi endpoint and its own id
+    // otherwise, so Σ labels = Σ node ids + Σ_hi (min(lo) − hi) — the
+    // constant first term is computed once and each round's scan is a
+    // single aggregation over the 2-column edge frame. The same
+    // monotonicity argument as d06 applies (every emission (x, m) has
+    // m ≤ a ≤ x, so per-node labels are non-increasing and the sum is
+    // stable iff no label moved).
+    val idSum = nodes.agg(coalesce(sum(col("node")), lit(0L))).head.getLong(0)
     def labelSum(ed: DataFrame): Long =
-      labels(ed).agg(coalesce(sum(col("lbl")), lit(0L))).head.getLong(0)
+      idSum + ed.groupBy(col("hi")).agg(min(col("lo")).as("mn"))
+        .agg(coalesce(sum(col("mn") - col("hi")), lit(0L))).head.getLong(0)
 
     var prevSum = labelSum(e)
     var stable = 0
     var iter = 0
     while (stable < 2 && iter < 48) {
-      e = smallStar(largeStar(e)).localCheckpoint()
+      // LAZY checkpoint: the labelSum scan below is the round's one
+      // action — it materializes the checkpoint and reads the sum in the
+      // same job instead of paying a separate eager-materialize pass
+      e = smallStar(largeStar(e)).localCheckpoint(false)
       val s2 = labelSum(e)
       stable = if (s2 == prevSum) stable + 1 else 0
       prevSum = s2

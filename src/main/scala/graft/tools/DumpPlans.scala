@@ -112,7 +112,7 @@ object DumpPlans {
         GraphQueries.g01PageRank(spark, dir)),
       ("g03_copurchase_motifs",
         "Wedge self-join is EQUI-keyed on the customer (per-key fan-out = C(deg,2)); the pair aggregation shuffles (s1,s2) keys only; both sides read one cached distinct pair frame.",
-        GraphQueries.g03Plan(GraphQueries.g03Pairs(spark, dir).cache())),
+        GraphQueries.g03Plan(GraphQueries.g03Pairs(spark, dir))),
       ("g04_triangle_counts",
         "kNN cut is a WindowGroupLimit top-8 per node; wedges self-join EQUI-keyed on the oriented source (hub nodes emit no wedges); closing is a hash join on the (v,w) endpoint pair.",
         GraphQueries.g04Plan(spark, dir)),
