@@ -1093,7 +1093,138 @@ object SimilarityQueries {
       |SELECT q_id, rnk, neighbor_id, dot, aug_cosine FROM ranked WHERE rnk <= 10
       |ORDER BY q_id, rnk""".stripMargin
 
+  // ---------------------------------------------------------------- s13
+  /** Product-quantization ADC top-k (Jegou, Douze & Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011) — the
+    * memory-bounded ANN layout: the 64-dim corpus collapses to M = 8
+    * one-byte codes per vector (32x smaller than float32), probes score
+    * candidates against code RECONSTRUCTIONS (asymmetric distance
+    * computation) without touching original vectors, and only the ADC
+    * shortlist would ever fetch raw floats. This is the billion-vector
+    * regime's standard storage/compute trade (FAISS IVFPQ pairs exactly
+    * this code path with s05's IVF cells).
+    *
+    * Determinism end to end, so a full PQ RESTATEMENT in DuckDB
+    * hash-matches (recall quality is asserted separately in
+    * Round5OpsSpec against the planted construction):
+    *  - codebook: per-subspace slices of the per-label DECIMAL-mean
+    *    centroids ([[codebook]] — reduction-order-independent), embedded
+    *    as plan literals (k*dim doubles; bytes at any corpus scale);
+    *  - encode: per subspace m, argmin over cells of the squared L2
+    *    distance summed left-to-right over the 8 dims (bit-identical to
+    *    DuckDB's list_reduce), rounded to 1e-6, ties to the smaller
+    *    cell id — a pure map pass, no shuffle;
+    *  - ADC: squared distance between the probe and the flat 64-dim
+    *    reconstruction (disjoint subspaces make that exactly the sum of
+    *    per-subspace table distances), same rounding; per-probe top-3 by
+    *    (adc, vec_id) via one window (WindowGroupLimit partial heaps);
+    *    the exact cosine of each returned candidate rides along, which
+    *    is the rerank surface a production shortlist would re-score.
+    *
+    * Labels are the cell seed (dense 0..9 — asserted), matching s05's
+    * quantizer so the two operators share one codebook contract. */
+  def s13PqAdcAnn(s: SparkSession, dir: String): DataFrame = {
+    val M = 8 // subspaces; 64 dims / 8 = 8 dims per code
+    val e = Tables.spread(Tables.embeddings(s, dir)).withColumn("v", embD)
+      .select(col("vec_id"), col("label"), col("v"))
+    val cents = codebook(e)
+    require(cents.map(_._1).toSeq == (0 until cents.length),
+      "PQ cell ids must be the dense label range — codebook indexing relies on it")
+
+    // rounded sequential squared-L2 between an 8-dim slice of `vc` and a
+    // literal centroid slice: (v[i]-c[i])^2 accumulated left-to-right
+    def sqdistSub(vc: Column, sub: Array[Double], m: Int): Column = {
+      val subLit = array(sub.map(lit): _*)
+      val diffs = zip_with(slice(vc, m * 8 + 1, 8), subLit, (x, y) => (x - y) * (x - y))
+      floor(aggregate(diffs, lit(0.0), (acc, t) => acc + t) * 1e6 + 0.5) / 1e6
+    }
+    // code_m = argmin cell of rounded sqdist, tie -> smaller cell id:
+    // array_min over (d, cell) structs
+    def codeCol(m: Int): Column = {
+      val entries = array(cents.map { case (cell, cv, _) =>
+        struct(sqdistSub(col("v"), cv.slice(m * 8, m * 8 + 8), m).as("d"),
+          lit(cell).as("cell"))
+      }: _*)
+      array_min(entries).getField("cell")
+    }
+    // flat 64-dim reconstruction: concat of the coded subspace centroids
+    val subCb = (0 until M).map { m =>
+      array(cents.map { case (_, cv, _) =>
+        array(cv.slice(m * 8, m * 8 + 8).map(lit): _*)
+      }: _*)
+    }
+    val coded = e.select(col("vec_id"), col("v"),
+      concat((0 until M).map(m => element_at(subCb(m), codeCol(m) + 1)): _*).as("rv"))
+
+    val q = plantedQueries(e.select(col("vec_id"), col("v")), k = 8, off = 213, factor = 0.1)
+      .withColumn("qnorm", sqrt(dot("qv", "qv")))
+    val adc = coded.crossJoin(broadcast(q))
+      .withColumn("adc",
+        floor(aggregate(zip_with(col("qv"), col("rv"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, t) => acc + t) * 1e6 + 0.5) / 1e6)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
+    adc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .withColumn("norm", sqrt(dot("v", "v")))
+      .withColumn("cosine",
+        floor(dot("qv", "v") / (col("qnorm") * col("norm")) * 1e6 + 0.5) / 1e6)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("adc"), col("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Full PQ restatement: same codebook, encode, reconstruction and ADC
+    * arithmetic — hash-equality audits every stage, not just recall. */
+  val s13Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cent AS (
+      |  SELECT label, j AS dim,
+      |    CAST(CAST(SUM(CAST(v[j] AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS m
+      |  FROM e, unnest(generate_series(1, 64)) AS g(j) GROUP BY label, j),
+      |carr AS (SELECT label, list(m ORDER BY dim) AS cv FROM cent GROUP BY label),
+      |sq AS (
+      |  SELECT e.vec_id, ms.m, c.label AS cell,
+      |    FLOOR(list_reduce(list_transform(generate_series(1, 8),
+      |        j -> (e.v[ms.m * 8 + j] - c.cv[ms.m * 8 + j]) * (e.v[ms.m * 8 + j] - c.cv[ms.m * 8 + j])),
+      |      (a, b) -> a + b) * 1e6 + 0.5) / 1e6 AS d
+      |  FROM e CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS m) ms CROSS JOIN carr c),
+      |codes AS (
+      |  SELECT vec_id, m, cell FROM (
+      |    SELECT vec_id, m, cell,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, cell) AS rn
+      |    FROM sq) WHERE rn = 1),
+      |rv AS (
+      |  SELECT codes.vec_id,
+      |    flatten(list(c.cv[codes.m * 8 + 1 : codes.m * 8 + 8] ORDER BY codes.m)) AS rv
+      |  FROM codes JOIN carr c ON codes.cell = c.label GROUP BY codes.vec_id),
+      |cnt AS (SELECT COUNT(*) AS n FROM e),
+      |q AS (
+      |  SELECT b.vec_id AS q_id,
+      |    list_transform(generate_series(1, 64), i -> b.v[i] + 0.1 * p.v[i]) AS qv
+      |  FROM e b JOIN cnt ON TRUE JOIN e p ON p.vec_id = (b.vec_id + 213) % cnt.n
+      |  WHERE b.vec_id < 8),
+      |adc AS (
+      |  SELECT q.q_id, r.vec_id, q.qv,
+      |    FLOOR(list_reduce(list_transform(generate_series(1, 64),
+      |        i -> (q.qv[i] - r.rv[i]) * (q.qv[i] - r.rv[i])),
+      |      (a, b) -> a + b) * 1e6 + 0.5) / 1e6 AS adc
+      |  FROM q CROSS JOIN rv r),
+      |topk AS (
+      |  SELECT q_id, vec_id, qv, adc,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rank
+      |  FROM adc)
+      |SELECT t.q_id, t.rank, t.vec_id AS neighbor_id, t.adc,
+      |  FLOOR(list_reduce(list_transform(generate_series(1, 64), i -> t.qv[i] * e.v[i]), (a, b) -> a + b)
+      |    / (SQRT(list_reduce(list_transform(generate_series(1, 64), i -> t.qv[i] * t.qv[i]), (a, b) -> a + b))
+      |       * SQRT(list_reduce(list_transform(generate_series(1, 64), i -> e.v[i] * e.v[i]), (a, b) -> a + b)))
+      |    * 1e6 + 0.5) / 1e6 AS cosine
+      |FROM topk t JOIN e ON t.vec_id = e.vec_id
+      |WHERE t.rank <= 3
+      |ORDER BY t.q_id, t.rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s13_pq_adc_ann" -> (s13PqAdcAnn _),
     "s12_mips_topk" -> (s12MipsTopk _),
     "s11_kmeans_topics" -> (s11KmeansTopics _),
     "s10_hybrid_rrf" -> (s10HybridRrf _),
@@ -1108,6 +1239,7 @@ object SimilarityQueries {
     "s06_ann_verified" -> (s06AnnVerified _))
 
   val oracle: Map[String, String] = Map(
+    "s13_pq_adc_ann" -> s13Sql,
     "s12_mips_topk" -> s12Sql,
     "s11_kmeans_topics" -> s11Sql,
     "s10_hybrid_rrf" -> s10Sql,

@@ -339,6 +339,31 @@ class Round5OpsSpec extends SparkTestBase {
       "weighted corpus must reorder at least one probe's winner vs pure cosine")
   }
 
+  test("s13: PQ codes retrieve every planted base at rank 1; ADC orders ranks") {
+    val rows = SimilarityQueries.s13PqAdcAnn(spark, Sf001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.length == 24, "8 probes x top-3")
+    // planted construction: probe q is base q + 0.1 * partner, so the
+    // base's codes equal the probe's quantization almost surely and PQ
+    // recall@1 must be exact here — the property the hash oracle (a PQ
+    // restatement, not a brute-force argmax) cannot itself witness
+    rows.filter(_._2 == 1).foreach { case (q, _, nb, _, cosine) =>
+      assert(nb == q, s"probe $q: ADC rank-1 is $nb, not the planted base")
+      assert(cosine > 0.99, s"probe $q: rank-1 cosine $cosine")
+    }
+    // ADC is a distance: non-decreasing down each probe's rank list, and
+    // the rank-1 reconstruction error is strictly the smallest
+    rows.groupBy(_._1).values.foreach { rs =>
+      val s = rs.sortBy(_._2).map(_._4)
+      s.sliding(2).foreach { case Array(a, b) => assert(a <= b); case _ => }
+    }
+    // determinism: the literal codebook + rounded arithmetic admit no
+    // partitioning or float-order sensitivity
+    val again = SimilarityQueries.s13PqAdcAnn(spark, Sf001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.sortBy(t => (t._1, t._2)).sameElements(again.sortBy(t => (t._1, t._2))))
+  }
+
   test("p14: hash permutation is a bijection onto 0..N-1 per epoch; epochs decorrelate") {
     val docs = Tables.spread(Tables.documents(spark, Sf0001))
       .select(col("doc_id"), col("source"))
