@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 /** Iterative graph analytics over the star schema's implicit graphs.
   *
@@ -572,7 +573,89 @@ object GraphQueries {
     finally pairs.unpersist()
   }
 
+  // ---------------------------------------------------------------- g06
+  /** Degree-mixing report on the customer–supplier trade graph: the
+    * log2-bucketed degree distribution (the first thing you plot for any
+    * production graph — hub detection, skew-join early warning) plus the
+    * DEGREE ASSORTATIVITY coefficient — Newman's r, the Pearson
+    * correlation of (deg u, deg v) over the directed edge list (both
+    * directions of each undirected edge, the standard undirected
+    * convention). r < 0 (hubs link to leaves — typical for bipartite
+    * trade/purchase graphs) tells the PageRank/triangle tier to expect
+    * hub-skew, which is exactly what [[segmentedAdj]]'s hub segmentation
+    * handles — this operator is the measurement that justifies it.
+    *
+    * Determinism: degrees are BIGINT counts, so every correlation moment
+    * (sum d, sum d², sum du·dv) is an EXACT int64 aggregate —
+    * order-independent with no decimal detour — and only the final
+    * Pearson combination runs in double, with the identical expression
+    * tree on both engines (the q04 discipline). Log2 buckets come from
+    * `length(bin(d)) - 1` — integer bit length, not floating log2, which
+    * mis-buckets exact powers of two by one ulp.
+    *
+    * Scale shape: one distinct-pair shuffle (shared tradePairs
+    * checkpoint), one |V|-sized degree aggregate, two degree-attach
+    * joins that shuffle only (node, degree) pairs, and a scalar moment
+    * rollup; the histogram is |V|-keyed with ~32 output rows. The 1-row
+    * assortativity frame joins back broadcast (t09's no-collect pattern).
+    */
+  def g06DegreeMixing(s: SparkSession, dir: String): DataFrame = {
+    val pairs = tradePairs(s, dir)
+    val und = pairs.select(col("u"), col("v"))
+      .union(pairs.select(col("v").as("u"), col("u").as("v")))
+    val deg = und.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val e = und
+      .join(deg.select(col("u"), col("d").as("du")), "u")
+      .join(deg.select(col("u").as("v"), col("d").as("dv")), "v")
+    val m = e.agg(
+      count(lit(1)).cast(DoubleType).as("n"),
+      sum(col("du")).cast(DoubleType).as("sx"),
+      sum(col("dv")).cast(DoubleType).as("sy"),
+      sum(col("du") * col("du")).cast(DoubleType).as("sxx"),
+      sum(col("dv") * col("dv")).cast(DoubleType).as("syy"),
+      sum(col("du") * col("dv")).cast(DoubleType).as("sxy"))
+    val assort = m.select(
+      (floor((col("n") * col("sxy") - col("sx") * col("sy")) /
+        nullif(sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+          sqrt(col("n") * col("syy") - col("sy") * col("sy")), lit(0.0))
+        * 1000000.0 + 0.5) / 1000000.0).as("assortativity"))
+    deg
+      .withColumn("bucket", (length(bin(col("d"))) - 1).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("d")).as("min_deg"), max(col("d")).as("max_deg"))
+      .crossJoin(broadcast(assort))
+      .orderBy(col("bucket"))
+  }
+
+  val g06Sql: String =
+    """WITH pairs AS (
+      |  SELECT DISTINCT o_custkey AS u, 1000000 + l_suppkey AS v
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |und AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+      |deg AS (SELECT u, COUNT(*) AS d FROM und GROUP BY u),
+      |e AS (
+      |  SELECT a.d AS du, b.d AS dv
+      |  FROM und JOIN deg a ON und.u = a.u JOIN deg b ON und.v = b.u),
+      |m AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(du) AS DOUBLE) AS sx, CAST(SUM(dv) AS DOUBLE) AS sy,
+      |    CAST(SUM(du * du) AS DOUBLE) AS sxx, CAST(SUM(dv * dv) AS DOUBLE) AS syy,
+      |    CAST(SUM(du * dv) AS DOUBLE) AS sxy
+      |  FROM e),
+      |assort AS (
+      |  SELECT FLOOR((n * sxy - sx * sy) /
+      |    NULLIF(SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy), 0.0)
+      |    * 1000000.0 + 0.5) / 1000000.0 AS assortativity
+      |  FROM m),
+      |hist AS (
+      |  SELECT CAST(LENGTH(bin(d)) - 1 AS BIGINT) AS bucket, COUNT(*) AS n_nodes,
+      |    MIN(d) AS min_deg, MAX(d) AS max_deg
+      |  FROM deg GROUP BY 1)
+      |SELECT bucket, n_nodes, min_deg, max_deg, assortativity
+      |FROM hist CROSS JOIN assort ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g06_degree_mixing" -> (g06DegreeMixing _),
     "g01_pagerank" -> (g01PageRank _),
     "g02_personalized_pagerank" -> (g02PersonalizedPageRank _),
     "g03_copurchase_motifs" -> (g03CopurchaseMotifs _),
@@ -580,6 +663,7 @@ object GraphQueries {
     "g05_star_components" -> (g05StarComponents _))
 
   val oracle: Map[String, String] = Map(
+    "g06_degree_mixing" -> g06Sql,
     "g01_pagerank" -> g01Sql,
     "g02_personalized_pagerank" -> g02Sql,
     "g03_copurchase_motifs" -> g03Sql,

@@ -836,7 +836,82 @@ object PipelineQueries {
       |WHERE position < 10 OR position = n - 1
       |ORDER BY epoch, position""".stripMargin
 
+  // ---------------------------------------------------------------- p15
+  /** Dataset card — the per-source summary sheet a curated release ships
+    * (HuggingFace dataset cards, Dolma/RedPajama release notes): volume,
+    * token mass, length profile, language mix, and within-source exact-dup
+    * rate, one row per source. This is the artifact a data curator reads
+    * BEFORE the mixture weights (p05) are chosen, so it reuses the exact
+    * fingerprint (d01's canonical md5) and token definitions
+    * ([[graft.operators.TextQueries]]'s `[A-Za-z0-9]+` runs) the curation
+    * operators themselves apply — the card and the pipeline cannot drift.
+    *
+    * Scale shape: one map pass over the corpus (regex token count + md5 —
+    * no raw text leaves the scan), then source-keyed aggregation with
+    * map-side combine; the language mode is a (source, lang)-keyed count —
+    * cardinality sources x langs, trivially small at any corpus size —
+    * joined back broadcast. `percentile` on n_chars is the one exact
+    * (sort-based) aggregate; at 100 TB swap for approx_percentile and
+    * relabel the column — the card is a report, not a gate. Deterministic:
+    * mode tie-break is (count DESC, lang ASC); ratios use the shared
+    * floor(x*1e4+0.5)/1e4 idiom.
+    */
+  def p15DatasetCard(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(s, dir))
+      .select(col("source"), col("lang"), col("n_chars"),
+        size(expr("regexp_extract_all(text, '[A-Za-z0-9]+', 0)")).cast(LongType).as("n_toks"),
+        md5(Tables.canonText(col("text"))).as("fp"))
+      .cache() // two readers: the per-source rollup and the language mode
+    try {
+      docs.count()
+      val card = docs.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("total_tokens"),
+        (floor(expr("percentile(n_chars, 0.5)") * 10.0 + 0.5) / 10.0).as("median_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("fp")).as("n_unique"))
+      val topLang = docs.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("lc"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("lc").desc, col("lang"))))
+        .filter(col("rk") === 1)
+        .select(col("source"), col("lang").as("top_lang"), col("lc"))
+      card.join(broadcast(topLang), "source")
+        .select(col("source"), col("n_docs"), col("total_tokens"),
+          col("median_chars"), col("n_langs"), col("top_lang"),
+          (floor(col("lc").cast(DoubleType) / col("n_docs") * 10000.0 + 0.5) / 10000.0).as("top_lang_share"),
+          (floor((col("n_docs") - col("n_unique")).cast(DoubleType) / col("n_docs") * 10000.0 + 0.5) / 10000.0).as("dup_rate"))
+        .orderBy(col("source"))
+        .localCheckpoint() // materialize before the cache below is released
+    } finally {
+      docs.unpersist()
+    }
+  }
+
+  val p15Sql: String =
+    """WITH d AS (
+      |  SELECT source, lang, n_chars,
+      |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_toks,
+      |    md5(TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+      |  FROM documents),
+      |card AS (
+      |  SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+      |    FLOOR(CAST(MEDIAN(n_chars) AS DOUBLE) * 10.0 + 0.5) / 10.0 AS median_chars,
+      |    COUNT(DISTINCT lang) AS n_langs, COUNT(DISTINCT fp) AS n_unique
+      |  FROM d GROUP BY source),
+      |tl AS (
+      |  SELECT source, lang AS top_lang, lc FROM (
+      |    SELECT source, lang, COUNT(*) AS lc,
+      |      ROW_NUMBER() OVER (PARTITION BY source ORDER BY COUNT(*) DESC, lang) AS rk
+      |    FROM d GROUP BY source, lang)
+      |  WHERE rk = 1)
+      |SELECT source, n_docs, total_tokens, median_chars, n_langs, top_lang,
+      |  FLOOR(CAST(lc AS DOUBLE) / n_docs * 10000.0 + 0.5) / 10000.0 AS top_lang_share,
+      |  FLOOR(CAST(n_docs - n_unique AS DOUBLE) / n_docs * 10000.0 + 0.5) / 10000.0 AS dup_rate
+      |FROM card JOIN tl USING (source) ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p15_dataset_card" -> (p15DatasetCard _),
     "p14_training_order" -> (p14TrainingOrder _),
     "p13_curated_corpus" -> (p13CuratedCorpus _),
     "p12_leakage_split" -> (p12LeakageSplit _),
@@ -853,6 +928,7 @@ object PipelineQueries {
     "p04_sequence_packing" -> (p04SequencePacking _))
 
   val oracle: Map[String, String] = Map(
+    "p15_dataset_card" -> p15Sql,
     "p14_training_order" -> p14Sql,
     "p13_curated_corpus" -> p13Sql,
     "p12_leakage_split" -> p12Sql,

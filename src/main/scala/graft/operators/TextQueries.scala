@@ -976,7 +976,71 @@ object TextQueries {
         (floor(avg(col("ratio")) * 10000.0 + 0.5) / 10000.0).as("avg_ratio"))
       .orderBy(col("band"))
 
+  // ---------------------------------------------------------------- t18
+  /** Readability scoring — Flesch reading ease + Flesch-Kincaid grade from
+    * three regex-derived counts: letter-run words, [.!?]-run sentences
+    * (floored at 1: a fragment is one sentence, and the synthetic corpus
+    * has no terminators at all, which this handles by construction), and
+    * the classic vowel-group syllable heuristic (max(1, [aeiouy]+ runs)
+    * per word — the same approximation readability tooling has used since
+    * the original Flesch studies; no dictionary required, so it
+    * distributes as pure map work).
+    *
+    * Scale: one regex map pass, no shuffle at all — the output is per-doc
+    * and ordered only for the bounded dump. Determinism: both engines
+    * evaluate the identical arithmetic expression tree (the subtraction
+    * order matters for the final ulp), and the result is floored to 1e-4
+    * via the shared idiom.
+    */
+  def t18Readability(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.documents(s, dir))
+      .withColumn("words", expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+      .withColumn("n_words", size(col("words")).cast(LongType))
+      .withColumn("n_sentences",
+        greatest(lit(1L), size(expr("regexp_extract_all(text, '[.!?]+', 0)")).cast(LongType)))
+      .withColumn("n_syllables", expr(
+        """aggregate(words,
+          |  0L,
+          |  (acc, w) -> acc + greatest(1, size(regexp_extract_all(w, '[aeiouy]+', 0))))""".stripMargin))
+      .select(
+        col("doc_id"), col("n_words"), col("n_sentences"), col("n_syllables"),
+        (floor((lit(206.835)
+          - lit(1.015) * (col("n_words").cast(DoubleType) / col("n_sentences"))
+          - lit(84.6) * (col("n_syllables").cast(DoubleType) / nullif(col("n_words"), lit(0L))))
+          * 10000.0 + 0.5) / 10000.0).as("flesch_ease"),
+        (floor((lit(0.39) * (col("n_words").cast(DoubleType) / col("n_sentences"))
+          + lit(11.8) * (col("n_syllables").cast(DoubleType) / nullif(col("n_words"), lit(0L)))
+          - lit(15.59))
+          * 10000.0 + 0.5) / 10000.0).as("fk_grade"))
+      .orderBy(col("doc_id"))
+
+  val t18Sql: String =
+    """WITH c AS (
+      |  SELECT doc_id,
+      |    regexp_extract_all(LOWER(text), '[a-z]+') AS words,
+      |    GREATEST(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sentences
+      |  FROM documents),
+      |k AS (
+      |  SELECT doc_id,
+      |    CAST(len(words) AS BIGINT) AS n_words,
+      |    CAST(n_sentences AS BIGINT) AS n_sentences,
+      |    CAST(CASE WHEN len(words) = 0 THEN 0 ELSE
+      |      list_reduce(list_transform(words, w -> GREATEST(1, len(regexp_extract_all(w, '[aeiouy]+')))), (a, b) -> a + b)
+      |    END AS BIGINT) AS n_syllables
+      |  FROM c)
+      |SELECT doc_id, n_words, n_sentences, n_syllables,
+      |  FLOOR((206.835
+      |    - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+      |    - 84.6 * (CAST(n_syllables AS DOUBLE) / NULLIF(n_words, 0)))
+      |    * 10000.0 + 0.5) / 10000.0 AS flesch_ease,
+      |  FLOOR((0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+      |    + 11.8 * (CAST(n_syllables AS DOUBLE) / NULLIF(n_words, 0))
+      |    - 15.59)
+      |    * 10000.0 + 0.5) / 10000.0 AS fk_grade
+      |FROM k ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t18_readability" -> (t18Readability _),
     "t17_compressibility" -> (t17Compressibility _),
     "t15_zipf_spectrum" -> (t15ZipfSpectrum _),
     "t14_boilerplate" -> (t14Boilerplate _),
@@ -996,6 +1060,7 @@ object TextQueries {
     "t06_repetition" -> (t06Repetition _))
 
   val oracle: Map[String, String] = Map(
+    "t18_readability" -> t18Sql,
     "t16_pmi_collocations" -> t16Sql,
     "t15_zipf_spectrum" -> t15Sql,
     "t14_boilerplate" -> t14Sql,
