@@ -1223,7 +1223,141 @@ object SimilarityQueries {
       |WHERE t.rank <= 3
       |ORDER BY t.q_id, t.rank""".stripMargin
 
+  // ---------------------------------------------------------------- s14
+  /** Radius (range) search with GUARANTEED-complete cell pruning — "every
+    * neighbor with cosine >= tau", the retrieval mode dedup audits and
+    * near-dup sweeps need (top-k is the wrong contract there: the answer
+    * set size is data-dependent). Unlike fixed-nProbe ANN, the pruning
+    * here is exact, via the angular triangle inequality:
+    *
+    *   angle(q, x) >= angle(q, c) - radius(c)   for any x stored in cell c
+    *
+    * where radius(c) = max angle from centroid c to its members (computed
+    * once per cell during assignment — codebook metadata, k doubles). A
+    * cell is scanned iff cos(max(0, angle(q,c) - radius(c))) can still
+    * reach tau; anything excluded provably contains no qualifying vector,
+    * so the scoped search returns EXACTLY the brute-force answer — which
+    * is what lets DuckDB's corpus-wide scan hash-audit a pruned plan.
+    * Slack 1e-9 on the bound absorbs acos ulp jitter; over-inclusion only
+    * costs the exact-cosine filter downstream, never correctness.
+    *
+    * Scale shape: the codebook + radii are k rows collected once (the
+    * standard IVF contract — bytes even at 100 TB); per-query cell
+    * selection is a codegen'd literal-array filter, candidates flow
+    * through one broadcast join on cell id, and only qualifying cells'
+    * vectors are scored. The recall/cost dial of s05 without the recall
+    * loss.
+    */
+  def s14RangeSearch(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.spread(Tables.embeddings(s, dir)).withColumn("v", embD)
+      .select(col("vec_id"), col("label"), col("v"))
+    val q = plantedQueries(e.select(col("vec_id"), col("v")), k = 8, off = 171, factor = 0.1)
+    s14Search(s, e, q, tau = 0.3)
+  }
+
+  /** The s14 engine over arbitrary (vec_id, label, v) corpus and
+    * (q_id, qv) query frames — parameterized so the spec can drive it
+    * with engineered tight-cluster geometry, where the pruning bound
+    * actually excludes cells (the synthetic testdata's cells are
+    * near-random inside, radius ~85 deg, so the bound degrades to a full
+    * scan there — exactness holds either way, which is the point of the
+    * brute-force oracle). */
+  private[graft] def s14Search(s: SparkSession, e0: DataFrame, q0: DataFrame,
+      tau: Double): DataFrame = {
+    val (cents, radii, assigned) = s14Metadata(s, e0)
+    val q = q0.withColumn("qnorm", sqrt(dot("qv", "qv")))
+    val probed = q.select(col("q_id"), col("qv"), col("qnorm"),
+      explode(reachableCells(cents, radii, col("qv"), tau)).as("cell"))
+    assigned.join(broadcast(probed), Seq("cell"))
+      .withColumn("cosine", floor(dot("qv", "v") / (col("qnorm") * col("norm")) * 1e6 + 0.5) / 1e6)
+      .filter(col("cosine") >= tau)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cosine"))
+      .orderBy(col("q_id"), col("neighbor_id"))
+  }
+
+  /** Codebook + per-cell max member angle (radius) + the assigned corpus —
+    * s14's collected metadata. radius(c) comes through the same codegen'd
+    * cosine the assignment used; max() is order-independent, and the
+    * k-row collect is the codebook-metadata contract, not a corpus-sized
+    * driver pull. */
+  private[graft] def s14Metadata(s: SparkSession, e0: DataFrame)
+      : (Array[(Int, Array[Double], Double)], Map[Int, Double], DataFrame) = {
+    import s.implicits._
+    val e = e0.withColumn("norm", sqrt(dot("v", "v")))
+      .select(col("vec_id"), col("label"), col("v"), col("norm"))
+    val cents = codebook(e)
+    val assigned = e
+      .withColumn("cell", element_at(probeCells(cents, col("v"), 1), 1))
+      .select(col("cell"), col("vec_id"), col("v"), col("norm"))
+      .localCheckpoint() // two readers: the radius pass and the scan
+    graft.functions.GraftFunctions.register(s)
+    val centDf = cents.toSeq.map { case (c, cv, _) => (c, cv.toSeq) }.toDF("cell", "cv")
+    val radii: Map[Int, Double] = assigned.join(broadcast(centDf), "cell")
+      .select(col("cell"),
+        acos(least(lit(1.0), greatest(lit(-1.0),
+          call_function("graft_cosine", col("cv"), col("v"))))).as("ang"))
+      .groupBy(col("cell")).agg(max(col("ang")).as("radius"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    (cents, radii, assigned)
+  }
+
+  /** Cells whose angular lower bound can still reach `tau` for the query
+    * vector `vc` — s14's exact pruning predicate, factored out so the
+    * spec can count probed cells independently of the search itself.
+    * Codegen'd literal-array filter over the codebook; zero exchange. */
+  private[graft] def reachableCells(cents: Array[(Int, Array[Double], Double)],
+      radii: Map[Int, Double], vc: Column, tau: Double): Column = {
+    val entries = array(cents.map { case (cell, cv, _) =>
+      val csim = call_function("graft_cosine", array(cv.map(lit): _*), vc)
+      val lb = cos(greatest(lit(0.0),
+        acos(least(lit(1.0), greatest(lit(-1.0), csim))) - lit(radii(cell) + 1e-9)))
+      struct(lb.as("lb"), lit(cell).as("cell"))
+    }: _*)
+    transform(
+      filter(entries, st => st.getField("lb") >= lit(tau - 1e-6)),
+      st => st.getField("cell"))
+  }
+
+  /** (q_id, n_probed, k_cells) per query — the pruning witness the spec
+    * asserts on engineered tight-cluster geometry (see [[s14Search]]'s
+    * note on why the testdata itself cannot prune). */
+  private[graft] def s14ProbeCounts(s: SparkSession, e0: DataFrame, q0: DataFrame,
+      tau: Double): DataFrame = {
+    val (cents, radii, _) = s14Metadata(s, e0)
+    q0.select(col("q_id"),
+      size(reachableCells(cents, radii, col("qv"), tau)).as("n_probed"),
+      lit(cents.length).as("k_cells"))
+  }
+
+  /** Corpus-wide brute force at the same threshold — the pruned plan must
+    * return exactly this set. */
+  val s14Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cnt AS (SELECT COUNT(*) AS n FROM e),
+      |q AS (
+      |  SELECT b.vec_id AS q_id,
+      |    list_transform(generate_series(1, 64), i -> b.v[i] + 0.1 * p.v[i]) AS qv
+      |  FROM e b JOIN cnt ON TRUE JOIN e p ON p.vec_id = (b.vec_id + 171) % cnt.n
+      |  WHERE b.vec_id < 8),
+      |qn AS (
+      |  SELECT q_id, qv,
+      |    SQRT(list_reduce(list_transform(generate_series(1, 64), i -> qv[i] * qv[i]), (x, y) -> x + y)) AS qnrm
+      |  FROM q),
+      |cn AS (
+      |  SELECT vec_id, v,
+      |    SQRT(list_reduce(list_transform(generate_series(1, 64), i -> v[i] * v[i]), (x, y) -> x + y)) AS nrm
+      |  FROM e),
+      |scored AS (
+      |  SELECT q_id, vec_id AS neighbor_id,
+      |    FLOOR(list_reduce(list_transform(generate_series(1, 64), i -> qv[i] * v[i]), (x, y) -> x + y)
+      |      / (qnrm * nrm) * 1e6 + 0.5) / 1e6 AS cosine
+      |  FROM qn CROSS JOIN cn)
+      |SELECT q_id, neighbor_id, cosine FROM scored WHERE cosine >= 0.3
+      |ORDER BY q_id, neighbor_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s14_range_search" -> (s14RangeSearch _),
     "s13_pq_adc_ann" -> (s13PqAdcAnn _),
     "s12_mips_topk" -> (s12MipsTopk _),
     "s11_kmeans_topics" -> (s11KmeansTopics _),
@@ -1239,6 +1373,7 @@ object SimilarityQueries {
     "s06_ann_verified" -> (s06AnnVerified _))
 
   val oracle: Map[String, String] = Map(
+    "s14_range_search" -> s14Sql,
     "s13_pq_adc_ann" -> s13Sql,
     "s12_mips_topk" -> s12Sql,
     "s11_kmeans_topics" -> s11Sql,
