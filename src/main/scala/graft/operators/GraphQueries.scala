@@ -443,7 +443,9 @@ object GraphQueries {
   /** Orientation-free restatement: LEAST/GREATEST-canonical edges, one
     * a<b<c triple join (counting is orientation-invariant), per-node
     * participation by unnesting the triple. */
-  val g04Sql: String =
+  /** The kNN co-purchase edge derivation as a shared CTE prefix, so g04
+    * (triangles) and g07 (link prediction) provably score the SAME graph. */
+  private[graft] val knnCtes: String =
     """WITH pe AS (
       |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS c, CAST(l_suppkey AS BIGINT) AS sp
       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
@@ -455,7 +457,10 @@ object GraphQueries {
       |  SELECT u, v FROM (
       |    SELECT u, v, ROW_NUMBER() OVER (PARTITION BY u ORDER BY n DESC, v) AS rk
       |    FROM adj) WHERE rk <= 8),
-      |edges AS (SELECT DISTINCT LEAST(u, v) AS x, GREATEST(u, v) AS y FROM knn),
+      |edges AS (SELECT DISTINCT LEAST(u, v) AS x, GREATEST(u, v) AS y FROM knn)""".stripMargin
+
+  val g04Sql: String = knnCtes +
+    """,
       |tri AS (
       |  SELECT e1.x AS a, e1.y AS b, e2.y AS c
       |  FROM edges e1 JOIN edges e2 ON e1.y = e2.x
@@ -654,7 +659,63 @@ object GraphQueries {
       |SELECT bucket, n_nodes, min_deg, max_deg, assortativity
       |FROM hist CROSS JOIN assort ORDER BY bucket""".stripMargin
 
+  // ---------------------------------------------------------------- g07
+  /** Link prediction on the supplier kNN co-purchase graph — the batch
+    * candidate-generation job behind "related items" / graph-completion
+    * pipelines: for every NON-adjacent supplier pair that shares at least
+    * one neighbor, the common-neighbor count and Jaccard coefficient
+    * |N(a) ∩ N(b)| / |N(a) ∪ N(b)|; top-20 predicted links.
+    *
+    * Scale shape: candidates come from the wedge join on the MIDDLE node
+    * (the g03/g04 discipline) — and because the kNN cut bounds degree at
+    * 2k, per-node wedge fan-out is <= C(2k, 2), so candidate volume is
+    * O(|V| * k^2), never quadratic in nodes. Existing edges leave via a
+    * LEFT ANTI hash join on the canonical (x, y) pair; degrees attach by
+    * two (node, degree) joins. Every join is equi-keyed.
+    *
+    * Determinism: counts and degrees are exact int64; Jaccard rounds via
+    * the shared floor idiom and ties break on (a, b).
+    */
+  def g07LinkPrediction(s: SparkSession, dir: String): DataFrame = {
+    val edges = g04KnnEdges(s, dir)
+    val und = edges.select(col("x").as("u"), col("y").as("v"))
+      .union(edges.select(col("y").as("u"), col("x").as("v")))
+    val deg = und.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val cn = und.select(col("u").as("m"), col("v").as("a"))
+      .join(und.select(col("u").as("m"), col("v").as("b")), "m")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cn"))
+    val cand = cn.join(edges,
+      cn("a") === edges("x") && cn("b") === edges("y"), "left_anti")
+    cand
+      .join(deg.select(col("u").as("a"), col("d").as("deg_a")), "a")
+      .join(deg.select(col("u").as("b"), col("d").as("deg_b")), "b")
+      .withColumn("jaccard",
+        floor(col("cn").cast(DoubleType) / (col("deg_a") + col("deg_b") - col("cn"))
+          * 1e6 + 0.5) / 1e6)
+      .select(col("a"), col("b"), col("cn"), col("deg_a"), col("deg_b"), col("jaccard"))
+      .orderBy(col("jaccard").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
+  val g07Sql: String = knnCtes +
+    """,
+      |und AS (SELECT x AS u, y AS v FROM edges UNION ALL SELECT y, x FROM edges),
+      |deg AS (SELECT u, COUNT(*) AS d FROM und GROUP BY u),
+      |cn AS (
+      |  SELECT a.v AS a, b.v AS b, COUNT(*) AS cn
+      |  FROM und a JOIN und b ON a.u = b.u AND a.v < b.v GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT cn.a, cn.b, cn.cn FROM cn
+      |  LEFT JOIN edges e ON cn.a = e.x AND cn.b = e.y
+      |  WHERE e.x IS NULL)
+      |SELECT a, b, cn, da.d AS deg_a, db.d AS deg_b,
+      |  FLOOR(CAST(cn AS DOUBLE) / (da.d + db.d - cn) * 1e6 + 0.5) / 1e6 AS jaccard
+      |FROM cand JOIN deg da ON cand.a = da.u JOIN deg db ON cand.b = db.u
+      |ORDER BY jaccard DESC, a, b LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g07_link_prediction" -> (g07LinkPrediction _),
     "g06_degree_mixing" -> (g06DegreeMixing _),
     "g01_pagerank" -> (g01PageRank _),
     "g02_personalized_pagerank" -> (g02PersonalizedPageRank _),
@@ -663,6 +724,7 @@ object GraphQueries {
     "g05_star_components" -> (g05StarComponents _))
 
   val oracle: Map[String, String] = Map(
+    "g07_link_prediction" -> g07Sql,
     "g06_degree_mixing" -> g06Sql,
     "g01_pagerank" -> g01Sql,
     "g02_personalized_pagerank" -> g02Sql,

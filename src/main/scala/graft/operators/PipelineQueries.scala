@@ -910,7 +910,82 @@ object PipelineQueries {
       |  FLOOR(CAST(n_docs - n_unique AS DOUBLE) / n_docs * 10000.0 + 0.5) / 10000.0 AS dup_rate
       |FROM card JOIN tl USING (source) ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- p16
+  /** CDC merge (MERGE INTO semantics) — the snapshot-maintenance step
+    * every continuously-crawled corpus needs: apply a changeset of
+    * inserts / updates / deletes onto the previous snapshot and report
+    * the per-source reconciliation a pipeline gates promotion on.
+    *
+    * The changeset is derived deterministically from the corpus so the
+    * oracle can re-derive it: docs with id % 10 == 7 are "new" (absent
+    * from the base snapshot, op I), id % 10 == 3 get re-crawled text
+    * (op U, text + " v2"), id % 10 == 5 are takedowns (op D); everything
+    * else is untouched base. Merge rule per key: D removes, U replaces,
+    * I adds, no-change rows pass through — exactly MERGE INTO's WHEN
+    * MATCHED / NOT MATCHED arms, spelled as one full-outer join on the
+    * key plus arm predicates (the engine-neutral core of Delta/Iceberg
+    * copy-on-write merge).
+    *
+    * Scale shape: ONE shuffle join on the snapshot key (with bucketed
+    * base+changeset tables it degrades to a zipper merge with no
+    * exchange); the changeset side is typically days-vs-corpus small, so
+    * AQE broadcasts it — no hint needed either way. The audit rollup is
+    * source-keyed with map-side combine; result-content checksums
+    * (sum of ids, sum of text lengths — both exact int64) pin the merged
+    * STATE, not just its cardinality, without shipping text anywhere.
+    */
+  def p16MergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(s, dir))
+      .select(col("doc_id"), col("source"), col("text"))
+    val base = docs.filter(col("doc_id") % 10 =!= 7)
+    val cdc = docs.filter(col("doc_id") % 10 === 7)
+      .select(col("doc_id"), col("source"), col("text"), lit("I").as("op"))
+      .unionAll(docs.filter(col("doc_id") % 10 === 3)
+        .select(col("doc_id"), col("source"), concat(col("text"), lit(" v2")).as("text"), lit("U").as("op")))
+      .unionAll(docs.filter(col("doc_id") % 10 === 5)
+        .select(col("doc_id"), col("source"), col("text"), lit("D").as("op")))
+    val merged = base.select(col("doc_id"), col("source").as("b_source"), col("text").as("b_text"))
+      .join(cdc.select(col("doc_id"), col("source").as("c_source"),
+        col("text").as("c_text"), col("op")), Seq("doc_id"), "full_outer")
+      .filter(coalesce(col("op"), lit("")) =!= "D")
+      .select(col("doc_id"),
+        coalesce(col("c_source"), col("b_source")).as("source"),
+        coalesce(col("c_text"), col("b_text")).as("text"),
+        col("op"))
+    merged.groupBy(col("source")).agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("op") === "I", 1L).otherwise(0L)).as("n_inserted"),
+      sum(when(col("op") === "U", 1L).otherwise(0L)).as("n_updated"),
+      sum(col("doc_id")).as("sum_ids"),
+      sum(length(col("text")).cast(LongType)).as("sum_chars"))
+      .orderBy(col("source"))
+  }
+
+  val p16Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, source, text FROM documents WHERE doc_id % 10 <> 7),
+      |cdc AS (
+      |  SELECT doc_id, source, text, 'I' AS op FROM documents WHERE doc_id % 10 = 7
+      |  UNION ALL
+      |  SELECT doc_id, source, text || ' v2', 'U' FROM documents WHERE doc_id % 10 = 3
+      |  UNION ALL
+      |  SELECT doc_id, source, text, 'D' FROM documents WHERE doc_id % 10 = 5),
+      |merged AS (
+      |  SELECT COALESCE(c.doc_id, b.doc_id) AS doc_id,
+      |    COALESCE(c.source, b.source) AS source,
+      |    COALESCE(c.text, b.text) AS text,
+      |    c.op AS op
+      |  FROM base b FULL OUTER JOIN cdc c ON b.doc_id = c.doc_id
+      |  WHERE COALESCE(c.op, '') <> 'D')
+      |SELECT source, COUNT(*) AS n_rows,
+      |  CAST(SUM(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
+      |  CAST(SUM(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+      |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+      |  CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars
+      |FROM merged GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p16_merge_upsert" -> (p16MergeUpsert _),
     "p15_dataset_card" -> (p15DatasetCard _),
     "p14_training_order" -> (p14TrainingOrder _),
     "p13_curated_corpus" -> (p13CuratedCorpus _),
@@ -928,6 +1003,7 @@ object PipelineQueries {
     "p04_sequence_packing" -> (p04SequencePacking _))
 
   val oracle: Map[String, String] = Map(
+    "p16_merge_upsert" -> p16Sql,
     "p15_dataset_card" -> p15Sql,
     "p14_training_order" -> p14Sql,
     "p13_curated_corpus" -> p13Sql,

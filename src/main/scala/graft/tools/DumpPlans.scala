@@ -133,7 +133,16 @@ object DumpPlans {
         SimilarityQueries.s12MipsTopk(spark, dir)),
       ("p14_training_order",
         "Keyed hash permutation: within-bucket rank windows partition on (epoch,bucket); the offset running-sum window sees 256 rows per epoch, never the corpus — no global sort or single-partition window.",
-        PipelineQueries.p14TrainingOrder(spark, dir)))
+        PipelineQueries.p14TrainingOrder(spark, dir)),
+      ("p15_dataset_card",
+        "One map pass (token regex + md5 — raw text never leaves the scan) feeding a source-keyed rollup; the (source,lang) mode frame joins back via BroadcastHashJoin.",
+        PipelineQueries.p15DatasetCard(spark, dir)),
+      ("g06_degree_mixing",
+        "Degree attach joins ship (node, degree) pairs only; every correlation moment is an exact int64 partial+final agg; the 1-row assortativity enters the histogram via broadcast.",
+        GraphQueries.g06DegreeMixing(spark, dir)),
+      ("s14_range_search",
+        "Radius search: codebook+radii are plan literals; reachable-cell filter runs codegen'd per query; candidates meet the corpus in one BroadcastHashJoin on cell id — cells the angular bound excludes are never scanned.",
+        SimilarityQueries.s14RangeSearch(spark, dir)))
 
     val sb = new StringBuilder
     sb.append("# Flagship physical plans (generated by graft.tools.DumpPlans at sf0.01)\n\n")

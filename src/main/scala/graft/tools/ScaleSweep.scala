@@ -81,7 +81,11 @@ object ScaleSweep {
       "g04_triangle_counts" -> "triangle counts (kNN cut + degree-ordered wedges)",
       "g05_star_components" -> "large-star/small-star CC (log-round components)",
       "s12_mips_topk" -> "MIPS via norm augmentation (broadcast probes, one scan)",
-      "p14_training_order" -> "hash-permutation training order (two-level prefix sum)")
+      "p14_training_order" -> "hash-permutation training order (two-level prefix sum)",
+      "p15_dataset_card" -> "dataset card (one map pass + source-keyed rollup)",
+      "t18_readability" -> "readability scoring (regex map, no shuffle)",
+      "g06_degree_mixing" -> "degree assortativity (exact int64 moments)",
+      "s14_range_search" -> "radius search (exact cell pruning)")
 
     // warm the JVM/codegen on the smallest sf so cold-start lands nowhere
     queries.foreach { case (q, _) =>
