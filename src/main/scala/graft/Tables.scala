@@ -25,18 +25,35 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.ts is physically parquet INT64 TIMESTAMP(NANOS), which Spark 4
-    * only reads via spark.sql.legacy.parquet.nanosAsLong (LongType nanos).
-    * Convert to TimestampType by integer-dividing to micros — the same
-    * truncation DuckDB applies casting timestamp_ns -> timestamp, so event
-    * times agree with the oracle to the microsecond.
+  /** The physical type of events.ts has drifted across testdata generations:
+    * INT64 TIMESTAMP(NANOS) (surfaced as LongType nanos under
+    * spark.sql.legacy.parquet.nanosAsLong), then parquet timestamp[us]
+    * without UTC adjustment (surfaced as TIMESTAMP_NTZ). normalizeTs maps
+    * every generation to the same session-TZ TIMESTAMP at microsecond
+    * precision so downstream `unix_micros` / window / watermark code never
+    * sees the physical layout.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = table(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", tsFromNanos(col("ts")))
-    else raw
-  }
+  def events(s: SparkSession, d: String): DataFrame = normalizeTs(table(s, d, "events"))
+
+  /** Map any physical encoding of an event-time column to session-TZ
+    * TIMESTAMP at microsecond precision:
+    *  - LongType: nanos-in-int64 (legacy parquet TIMESTAMP(NANOS) read under
+    *    nanosAsLong) — integer-divide to micros, the same truncation DuckDB
+    *    applies casting timestamp_ns -> timestamp;
+    *  - TIMESTAMP_NTZ: wall-clock micros — cast preserves the wall-clock
+    *    field values under the UTC session TZ every graft session pins, so
+    *    values agree with DuckDB's naive timestamp to the microsecond;
+    *  - TIMESTAMP: already normalized.
+    * Failing loudly on anything else beats silently computing 1970 dates.
+    */
+  def normalizeTs(df: DataFrame, name: String = "ts"): DataFrame =
+    df.schema(name).dataType match {
+      case LongType         => df.withColumn(name, tsFromNanos(col(name)))
+      case TimestampNTZType => df.withColumn(name, col(name).cast(TimestampType))
+      case TimestampType    => df
+      case other => throw new IllegalArgumentException(
+        s"unsupported physical type for event-time column `$name`: $other")
+    }
 
   /** Nanos-long -> TimestampType conversion shared by the batch and
     * streaming events readers: INTEGER-divide to micros (double division

@@ -11,8 +11,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet carries TIMESTAMP(NANOS); read as long + convert
-      // (see graft.Tables.events)
+      // some testdata generations carried events.ts as TIMESTAMP(NANOS);
+      // with this flag those surface as LongType nanos, which
+      // Tables.normalizeTs maps to TIMESTAMP alongside the NTZ/micros
+      // layouts newer generations ship
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -28,6 +30,17 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // A query that errors must still surface in the correctness
+        // artifact as an explicit red row, not silently vanish (round 5
+        // lost q18/q48 this way): dump a one-row frame whose `err` schema
+        // can never match an oracle, so the driver records a visible
+        // mismatch for exactly this query.
+        try {
+          import spark.implicits._
+          Seq(Option(e.getMessage).getOrElse(e.getClass.getName))
+            .toDF("err").coalesce(1)
+            .write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       } finally {
         // queries cache intermediates (shingle sets, signatures); release
         // between queries so storage memory doesn't accumulate over the run

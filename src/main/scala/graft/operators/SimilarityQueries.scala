@@ -805,26 +805,43 @@ object SimilarityQueries {
     * scan). The fusion itself joins two 20-row lists — a broadcast-sized
     * full outer join no matter the corpus size.
     */
+  /** Rank a bounded top-k list (the <=20-row output of an orderBy+limit)
+    * WITHOUT a window: fold the list into ONE sorted array —
+    * sort_array(collect_list(struct(-score, id))) gives (score desc, id
+    * asc) — and posexplode it back out; rank = position + 1. One pass over
+    * the already-cut input (no self-join recompute, the 20 structs fit in
+    * a single agg buffer), identical to ROW_NUMBER because (score, id) is
+    * unique. An unpartitioned row_number() window would also be correct on
+    * 20 rows but plans as a single-partition WindowExec with a loud
+    * "No Partition Defined" scale warning — and Spark 4's
+    * EliminateWindowPartitions folds away a literal partition key, so the
+    * single-partition choice can't be marked intentional. This shape keeps
+    * operator code free of unpartitioned windows entirely.
+    */
+  private def rankBounded(top: DataFrame, score: String, id: String, rankName: String): DataFrame =
+    top
+      .agg(sort_array(collect_list(struct((-col(score)).as("ns"), col(id).as("i")))).as("xs"))
+      .select(posexplode(col("xs")).as(Seq("pos", "x")))
+      .select(col("x.i").as(id), (col("pos") + 1).cast(LongType).as(rankName))
+
   def s10HybridRrf(s: SparkSession, dir: String): DataFrame = {
-    val wSparse = Window.orderBy(col("bm25").desc, col("doc_id"))
-    val sparse = TextQueries.t09Bm25(s, dir)
-      .withColumn("sparse_rank", row_number().over(wSparse).cast(LongType))
+    // Each leg cuts to top-20 via orderBy+limit (TakeOrderedAndProject:
+    // per-partition heaps, no corpus-wide sort), then ranks the bounded
+    // list via rankBounded — no single-partition window anywhere.
+    val sparse = rankBounded(TextQueries.t09Bm25(s, dir), "bm25", "doc_id", "sparse_rank")
       .select(col("doc_id"), col("sparse_rank"))
     val e = Tables.spread(Tables.embeddings(s, dir)).withColumn("v", embD)
       .withColumn("norm", sqrt(dot("v", "v")))
       .select(col("vec_id"), col("v"), col("norm"))
     val q = e.filter(col("vec_id") === 0)
       .select(col("v").as("qv"), col("norm").as("qnorm"))
-    // top-20 via orderBy+limit (TakeOrderedAndProject: per-partition heaps,
-    // no single-partition corpus-wide window), then rank the 20-row list
-    val wDense = Window.orderBy(col("cosine").desc, col("vec_id"))
-    val dense = e.crossJoin(broadcast(q))
+    val denseTop = e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= 0)
       .withColumn("cosine", floor(dot("qv", "v") / (col("qnorm") * col("norm")) * 1e6 + 0.5) / 1e6)
       .select(col("vec_id"), col("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(20)
-      .withColumn("dense_rank", row_number().over(wDense).cast(LongType))
+    val dense = rankBounded(denseTop, "cosine", "vec_id", "dense_rank")
       .select(col("vec_id").as("doc_id"), col("dense_rank"))
     sparse.join(dense, Seq("doc_id"), "full_outer")
       .withColumn("rrf",

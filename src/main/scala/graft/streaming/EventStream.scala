@@ -19,26 +19,25 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** Physical schema of events.parquet (ts is INT64 nanos — see
-    * graft.Tables.events). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** Unbounded read of the events data. The trailing glob keeps
     * FileStreamSource's basePath at the (directory) level even though the
     * harness ships events as a single parquet file; a production deployment
     * points this at a directory of arriving files.
+    *
+    * FileStreamSource requires a user-supplied schema; hardcoding one broke
+    * when the testdata's physical ts type drifted (INT64 nanos -> parquet
+    * timestamp[us]/NTZ), so we peek the footer schema with a one-off batch
+    * read (metadata only, no data scan) and normalize ts from whatever the
+    * footer says via Tables.normalizeTs — the same path the batch loader
+    * uses, so streaming and batch can never disagree on event time again.
     */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(rawSchema)
-      .parquet(s"$dir/events.parque[t]")
-      .withColumn("ts", graft.Tables.tsFromNanos(col("ts")))
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val physical: StructType = spark.read.parquet(s"$dir/events.parquet").schema
+    graft.Tables.normalizeTs(
+      spark.readStream
+        .schema(physical)
+        .parquet(s"$dir/events.parque[t]"))
+  }
 
   /** 1-hour tumbling window counts/sums with a 2-hour watermark — the
     * streaming twin of the batch q27. The decimal-routed sum matches
