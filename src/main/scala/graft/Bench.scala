@@ -53,8 +53,9 @@ object Bench {
     // time-to-exception would masquerade as a fast success): failures
     // score +Infinity within a pass, and a query that failed BOTH passes
     // reports -1 — visible in the output rather than silently averaged.
-    def pass(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def passOver(names: Seq[String]): Seq[(String, Double)] =
+      names.map { name =>
+        val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
@@ -62,26 +63,45 @@ object Bench {
           finally spark.catalog.clearCache() // release per-query caches
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else Double.PositiveInfinity)
       }
-    val (p1, p2) = (pass(), pass().toMap)
+    val allNames = SparkEntry.queries.keys.toSeq.sorted
+    // Headline subset (one per operator family): these also get a THIRD
+    // pass so a median is reportable — on a co-tenanted box, best-of-2
+    // answers "how fast can it go" while median-of-3 answers "is a
+    // round-over-round delta real or one inflated pass" (round 5's q41
+    // 3x question was undecidable from two samples).
+    val headline = Seq(
+      "q01_pricing_summary", "q08_revenue_by_region_nation", "q15_window_topn",
+      "q31_asof_join", "q41_fuzzy_names", "q27_tumbling_window",
+      "d01_exact_dedup", "d04_minhash_lsh", "d05_simhash",
+      "s01_ann_bruteforce", "s04_ann_native", "t03_quality_score",
+      "p01_clean_corpus", "ml01_lr_metrics", "steel04_histogram_sql")
+    val p1 = passOver(allNames)
+    val p2 = passOver(allNames).toMap
+    val p3 = passOver(headline.filter(SparkEntry.queries.contains)).toMap
     val results = p1.map { case (name, t) =>
-      val best = math.min(t, p2(name))
+      val best = math.min(t, math.min(p2(name), p3.getOrElse(name, Double.PositiveInfinity)))
       name -> (if (best.isInfinity) -1.0 else best)
     }
     def f(v: Double): String = f"$v%.3f"
     // Full per-query breakdown to a file for local profiling; stdout must
     // stay minimal (see below) and stderr may be merged into the captured
-    // tail by the harness. Each entry carries best/min/max across the two
-    // passes: the SPREAD separates co-tenant interference (one inflated
-    // pass, large spread) from a real regression (both passes slow, small
-    // spread) when diffing BENCH_DETAIL across rounds.
+    // tail by the harness. Each entry carries best/min/max (and, for the
+    // thrice-run headline set, the median) across its passes: the SPREAD
+    // separates co-tenant interference (one inflated pass, large spread)
+    // from a real regression (all passes slow, small spread) when diffing
+    // BENCH_DETAIL across rounds.
     val p1m = p1.toMap
     val detail = results.map { case (k, v) =>
-      val (a, b) = (p1m(k), p2(k))
+      val samples = (Seq(p1m(k), p2(k)) ++ p3.get(k)).filter(!_.isInfinity).sorted
       val (mn, mx) =
-        (if (math.min(a, b).isInfinity) -1.0 else math.min(a, b),
-         if (math.max(a, b).isInfinity) -1.0 else math.max(a, b))
+        if (samples.isEmpty) (-1.0, -1.0) else (samples.head, samples.last)
+      val med = p3.get(k) match {
+        case Some(_) if samples.nonEmpty => samples(samples.length / 2)
+        case _ => -1.0
+      }
       "\"" + k + "\":{\"best\":" + f(v) + ",\"min\":" + f(mn) +
-        ",\"max\":" + f(mx) + ",\"spread\":" + f(if (mn < 0 || mx < 0) -1.0 else mx - mn) + "}"
+        ",\"max\":" + f(mx) + ",\"spread\":" + f(if (mn < 0 || mx < 0) -1.0 else mx - mn) +
+        (if (med >= 0) ",\"median\":" + f(med) else "") + "}"
     }.mkString("{", ",\n ", "}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json"), detail + "\n")
@@ -90,12 +110,6 @@ object Bench {
     // the line arrives truncated (round-1 BENCH had parsed:null). Keep the
     // line compact: total over ALL queries + a representative headline
     // subset, one per operator family.
-    val headline = Seq(
-      "q01_pricing_summary", "q08_revenue_by_region_nation", "q15_window_topn",
-      "q31_asof_join", "q41_fuzzy_names", "q27_tumbling_window",
-      "d01_exact_dedup", "d04_minhash_lsh", "d05_simhash",
-      "s01_ann_bruteforce", "s04_ann_native", "t03_quality_score",
-      "p01_clean_corpus", "ml01_lr_metrics", "steel04_histogram_sql")
     val rm = results.toMap
     val qs = headline.flatMap(k => rm.get(k).map(v => "\"" + k + "\":" + f(v)))
       .mkString("{", ",", "}")

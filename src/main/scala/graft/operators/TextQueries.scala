@@ -953,17 +953,31 @@ object TextQueries {
     * near-incompressible encoded junk). Bands: repetitive (< 0.35),
     * normal [0.35, 0.9), opaque (>= 0.9), rolled up per band.
     *
-    * zlib-deflate is not SQL-expressible, so this is a rows-only driver
-    * entry (like the multimodal tier); Round5OpsSpec pins determinism,
-    * ratio bounds, and that planted repetitive/random texts land in the
-    * right bands.
+    * zlib-deflate is not SQL-expressible, so the per-doc deflate frame is
+    * materialized to `t17SidecarPath` by the query run itself; the DuckDB
+    * oracle reads that exact path and re-derives the banding + rollup
+    * arithmetic over the identical per-doc rows. The deflate VALUES are
+    * pinned independently by Round5OpsSpec's bit-for-bit in-JVM recompute
+    * — sidecar + spec together close the loop the pure `no_oracle` row
+    * left open. The rollup reads the sidecar BACK (not the live frame) so
+    * Spark and the oracle aggregate byte-identical inputs.
     *
     * Plan shape at 100 TB: pure per-row map work + one 3-row rollup —
     * deflate at BEST_SPEED runs ~100 MB/s per core, so the corpus scan
-    * itself is the bound; nothing shuffles but the band aggregate.
+    * itself is the bound; nothing shuffles but the band aggregate. (The
+    * sidecar materialization is the verify-path contract, not a scale
+    * cost: at production scale the per-doc frame is a table you'd persist
+    * anyway — it IS the quality-signal output.)
     */
-  def t17Compressibility(s: SparkSession, dir: String): DataFrame =
-    t17PerDoc(s, dir)
+  /** Fixed path contract between t17Compressibility and its DuckDB oracle
+    * (t17Sql quotes it literally). Always overwritten by the latest run,
+    * so it matches whatever sf directory was last verified — the driver
+    * runs Verify then the oracle sequentially over the same sf. */
+  val t17SidecarPath = "/tmp/graft_t17_deflate_sidecar.parquet"
+
+  def t17Compressibility(s: SparkSession, dir: String): DataFrame = {
+    t17PerDoc(s, dir).coalesce(1).write.mode("overwrite").parquet(t17SidecarPath)
+    s.read.parquet(t17SidecarPath)
       .withColumn("band",
         when(col("ratio") < 0.35, "repetitive")
           .when(col("ratio") < 0.9, "normal")
@@ -973,8 +987,29 @@ object TextQueries {
         count(lit(1)).as("n_docs"),
         sum(col("n_bytes")).as("raw_bytes"),
         sum(col("n_deflate")).as("deflate_bytes"),
-        (floor(avg(col("ratio")) * 10000.0 + 0.5) / 10000.0).as("avg_ratio"))
+        // decimal-routed mean (Tables.davg recipe): ratios carry 4 decimal
+        // digits, so the DECIMAL sum is exact and order-independent — the
+        // floor-to-1e-4 result can't straddle an ulp between engines
+        (floor(Tables.davg(col("ratio")) * 10000.0 + 0.5) / 10000.0).as("avg_ratio"))
       .orderBy(col("band"))
+  }
+
+  /** Band/rollup arithmetic over the sidecar the query run materialized —
+    * same decimal-sum mean recipe as Tables.davg; SUMs cast back to BIGINT
+    * because DuckDB widens BIGINT sums to HUGEINT. */
+  val t17Sql: String =
+    s"""WITH side AS (SELECT * FROM '$t17SidecarPath/*.parquet'),
+      |b AS (
+      |  SELECT CASE WHEN ratio < 0.35 THEN 'repetitive'
+      |              WHEN ratio < 0.9 THEN 'normal'
+      |              ELSE 'opaque' END AS band,
+      |         n_bytes, n_deflate, ratio
+      |  FROM side)
+      |SELECT band, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_bytes) AS BIGINT) AS raw_bytes,
+      |  CAST(SUM(n_deflate) AS BIGINT) AS deflate_bytes,
+      |  FLOOR((CAST(SUM(CAST(ratio AS DECIMAL(30,6))) AS DOUBLE) / COUNT(ratio)) * 10000.0 + 0.5) / 10000.0 AS avg_ratio
+      |FROM b GROUP BY band ORDER BY band""".stripMargin
 
   // ---------------------------------------------------------------- t18
   /** Readability scoring — Flesch reading ease + Flesch-Kincaid grade from
@@ -1060,6 +1095,7 @@ object TextQueries {
     "t06_repetition" -> (t06Repetition _))
 
   val oracle: Map[String, String] = Map(
+    "t17_compressibility" -> t17Sql,
     "t18_readability" -> t18Sql,
     "t16_pmi_collocations" -> t16Sql,
     "t15_zipf_spectrum" -> t15Sql,

@@ -5,8 +5,9 @@ import graft.operators.Multimodal
 /** Multimodal plumbing: schema, batch shape, determinism, multiplicity —
   * plus the REAL JDK codecs: image rows are actual BMPs and audio rows
   * actual WAVE files, so decode is exercised on real bytes (header parse,
-  * raster/PCM read), not just hash fakes. Video decode remains the
-  * documented STUB (no JVM video codec). */
+  * raster/PCM read), not just hash fakes — and video rows are real
+  * uncompressed-AVI containers written and parsed by the module's own
+  * RIFF codec, so frame sampling returns actual rasters. */
 class MultimodalSpec extends SparkTestBase {
 
   lazy val media = Multimodal.mediaTable(spark, Sf0001).cache()
@@ -32,8 +33,11 @@ class MultimodalSpec extends SparkTestBase {
       assert(new String(m.payload.slice(0, 4), "US-ASCII") === "RIFF")
       assert(new String(m.payload.slice(8, 12), "US-ASCII") === "WAVE")
     }
-    // video: opaque synthetic bytes, fixed stub length
-    assert(byKind("video").map(_.payload.length).toSet === Set(16384))
+    // video: RIFF....'AVI ' magic — a real container, not opaque bytes
+    byKind("video").foreach { m =>
+      assert(new String(m.payload.slice(0, 4), "US-ASCII") === "RIFF")
+      assert(new String(m.payload.slice(8, 12), "US-ASCII") === "AVI ")
+    }
   }
 
   test("real decode recovers the encoded dimensions (image 64x48, audio 4000x1)") {
@@ -47,6 +51,11 @@ class MultimodalSpec extends SparkTestBase {
       assert(f.decoded_w === Multimodal.AudioSamples, s"frames ${f.decoded_w}")
       assert(f.decoded_h === 1, "mono channel count")
       assert(f.mean_byte >= 0 && f.mean_byte <= 32768, "amplitude out of range")
+    }
+    feats("video").foreach { f =>
+      assert(f.decoded_w === Multimodal.ImageW && f.decoded_h === Multimodal.ImageH,
+        s"media ${f.media_id}: AVI parse gave ${f.decoded_w}x${f.decoded_h}")
+      assert(f.mean_byte > 0 && f.mean_byte < 255, "luminance out of range")
     }
   }
 
@@ -72,11 +81,11 @@ class MultimodalSpec extends SparkTestBase {
         assert(m.payload.length <= 16384)
       }
       val redecoded = Multimodal.extractFeatures(resized).collect()
-        .filter(_.kind == "image")
+        .filter(f => f.kind == "image" || f.kind == "video")
       assert(redecoded.nonEmpty)
       redecoded.foreach { f =>
         assert(f.decoded_w === 8 && f.decoded_h === 8,
-          s"media ${f.media_id}: resize re-encode gave ${f.decoded_w}x${f.decoded_h}")
+          s"media ${f.media_id} (${f.kind}): resize re-encode gave ${f.decoded_w}x${f.decoded_h}")
       }
     } finally resized.unpersist()
   }
@@ -87,6 +96,17 @@ class MultimodalSpec extends SparkTestBase {
     // 30000ms / 5000ms = 6 frames per video
     assert(frames.length === videos * 6)
     assert(frames.map(_.frame_idx).toSet === (0 until 6).toSet)
+    // every sampled frame is itself a decodable image at the clip's real
+    // dimensions — the frame bytes came out of an actual AVI parse
+    frames.foreach { fr =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fr.frame_bytes))
+      assert(img != null, s"frame ${fr.media_id}/${fr.frame_idx} not decodable")
+      assert(img.getWidth === Multimodal.ImageW && img.getHeight === Multimodal.ImageH)
+    }
+    // frames within one clip genuinely differ (per-frame phase in the
+    // synthesizer): sampling did not return one raster six times
+    val byVideo = frames.groupBy(_.media_id)
+    assert(byVideo.values.exists(fs => fs.map(_.frame_bytes.toSeq).distinct.length > 1))
   }
 
   test("aHash image dedup retrieves exactly the planted perturbed twins (m03)") {
