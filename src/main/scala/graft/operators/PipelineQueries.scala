@@ -984,7 +984,84 @@ object PipelineQueries {
       |  CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars
       |FROM merged GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- p17
+  /** Bucketed-table export + co-located SHUFFLE-FREE join — the physical
+    * pattern every repeatedly-joined 100 TB corpus should ship as: write
+    * both sides bucketed on the join key (`bucketBy(16, doc_id)` +
+    * `sortBy`, Spark-native bucketing, no Hive needed), and every later
+    * join on that key reads bucket i against bucket i directly — ZERO
+    * Exchange on either side, on every run, forever. At corpus scale the
+    * join shuffle is usually the single most expensive stage of a
+    * pipeline run; bucketing moves that cost into the (one-time) write.
+    * BucketedJoinSpec pins the physical claim: the joined plan contains a
+    * SortMergeJoin and NO shuffle exchange on either input.
+    *
+    * The demo workload: documents co-located with their embedding norms
+    * (doc_id = vec_id row alignment, as s10), rolled up per source. The
+    * norm is floored at 1e-6 pre-join (same fold order as the DuckDB
+    * list_reduce) and decimal-summed, so the oracle — the identical join
+    * over the RAW parquet — hash-matches: bucketing changed the physical
+    * plan, provably not the answer.
+    *
+    * Writes land under /tmp keyed by table content (dir name), mirroring
+    * t17's sidecar contract: queries may materialize derived state
+    * outside the repo, never inside the testdata.
+    */
+  def p17BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    bucketedTables(s, dir)
+    val joined = colocatedJoin(s)
+    joined.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        Tables.dsum(col("norm")).as("sum_norm"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("source"))
+  }
+
+  /** Idempotently (re)creates the two bucketed tables for this sf dir in
+    * the session catalog. 16 buckets: at sf0.1 that is a few MB per
+    * bucket; a 100 TB deployment picks bucket count once (data / ~1 GB)
+    * and every writer and reader agrees on it from then on. */
+  private[graft] def bucketedTables(s: SparkSession, dir: String): Unit = {
+    val tag = java.lang.Long.toHexString(
+      java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8")).getMostSignificantBits)
+    val wh = s"/tmp/graft_bucketed_$tag"
+    s.sql("DROP TABLE IF EXISTS graft_docs_bucketed")
+    s.sql("DROP TABLE IF EXISTS graft_embs_bucketed")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .write.bucketBy(16, "doc_id").sortBy("doc_id")
+      .option("path", s"$wh/docs").mode("overwrite")
+      .saveAsTable("graft_docs_bucketed")
+    Tables.embeddings(s, dir)
+      .withColumn("v", SimilarityQueries.embD)
+      .select(col("vec_id").as("doc_id"),
+        (floor(sqrt(SimilarityQueries.dot("v", "v")) * 1e6 + 0.5) / 1e6).as("norm"))
+      .write.bucketBy(16, "doc_id").sortBy("doc_id")
+      .option("path", s"$wh/embs").mode("overwrite")
+      .saveAsTable("graft_embs_bucketed")
+  }
+
+  /** The co-located join itself (exposed for the plan spec): merge-hinted
+    * so the shuffle-free claim is about bucketing, not about the small
+    * side happening to broadcast at test scale. */
+  private[graft] def colocatedJoin(s: SparkSession): DataFrame =
+    s.table("graft_docs_bucketed").hint("merge")
+      .join(s.table("graft_embs_bucketed"), Seq("doc_id"))
+
+  val p17Sql: String =
+    """WITH n AS (
+      |  SELECT vec_id AS doc_id,
+      |    FLOOR(SQRT(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), (a, b) -> a + b)) * 1e6 + 0.5) / 1e6 AS norm
+      |  FROM embeddings)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(CAST(SUM(CAST(norm AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) AS sum_norm,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents JOIN n USING (doc_id)
+      |GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p17_bucketed_join" -> (p17BucketedJoin _),
     "p16_merge_upsert" -> (p16MergeUpsert _),
     "p15_dataset_card" -> (p15DatasetCard _),
     "p14_training_order" -> (p14TrainingOrder _),
@@ -1003,6 +1080,7 @@ object PipelineQueries {
     "p04_sequence_packing" -> (p04SequencePacking _))
 
   val oracle: Map[String, String] = Map(
+    "p17_bucketed_join" -> p17Sql,
     "p16_merge_upsert" -> p16Sql,
     "p15_dataset_card" -> p15Sql,
     "p14_training_order" -> p14Sql,

@@ -45,4 +45,29 @@ class BucketedJoinSpec extends SparkTestBase {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  test("p17: driver-contract bucketed corpus join is shuffle-free on both inputs") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      operators.PipelineQueries.bucketedTables(spark, Sf0001)
+      val j = operators.PipelineQueries.colocatedJoin(spark)
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(plan.contains("SortMergeJoin"), plan.take(400))
+      // join-only plan: NO exchange anywhere — both scans are bucketed on
+      // the join key, so bucket i zips against bucket i directly
+      assert(!plan.linesIterator.exists(_.contains("Exchange")),
+        s"bucketed join inputs shuffled:\n$plan")
+      assert(plan.contains("Bucketed: true"), "scan did not use bucketing")
+      // and the full driver query returns the oracle-checked rollup shape
+      val out = operators.PipelineQueries.p17BucketedJoin(spark, Sf0001)
+      assert(out.columns.toSeq === Seq("source", "n_docs", "sum_norm", "sum_chars"))
+      assert(out.count() > 0)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS graft_docs_bucketed")
+      spark.sql("DROP TABLE IF EXISTS graft_embs_bucketed")
+      ()
+    }
+  }
 }
