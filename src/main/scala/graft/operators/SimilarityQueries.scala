@@ -1140,38 +1140,51 @@ object SimilarityQueries {
     *
     * Labels are the cell seed (dense 0..9 — asserted), matching s05's
     * quantizer so the two operators share one codebook contract. */
+  /** PQ building blocks shared by s13 (flat ADC) and s15 (IVF-PQ) — the
+    * arithmetic is an oracle contract, so it lives in exactly one place:
+    * 8 subspaces x 8 dims over the [[codebook]] centroids; rounded
+    * left-to-right squared-L2 folds; code ties to the smaller cell id.
+    */
+  private val PqM = 8 // subspaces; 64 dims / 8 = 8 dims per code
+
+  /** Rounded sequential squared-L2 between an 8-dim slice of `vc` and a
+    * literal centroid slice: (v[i]-c[i])^2 accumulated left-to-right. */
+  private def pqSqdistSub(vc: Column, sub: Array[Double], m: Int): Column = {
+    val subLit = array(sub.map(lit): _*)
+    val diffs = zip_with(slice(vc, m * 8 + 1, 8), subLit, (x, y) => (x - y) * (x - y))
+    floor(aggregate(diffs, lit(0.0), (acc, t) => acc + t) * 1e6 + 0.5) / 1e6
+  }
+
+  /** code_m = argmin cell of rounded sqdist, tie -> smaller cell id:
+    * array_min over (d, cell) structs. */
+  private def pqCodeCol(cents: Array[(Int, Array[Double], Double)], vc: Column, m: Int): Column = {
+    val entries = array(cents.map { case (cell, cv, _) =>
+      struct(pqSqdistSub(vc, cv.slice(m * 8, m * 8 + 8), m).as("d"),
+        lit(cell).as("cell"))
+    }: _*)
+    array_min(entries).getField("cell")
+  }
+
+  /** Flat 64-dim PQ reconstruction of `vc`: concat of its coded subspace
+    * centroids (disjoint subspaces make ADC on this exactly the summed
+    * per-subspace table distances). */
+  private def pqReconstruction(cents: Array[(Int, Array[Double], Double)], vc: Column): Column = {
+    val subCb = (0 until PqM).map { m =>
+      array(cents.map { case (_, cv, _) =>
+        array(cv.slice(m * 8, m * 8 + 8).map(lit): _*)
+      }: _*)
+    }
+    concat((0 until PqM).map(m => element_at(subCb(m), pqCodeCol(cents, vc, m) + 1)): _*)
+  }
+
   def s13PqAdcAnn(s: SparkSession, dir: String): DataFrame = {
-    val M = 8 // subspaces; 64 dims / 8 = 8 dims per code
     val e = Tables.spread(Tables.embeddings(s, dir)).withColumn("v", embD)
       .select(col("vec_id"), col("label"), col("v"))
     val cents = codebook(e)
     require(cents.map(_._1).toSeq == (0 until cents.length),
       "PQ cell ids must be the dense label range — codebook indexing relies on it")
-
-    // rounded sequential squared-L2 between an 8-dim slice of `vc` and a
-    // literal centroid slice: (v[i]-c[i])^2 accumulated left-to-right
-    def sqdistSub(vc: Column, sub: Array[Double], m: Int): Column = {
-      val subLit = array(sub.map(lit): _*)
-      val diffs = zip_with(slice(vc, m * 8 + 1, 8), subLit, (x, y) => (x - y) * (x - y))
-      floor(aggregate(diffs, lit(0.0), (acc, t) => acc + t) * 1e6 + 0.5) / 1e6
-    }
-    // code_m = argmin cell of rounded sqdist, tie -> smaller cell id:
-    // array_min over (d, cell) structs
-    def codeCol(m: Int): Column = {
-      val entries = array(cents.map { case (cell, cv, _) =>
-        struct(sqdistSub(col("v"), cv.slice(m * 8, m * 8 + 8), m).as("d"),
-          lit(cell).as("cell"))
-      }: _*)
-      array_min(entries).getField("cell")
-    }
-    // flat 64-dim reconstruction: concat of the coded subspace centroids
-    val subCb = (0 until M).map { m =>
-      array(cents.map { case (_, cv, _) =>
-        array(cv.slice(m * 8, m * 8 + 8).map(lit): _*)
-      }: _*)
-    }
     val coded = e.select(col("vec_id"), col("v"),
-      concat((0 until M).map(m => element_at(subCb(m), codeCol(m) + 1)): _*).as("rv"))
+      pqReconstruction(cents, col("v")).as("rv"))
 
     val q = plantedQueries(e.select(col("vec_id"), col("v")), k = 8, off = 213, factor = 0.1)
       .withColumn("qnorm", sqrt(dot("qv", "qv")))
@@ -1373,7 +1386,223 @@ object SimilarityQueries {
       |SELECT q_id, neighbor_id, cosine FROM scored WHERE cosine >= 0.3
       |ORDER BY q_id, neighbor_id""".stripMargin
 
+  // ---------------------------------------------------------------- s15
+  /** IVF-PQ — the two memory/compute bounds COMPOSED, which is the actual
+    * billion-vector production layout (FAISS `IVFxx,PQ8`): the IVF coarse
+    * quantizer bounds WHICH vectors a probe scores (s05's cell-scoped
+    * candidate generation, 2-probe), and PQ-ADC bounds WHAT is read per
+    * scored vector (s13's 8-byte codes against reconstructions — never
+    * the raw floats). Per query the work is |2 cells| * one table-lookup
+    * distance; at 100 TB that is the difference between scanning 100 TB
+    * of floats and ~3 GB of codes per probed cell group.
+    *
+    * Non-residual variant (PQ codes the raw vector, not the residual
+    * v - centroid, matching FAISS's by_residual=false): residual coding
+    * would need a second codebook contract for no audit benefit here.
+    *
+    * Determinism: every stage is the already-oracle-pinned arithmetic —
+    * cell argmax over the exact DECIMAL-mean codebook (s05's contract,
+    * restated in SQL via the same fused-fold cosine graft_cosine
+    * bit-matches), PQ encode/reconstruction/ADC (s13's contract), so the
+    * DuckDB restatement hash-audits the COMPOSITION end to end: a
+    * candidate appears iff its cell is probed, and ranks by the same
+    * rounded ADC. Round6OpsSpec asserts recall: every planted query
+    * retrieves its base vector at rank 1 through the composed path.
+    */
+  def s15IvfPq(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.spread(Tables.embeddings(s, dir)).withColumn("v", embD)
+      .select(col("vec_id"), col("label"), col("v"))
+    val cents = codebook(e)
+    require(cents.map(_._1).toSeq == (0 until cents.length),
+      "PQ cell ids must be the dense label range — codebook indexing relies on it")
+    // corpus side: one map pass assigns the IVF cell AND the PQ
+    // reconstruction — no shuffle, no join; at scale this materializes
+    // once as the index table (cell, vec_id, codes)
+    val coded = e
+      .withColumn("cell", element_at(probeCells(cents, col("v"), 1), 1))
+      .select(col("cell"), col("vec_id"), col("v"),
+        pqReconstruction(cents, col("v")).as("rv"))
+    val q = plantedQueries(e.select(col("vec_id"), col("v")), k = 8, off = 137, factor = 0.1)
+      .withColumn("qnorm", sqrt(dot("qv", "qv")))
+      .select(col("q_id"), col("qv"), col("qnorm"),
+        explode(probeCells(cents, col("qv"), 2)).as("cell"))
+    // candidates = probed cells only; each vector lives in exactly one
+    // cell, so the equi-join cannot duplicate a candidate per query
+    val cand = coded.join(broadcast(q), Seq("cell"))
+      .withColumn("adc",
+        floor(aggregate(zip_with(col("qv"), col("rv"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, t) => acc + t) * 1e6 + 0.5) / 1e6)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .withColumn("norm", sqrt(dot("v", "v")))
+      .withColumn("cosine",
+        floor(dot("qv", "v") / (col("qnorm") * col("norm")) * 1e6 + 0.5) / 1e6)
+      .select(col("q_id"), col("rank"), col("cell"),
+        col("vec_id").as("neighbor_id"), col("adc"), col("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Full IVF-PQ restatement: the s13 PQ chain plus cell assignment and
+    * probe selection by the same unrounded fused-fold cosine ordering
+    * (ties toward the larger cell id, as probeCells' reverse(sort)). */
+  val s15Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cent AS (
+      |  SELECT label, j AS dim,
+      |    CAST(CAST(SUM(CAST(v[j] AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS m
+      |  FROM e, unnest(generate_series(1, 64)) AS g(j) GROUP BY label, j),
+      |carr AS (
+      |  SELECT label, cv,
+      |    SQRT(list_reduce(list_transform(generate_series(1, 64), i -> cv[i] * cv[i]), (a, b) -> a + b)) AS cnrm
+      |  FROM (SELECT label, list(m ORDER BY dim) AS cv FROM cent GROUP BY label)),
+      |vn AS (
+      |  SELECT vec_id, v,
+      |    SQRT(list_reduce(list_transform(generate_series(1, 64), i -> v[i] * v[i]), (a, b) -> a + b)) AS nrm
+      |  FROM e),
+      |assign AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vn.vec_id, c.label AS cell,
+      |      ROW_NUMBER() OVER (PARTITION BY vn.vec_id ORDER BY
+      |        list_reduce(list_transform(generate_series(1, 64), i -> vn.v[i] * c.cv[i]), (a, b) -> a + b)
+      |          / (vn.nrm * c.cnrm) DESC, c.label DESC) AS rn
+      |    FROM vn CROSS JOIN carr c) WHERE rn = 1),
+      |sq AS (
+      |  SELECT e.vec_id, ms.m, c.label AS cell,
+      |    FLOOR(list_reduce(list_transform(generate_series(1, 8),
+      |        j -> (e.v[ms.m * 8 + j] - c.cv[ms.m * 8 + j]) * (e.v[ms.m * 8 + j] - c.cv[ms.m * 8 + j])),
+      |      (a, b) -> a + b) * 1e6 + 0.5) / 1e6 AS d
+      |  FROM e CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS m) ms CROSS JOIN carr c),
+      |codes AS (
+      |  SELECT vec_id, m, cell FROM (
+      |    SELECT vec_id, m, cell,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, cell) AS rn
+      |    FROM sq) WHERE rn = 1),
+      |rv AS (
+      |  SELECT codes.vec_id,
+      |    flatten(list(c.cv[codes.m * 8 + 1 : codes.m * 8 + 8] ORDER BY codes.m)) AS rv
+      |  FROM codes JOIN carr c ON codes.cell = c.label GROUP BY codes.vec_id),
+      |cnt AS (SELECT COUNT(*) AS n FROM e),
+      |q AS (
+      |  SELECT b.vec_id AS q_id,
+      |    list_transform(generate_series(1, 64), i -> b.v[i] + 0.1 * p.v[i]) AS qv
+      |  FROM e b JOIN cnt ON TRUE JOIN e p ON p.vec_id = (b.vec_id + 137) % cnt.n
+      |  WHERE b.vec_id < 8),
+      |qn AS (
+      |  SELECT q_id, qv,
+      |    SQRT(list_reduce(list_transform(generate_series(1, 64), i -> qv[i] * qv[i]), (a, b) -> a + b)) AS qnrm
+      |  FROM q),
+      |probe AS (
+      |  SELECT q_id, cell FROM (
+      |    SELECT qn.q_id, c.label AS cell,
+      |      ROW_NUMBER() OVER (PARTITION BY qn.q_id ORDER BY
+      |        list_reduce(list_transform(generate_series(1, 64), i -> qn.qv[i] * c.cv[i]), (a, b) -> a + b)
+      |          / (qn.qnrm * c.cnrm) DESC, c.label DESC) AS pr
+      |    FROM qn CROSS JOIN carr c) WHERE pr <= 2),
+      |cand AS (
+      |  SELECT p.q_id, a.cell, r.vec_id, qn.qv, qn.qnrm,
+      |    FLOOR(list_reduce(list_transform(generate_series(1, 64),
+      |        i -> (qn.qv[i] - r.rv[i]) * (qn.qv[i] - r.rv[i])),
+      |      (a2, b2) -> a2 + b2) * 1e6 + 0.5) / 1e6 AS adc
+      |  FROM probe p JOIN assign a ON p.cell = a.cell
+      |    JOIN rv r ON a.vec_id = r.vec_id
+      |    JOIN qn ON qn.q_id = p.q_id),
+      |topk AS (
+      |  SELECT q_id, cell, vec_id, qv, qnrm, adc,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rank
+      |  FROM cand)
+      |SELECT t.q_id, t.rank, t.cell, t.vec_id AS neighbor_id, t.adc,
+      |  FLOOR(list_reduce(list_transform(generate_series(1, 64), i -> t.qv[i] * e.v[i]), (a, b) -> a + b)
+      |    / (t.qnrm * SQRT(list_reduce(list_transform(generate_series(1, 64), i -> e.v[i] * e.v[i]), (a, b) -> a + b)))
+      |    * 1e6 + 0.5) / 1e6 AS cosine
+      |FROM topk t JOIN e ON t.vec_id = e.vec_id
+      |WHERE t.rank <= 3
+      |ORDER BY t.q_id, t.rank""".stripMargin
+
+  // ---------------------------------------------------------------- s16
+  /** Multi-vector late-interaction retrieval (MaxSim — the ColBERT
+    * scoring rule, Khattab & Zaharia 2020): documents and queries are
+    * BAGS of token vectors, and
+    *
+    *   score(q, d) = sum over query tokens t of max over doc tokens b of
+    *                 cos(q_t, d_b)
+    *
+    * — each query token independently finds its best-matching doc token,
+    * so precise term-level matches survive pooling (the property single-
+    * vector retrieval loses). Token vectors here are the 4 disjoint
+    * 16-dim slices of the embedding column (the corpus ships one vector
+    * per doc; slicing yields a deterministic multi-vector surrogate with
+    * the real storage layout: array column, fixed token count).
+    *
+    * Shape at 100 TB: one corpus scan; per (query, doc) the 4x4 slice
+    * cosines run inside codegen HOFs — no explode, no shuffle of token
+    * rows (the naive layout, one ROW per token vector, would shuffle 4x
+    * the rows through a groupBy(doc) to reassemble MaxSim; keeping the
+    * bag in ONE array row makes late interaction a scalar expression).
+    * Per-query top-5 via the same WindowGroupLimit heap as s01. In
+    * production the candidate set comes from an ANN first pass (s06/s15)
+    * and MaxSim reranks the shortlist; the full-scan form IS that rerank
+    * at audit scale.
+    */
+  def s16MaxSim(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.spread(Tables.embeddings(s, dir)).withColumn("v", embD)
+      .select(col("vec_id"), col("v"))
+    val q = plantedQueries(e, k = 5, off = 157, factor = 0.1)
+    // sum_t max_b cos(slice_t(qv), slice_b(v)): slice norms recomputed
+    // inline — sequential 16-dim folds, left-to-right, 0.0 seeds, exactly
+    // DuckDB's list_reduce order; one rounding at the end
+    val maxSim = expr(
+      """aggregate(sequence(0, 3), cast(0.0 as double), (acc, t) -> acc +
+        |  array_max(transform(sequence(0, 3), b ->
+        |    aggregate(zip_with(slice(qv, t * 16 + 1, 16), slice(v, b * 16 + 1, 16), (x, y) -> x * y),
+        |              cast(0.0 as double), (a2, p) -> a2 + p)
+        |    / (sqrt(aggregate(transform(slice(qv, t * 16 + 1, 16), x -> x * x),
+        |              cast(0.0 as double), (a3, p) -> a3 + p))
+        |       * sqrt(aggregate(transform(slice(v, b * 16 + 1, 16), x -> x * x),
+        |              cast(0.0 as double), (a4, p) -> a4 + p))))))""".stripMargin)
+    // the base vector is NOT excluded: retrieving the planted base at
+    // rank 1 through late interaction is the recall contract the spec
+    // pins (a rerank shortlist naturally contains the top candidate)
+    val scored = e.crossJoin(broadcast(q))
+      .withColumn("maxsim", floor(maxSim * 1e6 + 0.5) / 1e6)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("maxsim").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"), col("maxsim"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** MaxSim restated with nested list lambdas over the same slice
+    * boundaries and fold orders. */
+  val s16Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cnt AS (SELECT COUNT(*) AS n FROM e),
+      |q AS (
+      |  SELECT b.vec_id AS q_id,
+      |    list_transform(generate_series(1, 64), i -> b.v[i] + 0.1 * p.v[i]) AS qv
+      |  FROM e b JOIN cnt ON TRUE JOIN e p ON p.vec_id = (b.vec_id + 157) % cnt.n
+      |  WHERE b.vec_id < 5),
+      |scored AS (
+      |  SELECT q.q_id, e.vec_id,
+      |    FLOOR(list_reduce(list_transform(generate_series(0, 3), t ->
+      |      list_max(list_transform(generate_series(0, 3), b ->
+      |        list_reduce(list_transform(generate_series(1, 16), j -> q.qv[t * 16 + j] * e.v[b * 16 + j]), (a2, p) -> a2 + p)
+      |        / (SQRT(list_reduce(list_transform(generate_series(1, 16), j -> q.qv[t * 16 + j] * q.qv[t * 16 + j]), (a3, p) -> a3 + p))
+      |           * SQRT(list_reduce(list_transform(generate_series(1, 16), j -> e.v[b * 16 + j] * e.v[b * 16 + j]), (a4, p) -> a4 + p)))))),
+      |      (acc, t2) -> acc + t2) * 1e6 + 0.5) / 1e6 AS maxsim
+      |  FROM q CROSS JOIN e),
+      |ranked AS (
+      |  SELECT q_id, vec_id, maxsim,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY maxsim DESC, vec_id) AS rnk
+      |  FROM scored)
+      |SELECT q_id, rnk, vec_id AS neighbor_id, maxsim
+      |FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s16_maxsim" -> (s16MaxSim _),
+    "s15_ivf_pq" -> (s15IvfPq _),
     "s14_range_search" -> (s14RangeSearch _),
     "s13_pq_adc_ann" -> (s13PqAdcAnn _),
     "s12_mips_topk" -> (s12MipsTopk _),
@@ -1390,6 +1619,8 @@ object SimilarityQueries {
     "s06_ann_verified" -> (s06AnnVerified _))
 
   val oracle: Map[String, String] = Map(
+    "s16_maxsim" -> s16Sql,
+    "s15_ivf_pq" -> s15Sql,
     "s14_range_search" -> s14Sql,
     "s13_pq_adc_ann" -> s13Sql,
     "s12_mips_topk" -> s12Sql,
