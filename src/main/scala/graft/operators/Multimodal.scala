@@ -569,6 +569,32 @@ object Multimodal {
     * non-dup collisions are rare); no all-pairs step. The same shape as
     * d05's banded Hamming join, applied to binary media.
     */
+  /** Banded-Hamming near-dup join over a 64-bit fingerprint column
+    * (media_id, h) — shared by the image (m03/aHash) and audio
+    * (m04/energy-comparison) dedup paths: 8 x 8-bit band bucket keys,
+    * only band-bucket collisions verified with exact Hamming <= 7.
+    * Pigeonhole: 7 differing bits cannot touch all 8 disjoint bands, so
+    * any true pair ALWAYS shares a band — recall is structural. Scale:
+    * candidates are band collisions only (random 64-bit fingerprints sit
+    * ~32 bits apart); no all-pairs step — d05's shape on binary media.
+    */
+  private def bandedHammingPairs(hashed: DataFrame, maxHamming: Int): DataFrame = {
+    val banded = hashed.select(col("media_id"), col("h"), explode(expr(
+        "transform(sequence(0, 7), b -> named_struct('band', b, 'bucket', (h >> (b * 8)) & 255))")).as("bb"))
+      .select(col("media_id"), col("h"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("ida"), col("a.h").as("ha"),
+        col("b.media_id").as("idb"), col("b.h").as("hb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("ida"), col("idb"), col("hamming"))
+      .orderBy(col("ida"), col("idb"))
+  }
+
   def m03ImageDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // One fused pass over the image-kind documents (doc_id % 3 == 0, the
@@ -586,20 +612,108 @@ object Multimodal {
         Seq((id, aHash(orig)), (id + 1000000L, aHash(perturb(orig))))
       })
       .toDF("media_id", "h")
-    val banded = hashed.select(col("media_id"), col("h"), explode(expr(
-        "transform(sequence(0, 7), b -> named_struct('band', b, 'bucket', (h >> (b * 8)) & 255))")).as("bb"))
-      .select(col("media_id"), col("h"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.media_id") < col("b.media_id"))
-      .select(col("a.media_id").as("ida"), col("a.h").as("ha"),
-        col("b.media_id").as("idb"), col("b.h").as("hb"))
-      .distinct()
-      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
-      .filter(col("hamming") <= 7)
-      .select(col("ida"), col("idb"), col("hamming"))
-      .orderBy(col("ida"), col("idb"))
+    bandedHammingPairs(hashed, maxHamming = 7)
+  }
+
+  /** 64-bit energy-comparison audio fingerprint over the REAL decoded PCM
+    * stream (javax.sound header parse + sample read): the 16-bit LE
+    * samples split into 65 time windows, per-window energy = sum |s|, bit
+    * i set iff energy(i) > energy(i+1). Comparing CONSECUTIVE window
+    * energies (the Chromaprint/Shazam-family trick, minus the FFT the
+    * sandbox has no library for) makes the fingerprint invariant to
+    * uniform gain — scaling every sample scales every window energy by
+    * the same factor, so no comparison flips; only the re-quantization
+    * noise of the integer samples moves near-equal windows. The audio
+    * analogue of m03's aHash.
+    */
+  private[operators] def audioFingerprint(payload: Array[Byte]): Long = {
+    val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+    val bytes = try in.readAllBytes() finally in.close()
+    val n = bytes.length / 2
+    val windows = 65
+    // EQUAL-size windows (remainder samples dropped): with ragged windows
+    // the size difference dominates the energy comparison for periodic
+    // signals (cycled synthetic PCM), collapsing many docs onto one
+    // fingerprint; equal windows make the bits track actual content.
+    val winSize = n / windows
+    require(winSize > 0, s"audio too short to fingerprint: $n PCM frames")
+    val energy = new Array[Double](windows)
+    var w = 0
+    while (w < windows) {
+      var i = w * winSize
+      val end = i + winSize
+      while (i < end) {
+        val s = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort
+        energy(w) += math.abs(s.toDouble)
+        i += 1
+      }
+      w += 1
+    }
+    var bits = 0L
+    var b = 0
+    while (b < 64) {
+      if (energy(b) > energy(b + 1)) bits |= (1L << b)
+      b += 1
+    }
+    bits
+  }
+
+  /** Gain edit used to PLANT audio near-duplicates: decode the PCM, scale
+    * every sample by `gain` (attenuation — never clips), re-encode with
+    * the same format. A gain change preserves every window-energy
+    * comparison up to integer re-quantization noise, so the twin's
+    * fingerprint sits a handful of borderline bits away at worst — well
+    * inside the Hamming <= 7 verify budget.
+    */
+  private[operators] def scaleWav(payload: Array[Byte], gain: Double): Array[Byte] = {
+    val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+    val fmt = in.getFormat
+    val bytes = try in.readAllBytes() finally in.close()
+    val n = bytes.length / 2
+    var i = 0
+    while (i < n) {
+      val s = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort
+      val scaled = math.max(-32768, math.min(32767, math.round(s * gain))).toInt
+      bytes(2 * i) = (scaled & 0xff).toByte
+      bytes(2 * i + 1) = ((scaled >> 8) & 0xff).toByte
+      i += 1
+    }
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new ByteArrayInputStream(bytes), fmt, n.toLong),
+      AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Driver-contract query: audio near-dup dedup via banded energy
+    * fingerprints — m03's retrieval audit for the audio modality. Each
+    * audio-kind document gets a gain-scaled twin (media_id + 1,000,000);
+    * both are fingerprinted through the REAL WAVE decode, banded 8 x 8
+    * bits, and band collisions verified with exact Hamming <= 3. The
+    * budget is measured, not guessed: across sf0.001-0.1 a 0.95 gain
+    * twin sits <= 2 bits away (re-quantization noise only) while
+    * different-text docs sit >= 6 apart — except exact-duplicate texts
+    * (identical WAV bytes, Hamming 0), which a dedup operator SHOULD
+    * return. Round6OpsSpec asserts the exact planted set at sf0.001
+    * (which has no same-text pair in this residue class).
+    * Rows-only driver entry (codec work is not SQL-expressible).
+    */
+  def m04AudioDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // fused pass over the audio-kind documents (doc_id % 3 == 1), same
+    // rationale as m03: encode once, scale once, fingerprint both
+    val hashed = Tables.spread(Tables.documents(s, dir))
+      .filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val raw = text.getBytes("UTF-8")
+        val base = if (raw.isEmpty) Array[Byte](0) else raw
+        val orig = encodeWav(base)
+        Seq((id, audioFingerprint(orig)),
+          (id + 1000000L, audioFingerprint(scaleWav(orig, 0.95))))
+      })
+      .toDF("media_id", "h")
+    bandedHammingPairs(hashed, maxHamming = 3)
   }
 
   /** Driver-contract query: frame-sampling multiplicity stats (rows-only). */
@@ -614,7 +728,8 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_features" -> (m01MediaFeatures _),
     "m02_frame_sample" -> (m02FrameSample _),
-    "m03_image_dedup" -> (m03ImageDedup _))
+    "m03_image_dedup" -> (m03ImageDedup _),
+    "m04_audio_dedup" -> (m04AudioDedup _))
 
   /** Engine-side media synthesis + codecs — no SQL oracle; MultimodalSpec
     * pins real decoded dimensions, multiplicity, and determinism. */
