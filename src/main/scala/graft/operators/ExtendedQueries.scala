@@ -1442,8 +1442,84 @@ object ExtendedQueries {
       |  FLOOR(CAST(COUNT(tp) AS DOUBLE) / COUNT(tc) * 10000.0 + 0.5) / 10000.0 AS click_to_purchase
       |FROM u""".stripMargin
 
+  // ---------------------------------------------------------------- q91
+  /** PIVOT — long-to-wide reshape (hour-of-day x event_type matrix of
+    * counts and decimal-exact value sums), the dashboard/report shape the
+    * reference's Databricks notebooks render constantly. The value list
+    * is EXPLICIT (`pivot(col, values)`), which matters twice: Spark skips
+    * the extra distinct-values job a blind pivot needs, and the plan is a
+    * single ordinary groupBy(hour) aggregate with one conditional-agg
+    * column per (value x measure) — one shuffle on 24 keys no matter the
+    * input size, exactly what the conditional-aggregation oracle spells
+    * out. Missing cells coalesce to 0 to match SQL COUNT semantics.
+    */
+  def q91Pivot(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("view", "click", "purchase")
+    val wide = Tables.events(s, dir)
+      .select(hour(col("ts")).as("hr"), col("event_type"), col("value"))
+      .groupBy(col("hr"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)).as("n"), Tables.dsum(col("value"), 30, 2).as("val"))
+    wide.select(
+      col("hr") +: types.flatMap(t => Seq(
+        coalesce(col(s"${t}_n"), lit(0L)).as(s"${t}_n"),
+        col(s"${t}_val"))): _*)
+      .orderBy(col("hr"))
+  }
+
+  val q91Sql: String =
+    """SELECT EXTRACT(hour FROM ts) AS hr,
+      |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view_n,
+      |  CAST(CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(30,2)) END) AS VARCHAR) AS DOUBLE) AS view_val,
+      |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click_n,
+      |  CAST(CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(30,2)) END) AS VARCHAR) AS DOUBLE) AS click_val,
+      |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase_n,
+      |  CAST(CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(30,2)) END) AS VARCHAR) AS DOUBLE) AS purchase_val
+      |FROM events GROUP BY 1 ORDER BY hr""".stripMargin
+
+  // ---------------------------------------------------------------- q92
+  /** UNPIVOT / melt — wide-to-long reshape via the Dataset.unpivot API
+    * (SQL UNPIVOT's engine form): the per-returnflag metric columns of a
+    * q01-style rollup melt into (flag, metric, value) rows. Reshape ops
+    * are pure metadata at the row level — unpivot plans as a Generate
+    * (explode of a struct array), no shuffle beyond the feeding
+    * aggregate, and the metric-name column arrives dictionary-encodable.
+    * The oracle is the classic UNION ALL spelling, one leg per melted
+    * column.
+    */
+  def q92Unpivot(s: SparkSession, dir: String): DataFrame = {
+    val wide = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        Tables.dsum(col("l_quantity"), 30, 2).as("sum_qty"),
+        Tables.dsum(col("l_extendedprice"), 30, 2).as("sum_price"),
+        count(lit(1)).cast(DoubleType).as("n_items"))
+    wide.unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("n_items")),
+        "metric", "metric_value")
+      .orderBy(col("l_returnflag"), col("metric"))
+  }
+
+  val q92Sql: String =
+    """WITH wide AS (
+      |  SELECT l_returnflag,
+      |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+      |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS VARCHAR) AS DOUBLE) AS sum_price,
+      |    CAST(COUNT(*) AS DOUBLE) AS n_items
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, metric, metric_value FROM (
+      |  SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS metric_value FROM wide
+      |  UNION ALL
+      |  SELECT l_returnflag, 'sum_price', sum_price FROM wide
+      |  UNION ALL
+      |  SELECT l_returnflag, 'n_items', n_items FROM wide)
+      |ORDER BY l_returnflag, metric""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q91_pivot" -> (q91Pivot _),
+    "q92_unpivot" -> (q92Unpivot _),
     "q90_funnel" -> (q90Funnel _),
     "q89_group_by_all" -> (q89GroupByAll _),
     "q88_pagination" -> (q88Pagination _),
@@ -1492,6 +1568,8 @@ object ExtendedQueries {
     "q54_union_by_name" -> (q54UnionByName _))
 
   val oracle: Map[String, String] = Map(
+    "q91_pivot" -> q91Sql,
+    "q92_unpivot" -> q92Sql,
     "q90_funnel" -> q90Sql,
     "q89_group_by_all" -> q89Sql,
     "q88_pagination" -> q88Sql,

@@ -714,7 +714,89 @@ object GraphQueries {
       |FROM cand JOIN deg da ON cand.a = da.u JOIN deg db ON cand.b = db.u
       |ORDER BY jaccard DESC, a, b LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- g08
+  /** k-core decomposition by UNROLLED peeling — "which part of the trade
+    * graph is densely engaged": repeatedly delete nodes with degree < k
+    * until the survivor set is stable; what remains is the k-core, the
+    * standard cohesion filter (graph-curation's analogue of a quality
+    * gate — fringe customers/suppliers peel off, the engaged core stays).
+    *
+    * The round count is FIXED (6) rather than convergence-tested, for the
+    * same reason g01 fixes its rounds: a deterministic unroll is
+    * restatable as chained CTEs, so DuckDB hash-audits the entire
+    * trajectory — and Round6OpsSpec separately asserts the peeling has
+    * ACTUALLY reached its fixed point by round 6 on the testdata (so the
+    * output genuinely is the k-core, not a truncation). Output: one row
+    * per round with survivor counts by node type — the peeling trajectory
+    * an analyst reads (how fast does the fringe shed?).
+    *
+    * Plan shape at 100 TB: per round, one semi-join of the (checkpointed)
+    * edge list against the current survivor set on each endpoint + one
+    * u-keyed count — survivor sets only SHRINK, so rounds get cheaper;
+    * each round's set is localCheckpointed (cluster: durable checkpoint)
+    * to keep lineage flat, exactly the d06/g01 loop discipline. Peeling
+    * rounds needed for FULL decomposition is O(degeneracy), not O(n) —
+    * 6 covers this graph; a production run sizes the unroll by the
+    * previous snapshot's trajectory.
+    */
+  def g08KCore(s: SparkSession, dir: String): DataFrame = {
+    val k = 3
+    val rounds = 6
+    val pairs = tradePairs(s, dir)
+    // u ids are custkeys (< 1e6), v ids are suppkey + 1e6: the union is
+    // duplicate-free by construction
+    val und = pairs.select(col("u"), col("v"))
+      .union(pairs.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    var cur = und.select(col("u")).distinct().localCheckpoint()
+    val trajectory = scala.collection.mutable.ArrayBuffer(
+      cur.withColumn("peel_round", lit(0)))
+    for (i <- 1 to rounds) {
+      val alive = und
+        .join(cur.select(col("u")), Seq("u"), "left_semi")
+        .join(cur.select(col("u").as("v")), Seq("v"), "left_semi")
+      cur = alive.groupBy(col("u"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("u"))
+        .localCheckpoint()
+      trajectory += cur.withColumn("peel_round", lit(i))
+    }
+    trajectory.reduce(_ union _)
+      .groupBy(col("peel_round"))
+      .agg(
+        count(lit(1)).as("n_nodes"),
+        sum(when(col("u") < 1000000L, 1L).otherwise(0L)).as("n_customers"),
+        sum(when(col("u") >= 1000000L, 1L).otherwise(0L)).as("n_suppliers"))
+      .orderBy(col("peel_round"))
+  }
+
+  /** The same 6 peeling rounds as chained CTEs over the same edge list. */
+  val g08Sql: String = {
+    val base =
+      """WITH pairs AS (
+        |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS u, 1000000 + l_suppkey AS v
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |und AS (
+        |  SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+        |n0 AS (SELECT DISTINCT u FROM und)""".stripMargin
+    val rounds = (1 to 6).map { i =>
+      s"""n$i AS (
+         |  SELECT u FROM und
+         |  WHERE u IN (SELECT u FROM n${i - 1}) AND v IN (SELECT u FROM n${i - 1})
+         |  GROUP BY u HAVING COUNT(*) >= 3)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    val counts = (0 to 6).map { i =>
+      s"""SELECT $i AS peel_round, COUNT(*) AS n_nodes,
+         |  CAST(SUM(CASE WHEN u < 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_customers,
+         |  CAST(SUM(CASE WHEN u >= 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_suppliers
+         |FROM n$i""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"$base$rounds\n$counts\nORDER BY peel_round"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g08_kcore" -> (g08KCore _),
     "g07_link_prediction" -> (g07LinkPrediction _),
     "g06_degree_mixing" -> (g06DegreeMixing _),
     "g01_pagerank" -> (g01PageRank _),
@@ -724,6 +806,7 @@ object GraphQueries {
     "g05_star_components" -> (g05StarComponents _))
 
   val oracle: Map[String, String] = Map(
+    "g08_kcore" -> g08Sql,
     "g07_link_prediction" -> g07Sql,
     "g06_degree_mixing" -> g06Sql,
     "g01_pagerank" -> g01Sql,
