@@ -98,6 +98,8 @@ object GraftFunctions {
       "graft_cosine", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_topk", exprs => GraftTopK(exprs(0), exprs(1), exprs(2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_maxsim", exprs => MaxSimScore(exprs(0), exprs(1), exprs(2)), "built-in")
   }
 }
 
@@ -114,6 +116,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("graft_topk"),
       TopKAggregate.info,
       (exprs: Seq[Expression]) => GraftTopK(exprs(0), exprs(1), exprs(2))))
+    e.injectFunction((
+      FunctionIdentifier("graft_maxsim"),
+      MaxSimScore.info,
+      (exprs: Seq[Expression]) => MaxSimScore(exprs(0), exprs(1), exprs(2))))
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoin.Strategy)
     e.injectOptimizerRule(_ => graft.plans.LevenshteinGuard)
   }

@@ -1545,22 +1545,29 @@ object SimilarityQueries {
     * and MaxSim reranks the shortlist; the full-scan form IS that rerank
     * at audit scale.
     */
+  /** The HOF spelling of MaxSim — the readable reference whose fold order
+    * defines the oracle contract (it IS s16Sql, translated). s16 itself
+    * scores through the fused codegen [[graft.functions.MaxSimScore]]
+    * expression, which Round6OpsSpec proves bit-identical to this form;
+    * nested HOFs are interpreted, so the hot path must not run them. */
+  private[graft] val maxSimHof = expr(
+    """aggregate(sequence(0, 3), cast(0.0 as double), (acc, t) -> acc +
+      |  array_max(transform(sequence(0, 3), b ->
+      |    aggregate(zip_with(slice(qv, t * 16 + 1, 16), slice(v, b * 16 + 1, 16), (x, y) -> x * y),
+      |              cast(0.0 as double), (a2, p) -> a2 + p)
+      |    / (sqrt(aggregate(transform(slice(qv, t * 16 + 1, 16), x -> x * x),
+      |              cast(0.0 as double), (a3, p) -> a3 + p))
+      |       * sqrt(aggregate(transform(slice(v, b * 16 + 1, 16), x -> x * x),
+      |              cast(0.0 as double), (a4, p) -> a4 + p))))))""".stripMargin)
+
   def s16MaxSim(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val e = Tables.spread(Tables.embeddings(s, dir)).withColumn("v", embD)
       .select(col("vec_id"), col("v"))
     val q = plantedQueries(e, k = 5, off = 157, factor = 0.1)
-    // sum_t max_b cos(slice_t(qv), slice_b(v)): slice norms recomputed
-    // inline — sequential 16-dim folds, left-to-right, 0.0 seeds, exactly
-    // DuckDB's list_reduce order; one rounding at the end
-    val maxSim = expr(
-      """aggregate(sequence(0, 3), cast(0.0 as double), (acc, t) -> acc +
-        |  array_max(transform(sequence(0, 3), b ->
-        |    aggregate(zip_with(slice(qv, t * 16 + 1, 16), slice(v, b * 16 + 1, 16), (x, y) -> x * y),
-        |              cast(0.0 as double), (a2, p) -> a2 + p)
-        |    / (sqrt(aggregate(transform(slice(qv, t * 16 + 1, 16), x -> x * x),
-        |              cast(0.0 as double), (a3, p) -> a3 + p))
-        |       * sqrt(aggregate(transform(slice(v, b * 16 + 1, 16), x -> x * x),
-        |              cast(0.0 as double), (a4, p) -> a4 + p))))))""".stripMargin)
+    // sum_t max_b cos(slice_t(qv), slice_b(v)) — fused codegen loop nest,
+    // bit-identical to maxSimHof / the DuckDB list_reduce folds
+    val maxSim = call_function("graft_maxsim", col("qv"), col("v"), lit(4))
     // the base vector is NOT excluded: retrieving the planted base at
     // rank 1 through late interaction is the recall contract the spec
     // pins (a rerank shortlist naturally contains the top candidate)
@@ -1600,7 +1607,86 @@ object SimilarityQueries {
       |SELECT q_id, rnk, vec_id AS neighbor_id, maxsim
       |FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
 
+  // ---------------------------------------------------------------- s17
+  /** Matryoshka / dimension-truncation quality audit (Kusupati et al.,
+    * "Matryoshka Representation Learning", NeurIPS 2022): how much
+    * retrieval quality survives if the index stores only the FIRST 16 of
+    * 64 dims? For each planted query, rank the corpus by full-dim cosine
+    * and by truncated-prefix cosine, and report top-10 overlap plus where
+    * the true top-1 lands in the truncated ranking. This is the sizing
+    * audit a 100 TB vector deployment runs before committing to a
+    * truncated index tier (4x smaller index, 4x cheaper scan — the audit
+    * says what recall that buys at YOUR data's geometry; MRL-trained
+    * embeddings approach overlap 1.0, generic ones — like this corpus's —
+    * measure lower, which is exactly the point of auditing).
+    *
+    * Shape: ONE corpus scan; both cosines are fused-loop expressions over
+    * the same row, both ranks come from windows sharing the q_id
+    * partitioning (one exchange, stacked Window operators). Integer-exact
+    * output (common counts and ranks), so the oracle hash-matches without
+    * any float rounding contract.
+    */
+  def s17Matryoshka(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.spread(Tables.embeddings(s, dir)).withColumn("v", embD)
+      .select(col("vec_id"), col("v"))
+    val q = plantedQueries(e, k = 5, off = 191, factor = 0.1)
+    val scored = e.crossJoin(broadcast(q))
+      .withColumn("fcos", call_function("graft_cosine", col("qv"), col("v")))
+      .withColumn("tcos", call_function("graft_cosine",
+        slice(col("qv"), 1, 16), slice(col("v"), 1, 16)))
+    val wF = Window.partitionBy(col("q_id")).orderBy(col("fcos").desc, col("vec_id"))
+    val wT = Window.partitionBy(col("q_id")).orderBy(col("tcos").desc, col("vec_id"))
+    val ranked = scored
+      .withColumn("rank_full", row_number().over(wF).cast(LongType))
+      .withColumn("rank_trunc", row_number().over(wT).cast(LongType))
+    val fullTop = ranked.filter(col("rank_full") <= 10)
+      .select(col("q_id"), col("vec_id"), col("rank_full"))
+    val truncTop = ranked.filter(col("rank_trunc") <= 10)
+      .select(col("q_id"), col("vec_id"), col("rank_trunc"))
+    fullTop.join(truncTop, Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(
+        count(col("rank_trunc")).as("n_common"),
+        max(when(col("rank_full") === 1L, coalesce(col("rank_trunc"), lit(-1L))))
+          .as("top1_trunc_rank"))
+      .orderBy(col("q_id"))
+  }
+
+  /** Same double ranking and overlap arithmetic; the truncated cosine is
+    * the identical fold over the first 16 dims. */
+  val s17Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cnt AS (SELECT COUNT(*) AS n FROM e),
+      |q AS (
+      |  SELECT b.vec_id AS q_id,
+      |    list_transform(generate_series(1, 64), i -> b.v[i] + 0.1 * p.v[i]) AS qv
+      |  FROM e b JOIN cnt ON TRUE JOIN e p ON p.vec_id = (b.vec_id + 191) % cnt.n
+      |  WHERE b.vec_id < 5),
+      |scored AS (
+      |  SELECT q.q_id, e.vec_id,
+      |    list_reduce(list_transform(generate_series(1, 64), i -> q.qv[i] * e.v[i]), (a, b) -> a + b)
+      |      / (SQRT(list_reduce(list_transform(generate_series(1, 64), i -> q.qv[i] * q.qv[i]), (a, b) -> a + b))
+      |         * SQRT(list_reduce(list_transform(generate_series(1, 64), i -> e.v[i] * e.v[i]), (a, b) -> a + b))) AS fcos,
+      |    list_reduce(list_transform(generate_series(1, 16), i -> q.qv[i] * e.v[i]), (a, b) -> a + b)
+      |      / (SQRT(list_reduce(list_transform(generate_series(1, 16), i -> q.qv[i] * q.qv[i]), (a, b) -> a + b))
+      |         * SQRT(list_reduce(list_transform(generate_series(1, 16), i -> e.v[i] * e.v[i]), (a, b) -> a + b))) AS tcos
+      |  FROM q CROSS JOIN e),
+      |ranked AS (
+      |  SELECT q_id, vec_id,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY fcos DESC, vec_id) AS rank_full,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY tcos DESC, vec_id) AS rank_trunc
+      |  FROM scored),
+      |f AS (SELECT q_id, vec_id, rank_full FROM ranked WHERE rank_full <= 10),
+      |t AS (SELECT q_id, vec_id, rank_trunc FROM ranked WHERE rank_trunc <= 10)
+      |SELECT f.q_id, COUNT(t.rank_trunc) AS n_common,
+      |  CAST(MAX(CASE WHEN f.rank_full = 1 THEN COALESCE(t.rank_trunc, -1) END) AS BIGINT) AS top1_trunc_rank
+      |FROM f LEFT JOIN t ON f.q_id = t.q_id AND f.vec_id = t.vec_id
+      |GROUP BY f.q_id ORDER BY f.q_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s17_matryoshka" -> (s17Matryoshka _),
     "s16_maxsim" -> (s16MaxSim _),
     "s15_ivf_pq" -> (s15IvfPq _),
     "s14_range_search" -> (s14RangeSearch _),
@@ -1619,6 +1705,7 @@ object SimilarityQueries {
     "s06_ann_verified" -> (s06AnnVerified _))
 
   val oracle: Map[String, String] = Map(
+    "s17_matryoshka" -> s17Sql,
     "s16_maxsim" -> s16Sql,
     "s15_ivf_pq" -> s15Sql,
     "s14_range_search" -> s14Sql,

@@ -78,6 +78,42 @@ class Round6OpsSpec extends SparkTestBase {
     }
   }
 
+  test("s17: truncation audit is well-formed and overlap bounded; determinism") {
+    val rows = operators.SimilarityQueries.s17Matryoshka(spark, Sf001).collect()
+    assert(rows.map(_.getLong(0)).toSeq === (0L until 5L).toSeq)
+    rows.foreach { r =>
+      val (common, t1) = (r.getLong(1), r.getLong(2))
+      assert(common >= 0 && common <= 10, s"overlap@10 out of range: $common")
+      assert(t1 == -1L || (t1 >= 1L && t1 <= 10L), s"top1 trunc rank out of range: $t1")
+      // the full-rank-1 item (the planted base, cosine ~0.995) keeps a
+      // strong 16-dim prefix signal (~0.99 on the prefix slice): it must
+      // at least SURVIVE into the truncated top-10
+      assert(t1 != -1L, s"query ${r.getLong(0)}: true top-1 fell out of the truncated top-10")
+    }
+    val again = operators.SimilarityQueries.s17Matryoshka(spark, Sf001).collect()
+    assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
+  test("graft_maxsim codegen expression is bit-identical to the HOF reference") {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, Sf001)
+      .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+      .select(col("vec_id"), col("v"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val pairs = e.crossJoin(broadcast(q))
+    val both = pairs
+      .withColumn("fused", call_function("graft_maxsim", col("qv"), col("v"), lit(4)))
+      .withColumn("hof", operators.SimilarityQueries.maxSimHof)
+    assert(both.filter(col("fused") =!= col("hof")).count() === 0L,
+      "fused loop must reproduce the HOF fold bit-for-bit")
+    assert(both.count() > 0)
+    // ragged input degrades to null, not garbage
+    val ragged = spark.sql(
+      "SELECT graft_maxsim(array(1.0d, 2.0d, 3.0d), array(1.0d, 2.0d, 3.0d), 4) AS r")
+    assert(ragged.collect().head.isNullAt(0))
+  }
+
   test("p17: bucketed rollup equals the same rollup over raw parquet") {
     val bucketed = PipelineQueries.p17BucketedJoin(spark, Sf0001).collect()
     // raw-side restatement: identical arithmetic, no bucketed tables
