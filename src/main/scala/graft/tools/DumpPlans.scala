@@ -142,7 +142,16 @@ object DumpPlans {
         GraphQueries.g06DegreeMixing(spark, dir)),
       ("s14_range_search",
         "Radius search: codebook+radii are plan literals; reachable-cell filter runs codegen'd per query; candidates meet the corpus in one BroadcastHashJoin on cell id — cells the angular bound excludes are never scanned.",
-        SimilarityQueries.s14RangeSearch(spark, dir)))
+        SimilarityQueries.s14RangeSearch(spark, dir)),
+      ("s15_ivf_pq",
+        "IVF-PQ composition: cell assignment + PQ reconstruction fuse into the corpus scan's project (codebook = plan literals); probes meet candidates in a BroadcastHashJoin on cell id; ADC ranks via WindowGroupLimit.",
+        SimilarityQueries.s15IvfPq(spark, dir)),
+      ("s16_maxsim",
+        "Late interaction: graft_maxsim runs the 4x4 slice-cosine loop nest inside WholeStageCodegen — token bags stay one array row each, no explode, no token-row shuffle; per-query top-5 via WindowGroupLimit.",
+        SimilarityQueries.s16MaxSim(spark, dir)),
+      ("g08_kcore",
+        "Each peel round: two LeftSemi hash joins against the (shrinking, checkpointed) survivor set + one u-keyed degree count — survivor frames are single-column, rounds get monotonically cheaper.",
+        GraphQueries.g08KCore(spark, dir)))
 
     val sb = new StringBuilder
     sb.append("# Flagship physical plans (generated by graft.tools.DumpPlans at sf0.01)\n\n")

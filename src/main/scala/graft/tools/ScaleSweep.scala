@@ -85,7 +85,15 @@ object ScaleSweep {
       "p15_dataset_card" -> "dataset card (one map pass + source-keyed rollup)",
       "t18_readability" -> "readability scoring (regex map, no shuffle)",
       "g06_degree_mixing" -> "degree assortativity (exact int64 moments)",
-      "s14_range_search" -> "radius search (exact cell pruning)")
+      "s14_range_search" -> "radius search (exact cell pruning)",
+      "p17_bucketed_join" -> "bucketed export + shuffle-free co-located join",
+      "s15_ivf_pq" -> "composed IVF-PQ ANN (cell-scoped ADC)",
+      "s16_maxsim" -> "late-interaction MaxSim (fused codegen expression)",
+      "s17_matryoshka" -> "dimension-truncation ranking audit",
+      "m04_audio_dedup" -> "audio fingerprint dedup (real PCM decode)",
+      "g08_kcore" -> "k-core peeling (6 semi-join rounds)",
+      "q91_pivot" -> "PIVOT reshape (explicit values, one 24-key shuffle)",
+      "q92_unpivot" -> "UNPIVOT melt (Generate, no extra shuffle)")
 
     // warm the JVM/codegen on the smallest sf so cold-start lands nowhere
     queries.foreach { case (q, _) =>
