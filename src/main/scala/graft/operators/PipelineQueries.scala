@@ -1060,7 +1060,101 @@ object PipelineQueries {
       |FROM documents JOIN n USING (doc_id)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- p18
+  /** Incremental view maintenance — the OTHER half of p16's CDC story:
+    * p16 maintains the SNAPSHOT under a changeset; p18 maintains a
+    * MATERIALIZED ROLLUP (per-source doc count + character mass) without
+    * ever recomputing it from the merged corpus. The maintenance algebra:
+    *
+    *   new_mv = old_mv (+) delta(changeset)
+    *   delta:  I -> (+1, +len(new));  D -> (-1, -len(old));
+    *           U -> (0, len(new) - len(old))
+    *
+    * Old lengths come from a doc_id-keyed join of JUST the U/D changeset
+    * rows against the base — at production scale that is point lookups /
+    * a changeset-sized join, so a nightly maintenance run costs
+    * O(|MV| + |changeset|) while the recompute costs a full corpus scan.
+    * That asymmetry is the whole point of IVM at 100 TB: the rollup the
+    * dashboard reads is maintained in seconds regardless of corpus size.
+    *
+    * The changeset is p16's exact deterministic construction (I: id%10=7,
+    * U: id%10=3 with " v2" appended, D: id%10=5), so the oracle can take
+    * the adversarial path: recompute the rollup DIRECTLY from the merged
+    * corpus state. Hash equality between the incrementally-maintained
+    * view and the from-scratch recompute is precisely the IVM
+    * correctness contract; the published per-source deltas are what an
+    * operator alerts on (a source suddenly shedding mass).
+    *
+    * Edge semantics the testdata actually exercises (source = doc_id %
+    * 20, so some sources are 100% inserts or 100% deletes): a brand-new
+    * source appears with its full insert mass, and a source whose docs
+    * all delete REMAINS in the view with n_docs = 0 and its negative
+    * delta — an emptied source is an alert, not a silent disappearance.
+    */
+  def p18IncrementalRollup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(s, dir))
+      .select(col("doc_id"), col("source"), col("text"))
+    val base = docs.filter(col("doc_id") % 10 =!= 7)
+    // stands in for reading the stored MV — never re-derived below
+    val mv = base.groupBy(col("source")).agg(
+      count(lit(1)).as("n0"),
+      sum(length(col("text")).cast(LongType)).as("c0"))
+    val ins = docs.filter(col("doc_id") % 10 === 7)
+      .select(col("source"), lit(1L).as("dd"),
+        length(col("text")).cast(LongType).as("dc"))
+    val cdcUD = docs.filter(col("doc_id") % 10 === 3)
+      .select(col("doc_id"), col("source"),
+        concat(col("text"), lit(" v2")).as("new_text"), lit("U").as("op"))
+      .unionAll(docs.filter(col("doc_id") % 10 === 5)
+        .select(col("doc_id"), col("source"),
+          lit(null).cast(StringType).as("new_text"), lit("D").as("op")))
+    val oldLen = base.select(col("doc_id"), length(col("text")).cast(LongType).as("old_len"))
+    val udDelta = cdcUD.join(oldLen, Seq("doc_id"))
+      .select(col("source"),
+        when(col("op") === "U", lit(0L)).otherwise(lit(-1L)).as("dd"),
+        when(col("op") === "U",
+          length(col("new_text")).cast(LongType) - col("old_len"))
+          .otherwise(-col("old_len")).as("dc"))
+    val delta = ins.unionAll(udDelta)
+      .groupBy(col("source")).agg(sum(col("dd")).as("dd"), sum(col("dc")).as("dc"))
+    mv.join(delta, Seq("source"), "full_outer")
+      .select(col("source"),
+        (coalesce(col("n0"), lit(0L)) + coalesce(col("dd"), lit(0L))).as("n_docs"),
+        (coalesce(col("c0"), lit(0L)) + coalesce(col("dc"), lit(0L))).as("sum_chars"),
+        coalesce(col("dd"), lit(0L)).as("d_docs"),
+        coalesce(col("dc"), lit(0L)).as("d_chars"))
+      .orderBy(col("source"))
+  }
+
+  /** The adversarial oracle path: the SAME rollup recomputed from scratch
+    * over the merged corpus state (and the deltas from the base rollup) —
+    * if the incremental algebra drops or double-counts anything, the hash
+    * cannot match. */
+  val p18Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, source, text FROM documents WHERE doc_id % 10 <> 7),
+      |merged AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN doc_id % 10 = 3 THEN text || ' v2' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 10 <> 5),
+      |cur AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars
+      |  FROM merged GROUP BY source),
+      |prev AS (
+      |  SELECT source, COUNT(*) AS n0,
+      |    CAST(SUM(LENGTH(text)) AS BIGINT) AS c0
+      |  FROM base GROUP BY source)
+      |SELECT COALESCE(cur.source, prev.source) AS source,
+      |  CAST(COALESCE(cur.n_docs, 0) AS BIGINT) AS n_docs,
+      |  CAST(COALESCE(cur.sum_chars, 0) AS BIGINT) AS sum_chars,
+      |  CAST(COALESCE(cur.n_docs, 0) - COALESCE(prev.n0, 0) AS BIGINT) AS d_docs,
+      |  CAST(COALESCE(cur.sum_chars, 0) - COALESCE(prev.c0, 0) AS BIGINT) AS d_chars
+      |FROM cur FULL OUTER JOIN prev ON cur.source = prev.source
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p18_incremental_rollup" -> (p18IncrementalRollup _),
     "p17_bucketed_join" -> (p17BucketedJoin _),
     "p16_merge_upsert" -> (p16MergeUpsert _),
     "p15_dataset_card" -> (p15DatasetCard _),
@@ -1080,6 +1174,7 @@ object PipelineQueries {
     "p04_sequence_packing" -> (p04SequencePacking _))
 
   val oracle: Map[String, String] = Map(
+    "p18_incremental_rollup" -> p18Sql,
     "p17_bucketed_join" -> p17Sql,
     "p16_merge_upsert" -> p16Sql,
     "p15_dataset_card" -> p15Sql,

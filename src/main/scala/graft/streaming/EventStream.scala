@@ -160,6 +160,41 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Stream-static enrichment join — the remaining join shape of the
+    * streaming tier (purchaseAfterClick covers stream-stream): the
+    * unbounded purchase stream joins the STATIC customer dimension on
+    * user_id. No watermark is needed on the static side and no state is
+    * kept for it — each micro-batch plans a fresh join against the
+    * (broadcastable) dimension, which also means dimension updates are
+    * picked up between batches. Output: hourly revenue per market
+    * segment, the live dashboard feed; decimal-routed sums so the
+    * streaming result is bit-comparable to the batch twin in tests.
+    */
+  def enrichedBySegment(events: DataFrame, customers: DataFrame): DataFrame =
+    events.filter(col("event_type") === "purchase")
+      .withWatermark("ts", "2 hours")
+      .join(customers.select(col("c_custkey"), col("c_mktsegment")),
+        col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(30, 2)))
+          .cast(org.apache.spark.sql.types.DoubleType).as("revenue"))
+      .select(col("window.start").as("hour_start"), col("c_mktsegment"),
+        col("n_purchases"), col("revenue"))
+
+  def runEnriched(spark: SparkSession, dir: String, queryName: String = "graft_stream_enriched"): DataFrame = {
+    val customers = graft.Tables.customer(spark, dir)
+    val q = enrichedBySegment(readEvents(spark, dir), customers)
+      .writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** foreachBatch file sink with idempotent per-batch directories — the
     * production exactly-once pattern: each micro-batch writes to
     * out/batch_<id> with overwrite mode, so a replayed batch (failure

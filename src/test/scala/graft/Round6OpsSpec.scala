@@ -114,6 +114,34 @@ class Round6OpsSpec extends SparkTestBase {
     assert(ragged.collect().head.isNullAt(0))
   }
 
+  test("p18: incrementally-maintained rollup equals a from-scratch recompute of the merged state") {
+    val ivm = operators.PipelineQueries.p18IncrementalRollup(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // direct recompute: merged corpus state, never the delta algebra
+    val docs = Tables.documents(spark, Sf0001).select(col("doc_id"), col("source"), col("text"))
+    val merged = docs.filter(col("doc_id") % 10 =!= 5)
+      .withColumn("text",
+        when(col("doc_id") % 10 === 3, concat(col("text"), lit(" v2"))).otherwise(col("text")))
+    val direct = merged.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(length(col("text")).cast("long")).as("c"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val base = docs.filter(col("doc_id") % 10 =!= 7).groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(length(col("text")).cast("long")).as("c"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(ivm.keySet === (direct.keySet ++ base.keySet),
+      "view must cover new AND emptied sources")
+    ivm.foreach { case (src, (n, c, dd, dc)) =>
+      val (dn, dcur) = direct.getOrElse(src, (0L, 0L))
+      val (bn, bc) = base.getOrElse(src, (0L, 0L))
+      assert((n, c) === (dn, dcur), s"$src: maintained state diverged from recompute")
+      assert((dd, dc) === (dn - bn, dcur - bc), s"$src: published delta wrong")
+    }
+    // the testdata genuinely exercises both edges
+    assert(ivm.exists { case (_, (n, _, dd, _)) => n == 0 && dd < 0 }, "an emptied source")
+    assert(ivm.exists { case (src, (n, _, dd, _)) => dd.toLong == n && n > 0 && !base.contains(src) },
+      "a brand-new source")
+  }
+
   test("p17: bucketed rollup equals the same rollup over raw parquet") {
     val bucketed = PipelineQueries.p17BucketedJoin(spark, Sf0001).collect()
     // raw-side restatement: identical arithmetic, no bucketed tables

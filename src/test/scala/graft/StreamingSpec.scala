@@ -22,6 +22,24 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed === batch)
   }
 
+  test("stream-static enrichment join matches the batch join (hourly revenue per segment)") {
+    val streamed = EventStream.runEnriched(spark, Sf0001, "enrich_spec")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val batch = Tables.events(spark, Sf0001)
+      .filter(col("event_type") === "purchase")
+      .join(Tables.customer(spark, Sf0001)
+          .select(col("c_custkey"), col("c_mktsegment")),
+        col("user_id") === col("c_custkey"))
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_purchases"),
+        Tables.dsum(col("value"), 30, 2).as("revenue"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(streamed === batch, "stream-static join diverged from the batch twin")
+    assert(streamed.nonEmpty)
+  }
+
   test("stream-stream join (purchase after click, 1h) matches the batch range join") {
     val streamed = EventStream.runPurchaseAfterClick(spark, Sf0001, "ss_join_spec")
       .select(col("p_id"), col("c_id")).collect()
