@@ -1516,8 +1516,76 @@ object ExtendedQueries {
       |  SELECT l_returnflag, 'n_items', n_items FROM wide)
       |ORDER BY l_returnflag, metric""".stripMargin
 
+  // ---------------------------------------------------------------- q93
+  /** Interval-overlap join via BUCKETING — "which user sessions overlap
+    * each incident window": per-user 30-minute-gap activity sessions
+    * (intervals) joined against the 20 busiest hours (incident windows).
+    * OSS Spark plans a raw interval-overlap theta join as
+    * BroadcastNestedLoopJoin — every session tested against every
+    * incident. The scalable spelling maps each session to the hour
+    * buckets it covers (explode(sequence(...)), bounded fan-out: the
+    * 30-minute gap rule keeps sessions short) and EQUI-joins on the
+    * bucket; for [hour, hour+1h) windows, bucket coverage is EXACTLY the
+    * overlap predicate (covered => overlaps by construction, overlaps =>
+    * trunc(s_start) <= h <= trunc(s_end)), so no residual verify filter
+    * is even needed — the generic interval x interval pattern keeps the
+    * exact predicate as a post-join filter. PlanShapeSpec-style assert
+    * lives in Round6OpsSpec: the executed plan contains no
+    * BroadcastNestedLoopJoin and no CartesianProduct.
+    */
+  def q93IntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val sess = ev
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
+      .select(col("user_id"), col("s_start"), col("s_end"))
+    val inc = ev
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("hour_events"))
+      .orderBy(col("hour_events").desc, col("h"))
+      .limit(20)
+    val covered = sess.withColumn("h",
+      explode(sequence(
+        date_trunc("hour", col("s_start")),
+        date_trunc("hour", col("s_end")),
+        expr("INTERVAL 1 HOUR"))))
+    covered.join(broadcast(inc), Seq("h"))
+      .groupBy(col("h"), col("hour_events"))
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(col("h").as("incident_hour"), col("hour_events"),
+        col("n_sessions"), col("n_users"))
+      .orderBy(col("incident_hour"))
+  }
+
+  /** Direct theta-join restatement (fine at oracle scale) over the q34
+    * session derivation — bucketing must not change the answer. */
+  val q93Sql: String =
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id,
+      |    epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |    SUM(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM g),
+      |per AS (
+      |  SELECT user_id, session_id, MIN(ts) AS s_start, MAX(ts) AS s_end
+      |  FROM sess GROUP BY 1, 2),
+      |inc AS (
+      |  SELECT date_trunc('hour', ts) AS h, COUNT(*) AS hour_events
+      |  FROM events GROUP BY 1 ORDER BY hour_events DESC, h LIMIT 20)
+      |SELECT i.h AS incident_hour, i.hour_events,
+      |  COUNT(*) AS n_sessions, COUNT(DISTINCT p.user_id) AS n_users
+      |FROM inc i JOIN per p
+      |  ON p.s_start < i.h + INTERVAL 1 HOUR AND p.s_end >= i.h
+      |GROUP BY 1, 2 ORDER BY incident_hour""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q93_interval_join" -> (q93IntervalJoin _),
     "q91_pivot" -> (q91Pivot _),
     "q92_unpivot" -> (q92Unpivot _),
     "q90_funnel" -> (q90Funnel _),
@@ -1568,6 +1636,7 @@ object ExtendedQueries {
     "q54_union_by_name" -> (q54UnionByName _))
 
   val oracle: Map[String, String] = Map(
+    "q93_interval_join" -> q93Sql,
     "q91_pivot" -> q91Sql,
     "q92_unpivot" -> q92Sql,
     "q90_funnel" -> q90Sql,

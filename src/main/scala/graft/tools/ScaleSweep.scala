@@ -94,7 +94,8 @@ object ScaleSweep {
       "g08_kcore" -> "k-core peeling (6 semi-join rounds)",
       "q91_pivot" -> "PIVOT reshape (explicit values, one 24-key shuffle)",
       "q92_unpivot" -> "UNPIVOT melt (Generate, no extra shuffle)",
-      "p18_incremental_rollup" -> "incremental view maintenance (MV + changeset delta)")
+      "p18_incremental_rollup" -> "incremental view maintenance (MV + changeset delta)",
+      "q93_interval_join" -> "interval-overlap join (hour-bucket equi-join)")
 
     // warm the JVM/codegen on the smallest sf so cold-start lands nowhere
     queries.foreach { case (q, _) =>

@@ -94,6 +94,17 @@ class Round6OpsSpec extends SparkTestBase {
     assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
 
+  test("q93: interval join plans as bucket equi-join — no nested-loop, no cartesian") {
+    val df = operators.ExtendedQueries.q93IntervalJoin(spark, Sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "interval overlap degenerated to a nested-loop join")
+    assert(!plan.contains("CartesianProduct"))
+    // the bucket equi-join shows up as a hash join on the hour key
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"), plan.take(600))
+  }
+
   test("graft_maxsim codegen expression is bit-identical to the HOF reference") {
     graft.functions.GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, Sf001)
