@@ -127,7 +127,7 @@ object Multimodal {
 
   /** Real RIFF/WAVE encode (javax.sound.sampled): 8 kHz mono 16-bit PCM,
     * samples cycled from the seed bytes. */
-  private[operators] def encodeWav(base: Array[Byte]): Array[Byte] = {
+  private[graft] def encodeWav(base: Array[Byte]): Array[Byte] = {
     val fmt = new AudioFormat(AudioRateHz, 16, 1, true, false)
     val pcm = new Array[Byte](AudioSamples * 2)
     var i = 0
@@ -194,7 +194,7 @@ object Multimodal {
   // same DIB raster a BMP carries, so a frame round-trips through the BMP
   // helpers for per-frame work.
 
-  private[operators] case class AviClip(
+  private[graft] case class AviClip(
       w: Int, h: Int, usPerFrame: Int, frames: Array[Array[Byte]])
 
   private def dibStride(w: Int): Int = ((w * 3) + 3) & ~3
@@ -202,7 +202,7 @@ object Multimodal {
   /** Write a well-formed uncompressed AVI from raw bottom-up BGR frames
     * (each exactly dibStride(w)*h bytes). Exact-size single allocation —
     * every chunk size is known up front. */
-  private[operators] def encodeAviFrames(
+  private[graft] def encodeAviFrames(
       w: Int, h: Int, frames: Array[Array[Byte]], usPerFrame: Int): Array[Byte] = {
     val stride = dibStride(w)
     val frameSize = stride * h
@@ -268,7 +268,7 @@ object Multimodal {
   /** Synthesize the video payload: VideoFrames rasters whose BGR channels
     * cycle the seed bytes with a per-frame phase (so frames differ but
     * deterministically), wrapped in the AVI container above. */
-  private[operators] def encodeAvi(base: Array[Byte]): Array[Byte] = {
+  private[graft] def encodeAvi(base: Array[Byte]): Array[Byte] = {
     val stride = dibStride(ImageW)
     val frames = Array.tabulate(VideoFrames) { f =>
       val fb = new Array[Byte](stride * ImageH)
@@ -294,7 +294,7 @@ object Multimodal {
     * RIFF), read W/H and frame timing from avih, collect raw '00db'/'00dc'
     * frame payloads from the movi list. Throws on malformed bytes — a
     * corrupt clip should fail loudly, exactly like decodeImage. */
-  private[operators] def parseAvi(payload: Array[Byte]): AviClip = {
+  private[graft] def parseAvi(payload: Array[Byte]): AviClip = {
     val buf = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def fcc(): String = {
       val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
@@ -626,7 +626,7 @@ object Multimodal {
     * noise of the integer samples moves near-equal windows. The audio
     * analogue of m03's aHash.
     */
-  private[operators] def audioFingerprint(payload: Array[Byte]): Long = {
+  private[graft] def audioFingerprint(payload: Array[Byte]): Long = {
     val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
     val bytes = try in.readAllBytes() finally in.close()
     val n = bytes.length / 2
@@ -665,7 +665,7 @@ object Multimodal {
     * fingerprint sits a handful of borderline bits away at worst — well
     * inside the Hamming <= 7 verify budget.
     */
-  private[operators] def scaleWav(payload: Array[Byte], gain: Double): Array[Byte] = {
+  private[graft] def scaleWav(payload: Array[Byte], gain: Double): Array[Byte] = {
     val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
     val fmt = in.getFormat
     val bytes = try in.readAllBytes() finally in.close()

@@ -208,4 +208,57 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(out(4L) === ((4L, 4L, 1.0)))   // first copy: all shingles novel
     assert(out(5L) === ((4L, 0L, 0.0)))   // exact dup: nothing novel (left-join null -> 0)
   }
+
+  test("q93 bucket fan-out: a session spanning 3 hours lands in exactly its 3 hour buckets") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_edge_q93").toString
+    // user 1: one session from 00:30 to 02:10 (events 20 min apart, gap
+    // rule keeps them merged) -> covers hour buckets 00, 01, 02.
+    // user 2: a one-event session entirely inside hour 01.
+    val h = 3600L * 1000000L
+    val ev = (0 to 5).map(i => (i.toLong, 1800000000L + i * 20L * 60 * 1000000L, 1L, "click", 1.0, "{}")) :+
+      ((10L, h + 600L * 1000000L, 2L, "view", 1.0, "{}"))
+    ev.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = operators.ExtendedQueries.q93IntervalJoin(spark, dir).collect()
+      .map(r => r.getTimestamp(0).toInstant.getEpochSecond / 3600 -> (r.getLong(2), r.getLong(3))).toMap
+    // hours 0 and 2: only user 1's long session; hour 1: both sessions
+    assert(out === Map(0L -> ((1L, 1L)), 1L -> ((2L, 2L)), 2L -> ((1L, 1L))))
+  }
+
+  test("p18 IVM on a changeset-free corpus: deltas all zero, state = base rollup") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_edge_p18").toString
+    // doc_ids chosen so NO id hits the I/U/D residues (7, 3, 5 mod 10)
+    Seq((10L, "a", "alpha text"), (11L, "a", "beta text"), (20L, "b", "gamma"))
+      .toDF("doc_id", "source", "text")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = operators.PipelineQueries.p18IncrementalRollup(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out === Map("a" -> ((2L, 19L, 0L, 0L)), "b" -> ((1L, 5L, 0L, 0L))))
+  }
+
+  test("parseAvi fails loudly on truncated or non-AVI bytes, never fabricates frames") {
+    val good = operators.Multimodal.encodeAvi("seed".getBytes("UTF-8"))
+    intercept[IllegalArgumentException] {
+      operators.Multimodal.parseAvi("RIFFxxxxWAVE".getBytes("US-ASCII"))
+    }
+    intercept[Exception] { // truncated mid-header: buffer underflow or parse require
+      operators.Multimodal.parseAvi(good.take(40))
+    }
+    // and the good container round-trips
+    val clip = operators.Multimodal.parseAvi(good)
+    assert(clip.w === operators.Multimodal.ImageW && clip.frames.length === operators.Multimodal.VideoFrames)
+  }
+
+  test("audio fingerprint of a constant signal is all-zero bits and gain-stable") {
+    val wav = operators.Multimodal.encodeWav(Array[Byte](0))
+    val fp = operators.Multimodal.audioFingerprint(wav)
+    assert(fp === 0L, "equal window energies must compare false (>) everywhere")
+    val scaled = operators.Multimodal.scaleWav(wav, 0.95)
+    assert(operators.Multimodal.audioFingerprint(scaled) === 0L)
+  }
 }
