@@ -795,7 +795,103 @@ object GraphQueries {
     s"$base$rounds\n$counts\nORDER BY peel_round"
   }
 
+  // ---------------------------------------------------------------- g09
+  /** Landmark harmonic centrality — "how close is every node to the trade
+    * core": multi-source BFS from the 8 highest-degree hubs (ties to the
+    * smaller node id), 4 unrolled rounds, centrality estimate per node
+    *
+    *   harmonic12(v) = sum over landmarks L reaching v of (12 div d(L, v))
+    *
+    * in INTEGER fixed-point (12 = lcm(1..4), so 1/d maps to {12, 6, 4, 3}
+    * exactly — no float summation order anywhere, the g01 determinism
+    * recipe applied to distances). This is the landmark/bounded-radius
+    * estimate family (HyperBall's shape with exact per-landmark sets
+    * instead of HLL registers): contributions past distance 4 are
+    * truncated identically in both engines, which is what makes a
+    * hash-exact oracle possible for a centrality measure at all. Common
+    * Crawl-style seed-quality curation ranks hosts with exactly this
+    * kind of centrality-from-seeds signal.
+    *
+    * Plan shape at 100 TB: per round, one equi-join of the (<= 8 x |V|)
+    * frontier against the checkpointed edge list + one anti-join against
+    * the reached set — frontier frames are 3 narrow columns; reached
+    * state is per-landmark, bounded by 8|V|, and checkpointed per round
+    * (the d06 loop discipline). Output: top-30 nodes by centrality.
+    */
+  def g09HarmonicCentrality(s: SparkSession, dir: String): DataFrame = {
+    val rounds = 4
+    val pairs = tradePairs(s, dir)
+    val und = pairs.select(col("u"), col("v"))
+      .union(pairs.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    val landmarks = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("u")).limit(8)
+      .select(col("u").as("lm"))
+    var reached = landmarks
+      .select(col("lm"), col("lm").as("node"), lit(0).as("dist"))
+      .localCheckpoint()
+    for (r <- 1 to rounds) {
+      val frontier = reached.filter(col("dist") === r - 1)
+      val expanded = frontier.join(und, frontier("node") === und("u"))
+        .select(col("lm"), und("v").as("node")).distinct()
+      val fresh = expanded
+        .join(reached.select(col("lm"), col("node")), Seq("lm", "node"), "left_anti")
+        .withColumn("dist", lit(r))
+      reached = reached.union(fresh).localCheckpoint()
+    }
+    reached.filter(col("dist") > 0)
+      .withColumn("h", expr("12 div dist"))
+      .groupBy(col("node"))
+      .agg(
+        sum(col("h")).as("harmonic12"),
+        count(lit(1)).as("n_landmarks"),
+        min(col("dist")).cast("long").as("min_dist"))
+      .withColumn("node_type",
+        when(col("node") >= 1000000L, "supplier").otherwise("customer"))
+      .select(col("node"), col("node_type"), col("harmonic12"),
+        col("n_landmarks"), col("min_dist"))
+      .orderBy(col("harmonic12").desc, col("node"))
+      .limit(30)
+  }
+
+  /** The same 4 BFS rounds as chained CTEs: layer membership is set-based
+    * and the arithmetic integer-exact, so the estimate hash-matches. */
+  val g09Sql: String = {
+    val base =
+      """WITH pairs AS (
+        |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS u, 1000000 + l_suppkey AS v
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |und AS (
+        |  SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+        |lm AS (
+        |  SELECT u AS lm FROM (SELECT u, COUNT(*) AS deg FROM und GROUP BY u)
+        |  ORDER BY deg DESC, u LIMIT 8),
+        |reach0 AS (SELECT lm, lm AS node, 0 AS dist FROM lm)""".stripMargin
+    val roundCtes = (1 to 4).map { i =>
+      s"""exp$i AS (
+         |  SELECT DISTINCT r.lm, und.v AS node
+         |  FROM reach${i - 1} r JOIN und ON r.node = und.u
+         |  WHERE r.dist = ${i - 1}),
+         |new$i AS (
+         |  SELECT e.lm, e.node, $i AS dist FROM exp$i e
+         |  LEFT JOIN reach${i - 1} p ON e.lm = p.lm AND e.node = p.node
+         |  WHERE p.node IS NULL),
+         |reach$i AS (
+         |  SELECT * FROM reach${i - 1} UNION ALL SELECT * FROM new$i)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    val finalSel =
+      """SELECT node,
+        |  CASE WHEN node >= 1000000 THEN 'supplier' ELSE 'customer' END AS node_type,
+        |  CAST(SUM(12 // dist) AS BIGINT) AS harmonic12,
+        |  COUNT(*) AS n_landmarks,
+        |  CAST(MIN(dist) AS BIGINT) AS min_dist
+        |FROM reach4 WHERE dist > 0
+        |GROUP BY node ORDER BY harmonic12 DESC, node LIMIT 30""".stripMargin
+    s"$base$roundCtes\n$finalSel"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g09_harmonic_centrality" -> (g09HarmonicCentrality _),
     "g08_kcore" -> (g08KCore _),
     "g07_link_prediction" -> (g07LinkPrediction _),
     "g06_degree_mixing" -> (g06DegreeMixing _),
@@ -806,6 +902,7 @@ object GraphQueries {
     "g05_star_components" -> (g05StarComponents _))
 
   val oracle: Map[String, String] = Map(
+    "g09_harmonic_centrality" -> g09Sql,
     "g08_kcore" -> g08Sql,
     "g07_link_prediction" -> g07Sql,
     "g06_degree_mixing" -> g06Sql,

@@ -95,7 +95,8 @@ object ScaleSweep {
       "q91_pivot" -> "PIVOT reshape (explicit values, one 24-key shuffle)",
       "q92_unpivot" -> "UNPIVOT melt (Generate, no extra shuffle)",
       "p18_incremental_rollup" -> "incremental view maintenance (MV + changeset delta)",
-      "q93_interval_join" -> "interval-overlap join (hour-bucket equi-join)")
+      "q93_interval_join" -> "interval-overlap join (hour-bucket equi-join)",
+      "g09_harmonic_centrality" -> "landmark harmonic centrality (4 BFS rounds)")
 
     // warm the JVM/codegen on the smallest sf so cold-start lands nowhere
     queries.foreach { case (q, _) =>

@@ -94,6 +94,44 @@ class Round6OpsSpec extends SparkTestBase {
     assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
 
+  test("g09: distributed landmark BFS equals a sequential in-memory reference") {
+    val pairs = Tables.orders(spark, Sf0001).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, Sf0001).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").cast("long").as("u"),
+        (lit(1000000L) + col("l_suppkey")).as("v"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Long]]
+    pairs.foreach { case (u, v) =>
+      adj.getOrElseUpdate(u, scala.collection.mutable.Set.empty) += v
+      adj.getOrElseUpdate(v, scala.collection.mutable.Set.empty) += u
+    }
+    val landmarks = adj.toSeq.map { case (n, ns) => (n, ns.size) }
+      .sortBy { case (n, d) => (-d, n) }.take(8).map(_._1)
+    val score = scala.collection.mutable.Map.empty[Long, (Long, Long, Long)] // h12, nLm, minDist
+    landmarks.foreach { lm =>
+      val dist = scala.collection.mutable.Map(lm -> 0)
+      var frontier = Set(lm)
+      for (r <- 1 to 4) {
+        frontier = frontier.flatMap(adj(_)).filterNot(dist.contains)
+        frontier.foreach(n => dist(n) = r)
+      }
+      dist.foreach { case (n, d) =>
+        if (d > 0) {
+          val (h, c, m) = score.getOrElse(n, (0L, 0L, Long.MaxValue))
+          score(n) = (h + 12 / d, c + 1, math.min(m, d.toLong))
+        }
+      }
+    }
+    val expect = score.toSeq
+      .map { case (n, (h, c, m)) => (n, h, c, m) }
+      .sortBy { case (n, h, _, _) => (-h, n) }.take(30)
+    val got = operators.GraphQueries.g09HarmonicCentrality(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got === expect, "distributed landmark BFS diverged from the sequential reference")
+    assert(got.nonEmpty && got.forall { case (_, h, c, m) => h > 0 && c <= 8 && m >= 1 })
+  }
+
   test("q93: interval join plans as bucket equi-join — no nested-loop, no cartesian") {
     val df = operators.ExtendedQueries.q93IntervalJoin(spark, Sf0001)
     df.collect()
