@@ -19,6 +19,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // pin the sidecar-oracle tag to THIS run's sf dir before any oracle
+    // text is built — dumped SQL must point at the sidecars this run writes
+    Sidecars.oracleDir = sfDir
     new java.io.File(outDir).mkdirs()
     // Dev-only subset filter (comma-separated names); the driver never sets
     // it, so the contract run always dumps every query.

@@ -92,14 +92,20 @@ object GraftFunctions {
     classOf[CosineSimilarity].getName, null, "graft_cosine",
     "graft_cosine(a, b) - cosine similarity between two numeric arrays.", "")
 
-  /** Register graft SQL functions on an existing session (idempotent). */
+  /** Register graft SQL functions on an existing session (idempotent —
+    * checks for an existing registration first, so the many per-query
+    * register calls don't each log a "replaced a previously registered
+    * function" warning into the run tail). */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_cosine", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_topk", exprs => GraftTopK(exprs(0), exprs(1), exprs(2)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_maxsim", exprs => MaxSimScore(exprs(0), exprs(1), exprs(2)), "built-in")
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(FunctionIdentifier("graft_maxsim"))) {
+      reg.createOrReplaceTempFunction(
+        "graft_cosine", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction(
+        "graft_topk", exprs => GraftTopK(exprs(0), exprs(1), exprs(2)), "built-in")
+      reg.createOrReplaceTempFunction(
+        "graft_maxsim", exprs => MaxSimScore(exprs(0), exprs(1), exprs(2)), "built-in")
+    }
   }
 }
 

@@ -55,7 +55,10 @@ case class MaxSimScore(first: Expression, second: Expression, third: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
-    if (n != y.numElements() || n % nTokens != 0) return null
+    // n == 0 passes the divisibility check but would make every slice
+    // cosine 0/0 = NaN; degenerate input returns null per the documented
+    // conservative rule
+    if (n == 0 || n != y.numElements() || n % nTokens != 0) return null
     val w = n / nTokens
     var total = 0.0
     var qt = 0
@@ -102,7 +105,7 @@ case class MaxSimScore(first: Expression, second: Expression, third: Expression)
       val best = ctx.freshName("best")
       s"""
          |final int $n = $a.numElements();
-         |if ($n != $b.numElements() || $n % $nTokens != 0) {
+         |if ($n == 0 || $n != $b.numElements() || $n % $nTokens != 0) {
          |  ${ev.isNull} = true;
          |} else {
          |  final int $w = $n / $nTokens;

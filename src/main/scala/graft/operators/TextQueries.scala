@@ -954,7 +954,8 @@ object TextQueries {
     * normal [0.35, 0.9), opaque (>= 0.9), rolled up per band.
     *
     * zlib-deflate is not SQL-expressible, so the per-doc deflate frame is
-    * materialized to `t17SidecarPath` by the query run itself; the DuckDB
+    * materialized to an sf-keyed `graft.Sidecars` path by the query run
+    * itself (write-then-read-back, see Sidecars scaladoc); the DuckDB
     * oracle reads that exact path and re-derives the banding + rollup
     * arithmetic over the identical per-doc rows. The deflate VALUES are
     * pinned independently by Round5OpsSpec's bit-for-bit in-JVM recompute
@@ -969,15 +970,11 @@ object TextQueries {
     * cost: at production scale the per-doc frame is a table you'd persist
     * anyway — it IS the quality-signal output.)
     */
-  /** Fixed path contract between t17Compressibility and its DuckDB oracle
-    * (t17Sql quotes it literally). Always overwritten by the latest run,
-    * so it matches whatever sf directory was last verified — the driver
-    * runs Verify then the oracle sequentially over the same sf. */
-  val t17SidecarPath = "/tmp/graft_t17_deflate_sidecar.parquet"
-
   def t17Compressibility(s: SparkSession, dir: String): DataFrame = {
-    t17PerDoc(s, dir).coalesce(1).write.mode("overwrite").parquet(t17SidecarPath)
-    s.read.parquet(t17SidecarPath)
+    // sf-dir-keyed sidecar (graft.Sidecars): a later t17 run at a
+    // DIFFERENT sf (bench pass, smoke run) writes a disjoint path, so it
+    // cannot clobber the frame the DuckDB oracle is about to read
+    graft.Sidecars.write(t17PerDoc(s, dir), dir, "t17_deflate")
       .withColumn("band",
         when(col("ratio") < 0.35, "repetitive")
           .when(col("ratio") < 0.9, "normal")
@@ -997,8 +994,8 @@ object TextQueries {
   /** Band/rollup arithmetic over the sidecar the query run materialized —
     * same decimal-sum mean recipe as Tables.davg; SUMs cast back to BIGINT
     * because DuckDB widens BIGINT sums to HUGEINT. */
-  val t17Sql: String =
-    s"""WITH side AS (SELECT * FROM '$t17SidecarPath/*.parquet'),
+  def t17Sql: String =
+    s"""WITH side AS (SELECT * FROM '${graft.Sidecars.oraclePath("t17_deflate")}/*.parquet'),
       |b AS (
       |  SELECT CASE WHEN ratio < 0.35 THEN 'repetitive'
       |              WHEN ratio < 0.9 THEN 'normal'
@@ -1094,7 +1091,9 @@ object TextQueries {
     "t04_fingerprint" -> (t04Fingerprint _),
     "t06_repetition" -> (t06Repetition _))
 
-  val oracle: Map[String, String] = Map(
+  // def, not val: t17Sql embeds the Sidecars.oracleDir-keyed path, which
+  // Verify pins at runtime before dumping oracle_sql.json
+  def oracle: Map[String, String] = Map(
     "t17_compressibility" -> t17Sql,
     "t18_readability" -> t18Sql,
     "t16_pmi_collocations" -> t16Sql,

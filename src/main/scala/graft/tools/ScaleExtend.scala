@@ -29,18 +29,41 @@ import org.apache.spark.sql.functions._
   */
 object ScaleExtend {
   private val KeyStride = 1000000000L // > any sf0.1 orderkey/doc_id
+  /** Customer/supplier-key stride: each replica becomes a DISJOINT copy of
+    * the trade graph (the g-series derives its edges from distinct
+    * (custkey, suppkey) pairs — without the offset, cross-replica rows
+    * collapse under the edge `distinct()` and the graph would not scale
+    * with the data). Must stay below 1,000,000 (the supplier node-id
+    * offset GraphQueries uses) so customer and supplier id ranges remain
+    * disjoint across replicas: sf0.1 custkey tops out ~15k, suppkey ~1k,
+    * so 4 replicas * 100k stride keeps every customer id < 1e6. */
+  private val EntityStride = 100000L
+
+  /** Source fingerprint baked into the done-marker: if the driver
+    * regenerates the testdata, the stale 2x/5x replicas are rebuilt
+    * instead of silently timing old data. */
+  private def srcFingerprint(srcDir: String): String =
+    Seq("orders", "lineitem", "documents", "events").map { t =>
+      val fs = new java.io.File(s"$srcDir/$t.parquet")
+      val files = Option(fs.listFiles()).map(_.toSeq).getOrElse(Seq(fs))
+      s"$t:${files.map(f => f.length() + f.lastModified()).sum}"
+    }.mkString(",")
 
   private def replicate(spark: SparkSession, srcDir: String, outDir: String, k: Int): Unit = {
     val done = new java.io.File(s"$outDir/_DONE")
-    if (done.exists()) return
+    val fp = srcFingerprint(srcDir)
+    if (done.exists() &&
+      new String(java.nio.file.Files.readAllBytes(done.toPath), "UTF-8") == fp) return
     val reps = spark.range(0, k).select(col("id").as("rep"))
     def cross(df: DataFrame): DataFrame = df.crossJoin(broadcast(reps))
     cross(Tables.orders(spark, srcDir))
       .withColumn("o_orderkey", col("o_orderkey") + col("rep") * KeyStride)
+      .withColumn("o_custkey", col("o_custkey") + col("rep") * EntityStride)
       .drop("rep")
       .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
     cross(Tables.lineitem(spark, srcDir))
       .withColumn("l_orderkey", col("l_orderkey") + col("rep") * KeyStride)
+      .withColumn("l_suppkey", col("l_suppkey") + col("rep") * EntityStride)
       .drop("rep")
       .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
     cross(Tables.documents(spark, srcDir))
@@ -52,7 +75,7 @@ object ScaleExtend {
           .otherwise(concat(col("text"), lit(" rep"), col("rep"))))
       .drop("rep")
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
-    done.createNewFile()
+    java.nio.file.Files.writeString(done.toPath, fp)
     ()
   }
 
@@ -69,7 +92,13 @@ object ScaleExtend {
 
     val queries = Seq(
       "q09_monthly_revenue" -> "fact-fact shuffle join",
-      "p01_clean_corpus" -> "composed filter→dedup→stats")
+      "p01_clean_corpus" -> "composed filter→dedup→stats",
+      // graph tier: the steepest sf0.01→0.1 ratios in the main sweep
+      // (1.8–2.5x — amortization ending); the replicas are disjoint
+      // subgraph copies (EntityStride), so linear-in-edges is the bar
+      "g01_pagerank" -> "5-round degree-segmented propagation",
+      "g04_triangle_counts" -> "degree-ordered wedge joins",
+      "g09_harmonic_centrality" -> "8-landmark 4-round BFS")
     // untimed warmup at the smallest step
     queries.foreach { case (q, _) =>
       SparkEntry.queries(q)(spark, src).count(); spark.catalog.clearCache()
