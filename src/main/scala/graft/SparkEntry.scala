@@ -37,6 +37,7 @@ object SparkEntry {
       operators.DedupQueries.oracle ++
       operators.SimilarityQueries.oracle ++
       operators.SteelQueries.oracle ++
+      operators.Multimodal.oracle ++
       operators.PipelineQueries.oracle ++
       operators.GraphQueries.oracle
 }

@@ -479,22 +479,47 @@ object Multimodal {
   }
 
   /** Driver-contract query: full multimodal pass — synthesize, extract,
-    * aggregate per kind (rows-only; payload bytes never leave the
-    * executors, only the small aggregates do). decoded_w/h aggregates pin
+    * aggregate per kind (payload bytes never leave the executors, only
+    * the small per-media feature rows do). decoded_w/h aggregates pin
     * the real codecs: images must all decode to 64x48, audio to
     * 4000 frames x 1 channel.
     */
-  def m01MediaFeatures(s: SparkSession, dir: String): DataFrame =
-    extractFeatures(mediaTable(s, dir)).toDF()
+  def m01MediaFeatures(s: SparkSession, dir: String): DataFrame = {
+    // codec work (ImageIO/javax.sound/RIFF decode) is not SQL-expressible,
+    // so the per-media feature frame becomes an oracle sidecar (the t17
+    // contract): derived doubles are floored to 1e-6 BEFORE the write so
+    // the later DECIMAL-routed means are exact in both engines, and the
+    // rollup reads the sidecar BACK so Spark and DuckDB aggregate
+    // byte-identical inputs.
+    val perMedia = extractFeatures(mediaTable(s, dir)).toDF()
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        col("decoded_w"), col("decoded_h"),
+        (floor(col("mean_byte") * 1e6 + 0.5) / 1e6).as("mean_byte"),
+        (floor(element_at(col("feature"), 1).cast(DoubleType) * 1e6 + 0.5) / 1e6).as("feat0"))
+    graft.Sidecars.write(perMedia, dir, "m01_features")
       .groupBy(col("kind"))
       .agg(
         count(lit(1)).as("n"),
         sum(col("n_bytes")).as("total_bytes"),
         min(col("decoded_w")).as("min_dw"), max(col("decoded_w")).as("max_dw"),
         min(col("decoded_h")).as("min_dh"), max(col("decoded_h")).as("max_dh"),
-        round(avg(col("mean_byte")), 4).as("avg_mean_byte"),
-        round(avg(element_at(col("feature"), 1)), 6).as("avg_feat0"))
+        (floor(Tables.davg(col("mean_byte")) * 1e4 + 0.5) / 1e4).as("avg_mean_byte"),
+        (floor(Tables.davg(col("feat0")) * 1e6 + 0.5) / 1e6).as("avg_feat0"))
       .orderBy(col("kind"))
+  }
+
+  /** Rollup arithmetic restated over the feature sidecar m01's run wrote —
+    * same DECIMAL-sum mean recipe; SUMs cast back to BIGINT because DuckDB
+    * widens integer sums. */
+  private def m01Sql: String =
+    s"""WITH side AS (SELECT * FROM '${graft.Sidecars.oraclePath("m01_features")}/*.parquet')
+      |SELECT kind, COUNT(*) AS n,
+      |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+      |  MIN(decoded_w) AS min_dw, MAX(decoded_w) AS max_dw,
+      |  MIN(decoded_h) AS min_dh, MAX(decoded_h) AS max_dh,
+      |  FLOOR((CAST(SUM(CAST(mean_byte AS DECIMAL(30,6))) AS DOUBLE) / COUNT(mean_byte)) * 1e4 + 0.5) / 1e4 AS avg_mean_byte,
+      |  FLOOR((CAST(SUM(CAST(feat0 AS DECIMAL(30,6))) AS DOUBLE) / COUNT(feat0)) * 1e6 + 0.5) / 1e6 AS avg_feat0
+      |FROM side GROUP BY kind ORDER BY kind""".stripMargin
 
   /** 64-bit average-hash (aHash) over the decoded raster: nearest-neighbor
     * 8x8 grayscale downsample (headless Graphics2D), bit i set iff cell
@@ -589,11 +614,28 @@ object Multimodal {
       .select(col("a.media_id").as("ida"), col("a.h").as("ha"),
         col("b.media_id").as("idb"), col("b.h").as("hb"))
       .distinct()
-      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast(LongType))
       .filter(col("hamming") <= maxHamming)
       .select(col("ida"), col("idb"), col("hamming"))
       .orderBy(col("ida"), col("idb"))
   }
+
+  /** The band join + exact-Hamming verify restated in SQL over the
+    * fingerprint sidecar the query run materialized. DuckDB's `>>`/`&`/
+    * `xor`/`bit_count` all use two's-complement BIGINT semantics, matching
+    * Spark's — verified on negative hash values. */
+  private def bandedHammingSql(name: String, maxHamming: Int): String =
+    s"""WITH side AS (SELECT * FROM '${graft.Sidecars.oraclePath(name)}/*.parquet'),
+      |banded AS (
+      |  SELECT media_id, h, g.b AS band, (h >> (g.b * 8)) & 255 AS bucket
+      |  FROM side, unnest(generate_series(0, 7)) AS g(b)),
+      |pairs AS (
+      |  SELECT DISTINCT a.media_id AS ida, a.h AS ha, b.media_id AS idb, b.h AS hb
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.bucket = b.bucket AND a.media_id < b.media_id)
+      |SELECT ida, idb, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+      |FROM pairs WHERE bit_count(xor(ha, hb)) <= $maxHamming
+      |ORDER BY ida, idb""".stripMargin
 
   def m03ImageDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -612,7 +654,11 @@ object Multimodal {
         Seq((id, aHash(orig)), (id + 1000000L, aHash(perturb(orig))))
       })
       .toDF("media_id", "h")
-    bandedHammingPairs(hashed, maxHamming = 7)
+    // the codec step (BMP decode + aHash) ends here; the fingerprint frame
+    // becomes the oracle sidecar and the band join reads it back, so the
+    // DuckDB restatement audits the ENTIRE retrieval stage over identical
+    // fingerprints
+    bandedHammingPairs(graft.Sidecars.write(hashed, dir, "m03_ahash"), maxHamming = 7)
   }
 
   /** 64-bit energy-comparison audio fingerprint over the REAL decoded PCM
@@ -695,8 +741,9 @@ object Multimodal {
     * different-text docs sit >= 6 apart — except exact-duplicate texts
     * (identical WAV bytes, Hamming 0), which a dedup operator SHOULD
     * return. Round6OpsSpec asserts the exact planted set at sf0.001
-    * (which has no same-text pair in this residue class).
-    * Rows-only driver entry (codec work is not SQL-expressible).
+    * (which has no same-text pair in this residue class). The WAVE
+    * decode + fingerprint lands in an oracle sidecar; the band join is
+    * hash-audited in SQL over it (bandedHammingSql).
     */
   def m04AudioDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -713,17 +760,34 @@ object Multimodal {
           (id + 1000000L, audioFingerprint(scaleWav(orig, 0.95))))
       })
       .toDF("media_id", "h")
-    bandedHammingPairs(hashed, maxHamming = 3)
+    bandedHammingPairs(graft.Sidecars.write(hashed, dir, "m04_audiofp"), maxHamming = 3)
   }
 
-  /** Driver-contract query: frame-sampling multiplicity stats (rows-only). */
-  def m02FrameSample(s: SparkSession, dir: String): DataFrame =
-    sampleFrames(mediaTable(s, dir)).toDF()
+  /** Driver-contract query: frame-sampling multiplicity stats. The AVI
+    * parse + per-frame BMP re-encode is the non-SQL step, so the sampled
+    * per-frame (media_id, frame_idx, n_bytes) table is the sidecar; the
+    * two-level rollup is integer-exact SQL over it. */
+  def m02FrameSample(s: SparkSession, dir: String): DataFrame = {
+    val perFrame = sampleFrames(mediaTable(s, dir)).toDF()
+      .select(col("media_id"), col("frame_idx"),
+        length(col("frame_bytes")).as("n_bytes"))
+    graft.Sidecars.write(perFrame, dir, "m02_frames")
       .groupBy(col("media_id")).agg(count(lit(1)).as("n_frames"),
-        sum(length(col("frame_bytes"))).as("sampled_bytes"))
+        sum(col("n_bytes")).as("sampled_bytes"))
       .groupBy(col("n_frames")).agg(count(lit(1)).as("n_videos"),
         min(col("sampled_bytes")).as("min_bytes"), max(col("sampled_bytes")).as("max_bytes"))
       .orderBy(col("n_frames"))
+  }
+
+  private def m02Sql: String =
+    s"""WITH side AS (SELECT * FROM '${graft.Sidecars.oraclePath("m02_frames")}/*.parquet'),
+      |per_media AS (
+      |  SELECT media_id, COUNT(*) AS n_frames,
+      |    CAST(SUM(n_bytes) AS BIGINT) AS sampled_bytes
+      |  FROM side GROUP BY media_id)
+      |SELECT n_frames, COUNT(*) AS n_videos,
+      |  MIN(sampled_bytes) AS min_bytes, MAX(sampled_bytes) AS max_bytes
+      |FROM per_media GROUP BY n_frames ORDER BY n_frames""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_features" -> (m01MediaFeatures _),
@@ -731,7 +795,16 @@ object Multimodal {
     "m03_image_dedup" -> (m03ImageDedup _),
     "m04_audio_dedup" -> (m04AudioDedup _))
 
-  /** Engine-side media synthesis + codecs — no SQL oracle; MultimodalSpec
-    * pins real decoded dimensions, multiplicity, and determinism. */
-  val oracle: Map[String, String] = Map()
+  /** Every m-query now carries a sidecar-backed DuckDB oracle: the codec
+    * work (decode/fingerprint — not SQL-expressible) materializes its
+    * per-media frame, and the retrieval/rollup stage is restated in SQL
+    * over that frame. MultimodalSpec independently pins the codec VALUES
+    * (real decoded dimensions, planted-pair retrieval, determinism) — the
+    * same two-sided closure t17 uses. def, not val: the SQL embeds the
+    * Sidecars.oracleDir-keyed paths Verify pins at runtime. */
+  def oracle: Map[String, String] = Map(
+    "m01_media_features" -> m01Sql,
+    "m02_frame_sample" -> m02Sql,
+    "m03_image_dedup" -> bandedHammingSql("m03_ahash", maxHamming = 7),
+    "m04_audio_dedup" -> bandedHammingSql("m04_audiofp", maxHamming = 3))
 }

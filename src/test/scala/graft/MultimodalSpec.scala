@@ -116,7 +116,7 @@ class MultimodalSpec extends SparkTestBase {
     // the banded path, and NOTHING else survives the hamming <= 7 verify
     val expected = imageIds.map(id => (id, id + 1000000L))
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet === expected)
-    out.foreach(r => assert(r.getInt(2) >= 0 && r.getInt(2) <= 7))
+    out.foreach(r => assert(r.getLong(2) >= 0 && r.getLong(2) <= 7))
     // determinism: hashing + banding is pure per-row compute
     val again = Multimodal.m03ImageDedup(spark, Sf0001).collect()
     assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)

@@ -42,10 +42,10 @@ class Round6OpsSpec extends SparkTestBase {
     val expected = audioIds.map(id => (id, id + 1000000L))
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet === expected,
       "banded fingerprint join must return the planted pairs and nothing else")
-    out.foreach(r => assert(r.getInt(2) >= 0 && r.getInt(2) <= 3))
+    out.foreach(r => assert(r.getLong(2) >= 0 && r.getLong(2) <= 3))
     // gain invariance is the fingerprint's design property: most twins
     // should match EXACTLY (only re-quantization noise may flip bits)
-    assert(out.count(_.getInt(2) == 0) >= out.length / 2,
+    assert(out.count(_.getLong(2) == 0) >= out.length / 2,
       "a 0.95 gain edit should leave most fingerprints bit-identical")
   }
 
