@@ -1535,15 +1535,40 @@ object SimilarityQueries {
     * per doc; slicing yields a deterministic multi-vector surrogate with
     * the real storage layout: array column, fixed token count).
     *
-    * Shape at 100 TB: one corpus scan; per (query, doc) the 4x4 slice
-    * cosines run inside codegen HOFs — no explode, no shuffle of token
-    * rows (the naive layout, one ROW per token vector, would shuffle 4x
-    * the rows through a groupBy(doc) to reassemble MaxSim; keeping the
-    * bag in ONE array row makes late interaction a scalar expression).
-    * Per-query top-5 via the same WindowGroupLimit heap as s01. In
-    * production the candidate set comes from an ANN first pass (s06/s15)
-    * and MaxSim reranks the shortlist; the full-scan form IS that rerank
-    * at audit scale.
+    * Composed retrieval shape (the production ColBERT layout): a FIRST-
+    * PASS index stage bounds the scored set — the IVF coarse quantizer
+    * from s05/s15 probes the query's 2 nearest cells and only vectors in
+    * those cells reach the MaxSim scorer — then MaxSim RERANKS the
+    * shortlist for the top-5. Per query the late-interaction work is
+    * O(|2 cells|), not O(corpus): at 100 TB that is the difference
+    * between a full-corpus 16x16-slice scoring scan per query and a few
+    * probed-cell reads (the round-6 full-scan form was the one
+    * similarity op with no candidate-bounding stage; its SCALE row was
+    * linear-in-corpus).
+    *
+    * The output contract is rerank-of-the-shortlist, NOT exhaustive
+    * MaxSim — deliberately, and measurably so: on this corpus's generic
+    * (non-MRL, non-ColBERT-trained) embeddings the full-scan MaxSim
+    * top-5 tail is UNCORRELATED with the coarse quantizer — restating
+    * the full scan as the oracle was measured to need probe rank up to
+    * 10 of 10 cells at every sf (i.e. recall of the exhaustive top-5
+    * requires scanning everything, which is no index at all). What IS
+    * structural is rank-1 recall: the planted base sits in the query's
+    * top-2 probed cells at every sf (measured probe rank 1, worst case
+    * 2), so the rerank returns the true best hit — exactly the contract
+    * a first-pass+rerank stack ships with. The DuckDB oracle therefore
+    * hash-audits the COMPOSITION end to end (cell assignment, probe
+    * selection, MaxSim arithmetic over the candidate set — the s15
+    * pattern), and Round7OpsSpec pins the recall contract against the
+    * full-scan HOF reference.
+    *
+    * Shape at 100 TB: per (query, candidate) the 4x4 slice cosines run
+    * inside one fused codegen expression — no explode, no shuffle of
+    * token rows (the naive layout, one ROW per token vector, would
+    * shuffle 4x the rows through a groupBy(doc) to reassemble MaxSim;
+    * keeping the bag in ONE array row makes late interaction a scalar
+    * expression). Per-query top-5 via the same WindowGroupLimit heap as
+    * s01.
     */
   /** The HOF spelling of MaxSim — the readable reference whose fold order
     * defines the oracle contract (it IS s16Sql, translated). s16 itself
@@ -1563,16 +1588,25 @@ object SimilarityQueries {
   def s16MaxSim(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val e = Tables.spread(Tables.embeddings(s, dir)).withColumn("v", embD)
-      .select(col("vec_id"), col("v"))
-    val q = plantedQueries(e, k = 5, off = 157, factor = 0.1)
-    // sum_t max_b cos(slice_t(qv), slice_b(v)) — fused codegen loop nest,
-    // bit-identical to maxSimHof / the DuckDB list_reduce folds
+      .select(col("vec_id"), col("label"), col("v"))
+    val cents = codebook(e)
+    // first pass: one map pass assigns each corpus vector its IVF cell —
+    // at scale this is the stored index layout (cell, vec_id, v)
+    val coded = e
+      .withColumn("cell", element_at(probeCells(cents, col("v"), 1), 1))
+      .select(col("cell"), col("vec_id"), col("v"))
+    val q = plantedQueries(e.select(col("vec_id"), col("v")), k = 5, off = 157, factor = 0.1)
+      .select(col("q_id"), col("qv"), explode(probeCells(cents, col("qv"), 2)).as("cell"))
+    // candidates = probed cells only; each vector lives in exactly one
+    // cell, so the equi-join cannot duplicate a candidate per query
+    val cand = coded.join(broadcast(q), Seq("cell"))
+    // rerank: sum_t max_b cos(slice_t(qv), slice_b(v)) — fused codegen
+    // loop nest, bit-identical to maxSimHof / the DuckDB list_reduce folds
     val maxSim = call_function("graft_maxsim", col("qv"), col("v"), lit(4))
     // the base vector is NOT excluded: retrieving the planted base at
     // rank 1 through late interaction is the recall contract the spec
     // pins (a rerank shortlist naturally contains the top candidate)
-    val scored = e.crossJoin(broadcast(q))
-      .withColumn("maxsim", floor(maxSim * 1e6 + 0.5) / 1e6)
+    val scored = cand.withColumn("maxsim", floor(maxSim * 1e6 + 0.5) / 1e6)
     val w = Window.partitionBy(col("q_id")).orderBy(col("maxsim").desc, col("vec_id"))
     scored.withColumn("rnk", row_number().over(w).cast(LongType))
       .filter(col("rnk") <= 5)
@@ -1580,26 +1614,63 @@ object SimilarityQueries {
       .orderBy(col("q_id"), col("rnk"))
   }
 
-  /** MaxSim restated with nested list lambdas over the same slice
-    * boundaries and fold orders. */
+  /** The full composition restated: exact-DECIMAL codebook, cell argmax,
+    * 2-probe selection (same unrounded cosine ordering, ties toward the
+    * larger cell id), then the MaxSim nested list lambdas over the SAME
+    * slice boundaries and fold orders — scored over the candidate set
+    * only. A candidate appears iff its cell is probed, so the hash
+    * audits the index stage and the rerank together (the s15 contract
+    * applied to late interaction). */
   val s16Sql: String =
     """WITH e AS (
-      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cent AS (
+      |  SELECT label, j AS dim,
+      |    CAST(CAST(SUM(CAST(v[j] AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS m
+      |  FROM e, unnest(generate_series(1, 64)) AS g(j) GROUP BY label, j),
+      |carr AS (
+      |  SELECT label, cv,
+      |    SQRT(list_reduce(list_transform(generate_series(1, 64), i -> cv[i] * cv[i]), (a, b) -> a + b)) AS cnrm
+      |  FROM (SELECT label, list(m ORDER BY dim) AS cv FROM cent GROUP BY label)),
+      |vn AS (
+      |  SELECT vec_id, v,
+      |    SQRT(list_reduce(list_transform(generate_series(1, 64), i -> v[i] * v[i]), (a, b) -> a + b)) AS nrm
+      |  FROM e),
+      |assign AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vn.vec_id, c.label AS cell,
+      |      ROW_NUMBER() OVER (PARTITION BY vn.vec_id ORDER BY
+      |        list_reduce(list_transform(generate_series(1, 64), i -> vn.v[i] * c.cv[i]), (a, b) -> a + b)
+      |          / (vn.nrm * c.cnrm) DESC, c.label DESC) AS rn
+      |    FROM vn CROSS JOIN carr c) WHERE rn = 1),
       |cnt AS (SELECT COUNT(*) AS n FROM e),
       |q AS (
       |  SELECT b.vec_id AS q_id,
       |    list_transform(generate_series(1, 64), i -> b.v[i] + 0.1 * p.v[i]) AS qv
       |  FROM e b JOIN cnt ON TRUE JOIN e p ON p.vec_id = (b.vec_id + 157) % cnt.n
       |  WHERE b.vec_id < 5),
+      |qn AS (
+      |  SELECT q_id, qv,
+      |    SQRT(list_reduce(list_transform(generate_series(1, 64), i -> qv[i] * qv[i]), (a, b) -> a + b)) AS qnrm
+      |  FROM q),
+      |probe AS (
+      |  SELECT q_id, cell FROM (
+      |    SELECT qn.q_id, c.label AS cell,
+      |      ROW_NUMBER() OVER (PARTITION BY qn.q_id ORDER BY
+      |        list_reduce(list_transform(generate_series(1, 64), i -> qn.qv[i] * c.cv[i]), (a, b) -> a + b)
+      |          / (qn.qnrm * c.cnrm) DESC, c.label DESC) AS pr
+      |    FROM qn CROSS JOIN carr c) WHERE pr <= 2),
       |scored AS (
-      |  SELECT q.q_id, e.vec_id,
+      |  SELECT qn.q_id, a.vec_id,
       |    FLOOR(list_reduce(list_transform(generate_series(0, 3), t ->
       |      list_max(list_transform(generate_series(0, 3), b ->
-      |        list_reduce(list_transform(generate_series(1, 16), j -> q.qv[t * 16 + j] * e.v[b * 16 + j]), (a2, p) -> a2 + p)
-      |        / (SQRT(list_reduce(list_transform(generate_series(1, 16), j -> q.qv[t * 16 + j] * q.qv[t * 16 + j]), (a3, p) -> a3 + p))
+      |        list_reduce(list_transform(generate_series(1, 16), j -> qn.qv[t * 16 + j] * e.v[b * 16 + j]), (a2, p) -> a2 + p)
+      |        / (SQRT(list_reduce(list_transform(generate_series(1, 16), j -> qn.qv[t * 16 + j] * qn.qv[t * 16 + j]), (a3, p) -> a3 + p))
       |           * SQRT(list_reduce(list_transform(generate_series(1, 16), j -> e.v[b * 16 + j] * e.v[b * 16 + j]), (a4, p) -> a4 + p)))))),
       |      (acc, t2) -> acc + t2) * 1e6 + 0.5) / 1e6 AS maxsim
-      |  FROM q CROSS JOIN e),
+      |  FROM probe p JOIN assign a ON p.cell = a.cell
+      |    JOIN e ON e.vec_id = a.vec_id
+      |    JOIN qn ON qn.q_id = p.q_id),
       |ranked AS (
       |  SELECT q_id, vec_id, maxsim,
       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY maxsim DESC, vec_id) AS rnk
