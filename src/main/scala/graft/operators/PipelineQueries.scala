@@ -1153,7 +1153,152 @@ object PipelineQueries {
       |FROM cur FULL OUTER JOIN prev ON cur.source = prev.source
       |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- p19
+  /** Multimodal corpus curation — the composition the m-tier exists for:
+    * ONE keeper set over a corpus whose items duplicate through DIFFERENT
+    * modalities. The ingest batch is every document plus its re-encoded
+    * media variant where one exists (m03's perturbed image twins and
+    * m04's gain-scaled audio twins, id + 1,000,000 — the "same asset
+    * re-uploaded after an edit" case text dedup cannot see, because the
+    * variant has no text). Three pair relations feed one clustering:
+    *
+    *   text:  d04's verified MinHash-LSH pairs (exact Jaccard >= 0.5);
+    *   media: m03's banded-aHash image pairs (Hamming <= 7) and m04's
+    *          banded energy-fingerprint audio pairs (Hamming <= 3).
+    *
+    * Union → connected components (d06's min-label machinery) → keeper =
+    * the component's min id → per-item verdict attributed by the
+    * modality of the edges that doomed it (drop_text / drop_media /
+    * drop_both). Output: (kind, is_twin, verdict, n) — the curation
+    * dashboard row set: twins must drop via media edges, same-text docs
+    * via text edges, and the keeper count is the curated corpus size.
+    *
+    * Oracle: calling m03/m04 refreshes their fingerprint sidecars for
+    * this sf as a side effect, so DuckDB re-derives the media pair sets
+    * from the sidecars, the text pairs from raw SQL (d04's CTE), the
+    * components via the recursive-CTE closure (d06's contract), and the
+    * attribution rollup — the whole composition is hash-audited.
+    *
+    * Scale: every pair source is band/bucket-scoped (no all-pairs
+    * anywhere); the CC loop checkpoints per round and a 100 TB corpus
+    * swaps in g05's large-star/small-star variant; the rollup is one
+    * tiny aggregation. The twins double only the MEDIA-fingerprint rows,
+    * never the text-shingle volume.
+    */
+  def p19MultimodalCuration(s: SparkSession, dir: String): DataFrame = {
+    val text = DedupQueries.d04MinhashLsh(s, dir)
+      .select(col("da"), col("db"), lit("text").as("mtype"))
+    val img = Multimodal.m03ImageDedup(s, dir)
+      .select(col("ida").as("da"), col("idb").as("db"), lit("media").as("mtype"))
+    val aud = Multimodal.m04AudioDedup(s, dir)
+      .select(col("ida").as("da"), col("idb").as("db"), lit("media").as("mtype"))
+    // cache: the union feeds CC (both edge directions), the per-item
+    // flags, and nothing else — one materialization, three readers
+    val pairs = text.unionAll(img).unionAll(aud).cache()
+    pairs.count()
+    val labels = DedupQueries.connectedComponents(
+      pairs.select(col("da"), col("db")).distinct())
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val items = docs.select(col("doc_id").as("id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio").otherwise("video").as("kind"),
+        lit(false).as("is_twin"))
+      .unionAll(docs.filter(col("doc_id") % 3 <= 1)
+        .select((col("doc_id") + 1000000L).as("id"),
+          when(col("doc_id") % 3 === 0, "image").otherwise("audio").as("kind"),
+          lit(true).as("is_twin")))
+    val flags = pairs.select(col("da").as("id"), col("mtype"))
+      .unionAll(pairs.select(col("db").as("id"), col("mtype")))
+      .groupBy(col("id"))
+      .agg(expr("bool_or(mtype = 'text')").as("has_text"),
+        expr("bool_or(mtype = 'media')").as("has_media"))
+    items
+      .join(labels.select(col("doc_id").as("id"), col("lbl")), Seq("id"), "left")
+      .join(flags, Seq("id"), "left")
+      .withColumn("verdict",
+        when(col("lbl").isNull || col("lbl") === col("id"), "keep")
+          .when(col("has_text") && col("has_media"), "drop_both")
+          .when(col("has_media"), "drop_media")
+          .otherwise("drop_text"))
+      .groupBy(col("kind"), col("is_twin"), col("verdict"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("kind"), col("is_twin"), col("verdict"))
+  }
+
+  /** Text pairs restated from raw SQL (d04's CTE prefix), media pairs
+    * from the m03/m04 fingerprint sidecars this query's run refreshed,
+    * closure via the recursive CTE, identical attribution arithmetic. */
+  private def p19Sql: String = {
+    def banded(name: String, maxHamming: Int): String =
+      s"""SELECT a.media_id AS da, b.media_id AS db FROM
+        |  (SELECT media_id, h, g.b AS band, (h >> (g.b * 8)) & 255 AS bucket
+        |   FROM '${graft.Sidecars.oraclePath(name)}/*.parquet', unnest(generate_series(0, 7)) AS g(b)) a
+        |  JOIN
+        |  (SELECT media_id, h, g.b AS band, (h >> (g.b * 8)) & 255 AS bucket
+        |   FROM '${graft.Sidecars.oraclePath(name)}/*.parquet', unnest(generate_series(0, 7)) AS g(b)) b
+        |  ON a.band = b.band AND a.bucket = b.bucket AND a.media_id < b.media_id
+        |  WHERE bit_count(xor(a.h, b.h)) <= $maxHamming
+        |  GROUP BY a.media_id, b.media_id""".stripMargin
+    s"""WITH RECURSIVE docs AS (
+      |  SELECT doc_id,
+      |    string_split(TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+      |  FROM docs, unnest(generate_series(1, GREATEST(len(toks) - 2, 0))) AS u(i)),
+      |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_inter
+      |  FROM sh a JOIN sh b
+      |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |tpairs AS (
+      |  SELECT da, db FROM inter
+      |  JOIN counts ca ON inter.da = ca.doc_id
+      |  JOIN counts cb ON inter.db = cb.doc_id
+      |  WHERE CAST(n_inter AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - n_inter AS DOUBLE) >= 0.5),
+      |ipairs AS (${banded("m03_ahash", 7)}),
+      |apairs AS (${banded("m04_audiofp", 3)}),
+      |allpairs AS (
+      |  SELECT da, db, 'text' AS mtype FROM tpairs
+      |  UNION ALL SELECT da, db, 'media' FROM ipairs
+      |  UNION ALL SELECT da, db, 'media' FROM apairs),
+      |edges AS (SELECT DISTINCT da AS u, db AS v FROM allpairs
+      |          UNION SELECT DISTINCT db, da FROM allpairs),
+      |reach(u, v) AS (
+      |  SELECT u, u FROM edges
+      |  UNION
+      |  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+      |comp AS (SELECT u AS id, MIN(v) AS lbl FROM reach GROUP BY u),
+      |items AS (
+      |  SELECT doc_id AS id,
+      |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      |    FALSE AS is_twin
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000,
+      |    CASE doc_id % 3 WHEN 0 THEN 'image' ELSE 'audio' END, TRUE
+      |  FROM documents WHERE doc_id % 3 IN (0, 1)),
+      |flags AS (
+      |  SELECT id, BOOL_OR(mtype = 'text') AS has_text,
+      |    BOOL_OR(mtype = 'media') AS has_media
+      |  FROM (SELECT da AS id, mtype FROM allpairs
+      |        UNION ALL SELECT db, mtype FROM allpairs)
+      |  GROUP BY id)
+      |SELECT i.kind, i.is_twin,
+      |  CASE WHEN c.lbl IS NULL OR c.lbl = i.id THEN 'keep'
+      |       WHEN f.has_text AND f.has_media THEN 'drop_both'
+      |       WHEN f.has_media THEN 'drop_media'
+      |       ELSE 'drop_text' END AS verdict,
+      |  COUNT(*) AS n
+      |FROM items i
+      |LEFT JOIN comp c ON c.id = i.id
+      |LEFT JOIN flags f ON f.id = i.id
+      |GROUP BY 1, 2, 3 ORDER BY kind, is_twin, verdict""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p19_multimodal_curation" -> (p19MultimodalCuration _),
     "p18_incremental_rollup" -> (p18IncrementalRollup _),
     "p17_bucketed_join" -> (p17BucketedJoin _),
     "p16_merge_upsert" -> (p16MergeUpsert _),
@@ -1173,7 +1318,10 @@ object PipelineQueries {
     "p03_bloom_incremental_dedup" -> (p03BloomIncrementalDedup _),
     "p04_sequence_packing" -> (p04SequencePacking _))
 
-  val oracle: Map[String, String] = Map(
+  // def, not val: p19Sql embeds Sidecars.oracleDir-keyed paths, which
+  // Verify pins at runtime before dumping oracle_sql.json
+  def oracle: Map[String, String] = Map(
+    "p19_multimodal_curation" -> p19Sql,
     "p18_incremental_rollup" -> p18Sql,
     "p17_bucketed_join" -> p17Sql,
     "p16_merge_upsert" -> p16Sql,

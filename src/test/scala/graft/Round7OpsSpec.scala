@@ -62,6 +62,28 @@ class Round7OpsSpec extends SparkTestBase {
     }
   }
 
+  test("p19: every media twin drops via media edges; video never drops via media; counts partition the corpus") {
+    val rows = operators.PipelineQueries.p19MultimodalCuration(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getString(2)) -> r.getLong(3)).toMap
+    val nDocs = Tables.documents(spark, Sf0001).count()
+    val nTwins = Tables.documents(spark, Sf0001)
+      .filter(col("doc_id") % 3 <= 1).count()
+    // items partition: every (doc + twin) lands in exactly one verdict bucket
+    assert(rows.values.sum === nDocs + nTwins)
+    // a re-encoded/gain-scaled variant has no text — it can ONLY drop via
+    // its media fingerprint, and every variant must drop (its base is the
+    // smaller id in the cluster)
+    val twinRows = rows.filter { case ((_, isTwin, _), _) => isTwin }
+    assert(twinRows.keys.map(_._3).toSet === Set("drop_media"),
+      s"twins must drop via media edges only, got ${twinRows.keys}")
+    assert(twinRows.values.sum === nTwins)
+    // video items have no fingerprint operator: media edges can never
+    // touch them
+    rows.keys.filter(_._1 == "video").foreach { k =>
+      assert(k._3 === "keep" || k._3 === "drop_text", s"video verdict $k")
+    }
+  }
+
   test("s16: shortlist is a strict subset of the corpus (bounded candidate set)") {
     // every returned neighbor must come from a probed cell; with 10 cells
     // and 2 probes the candidate pool is ~1/5 of the corpus — assert the
