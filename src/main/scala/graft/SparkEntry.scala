@@ -24,6 +24,7 @@ object SparkEntry {
       operators.SimilarityQueries.queries ++
       operators.SteelQueries.queries ++
       operators.Multimodal.queries ++
+      operators.StreamingQueries.queries ++
       operators.MlQueries.queries ++
       operators.PipelineQueries.queries ++
       operators.GraphQueries.queries
@@ -38,6 +39,7 @@ object SparkEntry {
       operators.SimilarityQueries.oracle ++
       operators.SteelQueries.oracle ++
       operators.Multimodal.oracle ++
+      operators.StreamingQueries.oracle ++
       operators.PipelineQueries.oracle ++
       operators.GraphQueries.oracle
 }
