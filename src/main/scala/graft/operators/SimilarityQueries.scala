@@ -1756,7 +1756,125 @@ object SimilarityQueries {
       |FROM f LEFT JOIN t ON f.q_id = t.q_id AND f.vec_id = t.vec_id
       |GROUP BY f.q_id ORDER BY f.q_id""".stripMargin
 
+  // ---------------------------------------------------------------- s18
+  /** Binary (sign) quantization ANN — the 1-bit compression tier under
+    * the int8 (s09) and PQ (s13/s15) codecs: each 64-dim vector folds to
+    * a 64-bit sign bitmap (bit i set iff v[i] > 0), Hamming distance on
+    * the bitmaps approximates angular distance (for unit-ish vectors,
+    * E[hamming] = 64 * theta / pi — the same sign-agreement geometry the
+    * s02 hyperplane family exploits, except the "hyperplanes" are the
+    * coordinate axes, so the code IS the vector's sign pattern and costs
+    * zero dot products to build). The modern binary-embedding serving
+    * stack (RaBitQ / Cohere-style BQ) is exactly this two-stage read:
+    *
+    *   1. shortlist: scan 8-byte codes, keep the 32 Hamming-nearest
+    *      per query (XOR + popcount — ~4 cycles/vector, 32x less memory
+    *      bandwidth than the float scan);
+    *   2. rerank: exact float cosine over the 32 survivors only.
+    *
+    * At 100 TB the code table is 1/32 the corpus bytes (the difference
+    * between a memory-resident index and a disk scan); the rerank
+    * touches a bounded per-query set. Codes live in two BIGINT halves
+    * (32 bits each) rather than one 64-bit word so every intermediate
+    * stays inside non-negative int64 in BOTH engines — bit 63 of a
+    * packed single word would need unsigned semantics DuckDB and Spark
+    * don't share.
+    *
+    * Shortlist + rerank are both deterministic (Hamming ties -> smaller
+    * vec_id; cosine rounded to 1e-6, ties -> smaller vec_id), so the
+    * DuckDB oracle restates the full composition — code construction,
+    * XOR/popcount shortlist, float rerank — and the hash audits it end
+    * to end. Recall (planted base at rank 1) is pinned by Round7OpsSpec
+    * against the s01 exact scan.
+    *
+    * Plan: codes are one map pass (HOF fold — a signature-build stage,
+    * not the hot loop; the hot loop is the XOR/popcount comparison,
+    * which runs on two codegen'd long columns). Query side broadcast;
+    * per-query top-32/top-5 via the WindowGroupLimit heap (s01's shape).
+    */
+  private def signCode(vc: String, lo: Int): Column = expr(
+    s"aggregate(sequence(0, 31), 0L, (acc, i) -> acc + if(element_at($vc, i + ${lo + 1}) > 0d, shiftleft(1L, i), 0L))")
+
+  def s18BinaryAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.spread(Tables.embeddings(s, dir)).withColumn("v", embD)
+      .select(col("vec_id"), col("v"))
+    val coded = e
+      .withColumn("code_lo", signCode("v", 0))
+      .withColumn("code_hi", signCode("v", 32))
+    val q = plantedQueries(e, k = 5, off = 211, factor = 0.1)
+      .withColumn("q_lo", signCode("qv", 0))
+      .withColumn("q_hi", signCode("qv", 32))
+      .withColumn("qnorm", sqrt(dot("qv", "qv")))
+    // the planted base is NOT excluded: its code sits a few sign flips
+    // from the query's, so surviving the Hamming shortlist and landing
+    // at rank 1 through the float rerank IS the recall contract
+    val scored = coded.crossJoin(broadcast(q))
+      .withColumn("hamming",
+        (bit_count(col("code_lo").bitwiseXOR(col("q_lo"))) +
+          bit_count(col("code_hi").bitwiseXOR(col("q_hi")))).cast(LongType))
+    val wH = Window.partitionBy(col("q_id")).orderBy(col("hamming").asc, col("vec_id"))
+    val shortlist = scored.withColumn("hrnk", row_number().over(wH)).filter(col("hrnk") <= 32)
+    val reranked = shortlist
+      .withColumn("cosine",
+        floor(dot("qv", "v") / (col("qnorm") * sqrt(dot("v", "v"))) * 1e6 + 0.5) / 1e6)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    reranked.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"),
+        col("hamming"), col("cosine"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** The identical two-stage read: sign codes as two 32-bit halves in
+    * BIGINT, xor + bit_count shortlist of 32, exact-cosine rerank with
+    * the same rounding and tie-breaks. */
+  val s18Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cnt AS (SELECT COUNT(*) AS n FROM e),
+      |code AS (
+      |  SELECT vec_id, v,
+      |    list_reduce(list_transform(generate_series(1, 32),
+      |      i -> CASE WHEN v[i] > 0 THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END), (a, b) -> a + b) AS code_lo,
+      |    list_reduce(list_transform(generate_series(33, 64),
+      |      i -> CASE WHEN v[i] > 0 THEN (1::BIGINT << (i - 33)) ELSE 0::BIGINT END), (a, b) -> a + b) AS code_hi
+      |  FROM e),
+      |q AS (
+      |  SELECT b.vec_id AS q_id,
+      |    list_transform(generate_series(1, 64), i -> b.v[i] + 0.1 * p.v[i]) AS qv
+      |  FROM e b JOIN cnt ON TRUE JOIN e p ON p.vec_id = (b.vec_id + 211) % cnt.n
+      |  WHERE b.vec_id < 5),
+      |qc AS (
+      |  SELECT q_id, qv,
+      |    list_reduce(list_transform(generate_series(1, 32),
+      |      i -> CASE WHEN qv[i] > 0 THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END), (a, b) -> a + b) AS q_lo,
+      |    list_reduce(list_transform(generate_series(33, 64),
+      |      i -> CASE WHEN qv[i] > 0 THEN (1::BIGINT << (i - 33)) ELSE 0::BIGINT END), (a, b) -> a + b) AS q_hi,
+      |    SQRT(list_reduce(list_transform(generate_series(1, 64), i -> qv[i] * qv[i]), (a, b) -> a + b)) AS qnrm
+      |  FROM q),
+      |ham AS (
+      |  SELECT qc.q_id, c.vec_id, qc.qv, c.v, qc.qnrm,
+      |    CAST(bit_count(xor(c.code_lo, qc.q_lo)) + bit_count(xor(c.code_hi, qc.q_hi)) AS BIGINT) AS hamming
+      |  FROM code c CROSS JOIN qc),
+      |short AS (
+      |  SELECT q_id, vec_id, qv, v, qnrm, hamming,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY hamming, vec_id) AS hrnk
+      |  FROM ham),
+      |rer AS (
+      |  SELECT q_id, vec_id, hamming,
+      |    FLOOR(list_reduce(list_transform(generate_series(1, 64), i -> qv[i] * v[i]), (a, b) -> a + b)
+      |      / (qnrm * SQRT(list_reduce(list_transform(generate_series(1, 64), i -> v[i] * v[i]), (a, b) -> a + b)))
+      |      * 1e6 + 0.5) / 1e6 AS cosine
+      |  FROM short WHERE hrnk <= 32),
+      |ranked AS (
+      |  SELECT q_id, vec_id, hamming, cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
+      |  FROM rer)
+      |SELECT q_id, rnk, vec_id AS neighbor_id, hamming, cosine FROM ranked WHERE rnk <= 5
+      |ORDER BY q_id, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s18_binary_ann" -> (s18BinaryAnn _),
     "s17_matryoshka" -> (s17Matryoshka _),
     "s16_maxsim" -> (s16MaxSim _),
     "s15_ivf_pq" -> (s15IvfPq _),
@@ -1776,6 +1894,7 @@ object SimilarityQueries {
     "s06_ann_verified" -> (s06AnnVerified _))
 
   val oracle: Map[String, String] = Map(
+    "s18_binary_ann" -> s18Sql,
     "s17_matryoshka" -> s17Sql,
     "s16_maxsim" -> s16Sql,
     "s15_ivf_pq" -> s15Sql,

@@ -94,11 +94,52 @@ object StreamingQueries {
     """SELECT user_id, DATE_TRUNC('minute', ts) AS minute
       |FROM events GROUP BY 1, 2 ORDER BY user_id, minute""".stripMargin
 
+  /** Stream-stream interval join run to completion — purchases matched
+    * to the same user's clicks within the preceding hour, both sides
+    * watermarked (EventStream.purchaseAfterClick: the bounded-state
+    * join whose state store evicts rows older than the join window).
+    * The batch oracle is the equivalent range join over raw events.
+    *
+    * Equivalence contract: the events data arrives as ONE parquet file,
+    * so AvailableNow processes it as a single deterministic micro-batch
+    * and no row can be watermark-late relative to another — the
+    * streaming join emits exactly the batch join's pairs. (In an
+    * unbounded deployment rows later than the watermark are DROPPED by
+    * design; that divergence is the documented semantic of the
+    * operator, not a bug this probe could hide.) Output keyed and
+    * sorted on (p_id, c_id); p_value rides through unaggregated, so the
+    * hash also audits that the join copies payload columns bit-for-bit.
+    */
+  def st03StreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val name = "graft_st03_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = EventStream.purchaseAfterClick(EventStream.readEvents(s, dir))
+      .select(col("p_id"), col("c_id"), col("p_user"), col("p_value"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy(col("p_id"), col("c_id"))
+  }
+
+  val st03Sql: String =
+    """SELECT p.event_id AS p_id, c.event_id AS c_id,
+      |  p.user_id AS p_user, p.value AS p_value
+      |FROM events p JOIN events c
+      |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+      |  AND p.user_id = c.user_id
+      |  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+      |ORDER BY p_id, c_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_hourly" -> (st01StreamHourly _),
-    "st02_stream_dedup" -> (st02StreamDedup _))
+    "st02_stream_dedup" -> (st02StreamDedup _),
+    "st03_stream_join" -> (st03StreamJoin _))
 
   val oracle: Map[String, String] = Map(
     "st01_stream_hourly" -> st01Sql,
-    "st02_stream_dedup" -> st02Sql)
+    "st02_stream_dedup" -> st02Sql,
+    "st03_stream_join" -> st03Sql)
 }

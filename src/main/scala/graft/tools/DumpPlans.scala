@@ -151,7 +151,16 @@ object DumpPlans {
         SimilarityQueries.s16MaxSim(spark, dir)),
       ("g08_kcore",
         "Each peel round: two LeftSemi hash joins against the (shrinking, checkpointed) survivor set + one u-keyed degree count — survivor frames are single-column, rounds get monotonically cheaper.",
-        GraphQueries.g08KCore(spark, dir)))
+        GraphQueries.g08KCore(spark, dir)),
+      ("s18_binary_ann",
+        "Sign codes are two long columns (8 bytes/vector scanned, not 256); Hamming is XOR+popcount in codegen; both the 32-cut and the top-5 rerank are WindowGroupLimit heaps.",
+        SimilarityQueries.s18BinaryAnn(spark, dir)),
+      ("g10_label_propagation",
+        "All 4 LPA rounds compose over one checkpointed weighted edge leaf; each round = u-keyed join + (v,lbl) partial-summed shuffle + per-v max(struct) argmax — no window, no per-v sort.",
+        GraphQueries.g10LabelPropagation(spark, dir)),
+      ("q94_zorder_layout",
+        "Morton code + both bucket ids are one codegen map pass; binning is equal-width off a broadcast 1-row maxima frame (no global sort, no window); audit aggregates to 128 envelope rows in one bucket-keyed shuffle.",
+        ExtendedQueries.q94ZorderLayout(spark, dir)))
 
     val sb = new StringBuilder
     sb.append("# Flagship physical plans (generated by graft.tools.DumpPlans at sf0.01)\n\n")

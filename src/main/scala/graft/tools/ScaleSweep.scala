@@ -96,7 +96,13 @@ object ScaleSweep {
       "q92_unpivot" -> "UNPIVOT melt (Generate, no extra shuffle)",
       "p18_incremental_rollup" -> "incremental view maintenance (MV + changeset delta)",
       "q93_interval_join" -> "interval-overlap join (hour-bucket equi-join)",
-      "g09_harmonic_centrality" -> "landmark harmonic centrality (4 BFS rounds)")
+      "g09_harmonic_centrality" -> "landmark harmonic centrality (4 BFS rounds)",
+      "s18_binary_ann" -> "binary-quantized ANN (XOR/popcount shortlist + rerank)",
+      "g10_label_propagation" -> "weighted LPA communities (4 composed rounds)",
+      "q94_zorder_layout" -> "Z-order layout audit (map-pass Morton binning)",
+      "st03_stream_join" -> "stream-stream interval join run to completion",
+      "st01_stream_hourly" -> "streamed hourly rollup (foreachBatch snapshot sink)",
+      "p19_multimodal_curation" -> "multimodal curation join (text+image+audio dedup)")
 
     // warm the JVM/codegen on the smallest sf so cold-start lands nowhere
     queries.foreach { case (q, _) =>
