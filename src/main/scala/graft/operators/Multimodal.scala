@@ -530,6 +530,14 @@ object Multimodal {
   private[operators] def aHash(payload: Array[Byte]): Long = {
     val src = ImageIO.read(new ByteArrayInputStream(payload))
     require(src != null, "payload is not a decodable image")
+    aHashImage(src)
+  }
+
+  /** aHash core over an already-decoded image — shared by the BMP payload
+    * path above and the per-frame video path (m05), which lifts raw DIB
+    * rasters via [[frameImage]] and must not pay a BMP re-encode/decode
+    * round-trip per frame just to hash it. */
+  private def aHashImage(src: BufferedImage): Long = {
     val dst = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
     val g = dst.createGraphics()
     try g.drawImage(src, 0, 0, 8, 8, null) finally g.dispose()
@@ -763,6 +771,122 @@ object Multimodal {
     bandedHammingPairs(graft.Sidecars.write(hashed, dir, "m04_audiofp"), maxHamming = 3)
   }
 
+  /** Single-frame watermark edit used to PLANT video near-duplicates:
+    * parse the AVI, brighten the top-left 8x6 visual block of frame 2 by
+    * +16 per channel (the m03 perturbation applied to ONE frame's DIB
+    * raster — bottom-up, so the top rows are the last stride rows), and
+    * re-encode the container. 5 of 6 frames stay byte-identical; the
+    * edited frame's aHash moves at most a few borderline bits. */
+  private[graft] def perturbAvi(payload: Array[Byte]): Array[Byte] = {
+    val clip = parseAvi(payload)
+    val stride = dibStride(clip.w)
+    val frames = clip.frames.map(_.clone())
+    val fb = frames(2 % frames.length)
+    var y = 0
+    while (y < 6) {
+      val row = (clip.h - 1 - y) * stride
+      var x = 0
+      while (x < 8) {
+        val o = row + x * 3
+        var c = 0
+        while (c < 3) {
+          fb(o + c) = math.min(255, (fb(o + c) & 0xff) + 16).toByte
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    encodeAviFrames(clip.w, clip.h, frames, clip.usPerFrame)
+  }
+
+  /** Per-frame aHash signature of a clip — the keyframe-fingerprint
+    * column a video index stores (frame_idx, 64-bit hash). */
+  private[graft] def videoFrameHashes(payload: Array[Byte]): Seq[(Int, Long)] = {
+    val clip = parseAvi(payload)
+    clip.frames.iterator.zipWithIndex
+      .map { case (fb, i) => (i, aHashImage(frameImage(clip.w, clip.h, fb))) }
+      .toSeq
+  }
+
+  /** Driver-contract query: video near-dup dedup via TEMPORALLY-ALIGNED
+    * per-frame aHashes — the keyframe-signature approach production video
+    * dedup uses (hash sampled frames, match aligned hash sequences), on
+    * top of the repo's own AVI codec. Each video-kind document gets a
+    * single-frame-watermarked twin (media_id + 1,000,000); every frame of
+    * both is aHashed through the REAL RIFF parse, frame hashes band 8 x 8
+    * bits, and candidates are (frame_idx, band, bucket) collisions —
+    * aligned frames only, so a 6-frame clip can never match another clip
+    * via temporally scrambled content. Verify: exact Hamming <= 7 per
+    * aligned frame, and a PAIR verdict only when >= 4 of 6 frames are
+    * close — the sequence-level majority that makes one coincidentally
+    * similar frame insufficient. Planted twins pass 5 frames at Hamming 0
+    * plus the edited frame; unrelated clips share no band buckets at all.
+    *
+    * Scale: fingerprints are one map pass over the video rows (codec work
+    * never shuffles); the band join is frame-aligned bucket collisions
+    * only; the verdict rollup keys on (ida, idb) pairs that already
+    * collided. The frame-hash frame is the oracle sidecar; banding,
+    * Hamming, and the majority rollup are restated in SQL over it.
+    */
+  def m05VideoDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // fused pass over the video-kind documents (doc_id % 3 == 2), same
+    // rationale as m03/m04: encode once, perturb once, hash all frames
+    val hashed = Tables.spread(Tables.documents(s, dir))
+      .filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val raw = text.getBytes("UTF-8")
+        val base = if (raw.isEmpty) Array[Byte](0) else raw
+        val orig = encodeAvi(base)
+        videoFrameHashes(orig).map { case (f, h) => (id, f, h) } ++
+          videoFrameHashes(perturbAvi(orig)).map { case (f, h) => (id + 1000000L, f, h) }
+      })
+      .toDF("media_id", "frame_idx", "h")
+    val side = graft.Sidecars.write(hashed, dir, "m05_videofp")
+    val banded = side.select(col("media_id"), col("frame_idx"), col("h"), explode(expr(
+        "transform(sequence(0, 7), b -> named_struct('band', b, 'bucket', (h >> (b * 8)) & 255))")).as("bb"))
+      .select(col("media_id"), col("frame_idx"), col("h"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val framePairs = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.frame_idx") === col("b.frame_idx") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("ida"), col("b.media_id").as("idb"),
+        col("a.frame_idx").as("frame_idx"), col("a.h").as("ha"), col("b.h").as("hb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      .filter(col("hamming") <= 7)
+    framePairs.groupBy(col("ida"), col("idb"))
+      .agg(count(lit(1)).as("n_close_frames"),
+        sum(col("hamming")).cast(LongType).as("total_hamming"))
+      .filter(col("n_close_frames") >= 4)
+      .orderBy(col("ida"), col("idb"))
+  }
+
+  /** Frame-aligned banding + Hamming verify + majority rollup restated
+    * over the frame-hash sidecar. */
+  private def m05Sql: String =
+    s"""WITH side AS (SELECT * FROM '${graft.Sidecars.oraclePath("m05_videofp")}/*.parquet'),
+      |banded AS (
+      |  SELECT media_id, frame_idx, h, g.b AS band, (h >> (g.b * 8)) & 255 AS bucket
+      |  FROM side, unnest(generate_series(0, 7)) AS g(b)),
+      |fp AS (
+      |  SELECT DISTINCT a.media_id AS ida, b.media_id AS idb, a.frame_idx,
+      |    a.h AS ha, b.h AS hb
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.bucket = b.bucket AND a.frame_idx = b.frame_idx
+      |    AND a.media_id < b.media_id),
+      |close_f AS (
+      |  SELECT ida, idb, frame_idx, bit_count(xor(ha, hb)) AS hamming
+      |  FROM fp WHERE bit_count(xor(ha, hb)) <= 7)
+      |SELECT ida, idb, COUNT(*) AS n_close_frames,
+      |  CAST(SUM(hamming) AS BIGINT) AS total_hamming
+      |FROM close_f GROUP BY ida, idb HAVING COUNT(*) >= 4
+      |ORDER BY ida, idb""".stripMargin
+
   /** Driver-contract query: frame-sampling multiplicity stats. The AVI
     * parse + per-frame BMP re-encode is the non-SQL step, so the sampled
     * per-frame (media_id, frame_idx, n_bytes) table is the sidecar; the
@@ -793,7 +917,8 @@ object Multimodal {
     "m01_media_features" -> (m01MediaFeatures _),
     "m02_frame_sample" -> (m02FrameSample _),
     "m03_image_dedup" -> (m03ImageDedup _),
-    "m04_audio_dedup" -> (m04AudioDedup _))
+    "m04_audio_dedup" -> (m04AudioDedup _),
+    "m05_video_dedup" -> (m05VideoDedup _))
 
   /** Every m-query now carries a sidecar-backed DuckDB oracle: the codec
     * work (decode/fingerprint — not SQL-expressible) materializes its
@@ -806,5 +931,6 @@ object Multimodal {
     "m01_media_features" -> m01Sql,
     "m02_frame_sample" -> m02Sql,
     "m03_image_dedup" -> bandedHammingSql("m03_ahash", maxHamming = 7),
-    "m04_audio_dedup" -> bandedHammingSql("m04_audiofp", maxHamming = 3))
+    "m04_audio_dedup" -> bandedHammingSql("m04_audiofp", maxHamming = 3),
+    "m05_video_dedup" -> m05Sql)
 }

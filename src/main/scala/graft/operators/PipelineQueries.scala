@@ -1157,14 +1157,17 @@ object PipelineQueries {
   /** Multimodal corpus curation — the composition the m-tier exists for:
     * ONE keeper set over a corpus whose items duplicate through DIFFERENT
     * modalities. The ingest batch is every document plus its re-encoded
-    * media variant where one exists (m03's perturbed image twins and
-    * m04's gain-scaled audio twins, id + 1,000,000 — the "same asset
-    * re-uploaded after an edit" case text dedup cannot see, because the
-    * variant has no text). Three pair relations feed one clustering:
+    * media variant (m03's perturbed image twins, m04's gain-scaled audio
+    * twins, and m05's single-frame-watermarked video twins,
+    * id + 1,000,000 — the "same asset re-uploaded after an edit" case
+    * text dedup cannot see, because the variant has no text). Four pair
+    * relations feed one clustering:
     *
     *   text:  d04's verified MinHash-LSH pairs (exact Jaccard >= 0.5);
-    *   media: m03's banded-aHash image pairs (Hamming <= 7) and m04's
-    *          banded energy-fingerprint audio pairs (Hamming <= 3).
+    *   media: m03's banded-aHash image pairs (Hamming <= 7), m04's
+    *          banded energy-fingerprint audio pairs (Hamming <= 3), and
+    *          m05's frame-aligned video pairs (>= 4 of 6 frames at
+    *          Hamming <= 7) — every modality now fingerprints.
     *
     * Union → connected components (d06's min-label machinery) → keeper =
     * the component's min id → per-item verdict attributed by the
@@ -1173,7 +1176,7 @@ object PipelineQueries {
     * dashboard row set: twins must drop via media edges, same-text docs
     * via text edges, and the keeper count is the curated corpus size.
     *
-    * Oracle: calling m03/m04 refreshes their fingerprint sidecars for
+    * Oracle: calling m03/m04/m05 refreshes their fingerprint sidecars for
     * this sf as a side effect, so DuckDB re-derives the media pair sets
     * from the sidecars, the text pairs from raw SQL (d04's CTE), the
     * components via the recursive-CTE closure (d06's contract), and the
@@ -1192,9 +1195,11 @@ object PipelineQueries {
       .select(col("ida").as("da"), col("idb").as("db"), lit("media").as("mtype"))
     val aud = Multimodal.m04AudioDedup(s, dir)
       .select(col("ida").as("da"), col("idb").as("db"), lit("media").as("mtype"))
+    val vid = Multimodal.m05VideoDedup(s, dir)
+      .select(col("ida").as("da"), col("idb").as("db"), lit("media").as("mtype"))
     // cache: the union feeds CC (both edge directions), the per-item
     // flags, and nothing else — one materialization, three readers
-    val pairs = text.unionAll(img).unionAll(aud).cache()
+    val pairs = text.unionAll(img).unionAll(aud).unionAll(vid).cache()
     pairs.count()
     val labels = DedupQueries.connectedComponents(
       pairs.select(col("da"), col("db")).distinct())
@@ -1203,9 +1208,10 @@ object PipelineQueries {
         when(col("doc_id") % 3 === 0, "image")
           .when(col("doc_id") % 3 === 1, "audio").otherwise("video").as("kind"),
         lit(false).as("is_twin"))
-      .unionAll(docs.filter(col("doc_id") % 3 <= 1)
+      .unionAll(docs
         .select((col("doc_id") + 1000000L).as("id"),
-          when(col("doc_id") % 3 === 0, "image").otherwise("audio").as("kind"),
+          when(col("doc_id") % 3 === 0, "image")
+            .when(col("doc_id") % 3 === 1, "audio").otherwise("video").as("kind"),
           lit(true).as("is_twin")))
     val flags = pairs.select(col("da").as("id"), col("mtype"))
       .unionAll(pairs.select(col("db").as("id"), col("mtype")))
@@ -1259,10 +1265,23 @@ object PipelineQueries {
       |  WHERE CAST(n_inter AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - n_inter AS DOUBLE) >= 0.5),
       |ipairs AS (${banded("m03_ahash", 7)}),
       |apairs AS (${banded("m04_audiofp", 3)}),
+      |vpairs AS (
+      |  SELECT da, db FROM (
+      |    SELECT DISTINCT a.media_id AS da, b.media_id AS db, a.frame_idx,
+      |      bit_count(xor(a.h, b.h)) AS hamming
+      |    FROM (SELECT media_id, frame_idx, h, g.b AS band, (h >> (g.b * 8)) & 255 AS bucket
+      |          FROM '${graft.Sidecars.oraclePath("m05_videofp")}/*.parquet', unnest(generate_series(0, 7)) AS g(b)) a
+      |    JOIN (SELECT media_id, frame_idx, h, g.b AS band, (h >> (g.b * 8)) & 255 AS bucket
+      |          FROM '${graft.Sidecars.oraclePath("m05_videofp")}/*.parquet', unnest(generate_series(0, 7)) AS g(b)) b
+      |      ON a.band = b.band AND a.bucket = b.bucket AND a.frame_idx = b.frame_idx
+      |      AND a.media_id < b.media_id
+      |    WHERE bit_count(xor(a.h, b.h)) <= 7)
+      |  GROUP BY da, db HAVING COUNT(*) >= 4),
       |allpairs AS (
       |  SELECT da, db, 'text' AS mtype FROM tpairs
       |  UNION ALL SELECT da, db, 'media' FROM ipairs
-      |  UNION ALL SELECT da, db, 'media' FROM apairs),
+      |  UNION ALL SELECT da, db, 'media' FROM apairs
+      |  UNION ALL SELECT da, db, 'media' FROM vpairs),
       |edges AS (SELECT DISTINCT da AS u, db AS v FROM allpairs
       |          UNION SELECT DISTINCT db, da FROM allpairs),
       |reach(u, v) AS (
@@ -1277,8 +1296,8 @@ object PipelineQueries {
       |  FROM documents
       |  UNION ALL
       |  SELECT doc_id + 1000000,
-      |    CASE doc_id % 3 WHEN 0 THEN 'image' ELSE 'audio' END, TRUE
-      |  FROM documents WHERE doc_id % 3 IN (0, 1)),
+      |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END, TRUE
+      |  FROM documents),
       |flags AS (
       |  SELECT id, BOOL_OR(mtype = 'text') AS has_text,
       |    BOOL_OR(mtype = 'media') AS has_media
@@ -1297,7 +1316,88 @@ object PipelineQueries {
       |GROUP BY 1, 2, 3 ORDER BY kind, is_twin, verdict""".stripMargin
   }
 
+  // ---------------------------------------------------------------- p20
+  /** SCD2 dimension versioning — the TYPE-2 counterpart to p16's type-1
+    * MERGE: instead of overwriting attribute changes, every change opens
+    * a new version row and closes the previous one, producing the
+    * (valid_from, valid_to, is_current) history table warehouse
+    * dimensions keep so facts can join "as of" any date (q31/q61's as-of
+    * joins are the read side of exactly this table shape).
+    *
+    * The change log is derived deterministically so the oracle can
+    * re-derive it: each order is an attribute-change EVENT for its
+    * customer (attr = o_orderpriority, event time = o_orderdate,
+    * tie-break = o_orderkey; customers sampled custkey % 17 = 3 to keep
+    * the published table a bounded audit slice). The rebuild is the
+    * standard log-to-SCD2 pipeline:
+    *
+    *   1. change detection: keep events whose attr differs from the
+    *      previous event's (LAG over the per-key ordered log) — runs of
+    *      the same value collapse into one version;
+    *   2. interval assembly: valid_from = change time, valid_to = next
+    *      change's time (LEAD; NULL = open/current), version_no =
+    *      per-key ROW_NUMBER.
+    *
+    * Zero-duration versions (two different-attr events on one date) are
+    * kept deliberately — they preserve the full audit trail and the
+    * deterministic orderkey tie-break makes them stable.
+    *
+    * Plan shape at 100 TB: both window passes partition by custkey and
+    * share ONE ordering, so Catalyst plans a single exchange with
+    * stacked Window operators over per-key partitions (millions of
+    * bounded groups — embarrassingly parallel); no global sort anywhere
+    * except the output contract's ORDER BY. A continuously-maintained
+    * deployment applies p18's incremental pattern on top: only keys
+    * present in the day's changeset recompute their tail versions.
+    */
+  def p20Scd2Dimension(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.orders(s, dir)
+      .filter(col("o_custkey") % 17 === 3)
+      .select(col("o_custkey").as("custkey"), col("o_orderdate").as("ts"),
+        col("o_orderkey").as("seq"), col("o_orderpriority").as("attr"))
+    val w = Window.partitionBy(col("custkey")).orderBy(col("ts"), col("seq"))
+    val changes = ev.withColumn("prev", lag(col("attr"), 1).over(w))
+      .filter(col("prev").isNull || col("attr") =!= col("prev"))
+    // the open version's valid_to is the conventional SCD2 sentinel
+    // 9999-12-31 (not NULL): range predicates `BETWEEN valid_from AND
+    // valid_to` then need no NULL arm, and engines disagree on NULL
+    // ordering/equality far more than on a date literal
+    changes
+      .withColumn("version_no", row_number().over(w).cast(LongType))
+      .withColumn("valid_from", col("ts"))
+      .withColumn("nxt", lead(col("ts"), 1).over(w))
+      .withColumn("is_current", col("nxt").isNull)
+      .withColumn("valid_to", coalesce(col("nxt"), to_date(lit("9999-12-31"))))
+      .select(col("custkey"), col("version_no"), col("attr"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+      .orderBy(col("custkey"), col("version_no"))
+  }
+
+  /** The same two-stage rebuild: LAG change detection, LEAD interval
+    * assembly, identical per-key ordering and tie-break. */
+  val p20Sql: String =
+    """WITH ev AS (
+      |  SELECT o_custkey AS custkey, o_orderdate AS ts, o_orderkey AS seq,
+      |    o_orderpriority AS attr
+      |  FROM orders WHERE o_custkey % 17 = 3),
+      |ch AS (
+      |  SELECT custkey, ts, seq, attr FROM (
+      |    SELECT custkey, ts, seq, attr,
+      |      LAG(attr) OVER (PARTITION BY custkey ORDER BY ts, seq) AS prev
+      |    FROM ev)
+      |  WHERE prev IS NULL OR attr <> prev)
+      |SELECT custkey, version_no, attr, valid_from,
+      |  COALESCE(nxt, DATE '9999-12-31') AS valid_to,
+      |  (nxt IS NULL) AS is_current
+      |FROM (
+      |  SELECT custkey, attr, ts AS valid_from,
+      |    ROW_NUMBER() OVER (PARTITION BY custkey ORDER BY ts, seq) AS version_no,
+      |    LEAD(ts) OVER (PARTITION BY custkey ORDER BY ts, seq) AS nxt
+      |  FROM ch)
+      |ORDER BY custkey, version_no""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p20_scd2_dimension" -> (p20Scd2Dimension _),
     "p19_multimodal_curation" -> (p19MultimodalCuration _),
     "p18_incremental_rollup" -> (p18IncrementalRollup _),
     "p17_bucketed_join" -> (p17BucketedJoin _),
@@ -1321,6 +1421,7 @@ object PipelineQueries {
   // def, not val: p19Sql embeds Sidecars.oracleDir-keyed paths, which
   // Verify pins at runtime before dumping oracle_sql.json
   def oracle: Map[String, String] = Map(
+    "p20_scd2_dimension" -> p20Sql,
     "p19_multimodal_curation" -> p19Sql,
     "p18_incremental_rollup" -> p18Sql,
     "p17_bucketed_join" -> p17Sql,

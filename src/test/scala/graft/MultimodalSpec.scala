@@ -121,4 +121,19 @@ class MultimodalSpec extends SparkTestBase {
     val again = Multimodal.m03ImageDedup(spark, Sf0001).collect()
     assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
+
+  test("frame-aligned video dedup retrieves exactly the planted single-frame-edit twins (m05)") {
+    val out = Multimodal.m05VideoDedup(spark, Sf0001).collect()
+    val videoIds = media.filter(_.kind == "video").collect().map(_.media_id).toSet
+    val expected = videoIds.map(id => (id, id + 1000000L))
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet === expected)
+    // 5 of 6 frames are byte-identical (Hamming 0); the watermarked frame
+    // may or may not clear the per-frame budget, so 5 or 6 close frames
+    out.foreach { r =>
+      assert(r.getLong(2) >= 5 && r.getLong(2) <= 6, s"close frames ${r.getLong(2)}")
+      assert(r.getLong(3) <= 7 * 6, s"total hamming ${r.getLong(3)}")
+    }
+    val again = Multimodal.m05VideoDedup(spark, Sf0001).collect()
+    assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
 }

@@ -62,26 +62,70 @@ class Round7OpsSpec extends SparkTestBase {
     }
   }
 
-  test("p19: every media twin drops via media edges; video never drops via media; counts partition the corpus") {
+  test("p19: every media twin (all THREE modalities) drops via media edges; counts partition the corpus") {
     val rows = operators.PipelineQueries.p19MultimodalCuration(spark, Sf0001).collect()
       .map(r => (r.getString(0), r.getBoolean(1), r.getString(2)) -> r.getLong(3)).toMap
     val nDocs = Tables.documents(spark, Sf0001).count()
-    val nTwins = Tables.documents(spark, Sf0001)
-      .filter(col("doc_id") % 3 <= 1).count()
-    // items partition: every (doc + twin) lands in exactly one verdict bucket
-    assert(rows.values.sum === nDocs + nTwins)
-    // a re-encoded/gain-scaled variant has no text — it can ONLY drop via
-    // its media fingerprint, and every variant must drop (its base is the
-    // smaller id in the cluster)
+    // every document now has a re-encoded media twin (image/audio/video)
+    assert(rows.values.sum === nDocs * 2)
+    // a re-encoded variant has no text — it can ONLY drop via its media
+    // fingerprint, and every variant must drop (its base is the smaller
+    // id in the cluster); since m05 landed this includes VIDEO twins
     val twinRows = rows.filter { case ((_, isTwin, _), _) => isTwin }
     assert(twinRows.keys.map(_._3).toSet === Set("drop_media"),
       s"twins must drop via media edges only, got ${twinRows.keys}")
-    assert(twinRows.values.sum === nTwins)
-    // video items have no fingerprint operator: media edges can never
-    // touch them
-    rows.keys.filter(_._1 == "video").foreach { k =>
-      assert(k._3 === "keep" || k._3 === "drop_text", s"video verdict $k")
+    assert(twinRows.values.sum === nDocs)
+    assert(twinRows.keys.map(_._1).toSet === Set("image", "audio", "video"),
+      "all three modalities must contribute twins")
+  }
+
+  test("s18: binary-quantized shortlist retrieves the planted base at rank 1") {
+    for (sf <- Seq(Sf0001, Sf001)) {
+      val out = SimilarityQueries.s18BinaryAnn(spark, sf).collect()
+      assert(out.length === 25, s"$sf: 5 queries x top-5")
+      out.filter(_.getLong(1) == 1L).foreach { r =>
+        // rank-1 neighbor is the planted base: it survived the 8-byte
+        // Hamming shortlist AND won the float rerank
+        assert(r.getLong(2) === r.getLong(0), s"$sf: base not at rank 1 for q ${r.getLong(0)}")
+        // its sign pattern sits a few flips from the query's (the
+        // geometric fact the shortlist stage relies on)
+        assert(r.getLong(3) <= 16, s"$sf: base Hamming ${r.getLong(3)} not small")
+      }
+      val again = SimilarityQueries.s18BinaryAnn(spark, sf).collect()
+      assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
     }
+  }
+
+  test("g10: weighted LPA forms non-degenerate communities") {
+    val out = operators.GraphQueries.g10LabelPropagation(spark, Sf001).collect()
+    // the unweighted spelling collapses this graph to ONE community of
+    // 1600; the weighted vote must keep real structure
+    assert(out.length > 1, "LPA degenerated to a single community")
+    assert(out.map(_.getLong(0)).distinct.length === out.length, "duplicate community labels")
+    // sizes are ranked descending and every member count is positive
+    val sizes = out.map(_.getLong(1))
+    assert(sizes.sameElements(sizes.sortBy(-_)))
+    assert(sizes.forall(_ >= 1))
+    // top-20 community sizes cannot exceed the node count (1600 at sf0.01)
+    assert(sizes.sum <= 1600)
+  }
+
+  test("q94: layouts partition all rows; z-order touches no more buckets than x-sort") {
+    val out = operators.ExtendedQueries.q94ZorderLayout(spark, Sf001).collect()
+    val nLi = Tables.lineitem(spark, Sf001).count()
+    val byLayout = out.groupBy(_.getString(0))
+    assert(byLayout.keySet === Set("zorder", "xsort"))
+    byLayout.foreach { case (lay, rows) =>
+      assert(rows.map(_.getLong(2)).sum === nLi, s"$lay buckets must partition lineitem")
+      assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 64))
+      assert(rows.forall(r => r.getLong(3) <= r.getLong(4) && r.getLong(5) <= r.getLong(6)),
+        s"$lay envelope inverted")
+    }
+    // the point of the operator: a box selective in both dims prunes
+    // better under the 2-D clustering (measured 5 vs 17 at sf0.01)
+    val touched = byLayout.map { case (lay, rows) => lay -> rows.count(_.getBoolean(7)) }
+    assert(touched("zorder") <= touched("xsort"),
+      s"z-order should not touch more buckets: $touched")
   }
 
   test("s16: shortlist is a strict subset of the corpus (bounded candidate set)") {
