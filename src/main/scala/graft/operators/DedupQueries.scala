@@ -1089,7 +1089,102 @@ object DedupQueries {
       |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
 
   // ------------------------------------------------------------------
+  // ---------------------------------------------------------------- d14
+  /** MinHash estimator CALIBRATION audit — the dedup tier's index-sizing
+    * counterpart to s17's truncation audit: before a deployment commits
+    * to P permutations, measure on real data how far the signature
+    * estimate sits from exact Jaccard across the similarity range that
+    * matters. For every shared-shingle pair with exact J >= 0.2 (the
+    * integer predicate 6*n_inter >= na + nb — no float threshold), the
+    * row reports the 32-perm match count, exact Jaccard and the estimate
+    * in exact MILLI units, and the absolute error: the empirical
+    * distribution behind the binomial +-1/sqrt(P) error bar d04's est_ok
+    * contract assumes.
+    *
+    * Signatures are xxhash64-built and not SQL-expressible, so the
+    * signature frame is the ORACLE SIDECAR (t17 contract); pair
+    * selection, exact Jaccard, the 32-component match count and the
+    * error arithmetic all restate in SQL over (sidecar x raw documents)
+    * — the hash audits estimator arithmetic end to end.
+    *
+    * Scale: pair generation is the naive inverted-index join here
+    * because the audit range (J >= 0.2) needs mid-similarity pairs that
+    * prefix filtering at t = 0.2 would also admit; at 100 TB a
+    * calibration audit runs on a uniform document SAMPLE (it estimates
+    * a distribution — it does not need the corpus), so the join stays
+    * bounded by construction. Signature matching joins two 256-byte
+    * rows per candidate pair.
+    */
+  def d14MinhashCalibration(s: SparkSession, dir: String): DataFrame = {
+    val sets = shingleSets(s, dir).select(col("doc_id"), col("sh_arr")).cache()
+    sets.count()
+    val side = graft.Sidecars.write(minhashSignaturesFrom(sets), dir, "d14_sigs")
+    val sh = sets.select(col("doc_id"), explode(col("sh_arr")).as("shingle"))
+    val counts = sets.select(col("doc_id"), size(col("sh_arr")).as("n_sh"))
+    val inter = sh.select(col("doc_id").as("da"), col("shingle"))
+      .join(sh.select(col("doc_id").as("db"), col("shingle").as("shingle_b")),
+        col("shingle") === col("shingle_b") && col("da") < col("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("n_inter"))
+    val pairs = inter
+      .join(counts.select(col("doc_id").as("da"), col("n_sh").as("na")), "da")
+      .join(counts.select(col("doc_id").as("db"), col("n_sh").as("nb")), "db")
+      .filter(col("n_inter") * 6 >= col("na") + col("nb"))
+      .withColumn("jac_milli", expr("(n_inter * 1000) div (na + nb - n_inter)"))
+    val sa = side.select(col("doc_id").as("da") +:
+      (0 until NumPerms).map(i => col(s"sig_$i").as(s"a_$i")): _*)
+    val sb = side.select(col("doc_id").as("db") +:
+      (0 until NumPerms).map(i => col(s"sig_$i").as(s"b_$i")): _*)
+    val matches = (0 until NumPerms)
+      .map(i => when(col(s"a_$i") === col(s"b_$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs.join(sa, "da").join(sb, "db")
+      .withColumn("n_matches", matches.cast(LongType))
+      .withColumn("est_milli", expr("(n_matches * 1000) div 32"))
+      .withColumn("err_milli", abs(col("jac_milli") - col("est_milli")))
+      .select(col("da"), col("db"), col("n_matches"), col("jac_milli"),
+        col("est_milli"), col("err_milli"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  /** Pair selection + exact Jaccard from raw text (d03's canon/shingle
+    * CTEs, unscoped), match count from the signature sidecar, identical
+    * integer milli arithmetic. */
+  def d14Sql: String = {
+    val matchTerms = (0 until NumPerms)
+      .map(i => s"(CASE WHEN a.sig_$i = b.sig_$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH side AS (SELECT * FROM '${graft.Sidecars.oraclePath("d14_sigs")}/*.parquet'),
+      |docs AS (
+      |  SELECT doc_id,
+      |    string_split(TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+      |  FROM docs, unnest(generate_series(1, GREATEST(len(toks) - 2, 0))) AS u(i)),
+      |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT da, db,
+      |    (n_inter * 1000) // (ca.n_sh + cb.n_sh - n_inter) AS jac_milli
+      |  FROM inter
+      |  JOIN counts ca ON inter.da = ca.doc_id
+      |  JOIN counts cb ON inter.db = cb.doc_id
+      |  WHERE 6 * n_inter >= ca.n_sh + cb.n_sh),
+      |m AS (
+      |  SELECT p.da, p.db, p.jac_milli,
+      |    CAST($matchTerms AS BIGINT) AS n_matches
+      |  FROM pairs p JOIN side a ON a.doc_id = p.da JOIN side b ON b.doc_id = p.db)
+      |SELECT da, db, n_matches, jac_milli,
+      |  (n_matches * 1000) // 32 AS est_milli,
+      |  ABS(jac_milli - (n_matches * 1000) // 32) AS err_milli
+      |FROM m ORDER BY da, db""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d14_minhash_calibration" -> (d14MinhashCalibration _),
     "d13_span_dedup" -> (d13SpanDedup _),
     "d12_cross_source_neardups" -> (d12CrossSourceNearDups _),
     "d09_canonical_prune" -> (d09CanonicalPrune _),
@@ -1103,7 +1198,10 @@ object DedupQueries {
     "d06_dup_clusters" -> (d06DupClusters _),
     "d07_embedding_dedup" -> (d07EmbeddingDedup _))
 
-  val oracle: Map[String, String] = Map(
+  /** def, not val: d14Sql embeds the Sidecars.oracleDir-keyed sidecar
+    * path Verify pins at runtime (the Multimodal.oracle convention). */
+  def oracle: Map[String, String] = Map(
+    "d14_minhash_calibration" -> d14Sql,
     "d13_span_dedup" -> d13Sql,
     "d12_cross_source_neardups" -> d12Sql,
     "d09_canonical_prune" -> d09Sql,

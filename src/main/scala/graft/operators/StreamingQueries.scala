@@ -133,13 +133,74 @@ object StreamingQueries {
       |  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
       |ORDER BY p_id, c_id""".stripMargin
 
+  /** Streaming session windows (30-min gap, append mode) run to
+    * completion, published for the CLOSED-HORIZON region only: append
+    * mode emits a session once the watermark passes its end, and the
+    * bounded run's final watermark is max(ts) - 2h — so sessions ending
+    * near the stream's end are legitimately still open and unemitted.
+    * Rather than pin the engine's exact close boundary (a fragile
+    * hash contract), both sides filter to session_end < max(ts) - 3h:
+    * strictly inside the closed region with an hour of margin, where
+    * streaming emission is GUARANTEED and equals the batch
+    * gaps-and-islands derivation exactly (q34's strict-gap convention;
+    * session end = last event + gap, Spark's session_window semantics).
+    * StreamingSpec separately covers the open-horizon boundary subset
+    * checks; this row turns the closed region into a hash contract.
+    */
+  def st04StreamSessions(s: SparkSession, dir: String): DataFrame = {
+    val name = "graft_st04_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = EventStream.readEvents(s, dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val cut = graft.Tables.events(s, dir)
+      .agg((max(col("ts")) - expr("INTERVAL 3 HOURS")).as("cut"))
+    s.table(name)
+      .crossJoin(broadcast(cut))
+      .filter(col("session_end") < col("cut"))
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  val st04Sql: String =
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id,
+      |    epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |    SUM(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM g),
+      |per AS (
+      |  SELECT user_id, MIN(ts) AS session_start,
+      |    MAX(ts) + INTERVAL 30 MINUTE AS session_end, COUNT(*) AS n_events
+      |  FROM sess GROUP BY user_id, session_id),
+      |cut AS (SELECT MAX(ts) - INTERVAL 3 HOUR AS c FROM events)
+      |SELECT user_id, session_start, session_end, n_events
+      |FROM per JOIN cut ON TRUE
+      |WHERE session_end < cut.c
+      |ORDER BY user_id, session_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_hourly" -> (st01StreamHourly _),
     "st02_stream_dedup" -> (st02StreamDedup _),
-    "st03_stream_join" -> (st03StreamJoin _))
+    "st03_stream_join" -> (st03StreamJoin _),
+    "st04_stream_sessions" -> (st04StreamSessions _))
 
   val oracle: Map[String, String] = Map(
     "st01_stream_hourly" -> st01Sql,
     "st02_stream_dedup" -> st02Sql,
-    "st03_stream_join" -> st03Sql)
+    "st03_stream_join" -> st03Sql,
+    "st04_stream_sessions" -> st04Sql)
 }

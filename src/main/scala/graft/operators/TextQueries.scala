@@ -1071,7 +1071,101 @@ object TextQueries {
       |    * 10000.0 + 0.5) / 10000.0 AS fk_grade
       |FROM k ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t19
+  /** Content-defined chunking (CDC) — the rolling-hash boundary primitive
+    * under dedup storage layers (rsync, LBFS, FastCDC; in LLM-data terms:
+    * chunk-level dedup of a crawl store, where byte-offset chunking would
+    * let a one-character edit reshuffle every downstream chunk). A
+    * boundary lands after character i when the polynomial rolling hash of
+    * the trailing 8-character window
+    *
+    *   H(i) = sum over j in 0..7 of cp(i - j) * 31^j      (codepoints)
+    *
+    * satisfies H(i) % 64 == 0 — the boundary depends only on LOCAL
+    * content, so an edit relocates at most the chunks overlapping its
+    * 8-char neighborhood and every later chunk re-aligns (the
+    * edit-locality property Round7OpsSpec pins; fixed-offset chunking
+    * provably lacks it). Expected chunk ~64 chars at this divisor.
+    * Production FastCDC adds min/max chunk bounds and a gear table; this
+    * is the core boundary rule, with the window-8 polynomial spelled
+    * identically in both engines.
+    *
+    * Everything is HOF expressions — codepoint array, boundary filter,
+    * chunk assembly, md5 — no UDF; per-source rollup counts chunk-level
+    * duplication (n_chunks - n_unique = dup occurrences, the bytes a
+    * chunk store would NOT re-store). Plan: one map pass over documents
+    * (chunking never shuffles), one source-keyed exact-distinct rollup.
+    * At 100 TB the chunk store keys on chunk_hash; the rollup here is
+    * the audit a dedup layer publishes per source.
+    */
+  def t19CdcChunking(s: SparkSession, dir: String): DataFrame = {
+    Tables.spread(Tables.documents(s, dir))
+      .filter(char_length(col("text")) >= 1)
+      .select(col("doc_id"), col("source"), col("text"))
+      .withColumn("cps", expr(
+        "transform(sequence(1, char_length(text)), i -> cast(ascii(substring(text, i, 1)) as bigint))"))
+      .withColumn("bnds", expr(
+        """if(char_length(text) >= 9,
+          |  filter(sequence(8, char_length(text) - 1),
+          |    i -> (element_at(cps, i) + element_at(cps, i-1)*31 + element_at(cps, i-2)*961
+          |          + element_at(cps, i-3)*29791 + element_at(cps, i-4)*923521
+          |          + element_at(cps, i-5)*28629151 + element_at(cps, i-6)*887503681
+          |          + element_at(cps, i-7)*27512614111) % 64 = 0),
+          |  cast(array() as array<int>))""".stripMargin))
+      .withColumn("chunk", explode(expr(
+        """transform(sequence(1, size(bnds) + 1), k -> substring(text,
+          |  CASE WHEN k = 1 THEN 1 ELSE element_at(bnds, k - 1) + 1 END,
+          |  (CASE WHEN k = size(bnds) + 1 THEN char_length(text) ELSE element_at(bnds, k) END)
+          |    - (CASE WHEN k = 1 THEN 1 ELSE element_at(bnds, k - 1) + 1 END) + 1))""".stripMargin)))
+      .select(col("source"), md5(encode(col("chunk"), "utf-8")).as("chunk_hash"),
+        char_length(col("chunk")).as("chunk_len"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("chunk_hash")).as("n_unique_chunks"),
+        (count(lit(1)) - countDistinct(col("chunk_hash"))).as("n_dup_occurrences"),
+        sum(col("chunk_len")).as("total_chars"),
+        min(col("chunk_len")).as("min_len"), max(col("chunk_len")).as("max_len"))
+      .orderBy(col("source"))
+  }
+
+  /** The identical window-8 polynomial, boundary rule, chunk assembly
+    * (CASE-spliced substrings), and md5 — list lambdas mirror the Spark
+    * HOFs term by term. */
+  val t19Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, text FROM documents WHERE length(text) >= 1),
+      |cp AS (
+      |  SELECT doc_id, source, text,
+      |    list_transform(generate_series(1, length(text)),
+      |      i -> CAST(ord(substr(text, i, 1)) AS BIGINT)) AS cps
+      |  FROM d),
+      |bn AS (
+      |  SELECT doc_id, source, text,
+      |    list_filter(generate_series(8, length(text) - 1),
+      |      i -> (cps[i] + cps[i-1]*31 + cps[i-2]*961 + cps[i-3]*29791 + cps[i-4]*923521
+      |            + cps[i-5]*28629151 + cps[i-6]*887503681 + cps[i-7]*27512614111) % 64 = 0) AS bnds
+      |  FROM cp),
+      |ck AS (
+      |  SELECT doc_id, source,
+      |    list_transform(generate_series(1, len(bnds) + 1),
+      |      k -> substr(text,
+      |        CASE WHEN k = 1 THEN 1 ELSE bnds[k-1] + 1 END,
+      |        (CASE WHEN k = len(bnds) + 1 THEN length(text) ELSE bnds[k] END)
+      |          - (CASE WHEN k = 1 THEN 1 ELSE bnds[k-1] + 1 END) + 1)) AS chunks
+      |  FROM bn),
+      |fl AS (
+      |  SELECT doc_id, source, md5(u.chunk) AS chunk_hash, length(u.chunk) AS chunk_len
+      |  FROM ck, unnest(chunks) AS u(chunk))
+      |SELECT source,
+      |  COUNT(*) AS n_chunks,
+      |  COUNT(DISTINCT chunk_hash) AS n_unique_chunks,
+      |  COUNT(*) - COUNT(DISTINCT chunk_hash) AS n_dup_occurrences,
+      |  CAST(SUM(chunk_len) AS BIGINT) AS total_chars,
+      |  MIN(chunk_len) AS min_len, MAX(chunk_len) AS max_len
+      |FROM fl GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t19_cdc_chunking" -> (t19CdcChunking _),
     "t18_readability" -> (t18Readability _),
     "t17_compressibility" -> (t17Compressibility _),
     "t15_zipf_spectrum" -> (t15ZipfSpectrum _),
@@ -1095,6 +1189,7 @@ object TextQueries {
   // Verify pins at runtime before dumping oracle_sql.json
   def oracle: Map[String, String] = Map(
     "t17_compressibility" -> t17Sql,
+    "t19_cdc_chunking" -> t19Sql,
     "t18_readability" -> t18Sql,
     "t16_pmi_collocations" -> t16Sql,
     "t15_zipf_spectrum" -> t15Sql,

@@ -128,6 +128,51 @@ class Round7OpsSpec extends SparkTestBase {
       s"z-order should not touch more buckets: $touched")
   }
 
+  test("t19: chunk boundaries are content-defined (edit-locality) and match the HOF rollup") {
+    // independent Scala reimplementation of the window-8 polynomial
+    def chunks(text: String): Seq[String] = {
+      val cps = text.map(_.toLong)
+      val n = cps.length
+      val pows = Array(1L, 31L, 961L, 29791L, 923521L, 28629151L, 887503681L, 27512614111L)
+      val bnds = (8 until n).filter { i => // 1-based boundary position i <= n-1
+        (0 to 7).map(j => cps(i - 1 - j) * pows(j)).sum % 64 == 0
+      }
+      val starts = 1 +: bnds.map(_ + 1)
+      val ends = bnds :+ n
+      starts.zip(ends).map { case (s0, e0) => text.substring(s0 - 1, e0) }
+    }
+    val doc = Tables.documents(spark, Sf0001).filter(col("doc_id") === 7)
+      .select(col("text")).head().getString(0)
+    val base = chunks(doc)
+    assert(base.mkString === doc, "chunks must concatenate back to the text")
+    // edit-locality: a 1-char prepend relocates only the chunks whose
+    // 8-char hash windows overlap the edit; everything later re-aligns.
+    // Fixed-offset chunking would shift EVERY chunk.
+    val edited = "X" + doc
+    val ed = chunks(edited)
+    assert(ed.mkString === edited)
+    val shared = base.toSet intersect ed.toSet
+    assert(shared.size >= base.size - 3,
+      s"edit relocated ${base.size - shared.size} of ${base.size} chunks")
+    // the distributed HOF pipeline counts exactly what the local chunker counts
+    val rollup = operators.TextQueries.t19CdcChunking(spark, Sf0001).collect()
+    val totalChunks = rollup.map(_.getLong(1)).sum
+    val local = Tables.documents(spark, Sf0001).select(col("text")).collect()
+      .map(_.getString(0)).filter(_.nonEmpty).map(t => chunks(t).size.toLong).sum
+    assert(totalChunks === local)
+  }
+
+  test("d14: 32-perm estimate stays inside the d04 error contract on every audited pair") {
+    val rows = operators.DedupQueries.d14MinhashCalibration(spark, Sf001).collect()
+    assert(rows.nonEmpty, "sf0.01 must have J >= 0.2 pairs to audit")
+    // the empirical distribution must sit inside the +-0.35 bar d04's
+    // est_ok contract hard-codes (6.6 sigma at 32 perms)
+    assert(rows.forall(_.getLong(5) <= 350),
+      s"estimator error above 350 milli: ${rows.filter(_.getLong(5) > 350).mkString(",")}")
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.forall(r => r.getLong(2) >= 0 && r.getLong(2) <= 32))
+  }
+
   test("s16: shortlist is a strict subset of the corpus (bounded candidate set)") {
     // every returned neighbor must come from a probed cell; with 10 cells
     // and 2 probes the candidate pool is ~1/5 of the corpus — assert the
