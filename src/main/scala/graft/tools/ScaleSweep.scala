@@ -102,7 +102,9 @@ object ScaleSweep {
       "q94_zorder_layout" -> "Z-order layout audit (map-pass Morton binning)",
       "st03_stream_join" -> "stream-stream interval join run to completion",
       "st01_stream_hourly" -> "streamed hourly rollup (foreachBatch snapshot sink)",
-      "p19_multimodal_curation" -> "multimodal curation join (text+image+audio dedup)")
+      "p19_multimodal_curation" -> "multimodal curation join (text+image+audio+video dedup)",
+      "t19_cdc_chunking" -> "content-defined chunking (rolling-hash boundaries)",
+      "d14_minhash_calibration" -> "MinHash calibration audit (sidecar signatures)")
 
     // warm the JVM/codegen on the smallest sf so cold-start lands nowhere
     queries.foreach { case (q, _) =>

@@ -261,4 +261,24 @@ class EdgeCaseSpec extends SparkTestBase {
     val scaled = operators.Multimodal.scaleWav(wav, 0.95)
     assert(operators.Multimodal.audioFingerprint(scaled) === 0L)
   }
+
+  test("t19 chunking and m05 video dedup survive empty/short/punctuation docs") {
+    // t19: the empty doc contributes nothing; docs under 9 chars are one
+    // chunk (no boundary positions exist); chars are conserved exactly
+    val t = TextQueries.t19CdcChunking(spark, edgeDir).collect()
+    val totalChars = t.map(_.getLong(4)).sum
+    assert(totalChars === Seq("hello", "two tokens", "!!! ??? ...",
+      "alpha beta gamma delta epsilon zeta",
+      "alpha beta gamma delta epsilon zeta").map(_.length.toLong).sum)
+    assert(t.map(_.getLong(1)).sum >= 5, "each non-empty doc yields at least one chunk")
+    // m05: the empty-text video (doc 2, payload seeded from a single zero
+    // byte -> constant black frames) still encodes, fingerprints, and its
+    // planted twin is retrieved via the 5 untouched frames — even though
+    // the watermark on a CONSTANT frame shifts the cell mean and flips
+    // most of that one frame's hash bits (the majority rule absorbs it)
+    val v = Multimodal.m05VideoDedup(spark, edgeDir).collect()
+    val pairs = v.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((2L, 1000002L)), "constant-frame twin lost")
+    assert(pairs.contains((5L, 1000005L)))
+  }
 }

@@ -162,6 +162,27 @@ class Round7OpsSpec extends SparkTestBase {
     assert(totalChunks === local)
   }
 
+  test("p20: SCD2 versions chain each customer's history with exactly one open version") {
+    val rows = operators.PipelineQueries.p20Scd2Dimension(spark, Sf001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (k, vs) =>
+      val sorted = vs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq === (1L to sorted.length), s"$k: version gap")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          // intervals chain: this version closes exactly when the next
+          // opens (get(): the date column's external type varies with the
+          // testdata's physical parquet type — DATE vs TIMESTAMP)
+          assert(a.get(4) === b.get(3), s"$k: valid_to must equal next valid_from")
+          // change detection: consecutive versions never repeat the attr
+          assert(a.getString(2) !== b.getString(2), s"$k: run not collapsed")
+        case _ => ()
+      }
+      assert(sorted.count(_.getBoolean(5)) === 1, s"$k: exactly one current version")
+      assert(sorted.last.getBoolean(5), s"$k: the last version must be the open one")
+    }
+  }
+
   test("d14: 32-perm estimate stays inside the d04 error contract on every audited pair") {
     val rows = operators.DedupQueries.d14MinhashCalibration(spark, Sf001).collect()
     assert(rows.nonEmpty, "sf0.01 must have J >= 0.2 pairs to audit")
