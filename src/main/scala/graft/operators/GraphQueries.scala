@@ -985,7 +985,86 @@ object GraphQueries {
        |ORDER BY n_members DESC, community LIMIT 20""".stripMargin
   }
 
+  // ---------------------------------------------------------------- g11
+  /** WEIGHTED fixed-point PageRank — g01's propagation with mass flowing
+    * proportional to TRADE INTENSITY (order-line count per pair, g10's
+    * weights) instead of splitting equally across neighbors: a supplier
+    * that moves 100 orders for one customer receives 100x the rank mass
+    * of a one-order partner, so the ranking measures volume-weighted
+    * structural importance (the standard weighted-PageRank variant:
+    * out-mass split w_uv / W_u).
+    *
+    * Integer contract: the per-edge contribution is (r(u) div W(u)) * w
+    * — quotient FIRST, then the weight multiply — which keeps every
+    * intermediate inside int64 (r * w would overflow: r approaches
+    * 1.4e18 and w reaches dozens). The floor-division placement loses
+    * at most W(u) mass units per node per round (out of 1e12) and is
+    * the deterministic contract BOTH engines restate, so the oracle is
+    * bit-exact, like g01.
+    *
+    * Plan: the weighted undirected edge list with per-source weight
+    * sums rides one localCheckpoint; each of the 5 composed rounds is
+    * one u-keyed join + an in-codegen contribution multiply + one
+    * v-keyed partial-summed aggregation. (g01's hub-segmented adjacency
+    * applies orthogonally if a 100 TB graph needs it; at |E| edge rows
+    * per round this is the plain spelling, matching g10.)
+    */
+  def g11WeightedPageRank(s: SparkSession, dir: String): DataFrame = {
+    val Scale = 1000000000000L
+    val base = 15L * Scale / 100L
+    val wpairs = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey").cast("long").as("u"),
+        (lit(1000000L) + col("l_suppkey")).as("v"))
+      .agg(count(lit(1)).as("w"))
+    val und = wpairs.select(col("u"), col("v"), col("w"))
+      .union(wpairs.select(col("v").as("u"), col("u").as("v"), col("w")))
+    val wsum = und.groupBy(col("u")).agg(sum(col("w")).as("wu"))
+    val edges = und.join(wsum, "u").localCheckpoint()
+    var ranks = wsum.select(col("u").as("node"), lit(Scale).as("r"))
+    for (_ <- 1 to 5) {
+      ranks = edges
+        .join(ranks.select(col("node").as("u"), col("r")), "u")
+        .select(col("v"), (expr("r div wu") * col("w")).as("c"))
+        .groupBy(col("v"))
+        .agg((lit(base) + expr("(85 * sum(c)) div 100")).as("r"))
+        .withColumnRenamed("v", "node")
+    }
+    ranks
+      .select(col("node"),
+        when(col("node") >= 1000000L, "supplier").otherwise("customer").as("node_type"),
+        col("r").as("rank_fp"))
+      .orderBy(col("rank_fp").desc, col("node"))
+      .limit(20)
+  }
+
+  /** The same 5 weighted rounds as chained CTEs — identical
+    * quotient-then-multiply order, bit-exact by integer arithmetic. */
+  val g11Sql: String = {
+    val iters = (1 to 5).map { i =>
+      s"""r$i AS (
+         |  SELECT e.v AS node, 150000000000 + (85 * SUM((r.r // e.wu) * e.w)) // 100 AS r
+         |  FROM e JOIN r${i - 1} r ON e.u = r.node
+         |  GROUP BY e.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT CAST(o_custkey AS BIGINT) AS u, 1000000 + CAST(l_suppkey AS BIGINT) AS v,
+       |         COUNT(*) AS w
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2),
+       |und AS (SELECT u, v, w FROM pairs UNION ALL SELECT v AS u, u AS v, w FROM pairs),
+       |ws AS (SELECT u, CAST(SUM(w) AS BIGINT) AS wu FROM und GROUP BY u),
+       |e AS (SELECT und.u, und.v, und.w, ws.wu FROM und JOIN ws ON und.u = ws.u),
+       |r0 AS (SELECT u AS node, CAST(1000000000000 AS BIGINT) AS r FROM ws),
+       |$iters
+       |SELECT node,
+       |  CASE WHEN node >= 1000000 THEN 'supplier' ELSE 'customer' END AS node_type,
+       |  CAST(r AS BIGINT) AS rank_fp
+       |FROM r5 ORDER BY rank_fp DESC, node LIMIT 20""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g11_weighted_pagerank" -> (g11WeightedPageRank _),
     "g10_label_propagation" -> (g10LabelPropagation _),
     "g09_harmonic_centrality" -> (g09HarmonicCentrality _),
     "g08_kcore" -> (g08KCore _),
@@ -998,6 +1077,7 @@ object GraphQueries {
     "g05_star_components" -> (g05StarComponents _))
 
   val oracle: Map[String, String] = Map(
+    "g11_weighted_pagerank" -> g11Sql,
     "g10_label_propagation" -> g10Sql,
     "g09_harmonic_centrality" -> g09Sql,
     "g08_kcore" -> g08Sql,

@@ -183,6 +183,17 @@ class Round7OpsSpec extends SparkTestBase {
     }
   }
 
+  test("g11: trade-intensity weighting actually changes the PageRank ordering") {
+    val wr = operators.GraphQueries.g11WeightedPageRank(spark, Sf001).collect()
+    val ur = operators.GraphQueries.g01PageRank(spark, Sf001).collect()
+    assert(wr.length === 20 && ur.length === 20)
+    // inert weights would reproduce g01's top-20 order exactly
+    assert(wr.map(_.getLong(0)).toSeq !== ur.map(_.getLong(0)).toSeq,
+      "weighted ranking must differ from the unweighted one")
+    val rs = wr.map(_.getLong(2))
+    assert(rs.sameElements(rs.sortBy((x: Long) => -x)) && rs.forall(_ > 0))
+  }
+
   test("d14: 32-perm estimate stays inside the d04 error contract on every audited pair") {
     val rows = operators.DedupQueries.d14MinhashCalibration(spark, Sf001).collect()
     assert(rows.nonEmpty, "sf0.01 must have J >= 0.2 pairs to audit")
