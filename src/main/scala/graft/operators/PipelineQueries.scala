@@ -1396,7 +1396,63 @@ object PipelineQueries {
       |  FROM ch)
       |ORDER BY custkey, version_no""".stripMargin
 
+  // ---------------------------------------------------------------- p21
+  /** Sequence-length batching-efficiency audit — the padding-waste
+    * measurement behind length-grouped batching (HF `group_by_length` /
+    * sequence bucketing): every padding token in a training batch is a
+    * wasted FLOP, and the win of grouping by length is exactly the gap
+    * between padding-to-512 and padding-to-the-bucket-max. Per doc:
+    * effective length = min(token count, 512) (the truncation a 512-seq
+    * trainer applies; p10's token convention). Docs bin into 16
+    * equal-width length buckets (q94's pattern: bounds from a broadcast
+    * scalar maximum — a map pass, no global sort), and each bucket row
+    * reports both costs over ITS docs:
+    *
+    *   padding_bucketed = bucket_max * n - sum(eff)   (pad to bucket max)
+    *   padding_fixed    = 512 * n - sum(eff)          (pad to model max)
+    *
+    * so the corpus-level saving is one more SUM over 16 rows. Integer-
+    * exact throughout; the oracle restates binning and both cost
+    * formulas. At 100 TB this audit is one scan + a 16-key aggregation.
+    */
+  def p21PaddingAudit(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(s, dir))
+      .select(col("doc_id"),
+        least(size(regexp_extract_all(col("text"), lit("[A-Za-z0-9]+"), lit(0)))
+          .cast(LongType), lit(512L)).as("eff"))
+    val bounds = docs.agg(max(col("eff")).as("em"))
+    docs.crossJoin(broadcast(bounds))
+      .withColumn("bucket", expr("(eff * 16) div (em + 1)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), min(col("eff")).as("eff_min"),
+        max(col("eff")).as("eff_max"), sum(col("eff")).as("sum_eff"))
+      .select(col("bucket"), col("n_docs"), col("eff_min"), col("eff_max"),
+        (col("eff_max") * col("n_docs") - col("sum_eff")).as("padding_bucketed"),
+        (lit(512L) * col("n_docs") - col("sum_eff")).as("padding_fixed"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Identical truncation, equal-width binning off the same maximum, and
+    * both padding-cost formulas. */
+  val p21Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    LEAST(CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT), 512) AS eff
+      |  FROM documents),
+      |b AS (SELECT MAX(eff) AS em FROM d),
+      |binned AS (
+      |  SELECT doc_id, eff, (eff * 16) // (b.em + 1) AS bucket FROM d CROSS JOIN b),
+      |agg AS (
+      |  SELECT bucket, COUNT(*) AS n_docs, MIN(eff) AS eff_min, MAX(eff) AS eff_max,
+      |    CAST(SUM(eff) AS BIGINT) AS sum_eff
+      |  FROM binned GROUP BY bucket)
+      |SELECT bucket, n_docs, eff_min, eff_max,
+      |  eff_max * n_docs - sum_eff AS padding_bucketed,
+      |  512 * n_docs - sum_eff AS padding_fixed
+      |FROM agg ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p21_padding_audit" -> (p21PaddingAudit _),
     "p20_scd2_dimension" -> (p20Scd2Dimension _),
     "p19_multimodal_curation" -> (p19MultimodalCuration _),
     "p18_incremental_rollup" -> (p18IncrementalRollup _),
@@ -1421,6 +1477,7 @@ object PipelineQueries {
   // def, not val: p19Sql embeds Sidecars.oracleDir-keyed paths, which
   // Verify pins at runtime before dumping oracle_sql.json
   def oracle: Map[String, String] = Map(
+    "p21_padding_audit" -> p21Sql,
     "p20_scd2_dimension" -> p20Sql,
     "p19_multimodal_curation" -> p19Sql,
     "p18_incremental_rollup" -> p18Sql,

@@ -192,15 +192,50 @@ object StreamingQueries {
       |WHERE session_end < cut.c
       |ORDER BY user_id, session_start""".stripMargin
 
+  /** STATELESS streaming transform — the remaining equivalence class
+    * (st01/st04 cover stateful aggregation, st02 stateful dedup, st03
+    * join state): a pure filter+project over the unbounded documents
+    * source, the shape of a live ingest quality gate. Stateless
+    * operators are exactly-once trivially (no state store, no
+    * watermark), so append emission equals the batch predicate on ANY
+    * micro-batch split — the hash contract here needs no single-batch
+    * caveat at all. Token counting uses p10's convention. */
+  def st05StreamFilter(s: SparkSession, dir: String): DataFrame = {
+    val name = "graft_st05_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = graft.streaming.CorpusStream.readDocuments(s, dir)
+      .withColumn("n_toks",
+        size(regexp_extract_all(col("text"), lit("[A-Za-z0-9]+"), lit(0))).cast("long"))
+      .filter(col("n_toks") >= 10 && col("lang").isin("en", "de"))
+      .select(col("doc_id"), col("source"), col("n_toks"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy(col("doc_id"))
+  }
+
+  val st05Sql: String =
+    """SELECT doc_id, source,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_toks
+      |FROM documents
+      |WHERE len(regexp_extract_all(text, '[A-Za-z0-9]+')) >= 10
+      |  AND lang IN ('en', 'de')
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_hourly" -> (st01StreamHourly _),
     "st02_stream_dedup" -> (st02StreamDedup _),
     "st03_stream_join" -> (st03StreamJoin _),
-    "st04_stream_sessions" -> (st04StreamSessions _))
+    "st04_stream_sessions" -> (st04StreamSessions _),
+    "st05_stream_filter" -> (st05StreamFilter _))
 
   val oracle: Map[String, String] = Map(
     "st01_stream_hourly" -> st01Sql,
     "st02_stream_dedup" -> st02Sql,
     "st03_stream_join" -> st03Sql,
-    "st04_stream_sessions" -> st04Sql)
+    "st04_stream_sessions" -> st04Sql,
+    "st05_stream_filter" -> st05Sql)
 }

@@ -104,7 +104,9 @@ object ScaleSweep {
       "st01_stream_hourly" -> "streamed hourly rollup (foreachBatch snapshot sink)",
       "p19_multimodal_curation" -> "multimodal curation join (text+image+audio+video dedup)",
       "t19_cdc_chunking" -> "content-defined chunking (rolling-hash boundaries)",
-      "d14_minhash_calibration" -> "MinHash calibration audit (sidecar signatures)")
+      "d14_minhash_calibration" -> "MinHash calibration audit (sidecar signatures)",
+      "g11_weighted_pagerank" -> "weighted PageRank (5 composed rounds, intensity split)",
+      "p21_padding_audit" -> "batching-efficiency audit (16-bucket length binning)")
 
     // warm the JVM/codegen on the smallest sf so cold-start lands nowhere
     queries.foreach { case (q, _) =>
