@@ -1183,7 +1183,142 @@ object DedupQueries {
       |FROM m ORDER BY da, db""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d15
+  /** SemDeDup — SEMANTIC deduplication in embedding space (Abbas et al.
+    * 2023, arXiv:2303.09540): where d07 removes near-IDENTICAL vectors
+    * (tau = 0.99, CC + min-id keeper), SemDeDup targets semantically
+    * redundant ones at a looser threshold, scoped by a k-means cell, with
+    * the paper's diversity-preserving keep rule — of two similar items,
+    * KEEP the one FARTHER from the cluster centroid (low centroid-cosine
+    * = the less prototypical, more informative example; the prototypical
+    * copy is the redundant one). That keeper rule is what distinguishes
+    * this from every other dedup operator in the repo, and is exactly
+    * why the published method improves training efficiency: it prunes
+    * toward diversity, not toward minimum id.
+    *
+    * Pipeline: quantizer cells from the label-seeded codebook TRAINED ON
+    * THE BASE CORPUS (the k-means step; assignment = argmax ROUNDED
+    * centroid cosine, ties to the larger cell — the s05 probe rule made
+    * hash-stable by rounding first); within each cell, pairwise cosine >=
+    * 0.95 (rounded) through the codegen'd graft_cosine; each pair drops
+    * its MORE-prototypical endpoint (higher centroid-cosine, ties to the
+    * larger id) — a deterministic per-pair dominance rule like d09's, no
+    * cluster resolution needed. Planted semantic twins (vec_id < 40,
+    * v + 0.25 * partner — same content, sizeable paraphrase drift) land
+    * at cosine ~0.97: visible to THIS threshold, invisible to d07's 0.99.
+    *
+    * Scale shape: NEVER all-pairs — the quadratic step is per-cell, and
+    * SemDeDup deployments size k proportionally to n precisely so the
+    * expected cell stays constant (the paper runs 50k clusters over
+    * LAION-440M); cost is O(n * k) assignment (map-only against the
+    * literal codebook; at large k this becomes a broadcast join against
+    * a distributed centroid table — s08's shape) + O(n * E[cell]) pair
+    * work. The oracle restates every stage: DECIMAL-exact centroids,
+    * rounded-argmax assignment, in-cell pairs, the dominance rule.
+    */
+  def d15SemDedup(s: SparkSession, dir: String): DataFrame = {
+    import SimilarityQueries.embD
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.spread(Tables.embeddings(s, dir)).withColumn("v", embD)
+      .select(col("vec_id"), col("label"), col("v"))
+    val n = e.count() // corpus size for the mod-n partner index (d07's idiom)
+    val derived = e.filter(col("vec_id") < 40)
+      .withColumn("partner", (col("vec_id") + lit(29)) % n)
+      .join(e.select(col("vec_id").as("partner"), col("v").as("pv")), "partner")
+      .select((col("vec_id") + lit(2000000L)).as("vec_id"), col("label"),
+        expr("zip_with(v, pv, (a, b) -> a + 0.25d * b)").as("v"))
+    val corpus = e.unionByName(derived)
+    val cents = SimilarityQueries.codebook(e) // trained on the BASE corpus
+    // 1-probe assignment on the ROUNDED centroid cosine: rounding before
+    // the argmax makes the cell choice a hash contract (ties, measure-zero
+    // on unrounded doubles but possible at 1e-6, break to the larger cell
+    // — probeCells' own convention)
+    val entries = array(cents.map { case (cell, cv, _) =>
+      struct(
+        (floor(call_function("graft_cosine",
+          array(cv.map(lit): _*), col("v")) * 1e6 + 0.5) / 1e6).as("csim"),
+        lit(cell).as("cell"))
+    }: _*)
+    val assigned = corpus
+      .withColumn("best", array_max(entries))
+      .select(col("vec_id"), col("v"),
+        col("best.cell").as("cell"), col("best.csim").as("cosc"))
+      .localCheckpoint() // both sides of the in-cell self-join below
+    val pairs = assigned
+      .select(col("cell"), col("vec_id").as("da"), col("v").as("va"), col("cosc").as("ca"))
+      .join(assigned.select(col("cell"), col("vec_id").as("db"),
+        col("v").as("vb"), col("cosc").as("cb")), "cell")
+      .filter(col("da") < col("db"))
+      .filter(floor(call_function("graft_cosine", col("va"), col("vb")) * 1e6 + 0.5) / 1e6
+        >= 0.95)
+    // the paper's keep rule, as a per-pair dominance drop: the endpoint
+    // CLOSER to the centroid is the redundant prototype and goes
+    val dropped = pairs
+      .select(when(col("ca") > col("cb") ||
+        (col("ca") === col("cb") && col("da") > col("db")), col("da"))
+        .otherwise(col("db")).as("vec_id"))
+      .distinct().withColumn("is_dropped", lit(true))
+    assigned.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("cosc"),
+        coalesce(col("is_dropped"), lit(false)).as("is_dropped"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Full restatement: base + planted twins, DECIMAL-exact per-label
+    * centroids from the base corpus, rounded-argmax cell assignment
+    * (ties to the larger cell), in-cell pairs at the same rounded
+    * threshold, and the identical dominance drop. */
+  val d15Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cnt AS (SELECT COUNT(*) AS n FROM e),
+      |drv AS (
+      |  SELECT b.vec_id + 2000000 AS vec_id, b.label,
+      |    list_transform(generate_series(1, 64), i -> b.v[i] + 0.25 * p.v[i]) AS v
+      |  FROM e b JOIN cnt ON TRUE JOIN e p ON p.vec_id = (b.vec_id + 29) % cnt.n
+      |  WHERE b.vec_id < 40),
+      |corpus AS (SELECT * FROM e UNION ALL SELECT * FROM drv),
+      |flat AS (
+      |  SELECT label, i AS dim, v[i] AS x
+      |  FROM e, unnest(generate_series(1, 64)) AS u(i)),
+      |cent AS (
+      |  SELECT label, dim,
+      |    CAST(CAST(SUM(CAST(x AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS m
+      |  FROM flat GROUP BY 1, 2),
+      |carr AS (
+      |  SELECT label AS cell, list(m ORDER BY dim) AS cv FROM cent GROUP BY label),
+      |cnrm AS (
+      |  SELECT cell, cv,
+      |    SQRT(list_reduce(list_transform(generate_series(1, 64), i -> cv[i] * cv[i]), (x, y) -> x + y)) AS cn
+      |  FROM carr),
+      |sc AS (
+      |  SELECT c.vec_id, c.v, m.cell,
+      |    FLOOR(list_reduce(list_transform(generate_series(1, 64), i -> c.v[i] * m.cv[i]), (x, y) -> x + y)
+      |      / (SQRT(list_reduce(list_transform(generate_series(1, 64), i -> c.v[i] * c.v[i]), (x, y) -> x + y)) * m.cn)
+      |      * 1e6 + 0.5) / 1e6 AS csim
+      |  FROM corpus c CROSS JOIN cnrm m),
+      |best AS (
+      |  SELECT vec_id, v, cell, csim,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell DESC) AS rnk
+      |  FROM sc),
+      |a AS (
+      |  SELECT vec_id, v, cell, csim AS cosc,
+      |    SQRT(list_reduce(list_transform(generate_series(1, 64), i -> v[i] * v[i]), (x, y) -> x + y)) AS nrm
+      |  FROM best WHERE rnk = 1),
+      |pairs AS (
+      |  SELECT x.vec_id AS da, y.vec_id AS db, x.cosc AS ca, y.cosc AS cb
+      |  FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
+      |  WHERE FLOOR(list_reduce(list_transform(generate_series(1, 64), i -> x.v[i] * y.v[i]), (p, q) -> p + q)
+      |          / (x.nrm * y.nrm) * 1e6 + 0.5) / 1e6 >= 0.95),
+      |dropped AS (
+      |  SELECT DISTINCT CASE WHEN ca > cb OR (ca = cb AND da > db) THEN da ELSE db END AS vec_id
+      |  FROM pairs)
+      |SELECT a.vec_id, a.cell, a.cosc, (d.vec_id IS NOT NULL) AS is_dropped
+      |FROM a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+      |ORDER BY a.vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d15_semdedup" -> (d15SemDedup _),
     "d14_minhash_calibration" -> (d14MinhashCalibration _),
     "d13_span_dedup" -> (d13SpanDedup _),
     "d12_cross_source_neardups" -> (d12CrossSourceNearDups _),
@@ -1201,6 +1336,7 @@ object DedupQueries {
   /** def, not val: d14Sql embeds the Sidecars.oracleDir-keyed sidecar
     * path Verify pins at runtime (the Multimodal.oracle convention). */
   def oracle: Map[String, String] = Map(
+    "d15_semdedup" -> d15Sql,
     "d14_minhash_calibration" -> d14Sql,
     "d13_span_dedup" -> d13Sql,
     "d12_cross_source_neardups" -> d12Sql,

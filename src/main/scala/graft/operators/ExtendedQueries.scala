@@ -1669,8 +1669,56 @@ object ExtendedQueries {
       |FROM env e CROSS JOIN b
       |ORDER BY layout DESC, bucket""".stripMargin
 
+  // ---------------------------------------------------------------- q95
+  /** Consecutive-sequence pattern matching — the MATCH_RECOGNIZE shape
+    * (row-pattern recognition, SQL:2016) Spark lacks as a keyword,
+    * expressed with LEAD windows: find every STRICTLY CONSECUTIVE
+    * click → view → purchase triple inside each user's event stream.
+    * This is the behavioral-sequence miner (funnels with NO intervening
+    * events) — a different contract from q90's funnel, which allows
+    * arbitrary gaps between stages: here an interleaved 'error' between
+    * click and view kills the match, so the operator detects exact
+    * subsequence runs, not mere precedence.
+    *
+    * Plan: ONE user-keyed window pass (two LEADs over the same frame
+    * share a single sort/shuffle), then a filter and a per-user rollup
+    * that reuses the same user partitioning — the whole query is one
+    * exchange, linear in events. At 100 TB this is the canonical "cheap
+    * if you let the engine see it declaratively" op: no self-joins (the
+    * naive 3-way ts-adjacency join would shuffle the fact table three
+    * times), no state machine UDF.
+    *
+    * Determinism: the stream order is the total (ts, event_id) order;
+    * output is matching users with match counts and the first match's
+    * anchor timestamp.
+    */
+  def q95PatternMatch(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("e1", lead(col("event_type"), 1).over(w))
+      .withColumn("e2", lead(col("event_type"), 2).over(w))
+      .filter(col("event_type") === "click" && col("e1") === "view" && col("e2") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_matches"), min(col("ts")).as("first_match_ts"))
+      .orderBy(col("user_id"))
+  }
+
+  val q95Sql: String =
+    """WITH o AS (
+      |  SELECT user_id, ts, event_type,
+      |    LEAD(event_type, 1) OVER w AS e1,
+      |    LEAD(event_type, 2) OVER w AS e2
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT user_id, COUNT(*) AS n_matches, MIN(ts) AS first_match_ts
+      |FROM o
+      |WHERE event_type = 'click' AND e1 = 'view' AND e2 = 'purchase'
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_pattern_match" -> (q95PatternMatch _),
     "q94_zorder_layout" -> (q94ZorderLayout _),
     "q93_interval_join" -> (q93IntervalJoin _),
     "q91_pivot" -> (q91Pivot _),
@@ -1723,6 +1771,7 @@ object ExtendedQueries {
     "q54_union_by_name" -> (q54UnionByName _))
 
   val oracle: Map[String, String] = Map(
+    "q95_pattern_match" -> q95Sql,
     "q94_zorder_layout" -> q94Sql,
     "q93_interval_join" -> q93Sql,
     "q91_pivot" -> q91Sql,

@@ -1063,7 +1063,95 @@ object GraphQueries {
        |FROM r5 ORDER BY rank_fp DESC, node LIMIT 20""".stripMargin
   }
 
+  // ---------------------------------------------------------------- g12
+  /** Weighted single-source shortest paths — Bellman-Ford relaxation
+    * over the min-plus semiring, the remaining classic iteration family
+    * after propagation (g01/g11: sum-times), frontier BFS (g09:
+    * unweighted hops) and peeling (g08): 4 unrolled relaxation rounds
+    * from the top-degree hub, so the published distances are EXACT
+    * weighted shortest paths over all routes of <= 4 edges (the bounded-
+    * radius contract g09 also ships; a production run sizes the unroll
+    * by the snapshot's diameter, and on this bipartite trade graph with
+    * a hub source, radius 4 reaches everything that matters).
+    *
+    * Edge length is an integer derived from trade intensity — len =
+    * (1000 div w) + 1 — so heavily-traded links are cheap to traverse
+    * and the distance field measures "commercial proximity to the core"
+    * (the same signal a curation pipeline uses to rank hosts by
+    * seed-proximity). All arithmetic is int64 min-plus: no floats, no
+    * summation-order hazard, so the DuckDB oracle (the same 4 relaxation
+    * rounds as chained CTEs) is bit-exact.
+    *
+    * Plan shape at 100 TB: per round, ONE u-keyed equi-join of the
+    * checkpointed weighted edge list against the current distance frame
+    * and one v-keyed min-aggregation (partial min map-side — the
+    * min-plus analogue of g01's partial sums). Distance state is |V|
+    * rows, localCheckpointed per round (d06's loop discipline) because
+    * unlike g01's fixed-round compose this frame is also the NEXT
+    * round's join input on the same key — checkpointing keeps lineage
+    * flat and lets AQE re-plan each round on the actual frame size.
+    */
+  def g12WeightedSssp(s: SparkSession, dir: String): DataFrame = {
+    val wpairs = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey").cast("long").as("u"),
+        (lit(1000000L) + col("l_suppkey")).as("v"))
+      .agg(count(lit(1)).as("w"))
+    val und = wpairs.select(col("u"), col("v"), col("w"))
+      .union(wpairs.select(col("v").as("u"), col("u").as("v"), col("w")))
+    val edges = und.withColumn("len", expr("(1000 div w) + 1"))
+      .select(col("u"), col("v"), col("len")).localCheckpoint()
+    val src = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("u")).limit(1)
+      .select(col("u").as("node"), lit(0L).as("dist"))
+    var dist = src.localCheckpoint()
+    for (_ <- 1 to 4) {
+      val relaxed = edges
+        .join(dist.select(col("node").as("u"), col("dist")), "u")
+        .select(col("v").as("node"), (col("dist") + col("len")).as("dist"))
+      dist = dist.unionAll(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    dist
+      .select(col("node"),
+        when(col("node") >= 1000000L, "supplier").otherwise("customer").as("node_type"),
+        col("dist"))
+      .orderBy(col("dist").asc, col("node"))
+      .limit(30)
+  }
+
+  /** The same 4 min-plus relaxation rounds as chained CTEs over the
+    * identical integer edge lengths — bit-exact. */
+  val g12Sql: String = {
+    val iters = (1 to 4).map { i =>
+      s"""d$i AS (
+         |  SELECT node, MIN(dist) AS dist FROM (
+         |    SELECT node, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.v AS node, d.dist + e.len AS dist
+         |    FROM e JOIN d${i - 1} d ON e.u = d.node) GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT CAST(o_custkey AS BIGINT) AS u, 1000000 + CAST(l_suppkey AS BIGINT) AS v,
+       |         COUNT(*) AS w
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2),
+       |und AS (SELECT u, v, w FROM pairs UNION ALL SELECT v AS u, u AS v, w FROM pairs),
+       |e AS (SELECT u, v, (1000 // w) + 1 AS len FROM und),
+       |src AS (
+       |  SELECT u AS node FROM und GROUP BY u
+       |  ORDER BY COUNT(*) DESC, u LIMIT 1),
+       |d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM src),
+       |$iters
+       |SELECT node,
+       |  CASE WHEN node >= 1000000 THEN 'supplier' ELSE 'customer' END AS node_type,
+       |  CAST(dist AS BIGINT) AS dist
+       |FROM d4 ORDER BY dist, node LIMIT 30""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g12_weighted_sssp" -> (g12WeightedSssp _),
     "g11_weighted_pagerank" -> (g11WeightedPageRank _),
     "g10_label_propagation" -> (g10LabelPropagation _),
     "g09_harmonic_centrality" -> (g09HarmonicCentrality _),
@@ -1077,6 +1165,7 @@ object GraphQueries {
     "g05_star_components" -> (g05StarComponents _))
 
   val oracle: Map[String, String] = Map(
+    "g12_weighted_sssp" -> g12Sql,
     "g11_weighted_pagerank" -> g11Sql,
     "g10_label_propagation" -> g10Sql,
     "g09_harmonic_centrality" -> g09Sql,

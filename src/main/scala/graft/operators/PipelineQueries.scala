@@ -1451,7 +1451,92 @@ object PipelineQueries {
       |  512 * n_docs - sum_eff AS padding_fixed
       |FROM agg ORDER BY bucket""".stripMargin
 
+  // ---------------------------------------------------------------- p22
+  /** Deletion propagation — the right-to-be-forgotten cascade every
+    * pipeline holding user data must run: a (small) tombstone list of
+    * user ids is propagated through the fact table AND through the
+    * derived rollup the dashboards read, producing the compliance audit
+    * row set (per event type: volume before, rows purged, users
+    * affected, volume and value mass after).
+    *
+    * The load-bearing design point is WHAT gets scanned: the tombstone
+    * list is broadcast (a deletion request batch is KBs against 100 TB
+    * of facts), the purge itself is one broadcast LEFT SEMI join to
+    * extract the doomed rows, and the maintained rollup is updated with
+    * NEGATIVE DELTAS computed from those doomed rows alone — p18's IVM
+    * algebra applied to deletion, O(|purged|), never a recompute over
+    * the surviving 100 TB. (On lakehouse storage the same semi-join
+    * drives file-level rewrite of only the files containing matches —
+    * deletion vectors / merge-on-read; the query shape is identical.)
+    *
+    * Value mass is merged in exact DECIMAL space and cast to double only
+    * at the edge: v_before - v_delta must equal the from-scratch decimal
+    * sum over survivors BIT-FOR-BIT, which double-space subtraction
+    * cannot promise. The oracle takes the adversarial path: it
+    * recomputes the after-state directly from the surviving rows — if
+    * the incremental deltas drop or double-count anything, the hash
+    * cannot match.
+    */
+  def p22DeletionPropagation(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    // stands in for the deletion-request table: deterministic, tiny
+    val tomb = ev.filter(col("user_id") % 97 === 13)
+      .select(col("user_id")).distinct()
+    val doomed = ev.join(broadcast(tomb), Seq("user_id"), "left_semi")
+    val dec = (c: Column) => sum(c.cast(DecimalType(30, 2)))
+    // stands in for reading the stored rollup (p18's stance) — the
+    // after-state below derives from it plus the deltas, never rescanned
+    val mv = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n0"), dec(col("value")).as("v0"))
+    val delta = doomed.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("d_rows"),
+        count_distinct(col("user_id")).as("n_users"),
+        dec(col("value")).as("dv"))
+    val zero = lit(0).cast(DecimalType(30, 2))
+    mv.join(delta, Seq("event_type"), "left")
+      .select(col("event_type"),
+        col("n0").as("n_before"),
+        coalesce(col("d_rows"), lit(0L)).as("d_rows"),
+        (col("n0") - coalesce(col("d_rows"), lit(0L))).as("n_after"),
+        coalesce(col("n_users"), lit(0L)).as("n_users"),
+        col("v0").cast(DoubleType).as("v_before"),
+        (col("v0") - coalesce(col("dv"), zero)).cast(DoubleType).as("v_after"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Adversarial oracle: before-state from all rows, but the AFTER-state
+    * recomputed from scratch over the surviving rows only — hash equality
+    * proves the negative-delta maintenance lands exactly on the ground
+    * truth a full recompute would produce. */
+  val p22Sql: String =
+    """WITH tomb AS (
+      |  SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 13),
+      |mv AS (
+      |  SELECT event_type, COUNT(*) AS n0,
+      |    SUM(CAST(value AS DECIMAL(30,2))) AS v0
+      |  FROM events GROUP BY 1),
+      |del AS (
+      |  SELECT event_type, COUNT(*) AS d_rows,
+      |    COUNT(DISTINCT user_id) AS n_users
+      |  FROM events WHERE user_id IN (SELECT user_id FROM tomb) GROUP BY 1),
+      |ret AS (
+      |  SELECT event_type, COUNT(*) AS n1,
+      |    SUM(CAST(value AS DECIMAL(30,2))) AS v1
+      |  FROM events WHERE user_id NOT IN (SELECT user_id FROM tomb) GROUP BY 1)
+      |SELECT mv.event_type,
+      |  mv.n0 AS n_before,
+      |  CAST(COALESCE(del.d_rows, 0) AS BIGINT) AS d_rows,
+      |  CAST(COALESCE(ret.n1, 0) AS BIGINT) AS n_after,
+      |  CAST(COALESCE(del.n_users, 0) AS BIGINT) AS n_users,
+      |  CAST(CAST(mv.v0 AS VARCHAR) AS DOUBLE) AS v_before,
+      |  CAST(CAST(COALESCE(ret.v1, 0) AS VARCHAR) AS DOUBLE) AS v_after
+      |FROM mv
+      |LEFT JOIN del ON mv.event_type = del.event_type
+      |LEFT JOIN ret ON mv.event_type = ret.event_type
+      |ORDER BY mv.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p22_deletion_propagation" -> (p22DeletionPropagation _),
     "p21_padding_audit" -> (p21PaddingAudit _),
     "p20_scd2_dimension" -> (p20Scd2Dimension _),
     "p19_multimodal_curation" -> (p19MultimodalCuration _),
@@ -1477,6 +1562,7 @@ object PipelineQueries {
   // def, not val: p19Sql embeds Sidecars.oracleDir-keyed paths, which
   // Verify pins at runtime before dumping oracle_sql.json
   def oracle: Map[String, String] = Map(
+    "p22_deletion_propagation" -> p22Sql,
     "p21_padding_audit" -> p21Sql,
     "p20_scd2_dimension" -> p20Sql,
     "p19_multimodal_curation" -> p19Sql,

@@ -1873,7 +1873,171 @@ object SimilarityQueries {
       |SELECT q_id, rnk, vec_id AS neighbor_id, hamming, cosine FROM ranked WHERE rnk <= 5
       |ORDER BY q_id, rnk""".stripMargin
 
+  // ---------------------------------------------------------------- s19
+  /** IVF nprobe OPERATING-POINT sweep — the third member of the
+    * index-tuning-audit family (s17 truncation, d14 estimator
+    * calibration): before a deployment fixes nprobe, measure the
+    * recall-vs-scan-cost frontier on real data. For nprobe in {1, 2, 4}
+    * the audit reports, summed over 10 planted queries: how many
+    * candidates the probed cells actually admit (the cost axis — what
+    * the serving fleet pays per query), exact-top-1 agreement, and
+    * top-10 overlap against the exhaustive scan (the recall axis). The
+    * published row set IS the tuning curve an operator reads to pick
+    * the knee.
+    *
+    * Cost discipline: the sweep scores the WIDEST setting's candidate
+    * frame once (probe_rank <= 4, each candidate row tagged with the
+    * rank of its cell in the query's probe order) and derives every
+    * narrower setting by filtering that one frame — 3 settings cost 1
+    * scan, which is how a production sweep must work (re-scanning per
+    * setting would triple the audit's IO for identical information).
+    *
+    * Hash contract: cell assignment and probe order use the ROUNDED
+    * centroid cosine with ties to the larger cell (d15's convention —
+    * argmax on raw doubles is not a cross-engine contract at 1e-6
+    * granularity); candidate cosines round 1e-6; all published columns
+    * are integers. The oracle restates assignment, probe ranking,
+    * scoring and both recall joins end to end.
+    */
+  def s19NprobeSweep(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.spread(Tables.embeddings(s, dir)).withColumn("v", embD)
+      .select(col("vec_id"), col("label"), col("v"))
+    val cents = codebook(e)
+    def entries(vc: Column): Column = array(cents.map { case (cell, cv, _) =>
+      struct(
+        (floor(call_function("graft_cosine", array(cv.map(lit): _*), vc) * 1e6 + 0.5) / 1e6).as("csim"),
+        lit(cell).as("cell"))
+    }: _*)
+    val assigned = e
+      .withColumn("cell", array_max(entries(col("v"))).getField("cell"))
+      .withColumn("norm", sqrt(dot("v", "v")))
+      .select(col("cell"), col("vec_id"), col("v"), col("norm"))
+      .localCheckpoint() // read by the probe join AND the exact scan
+    val q = plantedQueries(e.select(col("vec_id"), col("v")), k = 10, off = 301, factor = 0.15)
+      .withColumn("qnorm", sqrt(dot("qv", "qv")))
+      .localCheckpoint() // tiny; reused by probes and ground truth
+    val exactTop = assigned.select(col("vec_id"), col("v"), col("norm"))
+      .crossJoin(broadcast(q))
+      .withColumn("cosine",
+        floor(call_function("graft_cosine", col("qv"), col("v")) * 1e6 + 0.5) / 1e6)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rnk") <= 10)
+      .select(col("q_id"), col("vec_id"), col("rnk"))
+    val probeRanked = q
+      .select(col("q_id"), col("qv"), col("qnorm"),
+        posexplode(slice(reverse(array_sort(entries(col("qv")))), 1, 4)).as(Seq("pos", "s")))
+      .select(col("q_id"), col("qv"), col("qnorm"),
+        (col("pos") + 1).as("probe_rank"), col("s.cell").as("cell"))
+    val cand = assigned.join(broadcast(probeRanked), Seq("cell"))
+      .withColumn("cosine",
+        floor(call_function("graft_cosine", col("qv"), col("v")) * 1e6 + 0.5) / 1e6)
+      .select(col("q_id"), col("vec_id"), col("probe_rank"), col("cosine"))
+      .localCheckpoint() // the one scored frame all three settings read
+    val sweep = Seq(1, 2, 4).map { np =>
+      val sub = cand.filter(col("probe_rank") <= np)
+      val scanned = sub.groupBy().agg(count(lit(1)).as("n_scanned"))
+      val top = sub.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))))
+        .filter(col("rnk") <= 10)
+      val hits1 = top.filter(col("rnk") === 1)
+        .join(exactTop.filter(col("rnk") === 1)
+          .select(col("q_id"), col("vec_id")), Seq("q_id", "vec_id"))
+        .groupBy().agg(count(lit(1)).as("hits_at1"))
+      val ov10 = top.select(col("q_id"), col("vec_id"))
+        .join(exactTop.select(col("q_id"), col("vec_id")), Seq("q_id", "vec_id"))
+        .groupBy().agg(count(lit(1)).as("overlap_at10"))
+      scanned.crossJoin(hits1).crossJoin(ov10).select(
+        lit(np).cast(LongType).as("nprobe"), col("n_scanned"),
+        col("hits_at1"), col("overlap_at10"))
+    }.reduce(_ unionAll _)
+    sweep.orderBy(col("nprobe"))
+  }
+
+  /** End-to-end restatement: rounded-argmax assignment and probe order,
+    * one probe_rank <= 4 candidate frame, per-setting filter + ranking,
+    * exact-scan ground truth, both recall joins. */
+  val s19Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cnt AS (SELECT COUNT(*) AS n FROM e),
+      |flat AS (
+      |  SELECT label, i AS dim, v[i] AS x
+      |  FROM e, unnest(generate_series(1, 64)) AS u(i)),
+      |cent AS (
+      |  SELECT label, dim,
+      |    CAST(CAST(SUM(CAST(x AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS m
+      |  FROM flat GROUP BY 1, 2),
+      |carr AS (SELECT label AS cell, list(m ORDER BY dim) AS cv FROM cent GROUP BY label),
+      |cnrm AS (
+      |  SELECT cell, cv,
+      |    SQRT(list_reduce(list_transform(generate_series(1, 64), i -> cv[i] * cv[i]), (x, y) -> x + y)) AS cn
+      |  FROM carr),
+      |asg0 AS (
+      |  SELECT c.vec_id, c.v, m.cell,
+      |    ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+      |      FLOOR(list_reduce(list_transform(generate_series(1, 64), i -> c.v[i] * m.cv[i]), (x, y) -> x + y)
+      |        / (SQRT(list_reduce(list_transform(generate_series(1, 64), i -> c.v[i] * c.v[i]), (x, y) -> x + y)) * m.cn)
+      |        * 1e6 + 0.5) / 1e6 DESC, m.cell DESC) AS rnk
+      |  FROM e c CROSS JOIN cnrm m),
+      |asg AS (
+      |  SELECT vec_id, v, cell,
+      |    SQRT(list_reduce(list_transform(generate_series(1, 64), i -> v[i] * v[i]), (x, y) -> x + y)) AS nrm
+      |  FROM asg0 WHERE rnk = 1),
+      |q AS (
+      |  SELECT b.vec_id AS q_id,
+      |    list_transform(generate_series(1, 64), i -> b.v[i] + 0.15 * p.v[i]) AS qv
+      |  FROM e b JOIN cnt ON TRUE JOIN e p ON p.vec_id = (b.vec_id + 301) % cnt.n
+      |  WHERE b.vec_id < 10),
+      |qn AS (
+      |  SELECT q_id, qv,
+      |    SQRT(list_reduce(list_transform(generate_series(1, 64), i -> qv[i] * qv[i]), (x, y) -> x + y)) AS qnrm
+      |  FROM q),
+      |pr AS (
+      |  SELECT q_id, qv, qnrm, cell,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+      |      FLOOR(list_reduce(list_transform(generate_series(1, 64), i -> qv[i] * m.cv[i]), (x, y) -> x + y)
+      |        / (qnrm * m.cn) * 1e6 + 0.5) / 1e6 DESC, m.cell DESC) AS probe_rank
+      |  FROM qn CROSS JOIN cnrm m),
+      |cand AS (
+      |  SELECT pr.q_id, a.vec_id, pr.probe_rank,
+      |    FLOOR(list_reduce(list_transform(generate_series(1, 64), i -> pr.qv[i] * a.v[i]), (x, y) -> x + y)
+      |      / (pr.qnrm * a.nrm) * 1e6 + 0.5) / 1e6 AS cosine
+      |  FROM pr JOIN asg a ON pr.cell = a.cell AND pr.probe_rank <= 4),
+      |exact AS (
+      |  SELECT qn.q_id, a.vec_id,
+      |    ROW_NUMBER() OVER (PARTITION BY qn.q_id ORDER BY
+      |      FLOOR(list_reduce(list_transform(generate_series(1, 64), i -> qn.qv[i] * a.v[i]), (x, y) -> x + y)
+      |        / (qn.qnrm * a.nrm) * 1e6 + 0.5) / 1e6 DESC, a.vec_id) AS rnk
+      |  FROM qn CROSS JOIN asg a),
+      |et AS (SELECT q_id, vec_id, rnk FROM exact WHERE rnk <= 10),
+      |np AS (SELECT UNNEST([1, 2, 4]) AS nprobe),
+      |sub AS (
+      |  SELECT np.nprobe, c.q_id, c.vec_id,
+      |    ROW_NUMBER() OVER (PARTITION BY np.nprobe, c.q_id ORDER BY c.cosine DESC, c.vec_id) AS rnk
+      |  FROM np JOIN cand c ON c.probe_rank <= np.nprobe),
+      |scanned AS (
+      |  SELECT np.nprobe, COUNT(*) AS n_scanned
+      |  FROM np JOIN cand c ON c.probe_rank <= np.nprobe GROUP BY 1),
+      |h1 AS (
+      |  SELECT s.nprobe, COUNT(*) AS hits_at1
+      |  FROM sub s JOIN et ON s.q_id = et.q_id AND s.vec_id = et.vec_id
+      |  WHERE s.rnk = 1 AND et.rnk = 1 GROUP BY 1),
+      |o10 AS (
+      |  SELECT s.nprobe, COUNT(*) AS overlap_at10
+      |  FROM sub s JOIN et ON s.q_id = et.q_id AND s.vec_id = et.vec_id
+      |  WHERE s.rnk <= 10 GROUP BY 1)
+      |SELECT CAST(sc.nprobe AS BIGINT) AS nprobe, sc.n_scanned,
+      |  COALESCE(h1.hits_at1, 0) AS hits_at1,
+      |  COALESCE(o10.overlap_at10, 0) AS overlap_at10
+      |FROM scanned sc
+      |LEFT JOIN h1 ON sc.nprobe = h1.nprobe
+      |LEFT JOIN o10 ON sc.nprobe = o10.nprobe
+      |ORDER BY nprobe""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s19_nprobe_sweep" -> (s19NprobeSweep _),
     "s18_binary_ann" -> (s18BinaryAnn _),
     "s17_matryoshka" -> (s17Matryoshka _),
     "s16_maxsim" -> (s16MaxSim _),
@@ -1894,6 +2058,7 @@ object SimilarityQueries {
     "s06_ann_verified" -> (s06AnnVerified _))
 
   val oracle: Map[String, String] = Map(
+    "s19_nprobe_sweep" -> s19Sql,
     "s18_binary_ann" -> s18Sql,
     "s17_matryoshka" -> s17Sql,
     "s16_maxsim" -> s16Sql,

@@ -225,7 +225,68 @@ object StreamingQueries {
       |  AND lang IN ('en', 'de')
       |ORDER BY doc_id""".stripMargin
 
+  /** Streaming INCREMENTAL VIEW MAINTENANCE — the stream twin of p18's
+    * batch IVM algebra, and the missing equivalence class after
+    * st01–st05 (st01 proves windowed state aggregation; this proves the
+    * foreachBatch MERGE pattern every production MV deployment actually
+    * uses): the corpus arrives as a sequence of file drops, and each
+    * micro-batch folds ONLY its own delta into the persisted rollup —
+    * new_mv = old_mv (+) delta(batch), O(|MV| + |batch|) per trigger,
+    * never a corpus rescan.
+    *
+    * The input is deliberately split into 8 arrival files and streamed
+    * with maxFilesPerTrigger = 1, so the run exercises 8 REAL sequential
+    * merges (a single-batch run would prove nothing about the algebra).
+    * Each merge writes a NEW versioned directory keyed by batchId —
+    * a replayed batch overwrites its own version, the exactly-once
+    * idempotence pattern — and the final version is published.
+    *
+    * Oracle: the one-shot batch rollup over raw documents. Hash equality
+    * says 8 incremental merges land bit-for-bit on the batch answer no
+    * matter how the rows split across arrivals (counts and character
+    * masses are associative/commutative int64 — the same reason the
+    * production MERGE INTO is safe under arbitrary micro-batching).
+    */
+  def st06StreamIncrementalMv(s: SparkSession, dir: String): DataFrame = {
+    val root = s"/tmp/graft_stream_${Sidecars.tag(dir)}/st06"
+    deleteRecursively(java.nio.file.Paths.get(root))
+    graft.Tables.documents(s, dir).repartition(8)
+      .write.mode("overwrite").parquet(s"$root/arrivals")
+    val latest = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val q = s.readStream.schema(graft.streaming.CorpusStream.docSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$root/arrivals")
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
+        val delta = batch.groupBy(col("source")).agg(
+          count(lit(1)).as("dn"),
+          sum(length(col("text")).cast("long")).as("dc"))
+        val prev = latest.get()
+        val merged =
+          if (prev == null)
+            delta.select(col("source"), col("dn").as("n_docs"), col("dc").as("sum_chars"))
+          else s.read.parquet(prev)
+            .join(delta, Seq("source"), "full_outer")
+            .select(col("source"),
+              (coalesce(col("n_docs"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_docs"),
+              (coalesce(col("sum_chars"), lit(0L)) + coalesce(col("dc"), lit(0L))).as("sum_chars"))
+        merged.write.mode("overwrite").parquet(s"$root/mv_$id")
+        latest.set(s"$root/mv_$id")
+      }
+      .option("checkpointLocation", s"$root/_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(latest.get()).orderBy(col("source"))
+  }
+
+  val st06Sql: String =
+    """SELECT source, COUNT(*) AS n_docs, CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st06_stream_incremental_mv" -> (st06StreamIncrementalMv _),
     "st01_stream_hourly" -> (st01StreamHourly _),
     "st02_stream_dedup" -> (st02StreamDedup _),
     "st03_stream_join" -> (st03StreamJoin _),
@@ -233,6 +294,7 @@ object StreamingQueries {
     "st05_stream_filter" -> (st05StreamFilter _))
 
   val oracle: Map[String, String] = Map(
+    "st06_stream_incremental_mv" -> st06Sql,
     "st01_stream_hourly" -> st01Sql,
     "st02_stream_dedup" -> st02Sql,
     "st03_stream_join" -> st03Sql,

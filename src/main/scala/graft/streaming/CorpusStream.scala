@@ -27,7 +27,7 @@ import org.apache.spark.sql.types._
   */
 object CorpusStream {
 
-  private[streaming] val docSchema = StructType(Seq(
+  private[graft] val docSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("text", StringType),
     StructField("lang", StringType),

@@ -205,6 +205,126 @@ class Round7OpsSpec extends SparkTestBase {
     assert(rows.forall(r => r.getLong(2) >= 0 && r.getLong(2) <= 32))
   }
 
+  test("d15: SemDeDup drops the prototypical endpoint of every same-cell twin couple") {
+    val out = operators.DedupQueries.d15SemDedup(spark, Sf001).collect()
+    assert(out.length === 540, "500 base + 40 planted twins")
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    // every planted couple that lands in one cell must lose an endpoint
+    // (SemDeDup sees the ~0.97 paraphrase pair; d07's 0.99 cut would not)
+    val sameCell = (0L until 40L).filter(b =>
+      byId(b).getInt(1) === byId(b + 2000000L).getInt(1))
+    assert(sameCell.length >= 24, s"only ${sameCell.length} twins kept their base's cell")
+    assert(sameCell.forall(b =>
+      byId(b).getBoolean(3) || byId(b + 2000000L).getBoolean(3)),
+      "a same-cell twin couple survived intact")
+    // diversity keep rule: the strictly-least-prototypical item of a cell
+    // can never be dropped (it wins every pair it is part of)
+    for ((cell, rows) <- out.groupBy(_.getInt(1))) {
+      val minC = rows.map(_.getDouble(2)).min
+      val strictMin = rows.filter(_.getDouble(2) == minC)
+      if (strictMin.length == 1)
+        assert(!strictMin.head.getBoolean(3), s"min-cosc item of cell $cell was dropped")
+      assert(!rows.forall(_.getBoolean(3)), s"cell $cell lost every member")
+    }
+    assert(out.count(_.getBoolean(3)) >= sameCell.length, "drop count below couple count")
+  }
+
+  test("st06: eight incremental merges land exactly on the one-shot batch rollup") {
+    val mv = operators.StreamingQueries.st06StreamIncrementalMv(spark, Sf001).collect()
+    val batch = Tables.documents(spark, Sf001)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(length(col("text")).cast("long")).as("sum_chars"))
+      .orderBy(col("source")).collect()
+    assert(mv.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+    // the run must have been genuinely multi-batch: 8 arrival files ->
+    // 8 versioned merges on disk
+    val root = new java.io.File(s"/tmp/graft_stream_${Sidecars.tag(Sf001)}/st06")
+    val versions = root.listFiles().map(_.getName).filter(_.startsWith("mv_"))
+    assert(versions.length >= 4, s"expected multi-batch IVM, got ${versions.toSeq}")
+  }
+
+  test("p22: deletion cascade audit is internally consistent and matches the anti-join ground truth") {
+    val out = operators.PipelineQueries.p22DeletionPropagation(spark, Sf001).collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      assert(r.getLong(1) - r.getLong(2) === r.getLong(3), "n_before - d_rows != n_after")
+      assert(r.getLong(4) <= r.getLong(2), "more affected users than purged rows")
+      assert(r.getDouble(6) <= r.getDouble(5), "value mass grew after a purge")
+    }
+    assert(out.map(_.getLong(2)).sum > 0, "tombstones purged nothing — degenerate")
+    // adversarial in-engine ground truth: recompute the survivors with a
+    // broadcast anti-join and compare counts per event type
+    val ev = Tables.events(spark, Sf001)
+    val tomb = ev.filter(col("user_id") % 97 === 13).select(col("user_id")).distinct()
+    val retained = ev.join(broadcast(tomb), Seq("user_id"), "left_anti")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n1"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (r <- out)
+      assert(r.getLong(3) === retained.getOrElse(r.getString(0), 0L),
+        s"incremental n_after diverges from anti-join recompute for ${r.getString(0)}")
+  }
+
+  test("q95: consecutive-pattern match equals a sequential replay and plans with no join") {
+    val df = operators.ExtendedQueries.q95PatternMatch(spark, Sf001)
+    // the declarative LEAD spelling must not degenerate into self-joins
+    assert(!df.queryExecution.executedPlan.toString.contains("Join"),
+      "pattern matching should be one window pass, not an adjacency join")
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent sequential replay of every user's ordered stream
+    val events = Tables.events(spark, Sf001)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type")).collect()
+    val expected = events.groupBy(_.getLong(0)).map { case (u, rows) =>
+      val types = rows.sortBy(r => (r.getTimestamp(1).getTime, r.getLong(2))).map(_.getString(3))
+      u -> types.sliding(3).count(w => w.length == 3 &&
+        w(0) == "click" && w(1) == "view" && w(2) == "purchase")
+    }.filter(_._2 > 0)
+    assert(got === expected.map { case (u, n) => u -> n.toLong })
+  }
+
+  test("s19: nprobe sweep is a monotone cost/recall frontier") {
+    val rows = operators.SimilarityQueries.s19NprobeSweep(spark, Sf001).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 4L))
+    val scanned = rows.map(_.getLong(1))
+    val hits1 = rows.map(_.getLong(2))
+    val ov10 = rows.map(_.getLong(3))
+    // widening the probe set can only add candidates — cost strictly grows,
+    // recall never shrinks (the candidate sets are nested by construction)
+    assert(scanned(0) < scanned(1) && scanned(1) < scanned(2), scanned.toSeq)
+    assert(hits1(0) <= hits1(1) && hits1(1) <= hits1(2), hits1.toSeq)
+    assert(ov10(0) <= ov10(1) && ov10(1) <= ov10(2), ov10.toSeq)
+    assert(hits1.forall(h => h >= 0 && h <= 10))
+    assert(ov10.forall(o => o >= 0 && o <= 100))
+    // the audit must show a real operating point: the widest setting
+    // recovers the exact top-1 for at least 8 of 10 queries
+    assert(hits1(2) >= 8, s"nprobe=4 recall@1 collapsed: ${hits1(2)}/10")
+  }
+
+  test("g12: bounded Bellman-Ford equals a sequential relaxation replay") {
+    val out = operators.GraphQueries.g12WeightedSssp(spark, Sf0001).collect()
+    assert(out.head.getLong(2) === 0L, "source must sit at distance 0")
+    assert(out.map(_.getLong(2)).toSeq === out.map(_.getLong(2)).toSeq.sorted)
+    assert(out.map(_.getLong(2)).distinct.length >= 3, "degenerate distance field")
+    // sequential ground truth: 4 relaxation rounds over the same lengths
+    val pairs = Tables.orders(spark, Sf0001).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, Sf0001).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey").cast("long").as("u"),
+        (lit(1000000L) + col("l_suppkey")).as("v"))
+      .agg(count(lit(1)).as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val edges = (pairs.map { case (u, v, w) => (u, v, 1000L / w + 1L) } ++
+      pairs.map { case (u, v, w) => (v, u, 1000L / w + 1L) }).toSeq
+    val deg = edges.groupBy(_._1).map { case (n, es) => n -> es.length }
+    val src = deg.toSeq.sortBy { case (n, d) => (-d, n) }.head._1
+    var dist = Map(src -> 0L)
+    for (_ <- 1 to 4) {
+      val relaxed = edges.flatMap { case (u, v, len) => dist.get(u).map(d => v -> (d + len)) }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1).map { case (n, ds) => n -> ds.map(_._2).min }
+    }
+    val expected = dist.toSeq.sortBy { case (n, d) => (d, n) }.take(30)
+    assert(out.map(r => (r.getLong(0), r.getLong(2))).toSeq === expected)
+  }
+
   test("s16: shortlist is a strict subset of the corpus (bounded candidate set)") {
     // every returned neighbor must come from a probed cell; with 10 cells
     // and 2 probes the candidate pool is ~1/5 of the corpus — assert the
