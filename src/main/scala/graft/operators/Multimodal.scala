@@ -913,7 +913,184 @@ object Multimodal {
       |  MIN(sampled_bytes) AS min_bytes, MAX(sampled_bytes) AS max_bytes
       |FROM per_media GROUP BY n_frames ORDER BY n_frames""".stripMargin
 
+  // ---------------------------------------------------------------- m06
+  /** 32-point DCT-II basis, precomputed once: cos(pi/32 * (n + 0.5) * k).
+    * Only the first 8 frequencies of each dimension are ever read. */
+  private val DctCos: Array[Array[Double]] =
+    Array.tabulate(32, 32)((k, n) => math.cos(math.Pi / 32.0 * (n + 0.5) * k))
+
+  /** 64-bit DCT perceptual hash (pHash) — the SPECTRAL image fingerprint
+    * one tier above m03's aHash: 32x32 grayscale downsample, separable
+    * 2-D DCT-II, keep the top-left 8x8 low-frequency block, threshold
+    * each AC coefficient against the MEDIAN of the 63 AC terms (bit 0,
+    * the DC slot, stays 0). Two structural robustness properties aHash
+    * lacks: high-frequency content (noise, sharpening, dithering) lands
+    * in DCT bins the 8x8 block never reads, and the median threshold
+    * fixes the popcount at ~31 regardless of the image's tonal
+    * distribution, so hash distances are comparable across light and
+    * dark images. Cost: 2 x (32x32x8) multiply-adds per image —
+    * separable rows-then-columns, computing only the 8 needed output
+    * frequencies per dimension, not all 32.
+    */
+  private[operators] def pHash(payload: Array[Byte]): Long = {
+    val src = ImageIO.read(new ByteArrayInputStream(payload))
+    require(src != null, "payload is not a decodable image")
+    val dst = new BufferedImage(32, 32, BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    try g.drawImage(src, 0, 0, 32, 32, null) finally g.dispose()
+    val lum = Array.ofDim[Double](32, 32)
+    var y = 0
+    while (y < 32) {
+      var x = 0
+      while (x < 32) {
+        val rgb = dst.getRGB(x, y)
+        lum(y)(x) = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    val rows = Array.ofDim[Double](32, 8) // row-wise DCT, 8 output freqs
+    y = 0
+    while (y < 32) {
+      var v = 0
+      while (v < 8) {
+        var acc = 0.0
+        var x = 0
+        while (x < 32) { acc += lum(y)(x) * DctCos(v)(x); x += 1 }
+        rows(y)(v) = acc
+        v += 1
+      }
+      y += 1
+    }
+    val d = Array.ofDim[Double](8, 8) // column-wise DCT over the row outputs
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var acc = 0.0
+        var yy = 0
+        while (yy < 32) { acc += rows(yy)(v) * DctCos(u)(yy); yy += 1 }
+        d(u)(v) = acc
+        v += 1
+      }
+      u += 1
+    }
+    val ac = new Array[Double](63)
+    var i = 1
+    while (i < 64) { ac(i - 1) = d(i / 8)(i % 8); i += 1 }
+    java.util.Arrays.sort(ac)
+    val median = ac(31)
+    var bits = 0L
+    i = 1
+    while (i < 64) { if (d(i / 8)(i % 8) > median) bits |= (1L << i); i += 1 }
+    bits
+  }
+
+  /** Contrast-reduction edit used to PLANT pHash near-duplicates:
+    * v' = 128 + (v - 128) * 3/4 per channel — the re-encode-at-lower-
+    * contrast transform every pixel of the image undergoes. Chosen
+    * deliberately CLAMP-FREE (range [32, 223]): an affine luminance map
+    * scales every DCT coefficient AND the AC median by the same factor,
+    * so each `coef > median` comparison is preserved exactly and the
+    * only hash movement comes from per-channel integer rounding (<= 1
+    * luminance unit of high-frequency noise against AC coefficients
+    * hundreds of units wide) — a measured 0–5 bits against the
+    * Hamming <= 7 budget. (A +/-8 checkerboard variant was measured to
+    * leak up to 8 bits: channel CLAMPING rectifies symmetric noise into
+    * content-dependent low-frequency energy. Nonlinearity, not
+    * frequency, is what moves a spectral hash.) */
+  private[operators] def perturbContrast(payload: Array[Byte]): Array[Byte] = {
+    val src = ImageIO.read(new ByteArrayInputStream(payload))
+    require(src != null, "payload is not a decodable image")
+    def sq(v: Int): Int = 128 + ((v - 128) * 3) / 4
+    var y = 0
+    while (y < src.getHeight) {
+      var x = 0
+      while (x < src.getWidth) {
+        val rgb = src.getRGB(x, y)
+        src.setRGB(x, y,
+          (sq((rgb >> 16) & 0xff) << 16) | (sq((rgb >> 8) & 0xff) << 8) | sq(rgb & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(src, "bmp", out)
+    out.toByteArray
+  }
+
+  /** Driver-contract query: image near-dup dedup via banded DCT pHash
+    * with a TWO-VIEW verify — the production near-dup shape for media:
+    * a cheap banded shortlist (8 x 8-bit pHash bands, bucket-collision
+    * candidates, structural pigeonhole recall at <= 7 bits), then a
+    * verify stage that demands agreement from TWO independent
+    * fingerprints (spectral pHash <= 7 AND spatial aHash <= 7). The
+    * conjunction exists because one 64-bit perceptual hash is NOT a
+    * verifier: measured on this corpus, cross-image pHash distances dip
+    * to 6 (tiled synthetic rasters share low-frequency structure, so
+    * impostor pairs overlap the twin budget), while a genuine re-encode
+    * twin passes BOTH views and an impostor would need a simultaneous
+    * double collision of two fingerprints built from disjoint evidence
+    * (8x8 frequency block vs 8x8 spatial grid). Same fused synthesis
+    * pass as m03 (encode once, perturb once, hash both); both
+    * fingerprints go to the m06_phash sidecar so the DuckDB oracle
+    * audits the entire shortlist + two-view verify over identical bits.
+    */
+  def m06ImagePhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashed = Tables.spread(Tables.documents(s, dir))
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val raw = text.getBytes("UTF-8")
+        val base = if (raw.isEmpty) Array[Byte](0) else raw
+        val orig = encodeBmp(base)
+        val twin = perturbContrast(orig)
+        Seq((id, pHash(orig), aHash(orig)),
+          (id + 1000000L, pHash(twin), aHash(twin)))
+      })
+      .toDF("media_id", "h", "a")
+    val side = graft.Sidecars.write(hashed, dir, "m06_phash")
+    // shortlist on the pHash bands only; verify on both fingerprints
+    val banded = side.select(col("media_id"), col("h"), col("a"), explode(expr(
+        "transform(sequence(0, 7), b -> named_struct('band', b, 'bucket', (h >> (b * 8)) & 255))")).as("bb"))
+      .select(col("media_id"), col("h"), col("a"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("ida"), col("x.h").as("ha"), col("x.a").as("aa"),
+        col("y.media_id").as("idb"), col("y.h").as("hb"), col("y.a").as("ab"))
+      .distinct()
+      .withColumn("ph_hamming", expr("bit_count(ha ^ hb)").cast(LongType))
+      .withColumn("ah_hamming", expr("bit_count(aa ^ ab)").cast(LongType))
+      .filter(col("ph_hamming") <= 7 && col("ah_hamming") <= 7)
+      .select(col("ida"), col("idb"), col("ph_hamming"), col("ah_hamming"))
+      .orderBy(col("ida"), col("idb"))
+  }
+
+  /** The pHash band shortlist + two-view verify restated over the
+    * sidecar's (media_id, h, a) fingerprints. */
+  private def m06Sql: String =
+    s"""WITH side AS (SELECT * FROM '${graft.Sidecars.oraclePath("m06_phash")}/*.parquet'),
+      |banded AS (
+      |  SELECT media_id, h, a, g.b AS band, (h >> (g.b * 8)) & 255 AS bucket
+      |  FROM side, unnest(generate_series(0, 7)) AS g(b)),
+      |pairs AS (
+      |  SELECT DISTINCT x.media_id AS ida, x.h AS ha, x.a AS aa,
+      |    y.media_id AS idb, y.h AS hb, y.a AS ab
+      |  FROM banded x JOIN banded y
+      |    ON x.band = y.band AND x.bucket = y.bucket AND x.media_id < y.media_id)
+      |SELECT ida, idb,
+      |  CAST(bit_count(xor(ha, hb)) AS BIGINT) AS ph_hamming,
+      |  CAST(bit_count(xor(aa, ab)) AS BIGINT) AS ah_hamming
+      |FROM pairs
+      |WHERE bit_count(xor(ha, hb)) <= 7 AND bit_count(xor(aa, ab)) <= 7
+      |ORDER BY ida, idb""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m06_image_phash" -> (m06ImagePhash _),
     "m01_media_features" -> (m01MediaFeatures _),
     "m02_frame_sample" -> (m02FrameSample _),
     "m03_image_dedup" -> (m03ImageDedup _),
@@ -928,6 +1105,7 @@ object Multimodal {
     * same two-sided closure t17 uses. def, not val: the SQL embeds the
     * Sidecars.oracleDir-keyed paths Verify pins at runtime. */
   def oracle: Map[String, String] = Map(
+    "m06_image_phash" -> m06Sql,
     "m01_media_features" -> m01Sql,
     "m02_frame_sample" -> m02Sql,
     "m03_image_dedup" -> bandedHammingSql("m03_ahash", maxHamming = 7),

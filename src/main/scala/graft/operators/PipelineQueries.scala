@@ -1535,7 +1535,94 @@ object PipelineQueries {
       |LEFT JOIN ret ON mv.event_type = ret.event_type
       |ORDER BY mv.event_type""".stripMargin
 
+  // ---------------------------------------------------------------- p23
+  /** Size-balanced training-shard manifest — the step that turns a
+    * curated corpus into N fixed-token-budget shards plus the manifest a
+    * training launcher reads (per-shard doc count, token mass, byte-range
+    * offsets). Real pipelines cut shards by TOKENS, not documents —
+    * equal-doc shards skew wall-clock per data-loader worker when length
+    * distributions are heavy-tailed.
+    *
+    * Shard assignment is greedy-by-offset over the p14 hash-permuted
+    * order (key = md5('shard:' || doc_id) — reproducible, re-derivable
+    * by any worker, decorrelated from ingest order): each doc's global
+    * token START offset comes from the same two-level distributed prefix
+    * sum as p04/p14 (256-way md5-prefix range buckets; within-bucket
+    * window + 256-row offset frame — no corpus-wide ranking window), and
+    * shard_id = start_off div ceil(total/16). A document never splits
+    * (the greedy contract: a shard owns every doc that STARTS inside its
+    * token budget), so the last shard absorbs the rounding tail — the
+    * manifest's sum_tokens column makes that imbalance measurable, which
+    * is the point of shipping a manifest at all.
+    *
+    * Output: 16 rows — shard_id, n_docs, sum_tokens, first_off, end_off
+    * (contiguity witness: each shard's end_off is the next's first_off).
+    * Oracle restates the permutation as a flat global window (the md5
+    * prefix IS the bucket — p14's ordering argument) + identical integer
+    * div arithmetic.
+    */
+  def p23ShardManifest(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.spread(Tables.documents(s, dir))
+      .withColumn("n_tokens",
+        expr("size(regexp_extract_all(text, '[A-Za-z0-9]+', 0))").cast(LongType))
+      .withColumn("key", md5(concat(lit("shard:"), col("doc_id").cast(StringType))))
+      .withColumn("bucket", expr("cast(conv(substring(key, 1, 2), 16, 10) as int)"))
+      .select(col("doc_id"), col("n_tokens"), col("key"), col("bucket"))
+      .cache() // three readers: within-bucket window, bucket offsets, total
+    try {
+      toks.count()
+      val wIn = Window.partitionBy(col("bucket")).orderBy(col("key"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val within = toks.withColumn("within_off",
+        coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+      // 256 rows: the running-sum frame is bucket-count-sized, never corpus-sized
+      val wOff = Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = toks.groupBy(col("bucket"))
+        .agg(sum(col("n_tokens")).as("bt"))
+        .withColumn("bucket_off", coalesce(sum(col("bt")).over(wOff), lit(0L)))
+        .select(col("bucket"), col("bucket_off"))
+      // div, not `/`: Spark's `/` on longs is double division
+      val target = toks.agg(sum(col("n_tokens")).as("t"))
+        .select(expr("greatest((t + 15L) div 16L, 1L)").as("target"))
+      within.join(offsets, Seq("bucket"))
+        .withColumn("start_off", col("bucket_off") + col("within_off"))
+        .crossJoin(broadcast(target))
+        .withColumn("shard_id", expr("start_off div target"))
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          min(col("start_off")).as("first_off"),
+          max(col("start_off") + col("n_tokens")).as("end_off"))
+        .orderBy(col("shard_id"))
+        .localCheckpoint() // materialize before the cache below is released
+    } finally toks.unpersist()
+  }
+
+  /** Flat-global-window restatement of the two-level prefix sum (md5
+    * prefix = bucket, so ORDER BY key, doc_id is the identical total
+    * order) + the same ceil-div shard arithmetic. */
+  val p23Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens,
+      |    md5('shard:' || CAST(doc_id AS VARCHAR)) AS key
+      |  FROM documents),
+      |offs AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY key, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+      |  FROM toks),
+      |g AS (SELECT GREATEST((CAST(SUM(n_tokens) AS BIGINT) + 15) // 16, 1) AS target FROM toks)
+      |SELECT start_off // target AS shard_id,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+      |  MIN(start_off) AS first_off,
+      |  MAX(start_off + n_tokens) AS end_off
+      |FROM offs CROSS JOIN g
+      |GROUP BY 1 ORDER BY shard_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p23_shard_manifest" -> (p23ShardManifest _),
     "p22_deletion_propagation" -> (p22DeletionPropagation _),
     "p21_padding_audit" -> (p21PaddingAudit _),
     "p20_scd2_dimension" -> (p20Scd2Dimension _),
@@ -1562,6 +1649,7 @@ object PipelineQueries {
   // def, not val: p19Sql embeds Sidecars.oracleDir-keyed paths, which
   // Verify pins at runtime before dumping oracle_sql.json
   def oracle: Map[String, String] = Map(
+    "p23_shard_manifest" -> p23Sql,
     "p22_deletion_propagation" -> p22Sql,
     "p21_padding_audit" -> p21Sql,
     "p20_scd2_dimension" -> p20Sql,

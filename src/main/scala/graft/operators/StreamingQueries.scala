@@ -285,7 +285,111 @@ object StreamingQueries {
     """SELECT source, COUNT(*) AS n_docs, CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** WATERMARK LATE-DATA SEMANTICS — the one streaming behavior st01–st06
+    * deliberately avoid (their equivalence contracts arrange for nothing
+    * to be late): here lateness is CONSTRUCTED and the oracle audits the
+    * drop rule itself. The corpus is split into an on-time arrival (all
+    * events except a deterministic late set) and a second arrival of
+    * stragglers more than 3 hours behind the stream's head; file mtimes
+    * force the arrival order, maxFilesPerTrigger = 1 makes them two real
+    * micro-batches.
+    *
+    * The arrival sequence is THREE batches, because Spark's drop rule is
+    * eviction-scoped (measured on 4.1: a straggler whose window is still
+    * live in the state store is MERGED, not dropped — `droppedByWatermark`
+    * counts only rows for windows already finalized; the "may be dropped"
+    * hedge in the Spark docs is this exact behavior):
+    *   - batch 0: all on-time rows — the watermark advances to
+    *     head - 1h at commit;
+    *   - batch 1: a single synthetic TICK row inside the head (still-
+    *     open) window — it carries no observable weight (that window is
+    *     never emitted) and exists to run an eviction cycle: every
+    *     window with end <= head - 1h is finalized and emitted here;
+    *   - batch 2: the stragglers — their windows are now finalized, so
+    *     every row is dropped before touching state (the state-bound
+    *     contract that makes streaming aggregation feasible: state is
+    *     O(live windows), never O(history)).
+    *
+    * The oracle restates the semantic in batch SQL: hourly rollup over
+    * the on-time rows only, restricted to closed windows. An engine that
+    * leaked a straggler into a finalized window, or emitted an unclosed
+    * window, hash-mismatches. (In an unbounded deployment dropping
+    * stragglers is the documented cost of bounded state; the pipeline
+    * answer to stragglers is st06's IVM merge, not unbounded watermarks.)
+    */
+  def st07WatermarkLateData(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val root = s"/tmp/graft_stream_${Sidecars.tag(dir)}/st07"
+    deleteRecursively(java.nio.file.Paths.get(root))
+    val ev = graft.Tables.events(s, dir)
+    val mx = ev.agg(max(col("ts")).as("mx"))
+    val tagged = ev.crossJoin(broadcast(mx))
+      .withColumn("is_late",
+        col("user_id") % 19 === 7 && col("ts") < col("mx") - expr("INTERVAL 3 HOURS"))
+    val evCols = ev.columns.map(col)
+    tagged.filter(!col("is_late")).select(evCols: _*)
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/stage_ontime")
+    // the eviction tick: one row AT the stream head — its window is never
+    // emitted (end > head - 1h), so it is observationally inert; its batch
+    // exists only to run an eviction cycle between on-time and stragglers
+    ev.crossJoin(broadcast(mx)).filter(col("ts") === col("mx")).limit(1)
+      .withColumn("event_id", lit(-1L))
+      .select(evCols: _*)
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/stage_tick")
+    tagged.filter(col("is_late")).select(evCols: _*)
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/stage_late")
+    // one arrivals dir, mtime-ordered: FileStreamSource picks files
+    // oldest-first, so the order on-time -> tick -> stragglers is forced
+    val arrivals = new java.io.File(s"$root/arrivals")
+    arrivals.mkdirs()
+    def publish(stage: String, name: String, mtime: Long): java.io.File = {
+      val part = new java.io.File(s"$root/$stage").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(arrivals, name)
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+      dst
+    }
+    val now = System.currentTimeMillis()
+    val first = publish("stage_ontime", "arrival_0_ontime.parquet", now - 240000L)
+    publish("stage_tick", "arrival_1_tick.parquet", now - 120000L)
+    publish("stage_late", "arrival_2_late.parquet", now)
+    val name = "graft_st07_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = s.readStream.schema(s.read.parquet(first.getPath).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(arrivals.getPath)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(30, 2))).cast(DoubleType).as("total_value"))
+      .select(col("window.start").as("hour_start"), col("n"), col("total_value"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy(col("hour_start"))
+  }
+
+  /** The watermark semantic in batch form: on-time rows only (the drop
+    * rule), closed windows only (the append-emission rule). */
+  val st07Sql: String =
+    """WITH m AS (SELECT MAX(ts) AS mx FROM events),
+      |ot AS (
+      |  SELECT e.* FROM events e CROSS JOIN m
+      |  WHERE NOT (user_id % 19 = 7 AND ts < mx - INTERVAL 3 HOUR)),
+      |agg AS (
+      |  SELECT DATE_TRUNC('hour', ts) AS hour_start, COUNT(*) AS n,
+      |    CAST(CAST(SUM(CAST(value AS DECIMAL(30,2))) AS VARCHAR) AS DOUBLE) AS total_value
+      |  FROM ot GROUP BY 1)
+      |SELECT hour_start, n, total_value FROM agg CROSS JOIN m
+      |WHERE hour_start + INTERVAL 1 HOUR <= mx - INTERVAL 1 HOUR
+      |ORDER BY hour_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st07_watermark_late_data" -> (st07WatermarkLateData _),
     "st06_stream_incremental_mv" -> (st06StreamIncrementalMv _),
     "st01_stream_hourly" -> (st01StreamHourly _),
     "st02_stream_dedup" -> (st02StreamDedup _),
@@ -294,6 +398,7 @@ object StreamingQueries {
     "st05_stream_filter" -> (st05StreamFilter _))
 
   val oracle: Map[String, String] = Map(
+    "st07_watermark_late_data" -> st07Sql,
     "st06_stream_incremental_mv" -> st06Sql,
     "st01_stream_hourly" -> st01Sql,
     "st02_stream_dedup" -> st02Sql,

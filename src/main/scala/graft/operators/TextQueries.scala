@@ -1164,7 +1164,98 @@ object TextQueries {
       |  MIN(chunk_len) AS min_len, MAX(chunk_len) AS max_len
       |FROM fl GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- t20
+  /** CCNet-style perplexity bucketing — the quality-tier assignment step
+    * of the CCNet pipeline (Wenzek et al. 2020): score every document
+    * with the in-domain language model, then split the corpus into
+    * head / middle / tail TERCILES by score (head = lowest perplexity =
+    * most fluent; tail feeds back into filtering or gets down-weighted in
+    * the training mixture). The scorer is t10's add-one-smoothed bigram
+    * LM verbatim — bucketing and scoring cannot drift because they ARE
+    * the same plan prefix.
+    *
+    * Tercile thresholds WITHOUT a corpus-wide ranking window: avg_nll is
+    * 1e-4-rounded (t10's contract), so a (score -> count) histogram is
+    * exact, its cardinality is bounded by the score RANGE times 1e4 —
+    * never by corpus size — and the cumulative window runs over that
+    * bounded histogram, not the documents (the same bounded-window
+    * argument as p04's 256-row offset frame). t1/t2 = the smallest score
+    * whose cumulative count reaches ceil(N/3) / ceil(2N/3), integer
+    * arithmetic only (3*cum >= N avoids division); docs then bucket by
+    * two broadcast scalar comparisons — one map pass, no per-doc rank.
+    * Equal scores land in one bucket by construction, so the split is
+    * deterministic and reproducible across runs and engines.
+    *
+    * Output: one row per bucket — doc count, bigram mass, score
+    * envelope. Oracle restates the t10 chain + the identical histogram
+    * threshold arithmetic.
+    */
+  def t20PerplexityBuckets(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val scored = t10LmScore(s, dir) // doc_id, n_bigrams, avg_nll (1e-4-rounded)
+    val n = scored.agg(count(lit(1)).as("n"))
+    // histogram over DISTINCT rounded scores: bounded cardinality, so the
+    // unpartitioned running-sum window is over a small frame by contract
+    val cum = scored.groupBy(col("avg_nll")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        W.orderBy(col("avg_nll")).rowsBetween(W.unboundedPreceding, W.currentRow)))
+    val th = cum.crossJoin(broadcast(n)).agg(
+      min(when(col("cum") * 3 >= col("n"), col("avg_nll"))).as("t1"),
+      min(when(col("cum") * 3 >= col("n") * 2, col("avg_nll"))).as("t2"))
+    scored.crossJoin(broadcast(th))
+      .withColumn("bucket",
+        when(col("avg_nll") <= col("t1"), lit("head"))
+          .when(col("avg_nll") <= col("t2"), lit("middle"))
+          .otherwise(lit("tail")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).as("sum_bigrams"),
+        min(col("avg_nll")).as("min_nll"),
+        max(col("avg_nll")).as("max_nll"))
+      .orderBy(col("bucket"))
+  }
+
+  /** t10's scoring chain verbatim, then the identical histogram-threshold
+    * arithmetic (3*cum >= N integer form) and bucket rollup. */
+  val t20Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split(TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+      |  FROM documents),
+      |big AS (
+      |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      |  FROM docs, unnest(generate_series(1, GREATEST(len(toks) - 1, 0))) AS u(i)),
+      |v AS (SELECT COUNT(DISTINCT tok) AS vocab FROM (SELECT unnest(toks) AS tok FROM docs)),
+      |c2 AS (SELECT w1, w2, COUNT(*) AS cnt2 FROM big GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+      |c1 AS (SELECT w1, COUNT(*) AS cnt1 FROM big GROUP BY 1),
+      |nll AS (
+      |  SELECT big.doc_id,
+      |    -LN(CAST(COALESCE(cnt2, 0) + 1 AS DOUBLE) / CAST(cnt1 + vocab AS DOUBLE)) AS nll
+      |  FROM big LEFT JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+      |scored AS (
+      |  SELECT doc_id, COUNT(*) AS n_bigrams,
+      |    FLOOR(CAST(CAST(SUM(CAST(nll AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE)
+      |      / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS avg_nll
+      |  FROM nll GROUP BY doc_id),
+      |n AS (SELECT COUNT(*) AS n FROM scored),
+      |cum AS (
+      |  SELECT avg_nll, SUM(c) OVER (ORDER BY avg_nll
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM (SELECT avg_nll, COUNT(*) AS c FROM scored GROUP BY 1)),
+      |th AS (
+      |  SELECT MIN(CASE WHEN cum * 3 >= n THEN avg_nll END) AS t1,
+      |    MIN(CASE WHEN cum * 3 >= n * 2 THEN avg_nll END) AS t2
+      |  FROM cum CROSS JOIN n)
+      |SELECT CASE WHEN avg_nll <= t1 THEN 'head'
+      |            WHEN avg_nll <= t2 THEN 'middle'
+      |            ELSE 'tail' END AS bucket,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_bigrams) AS BIGINT) AS sum_bigrams,
+      |  MIN(avg_nll) AS min_nll, MAX(avg_nll) AS max_nll
+      |FROM scored CROSS JOIN th
+      |GROUP BY 1 ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t20_perplexity_buckets" -> (t20PerplexityBuckets _),
     "t19_cdc_chunking" -> (t19CdcChunking _),
     "t18_readability" -> (t18Readability _),
     "t17_compressibility" -> (t17Compressibility _),
@@ -1188,6 +1279,7 @@ object TextQueries {
   // def, not val: t17Sql embeds the Sidecars.oracleDir-keyed path, which
   // Verify pins at runtime before dumping oracle_sql.json
   def oracle: Map[String, String] = Map(
+    "t20_perplexity_buckets" -> t20Sql,
     "t17_compressibility" -> t17Sql,
     "t19_cdc_chunking" -> t19Sql,
     "t18_readability" -> t18Sql,

@@ -106,7 +106,17 @@ object ScaleSweep {
       "t19_cdc_chunking" -> "content-defined chunking (rolling-hash boundaries)",
       "d14_minhash_calibration" -> "MinHash calibration audit (sidecar signatures)",
       "g11_weighted_pagerank" -> "weighted PageRank (5 composed rounds, intensity split)",
-      "p21_padding_audit" -> "batching-efficiency audit (16-bucket length binning)")
+      "p21_padding_audit" -> "batching-efficiency audit (16-bucket length binning)",
+      "d15_semdedup" -> "SemDeDup (cell-scoped cosine, diversity keep rule)",
+      "g12_weighted_sssp" -> "bounded Bellman-Ford SSSP (4 relaxation rounds)",
+      "p22_deletion_propagation" -> "deletion cascade (broadcast tombstones, negative deltas)",
+      "q95_pattern_match" -> "consecutive-event pattern match (one window pass)",
+      "s19_nprobe_sweep" -> "IVF nprobe cost/recall frontier audit",
+      "st06_stream_incremental_mv" -> "streaming IVM (8 sequential foreachBatch merges)",
+      "t20_perplexity_buckets" -> "CCNet perplexity terciles (bounded histogram thresholds)",
+      "p23_shard_manifest" -> "token-balanced shard manifest (two-level prefix sum)",
+      "st07_watermark_late_data" -> "watermark late-data semantics (2 mtime-ordered batches)",
+      "m06_image_phash" -> "DCT pHash image dedup (spectral fingerprint)")
 
     // warm the JVM/codegen on the smallest sf so cold-start lands nowhere
     queries.foreach { case (q, _) =>

@@ -122,6 +122,23 @@ class MultimodalSpec extends SparkTestBase {
     assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
 
+  test("DCT pHash two-view dedup retrieves exactly the planted contrast-reduced twins (m06)") {
+    val out = Multimodal.m06ImagePhash(spark, Sf0001).collect()
+    val imageIds = media.filter(_.kind == "image").collect().map(_.media_id).toSet
+    // the twin edit touches EVERY pixel (clamp-free contrast reduction);
+    // the affine-invariance of median-thresholded DCT bits keeps both
+    // views within budget, and the two-view conjunction kills the
+    // impostor pairs a single 64-bit perceptual hash lets through
+    val expected = imageIds.map(id => (id, id + 1000000L))
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet === expected)
+    out.foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= 7, s"pHash ${r.getLong(2)}")
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 7, s"aHash ${r.getLong(3)}")
+    }
+    val again = Multimodal.m06ImagePhash(spark, Sf0001).collect()
+    assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
   test("frame-aligned video dedup retrieves exactly the planted single-frame-edit twins (m05)") {
     val out = Multimodal.m05VideoDedup(spark, Sf0001).collect()
     val videoIds = media.filter(_.kind == "video").collect().map(_.media_id).toSet

@@ -325,6 +325,77 @@ class Round7OpsSpec extends SparkTestBase {
     assert(out.map(r => (r.getLong(0), r.getLong(2))).toSeq === expected)
   }
 
+  test("t20: perplexity terciles partition the scored corpus with ordered score envelopes") {
+    val out = operators.TextQueries.t20PerplexityBuckets(spark, Sf001).collect()
+    val scored = operators.TextQueries.t10LmScore(spark, Sf001).collect()
+    val byBucket = out.map(r => r.getString(0) -> r).toMap
+    assert(byBucket.keySet === Set("head", "middle", "tail"))
+    // partition: bucket doc counts and bigram masses sum to the corpus
+    assert(out.map(_.getLong(1)).sum === scored.length)
+    assert(out.map(_.getLong(2)).sum === scored.map(_.getLong(1)).sum)
+    // score envelopes are ordered and non-overlapping: head < middle < tail
+    assert(byBucket("head").getDouble(4) < byBucket("middle").getDouble(3))
+    assert(byBucket("middle").getDouble(4) < byBucket("tail").getDouble(3))
+    // tercile thresholds: each of head and head+middle reaches its third
+    // (ties can only push a bucket PAST its target, never short of it)
+    val n = scored.length.toLong
+    assert(byBucket("head").getLong(1) * 3 >= n, "head short of ceil(N/3)")
+    assert((byBucket("head").getLong(1) + byBucket("middle").getLong(1)) * 3 >= 2 * n)
+    // the head bucket must not degenerate to (almost) everything
+    assert(byBucket("head").getLong(1) * 2 < n, "head swallowed most of the corpus")
+  }
+
+  test("p23: shard manifest is contiguous, complete, and balanced to the token target") {
+    val out = operators.PipelineQueries.p23ShardManifest(spark, Sf001).collect()
+    assert(out.map(_.getLong(0)).toSeq === (0L until 16L), "expected exactly shards 0..15")
+    val docs = Tables.documents(spark, Sf001)
+      .agg(count(lit(1)), sum(expr("size(regexp_extract_all(text, '[A-Za-z0-9]+', 0))").cast("long")))
+      .head()
+    val (nDocs, totalToks) = (docs.getLong(0), docs.getLong(1))
+    assert(out.map(_.getLong(1)).sum === nDocs, "shards lost or duplicated documents")
+    assert(out.map(_.getLong(2)).sum === totalToks, "token mass not conserved")
+    // contiguity: each shard's end_off is the next shard's first_off
+    assert(out.head.getLong(3) === 0L)
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(4) === b.getLong(3),
+        s"gap between shard ${a.getLong(0)} and ${b.getLong(0)}")
+    }
+    assert(out.last.getLong(4) === totalToks)
+    // balance: greedy-by-start keeps every shard within one max-doc of target
+    val target = (totalToks + 15L) / 16L
+    val maxDoc = Tables.documents(spark, Sf001)
+      .agg(max(expr("size(regexp_extract_all(text, '[A-Za-z0-9]+', 0))").cast("long")))
+      .head().getLong(0)
+    out.foreach(r => assert(r.getLong(2) <= target + maxDoc,
+      s"shard ${r.getLong(0)} overflows: ${r.getLong(2)} vs target $target + maxdoc $maxDoc"))
+  }
+
+  test("st07: watermark drops the planted stragglers and emits exactly the closed windows") {
+    val out = operators.StreamingQueries.st07WatermarkLateData(spark, Sf001).collect()
+    val ev = Tables.events(spark, Sf001)
+    val mx = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    // the construction must have actually planted late rows
+    val nLate = ev.filter(col("user_id") % 19 === 7 &&
+      col("ts") < lit(mx) - expr("INTERVAL 3 HOURS")).count()
+    assert(nLate > 0, "no stragglers planted — the probe proves nothing")
+    // batch restatement of the two semantics: on-time rows, closed windows
+    val expected = ev.filter(!(col("user_id") % 19 === 7 &&
+        col("ts") < lit(mx) - expr("INTERVAL 3 HOURS")))
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(30,2)")).cast("double").as("total_value"))
+      .filter(col("hour_start") + expr("INTERVAL 1 HOUR") <=
+        lit(mx) - expr("INTERVAL 1 HOUR"))
+      .orderBy(col("hour_start")).collect()
+    assert(out.map(_.toSeq).toSeq === expected.map(_.toSeq).toSeq)
+    // the closed-window rule must have BITTEN: at least one on-time window
+    // near the stream head stayed unemitted
+    val allWindows = ev.filter(!(col("user_id") % 19 === 7 &&
+        col("ts") < lit(mx) - expr("INTERVAL 3 HOURS")))
+      .select(date_trunc("hour", col("ts"))).distinct().count()
+    assert(out.length < allWindows, "no window was held back — watermark never engaged")
+  }
+
   test("s16: shortlist is a strict subset of the corpus (bounded candidate set)") {
     // every returned neighbor must come from a probed cell; with 10 cells
     // and 2 probes the candidate pool is ~1/5 of the corpus — assert the
