@@ -1621,7 +1621,63 @@ object PipelineQueries {
       |FROM offs CROSS JOIN g
       |GROUP BY 1 ORDER BY shard_id""".stripMargin
 
+  // ---------------------------------------------------------------- p24
+  /** Robust outlier gate (Hampel filter / MAD z-score) — the numeric-
+    * column cleaning step a pipeline runs before aggregating telemetry
+    * or pricing signals: mean/stddev gates break on the very outliers
+    * they hunt (one 1e9 reading inflates sigma until nothing is an
+    * outlier), so the production rule is median ± k * MAD, both
+    * breakdown-point-0.5 estimators. Flag = |x - median| > 5 * 1.4826 *
+    * MAD + eps (1.4826 is the Gaussian consistency constant; eps = half
+    * a unit keeps a zero-MAD group from flagging every non-median row).
+    *
+    * Exactness: values route through integer cents (floor(v*100 + 0.5)),
+    * so medians interpolate exact .0/.5 halves and every deviation is
+    * exactly representable — the double comparisons are bit-identical
+    * across engines. Two grouped EXACT percentile passes (sort-based;
+    * the documented 100 TB swap is approx_percentile + relabel, p15's
+    * convention) + broadcast scalar joins + a map-only flag pass.
+    */
+  def p24RobustOutlierGate(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("cents", expr("cast(floor(value * 100D + 0.5D) as bigint)"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(cents, 0.5D)").as("med"))
+    val dev = ev.join(broadcast(med), Seq("event_type"))
+      .withColumn("adev", abs(col("cents").cast(DoubleType) - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(expr("percentile(adev, 0.5D)").as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .withColumn("is_outlier",
+        col("adev") > lit(5.0) * lit(1.4826) * col("mad") + lit(50.0))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("med")).as("median_cents"),
+        min(col("mad")).as("mad_cents"),
+        sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
+        max(col("adev")).as("max_abs_dev"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Identical integer-cents routing, exact interpolated medians
+    * (QUANTILE_CONT = Spark percentile, the q51-proven pair), same
+    * left-associated double threshold arithmetic. */
+  val p24Sql: String =
+    """WITH c AS (
+      |  SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+      |m AS (SELECT event_type, QUANTILE_CONT(cents, 0.5) AS med FROM c GROUP BY 1),
+      |d AS (
+      |  SELECT c.event_type, cents, ABS(CAST(cents AS DOUBLE) - med) AS adev, med
+      |  FROM c JOIN m USING (event_type)),
+      |md AS (SELECT event_type, QUANTILE_CONT(adev, 0.5) AS mad FROM d GROUP BY 1)
+      |SELECT d.event_type, COUNT(*) AS n, MIN(med) AS median_cents, MIN(mad) AS mad_cents,
+      |  CAST(SUM(CASE WHEN adev > 5.0 * 1.4826 * mad + 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |  MAX(adev) AS max_abs_dev
+      |FROM d JOIN md USING (event_type)
+      |GROUP BY 1 ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p24_robust_outlier_gate" -> (p24RobustOutlierGate _),
     "p23_shard_manifest" -> (p23ShardManifest _),
     "p22_deletion_propagation" -> (p22DeletionPropagation _),
     "p21_padding_audit" -> (p21PaddingAudit _),
@@ -1649,6 +1705,7 @@ object PipelineQueries {
   // def, not val: p19Sql embeds Sidecars.oracleDir-keyed paths, which
   // Verify pins at runtime before dumping oracle_sql.json
   def oracle: Map[String, String] = Map(
+    "p24_robust_outlier_gate" -> p24Sql,
     "p23_shard_manifest" -> p23Sql,
     "p22_deletion_propagation" -> p22Sql,
     "p21_padding_audit" -> p21Sql,

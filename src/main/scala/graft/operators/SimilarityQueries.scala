@@ -2036,7 +2036,93 @@ object SimilarityQueries {
       |LEFT JOIN o10 ON sc.nprobe = o10.nprobe
       |ORDER BY nprobe""".stripMargin
 
+  // ---------------------------------------------------------------- s20
+  /** Greedy k-center coreset (Gonzalez farthest-point traversal) — the
+    * DIVERSITY-sampling primitive of training-data curation: pick k
+    * examples such that every corpus point is close to some pick (the
+    * 2-approximation of the k-center objective), the selection rule
+    * behind coreset construction and diverse few-shot/eval-set picking.
+    * Where d15/SemDeDup prunes redundancy pair-by-pair, this SELECTS a
+    * maximally-spread representative set — the two ends of the same
+    * diversity curation story.
+    *
+    * Exactness contract: embeddings quantize to int (floor(v * 256 +
+    * 0.5)) so every distance is an exact int64 squared-L2 — the argmax
+    * and the whole greedy trajectory are integer-deterministic, ties
+    * broken by vec_id. Seed = min vec_id.
+    *
+    * Scale shape: k rounds, each ONE distributed scan — min-distance to
+    * the current centers is a literal-array expression (the s05/s15
+    * plan-literal codebook contract: k rows through the driver, each
+    * pick is a documented k-row collect), argmax via a distributed
+    * top-1 heap (TakeOrderedAndProject), never a global sort. Round r
+    * evaluates r distance terms, so total work is O(k^2/2 * n * dim) —
+    * at production k the running min-distance column would be
+    * CHECKPOINTED per round instead of recomputed (g01's pattern);
+    * at k = 8 recompute-from-literals keeps the whole trajectory in one
+    * auditable lineage.
+    *
+    * Output: the picks in selection order with the coverage distance at
+    * selection time (non-increasing — each round grabs the point
+    * farthest from the chosen set; the sequence IS the k-center radius
+    * profile). Oracle restates all 8 rounds as chained CTEs with
+    * identical integer arithmetic.
+    */
+  def s20KcenterCoreset(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val q = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        expr("transform(embedding, v -> cast(floor(cast(v as double) * 256D + 0.5D) as bigint))").as("qv"))
+      .cache() // k rounds re-scan the quantized frame
+    try {
+      q.count()
+      def distTo(center: Seq[Long]): Column =
+        aggregate(
+          zip_with(col("qv"), array(center.map(lit): _*), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)
+      val seed = q.orderBy(col("vec_id")).limit(1).head()
+      var picks = Vector((0L, seed.getLong(0), 0L))
+      var mdCol = distTo(seed.getSeq[Long](1))
+      for (k <- 1 to 7) {
+        val p = q.select(col("vec_id"), col("qv"), mdCol.as("md"))
+          .orderBy(col("md").desc, col("vec_id")).limit(1).head()
+        picks = picks :+ ((k.toLong, p.getLong(0), p.getLong(2)))
+        if (k < 7) mdCol = least(mdCol, distTo(p.getSeq[Long](1)))
+      }
+      picks.toDF("pick", "vec_id", "coverage_md").orderBy(col("pick"))
+    } finally q.unpersist()
+  }
+
+  /** The 8-round greedy trajectory as chained CTEs: same quantization,
+    * same exact int64 distances, same (md DESC, vec_id) argmax rule. */
+  val s20Sql: String = {
+    def d(a: String, b: String): String =
+      s"CAST(list_sum(list_transform(generate_series(1, 64), " +
+        s"i -> ($a.qv[i] - $b.qv[i]) * ($a.qv[i] - $b.qv[i]))) AS BIGINT)"
+    val sb = new StringBuilder
+    sb ++= """WITH q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 256 + 0.5) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |c0 AS (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 1),
+      |""".stripMargin
+    sb ++= s"s0 AS (SELECT q.vec_id, q.qv, ${d("q", "c0")} AS md FROM q CROSS JOIN c0)"
+    for (k <- 1 to 7) {
+      sb ++= s",\np$k AS (SELECT vec_id, qv, md FROM s${k - 1} ORDER BY md DESC, vec_id LIMIT 1)"
+      if (k < 7)
+        sb ++= s",\ns$k AS (SELECT s${k - 1}.vec_id, s${k - 1}.qv, " +
+          s"LEAST(s${k - 1}.md, ${d(s"s${k - 1}", s"p$k")}) AS md " +
+          s"FROM s${k - 1} CROSS JOIN p$k)"
+    }
+    sb ++= "\nSELECT CAST(0 AS BIGINT) AS pick, vec_id, CAST(0 AS BIGINT) AS coverage_md FROM c0"
+    for (k <- 1 to 7)
+      sb ++= s"\nUNION ALL SELECT $k, vec_id, md FROM p$k"
+    sb ++= "\nORDER BY pick"
+    sb.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s20_kcenter_coreset" -> (s20KcenterCoreset _),
     "s19_nprobe_sweep" -> (s19NprobeSweep _),
     "s18_binary_ann" -> (s18BinaryAnn _),
     "s17_matryoshka" -> (s17Matryoshka _),
@@ -2058,6 +2144,7 @@ object SimilarityQueries {
     "s06_ann_verified" -> (s06AnnVerified _))
 
   val oracle: Map[String, String] = Map(
+    "s20_kcenter_coreset" -> s20Sql,
     "s19_nprobe_sweep" -> s19Sql,
     "s18_binary_ann" -> s18Sql,
     "s17_matryoshka" -> s17Sql,

@@ -116,7 +116,9 @@ object ScaleSweep {
       "t20_perplexity_buckets" -> "CCNet perplexity terciles (bounded histogram thresholds)",
       "p23_shard_manifest" -> "token-balanced shard manifest (two-level prefix sum)",
       "st07_watermark_late_data" -> "watermark late-data semantics (2 mtime-ordered batches)",
-      "m06_image_phash" -> "DCT pHash image dedup (spectral fingerprint)")
+      "m06_image_phash" -> "DCT pHash image dedup (spectral fingerprint)",
+      "s20_kcenter_coreset" -> "greedy k-center coreset (8 literal-center scans)",
+      "p24_robust_outlier_gate" -> "MAD outlier gate (2 exact percentile passes)")
 
     // warm the JVM/codegen on the smallest sf so cold-start lands nowhere
     queries.foreach { case (q, _) =>

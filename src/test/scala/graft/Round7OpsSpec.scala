@@ -396,6 +396,64 @@ class Round7OpsSpec extends SparkTestBase {
     assert(out.length < allWindows, "no window was held back — watermark never engaged")
   }
 
+  test("s20: greedy k-center trajectory equals a sequential farthest-point replay") {
+    val out = operators.SimilarityQueries.s20KcenterCoreset(spark, Sf0001).collect()
+    assert(out.map(_.getLong(0)).toSeq === (0L until 8L), "picks 0..7 in order")
+    assert(out.map(_.getLong(1)).distinct.length === 8, "a point was picked twice")
+    // coverage radius profile is non-increasing after the seed
+    val radii = out.drop(1).map(_.getLong(2))
+    assert(radii.toSeq === radii.sorted.reverse.toSeq, radii.toSeq.toString)
+    assert(radii.last > 0, "degenerate: all points identical")
+    // sequential replay with identical integer arithmetic
+    val vecs = Tables.embeddings(spark, Sf0001)
+      .select(col("vec_id"), expr(
+        "transform(embedding, v -> cast(floor(cast(v as double) * 256D + 0.5D) as bigint))"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var acc = 0L; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); acc += t * t; i += 1 }
+      acc
+    }
+    var md = vecs.map { case (id, v) => id -> d2(v, vecs.head._2) }.toMap
+    var expected = Vector((0L, vecs.head._1, 0L))
+    val byId = vecs.toMap
+    for (k <- 1 to 7) {
+      val (pid, pmd) = md.toSeq.maxBy { case (id, m) => (m, -id) }
+      expected = expected :+ ((k.toLong, pid, pmd))
+      md = md.map { case (id, m) => id -> math.min(m, d2(byId(id), byId(pid))) }
+    }
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq === expected)
+  }
+
+  test("p24: MAD outlier gate equals an exact sequential replay and stays robust") {
+    val out = operators.PipelineQueries.p24RobustOutlierGate(spark, Sf0001).collect()
+    assert(out.nonEmpty)
+    val rows = Tables.events(spark, Sf0001)
+      .select(col("event_type"), expr("cast(floor(value * 100D + 0.5D) as bigint)"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def medianOf(xs: Array[Double]): Double = {
+      val s = xs.sorted
+      val pos = 0.5 * (s.length - 1)
+      val lo = s(pos.toInt)
+      val hi = s(math.ceil(pos).toInt)
+      lo + (hi - lo) * (pos - math.floor(pos))
+    }
+    for (r <- out) {
+      val cents = rows.filter(_._1 == r.getString(0)).map(_._2)
+      val med = medianOf(cents.map(_.toDouble))
+      val adevs = cents.map(c => math.abs(c.toDouble - med))
+      val mad = medianOf(adevs)
+      assert(r.getLong(1) === cents.length.toLong)
+      assert(r.getDouble(2) === med, s"median drift for ${r.getString(0)}")
+      assert(r.getDouble(3) === mad, s"MAD drift for ${r.getString(0)}")
+      val nOut = adevs.count(_ > 5.0 * 1.4826 * mad + 50.0).toLong
+      assert(r.getLong(4) === nOut, s"outlier count drift for ${r.getString(0)}")
+      // robustness: a MAD gate flags a tail, never a constant fraction
+      assert(nOut * 10 <= cents.length, s"gate flagged >10% of ${r.getString(0)}")
+      assert(r.getDouble(5) === adevs.max)
+    }
+  }
+
   test("s16: shortlist is a strict subset of the corpus (bounded candidate set)") {
     // every returned neighbor must come from a probed cell; with 10 cells
     // and 2 probes the candidate pool is ~1/5 of the corpus — assert the
