@@ -41,5 +41,6 @@ object SparkEntry {
       operators.Multimodal.oracle ++
       operators.StreamingQueries.oracle ++
       operators.PipelineQueries.oracle ++
-      operators.GraphQueries.oracle
+      operators.GraphQueries.oracle ++
+      operators.MlQueries.oracle
 }

@@ -1716,8 +1716,53 @@ object ExtendedQueries {
       |WHERE event_type = 'click' AND e1 = 'view' AND e2 = 'purchase'
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q96
+  /** Cumulative distinct users per day — the "cumulative uniques" curve
+    * every growth dashboard draws, and a SQL-surface gap worth naming:
+    * `COUNT(DISTINCT user_id) OVER (ORDER BY day)` is unsupported in
+    * Spark and, where engines do run it, needs per-row distinct state
+    * that grows with history. The scale-correct rewrite used here is the
+    * standard one: a user is DISTINCT-counted on exactly its FIRST day
+    * (min-day per user — one user-keyed aggregation), so the cumulative
+    * distinct curve is the running sum of first-seen counts — a window
+    * over DAY-cardinality rows (bounded by the calendar, never by
+    * users), joined to the per-day actives. Exact, not sketched — the
+    * HLL alternative is q86's territory.
+    */
+  def q96CumulativeDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    val dailyNew = ev.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+    val dailyActive = ev.distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("active_users"))
+    // unpartitioned window over calendar-day cardinality — bounded frame
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dailyActive.join(dailyNew, Seq("day"), "left")
+      .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+      .withColumn("cum_distinct_users", sum(col("new_users")).over(w))
+      .select(col("day"), col("active_users"), col("new_users"), col("cum_distinct_users"))
+      .orderBy(col("day"))
+  }
+
+  val q96Sql: String =
+    """WITH e AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+      |dn AS (
+      |  SELECT day, COUNT(*) AS new_users
+      |  FROM (SELECT user_id, MIN(day) AS day FROM e GROUP BY 1) GROUP BY 1),
+      |da AS (
+      |  SELECT day, COUNT(*) AS active_users
+      |  FROM (SELECT DISTINCT day, user_id FROM e) GROUP BY 1)
+      |SELECT da.day, active_users,
+      |  CAST(COALESCE(new_users, 0) AS BIGINT) AS new_users,
+      |  CAST(SUM(COALESCE(new_users, 0)) OVER (ORDER BY da.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_distinct_users
+      |FROM da LEFT JOIN dn USING (day) ORDER BY day""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q96_cumulative_distinct" -> (q96CumulativeDistinct _),
     "q95_pattern_match" -> (q95PatternMatch _),
     "q94_zorder_layout" -> (q94ZorderLayout _),
     "q93_interval_join" -> (q93IntervalJoin _),
@@ -1771,6 +1816,7 @@ object ExtendedQueries {
     "q54_union_by_name" -> (q54UnionByName _))
 
   val oracle: Map[String, String] = Map(
+    "q96_cumulative_distinct" -> q96Sql,
     "q95_pattern_match" -> q95Sql,
     "q94_zorder_layout" -> q94Sql,
     "q93_interval_join" -> q93Sql,

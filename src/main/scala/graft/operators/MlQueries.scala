@@ -103,10 +103,81 @@ object MlQueries {
     } finally { train.unpersist(); test.unpersist() }
   }
 
+  /** Calibration audit of the ml02 classifier — the reliability-diagram
+    * measurement a pipeline runs before TRUSTING a model score as a
+    * filter threshold: an uncalibrated quality classifier silently
+    * shifts the corpus mix when its 0.9 means "60% likely good". Same
+    * training recipe as ml02 (the audit targets that model), then the
+    * held-out (predicted probability, label) pairs land in 10 decile
+    * bins: per bin, count, probability mass, and positive count — the
+    * exact integer ingredients of ECE (expected calibration error),
+    * published as integers so the comparison is bit-exact.
+    *
+    * The t17 sidecar closure applies: the model fit is not
+    * SQL-expressible, so the run materializes its scored holdout
+    * (doc_id, milli-probability, label) as a parquet sidecar and the
+    * DuckDB oracle recomputes the ENTIRE binning/rollup stage from it —
+    * the ML tier's first oracle-green row (ml01/ml02 stay rows-only by
+    * SURVEY §5.2; their outputs are model METRICS, not row sets).
+    *
+    * Scale: scoring is a map stage over the holdout; the rollup is a
+    * 10-key aggregation. Probabilities quantize to milli units
+    * (floor(p*1000 + 0.5)) — the repo's standard float-rounding
+    * contract — so every downstream number is int64.
+    */
+  def ml03CalibrationAudit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.functions.vector_to_array
+    val docs = Tables.spread(Tables.documents(s, dir))
+      .select(col("doc_id"), col("text"),
+        (size(expr("regexp_extract_all(lower(text), '\\\\bspark\\\\b', 0)")) >= 2)
+          .cast(DoubleType).as("label"))
+    val Array(train, test) = docs.randomSplit(Array(0.8, 0.2), seed = 42)
+    train.cache(); test.cache()
+    try {
+      val tok = new RegexTokenizer()
+        .setInputCol("text").setOutputCol("words").setPattern("[^a-z0-9]+")
+      val tf = new HashingTF()
+        .setInputCol("words").setOutputCol("tf").setNumFeatures(1 << 10)
+      val idf = new IDF().setInputCol("tf").setOutputCol("features")
+      val lr = new LogisticRegression()
+        .setMaxIter(8).setTol(1e-4).setRegParam(1e-4)
+      val featPipe = new Pipeline().setStages(Array(tok, tf, idf)).fit(train)
+      val lrModel = lr.fit(
+        featPipe.transform(train).select(col("label"), col("features")).coalesce(4))
+      val scored = lrModel.transform(
+          featPipe.transform(test)
+            .select(col("doc_id"), col("label"), col("features")).coalesce(4))
+        .withColumn("parr", vector_to_array(col("probability")))
+        .select(col("doc_id"),
+          col("label").cast(LongType).as("label"),
+          expr("cast(floor(element_at(parr, 2) * 1000D + 0.5D) as bigint)").as("p_milli"))
+      val side = graft.Sidecars.write(scored, dir, "ml03_calib")
+      side
+        .withColumn("bin", expr("least(p_milli div 100, 9L)"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("p_milli")).as("sum_p_milli"),
+          sum(col("label")).as("n_pos"))
+        .orderBy(col("bin"))
+    } finally { train.unpersist(); test.unpersist() }
+  }
+
+  private def ml03Sql: String =
+    s"""WITH side AS (SELECT * FROM '${graft.Sidecars.oraclePath("ml03_calib")}/*.parquet')
+      |SELECT LEAST(p_milli // 100, 9) AS bin, COUNT(*) AS n,
+      |  CAST(SUM(p_milli) AS BIGINT) AS sum_p_milli,
+      |  CAST(SUM(label) AS BIGINT) AS n_pos
+      |FROM side GROUP BY 1 ORDER BY bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml03_calibration_audit" -> (ml03CalibrationAudit _),
     "ml02_quality_classifier" -> (ml02QualityClassifier _))
 
-  /** Not SQL-expressible (iterative model fit) — rows-only for the driver;
-    * MlClassifierSpec holds the metric thresholds. */
-  val oracle: Map[String, String] = Map.empty
+  /** ml01/ml02 are not SQL-expressible (iterative model fits — rows-only
+    * for the driver; MlClassifierSpec holds the metric thresholds).
+    * ml03's binning stage IS expressible over its scored-holdout sidecar.
+    * def, not val: the SQL embeds the Sidecars.oracleDir-keyed path
+    * Verify pins at runtime. */
+  def oracle: Map[String, String] = Map(
+    "ml03_calibration_audit" -> ml03Sql)
 }

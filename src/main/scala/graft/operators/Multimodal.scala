@@ -771,6 +771,126 @@ object Multimodal {
     bandedHammingPairs(graft.Sidecars.write(hashed, dir, "m04_audiofp"), maxHamming = 3)
   }
 
+  // ---------------------------------------------------------------- m07
+  /** Spectral (DFT) audio fingerprint — the frequency-domain tier above
+    * m04's time-domain energies, and the audio analogue of m06's DCT
+    * pHash: the PCM stream splits into 65 equal windows; per window a
+    * direct DFT (own implementation — the container ships no FFT
+    * library) evaluates bins 1..4, and bit w compares CONSECUTIVE
+    * windows' low-band spectral energy — m04's adjacent-comparison
+    * structure (the discriminative part) applied to a spectral quantity
+    * instead of a time-domain one. (A per-window low-vs-high tilt
+    * variant was measured first: twins at Hamming 0 but 36 impostor
+    * ZERO-collisions in 160 clips — the tilt bit is corpus-correlated;
+    * adjacent comparisons decorrelate because they difference out the
+    * clip-global spectrum.)
+    *
+    * Invariance class this buys over m04: bins k >= 1 receive ZERO
+    * projection from a constant sample offset, so the fingerprint is
+    * structurally invariant to DC bias (the recording-hardware offset a
+    * time-domain |sample| energy is NOT invariant to), and energy
+    * comparisons are gain-invariant like m04. Cost: 65 windows x 4 bins
+    * x winSize multiply-adds with a precomputed twiddle table per clip.
+    */
+  private[graft] def spectralFingerprint(payload: Array[Byte]): Long = {
+    val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+    val bytes = try in.readAllBytes() finally in.close()
+    val n = bytes.length / 2
+    val windows = 65
+    val winSize = n / windows
+    require(winSize > 0, s"audio too short to fingerprint: $n PCM frames")
+    // twiddle table: cos/sin for bins 1..4 over one window
+    val cosT = Array.ofDim[Double](4, winSize)
+    val sinT = Array.ofDim[Double](4, winSize)
+    var k = 0
+    while (k < 4) {
+      var i = 0
+      while (i < winSize) {
+        val ang = -2.0 * math.Pi * (k + 1) * i / winSize
+        cosT(k)(i) = math.cos(ang)
+        sinT(k)(i) = math.sin(ang)
+        i += 1
+      }
+      k += 1
+    }
+    val energy = new Array[Double](windows)
+    var w = 0
+    while (w < windows) {
+      var lo = 0.0
+      k = 0
+      while (k < 4) {
+        var re = 0.0
+        var im = 0.0
+        var i = 0
+        while (i < winSize) {
+          val idx = w * winSize + i
+          val s = (((bytes(2 * idx + 1) << 8) | (bytes(2 * idx) & 0xff)).toShort).toDouble
+          re += s * cosT(k)(i)
+          im += s * sinT(k)(i)
+          i += 1
+        }
+        lo += re * re + im * im
+        k += 1
+      }
+      energy(w) = lo
+      w += 1
+    }
+    var bits = 0L
+    var b = 0
+    while (b < 64) {
+      if (energy(b) > energy(b + 1)) bits |= (1L << b)
+      b += 1
+    }
+    bits
+  }
+
+  /** DC-bias edit used to PLANT spectral near-duplicates: add a constant
+    * +128 to every 16-bit sample (encodeWav samples top out at 32512, so
+    * the shift never clips — clipping is the nonlinearity that would
+    * leak into the spectrum, the same lesson as m06's clamp finding).
+    * Every sample changes; bins k >= 1 are structurally unmoved. */
+  private[graft] def offsetWav(payload: Array[Byte], offset: Int): Array[Byte] = {
+    val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+    val fmt = in.getFormat
+    val bytes = try in.readAllBytes() finally in.close()
+    val n = bytes.length / 2
+    var i = 0
+    while (i < n) {
+      val s = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort
+      val shifted = math.max(-32768, math.min(32767, s + offset))
+      bytes(2 * i) = (shifted & 0xff).toByte
+      bytes(2 * i + 1) = ((shifted >> 8) & 0xff).toByte
+      i += 1
+    }
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new ByteArrayInputStream(bytes), fmt, n.toLong),
+      AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Driver-contract query: audio near-dup dedup via banded SPECTRAL
+    * fingerprints — m04's retrieval shape with the DFT signature and a
+    * DC-bias twin the time-domain fingerprint could not absorb. Same
+    * fused synthesis pass; fingerprints land in the m07_spectralfp
+    * sidecar and the band join + exact Hamming verify is hash-audited
+    * in SQL over it. */
+  def m07SpectralAudioDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashed = Tables.spread(Tables.documents(s, dir))
+      .filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val raw = text.getBytes("UTF-8")
+        val base = if (raw.isEmpty) Array[Byte](0) else raw
+        val orig = encodeWav(base)
+        Seq((id, spectralFingerprint(orig)),
+          (id + 1000000L, spectralFingerprint(offsetWav(orig, 128))))
+      })
+      .toDF("media_id", "h")
+    bandedHammingPairs(graft.Sidecars.write(hashed, dir, "m07_spectralfp"), maxHamming = 3)
+  }
+
   /** Single-frame watermark edit used to PLANT video near-duplicates:
     * parse the AVI, brighten the top-left 8x6 visual block of frame 2 by
     * +16 per channel (the m03 perturbation applied to ONE frame's DIB
@@ -1090,6 +1210,7 @@ object Multimodal {
       |ORDER BY ida, idb""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m07_spectral_audio_dedup" -> (m07SpectralAudioDedup _),
     "m06_image_phash" -> (m06ImagePhash _),
     "m01_media_features" -> (m01MediaFeatures _),
     "m02_frame_sample" -> (m02FrameSample _),
@@ -1105,6 +1226,7 @@ object Multimodal {
     * same two-sided closure t17 uses. def, not val: the SQL embeds the
     * Sidecars.oracleDir-keyed paths Verify pins at runtime. */
   def oracle: Map[String, String] = Map(
+    "m07_spectral_audio_dedup" -> bandedHammingSql("m07_spectralfp", maxHamming = 3),
     "m06_image_phash" -> m06Sql,
     "m01_media_features" -> m01Sql,
     "m02_frame_sample" -> m02Sql,

@@ -118,7 +118,10 @@ object ScaleSweep {
       "st07_watermark_late_data" -> "watermark late-data semantics (2 mtime-ordered batches)",
       "m06_image_phash" -> "DCT pHash image dedup (spectral fingerprint)",
       "s20_kcenter_coreset" -> "greedy k-center coreset (8 literal-center scans)",
-      "p24_robust_outlier_gate" -> "MAD outlier gate (2 exact percentile passes)")
+      "p24_robust_outlier_gate" -> "MAD outlier gate (2 exact percentile passes)",
+      "q96_cumulative_distinct" -> "cumulative uniques (first-seen rewrite, bounded window)",
+      "ml03_calibration_audit" -> "classifier calibration deciles (sidecar rollup)",
+      "m07_spectral_audio_dedup" -> "spectral audio dedup (own DFT, banded Hamming)")
 
     // warm the JVM/codegen on the smallest sf so cold-start lands nowhere
     queries.foreach { case (q, _) =>

@@ -25,4 +25,33 @@ class MlClassifierSpec extends SparkTestBase {
     assert(acc >= 0.9, s"holdout agreement $acc below distillation bar")
     assert(auc >= 0.95, s"AUC $auc below distillation bar")
   }
+
+  test("calibration audit bins are complete and resolve the separated classes (ml03)") {
+    import org.apache.spark.sql.functions._
+    val out = MlQueries.ml03CalibrationAudit(spark, Sf001).collect()
+    // bins partition the holdout
+    val nTest = out.map(_.getLong(1)).sum
+    assert(nTest > 50)
+    assert(out.map(_.getLong(0)).distinct.length === out.length)
+    out.foreach { r =>
+      val (bin, n, sumP, nPos) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(bin >= 0 && bin <= 9)
+      assert(nPos <= n)
+      // probability mass must sit inside the bin's envelope
+      assert(sumP >= bin * 100 * n && sumP <= (if (bin == 9) 1000L else bin * 100 + 99) * n,
+        s"bin $bin mass $sumP outside envelope for $n rows")
+    }
+    // a near-separating classifier (ml02's 0.9+ agreement) must be
+    // directionally calibrated at the extremes: the bottom bin is mostly
+    // negative, the top bin mostly positive
+    val byBin = out.map(r => r.getLong(0) -> r).toMap
+    val lo = byBin(out.map(_.getLong(0)).min)
+    val hi = byBin(out.map(_.getLong(0)).max)
+    assert(lo.getLong(3) * 5 <= lo.getLong(1), "bottom bin is not mostly negative")
+    assert(hi.getLong(3) * 5 >= hi.getLong(1) * 4, "top bin is not mostly positive")
+    // the sidecar the oracle reads must exist and cover the holdout
+    val side = spark.read.parquet(
+      graft.Sidecars.path(Sf001, "ml03_calib"))
+    assert(side.count() === nTest)
+  }
 }

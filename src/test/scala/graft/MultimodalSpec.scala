@@ -139,6 +139,18 @@ class MultimodalSpec extends SparkTestBase {
     assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
 
+  test("spectral audio dedup retrieves exactly the planted DC-offset twins (m07)") {
+    val out = Multimodal.m07SpectralAudioDedup(spark, Sf0001).collect()
+    val audioIds = media.filter(_.kind == "audio").collect().map(_.media_id).toSet
+    // every sample shifts by +128, yet bins k >= 1 are structurally
+    // unmoved — measured: all twins at Hamming 0, impostors >= 5
+    val expected = audioIds.map(id => (id, id + 1000000L))
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet === expected)
+    out.foreach(r => assert(r.getLong(2) >= 0 && r.getLong(2) <= 3))
+    val again = Multimodal.m07SpectralAudioDedup(spark, Sf0001).collect()
+    assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
   test("frame-aligned video dedup retrieves exactly the planted single-frame-edit twins (m05)") {
     val out = Multimodal.m05VideoDedup(spark, Sf0001).collect()
     val videoIds = media.filter(_.kind == "video").collect().map(_.media_id).toSet

@@ -454,6 +454,26 @@ class Round7OpsSpec extends SparkTestBase {
     }
   }
 
+  test("q96: cumulative distinct curve is exact, monotone, and lands on the true total") {
+    val out = operators.ExtendedQueries.q96CumulativeDistinct(spark, Sf001).collect()
+    assert(out.nonEmpty)
+    val ev = Tables.events(spark, Sf001)
+    val totalUsers = ev.select(col("user_id")).distinct().count()
+    assert(out.last.getLong(3) === totalUsers, "final cumulative != true distinct total")
+    // monotone non-decreasing; new <= active each day; day-0 boot: active == new
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(3) <= b.getLong(3))
+    }
+    out.foreach(r => assert(r.getLong(2) <= r.getLong(1), s"new > active on ${r.getDate(0)}"))
+    assert(out.head.getLong(1) === out.head.getLong(2), "first day must be all-new")
+    // exactness on a sampled day: cum(d) == distinct users with first activity <= d
+    val mid = out(out.length / 2)
+    val cumMid = ev.select(to_date(col("ts")).as("day"), col("user_id"))
+      .filter(col("day") <= lit(mid.getDate(0)))
+      .select(col("user_id")).distinct().count()
+    assert(mid.getLong(3) === cumMid)
+  }
+
   test("s16: shortlist is a strict subset of the corpus (bounded candidate set)") {
     // every returned neighbor must come from a probed cell; with 10 cells
     // and 2 probes the candidate pool is ~1/5 of the corpus — assert the
