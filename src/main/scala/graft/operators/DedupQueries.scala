@@ -1317,7 +1317,78 @@ object DedupQueries {
       |FROM a LEFT JOIN dropped d ON a.vec_id = d.vec_id
       |ORDER BY a.vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- d16
+  /** INCREMENTAL near-dup dedup against a PERSISTED LSH index — the
+    * maintenance shape of d04 that a production pipeline actually runs:
+    * the history's MinHash signatures live in a materialized signature
+    * store (here: a parquet sidecar of (doc_id, band, band-hash) rows,
+    * written by this run exactly as a nightly index job would), and an
+    * arriving batch (p02's src0/src1 convention) probes THAT index —
+    * history text is never re-shingled for candidate generation, which
+    * is the entire point: probe cost is O(|batch|) + collisions, not
+    * O(|corpus|). Only the candidates' exact-verify stage touches
+    * history documents again (point lookups by doc_id, the standard
+    * verify-on-source pattern).
+    *
+    * Output: the cross-increment pair list (history doc, batch doc,
+    * exact Jaccard >= 0.5). The oracle restates the EXACT cross pair
+    * set from raw text — so, as with d04, banding recall is audited
+    * structurally: a missed pair hash-mismatches.
+    */
+  def d16IncrementalNeardup(s: SparkSession, dir: String): DataFrame = {
+    val isNewBatch = col("source").isin("src0", "src1")
+    val sets = shingleSets(s, dir).cache()
+    try {
+      sets.count()
+      def banded(sig: DataFrame): DataFrame =
+        sig.select(col("doc_id"), posexplode(array((0 until Bands).map { b =>
+          xxhash64((0 until RowsPerBand).map(r => col(s"sig_${b * RowsPerBand + r}")): _*)
+        }: _*)).as(Seq("band", "bh")))
+      // the persisted index: history band hashes, materialized then re-read
+      val index = graft.Sidecars.write(
+        banded(minhashSignaturesFrom(sets.filter(!isNewBatch))), dir, "d16_lshindex")
+      val probe = banded(minhashSignaturesFrom(sets.filter(isNewBatch)))
+      val cand = index.select(col("band"), col("bh"), col("doc_id").as("da"))
+        .join(probe.select(col("band"), col("bh"), col("doc_id").as("db")), Seq("band", "bh"))
+        .select(col("da"), col("db")).distinct()
+      cand
+        .join(broadcast(sets.select(col("doc_id").as("da"), col("sh_arr").as("arr_a"))), "da")
+        .join(broadcast(sets.select(col("doc_id").as("db"), col("sh_arr").as("arr_b"))), "db")
+        .withColumn("jraw",
+          size(array_intersect(col("arr_a"), col("arr_b"))).cast(DoubleType) /
+            size(array_union(col("arr_a"), col("arr_b"))).cast(DoubleType))
+        .filter(col("jraw") >= 0.5)
+        .select(col("da"), col("db"), round(col("jraw"), 4).as("jaccard"))
+        .orderBy(col("da"), col("db"))
+    } finally sets.unpersist()
+  }
+
+  /** The exact cross-increment J >= 0.5 pair set from raw text — history
+    * side on the left, batch side on the right (d04's chain, scoped). */
+  val d16Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, source,
+      |    string_split(TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, source, array_to_string(toks[i:i+2], ' ') AS shingle
+      |  FROM docs, unnest(generate_series(1, GREATEST(len(toks) - 2, 0))) AS u(i)),
+      |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+      |  WHERE a.source NOT IN ('src0', 'src1') AND b.source IN ('src0', 'src1')
+      |  GROUP BY 1, 2)
+      |SELECT da, db,
+      |  ROUND(CAST(n_inter AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - n_inter AS DOUBLE), 4) AS jaccard
+      |FROM inter
+      |JOIN counts ca ON inter.da = ca.doc_id
+      |JOIN counts cb ON inter.db = cb.doc_id
+      |WHERE CAST(n_inter AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - n_inter AS DOUBLE) >= 0.5
+      |ORDER BY da, db""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d16_incremental_neardup" -> (d16IncrementalNeardup _),
     "d15_semdedup" -> (d15SemDedup _),
     "d14_minhash_calibration" -> (d14MinhashCalibration _),
     "d13_span_dedup" -> (d13SpanDedup _),
@@ -1336,6 +1407,7 @@ object DedupQueries {
   /** def, not val: d14Sql embeds the Sidecars.oracleDir-keyed sidecar
     * path Verify pins at runtime (the Multimodal.oracle convention). */
   def oracle: Map[String, String] = Map(
+    "d16_incremental_neardup" -> d16Sql,
     "d15_semdedup" -> d15Sql,
     "d14_minhash_calibration" -> d14Sql,
     "d13_span_dedup" -> d13Sql,

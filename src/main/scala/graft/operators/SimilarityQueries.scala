@@ -2121,7 +2121,135 @@ object SimilarityQueries {
     sb.toString
   }
 
+  // ---------------------------------------------------------------- s21
+  /** Two-stage retrieval CASCADE: BM25 shortlist -> exact dense rerank —
+    * the other production hybrid-retrieval shape next to s10's RRF
+    * FUSION, and the distinction matters at scale: fusion runs BOTH
+    * retrievers over the corpus and merges ranks; a cascade runs the
+    * cheap sparse retriever over the corpus and the expensive dense
+    * scorer over ONLY the shortlist (here: t09's top-20, entering the
+    * embedding scan as a broadcast semi-join — the executed plan scores
+    * 20 vectors, not the corpus, which is the entire cost argument for
+    * cascades in every production search stack). Final order is the
+    * reranker's; the sparse score rides along for attribution.
+    *
+    * Shares t09's BM25 chain and s01/s10's rounded-cosine contract
+    * verbatim, so cascade and fusion cannot drift from their parents.
+    */
+  def s21CascadeRerank(s: SparkSession, dir: String): DataFrame = {
+    val shortlist = TextQueries.t09Bm25(s, dir) // (doc_id, bm25), top-20
+    val e = Tables.spread(Tables.embeddings(s, dir)).withColumn("v", embD)
+      .withColumn("norm", sqrt(dot("v", "v")))
+      .select(col("vec_id"), col("v"), col("norm"))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("norm").as("qnorm"))
+    e.join(broadcast(shortlist), col("vec_id") === col("doc_id"))
+      .crossJoin(broadcast(q))
+      .withColumn("cosine",
+        floor(dot("qv", "v") / (col("qnorm") * col("norm")) * 1e6 + 0.5) / 1e6)
+      .select(col("doc_id"), col("bm25"), col("cosine"))
+      .orderBy(col("cosine").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  /** t09's BM25 chain (the shortlist), then the s01 cosine chain scoped
+    * to shortlist ids only, reranked. */
+  val s21Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS tok
+      |  FROM documents),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+      |corpus AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+      |tf AS (
+      |  SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+      |  WHERE tok IN ('spark', 'table', 'query') GROUP BY doc_id, tok),
+      |dfreq AS (SELECT tok, COUNT(*) AS dfreq FROM tf GROUP BY tok),
+      |bm AS (
+      |  SELECT doc_id,
+      |    FLOOR(SUM(
+      |      ln((n_docs - dfreq + 0.5) / (dfreq + 0.5) + 1.0) * tf * 2.2 /
+      |        (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+      |    ) * 10000.0 + 0.5) / 10000.0 AS bm25
+      |  FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id) CROSS JOIN corpus
+      |  GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20),
+      |e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, v,
+      |    SQRT(list_reduce(list_transform(generate_series(1, 64), i -> v[i] * v[i]), (x, y) -> x + y)) AS nrm
+      |  FROM e)
+      |SELECT bm.doc_id, bm.bm25,
+      |  FLOOR(list_reduce(list_transform(generate_series(1, 64), i -> q.v[i] * c.v[i]), (x, y) -> x + y)
+      |    / (q.nrm * c.nrm) * 1e6 + 0.5) / 1e6 AS cosine
+      |FROM bm JOIN n c ON c.vec_id = bm.doc_id CROSS JOIN n q
+      |WHERE q.vec_id = 0
+      |ORDER BY cosine DESC, doc_id LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- s22
+  /** FILTERED vector search — the metadata-constrained ANN every
+    * production vector store names as a feature (FAISS IDSelector,
+    * pgvector WHERE, Qdrant payload filters): top-5 cosine neighbors
+    * restricted to corpus vectors sharing the query's label. Strategy
+    * here is PRE-filtering — the predicate enters the scan as a join
+    * condition (label equality), so the scored set is the label slice,
+    * recall is exact by construction, and Catalyst turns the
+    * label-equality into part of the broadcast hash join key. The
+    * alternative (post-filter an unconstrained ANN shortlist) trades
+    * that exactness for speed and starves on selective predicates —
+    * the documented reason pre-filter is the default until the slice
+    * outgrows the scan budget, at which point s05's cell routing
+    * composes with the predicate (filtered IVF).
+    *
+    * Output also carries the per-query label-slice size — the
+    * selectivity number that decides pre- vs post-filter in production.
+    */
+  def s22FilteredAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.spread(Tables.embeddings(s, dir)).withColumn("v", embD)
+      .withColumn("norm", sqrt(dot("v", "v")))
+      .select(col("vec_id"), col("label"), col("v"), col("norm"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("v").as("qv"), col("norm").as("qnorm"))
+    val slice = e.join(broadcast(q),
+      col("label") === col("q_label") && col("vec_id") =!= col("q_id"))
+    val sliceSize = slice.groupBy(col("q_id")).agg(count(lit(1)).as("slice_size"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    slice
+      .withColumn("cosine", floor(dot("qv", "v") / (col("qnorm") * col("norm")) * 1e6 + 0.5) / 1e6)
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+      .join(broadcast(sliceSize), "q_id")
+      .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"),
+        col("cosine"), col("slice_size"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** s01's chain with the label-equality predicate in the join and the
+    * slice-size attribution column. */
+  val s22Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, label, v,
+      |    SQRT(list_reduce(list_transform(generate_series(1, 64), i -> v[i] * v[i]), (x, y) -> x + y)) AS nrm
+      |  FROM e),
+      |scored AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+      |    FLOOR(list_reduce(list_transform(generate_series(1, 64), i -> q.v[i] * c.v[i]), (x, y) -> x + y)
+      |      / (q.nrm * c.nrm) * 1e6 + 0.5) / 1e6 AS cosine
+      |  FROM n q JOIN n c
+      |    ON q.vec_id < 5 AND c.label = q.label AND c.vec_id <> q.vec_id),
+      |sz AS (SELECT q_id, COUNT(*) AS slice_size FROM scored GROUP BY 1),
+      |ranked AS (
+      |  SELECT q_id, neighbor_id, cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rnk
+      |  FROM scored)
+      |SELECT q_id, rnk, neighbor_id, cosine, slice_size
+      |FROM ranked JOIN sz USING (q_id) WHERE rnk <= 5
+      |ORDER BY q_id, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s22_filtered_ann" -> (s22FilteredAnn _),
+    "s21_cascade_rerank" -> (s21CascadeRerank _),
     "s20_kcenter_coreset" -> (s20KcenterCoreset _),
     "s19_nprobe_sweep" -> (s19NprobeSweep _),
     "s18_binary_ann" -> (s18BinaryAnn _),
@@ -2144,6 +2272,8 @@ object SimilarityQueries {
     "s06_ann_verified" -> (s06AnnVerified _))
 
   val oracle: Map[String, String] = Map(
+    "s22_filtered_ann" -> s22Sql,
+    "s21_cascade_rerank" -> s21Sql,
     "s20_kcenter_coreset" -> s20Sql,
     "s19_nprobe_sweep" -> s19Sql,
     "s18_binary_ann" -> s18Sql,

@@ -121,7 +121,10 @@ object ScaleSweep {
       "p24_robust_outlier_gate" -> "MAD outlier gate (2 exact percentile passes)",
       "q96_cumulative_distinct" -> "cumulative uniques (first-seen rewrite, bounded window)",
       "ml03_calibration_audit" -> "classifier calibration deciles (sidecar rollup)",
-      "m07_spectral_audio_dedup" -> "spectral audio dedup (own DFT, banded Hamming)")
+      "m07_spectral_audio_dedup" -> "spectral audio dedup (own DFT, banded Hamming)",
+      "s21_cascade_rerank" -> "cascade retrieval (BM25 shortlist -> bounded dense rerank)",
+      "d16_incremental_neardup" -> "incremental near-dup (persisted LSH index probe)",
+      "s22_filtered_ann" -> "filtered ANN (label predicate in the scan)")
 
     // warm the JVM/codegen on the smallest sf so cold-start lands nowhere
     queries.foreach { case (q, _) =>

@@ -474,6 +474,82 @@ class Round7OpsSpec extends SparkTestBase {
     assert(mid.getLong(3) === cumMid)
   }
 
+  test("s21: cascade reranks only the sparse shortlist and agrees with a full replay") {
+    val df = operators.SimilarityQueries.s21CascadeRerank(spark, Sf001)
+    // the dense scorer must see the shortlist via broadcast, never the corpus
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+    assert(!plan.contains("CartesianProduct") &&
+      !(plan.contains("BroadcastNestedLoopJoin") && !plan.contains("BuildRight, false")),
+      "dense stage degenerated to an unbounded scan shape")
+    val out = df.collect()
+    assert(out.length === 10)
+    // replay: every returned doc must be in the sparse top-20, and the
+    // cosine order must equal an independent rerank of that shortlist
+    val shortlist = operators.TextQueries.t09Bm25(spark, Sf001).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.forall(r => shortlist.contains(r.getLong(0))), "reranked doc outside shortlist")
+    assert(out.map(r => r.getDouble(1)) === out.map(r => shortlist(r.getLong(0))),
+      "sparse scores did not ride through")
+    val cosines = out.map(_.getDouble(2))
+    assert(cosines.toSeq === cosines.sorted.reverse.toSeq, "not ordered by rerank score")
+  }
+
+  test("d16: index probe finds exactly the cross-increment near-dup pairs d04 knows about") {
+    val out = operators.DedupQueries.d16IncrementalNeardup(spark, Sf001).collect()
+    // ground truth from the batch operator: d04's corpus-wide pair list,
+    // restricted to (history, batch) cross pairs — the incremental path
+    // must lose nothing against the batch path
+    val docs = Tables.documents(spark, Sf001)
+      .select(col("doc_id"), col("source").isin("src0", "src1").as("isNew"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val batch = operators.DedupQueries.d04MinhashLsh(spark, Sf001).collect()
+      .flatMap { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        // d04 orders pairs (a < b); d16 orders (history, batch)
+        if (!docs(a) && docs(b)) Some(((a, b), r.getDouble(2)))
+        else if (docs(a) && !docs(b)) Some(((b, a), r.getDouble(2)))
+        else None
+      }.toMap
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet === batch.keySet)
+    out.foreach { r =>
+      assert(!docs(r.getLong(0)) && docs(r.getLong(1)), "pair not history x batch")
+      assert(r.getDouble(2) === batch((r.getLong(0), r.getLong(1))), "jaccard drift vs d04")
+    }
+    // the persisted index must exist and carry one row per (history doc, band)
+    val idx = spark.read.parquet(graft.Sidecars.path(Sf001, "d16_lshindex"))
+    val nHistoryWithShingles = operators.DedupQueries.minhashSignatures(spark, Sf001)
+      .join(Tables.documents(spark, Sf001).filter(!col("source").isin("src0", "src1"))
+        .select(col("doc_id")), "doc_id")
+      .count()
+    assert(idx.count() === nHistoryWithShingles * operators.DedupQueries.Bands)
+  }
+
+  test("s22: filtered ANN returns only same-label neighbors, exactly per slice") {
+    val out = operators.SimilarityQueries.s22FilteredAnn(spark, Sf0001).collect()
+    val labels = Tables.embeddings(spark, Sf0001)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // constraint: every neighbor shares its query's label
+    out.foreach(r => assert(labels(r.getLong(2)) === labels(r.getLong(0)),
+      s"neighbor ${r.getLong(2)} breaks query ${r.getLong(0)}'s label filter"))
+    // slice_size must equal the true label-slice cardinality (minus self)
+    val byLabel = labels.values.groupBy(identity).map { case (l, xs) => l -> xs.size }
+    out.foreach(r => assert(r.getLong(4) === byLabel(labels(r.getLong(0))) - 1L))
+    // exactness: the filtered top-5 must agree with the unconstrained
+    // exact top-10 (s01) wherever the latter happens to stay in-label
+    val s01 = operators.SimilarityQueries.s01AnnBruteForce(spark, Sf0001).collect()
+      .groupBy(_.getLong(0))
+    for ((qId, rows) <- out.groupBy(_.getLong(0))) {
+      val inLabel = s01(qId).filter(r => labels(r.getLong(2)) === labels(qId))
+        .sortBy(_.getInt(1)).map(_.getLong(2))
+      val got = rows.sortBy(_.getInt(1)).map(_.getLong(2))
+      val k = math.min(inLabel.length, got.length)
+      assert(got.take(k).toSeq === inLabel.take(k).toSeq,
+        s"query $qId: filtered ranking disagrees with the in-label prefix of s01")
+    }
+  }
+
   test("s16: shortlist is a strict subset of the corpus (bounded candidate set)") {
     // every returned neighbor must come from a probed cell; with 10 cells
     // and 2 probes the candidate pool is ~1/5 of the corpus — assert the
