@@ -2084,7 +2084,11 @@ object SimilarityQueries {
       var picks = Vector((0L, seed.getLong(0), 0L))
       var mdCol = distTo(seed.getSeq[Long](1))
       for (k <- 1 to 7) {
-        val p = q.select(col("vec_id"), col("qv"), mdCol.as("md"))
+        // already-picked points are excluded, not just at distance 0: on
+        // a saturated corpus (duplicate vectors drive every min-distance
+        // to 0) the tie-break would otherwise re-pick the seed forever
+        val p = q.filter(!col("vec_id").isInCollection(picks.map(_._2)))
+          .select(col("vec_id"), col("qv"), mdCol.as("md"))
           .orderBy(col("md").desc, col("vec_id")).limit(1).head()
         picks = picks :+ ((k.toLong, p.getLong(0), p.getLong(2)))
         if (k < 7) mdCol = least(mdCol, distTo(p.getSeq[Long](1)))
@@ -2106,13 +2110,16 @@ object SimilarityQueries {
       |  FROM embeddings),
       |c0 AS (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 1),
       |""".stripMargin
-    sb ++= s"s0 AS (SELECT q.vec_id, q.qv, ${d("q", "c0")} AS md FROM q CROSS JOIN c0)"
+    // each round's frame EXCLUDES the points already picked (seed in s0,
+    // the latest pick in each s_k) — matching the Spark side's exclusion
+    sb ++= s"s0 AS (SELECT q.vec_id, q.qv, ${d("q", "c0")} AS md " +
+      "FROM q CROSS JOIN c0 WHERE q.vec_id <> c0.vec_id)"
     for (k <- 1 to 7) {
       sb ++= s",\np$k AS (SELECT vec_id, qv, md FROM s${k - 1} ORDER BY md DESC, vec_id LIMIT 1)"
       if (k < 7)
         sb ++= s",\ns$k AS (SELECT s${k - 1}.vec_id, s${k - 1}.qv, " +
           s"LEAST(s${k - 1}.md, ${d(s"s${k - 1}", s"p$k")}) AS md " +
-          s"FROM s${k - 1} CROSS JOIN p$k)"
+          s"FROM s${k - 1} CROSS JOIN p$k WHERE s${k - 1}.vec_id <> p$k.vec_id)"
     }
     sb ++= "\nSELECT CAST(0 AS BIGINT) AS pick, vec_id, CAST(0 AS BIGINT) AS coverage_md FROM c0"
     for (k <- 1 to 7)

@@ -281,4 +281,62 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(pairs.contains((2L, 1000002L)), "constant-frame twin lost")
     assert(pairs.contains((5L, 1000005L)))
   }
+
+  test("t20 buckets a uniform-score corpus into one head bucket; <2-token docs excluded") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_edge_t20").toString
+    // five identical 4-token docs (identical avg_nll -> t1 = t2 = the one
+    // score -> everything is 'head') plus a 1-token doc with NO bigrams,
+    // which must fall out of the scored set entirely, not crash it
+    ((0 until 5).map(i => (i.toLong, "alpha beta gamma delta", "en", "src0", 22L)) :+
+      ((9L, "solo", "en", "src1", 4L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextQueries.t20PerplexityBuckets(spark, dir).collect()
+    assert(out.length === 1 && out.head.getString(0) === "head")
+    assert(out.head.getLong(1) === 5L, "the bigram-less doc must not be scored")
+    assert(out.head.getDouble(3) === out.head.getDouble(4), "uniform corpus: one score")
+  }
+
+  test("p23 shard manifest collapses a zero-token corpus to one empty shard") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_edge_p23").toString
+    (0 until 4).map(i => (i.toLong, "!!! ??? ...", "en", "src0", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // total tokens 0 -> target clamps to 1 -> every doc starts at offset 0
+    val out = PipelineQueries.p23ShardManifest(spark, dir).collect()
+    assert(out.length === 1 && out.head.getLong(0) === 0L)
+    assert(out.head.getLong(1) === 4L && out.head.getLong(2) === 0L)
+    assert(out.head.getLong(3) === 0L && out.head.getLong(4) === 0L)
+  }
+
+  test("d16 incremental near-dup with an empty arriving batch returns no pairs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_edge_d16").toString
+    // history only (src2) — the probe side is empty; the index write and
+    // the band join must both survive that
+    Seq(
+      (0L, "alpha beta gamma delta epsilon zeta", "en", "src2", 35L),
+      (1L, "alpha beta gamma delta epsilon zeta", "en", "src3", 35L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(DedupQueries.d16IncrementalNeardup(spark, dir).collect().isEmpty)
+  }
+
+  test("s20 k-center on a saturated corpus never re-picks a point") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_edge_s20").toString
+    // 10 vectors, only 2 distinct values: after picks {0, 5} every
+    // min-distance is 0 — the exclusion rule must walk the remaining ids
+    // in tie-break order instead of re-picking the seed forever
+    (0 until 10).map(i =>
+      (i.toLong, Seq.fill(64)(if (i < 5) 0.1f else 0.9f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SimilarityQueries.s20KcenterCoreset(spark, dir).collect()
+    assert(out.map(_.getLong(1)).toSeq === Seq(0L, 5L, 1L, 2L, 3L, 4L, 6L, 7L))
+    val radii = out.map(_.getLong(2))
+    assert(radii(1) > 0 && radii.drop(2).forall(_ === 0L), radii.toSeq.toString)
+  }
 }

@@ -414,13 +414,13 @@ class Round7OpsSpec extends SparkTestBase {
       while (i < a.length) { val t = a(i) - b(i); acc += t * t; i += 1 }
       acc
     }
-    var md = vecs.map { case (id, v) => id -> d2(v, vecs.head._2) }.toMap
+    var md = vecs.map { case (id, v) => id -> d2(v, vecs.head._2) }.toMap - vecs.head._1
     var expected = Vector((0L, vecs.head._1, 0L))
     val byId = vecs.toMap
     for (k <- 1 to 7) {
       val (pid, pmd) = md.toSeq.maxBy { case (id, m) => (m, -id) }
       expected = expected :+ ((k.toLong, pid, pmd))
-      md = md.map { case (id, m) => id -> math.min(m, d2(byId(id), byId(pid))) }
+      md = (md - pid).map { case (id, m) => id -> math.min(m, d2(byId(id), byId(pid))) }
     }
     assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq === expected)
   }
