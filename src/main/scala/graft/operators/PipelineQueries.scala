@@ -1676,7 +1676,83 @@ object PipelineQueries {
       |FROM d JOIN md USING (event_type)
       |GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- p26
+  /** Temperature-sampled mixture (tau = 0.5) — the UniMax/T5-style
+    * mixing rule where per-source keep rates are COMPUTED from corpus
+    * statistics instead of configured (p05's fixed-rate sampler is the
+    * "mixture weights chosen by a human" stage; this is the "weights
+    * derived from the data" stage): keep probability p_s proportional to
+    * n_s^(tau-1) = 1/sqrt(n_s), scaled so the expected sample is half
+    * the corpus — big sources are down-sampled toward parity, small
+    * sources ride along nearly whole, the standard fix for web-crawl
+    * domination of multilingual/multi-domain mixes.
+    *
+    * Cross-engine exactness without trusting libm: tau = 0.5 makes the
+    * weight a SQRT (IEEE-correctly-rounded everywhere, unlike pow(x,
+    * 0.7)), each sqrt rounds to integer milli units, their sum is exact
+    * int64, and the per-source keep threshold is ONE double division of
+    * two exactly-representable integers times a power of two (exact) —
+    * floor of a correctly-rounded quotient, bit-identical in both
+    * engines. Docs keep by comparing their first 8 md5 hex digits as a
+    * 32-bit integer against the threshold (q30/p05's reproducible-
+    * sampling convention, fine-grained to 1/2^32).
+    */
+  def p26TemperatureMixture(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(s, dir))
+      .select(col("source"), col("doc_id"))
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+      .withColumn("s_milli",
+        expr("cast(floor(sqrt(cast(n_src as double)) * 1000D + 0.5D) as bigint)"))
+    val tot = counts.agg(sum(col("s_milli")).as("sum_s"), sum(col("n_src")).as("n_total"))
+    val thr = counts.crossJoin(broadcast(tot))
+      // div, not `/`: Spark's `/` on longs is double division; the one
+      // intended double division is the final quotient
+      .withColumn("thr", expr(
+        """cast(least(
+          |  floor(cast((n_total div 2) * 1000000L as double) * 4294967296.0D
+          |    / cast(s_milli * sum_s as double)),
+          |  4294967296.0D) as bigint)""".stripMargin))
+      .select(col("source"), col("n_src"), col("s_milli"), col("thr"))
+    docs.join(broadcast(thr), "source")
+      .withColumn("hex32",
+        expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)"))
+      .withColumn("kept", col("hex32") < col("thr"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("thr")).as("thr"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("achieved_rate",
+        floor(col("n_kept").cast(DoubleType) / col("n_docs") * 10000.0 + 0.5) / 10000.0)
+      .orderBy(col("source"))
+  }
+
+  /** Identical integer-milli sqrt weights, the same one-division double
+    * threshold, the same 8-hex-digit keep rule. */
+  val p26Sql: String =
+    """WITH c AS (
+      |  SELECT source, COUNT(*) AS n_src,
+      |    CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS s_milli
+      |  FROM documents GROUP BY source),
+      |t AS (SELECT CAST(SUM(s_milli) AS BIGINT) AS sum_s,
+      |             CAST(SUM(n_src) AS BIGINT) AS n_total FROM c),
+      |th AS (
+      |  SELECT source, n_src, s_milli,
+      |    CAST(LEAST(
+      |      FLOOR(CAST((n_total // 2) * 1000000 AS DOUBLE) * 4294967296.0
+      |        / CAST(s_milli * sum_s AS DOUBLE)),
+      |      4294967296.0) AS BIGINT) AS thr
+      |  FROM c CROSS JOIN t),
+      |d AS (
+      |  SELECT th.source, th.thr,
+      |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < th.thr AS kept
+      |  FROM documents JOIN th USING (source))
+      |SELECT source, COUNT(*) AS n_docs, MIN(thr) AS thr,
+      |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  FLOOR(CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS achieved_rate
+      |FROM d GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p26_temperature_mixture" -> (p26TemperatureMixture _),
     "p24_robust_outlier_gate" -> (p24RobustOutlierGate _),
     "p23_shard_manifest" -> (p23ShardManifest _),
     "p22_deletion_propagation" -> (p22DeletionPropagation _),
@@ -1705,6 +1781,7 @@ object PipelineQueries {
   // def, not val: p19Sql embeds Sidecars.oracleDir-keyed paths, which
   // Verify pins at runtime before dumping oracle_sql.json
   def oracle: Map[String, String] = Map(
+    "p26_temperature_mixture" -> p26Sql,
     "p24_robust_outlier_gate" -> p24Sql,
     "p23_shard_manifest" -> p23Sql,
     "p22_deletion_propagation" -> p22Sql,

@@ -124,7 +124,8 @@ object ScaleSweep {
       "m07_spectral_audio_dedup" -> "spectral audio dedup (own DFT, banded Hamming)",
       "s21_cascade_rerank" -> "cascade retrieval (BM25 shortlist -> bounded dense rerank)",
       "d16_incremental_neardup" -> "incremental near-dup (persisted LSH index probe)",
-      "s22_filtered_ann" -> "filtered ANN (label predicate in the scan)")
+      "s22_filtered_ann" -> "filtered ANN (label predicate in the scan)",
+      "p26_temperature_mixture" -> "temperature mixture (computed sqrt rates, hash keep)")
 
     // warm the JVM/codegen on the smallest sf so cold-start lands nowhere
     queries.foreach { case (q, _) =>

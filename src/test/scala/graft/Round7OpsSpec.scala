@@ -550,6 +550,32 @@ class Round7OpsSpec extends SparkTestBase {
     }
   }
 
+  test("p26: temperature mixture down-samples big sources toward parity, reproducibly") {
+    val out = operators.PipelineQueries.p26TemperatureMixture(spark, Sf001).collect()
+    val n = out.map(_.getLong(1)).sum
+    // expected sample is half the corpus; hash sampling concentrates
+    // tightly around it (binomial, thousands of trials)
+    val kept = out.map(_.getLong(3)).sum
+    assert(math.abs(kept - n / 2.0) < n * 0.1, s"kept $kept of $n, target ${n / 2}")
+    // monotone temperature property: a strictly larger source never gets
+    // a strictly larger keep threshold (rate ~ 1/sqrt(n))
+    for (a <- out; b <- out if a.getLong(1) < b.getLong(1))
+      assert(a.getLong(2) >= b.getLong(2),
+        s"${a.getString(0)} (${a.getLong(1)}) thr below ${b.getString(0)} (${b.getLong(1)})")
+    // reproducibility: the keep decision is a pure hash rule
+    val again = operators.PipelineQueries.p26TemperatureMixture(spark, Sf001).collect()
+    assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+    // exact replay of one source's count through the same md5 rule
+    val first = out.head
+    val replay = Tables.documents(spark, Sf001)
+      .filter(col("source") === first.getString(0))
+      .withColumn("hex32",
+        expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)"))
+      .filter(col("hex32") < lit(first.getLong(2)))
+      .count()
+    assert(first.getLong(3) === replay)
+  }
+
   test("s16: shortlist is a strict subset of the corpus (bounded candidate set)") {
     // every returned neighbor must come from a probed cell; with 10 cells
     // and 2 probes the candidate pool is ~1/5 of the corpus — assert the
