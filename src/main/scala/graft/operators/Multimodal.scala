@@ -1209,7 +1209,105 @@ object Multimodal {
       |WHERE bit_count(xor(ha, hb)) <= 7 AND bit_count(xor(aa, ab)) <= 7
       |ORDER BY ida, idb""".stripMargin
 
+  // ---------------------------------------------------------------- m08
+  /** One scene raster from a seed — encodeAvi's f=0 pixel mapping with a
+    * uniform brightness offset per frame (NO per-frame phase scramble:
+    * scenes must be temporally coherent for shot structure to exist).
+    * Seed bytes are ASCII (< 124) so jitter <= +10 never clamps. */
+  private def sceneFrame(seed: Array[Byte], jitter: Int): Array[Byte] = {
+    val stride = dibStride(ImageW)
+    val fb = new Array[Byte](stride * ImageH)
+    var y = 0
+    while (y < ImageH) {
+      var x = 0
+      while (x < ImageW) {
+        val i = y * ImageW + x
+        val o = (ImageH - 1 - y) * stride + x * 3
+        fb(o)     = (((seed((i * 13 + 11) % seed.length) & 0xff) + jitter) min 255).toByte
+        fb(o + 1) = (((seed((i * 7 + 3) % seed.length) & 0xff) + jitter) min 255).toByte
+        fb(o + 2) = (((seed(i % seed.length) & 0xff) + jitter) min 255).toByte
+        x += 1
+      }
+      y += 1
+    }
+    fb
+  }
+
+  /** Driver-contract query: video SHOT-BOUNDARY (scene cut) detection —
+    * the segmentation step a video-curation pipeline runs before
+    * keyframe sampling (sample per shot, not per clip): consecutive
+    * frames' aHash Hamming distance, a cut wherever it jumps past the
+    * threshold (16 of 64 bits — between the measured within-shot bound
+    * and the ~32-bit distance of unrelated rasters).
+    *
+    * Clips are spliced to PLANT shot structure through the real codec:
+    * even-id videos carry two scenes (frames 0-2 from the doc raster,
+    * 3-5 from the reversed-seed raster — different content), odd-id
+    * videos are single-scene; within a scene, frames differ by a
+    * uniform brightness offset, which mean-thresholded aHash is
+    * invariant to (the same affine-invariance argument as m06's DCT
+    * bits) — so expected output is exactly one cut at frame 3 for
+    * even ids, zero cuts for odd ids, which MultimodalSpec pins.
+    *
+    * Scale: per-frame hashing is the m05 map-only codec pass; cut
+    * detection is a LAG window PARTITIONED BY media_id (state = one
+    * clip's frames, never global); the rollup is one media-keyed
+    * aggregation. The frame-hash table is the oracle sidecar; LAG +
+    * xor + threshold + rollup are restated in SQL over it.
+    */
+  def m08SceneCuts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashed = Tables.spread(Tables.documents(s, dir))
+      .filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val raw = text.getBytes("UTF-8")
+        val base = if (raw.isEmpty) Array[Byte](0) else raw
+        // scene B = luminance inversion of scene A: every relative
+        // ordering flips, so the spliced boundary moves ~all 64 aHash
+        // bits — far above the 16-bit cut threshold by construction
+        // (reversing the byte stream is NOT enough: word-soup rasters
+        // have such uniform block statistics that a reversed copy can
+        // land within a few aHash bits of the original)
+        val inv = base.map(b => (255 - (b & 0xff)).toByte)
+        val frames = Array.tabulate(VideoFrames) { f =>
+          val seed = if (id % 2 == 0 && f >= VideoFrames / 2) inv else base
+          sceneFrame(seed, 2 * f)
+        }
+        (id, encodeAviFrames(ImageW, ImageH, frames, VideoUsPerFrame))
+      }.flatMap { case (id, payload) =>
+        videoFrameHashes(payload).map { case (fi, h) => (id, fi, h) }
+      })
+      .toDF("media_id", "frame_idx", "h")
+    val side = graft.Sidecars.write(hashed, dir, "m08_scenefp")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    side.withColumn("prev", lag(col("h"), 1).over(w))
+      .withColumn("adj", expr("bit_count(h ^ prev)"))
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("adj") >= 16, 1L).otherwise(0L)).as("n_cuts"),
+        min(when(col("adj") >= 16, col("frame_idx"))).as("first_cut_idx"),
+        max(coalesce(col("adj"), lit(0))).cast(LongType).as("max_adj_hamming"))
+      .orderBy(col("media_id"))
+  }
+
+  /** LAG + xor + threshold + per-clip rollup restated over the
+    * frame-hash sidecar. */
+  private def m08Sql: String =
+    s"""WITH side AS (SELECT * FROM '${graft.Sidecars.oraclePath("m08_scenefp")}/*.parquet'),
+      |adj AS (
+      |  SELECT media_id, frame_idx,
+      |    bit_count(xor(h, LAG(h) OVER (PARTITION BY media_id ORDER BY frame_idx))) AS adj
+      |  FROM side)
+      |SELECT media_id, COUNT(*) AS n_frames,
+      |  CAST(SUM(CASE WHEN adj >= 16 THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+      |  MIN(CASE WHEN adj >= 16 THEN frame_idx END) AS first_cut_idx,
+      |  CAST(MAX(COALESCE(adj, 0)) AS BIGINT) AS max_adj_hamming
+      |FROM adj GROUP BY media_id ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m08_scene_cuts" -> (m08SceneCuts _),
     "m07_spectral_audio_dedup" -> (m07SpectralAudioDedup _),
     "m06_image_phash" -> (m06ImagePhash _),
     "m01_media_features" -> (m01MediaFeatures _),
@@ -1226,6 +1324,7 @@ object Multimodal {
     * same two-sided closure t17 uses. def, not val: the SQL embeds the
     * Sidecars.oracleDir-keyed paths Verify pins at runtime. */
   def oracle: Map[String, String] = Map(
+    "m08_scene_cuts" -> m08Sql,
     "m07_spectral_audio_dedup" -> bandedHammingSql("m07_spectralfp", maxHamming = 3),
     "m06_image_phash" -> m06Sql,
     "m01_media_features" -> m01Sql,

@@ -1751,7 +1751,88 @@ object PipelineQueries {
       |  FLOOR(CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS achieved_rate
       |FROM d GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- p27
+  /** Join-key skew audit — the measurement that decides BEFORE a big
+    * join whether to salt (q32), let AQE split (PlanShapeSpec's skew
+    * join), or do nothing: per-key row counts on the probe side's join
+    * key, the exact p95 of that count distribution, the hot keys that
+    * exceed it, and the derived salt factor ceil(max/p95) — the
+    * replication count q32-style salting would need to level the
+    * hottest partition down to typical size.
+    *
+    * Exactness: the p95 threshold comes from the bounded-cardinality
+    * count histogram (t20's integer `20*cum >= 19*n` arithmetic — counts
+    * repeat heavily, so the histogram is tiny), NOT from a percentile
+    * aggregate whose interpolation could drift cross-engine. Everything
+    * else is int64 counts and one ceil integer division; share_micro is
+    * the p26 one-division rule.
+    *
+    * Plan shape at 100 TB: one map-side-combined count per key (the
+    * aggregation any join pre-scan does anyway), a histogram over the
+    * distinct COUNT VALUES (bounded, ~hundreds even at 1e9 keys), a
+    * broadcast scalar join of the thresholds, and a top-10. Nothing
+    * rescans the fact table twice.
+    */
+  def p27SkewAudit(s: SparkSession, dir: String): DataFrame = {
+    val perKey = Tables.orders(s, dir)
+      .groupBy(col("o_custkey").cast("long").as("custkey"))
+      .agg(count(lit(1)).as("cnt"))
+    val hist = perKey.groupBy(col("cnt")).agg(count(lit(1)).as("freq"))
+    import org.apache.spark.sql.expressions.Window
+    // window over distinct count VALUES — bounded by the count range,
+    // not by keys (t20's bounded-cardinality histogram rationale)
+    val wcum = Window.orderBy(col("cnt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("freq")).over(wcum))
+    val tot = perKey.agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+      max(col("cnt")).as("max_cnt"))
+    val p95 = cum.crossJoin(broadcast(tot))
+      .filter(col("cum") * 20 >= col("n_keys") * 19)
+      .agg(min(col("cnt")).as("p95_cnt"))
+    val thr = tot.crossJoin(broadcast(p95))
+      .withColumn("salt_factor",
+        expr("(max_cnt + p95_cnt - 1) div p95_cnt"))
+    perKey.crossJoin(broadcast(thr))
+      .filter(col("cnt") > col("p95_cnt"))
+      .withColumn("share_micro",
+        floor(col("cnt").cast(DoubleType) / col("n_rows").cast(DoubleType) * 1e6).cast("long"))
+      .select(col("custkey"), col("cnt"), col("share_micro"),
+        col("n_keys"), col("max_cnt"), col("p95_cnt"), col("salt_factor"))
+      .orderBy(col("cnt").desc, col("custkey"))
+      .limit(10)
+  }
+
+  /** Identical count histogram, integer p95 threshold, ceil-div salt
+    * factor, and one-division share. */
+  val p27Sql: String =
+    """WITH per_key AS (
+      |  SELECT CAST(o_custkey AS BIGINT) AS custkey, COUNT(*) AS cnt
+      |  FROM orders GROUP BY 1),
+      |tot AS (
+      |  SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+      |         MAX(cnt) AS max_cnt
+      |  FROM per_key),
+      |hist AS (SELECT cnt, COUNT(*) AS freq FROM per_key GROUP BY cnt),
+      |cum AS (
+      |  SELECT cnt, CAST(SUM(freq) OVER (ORDER BY cnt
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM hist),
+      |p95 AS (
+      |  SELECT MIN(cnt) AS p95_cnt FROM cum CROSS JOIN tot
+      |  WHERE cum * 20 >= n_keys * 19),
+      |thr AS (
+      |  SELECT n_keys, n_rows, max_cnt, p95_cnt,
+      |    (max_cnt + p95_cnt - 1) // p95_cnt AS salt_factor
+      |  FROM tot CROSS JOIN p95)
+      |SELECT custkey, cnt,
+      |  CAST(FLOOR(CAST(cnt AS DOUBLE) / CAST(n_rows AS DOUBLE) * 1e6) AS BIGINT) AS share_micro,
+      |  n_keys, max_cnt, p95_cnt, salt_factor
+      |FROM per_key CROSS JOIN thr
+      |WHERE cnt > p95_cnt
+      |ORDER BY cnt DESC, custkey LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p27_skew_audit" -> (p27SkewAudit _),
     "p26_temperature_mixture" -> (p26TemperatureMixture _),
     "p24_robust_outlier_gate" -> (p24RobustOutlierGate _),
     "p23_shard_manifest" -> (p23ShardManifest _),
@@ -1781,6 +1862,7 @@ object PipelineQueries {
   // def, not val: p19Sql embeds Sidecars.oracleDir-keyed paths, which
   // Verify pins at runtime before dumping oracle_sql.json
   def oracle: Map[String, String] = Map(
+    "p27_skew_audit" -> p27Sql,
     "p26_temperature_mixture" -> p26Sql,
     "p24_robust_outlier_gate" -> p24Sql,
     "p23_shard_manifest" -> p23Sql,

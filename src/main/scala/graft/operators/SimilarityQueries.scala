@@ -2254,7 +2254,94 @@ object SimilarityQueries {
       |FROM ranked JOIN sz USING (q_id) WHERE rnk <= 5
       |ORDER BY q_id, rnk""".stripMargin
 
+  // ---------------------------------------------------------------- s23
+  /** IVF index-health audit — the operational measurement behind every
+    * cell-scoped operator here (s05/s14/s15/s19, d07/d15): per-cell
+    * population of the nearest-centroid assignment, each cell's corpus
+    * share, and the imbalance factor max_cell / mean_cell. A healthy
+    * inverted index has imbalance near 1; a hot cell (imbalance >> 1)
+    * means probe cost concentrates (one cell's scan dominates every
+    * query that probes it) and is the trigger to re-train or split the
+    * codebook — the same measurement FAISS's `imbalance_factor()`
+    * reports. Cells that attract NO vectors (possible: assignment is
+    * nearest-CENTROID, not the label that seeded the centroid) surface
+    * as explicit zero rows via a left join from the codebook side, not
+    * silently dropped.
+    *
+    * Integer contract: counts are exact int64; imbalance_milli =
+    * (1000 * max_cnt * n_cells) div n — pure integer multiply + floor
+    * division; share_micro is the p26 one-division rule.
+    *
+    * Plan shape at 100 TB: assignment is the standard map pass against
+    * the plan-literal codebook (no join, no shuffle); the audit is ONE
+    * k-cardinality aggregation plus scalar rollups — strictly cheaper
+    * than any query the index serves, so it can run on every index
+    * build.
+    */
+  def s23IndexHealth(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.spread(Tables.embeddings(s, dir)).withColumn("v", embD)
+    val cents = codebook(e)
+    val assigned = e
+      .withColumn("cell", element_at(probeCells(cents, col("v"), 1), 1))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+    val cells = cents.map(_._1).toSeq.toDF("cell") // k plan-literal rows
+    val perCell = cells.join(assigned, Seq("cell"), "left")
+      .withColumn("n_vecs", coalesce(col("n_vecs"), lit(0L)))
+    val glob = perCell.agg(count(lit(1)).as("n_cells"), sum(col("n_vecs")).as("n"),
+      max(col("n_vecs")).as("max_cnt"), min(col("n_vecs")).as("min_cnt"))
+      .withColumn("imbalance_milli", expr("(1000 * max_cnt * n_cells) div n"))
+    perCell.crossJoin(broadcast(glob))
+      .withColumn("share_micro",
+        floor(col("n_vecs").cast(DoubleType) / col("n").cast(DoubleType) * 1e6).cast("long"))
+      .select(col("cell").cast("int").as("cell"), col("n_vecs"), col("share_micro"),
+        col("n_cells"), col("max_cnt"), col("min_cnt"), col("imbalance_milli"))
+      .orderBy(col("cell"))
+  }
+
+  /** The s19 cell-assignment restatement (DECIMAL-exact centroids,
+    * rounded-cosine argmax, cell-DESC tie), then the identical integer
+    * audit arithmetic. */
+  val s23Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |flat AS (
+      |  SELECT label, i AS dim, v[i] AS x
+      |  FROM e, unnest(generate_series(1, 64)) AS u(i)),
+      |cent AS (
+      |  SELECT label, dim,
+      |    CAST(CAST(SUM(CAST(x AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS m
+      |  FROM flat GROUP BY 1, 2),
+      |carr AS (SELECT label AS cell, list(m ORDER BY dim) AS cv FROM cent GROUP BY label),
+      |cnrm AS (
+      |  SELECT cell, cv,
+      |    SQRT(list_reduce(list_transform(generate_series(1, 64), i -> cv[i] * cv[i]), (x, y) -> x + y)) AS cn
+      |  FROM carr),
+      |asg0 AS (
+      |  SELECT c.vec_id, m.cell,
+      |    ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+      |      FLOOR(list_reduce(list_transform(generate_series(1, 64), i -> c.v[i] * m.cv[i]), (x, y) -> x + y)
+      |        / (SQRT(list_reduce(list_transform(generate_series(1, 64), i -> c.v[i] * c.v[i]), (x, y) -> x + y)) * m.cn)
+      |        * 1e6 + 0.5) / 1e6 DESC, m.cell DESC) AS rnk
+      |  FROM e c CROSS JOIN cnrm m),
+      |counts AS (
+      |  SELECT cell, COUNT(*) AS n_vecs FROM asg0 WHERE rnk = 1 GROUP BY cell),
+      |per_cell AS (
+      |  SELECT cnrm.cell, COALESCE(counts.n_vecs, 0) AS n_vecs
+      |  FROM cnrm LEFT JOIN counts ON cnrm.cell = counts.cell),
+      |gstats AS (
+      |  SELECT COUNT(*) AS n_cells, CAST(SUM(n_vecs) AS BIGINT) AS n,
+      |    MAX(n_vecs) AS max_cnt, MIN(n_vecs) AS min_cnt,
+      |    (1000 * MAX(n_vecs) * COUNT(*)) // CAST(SUM(n_vecs) AS BIGINT) AS imbalance_milli
+      |  FROM per_cell)
+      |SELECT CAST(cell AS INTEGER) AS cell, n_vecs,
+      |  CAST(FLOOR(CAST(n_vecs AS DOUBLE) / CAST(n AS DOUBLE) * 1e6) AS BIGINT) AS share_micro,
+      |  n_cells, max_cnt, min_cnt, imbalance_milli
+      |FROM per_cell CROSS JOIN gstats
+      |ORDER BY cell""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s23_index_health" -> (s23IndexHealth _),
     "s22_filtered_ann" -> (s22FilteredAnn _),
     "s21_cascade_rerank" -> (s21CascadeRerank _),
     "s20_kcenter_coreset" -> (s20KcenterCoreset _),
@@ -2279,6 +2366,7 @@ object SimilarityQueries {
     "s06_ann_verified" -> (s06AnnVerified _))
 
   val oracle: Map[String, String] = Map(
+    "s23_index_health" -> s23Sql,
     "s22_filtered_ann" -> s22Sql,
     "s21_cascade_rerank" -> s21Sql,
     "s20_kcenter_coreset" -> s20Sql,

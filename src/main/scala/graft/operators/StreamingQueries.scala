@@ -388,7 +388,34 @@ object StreamingQueries {
       |WHERE hour_start + INTERVAL 1 HOUR <= mx - INTERVAL 1 HOUR
       |ORDER BY hour_start""".stripMargin
 
+  /** Stream-STATIC enrichment join run to completion — the purchase
+    * stream joined per micro-batch against the static (broadcastable)
+    * customer dimension, rolled up to hourly revenue per market segment
+    * (EventStream.enrichedBySegment — the live-dashboard shape; no
+    * state is kept for the static side, so dimension updates surface
+    * between batches in an unbounded deployment). StreamingSpec pins
+    * the stream == batch equivalence in-JVM; this row puts it under
+    * the driver's cross-engine oracle hash: the batch join + DECIMAL-
+    * routed rollup over raw events ⨝ customer must match the streamed
+    * result bit for bit — including that the join neither drops nor
+    * duplicates stream rows against the dimension.
+    */
+  def st08StreamEnrich(s: SparkSession, dir: String): DataFrame = {
+    val name = "graft_st08_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    EventStream.runEnriched(s, dir, name)
+      .orderBy(col("hour_start"), col("c_mktsegment"))
+  }
+
+  val st08Sql: String =
+    """SELECT DATE_TRUNC('hour', ts) AS hour_start, c_mktsegment,
+      |  COUNT(*) AS n_purchases,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(30,2))) AS VARCHAR) AS DOUBLE) AS revenue
+      |FROM events JOIN customer ON user_id = c_custkey
+      |WHERE event_type = 'purchase'
+      |GROUP BY 1, 2 ORDER BY hour_start, c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st08_stream_enrich" -> (st08StreamEnrich _),
     "st07_watermark_late_data" -> (st07WatermarkLateData _),
     "st06_stream_incremental_mv" -> (st06StreamIncrementalMv _),
     "st01_stream_hourly" -> (st01StreamHourly _),
@@ -398,6 +425,7 @@ object StreamingQueries {
     "st05_stream_filter" -> (st05StreamFilter _))
 
   val oracle: Map[String, String] = Map(
+    "st08_stream_enrich" -> st08Sql,
     "st07_watermark_late_data" -> st07Sql,
     "st06_stream_incremental_mv" -> st06Sql,
     "st01_stream_hourly" -> st01Sql,

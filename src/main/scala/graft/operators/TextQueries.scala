@@ -1254,7 +1254,94 @@ object TextQueries {
       |FROM scored CROSS JOIN th
       |GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  // ---------------------------------------------------------------- t21
+  /** Vocabulary-growth (Heaps'-law) audit — the measurement behind
+    * tokenizer and vocab-size planning: how many distinct word types the
+    * corpus has after ingesting its first 1/16, 2/16, ... 16/16, where
+    * "first" is the reproducible md5-hash ingestion order the repo's
+    * samplers already use (q30/p05/p26). Sub-linear growth (types <<
+    * tokens, flattening curve) is healthy natural text; near-linear
+    * growth flags ID-like/noisy token streams that would blow up a
+    * tokenizer's vocab.
+    *
+    * The scale-correct rewrite (q96's first-seen trick, applied to
+    * corpus prefixes): "vocabulary after the first k docs" needs no
+    * global scan order at all when the checkpoints are HASH BUCKETS —
+    * bucket b = docs whose first md5 hex digit is b, so prefixes
+    * {buckets 0..b} are nested by construction. Each type's first-seen
+    * checkpoint is then min(bucket) over its occurrences: one
+    * token-keyed aggregation whose state is bounded by the VOCABULARY
+    * (not the corpus), sharded by token key like any word-count. The
+    * published frame folds to 16 rows; the running totals are a window
+    * over those 16 rows only (cardinality fixed by the checkpoint
+    * grid, never by data).
+    *
+    * Everything is exact int64 counts — no floats anywhere.
+    */
+  def t21VocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(s, dir))
+      .withColumn("bucket",
+        expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 1), 16, 10) as bigint)"))
+      .withColumn("toks", expr(s"regexp_extract_all(text, '$TokenPattern', 0)"))
+    val perDoc = docs.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+    val occ = docs.select(col("bucket"), explode(col("toks")).as("tok"))
+    val perTokBucket = occ.groupBy(col("tok"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val firstSeen = perTokBucket.groupBy(col("tok"))
+      .agg(min(col("bucket")).as("minb"))
+    val tokensPerBucket = perTokBucket.groupBy(col("bucket"))
+      .agg(sum(col("cnt")).as("n_tokens"))
+    val typesPerBucket = firstSeen.groupBy(col("minb").as("bucket"))
+      .agg(count(lit(1)).as("new_types"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDoc
+      .join(tokensPerBucket, Seq("bucket"), "left")
+      .join(typesPerBucket, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      // 16-row frame: the unpartitioned window is bounded by the
+      // checkpoint grid, not by data (same rationale as t20's
+      // bounded-cardinality histogram)
+      .withColumn("cum_docs", sum(col("n_docs")).over(w))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("vocab", sum(col("new_types")).over(w))
+      .orderBy(col("bucket"))
+  }
+
+  /** Identical bucket grid, first-seen minimum, and 16-row running
+    * totals. */
+  val t21Sql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id,
+       |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 1))::BIGINT AS bucket,
+       |    regexp_extract_all(text, '$TokenPattern') AS toks
+       |  FROM documents),
+       |per_doc AS (SELECT bucket, COUNT(*) AS n_docs FROM docs GROUP BY bucket),
+       |occ AS (SELECT bucket, unnest(toks) AS tok FROM docs),
+       |ptb AS (SELECT tok, bucket, COUNT(*) AS cnt FROM occ GROUP BY tok, bucket),
+       |first_seen AS (SELECT tok, MIN(bucket) AS minb FROM ptb GROUP BY tok),
+       |tpb AS (SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS n_tokens FROM ptb GROUP BY bucket),
+       |typ AS (SELECT minb AS bucket, COUNT(*) AS new_types FROM first_seen GROUP BY minb),
+       |base AS (
+       |  SELECT per_doc.bucket, per_doc.n_docs,
+       |    COALESCE(tpb.n_tokens, 0) AS n_tokens,
+       |    COALESCE(typ.new_types, 0) AS new_types
+       |  FROM per_doc LEFT JOIN tpb ON per_doc.bucket = tpb.bucket
+       |               LEFT JOIN typ ON per_doc.bucket = typ.bucket)
+       |SELECT bucket, n_docs, n_tokens, new_types,
+       |  CAST(SUM(n_docs) OVER w AS BIGINT) AS cum_docs,
+       |  CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+       |  CAST(SUM(new_types) OVER w AS BIGINT) AS vocab
+       |FROM base
+       |WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t21_vocab_growth" -> (t21VocabGrowth _),
     "t20_perplexity_buckets" -> (t20PerplexityBuckets _),
     "t19_cdc_chunking" -> (t19CdcChunking _),
     "t18_readability" -> (t18Readability _),
@@ -1279,6 +1366,7 @@ object TextQueries {
   // def, not val: t17Sql embeds the Sidecars.oracleDir-keyed path, which
   // Verify pins at runtime before dumping oracle_sql.json
   def oracle: Map[String, String] = Map(
+    "t21_vocab_growth" -> t21Sql,
     "t20_perplexity_buckets" -> t20Sql,
     "t17_compressibility" -> t17Sql,
     "t19_cdc_chunking" -> t19Sql,

@@ -1,0 +1,179 @@
+package graft
+
+import graft.operators.{ExtendedQueries, GraphQueries, Multimodal, PipelineQueries, SimilarityQueries, TextQueries}
+import org.apache.spark.sql.functions._
+
+/** Round-7 second-wave operators: modularity trajectory, 2-hop features,
+  * vocabulary growth, skew audit, index health, collated grouping, scene
+  * cuts. Each test is an INDEPENDENT restatement (sequential replay or
+  * direct-aggregation identity) — the cross-engine hash lives in the
+  * driver's DuckDB compare.
+  */
+class Round7bOpsSpec extends SparkTestBase {
+
+  test("g13: modularity trajectory exposes the bipartite LPA collapse") {
+    val rows = GraphQueries.g13Modularity(spark, Sf001).collect()
+    assert(rows.length === 5)
+    val byRound = rows.map(r => r.getAs[Long]("round") -> r).toMap
+    assert(byRound.keySet === (0L to 4L).toSet)
+    // round 0: every node its own community, so no intra edges and the
+    // community count equals |V|
+    val nNodes = {
+      val o = Tables.orders(spark, Sf001).select(col("o_custkey").cast("long").as("u"))
+        .distinct().count()
+      val s2 = Tables.lineitem(spark, Sf001)
+        .join(Tables.orders(spark, Sf001), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey")).distinct().count()
+      o + s2
+    }
+    assert(byRound(0L).getAs[Long]("n_communities") === nNodes)
+    assert(byRound(0L).getAs[Long]("e2") === 0L)
+    // the audit's finding on this dense bipartite graph: Q strictly
+    // decreases as synchronous LPA collapses toward the bipartition —
+    // the "reject these labels" signal the operator exists to raise
+    val qs = (0 to 4).map(t => byRound(t.toLong).getAs[Long]("q_micro"))
+    qs.sliding(2).foreach { case Seq(a, b) => assert(b < a, s"Q must fall: $qs") }
+    assert(qs.forall(_ < 0))
+    // community count shrinks monotonically (labels merge, never split
+    // past the vote's reach on this data)
+    val ncs = (0 to 4).map(t => byRound(t.toLong).getAs[Long]("n_communities"))
+    ncs.sliding(2).foreach { case Seq(a, b) => assert(b <= a, s"communities: $ncs") }
+  }
+
+  test("g14: 2-hop features equal a sequential in-memory replay") {
+    val got = GraphQueries.g14NeighborhoodFeatures(spark, Sf0001).collect()
+    // independent replay: collect the weighted pair list, aggregate by hand
+    val pairs = Tables.orders(spark, Sf0001).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, Sf0001).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey").cast("long").as("u"),
+        (lit(1000000L) + col("l_suppkey")).as("v"))
+      .agg(count(lit(1)).as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val und = pairs.flatMap { case (u, v, w) => Seq((u, v, w), (v, u, w)) }
+    val h1 = und.groupBy(_._1).map { case (n, es) =>
+      n -> (es.length.toLong, es.map(_._3).sum)
+    }
+    val h2 = und.groupBy(_._1).map { case (n, es) =>
+      val nb = es.map(e => h1(e._2))
+      n -> (nb.map(_._1).sum, nb.map(_._1).max, nb.map(_._2).sum)
+    }
+    val expected = h1.keys.filter(_ >= 1000000L).map { n =>
+      (n, h1(n)._1, h1(n)._2, h2(n)._1, h2(n)._2, h2(n)._3)
+    }.toSeq.sortBy(t => (-t._6, t._1)).take(20)
+    val gotT = got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(gotT === expected)
+  }
+
+  test("t21: vocabulary growth conserves docs, tokens, and types") {
+    val rows = TextQueries.t21VocabGrowth(spark, Sf001).collect()
+    assert(rows.length === 16)
+    assert(rows.map(_.getAs[Long]("bucket")).toSeq === (0L to 15L))
+    val docs = Tables.documents(spark, Sf001)
+    val totalDocs = docs.count()
+    val toks = docs.select(explode(expr(
+      "regexp_extract_all(text, '[A-Za-z0-9]+', 0)")).as("tok"))
+    val totalToks = toks.count()
+    val vocab = toks.distinct().count()
+    val last = rows.last
+    assert(last.getAs[Long]("cum_docs") === totalDocs)
+    assert(last.getAs[Long]("cum_tokens") === totalToks)
+    assert(last.getAs[Long]("vocab") === vocab)
+    assert(rows.map(_.getAs[Long]("new_types")).sum === vocab)
+    // running totals are monotone and vocab growth is sub-linear in
+    // tokens on natural-ish text: the second half of the corpus adds
+    // fewer new types than the first half (Heaps flattening)
+    val vs = rows.map(_.getAs[Long]("vocab"))
+    vs.sliding(2).foreach { case Array(a, b) => assert(b >= a) }
+    val firstHalf = rows(7).getAs[Long]("vocab")
+    assert(vocab - firstHalf <= firstHalf,
+      s"vocab curve not flattening: $firstHalf then ${vocab - firstHalf}")
+  }
+
+  test("p27: skew audit thresholds replay exactly") {
+    val rows = PipelineQueries.p27SkewAudit(spark, Sf001).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val counts = Tables.orders(spark, Sf001)
+      .groupBy(col("o_custkey").cast("long")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val nKeys = counts.length.toLong
+    val nRows = counts.map(_._2).sum
+    val maxCnt = counts.map(_._2).max
+    // exact p95 from the sorted count distribution: smallest c with
+    // (#keys <= c) * 20 >= 19 * nKeys
+    val sorted = counts.map(_._2).sorted
+    val p95 = sorted.find(c => sorted.count(_ <= c) * 20 >= nKeys * 19).get
+    val salt = (maxCnt + p95 - 1) / p95
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_keys") === nKeys)
+      assert(r.getAs[Long]("max_cnt") === maxCnt)
+      assert(r.getAs[Long]("p95_cnt") === p95)
+      assert(r.getAs[Long]("salt_factor") === salt)
+      assert(r.getAs[Long]("cnt") > p95)
+      assert(r.getAs[Long]("share_micro") ===
+        math.floor(r.getAs[Long]("cnt").toDouble / nRows * 1e6).toLong)
+    }
+    // rows are the TOP hot keys: every omitted key is <= the listed min
+    val listedMin = rows.map(_.getAs[Long]("cnt")).min
+    val hotCount = counts.count(_._2 > p95)
+    if (hotCount > 10)
+      assert(counts.count(_._2 > listedMin) <= 10)
+  }
+
+  test("s23: index health partitions the corpus and bounds imbalance") {
+    val rows = SimilarityQueries.s23IndexHealth(spark, Sf001).collect()
+    val n = Tables.embeddings(spark, Sf001).count()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum === n)
+    val maxC = rows.map(_.getAs[Long]("n_vecs")).max
+    val minC = rows.map(_.getAs[Long]("n_vecs")).min
+    rows.foreach { r =>
+      assert(r.getAs[Long]("max_cnt") === maxC)
+      assert(r.getAs[Long]("min_cnt") === minC)
+      assert(r.getAs[Long]("imbalance_milli") ===
+        1000L * maxC * rows.length / n)
+      assert(r.getAs[Long]("n_cells") === rows.length.toLong)
+    }
+    // imbalance is >= 1.0 by construction (max >= mean)
+    assert(rows.head.getAs[Long]("imbalance_milli") >= 1000L)
+  }
+
+  test("q97: collated grouping equals explicit lower() normalization") {
+    val rows = ExtendedQueries.q97CollatedGroup(spark, Sf001).collect()
+    val raw = Tables.events(spark, Sf001).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.length === raw.size)
+    rows.foreach { r =>
+      val k = r.getAs[String]("event_type_lc")
+      assert(r.getAs[Long]("n") === 2L * raw(k),
+        s"$k: collated group must fold the uppercased copy in")
+      assert(r.getAs[Long]("n_variants") === 2L,
+        s"$k: exactly the two case variants")
+    }
+  }
+
+  test("m08: planted shot structure is recovered exactly") {
+    for (sf <- Seq(Sf0001, Sf001)) {
+      val rows = Multimodal.m08SceneCuts(spark, sf).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val id = r.getAs[Long]("media_id")
+        assert(r.getAs[Long]("n_frames") === 6L)
+        if (id % 2 == 0) {
+          assert(r.getAs[Long]("n_cuts") === 1L, s"video $id: spliced clip needs 1 cut")
+          assert(r.getAs[Int]("first_cut_idx") === 3, s"video $id: cut at the splice")
+        } else {
+          assert(r.getAs[Long]("n_cuts") === 0L, s"video $id: single-scene clip")
+          assert(r.isNullAt(r.fieldIndex("first_cut_idx")))
+          // within-shot distances are ZERO: aHash is invariant to the
+          // uniform brightness jitter (mean shifts with the pixels)
+          assert(r.getAs[Long]("max_adj_hamming") === 0L, s"video $id")
+        }
+      }
+      // determinism
+      val again = Multimodal.m08SceneCuts(spark, sf).collect()
+      assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+    }
+  }
+}
