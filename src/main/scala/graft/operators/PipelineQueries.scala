@@ -1831,7 +1831,72 @@ object PipelineQueries {
       |WHERE cnt > p95_cnt
       |ORDER BY cnt DESC, custkey LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------- p28
+  /** Small-file COMPACTION PLAN — the lakehouse OPTIMIZE step: a table
+    * that ingested micro-batches (st06's arrivals, p02's increments)
+    * accumulates thousands of under-sized files per partition, and scan
+    * cost degrades with per-file overhead; the fix is periodic
+    * bin-packing of small files into target-sized groups WITHIN each
+    * partition (locality: a compaction group never crosses the
+    * partition boundary, or the rewrite would reshuffle data).
+    *
+    * Input manifest is simulated from the corpus (file per (source,
+    * md5-hex bucket) with summed text bytes — the shape a real manifest
+    * listing returns); the plan is the cumulative-bytes chop Delta/
+    * Iceberg OPTIMIZE uses: files ordered deterministically within
+    * their partition, group id = exclusive-prefix-bytes div target, so
+    * every group lands within one file of the target. Distinct from
+    * p23 (token-balanced TRAINING shards over a GLOBAL hash order, via
+    * a two-level prefix sum): compaction is per-partition, so the
+    * plain PARTITIONED window is already the scale-correct spelling —
+    * state per window task is one partition's file list, never global.
+    *
+    * Output: one row per planned group with its fill ratio against the
+    * target (exact integer milli) — the numbers an OPTIMIZE scheduler
+    * thresholds on (skip partitions already compacted; alert on groups
+    * chronically under-filled = partition smaller than one target
+    * file).
+    */
+  def p28CompactionPlan(s: SparkSession, dir: String): DataFrame = {
+    val target = 20000L // bytes per compacted file
+    val files = Tables.spread(Tables.documents(s, dir))
+      .groupBy(col("source"),
+        expr("conv(substring(md5(cast(doc_id as string)), 1, 1), 16, 10)").cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(length(col("text")).cast("long")).as("bytes"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val planned = files
+      .withColumn("cum", sum(col("bytes")).over(w))
+      .withColumn("grp", expr(s"(cum - bytes) div ${target}L"))
+    planned.groupBy(col("source"), col("grp"))
+      .agg(count(lit(1)).as("n_files"), sum(col("n_docs")).as("n_docs"),
+        sum(col("bytes")).as("group_bytes"))
+      .withColumn("fill_milli", expr(s"(group_bytes * 1000) div ${target}L"))
+      .orderBy(col("source"), col("grp"))
+  }
+
+  /** Identical manifest derivation, per-partition prefix sum, and
+    * ceil-free chop arithmetic. */
+  val p28Sql: String =
+    """WITH files AS (
+      |  SELECT source,
+      |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 1))::BIGINT AS bucket,
+      |    COUNT(*) AS n_docs, CAST(SUM(LENGTH(text)) AS BIGINT) AS bytes
+      |  FROM documents GROUP BY 1, 2),
+      |planned AS (
+      |  SELECT source, bucket, n_docs, bytes,
+      |    CAST(SUM(bytes) OVER (PARTITION BY source ORDER BY bucket
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - bytes AS prefix
+      |  FROM files)
+      |SELECT source, prefix // 20000 AS grp, COUNT(*) AS n_files,
+      |  CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+      |  CAST(SUM(bytes) AS BIGINT) AS group_bytes,
+      |  (CAST(SUM(bytes) AS BIGINT) * 1000) // 20000 AS fill_milli
+      |FROM planned GROUP BY 1, 2 ORDER BY source, grp""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p28_compaction_plan" -> (p28CompactionPlan _),
     "p27_skew_audit" -> (p27SkewAudit _),
     "p26_temperature_mixture" -> (p26TemperatureMixture _),
     "p24_robust_outlier_gate" -> (p24RobustOutlierGate _),
@@ -1862,6 +1927,7 @@ object PipelineQueries {
   // def, not val: p19Sql embeds Sidecars.oracleDir-keyed paths, which
   // Verify pins at runtime before dumping oracle_sql.json
   def oracle: Map[String, String] = Map(
+    "p28_compaction_plan" -> p28Sql,
     "p27_skew_audit" -> p27Sql,
     "p26_temperature_mixture" -> p26Sql,
     "p24_robust_outlier_gate" -> p24Sql,

@@ -2340,7 +2340,101 @@ object SimilarityQueries {
       |FROM per_cell CROSS JOIN gstats
       |ORDER BY cell""".stripMargin
 
+  // ---------------------------------------------------------------- s24
+  /** Cell-scoped kNN-GRAPH construction — the index-build step behind
+    * graph-based ANN (NSW/HNSW families) and kNN-graph algorithms
+    * (spectral clustering, label propagation over similarity edges,
+    * UMAP-style layouts): for EVERY corpus vector, its top-4 cosine
+    * neighbors, with the candidate set bounded by the vector's 2
+    * nearest IVF cells (s05's quantizer) instead of the corpus — the
+    * all-pairs kNN-graph problem reduced to per-cell blocks, which is
+    * exactly how production builds scope it (NN-Descent and FAISS both
+    * block by coarse cells first).
+    *
+    * The whole graph is deterministic and SQL-restatable because the
+    * quantizer is (DECIMAL-exact centroids, rounded-cosine argmax,
+    * cell-DESC ties — the s19/s23 contract); the oracle recomputes
+    * assignment, probes, in-block scoring, dedup across overlapping
+    * probes, and the final per-source ranking end to end. Neighbors a
+    * 2-probe block misses are the documented recall trade (s19
+    * measures that frontier); the hash pins that BOTH engines miss
+    * identically — the candidate-scoping rule IS the operator.
+    *
+    * Plan shape at 100 TB: probes are a map pass against the
+    * plan-literal codebook; candidates come from ONE equi-join on cell
+    * id (block sizes bounded by s23's imbalance audit); scoring is
+    * codegen cosine inside the join; the rank is a per-source window
+    * over ~2-cell candidate lists, never the corpus.
+    */
+  def s24KnnGraph(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.spread(Tables.embeddings(s, dir)).withColumn("v", embD)
+      .withColumn("norm", sqrt(dot("v", "v")))
+      .select(col("vec_id"), col("label"), col("v"), col("norm"))
+    val cents = codebook(e)
+    val assigned = e
+      .withColumn("cell", element_at(probeCells(cents, col("v"), 1), 1))
+      .select(col("cell"), col("vec_id").as("dst"), col("v").as("dv"),
+        col("norm").as("dnorm"))
+    val probes = e
+      .select(col("vec_id").as("src"), col("v").as("sv"), col("norm").as("snorm"),
+        explode(probeCells(cents, col("v"), 2)).as("cell"))
+    val cand = probes.join(assigned, Seq("cell"))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("cosine",
+        floor(dot("sv", "dv") / (col("snorm") * col("dnorm")) * 1e6 + 0.5) / 1e6)
+      .select(col("src"), col("dst"), col("cosine"))
+      .distinct() // a dst in both probed cells scores identically twice
+    val w = Window.partitionBy(col("src")).orderBy(col("cosine").desc, col("dst"))
+    cand.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 4)
+      .select(col("src"), col("rnk").cast("long").as("rnk"), col("dst"), col("cosine"))
+      .orderBy(col("src"), col("rnk"))
+  }
+
+  /** Assignment + 2-probe + in-block scoring + dedup + ranking restated
+    * end to end over the same DECIMAL-exact quantizer. */
+  val s24Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |flat AS (
+      |  SELECT label, i AS dim, v[i] AS x
+      |  FROM e, unnest(generate_series(1, 64)) AS u(i)),
+      |cent AS (
+      |  SELECT label, dim,
+      |    CAST(CAST(SUM(CAST(x AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS m
+      |  FROM flat GROUP BY 1, 2),
+      |carr AS (SELECT label AS cell, list(m ORDER BY dim) AS cv FROM cent GROUP BY label),
+      |cnrm AS (
+      |  SELECT cell, cv,
+      |    SQRT(list_reduce(list_transform(generate_series(1, 64), i -> cv[i] * cv[i]), (x, y) -> x + y)) AS cn
+      |  FROM carr),
+      |en AS (
+      |  SELECT vec_id, v,
+      |    SQRT(list_reduce(list_transform(generate_series(1, 64), i -> v[i] * v[i]), (x, y) -> x + y)) AS nrm
+      |  FROM e),
+      |ranked_cells AS (
+      |  SELECT c.vec_id, c.v, c.nrm, m.cell,
+      |    ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+      |      FLOOR(list_reduce(list_transform(generate_series(1, 64), i -> c.v[i] * m.cv[i]), (x, y) -> x + y)
+      |        / (c.nrm * m.cn) * 1e6 + 0.5) / 1e6 DESC, m.cell DESC) AS crnk
+      |  FROM en c CROSS JOIN cnrm m),
+      |asg AS (SELECT vec_id AS dst, v AS dv, nrm AS dnorm, cell FROM ranked_cells WHERE crnk = 1),
+      |pr AS (SELECT vec_id AS src, v AS sv, nrm AS snorm, cell FROM ranked_cells WHERE crnk <= 2),
+      |cand AS (
+      |  SELECT DISTINCT pr.src, a.dst,
+      |    FLOOR(list_reduce(list_transform(generate_series(1, 64), i -> pr.sv[i] * a.dv[i]), (x, y) -> x + y)
+      |      / (pr.snorm * a.dnorm) * 1e6 + 0.5) / 1e6 AS cosine
+      |  FROM pr JOIN asg a ON pr.cell = a.cell AND pr.src <> a.dst),
+      |ranked AS (
+      |  SELECT src, dst, cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rnk
+      |  FROM cand)
+      |SELECT src, CAST(rnk AS BIGINT) AS rnk, dst, cosine
+      |FROM ranked WHERE rnk <= 4
+      |ORDER BY src, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s24_knn_graph" -> (s24KnnGraph _),
     "s23_index_health" -> (s23IndexHealth _),
     "s22_filtered_ann" -> (s22FilteredAnn _),
     "s21_cascade_rerank" -> (s21CascadeRerank _),
@@ -2366,6 +2460,7 @@ object SimilarityQueries {
     "s06_ann_verified" -> (s06AnnVerified _))
 
   val oracle: Map[String, String] = Map(
+    "s24_knn_graph" -> s24Sql,
     "s23_index_health" -> s23Sql,
     "s22_filtered_ann" -> s22Sql,
     "s21_cascade_rerank" -> s21Sql,

@@ -414,7 +414,74 @@ object StreamingQueries {
       |WHERE event_type = 'purchase'
       |GROUP BY 1, 2 ORDER BY hour_start, c_mktsegment""".stripMargin
 
+  /** Spark 4 ARBITRARY-STATE V2 (transformWithState) run to completion —
+    * per-user running totals kept in a typed ValueState cell by
+    * [[graft.streaming.UserTotalsProcessor]], fed 4 REAL sequential
+    * micro-batches (arrival files + maxFilesPerTrigger = 1, the st06
+    * discipline — a single batch would never read state back), RocksDB
+    * state store as the API requires. Update-mode emissions land in a
+    * memory sink; the published frame is each key's LAST emission
+    * (n_events is strictly monotone per key, so max(struct) selects
+    * it deterministically).
+    *
+    * Oracle: the batch per-user rollup over raw events. Hash equality =
+    * state survives and accumulates correctly across batch boundaries
+    * through the new API, with int64 cents arithmetic making the
+    * comparison exact.
+    */
+  def st09TransformWithState(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode}
+    import s.implicits._
+    val root = s"/tmp/graft_stream_${Sidecars.tag(dir)}/st09"
+    deleteRecursively(java.nio.file.Paths.get(root))
+    graft.Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$root/arrivals")
+    val schema = s.read.parquet(s"$root/arrivals").schema
+    val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val name = "graft_st09_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$root/arrivals")
+        .as[graft.streaming.EvRow]
+        .groupByKey(_.user_id)
+        .transformWithState(new graft.streaming.UserTotalsProcessor(),
+          TimeMode.None(), OM.Update())
+        .writeStream
+        .outputMode(OM.Update())
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", s"$root/_checkpoint")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("n_events"), col("purchase_cents"))).as("m"))
+        .select(col("user_id"), col("m.n_events").as("n_events"),
+          col("m.purchase_cents").as("purchase_cents"))
+        .orderBy(col("user_id"))
+    } finally {
+      prevProvider match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  val st09Sql: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase'
+      |    THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS purchase_cents
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st09_transform_with_state" -> (st09TransformWithState _),
     "st08_stream_enrich" -> (st08StreamEnrich _),
     "st07_watermark_late_data" -> (st07WatermarkLateData _),
     "st06_stream_incremental_mv" -> (st06StreamIncrementalMv _),
@@ -425,6 +492,7 @@ object StreamingQueries {
     "st05_stream_filter" -> (st05StreamFilter _))
 
   val oracle: Map[String, String] = Map(
+    "st09_transform_with_state" -> st09Sql,
     "st08_stream_enrich" -> st08Sql,
     "st07_watermark_late_data" -> st07Sql,
     "st06_stream_incremental_mv" -> st06Sql,

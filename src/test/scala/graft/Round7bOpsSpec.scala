@@ -153,6 +153,67 @@ class Round7bOpsSpec extends SparkTestBase {
     }
   }
 
+  test("st09: transformWithState accumulates across real micro-batches") {
+    val got = graft.operators.StreamingQueries.st09TransformWithState(spark, Sf0001)
+      .collect()
+    val exp = Tables.events(spark, Sf0001)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase",
+          expr("cast(floor(value * 100 + 0.5) as bigint)")).otherwise(0L)).as("purchase_cents"))
+      .orderBy(col("user_id")).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      exp.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+  }
+
+  test("s24: kNN graph is complete, self-free, and rank-consistent") {
+    val rows = SimilarityQueries.s24KnnGraph(spark, Sf001).collect()
+    val n = Tables.embeddings(spark, Sf001).count()
+    // every vector gets a full top-4 (cells are ~n/8 wide, far above 5)
+    assert(rows.length === 4 * n)
+    val bySrc = rows.groupBy(_.getLong(0))
+    assert(bySrc.keySet.size.toLong === n)
+    bySrc.foreach { case (src, es) =>
+      assert(es.map(_.getLong(1)).sorted.toSeq === Seq(1L, 2L, 3L, 4L))
+      assert(es.forall(_.getLong(2) != src), s"self edge at $src")
+      // cosine non-increasing in rank
+      val byRank = es.sortBy(_.getLong(1)).map(_.getDouble(3))
+      byRank.sliding(2).foreach { case Array(a, b) => assert(b <= a) }
+      // neighbors are distinct
+      assert(es.map(_.getLong(2)).distinct.length === 4)
+    }
+    // the graph has substantial reciprocity (real cluster structure:
+    // labels are planted, same-label vectors are mutually close)
+    val edges = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recip = edges.count { case (a, b) => edges.contains((b, a)) }
+    assert(recip * 5 >= edges.size * 2,
+      s"reciprocal fraction ${recip.toDouble / edges.size} below 0.4")
+  }
+
+  test("p28: compaction plan conserves the manifest and fills groups") {
+    val target = 20000L
+    val rows = PipelineQueries.p28CompactionPlan(spark, Sf001).collect()
+    val docs = Tables.documents(spark, Sf001)
+    val totalDocs = docs.count()
+    val totalBytes = docs.agg(sum(length(col("text")).cast("long"))).head.getLong(0)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === totalDocs)
+    assert(rows.map(_.getAs[Long]("group_bytes")).sum === totalBytes)
+    // per source: group ids are dense from 0, and every group except the
+    // last reaches the target (the chop rule can only under-fill the tail)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, gs) =>
+      val sorted = gs.sortBy(_.getAs[Long]("grp"))
+      assert(sorted.map(_.getAs[Long]("grp")).toSeq === sorted.indices.map(_.toLong))
+      sorted.init.foreach { g =>
+        assert(g.getAs[Long]("group_bytes") >= target - 6000,
+          s"$src grp ${g.getAs[Long]("grp")}: mid-plan group badly under target")
+      }
+      gs.foreach { g =>
+        assert(g.getAs[Long]("fill_milli") ===
+          g.getAs[Long]("group_bytes") * 1000 / target)
+      }
+    }
+  }
+
   test("m08: planted shot structure is recovered exactly") {
     for (sf <- Seq(Sf0001, Sf001)) {
       val rows = Multimodal.m08SceneCuts(spark, sf).collect()
