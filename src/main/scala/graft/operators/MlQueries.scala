@@ -125,7 +125,11 @@ object MlQueries {
     * (floor(p*1000 + 0.5)) — the repo's standard float-rounding
     * contract — so every downstream number is int64.
     */
-  def ml03CalibrationAudit(s: SparkSession, dir: String): DataFrame = {
+  /** The ml02-shaped model's scored holdout (doc_id, label, p_milli) —
+    * the shared chain behind ml03 (calibration) and ml04 (PR sweep);
+    * each caller materializes it under its OWN sidecar name so neither
+    * query depends on the other having run. */
+  private def scoredHoldout(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.ml.functions.vector_to_array
     val docs = Tables.spread(Tables.documents(s, dir))
       .select(col("doc_id"), col("text"),
@@ -144,23 +148,82 @@ object MlQueries {
       val featPipe = new Pipeline().setStages(Array(tok, tf, idf)).fit(train)
       val lrModel = lr.fit(
         featPipe.transform(train).select(col("label"), col("features")).coalesce(4))
-      val scored = lrModel.transform(
+      lrModel.transform(
           featPipe.transform(test)
             .select(col("doc_id"), col("label"), col("features")).coalesce(4))
         .withColumn("parr", vector_to_array(col("probability")))
         .select(col("doc_id"),
           col("label").cast(LongType).as("label"),
           expr("cast(floor(element_at(parr, 2) * 1000D + 0.5D) as bigint)").as("p_milli"))
-      val side = graft.Sidecars.write(scored, dir, "ml03_calib")
-      side
-        .withColumn("bin", expr("least(p_milli div 100, 9L)"))
-        .groupBy(col("bin"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("p_milli")).as("sum_p_milli"),
-          sum(col("label")).as("n_pos"))
-        .orderBy(col("bin"))
+        // eager checkpoint: the scoring plan must run while train/test
+        // are still cached (the finally below unpersists them)
+        .localCheckpoint()
     } finally { train.unpersist(); test.unpersist() }
   }
+
+  def ml03CalibrationAudit(s: SparkSession, dir: String): DataFrame = {
+    val side = graft.Sidecars.write(scoredHoldout(s, dir), dir, "ml03_calib")
+    side
+      .withColumn("bin", expr("least(p_milli div 100, 9L)"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("p_milli")).as("sum_p_milli"),
+        sum(col("label")).as("n_pos"))
+      .orderBy(col("bin"))
+  }
+
+  // ---------------------------------------------------------------- ml04
+  /** Precision/recall THRESHOLD SWEEP over the scored holdout — the
+    * measurement that turns ml02's classifier into a quality FILTER: a
+    * curation pipeline doesn't consume probabilities, it consumes a
+    * cutoff, and the cutoff is chosen off exactly this table (precision
+    * at the filter's acceptance rate). Nine candidate cutoffs (100..900
+    * milli), each with exact integer confusion counts and one-division
+    * precision/recall (p26's rule). The model fit is the non-SQL step;
+    * scoring lands in this query's own sidecar (the t17/ml03 closure)
+    * and the sweep is restated in SQL over it — every threshold's
+    * counts hash-audited.
+    *
+    * Scale: the sweep is one 9-way explode over the holdout frame plus
+    * one aggregation — O(9n), no per-threshold rescans.
+    */
+  def ml04PrSweep(s: SparkSession, dir: String): DataFrame = {
+    val side = graft.Sidecars.write(scoredHoldout(s, dir), dir, "ml04_scores")
+    val tot = side.agg(sum(col("label")).as("n_pos_total"))
+    side
+      .select(col("label"), col("p_milli"),
+        explode(expr("sequence(100L, 900L, 100L)")).as("thr"))
+      .groupBy(col("thr"))
+      .agg(sum(when(col("p_milli") >= col("thr"), 1L).otherwise(0L)).as("n_pred_pos"),
+        sum(when(col("p_milli") >= col("thr"), col("label")).otherwise(0L)).as("tp"))
+      .crossJoin(broadcast(tot))
+      .withColumn("fp", col("n_pred_pos") - col("tp"))
+      .withColumn("fn", col("n_pos_total") - col("tp"))
+      .withColumn("precision_milli", floor(
+        col("tp").cast(DoubleType) / nullif(col("n_pred_pos"), lit(0L)) * 1e3).cast(LongType))
+      .withColumn("recall_milli", floor(
+        col("tp").cast(DoubleType) / nullif(col("n_pos_total"), lit(0L)) * 1e3).cast(LongType))
+      .select(col("thr"), col("n_pred_pos"), col("tp"), col("fp"), col("fn"),
+        col("precision_milli"), col("recall_milli"))
+      .orderBy(col("thr"))
+  }
+
+  private def ml04Sql: String =
+    s"""WITH side AS (SELECT * FROM '${graft.Sidecars.oraclePath("ml04_scores")}/*.parquet'),
+      |tot AS (SELECT CAST(SUM(label) AS BIGINT) AS n_pos_total FROM side),
+      |sweep AS (
+      |  SELECT g.thr,
+      |    CAST(SUM(CASE WHEN p_milli >= g.thr THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_pos,
+      |    CAST(SUM(CASE WHEN p_milli >= g.thr THEN label ELSE 0 END) AS BIGINT) AS tp
+      |  FROM side CROSS JOIN (SELECT CAST(unnest(generate_series(100, 900, 100)) AS BIGINT) AS thr) g
+      |  GROUP BY g.thr)
+      |SELECT thr, n_pred_pos, tp,
+      |  n_pred_pos - tp AS fp,
+      |  n_pos_total - tp AS fn,
+      |  CAST(FLOOR(CAST(tp AS DOUBLE) / NULLIF(n_pred_pos, 0) * 1e3) AS BIGINT) AS precision_milli,
+      |  CAST(FLOOR(CAST(tp AS DOUBLE) / NULLIF(n_pos_total, 0) * 1e3) AS BIGINT) AS recall_milli
+      |FROM sweep CROSS JOIN tot
+      |ORDER BY thr""".stripMargin
 
   private def ml03Sql: String =
     s"""WITH side AS (SELECT * FROM '${graft.Sidecars.oraclePath("ml03_calib")}/*.parquet')
@@ -170,6 +233,7 @@ object MlQueries {
       |FROM side GROUP BY 1 ORDER BY bin""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml04_pr_sweep" -> (ml04PrSweep _),
     "ml03_calibration_audit" -> (ml03CalibrationAudit _),
     "ml02_quality_classifier" -> (ml02QualityClassifier _))
 
@@ -179,5 +243,6 @@ object MlQueries {
     * def, not val: the SQL embeds the Sidecars.oracleDir-keyed path
     * Verify pins at runtime. */
   def oracle: Map[String, String] = Map(
+    "ml04_pr_sweep" -> ml04Sql,
     "ml03_calibration_audit" -> ml03Sql)
 }

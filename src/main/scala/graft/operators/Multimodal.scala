@@ -1306,7 +1306,107 @@ object Multimodal {
       |  CAST(MAX(COALESCE(adj, 0)) AS BIGINT) AS max_adj_hamming
       |FROM adj GROUP BY media_id ORDER BY media_id""".stripMargin
 
+  /** Hot-gain edit used to PLANT clipping: multiply every 16-bit sample
+    * by `gain`, clamped to the int16 rails — the nonlinearity a real
+    * over-driven recording carries. encodeWav's space characters sit at
+    * -24576, so gain 3 drives them (and everything below char 85) into
+    * the -32768 rail; lowercase letters stay linear. */
+  private[graft] def gainWav(payload: Array[Byte], gain: Int): Array[Byte] = {
+    val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+    val fmt = in.getFormat
+    val bytes = try in.readAllBytes() finally in.close()
+    val n = bytes.length / 2
+    var i = 0
+    while (i < n) {
+      val s = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort
+      val amped = math.max(-32768, math.min(32767, s.toInt * gain))
+      bytes(2 * i) = (amped & 0xff).toByte
+      bytes(2 * i + 1) = ((amped >> 8) & 0xff).toByte
+      i += 1
+    }
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new ByteArrayInputStream(bytes), fmt, n.toLong),
+      AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  // ---------------------------------------------------------------- m09
+  /** Driver-contract query: audio QUALITY audit — the signal-integrity
+    * gate an audio-corpus pipeline runs before transcription/training:
+    * per clip, sample count, peak amplitude, CLIPPED-sample count
+    * (samples pinned at the int16 rails — the distortion signature of
+    * over-driven input), RMS level, and DC offset. Each audio document
+    * ships with a planted hot twin (gain x3, media_id + 1,000,000)
+    * whose space-character samples genuinely clip, so the audit has a
+    * real positive class; originals clip nowhere (encodeWav peaks at
+    * -24576 > -32768), which MultimodalSpec pins.
+    *
+    * Exactness: everything integer — peak/clip counts are int64, the
+    * squared-sum fits int64 (32768^2 * samples ~ 1e9 * 1e4 at any
+    * clip length here; a production run routes it DECIMAL past ~8e9
+    * samples/clip), and the two published derived levels (RMS, DC)
+    * are one correctly-rounded division (+ IEEE sqrt for RMS) then
+    * floor — deterministic cross-engine (p26's rule; sqrt is
+    * correctly rounded everywhere, the same reason p26 chose tau=0.5).
+    *
+    * Scale: one map-only REAL decode pass (javax.sound) emitting the
+    * per-clip stat row to the sidecar; the oracle recomputes the
+    * derived levels and the rails audit in SQL over it. No shuffle at
+    * all beyond the presentation sort.
+    */
+  def m09AudioQa(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stats = Tables.spread(Tables.documents(s, dir))
+      .filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val raw = text.getBytes("UTF-8")
+        val base = if (raw.isEmpty) Array[Byte](0) else raw
+        val orig = encodeWav(base)
+        def audit(payload: Array[Byte]): (Long, Long, Long, Long, Long) = {
+          val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+          val bytes = try in.readAllBytes() finally in.close()
+          val n = bytes.length / 2
+          var i = 0; var peak = 0L; var clipped = 0L; var sumSq = 0L; var sumPcm = 0L
+          while (i < n) {
+            val v = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort.toLong
+            if (math.abs(v) > peak) peak = math.abs(v)
+            if (v == 32767L || v == -32768L) clipped += 1
+            sumSq += v * v
+            sumPcm += v
+            i += 1
+          }
+          (n.toLong, peak, clipped, sumSq, sumPcm)
+        }
+        val a = audit(orig)
+        val b = audit(gainWav(orig, 3))
+        Seq((id, a._1, a._2, a._3, a._4, a._5),
+          (id + 1000000L, b._1, b._2, b._3, b._4, b._5))
+      })
+      .toDF("media_id", "n_samples", "peak", "n_clipped", "sum_sq", "sum_pcm")
+    graft.Sidecars.write(stats, dir, "m09_audiostats")
+      .withColumn("clip_ppm", expr("(n_clipped * 1000000) div n_samples"))
+      .withColumn("rms_milli", floor(sqrt(
+        col("sum_sq").cast(DoubleType) / col("n_samples").cast(DoubleType)) * 1e3).cast(LongType))
+      .withColumn("dc_milli", floor(
+        col("sum_pcm").cast(DoubleType) / col("n_samples").cast(DoubleType) * 1e3).cast(LongType))
+      .select(col("media_id"), col("n_samples"), col("peak"), col("n_clipped"),
+        col("clip_ppm"), col("rms_milli"), col("dc_milli"))
+      .orderBy(col("media_id"))
+  }
+
+  /** Rails audit + derived levels restated over the stat sidecar. */
+  private def m09Sql: String =
+    s"""WITH side AS (SELECT * FROM '${graft.Sidecars.oraclePath("m09_audiostats")}/*.parquet')
+      |SELECT media_id, n_samples, peak, n_clipped,
+      |  (n_clipped * 1000000) // n_samples AS clip_ppm,
+      |  CAST(FLOOR(SQRT(CAST(sum_sq AS DOUBLE) / CAST(n_samples AS DOUBLE)) * 1e3) AS BIGINT) AS rms_milli,
+      |  CAST(FLOOR(CAST(sum_pcm AS DOUBLE) / CAST(n_samples AS DOUBLE) * 1e3) AS BIGINT) AS dc_milli
+      |FROM side ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m09_audio_qa" -> (m09AudioQa _),
     "m08_scene_cuts" -> (m08SceneCuts _),
     "m07_spectral_audio_dedup" -> (m07SpectralAudioDedup _),
     "m06_image_phash" -> (m06ImagePhash _),
@@ -1324,6 +1424,7 @@ object Multimodal {
     * same two-sided closure t17 uses. def, not val: the SQL embeds the
     * Sidecars.oracleDir-keyed paths Verify pins at runtime. */
   def oracle: Map[String, String] = Map(
+    "m09_audio_qa" -> m09Sql,
     "m08_scene_cuts" -> m08Sql,
     "m07_spectral_audio_dedup" -> bandedHammingSql("m07_spectralfp", maxHamming = 3),
     "m06_image_phash" -> m06Sql,

@@ -1340,7 +1340,109 @@ object TextQueries {
        |WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        |ORDER BY bucket""".stripMargin
 
+  // ---------------------------------------------------------------- t22
+  /** Per-source domain-shift audit: TOTAL-VARIATION distance between
+    * each source's unigram distribution and the corpus distribution —
+    * the mixture-design measurement behind "is src17 drifting from the
+    * rest of the corpus?" (re-weighting, contamination and
+    * domain-collapse checks all threshold on exactly this number; on
+    * this corpus the signal is each source's language mix — the
+    * stopword markers t02 keys on have very different source shares).
+    *
+    * TV instead of KL deliberately: TV = 1/2 * sum_t |p_s(t) - p_c(t)|
+    * is a pure RATIONAL of token counts, so the whole audit is exact
+    * int64 — no logarithms whose libm rounding could drift
+    * cross-engine, no per-term quantization contract (t10's KL-family
+    * scorer pays that cast; a distance used for threshold decisions
+    * shouldn't). The absent-token mass needs no |vocab|-wide join:
+    * for t not in source s, |p_s - p_c| = p_c(t), and those terms fold
+    * into n_s * (N - sum of cnt_t over PRESENT tokens) — one
+    * aggregation over (source, token) pairs that exist, state bounded
+    * by the observed pair set exactly like any word count. The only
+    * float is the final published division (p26's one-division rule).
+    *
+    * top_token is the largest |share gap| among tokens the source DOES
+    * use (integer argmax, token-asc ties); the absent-token argmax
+    * would need a sources x vocab cross join — at production scale
+    * that candidate set gets bounded to heavy hitters (t07) first,
+    * which is why it is out of this operator's contract.
+    */
+  def t22DomainDivergence(s: SparkSession, dir: String): DataFrame = {
+    val occ = Tables.spread(Tables.documents(s, dir))
+      .select(col("source"), col("doc_id"),
+        explode(expr(s"regexp_extract_all(text, '$TokenPattern', 0)")).as("tok"))
+    val st = occ.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cnt_st"))
+    val srcTot = occ.groupBy(col("source")).agg(count(lit(1)).as("n_s"),
+      countDistinct(col("doc_id")).as("n_docs"))
+    val corpTok = occ.groupBy(col("tok")).agg(count(lit(1)).as("cnt_t"))
+    val nTot = occ.agg(count(lit(1)).as("n_corpus"))
+    val terms = st.join(corpTok, "tok").join(srcTot, "source")
+      .crossJoin(broadcast(nTot))
+      .withColumn("gap", abs(col("cnt_st") * col("n_corpus") - col("cnt_t") * col("n_s")))
+    terms.groupBy(col("source"))
+      .agg(min(col("n_docs")).as("n_docs"), min(col("n_s")).as("n_tokens"),
+        sum(col("gap")).as("present_gap"),
+        sum(col("cnt_t")).as("present_corpus_mass"),
+        min(col("n_corpus")).as("nc"),
+        max(col("gap")).as("max_gap"))
+      .withColumn("absent_gap",
+        col("n_tokens") * (col("nc") - col("present_corpus_mass")))
+      .withColumn("tv_micro", floor(
+        (col("present_gap") + col("absent_gap")).cast(DoubleType)
+          / (lit(2.0) * col("n_tokens").cast(DoubleType) * col("nc").cast(DoubleType))
+          * 1e6).cast("long"))
+      .join(
+        // deterministic argmax: per source the smallest token among
+        // those achieving the max gap
+        terms.groupBy(col("source"), col("gap")).agg(min(col("tok")).as("tok"))
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+              .orderBy(col("gap").desc, col("tok"))))
+          .filter(col("rn") === 1)
+          .select(col("source"), col("tok").as("top_token")),
+        Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("tv_micro"),
+        col("top_token"), col("max_gap"))
+      .orderBy(col("source"))
+  }
+
+  /** Identical exact-integer gap arithmetic, absent-mass fold, argmax
+    * tie rule, and one-division micro projection. */
+  val t22Sql: String =
+    s"""WITH occ AS (
+       |  SELECT source, doc_id, unnest(regexp_extract_all(text, '$TokenPattern')) AS tok
+       |  FROM documents),
+       |st AS (SELECT source, tok, COUNT(*) AS cnt_st FROM occ GROUP BY 1, 2),
+       |src_tot AS (
+       |  SELECT source, COUNT(*) AS n_s, COUNT(DISTINCT doc_id) AS n_docs
+       |  FROM occ GROUP BY 1),
+       |corp AS (SELECT tok, COUNT(*) AS cnt_t FROM occ GROUP BY 1),
+       |nt AS (SELECT COUNT(*) AS n_corpus FROM occ),
+       |terms AS (
+       |  SELECT st.source, st.tok,
+       |    ABS(st.cnt_st * nt.n_corpus - corp.cnt_t * src_tot.n_s) AS gap,
+       |    corp.cnt_t, src_tot.n_s, src_tot.n_docs, nt.n_corpus
+       |  FROM st JOIN corp USING (tok) JOIN src_tot USING (source) CROSS JOIN nt),
+       |agg AS (
+       |  SELECT source, MIN(n_docs) AS n_docs, MIN(n_s) AS n_tokens,
+       |    CAST(SUM(gap) AS BIGINT) AS present_gap,
+       |    CAST(SUM(cnt_t) AS BIGINT) AS present_corpus_mass,
+       |    MIN(n_corpus) AS nc, MAX(gap) AS max_gap
+       |  FROM terms GROUP BY source),
+       |arg AS (
+       |  SELECT source, tok AS top_token FROM (
+       |    SELECT source, tok,
+       |      ROW_NUMBER() OVER (PARTITION BY source ORDER BY gap DESC, tok) AS rn
+       |    FROM terms) WHERE rn = 1)
+       |SELECT agg.source, n_docs, n_tokens,
+       |  CAST(FLOOR(CAST(present_gap + n_tokens * (nc - present_corpus_mass) AS DOUBLE)
+       |    / (2.0 * CAST(n_tokens AS DOUBLE) * CAST(nc AS DOUBLE)) * 1e6) AS BIGINT) AS tv_micro,
+       |  top_token, max_gap
+       |FROM agg JOIN arg USING (source)
+       |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t22_domain_divergence" -> (t22DomainDivergence _),
     "t21_vocab_growth" -> (t21VocabGrowth _),
     "t20_perplexity_buckets" -> (t20PerplexityBuckets _),
     "t19_cdc_chunking" -> (t19CdcChunking _),
@@ -1366,6 +1468,7 @@ object TextQueries {
   // def, not val: t17Sql embeds the Sidecars.oracleDir-keyed path, which
   // Verify pins at runtime before dumping oracle_sql.json
   def oracle: Map[String, String] = Map(
+    "t22_domain_divergence" -> t22Sql,
     "t21_vocab_growth" -> t21Sql,
     "t20_perplexity_buckets" -> t20Sql,
     "t17_compressibility" -> t17Sql,

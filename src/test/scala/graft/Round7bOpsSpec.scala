@@ -214,6 +214,86 @@ class Round7bOpsSpec extends SparkTestBase {
     }
   }
 
+  test("t22: TV divergence equals a sequential exact replay") {
+    val rows = TextQueries.t22DomainDivergence(spark, Sf0001).collect()
+    val occ = Tables.documents(spark, Sf0001)
+      .select(col("source"), explode(expr(
+        "regexp_extract_all(text, '[A-Za-z0-9]+', 0)")).as("tok"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val bySrcTok = occ.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val byTok = occ.groupBy(_._2).map { case (t, v) => t -> v.length.toLong }
+    val bySrc = occ.groupBy(_._1).map { case (src, v) => src -> v.length.toLong }
+    val n = occ.length.toLong
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val ns = bySrc(src)
+      val present = bySrcTok.filter(_._1._1 == src)
+      val gaps = present.map { case ((_, t), cst) => t -> math.abs(cst * n - byTok(t) * ns) }
+      val presentGap = gaps.values.sum
+      val absentGap = ns * (n - present.map { case ((_, t), _) => byTok(t) }.sum)
+      val tv = math.floor((presentGap + absentGap).toDouble / (2.0 * ns * n) * 1e6).toLong
+      assert(r.getAs[Long]("tv_micro") === tv, src)
+      assert(r.getAs[Long]("n_tokens") === ns)
+      val maxGap = gaps.values.max
+      assert(r.getAs[Long]("max_gap") === maxGap, src)
+      assert(r.getAs[String]("top_token") ===
+        gaps.filter(_._2 == maxGap).keys.min, src)
+      assert(tv >= 0 && tv <= 1000000)
+    }
+  }
+
+  test("m09: originals are clean, hot twins clip exactly where predicted") {
+    val rows = Multimodal.m09AudioQa(spark, Sf0001).collect()
+    val texts = Tables.documents(spark, Sf0001)
+      .filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length === 2 * texts.size)
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    texts.foreach { case (id, text) =>
+      val base = if (text.isEmpty) Array[Byte](0) else text.getBytes("UTF-8")
+      val orig = byId(id)
+      // encodeWav samples are (byte-128)*256: never at a rail
+      assert(orig.getAs[Long]("n_clipped") === 0L, s"clip in original $id")
+      assert(orig.getAs[Long]("peak") <= 24576L)
+      // hot twin: gain x3 clips exactly the samples whose seed byte
+      // <= 85 ((b-128)*256*3 < -32768); samples cycle the seed
+      val expClipped = (0 until Multimodal.AudioSamples)
+        .count(i => (base(i % base.length) & 0xff) <= 85).toLong
+      val hot = byId(id + 1000000L)
+      assert(hot.getAs[Long]("n_clipped") === expClipped, s"twin of $id")
+      assert(hot.getAs[Long]("clip_ppm") ===
+        expClipped * 1000000L / hot.getAs[Long]("n_samples"))
+    }
+    // the audit separates the classes: every twin with a space in its
+    // text clips, and clip_ppm orders hot above original
+    texts.filter(_._2.contains(' ')).keys.foreach { id =>
+      assert(byId(id + 1000000L).getAs[Long]("n_clipped") > 0L)
+    }
+  }
+
+  test("ml04: PR sweep is monotone and internally consistent") {
+    val rows = graft.operators.MlQueries.ml04PrSweep(spark, Sf001).collect()
+    assert(rows.map(_.getAs[Long]("thr")).toSeq === (100L to 900L by 100L))
+    val nPos = rows.map(r => r.getAs[Long]("tp") + r.getAs[Long]("fn")).distinct
+    assert(nPos.length === 1, "tp+fn must be the constant positive count")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("fp") >= 0L && r.getAs[Long]("fn") >= 0L)
+      assert(r.getAs[Long]("precision_milli") <= 1000L)
+      assert(r.getAs[Long]("recall_milli") <= 1000L)
+    }
+    // tighter cutoffs only shrink the predicted-positive set
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("n_pred_pos") <= a.getAs[Long]("n_pred_pos"))
+      assert(b.getAs[Long]("tp") <= a.getAs[Long]("tp"))
+      assert(b.getAs[Long]("recall_milli") <= a.getAs[Long]("recall_milli"))
+    }
+    // the classifier is genuinely discriminative on this corpus
+    // (MlClassifierSpec pins AUC >= 0.95): mid-sweep precision is high
+    val mid = rows(4)
+    assert(mid.getAs[Long]("precision_milli") >= 800L)
+  }
+
   test("m08: planted shot structure is recovered exactly") {
     for (sf <- Seq(Sf0001, Sf001)) {
       val rows = Multimodal.m08SceneCuts(spark, sf).collect()
