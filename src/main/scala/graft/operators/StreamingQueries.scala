@@ -480,7 +480,112 @@ object StreamingQueries {
       |    THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS purchase_cents
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** TIMER-driven custom sessionization on the v2 state API
+    * ([[graft.streaming.TimerSessionProcessor]]) — the watermark-
+    * reactive half of transformWithState that st09's input-reactive
+    * totals don't touch: sessions close when the WATERMARK passes
+    * their horizon (an event-time timer), not when input arrives.
+    *
+    * Arrivals are split into four TIME-RANGE files published
+    * oldest-first (st07's mtime discipline), so the watermark advances
+    * batch over batch and no row is ever late: after the third batch
+    * the watermark sits near max_ts - 6h - 2h = max_ts - 8h, which is
+    * why every session ending before the published max_ts - 9h cut is
+    * GUARANTEED to have had its timer fire by the final batch (timers
+    * fire against the previous batch's watermark — the 1h margin
+    * absorbs that lag). Sessions past the cut may or may not have
+    * closed — exactly st04's open-horizon boundary, excluded the same
+    * way on both sides of the oracle.
+    *
+    * Oracle: the st04 gaps-and-islands restatement with the 9h cut —
+    * a timer-assembled session list hash-equal to batch sessionization
+    * is the strongest contract this API surface can state.
+    */
+  def st10TimerSessions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode}
+    import s.implicits._
+    val root = s"/tmp/graft_stream_${Sidecars.tag(dir)}/st10"
+    deleteRecursively(java.nio.file.Paths.get(root))
+    val ev = graft.Tables.events(s, dir).select(col("user_id"), col("ts"))
+    val mx = ev.agg(max(col("ts")).as("mx"))
+    val staged = ev.crossJoin(broadcast(mx))
+      .withColumn("stage",
+        when(col("ts") < col("mx") - expr("INTERVAL 18 HOURS"), 0)
+          .when(col("ts") < col("mx") - expr("INTERVAL 12 HOURS"), 1)
+          .when(col("ts") < col("mx") - expr("INTERVAL 6 HOURS"), 2)
+          .otherwise(3))
+    val arrivals = new java.io.File(s"$root/arrivals")
+    arrivals.mkdirs()
+    val now = System.currentTimeMillis()
+    (0 to 3).foreach { stage =>
+      val dirS = s"$root/stage_$stage"
+      staged.filter(col("stage") === stage).select(col("user_id"), col("ts"))
+        .coalesce(1).write.mode("overwrite").parquet(dirS)
+      val part = new java.io.File(dirS).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(arrivals, f"arrival_$stage.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(now - (3 - stage) * 120000L)
+    }
+    val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val name = "graft_st10_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = s.readStream
+        .schema(s.read.parquet(s"$root/arrivals").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$root/arrivals")
+        .withWatermark("ts", "2 hours")
+        .as[graft.streaming.SessEvent]
+        .groupByKey(_.user_id)
+        .transformWithState(new graft.streaming.TimerSessionProcessor(),
+          TimeMode.EventTime(), OM.Append())
+        .writeStream
+        .outputMode(OM.Append())
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", s"$root/_checkpoint")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+        .crossJoin(broadcast(mx))
+        .filter(col("session_end") < col("mx") - expr("INTERVAL 9 HOURS"))
+        .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
+    } finally {
+      prevProvider match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  /** st04's gaps-and-islands restatement at the 9h closed-horizon cut. */
+  val st10Sql: String =
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id,
+      |    epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |    SUM(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM g),
+      |per AS (
+      |  SELECT user_id, MIN(ts) AS session_start,
+      |    MAX(ts) + INTERVAL 30 MINUTE AS session_end, COUNT(*) AS n_events
+      |  FROM sess GROUP BY user_id, session_id),
+      |cut AS (SELECT MAX(ts) - INTERVAL 9 HOUR AS c FROM events)
+      |SELECT user_id, session_start, session_end, n_events
+      |FROM per JOIN cut ON TRUE
+      |WHERE session_end < cut.c
+      |ORDER BY user_id, session_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st10_timer_sessions" -> (st10TimerSessions _),
     "st09_transform_with_state" -> (st09TransformWithState _),
     "st08_stream_enrich" -> (st08StreamEnrich _),
     "st07_watermark_late_data" -> (st07WatermarkLateData _),
@@ -492,6 +597,7 @@ object StreamingQueries {
     "st05_stream_filter" -> (st05StreamFilter _))
 
   val oracle: Map[String, String] = Map(
+    "st10_timer_sessions" -> st10Sql,
     "st09_transform_with_state" -> st09Sql,
     "st08_stream_enrich" -> st08Sql,
     "st07_watermark_late_data" -> st07Sql,

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.Encoders
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Input/output rows for the transformWithState probe (top-level case
   * classes so their Encoders serialize cleanly into the stream plan). */
@@ -26,6 +26,90 @@ case class UserTotals(user_id: Long, n_events: Long, purchase_cents: Long)
   * state is bit-comparable to the batch rollup no matter how the input
   * splits into micro-batches — associativity is the whole contract.
   */
+/** Input/output rows for the timer-driven sessionizer. */
+case class SessEvent(user_id: Long, ts: java.sql.Timestamp)
+case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+    session_end: java.sql.Timestamp, n_events: Long)
+
+/** Custom event-time SESSIONIZATION on the v2 API's TIMER surface — the
+  * one stateful capability the other processors don't exercise: state
+  * that must act when the WATERMARK passes a point, not when input
+  * arrives. Each key buffers its event times in a ListState; every
+  * input batch (re)arms an event-time timer just past the newest
+  * buffered event's session horizon; when a timer fires, the buffer is
+  * split into 30-minute-gap islands and every island whose session_end
+  * (last event + gap — the session_window convention) is strictly
+  * before the current watermark is emitted and evicted. An island can
+  * never emit twice (emitted events leave the buffer) and can never
+  * emit early (the watermark guard), and rows below the watermark were
+  * already dropped pre-state by the engine — so the emitted set is
+  * exactly the closed gaps-and-islands sessions, regardless of how
+  * input splits into batches.
+  *
+  * Timer arithmetic: timers are epoch MILLIS while events are micros;
+  * arming at floor_ms(session_end) + 1 guarantees that when the timer
+  * fires, watermark_ms * 1000 > session_end_micros exactly — no
+  * sub-millisecond session can get stuck armed-but-never-checked.
+  *
+  * State per key is the OPEN tail of its event history (closed islands
+  * evict on emission), so state is bounded by the session gap x event
+  * rate, not by history — the same bound session_window keeps.
+  */
+class TimerSessionProcessor extends StatefulProcessor[Long, SessEvent, SessionOut] {
+  private val GapMicros = 30L * 60 * 1000000L
+  @transient private var buf: ListState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    buf = getHandle.getListState[Long]("buf", Encoders.scalaLong, TTLConfig.NONE)
+
+  private def micros(t: java.sql.Timestamp): Long =
+    (t.getTime - t.getNanos / 1000000) * 1000L + t.getNanos / 1000
+
+  private def ts(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(us / 1000)
+    t.setNanos((us % 1000000).toInt * 1000)
+    t
+  }
+
+  private def arm(lastMicros: Long): Unit =
+    getHandle.registerTimer((lastMicros + GapMicros) / 1000L + 1L)
+
+  override def handleInputRows(key: Long, rows: Iterator[SessEvent],
+      timerValues: TimerValues): Iterator[SessionOut] = {
+    var last = Long.MinValue
+    rows.foreach { r =>
+      val us = micros(r.ts)
+      buf.appendValue(us)
+      if (us > last) last = us
+    }
+    if (last != Long.MinValue) arm(last)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionOut] = {
+    val events = buf.get().toArray.sorted
+    if (events.isEmpty) return Iterator.empty
+    val wmMicros = timerValues.getCurrentWatermarkInMs * 1000L
+    // split into 30-min-gap islands
+    val islands = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.ArrayBuffer(events.head))
+    events.tail.foreach { e =>
+      if (e - islands.last.last > GapMicros) islands += scala.collection.mutable.ArrayBuffer(e)
+      else islands.last += e
+    }
+    val (closed, open) = islands.partition(i => i.last + GapMicros < wmMicros)
+    if (open.isEmpty) buf.clear()
+    else {
+      buf.put(open.flatten.toArray)
+      arm(open.map(_.last).max)
+    }
+    closed.iterator.map { i =>
+      SessionOut(key, ts(i.head), ts(i.last + GapMicros), i.length.toLong)
+    }
+  }
+}
+
 class UserTotalsProcessor extends StatefulProcessor[Long, EvRow, UserTotals] {
   @transient private var totals: ValueState[(Long, Long)] = _
 

@@ -294,6 +294,34 @@ class Round7bOpsSpec extends SparkTestBase {
     assert(mid.getAs[Long]("precision_milli") >= 800L)
   }
 
+  test("st10: timer-assembled sessions equal batch gaps-and-islands") {
+    val got = graft.operators.StreamingQueries.st10TimerSessions(spark, Sf0001).collect()
+    assert(got.nonEmpty)
+    // batch restatement in Spark: strict 30-min islands, 9h cut
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, Sf0001).select(col("user_id"), col("ts"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val mx = ev.agg(max(col("ts")).as("mx"))
+    val exp = ev
+      .withColumn("us", expr("unix_micros(ts)"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_sess")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts")).as("session_start"),
+        (max(col("ts")) + expr("INTERVAL 30 MINUTES")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .crossJoin(broadcast(mx))
+      .filter(col("session_end") < col("mx") - expr("INTERVAL 9 HOURS"))
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+      .collect()
+    assert(got.map(_.toString).toSeq === exp.map(_.toString).toSeq)
+  }
+
   test("m08: planted shot structure is recovered exactly") {
     for (sf <- Seq(Sf0001, Sf001)) {
       val rows = Multimodal.m08SceneCuts(spark, sf).collect()
