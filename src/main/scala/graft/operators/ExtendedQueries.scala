@@ -1802,8 +1802,87 @@ object ExtendedQueries {
       |  COUNT(DISTINCT event_type) AS n_variants
       |FROM mixed GROUP BY 1 ORDER BY event_type_lc""".stripMargin
 
+  // ---------------------------------------------------------------- q98
+  /** As-of join DIRECTION variants on the native AsOfJoinExec — the two
+    * lookups q31/q61's backward form doesn't cover: FORWARD (first order
+    * at-or-after the event: "what did this user buy next?" — label
+    * construction for propensity models) and NEAREST (closer of the two
+    * sides, at-or-before winning ties — sensor-style alignment). Both
+    * run through the same co-partitioned streaming merge: forward is the
+    * buffered head PEEK (at-or-after rows stay unconsumed so later left
+    * rows can still claim them), nearest combines the backward carry
+    * with that peek — still one pass, still O(1) state per partition.
+    *
+    * Null-value nuance pinned for the contract: backward carries the
+    * last VALUE-BEARING row; forward is the first at-or-after ROW
+    * (absent if its value is null — the merge cannot consume past it
+    * without stealing later lefts' backward matches). o_totalprice is
+    * never null here, so the oracle's IGNORE NULLS windows state the
+    * same function.
+    */
+  def q98AsofDirections(s: SparkSession, dir: String): DataFrame = {
+    // clicks against same-user purchases: the two streams genuinely
+    // interleave in time, so BOTH directions produce non-vacuous matches
+    // (q31/q61's orders-side probe has every order before every event —
+    // fine for backward, vacuous for forward)
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"), col("value").as("p_value"))
+    val fwd = graft.plans.AsOfJoin.asofJoin(
+      clicks, purchases,
+      leftKeyCol = "user_id", leftTimeCol = "ts",
+      rightKeyCol = "p_user", rightTimeCol = "p_ts",
+      rightSeqCol = "p_id", rightValueCol = "p_value",
+      asofColName = "fwd_value", direction = "forward")
+    graft.plans.AsOfJoin.asofJoin(
+        fwd, purchases,
+        leftKeyCol = "user_id", leftTimeCol = "ts",
+        rightKeyCol = "p_user", rightTimeCol = "p_ts",
+        rightSeqCol = "p_id", rightValueCol = "p_value",
+        asofColName = "near_value", direction = "nearest")
+      .select(col("user_id"), col("event_id"), col("fwd_value"), col("near_value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Both directions as IGNORE-NULLS windows over the tagged timeline:
+    * forward sorts events BEFORE same-ts orders and takes the first
+    * following value; nearest compares micro distances, ties to the
+    * at-or-before side (q31's ordering for the backward leg). */
+  val q98Sql: String =
+    """WITH tagged AS (
+      |  SELECT user_id AS k, ts, 1 AS is_r, event_id AS src_id, value AS price
+      |  FROM events WHERE event_type = 'purchase'
+      |  UNION ALL
+      |  SELECT user_id, ts, 0, event_id, CAST(NULL AS DOUBLE)
+      |  FROM events WHERE event_type = 'click'),
+      |tl AS (
+      |  SELECT k, ts, is_r, src_id,
+      |    FIRST_VALUE(price IGNORE NULLS) OVER (
+      |      PARTITION BY k ORDER BY ts, is_r, src_id
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fwd_value,
+      |    FIRST_VALUE(CASE WHEN is_r = 1 THEN epoch_us(ts) END IGNORE NULLS) OVER (
+      |      PARTITION BY k ORDER BY ts, is_r, src_id
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fwd_t,
+      |    LAST_VALUE(price IGNORE NULLS) OVER (
+      |      PARTITION BY k ORDER BY ts, is_r DESC, src_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS back_value,
+      |    LAST_VALUE(CASE WHEN is_r = 1 THEN epoch_us(ts) END IGNORE NULLS) OVER (
+      |      PARTITION BY k ORDER BY ts, is_r DESC, src_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS back_t
+      |  FROM tagged)
+      |SELECT k AS user_id, src_id AS event_id, fwd_value,
+      |  CASE WHEN back_t IS NOT NULL AND (fwd_t IS NULL OR epoch_us(ts) - back_t <= fwd_t - epoch_us(ts))
+      |         THEN back_value
+      |       WHEN fwd_t IS NOT NULL THEN fwd_value
+      |       ELSE NULL END AS near_value
+      |FROM tl WHERE is_r = 0 ORDER BY user_id, event_id""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q98_asof_directions" -> (q98AsofDirections _),
     "q97_collated_group" -> (q97CollatedGroup _),
     "q96_cumulative_distinct" -> (q96CumulativeDistinct _),
     "q95_pattern_match" -> (q95PatternMatch _),
@@ -1859,6 +1938,7 @@ object ExtendedQueries {
     "q54_union_by_name" -> (q54UnionByName _))
 
   val oracle: Map[String, String] = Map(
+    "q98_asof_directions" -> q98Sql,
     "q97_collated_group" -> q97Sql,
     "q96_cumulative_distinct" -> q96Sql,
     "q95_pattern_match" -> q95Sql,

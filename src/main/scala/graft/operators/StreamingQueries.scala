@@ -584,7 +584,57 @@ object StreamingQueries {
       |WHERE session_end < cut.c
       |ORDER BY user_id, session_start""".stripMargin
 
+  /** LEFT OUTER stream-stream join run to completion
+    * (EventStream.purchaseLeftClick) — the remaining streaming join
+    * mode after st03's inner form: purchases with NO qualifying click
+    * emit with a null click id, released from state only when the
+    * watermark proves no match can still arrive. The published region
+    * is cut at max_ts - 4h (2h watermark delay + 1h join interval +
+    * 1h lag margin): below that horizon every unmatched purchase has
+    * PROVABLY been null-flushed, so matched and unmatched rows alike
+    * hash against the batch LEFT JOIN restatement. Null ordering is
+    * pinned NULLS FIRST on both sides (q78's cross-engine rule).
+    */
+  def st11OuterStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val name = "graft_st11_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = EventStream.purchaseLeftClick(EventStream.readEvents(s, dir))
+      .select(col("p_id"), col("p_user"), col("p_ts"), col("p_value"), col("c_id"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the query's watermark is min over BOTH sides' (max ts - 2h) —
+    // the click stream's head can trail the purchase stream's, so the
+    // closed-horizon cut must key off the LAGGING side's head
+    val ev = graft.Tables.events(s, dir)
+    val mx = ev.filter(col("event_type") === "purchase").agg(max(col("ts")).as("mp"))
+      .crossJoin(ev.filter(col("event_type") === "click").agg(max(col("ts")).as("mc")))
+      .select(least(col("mp"), col("mc")).as("mx"))
+    s.table(name)
+      .crossJoin(broadcast(mx))
+      .filter(col("p_ts") < col("mx") - expr("INTERVAL 6 HOURS"))
+      .select(col("p_id"), col("p_user"), col("p_value"), col("c_id"))
+      .orderBy(col("p_id"), col("c_id").asc_nulls_first)
+  }
+
+  val st11Sql: String =
+    """WITH p AS (SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts, value AS p_value
+      |      FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT event_id AS c_id, user_id AS c_user, ts AS c_ts
+      |      FROM events WHERE event_type = 'click'),
+      |m AS (SELECT LEAST((SELECT MAX(p_ts) FROM p), (SELECT MAX(c_ts) FROM c)) AS mx)
+      |SELECT p_id, p_user, p_value, c_id
+      |FROM p CROSS JOIN m
+      |LEFT JOIN c ON c_user = p_user AND c_ts <= p_ts
+      |  AND c_ts >= p_ts - INTERVAL 1 HOUR
+      |WHERE p_ts < mx - INTERVAL 6 HOUR
+      |ORDER BY p_id, c_id NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st11_outer_stream_join" -> (st11OuterStreamJoin _),
     "st10_timer_sessions" -> (st10TimerSessions _),
     "st09_transform_with_state" -> (st09TransformWithState _),
     "st08_stream_enrich" -> (st08StreamEnrich _),
@@ -597,6 +647,7 @@ object StreamingQueries {
     "st05_stream_filter" -> (st05StreamFilter _))
 
   val oracle: Map[String, String] = Map(
+    "st11_outer_stream_join" -> st11Sql,
     "st10_timer_sessions" -> st10Sql,
     "st09_transform_with_state" -> st09Sql,
     "st08_stream_enrich" -> st08Sql,

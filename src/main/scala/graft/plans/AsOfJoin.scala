@@ -49,7 +49,8 @@ object AsOfJoin {
       rightTime: Attribute,
       rightSeq: Attribute,
       rightValue: Attribute,
-      asofOut: AttributeReference)
+      asofOut: AttributeReference,
+      direction: String)
     extends BinaryNode {
     override def output: Seq[Attribute] = left.output :+ asofOut
     // asofOut is synthesized by this operator, not consumed from children
@@ -62,8 +63,8 @@ object AsOfJoin {
 
   object Strategy extends SparkStrategy {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-      case AsOfJoinNode(l, r, lk, lt, rk, rt, rs, rv, out) =>
-        AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, rs, rv, out) :: Nil
+      case AsOfJoinNode(l, r, lk, lt, rk, rt, rs, rv, out, dir) =>
+        AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, rs, rv, out, dir) :: Nil
       case _ => Nil
     }
   }
@@ -83,7 +84,10 @@ object AsOfJoin {
       leftKeyCol: String, leftTimeCol: String,
       rightKeyCol: String, rightTimeCol: String,
       rightSeqCol: String, rightValueCol: String,
-      asofColName: String): DataFrame = {
+      asofColName: String,
+      direction: String = "backward"): DataFrame = {
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"unknown as-of direction $direction")
     val spark = left.sparkSession
     enable(spark)
     val lPlan = left.queryExecution.analyzed
@@ -106,7 +110,8 @@ object AsOfJoin {
       attr(lPlan, leftKeyCol, keyT, "key"), attr(lPlan, leftTimeCol, timeT, "time"),
       attr(rPlan, rightKeyCol, keyT, "key"), attr(rPlan, rightTimeCol, timeT, "time"),
       attr(rPlan, rightSeqCol, keyT, "seq"), attr(rPlan, rightValueCol, Seq(DoubleType), "value"),
-      AttributeReference(asofColName, DoubleType, nullable = true)())
+      AttributeReference(asofColName, DoubleType, nullable = true)(),
+      direction)
     GraftSqlShim.ofRows(spark, node)
   }
 }
@@ -125,7 +130,8 @@ case class AsOfJoinExec(
     rightTime: Attribute,
     rightSeq: Attribute,
     rightValue: Attribute,
-    asofOut: AttributeReference)
+    asofOut: AttributeReference,
+    direction: String)
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output :+ asofOut
@@ -157,7 +163,7 @@ case class AsOfJoinExec(
       right.output.indexWhere(_.exprId == rightKey.exprId),
       right.output.indexWhere(_.exprId == rightTime.exprId),
       right.output.indexWhere(_.exprId == rightValue.exprId),
-      output)
+      output, direction)
   }
 
   override protected def withNewChildrenInternal(
@@ -180,7 +186,8 @@ private[plans] class AsOfMergeRDD(
     var leftRdd: RDD[InternalRow],
     var rightRdd: RDD[InternalRow],
     lkIdx: Int, ltIdx: Int, rkIdx: Int, rtIdx: Int, rvIdx: Int,
-    out: Seq[Attribute])
+    out: Seq[Attribute],
+    direction: String)
   extends RDD[InternalRow](leftRdd.context, Seq(
     new org.apache.spark.OneToOneDependency(leftRdd),
     new org.apache.spark.OneToOneDependency(rightRdd))) {
@@ -202,9 +209,14 @@ private[plans] class AsOfMergeRDD(
     val proj = UnsafeProjection.create(out, out)
     val extra = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
     val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+    // backward carry: last consumed right row's (key, time, value).
+    // forward peeks rBuf.head instead of consuming; nearest uses both.
+    val fwd = direction == "forward"
+    val near = direction == "nearest"
     var haveVal = false
     var valKey = 0L
     var lastVal = 0.0
+    var lastTime = 0L
     lIter.map { lRow =>
       if (lRow.isNullAt(lkIdx) || lRow.isNullAt(ltIdx)) {
         extra.setNullAt(0)
@@ -217,16 +229,40 @@ private[plans] class AsOfMergeRDD(
           if (r.isNullAt(rkIdx) || r.isNullAt(rtIdx)) { rBuf.next() }
           else {
             val rk = r.getLong(rkIdx)
-            if (rk < lk || (rk == lk && r.getLong(rtIdx) <= lt)) {
+            // forward keeps at-or-after rows (rt == lt) unconsumed so the
+            // head IS the first at-or-after candidate; backward/nearest
+            // consume them into the carry (at-or-before wins distance 0)
+            val consume =
+              rk < lk || (rk == lk &&
+                (if (fwd) r.getLong(rtIdx) < lt else r.getLong(rtIdx) <= lt))
+            if (consume) {
               if (rk == lk && !r.isNullAt(rvIdx)) {
-                haveVal = true; valKey = rk; lastVal = r.getDouble(rvIdx)
+                haveVal = true; valKey = rk
+                lastVal = r.getDouble(rvIdx); lastTime = r.getLong(rtIdx)
               }
               rBuf.next()
             } else advance = false
           }
         }
-        if (haveVal && valKey == lk) extra.update(0, lastVal)
-        else extra.setNullAt(0)
+        val haveBack = !fwd && haveVal && valKey == lk
+        val headFwd = (fwd || near) && rBuf.hasNext &&
+          !rBuf.head.isNullAt(rkIdx) && !rBuf.head.isNullAt(rtIdx) &&
+          rBuf.head.getLong(rkIdx) == lk
+        if (fwd) {
+          if (headFwd && !rBuf.head.isNullAt(rvIdx))
+            extra.update(0, rBuf.head.getDouble(rvIdx))
+          else extra.setNullAt(0)
+        } else if (near) {
+          val haveFwdVal = headFwd && !rBuf.head.isNullAt(rvIdx)
+          if (haveBack && (!haveFwdVal ||
+              lt - lastTime <= rBuf.head.getLong(rtIdx) - lt))
+            extra.update(0, lastVal)
+          else if (haveFwdVal) extra.update(0, rBuf.head.getDouble(rvIdx))
+          else extra.setNullAt(0)
+        } else {
+          if (haveBack) extra.update(0, lastVal)
+          else extra.setNullAt(0)
+        }
       }
       proj(joined(lRow, extra))
     }

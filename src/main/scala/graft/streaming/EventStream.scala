@@ -96,6 +96,30 @@ object EventStream {
         col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
   }
 
+  /** LEFT OUTER stream-stream join — purchaseAfterClick's bounds with
+    * outer semantics: a purchase with no qualifying click must still
+    * emit (c_id null), but only once the watermark proves no matching
+    * click can still arrive — the engine holds the unmatched row in
+    * state until the click side's event-time range [p_ts - 1h, p_ts]
+    * is entirely below the watermark, then releases it with nulls.
+    * That delayed-null emission is THE semantic difference from the
+    * inner form (st03), and the reason outer stream joins need both
+    * watermarks and time bounds at all. */
+  def purchaseLeftClick(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"), col("value").as("p_value"))
+      .withWatermark("p_ts", "2 hours")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("c_id"))
+      .withWatermark("c_ts", "2 hours")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"),
+      "left_outer")
+  }
+
   def runPurchaseAfterClick(spark: SparkSession, dir: String, queryName: String = "graft_ss_join"): DataFrame = {
     val q = purchaseAfterClick(readEvents(spark, dir))
       .select(col("p_id"), col("c_id"), col("p_user"), col("p_value"))
