@@ -125,7 +125,23 @@ object ScaleSweep {
       "s21_cascade_rerank" -> "cascade retrieval (BM25 shortlist -> bounded dense rerank)",
       "d16_incremental_neardup" -> "incremental near-dup (persisted LSH index probe)",
       "s22_filtered_ann" -> "filtered ANN (label predicate in the scan)",
-      "p26_temperature_mixture" -> "temperature mixture (computed sqrt rates, hash keep)")
+      "p26_temperature_mixture" -> "temperature mixture (computed sqrt rates, hash keep)",
+      "g13_modularity" -> "modularity trajectory (5 audited LPA rounds)",
+      "g14_neighborhood_features" -> "2-hop message-passing features (two bounded joins)",
+      "t21_vocab_growth" -> "Heaps-law vocab growth (nested hash buckets)",
+      "t22_domain_divergence" -> "per-source TV divergence (exact integer gaps)",
+      "p27_skew_audit" -> "join-key skew audit (bounded count histogram)",
+      "p28_compaction_plan" -> "small-file compaction plan (per-partition prefix chop)",
+      "s23_index_health" -> "IVF cell-population audit (map assign + k-row rollup)",
+      "s24_knn_graph" -> "cell-scoped kNN graph build (one cell equi-join)",
+      "q97_collated_group" -> "collation-aware grouping (UTF8_LCASE exchange)",
+      "q98_asof_directions" -> "as-of forward/nearest (native streaming merge)",
+      "m08_scene_cuts" -> "video shot-boundary detection (per-clip LAG)",
+      "m09_audio_qa" -> "audio clipping/RMS audit (map-only decode)",
+      "ml04_pr_sweep" -> "classifier PR threshold sweep (9-way explode)",
+      "st09_transform_with_state" -> "transformWithState totals (4 RocksDB batches)",
+      "st10_timer_sessions" -> "timer-driven sessionization (event-time timers)",
+      "st11_outer_stream_join" -> "left-outer stream join (delayed null flush)")
 
     // warm the JVM/codegen on the smallest sf so cold-start lands nowhere
     queries.foreach { case (q, _) =>

@@ -154,6 +154,41 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(e.getMessage.contains("nope"))
   }
 
+  test("asofJoin rejects an unknown direction; directions handle empty/boundary right sides") {
+    import spark.implicits._
+    val l = Seq((1L, 100L, 10L), (1L, 200L, 11L), (2L, 100L, 12L))
+      .toDF("k", "t", "lid")
+    val r = Seq((1L, 150L, 1L, 5.0)).toDF("k", "t", "seq", "v")
+    intercept[IllegalArgumentException] {
+      graft.plans.AsOfJoin.asofJoin(l, r, "k", "t", "k", "t", "seq", "v", "x",
+        direction = "sideways")
+    }
+    def run(dir: String): Map[Long, Option[Double]] =
+      graft.plans.AsOfJoin.asofJoin(l, r, "k", "t", "k", "t", "seq", "v", "x",
+          direction = dir)
+        .collect().map(row => row.getAs[Long]("lid") ->
+          (if (row.isNullAt(row.fieldIndex("x"))) None else Some(row.getAs[Double]("x"))))
+        .toMap
+    // one right row at t=150 for key 1; key 2 has no right rows at all
+    assert(run("backward") === Map(10L -> None, 11L -> Some(5.0), 12L -> None))
+    assert(run("forward") === Map(10L -> Some(5.0), 11L -> None, 12L -> None))
+    assert(run("nearest") === Map(10L -> Some(5.0), 11L -> Some(5.0), 12L -> None))
+    // empty right side: every direction yields all-null, no crash
+    val empty = r.filter(col("k") < 0)
+    Seq("backward", "forward", "nearest").foreach { d =>
+      val out = graft.plans.AsOfJoin.asofJoin(l, empty, "k", "t", "k", "t", "seq", "v", "x",
+        direction = d).collect()
+      assert(out.length === 3 && out.forall(_.isNullAt(3)), d)
+    }
+    // exact-tie nearest: right rows equidistant before and after -> the
+    // at-or-before side wins
+    val l2 = Seq((7L, 100L, 1L)).toDF("k", "t", "lid")
+    val r2 = Seq((7L, 90L, 1L, 1.0), (7L, 110L, 2L, 2.0)).toDF("k", "t", "seq", "v")
+    val near = graft.plans.AsOfJoin.asofJoin(l2, r2, "k", "t", "k", "t", "seq", "v", "x",
+      direction = "nearest").collect()
+    assert(near.head.getAs[Double]("x") === 1.0, "tie must go to at-or-before")
+  }
+
   test("segment dedup on degenerate docs: empty canon collides, full dups lose every span (d10)") {
     val out = DedupQueries.d10SegmentDedup(spark, edgeDir).collect()
       .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
