@@ -296,6 +296,127 @@ object DedupQueries {
       |WHERE CAST(n_inter AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - n_inter AS DOUBLE) >= 0.5
       |ORDER BY da, db""".stripMargin
 
+  // ---------------------------------------------------------------- d17
+  /** LSH BAND-PLANNING audit — the S-curve measurement behind d04's
+    * (8 bands x 4 rows) choice: for the three (b, r) splits of the same
+    * 32-permutation signature, measure what each config actually buys on
+    * this corpus — candidate volume (the cost: every candidate pays an
+    * exact verify) vs recall of the true J >= 0.5 pair set (the
+    * correctness d04's oracle demands) — next to the config's
+    * theoretical capture probability at J = 0.5
+    * (1 - (1 - 0.5^r)^b, a config CONSTANT embedded as a literal on
+    * both engines). The standard trade: more bands with shorter rows
+    * (16x2) buys recall with a candidate explosion; fewer longer bands
+    * (4x8) starves recall; d04's 8x4 sits on the knee.
+    *
+    * Banding here joins on the band's raw COMPONENT TUPLE (band index +
+    * r-component array key), not a hash of it — candidate counts are
+    * published, so even a theoretical band-hash collision must not be
+    * able to perturb them (d04 can hash because its verify step erases
+    * false positives before output).
+    *
+    * Scale: signatures build once (sidecar — also the oracle's input);
+    * each config is one (band, tuple)-keyed self-join over b rows per
+    * doc — the d04 candidate plan x3. The truth set is the exact
+    * shingle-join pair list (the oracle's own derivation, run once);
+    * at 100 TB the truth join is the audit's cost ceiling, which is
+    * exactly why this runs on a sample tier in production — the
+    * CONFIG decision transfers, the corpus scan does not need to.
+    */
+  private val BandConfigs = Seq((16, 2), (8, 4), (4, 8))
+
+  def d17BandPlanning(s: SparkSession, dir: String): DataFrame = {
+    val sets = shingleSets(s, dir).select(col("doc_id"), col("sh_arr")).cache()
+    sets.count()
+    val side = graft.Sidecars.write(minhashSignaturesFrom(sets), dir, "d17_sigs")
+    // exact truth: corpus-wide J >= 0.5 pairs via the shingle equi-join
+    // (the oracle's own spelling, computed here distributed)
+    val sh = sets.select(col("doc_id"), explode(col("sh_arr")).as("shingle")).distinct()
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.select(col("doc_id").as("da"), col("shingle"))
+      .join(sh.select(col("doc_id").as("db"), col("shingle")), "shingle")
+      .filter(col("da") < col("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("n_inter"))
+    val truth = inter
+      .join(counts.select(col("doc_id").as("da"), col("n_sh").as("na")), "da")
+      .join(counts.select(col("doc_id").as("db"), col("n_sh").as("nb")), "db")
+      .filter(col("n_inter").cast(DoubleType) /
+        (col("na") + col("nb") - col("n_inter")).cast(DoubleType) >= 0.5)
+      .select(col("da"), col("db")).cache()
+    val nTrue = truth.count()
+    val perConfig = BandConfigs.map { case (b, r) =>
+      val banded = side.select(col("doc_id"), posexplode(array((0 until b).map { bi =>
+        array((0 until r).map(ri => col(s"sig_${bi * r + ri}")): _*)
+      }: _*)).as(Seq("band", "bkey")))
+      val cand = banded.select(col("band"), col("bkey"), col("doc_id").as("da"))
+        .join(banded.select(col("band").as("b2"), col("bkey").as("k2"), col("doc_id").as("db")),
+          col("band") === col("b2") && col("bkey") === col("k2") && col("da") < col("db"))
+        .select(col("da"), col("db")).distinct().cache()
+      val nCand = cand.count()
+      val nCaptured = cand.join(truth, Seq("da", "db"), "left_semi").count()
+      cand.unpersist()
+      // config-constant S-curve prediction at J = 0.5, embedded as a
+      // literal (pure function of (b, r), not of data)
+      val predicted = math.floor(
+        (1.0 - math.pow(1.0 - math.pow(0.5, r), b)) * 1e6).toLong
+      (b.toLong, r.toLong, nCand, nTrue, nCaptured,
+        if (nTrue == 0) -1L else nCaptured * 1000L / nTrue,
+        if (nCand == 0) -1L else math.floor(nCaptured.toDouble / nCand * 1e6).toLong,
+        predicted)
+    }
+    import s.implicits._
+    perConfig.toDF("bands", "rows_per_band", "n_candidates", "n_true",
+        "n_captured", "recall_milli", "precision_micro", "predicted_at_05_micro")
+      .orderBy(col("bands").desc)
+  }
+
+  /** Sidecar signatures + component-tuple banding + the exact shingle
+    * truth, per config; the S-curve literal matches the Scala constant. */
+  def d17Sql: String = {
+    val sigPath = graft.Sidecars.oraclePath("d17_sigs")
+    val configs = BandConfigs.map { case (b, r) =>
+      val bandEq = (0 until b).map { bi =>
+        (0 until r).map(ri => s"a.sig_${bi * r + ri} = b.sig_${bi * r + ri}")
+          .mkString("(", " AND ", ")")
+      }.mkString(" OR ")
+      val predicted = math.floor(
+        (1.0 - math.pow(1.0 - math.pow(0.5, r), b)) * 1e6).toLong
+      s"""SELECT $b AS bands, $r AS rows_per_band,
+         |  (SELECT COUNT(*) FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandEq)) AS n_candidates,
+         |  (SELECT COUNT(*) FROM truth) AS n_true,
+         |  (SELECT COUNT(*) FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandEq)
+         |     JOIN truth t ON t.da = a.doc_id AND t.db = b.doc_id) AS n_captured,
+         |  $predicted AS predicted_at_05_micro""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH sig AS (SELECT * FROM '$sigPath/*.parquet'),
+       |docs AS (
+       |  SELECT doc_id,
+       |    string_split(TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+       |  FROM docs, unnest(generate_series(1, GREATEST(len(toks) - 2, 0))) AS u(i)),
+       |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |truth AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  JOIN counts ca ON a.doc_id = ca.doc_id
+       |  JOIN counts cb ON b.doc_id = cb.doc_id
+       |  GROUP BY a.doc_id, b.doc_id, ca.n_sh, cb.n_sh
+       |  HAVING CAST(COUNT(*) AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - COUNT(*) AS DOUBLE) >= 0.5),
+       |per_config AS (
+       |$configs)
+       |SELECT CAST(bands AS BIGINT) AS bands, CAST(rows_per_band AS BIGINT) AS rows_per_band,
+       |  CAST(n_candidates AS BIGINT) AS n_candidates, CAST(n_true AS BIGINT) AS n_true,
+       |  CAST(n_captured AS BIGINT) AS n_captured,
+       |  CASE WHEN n_true = 0 THEN -1 ELSE (n_captured * 1000) // n_true END AS recall_milli,
+       |  CASE WHEN n_candidates = 0 THEN -1
+       |       ELSE CAST(FLOOR(CAST(n_captured AS DOUBLE) / CAST(n_candidates AS DOUBLE) * 1e6) AS BIGINT) END AS precision_micro,
+       |  CAST(predicted_at_05_micro AS BIGINT) AS predicted_at_05_micro
+       |FROM per_config
+       |ORDER BY bands DESC""".stripMargin
+  }
+
   // ---------------------------------------------------------------- d05
   /** SimHash: 60-bit sketch = per-bit majority vote over token hashes.
     *
@@ -1388,6 +1509,7 @@ object DedupQueries {
       |ORDER BY da, db""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d17_band_planning" -> (d17BandPlanning _),
     "d16_incremental_neardup" -> (d16IncrementalNeardup _),
     "d15_semdedup" -> (d15SemDedup _),
     "d14_minhash_calibration" -> (d14MinhashCalibration _),
@@ -1407,6 +1529,7 @@ object DedupQueries {
   /** def, not val: d14Sql embeds the Sidecars.oracleDir-keyed sidecar
     * path Verify pins at runtime (the Multimodal.oracle convention). */
   def oracle: Map[String, String] = Map(
+    "d17_band_planning" -> d17Sql,
     "d16_incremental_neardup" -> d16Sql,
     "d15_semdedup" -> d15Sql,
     "d14_minhash_calibration" -> d14Sql,

@@ -1880,8 +1880,46 @@ object ExtendedQueries {
       |       ELSE NULL END AS near_value
       |FROM tl WHERE is_r = 0 ORDER BY user_id, event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q99
+  /** FILE-LEVEL LINEAGE via the `_metadata` hidden struct — the source
+    * feature incident attribution at scale runs on ("which files fed
+    * the bad rows?"): rows of a hive-partitioned export are grouped by
+    * the physical file that produced them, using `_metadata.file_path`
+    * (no column materialized in the data; the scan synthesizes it).
+    * The export writes one file per bucket directory (repartition by
+    * the partition column before write), so per-file row counts are
+    * deterministic and the audit doubles as a write-layout check —
+    * n_files > 1 in any bucket means the export's task layout drifted.
+    *
+    * Oracle: DuckDB's filename=true scan over the same directory — two
+    * engines agreeing on per-file lineage of the same bytes.
+    */
+  def q99FileLineage(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.Sidecars.path(dir, "q99_files")
+    Tables.spread(Tables.documents(s, dir))
+      .withColumn("bucket", col("doc_id") % 4)
+      .repartition(4, col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(root)
+    s.read.parquet(root)
+      .select(col("doc_id"), col("_metadata.file_path").as("fp"))
+      .withColumn("bucket_dir", regexp_extract(col("fp"), "bucket=(\\d+)", 1).cast("long"))
+      .groupBy(col("bucket_dir"))
+      .agg(countDistinct(col("fp")).as("n_files"), count(lit(1)).as("n_rows"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("bucket_dir"))
+  }
+
+  /** The filename=true scan over the export q99 itself wrote. */
+  def q99Sql: String =
+    s"""SELECT CAST(regexp_extract(filename, 'bucket=(\\d+)', 1) AS BIGINT) AS bucket_dir,
+       |  COUNT(DISTINCT filename) AS n_files, COUNT(*) AS n_rows,
+       |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+       |FROM read_parquet('${graft.Sidecars.oraclePath("q99_files")}/*/*.parquet', filename=true)
+       |GROUP BY 1 ORDER BY bucket_dir""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q99_file_lineage" -> (q99FileLineage _),
     "q98_asof_directions" -> (q98AsofDirections _),
     "q97_collated_group" -> (q97CollatedGroup _),
     "q96_cumulative_distinct" -> (q96CumulativeDistinct _),
@@ -1937,7 +1975,10 @@ object ExtendedQueries {
     "q53_null_semantics" -> (q53NullSemantics _),
     "q54_union_by_name" -> (q54UnionByName _))
 
-  val oracle: Map[String, String] = Map(
+  // def, not val: q99Sql embeds the Sidecars.oracleDir-keyed export path
+  // Verify pins at runtime before dumping oracle_sql.json
+  def oracle: Map[String, String] = Map(
+    "q99_file_lineage" -> q99Sql,
     "q98_asof_directions" -> q98Sql,
     "q97_collated_group" -> q97Sql,
     "q96_cumulative_distinct" -> q96Sql,

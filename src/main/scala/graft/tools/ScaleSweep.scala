@@ -141,7 +141,9 @@ object ScaleSweep {
       "ml04_pr_sweep" -> "classifier PR threshold sweep (9-way explode)",
       "st09_transform_with_state" -> "transformWithState totals (4 RocksDB batches)",
       "st10_timer_sessions" -> "timer-driven sessionization (event-time timers)",
-      "st11_outer_stream_join" -> "left-outer stream join (delayed null flush)")
+      "st11_outer_stream_join" -> "left-outer stream join (delayed null flush)",
+      "d17_band_planning" -> "LSH band-planning audit (3 configs vs exact truth)",
+      "q99_file_lineage" -> "_metadata file lineage (partitioned export + grouped scan)")
 
     // warm the JVM/codegen on the smallest sf so cold-start lands nowhere
     queries.foreach { case (q, _) =>

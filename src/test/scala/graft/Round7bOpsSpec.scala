@@ -390,6 +390,45 @@ class Round7bOpsSpec extends SparkTestBase {
       r2.getDouble(2) != r2.getDouble(3)))
   }
 
+  test("d17: band planning orders the S-curve and agrees with d04's config") {
+    val rows = graft.operators.DedupQueries.d17BandPlanning(spark, Sf001).collect()
+      .map(r => (r.getAs[Long]("bands"), r.getAs[Long]("rows_per_band")) -> r).toMap
+    assert(rows.keySet === Set((16L, 2L), (8L, 4L), (4L, 8L)))
+    val nTrue = rows.values.map(_.getAs[Long]("n_true")).toSet
+    assert(nTrue.size === 1 && nTrue.head > 0, "one shared truth set")
+    // candidate volume strictly grows with band count (shorter rows =
+    // looser buckets); recall is monotone the same way
+    val cands = Seq((4L, 8L), (8L, 4L), (16L, 2L)).map(k => rows(k).getAs[Long]("n_candidates"))
+    cands.sliding(2).foreach { case Seq(a, b) => assert(b >= a, cands.toString) }
+    val recalls = Seq((4L, 8L), (8L, 4L), (16L, 2L)).map(k => rows(k).getAs[Long]("recall_milli"))
+    recalls.sliding(2).foreach { case Seq(a, b) => assert(b >= a, recalls.toString) }
+    // d04's own config must achieve full recall on this corpus — that is
+    // exactly the property d04's oracle depends on
+    assert(rows((8L, 4L)).getAs[Long]("recall_milli") === 1000L)
+    // captured never exceeds either bound
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_captured") <= r.getAs[Long]("n_true"))
+      assert(r.getAs[Long]("n_captured") <= r.getAs[Long]("n_candidates"))
+    }
+    // the S-curve constants are the textbook values
+    assert(rows((16L, 2L)).getAs[Long]("predicted_at_05_micro") === 989977L)
+    assert(rows((8L, 4L)).getAs[Long]("predicted_at_05_micro") === 403280L)
+    assert(rows((4L, 8L)).getAs[Long]("predicted_at_05_micro") === 15533L)
+  }
+
+  test("q99: file lineage recovers the partitioned write layout") {
+    val rows = ExtendedQueries.q99FileLineage(spark, Sf001).collect()
+    assert(rows.map(_.getAs[Long]("bucket_dir")).sorted.toSeq === Seq(0L, 1L, 2L, 3L))
+    val docs = Tables.documents(spark, Sf001).count()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum === docs)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_files") === 1L, "one file per bucket by construction")
+      // bucket membership is the doc_id % 4 rule
+      assert(r.getAs[Long]("min_doc") % 4 === r.getAs[Long]("bucket_dir"))
+      assert(r.getAs[Long]("max_doc") % 4 === r.getAs[Long]("bucket_dir"))
+    }
+  }
+
   test("m08: planted shot structure is recovered exactly") {
     for (sf <- Seq(Sf0001, Sf001)) {
       val rows = Multimodal.m08SceneCuts(spark, sf).collect()
