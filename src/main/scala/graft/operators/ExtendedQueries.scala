@@ -1917,8 +1917,51 @@ object ExtendedQueries {
        |FROM read_parquet('${graft.Sidecars.oraclePath("q99_files")}/*/*.parquet', filename=true)
        |GROUP BY 1 ORDER BY bucket_dir""".stripMargin
 
+  // --------------------------------------------------------------- q100
+  /** ROLLING 7-day distinct users per day — the windowed companion to
+    * q96's cumulative rewrite, and like it, a query Spark/most engines
+    * cannot express directly (`COUNT(DISTINCT) OVER (RANGE 7 days)` is
+    * unsupported): the scale-correct rewrite dedups to (user, day)
+    * pairs first (bounded by users x days), fans each pair out to the
+    * <= 7 report days whose trailing window covers it (a constant-size
+    * Generate, not a join), and dedups again per (report day, user) —
+    * every aggregation keyed and map-side combined, state bounded by
+    * the pair sets, never by raw events. Report days are restricted to
+    * the fully-covered region (day >= min_day + 6) so the published
+    * curve has no ramp-up artifact.
+    */
+  def q100RollingDistinct(s: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val bounds = days.agg(min(col("day")).as("min_day"), max(col("day")).as("max_day"))
+    val covered = days
+      .select(col("user_id"), explode(expr(
+        "transform(sequence(0, 6), i -> date_add(day, i))")).as("report_day"))
+      .distinct()
+    covered
+      .crossJoin(broadcast(bounds))
+      .filter(col("report_day") >= date_add(col("min_day"), 6) &&
+        col("report_day") <= col("max_day"))
+      .groupBy(col("report_day"))
+      .agg(count(lit(1)).as("active_users_7d"))
+      .orderBy(col("report_day"))
+  }
+
+  /** The identical pair-dedup + 7-day fan-out + re-dedup rewrite. */
+  val q100Sql: String =
+    """WITH pairs AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |bounds AS (SELECT MIN(day) AS min_day, MAX(day) AS max_day FROM pairs),
+      |covered AS (
+      |  SELECT DISTINCT user_id, day + CAST(g.i AS INTEGER) AS report_day
+      |  FROM pairs, unnest(generate_series(0, 6)) AS g(i))
+      |SELECT report_day, COUNT(*) AS active_users_7d
+      |FROM covered CROSS JOIN bounds
+      |WHERE report_day >= min_day + 6 AND report_day <= max_day
+      |GROUP BY report_day ORDER BY report_day""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_rolling_distinct" -> (q100RollingDistinct _),
     "q99_file_lineage" -> (q99FileLineage _),
     "q98_asof_directions" -> (q98AsofDirections _),
     "q97_collated_group" -> (q97CollatedGroup _),
@@ -1978,6 +2021,7 @@ object ExtendedQueries {
   // def, not val: q99Sql embeds the Sidecars.oracleDir-keyed export path
   // Verify pins at runtime before dumping oracle_sql.json
   def oracle: Map[String, String] = Map(
+    "q100_rolling_distinct" -> q100Sql,
     "q99_file_lineage" -> q99Sql,
     "q98_asof_directions" -> q98Sql,
     "q97_collated_group" -> q97Sql,

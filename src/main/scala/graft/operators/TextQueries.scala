@@ -1441,7 +1441,71 @@ object TextQueries {
        |FROM agg JOIN arg USING (source)
        |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- t23
+  /** Out-of-vocabulary (OOV) rate audit — the tokenizer-planning
+    * measurement: build a bounded vocabulary from a TRAIN split (even
+    * doc ids, top 1000 types by frequency, count-desc token-asc ties),
+    * then measure, per source over the HELD-OUT split (odd ids), the
+    * fraction of token OCCURRENCES outside that vocabulary. High OOV on
+    * a source = the vocab under-serves it (the signal behind vocab-size
+    * and domain-mix decisions; BPE exists precisely to drive this to
+    * zero — t05's counter covers that tier, this measures the
+    * word-level baseline it fixes).
+    *
+    * Scale: vocab is one word count + a bounded top-k (TakeOrdered);
+    * the membership test is a broadcast LEFT join of the held-out
+    * occurrence stream against the <= 1000-row vocab — a map-side
+    * hash probe, no shuffle on the occurrence stream beyond the
+    * per-source rollup. Exact int64 counts; the rate is the p26
+    * one-division rule.
+    */
+  def t23OovRate(s: SparkSession, dir: String): DataFrame = {
+    val occ = Tables.spread(Tables.documents(s, dir))
+      .select(col("doc_id"), col("source"),
+        explode(expr(s"regexp_extract_all(text, '$TokenPattern', 0)")).as("tok"))
+    import org.apache.spark.sql.expressions.Window
+    val vocab = occ.filter(col("doc_id") % 2 === 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("tok")))) // bounded: vocab-sized input
+      .filter(col("rnk") <= 1000)
+      .select(col("tok"), lit(true).as("in_vocab"))
+    occ.filter(col("doc_id") % 2 === 1)
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"),
+        countDistinct(when(col("in_vocab").isNull, col("tok"))).as("n_oov_types"))
+      .withColumn("oov_milli", floor(
+        col("n_oov").cast(DoubleType) / col("n_tokens").cast(DoubleType) * 1e3).cast(LongType))
+      .select(col("source"), col("n_tokens"), col("n_oov"), col("n_oov_types"),
+        col("oov_milli"))
+      .orderBy(col("source"))
+  }
+
+  /** Identical split, ranked vocab cut, membership test, and
+    * one-division rate. */
+  val t23Sql: String =
+    s"""WITH occ AS (
+       |  SELECT doc_id, source, unnest(regexp_extract_all(text, '$TokenPattern')) AS tok
+       |  FROM documents),
+       |vocab AS (
+       |  SELECT tok FROM (
+       |    SELECT tok, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS rnk
+       |    FROM occ WHERE doc_id % 2 = 0 GROUP BY tok) WHERE rnk <= 1000),
+       |held AS (
+       |  SELECT o.source, o.tok, v.tok IS NULL AS oov
+       |  FROM occ o LEFT JOIN vocab v ON o.tok = v.tok
+       |  WHERE o.doc_id % 2 = 1)
+       |SELECT source, COUNT(*) AS n_tokens,
+       |  CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |  COUNT(DISTINCT CASE WHEN oov THEN tok END) AS n_oov_types,
+       |  CAST(FLOOR(CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) * 1e3) AS BIGINT) AS oov_milli
+       |FROM held GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t23_oov_rate" -> (t23OovRate _),
     "t22_domain_divergence" -> (t22DomainDivergence _),
     "t21_vocab_growth" -> (t21VocabGrowth _),
     "t20_perplexity_buckets" -> (t20PerplexityBuckets _),
@@ -1468,6 +1532,7 @@ object TextQueries {
   // def, not val: t17Sql embeds the Sidecars.oracleDir-keyed path, which
   // Verify pins at runtime before dumping oracle_sql.json
   def oracle: Map[String, String] = Map(
+    "t23_oov_rate" -> t23Sql,
     "t22_domain_divergence" -> t22Sql,
     "t21_vocab_growth" -> t21Sql,
     "t20_perplexity_buckets" -> t20Sql,

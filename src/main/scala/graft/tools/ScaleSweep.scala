@@ -143,7 +143,9 @@ object ScaleSweep {
       "st10_timer_sessions" -> "timer-driven sessionization (event-time timers)",
       "st11_outer_stream_join" -> "left-outer stream join (delayed null flush)",
       "d17_band_planning" -> "LSH band-planning audit (3 configs vs exact truth)",
-      "q99_file_lineage" -> "_metadata file lineage (partitioned export + grouped scan)")
+      "q99_file_lineage" -> "_metadata file lineage (partitioned export + grouped scan)",
+      "q100_rolling_distinct" -> "rolling 7-day distinct (pair dedup + bounded fan-out)",
+      "t23_oov_rate" -> "OOV-rate audit (bounded vocab broadcast probe)")
 
     // warm the JVM/codegen on the smallest sf so cold-start lands nowhere
     queries.foreach { case (q, _) =>

@@ -429,6 +429,51 @@ class Round7bOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q100: rolling 7-day distinct equals per-day direct recounts") {
+    val rows = ExtendedQueries.q100RollingDistinct(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, Sf0001)
+      .select(col("user_id"), to_date(col("ts")).as("day")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val minDay = ev.map(_._2).min
+    val maxDay = ev.map(_._2).max
+    rows.foreach { r =>
+      val d = r.getDate(0).toLocalDate
+      assert(!d.isBefore(minDay.plusDays(6)) && !d.isAfter(maxDay))
+      val direct = ev.filter { case (_, ed) =>
+        !ed.isAfter(d) && !ed.isBefore(d.minusDays(6))
+      }.map(_._1).distinct.length.toLong
+      assert(r.getAs[Long]("active_users_7d") === direct, s"day $d")
+    }
+    // the covered region is the full calendar tail
+    assert(rows.length === java.time.temporal.ChronoUnit.DAYS
+      .between(minDay.plusDays(6), maxDay).toInt + 1)
+  }
+
+  test("t23: OOV rate matches a sequential vocab replay and separates splits") {
+    val rows = TextQueries.t23OovRate(spark, Sf001).collect()
+    val occ = Tables.documents(spark, Sf001)
+      .select(col("doc_id"), col("source"), explode(expr(
+        "regexp_extract_all(text, '[A-Za-z0-9]+', 0)")).as("tok")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val vocab = occ.filter(_._1 % 2 == 0).groupBy(_._3).map { case (t, v) => t -> v.length }
+      .toSeq.sortBy { case (t, c) => (-c, t) }.take(1000).map(_._1).toSet
+    val held = occ.filter(_._1 % 2 == 1)
+    val bySource = held.groupBy(_._2)
+    assert(rows.map(_.getString(0)).toSet === bySource.keySet)
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val toks = bySource(src).map(_._3)
+      val oov = toks.count(!vocab.contains(_)).toLong
+      assert(r.getAs[Long]("n_tokens") === toks.length.toLong, src)
+      assert(r.getAs[Long]("n_oov") === oov, src)
+      assert(r.getAs[Long]("n_oov_types") ===
+        toks.filter(!vocab.contains(_)).distinct.length.toLong, src)
+      assert(r.getAs[Long]("oov_milli") ===
+        math.floor(oov.toDouble / toks.length * 1e3).toLong, src)
+    }
+  }
+
   test("m08: planted shot structure is recovered exactly") {
     for (sf <- Seq(Sf0001, Sf001)) {
       val rows = Multimodal.m08SceneCuts(spark, sf).collect()
