@@ -501,14 +501,14 @@ object StreamingQueries {
     * a timer-assembled session list hash-equal to batch sessionization
     * is the strongest contract this API surface can state.
     */
-  def st10TimerSessions(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode}
-    import s.implicits._
-    val root = s"/tmp/graft_stream_${Sidecars.tag(dir)}/st10"
-    deleteRecursively(java.nio.file.Paths.get(root))
-    val ev = graft.Tables.events(s, dir).select(col("user_id"), col("ts"))
-    val mx = ev.agg(max(col("ts")).as("mx"))
-    val staged = ev.crossJoin(broadcast(mx))
+  /** Split a ts-carrying frame into four TIME-RANGE arrival files
+    * published oldest-first via mtimes (st07's discipline): batches then
+    * respect global event-time order, the watermark advances batch over
+    * batch, and no row is ever late. Returns the arrivals dir. */
+  private def stageTimeRanged(s: SparkSession, df: DataFrame, root: String): String = {
+    val mx = df.agg(max(col("ts")).as("mx"))
+    val outCols = df.columns.map(col)
+    val staged = df.crossJoin(broadcast(mx))
       .withColumn("stage",
         when(col("ts") < col("mx") - expr("INTERVAL 18 HOURS"), 0)
           .when(col("ts") < col("mx") - expr("INTERVAL 12 HOURS"), 1)
@@ -519,7 +519,7 @@ object StreamingQueries {
     val now = System.currentTimeMillis()
     (0 to 3).foreach { stage =>
       val dirS = s"$root/stage_$stage"
-      staged.filter(col("stage") === stage).select(col("user_id"), col("ts"))
+      staged.filter(col("stage") === stage).select(outCols: _*)
         .coalesce(1).write.mode("overwrite").parquet(dirS)
       val part = new java.io.File(dirS).listFiles()
         .filter(_.getName.endsWith(".parquet")).head
@@ -527,6 +527,17 @@ object StreamingQueries {
       java.nio.file.Files.move(part.toPath, dst.toPath)
       dst.setLastModified(now - (3 - stage) * 120000L)
     }
+    arrivals.getPath
+  }
+
+  def st10TimerSessions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode}
+    import s.implicits._
+    val root = s"/tmp/graft_stream_${Sidecars.tag(dir)}/st10"
+    deleteRecursively(java.nio.file.Paths.get(root))
+    val ev = graft.Tables.events(s, dir).select(col("user_id"), col("ts"))
+    val mx = ev.agg(max(col("ts")).as("mx"))
+    stageTimeRanged(s, ev, root)
     val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -633,7 +644,75 @@ object StreamingQueries {
       |WHERE p_ts < mx - INTERVAL 6 HOUR
       |ORDER BY p_id, c_id NULLS FIRST""".stripMargin
 
+  /** MapState TRANSITION counting on the v2 state API — the third typed
+    * state cell after st09 (ValueState) and st10 (ListState + timers):
+    * per user, a ValueState carries the last event across batch
+    * boundaries and a MapState accumulates "prev->curr" transition
+    * counts ([[graft.streaming.TransitionProcessor]]); arrivals are
+    * time-range staged so concatenated batches preserve each user's
+    * global (ts, event_id) order, making the counted transitions
+    * deterministic. Published as the corpus-level Markov transition
+    * matrix (per-user finals summed); oracle = the batch LAG
+    * restatement — a cross-batch stateful walk landing bit-for-bit on
+    * the one-shot window answer.
+    */
+  def st12TransitionCounts(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode}
+    import s.implicits._
+    val root = s"/tmp/graft_stream_${Sidecars.tag(dir)}/st12"
+    deleteRecursively(java.nio.file.Paths.get(root))
+    val ev = graft.Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val arrivals = stageTimeRanged(s, ev, root)
+    val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val name = "graft_st12_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = s.readStream
+        .schema(s.read.parquet(arrivals).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals)
+        .as[graft.streaming.TsEvent]
+        .groupByKey(_.user_id)
+        .transformWithState(new graft.streaming.TransitionProcessor(),
+          TimeMode.None(), OM.Update())
+        .writeStream
+        .outputMode(OM.Update())
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", s"$root/_checkpoint")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // per (user, transition) counts are monotone across emissions, so
+      // max = the final state; then the corpus-level matrix
+      s.table(name)
+        .groupBy(col("user_id"), col("prev_type"), col("event_type"))
+        .agg(max(col("n")).as("n"))
+        .groupBy(col("prev_type"), col("event_type"))
+        .agg(sum(col("n")).as("n"), countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("prev_type"), col("event_type"))
+    } finally {
+      prevProvider match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  val st12Sql: String =
+    """WITH ordered AS (
+      |  SELECT user_id, event_type,
+      |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |  FROM events)
+      |SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM ordered WHERE prev_type IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY prev_type, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st12_transition_counts" -> (st12TransitionCounts _),
     "st11_outer_stream_join" -> (st11OuterStreamJoin _),
     "st10_timer_sessions" -> (st10TimerSessions _),
     "st09_transform_with_state" -> (st09TransformWithState _),
@@ -647,6 +726,7 @@ object StreamingQueries {
     "st05_stream_filter" -> (st05StreamFilter _))
 
   val oracle: Map[String, String] = Map(
+    "st12_transition_counts" -> st12Sql,
     "st11_outer_stream_join" -> st11Sql,
     "st10_timer_sessions" -> st10Sql,
     "st09_transform_with_state" -> st09Sql,

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.Encoders
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Input/output rows for the transformWithState probe (top-level case
   * classes so their Encoders serialize cleanly into the stream plan). */
@@ -106,6 +106,58 @@ class TimerSessionProcessor extends StatefulProcessor[Long, SessEvent, SessionOu
     }
     closed.iterator.map { i =>
       SessionOut(key, ts(i.head), ts(i.last + GapMicros), i.length.toLong)
+    }
+  }
+}
+
+/** Input/output rows for the MapState transition counter. */
+case class TsEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long, event_type: String)
+case class Transition(user_id: Long, prev_type: String, event_type: String, n: Long)
+
+/** Per-user event-type TRANSITION counts on the v2 API's MapState — the
+  * third typed state cell (st09 covers ValueState, the timer
+  * sessionizer ListState): a ValueState carries the user's last seen
+  * (ts, event_id, type) across batches; a MapState keyed by
+  * "prev->curr" accumulates the transition counts. Emissions (Update
+  * mode) re-publish the user's full current matrix each batch the user
+  * appears in; the final state is the last emission per key.
+  *
+  * Correct cross-batch ordering is the caller's contract: input rows
+  * are sorted (ts, event_id) WITHIN the batch here, and arrival files
+  * must be TIME-RANGE ordered (st10's staging) so concatenating
+  * batches preserves each user's global event order — then the counted
+  * transitions equal the batch LAG-over-(ts, event_id) pairs exactly.
+  */
+class TransitionProcessor extends StatefulProcessor[Long, TsEvent, Transition] {
+  @transient private var last: ValueState[(Long, Long, String)] = _
+  @transient private var counts: MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    last = getHandle.getValueState[(Long, Long, String)]("last",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.STRING),
+      TTLConfig.NONE)
+    counts = getHandle.getMapState[String, Long]("counts",
+      Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[TsEvent],
+      timerValues: TimerValues): Iterator[Transition] = {
+    val sorted = rows.toArray.sortBy(r =>
+      ((r.ts.getTime - r.ts.getNanos / 1000000) * 1000L + r.ts.getNanos / 1000, r.event_id))
+    var prev = if (last.exists()) Option(last.get()) else None
+    sorted.foreach { r =>
+      val us = (r.ts.getTime - r.ts.getNanos / 1000000) * 1000L + r.ts.getNanos / 1000
+      prev.foreach { case (_, _, pt) =>
+        val k = pt + "->" + r.event_type
+        val cur = if (counts.containsKey(k)) counts.getValue(k) else 0L
+        counts.updateValue(k, cur + 1L)
+      }
+      prev = Some((us, r.event_id, r.event_type))
+    }
+    prev.foreach(last.update)
+    counts.iterator().map { case (k, n) =>
+      val Array(p, c) = k.split("->", 2)
+      Transition(key, p, c, n)
     }
   }
 }

@@ -474,6 +474,23 @@ class Round7bOpsSpec extends SparkTestBase {
     }
   }
 
+  test("st12: MapState transitions equal the batch LAG walk") {
+    val got = graft.operators.StreamingQueries.st12TransitionCounts(spark, Sf0001).collect()
+    assert(got.nonEmpty)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val exp = Tables.events(spark, Sf0001)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("prev_type"), col("event_type"))
+      .collect()
+    assert(got.map(_.toString).toSeq === exp.map(_.toString).toSeq)
+    // the matrix is genuinely 2-dimensional (all 5x5 cells on this data)
+    assert(got.length === 25)
+  }
+
   test("m08: planted shot structure is recovered exactly") {
     for (sf <- Seq(Sf0001, Sf001)) {
       val rows = Multimodal.m08SceneCuts(spark, sf).collect()
