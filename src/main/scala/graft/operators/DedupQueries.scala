@@ -364,6 +364,7 @@ object DedupQueries {
         if (nCand == 0) -1L else math.floor(nCaptured.toDouble / nCand * 1e6).toLong,
         predicted)
     }
+    truth.unpersist(); sets.unpersist()
     import s.implicits._
     perConfig.toDF("bands", "rows_per_band", "n_candidates", "n_true",
         "n_captured", "recall_milli", "precision_micro", "predicted_at_05_micro")

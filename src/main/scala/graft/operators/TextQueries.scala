@@ -1463,12 +1463,14 @@ object TextQueries {
     val occ = Tables.spread(Tables.documents(s, dir))
       .select(col("doc_id"), col("source"),
         explode(expr(s"regexp_extract_all(text, '$TokenPattern', 0)")).as("tok"))
-    import org.apache.spark.sql.expressions.Window
+    // top-k via orderBy+limit: plans TakeOrderedAndProject (per-partition
+    // heaps, k rows cross partitions) — the oracle's ROW_NUMBER spelling
+    // selects the identical set under the same total order, but a global
+    // rank window would sort the whole vocabulary at 100 TB
     val vocab = occ.filter(col("doc_id") % 2 === 0)
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-      .withColumn("rnk", row_number().over(
-        Window.orderBy(col("cnt").desc, col("tok")))) // bounded: vocab-sized input
-      .filter(col("rnk") <= 1000)
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(1000)
       .select(col("tok"), lit(true).as("in_vocab"))
     occ.filter(col("doc_id") % 2 === 1)
       .join(broadcast(vocab), Seq("tok"), "left")
