@@ -491,6 +491,61 @@ class Round7bOpsSpec extends SparkTestBase {
     assert(got.length === 25)
   }
 
+  test("plan shapes: t23 vocab cut is a top-k heap; q100 has no Window; q98 adds no extra exchange") {
+    // t23: the vocabulary cut must plan TakeOrderedAndProject (per-
+    // partition heaps), not a global-sort rank window
+    val t23 = TextQueries.t23OovRate(spark, Sf0001)
+    t23.collect()
+    val t23Plan = t23.queryExecution.executedPlan.toString
+    assert(t23Plan.contains("TakeOrderedAndProject"), t23Plan.take(500))
+    // q100: the rolling-distinct rewrite replaces the unsupported
+    // COUNT(DISTINCT) OVER — no Window operator anywhere
+    val q100 = ExtendedQueries.q100RollingDistinct(spark, Sf0001)
+    q100.collect()
+    assert(!q100.queryExecution.executedPlan.toString.contains("Window"),
+      "q100 must not fall back to a window")
+    // q98: the two chained as-of merges cluster on the same key — the
+    // second AsOfJoinExec must not add an exchange over the first's
+    // output distribution (count exchanges between single- and
+    // double-join plans)
+    def nExchanges(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      "(?m)^\\s*[+:]?-? *Exchange".r
+        .findAllIn(df.queryExecution.executedPlan.toString).length
+    }
+    val both = ExtendedQueries.q98AsofDirections(spark, Sf0001)
+    val ev = Tables.events(spark, Sf0001)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"), col("value").as("p_value"))
+    val single = graft.plans.AsOfJoin.asofJoin(
+        clicks, purchases, "user_id", "ts", "p_user", "p_ts", "p_id", "p_value",
+        "fwd_value", direction = "forward")
+      .orderBy(col("user_id"), col("event_id"))
+    // the composed plan runs BOTH merges while paying at most one more
+    // exchange than the single-join plan (the second right side) — the
+    // left stream between the two merges re-exchanges nothing
+    // AQE's materialized stages collapse in toString, so count the exec
+    // nodes by walking the adaptive tree instead of grepping the string
+    both.collect()
+    def nAsof(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+      val self = p match {
+        case _: graft.plans.AsOfJoinExec => 1
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          nAsof(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          nAsof(q.plan)
+        case _ => 0
+      }
+      self + p.children.map(nAsof).sum
+    }
+    assert(nAsof(both.queryExecution.executedPlan) === 2)
+    assert(nExchanges(both) <= nExchanges(single) + 1,
+      s"${nExchanges(both)} vs ${nExchanges(single)}")
+  }
+
   test("m08: planted shot structure is recovered exactly") {
     for (sf <- Seq(Sf0001, Sf001)) {
       val rows = Multimodal.m08SceneCuts(spark, sf).collect()
