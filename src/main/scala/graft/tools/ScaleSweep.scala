@@ -146,7 +146,8 @@ object ScaleSweep {
       "q99_file_lineage" -> "_metadata file lineage (partitioned export + grouped scan)",
       "q100_rolling_distinct" -> "rolling 7-day distinct (pair dedup + bounded fan-out)",
       "t23_oov_rate" -> "OOV-rate audit (bounded vocab broadcast probe)",
-      "st12_transition_counts" -> "MapState transition matrix (4 time-ordered batches)")
+      "st12_transition_counts" -> "MapState transition matrix (4 time-ordered batches)",
+      "g15_mutual_knn_clusters" -> "mutual-kNN clustering (s24 graph + log-round CC)")
 
     // warm the JVM/codegen on the smallest sf so cold-start lands nowhere
     queries.foreach { case (q, _) =>

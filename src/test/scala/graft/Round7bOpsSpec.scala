@@ -546,6 +546,29 @@ class Round7bOpsSpec extends SparkTestBase {
       s"${nExchanges(both)} vs ${nExchanges(single)}")
   }
 
+  test("g15: mutual-kNN clusters conserve the corpus and strand the unreciprocated") {
+    val rows = GraphQueries.g15MutualKnnClusters(spark, Sf001).collect()
+    val n = Tables.embeddings(spark, Sf001).count()
+    // histogram conserves every vector
+    assert(rows.map(r => r.getAs[Long]("n_members") * r.getAs[Long]("n_clusters")).sum === n)
+    // singletons are exactly the vectors with no reciprocated kNN edge
+    val knn = SimilarityQueries.s24KnnGraph(spark, Sf001)
+      .select(col("src"), col("dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val reciprocated = knn.filter { case (a, b) => knn.contains((b, a)) }
+      .flatMap { case (a, b) => Seq(a, b) }
+    val expectedSingletons = n - reciprocated.size
+    val singletons = rows.find(_.getAs[Long]("n_members") === 1L)
+      .map(_.getAs[Long]("n_clusters")).getOrElse(0L)
+    assert(singletons === expectedSingletons)
+    // a giant component exists (the finding: label clusters are mutually
+    // connected at k = 4 on this embedding space)
+    assert(rows.map(_.getAs[Long]("n_members")).max > n / 2)
+    // determinism
+    val again = GraphQueries.g15MutualKnnClusters(spark, Sf001).collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
   test("m08: planted shot structure is recovered exactly") {
     for (sf <- Seq(Sf0001, Sf001)) {
       val rows = Multimodal.m08SceneCuts(spark, sf).collect()
