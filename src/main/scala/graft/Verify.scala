@@ -19,6 +19,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftSession.quietAuditedWarnings()
     // pin the sidecar-oracle tag to THIS run's sf dir before any oracle
     // text is built — dumped SQL must point at the sidecars this run writes
     Sidecars.oracleDir = sfDir

@@ -600,8 +600,11 @@ object StreamingQueries {
     * mode after st03's inner form: purchases with NO qualifying click
     * emit with a null click id, released from state only when the
     * watermark proves no match can still arrive. The published region
-    * is cut at max_ts - 4h (2h watermark delay + 1h join interval +
-    * 1h lag margin): below that horizon every unmatched purchase has
+    * is cut at max_ts - 6h (2h watermark delay + 1h join interval +
+    * 3h flush-lag margin — outer-side null flushes trail the watermark
+    * by up to a full trigger, and the margin also absorbs the min-over-
+    * both-sides watermark lag the cut below keys off): below that
+    * horizon every unmatched purchase has
     * PROVABLY been null-flushed, so matched and unmatched rows alike
     * hash against the batch LEFT JOIN restatement. Null ordering is
     * pinned NULLS FIRST on both sides (q78's cross-engine rule).

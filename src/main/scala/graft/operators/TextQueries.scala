@@ -1354,7 +1354,14 @@ object TextQueries {
     * int64 — no logarithms whose libm rounding could drift
     * cross-engine, no per-term quantization contract (t10's KL-family
     * scorer pays that cast; a distance used for threshold decisions
-    * shouldn't). The absent-token mass needs no |vocab|-wide join:
+    * shouldn't). Scale bound on that exactness (the g13 contract): the
+    * gap products cnt_st * n_corpus and n_s * (nc -
+    * present_corpus_mass) stay inside int64 while n_corpus *
+    * max(cnt_st) < 2^63 — i.e. up to roughly a 3e9-token corpus with a
+    * 3e9-count top token; past that, route the products and their SUM
+    * through DECIMAL(38,0) on BOTH engines (Spark wraps int64 silently
+    * where DuckDB raises, so the overflow would surface as divergence,
+    * not an error). The absent-token mass needs no |vocab|-wide join:
     * for t not in source s, |p_s - p_c| = p_c(t), and those terms fold
     * into n_s * (N - sum of cnt_t over PRESENT tokens) — one
     * aggregation over (source, token) pairs that exist, state bounded

@@ -58,9 +58,17 @@ case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
 class TimerSessionProcessor extends StatefulProcessor[Long, SessEvent, SessionOut] {
   private val GapMicros = 30L * 60 * 1000000L
   @transient private var buf: ListState[Long] = _
+  // currently armed expiry (ms): ONE live timer per key — re-arming at a
+  // later horizon deletes the superseded timer first, so a key touched in
+  // k batches fires once per closed island, not k times (each stale
+  // firing would re-read, sort, and re-partition the whole buffer just
+  // to usually re-arm)
+  @transient private var armed: ValueState[Long] = _
 
-  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     buf = getHandle.getListState[Long]("buf", Encoders.scalaLong, TTLConfig.NONE)
+    armed = getHandle.getValueState[Long]("armed", Encoders.scalaLong, TTLConfig.NONE)
+  }
 
   private def micros(t: java.sql.Timestamp): Long =
     (t.getTime - t.getNanos / 1000000) * 1000L + t.getNanos / 1000
@@ -71,8 +79,28 @@ class TimerSessionProcessor extends StatefulProcessor[Long, SessEvent, SessionOu
     t
   }
 
-  private def arm(lastMicros: Long): Unit =
-    getHandle.registerTimer((lastMicros + GapMicros) / 1000L + 1L)
+  private def arm(lastMicros: Long): Unit = {
+    val target = (lastMicros + GapMicros) / 1000L + 1L
+    if (!armed.exists()) {
+      getHandle.registerTimer(target)
+      armed.update(target)
+    } else if (target < armed.get()) {
+      // never hit under time-ordered staging (per-key horizons grow
+      // monotonically); kept so out-of-order arming can only move the
+      // timer EARLIER, which is always safe for the chain below
+      getHandle.deleteTimer(armed.get())
+      getHandle.registerTimer(target)
+      armed.update(target)
+    }
+    // else: an earlier timer is already armed. Its firing re-arms off
+    // the open tail (which includes the events that produced `target`),
+    // so every later horizon stays reachable through that chain — the
+    // NEXT timer is never armed past the final watermark while a closed
+    // island is still buffered. Registering the later horizon here too
+    // is exactly the superseded per-batch timer this bookkeeping
+    // removes: it would fire after the chain already emptied the
+    // buffer, re-reading and re-sorting the key's state for nothing.
+  }
 
   override def handleInputRows(key: Long, rows: Iterator[SessEvent],
       timerValues: TimerValues): Iterator[SessionOut] = {
@@ -88,6 +116,11 @@ class TimerSessionProcessor extends StatefulProcessor[Long, SessEvent, SessionOu
 
   override def handleExpiredTimer(key: Long, timerValues: TimerValues,
       expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionOut] = {
+    // the firing timer is consumed by the engine; drop the bookkeeping
+    // entry if it refers to exactly this expiry so a re-arm below won't
+    // try to delete an already-consumed timer
+    if (armed.exists() && armed.get() == expiredTimerInfo.getExpiryTimeInMs)
+      armed.clear()
     val events = buf.get().toArray.sorted
     if (events.isEmpty) return Iterator.empty
     val wmMicros = timerValues.getCurrentWatermarkInMs * 1000L
