@@ -3,7 +3,6 @@ package graft.operators
 import graft.Tables
 import org.apache.spark.ml.Pipeline
 import org.apache.spark.ml.classification.LogisticRegression
-import org.apache.spark.ml.evaluation.{BinaryClassificationEvaluator, MulticlassClassificationEvaluator}
 import org.apache.spark.ml.feature.{HashingTF, IDF, RegexTokenizer}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -29,10 +28,11 @@ object MlQueries {
     * the hashed counts on any corpus, not just an all-lowercase one.
     * Deterministic, so the run is reproducible and the spec can assert
     * holdout agreement. Features: RegexTokenizer -> HashingTF(2^10) ->
-    * IDF -> LogisticRegression. The rule is linear in the hashed counts,
-    * so a correctly-wired pipeline recovers it almost exactly on held-out
-    * docs — low agreement means broken feature plumbing, which is what
-    * the spec guards.
+    * IDF -> LogisticRegression ([[scoredHoldout]] holds the recipe; see
+    * its comments for the coalesce-before-fit and 8-LBFGS-step sizing).
+    * The rule is linear in the hashed counts, so a correctly-wired
+    * pipeline recovers it almost exactly on held-out docs — low agreement
+    * means broken feature plumbing, which is what the spec guards.
     *
     * Scale: tokenize/hash are per-row map work; IDF and LR aggregate with
     * tree-reduction (no corpus-sized shuffle). 2^10 features keeps the
@@ -40,68 +40,75 @@ object MlQueries {
     * and SCORE the full corpus with the fitted model — scoring is a pure
     * map stage.
     *
-    * Output: one row of run metrics (rows-only; model metrics are not
-    * SQL-expressible — see MlClassifierSpec for the threshold gate).
+    * Output (one row), hash-audited end to end via the t17/ml03 sidecar
+    * closure: the model fit is the non-SQL step, its scored holdout
+    * (doc_id, label, milli-probability) lands in this query's own
+    * sidecar, and BOTH engines restate the metrics from those integers —
+    * the 0.5-threshold confusion matrix (tp/fp/fn/tn), one-division
+    * acc_micro, and the tie-averaged Mann-Whitney AUC published as exact
+    * integer numerator/denominator (auc_num = S2 - n_pos*(n_pos+1),
+    * auc_den = 2*n_pos*n_neg, with S2 the doubled positive rank sum)
+    * plus its one-division auc_micro. The quantized-score AUC is the
+    * PUBLISHED contract; MlClassifierSpec separately gates the
+    * full-precision evaluator AUC/accuracy, so the distillation bar and
+    * the cross-engine audit don't share a rounding path.
     */
   def ml02QualityClassifier(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.spread(Tables.documents(s, dir))
-      .select(col("doc_id"), col("text"),
-        (size(expr("regexp_extract_all(lower(text), '\\\\bspark\\\\b', 0)")) >= 2)
-          .cast(DoubleType).as("label"))
-    val Array(train, test) = docs.randomSplit(Array(0.8, 0.2), seed = 42)
-    train.cache(); test.cache()
-    try {
-      val tok = new RegexTokenizer()
-        .setInputCol("text").setOutputCol("words")
-        .setPattern("[^a-z0-9]+") // split on non-alnum: Tables.canonText's tokenization
-      // 2^10 buckets: still collision-light headroom for the synthetic
-      // ~40-token vocabulary (a production corpus would use 2^18-2^20 —
-      // every LBFGS step treeAggregates a gradient vector of this size,
-      // so size it to the vocabulary, not to a default)
-      val tf = new HashingTF()
-        .setInputCol("words").setOutputCol("tf").setNumFeatures(1 << 10)
-      val idf = new IDF().setInputCol("tf").setOutputCol("features")
-      // 8 LBFGS steps at loose tol: each step is a full treeAggregate
-      // job, and the linear rule separates in ~7 (6 leaves the sf0.001
-      // holdout at 0.879 agreement, 8 clears the spec's 0.9 gate at both
-      // SFs) — trimming from 10 shaves two full-corpus jobs off the bench
-      val lr = new LogisticRegression()
-        .setMaxIter(8).setTol(1e-4).setRegParam(1e-4)
-      // Featurize spread (regex tokenization is the map-heavy part), but
-      // COALESCE the tiny label+vector frame before the iterative fit:
-      // every LBFGS step is a treeAggregate over this frame, and 32
-      // near-empty partitions made each of the ~10 fit jobs pay 32 task
-      // launches for microseconds of math (measured: ml02 wall-clock was
-      // flat from sf0.001 to sf0.1 — pure scheduler overhead). This IS
-      // the 100 TB shape: the classifier trains on a bounded sample, so
-      // the fit input is small by construction; only scoring scans the
-      // corpus, and that stays a spread map stage.
-      val featPipe = new Pipeline().setStages(Array(tok, tf, idf)).fit(train)
-      val lrModel = lr.fit(
-        featPipe.transform(train).select(col("label"), col("features")).coalesce(4))
-      val pred = lrModel.transform(
-        featPipe.transform(test).select(col("label"), col("features")).coalesce(4)).cache()
-      try {
-        val acc = new MulticlassClassificationEvaluator()
-          .setMetricName("accuracy").evaluate(pred)
-        val auc = new BinaryClassificationEvaluator()
-          .setMetricName("areaUnderROC").evaluate(pred)
-        val posRate = pred.agg(avg(col("label"))).head.getDouble(0)
-        val schema = StructType(Seq(
-          StructField("n_train", LongType, nullable = false),
-          StructField("n_test", LongType, nullable = false),
-          StructField("test_pos_rate", DoubleType, nullable = false),
-          StructField("accuracy", DoubleType, nullable = false),
-          StructField("auc", DoubleType, nullable = false)))
-        val row = org.apache.spark.sql.Row(
-          train.count(), test.count(),
-          math.floor(posRate * 10000.0 + 0.5) / 10000.0,
-          math.floor(acc * 10000.0 + 0.5) / 10000.0,
-          math.floor(auc * 10000.0 + 0.5) / 10000.0)
-        s.createDataFrame(s.sparkContext.parallelize(Seq(row)), schema)
-      } finally pred.unpersist()
-    } finally { train.unpersist(); test.unpersist() }
+    import org.apache.spark.sql.expressions.Window
+    val side = graft.Sidecars.write(scoredHoldout(s, dir), dir, "ml02_scores")
+    // Rank statistics over DISTINCT milli scores (<= 1001 rows — the
+    // unpartitioned window below is bounded-cardinality by construction,
+    // one of GraftSession.quietAuditedWarnings' sanctioned sites): for a
+    // score s with c_lt scores strictly below it and cnt tied at it,
+    // every positive at s contributes rank_min + rank_max = 2*c_lt +
+    // cnt + 1 to the doubled rank sum S2 — the tie-averaged Mann-Whitney
+    // rank sum without any half-integers.
+    val per = side.groupBy(col("p_milli"))
+      .agg(count(lit(1)).as("cnt"), sum(col("label")).as("pos"))
+    val w = Window.orderBy(col("p_milli"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = per
+      .withColumn("c_lt", sum(col("cnt")).over(w) - col("cnt"))
+    ranked
+      .agg(sum(col("cnt")).as("n"), sum(col("pos")).as("n_pos"),
+        sum(col("pos") * (lit(2L) * col("c_lt") + col("cnt") + lit(1L))).as("s2"),
+        sum(when(col("p_milli") >= 500L, col("cnt")).otherwise(0L)).as("n_pred_pos"),
+        sum(when(col("p_milli") >= 500L, col("pos")).otherwise(0L)).as("tp"))
+      .select(col("n"), col("n_pos"), (col("n") - col("n_pos")).as("n_neg"),
+        col("tp"), (col("n_pred_pos") - col("tp")).as("fp"),
+        (col("n_pos") - col("tp")).as("fn"),
+        (col("n") - col("n_pos") - (col("n_pred_pos") - col("tp"))).as("tn"),
+        floor((col("tp") + col("n") - col("n_pos") - (col("n_pred_pos") - col("tp")))
+          .cast(DoubleType) / col("n") * 1e6).cast(LongType).as("acc_micro"),
+        (col("s2") - col("n_pos") * (col("n_pos") + lit(1L))).as("auc_num"),
+        (lit(2L) * col("n_pos") * (col("n") - col("n_pos"))).as("auc_den"),
+        floor((col("s2") - col("n_pos") * (col("n_pos") + lit(1L))).cast(DoubleType)
+          / (lit(2L) * col("n_pos") * (col("n") - col("n_pos"))).cast(DoubleType)
+          * 1e6).cast(LongType).as("auc_micro"))
   }
+
+  private def ml02Sql: String =
+    s"""WITH side AS (SELECT * FROM '${graft.Sidecars.oraclePath("ml02_scores")}/*.parquet'),
+      |per AS (SELECT p_milli, COUNT(*) AS cnt, CAST(SUM(label) AS BIGINT) AS pos
+      |        FROM side GROUP BY 1),
+      |r AS (SELECT p_milli, cnt, pos,
+      |    CAST(SUM(cnt) OVER (ORDER BY p_milli
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - cnt AS c_lt
+      |  FROM per),
+      |a AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS n_pos,
+      |    CAST(SUM(pos * (2 * c_lt + cnt + 1)) AS BIGINT) AS s2,
+      |    CAST(SUM(CASE WHEN p_milli >= 500 THEN cnt ELSE 0 END) AS BIGINT) AS n_pred_pos,
+      |    CAST(SUM(CASE WHEN p_milli >= 500 THEN pos ELSE 0 END) AS BIGINT) AS tp
+      |  FROM r)
+      |SELECT n, n_pos, n - n_pos AS n_neg, tp,
+      |  n_pred_pos - tp AS fp, n_pos - tp AS fn,
+      |  n - n_pos - (n_pred_pos - tp) AS tn,
+      |  CAST(FLOOR(CAST(tp + n - n_pos - (n_pred_pos - tp) AS DOUBLE) / n * 1e6) AS BIGINT) AS acc_micro,
+      |  s2 - n_pos * (n_pos + 1) AS auc_num,
+      |  2 * n_pos * (n - n_pos) AS auc_den,
+      |  CAST(FLOOR(CAST(s2 - n_pos * (n_pos + 1) AS DOUBLE)
+      |    / CAST(2 * n_pos * (n - n_pos) AS DOUBLE) * 1e6) AS BIGINT) AS auc_micro
+      |FROM a""".stripMargin
 
   /** Calibration audit of the ml02 classifier — the reliability-diagram
     * measurement a pipeline runs before TRUSTING a model score as a
@@ -237,12 +244,13 @@ object MlQueries {
     "ml03_calibration_audit" -> (ml03CalibrationAudit _),
     "ml02_quality_classifier" -> (ml02QualityClassifier _))
 
-  /** ml01/ml02 are not SQL-expressible (iterative model fits — rows-only
-    * for the driver; MlClassifierSpec holds the metric thresholds).
-    * ml03's binning stage IS expressible over its scored-holdout sidecar.
-    * def, not val: the SQL embeds the Sidecars.oracleDir-keyed path
-    * Verify pins at runtime. */
+  /** Every ml row is oracle-checked: the iterative model fits are the
+    * non-SQL steps, and each query's scored-holdout sidecar makes its
+    * downstream metric arithmetic plain SQL (MlClassifierSpec still holds
+    * the full-precision metric thresholds). def, not val: the SQL embeds
+    * the Sidecars.oracleDir-keyed path Verify pins at runtime. */
   def oracle: Map[String, String] = Map(
     "ml04_pr_sweep" -> ml04Sql,
-    "ml03_calibration_audit" -> ml03Sql)
+    "ml03_calibration_audit" -> ml03Sql,
+    "ml02_quality_classifier" -> ml02Sql)
 }

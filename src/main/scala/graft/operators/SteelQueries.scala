@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.etl.{SteelEda, SteelSchema}
-import graft.ml.{Evaluate, FeaturePipeline, Regressors}
+import graft.ml.{FeaturePipeline, Regressors}
 import graft.sql.SteelSql
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -110,24 +110,90 @@ object SteelQueries {
 
   /** The ML path end-to-end, kept cheap for per-round verification: fit the
     * reference's 6-stage pipeline with LinearRegression on the seed-64
-    * 75/25 split and emit the 5-metric comparison row (py:237 ->
-    * R2 ~ 0.978). The full 8-family sweep + tuning runs in
-    * [[graft.ml.ReferenceRun]] and the ScalaTest suite. No oracle — not
-    * SQL-expressible; thresholds asserted in MlPipelineSpec.
+    * 75/25 split (py:237 -> R2 ~ 0.978) and publish the 5-metric bundle
+    * (py:213-227) in hash-auditable form. The model fit is the one
+    * non-SQL step, so the t17/ml03 sidecar closure applies: the held-out
+    * (label, prediction) pairs land in a parquet sidecar, milli-quantized
+    * to int64 (floor(x*1000 + 0.5) — the repo's float-rounding contract),
+    * and the DuckDB oracle recomputes EVERY published number from those
+    * exact integers — the metric arithmetic of py:213-227 restated as
+    * plain aggregates.
+    *
+    * Published columns: the exact integer ingredients (n, sums, sum of
+    * squares, SSE, SAE), the one-division derived metrics mse_micro =
+    * FLOOR(sse_milli2/n) (= MSE in 1e-6 kWh^2 units) and mae_micro =
+    * FLOOR(sae_milli/n * 1e3) (= MAE in 1e-6 kWh), and — because
+    * n*sse_milli2 and the variance numerators exceed 2^53, where a
+    * cast-to-double division would stop being exactly representable —
+    * R^2 and explained variance as RAW exact int64 numerator/denominator
+    * pairs (g13's publish-the-rationals rule): r2 = 1 - r2_num/r2_den,
+    * explained_var = evar_num/n^2 (population variance of predictions,
+    * in milli^2). RMSE is irrational (sqrt) and stays spec-side:
+    * MlParitySpec asserts the full-precision notebook metrics to 6
+    * decimals; this row pins the same arithmetic bit-exactly
+    * cross-engine. The full 8-family sweep + tuning runs in
+    * [[graft.ml.ReferenceRun]] and the ScalaTest suite.
     */
   def ml01LrMetrics(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
     val data = SteelSchema.renamed(loaded(s))
     val Array(train, test) = data.randomSplit(Array(0.75, 0.25), seed = 64)
     // cache the splits: each of the 6 pipeline stages' fit/transform jobs
     // otherwise re-reads and re-splits the CSV. The split itself runs on
     // the uncached frame, so the seed-64 row assignment is untouched.
     train.cache(); test.cache()
-    try {
-      val model = FeaturePipeline.pipeline(Regressors.linearRegression()).fit(train)
-      val m = Evaluate.metrics(model.transform(test))
-      Evaluate.comparisonDf(s, Seq("LinearRegression" -> m))
-    } finally { train.unpersist(); test.unpersist() }
+    val scored =
+      try {
+        val model = FeaturePipeline.pipeline(Regressors.linearRegression()).fit(train)
+        model.transform(test)
+          .select(col("date"),
+            floor(col(FeaturePipeline.LabelCol).cast(DoubleType) * 1000d + 0.5d)
+              .cast(LongType).as("label_milli"),
+            floor(col("prediction") * 1000d + 0.5d)
+              .cast(LongType).as("pred_milli"))
+          // eager checkpoint: score while the splits are still cached
+          .localCheckpoint()
+      } finally { train.unpersist(); test.unpersist() }
+    val side = graft.Sidecars.write(scored, dir, "ml01_scores")
+    side
+      .agg(count(lit(1)).as("n"),
+        sum(col("label_milli")).as("sum_label_milli"),
+        sum(col("pred_milli")).as("sum_pred_milli"),
+        sum((col("label_milli") - col("pred_milli"))
+          * (col("label_milli") - col("pred_milli"))).as("sse_milli2"),
+        sum(abs(col("label_milli") - col("pred_milli"))).as("sae_milli"),
+        sum(col("label_milli") * col("label_milli")).as("sum_l2"),
+        sum(col("pred_milli") * col("pred_milli")).as("sum_p2"))
+      .select(col("n"), col("sum_label_milli"), col("sum_pred_milli"),
+        col("sse_milli2"), col("sae_milli"),
+        floor(col("sse_milli2").cast(DoubleType) / col("n")).cast(LongType)
+          .as("mse_micro"),
+        floor(col("sae_milli").cast(DoubleType) / col("n") * 1e3).cast(LongType)
+          .as("mae_micro"),
+        (col("n") * col("sse_milli2")).as("r2_num"),
+        (col("n") * col("sum_l2") - col("sum_label_milli") * col("sum_label_milli"))
+          .as("r2_den"),
+        (col("n") * col("sum_p2") - col("sum_pred_milli") * col("sum_pred_milli"))
+          .as("evar_num"))
   }
+
+  private def ml01Sql: String =
+    s"""WITH side AS (SELECT * FROM '${graft.Sidecars.oraclePath("ml01_scores")}/*.parquet'),
+       |a AS (SELECT COUNT(*) AS n,
+       |  CAST(SUM(label_milli) AS BIGINT) AS sum_label_milli,
+       |  CAST(SUM(pred_milli) AS BIGINT) AS sum_pred_milli,
+       |  CAST(SUM((label_milli - pred_milli) * (label_milli - pred_milli)) AS BIGINT) AS sse_milli2,
+       |  CAST(SUM(ABS(label_milli - pred_milli)) AS BIGINT) AS sae_milli,
+       |  CAST(SUM(label_milli * label_milli) AS BIGINT) AS sum_l2,
+       |  CAST(SUM(pred_milli * pred_milli) AS BIGINT) AS sum_p2
+       | FROM side)
+       |SELECT n, sum_label_milli, sum_pred_milli, sse_milli2, sae_milli,
+       |  CAST(FLOOR(CAST(sse_milli2 AS DOUBLE) / n) AS BIGINT) AS mse_micro,
+       |  CAST(FLOOR(CAST(sae_milli AS DOUBLE) / n * 1e3) AS BIGINT) AS mae_micro,
+       |  n * sse_milli2 AS r2_num,
+       |  n * sum_l2 - sum_label_milli * sum_label_milli AS r2_den,
+       |  n * sum_p2 - sum_pred_milli * sum_pred_milli AS evar_num
+       |FROM a""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "steel01_count_by_load_type" -> (steel01CountByLoadType _),
@@ -138,7 +204,10 @@ object SteelQueries {
     "steel06_monthly_profile" -> (steel06MonthlyProfile _),
     "ml01_lr_metrics" -> (ml01LrMetrics _))
 
-  val oracle: Map[String, String] = Map(
+  /** def, not val: ml01's SQL embeds the Sidecars.oracleDir-keyed path
+    * Verify pins at runtime. */
+  def oracle: Map[String, String] = Map(
+    "ml01_lr_metrics" -> ml01Sql,
     "steel01_count_by_load_type" -> steel01Sql,
     "steel02_avg_usage_by_day" -> steel02Sql,
     "steel03_corr" -> steel03Sql,

@@ -13,17 +13,57 @@ class MlClassifierSpec extends SparkTestBase {
 
   test("distilled quality classifier recovers the weak-label rule on holdout (ml02)") {
     val r = MlQueries.ml02QualityClassifier(spark, Sf001).collect()(0)
-    val (nTrain, nTest) = (r.getLong(0), r.getLong(1))
-    val (posRate, acc, auc) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
-    assert(nTrain + nTest === 500)
-    assert(nTest > 50, "80/20 split produced an implausibly small holdout")
+    val (n, nPos, nNeg) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val (tp, fp, fn, tn) = (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+    val (accMicro, aucNum, aucDen, aucMicro) =
+      (r.getLong(7), r.getLong(8), r.getLong(9), r.getLong(10))
+    assert(n > 50, "80/20 split produced an implausibly small holdout")
+    // the published counts must be a consistent partition of the holdout
+    assert(nPos + nNeg === n)
+    assert(tp + fp + fn + tn === n)
     // both classes must be present in the holdout (rule chosen ~balanced)
-    assert(posRate > 0.2 && posRate < 0.8)
+    assert(nPos * 5 > n && nPos * 5 < n * 4, s"pos rate $nPos/$n outside (0.2, 0.8)")
     // the linear rule must be recovered nearly exactly; 0.9 accuracy /
     // 0.95 AUC leave room for hash-collision noise while still failing on
     // any real plumbing bug (majority-class baseline is ~0.55)
-    assert(acc >= 0.9, s"holdout agreement $acc below distillation bar")
-    assert(auc >= 0.95, s"AUC $auc below distillation bar")
+    assert(accMicro >= 900000L, s"holdout agreement ${accMicro / 1e6} below distillation bar")
+    assert(aucMicro >= 950000L, s"AUC ${aucMicro / 1e6} below distillation bar")
+    // the published one-division metrics must agree with their own
+    // integer ingredients (an independent replay of the arithmetic)
+    assert(accMicro === math.floor((tp + tn).toDouble / n * 1e6).toLong)
+    assert(aucMicro === math.floor(aucNum.toDouble / aucDen.toDouble * 1e6).toLong)
+    assert(aucDen === 2L * nPos * nNeg)
+    // the sidecar the oracle reads must exist and cover the holdout
+    val side = spark.read.parquet(graft.Sidecars.path(Sf001, "ml02_scores"))
+    assert(side.count() === n)
+  }
+
+  test("ml01 exact-integer metric bundle replays against its own sidecar") {
+    import org.apache.spark.sql.functions._
+    val r = graft.operators.SteelQueries.ml01LrMetrics(spark, Sf001).collect()(0)
+    val n = r.getLong(0)
+    val (sse, sae) = (r.getLong(3), r.getLong(4))
+    val (mseMicro, maeMicro) = (r.getLong(5), r.getLong(6))
+    val (r2Num, r2Den, evarNum) = (r.getLong(7), r.getLong(8), r.getLong(9))
+    // seed-64 75/25 split of the 35040-row CSV (M17's exact reproduction)
+    assert(n === 8793L)
+    // derived metrics replay from the integer ingredients
+    assert(mseMicro === math.floor(sse.toDouble / n).toLong)
+    assert(maeMicro === math.floor(sae.toDouble / n * 1e3).toLong)
+    assert(r2Num === n * sse)
+    // the rational R^2 must match the notebook-parity value (py:237,
+    // R2 ~ 0.9786 on this split) within the milli-quantization noise
+    val r2 = 1.0 - r2Num.toDouble / r2Den.toDouble
+    assert(r2 > 0.97 && r2 < 0.99, s"R2 $r2 drifted from the reference value")
+    assert(evarNum > 0)
+    // independent replay: recompute SSE/SAE straight off the sidecar
+    val side = spark.read.parquet(graft.Sidecars.path(Sf001, "ml01_scores"))
+    val agg = side.agg(
+      sum((col("label_milli") - col("pred_milli"))
+        * (col("label_milli") - col("pred_milli"))).as("sse"),
+      sum(abs(col("label_milli") - col("pred_milli"))).as("sae")).collect()(0)
+    assert(agg.getLong(0) === sse)
+    assert(agg.getLong(1) === sae)
   }
 
   test("calibration audit bins are complete and resolve the separated classes (ml03)") {
