@@ -1895,7 +1895,97 @@ object PipelineQueries {
       |  (CAST(SUM(bytes) AS BIGINT) * 1000) // 20000 AS fill_milli
       |FROM planned GROUP BY 1, 2 ORDER BY source, grp""".stripMargin
 
+  // ---------------------------------------------------------------- p29
+  /** SQL `MERGE INTO` upsert — the lakehouse maintenance statement
+    * itself, not a restatement: where p16 spells merge semantics as a
+    * full-outer join and p20/p18 maintain SCD2/IVM state, p29 runs the
+    * incremental corpus upsert through Catalyst's actual MERGE rewrite
+    * against a V2 table ([[graft.sources.GraftLakeCatalog]], a
+    * SupportsRowLevelOperations catalog with group-based copy-on-write).
+    * All four action kinds in one statement:
+    *
+    *   WHEN MATCHED AND op='D'      THEN DELETE        (takedowns)
+    *   WHEN MATCHED                 THEN UPDATE        (re-crawled docs)
+    *   WHEN NOT MATCHED AND op<>'D' THEN INSERT        (new docs)
+    *   WHEN NOT MATCHED BY SOURCE   THEN UPDATE        (stale marking)
+    *
+    * The changeset is derived deterministically from the corpus so the
+    * oracle can re-derive it (p16's device): target = docs with
+    * id % 10 <> 3 at ver 1; source = new docs (id % 10 = 3, op I),
+    * takedowns (id % 7 = 0, op D), re-crawls (id % 5 = 0, op U, length
+    * bumped by 1000 so the update is visible in the published state).
+    * Published result: the ENTIRE post-merge table ordered by key, so
+    * the oracle audits every carried-over, updated, inserted, deleted
+    * and stale-marked row — DuckDB restates the statement as the
+    * left-join + anti-join union (the engine-neutral relational core of
+    * MERGE), which is exactly the cross-engine check the statement
+    * needs: Spark's rewrite vs an independent relational spelling.
+    *
+    * Scale shape: Catalyst rewrites the statement into ONE outer join
+    * between the table scan and the changeset plus a replacement write —
+    * the same single-shuffle shape as p16, chosen by the engine rather
+    * than hand-assembled. With a partition-grouped production catalog
+    * (Delta/Iceberg), the same plan touches only affected partitions;
+    * the whole-table group here is the local-store simplification, not a
+    * property of the statement (see LakeCatalog.scala's scaling note).
+    */
+  def p29MergeInto(s: SparkSession, dir: String): DataFrame = {
+    if (!s.conf.getOption("spark.sql.catalog.graft_lake").contains(
+        classOf[graft.sources.GraftLakeCatalog].getName))
+      s.conf.set("spark.sql.catalog.graft_lake",
+        classOf[graft.sources.GraftLakeCatalog].getName)
+    s.sql("DROP TABLE IF EXISTS graft_lake.corpus")
+    s.sql("""CREATE TABLE graft_lake.corpus
+            |(doc_id BIGINT, source STRING, len BIGINT, ver BIGINT, stale BIGINT)""".stripMargin)
+    val docs = Tables.spread(Tables.documents(s, dir))
+      .select(col("doc_id"), col("source"), length(col("text")).cast(LongType).as("len"))
+    docs.filter(col("doc_id") % 10 =!= 3)
+      .select(col("doc_id"), col("source"), col("len"),
+        lit(1L).as("ver"), lit(0L).as("stale"))
+      .writeTo("graft_lake.corpus").append()
+    docs.filter(col("doc_id") % 10 === 3 || col("doc_id") % 7 === 0 || col("doc_id") % 5 === 0)
+      .withColumn("op",
+        when(col("doc_id") % 7 === 0, "D")
+          .when(col("doc_id") % 10 === 3, "I")
+          .otherwise("U"))
+      .createOrReplaceTempView("p29_updates")
+    s.sql("""MERGE INTO graft_lake.corpus t
+            |USING p29_updates s
+            |ON t.doc_id = s.doc_id
+            |WHEN MATCHED AND s.op = 'D' THEN DELETE
+            |WHEN MATCHED THEN UPDATE SET len = s.len + 1000, ver = 2, stale = 0
+            |WHEN NOT MATCHED AND s.op <> 'D' THEN
+            |  INSERT (doc_id, source, len, ver, stale) VALUES (s.doc_id, s.source, s.len, 2, 0)
+            |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET stale = 1""".stripMargin)
+    s.table("graft_lake.corpus").orderBy(col("doc_id"))
+  }
+
+  val p29Sql: String =
+    """WITH d AS (SELECT doc_id, source, CAST(LENGTH(text) AS BIGINT) AS len FROM documents),
+      |tgt AS (SELECT doc_id, source, len, CAST(1 AS BIGINT) AS ver FROM d WHERE doc_id % 10 <> 3),
+      |src AS (
+      |  SELECT doc_id, source, len,
+      |    CASE WHEN doc_id % 7 = 0 THEN 'D'
+      |         WHEN doc_id % 10 = 3 THEN 'I'
+      |         ELSE 'U' END AS op
+      |  FROM d WHERE doc_id % 10 = 3 OR doc_id % 7 = 0 OR doc_id % 5 = 0),
+      |kept AS (
+      |  SELECT t.doc_id, t.source,
+      |    CASE WHEN s.doc_id IS NOT NULL THEN s.len + 1000 ELSE t.len END AS len,
+      |    CASE WHEN s.doc_id IS NOT NULL THEN CAST(2 AS BIGINT) ELSE t.ver END AS ver,
+      |    CASE WHEN s.doc_id IS NULL THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS stale
+      |  FROM tgt t LEFT JOIN src s USING (doc_id)
+      |  WHERE s.doc_id IS NULL OR s.op <> 'D'),
+      |ins AS (
+      |  SELECT s.doc_id, s.source, s.len, CAST(2 AS BIGINT) AS ver, CAST(0 AS BIGINT) AS stale
+      |  FROM src s LEFT JOIN tgt t USING (doc_id)
+      |  WHERE t.doc_id IS NULL AND s.op <> 'D')
+      |SELECT doc_id, source, len, ver, stale
+      |FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p29_merge_into" -> (p29MergeInto _),
     "p28_compaction_plan" -> (p28CompactionPlan _),
     "p27_skew_audit" -> (p27SkewAudit _),
     "p26_temperature_mixture" -> (p26TemperatureMixture _),
@@ -1927,6 +2017,7 @@ object PipelineQueries {
   // def, not val: p19Sql embeds Sidecars.oracleDir-keyed paths, which
   // Verify pins at runtime before dumping oracle_sql.json
   def oracle: Map[String, String] = Map(
+    "p29_merge_into" -> p29Sql,
     "p28_compaction_plan" -> p28Sql,
     "p27_skew_audit" -> p27Sql,
     "p26_temperature_mixture" -> p26Sql,

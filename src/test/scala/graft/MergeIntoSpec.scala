@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** The SQL MERGE INTO surface (p29 + graft.sources.GraftLakeCatalog):
+  * the catalog's read/write round-trip, each MERGE action kind, and the
+  * independent relational replay of the full statement.
+  */
+class MergeIntoSpec extends SparkTestBase {
+
+  private def registerCatalog(): Unit =
+    if (!spark.conf.getOption("spark.sql.catalog.graft_lake").contains(
+        classOf[graft.sources.GraftLakeCatalog].getName))
+      spark.conf.set("spark.sql.catalog.graft_lake",
+        classOf[graft.sources.GraftLakeCatalog].getName)
+
+  test("lake catalog round-trips create + append + scan") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_lake.rt")
+    spark.sql("CREATE TABLE graft_lake.rt (id BIGINT, name STRING, score DOUBLE)")
+    import spark.implicits._
+    Seq((1L, "a", 1.5), (2L, "b", -2.0), (3L, null.asInstanceOf[String], 0.0))
+      .toDF("id", "name", "score")
+      .writeTo("graft_lake.rt").append()
+    val got = spark.table("graft_lake.rt").orderBy("id").collect()
+    assert(got.toSeq === Seq(Row(1L, "a", 1.5), Row(2L, "b", -2.0), Row(3L, null, 0.0)))
+  }
+
+  test("MERGE INTO applies all four action kinds") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_lake.m4")
+    spark.sql("CREATE TABLE graft_lake.m4 (id BIGINT, v BIGINT, stale BIGINT)")
+    import spark.implicits._
+    // target: 1 (to delete), 2 (to update), 3 (untouched -> stale)
+    Seq((1L, 10L, 0L), (2L, 20L, 0L), (3L, 30L, 0L)).toDF("id", "v", "stale")
+      .writeTo("graft_lake.m4").append()
+    // source: delete 1, update 2, insert 4, and a D for absent 5 (no-op)
+    Seq((1L, 0L, "D"), (2L, 21L, "U"), (4L, 40L, "I"), (5L, 0L, "D"))
+      .toDF("id", "v", "op").createOrReplaceTempView("m4_src")
+    spark.sql("""MERGE INTO graft_lake.m4 t USING m4_src s ON t.id = s.id
+                |WHEN MATCHED AND s.op = 'D' THEN DELETE
+                |WHEN MATCHED THEN UPDATE SET v = s.v, stale = 0
+                |WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT (id, v, stale) VALUES (s.id, s.v, 0)
+                |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET stale = 1""".stripMargin)
+    val got = spark.table("graft_lake.m4").orderBy("id").collect()
+    assert(got.toSeq === Seq(
+      Row(2L, 21L, 0L), // matched-update
+      Row(3L, 30L, 1L), // not-matched-by-source -> stale
+      Row(4L, 40L, 0L)  // not-matched-insert; id 1 deleted, id 5 skipped
+    ))
+  }
+
+  test("p29 post-merge state equals the independent relational replay") {
+    val got = operators.PipelineQueries.p29MergeInto(spark, Sf0001)
+    // replay with plain DataFrame ops (the p16-style spelling)
+    val docs = Tables.spread(Tables.documents(spark, Sf0001))
+      .select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("len"))
+    val tgt = docs.filter(col("doc_id") % 10 =!= 3)
+      .withColumn("ver", lit(1L)).withColumn("stale", lit(0L))
+    val src = docs
+      .filter(col("doc_id") % 10 === 3 || col("doc_id") % 7 === 0 || col("doc_id") % 5 === 0)
+      .withColumn("op",
+        when(col("doc_id") % 7 === 0, "D")
+          .when(col("doc_id") % 10 === 3, "I").otherwise("U"))
+    val kept = tgt.as("t")
+      .join(src.as("s"), Seq("doc_id"), "left")
+      .filter(col("s.op").isNull || col("s.op") =!= "D")
+      .select(col("doc_id"), col("t.source").as("source"),
+        when(col("s.op").isNotNull, col("s.len") + 1000L).otherwise(col("t.len")).as("len"),
+        when(col("s.op").isNotNull, 2L).otherwise(col("t.ver")).as("ver"),
+        when(col("s.op").isNull, 1L).otherwise(0L).as("stale"))
+    val ins = src.as("s")
+      .join(tgt.as("t"), Seq("doc_id"), "left_anti")
+      .filter(col("op") =!= "D")
+      .select(col("doc_id"), col("source"), col("len"), lit(2L).as("ver"), lit(0L).as("stale"))
+    val want = kept.unionByName(ins)
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+    // every action kind must actually fire on this data
+    val byVer = got.groupBy(col("ver"), col("stale")).count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(byVer.keySet === Set((1L, 1L), (2L, 0L)))
+    // and deletions shrank the key space: no % 7 == 0 doc that was in
+    // the target survives
+    assert(got.filter(col("doc_id") % 7 === 0 && col("doc_id") % 10 =!= 3).count() === 0)
+  }
+
+  test("the MERGE plans through Catalyst's row-level rewrite (MergeRows + ReplaceData)") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_lake.px")
+    spark.sql("CREATE TABLE graft_lake.px (id BIGINT, v BIGINT)")
+    import spark.implicits._
+    Seq((1L, 1L)).toDF("id", "v").createOrReplaceTempView("px_src")
+    val plan = spark.sql(
+      """EXPLAIN EXTENDED MERGE INTO graft_lake.px t USING px_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
+      .collect()(0).getString(0)
+    assert(plan.contains("MergeRows"), s"no MergeRows node in:\n$plan")
+    assert(plan.contains("ReplaceData"), s"no ReplaceData node in:\n$plan")
+  }
+}
