@@ -1984,7 +1984,102 @@ object PipelineQueries {
       |FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins)
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- p30
+  /** Audit-consumer GATE — the p-series capstone that closes the
+    * measure-then-act loop: p27 measures the join-key skew profile and
+    * derives the salt factor a q32-style treatment would need; this
+    * operator CONSUMES that audit and APPLIES the decision in the same
+    * plan, with no human (and no driver round-trip) in between. The
+    * audit arithmetic is recomputed inline (p27's exact integer
+    * histogram-p95 and ceil-div factor — shared spelling, so the
+    * decision cannot drift from what p27 publishes), the decided factor
+    * is joined in as a broadcast scalar, and the orders-customer join
+    * runs SALTED BY THAT FACTOR: the build side replicates
+    * `sequence(0, salt_factor - 1)` ways — the replication count comes
+    * from the DATA at runtime, not from a hand-tuned constant — while
+    * the probe side scatters with pmod(xxhash64(o_orderkey),
+    * salt_factor). Published rows carry the applied decision
+    * (salt_factor, p95_cnt, max_cnt, n_keys) alongside the join's
+    * per-segment aggregate, and the oracle computes the PLAIN join with
+    * the same audit columns — the cross-engine check is precisely
+    * "salting with the gate's factor changed nothing but the
+    * distribution".
+    *
+    * Honesty note: this testdata's o_custkey distribution is
+    * near-uniform (max/p95 ~ 1.7 at sf0.01), so the gate decides a mild
+    * factor of 2 and the measured before/after at sf0.1 is parity
+    * (BENCH_NOTES.md) — the expected outcome on unskewed data. The
+    * operator's value is the wiring: at the 100 TB tail, where one hot
+    * key exceeds a task, the same plan re-derives the factor from the
+    * actual distribution and levels the hot partition without a config
+    * change.
+    *
+    * Plan shape at 100 TB: p27's bounded audit (per-key counts with
+    * map-side combine, a count-VALUE histogram window, two broadcast
+    * scalars) + one shuffle join whose build side grows by the small
+    * decided factor. Nothing rescans orders twice.
+    */
+  def p30SaltGate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val orders = Tables.orders(s, dir)
+    val perKey = orders
+      .groupBy(col("o_custkey").cast("long").as("custkey"))
+      .agg(count(lit(1)).as("cnt"))
+    val hist = perKey.groupBy(col("cnt")).agg(count(lit(1)).as("freq"))
+    // bounded-cardinality window over distinct count VALUES (p27/t20)
+    val wcum = Window.orderBy(col("cnt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("freq")).over(wcum))
+    val tot = perKey.agg(count(lit(1)).as("n_keys"), max(col("cnt")).as("max_cnt"))
+    val p95 = cum.crossJoin(broadcast(tot))
+      .filter(col("cum") * 20 >= col("n_keys") * 19)
+      .agg(min(col("cnt")).as("p95_cnt"))
+    val thr = tot.crossJoin(broadcast(p95))
+      .withColumn("salt_factor", expr("(max_cnt + p95_cnt - 1) div p95_cnt"))
+    val o = orders.crossJoin(broadcast(thr))
+      .withColumn("salt", pmod(xxhash64(col("o_orderkey")), col("salt_factor")))
+    val c = Tables.customer(s, dir)
+      .crossJoin(broadcast(thr.select(col("salt_factor").as("sf_build"))))
+      .withColumn("salt", explode(expr("sequence(0L, sf_build - 1L)")))
+      .select(col("c_custkey"), col("c_mktsegment"), col("salt"))
+    o.join(c, o("o_custkey") === c("c_custkey") && o("salt") === c("salt"))
+      .groupBy(col("c_mktsegment"), col("salt_factor"), col("p95_cnt"),
+        col("max_cnt"), col("n_keys"))
+      .agg(count(lit(1)).as("n_orders"),
+        Tables.dsum(col("o_totalprice"), 30, 2).as("total_price"))
+      .select(col("c_mktsegment"), col("n_orders"), col("total_price"),
+        col("salt_factor"), col("p95_cnt"), col("max_cnt"), col("n_keys"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** The PLAIN join with the same audit columns: the gate's salting must
+    * be result-invariant. */
+  val p30Sql: String =
+    """WITH per_key AS (
+      |  SELECT CAST(o_custkey AS BIGINT) AS custkey, COUNT(*) AS cnt
+      |  FROM orders GROUP BY 1),
+      |tot AS (SELECT COUNT(*) AS n_keys, MAX(cnt) AS max_cnt FROM per_key),
+      |hist AS (SELECT cnt, COUNT(*) AS freq FROM per_key GROUP BY cnt),
+      |cum AS (
+      |  SELECT cnt, CAST(SUM(freq) OVER (ORDER BY cnt
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM hist),
+      |p95 AS (
+      |  SELECT MIN(cnt) AS p95_cnt FROM cum CROSS JOIN tot
+      |  WHERE cum * 20 >= n_keys * 19),
+      |thr AS (
+      |  SELECT n_keys, max_cnt, p95_cnt,
+      |    (max_cnt + p95_cnt - 1) // p95_cnt AS salt_factor
+      |  FROM tot CROSS JOIN p95)
+      |SELECT c_mktsegment, COUNT(*) AS n_orders,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS VARCHAR) AS DOUBLE) AS total_price,
+      |  salt_factor, p95_cnt, max_cnt, n_keys
+      |FROM orders JOIN customer ON o_custkey = c_custkey CROSS JOIN thr
+      |GROUP BY c_mktsegment, salt_factor, p95_cnt, max_cnt, n_keys
+      |ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p30_salt_gate" -> (p30SaltGate _),
     "p29_merge_into" -> (p29MergeInto _),
     "p28_compaction_plan" -> (p28CompactionPlan _),
     "p27_skew_audit" -> (p27SkewAudit _),
@@ -2017,6 +2112,7 @@ object PipelineQueries {
   // def, not val: p19Sql embeds Sidecars.oracleDir-keyed paths, which
   // Verify pins at runtime before dumping oracle_sql.json
   def oracle: Map[String, String] = Map(
+    "p30_salt_gate" -> p30Sql,
     "p29_merge_into" -> p29Sql,
     "p28_compaction_plan" -> p28Sql,
     "p27_skew_audit" -> p27Sql,
