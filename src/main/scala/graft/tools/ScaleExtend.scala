@@ -43,7 +43,7 @@ object ScaleExtend {
     * regenerates the testdata, the stale 2x/5x replicas are rebuilt
     * instead of silently timing old data. */
   private def srcFingerprint(srcDir: String): String =
-    Seq("orders", "lineitem", "documents", "events").map { t =>
+    Seq("orders", "lineitem", "documents", "events", "embeddings").map { t =>
       val fs = new java.io.File(s"$srcDir/$t.parquet")
       val files = Option(fs.listFiles()).map(_.toSeq).getOrElse(Seq(fs))
       s"$t:${files.map(f => f.length() + f.lastModified()).sum}"
@@ -75,6 +75,27 @@ object ScaleExtend {
           .otherwise(concat(col("text"), lit(" rep"), col("rep"))))
       .drop("rep")
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    // Embeddings replicas must stay DISJOINT in vector space (identical
+    // copies would collapse into shared IVF cells and turn the cell-scoped
+    // kNN into a K^2 workload that real 2x data doesn't have). Each
+    // replica: vec_id offset, label offset (the codebook is per-label, so
+    // the cell count grows with the data — the production nlist-scales-
+    // with-N contract), and a CYCLIC DIMENSION SHIFT of the vector (a
+    // permutation: intra-replica cosines are preserved EXACTLY, while
+    // shifted copies of these clustered vectors decorrelate cross-replica
+    // — so each replica is the sf0.1 workload in its own subspace).
+    cross(Tables.embeddings(spark, srcDir)
+      .select(col("vec_id"), col("embedding"), col("label")))
+      .withColumn("vec_id", col("vec_id") + col("rep") * KeyStride)
+      .withColumn("label", (col("label") + col("rep") * lit(1000)).cast("int"))
+      .withColumn("embedding", expr(
+        """CASE WHEN rep = 0 THEN embedding ELSE
+          |  concat(slice(embedding, CAST(pmod(rep * 7, 64) AS INT) + 1,
+          |                64 - CAST(pmod(rep * 7, 64) AS INT)),
+          |         slice(embedding, 1, CAST(pmod(rep * 7, 64) AS INT)))
+          |END""".stripMargin))
+      .drop("rep")
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     java.nio.file.Files.writeString(done.toPath, fp)
     ()
   }
@@ -98,7 +119,12 @@ object ScaleExtend {
       // subgraph copies (EntityStride), so linear-in-edges is the bar
       "g01_pagerank" -> "5-round degree-segmented propagation",
       "g04_triangle_counts" -> "degree-ordered wedge joins",
-      "g09_harmonic_centrality" -> "8-landmark 4-round BFS")
+      "g09_harmonic_centrality" -> "8-landmark 4-round BFS",
+      // round-8 additions: the steepest new rows/compositions from r7
+      "p19_multimodal_curation" -> "4-modality dedup composition + CC",
+      "d16_incremental_neardup" -> "probe vs persisted LSH index",
+      "d17_band_planning" -> "3 banding configs + exact truth join",
+      "g15_mutual_knn_clusters" -> "mutual filter + star CC over s24 kNN")
     // untimed warmup at the smallest step
     queries.foreach { case (q, _) =>
       SparkEntry.queries(q)(spark, src).count(); spark.catalog.clearCache()

@@ -147,7 +147,9 @@ object ScaleSweep {
       "q100_rolling_distinct" -> "rolling 7-day distinct (pair dedup + bounded fan-out)",
       "t23_oov_rate" -> "OOV-rate audit (bounded vocab broadcast probe)",
       "st12_transition_counts" -> "MapState transition matrix (4 time-ordered batches)",
-      "g15_mutual_knn_clusters" -> "mutual-kNN clustering (s24 graph + log-round CC)")
+      "g15_mutual_knn_clusters" -> "mutual-kNN clustering (s24 graph + log-round CC)",
+      "p29_merge_into" -> "SQL MERGE INTO upsert (row-level-operation catalog)",
+      "p30_salt_gate" -> "audit-consumer salt gate (decided factor applied in-plan)")
 
     // warm the JVM/codegen on the smallest sf so cold-start lands nowhere
     queries.foreach { case (q, _) =>
