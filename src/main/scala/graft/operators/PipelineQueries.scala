@@ -2078,7 +2078,117 @@ object PipelineQueries {
       |GROUP BY c_mktsegment, salt_factor, p95_cnt, max_cnt, n_keys
       |ORDER BY c_mktsegment""".stripMargin
 
+  private def registerLake(s: SparkSession): Unit =
+    if (!s.conf.getOption("spark.sql.catalog.graft_lake").contains(
+        classOf[graft.sources.GraftLakeCatalog].getName))
+      s.conf.set("spark.sql.catalog.graft_lake",
+        classOf[graft.sources.GraftLakeCatalog].getName)
+
+  /** (Re)materialize the docs stats frame as a fresh lake table (per-run
+    * idempotence: drop + create + one append commit). */
+  private def lakeDocsTable(s: SparkSession, dir: String, table: String,
+      extra: Seq[(String, org.apache.spark.sql.Column)] = Nil): Unit = {
+    registerLake(s)
+    s.sql(s"DROP TABLE IF EXISTS graft_lake.$table")
+    val extraDdl = extra.map { case (n, _) => s", $n BIGINT" }.mkString
+    s.sql(s"CREATE TABLE graft_lake.$table (doc_id BIGINT, source STRING, n_chars BIGINT$extraDdl)")
+    extra.foldLeft(
+        Tables.documents(s, dir).select(col("doc_id"), col("source"), col("n_chars"))) {
+        case (df, (n, c)) => df.withColumn(n, c)
+      }
+      .writeTo(s"graft_lake.$table").append()
+  }
+
+  // ---------------------------------------------------------------- p31
+  /** SQL `UPDATE` through the row-level-operation catalog — the
+    * redaction statement (source-level takedown: null out the payload,
+    * flag the row — the GDPR/compliance shape where the ROW must remain
+    * as evidence but its content must go). Catalyst rewrites UPDATE for
+    * a group-based table the same way as p29's MERGE: the row-level scan
+    * + a conditional projection feeding ReplaceData — one distributed
+    * pass, no driver-side row surgery. Published = the whole post-update
+    * table; oracle = the CASE-projection restatement.
+    */
+  def p31SqlUpdate(s: SparkSession, dir: String): DataFrame = {
+    lakeDocsTable(s, dir, "redact", Seq("redacted" -> lit(0L)))
+    s.sql("""UPDATE graft_lake.redact
+            |SET n_chars = 0, redacted = 1
+            |WHERE source IN ('src3', 'src7')""".stripMargin)
+    s.table("graft_lake.redact").orderBy(col("doc_id"))
+  }
+
+  val p31Sql: String =
+    """SELECT doc_id, source,
+      |  CASE WHEN source IN ('src3', 'src7') THEN 0 ELSE n_chars END AS n_chars,
+      |  CASE WHEN source IN ('src3', 'src7') THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS redacted
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- p32
+  /** SQL `DELETE FROM` through the row-level-operation catalog — the
+    * retention statement (drop under-length docs and a deterministic
+    * purge slice). Same group-based rewrite family as p29/p31
+    * (RewriteDeleteFromTable -> ReplaceData over the filtered scan);
+    * the oracle is the complement filter.
+    */
+  def p32SqlDelete(s: SparkSession, dir: String): DataFrame = {
+    lakeDocsTable(s, dir, "retain")
+    s.sql("""DELETE FROM graft_lake.retain
+            |WHERE n_chars < 250 OR doc_id % 9 = 0""".stripMargin)
+    s.table("graft_lake.retain").orderBy(col("doc_id"))
+  }
+
+  val p32Sql: String =
+    """SELECT doc_id, source, n_chars FROM documents
+      |WHERE NOT (n_chars < 250 OR doc_id % 9 = 0)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- p33
+  /** Snapshot TIME TRAVEL (`VERSION AS OF`) — the lakehouse audit-trail
+    * read: every committed write to a graft_lake table pushes an
+    * immutable snapshot (v0 = empty at creation), and a version-pinned
+    * scan reads table history exactly as Delta/Iceberg expose it. The
+    * operator runs a 3-write maintenance chain on its own table (load ->
+    * retention DELETE -> redaction UPDATE), then publishes the
+    * per-version rollup (rows, chars, id checksum) by querying each
+    * `VERSION AS OF v` — the before/after evidence a data-governance
+    * review reads. Oracle: each version's state restated relationally
+    * from the base table.
+    */
+  def p33TimeTravel(s: SparkSession, dir: String): DataFrame = {
+    lakeDocsTable(s, dir, "history")
+    s.sql("DELETE FROM graft_lake.history WHERE n_chars < 250")
+    s.sql("""UPDATE graft_lake.history SET n_chars = 0
+            |WHERE source = 'src5'""".stripMargin)
+    (0 to 3).map { v =>
+      s.sql(s"""SELECT CAST($v AS BIGINT) AS version, COUNT(*) AS n_rows,
+               |  CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS sum_chars,
+               |  CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) AS sum_ids
+               |FROM graft_lake.history VERSION AS OF $v""".stripMargin)
+    }.reduce(_ unionAll _).orderBy(col("version"))
+  }
+
+  val p33Sql: String =
+    """WITH v1 AS (SELECT doc_id, source, n_chars FROM documents),
+      |v2 AS (SELECT * FROM v1 WHERE n_chars >= 250),
+      |v3 AS (SELECT doc_id, source,
+      |         CASE WHEN source = 'src5' THEN 0 ELSE n_chars END AS n_chars FROM v2)
+      |SELECT CAST(0 AS BIGINT) AS version, 0 AS n_rows, CAST(0 AS BIGINT) AS sum_chars,
+      |       CAST(0 AS BIGINT) AS sum_ids
+      |UNION ALL
+      |SELECT 1, COUNT(*), CAST(COALESCE(SUM(n_chars), 0) AS BIGINT),
+      |       CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM v1
+      |UNION ALL
+      |SELECT 2, COUNT(*), CAST(COALESCE(SUM(n_chars), 0) AS BIGINT),
+      |       CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM v2
+      |UNION ALL
+      |SELECT 3, COUNT(*), CAST(COALESCE(SUM(n_chars), 0) AS BIGINT),
+      |       CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM v3
+      |ORDER BY version""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p33_time_travel" -> (p33TimeTravel _),
+    "p32_sql_delete" -> (p32SqlDelete _),
+    "p31_sql_update" -> (p31SqlUpdate _),
     "p30_salt_gate" -> (p30SaltGate _),
     "p29_merge_into" -> (p29MergeInto _),
     "p28_compaction_plan" -> (p28CompactionPlan _),
@@ -2112,6 +2222,9 @@ object PipelineQueries {
   // def, not val: p19Sql embeds Sidecars.oracleDir-keyed paths, which
   // Verify pins at runtime before dumping oracle_sql.json
   def oracle: Map[String, String] = Map(
+    "p33_time_travel" -> p33Sql,
+    "p32_sql_delete" -> p32Sql,
+    "p31_sql_update" -> p31Sql,
     "p30_salt_gate" -> p30Sql,
     "p29_merge_into" -> p29Sql,
     "p28_compaction_plan" -> p28Sql,

@@ -16,10 +16,12 @@ import org.apache.spark.sql.types.{DataType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-/** A minimal DataSource-V2 lakehouse CATALOG whose tables support SQL
-  * `MERGE INTO` — the maintenance statement the reference surface lacks
-  * entirely and every incremental corpus pipeline needs (p29 runs the
-  * new/changed/deleted-docs upsert through it).
+/** A minimal DataSource-V2 lakehouse CATALOG whose tables support the
+  * SQL maintenance statements the reference surface lacks entirely and
+  * every incremental corpus pipeline needs: `MERGE INTO` (p29), `UPDATE`
+  * (p31), `DELETE FROM` (p32) — all planned by Catalyst's row-level
+  * rewrites — plus snapshot TIME TRAVEL (`VERSION AS OF`, p33): every
+  * committed write pushes an immutable snapshot, Delta/Iceberg-style.
   *
   * Why a custom catalog at all: Spark 4 plans MERGE only against a V2
   * table whose [[SupportsRowLevelOperations]] contract it can rewrite
@@ -52,7 +54,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * primitive.
   */
 object LakeStore {
-  final case class TableState(schema: StructType, rows: Array[Array[Any]])
+  /** Snapshot history, Delta/Iceberg-style: every committed write (append
+    * or row-level replace) pushes a new immutable snapshot; version v =
+    * snapshots(v), version 0 = the empty table at creation. Time travel
+    * (`VERSION AS OF v`) is just a scan pinned to an earlier index. */
+  final case class TableState(schema: StructType, snapshots: Vector[Array[Array[Any]]]) {
+    def current: Array[Array[Any]] = snapshots.last
+    def latestVersion: Int = snapshots.length - 1
+  }
 
   private val tables = TrieMap.empty[String, TableState]
 
@@ -61,18 +70,18 @@ object LakeStore {
 
   def get(k: String): Option[TableState] = tables.get(k)
   def create(k: String, schema: StructType): Boolean =
-    tables.putIfAbsent(k, TableState(schema, Array.empty)).isEmpty
+    tables.putIfAbsent(k, TableState(schema, Vector(Array.empty))).isEmpty
   def drop(k: String): Boolean = tables.remove(k).isDefined
   def list(catalog: String): Seq[String] =
     tables.keys.filter(_.startsWith(catalog + ".")).toSeq.sorted
 
   def append(k: String, newRows: Array[Array[Any]]): Unit = tables.synchronized {
     val st = tables(k)
-    tables.update(k, st.copy(rows = st.rows ++ newRows))
+    tables.update(k, st.copy(snapshots = st.snapshots :+ (st.current ++ newRows)))
   }
   def replace(k: String, newRows: Array[Array[Any]]): Unit = tables.synchronized {
     val st = tables(k)
-    tables.update(k, st.copy(rows = newRows))
+    tables.update(k, st.copy(snapshots = st.snapshots :+ newRows))
   }
 
   /** Catalyst value -> serializable stored form (and back). */
@@ -107,6 +116,21 @@ class GraftLakeCatalog extends TableCatalog {
         Seq(catalogName) ++ ident.namespace().toSeq :+ ident.name())
     }
 
+  /** `VERSION AS OF v` time travel: the same table pinned to snapshot v. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    LakeStore.get(k(ident)) match {
+      case Some(st) =>
+        val v = try version.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"graft_lake: non-numeric version '$version' (versions are snapshot indexes)")
+        }
+        require(v >= 0 && v <= st.latestVersion,
+          s"graft_lake: version $v out of range [0, ${st.latestVersion}] for ${k(ident)}")
+        new GraftLakeTable(k(ident), st.schema, pinnedVersion = Some(v))
+      case None => throw new NoSuchTableException(
+        Seq(catalogName) ++ ident.namespace().toSeq :+ ident.name())
+    }
+
   override def createTable(ident: Identifier, columns: Array[Column],
       partitions: Array[Transform], properties: util.Map[String, String]): Table =
     createTable(ident,
@@ -133,24 +157,30 @@ class GraftLakeCatalog extends TableCatalog {
     throw new UnsupportedOperationException("graft_lake: RENAME TABLE not supported")
 }
 
-class GraftLakeTable(val key: String, val tableSchema: StructType)
+class GraftLakeTable(val key: String, val tableSchema: StructType,
+    pinnedVersion: Option[Int] = None)
     extends Table with SupportsRead with SupportsWrite with SupportsRowLevelOperations {
 
-  override def name(): String = key
+  override def name(): String =
+    key + pinnedVersion.map(v => s"@v$v").getOrElse("")
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new LakeScan(key, tableSchema)
+    () => new LakeScan(key, tableSchema, pinnedVersion)
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pinnedVersion.isEmpty, "graft_lake: cannot write to a time-travel view")
     new LakeWriteBuilder(key, info.schema(), replaceOnCommit = false)
+  }
 
   override def newRowLevelOperationBuilder(
-      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    require(pinnedVersion.isEmpty, "graft_lake: cannot mutate a time-travel view")
     () => new LakeRowLevelOperation(key, tableSchema, info)
+  }
 }
 
 /** Group-based row-level operation, whole table = the one group: the
@@ -169,12 +199,14 @@ class LakeRowLevelOperation(key: String, schema: StructType,
 /** Snapshot scan: rows are captured at plan time (driver), so a MERGE
   * that reads and replaces the same table sees the pre-merge state for
   * the whole query and the swap is atomic at commit. */
-class LakeScan(key: String, schema: StructType) extends Scan with Batch {
+class LakeScan(key: String, schema: StructType,
+    pinnedVersion: Option[Int] = None) extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val rows = LakeStore.get(key).map(_.rows).getOrElse(Array.empty)
+    val rows = LakeStore.get(key).map(st =>
+      pinnedVersion.fold(st.current)(st.snapshots(_))).getOrElse(Array.empty)
     // split the snapshot so the downstream rewrite parallelizes even in
     // this single-JVM store (a file-backed variant would hand back one
     // partition per file group)

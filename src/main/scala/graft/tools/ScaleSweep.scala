@@ -149,7 +149,10 @@ object ScaleSweep {
       "st12_transition_counts" -> "MapState transition matrix (4 time-ordered batches)",
       "g15_mutual_knn_clusters" -> "mutual-kNN clustering (s24 graph + log-round CC)",
       "p29_merge_into" -> "SQL MERGE INTO upsert (row-level-operation catalog)",
-      "p30_salt_gate" -> "audit-consumer salt gate (decided factor applied in-plan)")
+      "p30_salt_gate" -> "audit-consumer salt gate (decided factor applied in-plan)",
+      "p31_sql_update" -> "SQL UPDATE redaction (row-level rewrite)",
+      "p32_sql_delete" -> "SQL DELETE retention (row-level rewrite)",
+      "p33_time_travel" -> "VERSION AS OF snapshot audit (4 pinned scans)")
 
     // warm the JVM/codegen on the smallest sf so cold-start lands nowhere
     queries.foreach { case (q, _) =>

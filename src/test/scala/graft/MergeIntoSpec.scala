@@ -88,6 +88,47 @@ class MergeIntoSpec extends SparkTestBase {
     assert(got.filter(col("doc_id") % 7 === 0 && col("doc_id") % 10 =!= 3).count() === 0)
   }
 
+  test("UPDATE and DELETE plan through the same row-level rewrite and version the snapshots") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_lake.ud")
+    spark.sql("CREATE TABLE graft_lake.ud (id BIGINT, v BIGINT)")
+    import spark.implicits._
+    Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v")
+      .writeTo("graft_lake.ud").append() // -> version 1
+    spark.sql("DELETE FROM graft_lake.ud WHERE id = 2") // -> version 2
+    spark.sql("UPDATE graft_lake.ud SET v = v + 5 WHERE id = 3") // -> version 3
+    assert(spark.table("graft_lake.ud").orderBy("id").collect().toSeq ===
+      Seq(Row(1L, 10L), Row(3L, 35L)))
+    // time travel reads each committed snapshot
+    assert(spark.sql("SELECT * FROM graft_lake.ud VERSION AS OF 0").count() === 0)
+    assert(spark.sql("SELECT * FROM graft_lake.ud VERSION AS OF 1 ORDER BY id")
+      .collect().toSeq === Seq(Row(1L, 10L), Row(2L, 20L), Row(3L, 30L)))
+    assert(spark.sql("SELECT * FROM graft_lake.ud VERSION AS OF 2 ORDER BY id")
+      .collect().toSeq === Seq(Row(1L, 10L), Row(3L, 30L)))
+    assert(spark.sql("SELECT * FROM graft_lake.ud VERSION AS OF 3 ORDER BY id")
+      .collect().toSeq === Seq(Row(1L, 10L), Row(3L, 35L)))
+    // a version past the head fails loudly, as does writing to a view
+    intercept[Exception](spark.sql("SELECT * FROM graft_lake.ud VERSION AS OF 9").collect())
+    intercept[Exception](spark.sql("DELETE FROM graft_lake.ud VERSION AS OF 1 WHERE id = 1"))
+  }
+
+  test("p33 versions replay the maintenance chain") {
+    val got = operators.PipelineQueries.p33TimeTravel(spark, Sf0001).collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L, 3L))
+    val docs = Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), col("source"), col("n_chars")).collect()
+    val v1 = docs
+    val v2 = v1.filter(_.getLong(2) >= 250)
+    val v3chars = v2.map(r => if (r.getString(1) == "src5") 0L else r.getLong(2))
+    assert(got(0).getLong(1) === 0L)
+    assert(got(1).getLong(1) === v1.length.toLong)
+    assert(got(1).getLong(2) === v1.map(_.getLong(2)).sum)
+    assert(got(2).getLong(1) === v2.length.toLong)
+    assert(got(3).getLong(1) === v2.length.toLong) // UPDATE keeps cardinality
+    assert(got(3).getLong(2) === v3chars.sum)
+    assert(got(3).getLong(3) === v2.map(_.getLong(0)).sum) // ids untouched by UPDATE
+  }
+
   test("the MERGE plans through Catalyst's row-level rewrite (MergeRows + ReplaceData)") {
     registerCatalog()
     spark.sql("DROP TABLE IF EXISTS graft_lake.px")
