@@ -647,6 +647,85 @@ object StreamingQueries {
       |WHERE p_ts < mx - INTERVAL 6 HOUR
       |ORDER BY p_id, c_id NULLS FIRST""".stripMargin
 
+  /** Streaming CDC UPSERT into the lake — foreachBatch composed with the
+    * row-level-operation catalog's MERGE INTO (p29's machinery): each
+    * micro-batch pre-aggregates its per-user delta and MERGEs it into
+    * `graft_lake.user_state` (matched -> additive UPDATE, not matched ->
+    * INSERT). This is the "state as a queryable TABLE" alternative to
+    * st09's typed state cells: the accumulator lives in the lake, is
+    * readable mid-stream by any other query, and survives the streaming
+    * query — the Kappa/lakehouse sink pattern every production CDC
+    * pipeline runs (Delta's foreachBatch-MERGE recipe, re-expressed on
+    * the module-own catalog).
+    *
+    * Exactly-once: an additive MERGE is NOT naturally idempotent under
+    * foreachBatch's at-least-once replay, so a batch-id high-water-mark
+    * guard skips already-applied batches (the recipe's standard device;
+    * StreamingRecoverySpec proves the replay scenario this guards). The
+    * guard read and the merge land as two separate commits here — a
+    * production catalog folds both into one atomic commit via the
+    * table's own transaction log.
+    *
+    * Published: the final per-user state table, hash-equal to the batch
+    * rollup — the accumulated MERGE chain lands bit-for-bit on the
+    * one-shot answer (int64 cents, associative adds).
+    */
+  def st13StreamMergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    if (!s.conf.getOption("spark.sql.catalog.graft_lake").contains(
+        classOf[graft.sources.GraftLakeCatalog].getName))
+      s.conf.set("spark.sql.catalog.graft_lake",
+        classOf[graft.sources.GraftLakeCatalog].getName)
+    val root = s"/tmp/graft_stream_${Sidecars.tag(dir)}/st13"
+    deleteRecursively(java.nio.file.Paths.get(root))
+    graft.Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$root/arrivals")
+    s.sql("DROP TABLE IF EXISTS graft_lake.user_state")
+    s.sql("""CREATE TABLE graft_lake.user_state
+            |(user_id BIGINT, n_events BIGINT, purchase_cents BIGINT)""".stripMargin)
+    s.sql("DROP TABLE IF EXISTS graft_lake.user_state_meta")
+    s.sql("CREATE TABLE graft_lake.user_state_meta (last_batch BIGINT)")
+    val view = "st13_delta_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = s.readStream.schema(s.read.parquet(s"$root/arrivals").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$root/arrivals")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
+        val ss = batch.sparkSession
+        val applied = ss.table("graft_lake.user_state_meta")
+          .agg(max(col("last_batch"))).collect()(0)
+        if (applied.isNullAt(0) || applied.getLong(0) < id) {
+          batch.groupBy(col("user_id")).agg(
+            count(lit(1)).as("dn"),
+            sum(when(col("event_type") === "purchase", col("cents")).otherwise(0L)).as("dc"))
+            .createOrReplaceTempView(view)
+          ss.sql(s"""MERGE INTO graft_lake.user_state t USING $view s
+                    |ON t.user_id = s.user_id
+                    |WHEN MATCHED THEN UPDATE SET
+                    |  n_events = t.n_events + s.dn,
+                    |  purchase_cents = t.purchase_cents + s.dc
+                    |WHEN NOT MATCHED THEN
+                    |  INSERT (user_id, n_events, purchase_cents)
+                    |  VALUES (s.user_id, s.dn, s.dc)""".stripMargin)
+          ss.sql(s"INSERT INTO graft_lake.user_state_meta VALUES ($id)")
+        }
+        ()
+      }
+      .option("checkpointLocation", s"$root/_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("graft_lake.user_state").orderBy(col("user_id"))
+  }
+
+  val st13Sql: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase'
+      |    THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS purchase_cents
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** MapState TRANSITION counting on the v2 state API — the third typed
     * state cell after st09 (ValueState) and st10 (ListState + timers):
     * per user, a ValueState carries the last event across batch
@@ -715,6 +794,7 @@ object StreamingQueries {
       |GROUP BY 1, 2 ORDER BY prev_type, event_type""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st13_stream_merge_upsert" -> (st13StreamMergeUpsert _),
     "st12_transition_counts" -> (st12TransitionCounts _),
     "st11_outer_stream_join" -> (st11OuterStreamJoin _),
     "st10_timer_sessions" -> (st10TimerSessions _),
@@ -729,6 +809,7 @@ object StreamingQueries {
     "st05_stream_filter" -> (st05StreamFilter _))
 
   val oracle: Map[String, String] = Map(
+    "st13_stream_merge_upsert" -> st13Sql,
     "st12_transition_counts" -> st12Sql,
     "st11_outer_stream_join" -> st11Sql,
     "st10_timer_sessions" -> st10Sql,

@@ -152,7 +152,8 @@ object ScaleSweep {
       "p30_salt_gate" -> "audit-consumer salt gate (decided factor applied in-plan)",
       "p31_sql_update" -> "SQL UPDATE redaction (row-level rewrite)",
       "p32_sql_delete" -> "SQL DELETE retention (row-level rewrite)",
-      "p33_time_travel" -> "VERSION AS OF snapshot audit (4 pinned scans)")
+      "p33_time_travel" -> "VERSION AS OF snapshot audit (4 pinned scans)",
+      "st13_stream_merge_upsert" -> "streaming CDC upsert (foreachBatch MERGE INTO lake)")
 
     // warm the JVM/codegen on the smallest sf so cold-start lands nowhere
     queries.foreach { case (q, _) =>

@@ -2,8 +2,25 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Round-8 operators: the p30 audit-consumer gate. */
+/** Round-8 operators: the p30 audit-consumer gate, the st13 streaming
+  * lake upsert. */
 class Round8OpsSpec extends SparkTestBase {
+
+  test("st13: accumulated MERGE chain equals the one-shot batch rollup; guard high-water-mark advances") {
+    val got = operators.StreamingQueries.st13StreamMergeUpsert(spark, Sf0001).collect()
+    val want = Tables.events(spark, Sf0001)
+      .groupBy(col("user_id")).agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase",
+          expr("cast(floor(value * 100 + 0.5) as bigint)")).otherwise(0L)).as("purchase_cents"))
+      .orderBy(col("user_id")).collect()
+    assert(got.toSeq === want.toSeq)
+    // 4 staged micro-batches -> the idempotence guard's high-water-mark
+    // finished at batch 3
+    val hwm = spark.table("graft_lake.user_state_meta")
+      .agg(max(col("last_batch"))).collect()(0).getLong(0)
+    assert(hwm === 3L)
+  }
 
   test("p30: the gate's decision equals the independently recomputed audit, and salting is result-invariant") {
     val out = operators.PipelineQueries.p30SaltGate(spark, Sf001).cache()
