@@ -2185,7 +2185,104 @@ object PipelineQueries {
       |       CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM v3
       |ORDER BY version""".stripMargin
 
+  // ---------------------------------------------------------------- p34
+  /** PARTITION-grouped MERGE with runtime group filtering — p29's upsert
+    * on a `PARTITIONED BY (source)` lake table, where the changeset
+    * touches only three sources: Catalyst's
+    * RowLevelOperationRuntimeGroupFiltering executes the changeset side
+    * first, pushes the touched partition values into the row-level scan
+    * as a dynamic IN predicate, the scan emits ONLY those groups, and
+    * the commit rewrites only them — the O(touched)-not-O(table)
+    * copy-on-write contract that makes MERGE viable at 100 TB (p29's
+    * whole-table group is the correct-but-full-rewrite baseline).
+    *
+    * The pruning claim is INSIDE the hash contract, not just a spec
+    * assertion: the published per-source rollup carries a `rewritten`
+    * flag read back from the commit's actual replaced-group set, and
+    * the oracle computes that flag as `source IN (changeset sources)` —
+    * if the engine ever rewrote more (or fewer) partitions than the
+    * changeset touches, the row hashes diverge and the board goes red.
+    *
+    * Scenario per changeset source (src4/src9/src14), with action
+    * classes keyed off the WITHIN-source row index (doc_id div 20 —
+    * the testdata assigns source = doc_id % 20, so raw doc_id moduli
+    * would degenerate per source): index % 5 = 0 takedowns (DELETE),
+    * index % 4 = 1 new docs (INSERT — absent from the target by
+    * construction), the rest re-crawls (UPDATE, n_chars bumped 1000) —
+    * every changeset partition exercises all three clauses. Deliberately no NOT MATCHED BY SOURCE clause: that
+    * clause semantically requires reading every group (any row might
+    * need stale-marking), so Catalyst correctly disables group
+    * filtering for it — p29 covers it on the whole-table group.
+    */
+  def p34PartitionedMerge(s: SparkSession, dir: String): DataFrame = {
+    registerLake(s)
+    s.sql("DROP TABLE IF EXISTS graft_lake.corpus_part")
+    s.sql("""CREATE TABLE graft_lake.corpus_part
+            |(doc_id BIGINT, source STRING, n_chars BIGINT, ver BIGINT)
+            |PARTITIONED BY (source)""".stripMargin)
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    docs.filter(expr("(doc_id div 20) % 4") =!= 1)
+      .withColumn("ver", lit(1L))
+      .writeTo("graft_lake.corpus_part").append()
+    docs.filter(col("source").isin("src4", "src9", "src14"))
+      .withColumn("op",
+        when(expr("(doc_id div 20) % 5") === 0, "D")
+          .when(expr("(doc_id div 20) % 4") === 1, "I")
+          .otherwise("U"))
+      .createOrReplaceTempView("p34_updates")
+    s.sql("""MERGE INTO graft_lake.corpus_part t
+            |USING p34_updates s
+            |ON t.doc_id = s.doc_id AND t.source = s.source
+            |WHEN MATCHED AND s.op = 'D' THEN DELETE
+            |WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars + 1000, ver = 2
+            |WHEN NOT MATCHED AND s.op <> 'D' THEN
+            |  INSERT (doc_id, source, n_chars, ver) VALUES (s.doc_id, s.source, s.n_chars, 2)""".stripMargin)
+    // the commit's ACTUAL replaced-group set, folded into the published
+    // rollup — a k-partition driver-side read (the codebook contract)
+    val rewritten = graft.sources.LakeStore.lastReplacedGroups
+      .get("graft_lake.corpus_part").flatten.getOrElse(Set.empty)
+      .map(_.head.asInstanceOf[String]).toSeq.sorted
+    s.table("graft_lake.corpus_part")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(when(col("ver") === 2L, 1L).otherwise(0L)).as("n_ver2"))
+      .withColumn("rewritten",
+        when(col("source").isin(rewritten: _*), 1L).otherwise(0L))
+      .orderBy(col("source"))
+  }
+
+  val p34Sql: String =
+    """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+      |tgt AS (SELECT doc_id, source, n_chars, CAST(1 AS BIGINT) AS ver
+      |        FROM d WHERE (doc_id // 20) % 4 <> 1),
+      |src AS (
+      |  SELECT doc_id, source, n_chars,
+      |    CASE WHEN (doc_id // 20) % 5 = 0 THEN 'D'
+      |         WHEN (doc_id // 20) % 4 = 1 THEN 'I'
+      |         ELSE 'U' END AS op
+      |  FROM d WHERE source IN ('src4', 'src9', 'src14')),
+      |kept AS (
+      |  SELECT t.doc_id, t.source,
+      |    CASE WHEN s.doc_id IS NOT NULL THEN s.n_chars + 1000 ELSE t.n_chars END AS n_chars,
+      |    CASE WHEN s.doc_id IS NOT NULL THEN CAST(2 AS BIGINT) ELSE t.ver END AS ver
+      |  FROM tgt t LEFT JOIN src s ON t.doc_id = s.doc_id AND t.source = s.source
+      |  WHERE s.doc_id IS NULL OR s.op <> 'D'),
+      |ins AS (
+      |  SELECT s.doc_id, s.source, s.n_chars, CAST(2 AS BIGINT) AS ver
+      |  FROM src s LEFT JOIN tgt t ON s.doc_id = t.doc_id AND s.source = t.source
+      |  WHERE t.doc_id IS NULL AND s.op <> 'D'),
+      |merged AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(SUM(CASE WHEN ver = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_ver2,
+      |  CASE WHEN source IN ('src4', 'src9', 'src14')
+      |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS rewritten
+      |FROM merged GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p34_partitioned_merge" -> (p34PartitionedMerge _),
     "p33_time_travel" -> (p33TimeTravel _),
     "p32_sql_delete" -> (p32SqlDelete _),
     "p31_sql_update" -> (p31SqlUpdate _),
@@ -2222,6 +2319,7 @@ object PipelineQueries {
   // def, not val: p19Sql embeds Sidecars.oracleDir-keyed paths, which
   // Verify pins at runtime before dumping oracle_sql.json
   def oracle: Map[String, String] = Map(
+    "p34_partitioned_merge" -> p34Sql,
     "p33_time_travel" -> p33Sql,
     "p32_sql_delete" -> p32Sql,
     "p31_sql_update" -> p31Sql,

@@ -27,20 +27,32 @@ import org.apache.spark.unsafe.types.UTF8String
   * table whose [[SupportsRowLevelOperations]] contract it can rewrite
   * into joins + a replacement write (Catalyst's RewriteMergeIntoTable);
   * the built-in session catalog's parquet tables are V1 and reject the
-  * statement outright. This catalog implements exactly that contract in
-  * its simplest sound form — GROUP-BASED copy-on-write with the whole
-  * table as one group: the row-level operation's scan reads the current
-  * snapshot, Catalyst's rewritten plan computes carry-over + merged rows
-  * DISTRIBUTED (the join, clause routing, and row construction all run
-  * as ordinary Spark operators over the scan), and the replacement write
-  * swaps the table content atomically at commit. Storage is a
-  * driver-side snapshot map (the catalog's "metastore + data files" in
-  * one), which bounds table size by driver memory — the production
-  * analogue swaps that single class for parquet file groups exactly the
-  * way Delta/Iceberg do, while every DISTRIBUTED piece (the rewrite, the
-  * join, the writers) stays as planned here. At 100 TB the group
-  * granularity — not this storage shim — is the scale lever: partition
-  *-grouped copy-on-write touches only affected partitions.
+  * statement outright. This catalog implements exactly that contract as
+  * GROUP-BASED copy-on-write: the row-level operation's scan reads the
+  * affected groups of the current snapshot, Catalyst's rewritten plan
+  * computes carry-over + merged rows DISTRIBUTED (the join, clause
+  * routing, and row construction all run as ordinary Spark operators
+  * over the scan), and the replacement write swaps those groups'
+  * content atomically at commit.
+  *
+  * Group granularity IS the 100 TB scale lever, and both granularities
+  * are implemented: an unpartitioned table is one group (every
+  * statement rewrites the whole table — the simple correct baseline),
+  * while a table created `PARTITIONED BY (identity cols)` gets
+  * PARTITION-grouped copy-on-write with runtime group filtering — the
+  * row-level scan implements [[SupportsRuntimeV2Filtering]] on the
+  * partition columns, Catalyst's RowLevelOperationRuntimeGroupFiltering
+  * derives the touched partitions from the changeset at execution time
+  * (a dynamic-pruning subquery), the scan emits only those groups, and
+  * the commit rewrites ONLY the scanned groups (Iceberg's
+  * copy-on-write shape). Untouched partitions are neither read nor
+  * rewritten — the property that keeps a 10-partition-touching MERGE
+  * O(touched), not O(table). Storage is a driver-side snapshot map
+  * (the catalog's "metastore + data files" in one), which bounds table
+  * size by driver memory — the production analogue swaps that single
+  * class for parquet file groups exactly the way Delta/Iceberg do,
+  * while every DISTRIBUTED piece (the rewrite, the join, the pruning,
+  * the writers) stays as planned here.
   *
   * The MERGE semantics themselves (clause order, the four action kinds,
   * unmatched-row carry-over) are Catalyst's own — this file adds no
@@ -58,19 +70,28 @@ object LakeStore {
     * or row-level replace) pushes a new immutable snapshot; version v =
     * snapshots(v), version 0 = the empty table at creation. Time travel
     * (`VERSION AS OF v`) is just a scan pinned to an earlier index. */
-  final case class TableState(schema: StructType, snapshots: Vector[Array[Array[Any]]]) {
+  final case class TableState(schema: StructType, partitionCols: Seq[String],
+      snapshots: Vector[Array[Array[Any]]]) {
     def current: Array[Array[Any]] = snapshots.last
     def latestVersion: Int = snapshots.length - 1
+    val partitionIdx: Seq[Int] = partitionCols.map(schema.fieldIndex)
+    /** Group key of a stored row: its partition-column value tuple. */
+    def groupOf(row: Array[Any]): List[Any] = partitionIdx.map(row(_)).toList
   }
 
   private val tables = TrieMap.empty[String, TableState]
+
+  /** Test/audit hook: the group set the last row-level commit REPLACED
+    * per table (None = whole table) — how a spec proves untouched
+    * partitions were not rewritten. */
+  val lastReplacedGroups = TrieMap.empty[String, Option[Set[List[Any]]]]
 
   def key(catalog: String, ident: Identifier): String =
     (Seq(catalog) ++ ident.namespace().toSeq :+ ident.name()).mkString(".")
 
   def get(k: String): Option[TableState] = tables.get(k)
-  def create(k: String, schema: StructType): Boolean =
-    tables.putIfAbsent(k, TableState(schema, Vector(Array.empty))).isEmpty
+  def create(k: String, schema: StructType, partitionCols: Seq[String]): Boolean =
+    tables.putIfAbsent(k, TableState(schema, partitionCols, Vector(Array.empty))).isEmpty
   def drop(k: String): Boolean = tables.remove(k).isDefined
   def list(catalog: String): Seq[String] =
     tables.keys.filter(_.startsWith(catalog + ".")).toSeq.sorted
@@ -79,9 +100,20 @@ object LakeStore {
     val st = tables(k)
     tables.update(k, st.copy(snapshots = st.snapshots :+ (st.current ++ newRows)))
   }
-  def replace(k: String, newRows: Array[Array[Any]]): Unit = tables.synchronized {
+
+  /** Row-level replacement commit. `groups = None` replaces the whole
+    * table (the unpartitioned one-group case); `Some(gs)` swaps exactly
+    * the scanned groups: their old rows leave, the plan's full output
+    * (carry-over + merged, all belonging to those groups) lands. */
+  def replace(k: String, newRows: Array[Array[Any]],
+      groups: Option[Set[List[Any]]]): Unit = tables.synchronized {
     val st = tables(k)
-    tables.update(k, st.copy(snapshots = st.snapshots :+ newRows))
+    val next = groups match {
+      case None => newRows
+      case Some(gs) => st.current.filterNot(r => gs.contains(st.groupOf(r))) ++ newRows
+    }
+    lastReplacedGroups.update(k, groups)
+    tables.update(k, st.copy(snapshots = st.snapshots :+ next))
   }
 
   /** Catalyst value -> serializable stored form (and back). */
@@ -140,8 +172,21 @@ class GraftLakeCatalog extends TableCatalog {
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty, "graft_lake tables are unpartitioned (one copy-on-write group)")
-    if (!LakeStore.create(k(ident), schema))
+    // identity transforms only: each distinct partition-column tuple is
+    // one copy-on-write group; no partitions = one whole-table group
+    val partitionCols = partitions.toSeq.map { t =>
+      require(t.name() == "identity" && t.arguments().length == 1,
+        s"graft_lake: only identity partitioning is supported, got $t")
+      t.arguments()(0) match {
+        case ref: org.apache.spark.sql.connector.expressions.NamedReference =>
+          require(ref.fieldNames().length == 1,
+            s"graft_lake: nested partition columns unsupported: $ref")
+          ref.fieldNames()(0)
+        case other => throw new IllegalArgumentException(
+          s"graft_lake: unsupported partition argument $other")
+      }
+    }
+    if (!LakeStore.create(k(ident), schema, partitionCols))
       throw new TableAlreadyExistsException(
         Seq(catalogName) ++ ident.namespace().toSeq :+ ident.name())
     new GraftLakeTable(k(ident), schema)
@@ -164,6 +209,10 @@ class GraftLakeTable(val key: String, val tableSchema: StructType,
   override def name(): String =
     key + pinnedVersion.map(v => s"@v$v").getOrElse("")
   override def schema(): StructType = tableSchema
+  override def partitioning(): Array[Transform] =
+    LakeStore.get(key).map(_.partitionCols).getOrElse(Nil)
+      .map(c => org.apache.spark.sql.connector.expressions.Expressions.identity(c))
+      .toArray
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
@@ -183,17 +232,94 @@ class GraftLakeTable(val key: String, val tableSchema: StructType,
   }
 }
 
-/** Group-based row-level operation, whole table = the one group: the
-  * scan hands Catalyst the full current snapshot and the write builder's
-  * commit swaps in the rewritten plan's full output (carry-over rows
-  * included — Catalyst's rewrite produces them for copy-on-write). */
+/** Group-based row-level operation. Unpartitioned table: whole table =
+  * the one group — the scan hands Catalyst the full current snapshot and
+  * the commit swaps in the rewritten plan's full output (carry-over rows
+  * included — Catalyst's rewrite produces them for copy-on-write).
+  * Partitioned table: the scan is runtime-group-filterable on the
+  * partition columns; whatever group set it actually EMITS (recorded at
+  * plan time, after Catalyst's dynamic group-filter pruned it) is
+  * exactly the set the commit replaces — scan and write communicate
+  * through this operation instance, the same lifecycle Iceberg uses. */
 class LakeRowLevelOperation(key: String, schema: StructType,
     info: RowLevelOperationInfo) extends RowLevelOperation {
+  /** Groups the row-level scan emitted; None until planned. For an
+    * unpartitioned table the scan records None's stand-in Some(whole) —
+    * see LakeGroupScan — so the commit falls back to full replace. */
+  @volatile private[sources] var scannedGroups: Option[Set[List[Any]]] = None
+
   override def command(): RowLevelOperation.Command = info.command()
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new LakeScan(key, schema)
+    () => new LakeGroupScan(key, schema, this)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new LakeWriteBuilder(key, info.schema(), replaceOnCommit = true)
+    new LakeWriteBuilder(key, info.schema(), replaceOnCommit = true,
+      replacedGroups = () => scannedGroups)
+}
+
+/** The row-level operation's scan: the base snapshot scan plus runtime
+  * group filtering on the partition columns. Catalyst's
+  * RowLevelOperationRuntimeGroupFiltering executes the changeset side
+  * first and pushes the touched partition values here as predicates
+  * BEFORE planInputPartitions — so only affected groups are read, and
+  * the groups actually emitted are recorded for the commit. */
+class LakeGroupScan(key: String, schema: StructType,
+    op: LakeRowLevelOperation)
+    extends LakeScan(key, schema)
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+  import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference}
+  import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
+
+  private def state = LakeStore.get(key)
+  private def partitionCols: Seq[String] = state.map(_.partitionCols).getOrElse(Nil)
+
+  @volatile private var kept: Option[Set[List[Any]]] = None
+
+  override def filterAttributes(): Array[NamedReference] =
+    partitionCols.map(Expressions.column).toArray
+
+  override def filter(predicates: Array[V2Predicate]): Unit = {
+    val st = state.getOrElse(return)
+    if (st.partitionCols.isEmpty) return
+    val existing: Set[List[Any]] = st.current.map(st.groupOf).toSet
+    // Interpret the conjunction of IN/= predicates over single partition
+    // columns; any predicate shape we don't recognize is IGNORED (keeping
+    // a superset of groups is always sound — extra groups' rows ride
+    // through the rewrite as carry-over and land back unchanged).
+    val surviving = predicates.foldLeft(existing) { (acc, p) =>
+      val colIdx: Option[Int] = p.children().collectFirst {
+        case r: NamedReference if r.fieldNames().length == 1 =>
+          st.partitionCols.indexOf(r.fieldNames()(0))
+      }.filter(_ >= 0)
+      val lits = p.children().collect {
+        case l: Literal[_] => LakeStore.toStored(l.value())
+      }.toSet
+      (p.name(), colIdx) match {
+        case ("IN", Some(i)) => acc.filter(g => lits.contains(g(i)))
+        case ("=", Some(i)) if lits.size == 1 => acc.filter(g => lits.contains(g(i)))
+        case _ => acc
+      }
+    }
+    kept = Some(surviving)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val st = state
+    val parts = st match {
+      case Some(s) =>
+        val rows = kept match {
+          case Some(gs) => s.current.filter(r => gs.contains(s.groupOf(r)))
+          case None => s.current
+        }
+        // record what this scan EMITS: exactly the groups the commit
+        // must replace (filtered set if pruning ran, else every group —
+        // for an unpartitioned table groupOf is the empty tuple, i.e.
+        // "the whole table" as one group)
+        op.scannedGroups = Some(kept.getOrElse(rows.map(s.groupOf).toSet))
+        rows
+      case None => Array.empty[Array[Any]]
+    }
+    sliced(parts)
+  }
 }
 
 /** Snapshot scan: rows are captured at plan time (driver), so a MERGE
@@ -204,12 +330,10 @@ class LakeScan(key: String, schema: StructType,
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val rows = LakeStore.get(key).map(st =>
-      pinnedVersion.fold(st.current)(st.snapshots(_))).getOrElse(Array.empty)
-    // split the snapshot so the downstream rewrite parallelizes even in
-    // this single-JVM store (a file-backed variant would hand back one
-    // partition per file group)
+  /** Split a row set so the downstream plan parallelizes even in this
+    * single-JVM store (a file-backed variant would hand back one
+    * partition per file group). */
+  protected def sliced(rows: Array[Array[Any]]): Array[InputPartition] = {
     val slices = math.max(1, math.min(4, rows.length))
     rows.grouped(math.max(1, (rows.length + slices - 1) / slices))
       .map(chunk => LakePartition(chunk): InputPartition).toArray match {
@@ -217,6 +341,11 @@ class LakeScan(key: String, schema: StructType,
       case parts => parts
     }
   }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    sliced(LakeStore.get(key).map(st =>
+      pinnedVersion.fold(st.current)(st.snapshots(_))).getOrElse(Array.empty))
+
   override def createReaderFactory(): PartitionReaderFactory =
     new LakeReaderFactory(schema)
 }
@@ -241,7 +370,8 @@ class LakeReaderFactory(schema: StructType) extends PartitionReaderFactory {
 }
 
 class LakeWriteBuilder(key: String, writeSchema: StructType,
-    replaceOnCommit: Boolean) extends WriteBuilder {
+    replaceOnCommit: Boolean,
+    replacedGroups: () => Option[Set[List[Any]]] = () => None) extends WriteBuilder {
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new BatchWrite {
       override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -251,7 +381,7 @@ class LakeWriteBuilder(key: String, writeSchema: StructType,
           .map(_.asInstanceOf[LakeCommit])
           .flatMap(_.rows.iterator)
           .toArray
-        if (replaceOnCommit) LakeStore.replace(key, rows)
+        if (replaceOnCommit) LakeStore.replace(key, rows, replacedGroups())
         else LakeStore.append(key, rows)
       }
       override def abort(messages: Array[WriterCommitMessage]): Unit = ()

@@ -153,7 +153,8 @@ object ScaleSweep {
       "p31_sql_update" -> "SQL UPDATE redaction (row-level rewrite)",
       "p32_sql_delete" -> "SQL DELETE retention (row-level rewrite)",
       "p33_time_travel" -> "VERSION AS OF snapshot audit (4 pinned scans)",
-      "st13_stream_merge_upsert" -> "streaming CDC upsert (foreachBatch MERGE INTO lake)")
+      "st13_stream_merge_upsert" -> "streaming CDC upsert (foreachBatch MERGE INTO lake)",
+      "p34_partitioned_merge" -> "partition-grouped MERGE (runtime group filtering)")
 
     // warm the JVM/codegen on the smallest sf so cold-start lands nowhere
     queries.foreach { case (q, _) =>

@@ -112,6 +112,31 @@ class MergeIntoSpec extends SparkTestBase {
     intercept[Exception](spark.sql("DELETE FROM graft_lake.ud VERSION AS OF 1 WHERE id = 1"))
   }
 
+  test("partitioned table: MERGE rewrites only the touched partitions (runtime group filtering)") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_lake.pt")
+    spark.sql(
+      "CREATE TABLE graft_lake.pt (id BIGINT, src STRING, v BIGINT) PARTITIONED BY (src)")
+    import spark.implicits._
+    Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L), (4L, "c", 40L))
+      .toDF("id", "src", "v").writeTo("graft_lake.pt").append()
+    Seq((2L, "a", 21L), (5L, "a", 50L)).toDF("id", "src", "v")
+      .createOrReplaceTempView("pt_src")
+    spark.sql("""MERGE INTO graft_lake.pt t USING pt_src s
+                |ON t.id = s.id AND t.src = s.src
+                |WHEN MATCHED THEN UPDATE SET v = s.v
+                |WHEN NOT MATCHED THEN INSERT (id, src, v) VALUES (s.id, s.src, s.v)""".stripMargin)
+    assert(spark.table("graft_lake.pt").orderBy("id").collect().toSeq === Seq(
+      Row(1L, "a", 10L), Row(2L, "a", 21L), Row(3L, "b", 30L),
+      Row(4L, "c", 40L), Row(5L, "a", 50L)))
+    // the commit must have replaced ONLY the touched partition: Catalyst's
+    // runtime group filter derives {src='a'} from the changeset, the scan
+    // emits just that group, and partitions b/c are neither read nor
+    // rewritten — the O(touched) copy-on-write contract
+    assert(graft.sources.LakeStore.lastReplacedGroups.get("graft_lake.pt")
+      === Some(Some(Set(List("a")))))
+  }
+
   test("p33 versions replay the maintenance chain") {
     val got = operators.PipelineQueries.p33TimeTravel(spark, Sf0001).collect()
     assert(got.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L, 3L))
