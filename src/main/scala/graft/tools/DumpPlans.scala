@@ -198,13 +198,13 @@ object DumpPlans {
         "Vocabulary cut plans TakeOrderedAndProject (per-partition heaps, 1000 rows cross partitions); membership is a broadcast LEFT probe of the occurrence stream — the corpus shuffles only for the per-source rollup.",
         TextQueries.t23OovRate(spark, dir)),
       ("p29_merge_into",
-        "Catalyst's own MERGE rewrite: MergeRows over ONE outer join of the row-level-operation scan and the changeset, feeding ReplaceData — the single-shuffle copy-on-write shape, chosen by the engine.",
+        "The registry entry's plan is the post-merge read-back (one lake scan + sort); the MERGE statement's own rewrite is dumped in the 'statement:' section at the end of this file.",
         PipelineQueries.p29MergeInto(spark, dir)),
       ("p30_salt_gate",
         "p27's bounded audit feeds the factor back as a broadcast scalar; the build side replicates sequence(0, factor-1) ways INSIDE the plan — decided replication, no driver round-trip, one shuffle join.",
         PipelineQueries.p30SaltGate(spark, dir)),
       ("p34_partitioned_merge",
-        "Partition-grouped copy-on-write: the row-level scan carries a dynamic-pruning IN predicate derived from the changeset at runtime, so only the touched partitions are read and rewritten — O(touched), not O(table).",
+        "The registry entry's plan is the published rollup over the post-merge table; the partition-grouped MERGE statement itself (with its dynamicpruning subquery) is dumped in the 'statement:' section at the end of this file.",
         PipelineQueries.p34PartitionedMerge(spark, dir)))
 
     val sb = new StringBuilder
@@ -215,6 +215,39 @@ object DumpPlans {
       df.collect() // finalize AQE
       val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
       sb.append(s"\n## $name\n\n$note\n\n```\n${plan.trim.take(4000)}\n```\n")
+    }
+
+    // SQL row-level statements: for MERGE/UPDATE/DELETE the interesting
+    // plan lives in the STATEMENT (Catalyst's row-level rewrite), not in
+    // the published read-back the registry entries return — so these
+    // dump EXPLAIN FORMATTED of the statement itself, against the lake
+    // tables/changeset views the flagship runs above just prepared.
+    PipelineQueries.p31SqlUpdate(spark, dir).collect()
+    PipelineQueries.p32SqlDelete(spark, dir).collect()
+    val statements = Seq(
+      ("MERGE INTO, whole-table group (p29)",
+        "MergeRows over ONE outer join of the row-level-operation scan and the changeset, feeding ReplaceData — the single-shuffle copy-on-write shape, chosen by the engine.",
+        """MERGE INTO graft_lake.corpus t USING p29_updates s ON t.doc_id = s.doc_id
+          |WHEN MATCHED AND s.op = 'D' THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET len = s.len + 1000, ver = 2, stale = 0
+          |WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT (doc_id, source, len, ver, stale) VALUES (s.doc_id, s.source, s.len, 2, 0)
+          |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET stale = 1""".stripMargin),
+      ("MERGE INTO, partition-grouped (p34)",
+        "MergeRows over one full-outer SortMergeJoin feeding ReplaceData; the target side is the row-level LakeGroupScan, whose runtime group filter is injected at EXECUTION (dynamic pruning does not render in pre-execution EXPLAIN) — the pruning is pinned observable-side instead: p34's published `rewritten` flag is hash-checked against the changeset, and MergeIntoSpec asserts the commit's exact replaced-group set.",
+        """MERGE INTO graft_lake.corpus_part t USING p34_updates s
+          |ON t.doc_id = s.doc_id AND t.source = s.source
+          |WHEN MATCHED AND s.op = 'D' THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars + 1000, ver = 2
+          |WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT (doc_id, source, n_chars, ver) VALUES (s.doc_id, s.source, s.n_chars, 2)""".stripMargin),
+      ("UPDATE (p31)",
+        "RewriteUpdateTable: the row-level scan feeds a conditional projection into ReplaceData — one distributed pass, no driver-side row surgery.",
+        "UPDATE graft_lake.redact SET n_chars = 0, redacted = 1 WHERE source IN ('src3', 'src7')"),
+      ("DELETE FROM (p32)",
+        "RewriteDeleteFromTable: the filtered complement of the row-level scan replaces the group.",
+        "DELETE FROM graft_lake.retain WHERE n_chars < 250 OR doc_id % 9 = 0"))
+    statements.foreach { case (name, note, stmt) =>
+      val txt = spark.sql("EXPLAIN FORMATTED " + stmt).collect()(0).getString(0)
+      sb.append(s"\n## statement: $name\n\n$note\n\n```\n${txt.trim.take(4000)}\n```\n")
     }
     Files.writeString(Paths.get(out), sb.toString)
     println(s"wrote $out")
