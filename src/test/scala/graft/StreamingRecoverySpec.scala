@@ -92,4 +92,81 @@ class StreamingRecoverySpec extends SparkTestBase {
       .orderBy(col("source"))
     assert(got.collect().toSeq === want.collect().toSeq)
   }
+
+  test("MERGE-sink query killed mid-stream: the batch-id guard absorbs the replayed batch") {
+    // st13's additive MERGE is NOT idempotent by itself; this is the
+    // crash ordering that would double-apply a batch without the
+    // high-water-mark guard — side effect committed, checkpoint not.
+    if (!spark.conf.getOption("spark.sql.catalog.graft_lake").contains(
+        classOf[graft.sources.GraftLakeCatalog].getName))
+      spark.conf.set("spark.sql.catalog.graft_lake",
+        classOf[graft.sources.GraftLakeCatalog].getName)
+    val root = s"/tmp/graft_stream_${Sidecars.tag(Sf0001)}/recovery_merge_spec"
+    def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).forEach(rm(_))
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    rm(java.nio.file.Paths.get(root))
+    graft.Tables.events(spark, Sf0001)
+      .select(col("user_id"), col("event_type"),
+        expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$root/arrivals")
+    spark.sql("DROP TABLE IF EXISTS graft_lake.rec_state")
+    spark.sql("CREATE TABLE graft_lake.rec_state (user_id BIGINT, n_events BIGINT, purchase_cents BIGINT)")
+    spark.sql("DROP TABLE IF EXISTS graft_lake.rec_state_meta")
+    spark.sql("CREATE TABLE graft_lake.rec_state_meta (last_batch BIGINT)")
+    val seen = new ConcurrentLinkedQueue[Long]()
+    def mergeBatch(crashAt: Option[Long])(batch: org.apache.spark.sql.Dataset[Row], id: Long): Unit = {
+      seen.add(id)
+      val ss = batch.sparkSession
+      val applied = ss.table("graft_lake.rec_state_meta")
+        .agg(max(col("last_batch"))).collect()(0)
+      if (applied.isNullAt(0) || applied.getLong(0) < id) {
+        batch.groupBy(col("user_id")).agg(
+          count(lit(1)).as("dn"),
+          sum(when(col("event_type") === "purchase", col("cents")).otherwise(0L)).as("dc"))
+          .createOrReplaceTempView("rec_delta")
+        ss.sql("""MERGE INTO graft_lake.rec_state t USING rec_delta s
+                 |ON t.user_id = s.user_id
+                 |WHEN MATCHED THEN UPDATE SET
+                 |  n_events = t.n_events + s.dn,
+                 |  purchase_cents = t.purchase_cents + s.dc
+                 |WHEN NOT MATCHED THEN
+                 |  INSERT (user_id, n_events, purchase_cents) VALUES (s.user_id, s.dn, s.dc)""".stripMargin)
+        ss.sql(s"INSERT INTO graft_lake.rec_state_meta VALUES ($id)")
+      }
+      if (crashAt.contains(id)) throw new RuntimeException(Marker)
+    }
+    def run(crashAt: Option[Long]): Unit = {
+      val q = spark.readStream
+        .schema(spark.read.parquet(s"$root/arrivals").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$root/arrivals")
+        .writeStream
+        .foreachBatch(mergeBatch(crashAt) _)
+        .option("checkpointLocation", s"$root/_checkpoint")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val ex = intercept[StreamingQueryException](run(crashAt = Some(2L)))
+    assert(ex.getMessage.contains(Marker) ||
+      Option(ex.getCause).exists(_.getMessage.contains(Marker)))
+    assert(seen.toArray.toSeq === Seq(0L, 1L, 2L))
+    seen.clear()
+    run(crashAt = None)
+    // batch 2 IS replayed by the engine (its checkpoint never committed)
+    // — and the guard must skip its merge, or user totals double-count
+    assert(seen.toArray.toSeq === Seq(2L, 3L))
+    val got = spark.table("graft_lake.rec_state").orderBy(col("user_id")).collect()
+    val want = graft.Tables.events(spark, Sf0001)
+      .groupBy(col("user_id")).agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase",
+          expr("cast(floor(value * 100 + 0.5) as bigint)")).otherwise(0L)).as("purchase_cents"))
+      .orderBy(col("user_id")).collect()
+    assert(got.toSeq === want.toSeq)
+  }
 }
