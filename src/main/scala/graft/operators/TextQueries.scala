@@ -1513,7 +1513,135 @@ object TextQueries {
        |    / CAST(COUNT(*) AS DOUBLE) * 1e3) AS BIGINT) AS oov_milli
        |FROM held GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- t24
+  /** Within-document REPETITION audit — the Gopher repetition filters
+    * (Rae et al. 2021, Table A1): a crawl document whose text is
+    * dominated by one repeated n-gram (boilerplate, menu spam, SEO
+    * keyword stuffing) is dropped before training regardless of its
+    * other quality signals. Per document and n in {2, 3}: the TOP
+    * n-gram's token share (flag at Gopher's thresholds — 0.20 for
+    * 2-grams, 0.18 for 3-grams, both as exact integer cross-products,
+    * no division) and the DUPLICATE n-gram occurrence mass (grams
+    * appearing >= 2 times), rolled up per source with one-division
+    * milli fractions. Token n-gram share approximates Gopher's
+    * character fraction on this uniform-word-length corpus; the
+    * thresholds are the cited ones.
+    *
+    * The n-grams are built POSITIONALLY with transform(sequence(...))
+    * over the token array — pure codegen map work, no self-join on
+    * token position (the naive spelling shuffles the corpus once per
+    * n; this shuffles only the per-(doc, gram) counts). Both gram
+    * sizes ride one explode via a flattened struct array.
+    *
+    * Scale: per-doc gram counting is a (doc_id, gram)-keyed count with
+    * map-side combine; everything after is doc-keyed then
+    * source-keyed — state bounded by distinct grams per doc, never
+    * cross-document. Exact int64 throughout; milli rates are p26
+    * one-divisions.
+    */
+  def t24RepetitionAudit(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.spread(Tables.documents(s, dir))
+      .select(col("doc_id"), col("source"),
+        expr(s"regexp_extract_all(text, '$TokenPattern', 0)").as("t"))
+      .withColumn("n_tokens", size(col("t")).cast(LongType))
+    val grams = toks.select(col("doc_id"), col("source"), col("n_tokens"),
+      explode(expr(
+        """flatten(array(
+          |  CASE WHEN size(t) >= 2 THEN
+          |    transform(sequence(0, size(t) - 2),
+          |      i -> struct(2L AS g, concat_ws(' ', slice(t, i + 1, 2)) AS gram))
+          |  ELSE array() END,
+          |  CASE WHEN size(t) >= 3 THEN
+          |    transform(sequence(0, size(t) - 3),
+          |      i -> struct(3L AS g, concat_ws(' ', slice(t, i + 1, 3)) AS gram))
+          |  ELSE array() END))""".stripMargin)).as("x"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("x.g").as("g"), col("x.gram").as("gram"))
+    val per = grams
+      .groupBy(col("doc_id"), col("source"), col("n_tokens"), col("g"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"), col("source"), col("n_tokens"), col("g"))
+      .agg(sum(col("cnt")).as("total"),
+        sum(when(col("cnt") >= 2, col("cnt")).otherwise(0L)).as("dup"),
+        max(col("cnt")).as("mx"))
+    val docstats = per.groupBy(col("doc_id"), col("source"), col("n_tokens"))
+      .agg(max(when(col("g") === 2, col("mx"))).as("mx2"),
+        max(when(col("g") === 3, col("mx"))).as("mx3"),
+        sum(when(col("g") === 2, col("dup")).otherwise(0L)).as("dup2"),
+        sum(when(col("g") === 2, col("total")).otherwise(0L)).as("tot2"),
+        sum(when(col("g") === 3, col("dup")).otherwise(0L)).as("dup3"),
+        sum(when(col("g") === 3, col("total")).otherwise(0L)).as("tot3"))
+      .withColumn("flag2",
+        (col("mx2") * 2L * 100L >= col("n_tokens") * 20L).cast(LongType))
+      .withColumn("flag3",
+        (col("mx3") * 3L * 100L >= col("n_tokens") * 18L).cast(LongType))
+    docstats.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("flag2")).as("n_flag_top2"),
+        sum(col("flag3")).as("n_flag_top3"),
+        sum(when(col("flag2") + col("flag3") >= 1L, 1L).otherwise(0L)).as("n_flag_any"),
+        sum(col("dup2")).as("sum_dup2"), sum(col("tot2")).as("sum_tot2"),
+        sum(col("dup3")).as("sum_dup3"), sum(col("tot3")).as("sum_tot3"))
+      .select(col("source"), col("n_docs"),
+        col("n_flag_top2"), col("n_flag_top3"), col("n_flag_any"),
+        floor(col("sum_dup2").cast(DoubleType) / col("sum_tot2").cast(DoubleType) * 1e3)
+          .cast(LongType).as("dup2_milli"),
+        floor(col("sum_dup3").cast(DoubleType) / col("sum_tot3").cast(DoubleType) * 1e3)
+          .cast(LongType).as("dup3_milli"))
+      .orderBy(col("source"))
+  }
+
+  /** Identical positional n-gram construction, integer thresholds, and
+    * one-division milli rates. */
+  val t24Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, regexp_extract_all(text, '$TokenPattern') AS t
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, source, CAST(len(t) AS BIGINT) AS n_tokens, 2 AS g,
+       |    unnest(CASE WHEN len(t) >= 2 THEN
+       |      list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
+       |      ELSE [] END) AS gram
+       |  FROM toks
+       |  UNION ALL
+       |  SELECT doc_id, source, CAST(len(t) AS BIGINT) AS n_tokens, 3 AS g,
+       |    unnest(CASE WHEN len(t) >= 3 THEN
+       |      list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+       |      ELSE [] END) AS gram
+       |  FROM toks),
+       |cnt AS (
+       |  SELECT doc_id, source, n_tokens, g, gram, COUNT(*) AS c
+       |  FROM grams GROUP BY 1, 2, 3, 4, 5),
+       |per AS (
+       |  SELECT doc_id, source, n_tokens, g,
+       |    CAST(SUM(c) AS BIGINT) AS total,
+       |    CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup,
+       |    MAX(c) AS mx
+       |  FROM cnt GROUP BY 1, 2, 3, 4),
+       |docstats AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    MAX(CASE WHEN g = 2 THEN mx END) AS mx2,
+       |    MAX(CASE WHEN g = 3 THEN mx END) AS mx3,
+       |    CAST(SUM(CASE WHEN g = 2 THEN dup ELSE 0 END) AS BIGINT) AS dup2,
+       |    CAST(SUM(CASE WHEN g = 2 THEN total ELSE 0 END) AS BIGINT) AS tot2,
+       |    CAST(SUM(CASE WHEN g = 3 THEN dup ELSE 0 END) AS BIGINT) AS dup3,
+       |    CAST(SUM(CASE WHEN g = 3 THEN total ELSE 0 END) AS BIGINT) AS tot3
+       |  FROM per GROUP BY 1, 2, 3),
+       |flagged AS (
+       |  SELECT *,
+       |    CASE WHEN mx2 * 2 * 100 >= n_tokens * 20 THEN 1 ELSE 0 END AS flag2,
+       |    CASE WHEN mx3 * 3 * 100 >= n_tokens * 18 THEN 1 ELSE 0 END AS flag3
+       |  FROM docstats)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(flag2) AS BIGINT) AS n_flag_top2,
+       |  CAST(SUM(flag3) AS BIGINT) AS n_flag_top3,
+       |  CAST(SUM(CASE WHEN flag2 + flag3 >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_any,
+       |  CAST(FLOOR(CAST(SUM(dup2) AS DOUBLE) / CAST(SUM(tot2) AS DOUBLE) * 1e3) AS BIGINT) AS dup2_milli,
+       |  CAST(FLOOR(CAST(SUM(dup3) AS DOUBLE) / CAST(SUM(tot3) AS DOUBLE) * 1e3) AS BIGINT) AS dup3_milli
+       |FROM flagged GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t24_repetition_audit" -> (t24RepetitionAudit _),
     "t23_oov_rate" -> (t23OovRate _),
     "t22_domain_divergence" -> (t22DomainDivergence _),
     "t21_vocab_growth" -> (t21VocabGrowth _),
@@ -1541,6 +1669,7 @@ object TextQueries {
   // def, not val: t17Sql embeds the Sidecars.oracleDir-keyed path, which
   // Verify pins at runtime before dumping oracle_sql.json
   def oracle: Map[String, String] = Map(
+    "t24_repetition_audit" -> t24Sql,
     "t23_oov_rate" -> t23Sql,
     "t22_domain_divergence" -> t22Sql,
     "t21_vocab_growth" -> t21Sql,

@@ -22,6 +22,46 @@ class Round8OpsSpec extends SparkTestBase {
     assert(hwm === 3L)
   }
 
+  test("t24: per-source repetition stats replay against a sequential in-memory recount") {
+    val out = operators.TextQueries.t24RepetitionAudit(spark, Sf0001).collect()
+    val docs = Tables.documents(spark, Sf0001)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    // sequential replay of the whole audit per source
+    val tokPat = "[A-Za-z0-9]+".r
+    case class D(mx2: Int, mx3: Int, dup2: Long, tot2: Long, dup3: Long, tot3: Long, n: Int)
+    val perDoc = docs.map { case (src, text) =>
+      val t = tokPat.findAllIn(text).toArray
+      def stats(g: Int) = {
+        val grams = t.sliding(g).map(_.mkString(" ")).toSeq
+        val cnt = grams.groupBy(identity).map(_._2.size)
+        (if (cnt.isEmpty) 0 else cnt.max,
+          cnt.filter(_ >= 2).map(_.toLong).sum, grams.size.toLong)
+      }
+      val (mx2, dup2, tot2) = stats(2)
+      val (mx3, dup3, tot3) = stats(3)
+      src -> D(mx2, mx3, dup2, tot2, dup3, tot3, t.length)
+    }
+    val want = perDoc.groupBy(_._1).map { case (src, ds) =>
+      val s = ds.map(_._2)
+      val f2 = s.count(d => d.mx2 * 2 * 100 >= d.n * 20)
+      val f3 = s.count(d => d.mx3 * 3 * 100 >= d.n * 18)
+      val fAny = s.count(d =>
+        d.mx2 * 2 * 100 >= d.n * 20 || d.mx3 * 3 * 100 >= d.n * 18)
+      src -> (s.length.toLong, f2.toLong, f3.toLong, fAny.toLong,
+        math.floor(s.map(_.dup2).sum.toDouble / s.map(_.tot2).sum * 1e3).toLong,
+        math.floor(s.map(_.dup3).sum.toDouble / s.map(_.tot3).sum * 1e3).toLong)
+    }
+    assert(out.length === want.size)
+    out.foreach { r =>
+      val w = want(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)) === w, s"source ${r.getString(0)}")
+    }
+    // the audit must actually flag something on this limited-vocab corpus
+    assert(out.map(_.getLong(4)).sum > 0, "no doc flagged — degenerate audit")
+  }
+
   test("p30: the gate's decision equals the independently recomputed audit, and salting is result-invariant") {
     val out = operators.PipelineQueries.p30SaltGate(spark, Sf001).cache()
     try {
