@@ -1959,8 +1959,45 @@ object ExtendedQueries {
       |WHERE report_day >= min_day + 6 AND report_day <= max_day
       |GROUP BY report_day ORDER BY report_day""".stripMargin
 
+  // ---------------------------------------------------------------- q101
+  /** Spark 4 SQL PIPE syntax (`|>` operator chaining, SPARK-49555 /
+    * the ZetaSQL pipe-query surface): the pricing-summary rollup
+    * written as a linear FROM -> WHERE -> AGGREGATE -> ORDER BY chain
+    * instead of nested SELECT — each `|>` stage consumes the previous
+    * stage's table. Semantically identical to the classic spelling, so
+    * the oracle IS the classic spelling: the hash-match pins that the
+    * pipe parser lands on the same plan, not a lookalike. Decimal-
+    * routed SUM keeps the double deterministic cross-engine
+    * (Tables.dsum's arithmetic, spelled in SQL).
+    *
+    * Scale: identical plan to q01's family — pushed filter, partial +
+    * final aggregate, tiny ordered result.
+    */
+  def q101PipeSyntax(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_q101")
+    s.sql(
+      """FROM lineitem_q101
+        ||> WHERE l_shipdate <= DATE '1998-09-01'
+        ||> AGGREGATE COUNT(*) AS n_rows,
+        |     CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
+        |     CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_price
+        |   GROUP BY l_returnflag, l_linestatus
+        ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  /** The classic nested spelling — the equivalence IS the contract. */
+  val q101Sql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS VARCHAR) AS DOUBLE) AS sum_price
+      |FROM lineitem
+      |WHERE l_shipdate <= DATE '1998-09-01'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q101_pipe_syntax" -> (q101PipeSyntax _),
     "q100_rolling_distinct" -> (q100RollingDistinct _),
     "q99_file_lineage" -> (q99FileLineage _),
     "q98_asof_directions" -> (q98AsofDirections _),
@@ -2021,6 +2058,7 @@ object ExtendedQueries {
   // def, not val: q99Sql embeds the Sidecars.oracleDir-keyed export path
   // Verify pins at runtime before dumping oracle_sql.json
   def oracle: Map[String, String] = Map(
+    "q101_pipe_syntax" -> q101Sql,
     "q100_rolling_distinct" -> q100Sql,
     "q99_file_lineage" -> q99Sql,
     "q98_asof_directions" -> q98Sql,

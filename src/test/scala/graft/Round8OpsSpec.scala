@@ -22,6 +22,25 @@ class Round8OpsSpec extends SparkTestBase {
     assert(hwm === 3L)
   }
 
+  test("q101: pipe syntax optimizes to the same plan as the classic spelling") {
+    val pipe = operators.ExtendedQueries.q101PipeSyntax(spark, Sf0001)
+    val classic = spark.sql(
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem_q101
+        |WHERE l_shipdate <= DATE '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    // the pipe parser must land on the SAME optimized plan, not a
+    // lookalike (pipe output puts grouping cols after the aggregates —
+    // compare canonicalized plans of the column-aligned projections)
+    val a = pipe.select("l_returnflag", "l_linestatus", "n_rows", "sum_qty", "sum_price")
+    assert(a.queryExecution.optimizedPlan.canonicalized ===
+      classic.queryExecution.optimizedPlan.canonicalized)
+    assert(a.collect().toSeq === classic.collect().toSeq)
+  }
+
   test("t24: per-source repetition stats replay against a sequential in-memory recount") {
     val out = operators.TextQueries.t24RepetitionAudit(spark, Sf0001).collect()
     val docs = Tables.documents(spark, Sf0001)
