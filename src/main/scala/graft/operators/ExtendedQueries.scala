@@ -1995,8 +1995,39 @@ object ExtendedQueries {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  // ---------------------------------------------------------------- q102
+  /** PARAMETERIZED SQL (named parameter markers, SPARK-44066): the
+    * statement text carries `:minv` / `:cutoff` placeholders and the
+    * values bind through the sql(text, args) API — the
+    * injection-safe/plan-cache-friendly spelling every templated
+    * production query should use instead of string interpolation. The
+    * oracle is the literal-inlined spelling, so the hash pins that
+    * binding is semantically identical to inlining (timestamp param
+    * binds as a typed literal, not a string comparison). Decimal-routed
+    * SUM per the determinism contract.
+    */
+  def q102ParameterizedSql(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_q102")
+    s.sql(
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total_value
+        |FROM events_q102
+        |WHERE value >= :minv AND ts < CAST(:cutoff AS TIMESTAMP)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+      Map("minv" -> 50.0, "cutoff" -> "2024-01-20 00:00:00"))
+  }
+
+  /** The literal-inlined spelling — binding == inlining is the contract. */
+  val q102Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(30,2))) AS VARCHAR) AS DOUBLE) AS total_value
+      |FROM events
+      |WHERE value >= 50.0 AND ts < TIMESTAMP '2024-01-20 00:00:00'
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q102_parameterized_sql" -> (q102ParameterizedSql _),
     "q101_pipe_syntax" -> (q101PipeSyntax _),
     "q100_rolling_distinct" -> (q100RollingDistinct _),
     "q99_file_lineage" -> (q99FileLineage _),
@@ -2058,6 +2089,7 @@ object ExtendedQueries {
   // def, not val: q99Sql embeds the Sidecars.oracleDir-keyed export path
   // Verify pins at runtime before dumping oracle_sql.json
   def oracle: Map[String, String] = Map(
+    "q102_parameterized_sql" -> q102Sql,
     "q101_pipe_syntax" -> q101Sql,
     "q100_rolling_distinct" -> q100Sql,
     "q99_file_lineage" -> q99Sql,

@@ -156,7 +156,8 @@ object ScaleSweep {
       "st13_stream_merge_upsert" -> "streaming CDC upsert (foreachBatch MERGE INTO lake)",
       "p34_partitioned_merge" -> "partition-grouped MERGE (runtime group filtering)",
       "t24_repetition_audit" -> "Gopher repetition filters (positional n-grams, no join)",
-      "q101_pipe_syntax" -> "SQL pipe syntax (same plan as classic spelling)")
+      "q101_pipe_syntax" -> "SQL pipe syntax (same plan as classic spelling)",
+      "q102_parameterized_sql" -> "parameterized SQL (named markers bind = inline)")
 
     // warm the JVM/codegen on the smallest sf so cold-start lands nowhere
     queries.foreach { case (q, _) =>
