@@ -2025,8 +2025,85 @@ object ExtendedQueries {
       |WHERE value >= 50.0 AND ts < TIMESTAMP '2024-01-20 00:00:00'
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q103
+  /** SQL-language scalar function (Spark 4 `CREATE FUNCTION ... RETURNS
+    * ... RETURN expr`, SPARK-51336 surface): the reusable-logic story
+    * WITHOUT the UDF tax — unlike a Scala/Python UDF, a SQL function's
+    * body is INLINED into the plan at analysis time, so it stays inside
+    * whole-stage codegen, remains pushdown-transparent, and costs
+    * nothing at 100 TB (Round8OpsSpec pins plan-equality with the
+    * hand-inlined spelling; the EXPLAIN shows the expression, not a
+    * black-box call). The function here is a tokens-per-kilochar
+    * density band (exact integer arithmetic — nonneg `div` matches
+    * DuckDB `//`), used in BOTH projection and predicate position.
+    */
+  def q103SqlUdf(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir).createOrReplaceTempView("documents_q103")
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_density(t STRING)
+        |RETURNS BIGINT
+        |RETURN CAST(size(split(t, ' ')) * 1000 DIV length(t) AS BIGINT)""".stripMargin)
+    s.sql(
+      """SELECT source, graft_density(text) AS band, COUNT(*) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM documents_q103
+        |WHERE graft_density(text) >= 183
+        |GROUP BY source, band
+        |ORDER BY source, band""".stripMargin)
+  }
+
+  /** DuckDB restatement: the function body inlined by hand. */
+  val q103Sql: String =
+    """WITH d AS (
+      |  SELECT source, len(string_split(text, ' ')) * 1000 // length(text) AS band, n_chars
+      |  FROM documents)
+      |SELECT source, CAST(band AS BIGINT) AS band, COUNT(*) AS n,
+      |  CAST(SUM(n_chars) AS BIGINT) AS chars
+      |FROM d WHERE band >= 183
+      |GROUP BY source, band ORDER BY source, band""".stripMargin
+
+  // ---------------------------------------------------------------- q104
+  /** SQL TABLE function + LATERAL correlation (Spark 4
+    * `CREATE FUNCTION ... RETURNS TABLE`): per-group top-k as a named,
+    * parameterized, reusable relation — `LATERAL top_docs(s.source, 3)`
+    * invokes the function once per outer row with that row's column as
+    * the argument. The body ranks with a row_number window rather than
+    * `LIMIT k` (a correlated limit is rejected as unfoldable — the
+    * window filter is the correlation-safe spelling). Catalyst
+    * decorrelates the lateral join into the usual partitioned-window
+    * shape, so scale behavior is q15's top-n family, not
+    * once-per-source replanning. Ties broken by doc_id; row_number cast
+    * to INT on both sides.
+    */
+  def q104SqlTableFunction(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir).createOrReplaceTempView("documents_q104")
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_top_docs(src STRING, k INT)
+        |RETURNS TABLE(doc_id BIGINT, len INT, rk INT)
+        |RETURN SELECT doc_id, len, rk FROM (
+        |  SELECT doc_id, length(text) AS len,
+        |    CAST(row_number() OVER (ORDER BY length(text) DESC, doc_id) AS INT) AS rk
+        |  FROM documents_q104 WHERE source = src)
+        |WHERE rk <= k""".stripMargin)
+    s.sql(
+      """SELECT s.source, t.doc_id, t.len, t.rk
+        |FROM (SELECT DISTINCT source FROM documents_q104) s,
+        |  LATERAL graft_top_docs(s.source, 3) t
+        |ORDER BY s.source, t.rk""".stripMargin)
+  }
+
+  /** DuckDB restatement: the decorrelated partitioned-window form. */
+  val q104Sql: String =
+    """SELECT source, doc_id, CAST(len AS INT) AS len, CAST(rk AS INT) AS rk FROM (
+      |  SELECT source, doc_id, length(text) AS len,
+      |    row_number() OVER (PARTITION BY source ORDER BY length(text) DESC, doc_id) AS rk
+      |  FROM documents) t
+      |WHERE rk <= 3 ORDER BY source, rk""".stripMargin
+
   // ------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q103_sql_udf" -> (q103SqlUdf _),
+    "q104_sql_table_function" -> (q104SqlTableFunction _),
     "q102_parameterized_sql" -> (q102ParameterizedSql _),
     "q101_pipe_syntax" -> (q101PipeSyntax _),
     "q100_rolling_distinct" -> (q100RollingDistinct _),
@@ -2089,6 +2166,8 @@ object ExtendedQueries {
   // def, not val: q99Sql embeds the Sidecars.oracleDir-keyed export path
   // Verify pins at runtime before dumping oracle_sql.json
   def oracle: Map[String, String] = Map(
+    "q103_sql_udf" -> q103Sql,
+    "q104_sql_table_function" -> q104Sql,
     "q102_parameterized_sql" -> q102Sql,
     "q101_pipe_syntax" -> q101Sql,
     "q100_rolling_distinct" -> q100Sql,

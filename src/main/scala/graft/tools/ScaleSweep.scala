@@ -157,7 +157,9 @@ object ScaleSweep {
       "p34_partitioned_merge" -> "partition-grouped MERGE (runtime group filtering)",
       "t24_repetition_audit" -> "Gopher repetition filters (positional n-grams, no join)",
       "q101_pipe_syntax" -> "SQL pipe syntax (same plan as classic spelling)",
-      "q102_parameterized_sql" -> "parameterized SQL (named markers bind = inline)")
+      "q102_parameterized_sql" -> "parameterized SQL (named markers bind = inline)",
+      "q103_sql_udf" -> "SQL scalar function (body inlined into codegen)",
+      "q104_sql_table_function" -> "lateral SQL table function (decorrelated top-k)")
 
     // warm the JVM/codegen on the smallest sf so cold-start lands nowhere
     queries.foreach { case (q, _) =>

@@ -41,6 +41,44 @@ class Round8OpsSpec extends SparkTestBase {
     assert(a.collect().toSeq === classic.collect().toSeq)
   }
 
+  test("q103: SQL function body is INLINED — same optimized plan as the hand-inlined spelling") {
+    val viaUdf = operators.ExtendedQueries.q103SqlUdf(spark, Sf0001)
+    val inlined = spark.sql(
+      """SELECT source, CAST(size(split(text, ' ')) * 1000 DIV length(text) AS BIGINT) AS band,
+        |  COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM documents_q103
+        |WHERE CAST(size(split(text, ' ')) * 1000 DIV length(text) AS BIGINT) >= 183
+        |GROUP BY source, band
+        |ORDER BY source, band""".stripMargin)
+    assert(viaUdf.queryExecution.optimizedPlan.canonicalized ===
+      inlined.queryExecution.optimizedPlan.canonicalized)
+    assert(viaUdf.collect().toSeq === inlined.collect().toSeq)
+    // no black-box UDF node survives into the physical plan — the body
+    // is visible as plain expressions (the attribute ALIAS keeps the
+    // function name; the call itself is gone)
+    val phys = viaUdf.queryExecution.executedPlan.toString.toLowerCase
+    assert(!phys.contains("scalaudf") && !phys.contains("batchevalpython"))
+    assert(phys.contains("div cast(length(text"))
+  }
+
+  test("q104: lateral SQL table function equals the decorrelated partitioned-window replay") {
+    val got = operators.ExtendedQueries.q104SqlTableFunction(spark, Sf0001).collect()
+    val want = {
+      import org.apache.spark.sql.expressions.Window
+      Tables.documents(spark, Sf0001)
+        .select(col("source"), col("doc_id"), length(col("text")).as("len"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("len").desc, col("doc_id"))))
+        .filter(col("rk") <= 3)
+        .orderBy(col("source"), col("rk"))
+        .collect()
+    }
+    assert(got.toSeq === want.toSeq)
+    // every source contributes exactly k = 3 rows (>= 3 docs per source here)
+    val perSource = got.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    assert(perSource.values.forall(_ === 3))
+  }
+
   test("t24: per-source repetition stats replay against a sequential in-memory recount") {
     val out = operators.TextQueries.t24RepetitionAudit(spark, Sf0001).collect()
     val docs = Tables.documents(spark, Sf0001)
