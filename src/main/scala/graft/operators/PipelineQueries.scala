@@ -2281,7 +2281,139 @@ object PipelineQueries {
       |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS rewritten
       |FROM merged GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- p35
+  /** Min/max ZONE-MAP data skipping at the lake scan — the Delta/Iceberg
+    * file-statistics read path: documents land in a table `PARTITIONED
+    * BY (batch)` where batch = ingestion order (doc_id div 50 — the
+    * stand-in for time-ordered ingest files), and a range query on RAW
+    * doc_id — NOT the partition column — is answered by consulting each
+    * group's min/max zone before emitting anything. Because ingest order
+    * correlates with doc_id, the zones are tight and the scan skips
+    * every batch whose range cannot overlap [120, 269]; column pruning
+    * simultaneously narrows the read to the two referenced columns.
+    *
+    * The skipping claim is INSIDE the hash contract: the published row
+    * carries the scan's own counters (groups scanned of total, rows
+    * emitted, columns read) next to the query answer, and the oracle
+    * recomputes each from first principles — if the scan ever reads
+    * more groups (skipping broken) or fewer (correctness broken, which
+    * the answer columns would also catch), the hashes diverge. Skipping
+    * is superset-safe by construction: every pushed predicate stays
+    * residual, so Spark's Filter settles exact row semantics.
+    *
+    * At 100 TB this is THE scan lever: a 150-row id-range probe reads 4
+    * of N ingest batches regardless of table size (4 of 10 groups at
+    * sf0.01, 4 of 100 at sf0.1 — the skipped fraction GROWS with data).
+    */
+  def p35ZoneSkip(s: SparkSession, dir: String): DataFrame = {
+    registerLake(s)
+    s.sql("DROP TABLE IF EXISTS graft_lake.scan_skip")
+    s.sql("""CREATE TABLE graft_lake.scan_skip
+            |(doc_id BIGINT, source STRING, n_chars BIGINT, batch BIGINT)
+            |PARTITIONED BY (batch)""".stripMargin)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("batch", expr("doc_id div 50"))
+      .writeTo("graft_lake.scan_skip").append()
+    val agg = s.table("graft_lake.scan_skip")
+      .filter(col("doc_id") >= 120L && col("doc_id") <= 269L)
+      .agg(count(lit(1)).as("n_match"),
+        coalesce(sum(col("n_chars")), lit(0L)).as("sum_chars"))
+    agg.collect() // force the scan so its observed counters are readable
+    val st = graft.sources.LakeStore.lastScanStats("graft_lake.scan_skip")
+    agg.withColumn("groups_total", lit(st.groupsTotal.toLong))
+      .withColumn("groups_scanned", lit(st.groupsScanned.toLong))
+      .withColumn("rows_scanned", lit(st.rowsEmitted))
+      .withColumn("n_cols_read", lit(st.colsRead.length.toLong))
+  }
+
+  val p35Sql: String =
+    """WITH d AS (SELECT doc_id, n_chars FROM documents),
+      |m AS (SELECT * FROM d WHERE doc_id BETWEEN 120 AND 269),
+      |sg AS (SELECT DISTINCT doc_id // 50 AS b FROM m),
+      |stats AS (SELECT
+      |  (SELECT COUNT(DISTINCT doc_id // 50) FROM d) AS groups_total,
+      |  (SELECT COUNT(*) FROM sg) AS groups_scanned,
+      |  (SELECT COUNT(*) FROM d WHERE doc_id // 50 IN (SELECT b FROM sg)) AS rows_scanned)
+      |SELECT COUNT(*) AS n_match,
+      |  CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS sum_chars,
+      |  CAST(groups_total AS BIGINT) AS groups_total,
+      |  CAST(groups_scanned AS BIGINT) AS groups_scanned,
+      |  CAST(rows_scanned AS BIGINT) AS rows_scanned,
+      |  CAST(2 AS BIGINT) AS n_cols_read
+      |FROM m CROSS JOIN stats
+      |GROUP BY groups_total, groups_scanned, rows_scanned""".stripMargin
+
+  // ---------------------------------------------------------------- p36
+  /** Incremental CHANGES read from COMMIT METADATA — Delta's change
+    * data feed / Iceberg's incremental scan, as a library call
+    * ([[graft.sources.GraftLake.changes]]): every commit records which
+    * partitions it touched, so "what changed between v1 and v2" is
+    * planned from metadata alone (union the per-commit group sets) and
+    * the diff reads ONLY those partitions of the two pinned snapshots —
+    * the version-pinned scans carry a partition IN predicate the zone
+    * maps skip on. The scenario is a maintenance window on a
+    * source-partitioned corpus: retention DELETE in src3, re-crawl
+    * UPDATE in src7 (both statically group-pruned off their own WHERE
+    * clause), and a new-slice append into src11 — three commits, three
+    * touched partitions of twenty.
+    *
+    * Published: per touched source, the classified change counts
+    * (inserted / deleted / updated keys) from one distributed
+    * full-outer join over the changed partitions only, plus the
+    * metadata-derived changed-partition count against the live
+    * partition total. The oracle pins groups_changed to EXACTLY the
+    * three statement-touched sources — if any commit had recorded a
+    * broader footprint (e.g. an unpruned UPDATE recording all 20
+    * groups), the published count diverges and the board goes red:
+    * the O(touched)-not-O(table) incremental contract is inside the
+    * hash, not just asserted in a spec. */
+  def p36IncrementalChanges(s: SparkSession, dir: String): DataFrame = {
+    registerLake(s)
+    s.sql("DROP TABLE IF EXISTS graft_lake.changes_inc")
+    s.sql("""CREATE TABLE graft_lake.changes_inc
+            |(doc_id BIGINT, source STRING, n_chars BIGINT)
+            |PARTITIONED BY (source)""".stripMargin)
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    docs.writeTo("graft_lake.changes_inc").append() // v1: initial load
+    s.sql("DELETE FROM graft_lake.changes_inc WHERE source = 'src3' AND n_chars < 250") // v2
+    s.sql("UPDATE graft_lake.changes_inc SET n_chars = n_chars + 1000 WHERE source = 'src7'") // v3
+    docs.filter(col("source") === "src11")
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      .writeTo("graft_lake.changes_inc").append() // v4: new crawl slice
+    val key = "graft_lake.changes_inc"
+    val changedN = graft.sources.GraftLake.changedPartitions(key, 1, 4)
+      .map(_.size.toLong).getOrElse(-1L) // -1 = metadata forced a full diff
+    val totalN = graft.sources.GraftLake.livePartitions(key).size.toLong
+    graft.sources.GraftLake.changes(s, key, 1, 4, "doc_id")
+      .groupBy(col("source"))
+      .agg(sum(when(col("change") === "I", 1L).otherwise(0L)).as("n_ins"),
+        sum(when(col("change") === "D", 1L).otherwise(0L)).as("n_del"),
+        sum(when(col("change") === "U", 1L).otherwise(0L)).as("n_upd"))
+      .withColumn("groups_changed", lit(changedN))
+      .withColumn("groups_total", lit(totalN))
+      .orderBy(col("source"))
+  }
+
+  val p36Sql: String =
+    """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+      |ch AS (
+      |  SELECT source, 0 AS i, 1 AS dl, 0 AS u FROM d
+      |  WHERE source = 'src3' AND n_chars < 250
+      |  UNION ALL
+      |  SELECT source, 0, 0, 1 FROM d WHERE source = 'src7'
+      |  UNION ALL
+      |  SELECT source, 1, 0, 0 FROM d WHERE source = 'src11')
+      |SELECT source, CAST(SUM(i) AS BIGINT) AS n_ins,
+      |  CAST(SUM(dl) AS BIGINT) AS n_del, CAST(SUM(u) AS BIGINT) AS n_upd,
+      |  CAST(3 AS BIGINT) AS groups_changed,
+      |  (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) FROM d) AS groups_total
+      |FROM ch GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p36_incremental_changes" -> (p36IncrementalChanges _),
+    "p35_zone_skip" -> (p35ZoneSkip _),
     "p34_partitioned_merge" -> (p34PartitionedMerge _),
     "p33_time_travel" -> (p33TimeTravel _),
     "p32_sql_delete" -> (p32SqlDelete _),
@@ -2319,6 +2451,8 @@ object PipelineQueries {
   // def, not val: p19Sql embeds Sidecars.oracleDir-keyed paths, which
   // Verify pins at runtime before dumping oracle_sql.json
   def oracle: Map[String, String] = Map(
+    "p36_incremental_changes" -> p36Sql,
+    "p35_zone_skip" -> p35Sql,
     "p34_partitioned_merge" -> p34Sql,
     "p33_time_travel" -> p33Sql,
     "p32_sql_delete" -> p32Sql,
