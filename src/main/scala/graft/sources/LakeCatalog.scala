@@ -123,7 +123,14 @@ object LakeStore {
   /** Row-level replacement commit. `groups = None` replaces the whole
     * table (the unpartitioned one-group case); `Some(gs)` swaps exactly
     * the scanned groups: their old rows leave, the plan's full output
-    * (carry-over + merged, all belonging to those groups) lands. */
+    * (carry-over + merged, all belonging to those groups) lands.
+    *
+    * Commit metadata records the union of the SCANNED groups and the
+    * written rows' own groups: a MERGE can INSERT into a partition that
+    * was outside the runtime-filtered scan set (a partition new to the
+    * table), and an incremental CHANGES read must see that insert.
+    * `lastReplacedGroups` stays scanned-only — it is the pruning audit
+    * ("which groups did copy-on-write rewrite"), a different question. */
   def replace(k: String, newRows: Array[Array[Any]],
       groups: Option[Set[List[Any]]]): Unit = tables.synchronized {
     val st = tables(k)
@@ -133,7 +140,7 @@ object LakeStore {
     }
     lastReplacedGroups.update(k, groups)
     tables.update(k, st.copy(snapshots = st.snapshots :+ next,
-      commitGroups = st.commitGroups :+ groups))
+      commitGroups = st.commitGroups :+ groups.map(_ ++ newRows.map(st.groupOf))))
   }
 
   /** The union of groups touched by commits in (v1, v2] — the
@@ -322,10 +329,16 @@ class GraftLakeCatalog extends TableCatalog {
 
   private def k(ident: Identifier): String = LakeStore.key(catalogName, ident)
 
-  override def listTables(namespace: Array[String]): Array[Identifier] =
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    // store keys are catalog.ns1.ns2.name — honor the requested namespace
+    // so SHOW TABLES IN graft_lake.ns lists only that namespace's tables
+    val prefix = (catalogName +: namespace.toSeq).mkString(".") + "."
     LakeStore.list(catalogName)
-      .map(full => Identifier.of(Array.empty, full.stripPrefix(catalogName + ".")))
+      .filter(full => full.startsWith(prefix) &&
+        !full.stripPrefix(prefix).contains('.'))
+      .map(full => Identifier.of(namespace, full.stripPrefix(prefix)))
       .toArray
+  }
 
   override def loadTable(ident: Identifier): Table =
     LakeStore.get(k(ident)) match {
@@ -678,8 +691,12 @@ class LakeReaderFactory(schema: StructType) extends PartitionReaderFactory {
 }
 
 class LakeWriteBuilder(key: String, writeSchema: StructType,
-    replaceOnCommit: Boolean,
-    replacedGroups: () => Option[Set[List[Any]]] = () => None) extends WriteBuilder {
+    private var replaceOnCommit: Boolean,
+    replacedGroups: () => Option[Set[List[Any]]] = () => None) extends WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  /** INSERT OVERWRITE / DataFrame overwrite(lit(true)): whole-table swap —
+    * exactly replaceOnCommit with groups = None (replace every group). */
+  override def truncate(): WriteBuilder = { replaceOnCommit = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new BatchWrite {
       override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -711,7 +728,14 @@ class LakeWriterFactory(schema: StructType) extends DataWriterFactory {
         // 4.1: numFields = schema.length + 1, payload last); plain
         // appends arrive with numFields == schema.length. Align on the
         // trailing schema.length fields so both layouts store correctly.
+        // Anything else (extra trailing columns, a two-column prefix) is
+        // a plan-layout change this writer has not been audited against:
+        // fail loudly rather than store silently mis-aligned rows.
         val off = row.numFields - dts.length
+        require(off == 0 || off == 1,
+          s"graft_lake: unexpected write row layout — numFields=${row.numFields} " +
+            s"for schema of ${dts.length} fields (audited layouts: exact, or one " +
+            "leading MergeRows row-operation discriminator)")
         buf += Array.tabulate(dts.length)(j =>
           LakeStore.toStored(if (row.isNullAt(off + j)) null else row.get(off + j, dts(j))))
       }
