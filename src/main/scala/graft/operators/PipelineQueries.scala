@@ -2311,9 +2311,16 @@ object PipelineQueries {
     s.sql("""CREATE TABLE graft_lake.scan_skip
             |(doc_id BIGINT, source STRING, n_chars BIGINT, batch BIGINT)
             |PARTITIONED BY (batch)""".stripMargin)
+    // one shuffle on the partition column before the write -> each task
+    // owns whole batches -> exactly ONE file per batch group, so the
+    // file zones ARE the batch zones at any scale factor (the standard
+    // partition-aligned write; without it, upstream parallelism would
+    // subdivide batches into files and the per-file skip counters would
+    // depend on task layout instead of data)
     Tables.documents(s, dir)
       .select(col("doc_id"), col("source"), col("n_chars"))
       .withColumn("batch", expr("doc_id div 50"))
+      .repartition(col("batch"))
       .writeTo("graft_lake.scan_skip").append()
     val agg = s.table("graft_lake.scan_skip")
       .filter(col("doc_id") >= 120L && col("doc_id") <= 269L)

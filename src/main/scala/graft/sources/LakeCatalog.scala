@@ -2,26 +2,30 @@ package graft.sources
 
 import java.util
 
-import scala.collection.concurrent.TrieMap
-import scala.jdk.CollectionConverters._
-
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetWriter
+import org.apache.parquet.hadoop.api.WriteSupport
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{Column, Identifier, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog}
+import org.apache.spark.sql.connector.catalog.{Column, Identifier, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
-import org.apache.spark.sql.types.{DataType, StringType, StructType}
+import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, ParquetWriteSupport}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
-import org.apache.spark.unsafe.types.UTF8String
 
-/** A minimal DataSource-V2 lakehouse CATALOG whose tables support the
-  * SQL maintenance statements the reference surface lacks entirely and
+/** A DataSource-V2 lakehouse CATALOG whose tables support the SQL
+  * maintenance statements the reference surface lacks entirely and
   * every incremental corpus pipeline needs: `MERGE INTO` (p29), `UPDATE`
   * (p31), `DELETE FROM` (p32) — all planned by Catalyst's row-level
-  * rewrites — plus snapshot TIME TRAVEL (`VERSION AS OF`, p33): every
-  * committed write pushes an immutable snapshot, Delta/Iceberg-style.
+  * rewrites — plus snapshot TIME TRAVEL (`VERSION AS OF`, p33) and
+  * `ALTER TABLE ADD COLUMN` schema evolution (p37): every committed
+  * write pushes an immutable snapshot, Delta/Iceberg-style. Storage is
+  * [[LakeStore]] — parquet file groups + a JSON commit log.
   *
   * Why a custom catalog at all: Spark 4 plans MERGE only against a V2
   * table whose [[SupportsRowLevelOperations]] contract it can rewrite
@@ -29,30 +33,25 @@ import org.apache.spark.unsafe.types.UTF8String
   * the built-in session catalog's parquet tables are V1 and reject the
   * statement outright. This catalog implements exactly that contract as
   * GROUP-BASED copy-on-write: the row-level operation's scan reads the
-  * affected groups of the current snapshot, Catalyst's rewritten plan
-  * computes carry-over + merged rows DISTRIBUTED (the join, clause
+  * affected groups' FILES of the current snapshot, Catalyst's rewritten
+  * plan computes carry-over + merged rows DISTRIBUTED (the join, clause
   * routing, and row construction all run as ordinary Spark operators
-  * over the scan), and the replacement write swaps those groups'
-  * content atomically at commit.
+  * over the scan), the tasks write replacement parquet files, and the
+  * commit swaps those groups' files atomically in the log.
   *
   * Group granularity IS the 100 TB scale lever, and both granularities
   * are implemented: an unpartitioned table is one group (every
   * statement rewrites the whole table — the simple correct baseline),
   * while a table created `PARTITIONED BY (identity cols)` gets
   * PARTITION-grouped copy-on-write with runtime group filtering — the
-  * row-level scan implements [[SupportsRuntimeV2Filtering]] on the
-  * partition columns, Catalyst's RowLevelOperationRuntimeGroupFiltering
-  * derives the touched partitions from the changeset at execution time
-  * (a dynamic-pruning subquery), the scan emits only those groups, and
-  * the commit rewrites ONLY the scanned groups (Iceberg's
-  * copy-on-write shape). Untouched partitions are neither read nor
-  * rewritten — the property that keeps a 10-partition-touching MERGE
-  * O(touched), not O(table). Storage is a driver-side snapshot map
-  * (the catalog's "metastore + data files" in one), which bounds table
-  * size by driver memory — the production analogue swaps that single
-  * class for parquet file groups exactly the way Delta/Iceberg do,
-  * while every DISTRIBUTED piece (the rewrite, the join, the pruning,
-  * the writers) stays as planned here.
+  * row-level scan implements [[org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering]]
+  * on the partition columns, Catalyst's
+  * RowLevelOperationRuntimeGroupFiltering derives the touched partitions
+  * from the changeset at execution time (a dynamic-pruning subquery),
+  * the scan emits only those groups' files, and the commit rewrites ONLY
+  * the scanned groups' files (Iceberg's copy-on-write shape). Untouched
+  * partitions are neither read nor rewritten — the property that keeps a
+  * 10-partition-touching MERGE O(touched), not O(table).
   *
   * The MERGE semantics themselves (clause order, the four action kinds,
   * unmatched-row carry-over) are Catalyst's own — this file adds no
@@ -60,126 +59,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * rewrite against DuckDB's relational restatement, not a hand-rolled
   * reimplementation.
   *
-  * Supported value types: the atomic types the stored form round-trips
-  * (integral/floating/boolean/string/timestamp/date) — strings cross the
-  * task boundary as JVM Strings, everything else is already the Catalyst
-  * primitive.
+  * Supported value types: the atomic types the manifest round-trips
+  * (integral/floating/boolean/string); nothing here limits the parquet
+  * payload columns beyond what [[ZonePrune]] can skip on.
   */
-object LakeStore {
-  /** Snapshot history, Delta/Iceberg-style: every committed write (append
-    * or row-level replace) pushes a new immutable snapshot; version v =
-    * snapshots(v), version 0 = the empty table at creation. Time travel
-    * (`VERSION AS OF v`) is just a scan pinned to an earlier index.
-    * `commitGroups(v)` is the commit-level CHANGE METADATA (Delta's
-    * commit log / Iceberg's snapshot summary): the group set the commit
-    * that produced snapshot v touched — appends record the appended
-    * rows' groups, row-level replaces record the replaced groups, None
-    * means "the whole table" (an unpartitioned rewrite). This is what
-    * makes an incremental CHANGES read (p36) O(touched groups) instead
-    * of O(two full snapshots). */
-  final case class TableState(schema: StructType, partitionCols: Seq[String],
-      snapshots: Vector[Array[Array[Any]]],
-      commitGroups: Vector[Option[Set[List[Any]]]]) {
-    def current: Array[Array[Any]] = snapshots.last
-    def latestVersion: Int = snapshots.length - 1
-    val partitionIdx: Seq[Int] = partitionCols.map(schema.fieldIndex)
-    /** Group key of a stored row: its partition-column value tuple. */
-    def groupOf(row: Array[Any]): List[Any] = partitionIdx.map(row(_)).toList
-  }
+object LakeTypes // scaladoc anchor only
 
-  private val tables = TrieMap.empty[String, TableState]
-
-  /** Test/audit hook: the group set the last row-level commit REPLACED
-    * per table (None = whole table) — how a spec proves untouched
-    * partitions were not rewritten. */
-  val lastReplacedGroups = TrieMap.empty[String, Option[Set[List[Any]]]]
-
-  /** Test/audit hook: what the last BATCH SCAN of each table actually
-    * emitted after group skipping + column pruning — how a spec (and
-    * p35's published row) proves data skipping really happened at the
-    * scan, not in a downstream Filter. */
-  final case class ScanStats(groupsTotal: Int, groupsScanned: Int,
-      rowsEmitted: Long, colsRead: Seq[String])
-  val lastScanStats = TrieMap.empty[String, ScanStats]
-
-  def key(catalog: String, ident: Identifier): String =
-    (Seq(catalog) ++ ident.namespace().toSeq :+ ident.name()).mkString(".")
-
-  def get(k: String): Option[TableState] = tables.get(k)
-  def create(k: String, schema: StructType, partitionCols: Seq[String]): Boolean =
-    tables.putIfAbsent(k, TableState(schema, partitionCols, Vector(Array.empty),
-      Vector(Some(Set.empty)))).isEmpty
-  def drop(k: String): Boolean = tables.remove(k).isDefined
-  def list(catalog: String): Seq[String] =
-    tables.keys.filter(_.startsWith(catalog + ".")).toSeq.sorted
-
-  def append(k: String, newRows: Array[Array[Any]]): Unit = tables.synchronized {
-    val st = tables(k)
-    tables.update(k, st.copy(
-      snapshots = st.snapshots :+ (st.current ++ newRows),
-      commitGroups = st.commitGroups :+ Some(newRows.map(st.groupOf).toSet)))
-  }
-
-  /** Row-level replacement commit. `groups = None` replaces the whole
-    * table (the unpartitioned one-group case); `Some(gs)` swaps exactly
-    * the scanned groups: their old rows leave, the plan's full output
-    * (carry-over + merged, all belonging to those groups) lands.
-    *
-    * Commit metadata records the union of the SCANNED groups and the
-    * written rows' own groups: a MERGE can INSERT into a partition that
-    * was outside the runtime-filtered scan set (a partition new to the
-    * table), and an incremental CHANGES read must see that insert.
-    * `lastReplacedGroups` stays scanned-only — it is the pruning audit
-    * ("which groups did copy-on-write rewrite"), a different question. */
-  def replace(k: String, newRows: Array[Array[Any]],
-      groups: Option[Set[List[Any]]]): Unit = tables.synchronized {
-    val st = tables(k)
-    val next = groups match {
-      case None => newRows
-      case Some(gs) => st.current.filterNot(r => gs.contains(st.groupOf(r))) ++ newRows
-    }
-    lastReplacedGroups.update(k, groups)
-    tables.update(k, st.copy(snapshots = st.snapshots :+ next,
-      commitGroups = st.commitGroups :+ groups.map(_ ++ newRows.map(st.groupOf))))
-  }
-
-  /** The union of groups touched by commits in (v1, v2] — the
-    * incremental-scan planning step, answered from COMMIT METADATA
-    * alone (no data read). None = some commit rewrote the whole table,
-    * so an incremental reader must fall back to a full diff. */
-  def changedGroups(k: String, v1: Int, v2: Int): Option[Set[List[Any]]] = {
-    val st = tables(k)
-    require(v1 >= 0 && v2 <= st.latestVersion && v1 <= v2,
-      s"graft_lake: bad version range [$v1, $v2] for $k (latest ${st.latestVersion})")
-    ((v1 + 1) to v2).foldLeft(Option(Set.empty[List[Any]])) {
-      case (None, _) => None
-      case (Some(acc), v) => st.commitGroups(v).map(acc ++ _)
-    }
-  }
-
-  /** Catalyst value -> serializable stored form (and back). */
-  def toStored(v: Any): Any = v match {
-    case s: UTF8String => s.toString
-    case other => other
-  }
-  def toCatalyst(v: Any, dt: DataType): Any = dt match {
-    case StringType if v != null => UTF8String.fromString(v.asInstanceOf[String])
-    case _ => v
-  }
-}
-
-/** Min/max ZONE-MAP group skipping — the Delta/Iceberg data-skipping
-  * core: a comparison predicate over a column can rule a whole group
-  * out when the group's value range cannot satisfy it. Skipping is a
+/** Min/max ZONE-MAP file skipping — the Delta/Iceberg data-skipping
+  * core: a comparison predicate over a column can rule a whole file
+  * out when the file's value range cannot satisfy it. Skipping is a
   * pure OPTIMIZATION here, never a correctness lever: every pushed
   * predicate is also returned to Spark as residual, so an
-  * unrecognized/unevaluable shape simply keeps the group (superset-
-  * safe) and Spark's own Filter settles exact semantics. In this
-  * driver-side store the per-group min/max are computed from the
-  * snapshot rows at plan time — the stand-in for the file-footer /
-  * manifest statistics a parquet-backed lake reads them from; what the
-  * skipping SAVES is what gets emitted to executors (and, in the
-  * file-backed analogue, what gets read at all). */
+  * unrecognized/unevaluable shape simply keeps the file (superset-
+  * safe) and Spark's own Filter settles exact semantics. The per-file
+  * min/max come from the MANIFEST ([[LakeStore.FileEntry.zones]],
+  * recorded by the task that wrote the file) — planning never opens a
+  * data file, the file-footer-statistics read path. */
 private[sources] object ZonePrune {
   import org.apache.spark.sql.connector.expressions.{Literal, NamedReference}
   import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
@@ -225,7 +120,7 @@ private[sources] object ZonePrune {
   }
 
   /** Can a value in [min, max] satisfy `op lit`? Unknown comparisons
-    * answer true (keep the group). */
+    * answer true (keep the file). */
   private def rangeMaySatisfy(min: Any, max: Any, op: String, lit: Any): Boolean = op match {
     case "=" => cmp(min, lit).forall(_ <= 0) && cmp(max, lit).forall(_ >= 0)
     case "<" => cmp(min, lit).forall(_ < 0)
@@ -235,9 +130,10 @@ private[sources] object ZonePrune {
     case _ => true
   }
 
-  /** Group survival under one parsed compare, given the group's non-null
-    * (min, max) for the column; an all-null group cannot satisfy a
-    * null-rejecting comparison, so it is skipped. */
+  /** File survival under one parsed compare, given the file's non-null
+    * (min, max) zone for the column; None (all-null, or the column is
+    * not stored in this file at all) cannot satisfy a null-rejecting
+    * comparison, so the file is skipped. */
   def survives(zone: Option[(Any, Any)], cc: ColCompare): Boolean = zone match {
     case None => false
     case Some((mn, mx)) => cc.op match {
@@ -247,32 +143,43 @@ private[sources] object ZonePrune {
   }
 }
 
-/** Public incremental-read API over the lake's commit metadata — the
-  * library surface a downstream pipeline calls to consume a table
-  * INCREMENTALLY (Delta's CDF / Iceberg's incremental scan shape):
-  * plan from commit metadata which partitions commits (v1, v2]
-  * touched, then diff ONLY those partitions between the two pinned
-  * snapshots. Untouched partitions are neither planned nor read —
-  * the version-pinned scans carry a partition-column IN predicate
-  * that [[ZonePrune]] group-skips at the source. */
+/** Public incremental-read + maintenance API over the lake's commit
+  * log — the library surface a downstream pipeline calls to consume a
+  * table INCREMENTALLY (Delta's CDF / Iceberg's incremental scan
+  * shape) and to maintain its layout (OPTIMIZE): plan from commit
+  * metadata which partitions commits (v1, v2] touched, then diff ONLY
+  * those partitions between the two pinned snapshots. Untouched
+  * partitions are neither planned nor read — the version-pinned scans
+  * carry a partition-column IN predicate that [[ZonePrune]] skips at
+  * the source. */
 object GraftLake {
   import org.apache.spark.sql.{DataFrame, SparkSession}
   import org.apache.spark.sql.functions.{coalesce, col, lit, not, when}
 
-  /** Partition tuples touched by commits in (v1, v2], answered from
+  /** Partition tuples touched by DATA commits in (v1, v2], answered from
     * COMMIT METADATA alone (no data read); None = some commit in the
-    * range rewrote the whole table, so only a full diff is sound. */
+    * range rewrote the whole table, so only a full diff is sound.
+    * Layout-only commits (OPTIMIZE) are invisible. */
   def changedPartitions(qualifiedKey: String, v1: Int, v2: Int): Option[Set[List[Any]]] =
     LakeStore.changedGroups(qualifiedKey, v1, v2)
 
   /** Partition tuples present in the CURRENT snapshot — the manifest's
-    * partition listing (driver-side metadata read, like listing Delta's
-    * partition directory index; not a distributed scan). */
-  def livePartitions(qualifiedKey: String): Set[List[Any]] = {
-    val st = LakeStore.get(qualifiedKey).getOrElse(
-      throw new NoSuchTableException(qualifiedKey.split('.').toSeq))
-    st.current.iterator.map(st.groupOf).toSet
-  }
+    * partition listing (driver-side metadata read over the live file
+    * set; not a distributed scan). */
+  def livePartitions(qualifiedKey: String): Set[List[Any]] =
+    LakeStore.get(qualifiedKey).getOrElse(
+      throw new NoSuchTableException(qualifiedKey.split('.').toSeq)).liveGroups
+
+  /** The table's commit-log directory — a stream of one JSON document
+    * per commit, consumable with `readStream` as a change-data feed
+    * (st14): new commits arrive as new files, in version order. */
+  def commitLogDir(qualifiedKey: String): String =
+    LakeStore.tableDir(qualifiedKey) + "/_log"
+
+  /** Current latest snapshot version (driver-side metadata read). */
+  def latestVersion(qualifiedKey: String): Int =
+    LakeStore.get(qualifiedKey).getOrElse(
+      throw new NoSuchTableException(qualifiedKey.split('.').toSeq)).latestVersion
 
   /** Row-level CHANGES between snapshot v1 and v2 of `tableRef`
     * (qualified `catalog.table`, which is also its store key), keyed by
@@ -285,7 +192,7 @@ object GraftLake {
     * touched groups and the table has a single partition column, both
     * version-pinned scans are filtered to the changed partitions — the
     * IN predicate reaches the scan as a pushed predicate and the zone
-    * maps skip every untouched group, making the diff O(changed
+    * maps skip every untouched file, making the diff O(changed
     * partitions), not O(2 snapshots). A whole-table commit in the
     * range (or a multi-column partition key) falls back to the full
     * diff, which stays correct. The diff itself is one distributed
@@ -318,6 +225,24 @@ object GraftLake {
           st.partitionCols.map(pc => coalesce(col(s"n.$pc"), col(s"o.$pc")).as(pc)) :+
           col("change")): _*)
   }
+
+  /** OPTIMIZE: rewrite the table's live files range-CLUSTERED on
+    * `clusterCol` into `nFiles` files (per partition group) — Delta's
+    * `OPTIMIZE ... ZORDER BY` for the single-column case. Row data is
+    * untouched; the commit is recorded `dataChange=false`, so CDC
+    * readers skip it and time travel still sees every prior version.
+    * The rewrite is one distributed range-shuffle: `repartitionByRange`
+    * makes each output task own a contiguous value range, so the files
+    * it writes get TIGHT zones — the property that turns a post-
+    * optimize box predicate into an O(matching files) scan (p38 pins
+    * this via [[LakeStore.lastScanStats]] before/after). */
+  def optimize(s: SparkSession, tableRef: String, clusterCol: String,
+      nFiles: Int): Unit = {
+    val df = s.table(tableRef).repartitionByRange(nFiles, col(clusterCol))
+    LakeStore.nextReplaceIsLayoutOnly.update(tableRef, true)
+    try df.writeTo(tableRef).overwrite(lit(true))
+    finally LakeStore.nextReplaceIsLayoutOnly.remove(tableRef)
+  }
 }
 
 class GraftLakeCatalog extends TableCatalog {
@@ -347,7 +272,9 @@ class GraftLakeCatalog extends TableCatalog {
         Seq(catalogName) ++ ident.namespace().toSeq :+ ident.name())
     }
 
-  /** `VERSION AS OF v` time travel: the same table pinned to snapshot v. */
+  /** `VERSION AS OF v` time travel: the same table pinned to snapshot v,
+    * read with THAT version's schema (pre-ALTER versions surface their
+    * own narrower schema, like Delta). */
   override def loadTable(ident: Identifier, version: String): Table =
     LakeStore.get(k(ident)) match {
       case Some(st) =>
@@ -357,7 +284,7 @@ class GraftLakeCatalog extends TableCatalog {
         }
         require(v >= 0 && v <= st.latestVersion,
           s"graft_lake: version $v out of range [0, ${st.latestVersion}] for ${k(ident)}")
-        new GraftLakeTable(k(ident), st.schema, pinnedVersion = Some(v))
+        new GraftLakeTable(k(ident), st.snapshots(v).schema, pinnedVersion = Some(v))
       case None => throw new NoSuchTableException(
         Seq(catalogName) ++ ident.namespace().toSeq :+ ident.name())
     }
@@ -391,9 +318,35 @@ class GraftLakeCatalog extends TableCatalog {
     new GraftLakeTable(k(ident), schema)
   }
 
-  override def alterTable(ident: Identifier,
-      changes: org.apache.spark.sql.connector.catalog.TableChange*): Table =
-    throw new UnsupportedOperationException("graft_lake: ALTER TABLE not supported")
+  /** Schema evolution: `ALTER TABLE ... ADD COLUMN(S)` appends nullable
+    * top-level columns. The commit is metadata-only (dataChange=false,
+    * same live files); files written before the ALTER simply lack the
+    * column in their manifest `cols`, and the reader pads null — the
+    * `mergeSchema` read behavior, resolved from the manifest instead of
+    * parquet footers. Anything else (drop/rename/retype) is rejected
+    * loudly. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val key = k(ident)
+    val st = LakeStore.get(key).getOrElse(throw new NoSuchTableException(
+      Seq(catalogName) ++ ident.namespace().toSeq :+ ident.name()))
+    var schema = st.schema
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          s"graft_lake: nested ADD COLUMN unsupported: ${add.fieldNames().mkString(".")}")
+        require(add.position() == null,
+          "graft_lake: positioned ADD COLUMN unsupported (columns append at the end)")
+        require(add.isNullable,
+          "graft_lake: added columns must be nullable (existing files pad null)")
+        require(!schema.fieldNames.contains(add.fieldNames()(0)),
+          s"graft_lake: column ${add.fieldNames()(0)} already exists")
+        schema = schema.add(StructField(add.fieldNames()(0), add.dataType(), add.isNullable))
+      case other => throw new UnsupportedOperationException(
+        s"graft_lake: unsupported ALTER TABLE change $other")
+    }
+    LakeStore.alterSchema(key, schema)
+    new GraftLakeTable(key, schema)
+  }
 
   override def dropTable(ident: Identifier): Boolean = LakeStore.drop(k(ident))
 
@@ -432,8 +385,8 @@ class GraftLakeTable(val key: String, val tableSchema: StructType,
 }
 
 /** Group-based row-level operation. Unpartitioned table: whole table =
-  * the one group — the scan hands Catalyst the full current snapshot and
-  * the commit swaps in the rewritten plan's full output (carry-over rows
+  * the one group — the scan hands Catalyst every live file and the
+  * commit swaps in the rewritten plan's full output (carry-over rows
   * included — Catalyst's rewrite produces them for copy-on-write).
   * Partitioned table: the scan is runtime-group-filterable on the
   * partition columns; whatever group set it actually EMITS (recorded at
@@ -442,9 +395,7 @@ class GraftLakeTable(val key: String, val tableSchema: StructType,
   * through this operation instance, the same lifecycle Iceberg uses. */
 class LakeRowLevelOperation(key: String, schema: StructType,
     info: RowLevelOperationInfo) extends RowLevelOperation {
-  /** Groups the row-level scan emitted; None until planned. For an
-    * unpartitioned table the scan records None's stand-in Some(whole) —
-    * see LakeGroupScan — so the commit falls back to full replace. */
+  /** Groups the row-level scan emitted; None until planned. */
   @volatile private[sources] var scannedGroups: Option[Set[List[Any]]] = None
 
   override def command(): RowLevelOperation.Command = info.command()
@@ -481,12 +432,12 @@ class LakeGroupScanBuilder(key: String, schema: StructType, op: LakeRowLevelOper
   override def build(): Scan = new LakeGroupScan(key, schema, op, pushed)
 }
 
-/** The row-level operation's scan: the base snapshot scan plus runtime
+/** The row-level operation's scan: the live-file scan plus runtime
   * group filtering on the partition columns. Catalyst's
   * RowLevelOperationRuntimeGroupFiltering executes the changeset side
   * first and pushes the touched partition values here as predicates
-  * BEFORE planInputPartitions — so only affected groups are read, and
-  * the groups actually emitted are recorded for the commit. */
+  * BEFORE planInputPartitions — so only affected groups' files are
+  * read, and the groups actually emitted are recorded for the commit. */
 class LakeGroupScan(key: String, schema: StructType,
     op: LakeRowLevelOperation,
     staticPushed: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] = Array.empty)
@@ -507,8 +458,7 @@ class LakeGroupScan(key: String, schema: StructType,
     if (st.partitionCols.isEmpty || staticPushed.isEmpty) return None
     val compares = staticPushed.flatMap(ZonePrune.parse)
     if (compares.isEmpty) return None
-    val existing: Set[List[Any]] = st.current.map(st.groupOf).toSet
-    Some(existing.filter(g => compares.forall { cc =>
+    Some(st.liveGroups.filter(g => compares.forall { cc =>
       val i = st.partitionCols.indexOf(cc.col)
       i < 0 || ZonePrune.survives(Some((g(i), g(i))), cc)
     }))
@@ -522,12 +472,11 @@ class LakeGroupScan(key: String, schema: StructType,
   override def filter(predicates: Array[V2Predicate]): Unit = {
     val st = state.getOrElse(return)
     if (st.partitionCols.isEmpty) return
-    val existing: Set[List[Any]] = st.current.map(st.groupOf).toSet
     // Interpret the conjunction of IN/= predicates over single partition
     // columns; any predicate shape we don't recognize is IGNORED (keeping
     // a superset of groups is always sound — extra groups' rows ride
     // through the rewrite as carry-over and land back unchanged).
-    val surviving = predicates.foldLeft(existing) { (acc, p) =>
+    val surviving = predicates.foldLeft(st.liveGroups) { (acc, p) =>
       val colIdx: Option[Int] = p.children().collectFirst {
         case r: NamedReference if r.fieldNames().length == 1 =>
           st.partitionCols.indexOf(r.fieldNames()(0))
@@ -545,34 +494,35 @@ class LakeGroupScan(key: String, schema: StructType,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val st = state
-    val parts = st match {
-      case Some(s) =>
+    state match {
+      case Some(st) =>
         // static (statement-condition) and runtime (changeset-derived)
         // prunings compose by intersection; either may be absent
         val effective: Option[Set[List[Any]]] = (staticKept, kept) match {
           case (Some(a), Some(b)) => Some(a intersect b)
           case (a, b) => a.orElse(b)
         }
-        val rows = effective match {
-          case Some(gs) => s.current.filter(r => gs.contains(s.groupOf(r)))
-          case None => s.current
+        val files = effective match {
+          case Some(gs) => st.current.filter(f => gs.contains(f.group))
+          case None => st.current
         }
         // record what this scan EMITS: exactly the groups the commit
-        // must replace (filtered set if pruning ran, else every group —
-        // for an unpartitioned table groupOf is the empty tuple, i.e.
-        // "the whole table" as one group)
-        op.scannedGroups = Some(effective.getOrElse(rows.map(s.groupOf).toSet))
-        rows
-      case None => Array.empty[Array[Any]]
+        // must replace (filtered set if pruning ran, else every live
+        // group — for an unpartitioned table the group is the empty
+        // tuple, i.e. "the whole table" as one group)
+        op.scannedGroups = Some(effective.getOrElse(st.liveGroups))
+        // copy-on-write reads full rows: no column pruning on this path
+        files.map(f =>
+          LakeFilePartition(s"${LakeStore.dataDir(key)}/${f.path}", f.cols, f.rows)
+            : InputPartition).toArray
+      case None => Array.empty
     }
-    sliced(parts)
   }
 }
 
-/** Plain-read scan builder: min/max zone-map GROUP SKIPPING
+/** Plain-read scan builder: min/max zone-map FILE SKIPPING
   * ([[ZonePrune]]) plus column pruning. Every predicate Spark offers is
-  * returned as residual — the scan only ever narrows WHICH GROUPS and
+  * returned as residual — the scan only ever narrows WHICH FILES and
   * WHICH COLUMNS flow, never final row semantics. */
 class LakeScanBuilder(key: String, schema: StructType, pinnedVersion: Option[Int])
     extends ScanBuilder
@@ -593,12 +543,15 @@ class LakeScanBuilder(key: String, schema: StructType, pinnedVersion: Option[Int
   override def build(): Scan = new LakeScan(key, schema, pinnedVersion, pushed, required)
 }
 
-/** Snapshot scan: rows are captured at plan time (driver), so a MERGE
-  * that reads and replaces the same table sees the pre-merge state for
+/** Snapshot scan: the live (or version-pinned) FILE LIST is captured at
+  * plan time from the manifest (driver-side metadata only), so a MERGE
+  * that reads and replaces the same table sees the pre-merge files for
   * the whole query and the swap is atomic at commit. With pushed
-  * predicates, groups whose zone maps cannot satisfy them are skipped
-  * before anything is emitted; with a pruned schema, only the required
-  * columns cross to executors. */
+  * predicates, files whose manifest zones cannot satisfy them are
+  * skipped before anything is opened; with a pruned schema, only the
+  * required columns are read from parquet (true columnar projection).
+  * Each surviving file is one InputPartition — the executor-side reader
+  * opens exactly that file. */
 class LakeScan(key: String, schema: StructType,
     pinnedVersion: Option[Int] = None,
     pushed: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] = Array.empty,
@@ -612,80 +565,101 @@ class LakeScan(key: String, schema: StructType,
       s"readCols=[${readCols.fieldNames.mkString(",")}] " +
       s"skipPredicates=[${pushed.map(_.toString).mkString(", ")}]"
 
-  /** Split a row set so the downstream plan parallelizes even in this
-    * single-JVM store (a file-backed variant would hand back one
-    * partition per file group). */
-  protected def sliced(rows: Array[Array[Any]]): Array[InputPartition] = {
-    val slices = math.max(1, math.min(4, rows.length))
-    rows.grouped(math.max(1, (rows.length + slices - 1) / slices))
-      .map(chunk => LakePartition(chunk): InputPartition).toArray match {
-      case empty if empty.isEmpty => Array(LakePartition(Array.empty))
-      case parts => parts
-    }
-  }
-
   override def planInputPartitions(): Array[InputPartition] = {
     val st = LakeStore.get(key)
-    val rows = st.map(s => pinnedVersion.fold(s.current)(s.snapshots(_)))
-      .getOrElse(Array.empty[Array[Any]])
-    val kept = st match {
-      case Some(state) =>
-        val compares = pushed.flatMap(ZonePrune.parse)
-        if (compares.isEmpty) {
-          LakeStore.lastScanStats.update(key, LakeStore.ScanStats(
-            rows.map(state.groupOf).distinct.length,
-            rows.map(state.groupOf).distinct.length,
-            rows.length, readCols.fieldNames.toSeq))
-          rows
-        } else {
-          val groups = rows.groupBy(state.groupOf)
-          // per-group non-null (min, max) per referenced column — the
-          // footer/manifest statistics stand-in, computed off the
-          // driver-side snapshot
-          val surviving = groups.filter { case (_, gRows) =>
-            compares.forall { cc =>
-              val idx = state.schema.fieldIndex(cc.col)
-              var mn: Any = null; var mx: Any = null
-              gRows.foreach { r =>
-                val v = r(idx)
-                if (v != null) {
-                  if (mn == null || ZonePrune.cmp(v, mn).exists(_ < 0)) mn = v
-                  if (mx == null || ZonePrune.cmp(v, mx).exists(_ > 0)) mx = v
-                }
-              }
-              ZonePrune.survives(if (mn == null) None else Some((mn, mx)), cc)
-            }
-          }
-          val out = surviving.values.flatten.toArray
-          LakeStore.lastScanStats.update(key, LakeStore.ScanStats(
-            groups.size, surviving.size, out.length, readCols.fieldNames.toSeq))
-          out
-        }
-      case None => rows
-    }
-    val projIdx = readCols.fieldNames.map(schema.fieldIndex)
-    sliced(kept.map(r => projIdx.map(r(_))))
+    val files = st.map(s => pinnedVersion.fold(s.current)(v => s.snapshots(v).files))
+      .getOrElse(Vector.empty)
+    val compares = pushed.flatMap(ZonePrune.parse)
+    val surviving =
+      if (compares.isEmpty) files
+      else files.filter(f => compares.forall(cc => ZonePrune.survives(f.zones.get(cc.col), cc)))
+    LakeStore.lastScanStats.update(key, LakeStore.ScanStats(
+      files.map(_.group).distinct.length,
+      surviving.map(_.group).distinct.length,
+      files.length, surviving.length,
+      surviving.map(_.rows).sum, readCols.fieldNames.toSeq))
+    surviving.map(f =>
+      LakeFilePartition(s"${LakeStore.dataDir(key)}/${f.path}", f.cols, f.rows)
+        : InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new LakeReaderFactory(readCols)
 }
 
-case class LakePartition(rows: Array[Array[Any]]) extends InputPartition
+/** One immutable parquet file group = one input partition: absolute
+  * path, the columns the file physically stores (pre-ALTER files lack
+  * later columns), and its manifest row count (serves metadata-only
+  * scans without opening the file). */
+case class LakeFilePartition(path: String, cols: Seq[String], rows: Long)
+    extends InputPartition
 
-class LakeReaderFactory(schema: StructType) extends PartitionReaderFactory {
+/** Executor-side parquet reader: opens the file group with Spark's own
+  * ParquetReadSupport (the same record materializer the file source
+  * uses), requests only the columns that are BOTH required and present
+  * in the file, and pads required-but-absent columns (added by a later
+  * ALTER) with null. A fully-pruned read (count(*)) never opens the
+  * file at all — the manifest row count answers it. */
+class LakeReaderFactory(required: StructType) extends PartitionReaderFactory {
+  import org.apache.spark.sql.catalyst.util.RebaseDateTime.RebaseSpec
+  import org.apache.spark.sql.internal.LegacyBehaviorPolicy
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val rows = partition.asInstanceOf[LakePartition].rows
-    val dts = schema.fields.map(_.dataType)
-    new PartitionReader[InternalRow] {
-      private var i = -1
-      override def next(): Boolean = { i += 1; i < rows.length }
-      override def get(): InternalRow = {
-        val vals = rows(i)
-        new GenericInternalRow(
-          Array.tabulate(vals.length)(j => LakeStore.toCatalyst(vals(j), dts(j))))
+    val p = partition.asInstanceOf[LakeFilePartition]
+
+    if (required.isEmpty) {
+      // metadata-only read: emit the row count as empty rows
+      return new PartitionReader[InternalRow] {
+        private var remaining = p.rows
+        private val empty = new GenericInternalRow(0)
+        override def next(): Boolean = { remaining -= 1; remaining >= 0 }
+        override def get(): InternalRow = empty
+        override def close(): Unit = ()
       }
-      override def close(): Unit = ()
+    }
+
+    val availIdx = required.fields.zipWithIndex
+      .filter { case (f, _) => p.cols.contains(f.name) }
+    val fileSchema = StructType(availIdx.map(_._1))
+
+    val conf = new Configuration()
+    conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, fileSchema.json)
+    conf.setBoolean("spark.sql.parquet.binaryAsString", false)
+    conf.setBoolean("spark.sql.parquet.int96AsTimestamp", true)
+    conf.setBoolean("spark.sql.caseSensitive", false)
+    conf.setBoolean("spark.sql.parquet.fieldId.read.enabled", false)
+    conf.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", true)
+    conf.setBoolean("spark.sql.legacy.parquet.nanosAsLong", false)
+    conf.setBoolean("spark.sql.parquet.variant.annotateLogicalType.enabled", true)
+    conf.setBoolean("spark.sql.parquet.ignoreVariantAnnotation", false)
+    conf.setBoolean("spark.sql.parquet.reader.respectUnknownTypeAnnotation.enabled", false)
+
+    val spec = RebaseSpec(LegacyBehaviorPolicy.CORRECTED)
+    val reader = org.apache.parquet.hadoop.ParquetReader
+      .builder[InternalRow](
+        new ParquetReadSupport(None, enableVectorizedReader = false, spec, spec),
+        new Path(p.path))
+      .withConf(conf)
+      .build()
+
+    val dts = fileSchema.fields.map(_.dataType)
+    val targetIdx = availIdx.map(_._2) // position of each read column in `required`
+
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean = { cur = reader.read(); cur != null }
+      override def get(): InternalRow = {
+        // copy out of the materializer's (reusable) row, padding columns
+        // the file predates with null
+        val out = new GenericInternalRow(required.length)
+        var j = 0
+        while (j < dts.length) {
+          out.update(targetIdx(j), if (cur.isNullAt(j)) null else cur.get(j, dts(j)))
+          j += 1
+        }
+        out
+      }
+      override def close(): Unit = reader.close()
     }
   }
 }
@@ -697,30 +671,77 @@ class LakeWriteBuilder(key: String, writeSchema: StructType,
   /** INSERT OVERWRITE / DataFrame overwrite(lit(true)): whole-table swap —
     * exactly replaceOnCommit with groups = None (replace every group). */
   override def truncate(): WriteBuilder = { replaceOnCommit = true; this }
+
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new BatchWrite {
-      override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-        new LakeWriterFactory(writeSchema)
-      override def commit(messages: Array[WriterCommitMessage]): Unit = {
-        val rows = messages.iterator
-          .map(_.asInstanceOf[LakeCommit])
-          .flatMap(_.rows.iterator)
-          .toArray
-        if (replaceOnCommit) LakeStore.replace(key, rows, replacedGroups())
-        else LakeStore.append(key, rows)
+      override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+        val partitionCols = LakeStore.get(key).map(_.partitionCols).getOrElse(Nil)
+        new LakeWriterFactory(LakeStore.dataDir(key), writeSchema, partitionCols)
       }
-      override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+      override def commit(messages: Array[WriterCommitMessage]): Unit = {
+        val files = messages.iterator
+          .map(_.asInstanceOf[LakeCommit])
+          .flatMap(_.files.iterator)
+          .toSeq
+        if (replaceOnCommit) LakeStore.replace(key, files, replacedGroups())
+        else LakeStore.append(key, files)
+      }
+      override def abort(messages: Array[WriterCommitMessage]): Unit = {
+        // drop any files whose tasks committed before the job aborted;
+        // unreferenced files are invisible, this is just hygiene
+        val fs = new Path(LakeStore.dataDir(key)).getFileSystem(new Configuration())
+        messages.iterator.filter(_ != null).map(_.asInstanceOf[LakeCommit])
+          .flatMap(_.files.iterator)
+          .foreach(f => fs.delete(new Path(LakeStore.dataDir(key), f.path), false))
+      }
     }
   }
 }
 
-case class LakeCommit(rows: Array[Array[Any]]) extends WriterCommitMessage
+case class LakeCommit(files: Seq[LakeStore.FileEntry]) extends WriterCommitMessage
 
-class LakeWriterFactory(schema: StructType) extends DataWriterFactory {
+/** Task-side parquet writer: one file per partition GROUP the task
+  * sees (a pre-shuffled write — e.g. repartition(partitionCol) — thus
+  * lands one file per group total). Rows stream straight into Spark's
+  * ParquetWriteSupport; per-column min/max zones accumulate as rows
+  * pass and land in the commit message's manifest entry — statistics
+  * are recorded at write time, never recomputed by a scan. */
+class LakeWriterFactory(dataDir: String, schema: StructType,
+    partitionCols: Seq[String]) extends DataWriterFactory {
+
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val dts = schema.fields.map(_.dataType)
+    val partitionIdx = partitionCols.map(schema.fieldIndex).toArray
+    val colNames = schema.fieldNames
+
+    final class OpenFile(val relPath: String) {
+      val writer: ParquetWriter[InternalRow] = {
+        val conf = new Configuration()
+        ParquetWriteSupport.setSchema(schema, conf)
+        conf.set("spark.sql.parquet.writeLegacyFormat", "false")
+        conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        conf.set("spark.sql.parquet.fieldId.write.enabled", "false")
+        conf.set("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
+        conf.set("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
+        conf.set("spark.sql.parquet.variant.annotateLogicalType.enabled", "true")
+        new LakeWriterFactory.RowWriterBuilder(new Path(dataDir, relPath), conf)
+          .withConf(conf)
+          .withCompressionCodec(CompressionCodecName.SNAPPY)
+          .build()
+      }
+      var rows: Long = 0L
+      val mins: Array[Any] = Array.fill[Any](dts.length)(null)
+      val maxs: Array[Any] = Array.fill[Any](dts.length)(null)
+
+      def zones: Map[String, (Any, Any)] =
+        colNames.indices.collect {
+          case i if mins(i) != null => colNames(i) -> ((mins(i), maxs(i)))
+        }.toMap
+    }
+
     new DataWriter[InternalRow] {
-      private val buf = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
+      private val open = scala.collection.mutable.LinkedHashMap.empty[List[Any], OpenFile]
+
       override def write(row: InternalRow): Unit = {
         // MergeRows' physical output under group-based ReplaceData keeps
         // its row-operation discriminator as a LEADING extra column that
@@ -728,20 +749,78 @@ class LakeWriterFactory(schema: StructType) extends DataWriterFactory {
         // 4.1: numFields = schema.length + 1, payload last); plain
         // appends arrive with numFields == schema.length. Align on the
         // trailing schema.length fields so both layouts store correctly.
-        // Anything else (extra trailing columns, a two-column prefix) is
-        // a plan-layout change this writer has not been audited against:
-        // fail loudly rather than store silently mis-aligned rows.
+        // Anything else is a plan-layout change this writer has not been
+        // audited against: fail loudly rather than store mis-aligned rows.
         val off = row.numFields - dts.length
         require(off == 0 || off == 1,
           s"graft_lake: unexpected write row layout — numFields=${row.numFields} " +
             s"for schema of ${dts.length} fields (audited layouts: exact, or one " +
             "leading MergeRows row-operation discriminator)")
-        buf += Array.tabulate(dts.length)(j =>
-          LakeStore.toStored(if (row.isNullAt(off + j)) null else row.get(off + j, dts(j))))
+        val full = new GenericInternalRow(dts.length)
+        var j = 0
+        while (j < dts.length) {
+          full.update(j, if (row.isNullAt(off + j)) null else row.get(off + j, dts(j)))
+          j += 1
+        }
+        val group = partitionIdx.map(i => LakeStore.toStored(full.get(i, dts(i)))).toList
+        val file = open.getOrElseUpdate(group,
+          new OpenFile(s"${java.util.UUID.randomUUID().toString}.parquet"))
+        file.writer.write(full)
+        file.rows += 1
+        var i = 0
+        while (i < dts.length) {
+          if (!full.isNullAt(i)) {
+            val v = LakeStore.toStored(full.get(i, dts(i)))
+            if (file.mins(i) == null) { file.mins(i) = v; file.maxs(i) = v }
+            else {
+              if (ZonePrune.cmp(v, file.mins(i)).exists(_ < 0)) file.mins(i) = v
+              if (ZonePrune.cmp(v, file.maxs(i)).exists(_ > 0)) file.maxs(i) = v
+            }
+          }
+          i += 1
+        }
       }
-      override def commit(): WriterCommitMessage = LakeCommit(buf.toArray)
-      override def abort(): Unit = buf.clear()
+
+      override def commit(): WriterCommitMessage = {
+        open.values.foreach(_.writer.close())
+        LakeCommit(open.map { case (group, f) =>
+          LakeStore.FileEntry(f.relPath, group, f.rows, colNames.toSeq, f.zones)
+        }.toSeq)
+      }
+
+      override def abort(): Unit = {
+        val fs = new Path(dataDir).getFileSystem(new Configuration())
+        open.values.foreach { f =>
+          try f.writer.close() catch { case _: Exception => () }
+          fs.delete(new Path(dataDir, f.relPath), false)
+        }
+      }
+
       override def close(): Unit = ()
     }
+  }
+}
+
+object LakeWriterFactory {
+  /** Spark's ParquetWriteSupport initialized with OUR configuration —
+    * parquet-mr's builder may hand init() a rebuilt Configuration that
+    * lost the Spark SQL keys (the ParquetConfiguration adapter), so the
+    * write conf is pinned here instead of trusting the plumbing. */
+  private class PinnedConfWriteSupport(conf: Configuration)
+      extends WriteSupport[InternalRow] {
+    private val inner = new ParquetWriteSupport
+    override def init(ignored: Configuration): WriteSupport.WriteContext =
+      inner.init(conf)
+    override def prepareForWrite(rc: org.apache.parquet.io.api.RecordConsumer): Unit =
+      inner.prepareForWrite(rc)
+    override def write(r: InternalRow): Unit = inner.write(r)
+  }
+
+  /** Minimal parquet-mr builder handing back Spark's own WriteSupport. */
+  private class RowWriterBuilder(path: Path, sparkConf: Configuration)
+      extends ParquetWriter.Builder[InternalRow, RowWriterBuilder](path) {
+    override def getWriteSupport(conf: Configuration): WriteSupport[InternalRow] =
+      new PinnedConfWriteSupport(sparkConf)
+    override def self(): RowWriterBuilder = this
   }
 }
