@@ -30,7 +30,16 @@ object GraftSession {
     import org.apache.logging.log4j.core.config.Configurator
     Seq(
       "org.apache.spark.sql.execution.window.WindowExec",
-      "org.apache.spark.sql.execution.window.WindowGroupLimitExec")
+      "org.apache.spark.sql.execution.window.WindowGroupLimitExec",
+      // streaming boilerplate on every st* run, both audited-benign:
+      // "adaptive.enabled is not supported in streaming ... will be
+      // disabled" (engine behavior, not a misconfiguration — batch
+      // queries keep AQE) and "Temporary checkpoint location created"
+      // (the st* queries that WANT durable checkpoints set explicit
+      // locations; recovery semantics are pinned by
+      // StreamingRecoverySpec). Silenced so a REAL warning is visible
+      // in the bench tail instead of hiding behind 14 copies of these.
+      "org.apache.spark.sql.execution.streaming.runtime.ResolveWriteToStream")
       .foreach(Configurator.setLevel(_, Level.ERROR))
   }
 

@@ -2418,7 +2418,146 @@ object PipelineQueries {
       |  (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) FROM d) AS groups_total
       |FROM ch GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- p37
+  /** Lake SCHEMA EVOLUTION — `ALTER TABLE ADD COLUMN` + MERGE into the
+    * evolved schema (Delta's automatic-evolution scenario, done with the
+    * explicit DDL): the corpus lands in a source-partitioned lake table,
+    * a `quality_milli` column is added as a METADATA-ONLY commit (no
+    * file is touched — dataChange=false, same live set), and a MERGE
+    * back-fills quality for the re-scored slice while inserting a new
+    * crawl slice that carries the column from birth. Files written
+    * before the ALTER physically lack the column; the scan pads null
+    * from the manifest's per-file column list — the mergeSchema read
+    * behavior without opening a single extra footer.
+    *
+    * The evolution contract sits INSIDE the hash: per source, the count
+    * of rows whose quality is NULL (exactly the never-rescored pre-ALTER
+    * rows), the exact int64 quality sum over back-filled + inserted
+    * rows, and the v1 time-travel column count (pre-ALTER snapshots
+    * surface their own 3-column schema, like Delta). */
+  def p37SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    registerLake(s)
+    s.sql("DROP TABLE IF EXISTS graft_lake.evo")
+    s.sql("""CREATE TABLE graft_lake.evo
+            |(doc_id BIGINT, source STRING, n_chars BIGINT)
+            |PARTITIONED BY (source)""".stripMargin)
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    docs.writeTo("graft_lake.evo").append() // v1: pre-evolution corpus
+    s.sql("ALTER TABLE graft_lake.evo ADD COLUMN quality_milli BIGINT") // v2: metadata-only
+    val rescored = docs.filter(col("doc_id") % 5 === 0)
+      .withColumn("quality_milli", col("n_chars") * 3L)
+    val newSlice = docs.filter(col("doc_id") % 97 === 0)
+      .select((col("doc_id") + 10000L).as("doc_id"),
+        lit("src_new").as("source"), lit(77L).as("n_chars"),
+        lit(1234L).as("quality_milli"))
+    rescored.unionByName(newSlice).createOrReplaceTempView("evo_changes")
+    s.sql("""MERGE INTO graft_lake.evo t USING evo_changes s
+            |ON t.doc_id = s.doc_id
+            |WHEN MATCHED THEN UPDATE SET quality_milli = s.quality_milli
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin) // v3
+    val v1Cols = s.sql("SELECT * FROM graft_lake.evo VERSION AS OF 1")
+      .schema.length.toLong
+    s.table("graft_lake.evo")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("quality_milli").isNull, 1L).otherwise(0L)).as("n_null_q"),
+        coalesce(sum(col("quality_milli")), lit(0L)).as("sum_q"),
+        sum(col("n_chars")).as("sum_chars"))
+      .withColumn("n_cols_v1", lit(v1Cols))
+      .orderBy(col("source"))
+  }
+
+  val p37Sql: String =
+    """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+      |merged AS (
+      |  SELECT doc_id, source, n_chars,
+      |    CASE WHEN doc_id % 5 = 0 THEN n_chars * 3 ELSE NULL END AS q
+      |  FROM d
+      |  UNION ALL
+      |  SELECT doc_id + 10000, 'src_new', 77, 1234 FROM d WHERE doc_id % 97 = 0)
+      |SELECT source, COUNT(*) AS n_rows,
+      |  CAST(SUM(CASE WHEN q IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_q,
+      |  CAST(SUM(COALESCE(q, 0)) AS BIGINT) AS sum_q,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(3 AS BIGINT) AS n_cols_v1
+      |FROM merged GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- p38
+  /** OPTIMIZE executed — the compaction/clustering plans (p28 bin-packs,
+    * q94 audits Z-order) wired to the lake as a real layout rewrite
+    * ([[graft.sources.GraftLake.optimize]]): the corpus arrives as 8
+    * ingestion-sliced commits whose files all span the full `n_chars`
+    * range (every box predicate must open every file — the classic
+    * unclustered-ingest pathology), then one distributed range-shuffle
+    * rewrites the live set into 4 files range-CLUSTERED on n_chars.
+    * The commit is dataChange=false: time travel still sees every prior
+    * version and CDC readers see NO change — Delta's OPTIMIZE contract.
+    *
+    * The layout claim sits INSIDE the hash via the scan's own counters
+    * around the SAME box query run before and after: files_scanned
+    * before is restated from first principles (a slice's file survives
+    * iff its n_chars range overlaps the box), `improved` pins that the
+    * clustered layout opens strictly fewer files, `answer_*` pins that
+    * OPTIMIZE changed no data, and `cdc_rows` pins invisibility to the
+    * incremental reader. At 100 TB this is THE compaction lever: the
+    * same box probe goes from O(all ingest files) to O(overlapping
+    * ranges) with zero change to the query. */
+  def p38OptimizeLayout(s: SparkSession, dir: String): DataFrame = {
+    registerLake(s)
+    s.sql("DROP TABLE IF EXISTS graft_lake.opt")
+    s.sql("CREATE TABLE graft_lake.opt (doc_id BIGINT, source STRING, n_chars BIGINT)")
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    (0 until 8).foreach { slice => // 8 ingest commits, one file each
+      docs.filter(col("doc_id") % 8 === slice).coalesce(1)
+        .writeTo("graft_lake.opt").append()
+    }
+    def boxQuery() = s.table("graft_lake.opt")
+      .filter(col("n_chars") >= 200L && col("n_chars") <= 260L)
+      .agg(count(lit(1)).as("n_match"),
+        coalesce(sum(col("n_chars")), lit(0L)).as("sum_chars"))
+    val beforeAnswer = boxQuery().collect()(0)
+    val before = graft.sources.LakeStore.lastScanStats("graft_lake.opt")
+    val vBefore = graft.sources.GraftLake.latestVersion("graft_lake.opt")
+    graft.sources.GraftLake.optimize(s, "graft_lake.opt", "n_chars", nFiles = 4)
+    val out = boxQuery()
+    val afterAnswer = out.collect()(0)
+    val after = graft.sources.LakeStore.lastScanStats("graft_lake.opt")
+    val vAfter = graft.sources.GraftLake.latestVersion("graft_lake.opt")
+    // OPTIMIZE is invisible to the incremental reader (dataChange=false)
+    val cdcRows = graft.sources.GraftLake
+      .changes(s, "graft_lake.opt", vBefore, vAfter, "doc_id").count()
+    out
+      .withColumn("files_total_before", lit(before.filesTotal.toLong))
+      .withColumn("files_scanned_before", lit(before.filesScanned.toLong))
+      .withColumn("files_total_after", lit(after.filesTotal.toLong))
+      .withColumn("improved",
+        lit(if (after.filesScanned < before.filesScanned) 1L else 0L))
+      .withColumn("answer_stable",
+        lit(if (beforeAnswer == afterAnswer) 1L else 0L))
+      .withColumn("cdc_rows", lit(cdcRows))
+  }
+
+  val p38Sql: String =
+    """WITH d AS (SELECT doc_id, n_chars FROM documents),
+      |sl AS (SELECT doc_id % 8 AS s, MIN(n_chars) AS mn, MAX(n_chars) AS mx
+      |       FROM d GROUP BY 1),
+      |m AS (SELECT * FROM d WHERE n_chars BETWEEN 200 AND 260)
+      |SELECT COUNT(*) AS n_match,
+      |  CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS sum_chars,
+      |  CAST(8 AS BIGINT) AS files_total_before,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM sl
+      |   WHERE mn <= 260 AND mx >= 200) AS files_scanned_before,
+      |  CAST(4 AS BIGINT) AS files_total_after,
+      |  CAST(1 AS BIGINT) AS improved,
+      |  CAST(1 AS BIGINT) AS answer_stable,
+      |  CAST(0 AS BIGINT) AS cdc_rows
+      |FROM m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p38_optimize_layout" -> (p38OptimizeLayout _),
+    "p37_schema_evolution" -> (p37SchemaEvolution _),
     "p36_incremental_changes" -> (p36IncrementalChanges _),
     "p35_zone_skip" -> (p35ZoneSkip _),
     "p34_partitioned_merge" -> (p34PartitionedMerge _),
@@ -2458,6 +2597,8 @@ object PipelineQueries {
   // def, not val: p19Sql embeds Sidecars.oracleDir-keyed paths, which
   // Verify pins at runtime before dumping oracle_sql.json
   def oracle: Map[String, String] = Map(
+    "p38_optimize_layout" -> p38Sql,
+    "p37_schema_evolution" -> p37Sql,
     "p36_incremental_changes" -> p36Sql,
     "p35_zone_skip" -> p35Sql,
     "p34_partitioned_merge" -> p34Sql,

@@ -793,7 +793,97 @@ object StreamingQueries {
       |FROM ordered WHERE prev_type IS NOT NULL
       |GROUP BY 1, 2 ORDER BY prev_type, event_type""".stripMargin
 
+  /** Streaming CHANGE DATA FEED — the lake's commit log consumed as a
+    * STREAM (Delta CDF's readStream shape on the module-own catalog):
+    * the `_log` directory is itself a file stream (one JSON document
+    * per commit, arriving in version order), so `readStream` over it
+    * with a foreachBatch consumer turns every committed maintenance
+    * statement into an incremental CDC delivery. Each micro-batch
+    * parses the commit version from the log file name, skips
+    * non-data commits (create / metadata-only / OPTIMIZE — the
+    * dataChange=false contract), and materializes that commit's
+    * row-level changes via the SAME metadata-planned diff p36 uses
+    * batch-side ([[graft.sources.GraftLake.changes]] v-1 -> v, touched
+    * partitions only).
+    *
+    * The scenario replays p36's maintenance window COMMIT BY COMMIT:
+    * retention DELETE in src3, re-crawl UPDATE in src7, new-slice
+    * append into src11 — three sequential data commits, each delivered
+    * in its own micro-batch. Published: per commit, the classified
+    * change counts and exact key checksum — hash-equal to the batch
+    * restatement of the same three statements, which is the CDF
+    * correctness contract: streaming the log must reveal EXACTLY the
+    * per-commit deltas, no more (unchanged rows never appear), no
+    * fewer (every touched key appears under its commit). */
+  def st14ChangeFeed(s: SparkSession, dir: String): DataFrame = {
+    if (!s.conf.getOption("spark.sql.catalog.graft_lake").contains(
+        classOf[graft.sources.GraftLakeCatalog].getName))
+      s.conf.set("spark.sql.catalog.graft_lake",
+        classOf[graft.sources.GraftLakeCatalog].getName)
+    val root = s"/tmp/graft_stream_${Sidecars.tag(dir)}/st14"
+    deleteRecursively(java.nio.file.Paths.get(root))
+    val key = "graft_lake.change_feed"
+    s.sql("DROP TABLE IF EXISTS graft_lake.change_feed")
+    s.sql("""CREATE TABLE graft_lake.change_feed
+            |(doc_id BIGINT, source STRING, n_chars BIGINT)
+            |PARTITIONED BY (source)""".stripMargin)
+    val docs = graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    docs.writeTo("graft_lake.change_feed").append() // v1: initial load
+    s.sql("DELETE FROM graft_lake.change_feed WHERE source = 'src3' AND n_chars < 250") // v2
+    s.sql("UPDATE graft_lake.change_feed SET n_chars = n_chars + 1000 WHERE source = 'src7'") // v3
+    docs.filter(col("source") === "src11")
+      .withColumn("doc_id", col("doc_id") + 100000L)
+      .writeTo("graft_lake.change_feed").append() // v4: new crawl slice
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long, Long)]()
+    val q = s.readStream.format("text")
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "*.json")
+      .load(graft.sources.GraftLake.commitLogDir(key))
+      .select(col("value"), col("_metadata.file_path").as("path"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val ss = batch.sparkSession
+        batch.collect().foreach { r => // one commit document per file
+          val v = r.getString(1).split('/').last.stripSuffix(".json").toLong
+          val isData = r.getString(0).contains("\"dataChange\":true")
+          if (v >= 1 && isData) {
+            graft.sources.GraftLake.changes(ss, key, (v - 1).toInt, v.toInt, "doc_id")
+              .groupBy(col("change"))
+              .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_ids"))
+              .collect()
+              .foreach(c => buf.add((v, c.getString(0), c.getLong(1), c.getLong(2))))
+          }
+        }
+        ()
+      }
+      .option("checkpointLocation", s"$root/_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    import s.implicits._
+    buf.iterator().asScala.toSeq.toDF("commit_v", "change", "n_keys", "sum_ids")
+      .orderBy(col("commit_v"), col("change"))
+  }
+
+  val st14Sql: String =
+    """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+      |ch AS (
+      |  SELECT 1 AS commit_v, 'I' AS change, doc_id FROM d
+      |  UNION ALL
+      |  SELECT 2, 'D', doc_id FROM d WHERE source = 'src3' AND n_chars < 250
+      |  UNION ALL
+      |  SELECT 3, 'U', doc_id FROM d WHERE source = 'src7'
+      |  UNION ALL
+      |  SELECT 4, 'I', doc_id + 100000 FROM d WHERE source = 'src11')
+      |SELECT CAST(commit_v AS BIGINT) AS commit_v, change,
+      |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+      |FROM ch GROUP BY commit_v, change ORDER BY commit_v, change""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st14_change_feed" -> (st14ChangeFeed _),
     "st13_stream_merge_upsert" -> (st13StreamMergeUpsert _),
     "st12_transition_counts" -> (st12TransitionCounts _),
     "st11_outer_stream_join" -> (st11OuterStreamJoin _),
@@ -809,6 +899,7 @@ object StreamingQueries {
     "st05_stream_filter" -> (st05StreamFilter _))
 
   val oracle: Map[String, String] = Map(
+    "st14_change_feed" -> st14Sql,
     "st13_stream_merge_upsert" -> st13Sql,
     "st12_transition_counts" -> st12Sql,
     "st11_outer_stream_join" -> st11Sql,

@@ -100,6 +100,47 @@ object ScaleExtend {
     ()
   }
 
+  /** Lakehouse O(touched) probe (round-9): the TABLE grows with the step
+    * (2x/5x replicas — batch count grows, each batch stays 50 docs) while
+    * the CHANGESET stays FIXED (150 keys in batches 0..2, identical at
+    * every step). A partition-grouped MERGE whose runtime group filter
+    * works, and an incremental CHANGES read planned from commit
+    * metadata, must both cost O(touched partitions) — ~FLAT wall time as
+    * the table grows is the PASS condition here, unlike the linear bar
+    * for the scan-everything families above. Returns (mergeSec,
+    * changesSec, replacedGroups) — the group count doubles as the
+    * pruning audit at each step. */
+  private def lakeProbe(spark: SparkSession, dir: String): (Double, Double, Int) = {
+    if (!spark.conf.getOption("spark.sql.catalog.graft_lake").contains(
+        classOf[graft.sources.GraftLakeCatalog].getName))
+      spark.conf.set("spark.sql.catalog.graft_lake",
+        classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS graft_lake.scale_probe")
+    spark.sql("""CREATE TABLE graft_lake.scale_probe
+                |(doc_id BIGINT, batch BIGINT, n_chars BIGINT)
+                |PARTITIONED BY (batch)""".stripMargin)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), expr("doc_id div 50").as("batch"), col("n_chars"))
+      .repartition(col("batch"))
+      .writeTo("graft_lake.scale_probe").append() // untimed bulk load
+    spark.range(0, 150)
+      .select(col("id").as("doc_id"), expr("id div 50").as("batch"), lit(1L).as("add"))
+      .createOrReplaceTempView("scale_probe_delta")
+    val t0 = System.nanoTime()
+    spark.sql("""MERGE INTO graft_lake.scale_probe t USING scale_probe_delta s
+                |ON t.doc_id = s.doc_id AND t.batch = s.batch
+                |WHEN MATCHED THEN UPDATE SET n_chars = t.n_chars + s.add""".stripMargin)
+    val mergeSec = (System.nanoTime() - t0) / 1e9
+    val replaced = graft.sources.LakeStore.lastReplacedGroups
+      .get("graft_lake.scale_probe").flatten.map(_.size).getOrElse(-1)
+    val v = graft.sources.GraftLake.latestVersion("graft_lake.scale_probe")
+    val t1 = System.nanoTime()
+    graft.sources.GraftLake
+      .changes(spark, "graft_lake.scale_probe", v - 1, v, "doc_id").count()
+    val changesSec = (System.nanoTime() - t1) / 1e9
+    (mergeSec, changesSec, replaced)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession("scale-extend")
     spark.sparkContext.setLogLevel("WARN")
@@ -154,6 +195,27 @@ object ScaleExtend {
       sb.append(f"| $q | $note | ${ts(0)}%.2f | ${ts(1)}%.2f | ${ts(2)}%.2f " +
         f"| ${ts(1) / ts(0)}%.1fx | ${ts(2) / ts(1)}%.1fx |\n")
     }
+
+    // lakehouse O(touched) probe: table grows, changeset fixed -> flat
+    val lakeRows = steps.map { case (_, dir) =>
+      val runs = (1 to 3).map(_ => lakeProbe(spark, dir))
+      (runs.map(_._1).min, runs.map(_._2).min, runs.head._3)
+    }
+    sb.append("\n### Lakehouse O(touched): table grows, changeset fixed (p34/p36 contract)\n\n")
+    sb.append("150-key changeset in 3 fixed partitions MERGEd into a table whose\n")
+    sb.append("partition count grows with the step (100 -> 200 -> 500 batches);\n")
+    sb.append("then the (v-1, v] incremental CHANGES diff of that commit. FLAT\n")
+    sb.append("wall time is the PASS condition: runtime group filtering and the\n")
+    sb.append("metadata-planned diff must keep both O(touched partitions), not\n")
+    sb.append("O(table). `groups` = the commit's replaced-group audit (must stay 3).\n\n")
+    sb.append("| statement | sf0.1 | 2x | 5x | x(1→2x) | x(2x→5x) | groups |\n")
+    sb.append("|---|---|---|---|---|---|---|\n")
+    sb.append(f"| MERGE (fixed changeset) | ${lakeRows(0)._1}%.2f | ${lakeRows(1)._1}%.2f " +
+      f"| ${lakeRows(2)._1}%.2f | ${lakeRows(1)._1 / lakeRows(0)._1}%.1fx " +
+      f"| ${lakeRows(2)._1 / lakeRows(1)._1}%.1fx | ${lakeRows.map(_._3).mkString("/")} |\n")
+    sb.append(f"| CHANGES (v-1, v] diff | ${lakeRows(0)._2}%.2f | ${lakeRows(1)._2}%.2f " +
+      f"| ${lakeRows(2)._2}%.2f | ${lakeRows(1)._2 / lakeRows(0)._2}%.1fx " +
+      f"| ${lakeRows(2)._2 / lakeRows(1)._2}%.1fx | — |\n")
     val path = java.nio.file.Paths.get("/root/repo/SCALE.md")
     val cur = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
     // drop a previous extension section before re-appending

@@ -159,7 +159,12 @@ object ScaleSweep {
       "q101_pipe_syntax" -> "SQL pipe syntax (same plan as classic spelling)",
       "q102_parameterized_sql" -> "parameterized SQL (named markers bind = inline)",
       "q103_sql_udf" -> "SQL scalar function (body inlined into codegen)",
-      "q104_sql_table_function" -> "lateral SQL table function (decorrelated top-k)")
+      "q104_sql_table_function" -> "lateral SQL table function (decorrelated top-k)",
+      "p35_zone_skip" -> "zone-map file skipping (manifest statistics scan)",
+      "p36_incremental_changes" -> "incremental CHANGES (metadata-planned diff)",
+      "p37_schema_evolution" -> "ALTER ADD COLUMN + MERGE into evolved schema",
+      "p38_optimize_layout" -> "OPTIMIZE range-clustering (layout-only rewrite)",
+      "st14_change_feed" -> "streaming CDF (commit log as a file stream)")
 
     // warm the JVM/codegen on the smallest sf so cold-start lands nowhere
     queries.foreach { case (q, _) =>
