@@ -2555,7 +2555,69 @@ object PipelineQueries {
       |  CAST(0 AS BIGINT) AS cdc_rows
       |FROM m""".stripMargin
 
+  // ---------------------------------------------------------------- p39
+  /** VACUUM retention — the lake's physical cleanup (Delta VACUUM): the
+    * corpus arrives as 4 single-file ingest commits, a retention DELETE
+    * copy-on-writes the live set into fresh files (the 4 ingest files
+    * stay on disk, referenced only by history), then VACUUM with
+    * retain-last-1 deletes exactly those 4 now-unreferenced files and
+    * gates time travel before the horizon. The invariants sit INSIDE
+    * the hash: files_deleted is exactly the ingest-file count (live
+    * rewrite files are never touched — deleting one would break the
+    * live read whose answer is also in the row), disk==live pins that
+    * nothing unreferenced survives, and old_blocked pins the loud
+    * retention gate (a vacuumed version must error, not half-read).
+    *
+    * At 100 TB this is the storage-cost closer of the maintenance
+    * loop: MERGE/DELETE/OPTIMIZE all write new files and strand old
+    * ones behind time travel; VACUUM is what actually returns bytes,
+    * and the keep-set rule (union of retained snapshots' manifests,
+    * never "older than the live set") is the correctness line this row
+    * hash-pins. */
+  def p39VacuumRetention(s: SparkSession, dir: String): DataFrame = {
+    registerLake(s)
+    s.sql("DROP TABLE IF EXISTS graft_lake.vac")
+    s.sql("CREATE TABLE graft_lake.vac (doc_id BIGINT, source STRING, n_chars BIGINT)")
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    (0 until 4).foreach { slice => // v1..v4: one ingest file each
+      docs.filter(col("doc_id") % 4 === slice).coalesce(1)
+        .writeTo("graft_lake.vac").append()
+    }
+    s.sql("DELETE FROM graft_lake.vac WHERE n_chars < 250") // v5: COW rewrite
+    val (deleted, horizon) = graft.sources.GraftLake.vacuum("graft_lake.vac", retainLast = 1)
+    // disk must now hold exactly the live manifest's files
+    val st = graft.sources.LakeStore.get("graft_lake.vac").get
+    val fs = new org.apache.hadoop.fs.Path(graft.sources.LakeStore.dataDir("graft_lake.vac"))
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val onDisk = fs.listStatus(new org.apache.hadoop.fs.Path(
+      graft.sources.LakeStore.dataDir("graft_lake.vac")))
+      .map(_.getPath.getName).filter(_.endsWith(".parquet")).toSet
+    val diskEqualsLive = if (onDisk == st.current.map(_.path).toSet) 1L else 0L
+    val oldBlocked =
+      try { s.sql("SELECT * FROM graft_lake.vac VERSION AS OF 4").collect(); 0L }
+      catch { case _: Exception => 1L }
+    s.table("graft_lake.vac")
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(col("n_chars")), lit(0L)).as("sum_chars"))
+      .withColumn("files_deleted", lit(deleted.toLong))
+      .withColumn("horizon", lit(horizon.toLong))
+      .withColumn("disk_equals_live", lit(diskEqualsLive))
+      .withColumn("old_blocked", lit(oldBlocked))
+  }
+
+  val p39Sql: String =
+    """WITH live AS (SELECT doc_id, n_chars FROM documents WHERE n_chars >= 250)
+      |SELECT COUNT(*) AS n_rows,
+      |  CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS sum_chars,
+      |  CAST(4 AS BIGINT) AS files_deleted,
+      |  CAST(5 AS BIGINT) AS horizon,
+      |  CAST(1 AS BIGINT) AS disk_equals_live,
+      |  CAST(1 AS BIGINT) AS old_blocked
+      |FROM live""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p39_vacuum_retention" -> (p39VacuumRetention _),
     "p38_optimize_layout" -> (p38OptimizeLayout _),
     "p37_schema_evolution" -> (p37SchemaEvolution _),
     "p36_incremental_changes" -> (p36IncrementalChanges _),
@@ -2597,6 +2659,7 @@ object PipelineQueries {
   // def, not val: p19Sql embeds Sidecars.oracleDir-keyed paths, which
   // Verify pins at runtime before dumping oracle_sql.json
   def oracle: Map[String, String] = Map(
+    "p39_vacuum_retention" -> p39Sql,
     "p38_optimize_layout" -> p38Sql,
     "p37_schema_evolution" -> p37Sql,
     "p36_incremental_changes" -> p36Sql,

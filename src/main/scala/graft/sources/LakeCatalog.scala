@@ -181,6 +181,14 @@ object GraftLake {
     LakeStore.get(qualifiedKey).getOrElse(
       throw new NoSuchTableException(qualifiedKey.split('.').toSeq)).latestVersion
 
+  /** VACUUM: physically delete data files referenced only by history
+    * older than the last `retainLast` versions (plus aborted-task
+    * orphans), and gate time travel/diffs before the horizon. Live
+    * reads and retained history are untouched — the Delta retention
+    * operation. Returns (filesDeleted, horizonVersion). */
+  def vacuum(qualifiedKey: String, retainLast: Int): (Int, Int) =
+    LakeStore.vacuum(qualifiedKey, retainLast)
+
   /** Row-level CHANGES between snapshot v1 and v2 of `tableRef`
     * (qualified `catalog.table`, which is also its store key), keyed by
     * the unique `keyCol`: one row per inserted ('I'), deleted ('D'), or
@@ -201,6 +209,7 @@ object GraftLake {
       keyCol: String): DataFrame = {
     val st = LakeStore.get(tableRef).getOrElse(
       throw new NoSuchTableException(tableRef.split('.').toSeq))
+    LakeStore.requireReadable(tableRef, v1) // vacuumed history cannot diff
     val changed = changedPartitions(tableRef, v1, v2)
     def snap(v: Int): DataFrame = {
       val df = s.sql(s"SELECT * FROM $tableRef VERSION AS OF $v")
@@ -284,6 +293,7 @@ class GraftLakeCatalog extends TableCatalog {
         }
         require(v >= 0 && v <= st.latestVersion,
           s"graft_lake: version $v out of range [0, ${st.latestVersion}] for ${k(ident)}")
+        LakeStore.requireReadable(k(ident), v) // vacuumed history is gated loudly
         new GraftLakeTable(k(ident), st.snapshots(v).schema, pinnedVersion = Some(v))
       case None => throw new NoSuchTableException(
         Seq(catalogName) ++ ident.namespace().toSeq :+ ident.name())

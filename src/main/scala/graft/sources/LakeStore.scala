@@ -67,7 +67,7 @@ object LakeStore {
       commitGroups: Option[Set[List[Any]]], dataChange: Boolean)
 
   final case class TableState(key: String, partitionCols: Seq[String],
-      snapshots: Vector[Snapshot]) {
+      snapshots: Vector[Snapshot], earliest: Int = 0) {
     def schema: StructType = snapshots.last.schema
     def current: Vector[FileEntry] = snapshots.last.files
     def latestVersion: Int = snapshots.length - 1
@@ -230,6 +230,44 @@ object LakeStore {
   private def stateOf(k: String): TableState =
     get(k).getOrElse(throw new NoSuchTableException(k.split('.').toSeq))
 
+  /** VACUUM: physically delete data files referenced ONLY by snapshots
+    * older than the retention horizon (keeping the last `retainLast`
+    * versions readable), plus any orphan files aborted tasks left
+    * behind. Time travel before the horizon is gated off loudly — the
+    * Delta retention contract: history metadata stays (the log is
+    * immutable), but the data files backing it are gone, so the gate is
+    * what turns "file not found" into a clear retention error. Returns
+    * (filesDeleted, horizonVersion). */
+  def vacuum(k: String, retainLast: Int): (Int, Int) = synchronized {
+    require(retainLast >= 1, s"graft_lake: VACUUM must retain >= 1 version, got $retainLast")
+    val st = stateOf(k)
+    val horizon = math.max(0, st.latestVersion - retainLast + 1)
+    val keep: Set[String] =
+      (horizon to st.latestVersion).flatMap(v => st.snapshots(v).files.map(_.path)).toSet
+    val dir = new Path(dataDir(k))
+    val fs = fsOf(dir)
+    val onDisk = fs.listStatus(dir).map(_.getPath).filter(_.getName.endsWith(".parquet"))
+    val doomed = onDisk.filterNot(p => keep.contains(p.getName))
+    doomed.foreach(fs.delete(_, false))
+    // persist the horizon (atomic tmp+rename, like log entries)
+    val marker = new Path(logDir(k), "_horizon")
+    val tmp = new Path(logDir(k), "_horizon.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(horizon.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(marker, false)
+    if (!fs.rename(tmp, marker))
+      throw new IllegalStateException(s"graft_lake: VACUUM horizon write lost the race for $k")
+    tables.update(k, st.copy(earliest = horizon))
+    (doomed.length, horizon)
+  }
+
+  /** Retention gate shared by time travel and incremental reads. */
+  def requireReadable(k: String, version: Int): Unit = {
+    val st = stateOf(k)
+    require(version >= st.earliest,
+      s"graft_lake: version $version of $k was vacuumed (earliest readable: ${st.earliest})")
+  }
+
   private def commit(k: String, st: TableState, action: String,
       live: Vector[FileEntry], added: Seq[FileEntry], removed: Seq[String],
       commitGroups: Option[Set[List[Any]]], dataChange: Boolean,
@@ -298,7 +336,15 @@ object LakeStore {
       snapshots :+= Snapshot(schema, live,
         cg, j.get("dataChange").forall(_ == JBool(true)))
     }
-    Some(TableState(k, partitionCols, snapshots))
+    val marker = new Path(dir, "_horizon")
+    val earliest =
+      if (!fs.exists(marker)) 0
+      else {
+        val in = fs.open(marker)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+        finally in.close()
+      }
+    Some(TableState(k, partitionCols, snapshots, earliest))
   }
 
   // ------------------------------------------------- commit-log queries

@@ -224,6 +224,7 @@ object DumpPlans {
     // tables/changeset views the flagship runs above just prepared.
     PipelineQueries.p31SqlUpdate(spark, dir).collect()
     PipelineQueries.p32SqlDelete(spark, dir).collect()
+    PipelineQueries.p37SchemaEvolution(spark, dir).collect()
     val statements = Seq(
       ("MERGE INTO, whole-table group (p29)",
         "MergeRows over ONE outer join of the row-level-operation scan and the changeset, feeding ReplaceData — the single-shuffle copy-on-write shape, chosen by the engine.",
@@ -244,7 +245,12 @@ object DumpPlans {
         "UPDATE graft_lake.redact SET n_chars = 0, redacted = 1 WHERE source IN ('src3', 'src7')"),
       ("DELETE FROM (p32)",
         "RewriteDeleteFromTable: the filtered complement of the row-level scan replaces the group.",
-        "DELETE FROM graft_lake.retain WHERE n_chars < 250 OR doc_id % 9 = 0"))
+        "DELETE FROM graft_lake.retain WHERE n_chars < 250 OR doc_id % 9 = 0"),
+      ("MERGE into an evolved schema (p37)",
+        "Same MergeRows -> ReplaceData rewrite over the POST-ALTER 4-column schema: the row-level scan reads pre-ALTER parquet files with the added column padded null (manifest-driven, no footer merging), so carry-over rows and back-filled rows flow through one plan.",
+        """MERGE INTO graft_lake.evo t USING evo_changes s ON t.doc_id = s.doc_id
+          |WHEN MATCHED THEN UPDATE SET quality_milli = s.quality_milli
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
     statements.foreach { case (name, note, stmt) =>
       val txt = spark.sql("EXPLAIN FORMATTED " + stmt).collect()(0).getString(0)
       sb.append(s"\n## statement: $name\n\n$note\n\n```\n${txt.trim.take(4000)}\n```\n")

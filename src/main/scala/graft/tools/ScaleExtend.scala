@@ -126,18 +126,27 @@ object ScaleExtend {
     spark.range(0, 150)
       .select(col("id").as("doc_id"), expr("id div 50").as("batch"), lit(1L).as("add"))
       .createOrReplaceTempView("scale_probe_delta")
-    val t0 = System.nanoTime()
-    spark.sql("""MERGE INTO graft_lake.scale_probe t USING scale_probe_delta s
-                |ON t.doc_id = s.doc_id AND t.batch = s.batch
-                |WHEN MATCHED THEN UPDATE SET n_chars = t.n_chars + s.add""".stripMargin)
-    val mergeSec = (System.nanoTime() - t0) / 1e9
+    // time THREE successive merges against the ONE loaded table and take
+    // the min: the bulk load just wrote 100-500 files, and letting its
+    // GC/commit debt land inside a single timed statement would measure
+    // the load, not the merge (each merge is a fresh commit doing
+    // identical work — 150 matched updates in 3 groups)
+    val mergeSec = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.sql("""MERGE INTO graft_lake.scale_probe t USING scale_probe_delta s
+                  |ON t.doc_id = s.doc_id AND t.batch = s.batch
+                  |WHEN MATCHED THEN UPDATE SET n_chars = t.n_chars + s.add""".stripMargin)
+      (System.nanoTime() - t0) / 1e9
+    }.min
     val replaced = graft.sources.LakeStore.lastReplacedGroups
       .get("graft_lake.scale_probe").flatten.map(_.size).getOrElse(-1)
-    val v = graft.sources.GraftLake.latestVersion("graft_lake.scale_probe")
-    val t1 = System.nanoTime()
-    graft.sources.GraftLake
-      .changes(spark, "graft_lake.scale_probe", v - 1, v, "doc_id").count()
-    val changesSec = (System.nanoTime() - t1) / 1e9
+    val changesSec = (1 to 3).map { _ =>
+      val v = graft.sources.GraftLake.latestVersion("graft_lake.scale_probe")
+      val t1 = System.nanoTime()
+      graft.sources.GraftLake
+        .changes(spark, "graft_lake.scale_probe", v - 1, v, "doc_id").count()
+      (System.nanoTime() - t1) / 1e9
+    }.min
     (mergeSec, changesSec, replaced)
   }
 
@@ -197,10 +206,8 @@ object ScaleExtend {
     }
 
     // lakehouse O(touched) probe: table grows, changeset fixed -> flat
-    val lakeRows = steps.map { case (_, dir) =>
-      val runs = (1 to 3).map(_ => lakeProbe(spark, dir))
-      (runs.map(_._1).min, runs.map(_._2).min, runs.head._3)
-    }
+    // (best-of-3 happens INSIDE the probe, against one loaded table)
+    val lakeRows = steps.map { case (_, dir) => lakeProbe(spark, dir) }
     sb.append("\n### Lakehouse O(touched): table grows, changeset fixed (p34/p36 contract)\n\n")
     sb.append("150-key changeset in 3 fixed partitions MERGEd into a table whose\n")
     sb.append("partition count grows with the step (100 -> 200 -> 500 batches);\n")

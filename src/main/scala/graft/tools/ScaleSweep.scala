@@ -164,7 +164,8 @@ object ScaleSweep {
       "p36_incremental_changes" -> "incremental CHANGES (metadata-planned diff)",
       "p37_schema_evolution" -> "ALTER ADD COLUMN + MERGE into evolved schema",
       "p38_optimize_layout" -> "OPTIMIZE range-clustering (layout-only rewrite)",
-      "st14_change_feed" -> "streaming CDF (commit log as a file stream)")
+      "st14_change_feed" -> "streaming CDF (commit log as a file stream)",
+      "p39_vacuum_retention" -> "VACUUM retention (keep-set delete + horizon gate)")
 
     // warm the JVM/codegen on the smallest sf so cold-start lands nowhere
     queries.foreach { case (q, _) =>

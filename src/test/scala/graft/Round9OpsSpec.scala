@@ -97,6 +97,56 @@ class Round9OpsSpec extends SparkTestBase {
       .collect().head.getLong(0) === 50L)
   }
 
+  test("VACUUM deletes exactly the unreferenced files + orphans, keeps retained history readable") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_lake.vacx")
+    spark.sql("CREATE TABLE graft_lake.vacx (id BIGINT, v BIGINT)")
+    import spark.implicits._
+    (0 until 3).foreach { c => // v1..v3: one file each
+      (0 until 10).map(i => (c * 100L + i, i.toLong)).toDF("id", "v")
+        .coalesce(1).writeTo("graft_lake.vacx").append()
+    }
+    spark.sql("DELETE FROM graft_lake.vacx WHERE v < 5") // v4: COW rewrite
+    val st = LakeStore.get("graft_lake.vacx").get
+    val ingestFiles = st.snapshots(3).files.map(_.path).toSet
+    val liveFiles = st.current.map(_.path).toSet
+    assert((ingestFiles intersect liveFiles).isEmpty) // fully rewritten
+
+    // plant an orphan (an aborted task's leftover): vacuum must sweep it
+    val dataDir = new org.apache.hadoop.fs.Path(LakeStore.dataDir("graft_lake.vacx"))
+    val fs = dataDir.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val orphan = new org.apache.hadoop.fs.Path(dataDir, "orphan-task-leftover.parquet")
+    fs.create(orphan, true).close()
+
+    // retain the last TWO versions (v3+v4): v3 references ALL THREE
+    // ingest files (append snapshots are cumulative), so only the
+    // planted orphan is unreferenced by the keep set
+    val (d1, h1) = GraftLake.vacuum("graft_lake.vacx", retainLast = 2)
+    assert(h1 === 3)
+    assert(d1 === 1 && !fs.exists(orphan))
+    assert(spark.sql("SELECT count(*) FROM graft_lake.vacx VERSION AS OF 3")
+      .collect().head.getLong(0) === 30L) // retained history still whole
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft_lake.vacx VERSION AS OF 2").collect()
+    }
+    intercept[Exception] { GraftLake.changes(spark, "graft_lake.vacx", 1, 4, "id") }
+
+    // tighten retention to the live version only: the ingest files go
+    val (d2, h2) = GraftLake.vacuum("graft_lake.vacx", retainLast = 1)
+    assert(h2 === 4)
+    assert(d2 === 3) // the three now-unreferenced ingest files
+    val onDisk = fs.listStatus(dataDir).map(_.getPath.getName)
+      .filter(_.endsWith(".parquet")).toSet
+    assert(onDisk === liveFiles)
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft_lake.vacx VERSION AS OF 3").collect()
+    }
+    // the horizon survives a cold log replay
+    LakeStore.invalidateCache("graft_lake.vacx")
+    assert(LakeStore.get("graft_lake.vacx").get.earliest === 4)
+    assert(spark.table("graft_lake.vacx").count() === 15L) // live untouched
+  }
+
   test("st14 equals the batch restatement of the same three commits") {
     val got = operators.StreamingQueries.st14ChangeFeed(spark, Sf0001).collect().toSeq
     // independent batch-side replay: same per-commit diffs via the
