@@ -522,9 +522,8 @@ class LakeGroupScan(key: String, schema: StructType,
         // tuple, i.e. "the whole table" as one group)
         op.scannedGroups = Some(effective.getOrElse(st.liveGroups))
         // copy-on-write reads full rows: no column pruning on this path
-        files.map(f =>
-          LakeFilePartition(s"${LakeStore.dataDir(key)}/${f.path}", f.cols, f.rows)
-            : InputPartition).toArray
+        LakeFilePartition.pack(files.map(f =>
+          LakeFileChunk(s"${LakeStore.dataDir(key)}/${f.path}", f.cols, f.rows)))
       case None => Array.empty
     }
   }
@@ -560,8 +559,10 @@ class LakeScanBuilder(key: String, schema: StructType, pinnedVersion: Option[Int
   * predicates, files whose manifest zones cannot satisfy them are
   * skipped before anything is opened; with a pruned schema, only the
   * required columns are read from parquet (true columnar projection).
-  * Each surviving file is one InputPartition — the executor-side reader
-  * opens exactly that file. */
+  * Surviving files are PACKED into input partitions by manifest row
+  * count ([[LakeFilePartition.pack]]) so small-file ingest layouts do
+  * not turn into one task per tiny file; the executor-side reader opens
+  * exactly its bin's files, in order. */
 class LakeScan(key: String, schema: StructType,
     pinnedVersion: Option[Int] = None,
     pushed: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] = Array.empty,
@@ -588,21 +589,45 @@ class LakeScan(key: String, schema: StructType,
       surviving.map(_.group).distinct.length,
       files.length, surviving.length,
       surviving.map(_.rows).sum, readCols.fieldNames.toSeq))
-    surviving.map(f =>
-      LakeFilePartition(s"${LakeStore.dataDir(key)}/${f.path}", f.cols, f.rows)
-        : InputPartition).toArray
+    LakeFilePartition.pack(surviving.map(f =>
+      LakeFileChunk(s"${LakeStore.dataDir(key)}/${f.path}", f.cols, f.rows)))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new LakeReaderFactory(readCols)
 }
 
-/** One immutable parquet file group = one input partition: absolute
-  * path, the columns the file physically stores (pre-ALTER files lack
-  * later columns), and its manifest row count (serves metadata-only
-  * scans without opening the file). */
-case class LakeFilePartition(path: String, cols: Seq[String], rows: Long)
-    extends InputPartition
+/** One file's slice of an input partition: absolute path, the columns
+  * the file physically stores (pre-ALTER files lack later columns), and
+  * its manifest row count (serves metadata-only scans without opening
+  * the file). */
+case class LakeFileChunk(path: String, cols: Seq[String], rows: Long)
+
+/** An input partition = a BIN of file chunks. Small files are packed
+  * together (the file source's maxPartitionBytes move, done on manifest
+  * row counts): a 500-tiny-file table becomes ~16 tasks instead of 500,
+  * so per-task overhead never dominates a scan of a freshly-ingested
+  * unCOMPACTed table, while large files still get one task each. */
+case class LakeFilePartition(chunks: Seq[LakeFileChunk]) extends InputPartition
+
+object LakeFilePartition {
+  /** Pack files into bins: close a bin at `maxRows` accumulated manifest
+    * rows or `maxFiles` chunks, whichever first. Order-preserving. */
+  def pack(chunks: Seq[LakeFileChunk], maxRows: Long = 1L << 18,
+      maxFiles: Int = 32): Array[InputPartition] = {
+    val bins = Seq.newBuilder[LakeFilePartition]
+    var cur = Vector.empty[LakeFileChunk]
+    var rows = 0L
+    chunks.foreach { c =>
+      if (cur.nonEmpty && (rows + c.rows > maxRows || cur.length >= maxFiles)) {
+        bins += LakeFilePartition(cur); cur = Vector.empty; rows = 0L
+      }
+      cur :+= c; rows += c.rows
+    }
+    if (cur.nonEmpty) bins += LakeFilePartition(cur)
+    bins.result().toArray
+  }
+}
 
 /** Executor-side parquet reader: opens the file group with Spark's own
   * ParquetReadSupport (the same record materializer the file source
@@ -615,12 +640,12 @@ class LakeReaderFactory(required: StructType) extends PartitionReaderFactory {
   import org.apache.spark.sql.internal.LegacyBehaviorPolicy
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[LakeFilePartition]
+    val bin = partition.asInstanceOf[LakeFilePartition]
 
     if (required.isEmpty) {
-      // metadata-only read: emit the row count as empty rows
+      // metadata-only read: emit the bin's row count as empty rows
       return new PartitionReader[InternalRow] {
-        private var remaining = p.rows
+        private var remaining = bin.chunks.map(_.rows).sum
         private val empty = new GenericInternalRow(0)
         override def next(): Boolean = { remaining -= 1; remaining >= 0 }
         override def get(): InternalRow = empty
@@ -628,6 +653,27 @@ class LakeReaderFactory(required: StructType) extends PartitionReaderFactory {
       }
     }
 
+    // chain the bin's files: open one at a time, advance on exhaustion
+    new PartitionReader[InternalRow] {
+      private val it = bin.chunks.iterator
+      private var cur: PartitionReader[InternalRow] = _
+      override def next(): Boolean = {
+        while (true) {
+          if (cur == null) {
+            if (!it.hasNext) return false
+            cur = openFile(it.next())
+          }
+          if (cur.next()) return true
+          cur.close(); cur = null
+        }
+        false
+      }
+      override def get(): InternalRow = cur.get()
+      override def close(): Unit = if (cur != null) cur.close()
+    }
+  }
+
+  private def openFile(p: LakeFileChunk): PartitionReader[InternalRow] = {
     val availIdx = required.fields.zipWithIndex
       .filter { case (f, _) => p.cols.contains(f.name) }
     val fileSchema = StructType(availIdx.map(_._1))

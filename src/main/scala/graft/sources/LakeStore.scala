@@ -287,8 +287,13 @@ object LakeStore {
   }
 
   /** One atomic log append: write to a temp name, rename into place —
-    * the standard commit-protocol move (HDFS rename is atomic; an object
-    * store would use a conditional PUT here). */
+    * the standard commit-protocol move. On HDFS the rename itself
+    * refuses an existing destination (atomic no-overwrite); POSIX
+    * rename silently replaces, so the existence check carries the
+    * conflict detection there (in-process commits are serialized by
+    * the store lock, making it exact locally; an object store would
+    * use a conditional PUT). A conflict means another writer claimed
+    * this version — the commit must fail loudly, never overwrite. */
   private def writeLogEntry(k: String, version: Int, entry: JObject): Unit = {
     val dir = logDir(k)
     val fs = fsOf(dir)
@@ -297,8 +302,11 @@ object LakeStore {
     val out = fs.create(tmp, true)
     try out.write(JsonMethods.compact(JsonMethods.render(entry)).getBytes("UTF-8"))
     finally out.close()
-    if (!fs.rename(tmp, dst))
-      throw new IllegalStateException(s"graft_lake: commit $version of $k lost the rename race")
+    if (fs.exists(dst) || !fs.rename(tmp, dst)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"graft_lake: commit $version of $k lost the race to a concurrent writer")
+    }
   }
 
   // ----------------------------------------------------------- log replay
