@@ -39,7 +39,10 @@ object GraftSession {
       // locations; recovery semantics are pinned by
       // StreamingRecoverySpec). Silenced so a REAL warning is visible
       // in the bench tail instead of hiding behind 14 copies of these.
-      "org.apache.spark.sql.execution.streaming.runtime.ResolveWriteToStream")
+      "org.apache.spark.sql.execution.streaming.runtime.ResolveWriteToStream",
+      // same audited-benign AQE notice, emitted again at micro-batch
+      // execution start by a second logger
+      "org.apache.spark.sql.execution.streaming.runtime.MicroBatchExecution")
       .foreach(Configurator.setLevel(_, Level.ERROR))
   }
 

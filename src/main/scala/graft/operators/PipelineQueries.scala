@@ -2616,7 +2616,222 @@ object PipelineQueries {
       |  CAST(1 AS BIGINT) AS old_blocked
       |FROM live""".stripMargin
 
+  // ---------------------------------------------------------------- p40
+  /** RESTORE — roll the table back to a known-good snapshot as a NEW
+    * commit (Delta's `RESTORE TABLE ... TO VERSION AS OF`): the corpus
+    * loads (v1), a bad re-score UPDATEs one source and a bad retention
+    * job DELETEs part of another (v2, v3), and one restore undoes both.
+    * The restore is a MANIFEST move — the v1 files are re-pointed, not
+    * copied (p38/p33 keep them on disk; Round9bOpsSpec pins zero new
+    * data files) — and history stays append-only: v2/v3 remain
+    * inspectable behind VERSION AS OF.
+    *
+    * The undo contract sits INSIDE the hash: the restored table's
+    * aggregates are restated from the pristine corpus, `match_v1` pins
+    * a checksum tie to the v1 time-travel read, and the CDC counts of
+    * the restore commit classify the undo row-by-row — the deleted
+    * slice comes back as inserts, the re-scored source reverts as
+    * updates, nothing else moves. `groups_touched` pins the commit's
+    * metadata footprint to exactly the two damaged partitions, so an
+    * incremental reader consumes the restore as the O(touched) diff it
+    * is — at 100 TB a restore is a pure metadata operation regardless
+    * of table size. */
+  def p40RestoreVersion(s: SparkSession, dir: String): DataFrame = {
+    registerLake(s)
+    s.sql("DROP TABLE IF EXISTS graft_lake.restore_demo")
+    s.sql("""CREATE TABLE graft_lake.restore_demo
+            |(doc_id BIGINT, source STRING, n_chars BIGINT)
+            |PARTITIONED BY (source)""".stripMargin)
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    docs.writeTo("graft_lake.restore_demo").append() // v1: good state
+    s.sql("UPDATE graft_lake.restore_demo SET n_chars = n_chars + 5000 WHERE source = 'src5'") // v2
+    s.sql("DELETE FROM graft_lake.restore_demo WHERE source = 'src2' AND n_chars < 300") // v3
+    graft.sources.GraftLake.restore("graft_lake.restore_demo", 1) // v4: undo both
+    def sig(df: DataFrame) = df.agg(
+      count(lit(1)), coalesce(sum(col("n_chars")), lit(0L)),
+      coalesce(sum(col("doc_id") * col("n_chars")), lit(0L))).collect()(0)
+    val matchV1 = if (sig(s.table("graft_lake.restore_demo")) ==
+      sig(s.sql("SELECT * FROM graft_lake.restore_demo VERSION AS OF 1"))) 1L else 0L
+    val nVersions = graft.sources.GraftLake.latestVersion("graft_lake.restore_demo").toLong
+    val groupsTouched = graft.sources.GraftLake
+      .changedPartitions("graft_lake.restore_demo", 3, 4)
+      .map(_.size.toLong).getOrElse(-1L) // -1 = metadata forced a full diff
+    val cdc = graft.sources.GraftLake.changes(s, "graft_lake.restore_demo", 3, 4, "doc_id")
+      .agg(sum(when(col("change") === "I", 1L).otherwise(0L)).as("n_back_ins"),
+        sum(when(col("change") === "U", 1L).otherwise(0L)).as("n_back_upd"),
+        sum(when(col("change") === "D", 1L).otherwise(0L)).as("n_back_del"))
+    s.table("graft_lake.restore_demo")
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(col("n_chars")), lit(0L)).as("sum_chars"))
+      .crossJoin(broadcast(cdc)) // 1-row scalar frame, not a cartesian
+      .withColumn("match_v1", lit(matchV1))
+      .withColumn("n_versions", lit(nVersions))
+      .withColumn("groups_touched", lit(groupsTouched))
+  }
+
+  val p40Sql: String =
+    """WITH d AS (SELECT doc_id, source, n_chars FROM documents)
+      |SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  (SELECT COUNT(*) FROM d WHERE source = 'src2' AND n_chars < 300) AS n_back_ins,
+      |  (SELECT COUNT(*) FROM d WHERE source = 'src5') AS n_back_upd,
+      |  CAST(0 AS BIGINT) AS n_back_del,
+      |  CAST(1 AS BIGINT) AS match_v1,
+      |  CAST(4 AS BIGINT) AS n_versions,
+      |  CAST(2 AS BIGINT) AS groups_touched
+      |FROM d""".stripMargin
+
+  // ---------------------------------------------------------------- p41
+  /** METADATA TABLES — the manifest queryable as SQL (Iceberg's
+    * `<table>.history` / `<table>.files`, Delta's DESCRIBE HISTORY):
+    * plain `SELECT`s over identifier-suffixed tables answer "what
+    * happened to this table" and "what does it physically hold" from
+    * COMMIT METADATA alone — no data file is opened anywhere in this
+    * query's read side. The scenario makes every number deterministic:
+    * two group-aligned appends (repartition on the partition column →
+    * exactly one file per source per commit) and a whole-partition
+    * DELETE, then the history aggregates per action (commit counts,
+    * files/rows added and removed, data-change flags) and the files
+    * table's live footprint (file/row/group counts) are all restated
+    * by the oracle from the corpus itself.
+    *
+    * The scale story IS the point: history and files rows are the
+    * driver-side snapshot state Delta/Iceberg already hold (KB per
+    * thousand files), so the scan is one honest metadata partition
+    * while the data it describes can be 100 TB. */
+  def p41MetadataTables(s: SparkSession, dir: String): DataFrame = {
+    registerLake(s)
+    s.sql("DROP TABLE IF EXISTS graft_lake.meta_demo")
+    s.sql("""CREATE TABLE graft_lake.meta_demo
+            |(doc_id BIGINT, source STRING, n_chars BIGINT)
+            |PARTITIONED BY (source)""".stripMargin)
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    docs.repartition(col("source"))
+      .writeTo("graft_lake.meta_demo").append() // v1: one file per source
+    docs.filter(col("doc_id") % 13 === 0)
+      .withColumn("doc_id", col("doc_id") + 500000L)
+      .repartition(col("source"))
+      .writeTo("graft_lake.meta_demo").append() // v2: re-crawl slice
+    s.sql("DELETE FROM graft_lake.meta_demo WHERE source = 'src3'") // v3: drop a partition
+    val files = s.sql(
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_live_files,
+        |  CAST(COALESCE(SUM(rows), 0) AS BIGINT) AS n_live_rows,
+        |  CAST(COUNT(DISTINCT partition) AS BIGINT) AS n_live_groups
+        |FROM graft_lake.meta_demo.files""".stripMargin)
+    s.sql(
+      """SELECT action, COUNT(*) AS n_commits,
+        |  SUM(files_added) AS files_added, SUM(files_removed) AS files_removed,
+        |  SUM(rows_added) AS rows_added, SUM(rows_removed) AS rows_removed,
+        |  SUM(CASE WHEN data_change THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS n_data_change
+        |FROM graft_lake.meta_demo.history GROUP BY action""".stripMargin)
+      .crossJoin(broadcast(files)) // 1-row scalar frame
+      .orderBy(col("action"))
+  }
+
+  val p41Sql: String =
+    """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+      |sl AS (SELECT doc_id + 500000 AS doc_id, source, n_chars FROM d WHERE doc_id % 13 = 0),
+      |hist AS (
+      |  SELECT 'append' AS action, CAST(2 AS BIGINT) AS n_commits,
+      |    CAST((SELECT COUNT(DISTINCT source) FROM d) +
+      |         (SELECT COUNT(DISTINCT source) FROM sl) AS BIGINT) AS files_added,
+      |    CAST(0 AS BIGINT) AS files_removed,
+      |    CAST((SELECT COUNT(*) FROM d) + (SELECT COUNT(*) FROM sl) AS BIGINT) AS rows_added,
+      |    CAST(0 AS BIGINT) AS rows_removed,
+      |    CAST(2 AS BIGINT) AS n_data_change
+      |  UNION ALL
+      |  SELECT 'create', 1, 0, 0, 0, 0, 0
+      |  UNION ALL
+      |  SELECT 'replace', 1, 0,
+      |    CAST(1 + (SELECT CASE WHEN COUNT(*) > 0 THEN 1 ELSE 0 END
+      |              FROM sl WHERE source = 'src3') AS BIGINT),
+      |    0,
+      |    CAST((SELECT COUNT(*) FROM d WHERE source = 'src3') +
+      |         (SELECT COUNT(*) FROM sl WHERE source = 'src3') AS BIGINT),
+      |    1),
+      |lv AS (SELECT * FROM d WHERE source <> 'src3'
+      |       UNION ALL SELECT * FROM sl WHERE source <> 'src3'),
+      |f AS (SELECT
+      |  CAST((SELECT COUNT(DISTINCT source) FROM d WHERE source <> 'src3') +
+      |       (SELECT COUNT(DISTINCT source) FROM sl WHERE source <> 'src3') AS BIGINT) AS n_live_files,
+      |  CAST((SELECT COUNT(*) FROM lv) AS BIGINT) AS n_live_rows,
+      |  CAST((SELECT COUNT(DISTINCT source) FROM lv) AS BIGINT) AS n_live_groups)
+      |SELECT action, n_commits, files_added, files_removed, rows_added,
+      |  rows_removed, n_data_change, n_live_files, n_live_rows, n_live_groups
+      |FROM hist CROSS JOIN f ORDER BY action""".stripMargin
+
+  // ---------------------------------------------------------------- p42
+  /** CHECK CONSTRAINTS — data-quality enforcement AT THE STORAGE LAYER
+    * (Delta's `ALTER TABLE ... ADD CONSTRAINT ... CHECK`, stored as
+    * `graft.constraints.*` table properties exactly like Delta's
+    * `delta.constraints.*`): two constraints attach as a metadata-only
+    * commit, a clean load passes, and then every way bad data could
+    * sneak in is tried and must fail LOUDLY with nothing committed — a
+    * violating append, a violating UPDATE (the row-level rewrite
+    * funnels through the same task-side writer, so no path bypasses
+    * the check), and adding a new constraint the existing rows already
+    * violate (rejected by the add-time validation scan).
+    *
+    * Enforcement is a bound Catalyst predicate compiled once per task
+    * and evaluated per row — the 100 TB path adds no shuffle, no
+    * driver round-trip, and no second pass; the add-time validation is
+    * one distributed count. The hash pins the surviving table (only
+    * the clean load), both blocked flags, the rejected-constraint
+    * flag, the live constraint count, and version stability (failed
+    * writes must not advance the log). */
+  def p42CheckConstraints(s: SparkSession, dir: String): DataFrame = {
+    registerLake(s)
+    s.sql("DROP TABLE IF EXISTS graft_lake.cons")
+    s.sql("CREATE TABLE graft_lake.cons (doc_id BIGINT, source STRING, n_chars BIGINT)")
+    s.sql("""ALTER TABLE graft_lake.cons SET TBLPROPERTIES (
+            |  'graft.constraints.chars_positive' = 'n_chars > 0',
+            |  'graft.constraints.id_bounded' = 'doc_id < 1000000')""".stripMargin) // v2
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    docs.writeTo("graft_lake.cons").append() // v3: every row satisfies both
+    val vBefore = graft.sources.GraftLake.latestVersion("graft_lake.cons").toLong
+    val insertBlocked = try {
+      docs.limit(3).withColumn("n_chars", lit(-5L))
+        .writeTo("graft_lake.cons").append(); 0L
+    } catch { case _: Exception => 1L }
+    val updateBlocked = try {
+      s.sql("UPDATE graft_lake.cons SET n_chars = -1 WHERE doc_id % 100 = 0"); 0L
+    } catch { case _: Exception => 1L }
+    val badRejected = try {
+      s.sql("""ALTER TABLE graft_lake.cons SET TBLPROPERTIES (
+              |  'graft.constraints.impossible' = 'n_chars > 100000')""".stripMargin); 0L
+    } catch { case _: Exception => 1L }
+    val nConstraints = graft.sources.LakeStore.get("graft_lake.cons").get
+      .props.keys.count(_.startsWith("graft.constraints.")).toLong
+    val versionStable =
+      if (graft.sources.GraftLake.latestVersion("graft_lake.cons").toLong == vBefore) 1L
+      else 0L
+    s.table("graft_lake.cons")
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(col("n_chars")), lit(0L)).as("sum_chars"))
+      .withColumn("n_constraints", lit(nConstraints))
+      .withColumn("insert_blocked", lit(insertBlocked))
+      .withColumn("update_blocked", lit(updateBlocked))
+      .withColumn("bad_constraint_rejected", lit(badRejected))
+      .withColumn("version_stable", lit(versionStable))
+  }
+
+  val p42Sql: String =
+    """SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(2 AS BIGINT) AS n_constraints,
+      |  CAST(1 AS BIGINT) AS insert_blocked,
+      |  CAST(1 AS BIGINT) AS update_blocked,
+      |  CAST(1 AS BIGINT) AS bad_constraint_rejected,
+      |  CAST(1 AS BIGINT) AS version_stable
+      |FROM documents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p42_check_constraints" -> (p42CheckConstraints _),
+    "p41_metadata_tables" -> (p41MetadataTables _),
+    "p40_restore_version" -> (p40RestoreVersion _),
     "p39_vacuum_retention" -> (p39VacuumRetention _),
     "p38_optimize_layout" -> (p38OptimizeLayout _),
     "p37_schema_evolution" -> (p37SchemaEvolution _),
@@ -2659,6 +2874,9 @@ object PipelineQueries {
   // def, not val: p19Sql embeds Sidecars.oracleDir-keyed paths, which
   // Verify pins at runtime before dumping oracle_sql.json
   def oracle: Map[String, String] = Map(
+    "p42_check_constraints" -> p42Sql,
+    "p41_metadata_tables" -> p41Sql,
+    "p40_restore_version" -> p40Sql,
     "p39_vacuum_retention" -> p39Sql,
     "p38_optimize_layout" -> p38Sql,
     "p37_schema_evolution" -> p37Sql,

@@ -189,6 +189,14 @@ object GraftLake {
   def vacuum(qualifiedKey: String, retainLast: Int): (Int, Int) =
     LakeStore.vacuum(qualifiedKey, retainLast)
 
+  /** RESTORE: roll the table back to `toVersion` as a new data-change
+    * commit (Delta's `RESTORE TABLE`). Manifest-only — the old files
+    * are re-pointed, never copied — and CDC sees the restore as the
+    * row-level undo it is (its commit records exactly the groups whose
+    * file sets differ). See [[LakeStore.restore]]. */
+  def restore(qualifiedKey: String, toVersion: Int): Unit =
+    LakeStore.restore(qualifiedKey, toVersion)
+
   /** Row-level CHANGES between snapshot v1 and v2 of `tableRef`
     * (qualified `catalog.table`, which is also its store key), keyed by
     * the unique `keyCol`: one row per inserted ('I'), deleted ('D'), or
@@ -277,8 +285,21 @@ class GraftLakeCatalog extends TableCatalog {
   override def loadTable(ident: Identifier): Table =
     LakeStore.get(k(ident)) match {
       case Some(st) => new GraftLakeTable(k(ident), st.schema)
-      case None => throw new NoSuchTableException(
-        Seq(catalogName) ++ ident.namespace().toSeq :+ ident.name())
+      case None =>
+        // Iceberg-style METADATA TABLES: `SELECT * FROM <table>.history`
+        // / `<table>.files` — the suffixed identifier resolves here with
+        // the real table as its namespace. A real table always shadows
+        // (checked above), so a user table literally named `history`
+        // still wins.
+        val kind = ident.name()
+        if (LakeMetaTable.kinds.contains(kind) && ident.namespace().nonEmpty) {
+          val parentKey = (catalogName +: ident.namespace().toSeq).mkString(".")
+          if (LakeStore.get(parentKey).isDefined)
+            new LakeMetaTable(parentKey, kind)
+          else throw new NoSuchTableException(
+            Seq(catalogName) ++ ident.namespace().toSeq :+ ident.name())
+        } else throw new NoSuchTableException(
+          Seq(catalogName) ++ ident.namespace().toSeq :+ ident.name())
     }
 
   /** `VERSION AS OF v` time travel: the same table pinned to snapshot v,
@@ -333,13 +354,23 @@ class GraftLakeCatalog extends TableCatalog {
     * same live files); files written before the ALTER simply lack the
     * column in their manifest `cols`, and the reader pads null — the
     * `mergeSchema` read behavior, resolved from the manifest instead of
-    * parquet footers. Anything else (drop/rename/retype) is rejected
-    * loudly. */
+    * parquet footers.
+    *
+    * `SET/UNSET TBLPROPERTIES` is the property-commit path, and
+    * `graft.constraints.<name>` properties are CHECK constraints (the
+    * Delta shape — `delta.constraints.*`): adding one first validates
+    * the expression AGAINST THE TABLE (unknown columns / bad syntax
+    * fail analysis; a single distributed count rejects a constraint the
+    * existing rows already violate — nothing is committed on failure),
+    * and every subsequent write enforces it task-side
+    * ([[LakeConstraints]]). Anything else (drop/rename/retype) is
+    * rejected loudly. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val key = k(ident)
     val st = LakeStore.get(key).getOrElse(throw new NoSuchTableException(
       Seq(catalogName) ++ ident.namespace().toSeq :+ ident.name()))
     var schema = st.schema
+    var props = st.props
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1,
@@ -351,10 +382,17 @@ class GraftLakeCatalog extends TableCatalog {
         require(!schema.fieldNames.contains(add.fieldNames()(0)),
           s"graft_lake: column ${add.fieldNames()(0)} already exists")
         schema = schema.add(StructField(add.fieldNames()(0), add.dataType(), add.isNullable))
+      case set: TableChange.SetProperty =>
+        if (set.property().startsWith(LakeConstraints.prefix))
+          LakeConstraints.validateNew(key, set.property(), set.value())
+        props = props.updated(set.property(), set.value())
+      case rm: TableChange.RemoveProperty =>
+        props = props - rm.property() // DROP CONSTRAINT when prefixed
       case other => throw new UnsupportedOperationException(
         s"graft_lake: unsupported ALTER TABLE change $other")
     }
-    LakeStore.alterSchema(key, schema)
+    if (schema ne st.schema) LakeStore.alterSchema(key, schema)
+    if (props != st.props) LakeStore.setProperties(key, props)
     new GraftLakeTable(key, schema)
   }
 
@@ -378,6 +416,18 @@ class GraftLakeTable(val key: String, val tableSchema: StructType,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
+
+  /** Surfaced to `SHOW TBLPROPERTIES`; a time-travel view shows the
+    * properties AS OF its pinned version. */
+  override def properties(): util.Map[String, String] = {
+    val props = LakeStore.get(key) match {
+      case Some(st) => pinnedVersion.fold(st.props)(v => st.snapshots(v).props)
+      case None => Map.empty[String, String]
+    }
+    val m = new util.HashMap[String, String]()
+    props.foreach { case (pk, pv) => m.put(pk, pv) }
+    m
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LakeScanBuilder(key, tableSchema, pinnedVersion)
@@ -720,6 +770,176 @@ class LakeReaderFactory(required: StructType) extends PartitionReaderFactory {
   }
 }
 
+/** CHECK constraints, Delta-shaped: stored as `graft.constraints.<name>`
+  * table properties, validated at ALTER time against existing rows, and
+  * enforced at WRITE time inside every task — appends, INSERT OVERWRITE,
+  * and the row-level rewrites (UPDATE/DELETE/MERGE) all funnel through
+  * the same writer, so no path can slip an invalid row in. SQL CHECK
+  * semantics: a row passes when the expression is TRUE or NULL; only
+  * definite FALSE violates (the standard's UNKNOWN-passes rule).
+  *
+  * The expression text is parsed and analyzer-resolved ON THE DRIVER
+  * against the write schema (type coercion included), bound to ordinals,
+  * and shipped to tasks as a Catalyst expression; each task compiles it
+  * once with [[org.apache.spark.sql.catalyst.expressions.Predicate]]
+  * (codegen with interpreted fallback) and evaluates per row — no
+  * per-row driver involvement, so enforcement scales with the write. */
+object LakeConstraints {
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.catalyst.expressions.{BindReferences, EqualNullSafe, Expression, Literal}
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation}
+  import org.apache.spark.sql.catalyst.types.DataTypeUtils
+  import org.apache.spark.sql.types.BooleanType
+
+  val prefix = "graft.constraints."
+
+  /** Reject a new constraint whose expression fails analysis over the
+    * table (bad syntax, unknown column) or that EXISTING rows violate —
+    * Delta's add-constraint validation, one distributed count. */
+  def validateNew(key: String, property: String, expr: String): Unit = {
+    val name = property.stripPrefix(prefix)
+    val bad =
+      try SparkSession.active.table(key).where(s"NOT coalesce(($expr), true)").count()
+      catch { case e: Exception => throw new IllegalArgumentException(
+        s"graft_lake: CHECK constraint '$name' ($expr) does not analyze " +
+          s"against $key: ${e.getMessage}", e) }
+    require(bad == 0L,
+      s"graft_lake: cannot add CHECK constraint '$name' ($expr) to $key — " +
+        s"$bad existing row(s) violate it; nothing was committed")
+  }
+
+  /** Compile the table's constraints into (name, bound VIOLATION
+    * expression) pairs over `schema`'s ordinals: the expression is true
+    * iff the row definitely violates (constraint <=> false). */
+  def compile(key: String, schema: StructType): Seq[(String, Expression)] = {
+    val cs = LakeStore.get(key).map(_.props).getOrElse(Map.empty)
+      .collect { case (pk, pv) if pk.startsWith(prefix) =>
+        pk.stripPrefix(prefix) -> pv }
+      .toSeq.sortBy(_._1)
+    if (cs.isEmpty) return Nil
+    val spark = SparkSession.active
+    val attrs = DataTypeUtils.toAttributes(schema)
+    cs.map { case (name, sql) =>
+      val parsed = spark.sessionState.sqlParser.parseExpression(sql)
+      val analyzed = spark.sessionState.analyzer.execute(
+        Filter(parsed, LocalRelation(attrs))).asInstanceOf[Filter]
+      val cond = analyzed.condition
+      require(cond.resolved && cond.dataType == BooleanType,
+        s"graft_lake: CHECK constraint '$name' ($sql) is not a boolean " +
+          s"expression over ${key}'s columns")
+      // bind against the SAME attribute instances the analyzer resolved
+      // to — toAttributes mints fresh exprIds per call
+      name -> BindReferences.bindReference(
+        EqualNullSafe(cond, Literal(false)), attrs)
+    }
+  }
+}
+
+/** Iceberg-style metadata tables, resolved by identifier suffix:
+  * `<table>.history` (one row per commit — DESCRIBE HISTORY) and
+  * `<table>.files` (one row per LIVE data file). Both are driver-side
+  * manifest reads — commits and file entries are exactly what a Delta
+  * snapshot already holds in memory (KB per thousand files), so a
+  * single input partition is the honest plan at any data scale: the
+  * metadata is small even when the data is 100 TB. */
+object LakeMetaTable {
+  import org.apache.spark.sql.types.{BooleanType, LongType, StringType}
+
+  val kinds: Set[String] = Set("history", "files")
+
+  def schemaOf(kind: String): StructType = kind match {
+    case "history" => StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("action", StringType, nullable = false),
+      StructField("data_change", BooleanType, nullable = false),
+      StructField("files_added", LongType, nullable = false),
+      StructField("files_removed", LongType, nullable = false),
+      StructField("rows_added", LongType, nullable = false),
+      StructField("rows_removed", LongType, nullable = false),
+      // null = a whole-table commit (no per-group metadata)
+      StructField("groups_touched", LongType, nullable = true)))
+    case "files" => StructType(Seq(
+      StructField("path", StringType, nullable = false),
+      StructField("partition", StringType, nullable = false),
+      StructField("rows", LongType, nullable = false),
+      StructField("n_cols", LongType, nullable = false)))
+    case other => throw new IllegalArgumentException(
+      s"graft_lake: unknown metadata table kind $other")
+  }
+
+  /** Materialize the metadata rows from the manifest (driver-side,
+    * bounded by commit/file counts). Values are the serializable
+    * primitives the reader converts to Catalyst forms. */
+  def rows(st: LakeStore.TableState, kind: String): Vector[Vector[Any]] = kind match {
+    case "history" =>
+      (0 to st.latestVersion).iterator.map { v =>
+        val snap = st.snapshots(v)
+        val prev = if (v == 0) Vector.empty[LakeStore.FileEntry]
+          else st.snapshots(v - 1).files
+        val prevPaths = prev.map(_.path).toSet
+        val curPaths = snap.files.map(_.path).toSet
+        val added = snap.files.filterNot(f => prevPaths.contains(f.path))
+        val removed = prev.filterNot(f => curPaths.contains(f.path))
+        Vector[Any](v.toLong, snap.action, snap.dataChange,
+          added.length.toLong, removed.length.toLong,
+          added.iterator.map(_.rows).sum, removed.iterator.map(_.rows).sum,
+          snap.commitGroups.map(g => java.lang.Long.valueOf(g.size.toLong)).orNull)
+      }.toVector
+    case "files" =>
+      st.current.map { f =>
+        Vector[Any](f.path,
+          st.partitionCols.zip(f.group).map { case (c, v) => s"$c=$v" }.mkString("/"),
+          f.rows, f.cols.length.toLong)
+      }
+  }
+}
+
+class LakeMetaTable(parentKey: String, kind: String) extends Table with SupportsRead {
+  override def name(): String = s"$parentKey.$kind"
+  override def schema(): StructType = LakeMetaTable.schemaOf(kind)
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new LakeMetaScan(parentKey, kind)
+}
+
+class LakeMetaScan(parentKey: String, kind: String) extends Scan with Batch {
+  override def readSchema(): StructType = LakeMetaTable.schemaOf(kind)
+  override def toBatch: Batch = this
+  override def description(): String = s"GraftLakeMeta($parentKey.$kind)"
+  override def planInputPartitions(): Array[InputPartition] = {
+    val st = LakeStore.get(parentKey).getOrElse(
+      throw new NoSuchTableException(parentKey.split('.').toSeq))
+    Array(LakeMetaPartition(LakeMetaTable.rows(st, kind)))
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LakeMetaReaderFactory(readSchema())
+}
+
+case class LakeMetaPartition(rows: Vector[Vector[Any]]) extends InputPartition
+
+class LakeMetaReaderFactory(schema: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val it = partition.asInstanceOf[LakeMetaPartition].rows.iterator
+      private var cur: InternalRow = _
+      override def next(): Boolean = {
+        if (!it.hasNext) return false
+        val vals = it.next()
+        val row = new GenericInternalRow(schema.length)
+        var i = 0
+        while (i < schema.length) {
+          row.update(i, LakeStore.toCatalyst(vals(i), schema(i).dataType))
+          i += 1
+        }
+        cur = row
+        true
+      }
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+}
+
 class LakeWriteBuilder(key: String, writeSchema: StructType,
     private var replaceOnCommit: Boolean,
     replacedGroups: () => Option[Set[List[Any]]] = () => None) extends WriteBuilder
@@ -732,7 +952,10 @@ class LakeWriteBuilder(key: String, writeSchema: StructType,
     override def toBatch: BatchWrite = new BatchWrite {
       override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
         val partitionCols = LakeStore.get(key).map(_.partitionCols).getOrElse(Nil)
-        new LakeWriterFactory(LakeStore.dataDir(key), writeSchema, partitionCols)
+        // compiled once on the driver; tasks get bound Catalyst exprs
+        val constraints = LakeConstraints.compile(key, writeSchema)
+        new LakeWriterFactory(LakeStore.dataDir(key), writeSchema, partitionCols,
+          constraints)
       }
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
         val files = messages.iterator
@@ -763,12 +986,21 @@ case class LakeCommit(files: Seq[LakeStore.FileEntry]) extends WriterCommitMessa
   * pass and land in the commit message's manifest entry — statistics
   * are recorded at write time, never recomputed by a scan. */
 class LakeWriterFactory(dataDir: String, schema: StructType,
-    partitionCols: Seq[String]) extends DataWriterFactory {
+    partitionCols: Seq[String],
+    constraints: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
+    extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val dts = schema.fields.map(_.dataType)
     val partitionIdx = partitionCols.map(schema.fieldIndex).toArray
     val colNames = schema.fieldNames
+    // compile each bound violation expression once per task (codegen
+    // with interpreted fallback); evaluated on the ALIGNED row below
+    val checkPreds = constraints.map { case (name, expr) =>
+      val p = org.apache.spark.sql.catalyst.expressions.Predicate.create(expr)
+      p.initialize(partitionId)
+      (name, p)
+    }.toArray
 
     final class OpenFile(val relPath: String) {
       val writer: ParquetWriter[InternalRow] = {
@@ -817,6 +1049,16 @@ class LakeWriterFactory(dataDir: String, schema: StructType,
         while (j < dts.length) {
           full.update(j, if (row.isNullAt(off + j)) null else row.get(off + j, dts(j)))
           j += 1
+        }
+        // CHECK constraints: violation = expression definitely FALSE
+        // (SQL's UNKNOWN-passes rule). Throwing fails the task -> the
+        // job aborts -> no commit; abort() sweeps the partial files.
+        var ci = 0
+        while (ci < checkPreds.length) {
+          if (checkPreds(ci)._2.eval(full)) throw new IllegalStateException(
+            s"graft_lake: CHECK constraint '${checkPreds(ci)._1}' violated by a " +
+              s"write row; the write was aborted and nothing was committed")
+          ci += 1
         }
         val group = partitionIdx.map(i => LakeStore.toStored(full.get(i, dts(i)))).toList
         val file = open.getOrElseUpdate(group,

@@ -60,17 +60,21 @@ object LakeStore {
       cols: Seq[String], zones: Map[String, (Any, Any)])
 
   /** One table version: the schema AT that version, the live file set,
-    * the commit's touched-group metadata (None = whole table), and
-    * whether the commit changed row data (false = OPTIMIZE-style layout
-    * rewrite, invisible to CDC). */
+    * the commit's touched-group metadata (None = whole table), whether
+    * the commit changed row data (false = OPTIMIZE-style layout rewrite,
+    * invisible to CDC), the commit's action kind (what DESCRIBE HISTORY
+    * shows), and the table properties AS OF that version (constraints
+    * live here — time travel sees the properties of its era). */
   final case class Snapshot(schema: StructType, files: Vector[FileEntry],
-      commitGroups: Option[Set[List[Any]]], dataChange: Boolean)
+      commitGroups: Option[Set[List[Any]]], dataChange: Boolean,
+      action: String = "unknown", props: Map[String, String] = Map.empty)
 
   final case class TableState(key: String, partitionCols: Seq[String],
       snapshots: Vector[Snapshot], earliest: Int = 0) {
     def schema: StructType = snapshots.last.schema
     def current: Vector[FileEntry] = snapshots.last.files
     def latestVersion: Int = snapshots.length - 1
+    def props: Map[String, String] = snapshots.last.props
     /** Partition-group keys present in the current live file set. */
     def liveGroups: Set[List[Any]] = current.iterator.map(_.group).toSet
   }
@@ -166,7 +170,8 @@ object LakeStore {
         "add" -> JArray(Nil), "remove" -> JArray(Nil))
       writeLogEntry(k, 0, entry)
       tables.update(k, TableState(k, partitionCols,
-        Vector(Snapshot(schema, Vector.empty, Some(Set.empty), dataChange = false))))
+        Vector(Snapshot(schema, Vector.empty, Some(Set.empty), dataChange = false,
+          action = "create"))))
       true
     }
 
@@ -227,6 +232,50 @@ object LakeStore {
       commitGroups = Some(Set.empty), dataChange = false, schema = newSchema)
   }
 
+  /** RESTORE: roll the table back to snapshot `toVersion` as a NEW
+    * data-change commit — Delta's `RESTORE TABLE ... TO VERSION AS OF`.
+    * Purely a manifest move: the target version's files become the live
+    * set again (they are still on disk — that is what time-travel
+    * retention buys), nothing is copied or rewritten, and history is
+    * append-only (the bad commits stay inspectable; a second restore
+    * can roll forward again). The commit's touched-group metadata is
+    * exactly the groups whose file sets differ, so an incremental
+    * CHANGES reader sees the restore as the row-level undo it is.
+    * Schema rolls back with the data (restoring to a pre-ALTER version
+    * narrows the table); PROPERTIES do not (a constraint added after
+    * the restore point must not silently vanish). Restoring past the
+    * VACUUM horizon is refused — those files are gone. */
+  def restore(k: String, toVersion: Int): Unit = synchronized {
+    val st = stateOf(k)
+    require(toVersion >= 0 && toVersion <= st.latestVersion,
+      s"graft_lake: RESTORE version $toVersion out of range [0, ${st.latestVersion}] for $k")
+    require(toVersion >= st.earliest,
+      s"graft_lake: cannot RESTORE $k to vacuumed version $toVersion " +
+        s"(earliest readable: ${st.earliest})")
+    val target = st.snapshots(toVersion)
+    val curPaths = st.current.map(_.path).toSet
+    val tgtPaths = target.files.map(_.path).toSet
+    val added = target.files.filterNot(f => curPaths.contains(f.path))
+    val removed = st.current.filterNot(f => tgtPaths.contains(f.path))
+    val touched = (added ++ removed).map(_.group).toSet
+    lastReplacedGroups.update(k, Some(touched))
+    lastReplacedFiles.update(k, (removed.map(_.path), added.map(_.path)))
+    commit(k, st, "restore", target.files, added, removed.map(_.path),
+      commitGroups = Some(touched), dataChange = true, schema = target.schema)
+  }
+
+  /** Property-change commit (`ALTER TABLE ... SET/UNSET TBLPROPERTIES`):
+    * metadata-only, same live files — how CHECK constraints are attached
+    * (Delta stores constraints as `delta.constraints.*` properties; here
+    * the prefix is `graft.constraints.`). Validation happens in the
+    * catalog (the layer with a SparkSession); this just commits. */
+  def setProperties(k: String, newProps: Map[String, String]): Unit = synchronized {
+    val st = stateOf(k)
+    commit(k, st, "setprops", st.current, Nil, removed = Nil,
+      commitGroups = Some(Set.empty), dataChange = false, schema = st.schema,
+      props = newProps)
+  }
+
   private def stateOf(k: String): TableState =
     get(k).getOrElse(throw new NoSuchTableException(k.split('.').toSeq))
 
@@ -271,19 +320,22 @@ object LakeStore {
   private def commit(k: String, st: TableState, action: String,
       live: Vector[FileEntry], added: Seq[FileEntry], removed: Seq[String],
       commitGroups: Option[Set[List[Any]]], dataChange: Boolean,
-      schema: StructType): Unit = {
+      schema: StructType, props: Map[String, String] = null): Unit = {
     val version = st.latestVersion + 1
+    val newProps = Option(props).getOrElse(st.props) // null = carry forward
     val entry = JObject(
       "action" -> JString(action),
       "schema" -> JString(schema.json),
       "dataChange" -> JBool(dataChange),
+      "props" -> JObject(newProps.toList.map { case (pk, pv) =>
+        pk -> (JString(pv): JValue) }),
       "commitGroups" -> commitGroups.fold[JValue](JNull)(gs =>
         JArray(gs.toList.map(g => JArray(g.map(jval).toList)))),
       "add" -> JArray(added.map(fileJson).toList),
       "remove" -> JArray(removed.map(JString(_)).toList))
     writeLogEntry(k, version, entry)
     tables.update(k, st.copy(snapshots =
-      st.snapshots :+ Snapshot(schema, live, commitGroups, dataChange)))
+      st.snapshots :+ Snapshot(schema, live, commitGroups, dataChange, action, newProps)))
   }
 
   /** One atomic log append: write to a temp name, rename into place —
@@ -341,8 +393,13 @@ object LakeStore {
           g.asInstanceOf[JArray].arr.zip(partTypes).map { case (v, dt) => unjval(v, dt) }).toSet)
         case other => throw new IllegalStateException(s"graft_lake: bad commitGroups $other")
       }
+      val props = j.get("props") match {
+        case Some(JObject(fields)) => fields.map { case (pk, pv) => pk -> str(pv) }.toMap
+        case _ => Map.empty[String, String] // pre-props log entries
+      }
       snapshots :+= Snapshot(schema, live,
-        cg, j.get("dataChange").forall(_ == JBool(true)))
+        cg, j.get("dataChange").forall(_ == JBool(true)),
+        j.get("action").map(str).getOrElse("unknown"), props)
     }
     val marker = new Path(dir, "_horizon")
     val earliest =

@@ -165,7 +165,10 @@ object ScaleSweep {
       "p37_schema_evolution" -> "ALTER ADD COLUMN + MERGE into evolved schema",
       "p38_optimize_layout" -> "OPTIMIZE range-clustering (layout-only rewrite)",
       "st14_change_feed" -> "streaming CDF (commit log as a file stream)",
-      "p39_vacuum_retention" -> "VACUUM retention (keep-set delete + horizon gate)")
+      "p39_vacuum_retention" -> "VACUUM retention (keep-set delete + horizon gate)",
+      "p40_restore_version" -> "RESTORE to version (manifest re-point + CDC undo)",
+      "p41_metadata_tables" -> "history/files metadata tables (manifest-only SQL)",
+      "p42_check_constraints" -> "CHECK constraints (task-side write enforcement)")
 
     // warm the JVM/codegen on the smallest sf so cold-start lands nowhere
     queries.foreach { case (q, _) =>

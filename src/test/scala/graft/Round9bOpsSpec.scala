@@ -1,0 +1,196 @@
+package graft
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.sources.{GraftLake, LakeStore}
+
+/** Round-9 second wave: RESTORE to version (p40), metadata tables
+  * (p41), CHECK constraints (p42) — each pinned at the level the query
+  * hash cannot see: file identity, disk contents, log versions, and
+  * the SQL null-semantics edge. */
+class Round9bOpsSpec extends SparkTestBase {
+
+  private def registerCatalog(): Unit =
+    if (!spark.conf.getOption("spark.sql.catalog.graft_lake").contains(
+        classOf[graft.sources.GraftLakeCatalog].getName))
+      spark.conf.set("spark.sql.catalog.graft_lake",
+        classOf[graft.sources.GraftLakeCatalog].getName)
+
+  private def dataFiles(key: String): Set[String] = {
+    val dir = new Path(LakeStore.dataDir(key))
+    val fs = dir.getFileSystem(new Configuration())
+    fs.listStatus(dir).map(_.getPath.getName).filter(_.endsWith(".parquet")).toSet
+  }
+
+  // ------------------------------------------------------------- p40
+
+  test("p40/RESTORE is a manifest move: v1's exact files re-pointed, zero new data files, history append-only") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_lake.rst")
+    spark.sql("CREATE TABLE graft_lake.rst (id BIGINT, grp BIGINT) PARTITIONED BY (grp)")
+    import spark.implicits._
+    (0L until 40L).map(i => (i, i % 4)).toDF("id", "grp")
+      .repartition(col("grp")).writeTo("graft_lake.rst").append() // v1
+    val v1Files = LakeStore.get("graft_lake.rst").get.current.map(_.path).toSet
+    spark.sql("DELETE FROM graft_lake.rst WHERE grp = 2") // v2
+    spark.sql("UPDATE graft_lake.rst SET id = id + 100 WHERE grp = 1") // v3
+    val diskBefore = dataFiles("graft_lake.rst")
+    GraftLake.restore("graft_lake.rst", 1) // v4
+    val st = LakeStore.get("graft_lake.rst").get
+    // the live manifest IS v1's manifest again, file-identically
+    assert(st.current.map(_.path).toSet === v1Files)
+    // metadata-only: not a single new data file appeared on disk
+    assert(dataFiles("graft_lake.rst") === diskBefore)
+    // history is append-only: the bad versions remain time-travelable
+    assert(st.latestVersion === 4)
+    assert(spark.sql("SELECT count(*) FROM graft_lake.rst VERSION AS OF 2")
+      .collect().head.getLong(0) === 30L)
+    assert(spark.table("graft_lake.rst").count() === 40L)
+    // roll FORWARD works too: restore to v3 reinstates the damaged state
+    GraftLake.restore("graft_lake.rst", 3)
+    assert(spark.table("graft_lake.rst").count() === 30L)
+    assert(spark.table("graft_lake.rst").filter(col("grp") === 1 && col("id") >= 100).count() === 10L)
+  }
+
+  test("p40/RESTORE refuses a vacuumed version and restores pre-ALTER schema") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_lake.rstv")
+    spark.sql("CREATE TABLE graft_lake.rstv (id BIGINT)")
+    import spark.implicits._
+    Seq(1L, 2L).toDF("id").writeTo("graft_lake.rstv").append() // v1
+    spark.sql("ALTER TABLE graft_lake.rstv ADD COLUMN extra BIGINT") // v2
+    Seq((3L, 30L)).toDF("id", "extra").writeTo("graft_lake.rstv").append() // v3
+    // restore to v1: data AND schema roll back (3-col table narrows to 1)
+    GraftLake.restore("graft_lake.rstv", 1) // v4
+    assert(spark.table("graft_lake.rstv").schema.fieldNames.toSeq === Seq("id"))
+    assert(spark.table("graft_lake.rstv").count() === 2L)
+    // vacuum away everything before the tip, then RESTORE must refuse
+    spark.sql("DELETE FROM graft_lake.rstv WHERE id = 1") // v5
+    GraftLake.vacuum("graft_lake.rstv", retainLast = 1)
+    val e = intercept[IllegalArgumentException] { GraftLake.restore("graft_lake.rstv", 1) }
+    assert(e.getMessage.contains("vacuumed"))
+  }
+
+  test("p40 query: restore CDC classifies the undo row-by-row") {
+    val row = operators.PipelineQueries.p40RestoreVersion(spark, Sf0001).collect().head
+    val docs = Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), col("source"), col("n_chars")).collect()
+    assert(row.getAs[Long]("n_rows") === docs.length.toLong)
+    assert(row.getAs[Long]("n_back_ins") ===
+      docs.count(r => r.getString(1) == "src2" && r.getLong(2) < 300).toLong)
+    assert(row.getAs[Long]("n_back_upd") === docs.count(_.getString(1) == "src5").toLong)
+    assert(row.getAs[Long]("n_back_del") === 0L)
+    assert(row.getAs[Long]("match_v1") === 1L)
+    assert(row.getAs[Long]("groups_touched") === 2L)
+  }
+
+  // ------------------------------------------------------------- p41
+
+  test("p41/metadata tables answer from the manifest: history spans every commit, files equals the live set") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_lake.meta1")
+    spark.sql("CREATE TABLE graft_lake.meta1 (id BIGINT, grp BIGINT) PARTITIONED BY (grp)")
+    import spark.implicits._
+    (0L until 30L).map(i => (i, i % 3)).toDF("id", "grp")
+      .repartition(col("grp")).writeTo("graft_lake.meta1").append() // v1: 3 files
+    spark.sql("DELETE FROM graft_lake.meta1 WHERE grp = 0") // v2
+    val hist = spark.sql(
+      "SELECT * FROM graft_lake.meta1.history ORDER BY version").collect()
+    assert(hist.map(_.getAs[String]("action")).toSeq === Seq("create", "append", "replace"))
+    assert(hist.map(_.getAs[Long]("version")).toSeq === Seq(0L, 1L, 2L))
+    assert(hist(1).getAs[Long]("files_added") === 3L)
+    assert(hist(1).getAs[Long]("rows_added") === 30L)
+    assert(hist(2).getAs[Long]("files_removed") === 1L)
+    assert(hist(2).getAs[Long]("rows_removed") === 10L)
+    assert(hist(2).getAs[Boolean]("data_change") === true)
+    val files = spark.sql("SELECT * FROM graft_lake.meta1.files").collect()
+    val st = LakeStore.get("graft_lake.meta1").get
+    assert(files.map(_.getAs[String]("path")).toSet === st.current.map(_.path).toSet)
+    assert(files.map(_.getAs[Long]("rows")).sum === 20L)
+    assert(files.map(_.getAs[String]("partition")).toSet === Set("grp=1", "grp=2"))
+  }
+
+  test("p41: a REAL table shadows the metadata suffix; unknown parents still error") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_lake.shadow.history")
+    spark.sql("CREATE TABLE graft_lake.shadow.history (note STRING)")
+    import spark.implicits._
+    Seq("real table").toDF("note").writeTo("graft_lake.shadow.history").append()
+    // the user's table wins over the metadata resolution
+    assert(spark.sql("SELECT note FROM graft_lake.shadow.history")
+      .collect().head.getString(0) === "real table")
+    intercept[Exception] { // no such parent table -> loud, not empty
+      spark.sql("SELECT * FROM graft_lake.no_such_table.history").collect()
+    }
+    spark.sql("DROP TABLE graft_lake.shadow.history")
+  }
+
+  // ------------------------------------------------------------- p42
+
+  test("p42/CHECK constraints: SQL null-semantics pass, UNSET disarms, props survive cold replay") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_lake.chk")
+    spark.sql("CREATE TABLE graft_lake.chk (id BIGINT, v BIGINT)")
+    spark.sql("ALTER TABLE graft_lake.chk SET TBLPROPERTIES ('graft.constraints.v_pos' = 'v > 0')")
+    import spark.implicits._
+    // NULL passes: SQL CHECK violates only on definite FALSE
+    Seq((1L, java.lang.Long.valueOf(5L)), (2L, null.asInstanceOf[java.lang.Long]))
+      .toDF("id", "v").writeTo("graft_lake.chk").append()
+    assert(spark.table("graft_lake.chk").count() === 2L)
+    // definite FALSE is blocked, and the failed write leaves no orphan commit
+    val vBefore = GraftLake.latestVersion("graft_lake.chk")
+    intercept[Exception] {
+      Seq((3L, java.lang.Long.valueOf(-1L))).toDF("id", "v")
+        .writeTo("graft_lake.chk").append()
+    }
+    assert(GraftLake.latestVersion("graft_lake.chk") === vBefore)
+    assert(spark.table("graft_lake.chk").count() === 2L)
+    // constraints are commit-log state: cold replay keeps enforcing
+    LakeStore.invalidateCache("graft_lake.chk")
+    assert(LakeStore.get("graft_lake.chk").get.props
+      .contains("graft.constraints.v_pos"))
+    intercept[Exception] {
+      Seq((4L, java.lang.Long.valueOf(-2L))).toDF("id", "v")
+        .writeTo("graft_lake.chk").append()
+    }
+    // UNSET drops the constraint; the same write now lands
+    spark.sql("ALTER TABLE graft_lake.chk UNSET TBLPROPERTIES ('graft.constraints.v_pos')")
+    Seq((5L, java.lang.Long.valueOf(-3L))).toDF("id", "v")
+      .writeTo("graft_lake.chk").append()
+    assert(spark.table("graft_lake.chk").count() === 3L)
+  }
+
+  test("p42: MERGE is constrained through the same writer; add-time validation scans existing rows") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_lake.chkm")
+    spark.sql("CREATE TABLE graft_lake.chkm (id BIGINT, v BIGINT)")
+    import spark.implicits._
+    Seq((1L, 10L), (2L, 20L)).toDF("id", "v").writeTo("graft_lake.chkm").append()
+    spark.sql("ALTER TABLE graft_lake.chkm SET TBLPROPERTIES ('graft.constraints.v_cap' = 'v <= 100')")
+    // a MERGE whose UPDATE branch would violate must abort whole
+    Seq((1L, 500L)).toDF("id", "v").createOrReplaceTempView("chkm_src")
+    intercept[Exception] {
+      spark.sql("""MERGE INTO graft_lake.chkm t USING chkm_src s ON t.id = s.id
+                  |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+    }
+    assert(spark.table("graft_lake.chkm").filter(col("id") === 1L)
+      .collect().head.getLong(1) === 10L)
+    // adding a constraint the table already violates is rejected uncommitted
+    val vBefore = GraftLake.latestVersion("graft_lake.chkm")
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft_lake.chkm SET TBLPROPERTIES ('graft.constraints.tiny' = 'v < 15')")
+    }
+    assert(e.getMessage.contains("violate"))
+    assert(GraftLake.latestVersion("graft_lake.chkm") === vBefore)
+    // garbage expressions and unknown columns fail analysis loudly
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft_lake.chkm SET TBLPROPERTIES ('graft.constraints.bad' = 'no_such_col > 0')")
+    }
+    // SHOW TBLPROPERTIES surfaces the live constraint
+    val props = spark.sql("SHOW TBLPROPERTIES graft_lake.chkm").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("graft.constraints.v_cap").contains("v <= 100"))
+  }
+}
