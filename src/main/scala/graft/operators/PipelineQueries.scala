@@ -2828,7 +2828,81 @@ object PipelineQueries {
       |  CAST(1 AS BIGINT) AS version_stable
       |FROM documents""".stripMargin
 
+  // ---------------------------------------------------------------- p43
+  /** Shallow CLONE — a zero-copy table fork (Delta's `CREATE TABLE ...
+    * SHALLOW CLONE`): the clone's first commit REFERENCES the source's
+    * current files absolutely, carrying their manifest stats (zones,
+    * row counts, groups) for free, and from then on the two tables
+    * diverge independently under copy-on-write — the dev/staging-fork
+    * move that makes "experiment on a 100 TB table" a METADATA
+    * operation. The scenario diverges both sides: the source drops a
+    * partition (its COW leaves the referenced file on disk, exactly
+    * like time travel), the clone ingests a new slice and re-scores one
+    * source (its rewrite lands in its OWN data dir, leaving the shared
+    * file untouched for the source).
+    *
+    * Inside the hash: both tables' post-divergence aggregates (each
+    * restated from the corpus), `zero_copy` pinning that the clone's
+    * data dir held ZERO parquet files at clone time, and
+    * `shared_files` pinning that after divergence the clone still
+    * references exactly the untouched source files (one per source
+    * group minus the one it rewrote). */
+  def p43ShallowClone(s: SparkSession, dir: String): DataFrame = {
+    registerLake(s)
+    s.sql("DROP TABLE IF EXISTS graft_lake.clone_dst")
+    s.sql("DROP TABLE IF EXISTS graft_lake.clone_src")
+    s.sql("""CREATE TABLE graft_lake.clone_src
+            |(doc_id BIGINT, source STRING, n_chars BIGINT)
+            |PARTITIONED BY (source)""".stripMargin)
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    docs.repartition(col("source"))
+      .writeTo("graft_lake.clone_src").append() // one file per source
+    graft.sources.GraftLake.shallowClone("graft_lake.clone_src", "graft_lake.clone_dst")
+    // zero-copy: the clone's own data dir holds no parquet at clone time
+    val fs = new org.apache.hadoop.fs.Path(
+      graft.sources.LakeStore.dataDir("graft_lake.clone_dst"))
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val zeroCopy = if (fs.listStatus(new org.apache.hadoop.fs.Path(
+        graft.sources.LakeStore.dataDir("graft_lake.clone_dst")))
+        .count(_.getPath.getName.endsWith(".parquet")) == 0) 1L else 0L
+    // diverge the SOURCE: retention drops a partition
+    s.sql("DELETE FROM graft_lake.clone_src WHERE source = 'src4'")
+    // diverge the CLONE: new crawl slice + a re-score in one source
+    docs.filter(col("doc_id") % 31 === 0)
+      .withColumn("doc_id", col("doc_id") + 700000L)
+      .repartition(col("source"))
+      .writeTo("graft_lake.clone_dst").append()
+    s.sql("UPDATE graft_lake.clone_dst SET n_chars = n_chars + 7 WHERE source = 'src6'")
+    // the clone's live set still references the untouched source files
+    val sharedFiles = graft.sources.LakeStore.get("graft_lake.clone_dst").get
+      .current.count(_.path.startsWith("/")).toLong
+    val srcAgg = s.table("graft_lake.clone_src")
+      .agg(count(lit(1)).as("src_rows"),
+        coalesce(sum(col("n_chars")), lit(0L)).as("src_sum"))
+    s.table("graft_lake.clone_dst")
+      .agg(count(lit(1)).as("dst_rows"),
+        coalesce(sum(col("n_chars")), lit(0L)).as("dst_sum"))
+      .crossJoin(broadcast(srcAgg)) // 1-row scalar frame
+      .withColumn("zero_copy", lit(zeroCopy))
+      .withColumn("shared_files", lit(sharedFiles))
+  }
+
+  val p43Sql: String =
+    """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+      |sl AS (SELECT doc_id + 700000 AS doc_id, source, n_chars FROM d WHERE doc_id % 31 = 0)
+      |SELECT
+      |  (SELECT COUNT(*) FROM d) + (SELECT COUNT(*) FROM sl) AS dst_rows,
+      |  CAST((SELECT SUM(n_chars) FROM d) + (SELECT COALESCE(SUM(n_chars), 0) FROM sl)
+      |    + 7 * ((SELECT COUNT(*) FROM d WHERE source = 'src6')
+      |         + (SELECT COUNT(*) FROM sl WHERE source = 'src6')) AS BIGINT) AS dst_sum,
+      |  (SELECT COUNT(*) FROM d WHERE source <> 'src4') AS src_rows,
+      |  CAST((SELECT SUM(n_chars) FROM d WHERE source <> 'src4') AS BIGINT) AS src_sum,
+      |  CAST(1 AS BIGINT) AS zero_copy,
+      |  CAST((SELECT COUNT(DISTINCT source) FROM d) - 1 AS BIGINT) AS shared_files""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p43_shallow_clone" -> (p43ShallowClone _),
     "p42_check_constraints" -> (p42CheckConstraints _),
     "p41_metadata_tables" -> (p41MetadataTables _),
     "p40_restore_version" -> (p40RestoreVersion _),
@@ -2874,6 +2948,7 @@ object PipelineQueries {
   // def, not val: p19Sql embeds Sidecars.oracleDir-keyed paths, which
   // Verify pins at runtime before dumping oracle_sql.json
   def oracle: Map[String, String] = Map(
+    "p43_shallow_clone" -> p43Sql,
     "p42_check_constraints" -> p42Sql,
     "p41_metadata_tables" -> p41Sql,
     "p40_restore_version" -> p40Sql,

@@ -197,6 +197,14 @@ object GraftLake {
   def restore(qualifiedKey: String, toVersion: Int): Unit =
     LakeStore.restore(qualifiedKey, toVersion)
 
+  /** Shallow CLONE: `dstKey` becomes a new table whose first commit
+    * references `srcKey`'s current files absolutely — zero bytes
+    * copied, stats carried over; both tables then diverge
+    * independently. See [[LakeStore.cloneTable]] (incl. the Delta-
+    * documented source-VACUUM hazard). */
+  def shallowClone(srcKey: String, dstKey: String): Unit =
+    LakeStore.cloneTable(srcKey, dstKey)
+
   /** Row-level CHANGES between snapshot v1 and v2 of `tableRef`
     * (qualified `catalog.table`, which is also its store key), keyed by
     * the unique `keyCol`: one row per inserted ('I'), deleted ('D'), or
@@ -573,7 +581,7 @@ class LakeGroupScan(key: String, schema: StructType,
         op.scannedGroups = Some(effective.getOrElse(st.liveGroups))
         // copy-on-write reads full rows: no column pruning on this path
         LakeFilePartition.pack(files.map(f =>
-          LakeFileChunk(s"${LakeStore.dataDir(key)}/${f.path}", f.cols, f.rows)))
+          LakeFileChunk(LakeStore.resolvePath(key, f), f.cols, f.rows)))
       case None => Array.empty
     }
   }
@@ -640,7 +648,7 @@ class LakeScan(key: String, schema: StructType,
       files.length, surviving.length,
       surviving.map(_.rows).sum, readCols.fieldNames.toSeq))
     LakeFilePartition.pack(surviving.map(f =>
-      LakeFileChunk(s"${LakeStore.dataDir(key)}/${f.path}", f.cols, f.rows)))
+      LakeFileChunk(LakeStore.resolvePath(key, f), f.cols, f.rows)))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

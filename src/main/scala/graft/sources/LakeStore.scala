@@ -102,6 +102,12 @@ object LakeStore {
   private def logDir(k: String): Path = new Path(tableDir(k), "_log")
   def dataDir(k: String): String = s"${tableDir(k)}/data"
 
+  /** A manifest path is normally RELATIVE to the table's own data dir;
+    * a shallow CLONE references the source's files ABSOLUTELY (the
+    * Delta CLONE shape) — resolution honors both. */
+  def resolvePath(k: String, f: FileEntry): String =
+    if (f.path.startsWith("/")) f.path else s"${dataDir(k)}/${f.path}"
+
   private def hconf = new Configuration()
   private def fsOf(p: Path): FileSystem = p.getFileSystem(hconf)
 
@@ -262,6 +268,28 @@ object LakeStore {
     lastReplacedFiles.update(k, (removed.map(_.path), added.map(_.path)))
     commit(k, st, "restore", target.files, added, removed.map(_.path),
       commitGroups = Some(touched), dataChange = true, schema = target.schema)
+  }
+
+  /** Shallow CLONE: a new table whose first data commit REFERENCES the
+    * source's current files absolutely — zero bytes copied, manifest
+    * stats (zones, row counts, groups) carried over for free; from then
+    * on the two tables diverge independently (the clone's copy-on-write
+    * rewrites land in its OWN data dir; the source's rewrites leave the
+    * referenced files on disk exactly like time travel does). The Delta
+    * `CREATE TABLE ... SHALLOW CLONE` shape, with its documented hazard:
+    * VACUUM on the SOURCE does not know about clones and can delete
+    * files a clone still references — retention policy must account for
+    * clones, the same contract Delta states. A clone's own VACUUM only
+    * ever deletes files in its own data dir. */
+  def cloneTable(srcKey: String, dstKey: String): Unit = synchronized {
+    val src = stateOf(srcKey)
+    require(!tables.contains(dstKey) && create(dstKey, src.schema, src.partitionCols),
+      s"graft_lake: CLONE target $dstKey already exists")
+    val refs = src.current.map(f => f.copy(path = resolvePath(srcKey, f)))
+    val dst = stateOf(dstKey)
+    commit(dstKey, dst, "clone", refs.toVector, refs, removed = Nil,
+      commitGroups = Some(refs.map(_.group).toSet), dataChange = true,
+      schema = src.schema)
   }
 
   /** Property-change commit (`ALTER TABLE ... SET/UNSET TBLPROPERTIES`):

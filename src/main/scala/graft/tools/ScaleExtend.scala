@@ -107,10 +107,11 @@ object ScaleExtend {
     * works, and an incremental CHANGES read planned from commit
     * metadata, must both cost O(touched partitions) — ~FLAT wall time as
     * the table grows is the PASS condition here, unlike the linear bar
-    * for the scan-everything families above. Returns (mergeSec,
-    * changesSec, replacedGroups) — the group count doubles as the
+    * for the scan-everything families above. RESTORE (a pure manifest
+    * move) gets the same flat bar. Returns (mergeSec, changesSec,
+    * restoreSec, replacedGroups) — the group count doubles as the
     * pruning audit at each step. */
-  private def lakeProbe(spark: SparkSession, dir: String): (Double, Double, Int) = {
+  private def lakeProbe(spark: SparkSession, dir: String): (Double, Double, Double, Int) = {
     if (!spark.conf.getOption("spark.sql.catalog.graft_lake").contains(
         classOf[graft.sources.GraftLakeCatalog].getName))
       spark.conf.set("spark.sql.catalog.graft_lake",
@@ -147,7 +148,15 @@ object ScaleExtend {
         .changes(spark, "graft_lake.scale_probe", v - 1, v, "doc_id").count()
       (System.nanoTime() - t1) / 1e9
     }.min
-    (mergeSec, changesSec, replaced)
+    // RESTORE: each iteration rolls back one commit — a manifest diff of
+    // the merge's 3-group footprint, never a data read/copy
+    val restoreSec = (1 to 3).map { _ =>
+      val v = graft.sources.GraftLake.latestVersion("graft_lake.scale_probe")
+      val t2 = System.nanoTime()
+      graft.sources.GraftLake.restore("graft_lake.scale_probe", v - 1)
+      (System.nanoTime() - t2) / 1e9
+    }.min
+    (mergeSec, changesSec, restoreSec, replaced)
   }
 
   def main(args: Array[String]): Unit = {
@@ -219,10 +228,13 @@ object ScaleExtend {
     sb.append("|---|---|---|---|---|---|---|\n")
     sb.append(f"| MERGE (fixed changeset) | ${lakeRows(0)._1}%.2f | ${lakeRows(1)._1}%.2f " +
       f"| ${lakeRows(2)._1}%.2f | ${lakeRows(1)._1 / lakeRows(0)._1}%.1fx " +
-      f"| ${lakeRows(2)._1 / lakeRows(1)._1}%.1fx | ${lakeRows.map(_._3).mkString("/")} |\n")
+      f"| ${lakeRows(2)._1 / lakeRows(1)._1}%.1fx | ${lakeRows.map(_._4).mkString("/")} |\n")
     sb.append(f"| CHANGES (v-1, v] diff | ${lakeRows(0)._2}%.2f | ${lakeRows(1)._2}%.2f " +
       f"| ${lakeRows(2)._2}%.2f | ${lakeRows(1)._2 / lakeRows(0)._2}%.1fx " +
       f"| ${lakeRows(2)._2 / lakeRows(1)._2}%.1fx | — |\n")
+    sb.append(f"| RESTORE (manifest re-point) | ${lakeRows(0)._3}%.2f | ${lakeRows(1)._3}%.2f " +
+      f"| ${lakeRows(2)._3}%.2f | ${lakeRows(1)._3 / lakeRows(0)._3}%.1fx " +
+      f"| ${lakeRows(2)._3 / lakeRows(1)._3}%.1fx | — |\n")
     val path = java.nio.file.Paths.get("/root/repo/SCALE.md")
     val cur = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
     // drop a previous extension section before re-appending

@@ -168,7 +168,8 @@ object ScaleSweep {
       "p39_vacuum_retention" -> "VACUUM retention (keep-set delete + horizon gate)",
       "p40_restore_version" -> "RESTORE to version (manifest re-point + CDC undo)",
       "p41_metadata_tables" -> "history/files metadata tables (manifest-only SQL)",
-      "p42_check_constraints" -> "CHECK constraints (task-side write enforcement)")
+      "p42_check_constraints" -> "CHECK constraints (task-side write enforcement)",
+      "p43_shallow_clone" -> "shallow CLONE (zero-copy fork, diverging COW)")
 
     // warm the JVM/codegen on the smallest sf so cold-start lands nowhere
     queries.foreach { case (q, _) =>

@@ -193,4 +193,54 @@ class Round9bOpsSpec extends SparkTestBase {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(props.get("graft.constraints.v_cap").contains("v <= 100"))
   }
+
+  // ------------------------------------------------------------- p43
+
+  test("p43/shallow clone: zero-copy fork, independent divergence, own-dir rewrites") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_lake.cl_dst")
+    spark.sql("DROP TABLE IF EXISTS graft_lake.cl_src")
+    spark.sql("CREATE TABLE graft_lake.cl_src (id BIGINT, grp BIGINT) PARTITIONED BY (grp)")
+    import spark.implicits._
+    (0L until 40L).map(i => (i, i % 4)).toDF("id", "grp")
+      .repartition(col("grp")).writeTo("graft_lake.cl_src").append()
+    val srcFiles = LakeStore.get("graft_lake.cl_src").get.current.map(_.path).toSet
+    GraftLake.shallowClone("graft_lake.cl_src", "graft_lake.cl_dst")
+    // the clone's manifest references the SOURCE's files absolutely
+    val cloneRefs = LakeStore.get("graft_lake.cl_dst").get.current
+    assert(cloneRefs.forall(_.path.startsWith("/")))
+    assert(cloneRefs.map(f => new Path(f.path).getName).toSet === srcFiles)
+    assert(dataFiles("graft_lake.cl_dst").isEmpty) // zero bytes copied
+    assert(spark.table("graft_lake.cl_dst").count() === 40L)
+    // zone stats carried over: a pruned probe skips shared files too
+    spark.table("graft_lake.cl_dst").filter(col("id") < 0).count()
+    val sc = LakeStore.lastScanStats("graft_lake.cl_dst")
+    assert(sc.filesScanned === 0 && sc.filesTotal === 4)
+    // source rewrite does not disturb the clone (file stays for the ref)
+    spark.sql("DELETE FROM graft_lake.cl_src WHERE grp = 0")
+    assert(spark.table("graft_lake.cl_src").count() === 30L)
+    assert(spark.table("graft_lake.cl_dst").count() === 40L)
+    // clone rewrite lands in the clone's OWN dir; source is untouched
+    spark.sql("UPDATE graft_lake.cl_dst SET id = id + 1000 WHERE grp = 1")
+    assert(spark.table("graft_lake.cl_src")
+      .filter(col("id") >= 1000).count() === 0L)
+    assert(spark.table("graft_lake.cl_dst")
+      .filter(col("id") >= 1000).count() === 10L)
+    assert(dataFiles("graft_lake.cl_dst").nonEmpty)
+    // the clone's untouched groups still reference source files
+    assert(LakeStore.get("graft_lake.cl_dst").get.current
+      .count(_.path.startsWith("/")) === 3)
+    // a clone's own VACUUM never deletes the source's files
+    GraftLake.vacuum("graft_lake.cl_dst", retainLast = 1)
+    assert(spark.table("graft_lake.cl_dst").count() === 40L)
+    assert(spark.sql("SELECT count(*) FROM graft_lake.cl_src VERSION AS OF 1")
+      .collect().head.getLong(0) === 40L)
+    // cold replay keeps the absolute references working
+    LakeStore.invalidateCache("graft_lake.cl_dst")
+    assert(spark.table("graft_lake.cl_dst").count() === 40L)
+    // cloning onto an existing table is refused
+    intercept[Exception] {
+      GraftLake.shallowClone("graft_lake.cl_src", "graft_lake.cl_dst")
+    }
+  }
 }
