@@ -2901,7 +2901,91 @@ object PipelineQueries {
       |  CAST(1 AS BIGINT) AS zero_copy,
       |  CAST((SELECT COUNT(DISTINCT source) FROM d) - 1 AS BIGINT) AS shared_files""".stripMargin
 
+  // ---------------------------------------------------------------- p44
+  /** MERGE-ON-READ row-level operations — deletion vectors (Iceberg v2
+    * position deletes / Delta DVs) through Catalyst's own WriteDelta
+    * planning: the table opts in with `TBLPROPERTIES
+    * ('graft.merge-on-read' = 'true')`, and then DELETE, UPDATE, and a
+    * three-clause MERGE each commit as position-delete sidecars + new
+    * data files while EVERY original data file stays live and untouched
+    * — the cost model a 100 TB maintenance loop needs (a retention
+    * DELETE costs O(deleted positions), never a group rewrite; scans
+    * pay a bounded merge). The scan's `(_file, _pos)` metadata columns
+    * are the rowId contract; deleted positions cannot re-match; CDC,
+    * time travel, OPTIMIZE (which compacts through DVs and purges
+    * them), and VACUUM all compose — Round9bOpsSpec pins each.
+    *
+    * Inside the hash: the final table state after DELETE → UPDATE →
+    * MERGE (restated relationally), the LIVE deletion-vector position
+    * total (every hidden row accounted), `orig_intact` pinning that not
+    * one v1 data file left the live set, and the v1→v4 CDC classified
+    * counts (reinserted-unchanged rows correctly absent). */
+  def p44MergeOnRead(s: SparkSession, dir: String): DataFrame = {
+    registerLake(s)
+    s.sql("DROP TABLE IF EXISTS graft_lake.mor")
+    s.sql("""CREATE TABLE graft_lake.mor
+            |(doc_id BIGINT, source STRING, n_chars BIGINT)
+            |PARTITIONED BY (source)
+            |TBLPROPERTIES ('graft.merge-on-read' = 'true')""".stripMargin)
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    docs.repartition(col("source"))
+      .writeTo("graft_lake.mor").append() // v1: one file per source
+    val v1Files = graft.sources.LakeStore.get("graft_lake.mor").get
+      .current.map(_.path).toSet
+    s.sql("DELETE FROM graft_lake.mor WHERE n_chars < 250") // v2: pure-DV retention
+    s.sql("UPDATE graft_lake.mor SET n_chars = n_chars + 100 WHERE source = 'src8'") // v3
+    docs.filter(col("doc_id") % 41 === 0)
+      .unionByName(docs.filter(col("doc_id") % 53 === 0)
+        .select((col("doc_id") + 900000L).as("doc_id"), col("source"),
+          lit(333L).as("n_chars")))
+      .createOrReplaceTempView("mor_changes")
+    s.sql("""MERGE INTO graft_lake.mor t USING mor_changes s ON t.doc_id = s.doc_id
+            |WHEN MATCHED THEN UPDATE SET n_chars = t.n_chars + 1
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin) // v4
+    val st = graft.sources.LakeStore.get("graft_lake.mor").get
+    val origIntact = if (v1Files.subsetOf(st.current.map(_.path).toSet)) 1L else 0L
+    val dvRows = st.deletes.map(_.rows).sum
+    val cdc = graft.sources.GraftLake.changes(s, "graft_lake.mor", 1, 4, "doc_id")
+      .agg(sum(when(col("change") === "I", 1L).otherwise(0L)).as("n_cdc_ins"),
+        sum(when(col("change") === "U", 1L).otherwise(0L)).as("n_cdc_upd"),
+        sum(when(col("change") === "D", 1L).otherwise(0L)).as("n_cdc_del"))
+    s.table("graft_lake.mor")
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(col("n_chars")), lit(0L)).as("sum_chars"))
+      .crossJoin(broadcast(cdc)) // 1-row scalar frame
+      .withColumn("dv_rows", lit(dvRows))
+      .withColumn("orig_intact", lit(origIntact))
+      .withColumn("n_versions", lit(st.latestVersion.toLong))
+  }
+
+  val p44Sql: String =
+    """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+      |live AS (
+      |  SELECT doc_id, source,
+      |    n_chars + (CASE WHEN source = 'src8' THEN 100 ELSE 0 END)
+      |            + (CASE WHEN doc_id % 41 = 0 THEN 1 ELSE 0 END) AS n_chars
+      |  FROM d WHERE n_chars >= 250
+      |  UNION ALL
+      |  SELECT doc_id, source, n_chars FROM d WHERE n_chars < 250 AND doc_id % 41 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 900000, source, 333 FROM d WHERE doc_id % 53 = 0)
+      |SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  (SELECT COUNT(*) FROM d WHERE doc_id % 53 = 0) AS n_cdc_ins,
+      |  (SELECT COUNT(*) FROM d WHERE n_chars >= 250
+      |     AND (source = 'src8' OR doc_id % 41 = 0)) AS n_cdc_upd,
+      |  (SELECT COUNT(*) FROM d WHERE n_chars < 250 AND doc_id % 41 <> 0) AS n_cdc_del,
+      |  CAST((SELECT COUNT(*) FROM d WHERE n_chars < 250)
+      |     + (SELECT COUNT(*) FROM d WHERE source = 'src8' AND n_chars >= 250)
+      |     + (SELECT COUNT(*) FROM d WHERE doc_id % 41 = 0 AND n_chars >= 250)
+      |     AS BIGINT) AS dv_rows,
+      |  CAST(1 AS BIGINT) AS orig_intact,
+      |  CAST(4 AS BIGINT) AS n_versions
+      |FROM live""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p44_merge_on_read" -> (p44MergeOnRead _),
     "p43_shallow_clone" -> (p43ShallowClone _),
     "p42_check_constraints" -> (p42CheckConstraints _),
     "p41_metadata_tables" -> (p41MetadataTables _),
@@ -2948,6 +3032,7 @@ object PipelineQueries {
   // def, not val: p19Sql embeds Sidecars.oracleDir-keyed paths, which
   // Verify pins at runtime before dumping oracle_sql.json
   def oracle: Map[String, String] = Map(
+    "p44_merge_on_read" -> p44Sql,
     "p43_shallow_clone" -> p43Sql,
     "p42_check_constraints" -> p42Sql,
     "p41_metadata_tables" -> p41Sql,

@@ -351,7 +351,17 @@ class GraftLakeCatalog extends TableCatalog {
           s"graft_lake: unsupported partition argument $other")
       }
     }
-    if (!LakeStore.create(k(ident), schema, partitionCols))
+    // keep the user-intent properties (graft.* — merge-on-read switch,
+    // constraints); Spark adds bookkeeping keys (provider, owner) that
+    // are not table state here
+    val graftProps = {
+      val it = properties.entrySet().iterator()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val e = it.next()
+        if (e.getKey.startsWith("graft.")) b += e.getKey -> e.getValue }
+      b.result()
+    }
+    if (!LakeStore.create(k(ident), schema, partitionCols, graftProps))
       throw new TableAlreadyExistsException(
         Seq(catalogName) ++ ident.namespace().toSeq :+ ident.name())
     new GraftLakeTable(k(ident), schema)
@@ -410,9 +420,38 @@ class GraftLakeCatalog extends TableCatalog {
     throw new UnsupportedOperationException("graft_lake: RENAME TABLE not supported")
 }
 
+object GraftLakeTable {
+  import org.apache.spark.sql.connector.catalog.MetadataColumn
+  import org.apache.spark.sql.types.{LongType, StringType}
+
+  val FileMetaCol = "_file"
+  val PosMetaCol = "_pos"
+
+  /** `_file` (absolute data-file path) and `_pos` (physical row position
+    * in that file) — the merge-on-read rowId, and generally useful scan
+    * metadata (the input_file_name of the lake). */
+  val MetaCols: Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = FileMetaCol
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "data file backing this row"
+    },
+    new MetadataColumn {
+      override def name(): String = PosMetaCol
+      override def dataType(): DataType = LongType
+      override def isNullable: Boolean = false
+      override def comment(): String = "physical row position within _file"
+    })
+}
+
 class GraftLakeTable(val key: String, val tableSchema: StructType,
     pinnedVersion: Option[Int] = None)
-    extends Table with SupportsRead with SupportsWrite with SupportsRowLevelOperations {
+    extends Table with SupportsRead with SupportsWrite with SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    GraftLakeTable.MetaCols
 
   override def name(): String =
     key + pinnedVersion.map(v => s"@v$v").getOrElse("")
@@ -448,8 +487,20 @@ class GraftLakeTable(val key: String, val tableSchema: StructType,
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     require(pinnedVersion.isEmpty, "graft_lake: cannot mutate a time-travel view")
-    () => new LakeRowLevelOperation(key, tableSchema, info)
+    val mor = LakeStore.get(key)
+      .exists(_.props.get("graft.merge-on-read").contains("true"))
+    () =>
+      if (mor) new LakeDeltaOperation(key, tableSchema, info)
+      else new LakeRowLevelOperation(key, tableSchema, info)
   }
+}
+
+/** What the row-level scan reports back to its operation: the group set
+  * it actually emitted (copy-on-write commits replace exactly this;
+  * merge-on-read records it only as audit metadata). */
+trait LakeRowLevelScanHost {
+  /** Groups the row-level scan emitted; None until planned. */
+  @volatile private[sources] var scannedGroups: Option[Set[List[Any]]] = None
 }
 
 /** Group-based row-level operation. Unpartitioned table: whole table =
@@ -462,9 +513,7 @@ class GraftLakeTable(val key: String, val tableSchema: StructType,
   * exactly the set the commit replaces — scan and write communicate
   * through this operation instance, the same lifecycle Iceberg uses. */
 class LakeRowLevelOperation(key: String, schema: StructType,
-    info: RowLevelOperationInfo) extends RowLevelOperation {
-  /** Groups the row-level scan emitted; None until planned. */
-  @volatile private[sources] var scannedGroups: Option[Set[List[Any]]] = None
+    info: RowLevelOperationInfo) extends RowLevelOperation with LakeRowLevelScanHost {
 
   override def command(): RowLevelOperation.Command = info.command()
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -474,6 +523,34 @@ class LakeRowLevelOperation(key: String, schema: StructType,
       replacedGroups = () => scannedGroups)
 }
 
+/** MERGE-ON-READ row-level operation ([[org.apache.spark.sql.connector.write.SupportsDelta]]):
+  * Catalyst plans WriteDelta instead of ReplaceData — the scan reads
+  * only MATCHING rows (no carry-over), each row arrives at the writer
+  * as an INSERT/UPDATE/DELETE op carrying the `(_file, _pos)` rowId,
+  * and the commit adds position-delete sidecars + new data files while
+  * every existing data file stays untouched. This inverts the cost
+  * model: a 3-row DELETE against a 1 TB group costs 3 positions instead
+  * of a group rewrite; scans pay the (bounded) merge. Enabled per table
+  * with `TBLPROPERTIES ('graft.merge-on-read' = 'true')` — the
+  * Iceberg `write.delete.mode=merge-on-read` / Delta deletion-vector
+  * switch. */
+class LakeDeltaOperation(key: String, schema: StructType,
+    info: RowLevelOperationInfo)
+    extends org.apache.spark.sql.connector.write.SupportsDelta
+    with LakeRowLevelScanHost {
+  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+
+  override def command(): RowLevelOperation.Command = info.command()
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new LakeGroupScanBuilder(key, schema, this)
+  override def rowId(): Array[NamedReference] =
+    Array(Expressions.column(GraftLakeTable.FileMetaCol),
+      Expressions.column(GraftLakeTable.PosMetaCol))
+  override def newWriteBuilder(info: LogicalWriteInfo):
+      org.apache.spark.sql.connector.write.DeltaWriteBuilder =
+    new LakeDeltaWriteBuilder(key, info.schema())
+}
+
 /** Row-level scan builder: STATIC partition pruning for DELETE/UPDATE/
   * MERGE — Catalyst's row-level scan planning pushes the statement's
   * condition here, and any partition-column compares narrow the group
@@ -481,14 +558,18 @@ class LakeRowLevelOperation(key: String, schema: StructType,
   * group, not the table), composing with the RUNTIME group filtering
   * LakeGroupScan already does for changeset-derived predicates. All
   * predicates stay residual; pruning is superset-safe, and extra kept
-  * groups merely ride through the rewrite as carry-over. No column
-  * pruning here: copy-on-write must emit full rows. */
-class LakeGroupScanBuilder(key: String, schema: StructType, op: LakeRowLevelOperation)
+  * groups merely ride through the rewrite as carry-over. Column pruning
+  * is accepted so Catalyst can request the `_file`/`_pos` rowId
+  * metadata columns for merge-on-read plans (for copy-on-write plans it
+  * simply requests every column — ReplaceData needs full rows). */
+class LakeGroupScanBuilder(key: String, schema: StructType, op: LakeRowLevelScanHost)
     extends ScanBuilder
-    with org.apache.spark.sql.connector.read.SupportsPushDownV2Filters {
+    with org.apache.spark.sql.connector.read.SupportsPushDownV2Filters
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
   import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
 
   private var pushed: Array[V2Predicate] = Array.empty
+  private var required: StructType = schema
 
   override def pushPredicates(predicates: Array[V2Predicate]): Array[V2Predicate] = {
     val partitionCols = LakeStore.get(key).map(_.partitionCols).getOrElse(Nil).toSet
@@ -497,7 +578,8 @@ class LakeGroupScanBuilder(key: String, schema: StructType, op: LakeRowLevelOper
     predicates // ALL residual
   }
   override def pushedPredicates(): Array[V2Predicate] = pushed
-  override def build(): Scan = new LakeGroupScan(key, schema, op, pushed)
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan = new LakeGroupScan(key, schema, op, pushed, required)
 }
 
 /** The row-level operation's scan: the live-file scan plus runtime
@@ -507,9 +589,10 @@ class LakeGroupScanBuilder(key: String, schema: StructType, op: LakeRowLevelOper
   * BEFORE planInputPartitions — so only affected groups' files are
   * read, and the groups actually emitted are recorded for the commit. */
 class LakeGroupScan(key: String, schema: StructType,
-    op: LakeRowLevelOperation,
-    staticPushed: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] = Array.empty)
-    extends LakeScan(key, schema)
+    op: LakeRowLevelScanHost,
+    staticPushed: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] = Array.empty,
+    required: StructType = null)
+    extends LakeScan(key, schema, None, Array.empty, required)
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference}
   import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
@@ -579,9 +662,9 @@ class LakeGroupScan(key: String, schema: StructType,
         // group — for an unpartitioned table the group is the empty
         // tuple, i.e. "the whole table" as one group)
         op.scannedGroups = Some(effective.getOrElse(st.liveGroups))
-        // copy-on-write reads full rows: no column pruning on this path
-        LakeFilePartition.pack(files.map(f =>
-          LakeFileChunk(LakeStore.resolvePath(key, f), f.cols, f.rows)))
+        // deletion vectors apply here too: a row hidden by a previous
+        // merge-on-read commit must not match again
+        LakeFilePartition.pack(files.map(toChunk(st)))
       case None => Array.empty
     }
   }
@@ -634,21 +717,36 @@ class LakeScan(key: String, schema: StructType,
       s"readCols=[${readCols.fieldNames.mkString(",")}] " +
       s"skipPredicates=[${pushed.map(_.toString).mkString(", ")}]"
 
+  /** Deletion vectors of the scanned snapshot, keyed by manifest data
+    * path: (absolute sidecar paths, total hidden positions). */
+  protected def dvOf(st: LakeStore.TableState): Map[String, (Seq[String], Long)] = {
+    val ds = pinnedVersion.fold(st.deletes)(v => st.snapshots(v).deletes)
+    ds.groupBy(_.dataFile).map { case (df, es) =>
+      df -> (es.map(e => LakeStore.resolveRaw(key, e.path)), es.map(_.rows).sum)
+    }
+  }
+
+  protected def toChunk(st: LakeStore.TableState)(f: LakeStore.FileEntry): LakeFileChunk = {
+    val (dv, dvRows) = dvOf(st).getOrElse(f.path, (Nil, 0L))
+    LakeFileChunk(LakeStore.resolvePath(key, f), f.cols, f.rows, dv, dvRows)
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
-    val st = LakeStore.get(key)
-    val files = st.map(s => pinnedVersion.fold(s.current)(v => s.snapshots(v).files))
+    val stOpt = LakeStore.get(key)
+    val files = stOpt.map(s => pinnedVersion.fold(s.current)(v => s.snapshots(v).files))
       .getOrElse(Vector.empty)
     val compares = pushed.flatMap(ZonePrune.parse)
     val surviving =
       if (compares.isEmpty) files
       else files.filter(f => compares.forall(cc => ZonePrune.survives(f.zones.get(cc.col), cc)))
+    val chunks = stOpt.map(st => surviving.map(toChunk(st)))
+      .getOrElse(Vector.empty)
     LakeStore.lastScanStats.update(key, LakeStore.ScanStats(
       files.map(_.group).distinct.length,
       surviving.map(_.group).distinct.length,
       files.length, surviving.length,
-      surviving.map(_.rows).sum, readCols.fieldNames.toSeq))
-    LakeFilePartition.pack(surviving.map(f =>
-      LakeFileChunk(LakeStore.resolvePath(key, f), f.cols, f.rows)))
+      chunks.map(c => c.rows - c.dvRows).sum, readCols.fieldNames.toSeq))
+    LakeFilePartition.pack(chunks)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -656,10 +754,13 @@ class LakeScan(key: String, schema: StructType,
 }
 
 /** One file's slice of an input partition: absolute path, the columns
-  * the file physically stores (pre-ALTER files lack later columns), and
-  * its manifest row count (serves metadata-only scans without opening
-  * the file). */
-case class LakeFileChunk(path: String, cols: Seq[String], rows: Long)
+  * the file physically stores (pre-ALTER files lack later columns), its
+  * manifest row count (serves metadata-only scans without opening the
+  * file), and the absolute paths + total positions of the
+  * position-delete sidecars hiding rows of this file (merge-on-read —
+  * empty for copy-on-write tables). */
+case class LakeFileChunk(path: String, cols: Seq[String], rows: Long,
+    dv: Seq[String] = Nil, dvRows: Long = 0L)
 
 /** An input partition = a BIN of file chunks. Small files are packed
   * together (the file source's maxPartitionBytes move, done on manifest
@@ -701,9 +802,10 @@ class LakeReaderFactory(required: StructType) extends PartitionReaderFactory {
     val bin = partition.asInstanceOf[LakeFilePartition]
 
     if (required.isEmpty) {
-      // metadata-only read: emit the bin's row count as empty rows
+      // metadata-only read: the manifest row count, minus rows hidden by
+      // deletion vectors, answers without opening anything
       return new PartitionReader[InternalRow] {
-        private var remaining = bin.chunks.map(_.rows).sum
+        private var remaining = bin.chunks.map(c => c.rows - c.dvRows).sum
         private val empty = new GenericInternalRow(0)
         override def next(): Boolean = { remaining -= 1; remaining >= 0 }
         override def get(): InternalRow = empty
@@ -731,9 +833,32 @@ class LakeReaderFactory(required: StructType) extends PartitionReaderFactory {
     }
   }
 
+  /** Load a chunk's position-delete sidecars into one membership set —
+    * bounded by the rows DELETED from this file, not the file size. */
+  private def loadDv(p: LakeFileChunk): java.util.HashSet[java.lang.Long] = {
+    val set = new java.util.HashSet[java.lang.Long]()
+    p.dv.foreach { dvPath =>
+      val path = new Path(dvPath)
+      val fs = path.getFileSystem(new Configuration())
+      val in = new java.io.DataInputStream(new java.io.BufferedInputStream(fs.open(path)))
+      try {
+        val n = in.readInt()
+        var i = 0
+        while (i < n) { set.add(in.readLong()); i += 1 }
+      } finally in.close()
+    }
+    set
+  }
+
   private def openFile(p: LakeFileChunk): PartitionReader[InternalRow] = {
+    // metadata columns are computed, never read from parquet
+    val metaIdx = required.fields.zipWithIndex.collect {
+      case (f, i) if f.name == GraftLakeTable.FileMetaCol => (i, true)
+      case (f, i) if f.name == GraftLakeTable.PosMetaCol => (i, false)
+    }
     val availIdx = required.fields.zipWithIndex
-      .filter { case (f, _) => p.cols.contains(f.name) }
+      .filter { case (f, _) => p.cols.contains(f.name) &&
+        f.name != GraftLakeTable.FileMetaCol && f.name != GraftLakeTable.PosMetaCol }
     val fileSchema = StructType(availIdx.map(_._1))
 
     val conf = new Configuration()
@@ -758,18 +883,33 @@ class LakeReaderFactory(required: StructType) extends PartitionReaderFactory {
 
     val dts = fileSchema.fields.map(_.dataType)
     val targetIdx = availIdx.map(_._2) // position of each read column in `required`
+    val dv = if (p.dv.isEmpty) null else loadDv(p)
+    val filePathUtf8 = org.apache.spark.unsafe.types.UTF8String.fromString(p.path)
 
     new PartitionReader[InternalRow] {
       private var cur: InternalRow = _
-      override def next(): Boolean = { cur = reader.read(); cur != null }
+      private var pos: Long = -1L // physical position in the file
+      override def next(): Boolean = {
+        while (true) {
+          cur = reader.read()
+          if (cur == null) return false
+          pos += 1
+          // skip rows hidden by deletion vectors (position-based)
+          if (dv == null || !dv.contains(pos)) return true
+        }
+        false
+      }
       override def get(): InternalRow = {
         // copy out of the materializer's (reusable) row, padding columns
-        // the file predates with null
+        // the file predates with null; metadata columns are computed
         val out = new GenericInternalRow(required.length)
         var j = 0
         while (j < dts.length) {
           out.update(targetIdx(j), if (cur.isNullAt(j)) null else cur.get(j, dts(j)))
           j += 1
+        }
+        metaIdx.foreach { case (i, isFile) =>
+          out.update(i, if (isFile) filePathUtf8 else pos)
         }
         out
       }
@@ -870,7 +1010,9 @@ object LakeMetaTable {
       StructField("path", StringType, nullable = false),
       StructField("partition", StringType, nullable = false),
       StructField("rows", LongType, nullable = false),
-      StructField("n_cols", LongType, nullable = false)))
+      StructField("n_cols", LongType, nullable = false),
+      // rows hidden by live deletion vectors (merge-on-read tables)
+      StructField("dv_rows", LongType, nullable = false)))
     case other => throw new IllegalArgumentException(
       s"graft_lake: unknown metadata table kind $other")
   }
@@ -894,10 +1036,12 @@ object LakeMetaTable {
           snap.commitGroups.map(g => java.lang.Long.valueOf(g.size.toLong)).orNull)
       }.toVector
     case "files" =>
+      val dvRows = st.deletes.groupBy(_.dataFile).map { case (df, es) =>
+        df -> es.map(_.rows).sum }
       st.current.map { f =>
         Vector[Any](f.path,
           st.partitionCols.zip(f.group).map { case (c, v) => s"$c=$v" }.mkString("/"),
-          f.rows, f.cols.length.toLong)
+          f.rows, f.cols.length.toLong, dvRows.getOrElse(f.path, 0L))
       }
   }
 }
@@ -986,6 +1130,122 @@ class LakeWriteBuilder(key: String, writeSchema: StructType,
 }
 
 case class LakeCommit(files: Seq[LakeStore.FileEntry]) extends WriterCommitMessage
+
+/** Merge-on-read write path (Catalyst's WriteDelta): tasks route INSERT
+  * rows through the ordinary parquet writer (constraints included) and
+  * fold DELETE/UPDATE rowIds into per-data-file position lists; commit
+  * turns those into position-delete sidecars + one [[LakeStore.applyDelta]]
+  * manifest commit. No existing data file is read or rewritten. */
+class LakeDeltaWriteBuilder(key: String, rowSchema: StructType)
+    extends org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+  override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
+    new org.apache.spark.sql.connector.write.DeltaWrite {
+      override def toBatch: org.apache.spark.sql.connector.write.DeltaBatchWrite =
+        new LakeDeltaBatchWrite(key, rowSchema)
+    }
+}
+
+class LakeDeltaBatchWrite(key: String, rowSchema: StructType)
+    extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
+  import org.apache.spark.sql.connector.write.{DeltaWriterFactory => V2DeltaWriterFactory}
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): V2DeltaWriterFactory = {
+    val partitionCols = LakeStore.get(key).map(_.partitionCols).getOrElse(Nil)
+    // a pure DELETE plan carries NO row schema (only rowIds flow) — no
+    // rows will be written, so no constraints to compile either
+    val constraints =
+      if (rowSchema.isEmpty) Nil else LakeConstraints.compile(key, rowSchema)
+    new LakeDeltaWriterFactory(LakeStore.dataDir(key), rowSchema, partitionCols,
+      constraints)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val st = LakeStore.get(key).getOrElse(
+      throw new NoSuchTableException(key.split('.').toSeq))
+    val msgs = messages.iterator.filter(_ != null)
+      .map(_.asInstanceOf[LakeDeltaCommit]).toSeq
+    val newFiles = msgs.flatMap(_.files)
+    // rowIds carry ABSOLUTE paths (what the scan emitted); the manifest
+    // stores relative-or-absolute — map back to manifest identity
+    val byAbs = st.current.map(f => LakeStore.resolvePath(key, f) -> f).toMap
+    val newDeletes = msgs.flatMap(_.dvs).map { case (dvPath, dataAbs, n) =>
+      val f = byAbs.getOrElse(dataAbs, throw new IllegalStateException(
+        s"graft_lake: delta commit references unknown data file $dataAbs"))
+      LakeStore.DeleteEntry(dvPath, f.path, n)
+    }
+    val touched = newFiles.map(_.group).toSet ++
+      msgs.flatMap(_.dvs).map { case (_, dataAbs, _) => byAbs(dataAbs).group }
+    LakeStore.applyDelta(key, newFiles, newDeletes, touched)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(LakeStore.dataDir(key)).getFileSystem(new Configuration())
+    messages.iterator.filter(_ != null).map(_.asInstanceOf[LakeDeltaCommit])
+      .foreach { m =>
+        m.files.foreach(f => fs.delete(new Path(LakeStore.dataDir(key), f.path), false))
+        m.dvs.foreach { case (dv, _, _) =>
+          fs.delete(new Path(LakeStore.dataDir(key), dv), false) }
+      }
+  }
+}
+
+case class LakeDeltaCommit(files: Seq[LakeStore.FileEntry],
+    dvs: Seq[(String, String, Long)]) extends WriterCommitMessage
+
+class LakeDeltaWriterFactory(dataDir: String, schema: StructType,
+    partitionCols: Seq[String],
+    constraints: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)])
+    extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+  import org.apache.spark.sql.connector.write.DeltaWriter
+
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new DeltaWriter[InternalRow] {
+      // LAZY: a pure DELETE has an empty row schema and never inserts —
+      // the parquet writer must not be built against it
+      private var innerOpt: DataWriter[InternalRow] = _
+      private def inner: DataWriter[InternalRow] = {
+        if (innerOpt == null)
+          innerOpt = new LakeWriterFactory(dataDir, schema, partitionCols,
+            constraints).createWriter(partitionId, taskId)
+        innerOpt
+      }
+      private val dels = scala.collection.mutable.LinkedHashMap
+        .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+
+      override def insert(row: InternalRow): Unit = inner.write(row)
+
+      override def delete(meta: InternalRow, id: InternalRow): Unit =
+        dels.getOrElseUpdate(id.getUTF8String(0).toString,
+          scala.collection.mutable.ArrayBuffer.empty[Long]) += id.getLong(1)
+
+      override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
+        delete(meta, id)
+        insert(row)
+      }
+
+      override def commit(): WriterCommitMessage = {
+        val innerMsg =
+          if (innerOpt == null) LakeCommit(Nil)
+          else innerOpt.commit().asInstanceOf[LakeCommit]
+        val fs = new Path(dataDir).getFileSystem(new Configuration())
+        val dvs = dels.toSeq.map { case (dataAbs, positions) =>
+          val rel = java.util.UUID.randomUUID().toString + ".dv"
+          val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+            fs.create(new Path(dataDir, rel), false)))
+          try {
+            out.writeInt(positions.length)
+            positions.sorted.foreach(out.writeLong)
+          } finally out.close()
+          (rel, dataAbs, positions.length.toLong)
+        }
+        LakeDeltaCommit(innerMsg.files, dvs)
+      }
+
+      override def abort(): Unit = // dv files exist only post-commit
+        if (innerOpt != null) innerOpt.abort()
+      override def close(): Unit = ()
+    }
+}
 
 /** Task-side parquet writer: one file per partition GROUP the task
   * sees (a pre-shuffled write — e.g. repartition(partitionCol) — thus

@@ -59,6 +59,16 @@ object LakeStore {
   final case class FileEntry(path: String, group: List[Any], rows: Long,
       cols: Seq[String], zones: Map[String, (Any, Any)])
 
+  /** One POSITION-DELETE file (Iceberg v2's delete-file shape, Delta's
+    * deletion vector): `path` is the sidecar holding sorted row
+    * positions (relative to this table's data dir), `dataFile` is the
+    * manifest path of the data file those positions hide, `rows` the
+    * position count. Merge-on-read DELETE/UPDATE/MERGE write these
+    * instead of rewriting data files; scans subtract them. A delete
+    * entry lives exactly as long as its data file is live — replacing
+    * or compacting the data file drops the entry. */
+  final case class DeleteEntry(path: String, dataFile: String, rows: Long)
+
   /** One table version: the schema AT that version, the live file set,
     * the commit's touched-group metadata (None = whole table), whether
     * the commit changed row data (false = OPTIMIZE-style layout rewrite,
@@ -67,7 +77,8 @@ object LakeStore {
     * live here — time travel sees the properties of its era). */
   final case class Snapshot(schema: StructType, files: Vector[FileEntry],
       commitGroups: Option[Set[List[Any]]], dataChange: Boolean,
-      action: String = "unknown", props: Map[String, String] = Map.empty)
+      action: String = "unknown", props: Map[String, String] = Map.empty,
+      deletes: Vector[DeleteEntry] = Vector.empty)
 
   final case class TableState(key: String, partitionCols: Seq[String],
       snapshots: Vector[Snapshot], earliest: Int = 0) {
@@ -75,6 +86,8 @@ object LakeStore {
     def current: Vector[FileEntry] = snapshots.last.files
     def latestVersion: Int = snapshots.length - 1
     def props: Map[String, String] = snapshots.last.props
+    /** Live position-delete files (merge-on-read state). */
+    def deletes: Vector[DeleteEntry] = snapshots.last.deletes
     /** Partition-group keys present in the current live file set. */
     def liveGroups: Set[List[Any]] = current.iterator.map(_.group).toSet
   }
@@ -105,8 +118,9 @@ object LakeStore {
   /** A manifest path is normally RELATIVE to the table's own data dir;
     * a shallow CLONE references the source's files ABSOLUTELY (the
     * Delta CLONE shape) — resolution honors both. */
-  def resolvePath(k: String, f: FileEntry): String =
-    if (f.path.startsWith("/")) f.path else s"${dataDir(k)}/${f.path}"
+  def resolvePath(k: String, f: FileEntry): String = resolveRaw(k, f.path)
+  def resolveRaw(k: String, p: String): String =
+    if (p.startsWith("/")) p else s"${dataDir(k)}/$p"
 
   private def hconf = new Configuration()
   private def fsOf(p: Path): FileSystem = p.getFileSystem(hconf)
@@ -159,7 +173,8 @@ object LakeStore {
 
   // ------------------------------------------------------------ commits
 
-  def create(k: String, schema: StructType, partitionCols: Seq[String]): Boolean =
+  def create(k: String, schema: StructType, partitionCols: Seq[String],
+      props: Map[String, String] = Map.empty): Boolean =
     synchronized {
       if (tables.contains(k)) return false
       val dir = new Path(tableDir(k))
@@ -171,13 +186,15 @@ object LakeStore {
         "action" -> JString("create"),
         "schema" -> JString(schema.json),
         "partitionCols" -> JArray(partitionCols.map(JString(_)).toList),
+        "props" -> JObject(props.toList.map { case (pk, pv) =>
+          pk -> (JString(pv): JValue) }),
         "dataChange" -> JBool(false),
         "commitGroups" -> JArray(Nil),
         "add" -> JArray(Nil), "remove" -> JArray(Nil))
       writeLogEntry(k, 0, entry)
       tables.update(k, TableState(k, partitionCols,
         Vector(Snapshot(schema, Vector.empty, Some(Set.empty), dataChange = false,
-          action = "create"))))
+          action = "create", props = props))))
       true
     }
 
@@ -228,6 +245,20 @@ object LakeStore {
       dataChange = !layoutOnly, schema = st.schema)
   }
 
+  /** Merge-on-read commit (Catalyst's WriteDelta): new data files join
+    * the live set UNTOUCHED data files stay exactly where they are, and
+    * the statement's row-level removals land as position-delete sidecars
+    * ([[DeleteEntry]]) — the Iceberg v2 / Delta deletion-vector shape.
+    * Nothing is rewritten: a 3-row DELETE against a 1 TB group costs 3
+    * positions, not a group rewrite; the read side pays the merge. */
+  def applyDelta(k: String, files: Seq[FileEntry], newDeletes: Seq[DeleteEntry],
+      groups: Set[List[Any]]): Unit = synchronized {
+    val st = stateOf(k)
+    commit(k, st, "delta", st.current ++ files, files, removed = Nil,
+      commitGroups = Some(groups), dataChange = true, schema = st.schema,
+      deletes = st.deletes ++ newDeletes)
+  }
+
   /** Schema-evolution commit (ALTER TABLE ADD COLUMN): same live files,
     * new schema; existing files keep their stored column lists and
     * readers pad the added columns with null — the parquet mergeSchema
@@ -263,11 +294,19 @@ object LakeStore {
     val tgtPaths = target.files.map(_.path).toSet
     val added = target.files.filterNot(f => curPaths.contains(f.path))
     val removed = st.current.filterNot(f => tgtPaths.contains(f.path))
-    val touched = (added ++ removed).map(_.group).toSet
+    // touched groups: where the FILE sets differ, plus groups whose
+    // deletion-vector sets differ (same files, different hidden rows —
+    // rolling back a merge-on-read DELETE changes rows too)
+    val groupOf = (st.current ++ target.files).map(f => f.path -> f.group).toMap
+    val dvDiff = (st.deletes.toSet diff target.deletes.toSet) ++
+      (target.deletes.toSet diff st.deletes.toSet)
+    val touched = (added ++ removed).map(_.group).toSet ++
+      dvDiff.flatMap(d => groupOf.get(d.dataFile))
     lastReplacedGroups.update(k, Some(touched))
     lastReplacedFiles.update(k, (removed.map(_.path), added.map(_.path)))
     commit(k, st, "restore", target.files, added, removed.map(_.path),
-      commitGroups = Some(touched), dataChange = true, schema = target.schema)
+      commitGroups = Some(touched), dataChange = true, schema = target.schema,
+      deletes = target.deletes) // the restore point's deletion vectors
   }
 
   /** Shallow CLONE: a new table whose first data commit REFERENCES the
@@ -286,10 +325,15 @@ object LakeStore {
     require(!tables.contains(dstKey) && create(dstKey, src.schema, src.partitionCols),
       s"graft_lake: CLONE target $dstKey already exists")
     val refs = src.current.map(f => f.copy(path = resolvePath(srcKey, f)))
+    // deletion vectors travel with the clone, absolutely referenced and
+    // re-keyed to the now-absolute data paths
+    val refDeletes = src.deletes.map(d => d.copy(
+      path = resolveRaw(srcKey, d.path),
+      dataFile = resolveRaw(srcKey, d.dataFile)))
     val dst = stateOf(dstKey)
     commit(dstKey, dst, "clone", refs.toVector, refs, removed = Nil,
       commitGroups = Some(refs.map(_.group).toSet), dataChange = true,
-      schema = src.schema)
+      schema = src.schema, deletes = refDeletes)
   }
 
   /** Property-change commit (`ALTER TABLE ... SET/UNSET TBLPROPERTIES`):
@@ -320,10 +364,12 @@ object LakeStore {
     val st = stateOf(k)
     val horizon = math.max(0, st.latestVersion - retainLast + 1)
     val keep: Set[String] =
-      (horizon to st.latestVersion).flatMap(v => st.snapshots(v).files.map(_.path)).toSet
+      (horizon to st.latestVersion).flatMap(v => st.snapshots(v).files.map(_.path)).toSet ++
+        (horizon to st.latestVersion).flatMap(v => st.snapshots(v).deletes.map(_.path))
     val dir = new Path(dataDir(k))
     val fs = fsOf(dir)
-    val onDisk = fs.listStatus(dir).map(_.getPath).filter(_.getName.endsWith(".parquet"))
+    val onDisk = fs.listStatus(dir).map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet") || p.getName.endsWith(".dv"))
     val doomed = onDisk.filterNot(p => keep.contains(p.getName))
     doomed.foreach(fs.delete(_, false))
     // persist the horizon (atomic tmp+rename, like log entries)
@@ -348,22 +394,35 @@ object LakeStore {
   private def commit(k: String, st: TableState, action: String,
       live: Vector[FileEntry], added: Seq[FileEntry], removed: Seq[String],
       commitGroups: Option[Set[List[Any]]], dataChange: Boolean,
-      schema: StructType, props: Map[String, String] = null): Unit = {
+      schema: StructType, props: Map[String, String] = null,
+      deletes: Vector[DeleteEntry] = null): Unit = {
     val version = st.latestVersion + 1
     val newProps = Option(props).getOrElse(st.props) // null = carry forward
+    // null = carry forward, minus entries whose data file just left the
+    // live set (a replaced/compacted file takes its deletion vectors
+    // with it). The log stores the LIVE delete list per commit — it is
+    // KB-scale (one entry per touched file) and makes replay exact.
+    val newDeletes = Option(deletes).getOrElse {
+      val gone = removed.toSet
+      st.deletes.filterNot(d => gone.contains(d.dataFile))
+    }
     val entry = JObject(
       "action" -> JString(action),
       "schema" -> JString(schema.json),
       "dataChange" -> JBool(dataChange),
       "props" -> JObject(newProps.toList.map { case (pk, pv) =>
         pk -> (JString(pv): JValue) }),
+      "deletes" -> JArray(newDeletes.toList.map(d => JObject(
+        "path" -> JString(d.path), "dataFile" -> JString(d.dataFile),
+        "rows" -> JInt(BigInt(d.rows))))),
       "commitGroups" -> commitGroups.fold[JValue](JNull)(gs =>
         JArray(gs.toList.map(g => JArray(g.map(jval).toList)))),
       "add" -> JArray(added.map(fileJson).toList),
       "remove" -> JArray(removed.map(JString(_)).toList))
     writeLogEntry(k, version, entry)
     tables.update(k, st.copy(snapshots =
-      st.snapshots :+ Snapshot(schema, live, commitGroups, dataChange, action, newProps)))
+      st.snapshots :+ Snapshot(schema, live, commitGroups, dataChange, action,
+        newProps, newDeletes)))
   }
 
   /** One atomic log append: write to a temp name, rename into place —
@@ -425,9 +484,16 @@ object LakeStore {
         case Some(JObject(fields)) => fields.map { case (pk, pv) => pk -> str(pv) }.toMap
         case _ => Map.empty[String, String] // pre-props log entries
       }
+      val deletes = j.get("deletes") match {
+        case Some(JArray(ds)) => ds.map { dj =>
+          val o = dj.asInstanceOf[JObject].obj.toMap
+          DeleteEntry(str(o("path")), str(o("dataFile")), num(o("rows")).longValue())
+        }.toVector
+        case _ => Vector.empty[DeleteEntry] // pre-MoR log entries
+      }
       snapshots :+= Snapshot(schema, live,
         cg, j.get("dataChange").forall(_ == JBool(true)),
-        j.get("action").map(str).getOrElse("unknown"), props)
+        j.get("action").map(str).getOrElse("unknown"), props, deletes)
     }
     val marker = new Path(dir, "_horizon")
     val earliest =

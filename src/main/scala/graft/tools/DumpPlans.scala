@@ -225,6 +225,7 @@ object DumpPlans {
     PipelineQueries.p31SqlUpdate(spark, dir).collect()
     PipelineQueries.p32SqlDelete(spark, dir).collect()
     PipelineQueries.p37SchemaEvolution(spark, dir).collect()
+    PipelineQueries.p44MergeOnRead(spark, dir).collect()
     val statements = Seq(
       ("MERGE INTO, whole-table group (p29)",
         "MergeRows over ONE outer join of the row-level-operation scan and the changeset, feeding ReplaceData — the single-shuffle copy-on-write shape, chosen by the engine.",
@@ -250,7 +251,10 @@ object DumpPlans {
         "Same MergeRows -> ReplaceData rewrite over the POST-ALTER 4-column schema: the row-level scan reads pre-ALTER parquet files with the added column padded null (manifest-driven, no footer merging), so carry-over rows and back-filled rows flow through one plan.",
         """MERGE INTO graft_lake.evo t USING evo_changes s ON t.doc_id = s.doc_id
           |WHEN MATCHED THEN UPDATE SET quality_milli = s.quality_milli
-          |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin),
+      ("merge-on-read DELETE (p44)",
+        "Catalyst plans WriteDelta instead of ReplaceData for the SupportsDelta operation: the row-level scan emits ONLY matching rows with their (_file, _pos) rowId metadata columns — no carry-over join, no group rewrite — and each row reaches the delta writer as a DELETE op that folds into a position-delete sidecar.",
+        "DELETE FROM graft_lake.mor WHERE n_chars >= 900"))
     statements.foreach { case (name, note, stmt) =>
       val txt = spark.sql("EXPLAIN FORMATTED " + stmt).collect()(0).getString(0)
       sb.append(s"\n## statement: $name\n\n$note\n\n```\n${txt.trim.take(4000)}\n```\n")

@@ -169,7 +169,8 @@ object ScaleSweep {
       "p40_restore_version" -> "RESTORE to version (manifest re-point + CDC undo)",
       "p41_metadata_tables" -> "history/files metadata tables (manifest-only SQL)",
       "p42_check_constraints" -> "CHECK constraints (task-side write enforcement)",
-      "p43_shallow_clone" -> "shallow CLONE (zero-copy fork, diverging COW)")
+      "p43_shallow_clone" -> "shallow CLONE (zero-copy fork, diverging COW)",
+      "p44_merge_on_read" -> "merge-on-read DV maintenance (WriteDelta, no rewrites)")
 
     // warm the JVM/codegen on the smallest sf so cold-start lands nowhere
     queries.foreach { case (q, _) =>

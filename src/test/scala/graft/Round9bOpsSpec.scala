@@ -243,4 +243,82 @@ class Round9bOpsSpec extends SparkTestBase {
       GraftLake.shallowClone("graft_lake.cl_src", "graft_lake.cl_dst")
     }
   }
+
+  // ------------------------------------------------------------- p44
+
+  test("p44/merge-on-read: DELETE/UPDATE write position-deletes, data files never move") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_lake.mor1")
+    spark.sql("""CREATE TABLE graft_lake.mor1 (id BIGINT, grp BIGINT)
+                |PARTITIONED BY (grp)
+                |TBLPROPERTIES ('graft.merge-on-read' = 'true')""".stripMargin)
+    import spark.implicits._
+    (0L until 40L).map(i => (i, i % 4)).toDF("id", "grp")
+      .repartition(col("grp")).writeTo("graft_lake.mor1").append() // v1: 4 files
+    val v1Files = LakeStore.get("graft_lake.mor1").get.current.map(_.path).toSet
+    // MoR DELETE: no data file moves; a DV appears
+    spark.sql("DELETE FROM graft_lake.mor1 WHERE id % 10 = 3") // 4 rows, all groups
+    val st2 = LakeStore.get("graft_lake.mor1").get
+    assert(st2.current.map(_.path).toSet === v1Files) // untouched files
+    assert(st2.deletes.map(_.rows).sum === 4L)
+    assert(st2.snapshots.last.action === "delta")
+    assert(spark.table("graft_lake.mor1").count() === 36L) // metadata path subtracts DVs
+    assert(spark.table("graft_lake.mor1").filter(col("id") % 10 === 3).count() === 0L)
+    // MoR UPDATE: old positions hidden, new rows in NEW files only
+    spark.sql("UPDATE graft_lake.mor1 SET id = id + 100 WHERE grp = 2")
+    val st3 = LakeStore.get("graft_lake.mor1").get
+    assert(v1Files.subsetOf(st3.current.map(_.path).toSet)) // originals still live
+    assert(spark.table("graft_lake.mor1").count() === 36L)
+    // grp 2 holds ids 2,6,...,38 — none deleted (deleted ids are 3,13,23,33)
+    assert(spark.table("graft_lake.mor1").filter(col("grp") === 2 && col("id") >= 100)
+      .count() === 10L)
+    // a deleted row cannot match again (DV applies to the row-level scan)
+    spark.sql("DELETE FROM graft_lake.mor1 WHERE id % 10 = 3")
+    assert(spark.table("graft_lake.mor1").count() === 36L)
+    // time travel pre-delete sees everything
+    assert(spark.sql("SELECT count(*) FROM graft_lake.mor1 VERSION AS OF 1")
+      .collect().head.getLong(0) === 40L)
+    // cold replay reconstructs the DV state exactly
+    LakeStore.invalidateCache("graft_lake.mor1")
+    assert(spark.table("graft_lake.mor1").count() === 36L)
+    // OPTIMIZE compacts through the DVs and purges them
+    GraftLake.optimize(spark, "graft_lake.mor1", "id", nFiles = 2)
+    val st4 = LakeStore.get("graft_lake.mor1").get
+    assert(st4.deletes.isEmpty)
+    assert(spark.table("graft_lake.mor1").count() === 36L)
+  }
+
+  test("p44/merge-on-read MERGE: all three clauses as one delta commit; CDC classifies it; VACUUM keeps live DVs") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_lake.mor2")
+    spark.sql("""CREATE TABLE graft_lake.mor2 (id BIGINT, grp BIGINT, v BIGINT)
+                |PARTITIONED BY (grp)
+                |TBLPROPERTIES ('graft.merge-on-read' = 'true')""".stripMargin)
+    import spark.implicits._
+    (0L until 30L).map(i => (i, i % 3, i * 10)).toDF("id", "grp", "v")
+      .repartition(col("grp")).writeTo("graft_lake.mor2").append() // v1
+    val v1Files = LakeStore.get("graft_lake.mor2").get.current.map(_.path).toSet
+    Seq((1L, 1L % 3, 999L, "U"), (2L, 2L % 3, 0L, "D"), (100L, 100L % 3, 777L, "I"))
+      .toDF("id", "grp", "v", "op").createOrReplaceTempView("mor2_src")
+    spark.sql("""MERGE INTO graft_lake.mor2 t USING mor2_src s ON t.id = s.id
+                |WHEN MATCHED AND s.op = 'D' THEN DELETE
+                |WHEN MATCHED THEN UPDATE SET v = s.v
+                |WHEN NOT MATCHED THEN INSERT (id, grp, v) VALUES (s.id, s.grp, s.v)""".stripMargin) // v2
+    val st = LakeStore.get("graft_lake.mor2").get
+    assert(st.snapshots.last.action === "delta")
+    assert(v1Files.subsetOf(st.current.map(_.path).toSet)) // nothing rewritten
+    assert(st.deletes.map(_.rows).sum === 2L) // the deleted + the updated old row
+    assert(spark.table("graft_lake.mor2").count() === 30L) // -1 +1
+    assert(spark.table("graft_lake.mor2").filter(col("id") === 1L)
+      .collect().head.getLong(2) === 999L)
+    assert(spark.table("graft_lake.mor2").filter(col("id") === 2L).count() === 0L)
+    // CDC reads the delta commit as row-level changes
+    val cdc = GraftLake.changes(spark, "graft_lake.mor2", 1, 2, "id")
+      .collect().map(r => r.getLong(0) -> r.getString(r.length - 1)).toMap
+    assert(cdc === Map(1L -> "U", 2L -> "D", 100L -> "I"))
+    // VACUUM must keep the LIVE deletion vectors (they back the live read)
+    GraftLake.vacuum("graft_lake.mor2", retainLast = 1)
+    assert(spark.table("graft_lake.mor2").count() === 30L)
+    assert(spark.table("graft_lake.mor2").filter(col("id") === 2L).count() === 0L)
+  }
 }
