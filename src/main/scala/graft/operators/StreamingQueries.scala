@@ -882,7 +882,80 @@ object StreamingQueries {
       |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
       |FROM ch GROUP BY commit_v, change ORDER BY commit_v, change""".stripMargin
 
+  /** The lake table as a STREAMING SOURCE — `readStream.table` over the
+    * module-own catalog (Delta's streaming-source shape, but as a REAL
+    * DataSource-V2 [[graft.sources.LakeMicroBatchStream]], not a file
+    * listing): offsets are commit versions, each micro-batch delivers
+    * exactly the files appended in its version range (planned from
+    * commit metadata — O(new files), never a table scan), and the
+    * checkpoint carries delivery state ACROSS RUNS, the incremental-
+    * consumer pattern: three separate `Trigger.AvailableNow` runs
+    * against one checkpoint, with new appends (and one OPTIMIZE)
+    * between them.
+    *
+    * The contract inside the hash: run 1 delivers the initial load and
+    * nothing else; run 2 delivers ONLY the second append — the
+    * interleaved OPTIMIZE's layout rewrite is invisible (dataChange=
+    * false), and nothing from run 1 is re-delivered (exactly-once via
+    * the checkpoint); run 3 delivers only the third append. Per run,
+    * row counts and doc_id checksums are restated from the slice
+    * definitions. Round9bOpsSpec additionally pins the loud failure on
+    * non-append history (a DELETE poisons the stream, as in Delta). */
+  def st15StreamLakeSource(s: SparkSession, dir: String): DataFrame = {
+    if (!s.conf.getOption("spark.sql.catalog.graft_lake").contains(
+        classOf[graft.sources.GraftLakeCatalog].getName))
+      s.conf.set("spark.sql.catalog.graft_lake",
+        classOf[graft.sources.GraftLakeCatalog].getName)
+    val root = s"/tmp/graft_stream_${Sidecars.tag(dir)}/st15"
+    deleteRecursively(java.nio.file.Paths.get(root))
+    s.sql("DROP TABLE IF EXISTS graft_lake.stream_src")
+    s.sql("""CREATE TABLE graft_lake.stream_src
+            |(doc_id BIGINT, source STRING, n_chars BIGINT)
+            |PARTITIONED BY (source)""".stripMargin)
+    val docs = graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
+    def drain(run: Long): Unit = {
+      val q = s.readStream.table("graft_lake.stream_src")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+          val r = batch.agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L)))
+            .collect()(0)
+          if (r.getLong(0) > 0) buf.add((run, r.getLong(0), r.getLong(1)))
+          ()
+        }
+        .option("checkpointLocation", s"$root/_checkpoint")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    docs.filter(col("doc_id") % 3 === 0).writeTo("graft_lake.stream_src").append() // v1
+    drain(1) // delivers the initial load
+    docs.filter(col("doc_id") % 3 === 1).writeTo("graft_lake.stream_src").append() // v2
+    graft.sources.GraftLake.optimize(s, "graft_lake.stream_src", "doc_id", 2) // v3: invisible
+    drain(2) // ONLY the v2 append; v1 not re-delivered
+    docs.filter(col("doc_id") % 3 === 2).writeTo("graft_lake.stream_src").append() // v4
+    drain(3) // ONLY the v4 append
+    import scala.jdk.CollectionConverters._
+    import s.implicits._
+    buf.iterator().asScala.toSeq.toDF("run", "n_rows", "sum_ids")
+      .groupBy(col("run"))
+      .agg(sum(col("n_rows")).as("n_rows"), sum(col("sum_ids")).as("sum_ids"))
+      .orderBy(col("run"))
+  }
+
+  val st15Sql: String =
+    """WITH d AS (SELECT doc_id FROM documents)
+      |SELECT CAST(run AS BIGINT) AS run, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+      |FROM (
+      |  SELECT 1 AS run, doc_id FROM d WHERE doc_id % 3 = 0
+      |  UNION ALL SELECT 2, doc_id FROM d WHERE doc_id % 3 = 1
+      |  UNION ALL SELECT 3, doc_id FROM d WHERE doc_id % 3 = 2)
+      |GROUP BY run ORDER BY run""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st15_stream_lake_source" -> (st15StreamLakeSource _),
     "st14_change_feed" -> (st14ChangeFeed _),
     "st13_stream_merge_upsert" -> (st13StreamMergeUpsert _),
     "st12_transition_counts" -> (st12TransitionCounts _),
@@ -899,6 +972,7 @@ object StreamingQueries {
     "st05_stream_filter" -> (st05StreamFilter _))
 
   val oracle: Map[String, String] = Map(
+    "st15_stream_lake_source" -> st15Sql,
     "st14_change_feed" -> st14Sql,
     "st13_stream_merge_upsert" -> st13Sql,
     "st12_transition_counts" -> st12Sql,

@@ -462,7 +462,7 @@ class GraftLakeTable(val key: String, val tableSchema: StructType,
       .toArray
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
 
   /** Surfaced to `SHOW TBLPROPERTIES`; a time-travel view shows the
     * properties AS OF its pinned version. */
@@ -751,6 +751,76 @@ class LakeScan(key: String, schema: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new LakeReaderFactory(readCols)
+
+  /** `readStream.table(...)`: the commit log consumed as a STREAMING
+    * SOURCE (Delta's streaming-source shape) — see [[LakeMicroBatchStream]]. */
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(pinnedVersion.isEmpty,
+      "graft_lake: cannot stream from a time-travel view")
+    new LakeMicroBatchStream(key, readCols)
+  }
+}
+
+/** The lake table as a STREAMING SOURCE (Delta's `readStream.table`
+  * shape): offsets are commit VERSIONS, each micro-batch delivers the
+  * files APPENDED by the data commits in `(start, end]` — planned from
+  * commit metadata alone, so a batch costs O(new files), never a table
+  * scan, and the checkpoint guarantees exactly-once delivery across
+  * restarts (a resumed stream continues from the last committed
+  * version). Layout-only commits (OPTIMIZE) and metadata commits
+  * (ALTER, properties) deliver nothing — the dataChange=false contract.
+  * Non-append DATA commits (copy-on-write or merge-on-read rewrites,
+  * RESTORE) fail the stream LOUDLY: an append-only reader silently
+  * skipping a rewrite would miss rows, and a consumer who needs
+  * row-level deltas should read the change feed (st14 / GraftLake
+  * .changes) instead — the same contract Delta's source enforces
+  * without ignoreChanges. */
+class LakeMicroBatchStream(key: String, required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => V2Offset}
+
+  private case class VersionOffset(v: Int) extends V2Offset {
+    override def json: String = s"""{"version":$v}"""
+  }
+  private def versionOf(o: V2Offset): Int = o match {
+    case VersionOffset(v) => v
+    case other => // a checkpointed offset arrives as serialized JSON
+      val s = other.json
+      val i = s.indexOf(':')
+      s.substring(i + 1, s.indexOf('}')).trim.toInt
+  }
+
+  private def state = LakeStore.get(key).getOrElse(
+    throw new NoSuchTableException(key.split('.').toSeq))
+
+  override def initialOffset(): V2Offset = VersionOffset(0)
+  override def latestOffset(): V2Offset = VersionOffset(state.latestVersion)
+  override def deserializeOffset(json: String): V2Offset =
+    VersionOffset(json.split(':')(1).stripSuffix("}").trim.toInt)
+
+  override def planInputPartitions(start: V2Offset, end: V2Offset): Array[InputPartition] = {
+    val st = state
+    val (s0, e0) = (versionOf(start), versionOf(end))
+    val chunks = ((s0 + 1) to e0).flatMap { v =>
+      val snap = st.snapshots(v)
+      if (!snap.dataChange) Nil // OPTIMIZE/ALTER/props: nothing to deliver
+      else if (snap.action == "append" || snap.action == "clone") {
+        val prevPaths = st.snapshots(v - 1).files.map(_.path).toSet
+        snap.files.filterNot(f => prevPaths.contains(f.path)).map(f =>
+          LakeFileChunk(LakeStore.resolvePath(key, f), f.cols, f.rows))
+      } else throw new UnsupportedOperationException(
+        s"graft_lake: streaming source requires append-only history, but " +
+          s"commit $v of $key is '${snap.action}' — consume the change feed " +
+          "(GraftLake.changes) for row-level deltas instead")
+    }
+    LakeFilePartition.pack(chunks)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LakeReaderFactory(required)
+  override def commit(end: V2Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 /** One file's slice of an input partition: absolute path, the columns

@@ -170,7 +170,8 @@ object ScaleSweep {
       "p41_metadata_tables" -> "history/files metadata tables (manifest-only SQL)",
       "p42_check_constraints" -> "CHECK constraints (task-side write enforcement)",
       "p43_shallow_clone" -> "shallow CLONE (zero-copy fork, diverging COW)",
-      "p44_merge_on_read" -> "merge-on-read DV maintenance (WriteDelta, no rewrites)")
+      "p44_merge_on_read" -> "merge-on-read DV maintenance (WriteDelta, no rewrites)",
+      "st15_stream_lake_source" -> "lake table as streaming source (version offsets)")
 
     // warm the JVM/codegen on the smallest sf so cold-start lands nowhere
     queries.foreach { case (q, _) =>

@@ -321,4 +321,31 @@ class Round9bOpsSpec extends SparkTestBase {
     assert(spark.table("graft_lake.mor2").count() === 30L)
     assert(spark.table("graft_lake.mor2").filter(col("id") === 2L).count() === 0L)
   }
+
+  // ------------------------------------------------------------- st15
+
+  test("st15/lake streaming source: non-append history poisons the stream loudly") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_lake.stx")
+    spark.sql("CREATE TABLE graft_lake.stx (id BIGINT)")
+    import spark.implicits._
+    val ck = java.nio.file.Files.createTempDirectory("graft-st15-gate-").toString
+    def drain(): Unit = {
+      val q = spark.readStream.table("graft_lake.stx")
+        .writeStream.format("noop")
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    Seq(1L, 2L, 3L).toDF("id").writeTo("graft_lake.stx").append() // v1
+    drain() // fine: append-only so far
+    spark.sql("DELETE FROM graft_lake.stx WHERE id = 2") // v2: rewrite
+    val e = intercept[Exception] { drain() }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).flatMap(c => Option(c.getMessage)).mkString
+        .contains("append-only"))
+  }
 }
