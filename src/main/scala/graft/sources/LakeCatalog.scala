@@ -677,11 +677,13 @@ class LakeGroupScan(key: String, schema: StructType,
 class LakeScanBuilder(key: String, schema: StructType, pinnedVersion: Option[Int])
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownV2Filters
-    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
   import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
 
   private var pushed: Array[V2Predicate] = Array.empty
   private var required: StructType = schema
+  private var limit: Option[Int] = None
 
   override def pushPredicates(predicates: Array[V2Predicate]): Array[V2Predicate] = {
     pushed = predicates.flatMap(ZonePrune.conjuncts).filter(p =>
@@ -690,7 +692,12 @@ class LakeScanBuilder(key: String, schema: StructType, pinnedVersion: Option[Int
   }
   override def pushedPredicates(): Array[V2Predicate] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new LakeScan(key, schema, pinnedVersion, pushed, required)
+  /** PARTIAL limit push (returns false — Spark keeps its global Limit):
+    * the scan stops planning files once the manifest guarantees enough
+    * rows, and each reader early-exits — `LIMIT 10` against a 100 TB
+    * table opens one file. */
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); false }
+  override def build(): Scan = new LakeScan(key, schema, pinnedVersion, pushed, required, limit)
 }
 
 /** Snapshot scan: the live (or version-pinned) FILE LIST is captured at
@@ -707,10 +714,40 @@ class LakeScanBuilder(key: String, schema: StructType, pinnedVersion: Option[Int
 class LakeScan(key: String, schema: StructType,
     pinnedVersion: Option[Int] = None,
     pushed: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] = Array.empty,
-    required: StructType = null) extends Scan with Batch {
+    required: StructType = null,
+    limit: Option[Int] = None) extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   private val readCols: StructType = Option(required).getOrElse(schema)
   override def readSchema(): StructType = readCols
   override def toBatch: Batch = this
+
+  /** Manifest-driven statistics AFTER pushdown (zone-pruned file set,
+    * deletion vectors subtracted) — what lets Catalyst/AQE auto-pick a
+    * broadcast join when the lake side is small, with zero file I/O:
+    * the numbers come from the same write-time manifest the scan plans
+    * from. Row width is a type-based estimate (the manifest records
+    * rows and zones, not byte sizes). */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val st = LakeStore.get(key)
+    val files = st.map(s => pinnedVersion.fold(s.current)(v => s.snapshots(v).files))
+      .getOrElse(Vector.empty)
+    val compares = pushed.flatMap(ZonePrune.parse)
+    val surviving =
+      if (compares.isEmpty) files
+      else files.filter(f => compares.forall(cc => ZonePrune.survives(f.zones.get(cc.col), cc)))
+    val dvRows = st.map(s =>
+      pinnedVersion.fold(s.deletes)(v => s.snapshots(v).deletes))
+      .getOrElse(Vector.empty)
+      .groupBy(_.dataFile).map { case (df, es) => df -> es.map(_.rows).sum }
+    val rows = surviving.map(f => f.rows - dvRows.getOrElse(f.path, 0L)).sum
+    val width = readCols.fields.map(_.dataType.defaultSize.toLong).sum.max(1L)
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows * width)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
 
   override def description(): String =
     s"GraftLake $key${pinnedVersion.map(v => s"@v$v").getOrElse("")} " +
@@ -739,12 +776,26 @@ class LakeScan(key: String, schema: StructType,
     val surviving =
       if (compares.isEmpty) files
       else files.filter(f => compares.forall(cc => ZonePrune.survives(f.zones.get(cc.col), cc)))
-    val chunks = stOpt.map(st => surviving.map(toChunk(st)))
-      .getOrElse(Vector.empty)
+    // pushed LIMIT with no predicates in play: stop planning files once
+    // the manifest guarantees enough rows — LIMIT 10 opens one file of a
+    // 100 TB table. (Spark only pushes a limit when no filter sits
+    // between it and the scan, so every planned row is a delivered row.)
+    val planned = limit.filter(_ => pushed.isEmpty) match {
+      case Some(n) =>
+        val dv = stOpt.map(dvOf).getOrElse(Map.empty)
+        var cum = 0L
+        surviving.takeWhile { f =>
+          val need = cum < n
+          cum += f.rows - dv.get(f.path).map(_._2).getOrElse(0L)
+          need
+        }
+      case None => surviving
+    }
+    val chunks = stOpt.map(st => planned.map(toChunk(st))).getOrElse(Vector.empty)
     LakeStore.lastScanStats.update(key, LakeStore.ScanStats(
       files.map(_.group).distinct.length,
-      surviving.map(_.group).distinct.length,
-      files.length, surviving.length,
+      planned.map(_.group).distinct.length,
+      files.length, planned.length,
       chunks.map(c => c.rows - c.dvRows).sum, readCols.fieldNames.toSeq))
     LakeFilePartition.pack(chunks)
   }

@@ -348,4 +348,39 @@ class Round9bOpsSpec extends SparkTestBase {
       causes(e).flatMap(c => Option(c.getMessage)).mkString
         .contains("append-only"))
   }
+
+  // --------------------------------------------- scan maturity (stats/limit)
+
+  test("manifest statistics let Catalyst auto-broadcast a small lake table (no hint)") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_lake.dim")
+    spark.sql("CREATE TABLE graft_lake.dim (id BIGINT, name STRING)")
+    import spark.implicits._
+    (0L until 50L).map(i => (i, s"n$i")).toDF("id", "name")
+      .writeTo("graft_lake.dim").append()
+    val fact = spark.range(0, 10000).select((col("id") % 50).as("id"),
+      (col("id") * 3).as("v"))
+    val joined = fact.join(spark.table("graft_lake.dim"), "id")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected an auto-chosen broadcast join, got:\n$plan")
+    assert(joined.count() === 10000L)
+  }
+
+  test("pushed LIMIT plans O(needed) files from the manifest") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_lake.lim")
+    spark.sql("CREATE TABLE graft_lake.lim (id BIGINT, grp BIGINT) PARTITIONED BY (grp)")
+    import spark.implicits._
+    (0L until 200L).map(i => (i, i % 20)).toDF("id", "grp")
+      .repartition(col("grp")).writeTo("graft_lake.lim").append() // 20 files x 10 rows
+    assert(spark.table("graft_lake.lim").limit(5).collect().length === 5)
+    val sc = LakeStore.lastScanStats("graft_lake.lim")
+    assert(sc.filesTotal === 20)
+    assert(sc.filesScanned === 1, s"LIMIT 5 should plan one 10-row file, got $sc")
+    // with a residual filter in play the limit is NOT applied at the scan
+    assert(spark.table("graft_lake.lim").filter(col("id") % 2 === 0)
+      .limit(5).collect().length === 5)
+    assert(LakeStore.lastScanStats("graft_lake.lim").filesScanned === 20)
+  }
 }
