@@ -763,9 +763,14 @@ class LakeScan(key: String, schema: StructType,
     }
   }
 
-  protected def toChunk(st: LakeStore.TableState)(f: LakeStore.FileEntry): LakeFileChunk = {
-    val (dv, dvRows) = dvOf(st).getOrElse(f.path, (Nil, 0L))
-    LakeFileChunk(LakeStore.resolvePath(key, f), f.cols, f.rows, dv, dvRows)
+  /** Chunk builder over a PRE-COMPUTED dv map (compute [[dvOf]] once per
+    * plan, not once per file). */
+  protected def toChunk(st: LakeStore.TableState): LakeStore.FileEntry => LakeFileChunk = {
+    val dvMap = dvOf(st)
+    f => {
+      val (dv, dvRows) = dvMap.getOrElse(f.path, (Nil, 0L))
+      LakeFileChunk(LakeStore.resolvePath(key, f), f.cols, f.rows, dv, dvRows)
+    }
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
