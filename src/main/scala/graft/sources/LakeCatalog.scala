@@ -183,11 +183,13 @@ object GraftLake {
 
   /** VACUUM: physically delete data files referenced only by history
     * older than the last `retainLast` versions (plus aborted-task
-    * orphans), and gate time travel/diffs before the horizon. Live
-    * reads and retained history are untouched — the Delta retention
-    * operation. Returns (filesDeleted, horizonVersion). */
-  def vacuum(qualifiedKey: String, retainLast: Int): (Int, Int) =
-    LakeStore.vacuum(qualifiedKey, retainLast)
+    * orphans — never-referenced files only once older than `graceMs`,
+    * protecting in-flight writes), and gate time travel/diffs before
+    * the horizon. Live reads and retained history are untouched — the
+    * Delta retention operation. Returns (filesDeleted, horizonVersion). */
+  def vacuum(qualifiedKey: String, retainLast: Int,
+      graceMs: Long = LakeStore.orphanGraceMs): (Int, Int) =
+    LakeStore.vacuum(qualifiedKey, retainLast, graceMs)
 
   /** RESTORE: roll the table back to `toVersion` as a new data-change
     * commit (Delta's `RESTORE TABLE`). Manifest-only — the old files
@@ -227,14 +229,25 @@ object GraftLake {
       throw new NoSuchTableException(tableRef.split('.').toSeq))
     LakeStore.requireReadable(tableRef, v1) // vacuumed history cannot diff
     val changed = changedPartitions(tableRef, v1, v2)
+    // a diff can span an ALTER TABLE ADD COLUMN (or a RESTORE that
+    // narrowed the schema): align both snapshots on the UNION of their
+    // schemas, padding a side's missing columns with typed nulls —
+    // exactly what the storage layer itself reports for pre-ALTER files
+    val s1 = st.snapshots(v1).schema
+    val s2 = st.snapshots(v2).schema
+    val unioned = s2.fields ++ s1.fields.filterNot(f => s2.fieldNames.contains(f.name))
     def snap(v: Int): DataFrame = {
       val df = s.sql(s"SELECT * FROM $tableRef VERSION AS OF $v")
-      (changed, st.partitionCols) match {
+      val filtered = (changed, st.partitionCols) match {
         case (Some(gs), Seq(pc)) => df.filter(col(pc).isInCollection(gs.map(_.head)))
         case _ => df
       }
+      val have = filtered.columns.toSet
+      unioned.foldLeft(filtered) { (d, f) =>
+        if (have.contains(f.name)) d else d.withColumn(f.name, lit(null).cast(f.dataType))
+      }
     }
-    val dataCols = st.schema.fieldNames.toSeq.filterNot(_ == keyCol)
+    val dataCols = unioned.map(_.name).toSeq.filterNot(_ == keyCol)
     val o = snap(v1).alias("o")
     val n = snap(v2).alias("n")
     val same = dataCols.map(c => col(s"o.$c") <=> col(s"n.$c"))
@@ -686,8 +699,12 @@ class LakeScanBuilder(key: String, schema: StructType, pinnedVersion: Option[Int
   private var limit: Option[Int] = None
 
   override def pushPredicates(predicates: Array[V2Predicate]): Array[V2Predicate] = {
+    // only columns the manifest zone-records are skippable; a compare on
+    // an un-zoned type (DECIMAL/BINARY/...) must not reach the pruner —
+    // its files carry no zone and would be wrongly skipped as "all-null"
     pushed = predicates.flatMap(ZonePrune.conjuncts).filter(p =>
-      ZonePrune.parse(p).exists(cc => schema.fieldNames.contains(cc.col)))
+      ZonePrune.parse(p).exists(cc => schema.fieldNames.contains(cc.col) &&
+        LakeStore.zoneSerializable(schema(cc.col).dataType)))
     predicates // ALL residual: skipping must stay superset-safe
   }
   override def pushedPredicates(): Array[V2Predicate] = pushed
@@ -858,6 +875,10 @@ class LakeMicroBatchStream(key: String, required: StructType)
   override def planInputPartitions(start: V2Offset, end: V2Offset): Array[InputPartition] = {
     val st = state
     val (s0, e0) = (versionOf(start), versionOf(end))
+    // retention gate: a stream starting (or resuming from a checkpoint)
+    // below the VACUUM horizon must fail with the clear retention error
+    // batch readers get, not a FileNotFoundException inside tasks
+    if (s0 + 1 <= e0) LakeStore.requireReadable(key, s0 + 1)
     val chunks = ((s0 + 1) to e0).flatMap { v =>
       val snap = st.snapshots(v)
       if (!snap.dataChange) Nil // OPTIMIZE/ALTER/props: nothing to deliver
@@ -1388,6 +1409,10 @@ class LakeWriterFactory(dataDir: String, schema: StructType,
     val dts = schema.fields.map(_.dataType)
     val partitionIdx = partitionCols.map(schema.fieldIndex).toArray
     val colNames = schema.fieldNames
+    // zones are recorded only for types the manifest serde round-trips;
+    // a DECIMAL/BINARY/complex column simply gets no zone (never pruned
+    // on — superset-safe) instead of failing the commit
+    val zoneable = dts.map(LakeStore.zoneSerializable)
     // compile each bound violation expression once per task (codegen
     // with interpreted fallback); evaluated on the ALIGNED row below
     val checkPreds = constraints.map { case (name, expr) =>
@@ -1461,7 +1486,7 @@ class LakeWriterFactory(dataDir: String, schema: StructType,
         file.rows += 1
         var i = 0
         while (i < dts.length) {
-          if (!full.isNullAt(i)) {
+          if (zoneable(i) && !full.isNullAt(i)) {
             val v = LakeStore.toStored(full.get(i, dts(i)))
             if (file.mins(i) == null) { file.mins(i) = v; file.maxs(i) = v }
             else {

@@ -5,7 +5,7 @@ import scala.collection.concurrent.TrieMap
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
-import org.apache.spark.sql.types.{BooleanType, ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructType}
+import org.apache.spark.sql.types.{BooleanType, ByteType, DataType, DateType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructType, TimestampNTZType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.json4s._
 import org.json4s.jackson.JsonMethods
@@ -158,8 +158,15 @@ object LakeStore {
 
   def get(k: String): Option[TableState] =
     tables.get(k).orElse {
-      // cold path: replay the commit log if the table exists on disk
-      val replayed = try load(k) catch { case _: Exception => None }
+      // cold path: replay the commit log if the table exists on disk.
+      // A replay FAILURE is surfaced loudly — a corrupt log must never
+      // masquerade as "table does not exist" (the caller would happily
+      // CREATE over it and destroy the evidence).
+      val replayed = try load(k) catch { case e: Exception =>
+        throw new IllegalStateException(
+          s"graft_lake: commit log of $k exists but failed to replay — " +
+            "refusing to treat a corrupt table as absent", e)
+      }
       replayed.foreach(st => tables.putIfAbsent(k, st))
       replayed
     }
@@ -176,10 +183,22 @@ object LakeStore {
   def create(k: String, schema: StructType, partitionCols: Seq[String],
       props: Map[String, String] = Map.empty): Boolean =
     synchronized {
-      if (tables.contains(k)) return false
+      // the ON-DISK log is the source of truth (cold replay included):
+      // a table that exists only on disk — cache invalidated, or a new
+      // JVM over a persistent graft.lake.root — must refuse CREATE, not
+      // be silently clobbered. get() throws on a corrupt log, which also
+      // stops CREATE from destroying the evidence.
+      if (get(k).isDefined) return false
+      partitionCols.foreach { c =>
+        require(zoneSerializable(schema(c).dataType),
+          s"graft_lake: partition column $c of $k has type " +
+            s"${schema(c).dataType.simpleString}, which the manifest cannot " +
+            "round-trip as a group key")
+      }
       val dir = new Path(tableDir(k))
       val fs = fsOf(dir)
-      if (fs.exists(dir)) fs.delete(dir, true) // a dropped-then-recreated key
+      // only a leftover dir with NO replayable log reaches this point
+      if (fs.exists(dir)) fs.delete(dir, true)
       fs.mkdirs(logDir(k))
       fs.mkdirs(new Path(dataDir(k)))
       val entry = JObject(
@@ -351,26 +370,51 @@ object LakeStore {
   private def stateOf(k: String): TableState =
     get(k).getOrElse(throw new NoSuchTableException(k.split('.').toSeq))
 
+  /** Default orphan grace window (ms): a data-dir file the log has NEVER
+    * referenced is deleted only once it is at least this old — it may be
+    * an IN-FLIGHT write's output (task-side file writes are not
+    * serialized by the store lock; the commit that will reference them
+    * comes later). Delta's retention-hours analogue, scoped to true
+    * orphans: files the log DID reference but that fell behind the
+    * horizon carry no such risk (the log is append-only — nothing can
+    * reference them again) and are swept unconditionally. */
+  def orphanGraceMs: Long =
+    sys.props.get("graft.lake.vacuum.orphanGraceMs").map(_.toLong)
+      .getOrElse(10L * 60L * 1000L)
+
   /** VACUUM: physically delete data files referenced ONLY by snapshots
     * older than the retention horizon (keeping the last `retainLast`
     * versions readable), plus any orphan files aborted tasks left
-    * behind. Time travel before the horizon is gated off loudly — the
-    * Delta retention contract: history metadata stays (the log is
+    * behind (never-referenced orphans only after [[orphanGraceMs]], so
+    * an in-flight write's freshly-written files survive to be
+    * committed). Time travel before the horizon is gated off loudly —
+    * the Delta retention contract: history metadata stays (the log is
     * immutable), but the data files backing it are gone, so the gate is
     * what turns "file not found" into a clear retention error. Returns
     * (filesDeleted, horizonVersion). */
-  def vacuum(k: String, retainLast: Int): (Int, Int) = synchronized {
+  def vacuum(k: String, retainLast: Int,
+      graceMs: Long = orphanGraceMs): (Int, Int) = synchronized {
     require(retainLast >= 1, s"graft_lake: VACUUM must retain >= 1 version, got $retainLast")
     val st = stateOf(k)
     val horizon = math.max(0, st.latestVersion - retainLast + 1)
     val keep: Set[String] =
       (horizon to st.latestVersion).flatMap(v => st.snapshots(v).files.map(_.path)).toSet ++
         (horizon to st.latestVersion).flatMap(v => st.snapshots(v).deletes.map(_.path))
+    // everything ANY committed version ever referenced: a doomed file in
+    // this set is expired history (safe immediately); outside it, a true
+    // orphan — possibly an uncommitted in-flight write — gated by mtime
+    val everReferenced: Set[String] =
+      st.snapshots.flatMap(s => s.files.map(_.path) ++ s.deletes.map(_.path)).toSet
     val dir = new Path(dataDir(k))
     val fs = fsOf(dir)
-    val onDisk = fs.listStatus(dir).map(_.getPath)
-      .filter(p => p.getName.endsWith(".parquet") || p.getName.endsWith(".dv"))
-    val doomed = onDisk.filterNot(p => keep.contains(p.getName))
+    val cutoff = System.currentTimeMillis() - graceMs
+    val onDisk = fs.listStatus(dir)
+      .filter(s => s.getPath.getName.endsWith(".parquet") || s.getPath.getName.endsWith(".dv"))
+    val doomed = onDisk.filter { s =>
+      val name = s.getPath.getName
+      !keep.contains(name) &&
+        (everReferenced.contains(name) || s.getModificationTime < cutoff)
+    }.map(_.getPath)
     doomed.foreach(fs.delete(_, false))
     // persist the horizon (atomic tmp+rename, like log entries)
     val marker = new Path(logDir(k), "_horizon")
@@ -528,9 +572,26 @@ object LakeStore {
 
   // ------------------------------------------------- value (de)serde
 
+  /** Column types whose Catalyst values the manifest serde round-trips
+    * exactly: integral/floating/boolean, string, and the datetime types
+    * (Catalyst stores DATE as Int days and TIMESTAMP as Long micros —
+    * plain numbers to the JSON). Everything else (DECIMAL, BINARY,
+    * arrays/structs) is NOT zone-recorded: the writer skips those
+    * columns' statistics (superset-safe — a file without a zone is never
+    * pruned on that column, because the pruner only considers pushed
+    * compares on serializable types) rather than throwing on the first
+    * commit or poisoning cold log replay. */
+  def zoneSerializable(dt: DataType): Boolean = dt match {
+    case BooleanType | ByteType | ShortType | IntegerType | LongType |
+         FloatType | DoubleType | StringType | DateType | TimestampType |
+         TimestampNTZType => true
+    case _ => false
+  }
+
   /** Catalyst value -> serializable stored form (and back). Stored forms
     * are the JVM primitives the manifest JSON and group keys round-trip:
-    * integral/floating/boolean and JVM String. */
+    * integral/floating/boolean, JVM String, and datetimes in their
+    * Catalyst primitive encodings (Int days / Long micros). */
   def toStored(v: Any): Any = v match {
     case s: UTF8String => s.toString
     case other => other
@@ -564,6 +625,12 @@ object LakeStore {
     case (jn, ByteType) => java.lang.Byte.valueOf(num(jn).byteValue())
     case (jn, DoubleType) => java.lang.Double.valueOf(num(jn).doubleValue())
     case (jn, FloatType) => java.lang.Float.valueOf(num(jn).floatValue())
+    // Catalyst datetime encodings: DATE = Int days, TIMESTAMP = Long
+    // micros — written by jval as plain numbers, decoded back here so a
+    // cold log replay of a datetime-zoned table stays exact
+    case (jn, DateType) => java.lang.Integer.valueOf(num(jn).intValue())
+    case (jn, TimestampType) => java.lang.Long.valueOf(num(jn).longValue())
+    case (jn, TimestampNTZType) => java.lang.Long.valueOf(num(jn).longValue())
     case (other, t) => throw new IllegalStateException(
       s"graft_lake: cannot decode manifest value $other as $t")
   }

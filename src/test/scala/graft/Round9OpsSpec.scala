@@ -112,7 +112,9 @@ class Round9OpsSpec extends SparkTestBase {
     val liveFiles = st.current.map(_.path).toSet
     assert((ingestFiles intersect liveFiles).isEmpty) // fully rewritten
 
-    // plant an orphan (an aborted task's leftover): vacuum must sweep it
+    // plant an orphan (an aborted task's leftover): a FRESH orphan is
+    // indistinguishable from an in-flight write's output, so the default
+    // grace window must protect it; an aged one must be swept
     val dataDir = new org.apache.hadoop.fs.Path(LakeStore.dataDir("graft_lake.vacx"))
     val fs = dataDir.getFileSystem(new org.apache.hadoop.conf.Configuration())
     val orphan = new org.apache.hadoop.fs.Path(dataDir, "orphan-task-leftover.parquet")
@@ -121,9 +123,12 @@ class Round9OpsSpec extends SparkTestBase {
     // retain the last TWO versions (v3+v4): v3 references ALL THREE
     // ingest files (append snapshots are cumulative), so only the
     // planted orphan is unreferenced by the keep set
-    val (d1, h1) = GraftLake.vacuum("graft_lake.vacx", retainLast = 2)
+    val (d0, h0) = GraftLake.vacuum("graft_lake.vacx", retainLast = 2)
+    assert(h0 === 3)
+    assert(d0 === 0 && fs.exists(orphan)) // fresh orphan: inside the grace window
+    val (d1, h1) = GraftLake.vacuum("graft_lake.vacx", retainLast = 2, graceMs = 0L)
     assert(h1 === 3)
-    assert(d1 === 1 && !fs.exists(orphan))
+    assert(d1 === 1 && !fs.exists(orphan)) // past the grace window: swept
     assert(spark.sql("SELECT count(*) FROM graft_lake.vacx VERSION AS OF 3")
       .collect().head.getLong(0) === 30L) // retained history still whole
     intercept[Exception] {
