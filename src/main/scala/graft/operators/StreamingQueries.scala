@@ -954,7 +954,98 @@ object StreamingQueries {
       |  UNION ALL SELECT 3, doc_id FROM d WHERE doc_id % 3 = 2)
       |GROUP BY run ORDER BY run""".stripMargin
 
+  /** Streaming CHANGE-FEED SOURCE — `readStream.table("<t>.changes")`,
+    * the Delta CDF `readChangeFeed` shape as a real DataSource-V2
+    * micro-batch source ([[graft.sources.LakeCdfMicroBatchStream]]):
+    * where the plain lake source (st15) correctly POISONS on any
+    * non-append data commit, this one streams every data commit as
+    * row-level deltas — which is what makes a lake table with
+    * row-level deletes consumable incrementally at all. Offsets are
+    * commit versions; each batch is planned from commit metadata plus
+    * ONLY the files the commit touched: added files deliver `I` rows,
+    * a merge-on-read commit's new deletion-vector positions deliver
+    * `D` rows read INCLUDE-MODE straight out of the untouched data
+    * file — O(deleted positions), never a rewrite or a table diff.
+    *
+    * The scenario is the MoR maintenance window end-to-end: initial
+    * load (v1), merge-on-read retention DELETE (v2: positions only),
+    * merge-on-read re-score UPDATE (v3: D+I pairs), OPTIMIZE (v4 —
+    * dataChange=false, must deliver NOTHING), new crawl slice (v5).
+    * The consumer nets per (version, key) — D+I with differing
+    * payload = U, the Delta-CDF net semantics — and the oracle
+    * restates every commit from the corpus: hash-equality IS the
+    * contract that the streamed feed reveals exactly the per-commit
+    * row-level history, OPTIMIZE invisible, nothing re-delivered. */
+  def st16StreamChangeFeed(s: SparkSession, dir: String): DataFrame = {
+    if (!s.conf.getOption("spark.sql.catalog.graft_lake").contains(
+        classOf[graft.sources.GraftLakeCatalog].getName))
+      s.conf.set("spark.sql.catalog.graft_lake",
+        classOf[graft.sources.GraftLakeCatalog].getName)
+    val root = s"/tmp/graft_stream_${Sidecars.tag(dir)}/st16"
+    deleteRecursively(java.nio.file.Paths.get(root))
+    s.sql("DROP TABLE IF EXISTS graft_lake.cdf_src")
+    s.sql("""CREATE TABLE graft_lake.cdf_src
+            |(doc_id BIGINT, source STRING, n_chars BIGINT)
+            |PARTITIONED BY (source)
+            |TBLPROPERTIES ('graft.merge-on-read' = 'true')""".stripMargin)
+    val docs = graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    docs.writeTo("graft_lake.cdf_src").append() // v1: initial load
+    s.sql("DELETE FROM graft_lake.cdf_src WHERE source = 'src3' AND n_chars < 250") // v2: MoR positions
+    s.sql("UPDATE graft_lake.cdf_src SET n_chars = n_chars + 1000 WHERE source = 'src7'") // v3: MoR D+I
+    graft.sources.GraftLake.optimize(s, "graft_lake.cdf_src", "doc_id", 2) // v4: invisible
+    docs.filter(col("source") === "src11")
+      .withColumn("doc_id", col("doc_id") + 100000L)
+      .writeTo("graft_lake.cdf_src").append() // v5: new crawl slice
+    // stream the feed to a parquet landing zone (distributed end to end;
+    // the netting below is a bounded aggregation over TOUCHED rows only)
+    val q = s.readStream.table("graft_lake.cdf_src.changes")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        batch.write.mode("append").parquet(s"$root/feed"); ()
+      }
+      .option("checkpointLocation", s"$root/_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // Delta-CDF net semantics per (commit, key): D-only = delete,
+    // I-only = insert, D+I differing payload = update, D+I identical =
+    // carry-over (copy-on-write file granularity) — dropped
+    val feed = s.read.parquet(s"$root/feed")
+    feed.groupBy(col("_commit_version").as("commit_v"), col("doc_id"))
+      .agg(
+        sum(when(col("_change") === "I", 1L).otherwise(0L)).as("n_i"),
+        sum(when(col("_change") === "D", 1L).otherwise(0L)).as("n_d"),
+        max(when(col("_change") === "I", struct(col("source"), col("n_chars")))).as("post"),
+        max(when(col("_change") === "D", struct(col("source"), col("n_chars")))).as("pre"))
+      .withColumn("change",
+        when(col("n_d") > 0 && col("n_i") > 0 && !(col("post") <=> col("pre")), lit("U"))
+          .when(col("n_d") > 0 && col("n_i") > 0, lit(null))
+          .when(col("n_d") > 0, lit("D"))
+          .otherwise(lit("I")))
+      .filter(col("change").isNotNull)
+      .groupBy(col("commit_v"), col("change"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("doc_id")).as("sum_ids"))
+      .orderBy(col("commit_v"), col("change"))
+  }
+
+  val st16Sql: String =
+    """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+      |ch AS (
+      |  SELECT 1 AS commit_v, 'I' AS change, doc_id FROM d
+      |  UNION ALL
+      |  SELECT 2, 'D', doc_id FROM d WHERE source = 'src3' AND n_chars < 250
+      |  UNION ALL
+      |  SELECT 3, 'U', doc_id FROM d WHERE source = 'src7'
+      |  UNION ALL
+      |  SELECT 5, 'I', doc_id + 100000 FROM d WHERE source = 'src11')
+      |SELECT CAST(commit_v AS BIGINT) AS commit_v, change,
+      |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+      |FROM ch GROUP BY commit_v, change ORDER BY commit_v, change""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st16_stream_change_feed" -> (st16StreamChangeFeed _),
     "st15_stream_lake_source" -> (st15StreamLakeSource _),
     "st14_change_feed" -> (st14ChangeFeed _),
     "st13_stream_merge_upsert" -> (st13StreamMergeUpsert _),
@@ -972,6 +1063,7 @@ object StreamingQueries {
     "st05_stream_filter" -> (st05StreamFilter _))
 
   val oracle: Map[String, String] = Map(
+    "st16_stream_change_feed" -> st16Sql,
     "st15_stream_lake_source" -> st15Sql,
     "st14_change_feed" -> st14Sql,
     "st13_stream_merge_upsert" -> st13Sql,

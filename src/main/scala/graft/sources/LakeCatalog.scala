@@ -313,11 +313,13 @@ class GraftLakeCatalog extends TableCatalog {
         // (checked above), so a user table literally named `history`
         // still wins.
         val kind = ident.name()
-        if (LakeMetaTable.kinds.contains(kind) && ident.namespace().nonEmpty) {
+        val suffixed = LakeMetaTable.kinds.contains(kind) || kind == LakeChangesTable.Kind
+        if (suffixed && ident.namespace().nonEmpty) {
           val parentKey = (catalogName +: ident.namespace().toSeq).mkString(".")
-          if (LakeStore.get(parentKey).isDefined)
-            new LakeMetaTable(parentKey, kind)
-          else throw new NoSuchTableException(
+          if (LakeStore.get(parentKey).isDefined) {
+            if (kind == LakeChangesTable.Kind) new LakeChangesTable(parentKey)
+            else new LakeMetaTable(parentKey, kind)
+          } else throw new NoSuchTableException(
             Seq(catalogName) ++ ident.namespace().toSeq :+ ident.name())
         } else throw new NoSuchTableException(
           Seq(catalogName) ++ ident.namespace().toSeq :+ ident.name())
@@ -818,7 +820,7 @@ class LakeScan(key: String, schema: StructType,
       files.map(_.group).distinct.length,
       planned.map(_.group).distinct.length,
       files.length, planned.length,
-      chunks.map(c => c.rows - c.dvRows).sum, readCols.fieldNames.toSeq))
+      chunks.map(_.deliveredRows).sum, readCols.fieldNames.toSeq))
     LakeFilePartition.pack(chunks)
   }
 
@@ -900,14 +902,198 @@ class LakeMicroBatchStream(key: String, required: StructType)
   override def stop(): Unit = ()
 }
 
+/** CHANGE-FEED planning shared by the batch and streaming readers of
+  * `<table>.changes` — Delta CDF's `readChangeFeed` shape, answered
+  * from COMMIT METADATA + the files the commit itself touched (never a
+  * table scan):
+  *
+  *  - files ADDED by a data commit deliver their rows tagged `I`
+  *    (minus positions the commit's own deletion vectors hide);
+  *  - files REMOVED by a copy-on-write commit deliver their rows
+  *    tagged `D` (minus positions ALREADY hidden at the prior
+  *    version — those rows were dead before this commit);
+  *  - a merge-on-read commit's NEW deletion-vector positions deliver
+  *    tagged `D` straight out of the untouched data file
+  *    (include-mode read: O(deleted positions), the exact inverse of
+  *    the scan's skip).
+  *
+  * Merge-on-read deltas are therefore EXACT row-level changes; a
+  * copy-on-write rewrite is file-granular — carry-over rows appear as
+  * a (D, I) pair with identical payload, and a consumer that wants
+  * Delta-CDF net semantics nets per key: D-only = delete, I-only =
+  * insert, D+I differing = update, D+I identical = carry-over (drop).
+  * That netting is a bounded aggregation over the TOUCHED files only,
+  * the same cost class as the batch diff ([[GraftLake.changes]]);
+  * layout-only commits (OPTIMIZE) and metadata commits deliver
+  * nothing — the dataChange=false contract. */
+object LakeCdf {
+  def chunksFor(key: String, st: LakeStore.TableState, v: Int): Seq[LakeFileChunk] = {
+    val snap = st.snapshots(v)
+    if (!snap.dataChange) return Nil
+    val prev = st.snapshots(v - 1)
+    val prevPaths = prev.files.map(_.path).toSet
+    val curPaths = snap.files.map(_.path).toSet
+    def dvMap(ds: Vector[LakeStore.DeleteEntry]): Map[String, (Seq[String], Long)] =
+      ds.groupBy(_.dataFile).map { case (df, es) =>
+        df -> (es.map(e => LakeStore.resolveRaw(key, e.path)), es.map(_.rows).sum)
+      }
+    val dvAtV = dvMap(snap.deletes)
+    val dvAtPrev = dvMap(prev.deletes)
+    val added = snap.files.filterNot(f => prevPaths.contains(f.path)).map { f =>
+      val (dv, n) = dvAtV.getOrElse(f.path, (Nil, 0L))
+      LakeFileChunk(LakeStore.resolvePath(key, f), f.cols, f.rows, dv, n,
+        change = "I", version = v.toLong)
+    }
+    val removed = prev.files.filterNot(f => curPaths.contains(f.path)).map { f =>
+      val (dv, n) = dvAtPrev.getOrElse(f.path, (Nil, 0L))
+      LakeFileChunk(LakeStore.resolvePath(key, f), f.cols, f.rows, dv, n,
+        change = "D", version = v.toLong)
+    }
+    // merge-on-read: sidecars NEW at v over files that stayed live —
+    // each is O(positions deleted), read include-mode
+    val prevEntries = prev.deletes.toSet
+    val newDv = snap.deletes.filterNot(prevEntries).groupBy(_.dataFile)
+    val byPath = snap.files.iterator.map(f => f.path -> f).toMap
+    val morDeletes = newDv.iterator.collect {
+      case (df, es) if byPath.contains(df) =>
+        val f = byPath(df)
+        LakeFileChunk(LakeStore.resolvePath(key, f), f.cols, f.rows,
+          es.map(e => LakeStore.resolveRaw(key, e.path)), es.map(_.rows).sum,
+          dvInclude = true, change = "D", version = v.toLong)
+    }.toSeq
+    added ++ removed ++ morDeletes
+  }
+}
+
+/** `<table>.changes` — the change feed as a TABLE (resolved by
+  * identifier suffix like the p41 metadata tables): batch-readable
+  * (the full feed over a version range) and STREAMABLE
+  * (`readStream.table("cat.t.changes")`), which is what makes a lake
+  * table with row-level deletes consumable incrementally at all — the
+  * plain streaming source ([[LakeMicroBatchStream]]) correctly poisons
+  * on non-append history, and this is the documented fallback. Schema =
+  * the parent's columns + `_change` (I/D) + `_commit_version`. */
+object LakeChangesTable {
+  val Kind = "changes"
+  val ChangeCol = "_change"
+  val VersionCol = "_commit_version"
+
+  def schemaOf(parent: StructType): StructType = StructType(
+    parent.fields.toSeq :+
+      StructField(ChangeCol, org.apache.spark.sql.types.StringType, nullable = false) :+
+      StructField(VersionCol, org.apache.spark.sql.types.LongType, nullable = false))
+}
+
+class LakeChangesTable(parentKey: String) extends Table with SupportsRead {
+  private def st = LakeStore.get(parentKey).getOrElse(
+    throw new NoSuchTableException(parentKey.split('.').toSeq))
+  override def name(): String = s"$parentKey.${LakeChangesTable.Kind}"
+  override def schema(): StructType = LakeChangesTable.schemaOf(st.schema)
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new LakeChangesScanBuilder(parentKey, schema(), options)
+}
+
+/** Column pruning only — the feed's per-commit file sets are already
+  * minimal; predicates stay with Spark. `startingVersion` /
+  * `endingVersion` options bound the BATCH read (defaults: the vacuum
+  * horizon's first diffable version, resp. latest). */
+class LakeChangesScanBuilder(parentKey: String, full: StructType,
+    options: CaseInsensitiveStringMap) extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan = new LakeChangesScan(parentKey, required,
+    Option(options.get("startingVersion")).map(_.toInt),
+    Option(options.get("endingVersion")).map(_.toInt))
+}
+
+class LakeChangesScan(parentKey: String, required: StructType,
+    startingVersion: Option[Int], endingVersion: Option[Int])
+    extends Scan with Batch {
+  private def st = LakeStore.get(parentKey).getOrElse(
+    throw new NoSuchTableException(parentKey.split('.').toSeq))
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = s"GraftLakeChanges($parentKey)"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val s0 = st
+    // a diff of version v needs v-1 readable: the first deliverable
+    // version after a VACUUM is earliest+1
+    val from = startingVersion.getOrElse(s0.earliest + 1)
+    val to = endingVersion.getOrElse(s0.latestVersion)
+    if (from <= to) LakeStore.requireReadable(parentKey, from - 1)
+    LakeFilePartition.pack((from to to).flatMap(v => LakeCdf.chunksFor(parentKey, s0, v)))
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LakeReaderFactory(required)
+
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new LakeCdfMicroBatchStream(parentKey, required)
+}
+
+/** The change feed as a STREAMING SOURCE: offsets are commit versions
+  * (same shape as [[LakeMicroBatchStream]]), each micro-batch delivers
+  * the per-commit change chunks of `(start, end]` — and unlike the
+  * plain source, EVERY data commit streams: copy-on-write rewrites,
+  * merge-on-read deltas, RESTOREs. Exactly-once across restarts via
+  * the checkpointed version offset; a resume below the vacuum horizon
+  * fails with the retention error, not a task FileNotFound. */
+class LakeCdfMicroBatchStream(key: String, required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => V2Offset}
+
+  private case class VersionOffset(v: Int) extends V2Offset {
+    override def json: String = s"""{"version":$v}"""
+  }
+  private def versionOf(o: V2Offset): Int = o match {
+    case VersionOffset(v) => v
+    case other =>
+      val s = other.json
+      s.substring(s.indexOf(':') + 1, s.indexOf('}')).trim.toInt
+  }
+  private def state = LakeStore.get(key).getOrElse(
+    throw new NoSuchTableException(key.split('.').toSeq))
+
+  override def initialOffset(): V2Offset = VersionOffset(0)
+  override def latestOffset(): V2Offset = VersionOffset(state.latestVersion)
+  override def deserializeOffset(json: String): V2Offset =
+    VersionOffset(json.split(':')(1).stripSuffix("}").trim.toInt)
+
+  override def planInputPartitions(start: V2Offset, end: V2Offset): Array[InputPartition] = {
+    val st = state
+    val (s0, e0) = (versionOf(start), versionOf(end))
+    // the diff of version s0+1 reads against snapshot s0
+    if (s0 + 1 <= e0) LakeStore.requireReadable(key, s0)
+    LakeFilePartition.pack(((s0 + 1) to e0).flatMap(v => LakeCdf.chunksFor(key, st, v)))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LakeReaderFactory(required)
+  override def commit(end: V2Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
 /** One file's slice of an input partition: absolute path, the columns
   * the file physically stores (pre-ALTER files lack later columns), its
   * manifest row count (serves metadata-only scans without opening the
   * file), and the absolute paths + total positions of the
-  * position-delete sidecars hiding rows of this file (merge-on-read —
-  * empty for copy-on-write tables). */
+  * position-delete sidecars over this file (merge-on-read — empty for
+  * copy-on-write tables). `dvInclude=false` (the scan default) SKIPS
+  * the sidecar positions; `dvInclude=true` inverts it and emits ONLY
+  * those positions — how the change feed reads "the rows a
+  * merge-on-read commit deleted" straight out of the untouched data
+  * file. `change`/`version` tag every row of a change-feed chunk
+  * (null/-1 for plain scans). */
 case class LakeFileChunk(path: String, cols: Seq[String], rows: Long,
-    dv: Seq[String] = Nil, dvRows: Long = 0L)
+    dv: Seq[String] = Nil, dvRows: Long = 0L, dvInclude: Boolean = false,
+    change: String = null, version: Long = -1L) {
+  /** Rows this chunk delivers, from manifest counts alone. */
+  def deliveredRows: Long = if (dvInclude) dvRows else rows - dvRows
+}
 
 /** An input partition = a BIN of file chunks. Small files are packed
   * together (the file source's maxPartitionBytes move, done on manifest
@@ -952,7 +1138,7 @@ class LakeReaderFactory(required: StructType) extends PartitionReaderFactory {
       // metadata-only read: the manifest row count, minus rows hidden by
       // deletion vectors, answers without opening anything
       return new PartitionReader[InternalRow] {
-        private var remaining = bin.chunks.map(c => c.rows - c.dvRows).sum
+        private var remaining = bin.chunks.map(_.deliveredRows).sum
         private val empty = new GenericInternalRow(0)
         override def next(): Boolean = { remaining -= 1; remaining >= 0 }
         override def get(): InternalRow = empty
@@ -998,14 +1184,22 @@ class LakeReaderFactory(required: StructType) extends PartitionReaderFactory {
   }
 
   private def openFile(p: LakeFileChunk): PartitionReader[InternalRow] = {
-    // metadata columns are computed, never read from parquet
+    // metadata + change-feed columns are computed, never read from parquet
+    val computed = Set(GraftLakeTable.FileMetaCol, GraftLakeTable.PosMetaCol,
+      LakeChangesTable.ChangeCol, LakeChangesTable.VersionCol)
     val metaIdx = required.fields.zipWithIndex.collect {
       case (f, i) if f.name == GraftLakeTable.FileMetaCol => (i, true)
       case (f, i) if f.name == GraftLakeTable.PosMetaCol => (i, false)
     }
+    // change-feed tags: constant per chunk (the commit's change class
+    // and version), so resolved once here
+    val chunkIdx: Array[(Int, Any)] = required.fields.zipWithIndex.collect {
+      case (f, i) if f.name == LakeChangesTable.ChangeCol =>
+        (i, org.apache.spark.unsafe.types.UTF8String.fromString(p.change): Any)
+      case (f, i) if f.name == LakeChangesTable.VersionCol => (i, p.version: Any)
+    }
     val availIdx = required.fields.zipWithIndex
-      .filter { case (f, _) => p.cols.contains(f.name) &&
-        f.name != GraftLakeTable.FileMetaCol && f.name != GraftLakeTable.PosMetaCol }
+      .filter { case (f, _) => p.cols.contains(f.name) && !computed.contains(f.name) }
     val fileSchema = StructType(availIdx.map(_._1))
 
     val conf = new Configuration()
@@ -1041,8 +1235,11 @@ class LakeReaderFactory(required: StructType) extends PartitionReaderFactory {
           cur = reader.read()
           if (cur == null) return false
           pos += 1
-          // skip rows hidden by deletion vectors (position-based)
-          if (dv == null || !dv.contains(pos)) return true
+          // position-based deletion vectors: the scan SKIPS hidden rows;
+          // a change-feed D chunk INVERTS it and emits only the
+          // positions the commit deleted
+          val hit = dv != null && dv.contains(pos)
+          if (if (p.dvInclude) hit else !hit) return true
         }
         false
       }
@@ -1058,6 +1255,7 @@ class LakeReaderFactory(required: StructType) extends PartitionReaderFactory {
         metaIdx.foreach { case (i, isFile) =>
           out.update(i, if (isFile) filePathUtf8 else pos)
         }
+        chunkIdx.foreach { case (i, v) => out.update(i, v) }
         out
       }
       override def close(): Unit = reader.close()

@@ -96,6 +96,110 @@ class Round10OpsSpec extends SparkTestBase {
     assert(!ch.contains(5L))
   }
 
+  // ------------------------------------------------- st16 change feed
+
+  test("st16/feed equals the batch changes() replay, commit by commit") {
+    val got = operators.StreamingQueries.st16StreamChangeFeed(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    // independent batch-side replay off the finished table history
+    val st = LakeStore.get("graft_lake.cdf_src").get
+    val batch = (1 to st.latestVersion).flatMap { v =>
+      if (!st.snapshots(v).dataChange) Nil
+      else GraftLake.changes(spark, "graft_lake.cdf_src", v - 1, v, "doc_id")
+        .groupBy(col("change"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("s"))
+        .collect().map(r => (v.toLong, r.getString(0), r.getLong(1), r.getLong(2)))
+    }.toSet
+    assert(got === batch)
+    assert(got.map(_._1) === Set(1L, 2L, 3L, 5L)) // v4 OPTIMIZE delivered nothing
+  }
+
+  test("change feed nets copy-on-write carry-over to exactly the batch diff") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_lake.cowfeed")
+    spark.sql("""CREATE TABLE graft_lake.cowfeed
+                |(id BIGINT, grp BIGINT, v BIGINT) PARTITIONED BY (grp)""".stripMargin)
+    import spark.implicits._
+    (0L until 40L).map(i => (i, i % 4, i)).toDF("id", "grp", "v")
+      .repartition(col("grp")).writeTo("graft_lake.cowfeed").append() // v1
+    // COW UPDATE: rewrites grp=2's whole file; 3 rows change, 7 carry over
+    spark.sql("UPDATE graft_lake.cowfeed SET v = v + 1000 WHERE grp = 2 AND id < 12") // v2
+    val feed = spark.read.option("startingVersion", "2")
+      .table("graft_lake.cowfeed.changes")
+    // raw feed is file-granular: grp=2's 10 rows appear as D and as I
+    assert(feed.filter(col("_change") === "I").count() === 10L)
+    assert(feed.filter(col("_change") === "D").count() === 10L)
+    // netting per key recovers exactly the row-level diff
+    val net = feed.groupBy(col("id"))
+      .agg(max(when(col("_change") === "I", col("v"))).as("post"),
+        max(when(col("_change") === "D", col("v"))).as("pre"))
+      .withColumn("change",
+        when(col("post").isNotNull && col("pre").isNotNull &&
+          !(col("post") <=> col("pre")), lit("U"))
+          .when(col("post").isNotNull && col("pre").isNull, lit("I"))
+          .when(col("post").isNull && col("pre").isNotNull, lit("D")))
+      .filter(col("change").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val batch = GraftLake.changes(spark, "graft_lake.cowfeed", 1, 2, "id")
+      .collect().map(r => r.getLong(0) -> r.getString(r.length - 1)).toMap
+    assert(net === batch)
+    assert(net === Map(2L -> "U", 6L -> "U", 10L -> "U")) // grp=2 ids under 12
+  }
+
+  test("batch changes table honors startingVersion/endingVersion and the vacuum gate") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_lake.chrange")
+    spark.sql("CREATE TABLE graft_lake.chrange (id BIGINT)")
+    import spark.implicits._
+    Seq(1L, 2L).toDF("id").writeTo("graft_lake.chrange").append() // v1
+    Seq(3L).toDF("id").writeTo("graft_lake.chrange").append() // v2
+    Seq(4L).toDF("id").writeTo("graft_lake.chrange").append() // v3
+    val all = spark.read.table("graft_lake.chrange.changes")
+    assert(all.count() === 4L)
+    val ranged = spark.read
+      .option("startingVersion", "2").option("endingVersion", "2")
+      .table("graft_lake.chrange.changes")
+    assert(ranged.select("id").collect().map(_.getLong(0)).toSeq === Seq(3L))
+    GraftLake.vacuum("graft_lake.chrange", retainLast = 1, graceMs = 0L)
+    val e = intercept[Exception] {
+      spark.read.option("startingVersion", "1")
+        .table("graft_lake.chrange.changes").collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.getMessage != null && c.getMessage.contains("vacuumed")))
+  }
+
+  test("CDF stream checkpoint delivers each commit exactly once across runs") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_lake.cdfresume")
+    spark.sql("""CREATE TABLE graft_lake.cdfresume (id BIGINT, v BIGINT)
+                |TBLPROPERTIES ('graft.merge-on-read' = 'true')""".stripMargin)
+    import spark.implicits._
+    val ck = java.nio.file.Files.createTempDirectory("graft-cdfresume-").toString
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
+    def drain(): Unit = {
+      val q = spark.readStream.table("graft_lake.cdfresume.changes")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.collect().foreach(r =>
+            buf.add((r.getLong(3), r.getString(2), r.getLong(0))))
+          ()
+        }
+        .option("checkpointLocation", s"$ck/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    (1L to 3L).map(i => (i, i)).toDF("id", "v").writeTo("graft_lake.cdfresume").append() // v1
+    drain()
+    spark.sql("DELETE FROM graft_lake.cdfresume WHERE id = 2") // v2: MoR positions
+    drain() // must deliver ONLY the deletion, nothing re-delivered
+    import scala.jdk.CollectionConverters._
+    val got = buf.iterator().asScala.toSeq.sorted
+    assert(got === Seq((1L, "I", 1L), (1L, "I", 2L), (1L, "I", 3L), (2L, "D", 2L)))
+  }
+
   // ------------------------------------------ streaming retention gate
 
   test("a stream resuming below the VACUUM horizon fails with the retention message") {
