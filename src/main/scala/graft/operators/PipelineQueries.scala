@@ -2984,7 +2984,98 @@ object PipelineQueries {
       |  CAST(4 AS BIGINT) AS n_versions
       |FROM live""".stripMargin
 
+  // ---------------------------------------------------------------- p45
+  /** Column DEFAULTs + GENERATED + IDENTITY columns — Spark 4's native
+    * DSv2 DDL surface, opted into via the catalog capabilities and
+    * persisted through the commit log as StructField metadata: a
+    * `DEFAULT` fills omitted INSERT columns in the ANALYZER (zero write-
+    * path cost — the standard ingestion-hygiene move: late-arriving
+    * feeds omit the columns the pipeline backfills); a `GENERATED
+    * ALWAYS AS (expr)` column is COMPUTED task-side when omitted and
+    * VALIDATED (null-safe equality, loud abort) when provided — Delta's
+    * generated-column contract through p42's bound-expression path; an
+    * `IDENTITY` column is writer-assigned off a manifest-zone high-water
+    * mark — no coordination service, no extra commit, per-task value
+    * blocks, Delta's stated guarantees (unique, monotone per job, NOT
+    * contiguous).
+    *
+    * Inside the hash: per-quality aggregates pin the default-vs-
+    * explicit routing AND the generated arithmetic over the full
+    * corpus; the identity scalars pin count = distinct (uniqueness),
+    * floor/step conformance; both rejection flags pin enforcement
+    * (wrong generated value, explicit identity insert), with version
+    * stability proving the failed writes committed nothing. */
+  def p45DefaultColumns(s: SparkSession, dir: String): DataFrame = {
+    registerLake(s)
+    s.sql("DROP TABLE IF EXISTS graft_lake.defcols")
+    s.sql("DROP TABLE IF EXISTS graft_lake.defids")
+    s.sql("""CREATE TABLE graft_lake.defcols (
+            |  doc_id BIGINT,
+            |  source STRING,
+            |  n_chars BIGINT,
+            |  quality STRING DEFAULT 'unscored',
+            |  gen_score BIGINT GENERATED ALWAYS AS (n_chars * 2 + 1)
+            |)""".stripMargin)
+    s.sql("""CREATE TABLE graft_lake.defids (
+            |  row_id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 1000 INCREMENT BY 3),
+            |  doc_id BIGINT
+            |)""".stripMargin)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .createOrReplaceTempView("p45_docs")
+    // quality omitted -> DEFAULT; gen_score omitted -> computed
+    s.sql("""INSERT INTO graft_lake.defcols (doc_id, source, n_chars)
+            |SELECT doc_id, source, n_chars FROM p45_docs""".stripMargin)
+    // explicit quality overrides the default; generated still computed
+    s.sql("""INSERT INTO graft_lake.defcols (doc_id, source, n_chars, quality)
+            |SELECT doc_id + 500000, source, n_chars, 'scored'
+            |FROM p45_docs WHERE doc_id % 7 = 0""".stripMargin)
+    // identity: values assigned by the writer, one per corpus row
+    s.sql("INSERT INTO graft_lake.defids (doc_id) SELECT doc_id FROM p45_docs")
+    val vBefore = graft.sources.GraftLake.latestVersion("graft_lake.defcols").toLong
+    val genBlocked = try {
+      s.sql("""INSERT INTO graft_lake.defcols (doc_id, source, n_chars, gen_score)
+              |VALUES (1, 'x', 10, 999)""".stripMargin); 0L
+    } catch { case _: Exception => 1L }
+    val idBlocked = try {
+      s.sql("INSERT INTO graft_lake.defids (row_id, doc_id) VALUES (1, 1)"); 0L
+    } catch { case _: Exception => 1L }
+    val versionStable =
+      if (graft.sources.GraftLake.latestVersion("graft_lake.defcols").toLong == vBefore) 1L
+      else 0L
+    val ids = s.table("graft_lake.defids")
+      .agg(count(lit(1)).as("n_ids"),
+        countDistinct(col("row_id")).as("n_distinct_ids"),
+        max(when(col("row_id") < 1000L || (col("row_id") - 1000L) % 3L =!= 0L, 1L)
+          .otherwise(0L)).as("id_nonconforming"))
+    s.table("graft_lake.defcols")
+      .groupBy(col("quality"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("gen_score")).as("sum_gen"))
+      .crossJoin(broadcast(ids)) // 1-row scalar frame
+      .withColumn("gen_blocked", lit(genBlocked))
+      .withColumn("id_blocked", lit(idBlocked))
+      .withColumn("version_stable", lit(versionStable))
+      .orderBy(col("quality"))
+  }
+
+  val p45Sql: String =
+    """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+      |dc AS (
+      |  SELECT 'unscored' AS quality, n_chars FROM d
+      |  UNION ALL
+      |  SELECT 'scored', n_chars FROM d WHERE doc_id % 7 = 0)
+      |SELECT quality, COUNT(*) AS n_rows,
+      |  CAST(SUM(n_chars * 2 + 1) AS BIGINT) AS sum_gen,
+      |  (SELECT COUNT(*) FROM d) AS n_ids,
+      |  (SELECT COUNT(*) FROM d) AS n_distinct_ids,
+      |  CAST(0 AS BIGINT) AS id_nonconforming,
+      |  CAST(1 AS BIGINT) AS gen_blocked,
+      |  CAST(1 AS BIGINT) AS id_blocked,
+      |  CAST(1 AS BIGINT) AS version_stable
+      |FROM dc GROUP BY quality ORDER BY quality""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p45_default_columns" -> (p45DefaultColumns _),
     "p44_merge_on_read" -> (p44MergeOnRead _),
     "p43_shallow_clone" -> (p43ShallowClone _),
     "p42_check_constraints" -> (p42CheckConstraints _),
@@ -3032,6 +3123,7 @@ object PipelineQueries {
   // def, not val: p19Sql embeds Sidecars.oracleDir-keyed paths, which
   // Verify pins at runtime before dumping oracle_sql.json
   def oracle: Map[String, String] = Map(
+    "p45_default_columns" -> p45Sql,
     "p44_merge_on_read" -> p44Sql,
     "p43_shallow_clone" -> p43Sql,
     "p42_check_constraints" -> p42Sql,

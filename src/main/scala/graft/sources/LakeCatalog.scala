@@ -290,6 +290,18 @@ class GraftLakeCatalog extends TableCatalog {
     catalogName = name
   override def name(): String = catalogName
 
+  /** Opt in to Spark 4's native DDL surface for column DEFAULTs
+    * (`c STRING DEFAULT 'x'` — the analyzer fills omitted columns on
+    * INSERT from the metadata this catalog persists), GENERATED ALWAYS
+    * AS expressions (Spark validates the expression at CREATE; the
+    * WRITER computes/enforces it — [[LakeDerivedColumns]]), and
+    * IDENTITY columns (writer-assigned, manifest-zone high-water mark). */
+  override def capabilities(): util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
+
   private def k(ident: Identifier): String = LakeStore.key(catalogName, ident)
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
@@ -345,9 +357,12 @@ class GraftLakeCatalog extends TableCatalog {
 
   override def createTable(ident: Identifier, columns: Array[Column],
       partitions: Array[Transform], properties: util.Map[String, String]): Table =
+    // v2ColumnsToStructType persists DEFAULT / generation-expression /
+    // identity specs as StructField metadata, which the commit log's
+    // schema JSON round-trips — the analyzer reads defaults back from
+    // there on every INSERT, the writer reads the derived-column specs
     createTable(ident,
-      StructType(columns.map(c =>
-        org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable))),
+      org.apache.spark.sql.connector.catalog.GraftCatalogBridge.v2ColumnsToStructType(columns),
       partitions, properties)
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -1328,6 +1343,81 @@ object LakeConstraints {
   }
 }
 
+/** GENERATED and IDENTITY columns — Spark 4's native DDL, computed and
+  * enforced at WRITE time inside every task (the Delta shape: Spark
+  * validates the generation expression at CREATE and persists it as
+  * column metadata; the connector owns the values):
+  *
+  *  - `GENERATED ALWAYS AS (expr)`: an omitted/NULL incoming value is
+  *    COMPUTED from the row; an explicitly provided value is VALIDATED
+  *    against the expression (null-safe equality) and a mismatch
+  *    aborts the write — Delta's exact contract, enforced through the
+  *    same bound-Catalyst-expression path as CHECK constraints (p42):
+  *    compiled once on the driver, codegen'd once per task, zero
+  *    per-row driver involvement.
+  *  - `GENERATED ALWAYS AS IDENTITY (START WITH s INCREMENT BY k)`:
+  *    values are writer-assigned from a HIGH-WATER MARK read off the
+  *    manifest's own column zones (driver-side metadata — no data
+  *    scan, no extra commit): task `p` assigns
+  *    `hwm + (p * 2^20 + rowIdx) * step`, giving per-job uniqueness
+  *    with Delta's same stated caveats — values are unique and
+  *    direction-monotonic but NOT contiguous, and concurrent jobs
+  *    from separate drivers can collide (Delta serializes via its
+  *    transaction log; here in-process commits are serialized by the
+  *    store lock). Explicit inserts require BY DEFAULT mode
+  *    (`isAllowExplicitInsert`), as in the standard. */
+object LakeDerivedColumns {
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.catalyst.expressions.{Alias, BindReferences, Cast, Expression}
+  import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Project}
+  import org.apache.spark.sql.catalyst.types.DataTypeUtils
+  import org.apache.spark.sql.catalyst.util.{GeneratedColumn, IdentityColumn}
+
+  final case class Gen(ordinal: Int, name: String, expr: Expression)
+  final case class Ident(ordinal: Int, name: String, step: Long,
+      allowExplicit: Boolean, base: Long)
+  final case class Spec(gens: Seq[Gen], idents: Seq[Ident]) {
+    def isEmpty: Boolean = gens.isEmpty && idents.isEmpty
+  }
+  val empty: Spec = Spec(Nil, Nil)
+
+  def compile(key: String, schema: StructType): Spec = {
+    val genFields = schema.fields.zipWithIndex
+      .filter { case (f, _) => GeneratedColumn.isGeneratedColumn(f) }
+    val identFields = schema.fields.zipWithIndex
+      .filter { case (f, _) => IdentityColumn.isIdentityColumn(f) }
+    if (genFields.isEmpty && identFields.isEmpty) return empty
+    val spark = SparkSession.active
+    val attrs = DataTypeUtils.toAttributes(schema)
+    val gens = genFields.map { case (f, i) =>
+      val sql = GeneratedColumn.getGenerationExpression(f).get
+      val parsed = spark.sessionState.sqlParser.parseExpression(sql)
+      val analyzed = spark.sessionState.analyzer.execute(
+        Project(Seq(Alias(parsed, f.name)()), LocalRelation(attrs))).asInstanceOf[Project]
+      val child = analyzed.projectList.head.asInstanceOf[Alias].child
+      val typed = if (child.dataType == f.dataType) child else Cast(child, f.dataType)
+      // bind against the SAME attribute instances the analyzer saw
+      Gen(i, f.name, BindReferences.bindReference(typed, attrs))
+    }.toSeq
+    val idents = identFields.map { case (f, i) =>
+      val spec = IdentityColumn.getIdentityInfo(f).get
+      // high-water mark from the manifest zones of EVERY snapshot (a
+      // deleted row's identity is never reused — Delta's rule); the
+      // column's own write-time statistics double as the sequencer state
+      val past = LakeStore.get(key).toSeq.flatMap(_.snapshots).flatMap(_.files)
+        .flatMap(_.zones.get(f.name))
+        .flatMap { case (mn, mx) => Seq(mn, mx) }
+        .collect { case n: java.lang.Number => n.longValue() }
+      val base =
+        if (past.isEmpty) spec.getStart
+        else if (spec.getStep > 0) math.max(past.max + spec.getStep, spec.getStart)
+        else math.min(past.min + spec.getStep, spec.getStart)
+      Ident(i, f.name, spec.getStep, spec.isAllowExplicitInsert, base)
+    }.toSeq
+    Spec(gens, idents)
+  }
+}
+
 /** Iceberg-style metadata tables, resolved by identifier suffix:
   * `<table>.history` (one row per commit — DESCRIBE HISTORY) and
   * `<table>.files` (one row per LIVE data file). Both are driver-side
@@ -1448,11 +1538,16 @@ class LakeWriteBuilder(key: String, writeSchema: StructType,
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new BatchWrite {
       override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-        val partitionCols = LakeStore.get(key).map(_.partitionCols).getOrElse(Nil)
-        // compiled once on the driver; tasks get bound Catalyst exprs
+        val st = LakeStore.get(key)
+        val partitionCols = st.map(_.partitionCols).getOrElse(Nil)
+        // compiled once on the driver; tasks get bound Catalyst exprs.
+        // Derived-column specs live in the TABLE schema's field metadata
+        // (the write schema arrives metadata-stripped).
         val constraints = LakeConstraints.compile(key, writeSchema)
+        val derived = LakeDerivedColumns.compile(key,
+          st.map(_.schema).getOrElse(writeSchema))
         new LakeWriterFactory(LakeStore.dataDir(key), writeSchema, partitionCols,
-          constraints)
+          constraints, derived)
       }
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
         val files = messages.iterator
@@ -1495,13 +1590,17 @@ class LakeDeltaBatchWrite(key: String, rowSchema: StructType)
   import org.apache.spark.sql.connector.write.{DeltaWriterFactory => V2DeltaWriterFactory}
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): V2DeltaWriterFactory = {
-    val partitionCols = LakeStore.get(key).map(_.partitionCols).getOrElse(Nil)
+    val st = LakeStore.get(key)
+    val partitionCols = st.map(_.partitionCols).getOrElse(Nil)
     // a pure DELETE plan carries NO row schema (only rowIds flow) — no
-    // rows will be written, so no constraints to compile either
+    // rows will be written, so no constraints/derived specs to compile
     val constraints =
       if (rowSchema.isEmpty) Nil else LakeConstraints.compile(key, rowSchema)
+    val derived =
+      if (rowSchema.isEmpty) LakeDerivedColumns.empty
+      else LakeDerivedColumns.compile(key, st.map(_.schema).getOrElse(rowSchema))
     new LakeDeltaWriterFactory(LakeStore.dataDir(key), rowSchema, partitionCols,
-      constraints)
+      constraints, derived)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -1539,7 +1638,8 @@ case class LakeDeltaCommit(files: Seq[LakeStore.FileEntry],
 
 class LakeDeltaWriterFactory(dataDir: String, schema: StructType,
     partitionCols: Seq[String],
-    constraints: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)])
+    constraints: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)],
+    derived: LakeDerivedColumns.Spec = LakeDerivedColumns.empty)
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
   import org.apache.spark.sql.connector.write.DeltaWriter
 
@@ -1551,7 +1651,7 @@ class LakeDeltaWriterFactory(dataDir: String, schema: StructType,
       private def inner: DataWriter[InternalRow] = {
         if (innerOpt == null)
           innerOpt = new LakeWriterFactory(dataDir, schema, partitionCols,
-            constraints).createWriter(partitionId, taskId)
+            constraints, derived).createWriter(partitionId, taskId)
         innerOpt
       }
       private val dels = scala.collection.mutable.LinkedHashMap
@@ -1600,13 +1700,28 @@ class LakeDeltaWriterFactory(dataDir: String, schema: StructType,
   * are recorded at write time, never recomputed by a scan. */
 class LakeWriterFactory(dataDir: String, schema: StructType,
     partitionCols: Seq[String],
-    constraints: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
+    constraints: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil,
+    derived: LakeDerivedColumns.Spec = LakeDerivedColumns.empty)
     extends DataWriterFactory {
+
+  /** Per-task identity block: task `p` owns value indexes
+    * `[p * 2^33, (p+1) * 2^33)` — unique without coordination, loud
+    * failure if a single task ever exhausts its block. */
+  private val IdentityBlock = 1L << 33
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val dts = schema.fields.map(_.dataType)
     val partitionIdx = partitionCols.map(schema.fieldIndex).toArray
     val colNames = schema.fieldNames
+    // generated-column projection: compiled once per task (codegen with
+    // interpreted fallback), evaluated on the aligned row
+    val genProj =
+      if (derived.gens.isEmpty) null
+      else org.apache.spark.sql.catalyst.expressions.SafeProjection.create(
+        derived.gens.map(_.expr))
+    val gens = derived.gens.toArray
+    val idents = derived.idents.toArray
+    var identCounter = 0L
     // zones are recorded only for types the manifest serde round-trips;
     // a DECIMAL/BINARY/complex column simply gets no zone (never pruned
     // on — superset-safe) instead of failing the commit
@@ -1666,6 +1781,43 @@ class LakeWriterFactory(dataDir: String, schema: StructType,
         while (j < dts.length) {
           full.update(j, if (row.isNullAt(off + j)) null else row.get(off + j, dts(j)))
           j += 1
+        }
+        // IDENTITY columns first (a generation expression may reference
+        // one): NULL = writer-assigned from this task's block; explicit
+        // values require BY DEFAULT mode
+        var ii = 0
+        while (ii < idents.length) {
+          val id = idents(ii)
+          if (full.isNullAt(id.ordinal)) {
+            require(identCounter < IdentityBlock,
+              s"graft_lake: task $partitionId exhausted its identity block")
+            val v = id.base + (partitionId.toLong * IdentityBlock + identCounter) * id.step
+            full.update(id.ordinal, v)
+          } else if (!id.allowExplicit) throw new IllegalStateException(
+            s"graft_lake: column '${id.name}' is GENERATED ALWAYS AS IDENTITY — " +
+              "explicit inserts are not allowed; the write was aborted")
+          ii += 1
+        }
+        if (idents.nonEmpty) identCounter += 1
+        // GENERATED columns: computed when omitted, VALIDATED when
+        // provided (a mismatching explicit value aborts the write —
+        // Delta's generated-column contract)
+        if (genProj != null) {
+          val computed = genProj(full)
+          var gi = 0
+          while (gi < gens.length) {
+            val g = gens(gi)
+            val cv = if (computed.isNullAt(gi)) null else computed.get(gi, dts(g.ordinal))
+            if (full.isNullAt(g.ordinal)) full.update(g.ordinal, cv)
+            else {
+              val given = full.get(g.ordinal, dts(g.ordinal))
+              if (!java.util.Objects.equals(given, cv)) throw new IllegalStateException(
+                s"graft_lake: column '${g.name}' is GENERATED ALWAYS AS — provided " +
+                  s"value $given does not match the generated value $cv; " +
+                  "the write was aborted")
+            }
+            gi += 1
+          }
         }
         // CHECK constraints: violation = expression definitely FALSE
         // (SQL's UNKNOWN-passes rule). Throwing fails the task -> the

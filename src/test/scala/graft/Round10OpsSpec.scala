@@ -96,6 +96,77 @@ class Round10OpsSpec extends SparkTestBase {
     assert(!ch.contains(5L))
   }
 
+  // ------------------------------- p45 defaults / generated / identity
+
+  test("p45/column DEFAULTs fill omitted columns on INSERT; generated columns compute and validate") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_lake.gen1")
+    spark.sql("""CREATE TABLE graft_lake.gen1 (
+                |  id BIGINT,
+                |  src STRING DEFAULT 'unknown',
+                |  n BIGINT,
+                |  n2 BIGINT GENERATED ALWAYS AS (n * 2)
+                |)""".stripMargin)
+    spark.sql("INSERT INTO graft_lake.gen1 (id, n) VALUES (1, 10), (2, 20)")
+    spark.sql("INSERT INTO graft_lake.gen1 (id, src, n) VALUES (3, 'crawl', 30)")
+    val rows = spark.table("graft_lake.gen1").orderBy(col("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq === Seq((1L, "unknown", 10L, 20L), (2L, "unknown", 20L, 40L),
+      (3L, "crawl", 30L, 60L)))
+    // an explicit CORRECT generated value passes; a wrong one aborts
+    spark.sql("INSERT INTO graft_lake.gen1 (id, n, n2) VALUES (4, 40, 80)")
+    assert(spark.table("graft_lake.gen1").count() === 4L)
+    val vBefore = GraftLake.latestVersion("graft_lake.gen1")
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO graft_lake.gen1 (id, n, n2) VALUES (5, 50, 999)")
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("GENERATED ALWAYS AS")))
+    assert(GraftLake.latestVersion("graft_lake.gen1") === vBefore) // nothing committed
+    // the metadata (and so the derived specs) survive a cold replay
+    LakeStore.invalidateCache("graft_lake.gen1")
+    spark.sql("INSERT INTO graft_lake.gen1 (id, n) VALUES (6, 60)")
+    assert(spark.table("graft_lake.gen1").filter(col("id") === 6L)
+      .collect().head.getLong(3) === 120L)
+  }
+
+  test("p45/identity columns assign unique stepped values and reject explicit inserts") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_lake.idt")
+    spark.sql("""CREATE TABLE graft_lake.idt (
+                |  row_id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 1000 INCREMENT BY 2),
+                |  payload BIGINT
+                |)""".stripMargin)
+    import spark.implicits._
+    (0L until 50L).toDF("payload").writeTo("graft_lake.idt").append()
+    (50L until 80L).toDF("payload").writeTo("graft_lake.idt").append()
+    val ids = spark.table("graft_lake.idt").select("row_id")
+      .collect().map(_.getLong(0))
+    assert(ids.length === 80 && ids.distinct.length === 80) // unique
+    assert(ids.forall(v => v >= 1000L && (v - 1000L) % 2 === 0L)) // start+step respected
+    // second append's values sit above the first commit's high-water mark
+    val st = LakeStore.get("graft_lake.idt").get
+    val v1Max = st.snapshots(1).files.flatMap(_.zones.get("row_id"))
+      .map(_._2.asInstanceOf[java.lang.Number].longValue()).max
+    val v2Min = {
+      val v1Paths = st.snapshots(1).files.map(_.path).toSet
+      st.snapshots(2).files.filterNot(f => v1Paths.contains(f.path))
+        .flatMap(_.zones.get("row_id"))
+        .map(_._1.asInstanceOf[java.lang.Number].longValue()).min
+    }
+    assert(v2Min > v1Max)
+    // GENERATED ALWAYS: an explicit value is refused
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO graft_lake.idt (row_id, payload) VALUES (1, 99)")
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.getMessage != null &&
+      c.getMessage.toLowerCase.contains("identity")))
+  }
+
   // ------------------------------------------------- st16 change feed
 
   test("st16/feed equals the batch changes() replay, commit by commit") {
