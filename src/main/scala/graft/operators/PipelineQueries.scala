@@ -3074,7 +3074,83 @@ object PipelineQueries {
       |  CAST(1 AS BIGINT) AS version_stable
       |FROM dc GROUP BY quality ORDER BY quality""".stripMargin
 
+  // ---------------------------------------------------------------- p46
+  /** OPTIMIZE ZORDER BY — multi-dimensional clustering executed against
+    * the lake (Delta's `OPTIMIZE ... ZORDER BY (c1, c2)`), composing
+    * q94's audited Morton machinery with p38's layout-rewrite path:
+    * the corpus arrives as 8 ingestion slices whose files span the FULL
+    * range of BOTH scan dimensions (every 2-D box opens every file —
+    * the pathology single-column clustering cannot fix on two axes at
+    * once), then ONE distributed range-shuffle on the interleaved
+    * 32-bit Morton rank (manifest-zone normalized, codegen fold)
+    * rewrites the live set into 16 z-curve tiles.
+    *
+    * Inside the hash: files_scanned BEFORE is restated from first
+    * principles (a slice survives iff its envelope overlaps the box in
+    * BOTH dimensions), `improved` pins that the tiled layout opens
+    * strictly fewer files for the SAME box, `answer_*` pins zero data
+    * change, `cdc_rows` pins CDC invisibility (dataChange=false). The
+    * sampled range boundaries make the exact after-count environment-
+    * dependent, so the hash pins the inequality and Round10OpsSpec pins
+    * the 2-D-beats-1-D separation on a deterministic grid. */
+  def p46ZorderOptimize(s: SparkSession, dir: String): DataFrame = {
+    registerLake(s)
+    s.sql("DROP TABLE IF EXISTS graft_lake.zopt")
+    s.sql("CREATE TABLE graft_lake.zopt (doc_id BIGINT, n_chars BIGINT)")
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+    (0 until 8).foreach { slice => // 8 ingest commits, one file each
+      docs.filter(col("doc_id") % 8 === slice).coalesce(1)
+        .writeTo("graft_lake.zopt").append()
+    }
+    val maxDoc = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    def boxQuery() = s.table("graft_lake.zopt")
+      .filter(col("doc_id") <= lit(maxDoc / 8) &&
+        col("n_chars") >= 200L && col("n_chars") <= 260L)
+      .agg(count(lit(1)).as("n_match"),
+        coalesce(sum(col("n_chars")), lit(0L)).as("sum_chars"))
+    val beforeAnswer = boxQuery().collect()(0)
+    val before = graft.sources.LakeStore.lastScanStats("graft_lake.zopt")
+    val vBefore = graft.sources.GraftLake.latestVersion("graft_lake.zopt")
+    graft.sources.GraftLake.optimize(s, "graft_lake.zopt",
+      Seq("doc_id", "n_chars"), nFiles = 16)
+    val out = boxQuery()
+    val afterAnswer = out.collect()(0)
+    val after = graft.sources.LakeStore.lastScanStats("graft_lake.zopt")
+    val vAfter = graft.sources.GraftLake.latestVersion("graft_lake.zopt")
+    val cdcRows = graft.sources.GraftLake
+      .changes(s, "graft_lake.zopt", vBefore, vAfter, "doc_id").count()
+    out
+      .withColumn("files_total_before", lit(before.filesTotal.toLong))
+      .withColumn("files_scanned_before", lit(before.filesScanned.toLong))
+      .withColumn("files_total_after", lit(after.filesTotal.toLong))
+      .withColumn("improved",
+        lit(if (after.filesScanned < before.filesScanned) 1L else 0L))
+      .withColumn("answer_stable",
+        lit(if (beforeAnswer == afterAnswer) 1L else 0L))
+      .withColumn("cdc_rows", lit(cdcRows))
+  }
+
+  val p46Sql: String =
+    """WITH d AS (SELECT doc_id, n_chars FROM documents),
+      |b AS (SELECT MAX(doc_id) // 8 AS dmax FROM d),
+      |sl AS (SELECT doc_id % 8 AS s, MIN(doc_id) AS dmn, MAX(doc_id) AS dmx,
+      |       MIN(n_chars) AS cmn, MAX(n_chars) AS cmx
+      |       FROM d GROUP BY 1),
+      |m AS (SELECT d.* FROM d CROSS JOIN b
+      |      WHERE doc_id <= dmax AND n_chars BETWEEN 200 AND 260)
+      |SELECT COUNT(*) AS n_match,
+      |  CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS sum_chars,
+      |  CAST(8 AS BIGINT) AS files_total_before,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM sl CROSS JOIN b
+      |   WHERE dmn <= dmax AND cmn <= 260 AND cmx >= 200) AS files_scanned_before,
+      |  CAST(16 AS BIGINT) AS files_total_after,
+      |  CAST(1 AS BIGINT) AS improved,
+      |  CAST(1 AS BIGINT) AS answer_stable,
+      |  CAST(0 AS BIGINT) AS cdc_rows
+      |FROM m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p46_zorder_optimize" -> (p46ZorderOptimize _),
     "p45_default_columns" -> (p45DefaultColumns _),
     "p44_merge_on_read" -> (p44MergeOnRead _),
     "p43_shallow_clone" -> (p43ShallowClone _),
@@ -3123,6 +3199,7 @@ object PipelineQueries {
   // def, not val: p19Sql embeds Sidecars.oracleDir-keyed paths, which
   // Verify pins at runtime before dumping oracle_sql.json
   def oracle: Map[String, String] = Map(
+    "p46_zorder_optimize" -> p46Sql,
     "p45_default_columns" -> p45Sql,
     "p44_merge_on_read" -> p44Sql,
     "p43_shallow_clone" -> p43Sql,

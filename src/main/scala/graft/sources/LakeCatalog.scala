@@ -154,7 +154,7 @@ private[sources] object ZonePrune {
   * the source. */
 object GraftLake {
   import org.apache.spark.sql.{DataFrame, SparkSession}
-  import org.apache.spark.sql.functions.{coalesce, col, lit, not, when}
+  import org.apache.spark.sql.functions.{coalesce, col, expr, lit, not, when}
 
   /** Partition tuples touched by DATA commits in (v1, v2], answered from
     * COMMIT METADATA alone (no data read); None = some commit in the
@@ -275,8 +275,52 @@ object GraftLake {
     * optimize box predicate into an O(matching files) scan (p38 pins
     * this via [[LakeStore.lastScanStats]] before/after). */
   def optimize(s: SparkSession, tableRef: String, clusterCol: String,
+      nFiles: Int): Unit =
+    optimize(s, tableRef, Seq(clusterCol), nFiles)
+
+  /** Multi-column OPTIMIZE — Delta's `OPTIMIZE ... ZORDER BY (c1, c2,
+    * ...)`: rows are clustered along the MORTON (Z-)curve of the
+    * cluster columns, so each rewritten file owns a TILE of the
+    * multi-dimensional space and a box predicate selective in several
+    * dimensions prunes on ALL of them (single-column clustering only
+    * ever prunes its own axis — q94 quantifies the gap: the same 2-D
+    * box touches 5 z-order tiles vs 17 x-sorted ones at 64 files).
+    *
+    * Scale shape: each column is normalized to a 16-bit rank with pure
+    * integer arithmetic off its MANIFEST-zone global min/max (driver
+    * metadata — no planning scan), the interleave is a codegen'd
+    * shift/mask fold (q94's spelling), and the rewrite is ONE
+    * distributed range-shuffle on the morton value — no global sort,
+    * no window, no collect. The commit is dataChange=false: time
+    * travel sees every prior version, CDC readers see nothing. */
+  def optimize(s: SparkSession, tableRef: String, clusterCols: Seq[String],
       nFiles: Int): Unit = {
-    val df = s.table(tableRef).repartitionByRange(nFiles, col(clusterCol))
+    require(clusterCols.nonEmpty, "graft_lake: OPTIMIZE needs >= 1 cluster column")
+    require(clusterCols.length <= 4,
+      "graft_lake: OPTIMIZE supports at most 4 z-order columns (16 bits each)")
+    val sortKey =
+      if (clusterCols.length == 1) col(clusterCols.head)
+      else {
+        val st = LakeStore.get(tableRef).getOrElse(
+          throw new NoSuchTableException(tableRef.split('.').toSeq))
+        val k = clusterCols.length
+        clusterCols.zipWithIndex.map { case (c, ci) =>
+          val zs = st.current.flatMap(_.zones.get(c))
+          val nums = zs.flatMap { case (mn, mx) => Seq(mn, mx) }
+            .collect { case n: java.lang.Number => n.longValue() }
+          require(nums.nonEmpty,
+            s"graft_lake: ZORDER column $c has no numeric zones to normalize against")
+          val (mn, mx) = (nums.min, nums.max)
+          // integer rank in [0, 65535]: (c - mn) div ceil(span / 2^16) —
+          // overflow-free for any Long span
+          val div = math.max(1L, (mx - mn) / 65536L + 1L)
+          val rank = s"((`$c` - ${mn}L) div ${div}L)"
+          (0 until 16).map(i =>
+            expr(s"shiftleft(shiftright($rank, $i) & 1, ${i * k + ci})"))
+            .reduce(_ + _)
+        }.reduce(_ + _)
+      }
+    val df = s.table(tableRef).repartitionByRange(nFiles, sortKey)
     LakeStore.nextReplaceIsLayoutOnly.update(tableRef, true)
     try df.writeTo(tableRef).overwrite(lit(true))
     finally LakeStore.nextReplaceIsLayoutOnly.remove(tableRef)
