@@ -3149,7 +3149,107 @@ object PipelineQueries {
       |  CAST(0 AS BIGINT) AS cdc_rows
       |FROM m""".stripMargin
 
+  // ---------------------------------------------------------------- p47
+  /** PARTITION EVOLUTION — Iceberg's signature: re-partition a LIVE
+    * table as pure metadata ([[graft.sources.GraftLake.setPartitionSpec]]),
+    * no rewrite, no downtime. The classic onboarding arc: the first
+    * corpus half lands UNPARTITIONED (one whole-table copy-on-write
+    * cohort), the spec evolves to `PARTITIONED BY (source)`, the
+    * re-crawl half lands one group per source — and both eras keep
+    * working: a re-score UPDATE targeted at the new era statically
+    * prunes through GROUP-ENVELOPE zones (the old cohort's doc_id
+    * envelope excludes the re-crawl id range, so its files are neither
+    * read nor rewritten — cross-era pruning without partition keys),
+    * and a MERGE whose changeset spans BOTH eras rewrites the old
+    * cohort exactly once and re-lands it grouped under the NEW spec —
+    * Iceberg's progressive migration, here completed by the first
+    * boundary-crossing statement.
+    *
+    * Inside the hash: per-era aggregates restate every mutation; the
+    * v4 audit scalars pin the cross-era prune (one group rewritten,
+    * old files untouched); `migrated` pins that after the spanning
+    * MERGE every live file's group key has the NEW spec's arity; and
+    * `n_live_groups` pins the final per-source layout. */
+  def p47PartitionEvolution(s: SparkSession, dir: String): DataFrame = {
+    registerLake(s)
+    s.sql("DROP TABLE IF EXISTS graft_lake.pevo")
+    s.sql("CREATE TABLE graft_lake.pevo (doc_id BIGINT, source STRING, n_chars BIGINT)")
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    docs.filter(col("doc_id") % 2 === 0).coalesce(2)
+      .writeTo("graft_lake.pevo").append() // v1: pre-evolution era, 2 files
+    val v1Files = graft.sources.LakeStore.get("graft_lake.pevo").get
+      .current.map(_.path).toSet
+    graft.sources.GraftLake.setPartitionSpec("graft_lake.pevo", Seq("source")) // v2
+    docs.filter(col("doc_id") % 2 === 1)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .repartition(col("source"))
+      .writeTo("graft_lake.pevo").append() // v3: new era, one file per source
+    // v4: targeted at the NEW era — the old cohort's doc_id envelope
+    // excludes it, so cross-era static pruning must keep it untouched
+    s.sql("""UPDATE graft_lake.pevo SET n_chars = n_chars + 7
+            |WHERE doc_id >= 1000000 AND source = 'src5'""".stripMargin)
+    val st4 = graft.sources.LakeStore.get("graft_lake.pevo").get
+    val v4GroupsRewritten = graft.sources.LakeStore
+      .lastReplacedGroups("graft_lake.pevo").map(_.size.toLong).getOrElse(-1L)
+    val v4OldIntact = if (v1Files.subsetOf(st4.current.map(_.path).toSet)) 1L else 0L
+    // v5: a MERGE whose changeset spans BOTH eras + inserts a new source
+    docs.filter(col("doc_id") % 2 === 0 && col("doc_id") % 97 === 0)
+      .unionByName(docs.filter(col("doc_id") % 2 === 1 && col("doc_id") % 89 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+      .unionByName(docs.filter(col("doc_id") % 101 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          lit("srcnew").as("source"), col("n_chars")))
+      .createOrReplaceTempView("pevo_changes")
+    s.sql("""MERGE INTO graft_lake.pevo t USING pevo_changes s ON t.doc_id = s.doc_id
+            |WHEN MATCHED THEN UPDATE SET n_chars = t.n_chars + 1
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val st5 = graft.sources.LakeStore.get("graft_lake.pevo").get
+    val migrated = if (st5.current.forall(_.group.length == 1)) 1L else 0L
+    val nLiveGroups = st5.liveGroups.size.toLong
+    s.table("graft_lake.pevo")
+      .withColumn("era",
+        when(col("doc_id") >= 2000000L, lit("ins"))
+          .when(col("doc_id") >= 1000000L, lit("new"))
+          .otherwise(lit("old")))
+      .groupBy(col("era"))
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(col("n_chars")), lit(0L)).as("sum_chars"))
+      .withColumn("v4_groups_rewritten", lit(v4GroupsRewritten))
+      .withColumn("v4_old_intact", lit(v4OldIntact))
+      .withColumn("migrated", lit(migrated))
+      .withColumn("n_live_groups", lit(nLiveGroups))
+      .orderBy(col("era"))
+  }
+
+  val p47Sql: String =
+    """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+      |old AS (
+      |  SELECT doc_id, n_chars
+      |    + (CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END) AS n_chars
+      |  FROM d WHERE doc_id % 2 = 0),
+      |nw AS (
+      |  SELECT doc_id + 1000000 AS doc_id, n_chars
+      |    + (CASE WHEN source = 'src5' THEN 7 ELSE 0 END)
+      |    + (CASE WHEN doc_id % 89 = 0 THEN 1 ELSE 0 END) AS n_chars
+      |  FROM d WHERE doc_id % 2 = 1),
+      |ins AS (
+      |  SELECT doc_id + 2000000 AS doc_id, n_chars
+      |  FROM d WHERE doc_id % 101 = 0),
+      |eras AS (
+      |  SELECT 'old' AS era, n_chars FROM old
+      |  UNION ALL SELECT 'new', n_chars FROM nw
+      |  UNION ALL SELECT 'ins', n_chars FROM ins)
+      |SELECT era, COUNT(*) AS n_rows,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(1 AS BIGINT) AS v4_groups_rewritten,
+      |  CAST(1 AS BIGINT) AS v4_old_intact,
+      |  CAST(1 AS BIGINT) AS migrated,
+      |  CAST((SELECT COUNT(DISTINCT source) FROM d) + 1 AS BIGINT) AS n_live_groups
+      |FROM eras GROUP BY era ORDER BY era""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p47_partition_evolution" -> (p47PartitionEvolution _),
     "p46_zorder_optimize" -> (p46ZorderOptimize _),
     "p45_default_columns" -> (p45DefaultColumns _),
     "p44_merge_on_read" -> (p44MergeOnRead _),
@@ -3199,6 +3299,7 @@ object PipelineQueries {
   // def, not val: p19Sql embeds Sidecars.oracleDir-keyed paths, which
   // Verify pins at runtime before dumping oracle_sql.json
   def oracle: Map[String, String] = Map(
+    "p47_partition_evolution" -> p47Sql,
     "p46_zorder_optimize" -> p46Sql,
     "p45_default_columns" -> p45Sql,
     "p44_merge_on_read" -> p44Sql,

@@ -199,6 +199,15 @@ object GraftLake {
   def restore(qualifiedKey: String, toVersion: Int): Unit =
     LakeStore.restore(qualifiedKey, toVersion)
 
+  /** PARTITION EVOLUTION: commit a new identity-partition spec as pure
+    * metadata (Iceberg's `ALTER TABLE ... REPLACE PARTITION FIELD`
+    * shape) — nothing is rewritten; old files keep their era's group
+    * keys as coarser copy-on-write cohorts, new writes group under the
+    * new spec, and scans/row-level statements prune BOTH eras through
+    * group-envelope zones. See [[LakeStore.alterPartitionSpec]]. */
+  def setPartitionSpec(qualifiedKey: String, cols: Seq[String]): Unit =
+    LakeStore.alterPartitionSpec(qualifiedKey, cols)
+
   /** Shallow CLONE: `dstKey` becomes a new table whose first commit
     * references `srcKey`'s current files absolutely — zero bytes
     * copied, stats carried over; both tables then diverge
@@ -238,8 +247,12 @@ object GraftLake {
     val unioned = s2.fields ++ s1.fields.filterNot(f => s2.fieldNames.contains(f.name))
     def snap(v: Int): DataFrame = {
       val df = s.sql(s"SELECT * FROM $tableRef VERSION AS OF $v")
+      // the changed-partition filter only applies when every touched
+      // group key is single-column — a mixed-arity set (groups from
+      // before a partition evolution) falls back to the full diff
       val filtered = (changed, st.partitionCols) match {
-        case (Some(gs), Seq(pc)) => df.filter(col(pc).isInCollection(gs.map(_.head)))
+        case (Some(gs), Seq(pc)) if gs.forall(_.length == 1) =>
+          df.filter(col(pc).isInCollection(gs.map(_.head)))
         case _ => df
       }
       val have = filtered.columns.toSet
@@ -646,9 +659,15 @@ class LakeGroupScanBuilder(key: String, schema: StructType, op: LakeRowLevelScan
   private var required: StructType = schema
 
   override def pushPredicates(predicates: Array[V2Predicate]): Array[V2Predicate] = {
-    val partitionCols = LakeStore.get(key).map(_.partitionCols).getOrElse(Nil).toSet
+    // any zone-serializable column participates: group-envelope pruning
+    // ([[LakeGroupScan.envelopes]]) is superset-safe on data columns too,
+    // and non-partition compares are what let a statement skip a
+    // PRE-EVOLUTION cohort whose envelope excludes them (the partition
+    // columns' own envelopes are the exact keys, so this strictly
+    // subsumes the partition-only pruning)
     pushed = predicates.flatMap(ZonePrune.conjuncts).filter(p =>
-      ZonePrune.parse(p).exists(cc => partitionCols.contains(cc.col)))
+      ZonePrune.parse(p).exists(cc => schema.fieldNames.contains(cc.col) &&
+        LakeStore.zoneSerializable(schema(cc.col).dataType)))
     predicates // ALL residual
   }
   override def pushedPredicates(): Array[V2Predicate] = pushed
@@ -668,25 +687,49 @@ class LakeGroupScan(key: String, schema: StructType,
     required: StructType = null)
     extends LakeScan(key, schema, None, Array.empty, required)
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
-  import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference}
+  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
   import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
 
   private def state = LakeStore.get(key)
   private def partitionCols: Seq[String] = state.map(_.partitionCols).getOrElse(Nil)
 
+  /** Per-group column ENVELOPES from the member files' manifest zones:
+    * the group's (min, max) per column when every member records one
+    * (absent = unknown = never prune on it). For a current-spec
+    * identity group the partition column's envelope IS the exact key
+    * value; for files written under an OLDER partition spec (partition
+    * evolution) the envelope still bounds the new partition columns,
+    * so pruning works across the spec boundary — superset-safe either
+    * way. Group (not file) granularity is a correctness requirement:
+    * the commit swaps whole groups, so a kept group must contribute
+    * ALL its files' rows as scan input. */
+  private def envelopes(st: LakeStore.TableState): Map[List[Any], Map[String, (Any, Any)]] =
+    st.current.groupBy(_.group).map { case (g, fs) =>
+      val cols = fs.map(_.zones.keySet).reduce(_ intersect _)
+      g -> cols.iterator.map { c =>
+        val zs = fs.map(_.zones(c))
+        val mn = zs.map(_._1).reduce((a, b) =>
+          if (ZonePrune.cmp(a, b).exists(_ <= 0)) a else b)
+        val mx = zs.map(_._2).reduce((a, b) =>
+          if (ZonePrune.cmp(a, b).exists(_ >= 0)) a else b)
+        c -> ((mn, mx))
+      }.toMap
+    }
+
+  private def surviving(st: LakeStore.TableState,
+      compares: Seq[ZonePrune.ColCompare]): Set[List[Any]] =
+    envelopes(st).collect { case (g, env) if compares.forall(cc =>
+      env.get(cc.col).forall(z => ZonePrune.survives(Some(z), cc))) => g
+    }.toSet
+
   /** Static prune from the statement's own condition (build time),
-    * before any runtime filter arrives: a group survives if every
-    * pushed partition-column compare can hold on its key (for a
-    * partition column the zone is the exact key value). */
+    * before any runtime filter arrives. */
   private def staticKept: Option[Set[List[Any]]] = {
     val st = state.getOrElse(return None)
     if (st.partitionCols.isEmpty || staticPushed.isEmpty) return None
-    val compares = staticPushed.flatMap(ZonePrune.parse)
+    val compares = staticPushed.flatMap(ZonePrune.parse).toSeq
     if (compares.isEmpty) return None
-    Some(st.liveGroups.filter(g => compares.forall { cc =>
-      val i = st.partitionCols.indexOf(cc.col)
-      i < 0 || ZonePrune.survives(Some((g(i), g(i))), cc)
-    }))
+    Some(surviving(st, compares))
   }
 
   @volatile private var kept: Option[Set[List[Any]]] = None
@@ -697,25 +740,12 @@ class LakeGroupScan(key: String, schema: StructType,
   override def filter(predicates: Array[V2Predicate]): Unit = {
     val st = state.getOrElse(return)
     if (st.partitionCols.isEmpty) return
-    // Interpret the conjunction of IN/= predicates over single partition
-    // columns; any predicate shape we don't recognize is IGNORED (keeping
-    // a superset of groups is always sound — extra groups' rows ride
+    // Interpret the IN/= predicates Catalyst derives from the changeset;
+    // any predicate shape we don't recognize is IGNORED (keeping a
+    // superset of groups is always sound — extra groups' rows ride
     // through the rewrite as carry-over and land back unchanged).
-    val surviving = predicates.foldLeft(st.liveGroups) { (acc, p) =>
-      val colIdx: Option[Int] = p.children().collectFirst {
-        case r: NamedReference if r.fieldNames().length == 1 =>
-          st.partitionCols.indexOf(r.fieldNames()(0))
-      }.filter(_ >= 0)
-      val lits = p.children().collect {
-        case l: Literal[_] => LakeStore.toStored(l.value())
-      }.toSet
-      (p.name(), colIdx) match {
-        case ("IN", Some(i)) => acc.filter(g => lits.contains(g(i)))
-        case ("=", Some(i)) if lits.size == 1 => acc.filter(g => lits.contains(g(i)))
-        case _ => acc
-      }
-    }
-    kept = Some(surviving)
+    val compares = predicates.flatMap(ZonePrune.parse).toSeq
+    if (compares.nonEmpty) kept = Some(surviving(st, compares))
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -1518,8 +1548,14 @@ object LakeMetaTable {
       val dvRows = st.deletes.groupBy(_.dataFile).map { case (df, es) =>
         df -> es.map(_.rows).sum }
       st.current.map { f =>
-        Vector[Any](f.path,
-          st.partitionCols.zip(f.group).map { case (c, v) => s"$c=$v" }.mkString("/"),
+        // a file written before a partition evolution carries its own
+        // era's group arity — label it positionally rather than with
+        // the (wrong) current spec's column names
+        val partLabel =
+          if (f.group.length == st.partitionCols.length)
+            st.partitionCols.zip(f.group).map { case (c, v) => s"$c=$v" }.mkString("/")
+          else f.group.mkString("legacy[", "/", "]")
+        Vector[Any](f.path, partLabel,
           f.rows, f.cols.length.toLong, dvRows.getOrElse(f.path, 0L))
       }
   }

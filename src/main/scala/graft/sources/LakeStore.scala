@@ -73,22 +73,30 @@ object LakeStore {
     * the commit's touched-group metadata (None = whole table), whether
     * the commit changed row data (false = OPTIMIZE-style layout rewrite,
     * invisible to CDC), the commit's action kind (what DESCRIBE HISTORY
-    * shows), and the table properties AS OF that version (constraints
-    * live here — time travel sees the properties of its era). */
+    * shows), the table properties AS OF that version (constraints live
+    * here — time travel sees the properties of its era), and the
+    * PARTITION SPEC as of that version — partition EVOLUTION commits a
+    * new spec without rewriting anything (the Iceberg model): files
+    * written earlier keep the group keys of THEIR spec's era. */
   final case class Snapshot(schema: StructType, files: Vector[FileEntry],
       commitGroups: Option[Set[List[Any]]], dataChange: Boolean,
       action: String = "unknown", props: Map[String, String] = Map.empty,
-      deletes: Vector[DeleteEntry] = Vector.empty)
+      deletes: Vector[DeleteEntry] = Vector.empty,
+      spec: Seq[String] = Nil)
 
-  final case class TableState(key: String, partitionCols: Seq[String],
+  final case class TableState(key: String,
       snapshots: Vector[Snapshot], earliest: Int = 0) {
     def schema: StructType = snapshots.last.schema
     def current: Vector[FileEntry] = snapshots.last.files
     def latestVersion: Int = snapshots.length - 1
     def props: Map[String, String] = snapshots.last.props
+    /** CURRENT partition spec (new writes group under this). */
+    def partitionCols: Seq[String] = snapshots.last.spec
     /** Live position-delete files (merge-on-read state). */
     def deletes: Vector[DeleteEntry] = snapshots.last.deletes
-    /** Partition-group keys present in the current live file set. */
+    /** Partition-group keys present in the current live file set —
+      * mixed-arity after a partition evolution (pre-evolution files
+      * keep their old spec's keys). */
     def liveGroups: Set[List[Any]] = current.iterator.map(_.group).toSet
   }
 
@@ -211,9 +219,9 @@ object LakeStore {
         "commitGroups" -> JArray(Nil),
         "add" -> JArray(Nil), "remove" -> JArray(Nil))
       writeLogEntry(k, 0, entry)
-      tables.update(k, TableState(k, partitionCols,
+      tables.update(k, TableState(k,
         Vector(Snapshot(schema, Vector.empty, Some(Set.empty), dataChange = false,
-          action = "create", props = props))))
+          action = "create", props = props, spec = partitionCols))))
       true
     }
 
@@ -355,6 +363,32 @@ object LakeStore {
       schema = src.schema, deletes = refDeletes)
   }
 
+  /** PARTITION EVOLUTION (Iceberg's signature move): commit a NEW
+    * partition spec as pure metadata — nothing is read or rewritten.
+    * Files already on disk keep the group keys of their own spec's era
+    * and simply become ONE coarser copy-on-write cohort per old group
+    * (a row-level statement touching any pre-evolution row rewrites
+    * that old group's files — and its output lands re-grouped under
+    * the NEW spec, so the table migrates progressively, exactly
+    * Iceberg's behavior); new writes group under the new spec from the
+    * next commit on. Scans prune BOTH eras through the group-envelope
+    * zones ([[graft.sources.LakeGroupScan]]), so runtime group
+    * filtering keeps working across the boundary. */
+  def alterPartitionSpec(k: String, newCols: Seq[String]): Unit = synchronized {
+    val st = stateOf(k)
+    newCols.foreach { c =>
+      require(st.schema.fieldNames.contains(c),
+        s"graft_lake: partition column $c does not exist in $k")
+      require(zoneSerializable(st.schema(c).dataType),
+        s"graft_lake: partition column $c of $k has type " +
+          s"${st.schema(c).dataType.simpleString}, which the manifest cannot " +
+          "round-trip as a group key")
+    }
+    commit(k, st, "repartition", st.current, Nil, removed = Nil,
+      commitGroups = Some(Set.empty), dataChange = false, schema = st.schema,
+      spec = newCols)
+  }
+
   /** Property-change commit (`ALTER TABLE ... SET/UNSET TBLPROPERTIES`):
     * metadata-only, same live files — how CHECK constraints are attached
     * (Delta stores constraints as `delta.constraints.*` properties; here
@@ -439,9 +473,11 @@ object LakeStore {
       live: Vector[FileEntry], added: Seq[FileEntry], removed: Seq[String],
       commitGroups: Option[Set[List[Any]]], dataChange: Boolean,
       schema: StructType, props: Map[String, String] = null,
-      deletes: Vector[DeleteEntry] = null): Unit = {
+      deletes: Vector[DeleteEntry] = null,
+      spec: Seq[String] = null): Unit = {
     val version = st.latestVersion + 1
     val newProps = Option(props).getOrElse(st.props) // null = carry forward
+    val newSpec = Option(spec).getOrElse(st.partitionCols) // null = carry forward
     // null = carry forward, minus entries whose data file just left the
     // live set (a replaced/compacted file takes its deletion vectors
     // with it). The log stores the LIVE delete list per commit — it is
@@ -454,6 +490,10 @@ object LakeStore {
       "action" -> JString(action),
       "schema" -> JString(schema.json),
       "dataChange" -> JBool(dataChange),
+      // the spec AS OF this commit (partition evolution rewrites it;
+      // every other action carries it forward) — replay needs it to
+      // decode this entry's group keys with the right era's types
+      "partitionCols" -> JArray(newSpec.map(JString(_)).toList),
       "props" -> JObject(newProps.toList.map { case (pk, pv) =>
         pk -> (JString(pv): JValue) }),
       "deletes" -> JArray(newDeletes.toList.map(d => JObject(
@@ -466,7 +506,7 @@ object LakeStore {
     writeLogEntry(k, version, entry)
     tables.update(k, st.copy(snapshots =
       st.snapshots :+ Snapshot(schema, live, commitGroups, dataChange, action,
-        newProps, newDeletes)))
+        newProps, newDeletes, newSpec)))
   }
 
   /** One atomic log append: write to a temp name, rename into place —
@@ -510,8 +550,11 @@ object LakeStore {
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
       val j = JsonMethods.parse(txt).asInstanceOf[JObject].obj.toMap
       val schema = DataType.fromJson(str(j("schema"))).asInstanceOf[StructType]
-      if (p.getName.startsWith(f"${0}%020d")) {
-        partitionCols = j("partitionCols").asInstanceOf[JArray].arr.map(str)
+      // the spec as of THIS entry (partition evolution changes it
+      // mid-log; pre-evolution entries in old logs only carried it at
+      // v0 — carry the last seen spec forward for those)
+      j.get("partitionCols").foreach { pc =>
+        partitionCols = pc.asInstanceOf[JArray].arr.map(str)
       }
       val partTypes = partitionCols.map(c => schema(c).dataType)
       val added = j("add").asInstanceOf[JArray].arr.map(f => fileFromJson(f, schema, partTypes))
@@ -537,7 +580,8 @@ object LakeStore {
       }
       snapshots :+= Snapshot(schema, live,
         cg, j.get("dataChange").forall(_ == JBool(true)),
-        j.get("action").map(str).getOrElse("unknown"), props, deletes)
+        j.get("action").map(str).getOrElse("unknown"), props, deletes,
+        partitionCols)
     }
     val marker = new Path(dir, "_horizon")
     val earliest =
@@ -547,7 +591,7 @@ object LakeStore {
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
         finally in.close()
       }
-    Some(TableState(k, partitionCols, snapshots, earliest))
+    Some(TableState(k, snapshots, earliest))
   }
 
   // ------------------------------------------------- commit-log queries

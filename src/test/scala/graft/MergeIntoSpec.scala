@@ -154,6 +154,54 @@ class MergeIntoSpec extends SparkTestBase {
     assert(got(3).getLong(3) === v2.map(_.getLong(0)).sum) // ids untouched by UPDATE
   }
 
+  test("p47: a MERGE spanning both partition specs migrates the old cohort, pruning intact") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_lake.evomerge")
+    spark.sql("CREATE TABLE graft_lake.evomerge (id BIGINT, grp STRING, v BIGINT)")
+    import spark.implicits._
+    // pre-evolution era: one unpartitioned cohort, ids 0..19
+    (0L until 20L).map(i => (i, s"g${i % 4}", i)).toDF("id", "grp", "v")
+      .coalesce(1).writeTo("graft_lake.evomerge").append() // v1
+    val oldFiles = graft.sources.LakeStore.get("graft_lake.evomerge").get
+      .current.map(_.path).toSet
+    graft.sources.GraftLake.setPartitionSpec("graft_lake.evomerge", Seq("grp")) // v2
+    // new era: ids 1000.., one file per grp
+    (0L until 20L).map(i => (1000L + i, s"g${i % 4}", i)).toDF("id", "grp", "v")
+      .repartition(col("grp")).writeTo("graft_lake.evomerge").append() // v3
+    // a statement the old cohort's id envelope EXCLUDES: only g1's
+    // new-era file is rewritten, the pre-evolution files stay live
+    spark.sql("UPDATE graft_lake.evomerge SET v = v + 100 WHERE id >= 1000 AND grp = 'g1'") // v4
+    val st4 = graft.sources.LakeStore.get("graft_lake.evomerge").get
+    assert(graft.sources.LakeStore.lastReplacedGroups("graft_lake.evomerge")
+      === Some(Set(List("g1"))))
+    assert(oldFiles.subsetOf(st4.current.map(_.path).toSet))
+    // a MERGE spanning BOTH eras: the old cohort is rewritten once and
+    // re-lands grouped under the NEW spec — progressive migration
+    Seq((3L, "g3", 999L), (1005L, "g1", 888L), (5000L, "gx", 1L))
+      .toDF("id", "grp", "v").createOrReplaceTempView("evomerge_src")
+    spark.sql("""MERGE INTO graft_lake.evomerge t USING evomerge_src s ON t.id = s.id
+                |WHEN MATCHED THEN UPDATE SET v = s.v
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin) // v5
+    val st5 = graft.sources.LakeStore.get("graft_lake.evomerge").get
+    assert(st5.current.forall(_.group.length == 1)) // fully migrated
+    assert((oldFiles intersect st5.current.map(_.path).toSet).isEmpty)
+    assert(st5.liveGroups === Set(List("g0"), List("g1"), List("g2"), List("g3"), List("gx")))
+    // data intact across the migration
+    val got = spark.table("graft_lake.evomerge")
+    assert(got.count() === 41L)
+    assert(got.filter(col("id") === 3L).collect().head.getLong(2) === 999L)
+    assert(got.filter(col("id") === 1005L).collect().head.getLong(2) === 888L)
+    assert(got.filter(col("id") === 1009L).collect().head.getLong(2) === 109L) // v4's +100
+    // the evolved log replays cold: per-era group keys decode exactly
+    graft.sources.LakeStore.invalidateCache("graft_lake.evomerge")
+    val replayed = graft.sources.LakeStore.get("graft_lake.evomerge").get
+    assert(replayed.snapshots(1).spec === Nil)
+    assert(replayed.partitionCols === Seq("grp"))
+    assert(replayed.snapshots(3).files.map(_.group).toSet
+      .contains(List())) // old era's key survived replay
+    assert(spark.table("graft_lake.evomerge").count() === 41L)
+  }
+
   test("the MERGE plans through Catalyst's row-level rewrite (MergeRows + ReplaceData)") {
     registerCatalog()
     spark.sql("DROP TABLE IF EXISTS graft_lake.px")
