@@ -3248,7 +3248,79 @@ object PipelineQueries {
       |  CAST((SELECT COUNT(DISTINCT source) FROM d) + 1 AS BIGINT) AS n_live_groups
       |FROM eras GROUP BY era ORDER BY era""".stripMargin
 
+  // ---------------------------------------------------------------- p48
+  /** Per-file BLOOM INDEXES — the skipping lever zones cannot provide:
+    * a point lookup on a high-cardinality id whose values INTERLEAVE
+    * across every ingest file (each file's min/max spans the table —
+    * the modulo-sliced ingest here makes that exact) keeps every file
+    * under zone pruning, yet is THE canonical 100 TB access pattern
+    * ("fetch one document by id"). With `TBLPROPERTIES
+    * ('graft.bloom.columns' = 'doc_id')` each task folds its file's
+    * ids into an 8 KB bloom as the rows stream past (the same single
+    * write pass that records zones; the filter rides the manifest, so
+    * planning stays a driver-side metadata read), and a pushed `=`
+    * probe opens exactly the one file that can hold the id.
+    *
+    * Inside the hash, per probe: the row answer (restated from the
+    * corpus), `zone_kept` — how many files min/max pruning alone
+    * would scan, restated from first principles per slice envelope
+    * (the "bloom was necessary" pin) — and `files_scanned = 1` (the
+    * "bloom was sufficient" pin; at 2^16 bits / ~1k keys the
+    * false-positive rate is ~1e-8, and the filters are deterministic,
+    * so the equality is exact, not probabilistic hand-waving). */
+  def p48BloomIndex(s: SparkSession, dir: String): DataFrame = {
+    registerLake(s)
+    s.sql("DROP TABLE IF EXISTS graft_lake.bloomt")
+    s.sql("""CREATE TABLE graft_lake.bloomt
+            |(doc_id BIGINT, source STRING, n_chars BIGINT)
+            |TBLPROPERTIES ('graft.bloom.columns' = 'doc_id')""".stripMargin)
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    (0 until 8).foreach { slice => // ids interleave: every file spans the range
+      docs.filter(col("doc_id") % 8 === slice).coalesce(1)
+        .writeTo("graft_lake.bloomt").append()
+    }
+    val maxDoc = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    val st = graft.sources.LakeStore.get("graft_lake.bloomt").get
+    val rows = (1 to 5).map { j =>
+      val pid = (maxDoc / 7) * j
+      val r = s.table("graft_lake.bloomt").filter(col("doc_id") === lit(pid))
+        .agg(count(lit(1)).as("n_match"),
+          coalesce(sum(col("n_chars")), lit(0L)).as("sum_chars"))
+        .collect()(0)
+      val stats = graft.sources.LakeStore.lastScanStats("graft_lake.bloomt")
+      // what zones ALONE would keep: files whose id envelope covers pid
+      val zoneKept = st.current.count(_.zones.get("doc_id").exists { case (mn, mx) =>
+        mn.asInstanceOf[java.lang.Number].longValue() <= pid &&
+          mx.asInstanceOf[java.lang.Number].longValue() >= pid
+      }).toLong
+      (pid, r.getLong(0), r.getLong(1), stats.filesTotal.toLong, zoneKept,
+        stats.filesScanned.toLong)
+    }
+    import s.implicits._
+    rows.toDF("probe_id", "n_match", "sum_chars", "files_total", "zone_kept",
+      "files_scanned")
+      .orderBy(col("probe_id"))
+  }
+
+  val p48Sql: String =
+    """WITH d AS (SELECT doc_id, n_chars FROM documents),
+      |b AS (SELECT MAX(doc_id) AS dm FROM d),
+      |probes AS (SELECT (dm // 7) * j AS pid FROM b
+      |           CROSS JOIN (SELECT UNNEST([1, 2, 3, 4, 5]) AS j)),
+      |sl AS (SELECT doc_id % 8 AS s, MIN(doc_id) AS mn, MAX(doc_id) AS mx
+      |       FROM d GROUP BY 1)
+      |SELECT p.pid AS probe_id,
+      |  (SELECT COUNT(*) FROM d WHERE doc_id = p.pid) AS n_match,
+      |  (SELECT CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM d
+      |   WHERE doc_id = p.pid) AS sum_chars,
+      |  CAST(8 AS BIGINT) AS files_total,
+      |  (SELECT COUNT(*) FROM sl WHERE mn <= p.pid AND mx >= p.pid) AS zone_kept,
+      |  CAST(1 AS BIGINT) AS files_scanned
+      |FROM probes p ORDER BY probe_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p48_bloom_index" -> (p48BloomIndex _),
     "p47_partition_evolution" -> (p47PartitionEvolution _),
     "p46_zorder_optimize" -> (p46ZorderOptimize _),
     "p45_default_columns" -> (p45DefaultColumns _),
@@ -3299,6 +3371,7 @@ object PipelineQueries {
   // def, not val: p19Sql embeds Sidecars.oracleDir-keyed paths, which
   // Verify pins at runtime before dumping oracle_sql.json
   def oracle: Map[String, String] = Map(
+    "p48_bloom_index" -> p48Sql,
     "p47_partition_evolution" -> p47Sql,
     "p46_zorder_optimize" -> p46Sql,
     "p45_default_columns" -> p45Sql,

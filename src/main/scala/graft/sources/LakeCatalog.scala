@@ -886,9 +886,17 @@ class LakeScan(key: String, schema: StructType,
     val files = stOpt.map(s => pinnedVersion.fold(s.current)(v => s.snapshots(v).files))
       .getOrElse(Vector.empty)
     val compares = pushed.flatMap(ZonePrune.parse)
+    // equality probes additionally consult the per-file bloom filters
+    // (when the file carries one for the column): zones cannot skip a
+    // point lookup on an id that interleaves across every file — the
+    // bloom can. Absence keeps the file; both levers are superset-safe.
+    val eqProbes = compares.filter(cc => cc.op == "=" || cc.op == "IN")
     val surviving =
       if (compares.isEmpty) files
-      else files.filter(f => compares.forall(cc => ZonePrune.survives(f.zones.get(cc.col), cc)))
+      else files.filter(f =>
+        compares.forall(cc => ZonePrune.survives(f.zones.get(cc.col), cc)) &&
+          eqProbes.forall(cc => f.blooms.get(cc.col)
+            .forall(enc => LakeBloom.mayMatch(enc, cc.lits))))
     // pushed LIMIT with no predicates in play: stop planning files once
     // the manifest guarantees enough rows — LIMIT 10 opens one file of a
     // 100 TB table. (Spark only pushes a limit when no filter sits
@@ -1417,6 +1425,77 @@ object LakeConstraints {
   }
 }
 
+/** Per-file BLOOM FILTERS — manifest-carried, like the zones: min/max
+  * zones cannot skip an EQUALITY probe on a high-cardinality id whose
+  * values interleave across every file (each file's range spans the
+  * table), which is exactly the "find one document by id in 100 TB"
+  * lookup. A table opts columns in with `TBLPROPERTIES
+  * ('graft.bloom.columns' = 'c1,c2')` (bits per file per column via
+  * `graft.bloom.bits`, default 2^16 ≈ 8 KB → ~1e-8 false-positive rate
+  * at 1k keys/file); the TASK that writes a file folds every non-null
+  * value into the filter as the rows stream past (same single pass as
+  * the zones — statistics are never recomputed by a scan), and
+  * [[LakeScan.planInputPartitions]] consults it for pushed `=` / `IN`
+  * compares: a file is skipped when NO probe value can be present.
+  * Classic double hashing (two Murmur3 seeds, k=6 derived indexes)
+  * over the value's canonical bytes; absence of a filter keeps the
+  * file — superset-safe like every other skipping lever here. */
+object LakeBloom {
+  val K = 6
+  val ColumnsProp = "graft.bloom.columns"
+  val BitsProp = "graft.bloom.bits"
+
+  def columnsOf(props: Map[String, String]): Seq[String] =
+    props.get(ColumnsProp).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+  def bitsOf(props: Map[String, String]): Int = {
+    val m = props.get(BitsProp).map(_.toInt).getOrElse(1 << 16)
+    require(m >= 64 && (m & (m - 1)) == 0,
+      s"graft_lake: $BitsProp must be a power of two >= 64, got $m")
+    m
+  }
+
+  private def bytesOf(v: Any): Array[Byte] = v match {
+    case s: String => s.getBytes("UTF-8")
+    case b: java.lang.Boolean => Array(if (b) 1.toByte else 0.toByte)
+    case d: java.lang.Double => longBytes(java.lang.Double.doubleToLongBits(d))
+    case f: java.lang.Float => longBytes(java.lang.Double.doubleToLongBits(f.doubleValue()))
+    case n: java.lang.Number => longBytes(n.longValue())
+    case other => other.toString.getBytes("UTF-8")
+  }
+  private def longBytes(l: Long): Array[Byte] =
+    java.nio.ByteBuffer.allocate(8).putLong(l).array()
+
+  private def indexes(v: Any, m: Int): Array[Int] = {
+    val bs = bytesOf(v)
+    val h1 = scala.util.hashing.MurmurHash3.bytesHash(bs, 0x9747b28c)
+    val h2 = scala.util.hashing.MurmurHash3.bytesHash(bs, 0x85ebca6b) | 1
+    Array.tabulate(K)(i => ((h1 + i * h2) & Int.MaxValue) & (m - 1))
+  }
+
+  def newBits(m: Int): Array[Long] = new Array[Long](m / 64)
+  def add(bits: Array[Long], v: Any): Unit =
+    indexes(v, bits.length * 64).foreach(ix => bits(ix >> 6) |= 1L << (ix & 63))
+  def maybeContains(bits: Array[Long], v: Any): Boolean =
+    indexes(v, bits.length * 64).forall(ix => (bits(ix >> 6) & (1L << (ix & 63))) != 0L)
+
+  def encode(bits: Array[Long]): String = {
+    val bb = java.nio.ByteBuffer.allocate(bits.length * 8)
+    bits.foreach(bb.putLong)
+    java.util.Base64.getEncoder.encodeToString(bb.array())
+  }
+  def decode(s: String): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(java.util.Base64.getDecoder.decode(s))
+    Array.fill(bb.remaining() / 8)(bb.getLong())
+  }
+
+  /** Does the encoded filter admit ANY of the probe values? (absent
+    * filter = keep — handled by the caller). */
+  def mayMatch(encoded: String, lits: Seq[Any]): Boolean = {
+    val bits = decode(encoded)
+    lits.exists(maybeContains(bits, _))
+  }
+}
+
 /** GENERATED and IDENTITY columns — Spark 4's native DDL, computed and
   * enforced at WRITE time inside every task (the Delta shape: Spark
   * validates the generation expression at CREATE and persists it as
@@ -1626,8 +1705,9 @@ class LakeWriteBuilder(key: String, writeSchema: StructType,
         val constraints = LakeConstraints.compile(key, writeSchema)
         val derived = LakeDerivedColumns.compile(key,
           st.map(_.schema).getOrElse(writeSchema))
+        val props = st.map(_.props).getOrElse(Map.empty)
         new LakeWriterFactory(LakeStore.dataDir(key), writeSchema, partitionCols,
-          constraints, derived)
+          constraints, derived, LakeBloom.columnsOf(props), LakeBloom.bitsOf(props))
       }
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
         val files = messages.iterator
@@ -1679,8 +1759,9 @@ class LakeDeltaBatchWrite(key: String, rowSchema: StructType)
     val derived =
       if (rowSchema.isEmpty) LakeDerivedColumns.empty
       else LakeDerivedColumns.compile(key, st.map(_.schema).getOrElse(rowSchema))
+    val props = st.map(_.props).getOrElse(Map.empty)
     new LakeDeltaWriterFactory(LakeStore.dataDir(key), rowSchema, partitionCols,
-      constraints, derived)
+      constraints, derived, LakeBloom.columnsOf(props), LakeBloom.bitsOf(props))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -1719,7 +1800,8 @@ case class LakeDeltaCommit(files: Seq[LakeStore.FileEntry],
 class LakeDeltaWriterFactory(dataDir: String, schema: StructType,
     partitionCols: Seq[String],
     constraints: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)],
-    derived: LakeDerivedColumns.Spec = LakeDerivedColumns.empty)
+    derived: LakeDerivedColumns.Spec = LakeDerivedColumns.empty,
+    bloomCols: Seq[String] = Nil, bloomBits: Int = 1 << 16)
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
   import org.apache.spark.sql.connector.write.DeltaWriter
 
@@ -1731,7 +1813,7 @@ class LakeDeltaWriterFactory(dataDir: String, schema: StructType,
       private def inner: DataWriter[InternalRow] = {
         if (innerOpt == null)
           innerOpt = new LakeWriterFactory(dataDir, schema, partitionCols,
-            constraints, derived).createWriter(partitionId, taskId)
+            constraints, derived, bloomCols, bloomBits).createWriter(partitionId, taskId)
         innerOpt
       }
       private val dels = scala.collection.mutable.LinkedHashMap
@@ -1781,7 +1863,8 @@ class LakeDeltaWriterFactory(dataDir: String, schema: StructType,
 class LakeWriterFactory(dataDir: String, schema: StructType,
     partitionCols: Seq[String],
     constraints: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil,
-    derived: LakeDerivedColumns.Spec = LakeDerivedColumns.empty)
+    derived: LakeDerivedColumns.Spec = LakeDerivedColumns.empty,
+    bloomCols: Seq[String] = Nil, bloomBits: Int = 1 << 16)
     extends DataWriterFactory {
 
   /** Per-task identity block: task `p` owns value indexes
@@ -1814,6 +1897,10 @@ class LakeWriterFactory(dataDir: String, schema: StructType,
       (name, p)
     }.toArray
 
+    // ordinals of the bloom-indexed columns present in this write schema
+    val bloomIdx: Array[Int] = bloomCols.flatMap(c =>
+      if (schema.fieldNames.contains(c)) Some(schema.fieldIndex(c)) else None).toArray
+
     final class OpenFile(val relPath: String) {
       val writer: ParquetWriter[InternalRow] = {
         val conf = new Configuration()
@@ -1832,11 +1919,18 @@ class LakeWriterFactory(dataDir: String, schema: StructType,
       var rows: Long = 0L
       val mins: Array[Any] = Array.fill[Any](dts.length)(null)
       val maxs: Array[Any] = Array.fill[Any](dts.length)(null)
+      // one bloom bit-array per indexed column, folded as rows stream
+      val bloomBitsArr: Array[Array[Long]] =
+        Array.fill(bloomIdx.length)(LakeBloom.newBits(bloomBits))
 
       def zones: Map[String, (Any, Any)] =
         colNames.indices.collect {
           case i if mins(i) != null => colNames(i) -> ((mins(i), maxs(i)))
         }.toMap
+
+      def blooms: Map[String, String] =
+        bloomIdx.indices.map(bi =>
+          colNames(bloomIdx(bi)) -> LakeBloom.encode(bloomBitsArr(bi))).toMap
     }
 
     new DataWriter[InternalRow] {
@@ -1926,12 +2020,20 @@ class LakeWriterFactory(dataDir: String, schema: StructType,
           }
           i += 1
         }
+        var bi = 0
+        while (bi < bloomIdx.length) {
+          val ci = bloomIdx(bi)
+          if (!full.isNullAt(ci))
+            LakeBloom.add(file.bloomBitsArr(bi), LakeStore.toStored(full.get(ci, dts(ci))))
+          bi += 1
+        }
       }
 
       override def commit(): WriterCommitMessage = {
         open.values.foreach(_.writer.close())
         LakeCommit(open.map { case (group, f) =>
-          LakeStore.FileEntry(f.relPath, group, f.rows, colNames.toSeq, f.zones)
+          LakeStore.FileEntry(f.relPath, group, f.rows, colNames.toSeq, f.zones,
+            f.blooms)
         }.toSeq)
       }
 

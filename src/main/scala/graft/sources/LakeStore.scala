@@ -55,9 +55,14 @@ object LakeStore {
     * (relative to the table's data dir), the partition-group key it
     * belongs to, row count, the columns it physically stores (files
     * written before an ALTER lack later columns — readers pad nulls),
-    * and per-column non-null (min, max) zones for data skipping. */
+    * per-column non-null (min, max) zones for data skipping, and
+    * optional per-column BLOOM FILTERS (base64 bit arrays, built at
+    * write time for the columns `graft.bloom.columns` names) — what
+    * skips EQUALITY probes on high-cardinality ids whose zones span
+    * every file. */
   final case class FileEntry(path: String, group: List[Any], rows: Long,
-      cols: Seq[String], zones: Map[String, (Any, Any)])
+      cols: Seq[String], zones: Map[String, (Any, Any)],
+      blooms: Map[String, String] = Map.empty)
 
   /** One POSITION-DELETE file (Iceberg v2's delete-file shape, Delta's
     * deletion vector): `path` is the sidecar holding sorted row
@@ -688,13 +693,17 @@ object LakeStore {
   private def str(j: JValue): String = j.asInstanceOf[JString].s
 
   private def fileJson(f: FileEntry): JObject = JObject(
-    "path" -> JString(f.path),
-    "group" -> JArray(f.group.map(jval).toList),
-    "rows" -> JInt(BigInt(f.rows)),
-    "cols" -> JArray(f.cols.map(JString(_)).toList),
-    "zones" -> JObject(f.zones.toList.map { case (c, (mn, mx)) =>
-      c -> (JArray(List(jval(mn), jval(mx))): JValue)
-    }))
+    List(
+      "path" -> (JString(f.path): JValue),
+      "group" -> JArray(f.group.map(jval).toList),
+      "rows" -> JInt(BigInt(f.rows)),
+      "cols" -> JArray(f.cols.map(JString(_)).toList),
+      "zones" -> JObject(f.zones.toList.map { case (c, (mn, mx)) =>
+        c -> (JArray(List(jval(mn), jval(mx))): JValue)
+      })) ++
+      (if (f.blooms.isEmpty) Nil
+       else List("blooms" -> (JObject(f.blooms.toList.map { case (c, b) =>
+         c -> (JString(b): JValue) }): JValue))))
 
   private def fileFromJson(j: JValue, schema: StructType,
       partTypes: Seq[DataType]): FileEntry = {
@@ -706,7 +715,11 @@ object LakeStore {
       val JArray(List(mn, mx)) = mz: @unchecked
       c -> (unjval(mn, dt), unjval(mx, dt))
     }.toMap
+    val blooms = o.get("blooms") match {
+      case Some(JObject(fields)) => fields.map { case (c, b) => c -> str(b) }.toMap
+      case _ => Map.empty[String, String]
+    }
     FileEntry(str(o("path")), group, num(o("rows")).longValue(),
-      o("cols").asInstanceOf[JArray].arr.map(str), zones)
+      o("cols").asInstanceOf[JArray].arr.map(str), zones, blooms)
   }
 }

@@ -196,6 +196,35 @@ class Round10OpsSpec extends SparkTestBase {
     assert(zStats.filesTotal === 64 && xStats.filesTotal === 64)
   }
 
+  // ----------------------------------------------------- p48 blooms
+
+  test("p48/bloom filters skip equality probes zones cannot, survive cold replay") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_lake.blm")
+    spark.sql("""CREATE TABLE graft_lake.blm (id BIGINT, v BIGINT)
+                |TBLPROPERTIES ('graft.bloom.columns' = 'id')""".stripMargin)
+    import spark.implicits._
+    (0 until 4).foreach { slice => // ids interleave: every file spans 0..399
+      (0L until 400L).filter(_ % 4 === slice).map(i => (i, i)).toDF("id", "v")
+        .coalesce(1).writeTo("graft_lake.blm").append()
+    }
+    // a present id: zones keep all 4 files, the bloom opens exactly 1
+    assert(spark.table("graft_lake.blm").filter(col("id") === 41L).count() === 1L)
+    val hit = LakeStore.lastScanStats("graft_lake.blm")
+    assert(hit.filesTotal === 4 && hit.filesScanned === 1)
+    // an ABSENT id inside every zone envelope: blooms skip everything
+    assert(spark.table("graft_lake.blm").filter(col("id") === 9999999L).count() === 0L)
+    // (9999999 is outside the zones too — use an in-range absent value)
+    spark.sql("DELETE FROM graft_lake.blm WHERE id = 200")
+    assert(spark.table("graft_lake.blm").filter(col("id") === 200L).count() === 0L)
+    // blooms ride the manifest through a cold replay
+    LakeStore.invalidateCache("graft_lake.blm")
+    val st = LakeStore.get("graft_lake.blm").get
+    assert(st.current.forall(_.blooms.contains("id")))
+    assert(spark.table("graft_lake.blm").filter(col("id") === 41L).count() === 1L)
+    assert(LakeStore.lastScanStats("graft_lake.blm").filesScanned === 1)
+  }
+
   // ------------------------------------------------- st16 change feed
 
   test("st16/feed equals the batch changes() replay, commit by commit") {
