@@ -2762,6 +2762,20 @@ object PipelineQueries {
       |  rows_removed, n_data_change, n_live_files, n_live_rows, n_live_groups
       |FROM hist CROSS JOIN f ORDER BY action""".stripMargin
 
+  /** Run a statement EXPECTED to fail (enforcement probes: constraint
+    * violations, generated-value mismatches, identity explicit inserts)
+    * with executor logging silenced for its duration — the intentional
+    * task abort otherwise prints a full ERROR stack into the bench/
+    * verify tail, burying real failures. Returns 1 when it failed (the
+    * expected outcome), 0 when it unexpectedly succeeded. */
+  private def expectBlocked(s: SparkSession)(body: => Unit): Long = {
+    val sc = s.sparkContext
+    sc.setLogLevel("OFF")
+    try { body; 0L }
+    catch { case _: Exception => 1L }
+    finally sc.setLogLevel("WARN")
+  }
+
   // ---------------------------------------------------------------- p42
   /** CHECK CONSTRAINTS — data-quality enforcement AT THE STORAGE LAYER
     * (Delta's `ALTER TABLE ... ADD CONSTRAINT ... CHECK`, stored as
@@ -2792,13 +2806,13 @@ object PipelineQueries {
       .select(col("doc_id"), col("source"), col("n_chars"))
     docs.writeTo("graft_lake.cons").append() // v3: every row satisfies both
     val vBefore = graft.sources.GraftLake.latestVersion("graft_lake.cons").toLong
-    val insertBlocked = try {
+    val insertBlocked = expectBlocked(s) {
       docs.limit(3).withColumn("n_chars", lit(-5L))
-        .writeTo("graft_lake.cons").append(); 0L
-    } catch { case _: Exception => 1L }
-    val updateBlocked = try {
-      s.sql("UPDATE graft_lake.cons SET n_chars = -1 WHERE doc_id % 100 = 0"); 0L
-    } catch { case _: Exception => 1L }
+        .writeTo("graft_lake.cons").append()
+    }
+    val updateBlocked = expectBlocked(s) {
+      s.sql("UPDATE graft_lake.cons SET n_chars = -1 WHERE doc_id % 100 = 0")
+    }
     val badRejected = try {
       s.sql("""ALTER TABLE graft_lake.cons SET TBLPROPERTIES (
               |  'graft.constraints.impossible' = 'n_chars > 100000')""".stripMargin); 0L
@@ -3033,13 +3047,13 @@ object PipelineQueries {
     // identity: values assigned by the writer, one per corpus row
     s.sql("INSERT INTO graft_lake.defids (doc_id) SELECT doc_id FROM p45_docs")
     val vBefore = graft.sources.GraftLake.latestVersion("graft_lake.defcols").toLong
-    val genBlocked = try {
+    val genBlocked = expectBlocked(s) {
       s.sql("""INSERT INTO graft_lake.defcols (doc_id, source, n_chars, gen_score)
-              |VALUES (1, 'x', 10, 999)""".stripMargin); 0L
-    } catch { case _: Exception => 1L }
-    val idBlocked = try {
-      s.sql("INSERT INTO graft_lake.defids (row_id, doc_id) VALUES (1, 1)"); 0L
-    } catch { case _: Exception => 1L }
+              |VALUES (1, 'x', 10, 999)""".stripMargin)
+    }
+    val idBlocked = expectBlocked(s) {
+      s.sql("INSERT INTO graft_lake.defids (row_id, doc_id) VALUES (1, 1)")
+    }
     val versionStable =
       if (graft.sources.GraftLake.latestVersion("graft_lake.defcols").toLong == vBefore) 1L
       else 0L

@@ -205,7 +205,23 @@ object DumpPlans {
         PipelineQueries.p30SaltGate(spark, dir)),
       ("p34_partitioned_merge",
         "The registry entry's plan is the published rollup over the post-merge table; the partition-grouped MERGE statement itself (with its dynamicpruning subquery) is dumped in the 'statement:' section at the end of this file.",
-        PipelineQueries.p34PartitionedMerge(spark, dir)))
+        PipelineQueries.p34PartitionedMerge(spark, dir)),
+      // --- the five most expensive BENCH rows (wall-clock top) ---
+      ("p19_multimodal_curation",
+        "Wall-clock top (~9.5 s at sf0.1): the SUM of its audited parts — d04's banded MinHash pair-join, m03/m04/m05's band/bucket-scoped media fingerprint joins, star-CC over the union pair frame (cached once for its three readers, log-round convergence). Every pair source is band/bucket-EQUI-keyed — no all-pairs join anywhere in the composition; cost grows linearly in replicas (ScaleExtend).",
+        PipelineQueries.p19MultimodalCuration(spark, dir)),
+      ("g15_mutual_knn_clusters",
+        "Second most expensive (~8.8 s at sf0.1): s24's cell-scoped kNN graph (one equi-join on cell id, per-source WindowGroupLimit rank), ONE reversed-pair self-join for mutuality (edge-keyed, 2-column frames), then star CC with the loud convergence cap — each round is a hi-keyed min-agg + same-key join, so rounds add exchanges of 2-column frames only.",
+        GraphQueries.g15MutualKnnClusters(spark, dir)),
+      ("st03_stream_join",
+        "Streaming row (~5-6 s at sf0.1): the cost is micro-batch ENGINE machinery (state store init + per-batch planning), not data — the plan below is the published batch result; the streaming topology is a stream-stream inner join with both sides watermarked, whose join state is keyed and bounded by the watermark horizon (StreamingSpec pins equivalence to the batch join).",
+        StreamingQueries.st03StreamJoin(spark, dir)),
+      ("st10_timer_sessions",
+        "Streaming row (~6 s at sf0.1): transformWithState with per-key TIMERS on RocksDB — cost is state-store machinery paid per run (engine constant; flat under ScaleSweep). The dumped plan is the published result frame; session correctness (timer-fired closes vs the 9h cut) is pinned by the batch oracle hash and StreamingSpec.",
+        StreamingQueries.st10TimerSessions(spark, dir)),
+      ("st11_outer_stream_join",
+        "Streaming row (~5 s at sf0.1): stream-stream LEFT OUTER join — null-extension can only emit once the watermark passes the join horizon, so the run pays watermark-advance batches; state stays keyed + watermark-bounded. Plan below is the published result; the outer-row timing contract is pinned in StreamingSpec.",
+        StreamingQueries.st11OuterStreamJoin(spark, dir)))
 
     val sb = new StringBuilder
     sb.append("# Flagship physical plans (generated by graft.tools.DumpPlans at sf0.01)\n\n")

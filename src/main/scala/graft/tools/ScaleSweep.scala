@@ -171,7 +171,12 @@ object ScaleSweep {
       "p42_check_constraints" -> "CHECK constraints (task-side write enforcement)",
       "p43_shallow_clone" -> "shallow CLONE (zero-copy fork, diverging COW)",
       "p44_merge_on_read" -> "merge-on-read DV maintenance (WriteDelta, no rewrites)",
-      "st15_stream_lake_source" -> "lake table as streaming source (version offsets)")
+      "st15_stream_lake_source" -> "lake table as streaming source (version offsets)",
+      "p45_default_columns" -> "DEFAULT/GENERATED/IDENTITY columns (writer-enforced)",
+      "p46_zorder_optimize" -> "OPTIMIZE ZORDER (morton range-shuffle rewrite)",
+      "p47_partition_evolution" -> "partition evolution (cross-era group pruning)",
+      "p48_bloom_index" -> "per-file bloom point lookups (manifest-carried)",
+      "st16_stream_change_feed" -> "streaming CDF source (per-commit deltas)")
 
     // warm the JVM/codegen on the smallest sf so cold-start lands nowhere
     queries.foreach { case (q, _) =>
