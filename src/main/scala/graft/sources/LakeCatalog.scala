@@ -628,6 +628,17 @@ class LakeDeltaOperation(key: String, schema: StructType,
   import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 
   override def command(): RowLevelOperation.Command = info.command()
+
+  /** MoR matrix toggle (`graft.update-as-delete-insert` = 'true'):
+    * Catalyst then REPRESENTS updates as a DELETE + INSERT row pair
+    * before the writer instead of a single UPDATE op — the other
+    * SupportsDelta planning mode. Either representation lands
+    * identically here (the delta writer's update() is delete+insert
+    * anyway), which Round10OpsSpec pins: same final state, same
+    * deletion-vector totals, under both modes. */
+  override def representUpdateAsDeleteAndInsert(): Boolean =
+    LakeStore.get(key)
+      .exists(_.props.get("graft.update-as-delete-insert").contains("true"))
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LakeGroupScanBuilder(key, schema, this)
   override def rowId(): Array[NamedReference] =

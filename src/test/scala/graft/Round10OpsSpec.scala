@@ -329,6 +329,31 @@ class Round10OpsSpec extends SparkTestBase {
     assert(got === Seq((1L, "I", 1L), (1L, "I", 2L), (1L, "I", 3L), (2L, "D", 2L)))
   }
 
+  // ---------------------------------- MoR update-representation toggle
+
+  test("update-as-delete+insert toggle lands identically to single-op updates") {
+    registerCatalog()
+    def run(table: String, toggle: Boolean): (Seq[(Long, Long)], Long) = {
+      spark.sql(s"DROP TABLE IF EXISTS graft_lake.$table")
+      val props = "'graft.merge-on-read' = 'true'" +
+        (if (toggle) ", 'graft.update-as-delete-insert' = 'true'" else "")
+      spark.sql(s"CREATE TABLE graft_lake.$table (id BIGINT, v BIGINT) " +
+        s"TBLPROPERTIES ($props)")
+      import spark.implicits._
+      (0L until 20L).map(i => (i, i)).toDF("id", "v")
+        .writeTo(s"graft_lake.$table").append()
+      spark.sql(s"UPDATE graft_lake.$table SET v = v + 100 WHERE id % 5 = 0")
+      val rows = spark.table(s"graft_lake.$table").orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val dvRows = LakeStore.get(s"graft_lake.$table").get.deletes.map(_.rows).sum
+      (rows, dvRows)
+    }
+    val (a, dvA) = run("morupd_a", toggle = false)
+    val (b, dvB) = run("morupd_b", toggle = true)
+    assert(a === b) // identical final state under both planning modes
+    assert(dvA === 4L && dvB === 4L) // same position-delete footprint
+  }
+
   // ------------------------------------------ streaming retention gate
 
   test("a stream resuming below the VACUUM horizon fails with the retention message") {
