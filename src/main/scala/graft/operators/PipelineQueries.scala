@@ -3333,7 +3333,165 @@ object PipelineQueries {
       |  CAST(1 AS BIGINT) AS files_scanned
       |FROM probes p ORDER BY probe_id""".stripMargin
 
+  // ---------------------------------------------------------------- p49
+  /** Partition-scoped INSERT OVERWRITE — both V2 overwrite modes
+    * (Delta's replaceWhere / Hive's dynamic partition overwrite), wired
+    * to group-granular commits: STATIC overwrite takes a filter decided
+    * entirely by the partition key (equality/IN on partition columns —
+    * anything looser is REFUSED loudly, because group-granular
+    * replacement of a row-level filter would delete rows the filter
+    * never matched) and swaps exactly the matching groups; DYNAMIC
+    * overwrite (`overwritePartitions()`) swaps exactly the groups the
+    * written data itself produces. Both are the O(touched-partitions)
+    * backfill primitive: at 100 TB a daily re-score of one source
+    * replaces one group's files and never reads or writes the rest —
+    * file identity of untouched partitions is pinned in the hash.
+    *
+    * Inside the hash: per-class aggregates restate both overwrites,
+    * `untouched_intact` pins that every non-overwritten v1 file is
+    * still live file-identically, the two group counts pin the commit
+    * footprints, and `bad_refused` pins the loud rejection of a
+    * non-partition filter. */
+  def p49PartitionOverwrite(s: SparkSession, dir: String): DataFrame = {
+    registerLake(s)
+    s.sql("DROP TABLE IF EXISTS graft_lake.povr")
+    s.sql("""CREATE TABLE graft_lake.povr
+            |(doc_id BIGINT, source STRING, n_chars BIGINT)
+            |PARTITIONED BY (source)""".stripMargin)
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    docs.repartition(col("source"))
+      .writeTo("graft_lake.povr").append() // v1: one file per source
+    val v1Files = graft.sources.LakeStore.get("graft_lake.povr").get
+      .current.map(f => f.group -> f.path).toMap
+    // STATIC: re-score src3 wholesale (replaceWhere on the partition key)
+    docs.filter(col("source") === "src3")
+      .withColumn("n_chars", col("n_chars") + 1000L)
+      .writeTo("graft_lake.povr").overwrite(col("source") === lit("src3")) // v2
+    val staticGroups = graft.sources.LakeStore
+      .lastReplacedGroups("graft_lake.povr").map(_.size.toLong).getOrElse(-1L)
+    // DYNAMIC: a re-crawl drop covering two sources replaces exactly them
+    docs.filter(col("source").isin("src5", "src7"))
+      .select((col("doc_id") + 400000L).as("doc_id"), col("source"),
+        (col("n_chars") + 7L).as("n_chars"))
+      .writeTo("graft_lake.povr").overwritePartitions() // v3
+    val dynamicGroups = graft.sources.LakeStore
+      .lastReplacedGroups("graft_lake.povr").map(_.size.toLong).getOrElse(-1L)
+    // a filter the partition key cannot decide must be refused loudly
+    val badRefused = try {
+      docs.limit(1).writeTo("graft_lake.povr").overwrite(col("n_chars") < 100L); 0L
+    } catch { case _: Exception => 1L }
+    // every non-overwritten v1 file is still live, file-identically
+    val st = graft.sources.LakeStore.get("graft_lake.povr").get
+    val nowFiles = st.current.map(f => f.group -> f.path).toMap
+    val untouchedIntact = if (v1Files.forall { case (g, p) =>
+      Set("src3", "src5", "src7").contains(g.head.toString) ||
+        nowFiles.get(g).contains(p)
+    }) 1L else 0L
+    s.table("graft_lake.povr")
+      .withColumn("cls",
+        when(col("source") === "src3", lit("static"))
+          .when(col("source").isin("src5", "src7"), lit("dynamic"))
+          .otherwise(lit("kept")))
+      .groupBy(col("cls"))
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(col("n_chars")), lit(0L)).as("sum_chars"),
+        countDistinct(col("source")).as("n_sources"))
+      .withColumn("static_groups", lit(staticGroups))
+      .withColumn("dynamic_groups", lit(dynamicGroups))
+      .withColumn("bad_refused", lit(badRefused))
+      .withColumn("untouched_intact", lit(untouchedIntact))
+      .orderBy(col("cls"))
+  }
+
+  val p49Sql: String =
+    """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+      |fin AS (
+      |  SELECT 'kept' AS cls, source, n_chars FROM d
+      |    WHERE source NOT IN ('src3', 'src5', 'src7')
+      |  UNION ALL
+      |  SELECT 'static', source, n_chars + 1000 FROM d WHERE source = 'src3'
+      |  UNION ALL
+      |  SELECT 'dynamic', source, n_chars + 7 FROM d WHERE source IN ('src5', 'src7'))
+      |SELECT cls, COUNT(*) AS n_rows,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  COUNT(DISTINCT source) AS n_sources,
+      |  CAST(1 AS BIGINT) AS static_groups,
+      |  CAST(2 AS BIGINT) AS dynamic_groups,
+      |  CAST(1 AS BIGINT) AS bad_refused,
+      |  CAST(1 AS BIGINT) AS untouched_intact
+      |FROM fin GROUP BY cls ORDER BY cls""".stripMargin
+
+  // ---------------------------------------------------------------- p50
+  /** SQL STORED PROCEDURES — the maintenance window as pure SQL `CALL`
+    * statements with result sets (Iceberg's procedure surface on Spark
+    * 4's native DSv2 ProcedureCatalog; analyzer-bound, named-argument
+    * invocation): compaction, rollback, and retention each run as one
+    * statement, and what the user sees is each procedure's RESULT ROW —
+    * which is exactly what this query publishes into the hash. The arc:
+    * 8 unclustered ingest commits → `CALL system.optimize` (the p38
+    * range-shuffle; result pins 8 files → 4) → the same box probe
+    * improves → `CALL system.restore` back to the pre-optimize snapshot
+    * (result pins the version arithmetic; aggregates prove the undo) →
+    * `CALL system.vacuum` (result pins exactly the 4 now-unreferenced
+    * optimize files deleted, horizon at the restore commit). Every
+    * number is restated from first principles by the oracle — the CALL
+    * surface must report the same truth the library calls do. */
+  def p50SqlProcedures(s: SparkSession, dir: String): DataFrame = {
+    registerLake(s)
+    s.sql("DROP TABLE IF EXISTS graft_lake.proc_demo")
+    s.sql("CREATE TABLE graft_lake.proc_demo (doc_id BIGINT, n_chars BIGINT)")
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+    (0 until 8).foreach { slice => // v1..v8: one unclustered file each
+      docs.filter(col("doc_id") % 8 === slice).coalesce(1)
+        .writeTo("graft_lake.proc_demo").append()
+    }
+    def boxScanned(): Long = {
+      s.table("graft_lake.proc_demo")
+        .filter(col("n_chars") >= 200L && col("n_chars") <= 260L).count()
+      graft.sources.LakeStore.lastScanStats("graft_lake.proc_demo").filesScanned.toLong
+    }
+    val scannedBefore = boxScanned()
+    val opt = s.sql(
+      """CALL graft_lake.system.optimize(
+        |  tbl => 'proc_demo', cluster_cols => 'n_chars', n_files => 4)""".stripMargin)
+      .collect()(0) // (files_before, files_after, version)
+    val scannedAfter = boxScanned()
+    val rst = s.sql("CALL graft_lake.system.restore(tbl => 'proc_demo', version => 8)")
+      .collect()(0) // (restored_to, new_version)
+    val vac = s.sql(
+      """CALL graft_lake.system.vacuum(
+        |  tbl => 'proc_demo', retain_last => 1, grace_ms => 0)""".stripMargin)
+      .collect()(0) // (files_deleted, horizon): exactly the 4 optimize files
+    s.table("graft_lake.proc_demo")
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(col("n_chars")), lit(0L)).as("sum_chars"))
+      .withColumn("opt_files_before", lit(opt.getLong(0)))
+      .withColumn("opt_files_after", lit(opt.getLong(1)))
+      .withColumn("opt_version", lit(opt.getLong(2)))
+      .withColumn("improved", lit(if (scannedAfter < scannedBefore) 1L else 0L))
+      .withColumn("restored_to", lit(rst.getLong(0)))
+      .withColumn("restore_version", lit(rst.getLong(1)))
+      .withColumn("vac_deleted", lit(vac.getLong(0)))
+      .withColumn("vac_horizon", lit(vac.getLong(1)))
+  }
+
+  val p50Sql: String =
+    """SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(8 AS BIGINT) AS opt_files_before,
+      |  CAST(4 AS BIGINT) AS opt_files_after,
+      |  CAST(9 AS BIGINT) AS opt_version,
+      |  CAST(1 AS BIGINT) AS improved,
+      |  CAST(8 AS BIGINT) AS restored_to,
+      |  CAST(10 AS BIGINT) AS restore_version,
+      |  CAST(4 AS BIGINT) AS vac_deleted,
+      |  CAST(10 AS BIGINT) AS vac_horizon
+      |FROM documents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p50_sql_procedures" -> (p50SqlProcedures _),
+    "p49_partition_overwrite" -> (p49PartitionOverwrite _),
     "p48_bloom_index" -> (p48BloomIndex _),
     "p47_partition_evolution" -> (p47PartitionEvolution _),
     "p46_zorder_optimize" -> (p46ZorderOptimize _),
@@ -3385,6 +3543,8 @@ object PipelineQueries {
   // def, not val: p19Sql embeds Sidecars.oracleDir-keyed paths, which
   // Verify pins at runtime before dumping oracle_sql.json
   def oracle: Map[String, String] = Map(
+    "p50_sql_procedures" -> p50Sql,
+    "p49_partition_overwrite" -> p49Sql,
     "p48_bloom_index" -> p48Sql,
     "p47_partition_evolution" -> p47Sql,
     "p46_zorder_optimize" -> p46Sql,

@@ -1044,7 +1044,74 @@ object StreamingQueries {
       |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
       |FROM ch GROUP BY commit_v, change ORDER BY commit_v, change""".stripMargin
 
+  /** The lake as a native STREAMING SINK — `writeStream.toTable` onto
+    * the module-own catalog (Delta's sink shape as a real DSv2
+    * StreamingWrite, not a foreachBatch workaround): every micro-batch
+    * appends through the SAME task-side writer as batch writes
+    * (constraints, derived columns, bloom filters all enforced — no
+    * second write path to audit), and each epoch commits EXACTLY ONCE:
+    * the commit records `(queryId, epochId)` in the table properties,
+    * so an engine retry of a committed epoch (crash between sink commit
+    * and checkpoint advance) is recognized and dropped, the Delta
+    * txn-version idempotence move (Round10OpsSpec pins the replay path
+    * directly).
+    *
+    * The scenario is the incremental-ingest consumer inverted: corpus
+    * slices arrive as files in a staging area; one streaming query
+    * (filter + projection) runs THREE separate `Trigger.AvailableNow`
+    * passes against one checkpoint with new arrivals between them. The
+    * oracle restates the final table from the slice definitions —
+    * hash-equality pins exactly-once across restarts (nothing
+    * re-appended, nothing missed) AND the in-stream transform. */
+  def st17StreamLakeSink(s: SparkSession, dir: String): DataFrame = {
+    if (!s.conf.getOption("spark.sql.catalog.graft_lake").contains(
+        classOf[graft.sources.GraftLakeCatalog].getName))
+      s.conf.set("spark.sql.catalog.graft_lake",
+        classOf[graft.sources.GraftLakeCatalog].getName)
+    val root = s"/tmp/graft_stream_${Sidecars.tag(dir)}/st17"
+    deleteRecursively(java.nio.file.Paths.get(root))
+    s.sql("DROP TABLE IF EXISTS graft_lake.stream_sink")
+    s.sql("""CREATE TABLE graft_lake.stream_sink
+            |(doc_id BIGINT, source STRING, n_chars BIGINT)
+            |PARTITIONED BY (source)""".stripMargin)
+    val docs = graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val staging = s"$root/staging"
+    def stage(slice: Int): Unit =
+      docs.filter(col("doc_id") % 3 === slice)
+        .write.mode("append").parquet(staging)
+    def drain(): Unit = {
+      val q = s.readStream
+        .schema("doc_id BIGINT, source STRING, n_chars BIGINT")
+        .parquet(staging)
+        .filter(col("n_chars") >= 100L) // in-stream curation gate
+        .withColumn("n_chars", col("n_chars") + 1L) // in-stream transform
+        .writeStream
+        .option("checkpointLocation", s"$root/_checkpoint")
+        .trigger(Trigger.AvailableNow())
+        .toTable("graft_lake.stream_sink")
+      q.awaitTermination()
+    }
+    stage(0); drain() // run 1: first arrival
+    stage(1); drain() // run 2: ONLY the new slice (checkpoint carries state)
+    stage(2); drain() // run 3: ONLY the last slice
+    s.table("graft_lake.stream_sink")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(col("n_chars")), lit(0L)).as("sum_chars"),
+        coalesce(sum(col("doc_id")), lit(0L)).as("sum_ids"))
+      .orderBy(col("source"))
+  }
+
+  val st17Sql: String =
+    """WITH d AS (SELECT doc_id, source, n_chars FROM documents WHERE n_chars >= 100)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(n_chars + 1) AS BIGINT) AS sum_chars,
+      |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+      |FROM d GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st17_stream_lake_sink" -> (st17StreamLakeSink _),
     "st16_stream_change_feed" -> (st16StreamChangeFeed _),
     "st15_stream_lake_source" -> (st15StreamLakeSource _),
     "st14_change_feed" -> (st14ChangeFeed _),
@@ -1063,6 +1130,7 @@ object StreamingQueries {
     "st05_stream_filter" -> (st05StreamFilter _))
 
   val oracle: Map[String, String] = Map(
+    "st17_stream_lake_sink" -> st17Sql,
     "st16_stream_change_feed" -> st16Sql,
     "st15_stream_lake_source" -> st15Sql,
     "st14_change_feed" -> st14Sql,

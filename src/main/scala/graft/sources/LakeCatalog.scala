@@ -92,7 +92,7 @@ private[sources] object ZonePrune {
     case other => Seq(other)
   }
 
-  private val ops = Set("=", "<", "<=", ">", ">=", "IN")
+  private val ops = Set("=", "<=>", "<", "<=", ">", ">=", "IN")
 
   def parse(p: V2Predicate): Option[ColCompare] = {
     if (!ops.contains(p.name())) return None
@@ -100,9 +100,14 @@ private[sources] object ZonePrune {
       case r: NamedReference if r.fieldNames().length == 1 => r.fieldNames()(0)
     }
     val lits = p.children().collect { case l: Literal[_] => LakeStore.toStored(l.value()) }
-    // exactly one bare column + at least one literal, nothing else
+    // exactly one bare column + at least one literal, nothing else.
+    // Null-safe equality against a non-null literal IS equality for
+    // range/bloom purposes (against a null literal the stored null lit
+    // makes every comparison unknown -> keep, superset-safe) — the SQL
+    // `INSERT OVERWRITE ... PARTITION (p = v)` clause arrives as `<=>`.
+    val op = if (p.name() == "<=>") "=" else p.name()
     if (refs.length == 1 && lits.nonEmpty && refs.length + lits.length == p.children().length)
-      Some(ColCompare(refs.head, p.name(), lits.toSeq))
+      Some(ColCompare(refs.head, op, lits.toSeq))
     else None
   }
 
@@ -340,8 +345,17 @@ object GraftLake {
   }
 }
 
-class GraftLakeCatalog extends TableCatalog {
+class GraftLakeCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catalogName: String = _
+
+  /** `CALL graft_lake.system.<proc>(...)` — the maintenance operations
+    * as SQL with result sets ([[LakeProcedures]]). */
+  override def loadProcedure(ident: Identifier):
+      org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    LakeProcedures.load(catalogName, ident)
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    LakeProcedures.identifiers(namespace)
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
     catalogName = name
@@ -549,7 +563,9 @@ class GraftLakeTable(val key: String, val tableSchema: StructType,
       .toArray
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC, TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE)
 
   /** Surfaced to `SHOW TBLPROPERTIES`; a time-travel view shows the
     * properties AS OF its pinned version. */
@@ -568,7 +584,8 @@ class GraftLakeTable(val key: String, val tableSchema: StructType,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedVersion.isEmpty, "graft_lake: cannot write to a time-travel view")
-    new LakeWriteBuilder(key, info.schema(), replaceOnCommit = false)
+    new LakeWriteBuilder(key, info.schema(), LakeWriteBuilder.AppendMode,
+      info.queryId())
   }
 
   override def newRowLevelOperationBuilder(
@@ -606,8 +623,8 @@ class LakeRowLevelOperation(key: String, schema: StructType,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LakeGroupScanBuilder(key, schema, this)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new LakeWriteBuilder(key, info.schema(), replaceOnCommit = true,
-      replacedGroups = () => scannedGroups)
+    new LakeWriteBuilder(key, info.schema(),
+      LakeWriteBuilder.RowLevelMode(() => scannedGroups))
 }
 
 /** MERGE-ON-READ row-level operation ([[org.apache.spark.sql.connector.write.SupportsDelta]]):
@@ -1697,46 +1714,149 @@ class LakeMetaReaderFactory(schema: StructType) extends PartitionReaderFactory {
     }
 }
 
+object LakeWriteBuilder {
+  /** What the commit does with the produced files. */
+  sealed trait Mode
+  /** Plain append (the default). */
+  case object AppendMode extends Mode
+  /** Whole-table swap (INSERT OVERWRITE without filters / overwrite(true)). */
+  case object TruncateMode extends Mode
+  /** `INSERT OVERWRITE ... PARTITION (...)` / replaceWhere: swap exactly
+    * the PRE-RESOLVED partition groups (decided at build time from the
+    * static filter — Delta's partition-scoped replaceWhere contract). */
+  final case class OverwriteGroups(groups: Set[List[Any]]) extends Mode
+  /** Dynamic partition overwrite: swap exactly the groups the write
+    * itself produces — partitions the data does not touch stay whole. */
+  case object DynamicMode extends Mode
+  /** Row-level operation commit: swap the groups the row-level scan
+    * actually emitted (resolved at execution by the operation). */
+  final case class RowLevelMode(groups: () => Option[Set[List[Any]]]) extends Mode
+}
+
 class LakeWriteBuilder(key: String, writeSchema: StructType,
-    private var replaceOnCommit: Boolean,
-    replacedGroups: () => Option[Set[List[Any]]] = () => None) extends WriteBuilder
-    with org.apache.spark.sql.connector.write.SupportsTruncate {
-  /** INSERT OVERWRITE / DataFrame overwrite(lit(true)): whole-table swap —
-    * exactly replaceOnCommit with groups = None (replace every group). */
-  override def truncate(): WriteBuilder = { replaceOnCommit = true; this }
+    private var mode: LakeWriteBuilder.Mode,
+    queryId: String = "") extends WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsOverwriteV2
+    with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
+  import LakeWriteBuilder._
+  import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
+
+  /** INSERT OVERWRITE / DataFrame overwrite(lit(true)): whole-table swap. */
+  override def truncate(): WriteBuilder = { mode = TruncateMode; this }
+
+  /** Filter-scoped overwrite (`INSERT OVERWRITE ... PARTITION (p = v)`,
+    * DataFrame `overwrite(cond)`): sound at GROUP granularity only when
+    * the filter is decided ENTIRELY by the partition key — equality/IN
+    * conjuncts on current-spec partition columns over a table whose live
+    * files all carry current-spec group keys. Anything looser is refused
+    * loudly (Delta's partition-scoped replaceWhere contract): silently
+    * widening to touched groups would DELETE rows the filter never
+    * matched. */
+  override def overwrite(predicates: Array[V2Predicate]): WriteBuilder = {
+    if (predicates.isEmpty ||
+        predicates.forall(_.name() == "ALWAYS_TRUE")) return truncate()
+    val st = LakeStore.get(key).getOrElse(
+      throw new NoSuchTableException(key.split('.').toSeq))
+    val pc = st.partitionCols
+    require(pc.nonEmpty,
+      s"graft_lake: INSERT OVERWRITE with a filter requires $key to be partitioned")
+    val compares = predicates.flatMap(ZonePrune.conjuncts).map { p =>
+      ZonePrune.parse(p).filter(cc =>
+        pc.contains(cc.col) && (cc.op == "=" || cc.op == "IN")).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft_lake: overwrite filter $p is not an equality/IN on a " +
+            s"partition column of $key (partition-scoped overwrite only)"))
+    }
+    require(st.current.forall(_.group.length == pc.length),
+      s"graft_lake: $key still holds pre-evolution file groups — a filter " +
+        "cannot decide them; rewrite them first (any row-level statement " +
+        "migrates them to the current spec)")
+    val matched = st.liveGroups.filter(g => compares.forall { cc =>
+      cc.lits.contains(g(pc.indexOf(cc.col)))
+    })
+    mode = OverwriteGroups(matched)
+    this
+  }
+
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    mode = DynamicMode; this
+  }
+
+  /** The compiled task-side write config (constraints, derived columns,
+    * blooms) — shared by the batch and streaming writer factories. */
+  private def writerFactory(): LakeWriterFactory = {
+    val st = LakeStore.get(key)
+    val partitionCols = st.map(_.partitionCols).getOrElse(Nil)
+    // compiled once on the driver; tasks get bound Catalyst exprs.
+    // Derived-column specs live in the TABLE schema's field metadata
+    // (the write schema arrives metadata-stripped).
+    val constraints = LakeConstraints.compile(key, writeSchema)
+    val derived = LakeDerivedColumns.compile(key,
+      st.map(_.schema).getOrElse(writeSchema))
+    val props = st.map(_.props).getOrElse(Map.empty)
+    new LakeWriterFactory(LakeStore.dataDir(key), writeSchema, partitionCols,
+      constraints, derived, LakeBloom.columnsOf(props), LakeBloom.bitsOf(props))
+  }
+
+  private def sweepFiles(messages: Iterator[WriterCommitMessage]): Unit = {
+    val fs = new Path(LakeStore.dataDir(key)).getFileSystem(new Configuration())
+    messages.filter(_ != null).map(_.asInstanceOf[LakeCommit])
+      .flatMap(_.files.iterator)
+      .foreach(f => fs.delete(new Path(LakeStore.dataDir(key), f.path), false))
+  }
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new BatchWrite {
-      override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-        val st = LakeStore.get(key)
-        val partitionCols = st.map(_.partitionCols).getOrElse(Nil)
-        // compiled once on the driver; tasks get bound Catalyst exprs.
-        // Derived-column specs live in the TABLE schema's field metadata
-        // (the write schema arrives metadata-stripped).
-        val constraints = LakeConstraints.compile(key, writeSchema)
-        val derived = LakeDerivedColumns.compile(key,
-          st.map(_.schema).getOrElse(writeSchema))
-        val props = st.map(_.props).getOrElse(Map.empty)
-        new LakeWriterFactory(LakeStore.dataDir(key), writeSchema, partitionCols,
-          constraints, derived, LakeBloom.columnsOf(props), LakeBloom.bitsOf(props))
-      }
+      override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+        writerFactory()
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
         val files = messages.iterator
           .map(_.asInstanceOf[LakeCommit])
           .flatMap(_.files.iterator)
           .toSeq
-        if (replaceOnCommit) LakeStore.replace(key, files, replacedGroups())
-        else LakeStore.append(key, files)
+        mode match {
+          case AppendMode => LakeStore.append(key, files)
+          case TruncateMode => LakeStore.replace(key, files, None)
+          case OverwriteGroups(gs) => LakeStore.replace(key, files, Some(gs))
+          case DynamicMode =>
+            LakeStore.replace(key, files, Some(files.map(_.group).toSet))
+          case RowLevelMode(gs) => LakeStore.replace(key, files, gs())
+        }
       }
-      override def abort(messages: Array[WriterCommitMessage]): Unit = {
+      override def abort(messages: Array[WriterCommitMessage]): Unit =
         // drop any files whose tasks committed before the job aborted;
         // unreferenced files are invisible, this is just hygiene
-        val fs = new Path(LakeStore.dataDir(key)).getFileSystem(new Configuration())
-        messages.iterator.filter(_ != null).map(_.asInstanceOf[LakeCommit])
-          .flatMap(_.files.iterator)
-          .foreach(f => fs.delete(new Path(LakeStore.dataDir(key), f.path), false))
-      }
+        sweepFiles(messages.iterator)
     }
+
+    /** `writeStream.toTable` — the lake as a native STREAMING SINK
+      * (Delta's shape): each micro-batch appends through the SAME
+      * task-side writer (constraints, derived columns, blooms all
+      * enforced), and the commit is EXACTLY-ONCE by epoch — the commit
+      * records `(queryId, epochId)` in the table properties, and a
+      * replayed epoch (engine retry after a crash between sink commit
+      * and checkpoint advance) is recognized and dropped instead of
+      * double-appended — the Delta txn-version idempotence move. */
+    override def toStreaming:
+        org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+        require(mode == AppendMode,
+          s"graft_lake: streaming writes to $key support append mode only")
+        override def createStreamingWriterFactory(info: PhysicalWriteInfo):
+            org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+          val inner = writerFactory()
+          (partitionId: Int, taskId: Long, _epochId: Long) =>
+            inner.createWriter(partitionId, taskId)
+        }
+        override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+          val files = messages.iterator.filter(_ != null)
+            .map(_.asInstanceOf[LakeCommit]).flatMap(_.files.iterator).toSeq
+          val committed = LakeStore.appendEpoch(key, files, queryId, epochId)
+          if (!committed) sweepFiles(messages.iterator) // duplicate replay
+        }
+        override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+          sweepFiles(messages.iterator)
+      }
   }
 }
 

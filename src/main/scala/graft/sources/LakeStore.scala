@@ -248,6 +248,25 @@ object LakeStore {
       dataChange = true, schema = st.schema)
   }
 
+  /** Streaming-sink append with EXACTLY-ONCE epoch idempotence (the
+    * Delta txn-version move): the commit records the stream's
+    * `(queryId, epochId)` as a table property, and an epoch at or below
+    * the recorded high-water mark is a REPLAY (engine retry after a
+    * crash between sink commit and checkpoint advance) — recognized
+    * here and refused, so the caller drops the duplicate files instead
+    * of double-appending. Returns whether the commit happened. */
+  def appendEpoch(k: String, files: Seq[FileEntry], queryId: String,
+      epochId: Long): Boolean = synchronized {
+    val st = stateOf(k)
+    val prop = s"graft.stream.epoch.$queryId"
+    if (st.props.get(prop).exists(_.toLong >= epochId)) return false
+    commit(k, st, "append", st.current ++ files, files,
+      removed = Nil, commitGroups = Some(files.map(_.group).toSet),
+      dataChange = true, schema = st.schema,
+      props = st.props.updated(prop, epochId.toString))
+    true
+  }
+
   /** Row-level replacement commit. `groups = None` replaces the whole
     * table (the unpartitioned one-group case); `Some(gs)` swaps exactly
     * the scanned groups: their files leave the live set (staying on disk

@@ -176,7 +176,10 @@ object ScaleSweep {
       "p46_zorder_optimize" -> "OPTIMIZE ZORDER (morton range-shuffle rewrite)",
       "p47_partition_evolution" -> "partition evolution (cross-era group pruning)",
       "p48_bloom_index" -> "per-file bloom point lookups (manifest-carried)",
-      "st16_stream_change_feed" -> "streaming CDF source (per-commit deltas)")
+      "st16_stream_change_feed" -> "streaming CDF source (per-commit deltas)",
+      "p49_partition_overwrite" -> "static+dynamic partition overwrite (group swaps)",
+      "st17_stream_lake_sink" -> "native streaming sink (exactly-once epochs)",
+      "p50_sql_procedures" -> "CALL procedures (optimize/restore/vacuum arc)")
 
     // warm the JVM/codegen on the smallest sf so cold-start lands nowhere
     queries.foreach { case (q, _) =>

@@ -329,6 +329,87 @@ class Round10OpsSpec extends SparkTestBase {
     assert(got === Seq((1L, "I", 1L), (1L, "I", 2L), (1L, "I", 3L), (2L, "D", 2L)))
   }
 
+  // ------------------------------ p49 overwrite modes / st17 sink
+
+  test("p49/SQL INSERT OVERWRITE PARTITION swaps exactly the named partition") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_lake.povr2")
+    spark.sql("CREATE TABLE graft_lake.povr2 (id BIGINT, grp STRING) PARTITIONED BY (grp)")
+    import spark.implicits._
+    (0L until 30L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+      .repartition(col("grp")).writeTo("graft_lake.povr2").append()
+    val before = LakeStore.get("graft_lake.povr2").get
+      .current.map(f => f.group -> f.path).toMap
+    spark.sql("""INSERT OVERWRITE graft_lake.povr2 PARTITION (grp = 'g1')
+                |SELECT id + 100 FROM VALUES (1L), (2L) AS t(id)""".stripMargin)
+    val st = LakeStore.get("graft_lake.povr2").get
+    val after = st.current.map(f => f.group -> f.path).toMap
+    assert(after(List("g0")) === before(List("g0"))) // untouched files live
+    assert(after(List("g2")) === before(List("g2")))
+    assert(after(List("g1")) !== before(List("g1")))
+    val g1 = spark.table("graft_lake.povr2").filter(col("grp") === "g1")
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(g1.toSeq === Seq(101L, 102L))
+    assert(spark.table("graft_lake.povr2").count() === 22L) // 20 kept + 2 new
+  }
+
+  test("st17/a committed epoch replay is recognized and dropped (exactly-once)") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_lake.epochx")
+    spark.sql("CREATE TABLE graft_lake.epochx (id BIGINT)")
+    def entry(p: String) = LakeStore.FileEntry(p, Nil, 1L, Seq("id"),
+      Map("id" -> ((1L: Any, 1L: Any))))
+    assert(LakeStore.appendEpoch("graft_lake.epochx", Seq(entry("a.parquet")), "q1", 0L))
+    // the engine retries epoch 0 after a crash: must be refused
+    assert(!LakeStore.appendEpoch("graft_lake.epochx", Seq(entry("b.parquet")), "q1", 0L))
+    assert(LakeStore.appendEpoch("graft_lake.epochx", Seq(entry("c.parquet")), "q1", 1L))
+    // a DIFFERENT query's epoch numbering is independent
+    assert(LakeStore.appendEpoch("graft_lake.epochx", Seq(entry("d.parquet")), "q2", 0L))
+    val st = LakeStore.get("graft_lake.epochx").get
+    assert(st.current.map(_.path).toSet === Set("a.parquet", "c.parquet", "d.parquet"))
+    // the epoch high-water marks survive a cold replay
+    LakeStore.invalidateCache("graft_lake.epochx")
+    assert(!LakeStore.appendEpoch("graft_lake.epochx", Seq(entry("e.parquet")), "q1", 1L))
+  }
+
+  // ------------------------------------------------ p50 procedures
+
+  test("p50/CALL procedures: clone + set_partition_spec + listing + unknown-name error") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_lake.proc_clone")
+    spark.sql("DROP TABLE IF EXISTS graft_lake.proc_src")
+    spark.sql("CREATE TABLE graft_lake.proc_src (id BIGINT, grp STRING)")
+    import spark.implicits._
+    (0L until 12L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+      .writeTo("graft_lake.proc_src").append()
+    // CALL clone: zero-copy fork, result row = referenced file count
+    val cl = spark.sql(
+      "CALL graft_lake.system.clone(source => 'proc_src', target => 'proc_clone')")
+      .collect()(0)
+    assert(cl.getLong(0) >= 1L)
+    assert(spark.table("graft_lake.proc_clone").count() === 12L)
+    // CALL set_partition_spec: evolution as SQL, result row pins the spec
+    val sp = spark.sql(
+      "CALL graft_lake.system.set_partition_spec(tbl => 'proc_clone', cols => 'grp')")
+      .collect()(0)
+    assert(sp.getString(1) === "grp")
+    assert(LakeStore.get("graft_lake.proc_clone").get.partitionCols === Seq("grp"))
+    // positional invocation works too
+    val vac = spark.sql("CALL graft_lake.system.vacuum('proc_src', 1, 0L)").collect()(0)
+    assert(vac.getLong(0) === 0L) // nothing unreferenced yet
+    // SHOW PROCEDURES surfaces the roster
+    val listed = spark.sql("SHOW PROCEDURES IN graft_lake").collect()
+      .map(_.toString).mkString(",")
+    graft.sources.LakeProcedures.Names.foreach(n => assert(listed.contains(n)))
+    // unknown procedure fails loudly with the roster in the message
+    val e = intercept[Exception] {
+      spark.sql("CALL graft_lake.system.explode_table(tbl => 'proc_src')").collect()
+    }
+    // Spark wraps the catalog's refusal as FAILED_TO_LOAD_ROUTINE
+    assert(e.getMessage.toLowerCase.contains("failed to load routine") ||
+      e.getMessage.contains("unknown procedure"))
+  }
+
   // ---------------------------------- MoR update-representation toggle
 
   test("update-as-delete+insert toggle lands identically to single-op updates") {
