@@ -3489,7 +3489,171 @@ object PipelineQueries {
       |  CAST(10 AS BIGINT) AS vac_horizon
       |FROM documents""".stripMargin
 
+  // ---------------------------------------------------------------- p51
+  /** COLUMN MAPPING — `ALTER TABLE RENAME COLUMN` as pure metadata
+    * (Delta's column-mapping `name` mode): the column's PHYSICAL
+    * (parquet) name is pinned at birth in field metadata, the rename
+    * touches only the logical name, and every reader era translates
+    * through the schema itself — zero files rewritten, pre-rename
+    * files need no translation table, post-rename writes keep storing
+    * the birth name so the table stays era-uniform. Zone maps, blooms
+    * and manifest column lists are all keyed physically, so data
+    * skipping keeps working across the rename; row-level statements
+    * (the UPDATE here spans both file eras) read and write through the
+    * same mapping. Renames that would break STORED TEXT (constraints,
+    * generation expressions, bloom configs — they reference logical
+    * names) are refused loudly, as is renaming a live partition
+    * column.
+    *
+    * Inside the hash: aggregates over the RENAMED name spanning both
+    * eras plus a post-rename row-level UPDATE; `phys_stable` pins that
+    * every live file (pre-rename, post-rename, AND the UPDATE's
+    * rewrite output) stores the birth name; `old_name_v1` pins that
+    * time travel to a pre-rename version surfaces the era's own
+    * logical schema. */
+  def p51RenameColumn(s: SparkSession, dir: String): DataFrame = {
+    registerLake(s)
+    s.sql("DROP TABLE IF EXISTS graft_lake.renm")
+    s.sql("CREATE TABLE graft_lake.renm (doc_id BIGINT, source STRING, nc BIGINT)")
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    docs.filter(col("doc_id") % 2 === 0)
+      .withColumnRenamed("n_chars", "nc")
+      .writeTo("graft_lake.renm").append() // v1: pre-rename era
+    s.sql("ALTER TABLE graft_lake.renm RENAME COLUMN nc TO n_chars") // v2: metadata-only
+    docs.filter(col("doc_id") % 2 === 1)
+      .writeTo("graft_lake.renm").append() // v3: post-rename era
+    s.sql("UPDATE graft_lake.renm SET n_chars = n_chars + 10 WHERE doc_id % 10 = 0") // v4: spans eras
+    val st = graft.sources.LakeStore.get("graft_lake.renm").get
+    val physStable = if (st.current.forall(f =>
+      f.cols.contains("nc") && !f.cols.contains("n_chars"))) 1L else 0L
+    val oldNameV1 =
+      if (s.sql("SELECT * FROM graft_lake.renm VERSION AS OF 1")
+        .schema.fieldNames.sameElements(Array("doc_id", "source", "nc"))) 1L else 0L
+    s.table("graft_lake.renm")
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(col("n_chars")), lit(0L)).as("sum_chars"),
+        sum(when(col("n_chars") >= 300L, 1L).otherwise(0L)).as("n_long"))
+      .withColumn("phys_stable", lit(physStable))
+      .withColumn("old_name_v1", lit(oldNameV1))
+  }
+
+  val p51Sql: String =
+    """WITH d AS (SELECT doc_id,
+      |  n_chars + (CASE WHEN doc_id % 10 = 0 THEN 10 ELSE 0 END) AS n_chars
+      |  FROM documents)
+      |SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(SUM(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS BIGINT) AS n_long,
+      |  CAST(1 AS BIGINT) AS phys_stable,
+      |  CAST(1 AS BIGINT) AS old_name_v1
+      |FROM d""".stripMargin
+
+  // ---------------------------------------------------------------- p52
+  /** DROP COLUMN as pure metadata — the operation Delta gates on column
+    * mapping (p51's substrate): the field leaves the logical schema,
+    * zero files are rewritten, and a later re-ADD of the same name binds
+    * a FRESH physical name so the old column's stale bytes are never
+    * resurrected — every pre-drop row reads NULL, exactly Delta's
+    * contract. Time travel to a pre-drop version still reads the old
+    * values through that era's own snapshot schema.
+    *
+    * Inside the hash: the even docs land WITH lang (v1), lang is dropped
+    * (v2) and re-added (v3), the odd docs land with lang (v4) — so
+    * `n_with_lang`/`n_langs` count ONLY the odd rows (stale bytes would
+    * inflate both), `v1_lang_rows` pins the pre-drop era's values via
+    * time travel, `fresh_physical` pins the re-bound storage name, and
+    * `old_files_intact` pins that the drop rewrote nothing (the v1 files
+    * are still live and still physically carry the column). */
+  def p52DropColumn(s: SparkSession, dir: String): DataFrame = {
+    registerLake(s)
+    s.sql("DROP TABLE IF EXISTS graft_lake.drp")
+    s.sql("CREATE TABLE graft_lake.drp (doc_id BIGINT, source STRING, lang STRING, n_chars BIGINT)")
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+    docs.filter(col("doc_id") % 2 === 0)
+      .writeTo("graft_lake.drp").append() // v1: pre-drop era, lang populated
+    s.sql("ALTER TABLE graft_lake.drp DROP COLUMN lang") // v2: metadata-only
+    s.sql("ALTER TABLE graft_lake.drp ADD COLUMN lang STRING") // v3: fresh physical name
+    docs.filter(col("doc_id") % 2 === 1)
+      .writeTo("graft_lake.drp").append() // v4: post-re-add era
+    val st = graft.sources.LakeStore.get("graft_lake.drp").get
+    val freshPhysical =
+      if (graft.sources.LakeStore.physicalName(st.schema("lang")) != "lang") 1L else 0L
+    val v1Files = st.snapshots(1).files
+    val oldFilesIntact = if (v1Files.nonEmpty &&
+      v1Files.forall(f => st.current.contains(f) && f.cols.contains("lang"))) 1L else 0L
+    val v1LangRows = s.sql(
+      "SELECT count(lang) AS c FROM graft_lake.drp VERSION AS OF 1")
+      .collect()(0).getLong(0)
+    s.table("graft_lake.drp")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_chars")).as("sum_chars"),
+        count(col("lang")).as("n_with_lang"),
+        countDistinct(col("lang")).as("n_langs"))
+      .withColumn("v1_lang_rows", lit(v1LangRows))
+      .withColumn("fresh_physical", lit(freshPhysical))
+      .withColumn("old_files_intact", lit(oldFilesIntact))
+  }
+
+  val p52Sql: String =
+    """SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(COUNT(CASE WHEN doc_id % 2 = 1 THEN lang END) AS BIGINT) AS n_with_lang,
+      |  CAST(COUNT(DISTINCT CASE WHEN doc_id % 2 = 1 THEN lang END) AS BIGINT) AS n_langs,
+      |  CAST((SELECT COUNT(lang) FROM documents WHERE doc_id % 2 = 0) AS BIGINT) AS v1_lang_rows,
+      |  CAST(1 AS BIGINT) AS fresh_physical,
+      |  CAST(1 AS BIGINT) AS old_files_intact
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------- p53
+  /** COMMIT-LOG CHECKPOINTS — Delta's `_last_checkpoint` move: every 10
+    * commits the store writes one `<v>.checkpoint.json` capturing the
+    * full replayed state, so a COLD start opens the checkpoint plus the
+    * per-commit tail — O(1) + O(commits since last checkpoint)
+    * filesystem opens however long the history grows, instead of one
+    * open (an object-store roundtrip, in production) per commit. Full
+    * version fidelity is preserved: time travel BELOW the checkpoint
+    * still answers exactly, because every snapshot is captured, and the
+    * log (not the checkpoint) stays the source of truth.
+    *
+    * Inside the hash: 12 append commits land, the cache is invalidated,
+    * and the cold replay must report starting from the version-10
+    * checkpoint with a 2-entry tail (`ckpt_version`/`tail_entries` come
+    * from the store's replay audit); `v5_rows` time-travels below the
+    * checkpoint afterwards; the aggregates restate the 12 slices. */
+  def p53LogCheckpoint(s: SparkSession, dir: String): DataFrame = {
+    registerLake(s)
+    s.sql("DROP TABLE IF EXISTS graft_lake.ckpt")
+    s.sql("CREATE TABLE graft_lake.ckpt (doc_id BIGINT, n_chars BIGINT)")
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+    (0 until 12).foreach { i =>
+      docs.filter(col("doc_id") % 12 === i).writeTo("graft_lake.ckpt").append()
+    } // v1..v12 — the interval-10 checkpoint lands at v10
+    graft.sources.LakeStore.invalidateCache("graft_lake.ckpt")
+    val frame = s.table("graft_lake.ckpt") // analysis triggers the COLD replay
+    val rs = graft.sources.LakeStore.lastReplayStats("graft_lake.ckpt")
+    val v5Rows = s.sql(
+      "SELECT count(*) AS c FROM graft_lake.ckpt VERSION AS OF 5")
+      .collect()(0).getLong(0)
+    frame.agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"))
+      .withColumn("ckpt_version", lit(rs.checkpoint.getOrElse(-1).toLong))
+      .withColumn("tail_entries", lit(rs.entriesParsed.toLong))
+      .withColumn("v5_rows", lit(v5Rows))
+  }
+
+  val p53Sql: String =
+    """SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(10 AS BIGINT) AS ckpt_version,
+      |  CAST(2 AS BIGINT) AS tail_entries,
+      |  CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 12 <= 4) AS BIGINT) AS v5_rows
+      |FROM documents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p53_log_checkpoint" -> (p53LogCheckpoint _),
+    "p52_drop_column" -> (p52DropColumn _),
+    "p51_rename_column" -> (p51RenameColumn _),
     "p50_sql_procedures" -> (p50SqlProcedures _),
     "p49_partition_overwrite" -> (p49PartitionOverwrite _),
     "p48_bloom_index" -> (p48BloomIndex _),
@@ -3543,6 +3707,9 @@ object PipelineQueries {
   // def, not val: p19Sql embeds Sidecars.oracleDir-keyed paths, which
   // Verify pins at runtime before dumping oracle_sql.json
   def oracle: Map[String, String] = Map(
+    "p53_log_checkpoint" -> p53Sql,
+    "p52_drop_column" -> p52Sql,
+    "p51_rename_column" -> p51Sql,
     "p50_sql_procedures" -> p50Sql,
     "p49_partition_overwrite" -> p49Sql,
     "p48_bloom_index" -> p48Sql,

@@ -426,6 +426,17 @@ class GraftLakeCatalog extends TableCatalog
         Seq(catalogName) ++ ident.namespace().toSeq :+ ident.name())
     }
 
+  /** `TIMESTAMP AS OF` time travel: resolved against the commit log's
+    * own timestamps ([[LakeStore.versionAt]]) to the snapshot live at
+    * that instant, then served exactly like `VERSION AS OF`. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val key = k(ident)
+    val v = LakeStore.versionAt(key, timestamp)
+    LakeStore.requireReadable(key, v)
+    val st = LakeStore.get(key).get
+    new GraftLakeTable(key, st.snapshots(v).schema, pinnedVersion = Some(v))
+  }
+
   override def createTable(ident: Identifier, columns: Array[Column],
       partitions: Array[Transform], properties: util.Map[String, String]): Table =
     // v2ColumnsToStructType persists DEFAULT / generation-expression /
@@ -491,6 +502,74 @@ class GraftLakeCatalog extends TableCatalog
     var schema = st.schema
     var props = st.props
     changes.foreach {
+      case rn: TableChange.RenameColumn =>
+        // COLUMN MAPPING (Delta's `name` mode): the rename touches only
+        // the LOGICAL name; the column's physical (parquet) name is
+        // pinned at birth in field metadata, so zero data files move
+        // and readers of any era translate through the schema itself
+        require(rn.fieldNames().length == 1,
+          s"graft_lake: nested RENAME COLUMN unsupported: ${rn.fieldNames().mkString(".")}")
+        val oldName = rn.fieldNames()(0)
+        require(schema.fieldNames.contains(oldName),
+          s"graft_lake: column $oldName does not exist")
+        require(!schema.fieldNames.contains(rn.newName()),
+          s"graft_lake: column ${rn.newName()} already exists")
+        require(!st.partitionCols.contains(oldName),
+          s"graft_lake: cannot rename partition column $oldName (evolve the " +
+            "partition spec first)")
+        // stored EXPRESSION TEXTS (constraints, generation expressions)
+        // reference logical names; a rename would silently break them
+        val exprTexts =
+          props.collect { case (pk, pv) if pk.startsWith(LakeConstraints.prefix) => pv } ++
+            props.get(LakeBloom.ColumnsProp).toSeq ++
+            schema.fields.flatMap(f => org.apache.spark.sql.catalyst.util
+              .GeneratedColumn.getGenerationExpression(f))
+        val word = ("(?i)(?<![A-Za-z0-9_`])" +
+          java.util.regex.Pattern.quote(oldName) + "(?![A-Za-z0-9_])").r
+        require(!exprTexts.exists(t => word.findFirstIn(t).isDefined),
+          s"graft_lake: cannot rename $oldName — a CHECK constraint or " +
+            "generation expression references it; drop/recreate that first")
+        val i = schema.fieldIndex(oldName)
+        val f = schema(i)
+        val newMeta = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putString(LakeStore.PhysicalKey, LakeStore.physicalName(f))
+          .build()
+        schema = StructType(schema.fields.updated(i,
+          f.copy(name = rn.newName(), metadata = newMeta)))
+      case del: TableChange.DeleteColumn =>
+        // DROP COLUMN as pure metadata (the operation Delta gates on
+        // column mapping): the field leaves the LOGICAL schema, data
+        // files keep the physical column untouched — readers simply
+        // never request it again, and time travel to a pre-drop version
+        // still reads it through that era's own snapshot schema
+        require(del.fieldNames().length == 1,
+          s"graft_lake: nested DROP COLUMN unsupported: ${del.fieldNames().mkString(".")}")
+        val name = del.fieldNames()(0)
+        if (!schema.fieldNames.contains(name)) {
+          require(del.ifExists(), s"graft_lake: column $name does not exist")
+        } else {
+          require(schema.fields.length > 1,
+            s"graft_lake: cannot drop $name — it is the table's only column")
+          require(!st.partitionCols.contains(name),
+            s"graft_lake: cannot drop partition column $name (evolve the " +
+              "partition spec first)")
+          // stored EXPRESSION TEXTS name logical columns; a drop that a
+          // constraint / OTHER column's generation expression / bloom
+          // config still references would break them silently
+          val exprTexts =
+            props.collect { case (pk, pv) if pk.startsWith(LakeConstraints.prefix) => pv } ++
+              props.get(LakeBloom.ColumnsProp).toSeq ++
+              schema.fields.filterNot(_.name == name)
+                .flatMap(f => org.apache.spark.sql.catalyst.util
+                  .GeneratedColumn.getGenerationExpression(f))
+          val word = ("(?i)(?<![A-Za-z0-9_`])" +
+            java.util.regex.Pattern.quote(name) + "(?![A-Za-z0-9_])").r
+          require(!exprTexts.exists(t => word.findFirstIn(t).isDefined),
+            s"graft_lake: cannot drop $name — a CHECK constraint, generation " +
+              "expression or bloom config references it; drop that first")
+          schema = StructType(schema.fields.filterNot(_.name == name))
+        }
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1,
           s"graft_lake: nested ADD COLUMN unsupported: ${add.fieldNames().mkString(".")}")
@@ -498,9 +577,26 @@ class GraftLakeCatalog extends TableCatalog
           "graft_lake: positioned ADD COLUMN unsupported (columns append at the end)")
         require(add.isNullable,
           "graft_lake: added columns must be nullable (existing files pad null)")
-        require(!schema.fieldNames.contains(add.fieldNames()(0)),
-          s"graft_lake: column ${add.fieldNames()(0)} already exists")
-        schema = schema.add(StructField(add.fieldNames()(0), add.dataType(), add.isNullable))
+        val addName = add.fieldNames()(0)
+        require(!schema.fieldNames.contains(addName),
+          s"graft_lake: column $addName already exists")
+        // column-mapping re-add safety: the new column's PHYSICAL name
+        // must collide with nothing a live file already stores and no
+        // current field already claims — re-adding a dropped column (or
+        // a renamed column's birth name) must read NULL everywhere, not
+        // resurrect the old column's stale bytes
+        val takenPhysical = schema.fields.map(LakeStore.physicalName).toSet
+        val inLiveFiles = (c: String) => st.current.exists(_.cols.contains(c))
+        val field = StructField(addName, add.dataType(), add.isNullable)
+        schema = schema.add(
+          if (!takenPhysical.contains(addName) && !inLiveFiles(addName)) field
+          else {
+            val fresh = Iterator.from(st.latestVersion + 1)
+              .map(v => s"${addName}_g$v")
+              .find(c => !takenPhysical.contains(c) && !inLiveFiles(c)).get
+            field.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+              .putString(LakeStore.PhysicalKey, fresh).build())
+          })
       case set: TableChange.SetProperty =>
         if (set.property().startsWith(LakeConstraints.prefix))
           LakeConstraints.validateNew(key, set.property(), set.value())
@@ -745,10 +841,14 @@ class LakeGroupScan(key: String, schema: StructType,
     }
 
   private def surviving(st: LakeStore.TableState,
-      compares: Seq[ZonePrune.ColCompare]): Set[List[Any]] =
-    envelopes(st).collect { case (g, env) if compares.forall(cc =>
+      compares: Seq[ZonePrune.ColCompare]): Set[List[Any]] = {
+    // envelope keys are PHYSICAL zone names (column mapping)
+    val phys = LakeStore.physicalMap(st.schema)
+    val mapped = compares.map(cc => cc.copy(col = phys.getOrElse(cc.col, cc.col)))
+    envelopes(st).collect { case (g, env) if mapped.forall(cc =>
       env.get(cc.col).forall(z => ZonePrune.survives(Some(z), cc))) => g
     }.toSet
+  }
 
   /** Static prune from the statement's own condition (build time),
     * before any runtime filter arrives. */
@@ -854,6 +954,11 @@ class LakeScan(key: String, schema: StructType,
     limit: Option[Int] = None) extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   private val readCols: StructType = Option(required).getOrElse(schema)
+  /** logical -> physical for THIS scan's schema era (column mapping):
+    * zones, blooms, and manifest column lists are keyed physically. */
+  protected val physNames: Map[String, String] = LakeStore.physicalMap(schema)
+  private def toPhysical(cc: ZonePrune.ColCompare): ZonePrune.ColCompare =
+    cc.copy(col = physNames.getOrElse(cc.col, cc.col))
   override def readSchema(): StructType = readCols
   override def toBatch: Batch = this
 
@@ -867,7 +972,7 @@ class LakeScan(key: String, schema: StructType,
     val st = LakeStore.get(key)
     val files = st.map(s => pinnedVersion.fold(s.current)(v => s.snapshots(v).files))
       .getOrElse(Vector.empty)
-    val compares = pushed.flatMap(ZonePrune.parse)
+    val compares = pushed.flatMap(ZonePrune.parse).map(toPhysical)
     val surviving =
       if (compares.isEmpty) files
       else files.filter(f => compares.forall(cc => ZonePrune.survives(f.zones.get(cc.col), cc)))
@@ -913,7 +1018,7 @@ class LakeScan(key: String, schema: StructType,
     val stOpt = LakeStore.get(key)
     val files = stOpt.map(s => pinnedVersion.fold(s.current)(v => s.snapshots(v).files))
       .getOrElse(Vector.empty)
-    val compares = pushed.flatMap(ZonePrune.parse)
+    val compares = pushed.flatMap(ZonePrune.parse).map(toPhysical)
     // equality probes additionally consult the per-file bloom filters
     // (when the file carries one for the column): zones cannot skip a
     // point lookup on an id that interleaves across every file — the
@@ -950,7 +1055,7 @@ class LakeScan(key: String, schema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new LakeReaderFactory(readCols)
+    new LakeReaderFactory(readCols, physNames)
 
   /** `readStream.table(...)`: the commit log consumed as a STREAMING
     * SOURCE (Delta's streaming-source shape) — see [[LakeMicroBatchStream]]. */
@@ -958,7 +1063,7 @@ class LakeScan(key: String, schema: StructType,
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(pinnedVersion.isEmpty,
       "graft_lake: cannot stream from a time-travel view")
-    new LakeMicroBatchStream(key, readCols)
+    new LakeMicroBatchStream(key, readCols, physNames)
   }
 }
 
@@ -976,7 +1081,8 @@ class LakeScan(key: String, schema: StructType,
   * row-level deltas should read the change feed (st14 / GraftLake
   * .changes) instead — the same contract Delta's source enforces
   * without ignoreChanges. */
-class LakeMicroBatchStream(key: String, required: StructType)
+class LakeMicroBatchStream(key: String, required: StructType,
+    physicalOf: Map[String, String] = Map.empty)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.{Offset => V2Offset}
 
@@ -1022,7 +1128,7 @@ class LakeMicroBatchStream(key: String, required: StructType)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new LakeReaderFactory(required)
+    new LakeReaderFactory(required, physicalOf)
   override def commit(end: V2Offset): Unit = ()
   override def stop(): Unit = ()
 }
@@ -1074,13 +1180,17 @@ object LakeCdf {
       LakeFileChunk(LakeStore.resolvePath(key, f), f.cols, f.rows, dv, n,
         change = "D", version = v.toLong)
     }
-    // merge-on-read: sidecars NEW at v over files that stayed live —
-    // each is O(positions deleted), read include-mode
+    // merge-on-read: sidecars NEW at v over files that were ALREADY
+    // live at v-1 — each is O(positions deleted), read include-mode.
+    // A file ADDED at v arrives with its DVs already subtracted from
+    // its own I chunk (a CLONE carries the source's vectors in its
+    // first commit); those positions were never visible here, so they
+    // are part of the insert shape, not deletions.
     val prevEntries = prev.deletes.toSet
     val newDv = snap.deletes.filterNot(prevEntries).groupBy(_.dataFile)
     val byPath = snap.files.iterator.map(f => f.path -> f).toMap
     val morDeletes = newDv.iterator.collect {
-      case (df, es) if byPath.contains(df) =>
+      case (df, es) if byPath.contains(df) && prevPaths.contains(df) =>
         val f = byPath(df)
         LakeFileChunk(LakeStore.resolvePath(key, f), f.cols, f.rows,
           es.map(e => LakeStore.resolveRaw(key, e.path)), es.map(_.rows).sum,
@@ -1139,6 +1249,7 @@ class LakeChangesScan(parentKey: String, required: StructType,
     extends Scan with Batch {
   private def st = LakeStore.get(parentKey).getOrElse(
     throw new NoSuchTableException(parentKey.split('.').toSeq))
+  private def phys: Map[String, String] = LakeStore.physicalMap(st.schema)
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = s"GraftLakeChanges($parentKey)"
@@ -1153,11 +1264,11 @@ class LakeChangesScan(parentKey: String, required: StructType,
     LakeFilePartition.pack((from to to).flatMap(v => LakeCdf.chunksFor(parentKey, s0, v)))
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new LakeReaderFactory(required)
+    new LakeReaderFactory(required, phys)
 
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new LakeCdfMicroBatchStream(parentKey, required)
+    new LakeCdfMicroBatchStream(parentKey, required, phys)
 }
 
 /** The change feed as a STREAMING SOURCE: offsets are commit versions
@@ -1167,7 +1278,8 @@ class LakeChangesScan(parentKey: String, required: StructType,
   * merge-on-read deltas, RESTOREs. Exactly-once across restarts via
   * the checkpointed version offset; a resume below the vacuum horizon
   * fails with the retention error, not a task FileNotFound. */
-class LakeCdfMicroBatchStream(key: String, required: StructType)
+class LakeCdfMicroBatchStream(key: String, required: StructType,
+    physicalOf: Map[String, String] = Map.empty)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.{Offset => V2Offset}
 
@@ -1197,7 +1309,7 @@ class LakeCdfMicroBatchStream(key: String, required: StructType)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new LakeReaderFactory(required)
+    new LakeReaderFactory(required, physicalOf)
   override def commit(end: V2Offset): Unit = ()
   override def stop(): Unit = ()
 }
@@ -1252,7 +1364,8 @@ object LakeFilePartition {
   * in the file, and pads required-but-absent columns (added by a later
   * ALTER) with null. A fully-pruned read (count(*)) never opens the
   * file at all — the manifest row count answers it. */
-class LakeReaderFactory(required: StructType) extends PartitionReaderFactory {
+class LakeReaderFactory(required: StructType,
+    physicalOf: Map[String, String] = Map.empty) extends PartitionReaderFactory {
   import org.apache.spark.sql.catalyst.util.RebaseDateTime.RebaseSpec
   import org.apache.spark.sql.internal.LegacyBehaviorPolicy
 
@@ -1323,9 +1436,16 @@ class LakeReaderFactory(required: StructType) extends PartitionReaderFactory {
         (i, org.apache.spark.unsafe.types.UTF8String.fromString(p.change): Any)
       case (f, i) if f.name == LakeChangesTable.VersionCol => (i, p.version: Any)
     }
+    // column mapping: files store PHYSICAL names — membership tests and
+    // the parquet read request translate through the schema's mapping
+    // (a renamed column reads its birth-name data from every era's file)
     val availIdx = required.fields.zipWithIndex
-      .filter { case (f, _) => p.cols.contains(f.name) && !computed.contains(f.name) }
-    val fileSchema = StructType(availIdx.map(_._1))
+      .filter { case (f, _) =>
+        p.cols.contains(physicalOf.getOrElse(f.name, f.name)) &&
+          !computed.contains(f.name) }
+    val fileSchema = StructType(availIdx.map { case (f, _) =>
+      f.copy(name = physicalOf.getOrElse(f.name, f.name),
+        metadata = org.apache.spark.sql.types.Metadata.empty) })
 
     val conf = new Configuration()
     conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, fileSchema.json)
@@ -1609,9 +1729,15 @@ object LakeDerivedColumns {
 object LakeMetaTable {
   import org.apache.spark.sql.types.{BooleanType, LongType, StringType}
 
-  val kinds: Set[String] = Set("history", "files")
+  val kinds: Set[String] = Set("history", "files", "partitions")
 
   def schemaOf(kind: String): StructType = kind match {
+    case "partitions" => StructType(Seq(
+      StructField("partition", StringType, nullable = false),
+      StructField("n_files", LongType, nullable = false),
+      StructField("rows", LongType, nullable = false),
+      // rows hidden by live deletion vectors within this partition
+      StructField("dv_rows", LongType, nullable = false)))
     case "history" => StructType(Seq(
       StructField("version", LongType, nullable = false),
       StructField("action", StringType, nullable = false),
@@ -1636,7 +1762,25 @@ object LakeMetaTable {
   /** Materialize the metadata rows from the manifest (driver-side,
     * bounded by commit/file counts). Values are the serializable
     * primitives the reader converts to Catalyst forms. */
+  /** Render a group key with the current spec's column names when the
+    * arity matches; positionally otherwise (pre-evolution groups). */
+  private def partLabel(st: LakeStore.TableState, g: List[Any]): String =
+    if (g.length == st.partitionCols.length)
+      st.partitionCols.zip(g).map { case (c, v) => s"$c=$v" }.mkString("/")
+    else g.mkString("legacy[", "/", "]")
+
   def rows(st: LakeStore.TableState, kind: String): Vector[Vector[Any]] = kind match {
+    case "partitions" =>
+      // one row per live partition group (Iceberg's `partitions` table):
+      // the manifest's group-level footprint, driver-side
+      val dvRows = st.deletes.groupBy(_.dataFile).map { case (df, es) =>
+        df -> es.map(_.rows).sum }
+      st.current.groupBy(_.group).toVector
+        .sortBy { case (g, _) => g.map(String.valueOf).mkString("/") }
+        .map { case (g, fs) =>
+          Vector[Any](partLabel(st, g), fs.length.toLong,
+            fs.map(_.rows).sum, fs.map(f => dvRows.getOrElse(f.path, 0L)).sum)
+        }
     case "history" =>
       (0 to st.latestVersion).iterator.map { v =>
         val snap = st.snapshots(v)
@@ -1655,14 +1799,7 @@ object LakeMetaTable {
       val dvRows = st.deletes.groupBy(_.dataFile).map { case (df, es) =>
         df -> es.map(_.rows).sum }
       st.current.map { f =>
-        // a file written before a partition evolution carries its own
-        // era's group arity — label it positionally rather than with
-        // the (wrong) current spec's column names
-        val partLabel =
-          if (f.group.length == st.partitionCols.length)
-            st.partitionCols.zip(f.group).map { case (c, v) => s"$c=$v" }.mkString("/")
-          else f.group.mkString("legacy[", "/", "]")
-        Vector[Any](f.path, partLabel,
+        Vector[Any](f.path, partLabel(st, f.group),
           f.rows, f.cols.length.toLong, dvRows.getOrElse(f.path, 0L))
       }
   }
@@ -1794,8 +1931,10 @@ class LakeWriteBuilder(key: String, writeSchema: StructType,
     val derived = LakeDerivedColumns.compile(key,
       st.map(_.schema).getOrElse(writeSchema))
     val props = st.map(_.props).getOrElse(Map.empty)
+    val phys = st.map(s => LakeStore.physicalMap(s.schema)).getOrElse(Map.empty)
     new LakeWriterFactory(LakeStore.dataDir(key), writeSchema, partitionCols,
-      constraints, derived, LakeBloom.columnsOf(props), LakeBloom.bitsOf(props))
+      constraints, derived, LakeBloom.columnsOf(props), LakeBloom.bitsOf(props),
+      phys)
   }
 
   private def sweepFiles(messages: Iterator[WriterCommitMessage]): Unit = {
@@ -1891,8 +2030,10 @@ class LakeDeltaBatchWrite(key: String, rowSchema: StructType)
       if (rowSchema.isEmpty) LakeDerivedColumns.empty
       else LakeDerivedColumns.compile(key, st.map(_.schema).getOrElse(rowSchema))
     val props = st.map(_.props).getOrElse(Map.empty)
+    val phys = st.map(s => LakeStore.physicalMap(s.schema)).getOrElse(Map.empty)
     new LakeDeltaWriterFactory(LakeStore.dataDir(key), rowSchema, partitionCols,
-      constraints, derived, LakeBloom.columnsOf(props), LakeBloom.bitsOf(props))
+      constraints, derived, LakeBloom.columnsOf(props), LakeBloom.bitsOf(props),
+      phys)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -1932,7 +2073,8 @@ class LakeDeltaWriterFactory(dataDir: String, schema: StructType,
     partitionCols: Seq[String],
     constraints: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)],
     derived: LakeDerivedColumns.Spec = LakeDerivedColumns.empty,
-    bloomCols: Seq[String] = Nil, bloomBits: Int = 1 << 16)
+    bloomCols: Seq[String] = Nil, bloomBits: Int = 1 << 16,
+    physicalOf: Map[String, String] = Map.empty)
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
   import org.apache.spark.sql.connector.write.DeltaWriter
 
@@ -1944,7 +2086,8 @@ class LakeDeltaWriterFactory(dataDir: String, schema: StructType,
       private def inner: DataWriter[InternalRow] = {
         if (innerOpt == null)
           innerOpt = new LakeWriterFactory(dataDir, schema, partitionCols,
-            constraints, derived, bloomCols, bloomBits).createWriter(partitionId, taskId)
+            constraints, derived, bloomCols, bloomBits, physicalOf)
+            .createWriter(partitionId, taskId)
         innerOpt
       }
       private val dels = scala.collection.mutable.LinkedHashMap
@@ -1995,7 +2138,8 @@ class LakeWriterFactory(dataDir: String, schema: StructType,
     partitionCols: Seq[String],
     constraints: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil,
     derived: LakeDerivedColumns.Spec = LakeDerivedColumns.empty,
-    bloomCols: Seq[String] = Nil, bloomBits: Int = 1 << 16)
+    bloomCols: Seq[String] = Nil, bloomBits: Int = 1 << 16,
+    physicalOf: Map[String, String] = Map.empty)
     extends DataWriterFactory {
 
   /** Per-task identity block: task `p` owns value indexes
@@ -2006,7 +2150,13 @@ class LakeWriterFactory(dataDir: String, schema: StructType,
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val dts = schema.fields.map(_.dataType)
     val partitionIdx = partitionCols.map(schema.fieldIndex).toArray
-    val colNames = schema.fieldNames
+    // files store PHYSICAL names (column-mapping): manifest cols, zone
+    // and bloom keys, and the parquet schema all use them — a renamed
+    // column keeps writing under its birth name
+    val colNames = schema.fieldNames.map(n => physicalOf.getOrElse(n, n))
+    val physSchema = StructType(schema.fields.map(f =>
+      f.copy(name = physicalOf.getOrElse(f.name, f.name),
+        metadata = org.apache.spark.sql.types.Metadata.empty)))
     // generated-column projection: compiled once per task (codegen with
     // interpreted fallback), evaluated on the aligned row
     val genProj =
@@ -2035,7 +2185,7 @@ class LakeWriterFactory(dataDir: String, schema: StructType,
     final class OpenFile(val relPath: String) {
       val writer: ParquetWriter[InternalRow] = {
         val conf = new Configuration()
-        ParquetWriteSupport.setSchema(schema, conf)
+        ParquetWriteSupport.setSchema(physSchema, conf)
         conf.set("spark.sql.parquet.writeLegacyFormat", "false")
         conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         conf.set("spark.sql.parquet.fieldId.write.enabled", "false")

@@ -373,7 +373,11 @@ object LakeStore {
     * ever deletes files in its own data dir. */
   def cloneTable(srcKey: String, dstKey: String): Unit = synchronized {
     val src = stateOf(srcKey)
-    require(!tables.contains(dstKey) && create(dstKey, src.schema, src.partitionCols),
+    // table PROPERTIES travel with the clone (the Delta CLONE contract):
+    // constraints, merge-on-read mode, bloom configs — a clone that
+    // silently dropped them would enforce less than its source
+    require(!tables.contains(dstKey) &&
+        create(dstKey, src.schema, src.partitionCols, src.props),
       s"graft_lake: CLONE target $dstKey already exists")
     val refs = src.current.map(f => f.copy(path = resolvePath(srcKey, f)))
     // deletion vectors travel with the clone, absolutely referenced and
@@ -486,6 +490,26 @@ object LakeStore {
     (doomed.length, horizon)
   }
 
+  /** TIMESTAMP-based time travel resolution (`TIMESTAMP AS OF`): the
+    * latest version whose commit landed at or before the instant —
+    * resolved from the commit-log files' own modification times (the
+    * log IS the clock; Delta resolves identically from its commit
+    * timestamps). A timestamp before the table existed is refused with
+    * the earliest commit time in the message. */
+  def versionAt(k: String, tsMicros: Long): Int = {
+    stateOf(k) // existence (and cold replay) first
+    val dir = logDir(k)
+    val fs = fsOf(dir)
+    val times = fs.listStatus(dir).filter(s => isLogEntry(s.getPath.getName))
+      .sortBy(_.getPath.getName).map(_.getModificationTime)
+    val tsMs = tsMicros / 1000L
+    val idx = times.lastIndexWhere(_ <= tsMs)
+    require(idx >= 0,
+      s"graft_lake: no snapshot of $k at or before timestamp ${tsMs}ms " +
+        s"(earliest commit: ${times.headOption.getOrElse(-1L)}ms)")
+    idx
+  }
+
   /** Retention gate shared by time travel and incremental reads. */
   def requireReadable(k: String, version: Int): Unit = {
     val st = stateOf(k)
@@ -528,9 +552,12 @@ object LakeStore {
       "add" -> JArray(added.map(fileJson).toList),
       "remove" -> JArray(removed.map(JString(_)).toList))
     writeLogEntry(k, version, entry)
-    tables.update(k, st.copy(snapshots =
+    val newSt = st.copy(snapshots =
       st.snapshots :+ Snapshot(schema, live, commitGroups, dataChange, action,
-        newProps, newDeletes, newSpec)))
+        newProps, newDeletes, newSpec))
+    tables.update(k, newSt)
+    val ci = checkpointInterval
+    if (ci > 0 && version % ci == 0) writeCheckpoint(k, newSt)
   }
 
   /** One atomic log append: write to a temp name, rename into place —
@@ -565,11 +592,20 @@ object LakeStore {
     val fs = fsOf(dir)
     if (!fs.exists(dir)) return None
     val entries = fs.listStatus(dir).map(_.getPath)
-      .filter(_.getName.endsWith(".json")).sortBy(_.getName)
+      .filter(p => isLogEntry(p.getName)).sortBy(_.getName)
     if (entries.isEmpty) return None
-    var partitionCols: Seq[String] = Nil
-    var snapshots = Vector.empty[Snapshot]
-    entries.foreach { p =>
+    // a checkpoint (when one exists) replaces the log PREFIX it covers:
+    // cold start reads ONE checkpoint file plus the tail of per-commit
+    // entries — O(1) + O(commits since) filesystem opens instead of
+    // O(all commits), the economics Delta's _last_checkpoint buys on an
+    // object store where every open is a roundtrip
+    val cp = readCheckpoint(k)
+    var partitionCols: Seq[String] =
+      cp.flatMap(_._2.lastOption).map(_.spec).getOrElse(Nil)
+    var snapshots = cp.map(_._2).getOrElse(Vector.empty)
+    val tail = entries.filter(p =>
+      p.getName.takeWhile(_.isDigit).toInt > cp.map(_._1).getOrElse(-1))
+    tail.foreach { p =>
       val in = fs.open(p)
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
       val j = JsonMethods.parse(txt).asInstanceOf[JObject].obj.toMap
@@ -615,8 +651,166 @@ object LakeStore {
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
         finally in.close()
       }
+    lastReplayStats.update(k, ReplayStats(cp.map(_._1), tail.length))
     Some(TableState(k, snapshots, earliest))
   }
+
+  // --------------------------------------------------- log checkpoints
+
+  /** Checkpoint cadence in commits (0 disables) — Delta's
+    * `_last_checkpoint` move: every N commits the FULL replayed state is
+    * written as one `<version>.checkpoint.json` beside the log, and a
+    * `_last_checkpoint` pointer names the newest one. Cold replay then
+    * opens the checkpoint plus the per-commit tail — O(1) + O(N)
+    * filesystem opens however long the table's history grows, instead
+    * of one open per commit (the roundtrip economics that motivate
+    * Delta's parquet checkpoints on object stores). The checkpoint is
+    * DERIVED data: the log stays the source of truth, a missing or
+    * unreadable checkpoint silently falls back to full replay, and a
+    * corrupt LOG still fails loudly ([[get]]). Full version fidelity is
+    * kept — history, time travel and CHANGES below the checkpoint all
+    * work, because every snapshot (not just the tip) is captured. */
+  def checkpointInterval: Int =
+    sys.props.get("graft.lake.checkpoint.interval").map(_.toInt).getOrElse(10)
+
+  /** Audit hook: how the last COLD replay of each table planned its
+    * reads — the checkpoint version it started from (None = full log)
+    * and how many per-commit entries it parsed after that. */
+  final case class ReplayStats(checkpoint: Option[Int], entriesParsed: Int)
+  val lastReplayStats = TrieMap.empty[String, ReplayStats]
+
+  /** Per-commit log entries are exactly `<20-digit version>.json`;
+    * checkpoints (`*.checkpoint.json`) and markers are not entries. */
+  private def isLogEntry(name: String): Boolean =
+    name.length == 25 && name.endsWith(".json") && name.take(20).forall(_.isDigit)
+
+  private def lastCheckpointPath(k: String) = new Path(logDir(k), "_last_checkpoint")
+
+  private def writeCheckpoint(k: String, st: TableState): Unit = {
+    val v = st.latestVersion
+    val dir = logDir(k)
+    val fs = fsOf(dir)
+    val body = JObject(
+      "version" -> JInt(BigInt(v)),
+      "snapshots" -> JArray(st.snapshots.toList.map(snapJson)))
+    val dst = new Path(dir, f"$v%020d.checkpoint.json")
+    val tmp = new Path(dir, f"$v%020d.checkpoint.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(JsonMethods.compact(JsonMethods.render(body)).getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst)) throw new IllegalStateException(
+      s"graft_lake: checkpoint $v of $k lost a rename race")
+    val ptmp = new Path(dir, "_last_checkpoint.tmp")
+    val pout = fs.create(ptmp, true)
+    try pout.write(v.toString.getBytes("UTF-8")) finally pout.close()
+    fs.delete(lastCheckpointPath(k), false)
+    if (!fs.rename(ptmp, lastCheckpointPath(k))) throw new IllegalStateException(
+      s"graft_lake: checkpoint pointer of $k lost a rename race")
+  }
+
+  /** Newest readable checkpoint, or None (no pointer, file missing, or
+    * unparseable — all fall back to full log replay; the checkpoint is
+    * an optimization, never the source of truth). */
+  private def readCheckpoint(k: String): Option[(Int, Vector[Snapshot])] =
+    try {
+      val dir = logDir(k)
+      val fs = fsOf(dir)
+      val ptr = lastCheckpointPath(k)
+      if (!fs.exists(ptr)) return None
+      val pin = fs.open(ptr)
+      val v = (try scala.io.Source.fromInputStream(pin, "UTF-8").mkString
+               finally pin.close()).trim.toInt
+      val cpath = new Path(dir, f"$v%020d.checkpoint.json")
+      if (!fs.exists(cpath)) return None
+      val in = fs.open(cpath)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                finally in.close()
+      val o = JsonMethods.parse(txt).asInstanceOf[JObject].obj.toMap
+      val snaps = o("snapshots").asInstanceOf[JArray].arr.map(snapFromJson).toVector
+      if (snaps.length != v + 1) None else Some((v, snaps))
+    } catch { case _: Exception => None }
+
+  /** One snapshot, checkpoint-serialized: unlike a log entry this
+    * carries the FULL live file set, and group keys travel with their
+    * own stored-form type tags — a post-evolution snapshot's live set
+    * mixes files of several spec eras, so the snapshot's own spec types
+    * cannot decode every file's key (the log never has this problem:
+    * it decodes each file in the entry that ADDED it). */
+  private def snapJson(s: Snapshot): JObject = JObject(
+    "action" -> JString(s.action),
+    "schema" -> JString(s.schema.json),
+    "dataChange" -> JBool(s.dataChange),
+    "partitionCols" -> JArray(s.spec.map(JString(_)).toList),
+    "props" -> JObject(s.props.toList.map { case (pk, pv) =>
+      pk -> (JString(pv): JValue) }),
+    "deletes" -> JArray(s.deletes.toList.map(d => JObject(
+      "path" -> JString(d.path), "dataFile" -> JString(d.dataFile),
+      "rows" -> JInt(BigInt(d.rows))))),
+    "commitGroups" -> s.commitGroups.fold[JValue](JNull)(gs =>
+      JArray(gs.toList.map(g => JArray(g.map(tjval).toList)))),
+    "files" -> JArray(s.files.toList.map(f => tagged(fileJson(f), f))))
+
+  private def snapFromJson(j: JValue): Snapshot = {
+    val o = j.asInstanceOf[JObject].obj.toMap
+    val schema = DataType.fromJson(str(o("schema"))).asInstanceOf[StructType]
+    val spec = o("partitionCols").asInstanceOf[JArray].arr.map(str)
+    val files = o("files").asInstanceOf[JArray].arr
+      .map(fj => fileFromJson(fj, schema, Nil)).toVector
+    val cg = o("commitGroups") match {
+      case JNull => None
+      case JArray(gs) => Some(gs.map(
+        _.asInstanceOf[JArray].arr.map(untjval)).toSet)
+      case other => throw new IllegalStateException(s"graft_lake: bad commitGroups $other")
+    }
+    val props = o("props").asInstanceOf[JObject].obj
+      .map { case (pk, pv) => pk -> str(pv) }.toMap
+    val deletes = o("deletes").asInstanceOf[JArray].arr.map { dj =>
+      val d = dj.asInstanceOf[JObject].obj.toMap
+      DeleteEntry(str(d("path")), str(d("dataFile")), num(d("rows")).longValue())
+    }.toVector
+    Snapshot(schema, files, cg, o("dataChange") == JBool(true),
+      str(o("action")), props, deletes, spec)
+  }
+
+  /** Stored-form type tags: group keys hold manifest STORED forms
+    * (boxed primitives and String — datetimes already reduced to their
+    * Int/Long Catalyst encodings), so the runtime class alone recovers
+    * a decode type that preserves JVM equality. */
+  private def storedTag(v: Any): String = v match {
+    case null => "n"
+    case _: String => "s"
+    case _: java.lang.Long => "l"
+    case _: java.lang.Integer => "i"
+    case _: java.lang.Short => "h"
+    case _: java.lang.Byte => "y"
+    case _: java.lang.Double => "d"
+    case _: java.lang.Float => "f"
+    case _: java.lang.Boolean => "b"
+    case other => throw new IllegalArgumentException(
+      s"graft_lake: unstorable group value $other (${other.getClass})")
+  }
+  private def storedType(tag: String): DataType = tag match {
+    case "n" | "s" => StringType
+    case "l" => LongType
+    case "i" => IntegerType
+    case "h" => ShortType
+    case "y" => ByteType
+    case "d" => DoubleType
+    case "f" => FloatType
+    case "b" => BooleanType
+    case other => throw new IllegalStateException(s"graft_lake: bad type tag $other")
+  }
+  private def tjval(v: Any): JValue =
+    JObject("t" -> JString(storedTag(v)), "v" -> jval(v))
+  private def untjval(j: JValue): Any = {
+    val o = j.asInstanceOf[JObject].obj.toMap
+    unjval(o("v"), storedType(str(o("t"))))
+  }
+  /** Append per-value group type tags to a file's JSON (checkpoints). */
+  private def tagged(fj: JObject, f: FileEntry): JObject =
+    JObject(fj.obj :+ ("gt" -> (JArray(
+      f.group.map(v => JString(storedTag(v))).toList): JValue)))
 
   // ------------------------------------------------- commit-log queries
 
@@ -655,6 +849,25 @@ object LakeStore {
          TimestampNTZType => true
     case _ => false
   }
+
+  // ------------------------------------------------- column mapping
+
+  /** StructField metadata key carrying a column's PHYSICAL name — the
+    * name parquet files store it under, pinned at column birth and
+    * NEVER rewritten (Delta's column-mapping `name` mode): `ALTER TABLE
+    * RENAME COLUMN` changes only the logical name, so zero data files
+    * move and old files need no translation table beyond the schema
+    * itself. Absent = the logical name IS the physical name. */
+  val PhysicalKey = "graft.physical"
+
+  def physicalName(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(PhysicalKey)) f.metadata.getString(PhysicalKey)
+    else f.name
+
+  /** logical -> physical for every field of `schema` (identity entries
+    * included, so callers can `getOrElse(name, name)`-free lookup). */
+  def physicalMap(schema: StructType): Map[String, String] =
+    schema.fields.iterator.map(f => f.name -> physicalName(f)).toMap
 
   /** Catalyst value -> serializable stored form (and back). Stored forms
     * are the JVM primitives the manifest JSON and group keys round-trip:
@@ -727,12 +940,26 @@ object LakeStore {
   private def fileFromJson(j: JValue, schema: StructType,
       partTypes: Seq[DataType]): FileEntry = {
     val o = j.asInstanceOf[JObject].obj.toMap
-    val group = o("group").asInstanceOf[JArray].arr.zip(partTypes)
-      .map { case (v, dt) => unjval(v, dt) }
-    val zones = o("zones").asInstanceOf[JObject].obj.map { case (c, mz) =>
-      val dt = schema(c).dataType
-      val JArray(List(mn, mx)) = mz: @unchecked
-      c -> (unjval(mn, dt), unjval(mx, dt))
+    // checkpoint-written entries carry per-value type tags (the live set
+    // mixes spec eras); log entries decode with the adding era's types
+    val group = o.get("gt") match {
+      case Some(JArray(tags)) =>
+        o("group").asInstanceOf[JArray].arr.zip(tags)
+          .map { case (v, t) => unjval(v, storedType(str(t))) }
+      case _ => o("group").asInstanceOf[JArray].arr.zip(partTypes)
+        .map { case (v, dt) => unjval(v, dt) }
+    }
+    // zone keys are PHYSICAL column names (column mapping): resolve the
+    // value type through the entry-era schema's own mapping. A zone for
+    // a column this era no longer has (DROPPED) is skipped — superset-
+    // safe, and nothing can push a compare on a column that is gone.
+    val typeByPhysical: Map[String, DataType] =
+      schema.fields.iterator.map(f => physicalName(f) -> f.dataType).toMap
+    val zones = o("zones").asInstanceOf[JObject].obj.flatMap { case (c, mz) =>
+      typeByPhysical.get(c).map { dt =>
+        val JArray(List(mn, mx)) = mz: @unchecked
+        c -> (unjval(mn, dt), unjval(mx, dt))
+      }
     }.toMap
     val blooms = o.get("blooms") match {
       case Some(JObject(fields)) => fields.map { case (c, b) => c -> str(b) }.toMap

@@ -179,7 +179,10 @@ object ScaleSweep {
       "st16_stream_change_feed" -> "streaming CDF source (per-commit deltas)",
       "p49_partition_overwrite" -> "static+dynamic partition overwrite (group swaps)",
       "st17_stream_lake_sink" -> "native streaming sink (exactly-once epochs)",
-      "p50_sql_procedures" -> "CALL procedures (optimize/restore/vacuum arc)")
+      "p50_sql_procedures" -> "CALL procedures (optimize/restore/vacuum arc)",
+      "p51_rename_column" -> "column mapping rename (metadata-only, era-uniform files)",
+      "p52_drop_column" -> "metadata-only DROP COLUMN (re-add never resurrects stale bytes)",
+      "p53_log_checkpoint" -> "commit-log checkpoints (O(1)+tail cold replay)")
 
     // warm the JVM/codegen on the smallest sf so cold-start lands nowhere
     queries.foreach { case (q, _) =>

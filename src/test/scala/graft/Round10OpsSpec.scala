@@ -372,6 +372,102 @@ class Round10OpsSpec extends SparkTestBase {
     assert(!LakeStore.appendEpoch("graft_lake.epochx", Seq(entry("e.parquet")), "q1", 1L))
   }
 
+  // --------------------------------------- partitions metadata table
+
+  test("<table>.partitions reports the live group footprint incl. deletion vectors") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_lake.pmeta")
+    spark.sql("""CREATE TABLE graft_lake.pmeta (id BIGINT, grp STRING, v BIGINT)
+                |PARTITIONED BY (grp)
+                |TBLPROPERTIES ('graft.merge-on-read' = 'true')""".stripMargin)
+    import spark.implicits._
+    (0L until 30L).map(i => (i, s"g${i % 3}", i)).toDF("id", "grp", "v")
+      .repartition(col("grp")).writeTo("graft_lake.pmeta").append()
+    spark.sql("DELETE FROM graft_lake.pmeta WHERE grp = 'g1' AND id < 10") // MoR positions
+    val got = spark.sql(
+      """SELECT partition, n_files, rows, dv_rows
+        |FROM graft_lake.pmeta.partitions ORDER BY partition""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      ("grp=g0", 1L, 10L, 0L),
+      ("grp=g1", 1L, 10L, 3L), // ids 1, 4, 7 hidden by the MoR delete
+      ("grp=g2", 1L, 10L, 0L)))
+  }
+
+  // ------------------------------------------- p51 column mapping
+
+  test("p51/RENAME COLUMN: physical names stable, guarded renames refused, cold replay exact") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_lake.ren2")
+    spark.sql("""CREATE TABLE graft_lake.ren2 (id BIGINT, grp STRING, v BIGINT)
+                |PARTITIONED BY (grp)""".stripMargin)
+    import spark.implicits._
+    (0L until 20L).map(i => (i, s"g${i % 2}", i)).toDF("id", "grp", "v")
+      .writeTo("graft_lake.ren2").append()
+    spark.sql("ALTER TABLE graft_lake.ren2 RENAME COLUMN v TO score") // rename once
+    spark.sql("ALTER TABLE graft_lake.ren2 RENAME COLUMN score TO points") // and again
+    // double rename keeps the ORIGINAL physical name
+    val f = LakeStore.get("graft_lake.ren2").get.schema("points")
+    assert(LakeStore.physicalName(f) === "v")
+    // reads, filters (zone-mapped), and row-level writes all work by the new name
+    assert(spark.table("graft_lake.ren2").filter(col("points") >= 10L).count() === 10L)
+    spark.sql("UPDATE graft_lake.ren2 SET points = points + 100 WHERE grp = 'g1'")
+    assert(spark.table("graft_lake.ren2").filter(col("points") >= 100L).count() === 10L)
+    // rewritten files STILL store the birth name
+    assert(LakeStore.get("graft_lake.ren2").get.current.forall(_.cols.contains("v")))
+    // partition-column rename is refused
+    val e1 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft_lake.ren2 RENAME COLUMN grp TO bucket")
+    }
+    assert(e1.getMessage.contains("partition column"))
+    // a rename breaking a stored CHECK constraint is refused
+    spark.sql("""ALTER TABLE graft_lake.ren2 SET TBLPROPERTIES (
+                |  'graft.constraints.pos' = 'points >= 0')""".stripMargin)
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft_lake.ren2 RENAME COLUMN points TO score2")
+    }
+    assert(e2.getMessage.contains("constraint"))
+    // the mapping survives a cold log replay
+    LakeStore.invalidateCache("graft_lake.ren2")
+    assert(spark.table("graft_lake.ren2").filter(col("points") >= 100L).count() === 10L)
+    assert(LakeStore.physicalName(
+      LakeStore.get("graft_lake.ren2").get.schema("points")) === "v")
+  }
+
+  // ---------------------------------------------- TIMESTAMP AS OF
+
+  test("TIMESTAMP AS OF resolves against the commit log's own clock") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_lake.tsx")
+    val t0 = System.currentTimeMillis()
+    spark.sql("CREATE TABLE graft_lake.tsx (id BIGINT)")
+    import spark.implicits._
+    Seq(1L, 2L).toDF("id").writeTo("graft_lake.tsx").append() // v1
+    Thread.sleep(1100)
+    val afterV1 = System.currentTimeMillis()
+    Thread.sleep(1100)
+    Seq(3L).toDF("id").writeTo("graft_lake.tsx").append() // v2
+    def fmt(ms: Long): String =
+      java.time.Instant.ofEpochMilli(ms).toString.replace("T", " ").stripSuffix("Z")
+    // the instant between the commits sees v1 only
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft_lake.tsx TIMESTAMP AS OF '${fmt(afterV1)}'")
+      .collect().head.getLong(0) === 2L)
+    // now sees v2
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft_lake.tsx TIMESTAMP AS OF '${fmt(System.currentTimeMillis() + 1000)}'")
+      .collect().head.getLong(0) === 3L)
+    // before the table existed: refused loudly
+    val e = intercept[Exception] {
+      spark.sql(
+        s"SELECT * FROM graft_lake.tsx TIMESTAMP AS OF '${fmt(t0 - 60000)}'").collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("no snapshot")))
+  }
+
   // ------------------------------------------------ p50 procedures
 
   test("p50/CALL procedures: clone + set_partition_spec + listing + unknown-name error") {
@@ -459,5 +555,179 @@ class Round10OpsSpec extends SparkTestBase {
       if (t == null) Nil else t +: causes(t.getCause)
     assert(causes(e).exists(c =>
       c.getMessage != null && c.getMessage.contains("vacuumed")))
+  }
+
+  // ------------------------------------------- p52 drop column
+
+  test("p52/DROP COLUMN: metadata-only, re-ADD reads null, guards, cold replay") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_lake.drp2")
+    spark.sql("""CREATE TABLE graft_lake.drp2 (id BIGINT, grp STRING, v BIGINT)
+                |PARTITIONED BY (grp)""".stripMargin)
+    import spark.implicits._
+    (0L until 20L).map(i => (i, s"g${i % 2}", i + 1000L)).toDF("id", "grp", "v")
+      .writeTo("graft_lake.drp2").append() // v1
+    val preDropPaths = LakeStore.get("graft_lake.drp2").get.current.map(_.path).toSet
+    spark.sql("ALTER TABLE graft_lake.drp2 DROP COLUMN v") // v2: metadata-only
+    val st2 = LakeStore.get("graft_lake.drp2").get
+    assert(st2.current.map(_.path).toSet === preDropPaths) // zero files moved
+    assert(!st2.schema.fieldNames.contains("v"))
+    assert(st2.current.forall(_.cols.contains("v"))) // bytes still there
+    // re-ADD binds a FRESH physical name — stale bytes are NOT resurrected
+    spark.sql("ALTER TABLE graft_lake.drp2 ADD COLUMN v BIGINT") // v3
+    val f = LakeStore.get("graft_lake.drp2").get.schema("v")
+    assert(LakeStore.physicalName(f) !== "v")
+    assert(spark.table("graft_lake.drp2").filter(col("v").isNotNull).count() === 0L)
+    Seq((100L, "g0", 7L)).toDF("id", "grp", "v").writeTo("graft_lake.drp2").append() // v4
+    assert(spark.table("graft_lake.drp2").agg(sum(col("v"))).collect()(0).getLong(0) === 7L)
+    // time travel to the pre-drop era still reads the ORIGINAL values
+    assert(spark.sql("SELECT sum(v) FROM graft_lake.drp2 VERSION AS OF 1")
+      .collect()(0).getLong(0) === (1000L until 1020L).sum)
+    // guards: partition column, constraint-referenced column, last column
+    val e1 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft_lake.drp2 DROP COLUMN grp")
+    }
+    assert(e1.getMessage.contains("partition column"))
+    spark.sql("""ALTER TABLE graft_lake.drp2 SET TBLPROPERTIES (
+                |  'graft.constraints.idpos' = 'id >= 0')""".stripMargin)
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft_lake.drp2 DROP COLUMN id")
+    }
+    assert(e2.getMessage.contains("constraint"))
+    // cold replay keeps the drop, the fresh mapping, and the null padding
+    LakeStore.invalidateCache("graft_lake.drp2")
+    assert(spark.table("graft_lake.drp2").filter(col("v").isNotNull).count() === 1L)
+    assert(LakeStore.physicalName(
+      LakeStore.get("graft_lake.drp2").get.schema("v")) !== "v")
+  }
+
+  test("ADD COLUMN colliding with a renamed column's birth name gets a fresh physical name") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_lake.radd")
+    spark.sql("CREATE TABLE graft_lake.radd (id BIGINT, v BIGINT)")
+    import spark.implicits._
+    Seq((1L, 10L), (2L, 20L)).toDF("id", "v").writeTo("graft_lake.radd").append()
+    spark.sql("ALTER TABLE graft_lake.radd RENAME COLUMN v TO score") // physical stays "v"
+    spark.sql("ALTER TABLE graft_lake.radd ADD COLUMN v BIGINT") // must NOT claim physical "v"
+    val st = LakeStore.get("graft_lake.radd").get
+    assert(LakeStore.physicalName(st.schema("score")) === "v")
+    assert(LakeStore.physicalName(st.schema("v")) !== "v")
+    // score still reads the original bytes; the new v reads null
+    val r = spark.table("graft_lake.radd")
+      .agg(sum(col("score")), count(col("v"))).collect()(0)
+    assert(r.getLong(0) === 30L && r.getLong(1) === 0L)
+  }
+
+  // ------------------------------------------- p53 log checkpoints
+
+  test("p53/log checkpoint bounds cold replay, keeps fidelity, and is never load-bearing") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_lake.ck2")
+    spark.sql("""CREATE TABLE graft_lake.ck2 (id BIGINT, grp STRING)
+                |PARTITIONED BY (grp)
+                |TBLPROPERTIES ('graft.merge-on-read' = 'true')""".stripMargin)
+    import spark.implicits._
+    (1 to 12).foreach { i =>
+      Seq((i.toLong, s"g${i % 3}")).toDF("id", "grp").writeTo("graft_lake.ck2").append()
+    } // v1..v12: checkpoint at v10
+    spark.sql("DELETE FROM graft_lake.ck2 WHERE id = 3") // v13: MoR delete state
+    LakeStore.invalidateCache("graft_lake.ck2")
+    assert(spark.table("graft_lake.ck2").count() === 11L) // cold replay incl. DVs
+    val rs = LakeStore.lastReplayStats("graft_lake.ck2")
+    assert(rs.checkpoint === Some(10) && rs.entriesParsed === 3) // v11..v13 tail
+    // fidelity BELOW the checkpoint: time travel + history both exact
+    assert(spark.sql("SELECT count(*) FROM graft_lake.ck2 VERSION AS OF 4")
+      .collect()(0).getLong(0) === 4L)
+    assert(spark.table("graft_lake.ck2.history").count() === 14L)
+    // the checkpoint is derived data: destroy it and replay falls back to
+    // the full log with identical results
+    val logDir = new java.io.File(s"${LakeStore.tableDir("graft_lake.ck2")}/_log")
+    logDir.listFiles().filter(f => f.getName.endsWith(".checkpoint.json") ||
+      f.getName == "_last_checkpoint").foreach(f => assert(f.delete()))
+    LakeStore.invalidateCache("graft_lake.ck2")
+    assert(spark.table("graft_lake.ck2").count() === 11L)
+    val rs2 = LakeStore.lastReplayStats("graft_lake.ck2")
+    assert(rs2.checkpoint === None && rs2.entriesParsed === 14)
+  }
+
+  test("checkpointed replay preserves partition-evolution eras and column mapping") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_lake.ck3")
+    spark.sql("""CREATE TABLE graft_lake.ck3 (id BIGINT, grp STRING, day BIGINT)
+                |PARTITIONED BY (grp)""".stripMargin)
+    import spark.implicits._
+    (0L until 10L).map(i => (i, s"g${i % 2}", i % 5)).toDF("id", "grp", "day")
+      .writeTo("graft_lake.ck3").append() // v1: grp-era files (String keys)
+    graft.sources.GraftLake.setPartitionSpec("graft_lake.ck3", Seq("day")) // v2
+    (10L until 20L).map(i => (i, s"g${i % 2}", i % 5)).toDF("id", "grp", "day")
+      .writeTo("graft_lake.ck3").append() // v3: day-era files (Long keys)
+    spark.sql("ALTER TABLE graft_lake.ck3 RENAME COLUMN id TO rid") // v4
+    (1 to 7).foreach { i => // v5..v11: push past the v10 checkpoint
+      Seq((100L + i, "gx", 9L)).toDF("rid", "grp", "day")
+        .writeTo("graft_lake.ck3").append()
+    }
+    LakeStore.invalidateCache("graft_lake.ck3")
+    val st = LakeStore.get("graft_lake.ck3").get
+    assert(LakeStore.lastReplayStats("graft_lake.ck3").checkpoint === Some(10))
+    // mixed-era group keys decoded with their OWN types through the tags
+    val groups = st.current.map(_.group).toSet
+    assert(groups.exists(_ == List("g0")) && groups.exists(_ == List(9L)))
+    // column mapping survived: rid still reads physical "v"-style birth name
+    assert(LakeStore.physicalName(st.schema("rid")) === "id")
+    assert(spark.table("graft_lake.ck3").filter(col("rid") < 10L).count() === 10L)
+    // zone pruning on the evolved spec still works post-checkpoint-replay
+    assert(spark.table("graft_lake.ck3").filter(col("day") === 9L).count() === 7L)
+  }
+
+  // ------------------------------- change feed through a shallow clone
+
+  test("a shallow CLONE serves its own change feed (absolute refs, source DVs)") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_lake.cdfsrc")
+    spark.sql("DROP TABLE IF EXISTS graft_lake.cdfclone")
+    spark.sql("""CREATE TABLE graft_lake.cdfsrc (id BIGINT, v BIGINT)
+                |TBLPROPERTIES ('graft.merge-on-read' = 'true')""".stripMargin)
+    import spark.implicits._
+    (1L to 10L).map(i => (i, i * 10L)).toDF("id", "v")
+      .writeTo("graft_lake.cdfsrc").append()
+    spark.sql("DELETE FROM graft_lake.cdfsrc WHERE id <= 2") // MoR DVs travel with the clone
+    graft.sources.GraftLake.shallowClone("graft_lake.cdfsrc", "graft_lake.cdfclone")
+    // the clone's own feed: one clone commit inserting its LIVE rows
+    val feed = spark.read.option("startingVersion", "1")
+      .table("graft_lake.cdfclone.changes")
+    val rows = feed.select(col("id"), col("_change"), col("_commit_version"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+    assert(rows.toSeq === (3L to 10L).map(i => (i, "I", 1L)))
+    // post-clone commits keep feeding independently of the source
+    spark.sql("DELETE FROM graft_lake.cdfclone WHERE id = 5")
+    val d = spark.read.option("startingVersion", "2")
+      .table("graft_lake.cdfclone.changes")
+      .select(col("id"), col("_change")).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(d.toSeq === Seq((5L, "D")))
+  }
+
+  // ------------------------------- streaming sink onto MoR state
+
+  test("the streaming sink appends cleanly onto live merge-on-read state") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_lake.smor")
+    spark.sql("DROP TABLE IF EXISTS graft_lake.smorsrc")
+    spark.sql("""CREATE TABLE graft_lake.smor (id BIGINT, v BIGINT)
+                |TBLPROPERTIES ('graft.merge-on-read' = 'true')""".stripMargin)
+    import spark.implicits._
+    (1L to 10L).map(i => (i, i)).toDF("id", "v").writeTo("graft_lake.smor").append()
+    spark.sql("DELETE FROM graft_lake.smor WHERE id <= 3") // live DVs
+    spark.sql("CREATE TABLE graft_lake.smorsrc (id BIGINT, v BIGINT)")
+    (11L to 15L).map(i => (i, i)).toDF("id", "v").writeTo("graft_lake.smorsrc").append()
+    val ck = java.nio.file.Files.createTempDirectory("graft-smor-").toString
+    val q = spark.readStream.table("graft_lake.smorsrc")
+      .writeStream.option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("graft_lake.smor")
+    q.awaitTermination()
+    // merged read: 10 - 3 deleted + 5 streamed; the DVs survived the sink
+    assert(spark.table("graft_lake.smor").count() === 12L)
+    assert(LakeStore.get("graft_lake.smor").get.deletes.nonEmpty)
+    assert(spark.table("graft_lake.smor").filter(col("id") <= 3L).count() === 0L)
   }
 }
