@@ -3650,7 +3650,74 @@ object PipelineQueries {
       |  CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 12 <= 4) AS BIGINT) AS v5_rows
       |FROM documents""".stripMargin
 
+  // ---------------------------------------------------------------- p54
+  /** STORAGE-PARTITIONED JOIN — the Iceberg/Delta SPJ shape and the
+    * decisive shuffle elimination at 100 TB: two lake tables partitioned
+    * on the same key report `KeyGroupedPartitioning` (one unsplittable
+    * input partition per partition group, each carrying its key), so
+    * BOTH per-source aggregations AND the join between them run on the
+    * storage layout with ZERO shuffle exchanges — co-location replaces
+    * data movement entirely. Gated by Spark's own
+    * `spark.sql.sources.v2.bucketing.enabled` (restored after the run)
+    * and refused automatically when a pre-evolution file cohort breaks
+    * the co-location promise.
+    *
+    * Inside the hash: the per-source joined aggregates (both sides) and
+    * `join_exchanges`, the shuffle-exchange count inside the SortMergeJoin
+    * subtree — 0 is the whole point and anything else fails the oracle. */
+  def p54StoragePartitionedJoin(s: SparkSession, dir: String): DataFrame = {
+    registerLake(s)
+    s.sql("DROP TABLE IF EXISTS graft_lake.spj_chars")
+    s.sql("DROP TABLE IF EXISTS graft_lake.spj_langs")
+    s.sql("""CREATE TABLE graft_lake.spj_chars (doc_id BIGINT, source STRING, n_chars BIGINT)
+            |PARTITIONED BY (source)""".stripMargin)
+    s.sql("""CREATE TABLE graft_lake.spj_langs (doc_id BIGINT, source STRING, lang STRING)
+            |PARTITIONED BY (source)""".stripMargin)
+    val docs = Tables.documents(s, dir)
+    docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .writeTo("graft_lake.spj_chars").append()
+    docs.select(col("doc_id"), col("source"), col("lang"))
+      .writeTo("graft_lake.spj_langs").append()
+    val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.adaptive.enabled", "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> s.conf.getOption(k))
+    try {
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.adaptive.enabled", "false") // concrete plan to audit
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val a = s.table("graft_lake.spj_chars").groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      val b = s.table("graft_lake.spj_langs").groupBy("source")
+        .agg(min(col("lang")).as("min_lang"), max(col("lang")).as("max_lang"))
+      val j = a.join(b, "source")
+      val joinExchanges = j.queryExecution.executedPlan.collect {
+        case sj: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+          sj.collect {
+            case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+          }.length
+      }
+      require(joinExchanges.nonEmpty, "graft: p54 expected a sort-merge join")
+      val rows = j.collect() // materialize under the audited plan
+      s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), j.schema)
+        .withColumn("join_exchanges", lit(joinExchanges.max.toLong))
+        .orderBy(col("source"))
+    } finally saved.foreach { case (k, vOpt) =>
+      vOpt.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+  }
+
+  val p54Sql: String =
+    """SELECT source,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  MIN(lang) AS min_lang,
+      |  MAX(lang) AS max_lang,
+      |  CAST(0 AS BIGINT) AS join_exchanges
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p54_storage_partitioned_join" -> (p54StoragePartitionedJoin _),
     "p53_log_checkpoint" -> (p53LogCheckpoint _),
     "p52_drop_column" -> (p52DropColumn _),
     "p51_rename_column" -> (p51RenameColumn _),
@@ -3707,6 +3774,7 @@ object PipelineQueries {
   // def, not val: p19Sql embeds Sidecars.oracleDir-keyed paths, which
   // Verify pins at runtime before dumping oracle_sql.json
   def oracle: Map[String, String] = Map(
+    "p54_storage_partitioned_join" -> p54Sql,
     "p53_log_checkpoint" -> p53Sql,
     "p52_drop_column" -> p52Sql,
     "p51_rename_column" -> p51Sql,

@@ -952,7 +952,8 @@ class LakeScan(key: String, schema: StructType,
     pushed: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] = Array.empty,
     required: StructType = null,
     limit: Option[Int] = None) extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   private val readCols: StructType = Option(required).getOrElse(schema)
   /** logical -> physical for THIS scan's schema era (column mapping):
     * zones, blooms, and manifest column lists are keyed physically. */
@@ -1014,22 +1015,95 @@ class LakeScan(key: String, schema: StructType,
     }
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val stOpt = LakeStore.get(key)
-    val files = stOpt.map(s => pinnedVersion.fold(s.current)(v => s.snapshots(v).files))
-      .getOrElse(Vector.empty)
+  /** Zone + bloom pruning over the scanned snapshot's live set — shared
+    * by partition planning and the key-grouped partitioning report so
+    * the two always agree on the surviving group count. */
+  private def survivingFiles(files: Vector[LakeStore.FileEntry]): Vector[LakeStore.FileEntry] = {
     val compares = pushed.flatMap(ZonePrune.parse).map(toPhysical)
     // equality probes additionally consult the per-file bloom filters
     // (when the file carries one for the column): zones cannot skip a
     // point lookup on an id that interleaves across every file — the
     // bloom can. Absence keeps the file; both levers are superset-safe.
     val eqProbes = compares.filter(cc => cc.op == "=" || cc.op == "IN")
-    val surviving =
-      if (compares.isEmpty) files
-      else files.filter(f =>
-        compares.forall(cc => ZonePrune.survives(f.zones.get(cc.col), cc)) &&
-          eqProbes.forall(cc => f.blooms.get(cc.col)
-            .forall(enc => LakeBloom.mayMatch(enc, cc.lits))))
+    if (compares.isEmpty) files
+    else files.filter(f =>
+      compares.forall(cc => ZonePrune.survives(f.zones.get(cc.col), cc)) &&
+        eqProbes.forall(cc => f.blooms.get(cc.col)
+          .forall(enc => LakeBloom.mayMatch(enc, cc.lits))))
+  }
+
+  private def snapshotFiles: Vector[LakeStore.FileEntry] =
+    LakeStore.get(key)
+      .map(s => pinnedVersion.fold(s.current)(v => s.snapshots(v).files))
+      .getOrElse(Vector.empty)
+
+  /** STORAGE-PARTITIONED JOIN eligibility (the Iceberg/Delta SPJ shape):
+    * when `spark.sql.sources.v2.bucketing.enabled` is on, the table has
+    * a partition spec, every live file belongs to the CURRENT spec's era
+    * (a pre-evolution cohort has keys of another arity — co-location
+    * cannot be promised across eras), all spec columns survive column
+    * pruning, and no pushed LIMIT truncates planning, the scan reports
+    * `KeyGroupedPartitioning` and emits ONE keyed partition per group —
+    * two lake tables partitioned the same way then join with ZERO
+    * exchanges, the decisive shuffle elimination at 100 TB. Off by
+    * default (the conf gates it), so ordinary scans keep bin-packing. */
+  private def keyGroupedSpec: Option[Seq[String]] = {
+    val enabled = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
+    if (!enabled || limit.isDefined) None
+    else LakeStore.get(key).flatMap { st =>
+      val spec = pinnedVersion.fold(st.partitionCols)(v => st.snapshots(v).spec)
+      val files = pinnedVersion.fold(st.current)(v => st.snapshots(v).files)
+      if (spec.nonEmpty && spec.forall(readCols.fieldNames.contains) &&
+          files.forall(_.group.length == spec.length)) Some(spec)
+      else None
+    }
+  }
+
+  /** Surviving groups in a deterministic order (both the partitioning
+    * report and the plan enumerate them identically). */
+  private def survivingGroups(spec: Seq[String]): Vector[(List[Any], Vector[LakeStore.FileEntry])] =
+    survivingFiles(snapshotFiles).groupBy(_.group).toVector
+      .sortBy { case (g, _) => g.map(String.valueOf).mkString(" ") }
+
+  override def outputPartitioning():
+      org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    keyGroupedSpec match {
+      case Some(spec) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          spec.map(c => org.apache.spark.sql.connector.expressions.Expressions.identity(c)
+            : org.apache.spark.sql.connector.expressions.Expression).toArray,
+          survivingGroups(spec).length)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val stOpt = LakeStore.get(key)
+    val files = snapshotFiles
+    val surviving = survivingFiles(files)
+
+    keyGroupedSpec match {
+      case Some(spec) =>
+        // SPJ mode: one UNSPLITTABLE partition per group, carrying its
+        // key in Catalyst form for Spark's key-grouped alignment
+        val types = spec.map(c => schema(c).dataType)
+        val grouped = survivingGroups(spec)
+        val toC = stOpt.map(toChunk).getOrElse((f: LakeStore.FileEntry) =>
+          LakeFileChunk(LakeStore.resolvePath(key, f), f.cols, f.rows, Nil, 0L))
+        val parts = grouped.map { case (g, fs) =>
+          val keyRow = new GenericInternalRow(
+            g.zip(types).map { case (v, dt) => LakeStore.toCatalyst(v, dt) }.toArray)
+          LakeKeyedFilePartition(fs.map(toC), keyRow): InputPartition
+        }
+        LakeStore.lastScanStats.update(key, LakeStore.ScanStats(
+          files.map(_.group).distinct.length, grouped.length,
+          files.length, grouped.map(_._2.length).sum,
+          parts.flatMap(_.asInstanceOf[LakeBin].chunks.map(_.deliveredRows)).sum,
+          readCols.fieldNames.toSeq))
+        return parts.toArray
+      case None => ()
+    }
     // pushed LIMIT with no predicates in play: stop planning files once
     // the manifest guarantees enough rows — LIMIT 10 opens one file of a
     // 100 TB table. (Spark only pushes a limit when no filter sits
@@ -1337,7 +1411,20 @@ case class LakeFileChunk(path: String, cols: Seq[String], rows: Long,
   * row counts): a 500-tiny-file table becomes ~16 tasks instead of 500,
   * so per-task overhead never dominates a scan of a freshly-ingested
   * unCOMPACTed table, while large files still get one task each. */
-case class LakeFilePartition(chunks: Seq[LakeFileChunk]) extends InputPartition
+sealed trait LakeBin extends InputPartition { def chunks: Seq[LakeFileChunk] }
+
+case class LakeFilePartition(chunks: Seq[LakeFileChunk]) extends LakeBin
+
+/** One input partition per PARTITION-GROUP KEY (storage-partitioned
+  * join mode): carrying the key lets Spark align two identically-keyed
+  * lake scans side by side and join them with ZERO exchanges — the
+  * Iceberg/Delta SPJ shape. Unsplittable by contract: the key is the
+  * co-location guarantee. */
+case class LakeKeyedFilePartition(chunks: Seq[LakeFileChunk], key: InternalRow)
+    extends LakeBin
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+}
 
 object LakeFilePartition {
   /** Pack files into bins: close a bin at `maxRows` accumulated manifest
@@ -1370,7 +1457,7 @@ class LakeReaderFactory(required: StructType,
   import org.apache.spark.sql.internal.LegacyBehaviorPolicy
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val bin = partition.asInstanceOf[LakeFilePartition]
+    val bin = partition.asInstanceOf[LakeBin]
 
     if (required.isEmpty) {
       // metadata-only read: the manifest row count, minus rows hidden by

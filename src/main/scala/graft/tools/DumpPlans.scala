@@ -221,7 +221,10 @@ object DumpPlans {
         StreamingQueries.st10TimerSessions(spark, dir)),
       ("st11_outer_stream_join",
         "Streaming row (~5 s at sf0.1): stream-stream LEFT OUTER join — null-extension can only emit once the watermark passes the join horizon, so the run pays watermark-advance batches; state stays keyed + watermark-bounded. Plan below is the published result; the outer-row timing contract is pinned in StreamingSpec.",
-        StreamingQueries.st11OuterStreamJoin(spark, dir)))
+        StreamingQueries.st11OuterStreamJoin(spark, dir)),
+      ("p54_storage_partitioned_join",
+        "STORAGE-PARTITIONED JOIN: both lake scans report KeyGroupedPartitioning (one keyed input partition per partition group), so the per-source aggregations AND the SortMergeJoin between them plan with ZERO ShuffleExchange nodes — look for the missing Exchange between the scans and the join. The published frame is the joined aggregate; join_exchanges=0 is asserted inside the oracle hash.",
+        PipelineQueries.p54StoragePartitionedJoin(spark, dir)))
 
     val sb = new StringBuilder
     sb.append("# Flagship physical plans (generated by graft.tools.DumpPlans at sf0.01)\n\n")

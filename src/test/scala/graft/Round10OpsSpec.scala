@@ -706,6 +706,63 @@ class Round10OpsSpec extends SparkTestBase {
     assert(d.toSeq === Seq((5L, "D")))
   }
 
+  // ------------------------------- storage-partitioned join (SPJ)
+
+  test("p54/SPJ: identically-partitioned lake tables join with zero exchanges") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_lake.spja")
+    spark.sql("DROP TABLE IF EXISTS graft_lake.spjb")
+    spark.sql("""CREATE TABLE graft_lake.spja (id BIGINT, grp STRING, v BIGINT)
+                |PARTITIONED BY (grp)""".stripMargin)
+    spark.sql("""CREATE TABLE graft_lake.spjb (id BIGINT, grp STRING, w BIGINT)
+                |PARTITIONED BY (grp)""".stripMargin)
+    import spark.implicits._
+    (0L until 30L).map(i => (i, s"g${i % 3}", i)).toDF("id", "grp", "v")
+      .writeTo("graft_lake.spja").append()
+    (0L until 30L).map(i => (i, s"g${i % 3}", i * 2)).toDF("id", "grp", "w")
+      .writeTo("graft_lake.spjb").append()
+    val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.adaptive.enabled", "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val a = spark.table("graft_lake.spja").groupBy("grp")
+        .agg(sum(col("v")).as("sv"))
+      val b = spark.table("graft_lake.spjb").groupBy("grp")
+        .agg(sum(col("w")).as("sw"))
+      val j = a.join(b, "grp").orderBy("grp")
+      val exchanges = j.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }.length
+      val rows = j.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val expect = (0 until 3).map { g =>
+        val ids = (0L until 30L).filter(_ % 3 == g)
+        (s"g$g", ids.sum, ids.map(_ * 2).sum)
+      }
+      assert(rows.toSeq === expect)
+      // the whole agg+agg+join pipeline: ONE exchange nowhere — both
+      // aggregations and the join run on the storage partitioning
+      // (the final orderBy's range exchange is outside the join tree)
+      val joinTreeExchanges = j.queryExecution.executedPlan.collect {
+        case sj: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+          sj.collect { case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e }.length
+      }
+      assert(joinTreeExchanges.nonEmpty && joinTreeExchanges.forall(_ === 0),
+        s"join subtree has exchanges (total in plan: $exchanges)")
+      // and with the conf OFF, the same plan shuffles — the gate works
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      val off = spark.table("graft_lake.spja").groupBy("grp").agg(sum(col("v")))
+        .join(spark.table("graft_lake.spjb").groupBy("grp").agg(sum(col("w"))), "grp")
+      val offExchanges = off.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }.length
+      assert(offExchanges > 0)
+    } finally saved.foreach { case (k, vOpt) =>
+      vOpt.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   // ------------------------------- streaming sink onto MoR state
 
   test("the streaming sink appends cleanly onto live merge-on-read state") {
