@@ -3716,7 +3716,63 @@ object PipelineQueries {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- p55
+  /** ATOMIC `CREATE OR REPLACE TABLE ... AS SELECT` through the DSv2
+    * staging protocol (Delta's CREATE OR REPLACE contract): the query's
+    * tasks write real files FIRST — invisible, because no manifest
+    * references them — and the swap lands as ONE history-PRESERVING
+    * "replace" commit carrying schema, partition spec, properties and
+    * data together. Readers never see an intermediate state, a failed
+    * query aborts by sweeping only its own files, and time travel to
+    * pre-replace versions keeps working (the log survives; only the
+    * live state changes). The replace here reads FROM THE TABLE ITSELF
+    * — legal precisely because staging writes before swapping.
+    *
+    * Inside the hash: post-replace aggregates over the reshaped
+    * (partitioned, filtered) table, pre-replace aggregates via time
+    * travel, `replace_commits` = 1 (the swap is one commit — the
+    * non-atomic drop+create path would reset history instead). */
+  def p55ReplaceTable(s: SparkSession, dir: String): DataFrame = {
+    registerLake(s)
+    s.sql("DROP TABLE IF EXISTS graft_lake.rpl")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      .createOrReplaceTempView("p55_docs")
+    s.sql("CREATE TABLE graft_lake.rpl AS SELECT doc_id, n_chars FROM p55_docs") // v0+v1 (CTAS)
+    s.sql("""CREATE OR REPLACE TABLE graft_lake.rpl PARTITIONED BY (source)
+            |AS SELECT r.doc_id, d.source, d.lang, r.n_chars + 5 AS n_chars
+            |FROM graft_lake.rpl r JOIN p55_docs d ON r.doc_id = d.doc_id
+            |WHERE r.doc_id % 3 = 0""".stripMargin) // v2: ONE replace commit
+    val st = graft.sources.LakeStore.get("graft_lake.rpl").get
+    val replaceCommits =
+      st.snapshots.zipWithIndex.count { case (sn, _) => sn.action == "replace" }
+    val specOk = if (st.partitionCols == Seq("source")) 1L else 0L
+    val v1 = s.sql(
+      "SELECT count(*) AS c, sum(n_chars) AS sc FROM graft_lake.rpl VERSION AS OF 1")
+      .collect()(0)
+    s.table("graft_lake.rpl")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_chars")).as("sum_chars"),
+        countDistinct(col("source")).as("n_sources"))
+      .withColumn("v1_rows", lit(v1.getLong(0)))
+      .withColumn("v1_chars", lit(v1.getLong(1)))
+      .withColumn("replace_commits", lit(replaceCommits.toLong))
+      .withColumn("spec_ok", lit(specOk))
+  }
+
+  val p55Sql: String =
+    """SELECT
+      |  CAST(COUNT(CASE WHEN doc_id % 3 = 0 THEN 1 END) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN n_chars + 5 END) AS BIGINT) AS sum_chars,
+      |  CAST(COUNT(DISTINCT CASE WHEN doc_id % 3 = 0 THEN source END) AS BIGINT) AS n_sources,
+      |  COUNT(*) AS v1_rows,
+      |  CAST(SUM(n_chars) AS BIGINT) AS v1_chars,
+      |  CAST(1 AS BIGINT) AS replace_commits,
+      |  CAST(1 AS BIGINT) AS spec_ok
+      |FROM documents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p55_replace_table" -> (p55ReplaceTable _),
     "p54_storage_partitioned_join" -> (p54StoragePartitionedJoin _),
     "p53_log_checkpoint" -> (p53LogCheckpoint _),
     "p52_drop_column" -> (p52DropColumn _),
@@ -3774,6 +3830,7 @@ object PipelineQueries {
   // def, not val: p19Sql embeds Sidecars.oracleDir-keyed paths, which
   // Verify pins at runtime before dumping oracle_sql.json
   def oracle: Map[String, String] = Map(
+    "p55_replace_table" -> p55Sql,
     "p54_storage_partitioned_join" -> p54Sql,
     "p53_log_checkpoint" -> p53Sql,
     "p52_drop_column" -> p52Sql,

@@ -346,7 +346,9 @@ object GraftLake {
 }
 
 class GraftLakeCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+  import org.apache.spark.sql.connector.catalog.StagedTable
   private var catalogName: String = _
 
   /** `CALL graft_lake.system.<proc>(...)` — the maintenance operations
@@ -447,11 +449,10 @@ class GraftLakeCatalog extends TableCatalog
       org.apache.spark.sql.connector.catalog.GraftCatalogBridge.v2ColumnsToStructType(columns),
       partitions, properties)
 
-  override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    // identity transforms only: each distinct partition-column tuple is
-    // one copy-on-write group; no partitions = one whole-table group
-    val partitionCols = partitions.toSeq.map { t =>
+  /** Identity transforms only: each distinct partition-column tuple is
+    * one copy-on-write group; no partitions = one whole-table group. */
+  private def identityCols(partitions: Array[Transform]): Seq[String] =
+    partitions.toSeq.map { t =>
       require(t.name() == "identity" && t.arguments().length == 1,
         s"graft_lake: only identity partitioning is supported, got $t")
       t.arguments()(0) match {
@@ -463,20 +464,62 @@ class GraftLakeCatalog extends TableCatalog
           s"graft_lake: unsupported partition argument $other")
       }
     }
-    // keep the user-intent properties (graft.* — merge-on-read switch,
-    // constraints); Spark adds bookkeeping keys (provider, owner) that
-    // are not table state here
-    val graftProps = {
-      val it = properties.entrySet().iterator()
-      val b = Map.newBuilder[String, String]
-      while (it.hasNext) { val e = it.next()
-        if (e.getKey.startsWith("graft.")) b += e.getKey -> e.getValue }
-      b.result()
-    }
-    if (!LakeStore.create(k(ident), schema, partitionCols, graftProps))
+
+  /** Keep the user-intent properties (graft.* — merge-on-read switch,
+    * constraints); Spark adds bookkeeping keys (provider, owner) that
+    * are not table state here. */
+  private def keepGraftProps(properties: util.Map[String, String]): Map[String, String] = {
+    val it = properties.entrySet().iterator()
+    val b = Map.newBuilder[String, String]
+    while (it.hasNext) { val e = it.next()
+      if (e.getKey.startsWith("graft.")) b += e.getKey -> e.getValue }
+    b.result()
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    if (!LakeStore.create(k(ident), schema, identityCols(partitions),
+        keepGraftProps(properties)))
       throw new TableAlreadyExistsException(
         Seq(catalogName) ++ ident.namespace().toSeq :+ ident.name())
     new GraftLakeTable(k(ident), schema)
+  }
+
+  // --------------------------------------------- staged CREATE/REPLACE
+
+  /** `CREATE OR REPLACE TABLE ... AS SELECT` (and REPLACE / atomic CTAS):
+    * the staged query writes its files FIRST, invisible to readers, and
+    * [[LakeStagedTable.commitStagedChanges]] lands everything — schema,
+    * partition spec, properties, data — as ONE commit. On an existing
+    * table that commit is a history-PRESERVING "replace" (time travel to
+    * pre-replace versions keeps working — the Delta CREATE OR REPLACE
+    * contract); a failed query aborts by sweeping its own files, the
+    * table never sees an intermediate state. */
+  override def stageCreate(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): StagedTable =
+    staged(ident, info, mustExist = Some(false))
+  override def stageReplace(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): StagedTable =
+    staged(ident, info, mustExist = Some(true))
+  override def stageCreateOrReplace(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): StagedTable =
+    staged(ident, info, mustExist = None)
+
+  private def staged(ident: Identifier, info: org.apache.spark.sql.connector.catalog.TableInfo,
+      mustExist: Option[Boolean]): StagedTable = {
+    val key = k(ident)
+    val exists = LakeStore.get(key).isDefined
+    mustExist match {
+      case Some(true) if !exists => throw new NoSuchTableException(
+        Seq(catalogName) ++ ident.namespace().toSeq :+ ident.name())
+      case Some(false) if exists => throw new TableAlreadyExistsException(
+        Seq(catalogName) ++ ident.namespace().toSeq :+ ident.name())
+      case _ => ()
+    }
+    val schema = org.apache.spark.sql.connector.catalog.GraftCatalogBridge
+      .v2ColumnsToStructType(info.columns())
+    new LakeStagedTable(key, schema, identityCols(info.partitions()),
+      keepGraftProps(info.properties()))
   }
 
   /** Schema evolution: `ALTER TABLE ... ADD COLUMN(S)` appends nullable
@@ -615,6 +658,64 @@ class GraftLakeCatalog extends TableCatalog
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("graft_lake: RENAME TABLE not supported")
+}
+
+/** The staging handle behind atomic CTAS / REPLACE / CREATE OR REPLACE:
+  * the query's tasks write real parquet through the SAME task-side
+  * writer as every other lake write (constraints, derived columns,
+  * blooms all enforced — compiled from the STATEMENT's definition, not
+  * the store's), into the table's data dir, but NO manifest references
+  * them until [[commitStagedChanges]] — staged data is invisible by
+  * construction, and an abort sweeps exactly the staged files. */
+class LakeStagedTable(key: String, stagedSchema: StructType,
+    partitionCols: Seq[String], tableProps: Map[String, String])
+    extends org.apache.spark.sql.connector.catalog.StagedTable with SupportsWrite {
+
+  // staged task outputs, collected driver-side at batch commit
+  private val stagedFiles = scala.collection.mutable.ArrayBuffer.empty[LakeStore.FileEntry]
+
+  locally { // tasks need the data dir before the first write
+    val p = new Path(LakeStore.dataDir(key))
+    p.getFileSystem(new Configuration()).mkdirs(p)
+  }
+
+  override def name(): String = s"$key (staged)"
+  override def schema(): StructType = stagedSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
+      // the staged table is empty by construction: truncate = append
+      override def truncate(): WriteBuilder = this
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new BatchWrite {
+          override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory =
+            new LakeWriterFactory(LakeStore.dataDir(key), info.schema(), partitionCols,
+              LakeConstraints.compileProps(tableProps, info.schema(), key),
+              LakeDerivedColumns.compile(key, stagedSchema),
+              LakeBloom.columnsOf(tableProps), LakeBloom.bitsOf(tableProps),
+              LakeStore.physicalMap(stagedSchema))
+          override def commit(messages: Array[WriterCommitMessage]): Unit =
+            stagedFiles ++= messages.iterator.filter(_ != null)
+              .map(_.asInstanceOf[LakeCommit]).flatMap(_.files.iterator)
+          override def abort(messages: Array[WriterCommitMessage]): Unit =
+            sweep(messages.iterator.filter(_ != null)
+              .map(_.asInstanceOf[LakeCommit]).flatMap(_.files.iterator).toSeq)
+        }
+      }
+    }
+
+  override def commitStagedChanges(): Unit =
+    LakeStore.commitStaged(key, stagedSchema, partitionCols, tableProps,
+      stagedFiles.toSeq)
+
+  override def abortStagedChanges(): Unit = sweep(stagedFiles.toSeq)
+
+  private def sweep(files: Seq[LakeStore.FileEntry]): Unit = {
+    val fs = new Path(LakeStore.dataDir(key)).getFileSystem(new Configuration())
+    files.foreach(f => fs.delete(new Path(LakeStore.dataDir(key), f.path), false))
+  }
 }
 
 object GraftLakeTable {
@@ -1636,8 +1737,14 @@ object LakeConstraints {
   /** Compile the table's constraints into (name, bound VIOLATION
     * expression) pairs over `schema`'s ordinals: the expression is true
     * iff the row definitely violates (constraint <=> false). */
-  def compile(key: String, schema: StructType): Seq[(String, Expression)] = {
-    val cs = LakeStore.get(key).map(_.props).getOrElse(Map.empty)
+  def compile(key: String, schema: StructType): Seq[(String, Expression)] =
+    compileProps(LakeStore.get(key).map(_.props).getOrElse(Map.empty), schema, key)
+
+  /** Same, from an explicit property map — the staged-table path, where
+    * the constraints to enforce are the STATEMENT's, not the store's. */
+  def compileProps(props: Map[String, String], schema: StructType,
+      key: String): Seq[(String, Expression)] = {
+    val cs = props
       .collect { case (pk, pv) if pk.startsWith(prefix) =>
         pk.stripPrefix(prefix) -> pv }
       .toSeq.sortBy(_._1)

@@ -391,6 +391,57 @@ object LakeStore {
       schema = src.schema, deletes = refDeletes)
   }
 
+  /** Atomic landing for a STAGED create/replace (the DSv2
+    * StagingTableCatalog protocol behind CTAS / REPLACE TABLE / CREATE
+    * OR REPLACE TABLE): the staged query's output becomes the ENTIRE
+    * live set. On an existing table this is ONE history-preserving
+    * "replace" commit — schema, partition spec, properties and data all
+    * swap together, and time travel to pre-replace versions keeps
+    * working (the Delta CREATE OR REPLACE contract: the log survives,
+    * only the live state changes). On an absent table it writes the
+    * create entry then the data commit, never deleting the data dir
+    * (the staged files are already in it). */
+  def commitStaged(k: String, schema: StructType, partitionCols: Seq[String],
+      props: Map[String, String], files: Seq[FileEntry]): Unit = synchronized {
+    partitionCols.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"graft_lake: partition column $c does not exist in $k")
+      require(zoneSerializable(schema(c).dataType),
+        s"graft_lake: partition column $c of $k has type " +
+          s"${schema(c).dataType.simpleString}, which the manifest cannot " +
+          "round-trip as a group key")
+    }
+    get(k) match {
+      case Some(st) =>
+        commit(k, st, "replace", files.toVector, files,
+          removed = st.current.map(_.path),
+          commitGroups = None, dataChange = true, schema = schema,
+          props = props, deletes = Vector.empty, spec = partitionCols)
+      case None =>
+        val dir = new Path(tableDir(k))
+        val fs = fsOf(dir)
+        fs.mkdirs(logDir(k))
+        fs.mkdirs(new Path(dataDir(k)))
+        val entry = JObject(
+          "action" -> JString("create"),
+          "schema" -> JString(schema.json),
+          "partitionCols" -> JArray(partitionCols.map(JString(_)).toList),
+          "props" -> JObject(props.toList.map { case (pk, pv) =>
+            pk -> (JString(pv): JValue) }),
+          "dataChange" -> JBool(false),
+          "commitGroups" -> JArray(Nil),
+          "add" -> JArray(Nil), "remove" -> JArray(Nil))
+        writeLogEntry(k, 0, entry)
+        val st0 = TableState(k, Vector(Snapshot(schema, Vector.empty,
+          Some(Set.empty), dataChange = false, action = "create",
+          props = props, spec = partitionCols)))
+        tables.update(k, st0)
+        commit(k, st0, "append", files.toVector, files, removed = Nil,
+          commitGroups = Some(files.map(_.group).toSet), dataChange = true,
+          schema = schema)
+    }
+  }
+
   /** PARTITION EVOLUTION (Iceberg's signature move): commit a NEW
     * partition spec as pure metadata — nothing is read or rewritten.
     * Files already on disk keep the group keys of their own spec's era

@@ -183,7 +183,8 @@ object ScaleSweep {
       "p51_rename_column" -> "column mapping rename (metadata-only, era-uniform files)",
       "p52_drop_column" -> "metadata-only DROP COLUMN (re-add never resurrects stale bytes)",
       "p53_log_checkpoint" -> "commit-log checkpoints (O(1)+tail cold replay)",
-      "p54_storage_partitioned_join" -> "storage-partitioned join (zero-exchange agg+join)")
+      "p54_storage_partitioned_join" -> "storage-partitioned join (zero-exchange agg+join)",
+      "p55_replace_table" -> "atomic CREATE OR REPLACE via staging (one replace commit)")
 
     // warm the JVM/codegen on the smallest sf so cold-start lands nowhere
     queries.foreach { case (q, _) =>

@@ -763,6 +763,66 @@ class Round10OpsSpec extends SparkTestBase {
       vOpt.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  // ------------------------------- staged CREATE / REPLACE (p55)
+
+  test("p55/CREATE OR REPLACE TABLE: one atomic history-preserving commit, self-referencing") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_lake.rep")
+    spark.sql("CREATE TABLE graft_lake.rep (id BIGINT, v BIGINT)")
+    import spark.implicits._
+    (1L to 10L).map(i => (i, i)).toDF("id", "v").writeTo("graft_lake.rep").append()
+    // REPLACE from a query over the table ITSELF — the staged files land
+    // before the swap, so the scan still reads the pre-replace state
+    spark.sql("""CREATE OR REPLACE TABLE graft_lake.rep PARTITIONED BY (grp)
+                |AS SELECT id, v * 2 AS dv, CAST(id % 2 AS STRING) AS grp
+                |FROM graft_lake.rep""".stripMargin)
+    val st = LakeStore.get("graft_lake.rep").get
+    assert(st.latestVersion === 2) // create, append, ONE replace commit
+    assert(st.partitionCols === Seq("grp"))
+    assert(st.schema.fieldNames.toSeq === Seq("id", "dv", "grp"))
+    assert(spark.table("graft_lake.rep").agg(sum(col("dv"))).collect()(0).getLong(0)
+      === 2L * (1L to 10L).sum)
+    // history preserved: the pre-replace version still reads, OLD schema
+    val v1 = spark.sql("SELECT * FROM graft_lake.rep VERSION AS OF 1")
+    assert(v1.schema.fieldNames.toSeq === Seq("id", "v"))
+    assert(v1.agg(sum(col("v"))).collect()(0).getLong(0) === (1L to 10L).sum)
+    // REPLACE of a missing table refuses; CREATE OR REPLACE creates
+    val e = intercept[Exception] {
+      spark.sql("REPLACE TABLE graft_lake.rep_missing AS SELECT 1L AS x")
+    }
+    assert(e.getMessage.toUpperCase.contains("TABLE_OR_VIEW_NOT_FOUND")
+      || e.getMessage.toLowerCase.contains("not found")
+      || e.getMessage.toLowerCase.contains("no such"))
+    spark.sql("CREATE OR REPLACE TABLE graft_lake.rep_new AS SELECT 7L AS x")
+    assert(spark.table("graft_lake.rep_new").collect()(0).getLong(0) === 7L)
+    spark.sql("DROP TABLE graft_lake.rep_new")
+  }
+
+  test("p55/a failing staged REPLACE leaves the table untouched (atomicity)") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_lake.rep2")
+    spark.sql("CREATE TABLE graft_lake.rep2 (id BIGINT)")
+    import spark.implicits._
+    Seq(1L, 2L, 3L).toDF("id").writeTo("graft_lake.rep2").append()
+    // the statement's OWN constraint is enforced on the staged write —
+    // a violating row fails the job and aborts the staging
+    intercept[Exception] {
+      spark.sql("""CREATE OR REPLACE TABLE graft_lake.rep2
+                  |TBLPROPERTIES ('graft.constraints.pos' = 'id >= 0')
+                  |AS SELECT * FROM VALUES (5L), (-1L) AS t(id)""".stripMargin)
+    }
+    // pre-replace state fully intact: data, schema, version
+    val st = LakeStore.get("graft_lake.rep2").get
+    assert(st.latestVersion === 1)
+    assert(spark.table("graft_lake.rep2").collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(1L, 2L, 3L))
+    // and a duplicate CTAS refuses instead of clobbering
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE graft_lake.rep2 AS SELECT 1L AS id")
+    }
+    assert(e.getMessage.toLowerCase.contains("already exists"))
+  }
+
   // ------------------------------- streaming sink onto MoR state
 
   test("the streaming sink appends cleanly onto live merge-on-read state") {
