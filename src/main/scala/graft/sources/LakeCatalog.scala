@@ -1849,7 +1849,12 @@ object LakeBloom {
   *    aborts the write — Delta's exact contract, enforced through the
   *    same bound-Catalyst-expression path as CHECK constraints (p42):
   *    compiled once on the driver, codegen'd once per task, zero
-  *    per-row driver involvement.
+  *    per-row driver involvement. ROW-LEVEL rewrites (UPDATE/MERGE,
+  *    copy-on-write and merge-on-read alike) RECOMPUTE instead of
+  *    validating — Delta's recompute-on-update: the rewrite carries the
+  *    stale value past a changed dependency, and recomputing is what
+  *    keeps `gen = expr(deps)` true on every path; identity values are
+  *    CARRIED through rewrites (assigned once, never reassigned).
   *  - `GENERATED ALWAYS AS IDENTITY (START WITH s INCREMENT BY k)`:
   *    values are writer-assigned from a HIGH-WATER MARK read off the
   *    manifest's own column zones (driver-side metadata — no data
@@ -2128,7 +2133,7 @@ class LakeWriteBuilder(key: String, writeSchema: StructType,
     val phys = st.map(s => LakeStore.physicalMap(s.schema)).getOrElse(Map.empty)
     new LakeWriterFactory(LakeStore.dataDir(key), writeSchema, partitionCols,
       constraints, derived, LakeBloom.columnsOf(props), LakeBloom.bitsOf(props),
-      phys)
+      phys, recomputeGenerated = mode.isInstanceOf[RowLevelMode])
   }
 
   private def sweepFiles(messages: Iterator[WriterCommitMessage]): Unit = {
@@ -2279,8 +2284,11 @@ class LakeDeltaWriterFactory(dataDir: String, schema: StructType,
       private var innerOpt: DataWriter[InternalRow] = _
       private def inner: DataWriter[InternalRow] = {
         if (innerOpt == null)
+          // merge-on-read rows come from a row-level rewrite: generated
+          // columns RECOMPUTE (see the batch writer's contract note)
           innerOpt = new LakeWriterFactory(dataDir, schema, partitionCols,
-            constraints, derived, bloomCols, bloomBits, physicalOf)
+            constraints, derived, bloomCols, bloomBits, physicalOf,
+            recomputeGenerated = true)
             .createWriter(partitionId, taskId)
         innerOpt
       }
@@ -2333,7 +2341,8 @@ class LakeWriterFactory(dataDir: String, schema: StructType,
     constraints: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil,
     derived: LakeDerivedColumns.Spec = LakeDerivedColumns.empty,
     bloomCols: Seq[String] = Nil, bloomBits: Int = 1 << 16,
-    physicalOf: Map[String, String] = Map.empty)
+    physicalOf: Map[String, String] = Map.empty,
+    recomputeGenerated: Boolean = false)
     extends DataWriterFactory {
 
   /** Per-task identity block: task `p` owns value indexes
@@ -2442,6 +2451,9 @@ class LakeWriterFactory(dataDir: String, schema: StructType,
               s"graft_lake: task $partitionId exhausted its identity block")
             val v = id.base + (partitionId.toLong * IdentityBlock + identCounter) * id.step
             full.update(id.ordinal, v)
+          } else if (recomputeGenerated) {
+            // row-level rewrite: the row CARRIES its identity — assigned
+            // once at insert, preserved through every UPDATE/MERGE
           } else if (!id.allowExplicit) throw new IllegalStateException(
             s"graft_lake: column '${id.name}' is GENERATED ALWAYS AS IDENTITY — " +
               "explicit inserts are not allowed; the write was aborted")
@@ -2450,14 +2462,19 @@ class LakeWriterFactory(dataDir: String, schema: StructType,
         if (idents.nonEmpty) identCounter += 1
         // GENERATED columns: computed when omitted, VALIDATED when
         // provided (a mismatching explicit value aborts the write —
-        // Delta's generated-column contract)
+        // Delta's generated-column contract). ROW-LEVEL rewrites instead
+        // RECOMPUTE unconditionally (Delta's recompute-on-update): an
+        // UPDATE/MERGE that changes a dependency carries the stale
+        // value through Catalyst's rewrite, and recomputing is the only
+        // reading of the rewrite row that keeps the table invariant
+        // `gen = expr(deps)` — which therefore holds on EVERY path.
         if (genProj != null) {
           val computed = genProj(full)
           var gi = 0
           while (gi < gens.length) {
             val g = gens(gi)
             val cv = if (computed.isNullAt(gi)) null else computed.get(gi, dts(g.ordinal))
-            if (full.isNullAt(g.ordinal)) full.update(g.ordinal, cv)
+            if (recomputeGenerated || full.isNullAt(g.ordinal)) full.update(g.ordinal, cv)
             else {
               val given = full.get(g.ordinal, dts(g.ordinal))
               if (!java.util.Objects.equals(given, cv)) throw new IllegalStateException(

@@ -167,6 +167,45 @@ class Round10OpsSpec extends SparkTestBase {
       c.getMessage.toLowerCase.contains("identity")))
   }
 
+  test("p45/UPDATE recomputes generated columns and preserves identity values (COW + MoR)") {
+    registerCatalog()
+    def arc(table: String, mor: Boolean): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS graft_lake.$table")
+      spark.sql(s"""CREATE TABLE graft_lake.$table (
+                   |  row_id BIGINT GENERATED ALWAYS AS IDENTITY,
+                   |  n BIGINT,
+                   |  n2 BIGINT GENERATED ALWAYS AS (n * 2)
+                   |)${if (mor) " TBLPROPERTIES ('graft.merge-on-read' = 'true')" else ""}""".stripMargin)
+      spark.sql(s"INSERT INTO graft_lake.$table (n) VALUES (10), (20), (30)")
+      val before = spark.table(s"graft_lake.$table")
+        .collect().map(r => (r.getLong(1), r.getLong(0))).toMap // n -> row_id
+      // the dependency-changing UPDATE: n2 must FOLLOW, row_id must CARRY
+      spark.sql(s"UPDATE graft_lake.$table SET n = n + 1 WHERE n >= 20")
+      val after = spark.table(s"graft_lake.$table").orderBy(col("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(after.map(t => (t._2, t._3)).toSeq === Seq((10L, 20L), (21L, 42L), (31L, 62L)))
+      assert(after.find(_._2 == 21L).get._1 === before(20L)) // identity preserved
+      assert(after.find(_._2 == 31L).get._1 === before(30L))
+      // MERGE through the same path: updated rows recompute too
+      spark.sql(s"""MERGE INTO graft_lake.$table t
+                   |USING (SELECT 10L AS n, 100L AS add) s ON t.n = s.n
+                   |WHEN MATCHED THEN UPDATE SET t.n = t.n + s.add""".stripMargin)
+      val m = spark.table(s"graft_lake.$table").filter(col("n") === 110L).collect()
+      assert(m.length === 1 && m(0).getLong(2) === 220L)
+      assert(m(0).getLong(0) === before(10L))
+    }
+    arc("genup", mor = false) // copy-on-write rewrite
+    arc("genupm", mor = true) // merge-on-read delta write
+    // plain INSERT keeps the validate contract: a wrong explicit value aborts
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO graft_lake.genup (n, n2) VALUES (5, 999)")
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("GENERATED ALWAYS AS")))
+  }
+
   // --------------------------------------------------- p46 z-order
 
   test("p46/z-order tiles scan fewer files than 1-D clustering for a 2-D box") {
