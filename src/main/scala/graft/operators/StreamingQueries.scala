@@ -1110,7 +1110,92 @@ object StreamingQueries {
       |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
       |FROM d GROUP BY source ORDER BY source""".stripMargin
 
+  /** END-TO-END CDC REPLICATION — the pipeline the change-feed tier
+    * exists for: a source lake table evolves through inserts, a
+    * dependency-touching UPDATE and a merge-on-read DELETE; one
+    * streaming query consumes `<src>.changes` and applies every commit
+    * into a REPLICA table via MERGE (Delta's replication recipe:
+    * readChangeFeed → foreachBatch MERGE). The apply step nets the raw
+    * file-granular feed per key at its LATEST version in the batch —
+    * any I at that version is the final payload (copy-on-write
+    * carry-over D+I pairs collapse idempotently), a D without an I is a
+    * delete — so ordering is per-batch-sequential + last-version-wins,
+    * and every step (feed read, netting, MERGE) is distributed and
+    * bounded by TOUCHED rows, never table size.
+    *
+    * Inside the hash: the replica's aggregates restated from first
+    * principles PLUS two anti-join counts (replica \ source and
+    * source \ replica, both 0) — the replica must equal the source
+    * bit-for-bit, or the row fails. */
+  def st18CdcReplication(s: SparkSession, dir: String): DataFrame = {
+    if (!s.conf.getOption("spark.sql.catalog.graft_lake").contains(
+        classOf[graft.sources.GraftLakeCatalog].getName))
+      s.conf.set("spark.sql.catalog.graft_lake",
+        classOf[graft.sources.GraftLakeCatalog].getName)
+    val root = s"/tmp/graft_stream_${Sidecars.tag(dir)}/st18"
+    deleteRecursively(java.nio.file.Paths.get(root))
+    s.sql("DROP TABLE IF EXISTS graft_lake.cdc_rep_src")
+    s.sql("DROP TABLE IF EXISTS graft_lake.cdc_replica")
+    s.sql("""CREATE TABLE graft_lake.cdc_rep_src (doc_id BIGINT, n_chars BIGINT)
+            |TBLPROPERTIES ('graft.merge-on-read' = 'true')""".stripMargin)
+    s.sql("CREATE TABLE graft_lake.cdc_replica (doc_id BIGINT, n_chars BIGINT)")
+    val docs = graft.Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+    docs.filter(col("doc_id") % 2 === 0).writeTo("graft_lake.cdc_rep_src").append() // v1
+    s.sql("UPDATE graft_lake.cdc_rep_src SET n_chars = n_chars + 10 WHERE doc_id % 10 = 0") // v2
+    s.sql("DELETE FROM graft_lake.cdc_rep_src WHERE doc_id % 14 = 0") // v3: MoR positions
+    docs.filter(col("doc_id") % 2 === 1).writeTo("graft_lake.cdc_rep_src").append() // v4
+    val view = "st18_net_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = s.readStream.table("graft_lake.cdc_rep_src.changes")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val ss = batch.sparkSession
+        import org.apache.spark.sql.expressions.Window
+        val latest = batch
+          .withColumn("maxv",
+            max(col("_commit_version")).over(Window.partitionBy(col("doc_id"))))
+          .filter(col("_commit_version") === col("maxv"))
+        latest.groupBy(col("doc_id"))
+          .agg(max(when(col("_change") === "I", struct(col("n_chars")))).as("post"))
+          .createOrReplaceTempView(view)
+        ss.sql(s"""MERGE INTO graft_lake.cdc_replica t USING $view s
+                  |ON t.doc_id = s.doc_id
+                  |WHEN MATCHED AND s.post IS NULL THEN DELETE
+                  |WHEN MATCHED THEN UPDATE SET t.n_chars = s.post.n_chars
+                  |WHEN NOT MATCHED AND s.post IS NOT NULL THEN
+                  |  INSERT (doc_id, n_chars) VALUES (s.doc_id, s.post.n_chars)""".stripMargin)
+        ()
+      }
+      .option("checkpointLocation", s"$root/_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val src = s.table("graft_lake.cdc_rep_src").select("doc_id", "n_chars")
+    val rep = s.table("graft_lake.cdc_replica").select("doc_id", "n_chars")
+    val extra = rep.exceptAll(src).count()
+    val missing = src.exceptAll(rep).count()
+    rep.agg(count(lit(1)).as("n_rows"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("doc_id")).as("sum_ids"))
+      .withColumn("replica_minus_src", lit(extra))
+      .withColumn("src_minus_replica", lit(missing))
+  }
+
+  val st18Sql: String =
+    """WITH fin AS (
+      |  SELECT doc_id,
+      |    n_chars + (CASE WHEN doc_id % 10 = 0 THEN 10 ELSE 0 END) AS n_chars
+      |  FROM documents WHERE doc_id % 2 = 0 AND doc_id % 14 <> 0
+      |  UNION ALL
+      |  SELECT doc_id, n_chars FROM documents WHERE doc_id % 2 = 1)
+      |SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+      |  CAST(0 AS BIGINT) AS replica_minus_src,
+      |  CAST(0 AS BIGINT) AS src_minus_replica
+      |FROM fin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st18_cdc_replication" -> (st18CdcReplication _),
     "st17_stream_lake_sink" -> (st17StreamLakeSink _),
     "st16_stream_change_feed" -> (st16StreamChangeFeed _),
     "st15_stream_lake_source" -> (st15StreamLakeSource _),
@@ -1130,6 +1215,7 @@ object StreamingQueries {
     "st05_stream_filter" -> (st05StreamFilter _))
 
   val oracle: Map[String, String] = Map(
+    "st18_cdc_replication" -> st18Sql,
     "st17_stream_lake_sink" -> st17Sql,
     "st16_stream_change_feed" -> st16Sql,
     "st15_stream_lake_source" -> st15Sql,

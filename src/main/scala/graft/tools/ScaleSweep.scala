@@ -184,7 +184,8 @@ object ScaleSweep {
       "p52_drop_column" -> "metadata-only DROP COLUMN (re-add never resurrects stale bytes)",
       "p53_log_checkpoint" -> "commit-log checkpoints (O(1)+tail cold replay)",
       "p54_storage_partitioned_join" -> "storage-partitioned join (zero-exchange agg+join)",
-      "p55_replace_table" -> "atomic CREATE OR REPLACE via staging (one replace commit)")
+      "p55_replace_table" -> "atomic CREATE OR REPLACE via staging (one replace commit)",
+      "st18_cdc_replication" -> "CDC replication (stream changes -> MERGE into replica)")
 
     // warm the JVM/codegen on the smallest sf so cold-start lands nowhere
     queries.foreach { case (q, _) =>

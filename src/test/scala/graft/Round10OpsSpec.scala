@@ -862,6 +862,66 @@ class Round10OpsSpec extends SparkTestBase {
     assert(e.getMessage.toLowerCase.contains("already exists"))
   }
 
+  // ------------------------------- st18 incremental CDC replication
+
+  test("st18/CDC replication resumes from its checkpoint and applies only new commits") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_lake.crsrc")
+    spark.sql("DROP TABLE IF EXISTS graft_lake.crdst")
+    spark.sql("""CREATE TABLE graft_lake.crsrc (id BIGINT, v BIGINT)
+                |TBLPROPERTIES ('graft.merge-on-read' = 'true')""".stripMargin)
+    spark.sql("CREATE TABLE graft_lake.crdst (id BIGINT, v BIGINT)")
+    import spark.implicits._
+    val ck = java.nio.file.Files.createTempDirectory("graft-cdcrep-").toString
+    def drain(): Unit = {
+      val view = "crnet_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = spark.readStream.table("graft_lake.crsrc.changes")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val ss = batch.sparkSession
+          import org.apache.spark.sql.expressions.Window
+          batch.withColumn("maxv",
+              max(col("_commit_version")).over(Window.partitionBy(col("id"))))
+            .filter(col("_commit_version") === col("maxv"))
+            .groupBy(col("id"))
+            .agg(max(when(col("_change") === "I", struct(col("v")))).as("post"))
+            .createOrReplaceTempView(view)
+          ss.sql(s"""MERGE INTO graft_lake.crdst t USING $view s ON t.id = s.id
+                    |WHEN MATCHED AND s.post IS NULL THEN DELETE
+                    |WHEN MATCHED THEN UPDATE SET t.v = s.post.v
+                    |WHEN NOT MATCHED AND s.post IS NOT NULL THEN
+                    |  INSERT (id, v) VALUES (s.id, s.post.v)""".stripMargin)
+          ()
+        }
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def assertReplicaEqual(): Unit = {
+      val src = spark.table("graft_lake.crsrc").select("id", "v")
+      val dst = spark.table("graft_lake.crdst").select("id", "v")
+      assert(dst.exceptAll(src).count() === 0L && src.exceptAll(dst).count() === 0L)
+    }
+    (1L to 10L).map(i => (i, i)).toDF("id", "v").writeTo("graft_lake.crsrc").append()
+    spark.sql("DELETE FROM graft_lake.crsrc WHERE id <= 2")
+    drain(); assertReplicaEqual()
+    val dstVersionAfterFirst = LakeStore.get("graft_lake.crdst").get.latestVersion
+    // NEW commits after the first drain: update, delete, insert
+    spark.sql("UPDATE graft_lake.crsrc SET v = v * 100 WHERE id = 5")
+    spark.sql("DELETE FROM graft_lake.crsrc WHERE id = 7")
+    Seq((20L, 20L)).toDF("id", "v").writeTo("graft_lake.crsrc").append()
+    drain(); assertReplicaEqual()
+    assert(spark.table("graft_lake.crdst").filter(col("id") === 5L)
+      .collect()(0).getLong(1) === 500L)
+    // incremental: the second drain added commits, it did not rebuild
+    assert(LakeStore.get("graft_lake.crdst").get.latestVersion > dstVersionAfterFirst)
+    // and a third drain with NOTHING new applies nothing
+    val before = LakeStore.get("graft_lake.crdst").get.latestVersion
+    drain()
+    assert(LakeStore.get("graft_lake.crdst").get.latestVersion === before)
+  }
+
   // ------------------------------- streaming sink onto MoR state
 
   test("the streaming sink appends cleanly onto live merge-on-read state") {
