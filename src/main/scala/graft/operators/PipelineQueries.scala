@@ -3771,7 +3771,63 @@ object PipelineQueries {
       |  CAST(1 AS BIGINT) AS spec_ok
       |FROM documents""".stripMargin
 
+  // ---------------------------------------------------------------- p56
+  /** TYPE WIDENING — `ALTER TABLE ... ALTER COLUMN x TYPE <wider>` as
+    * pure metadata (Delta's type-widening feature): lossless promotions
+    * only (byte→short→int→long, float→double — Spark's analyzer already
+    * refuses non-upcasts; the catalog is stricter still and refuses
+    * exactness-losing ones like int→double), zero files rewritten — the
+    * pre-widening files keep their narrow physical type and the reader
+    * up-casts. Both skipping levers stay exact across the boundary:
+    * zones compare numerically across boxed widths, and blooms
+    * canonicalize every integral to long bytes.
+    *
+    * Inside the hash: aggregates spanning both width eras with values
+    * only the WIDE type can hold, the narrow era restated via time
+    * travel, and a zone-skip flag — a probe above INT range must skip
+    * the narrow-era files off their replayed zones. */
+  def p56TypeWidening(s: SparkSession, dir: String): DataFrame = {
+    registerLake(s)
+    s.sql("DROP TABLE IF EXISTS graft_lake.wid")
+    s.sql("CREATE TABLE graft_lake.wid (doc_id BIGINT, n INT)")
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+    docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("n_chars").cast("int").as("n"))
+      .writeTo("graft_lake.wid").append() // v1: narrow era (INT32 files)
+    s.sql("ALTER TABLE graft_lake.wid ALTER COLUMN n TYPE BIGINT") // v2: metadata-only
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), (col("n_chars") + 3000000000L).as("n"))
+      .writeTo("graft_lake.wid").append() // v3: values beyond INT range
+    val v1Sum = s.sql("SELECT sum(n) AS sn FROM graft_lake.wid VERSION AS OF 1")
+      .collect()(0).getLong(0)
+    // a probe above INT range must skip every narrow-era file by zones
+    val probed = s.table("graft_lake.wid").filter(col("n") > 3000000000L).count()
+    val stats = graft.sources.LakeStore.lastScanStats("graft_lake.wid")
+    val skipFlag = if (probed > 0 && stats.filesScanned < stats.filesTotal) 1L else 0L
+    s.table("graft_lake.wid")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n")).as("sum_n"),
+        sum(when(col("n") > 2147483647L, 1L).otherwise(0L)).as("n_wide"))
+      .withColumn("v1_sum", lit(v1Sum))
+      .withColumn("files_skipped", lit(skipFlag))
+  }
+
+  val p56Sql: String =
+    """WITH w AS (
+      |  SELECT doc_id, CAST(CAST(n_chars AS INT) AS BIGINT) AS n
+      |  FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT doc_id, n_chars + 3000000000 FROM documents WHERE doc_id % 2 = 1)
+      |SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(n) AS BIGINT) AS sum_n,
+      |  CAST(COUNT(CASE WHEN n > 2147483647 THEN 1 END) AS BIGINT) AS n_wide,
+      |  CAST((SELECT SUM(CAST(n_chars AS INT)) FROM documents
+      |        WHERE doc_id % 2 = 0) AS BIGINT) AS v1_sum,
+      |  CAST(1 AS BIGINT) AS files_skipped
+      |FROM w""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p56_type_widening" -> (p56TypeWidening _),
     "p55_replace_table" -> (p55ReplaceTable _),
     "p54_storage_partitioned_join" -> (p54StoragePartitionedJoin _),
     "p53_log_checkpoint" -> (p53LogCheckpoint _),
@@ -3830,6 +3886,7 @@ object PipelineQueries {
   // def, not val: p19Sql embeds Sidecars.oracleDir-keyed paths, which
   // Verify pins at runtime before dumping oracle_sql.json
   def oracle: Map[String, String] = Map(
+    "p56_type_widening" -> p56Sql,
     "p55_replace_table" -> p55Sql,
     "p54_storage_partitioned_join" -> p54Sql,
     "p53_log_checkpoint" -> p53Sql,

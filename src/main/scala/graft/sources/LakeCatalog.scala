@@ -613,6 +613,39 @@ class GraftLakeCatalog extends TableCatalog
               "expression or bloom config references it; drop that first")
           schema = StructType(schema.fields.filterNot(_.name == name))
         }
+      case up: TableChange.UpdateColumnType =>
+        // TYPE WIDENING (Delta's type-widening feature): lossless
+        // promotions only, metadata-only — old files keep their narrow
+        // physical type and the reader up-casts (zones compare
+        // numerically across boxes; blooms canonicalize every integral
+        // to long bytes and floats through double bits, so both
+        // skipping levers stay exact across the widening)
+        import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType,
+          IntegerType, LongType, ShortType}
+        require(up.fieldNames().length == 1,
+          s"graft_lake: nested ALTER COLUMN unsupported: ${up.fieldNames().mkString(".")}")
+        val upName = up.fieldNames()(0)
+        require(schema.fieldNames.contains(upName),
+          s"graft_lake: column $upName does not exist")
+        val from = schema(upName).dataType
+        val to = up.newDataType()
+        val widens = (from, to) match {
+          case (ByteType, ShortType | IntegerType | LongType) => true
+          case (ShortType, IntegerType | LongType) => true
+          case (IntegerType, LongType) => true
+          case (FloatType, DoubleType) => true
+          case _ => false
+        }
+        require(widens,
+          s"graft_lake: cannot change $upName from ${from.simpleString} to " +
+            s"${to.simpleString} — only lossless widenings " +
+            "(byte->short->int->long, float->double) are metadata-safe")
+        require(!st.partitionCols.contains(upName),
+          s"graft_lake: cannot widen partition column $upName — group keys " +
+            "are typed per era (evolve the partition spec first)")
+        val ui = schema.fieldIndex(upName)
+        schema = StructType(schema.fields.updated(ui,
+          schema(ui).copy(dataType = to)))
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1,
           s"graft_lake: nested ADD COLUMN unsupported: ${add.fieldNames().mkString(".")}")

@@ -802,6 +802,41 @@ class Round10OpsSpec extends SparkTestBase {
       vOpt.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  // ------------------------------------ p56 type widening
+
+  test("p56/ALTER COLUMN TYPE widens losslessly: old narrow files read as the wide type") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_lake.wide")
+    spark.sql("""CREATE TABLE graft_lake.wide (id BIGINT, n INT, f FLOAT)
+                |TBLPROPERTIES ('graft.bloom.columns' = 'n')""".stripMargin)
+    spark.sql("INSERT INTO graft_lake.wide VALUES (1, 100, CAST(1.5 AS FLOAT)), (2, 200, CAST(2.5 AS FLOAT))")
+    spark.sql("ALTER TABLE graft_lake.wide ALTER COLUMN n TYPE BIGINT")
+    spark.sql("ALTER TABLE graft_lake.wide ALTER COLUMN f TYPE DOUBLE")
+    // new era writes wide; old files stay narrow on disk
+    spark.sql("INSERT INTO graft_lake.wide VALUES (3, 3000000000, 3.5)")
+    val rows = spark.table("graft_lake.wide").orderBy(col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq === Seq((1L, 100L, 1.5), (2L, 200L, 2.5), (3L, 3000000000L, 3.5)))
+    // zone pruning still skips across the width boundary
+    assert(spark.table("graft_lake.wide").filter(col("n") === 3000000000L).count() === 1L)
+    val stats = LakeStore.lastScanStats("graft_lake.wide")
+    assert(stats.filesScanned < stats.filesTotal) // narrow-era file skipped by zones
+    // bloom probes stay exact: integrals canonicalize to long bytes
+    assert(spark.table("graft_lake.wide").filter(col("n") === 100L).count() === 1L)
+    // narrowing is refused — Spark's analyzer rejects non-upcasts before
+    // the catalog; the catalog's own whitelist guards the rest (it is
+    // STRICTER than canUpCast: int->double would lose exactness)
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft_lake.wide ALTER COLUMN n TYPE INT")
+    }
+    assert(e.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN")
+      || e.getMessage.contains("widening") || e.getMessage.contains("lossless"))
+    // cold replay: the widened schema and mixed-width files still read
+    LakeStore.invalidateCache("graft_lake.wide")
+    assert(spark.table("graft_lake.wide").agg(sum(col("n"))).collect()(0).getLong(0)
+      === 100L + 200L + 3000000000L)
+  }
+
   // ------------------------------- staged CREATE / REPLACE (p55)
 
   test("p55/CREATE OR REPLACE TABLE: one atomic history-preserving commit, self-referencing") {
