@@ -1203,12 +1203,14 @@ class LakeScan(key: String, schema: StructType,
   override def outputPartitioning():
       org.apache.spark.sql.connector.read.partitioning.Partitioning =
     keyGroupedSpec match {
-      case Some(spec) =>
+      // an empty surviving set reports Unknown — a 0-partition
+      // KeyGroupedPartitioning has nothing to align on
+      case Some(spec) if survivingGroups(spec).nonEmpty =>
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
           spec.map(c => org.apache.spark.sql.connector.expressions.Expressions.identity(c)
             : org.apache.spark.sql.connector.expressions.Expression).toArray,
           survivingGroups(spec).length)
-      case None =>
+      case _ =>
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
     }
 

@@ -278,6 +278,36 @@ object DumpPlans {
       val txt = spark.sql("EXPLAIN FORMATTED " + stmt).collect()(0).getString(0)
       sb.append(s"\n## statement: $name\n\n$note\n\n```\n${txt.trim.take(4000)}\n```\n")
     }
+
+    // The SPJ plan needs the v2-bucketing confs LIVE at plan time (the
+    // p54 registry entry restores them after its run, and its published
+    // frame is a literal), so the zero-exchange join gets a conf-scoped
+    // section of its own over the tables p54 just built.
+    {
+      import org.apache.spark.sql.functions.{col, min, sum}
+      val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+        "spark.sql.adaptive.enabled", "spark.sql.autoBroadcastJoinThreshold")
+        .map(k => k -> spark.conf.getOption(k))
+      try {
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val a = spark.table("graft_lake.spj_chars").groupBy("source")
+          .agg(sum(col("n_chars")).as("sum_chars"))
+        val b = spark.table("graft_lake.spj_langs").groupBy("source")
+          .agg(min(col("lang")).as("min_lang"))
+        val j = a.join(b, "source")
+        sb.append("\n## statement: storage-partitioned join (p54)\n\n" +
+          "Both lake scans report KeyGroupedPartitioning (one keyed input " +
+          "partition per partition group), so the two per-source " +
+          "HashAggregates AND the SortMergeJoin between them plan with ZERO " +
+          "Exchange nodes — only sorts sit between the scans and the join. " +
+          "At 100 TB this is the decisive shuffle elimination: co-location " +
+          "replaces data movement entirely.\n\n" +
+          s"```\n${j.queryExecution.executedPlan.toString.trim.take(4000)}\n```\n")
+      } finally saved.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+    }
     Files.writeString(Paths.get(out), sb.toString)
     println(s"wrote $out")
     spark.stop()

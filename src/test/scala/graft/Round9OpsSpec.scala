@@ -41,14 +41,21 @@ class Round9OpsSpec extends SparkTestBase {
   }
 
   test("ALTER TABLE rejects what the lake cannot evolve") {
+    // DROP/RENAME COLUMN and lossless retypes became metadata-only in
+    // round 10 (column mapping + type widening) — what remains refused
+    // is what no metadata move can make sound
     registerCatalog()
     spark.sql("DROP TABLE IF EXISTS graft_lake.alt")
     spark.sql("CREATE TABLE graft_lake.alt (id BIGINT, v BIGINT)")
     intercept[Exception] { // NOT NULL column cannot pad existing files
       spark.sql("ALTER TABLE graft_lake.alt ADD COLUMN q BIGINT NOT NULL")
     }
-    intercept[Exception] { // drop unsupported, loudly
-      spark.sql("ALTER TABLE graft_lake.alt DROP COLUMN v")
+    val e = intercept[Exception] { // dropping every column is refused atomically
+      spark.sql("ALTER TABLE graft_lake.alt DROP COLUMNS (id, v)")
+    }
+    assert(e.getMessage.contains("only column"))
+    intercept[Exception] { // RENAME TABLE has no metadata-safe story here
+      spark.sql("ALTER TABLE graft_lake.alt RENAME TO graft_lake.alt2")
     }
     // the failed ALTERs must not have committed anything
     assert(LakeStore.get("graft_lake.alt").get.latestVersion === 0)
