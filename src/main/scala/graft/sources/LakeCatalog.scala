@@ -779,7 +779,19 @@ object GraftLakeTable {
 class GraftLakeTable(val key: String, val tableSchema: StructType,
     pinnedVersion: Option[Int] = None)
     extends Table with SupportsRead with SupportsWrite with SupportsRowLevelOperations
-    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
+
+  /** `TRUNCATE TABLE` — one history-PRESERVING whole-table replace
+    * commit (Delta's shape): the files leave the live set but stay on
+    * disk, so time travel to pre-truncate versions keeps working and
+    * the change feed sees the truncate as the row-level delete it is. */
+  override def truncateTable(): Boolean = {
+    require(pinnedVersion.isEmpty,
+      s"graft_lake: cannot TRUNCATE a time-travel view of $key")
+    LakeStore.replace(key, Nil, None)
+    true
+  }
 
   override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
     GraftLakeTable.MetaCols
@@ -1117,11 +1129,49 @@ class LakeScan(key: String, schema: StructType,
       .groupBy(_.dataFile).map { case (df, es) => df -> es.map(_.rows).sum }
     val rows = surviving.map(f => f.rows - dvRows.getOrElse(f.path, 0L)).sum
     val width = readCols.fields.map(_.dataType.defaultSize.toLong).sum.max(1L)
+    // COLUMN statistics from the same write-time zones (numeric/datetime
+    // columns; min/max = the pruned file set's zone envelope) — what
+    // CBO's filter-selectivity and join estimation consume, with zero
+    // file I/O. Strings are skipped: their stored form is not the
+    // Catalyst value the estimator compares with.
+    val colStats = new java.util.HashMap[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+    readCols.fields.foreach { f =>
+      val numericLike = f.dataType match {
+        case _: org.apache.spark.sql.types.NumericType => true
+        case org.apache.spark.sql.types.DateType |
+             org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType => true
+        case _ => false
+      }
+      if (numericLike) {
+        val phys = physNames.getOrElse(f.name, f.name)
+        val zs = surviving.flatMap(_.zones.get(phys))
+        if (zs.nonEmpty) {
+          val mn = zs.map(_._1).reduce((a, b) =>
+            if (ZonePrune.cmp(a, b).exists(_ <= 0)) a else b)
+          val mx = zs.map(_._2).reduce((a, b) =>
+            if (ZonePrune.cmp(a, b).exists(_ >= 0)) a else b)
+          colStats.put(
+            org.apache.spark.sql.connector.expressions.Expressions.column(f.name),
+            new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+              override def min(): java.util.Optional[Object] =
+                java.util.Optional.of(mn.asInstanceOf[Object])
+              override def max(): java.util.Optional[Object] =
+                java.util.Optional.of(mx.asInstanceOf[Object])
+            })
+        }
+      }
+    }
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(rows * width)
       override def numRows(): java.util.OptionalLong =
         java.util.OptionalLong.of(rows)
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colStats
     }
   }
 

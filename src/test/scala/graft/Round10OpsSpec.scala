@@ -802,6 +802,69 @@ class Round10OpsSpec extends SparkTestBase {
       vOpt.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  // ------------------------------------ column statistics
+
+  test("scan statistics report zone-envelope column min/max after pushdown") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_lake.cstat")
+    spark.sql("CREATE TABLE graft_lake.cstat (id BIGINT, grp STRING, v BIGINT)")
+    import spark.implicits._
+    Seq((1L, "a", 100L), (2L, "a", 200L)).toDF("id", "grp", "v")
+      .coalesce(1).writeTo("graft_lake.cstat").append()
+    Seq((10L, "b", 900L), (11L, "b", 950L)).toDF("id", "grp", "v")
+      .coalesce(1).writeTo("graft_lake.cstat").append()
+    def statsOf(pushedMax: Option[Long]) = {
+      val scan = new graft.sources.LakeScan("graft_lake.cstat",
+        LakeStore.get("graft_lake.cstat").get.schema,
+        pushed = pushedMax.map(m => new org.apache.spark.sql.connector.expressions.filter.Predicate(
+          "<=", Array[org.apache.spark.sql.connector.expressions.Expression](
+            org.apache.spark.sql.connector.expressions.Expressions.column("id"),
+            org.apache.spark.sql.connector.expressions.Expressions.literal(m)))).toArray)
+      scan.estimateStatistics()
+    }
+    val full = statsOf(None)
+    assert(full.numRows().getAsLong === 4L)
+    val byName = full.columnStats().entrySet().iterator()
+    val m = new scala.collection.mutable.HashMap[String, (Any, Any)]()
+    while (byName.hasNext) { val e = byName.next()
+      m(e.getKey.fieldNames()(0)) = (e.getValue.min().get(), e.getValue.max().get()) }
+    assert(m("id") === ((1L, 11L)) && m("v") === ((100L, 950L)))
+    assert(!m.contains("grp")) // strings carry no estimator min/max
+    // after pushdown the envelope narrows to the surviving files
+    val pruned = statsOf(Some(5L))
+    val it = pruned.columnStats().entrySet().iterator()
+    val m2 = new scala.collection.mutable.HashMap[String, (Any, Any)]()
+    while (it.hasNext) { val e = it.next()
+      m2(e.getKey.fieldNames()(0)) = (e.getValue.min().get(), e.getValue.max().get()) }
+    assert(pruned.numRows().getAsLong === 2L)
+    assert(m2("v") === ((100L, 200L))) // second file's zones dropped out
+  }
+
+  // ------------------------------------ TRUNCATE TABLE
+
+  test("TRUNCATE TABLE is one history-preserving commit; CDC sees the deletes") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_lake.trnc")
+    spark.sql("CREATE TABLE graft_lake.trnc (id BIGINT, v BIGINT)")
+    import spark.implicits._
+    (1L to 8L).map(i => (i, i * 10L)).toDF("id", "v").writeTo("graft_lake.trnc").append()
+    spark.sql("TRUNCATE TABLE graft_lake.trnc")
+    assert(spark.table("graft_lake.trnc").count() === 0L)
+    val st = LakeStore.get("graft_lake.trnc").get
+    assert(st.latestVersion === 2) // create, append, ONE truncate commit
+    // history preserved: pre-truncate version still reads
+    assert(spark.sql("SELECT count(*) FROM graft_lake.trnc VERSION AS OF 1")
+      .collect()(0).getLong(0) === 8L)
+    // the change feed sees 8 row-level deletes at v2
+    val d = spark.read.option("startingVersion", "2")
+      .table("graft_lake.trnc.changes")
+      .select(col("id"), col("_change")).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(d.sorted.toSeq === (1L to 8L).map(i => (i, "D")))
+    // and the table keeps working after
+    Seq((100L, 1L)).toDF("id", "v").writeTo("graft_lake.trnc").append()
+    assert(spark.table("graft_lake.trnc").count() === 1L)
+  }
+
   // ------------------------------------ p56 type widening
 
   test("p56/ALTER COLUMN TYPE widens losslessly: old narrow files read as the wide type") {
