@@ -758,6 +758,14 @@ object LakeStore {
     fs.delete(lastCheckpointPath(k), false)
     if (!fs.rename(ptmp, lastCheckpointPath(k))) throw new IllegalStateException(
       s"graft_lake: checkpoint pointer of $k lost a rename race")
+    // GC superseded checkpoints: each is O(history) — keeping only the
+    // newest bounds checkpoint storage at one copy (the log itself
+    // remains complete; an old checkpoint serves no reader the pointer
+    // no longer names)
+    fs.listStatus(dir).map(_.getPath)
+      .filter(p => p.getName.endsWith(".checkpoint.json") &&
+        p.getName.takeWhile(_.isDigit).toInt < v)
+      .foreach(fs.delete(_, false))
   }
 
   /** Newest readable checkpoint, or None (no pointer, file missing, or

@@ -689,6 +689,23 @@ class Round10OpsSpec extends SparkTestBase {
     assert(rs2.checkpoint === None && rs2.entriesParsed === 14)
   }
 
+  test("a newer checkpoint garbage-collects the superseded one") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_lake.ckgc")
+    spark.sql("CREATE TABLE graft_lake.ckgc (id BIGINT)")
+    import spark.implicits._
+    (1 to 21).foreach { i =>
+      Seq(i.toLong).toDF("id").writeTo("graft_lake.ckgc").append()
+    } // v1..v21: checkpoints at v10 and v20
+    val logDir = new java.io.File(s"${LakeStore.tableDir("graft_lake.ckgc")}/_log")
+    val cps = logDir.listFiles().map(_.getName).filter(_.endsWith(".checkpoint.json"))
+    assert(cps.length === 1 && cps.head.contains("20")) // v10's copy swept
+    LakeStore.invalidateCache("graft_lake.ckgc")
+    assert(spark.table("graft_lake.ckgc").count() === 21L)
+    assert(LakeStore.lastReplayStats("graft_lake.ckgc") ===
+      LakeStore.ReplayStats(Some(20), 1))
+  }
+
   test("checkpointed replay preserves partition-evolution eras and column mapping") {
     registerCatalog()
     spark.sql("DROP TABLE IF EXISTS graft_lake.ck3")
