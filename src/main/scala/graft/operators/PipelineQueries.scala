@@ -3826,7 +3826,79 @@ object PipelineQueries {
       |  CAST(1 AS BIGINT) AS files_skipped
       |FROM w""".stripMargin
 
+  // ---------------------------------------------------------------- p57
+  /** HIDDEN PARTITIONING — Iceberg's signature layout move: the table
+    * is partitioned by DERIVED keys (`days(ts)`, `bucket(8, user_id)`)
+    * the user never writes; queries filter on the SOURCE columns and
+    * pruning still works, because per-file zones and group-envelope
+    * zones bound the source values — nothing ever inverts the
+    * transform. Row-level statements runtime-prune the same way: the
+    * one-day UPDATE below must replace only that day's groups. At
+    * 100 TB this is THE standard time-series layout: a day of data is
+    * a group-addressable unit, and a user-id bucket bounds each
+    * rewrite's fan-in, with zero user-visible layout columns.
+    *
+    * Inside the hash: aggregates after a one-day UPDATE (+1 per row on
+    * the earliest day), the manifest's day-key count restated as
+    * DuckDB's own epoch-day count, the one-day probe's row count, a
+    * file-skip flag (the probe must not open other days' files), and a
+    * one-day-touched flag (the UPDATE's replaced groups all share one
+    * day key). */
+  def p57HiddenPartitioning(s: SparkSession, dir: String): DataFrame = {
+    registerLake(s)
+    s.sql("DROP TABLE IF EXISTS graft_lake.hp")
+    s.sql("""CREATE TABLE graft_lake.hp
+            |(event_id BIGINT, user_id BIGINT, ts TIMESTAMP, cents BIGINT)
+            |PARTITIONED BY (days(ts), bucket(8, user_id))""".stripMargin)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
+      // co-locate each day per task so a task writes <= 8 bucket files
+      .repartition(col("ts").cast("date"))
+      .writeTo("graft_lake.hp").append()
+    val st0 = graft.sources.LakeStore.get("graft_lake.hp").get
+    val dayKeys = st0.current.map(_.group.head.asInstanceOf[Integer].intValue()).distinct
+    val minDay = dayKeys.min
+    val lo = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(minDay * 86400L))
+    val hi = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond((minDay + 1) * 86400L))
+    val probed = s.table("graft_lake.hp")
+      .filter(col("ts") >= lit(lo) && col("ts") < lit(hi)).count()
+    val stats = graft.sources.LakeStore.lastScanStats("graft_lake.hp")
+    val skipFlag = if (stats.filesScanned < stats.filesTotal) 1L else 0L
+    s.sql(s"""UPDATE graft_lake.hp SET cents = cents + 1
+             |WHERE ts >= TIMESTAMP'$lo' AND ts < TIMESTAMP'$hi'""".stripMargin)
+    val touched: Option[Set[List[Any]]] =
+      graft.sources.LakeStore.lastReplacedGroups.get("graft_lake.hp").flatten
+    val oneDay = if (touched.exists(gs =>
+      gs.nonEmpty && gs.map(_.head).size == 1)) 1L else 0L
+    s.table("graft_lake.hp")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("cents")).as("sum_cents"),
+        sum(col("user_id")).as("sum_uids"))
+      .withColumn("n_days", lit(dayKeys.length.toLong))
+      .withColumn("probed_rows", lit(probed))
+      .withColumn("files_skipped", lit(skipFlag))
+      .withColumn("one_day_touched", lit(oneDay))
+  }
+
+  val p57Sql: String =
+    """WITH e AS (SELECT event_id, user_id,
+      |    CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) AS day,
+      |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events)
+      |SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(cents + (CASE WHEN day = (SELECT MIN(day) FROM e)
+      |    THEN 1 ELSE 0 END)) AS BIGINT) AS sum_cents,
+      |  CAST(SUM(user_id) AS BIGINT) AS sum_uids,
+      |  CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days,
+      |  CAST((SELECT COUNT(*) FROM e WHERE day = (SELECT MIN(day) FROM e))
+      |    AS BIGINT) AS probed_rows,
+      |  CAST(1 AS BIGINT) AS files_skipped,
+      |  CAST(1 AS BIGINT) AS one_day_touched
+      |FROM e""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p57_hidden_partitioning" -> (p57HiddenPartitioning _),
     "p56_type_widening" -> (p56TypeWidening _),
     "p55_replace_table" -> (p55ReplaceTable _),
     "p54_storage_partitioned_join" -> (p54StoragePartitionedJoin _),
@@ -3886,6 +3958,7 @@ object PipelineQueries {
   // def, not val: p19Sql embeds Sidecars.oracleDir-keyed paths, which
   // Verify pins at runtime before dumping oracle_sql.json
   def oracle: Map[String, String] = Map(
+    "p57_hidden_partitioning" -> p57Sql,
     "p56_type_widening" -> p56Sql,
     "p55_replace_table" -> p55Sql,
     "p54_storage_partitioned_join" -> p54Sql,

@@ -256,7 +256,8 @@ object GraftLake {
       // group key is single-column — a mixed-arity set (groups from
       // before a partition evolution) falls back to the full diff
       val filtered = (changed, st.partitionCols) match {
-        case (Some(gs), Seq(pc)) if gs.forall(_.length == 1) =>
+        case (Some(gs), Seq(pc)) if gs.forall(_.length == 1) &&
+            LakeStore.isIdentitySpec(pc) =>
           df.filter(col(pc).isInCollection(gs.map(_.head)))
         case _ => df
       }
@@ -278,7 +279,8 @@ object GraftLake {
       .filter(col("change").isNotNull)
       .select(
         (coalesce(col(s"n.$keyCol"), col(s"o.$keyCol")).as(keyCol) +:
-          st.partitionCols.map(pc => coalesce(col(s"n.$pc"), col(s"o.$pc")).as(pc)) :+
+          st.partitionCols.filter(LakeStore.isIdentitySpec)
+            .map(pc => coalesce(col(s"n.$pc"), col(s"o.$pc")).as(pc)) :+
           col("change")): _*)
   }
 
@@ -449,19 +451,44 @@ class GraftLakeCatalog extends TableCatalog
       org.apache.spark.sql.connector.catalog.GraftCatalogBridge.v2ColumnsToStructType(columns),
       partitions, properties)
 
-  /** Identity transforms only: each distinct partition-column tuple is
-    * one copy-on-write group; no partitions = one whole-table group. */
+  /** Partition transforms: identity columns, plus Iceberg-style HIDDEN
+    * PARTITIONING — `days(ts)` and `bucket(N, col)`; each distinct
+    * derived-key tuple is one copy-on-write group; no partitions = one
+    * whole-table group. Rendered to the raw spec strings the commit
+    * log stores ([[LakeStore.parsePart]] is the inverse). */
   private def identityCols(partitions: Array[Transform]): Seq[String] =
     partitions.toSeq.map { t =>
-      require(t.name() == "identity" && t.arguments().length == 1,
-        s"graft_lake: only identity partitioning is supported, got $t")
-      t.arguments()(0) match {
-        case ref: org.apache.spark.sql.connector.expressions.NamedReference =>
-          require(ref.fieldNames().length == 1,
-            s"graft_lake: nested partition columns unsupported: $ref")
-          ref.fieldNames()(0)
+      def ref(a: org.apache.spark.sql.connector.expressions.Expression): String = a match {
+        case r: org.apache.spark.sql.connector.expressions.NamedReference =>
+          require(r.fieldNames().length == 1,
+            s"graft_lake: nested partition columns unsupported: $r")
+          r.fieldNames()(0)
         case other => throw new IllegalArgumentException(
           s"graft_lake: unsupported partition argument $other")
+      }
+      t.name() match {
+        case "identity" =>
+          require(t.arguments().length == 1,
+            s"graft_lake: bad identity transform $t")
+          ref(t.arguments()(0))
+        case "days" =>
+          require(t.arguments().length == 1,
+            s"graft_lake: bad days transform $t")
+          s"days(${ref(t.arguments()(0))})"
+        case "bucket" =>
+          val n = t.arguments().collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+              l.value().toString.toInt
+          }.getOrElse(throw new IllegalArgumentException(
+            s"graft_lake: bucket transform needs a bucket count: $t"))
+          val c = t.arguments().collectFirst {
+            case r: org.apache.spark.sql.connector.expressions.NamedReference => ref(r)
+          }.getOrElse(throw new IllegalArgumentException(
+            s"graft_lake: bucket transform needs a column: $t"))
+          s"bucket($n, $c)"
+        case other => throw new IllegalArgumentException(
+          s"graft_lake: unsupported partition transform $other (identity, " +
+            "days, bucket)")
       }
     }
 
@@ -557,7 +584,7 @@ class GraftLakeCatalog extends TableCatalog
           s"graft_lake: column $oldName does not exist")
         require(!schema.fieldNames.contains(rn.newName()),
           s"graft_lake: column ${rn.newName()} already exists")
-        require(!st.partitionCols.contains(oldName),
+        require(!st.partitionCols.exists(r => LakeStore.parsePart(r).col == oldName),
           s"graft_lake: cannot rename partition column $oldName (evolve the " +
             "partition spec first)")
         // stored EXPRESSION TEXTS (constraints, generation expressions)
@@ -594,7 +621,7 @@ class GraftLakeCatalog extends TableCatalog
         } else {
           require(schema.fields.length > 1,
             s"graft_lake: cannot drop $name — it is the table's only column")
-          require(!st.partitionCols.contains(name),
+          require(!st.partitionCols.exists(r => LakeStore.parsePart(r).col == name),
             s"graft_lake: cannot drop partition column $name (evolve the " +
               "partition spec first)")
           // stored EXPRESSION TEXTS name logical columns; a drop that a
@@ -640,7 +667,7 @@ class GraftLakeCatalog extends TableCatalog
           s"graft_lake: cannot change $upName from ${from.simpleString} to " +
             s"${to.simpleString} — only lossless widenings " +
             "(byte->short->int->long, float->double) are metadata-safe")
-        require(!st.partitionCols.contains(upName),
+        require(!st.partitionCols.exists(r => LakeStore.parsePart(r).col == upName),
           s"graft_lake: cannot widen partition column $upName — group keys " +
             "are typed per era (evolve the partition spec first)")
         val ui = schema.fieldIndex(upName)
@@ -801,8 +828,15 @@ class GraftLakeTable(val key: String, val tableSchema: StructType,
   override def schema(): StructType = tableSchema
   override def partitioning(): Array[Transform] =
     LakeStore.get(key).map(_.partitionCols).getOrElse(Nil)
-      .map(c => org.apache.spark.sql.connector.expressions.Expressions.identity(c))
-      .toArray
+      .map { raw =>
+        import org.apache.spark.sql.connector.expressions.Expressions
+        val p = LakeStore.parsePart(raw)
+        p.fn match {
+          case "" => Expressions.identity(p.col)
+          case "days" => Expressions.days(p.col)
+          case "bucket" => Expressions.bucket(p.arg, p.col)
+        }
+      }.toArray
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
@@ -1009,7 +1043,8 @@ class LakeGroupScan(key: String, schema: StructType,
   @volatile private var kept: Option[Set[List[Any]]] = None
 
   override def filterAttributes(): Array[NamedReference] =
-    partitionCols.map(Expressions.column).toArray
+    partitionCols.map(r => Expressions.column(LakeStore.parsePart(r).col))
+      .distinct.toArray
 
   override def filter(predicates: Array[V2Predicate]): Unit = {
     val st = state.getOrElse(return)
@@ -1238,7 +1273,8 @@ class LakeScan(key: String, schema: StructType,
     else LakeStore.get(key).flatMap { st =>
       val spec = pinnedVersion.fold(st.partitionCols)(v => st.snapshots(v).spec)
       val files = pinnedVersion.fold(st.current)(v => st.snapshots(v).files)
-      if (spec.nonEmpty && spec.forall(readCols.fieldNames.contains) &&
+      if (spec.nonEmpty && spec.forall(LakeStore.isIdentitySpec) &&
+          spec.forall(readCols.fieldNames.contains) &&
           files.forall(_.group.length == spec.length)) Some(spec)
       else None
     }
@@ -2181,6 +2217,9 @@ class LakeWriteBuilder(key: String, writeSchema: StructType,
     val pc = st.partitionCols
     require(pc.nonEmpty,
       s"graft_lake: INSERT OVERWRITE with a filter requires $key to be partitioned")
+    require(pc.forall(LakeStore.isIdentitySpec),
+      s"graft_lake: $key uses hidden partitioning — a filter cannot decide " +
+        "derived groups; use dynamic overwrite (overwritePartitions) instead")
     val compares = predicates.flatMap(ZonePrune.conjuncts).map { p =>
       ZonePrune.parse(p).filter(cc =>
         pc.contains(cc.col) && (cc.op == "=" || cc.op == "IN")).getOrElse(
@@ -2437,7 +2476,10 @@ class LakeWriterFactory(dataDir: String, schema: StructType,
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val dts = schema.fields.map(_.dataType)
-    val partitionIdx = partitionCols.map(schema.fieldIndex).toArray
+    // hidden partitioning: each spec entry derives its group key from
+    // its SOURCE column's stored value (identity = the value itself)
+    val partSpecs = partitionCols.map(LakeStore.parsePart).toArray
+    val partitionIdx = partSpecs.map(p => schema.fieldIndex(p.col))
     // files store PHYSICAL names (column-mapping): manifest cols, zone
     // and bloom keys, and the parquet schema all use them — a renamed
     // column keeps writing under its birth name
@@ -2580,7 +2622,11 @@ class LakeWriterFactory(dataDir: String, schema: StructType,
               s"write row; the write was aborted and nothing was committed")
           ci += 1
         }
-        val group = partitionIdx.map(i => LakeStore.toStored(full.get(i, dts(i)))).toList
+        val group = partSpecs.indices.map { j =>
+          val i = partitionIdx(j)
+          LakeStore.partKey(partSpecs(j),
+            LakeStore.toStored(if (full.isNullAt(i)) null else full.get(i, dts(i))))
+        }.toList
         val file = open.getOrElseUpdate(group,
           new OpenFile(s"${java.util.UUID.randomUUID().toString}.parquet"))
         file.writer.write(full)

@@ -202,12 +202,7 @@ object LakeStore {
       // be silently clobbered. get() throws on a corrupt log, which also
       // stops CREATE from destroying the evidence.
       if (get(k).isDefined) return false
-      partitionCols.foreach { c =>
-        require(zoneSerializable(schema(c).dataType),
-          s"graft_lake: partition column $c of $k has type " +
-            s"${schema(c).dataType.simpleString}, which the manifest cannot " +
-            "round-trip as a group key")
-      }
+      validateSpec(k, schema, partitionCols)
       val dir = new Path(tableDir(k))
       val fs = fsOf(dir)
       // only a leftover dir with NO replayable log reaches this point
@@ -403,14 +398,7 @@ object LakeStore {
     * (the staged files are already in it). */
   def commitStaged(k: String, schema: StructType, partitionCols: Seq[String],
       props: Map[String, String], files: Seq[FileEntry]): Unit = synchronized {
-    partitionCols.foreach { c =>
-      require(schema.fieldNames.contains(c),
-        s"graft_lake: partition column $c does not exist in $k")
-      require(zoneSerializable(schema(c).dataType),
-        s"graft_lake: partition column $c of $k has type " +
-          s"${schema(c).dataType.simpleString}, which the manifest cannot " +
-          "round-trip as a group key")
-    }
+    validateSpec(k, schema, partitionCols)
     get(k) match {
       case Some(st) =>
         commit(k, st, "replace", files.toVector, files,
@@ -455,14 +443,7 @@ object LakeStore {
     * filtering keeps working across the boundary. */
   def alterPartitionSpec(k: String, newCols: Seq[String]): Unit = synchronized {
     val st = stateOf(k)
-    newCols.foreach { c =>
-      require(st.schema.fieldNames.contains(c),
-        s"graft_lake: partition column $c does not exist in $k")
-      require(zoneSerializable(st.schema(c).dataType),
-        s"graft_lake: partition column $c of $k has type " +
-          s"${st.schema(c).dataType.simpleString}, which the manifest cannot " +
-          "round-trip as a group key")
-    }
+    validateSpec(k, st.schema, newCols)
     commit(k, st, "repartition", st.current, Nil, removed = Nil,
       commitGroups = Some(Set.empty), dataChange = false, schema = st.schema,
       spec = newCols)
@@ -667,7 +648,10 @@ object LakeStore {
       j.get("partitionCols").foreach { pc =>
         partitionCols = pc.asInstanceOf[JArray].arr.map(str)
       }
-      val partTypes = partitionCols.map(c => schema(c).dataType)
+      val partTypes = partitionCols.map { raw =>
+        val p = parsePart(raw)
+        partKeyType(p, schema(p.col).dataType)
+      }
       val added = j("add").asInstanceOf[JArray].arr.map(f => fileFromJson(f, schema, partTypes))
       val removed = j("remove").asInstanceOf[JArray].arr.map(str).toSet
       val prev = snapshots.lastOption.map(_.files).getOrElse(Vector.empty)
@@ -908,6 +892,83 @@ object LakeStore {
          TimestampNTZType => true
     case _ => false
   }
+
+  // -------------------------------------------- hidden partitioning
+
+  /** One partition-spec entry: a bare column (identity) or a TRANSFORM
+    * of one — Iceberg's HIDDEN PARTITIONING (`days(ts)`,
+    * `bucket(N, col)`): the table is laid out by a derived key the user
+    * never writes, queries filter on the SOURCE column, and pruning
+    * still works because group-envelope zones bound the source values
+    * ([[graft.sources.LakeGroupScan]] / the group-key compare never
+    * needs inverting). Spec entries are stored as their raw strings in
+    * the commit log; `fn` is "" (identity), "days" or "bucket". */
+  final case class PartExpr(raw: String, col: String, fn: String, arg: Int)
+
+  private val bucketRe = """bucket\((\d+),\s*([A-Za-z0-9_]+)\)""".r
+  private val daysRe = """days\(([A-Za-z0-9_]+)\)""".r
+  def parsePart(raw: String): PartExpr = raw match {
+    case bucketRe(n, c) => PartExpr(raw, c, "bucket", n.toInt)
+    case daysRe(c) => PartExpr(raw, c, "days", 0)
+    case c => PartExpr(raw, c, "", 0)
+  }
+  def isIdentitySpec(raw: String): Boolean = parsePart(raw).fn.isEmpty
+
+  /** Group-key type a spec entry produces from its source type. */
+  def partKeyType(p: PartExpr, src: DataType): DataType = p.fn match {
+    case "" => src
+    case _ => IntegerType // days since epoch / bucket ordinal
+  }
+
+  /** STORED-form source value -> STORED-form group key. `days` floors
+    * Catalyst micros to epoch days (DateType is already day-encoded);
+    * `bucket` murmur-hashes the value's canonical bytes (integrals as
+    * long bytes — the same canonicalization the bloom filters use, so
+    * a widened column keeps its bucket assignment). */
+  def partKey(p: PartExpr, v: Any): Any = p.fn match {
+    case "" => v
+    case _ if v == null => null
+    case "days" => v match {
+      case micros: java.lang.Long =>
+        java.lang.Integer.valueOf(Math.floorDiv(micros, 86400000000L).toInt)
+      case days: java.lang.Integer => days
+      case other => throw new IllegalArgumentException(
+        s"graft_lake: days(${p.col}) cannot derive from $other (${other.getClass})")
+    }
+    case "bucket" =>
+      val bs = v match {
+        case s: String => s.getBytes("UTF-8")
+        case n: java.lang.Number =>
+          java.nio.ByteBuffer.allocate(8).putLong(n.longValue()).array()
+        case other => throw new IllegalArgumentException(
+          s"graft_lake: bucket(${p.col}) cannot derive from $other (${other.getClass})")
+      }
+      val h = scala.util.hashing.MurmurHash3.bytesHash(bs, 0x9747b28c)
+      java.lang.Integer.valueOf(((h % p.arg) + p.arg) % p.arg)
+  }
+
+  /** Shared spec validation (CREATE / staged create / partition
+    * evolution): source column exists, the derived key round-trips the
+    * manifest, transform inputs type-check. */
+  def validateSpec(k: String, schema: StructType, cols: Seq[String]): Unit =
+    cols.foreach { raw =>
+      val p = parsePart(raw)
+      require(schema.fieldNames.contains(p.col),
+        s"graft_lake: partition column ${p.col} does not exist in $k")
+      val src = schema(p.col).dataType
+      p.fn match {
+        case "days" => require(
+          src == TimestampType || src == TimestampNTZType || src == DateType,
+          s"graft_lake: days(${p.col}) of $k needs a timestamp/date column, " +
+            s"got ${src.simpleString}")
+        case "bucket" => require(p.arg >= 1,
+          s"graft_lake: bucket(${p.arg}, ${p.col}) of $k needs >= 1 buckets")
+        case _ => ()
+      }
+      require(zoneSerializable(partKeyType(p, src)) && zoneSerializable(src),
+        s"graft_lake: partition entry $raw of $k has type " +
+          s"${src.simpleString}, which the manifest cannot round-trip")
+    }
 
   // ------------------------------------------------- column mapping
 

@@ -186,7 +186,8 @@ object ScaleSweep {
       "p54_storage_partitioned_join" -> "storage-partitioned join (zero-exchange agg+join)",
       "p55_replace_table" -> "atomic CREATE OR REPLACE via staging (one replace commit)",
       "st18_cdc_replication" -> "CDC replication (stream changes -> MERGE into replica)",
-      "p56_type_widening" -> "metadata-only type widening (narrow files read wide)")
+      "p56_type_widening" -> "metadata-only type widening (narrow files read wide)",
+      "p57_hidden_partitioning" -> "hidden partitioning (days/bucket derived groups)")
 
     // warm the JVM/codegen on the smallest sf so cold-start lands nowhere
     queries.foreach { case (q, _) =>

@@ -819,6 +819,68 @@ class Round10OpsSpec extends SparkTestBase {
       vOpt.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  // ------------------------------------ p57 hidden partitioning
+
+  test("p57/hidden partitioning: days(ts)+bucket(4,uid) derive groups, prune, and guard") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_lake.hpart")
+    spark.sql("""CREATE TABLE graft_lake.hpart (ev BIGINT, uid BIGINT, ts TIMESTAMP)
+                |PARTITIONED BY (days(ts), bucket(4, uid))""".stripMargin)
+    spark.sql("""INSERT INTO graft_lake.hpart VALUES
+                |(1, 100, TIMESTAMP'2024-03-01 01:00:00'),
+                |(2, 200, TIMESTAMP'2024-03-01 23:00:00'),
+                |(3, 100, TIMESTAMP'2024-03-02 12:00:00'),
+                |(4, 300, TIMESTAMP'2024-03-03 05:00:00')""".stripMargin)
+    val st = LakeStore.get("graft_lake.hpart").get
+    val groups = st.current.map(_.group)
+    // derived keys: (epoch-day Int, bucket Int); 3 distinct days
+    assert(groups.forall(g => g.length == 2 &&
+      g.forall(_.isInstanceOf[java.lang.Integer])))
+    assert(groups.map(_.head).distinct.length === 3)
+    assert(groups.forall(g => g(1).asInstanceOf[Integer] >= 0 &&
+      g(1).asInstanceOf[Integer] < 4))
+    // bucket determinism: uid 100 landed the SAME bucket on both days
+    val b100 = groups.zip(st.current).collect {
+      case (g, f) if f.zones.get("uid").exists(_._1 == 100L) => g(1) }
+    assert(b100.distinct.length === 1)
+    // reads + SOURCE-column pruning: a one-day ts range opens one day's files
+    assert(spark.table("graft_lake.hpart").count() === 4L)
+    assert(spark.table("graft_lake.hpart")
+      .filter(col("ts") >= lit("2024-03-03").cast("timestamp")).count() === 1L)
+    val stats = LakeStore.lastScanStats("graft_lake.hpart")
+    assert(stats.filesScanned < stats.filesTotal)
+    // row-level statements runtime-prune on the SOURCE column: the UPDATE
+    // must replace only the touched day's groups
+    spark.sql("""UPDATE graft_lake.hpart SET ev = ev + 10
+                |WHERE ts >= TIMESTAMP'2024-03-03 00:00:00'""".stripMargin)
+    val replaced = LakeStore.lastReplacedGroups("graft_lake.hpart")
+    val maxDay = groups.map(_.head.asInstanceOf[Integer].intValue()).max
+    assert(replaced.isDefined && replaced.get.nonEmpty &&
+      replaced.get.subsetOf(
+        groups.filter(_.head.asInstanceOf[Integer].intValue() == maxDay).toSet))
+    assert(spark.table("graft_lake.hpart").agg(sum(col("ev"))).collect()(0).getLong(0)
+      === 1L + 2L + 3L + 14L)
+    // filter-decided overwrite cannot decide derived groups: refused loudly
+    import spark.implicits._
+    val e = intercept[Exception] {
+      Seq((9L, 100L, java.sql.Timestamp.valueOf("2024-03-01 00:00:00")))
+        .toDF("ev", "uid", "ts").writeTo("graft_lake.hpart")
+        .overwrite(col("uid") === 100L)
+    }
+    assert(e.getMessage.contains("hidden partitioning"))
+    // renaming/dropping a transform's SOURCE column is refused
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft_lake.hpart RENAME COLUMN ts TO t2")
+    }
+    assert(e2.getMessage.contains("partition column"))
+    // cold replay decodes the derived Integer keys exactly
+    val warmGroups = LakeStore.get("graft_lake.hpart").get.current.map(_.group).toSet
+    LakeStore.invalidateCache("graft_lake.hpart")
+    assert(LakeStore.get("graft_lake.hpart").get.current.map(_.group).toSet === warmGroups)
+    assert(spark.table("graft_lake.hpart").count() === 4L)
+    assert(spark.table("graft_lake.hpart").filter(col("uid") === 100L).count() === 2L)
+  }
+
   // ------------------------------------ column statistics
 
   test("scan statistics report zone-envelope column min/max after pushdown") {
