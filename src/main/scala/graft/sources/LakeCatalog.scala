@@ -246,12 +246,27 @@ object GraftLake {
     // a diff can span an ALTER TABLE ADD COLUMN (or a RESTORE that
     // narrowed the schema): align both snapshots on the UNION of their
     // schemas, padding a side's missing columns with typed nulls —
-    // exactly what the storage layer itself reports for pre-ALTER files
+    // exactly what the storage layer itself reports for pre-ALTER files.
+    // Column IDENTITY across eras is the PHYSICAL name (column mapping):
+    // a diff spanning a RENAME compares the same stored column under its
+    // current logical name instead of flagging every carried row as U
+    // (the column was dropped-and-added only in name).
     val s1 = st.snapshots(v1).schema
     val s2 = st.snapshots(v2).schema
-    val unioned = s2.fields ++ s1.fields.filterNot(f => s2.fieldNames.contains(f.name))
+    val curByPhys: Map[String, String] =
+      s2.fields.iterator.map(f => LakeStore.physicalName(f) -> f.name).toMap
+    def eraName(f: StructField): String =
+      curByPhys.getOrElse(LakeStore.physicalName(f), f.name)
+    val unioned = s2.fields ++ s1.fields.collect {
+      case f if !s2.fieldNames.contains(eraName(f)) => f.copy(name = eraName(f))
+    }
     def snap(v: Int): DataFrame = {
-      val df = s.sql(s"SELECT * FROM $tableRef VERSION AS OF $v")
+      val sv = st.snapshots(v).schema
+      val renames = sv.fields.flatMap(f =>
+        Some(eraName(f)).filter(_ != f.name).map(f.name -> _))
+      val df = renames.foldLeft(s.sql(s"SELECT * FROM $tableRef VERSION AS OF $v")) {
+        case (d, (o, n)) => d.withColumnRenamed(o, n)
+      }
       // the changed-partition filter only applies when every touched
       // group key is single-column — a mixed-arity set (groups from
       // before a partition evolution) falls back to the full diff

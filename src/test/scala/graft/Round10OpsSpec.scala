@@ -473,6 +473,23 @@ class Round10OpsSpec extends SparkTestBase {
       LakeStore.get("graft_lake.ren2").get.schema("points")) === "v")
   }
 
+  test("changes() spans a RENAME COLUMN boundary without phantom updates") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_lake.rendiff")
+    spark.sql("CREATE TABLE graft_lake.rendiff (id BIGINT, v BIGINT)")
+    import spark.implicits._
+    (1L to 5L).map(i => (i, i * 10L)).toDF("id", "v")
+      .writeTo("graft_lake.rendiff").append() // v1
+    spark.sql("ALTER TABLE graft_lake.rendiff RENAME COLUMN v TO score") // v2
+    spark.sql("UPDATE graft_lake.rendiff SET score = 999 WHERE id = 3") // v3
+    // the diff spans the rename: column identity is the PHYSICAL name,
+    // so only the genuinely updated row surfaces
+    val ch = GraftLake.changes(spark, "graft_lake.rendiff", 1, 3, "id")
+      .select(col("id"), col("change")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(ch.toSeq === Seq((3L, "U")))
+  }
+
   // ---------------------------------------------- TIMESTAMP AS OF
 
   test("TIMESTAMP AS OF resolves against the commit log's own clock") {
