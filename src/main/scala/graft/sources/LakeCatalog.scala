@@ -102,9 +102,12 @@ private[sources] object ZonePrune {
     val lits = p.children().collect { case l: Literal[_] => LakeStore.toStored(l.value()) }
     // exactly one bare column + at least one literal, nothing else.
     // Null-safe equality against a non-null literal IS equality for
-    // range/bloom purposes (against a null literal the stored null lit
-    // makes every comparison unknown -> keep, superset-safe) — the SQL
-    // `INSERT OVERWRITE ... PARTITION (p = v)` clause arrives as `<=>`.
+    // range/bloom purposes — the SQL `INSERT OVERWRITE ... PARTITION
+    // (p = v)` clause arrives as `<=>`. Against a NULL literal it is an
+    // IS NULL seek: zones/blooms only describe NON-null values (a file
+    // whose rows are all null has NO zone), so no file can ever be
+    // skipped on it — refuse to parse, keeping every file.
+    if (p.name() == "<=>" && lits.contains(null)) return None
     val op = if (p.name() == "<=>") "=" else p.name()
     if (refs.length == 1 && lits.nonEmpty && refs.length + lits.length == p.children().length)
       Some(ColCompare(refs.head, op, lits.toSeq))
@@ -339,8 +342,12 @@ object GraftLake {
         val st = LakeStore.get(tableRef).getOrElse(
           throw new NoSuchTableException(tableRef.split('.').toSeq))
         val k = clusterCols.length
+        // zones are keyed by PHYSICAL column name (column mapping); the
+        // rank expression itself stays on the logical name — that is
+        // what the scan serves
+        val phys = LakeStore.physicalMap(st.schema)
         clusterCols.zipWithIndex.map { case (c, ci) =>
-          val zs = st.current.flatMap(_.zones.get(c))
+          val zs = st.current.flatMap(_.zones.get(phys.getOrElse(c, c)))
           val nums = zs.flatMap { case (mn, mx) => Seq(mn, mx) }
             .collect { case n: java.lang.Number => n.longValue() }
           require(nums.nonEmpty,
@@ -2039,9 +2046,12 @@ object LakeDerivedColumns {
       val spec = IdentityColumn.getIdentityInfo(f).get
       // high-water mark from the manifest zones of EVERY snapshot (a
       // deleted row's identity is never reused — Delta's rule); the
-      // column's own write-time statistics double as the sequencer state
+      // column's own write-time statistics double as the sequencer state.
+      // Zones are keyed by PHYSICAL name (column mapping): a renamed
+      // identity column keeps its birth-name zones, and looking them up
+      // logically would silently reset the sequencer to START WITH.
       val past = LakeStore.get(key).toSeq.flatMap(_.snapshots).flatMap(_.files)
-        .flatMap(_.zones.get(f.name))
+        .flatMap(_.zones.get(LakeStore.physicalName(f)))
         .flatMap { case (mn, mx) => Seq(mn, mx) }
         .collect { case n: java.lang.Number => n.longValue() }
       val base =
