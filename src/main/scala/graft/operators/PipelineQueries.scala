@@ -3897,7 +3897,219 @@ object PipelineQueries {
       |  CAST(1 AS BIGINT) AS one_day_touched
       |FROM e""".stripMargin
 
+  // ---------------------------------------------------------------- p58
+  /** OPTIMISTIC CONCURRENCY with logical conflict RESOLUTION — the Delta
+    * ConflictChecker taxonomy at partition-group granularity: every
+    * write plans against a READ VERSION and, when the table advanced
+    * before its commit, classifies the intervening commits instead of
+    * blindly failing (the pre-p58 behavior) or blindly winning (lost
+    * updates). Blind appends REBASE over anything; row-level statements
+    * over DISJOINT partition groups rebase too (two UPDATEs on
+    * different partitions both land); OVERLAPPING groups and concurrent
+    * METADATA changes abort loudly with a retryable conflict error. At
+    * 100 TB this is the difference between "one writer per table" and
+    * a fleet of per-partition ingest jobs committing freely.
+    *
+    * Interleaving is DETERMINISTIC: [[LakeStore.onNextCommit]] runs the
+    * second writer between the first writer's plan and its commit,
+    * inside the store lock — no thread timing in the hash.
+    *
+    * Inside the hash: per-partition aggregates after (a) disjoint
+    * UPDATE||UPDATE — both land, (b) overlapping UPDATE||UPDATE — the
+    * interleaved writer wins, the optimistic one aborts, (c) blind
+    * append||UPDATE — both land, (d) append||ALTER TBLPROPERTIES —
+    * metadata conflict, append aborts; plus one outcome flag per case. */
+  def p58OptimisticConcurrency(s: SparkSession, dir: String): DataFrame = {
+    registerLake(s)
+    val key = "graft_lake.occ"
+    s.sql(s"DROP TABLE IF EXISTS $key")
+    s.sql(s"""CREATE TABLE $key (doc_id BIGINT, source STRING, score BIGINT)
+             |PARTITIONED BY (source)""".stripMargin)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars").as("score"))
+      .writeTo(key).append()
+    def conflictOf(thunk: => Unit): Long = try { thunk; 0L } catch {
+      case e: Throwable =>
+        def causes(t: Throwable): Seq[Throwable] =
+          if (t == null) Nil else t +: causes(t.getCause)
+        if (causes(e).exists(c => c.getMessage != null &&
+          c.getMessage.contains("commit conflict"))) 1L else throw e
+    }
+    // (a) DISJOINT row-level ops: src2's UPDATE lands between src1's
+    // plan and commit — disjoint groups, so src1's commit REBASES
+    val aConflict = conflictOf {
+      graft.sources.LakeStore.onNextCommit.put(key, () =>
+        s.sql(s"UPDATE $key SET score = score + 1000 WHERE source = 'src2'"))
+      s.sql(s"UPDATE $key SET score = score + 100 WHERE source = 'src1'")
+    }
+    // (b) OVERLAPPING: both writers touch src4 — the interleaved writer
+    // commits first and WINS; the optimistic one aborts (committing
+    // would silently discard the +7)
+    val bConflict = conflictOf {
+      graft.sources.LakeStore.onNextCommit.put(key, () =>
+        s.sql(s"UPDATE $key SET score = score + 7 WHERE source = 'src4'"))
+      s.sql(s"UPDATE $key SET score = score + 5 WHERE source = 'src4'")
+    }
+    // (c) BLIND APPEND vs row-level: an append reads nothing — it
+    // rebases over the interleaved src5 UPDATE, both land
+    val cConflict = conflictOf {
+      graft.sources.LakeStore.onNextCommit.put(key, () =>
+        s.sql(s"UPDATE $key SET score = score + 3 WHERE source = 'src5'"))
+      s.range(50).select((col("id") + 900000L).as("doc_id"),
+        lit("srcA").as("source"), lit(11L).as("score")).writeTo(key).append()
+    }
+    // (d) METADATA change: a CHECK constraint lands between the append's
+    // plan and commit — the append was NOT validated against it, abort
+    val dConflict = conflictOf {
+      graft.sources.LakeStore.onNextCommit.put(key, () =>
+        s.sql(s"""ALTER TABLE $key SET TBLPROPERTIES (
+                 |'graft.constraints.occ_pos' = 'score >= -1000000')""".stripMargin))
+      s.range(10).select((col("id") + 950000L).as("doc_id"),
+        lit("srcB").as("source"), lit(13L).as("score")).writeTo(key).append()
+    }
+    s.table(key)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("score")).as("sum_score"))
+      .withColumn("a_rebased", lit(1L - aConflict))
+      .withColumn("b_conflict", lit(bConflict))
+      .withColumn("c_rebased", lit(1L - cConflict))
+      .withColumn("d_conflict", lit(dConflict))
+      .orderBy(col("source"))
+  }
+
+  val p58Sql: String =
+    """WITH d AS (SELECT doc_id, source, n_chars AS score FROM documents),
+      |fin AS (
+      |  SELECT source, score + CASE source
+      |      WHEN 'src1' THEN 100 WHEN 'src2' THEN 1000
+      |      WHEN 'src4' THEN 7 WHEN 'src5' THEN 3 ELSE 0 END AS score
+      |  FROM d
+      |  UNION ALL
+      |  SELECT 'srcA', 11 FROM range(50))
+      |SELECT source, COUNT(*) AS n_rows,
+      |  CAST(SUM(score) AS BIGINT) AS sum_score,
+      |  CAST(1 AS BIGINT) AS a_rebased,
+      |  CAST(1 AS BIGINT) AS b_conflict,
+      |  CAST(1 AS BIGINT) AS c_rebased,
+      |  CAST(1 AS BIGINT) AS d_conflict
+      |FROM fin GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- p59
+  /** BRANCHES, TAGS and WRITE-AUDIT-PUBLISH — Iceberg refs over the
+    * commit log: a BRANCH is a named writable lineage (its creation is
+    * one metadata-only log entry copying the base snapshot; branch
+    * commits occupy ordinary log versions with `parent` pointing along
+    * the branch, so replay, time travel and VACUUM's keep-set all see
+    * them for free), a TAG is an immutable pointer readable forever via
+    * `VERSION AS OF '<name>'`, and PUBLISH fast-forwards main to the
+    * branch head as ONE data commit — refused when main advanced past
+    * the fork base. While the `graft.lake.branch` session conf names a
+    * branch (Iceberg's spark.wap.branch), every read AND write is
+    * branch-scoped: bad batches are caught by the table's CHECK
+    * constraints on the branch, main never sees unaudited rows, and the
+    * CHANGE FEED delivers the whole audited batch at publish time. At
+    * 100 TB this is how ingest validates terabytes without a staging
+    * copy: zero files move at branch, tag, or publish.
+    *
+    * Inside the hash: per-source aggregates over main after the full
+    * arc (branch → bad batch refused by CHECK → good append + UPDATE on
+    * the branch → publish → tag → main moves on), main's pre-publish
+    * invisibility flag, branch/tag row counts via named-ref time
+    * travel, the refs metadata table folded to a literal, and the
+    * publish commit's change-feed I/D row counts. */
+  def p59BranchWap(s: SparkSession, dir: String): DataFrame = {
+    registerLake(s)
+    val key = "graft_lake.wap"
+    s.sql(s"DROP TABLE IF EXISTS $key")
+    s.sql(s"""CREATE TABLE $key (doc_id BIGINT, source STRING, score BIGINT)
+             |PARTITIONED BY (source)
+             |TBLPROPERTIES ('graft.constraints.nonneg' = 'score >= 0')""".stripMargin)
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars").as("score"))
+    docs.writeTo(key).append() // v1
+    s.sql("CALL graft_lake.system.create_branch(tbl => 'wap', name => 'audit')") // v2
+    def onBranch[T](body: => T): T = {
+      s.conf.set("graft.lake.branch", "audit")
+      try body finally s.conf.unset("graft.lake.branch")
+    }
+    // WRITE-AUDIT: the bad batch violates the CHECK constraint ON THE
+    // BRANCH — nothing lands anywhere, main never saw it
+    val gateCaught = onBranch {
+      try {
+        s.range(5).select((col("id") + 800000L).as("doc_id"),
+          lit("srcBad").as("source"), lit(-5L).as("score")).writeTo(key).append()
+        0L
+      } catch { case e: Throwable =>
+        def causes(t: Throwable): Seq[Throwable] =
+          if (t == null) Nil else t +: causes(t.getCause)
+        if (causes(e).exists(c => c.getMessage != null &&
+          c.getMessage.contains("CHECK constraint"))) 1L else throw e
+      }
+    }
+    onBranch { // the audited good batch: an append and a row-level UPDATE
+      s.range(50).select((col("id") + 900000L).as("doc_id"),
+        lit("srcW").as("source"), lit(21L).as("score")).writeTo(key).append()
+      s.sql(s"UPDATE $key SET score = score + 100 WHERE source = 'src1'")
+    }
+    val docCount = docs.count()
+    val mainInvisible = if (s.table(key).count() == docCount) 1L else 0L
+    val branchRows = s.sql(s"SELECT count(*) AS c FROM $key VERSION AS OF 'audit'")
+      .collect()(0).getLong(0)
+    val pub = s.sql("CALL graft_lake.system.publish(tbl => 'wap', branch => 'audit')")
+      .collect()(0) // (branch_head, publish_version)
+    s.sql("CALL graft_lake.system.create_tag(tbl => 'wap', name => 'rel1')")
+    s.range(10).select((col("id") + 950000L).as("doc_id"),
+      lit("srcZ").as("source"), lit(9L).as("score")).writeTo(key).append()
+    val tag = s.sql(s"""SELECT count(*) AS c, sum(score) AS sc
+                       |FROM $key VERSION AS OF 'rel1'""".stripMargin).collect()(0)
+    // the publish commit IS the branch delta in the change feed
+    val pv = pub.getLong(1).toString
+    val feed = s.read.option("startingVersion", pv).option("endingVersion", pv)
+      .table(s"$key.changes").groupBy(col("_change")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val refs = s.sql(s"SELECT name, kind FROM $key.refs ORDER BY name")
+      .collect().map(r => s"${r.getString(0)}:${r.getString(1)}").mkString(",")
+    s.table(key)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("score")).as("sum_score"))
+      .withColumn("gate_caught", lit(gateCaught))
+      .withColumn("main_invisible_prepublish", lit(mainInvisible))
+      .withColumn("branch_rows", lit(branchRows))
+      .withColumn("tag_rows", lit(tag.getLong(0)))
+      .withColumn("tag_sum", lit(tag.getLong(1)))
+      .withColumn("feed_inserts", lit(feed.getOrElse("I", 0L)))
+      .withColumn("feed_deletes", lit(feed.getOrElse("D", 0L)))
+      .withColumn("refs", lit(refs))
+      .orderBy(col("source"))
+  }
+
+  val p59Sql: String =
+    """WITH d AS (SELECT doc_id, source, n_chars AS score FROM documents),
+      |fin AS (
+      |  SELECT source,
+      |    score + CASE source WHEN 'src1' THEN 100 ELSE 0 END AS score
+      |  FROM d
+      |  UNION ALL SELECT 'srcW', 21 FROM range(50)
+      |  UNION ALL SELECT 'srcZ', 9 FROM range(10))
+      |SELECT source, COUNT(*) AS n_rows,
+      |  CAST(SUM(score) AS BIGINT) AS sum_score,
+      |  CAST(1 AS BIGINT) AS gate_caught,
+      |  CAST(1 AS BIGINT) AS main_invisible_prepublish,
+      |  CAST((SELECT COUNT(*) + 50 FROM d) AS BIGINT) AS branch_rows,
+      |  CAST((SELECT COUNT(*) + 50 FROM d) AS BIGINT) AS tag_rows,
+      |  CAST((SELECT SUM(score) + 50 * 21
+      |        FROM (SELECT score + CASE source WHEN 'src1' THEN 100 ELSE 0 END AS score
+      |              FROM d)) AS BIGINT) AS tag_sum,
+      |  CAST((SELECT COUNT(*) FROM d WHERE source = 'src1') + 50 AS BIGINT)
+      |    AS feed_inserts,
+      |  CAST((SELECT COUNT(*) FROM d WHERE source = 'src1') AS BIGINT)
+      |    AS feed_deletes,
+      |  'audit:branch,main:branch,rel1:tag' AS refs
+      |FROM fin GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p59_branch_wap" -> (p59BranchWap _),
+    "p58_optimistic_concurrency" -> (p58OptimisticConcurrency _),
     "p57_hidden_partitioning" -> (p57HiddenPartitioning _),
     "p56_type_widening" -> (p56TypeWidening _),
     "p55_replace_table" -> (p55ReplaceTable _),
@@ -3958,6 +4170,8 @@ object PipelineQueries {
   // def, not val: p19Sql embeds Sidecars.oracleDir-keyed paths, which
   // Verify pins at runtime before dumping oracle_sql.json
   def oracle: Map[String, String] = Map(
+    "p59_branch_wap" -> p59Sql,
+    "p58_optimistic_concurrency" -> p58Sql,
     "p57_hidden_partitioning" -> p57Sql,
     "p56_type_widening" -> p56Sql,
     "p55_replace_table" -> p55Sql,

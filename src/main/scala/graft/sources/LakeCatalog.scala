@@ -224,6 +224,28 @@ object GraftLake {
   def shallowClone(srcKey: String, dstKey: String): Unit =
     LakeStore.cloneTable(srcKey, dstKey)
 
+  /** Create a writable BRANCH at (default) the current main head —
+    * Iceberg refs: while the `graft.lake.branch` session conf names it,
+    * every read and write of the table is branch-scoped; main is
+    * untouched until [[publish]]. Returns the creation version. */
+  def createBranch(qualifiedKey: String, name: String,
+      at: Option[Int] = None): Int =
+    LakeStore.createRef(qualifiedKey, name, "branch", at)
+
+  /** Create an immutable TAG at (default) the current main head —
+    * readable forever via `VERSION AS OF '<name>'`, refused as a write
+    * target. Returns the creation version. */
+  def createTag(qualifiedKey: String, name: String,
+      at: Option[Int] = None): Int =
+    LakeStore.createRef(qualifiedKey, name, "tag", at)
+
+  /** FAST-FORWARD PUBLISH of a branch into main (write-audit-publish):
+    * one data commit moves main to the branch head; refused with a
+    * retryable conflict when main advanced past the fork base.
+    * Returns (branchHeadVersion, publishVersion). */
+  def publish(qualifiedKey: String, branch: String): (Int, Int) =
+    LakeStore.publish(qualifiedKey, branch)
+
   /** Row-level CHANGES between snapshot v1 and v2 of `tableRef`
     * (qualified `catalog.table`, which is also its store key), keyed by
     * the unique `keyCol`: one row per inserted ('I'), deleted ('D'), or
@@ -440,9 +462,14 @@ class GraftLakeCatalog extends TableCatalog
   override def loadTable(ident: Identifier, version: String): Table =
     LakeStore.get(k(ident)) match {
       case Some(st) =>
+        // a non-numeric version is a NAMED REF: `VERSION AS OF 'audit'`
+        // reads a branch or tag head (Iceberg's ref time travel)
         val v = try version.toInt catch {
-          case _: NumberFormatException => throw new IllegalArgumentException(
-            s"graft_lake: non-numeric version '$version' (versions are snapshot indexes)")
+          case _: NumberFormatException =>
+            val h = st.headOf(version)
+            require(h >= 0, s"graft_lake: version '$version' of ${k(ident)} " +
+              "is neither a snapshot index nor a named ref")
+            h
         }
         require(v >= 0 && v <= st.latestVersion,
           s"graft_lake: version $v out of range [0, ${st.latestVersion}] for ${k(ident)}")
@@ -1295,9 +1322,16 @@ class LakeScan(key: String, schema: StructType,
     else LakeStore.get(key).flatMap { st =>
       val spec = pinnedVersion.fold(st.partitionCols)(v => st.snapshots(v).spec)
       val files = pinnedVersion.fold(st.current)(v => st.snapshots(v).files)
+      val era = pinnedVersion.fold(st.specEra)(v => st.snapshots(v).specEra)
+      // era equality is the exact current-spec test: a SAME-ARITY
+      // partition evolution (identity(a) -> identity(b)) leaves old
+      // files whose keys pass any shape check but mean a different
+      // column — treating them as current-spec keys would promise false
+      // co-location and return silently wrong join results
       if (spec.nonEmpty && spec.forall(LakeStore.isIdentitySpec) &&
           spec.forall(readCols.fieldNames.contains) &&
-          files.forall(_.group.length == spec.length)) Some(spec)
+          files.forall(f => f.era == era && f.group.length == spec.length))
+        Some(spec)
       else None
     }
   }
@@ -1306,7 +1340,7 @@ class LakeScan(key: String, schema: StructType,
     * report and the plan enumerate them identically). */
   private def survivingGroups(spec: Seq[String]): Vector[(List[Any], Vector[LakeStore.FileEntry])] =
     survivingFiles(snapshotFiles).groupBy(_.group).toVector
-      .sortBy { case (g, _) => g.map(String.valueOf).mkString(" ") }
+      .sortBy { case (g, _) => g.map(String.valueOf).mkString("\u0000") }
 
   override def outputPartitioning():
       org.apache.spark.sql.connector.read.partitioning.Partitioning =
@@ -1432,9 +1466,12 @@ class LakeMicroBatchStream(key: String, required: StructType,
     if (s0 + 1 <= e0) LakeStore.requireReadable(key, s0 + 1)
     val chunks = ((s0 + 1) to e0).flatMap { v =>
       val snap = st.snapshots(v)
-      if (!snap.dataChange) Nil // OPTIMIZE/ALTER/props: nothing to deliver
+      // branch commits are not main's rows (they surface at PUBLISH);
+      // layout/metadata commits deliver nothing
+      if (!snap.dataChange || snap.ref != "main") Nil
       else if (snap.action == "append" || snap.action == "clone") {
-        val prevPaths = st.snapshots(v - 1).files.map(_.path).toSet
+        val prevPaths = st.snapshots(
+          if (snap.parent >= 0) snap.parent else v - 1).files.map(_.path).toSet
         snap.files.filterNot(f => prevPaths.contains(f.path)).map(f =>
           LakeFileChunk(LakeStore.resolvePath(key, f), f.cols, f.rows))
       } else throw new UnsupportedOperationException(
@@ -1478,8 +1515,11 @@ class LakeMicroBatchStream(key: String, required: StructType,
 object LakeCdf {
   def chunksFor(key: String, st: LakeStore.TableState, v: Int): Seq[LakeFileChunk] = {
     val snap = st.snapshots(v)
-    if (!snap.dataChange) return Nil
-    val prev = st.snapshots(v - 1)
+    // the change feed is MAIN's row history: branch commits surface as
+    // one delta at PUBLISH (whose parent is the prior main head), never
+    // earlier — the write-audit-publish contract
+    if (!snap.dataChange || snap.ref != "main") return Nil
+    val prev = st.snapshots(if (snap.parent >= 0) snap.parent else v - 1)
     val prevPaths = prev.files.map(_.path).toSet
     val curPaths = snap.files.map(_.path).toSet
     def dvMap(ds: Vector[LakeStore.DeleteEntry]): Map[String, (Seq[String], Long)] =
@@ -2074,7 +2114,7 @@ object LakeDerivedColumns {
 object LakeMetaTable {
   import org.apache.spark.sql.types.{BooleanType, LongType, StringType}
 
-  val kinds: Set[String] = Set("history", "files", "partitions")
+  val kinds: Set[String] = Set("history", "files", "partitions", "refs")
 
   def schemaOf(kind: String): StructType = kind match {
     case "partitions" => StructType(Seq(
@@ -2100,6 +2140,13 @@ object LakeMetaTable {
       StructField("n_cols", LongType, nullable = false),
       // rows hidden by live deletion vectors (merge-on-read tables)
       StructField("dv_rows", LongType, nullable = false)))
+    // Iceberg's refs table: one row per named ref (branch/tag) plus main
+    case "refs" => StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("head_version", LongType, nullable = false),
+      StructField("base_version", LongType, nullable = false),
+      StructField("rows", LongType, nullable = false)))
     case other => throw new IllegalArgumentException(
       s"graft_lake: unknown metadata table kind $other")
   }
@@ -2129,8 +2176,8 @@ object LakeMetaTable {
     case "history" =>
       (0 to st.latestVersion).iterator.map { v =>
         val snap = st.snapshots(v)
-        val prev = if (v == 0) Vector.empty[LakeStore.FileEntry]
-          else st.snapshots(v - 1).files
+        val prev = if (snap.parent < 0) Vector.empty[LakeStore.FileEntry]
+          else st.snapshots(snap.parent).files
         val prevPaths = prev.map(_.path).toSet
         val curPaths = snap.files.map(_.path).toSet
         val added = snap.files.filterNot(f => prevPaths.contains(f.path))
@@ -2147,6 +2194,20 @@ object LakeMetaTable {
         Vector[Any](f.path, partLabel(st, f.group),
           f.rows, f.cols.length.toLong, dvRows.getOrElse(f.path, 0L))
       }
+    case "refs" =>
+      def liveRows(v: Int): Long = {
+        val s = st.snapshots(v)
+        s.files.map(_.rows).sum - s.deletes.map(_.rows).sum
+      }
+      val named = st.refNames.map { r =>
+        val creation = st.snapshots.indexWhere(_.ref == r)
+        Vector[Any](r,
+          if (st.isTag(r)) "tag" else "branch",
+          st.headOf(r).toLong, st.snapshots(creation).parent.toLong,
+          liveRows(st.headOf(r)))
+      }.toVector
+      Vector[Any]("main", "branch", st.mainHead.toLong, 0L,
+        liveRows(st.mainHead)) +: named
   }
 }
 
@@ -2205,8 +2266,17 @@ object LakeWriteBuilder {
   case object TruncateMode extends Mode
   /** `INSERT OVERWRITE ... PARTITION (...)` / replaceWhere: swap exactly
     * the PRE-RESOLVED partition groups (decided at build time from the
-    * static filter — Delta's partition-scoped replaceWhere contract). */
-  final case class OverwriteGroups(groups: Set[List[Any]]) extends Mode
+    * static filter — Delta's partition-scoped replaceWhere contract).
+    * `guards` re-states the filter against the WRITTEN data: one
+    * (group-key ordinal, allowed values) pair per equality/IN conjunct —
+    * commit refuses any produced file whose group falls outside them
+    * (Delta's replaceWhere DATA VALIDATION: landing rows the filter
+    * never matched would silently corrupt untouched partitions). The
+    * guards, not the matched-group set, are the row contract: writing a
+    * filter-satisfying row into a partition with no live files yet is
+    * legal (the matched set cannot list a group that does not exist). */
+  final case class OverwriteGroups(groups: Set[List[Any]],
+      guards: Seq[(Int, Set[Any])]) extends Mode
   /** Dynamic partition overwrite: swap exactly the groups the write
     * itself produces — partitions the data does not touch stay whole. */
   case object DynamicMode extends Mode
@@ -2222,6 +2292,16 @@ class LakeWriteBuilder(key: String, writeSchema: StructType,
     with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
   import LakeWriteBuilder._
   import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
+
+  /** OPTIMISTIC READ VERSION: the table version this statement planned
+    * against, captured when the write is built (analysis time — at or
+    * before the statement's scan). Commit classifies every commit that
+    * lands in between (the Delta ConflictChecker): non-conflicting ones
+    * are rebased over, conflicting ones abort loudly. Capturing early is
+    * CONSERVATIVE — a commit between build and scan can only produce a
+    * false conflict, never a missed one. */
+  private val readVersion: Int =
+    LakeStore.get(key).map(_.latestVersion).getOrElse(-1)
 
   /** INSERT OVERWRITE / DataFrame overwrite(lit(true)): whole-table swap. */
   override def truncate(): WriteBuilder = { mode = TruncateMode; this }
@@ -2252,14 +2332,15 @@ class LakeWriteBuilder(key: String, writeSchema: StructType,
           s"graft_lake: overwrite filter $p is not an equality/IN on a " +
             s"partition column of $key (partition-scoped overwrite only)"))
     }
-    require(st.current.forall(_.group.length == pc.length),
+    require(st.current.forall(_.era == st.specEra),
       s"graft_lake: $key still holds pre-evolution file groups — a filter " +
         "cannot decide them; rewrite them first (any row-level statement " +
         "migrates them to the current spec)")
     val matched = st.liveGroups.filter(g => compares.forall { cc =>
       cc.lits.contains(g(pc.indexOf(cc.col)))
     })
-    mode = OverwriteGroups(matched)
+    mode = OverwriteGroups(matched,
+      compares.map(cc => pc.indexOf(cc.col) -> cc.lits.toSet).toSeq)
     this
   }
 
@@ -2302,12 +2383,49 @@ class LakeWriteBuilder(key: String, writeSchema: StructType,
           .flatMap(_.files.iterator)
           .toSeq
         mode match {
-          case AppendMode => LakeStore.append(key, files)
-          case TruncateMode => LakeStore.replace(key, files, None)
-          case OverwriteGroups(gs) => LakeStore.replace(key, files, Some(gs))
+          case AppendMode => LakeStore.append(key, files,
+            Some(LakeStore.Txn(readVersion, LakeStore.BlindAppend)))
+          case TruncateMode => LakeStore.replace(key, files, None,
+            Some(LakeStore.Txn(readVersion, LakeStore.WholeTable)))
+          case OverwriteGroups(gs, guards) =>
+            // replaceWhere data validation (the Delta contract): every
+            // produced file's group must satisfy the overwrite filter —
+            // an out-of-filter row would land beside the untouched files
+            // of a partition the statement promised not to touch.
+            // Throwing here aborts the job (Spark's v2 write exec calls
+            // abort(), which sweeps the staged files); nothing commits.
+            val offending = files.find(f =>
+              guards.exists { case (i, allowed) => !allowed.contains(f.group(i)) })
+            offending.foreach { f =>
+              throw new IllegalStateException(
+                s"graft_lake: replaceWhere data validation failed for $key — " +
+                  s"written rows land in partition group ${f.group.mkString("[", ", ", "]")} " +
+                  "outside the overwrite filter; nothing was committed " +
+                  "(matching Delta's replaceWhere contract: written data must " +
+                  "satisfy the overwrite condition)")
+            }
+            // the conflict claim is the FILTER's key space (the guards),
+            // not the matched-group snapshot: a concurrent append of
+            // filter-matching rows into a brand-new group conflicts too
+            LakeStore.replace(key, files, Some(gs),
+              Some(LakeStore.Txn(readVersion, LakeStore.GroupScope(g =>
+                guards.forall { case (i, allowed) =>
+                  i < g.length && allowed.contains(g(i)) }))))
           case DynamicMode =>
-            LakeStore.replace(key, files, Some(files.map(_.group).toSet))
-          case RowLevelMode(gs) => LakeStore.replace(key, files, gs())
+            val written = files.map(_.group).toSet
+            LakeStore.replace(key, files, Some(written),
+              Some(LakeStore.Txn(readVersion, LakeStore.GroupScope(written))))
+          case RowLevelMode(gs) =>
+            val scanned = gs()
+            // claims = the groups the statement SCANNED plus the groups
+            // it writes (a MERGE can insert into a partition outside the
+            // runtime-filtered scan set); None = unpartitioned/whole-table
+            val txn = scanned match {
+              case None => LakeStore.Txn(readVersion, LakeStore.WholeTable)
+              case Some(sg) => LakeStore.Txn(readVersion,
+                LakeStore.GroupScope(sg ++ files.map(_.group)))
+            }
+            LakeStore.replace(key, files, scanned, Some(txn))
         }
       }
       override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -2367,6 +2485,13 @@ class LakeDeltaBatchWrite(key: String, rowSchema: StructType)
     extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
   import org.apache.spark.sql.connector.write.{DeltaWriterFactory => V2DeltaWriterFactory}
 
+  /** Optimistic read version (see [[LakeWriteBuilder.readVersion]]):
+    * merge-on-read statements conflict-check too — their deletion
+    * vectors were derived from rows a concurrent writer may have
+    * replaced. */
+  private val readVersion: Int =
+    LakeStore.get(key).map(_.latestVersion).getOrElse(-1)
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): V2DeltaWriterFactory = {
     val st = LakeStore.get(key)
     val partitionCols = st.map(_.partitionCols).getOrElse(Nil)
@@ -2400,7 +2525,8 @@ class LakeDeltaBatchWrite(key: String, rowSchema: StructType)
     }
     val touched = newFiles.map(_.group).toSet ++
       msgs.flatMap(_.dvs).map { case (_, dataAbs, _) => byAbs(dataAbs).group }
-    LakeStore.applyDelta(key, newFiles, newDeletes, touched)
+    LakeStore.applyDelta(key, newFiles, newDeletes, touched,
+      Some(LakeStore.Txn(readVersion, LakeStore.GroupScope(touched))))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

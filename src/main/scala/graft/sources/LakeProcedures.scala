@@ -29,7 +29,8 @@ import org.apache.spark.unsafe.types.UTF8String
 object LakeProcedures {
 
   val Names: Seq[String] = Seq(
-    "optimize", "vacuum", "restore", "clone", "set_partition_spec")
+    "optimize", "vacuum", "restore", "clone", "set_partition_spec",
+    "create_branch", "create_tag", "publish")
 
   def identifiers(namespace: Array[String]): Array[Identifier] =
     Names.map(n => Identifier.of(Array("system"), n)).toArray
@@ -151,5 +152,44 @@ object LakeProcedures {
         GraftLake.setPartitionSpec(k, cols)
         val st = LakeStore.get(k).get
         row(st.latestVersion.toLong, utf(st.partitionCols.mkString(",")))
+      }),
+
+    "create_branch" -> Proc("create_branch",
+      Array(in("tbl", StringType), in("name", StringType),
+        inDefault("at_version", IntegerType, "-1")),
+      StructType(Seq(
+        StructField("ref", StringType, nullable = false),
+        StructField("created_at_version", LongType, nullable = false))),
+      (catalog, input) => {
+        val k = key(catalog, input.getUTF8String(0).toString)
+        val name = input.getUTF8String(1).toString
+        val at = Option(input.getInt(2)).filter(_ >= 0)
+        val v = GraftLake.createBranch(k, name, at)
+        row(utf(name), v.toLong)
+      }),
+
+    "create_tag" -> Proc("create_tag",
+      Array(in("tbl", StringType), in("name", StringType),
+        inDefault("at_version", IntegerType, "-1")),
+      StructType(Seq(
+        StructField("ref", StringType, nullable = false),
+        StructField("created_at_version", LongType, nullable = false))),
+      (catalog, input) => {
+        val k = key(catalog, input.getUTF8String(0).toString)
+        val name = input.getUTF8String(1).toString
+        val at = Option(input.getInt(2)).filter(_ >= 0)
+        val v = GraftLake.createTag(k, name, at)
+        row(utf(name), v.toLong)
+      }),
+
+    "publish" -> Proc("publish",
+      Array(in("tbl", StringType), in("branch", StringType)),
+      StructType(Seq(
+        StructField("branch_head", LongType, nullable = false),
+        StructField("publish_version", LongType, nullable = false))),
+      (catalog, input) => {
+        val k = key(catalog, input.getUTF8String(0).toString)
+        val (bh, pv) = GraftLake.publish(k, input.getUTF8String(1).toString)
+        row(bh.toLong, pv.toLong)
       }))
 }

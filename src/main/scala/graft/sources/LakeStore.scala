@@ -59,10 +59,20 @@ object LakeStore {
     * optional per-column BLOOM FILTERS (base64 bit arrays, built at
     * write time for the columns `graft.bloom.columns` names) — what
     * skips EQUALITY probes on high-cardinality ids whose zones span
-    * every file. */
+    * every file.
+    *
+    * `era` is the PARTITION-SPEC ERA the file's group key was derived
+    * under (the table's [[Snapshot.specEra]] at commit time — Iceberg's
+    * per-file spec-id). Partition evolution leaves old files in place
+    * with their old keys; the era is what lets a reader decide whether a
+    * file's key is a CURRENT-spec key. Arity alone cannot: a same-arity
+    * evolution (identity(a) -> identity(b)) produces keys of identical
+    * shape that mean something entirely different — promising
+    * co-location across that boundary would return silently wrong
+    * storage-partitioned-join results. */
   final case class FileEntry(path: String, group: List[Any], rows: Long,
       cols: Seq[String], zones: Map[String, (Any, Any)],
-      blooms: Map[String, String] = Map.empty)
+      blooms: Map[String, String] = Map.empty, era: Int = 0)
 
   /** One POSITION-DELETE file (Iceberg v2's delete-file shape, Delta's
     * deletion vector): `path` is the sidecar holding sorted row
@@ -82,27 +92,67 @@ object LakeStore {
     * here — time travel sees the properties of its era), and the
     * PARTITION SPEC as of that version — partition EVOLUTION commits a
     * new spec without rewriting anything (the Iceberg model): files
-    * written earlier keep the group keys of THEIR spec's era. */
+    * written earlier keep the group keys of THEIR spec's era. `specEra`
+    * counts spec changes (0 at create, +1 per evolution) — new files are
+    * stamped with it ([[FileEntry.era]]), and "every live file belongs
+    * to the current era" is the exact storage-partitioned-join
+    * eligibility rule. */
   final case class Snapshot(schema: StructType, files: Vector[FileEntry],
       commitGroups: Option[Set[List[Any]]], dataChange: Boolean,
       action: String = "unknown", props: Map[String, String] = Map.empty,
       deletes: Vector[DeleteEntry] = Vector.empty,
-      spec: Seq[String] = Nil)
+      spec: Seq[String] = Nil, specEra: Int = 0,
+      ref: String = "main", parent: Int = -1)
 
   final case class TableState(key: String,
       snapshots: Vector[Snapshot], earliest: Int = 0) {
-    def schema: StructType = snapshots.last.schema
-    def current: Vector[FileEntry] = snapshots.last.files
+    /** Log index of `ref`'s HEAD — the last snapshot committed to it (a
+      * branch/tag creation snapshot counts: it IS the ref's initial
+      * state, a copy of its base). -1 = no such ref. Branch commits
+      * occupy ordinary log versions; a ref's lineage is the
+      * [[Snapshot.parent]] chain, not version adjacency. */
+    def headOf(ref: String): Int = snapshots.lastIndexWhere(_.ref == ref)
+    /** Head of MAIN — the default lineage every table has from v0. */
+    def mainHead: Int = snapshots.lastIndexWhere(_.ref == "main")
+    /** The snapshot the ACTIVE ref points at (Iceberg's
+      * `spark.wap.branch` shape: the `graft.lake.branch` session conf
+      * scopes reads AND writes to a branch; unset = main). Every
+      * state accessor below resolves through this, which is what makes
+      * branch scoping total: scans, zone pruning, constraint
+      * compilation and commit bases all see the branch. */
+    private[sources] def active: Snapshot = {
+      val r = activeRef
+      if (r == "main") snapshots(mainHead)
+      else {
+        val h = headOf(r)
+        require(h >= 0, s"graft_lake: ref '$r' does not exist on $key " +
+          "(set by the graft.lake.branch session conf)")
+        snapshots(h)
+      }
+    }
+    def schema: StructType = active.schema
+    def current: Vector[FileEntry] = active.files
     def latestVersion: Int = snapshots.length - 1
-    def props: Map[String, String] = snapshots.last.props
+    def props: Map[String, String] = active.props
     /** CURRENT partition spec (new writes group under this). */
-    def partitionCols: Seq[String] = snapshots.last.spec
+    def partitionCols: Seq[String] = active.spec
+    /** CURRENT spec era — what new files are stamped with. */
+    def specEra: Int = active.specEra
     /** Live position-delete files (merge-on-read state). */
-    def deletes: Vector[DeleteEntry] = snapshots.last.deletes
+    def deletes: Vector[DeleteEntry] = active.deletes
     /** Partition-group keys present in the current live file set —
       * mixed-arity after a partition evolution (pre-evolution files
       * keep their old spec's keys). */
     def liveGroups: Set[List[Any]] = current.iterator.map(_.group).toSet
+    /** Whether `ref` is a TAG (immutable pointer): decided by its
+      * creation snapshot's action. */
+    def isTag(ref: String): Boolean = snapshots.indexWhere(_.ref == ref) match {
+      case -1 => false
+      case i => snapshots(i).action == "tag"
+    }
+    /** All named refs (branches + tags) in creation order, main excluded. */
+    def refNames: Seq[String] =
+      snapshots.iterator.map(_.ref).distinct.filterNot(_ == "main").toSeq
   }
 
   // ------------------------------------------------------------ root dir
@@ -165,6 +215,215 @@ object LakeStore {
   /** Set by [[GraftLake.optimize]] so the next replace commit on the key
     * is recorded dataChange=false (a layout-only rewrite). */
   private[sources] val nextReplaceIsLayoutOnly = TrieMap.empty[String, Boolean]
+
+  // --------------------------------------- branches and tags (p59)
+
+  /** The ACTIVE ref for reads and writes — Iceberg's `spark.wap.branch`
+    * session conf, spelled `graft.lake.branch` here: while set, every
+    * scan resolves the table's state at the branch head and every write
+    * commits to the branch, leaving main untouched until PUBLISH. Unset
+    * (or no active session) = "main". Read through SQLConf so it scopes
+    * per session/statement, exactly like the WAP workflow needs. */
+  def activeRef: String =
+    try org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("graft.lake.branch", "main")
+    catch { case _: Exception => "main" }
+
+  private def requireMain(k: String, op: String): Unit = {
+    val r = activeRef
+    require(r == "main",
+      s"graft_lake: $op on $k is TABLE-LEVEL — schema, partition spec, " +
+        s"properties and maintenance belong to the table, not a branch " +
+        s"(Iceberg's model); unset graft.lake.branch (active ref: '$r')")
+  }
+
+  /** Create a named ref — `kind` is "branch" (writable lineage) or
+    * "tag" (immutable pointer). The creation is ONE metadata-only log
+    * entry whose snapshot copies the base version's full state with
+    * `ref = name, parent = base`: zero files move, the ref is durable
+    * (log replay rebuilds it), time travel and VACUUM's keep-set see
+    * branch files automatically because branch snapshots are ordinary
+    * log versions. Returns the creation entry's version. */
+  def createRef(k: String, name: String, kind: String,
+      at: Option[Int] = None): Int = synchronized {
+    require(kind == "branch" || kind == "tag",
+      s"graft_lake: ref kind must be branch|tag, got $kind")
+    require(name.nonEmpty && name != "main" &&
+        name.forall(c => c.isLetterOrDigit || c == '_' || c == '-'),
+      s"graft_lake: invalid ref name '$name'")
+    val st = stateOf(k)
+    require(st.headOf(name) < 0,
+      s"graft_lake: ref '$name' already exists on $k")
+    val base = at.getOrElse(st.mainHead)
+    require(base >= 0 && base <= st.latestVersion,
+      s"graft_lake: ref base version $base out of range for $k")
+    requireReadable(k, base)
+    val bs = st.snapshots(base)
+    commit(k, st, kind, bs.files, added = Nil, removed = Nil,
+      commitGroups = Some(Set.empty), dataChange = false, schema = bs.schema,
+      props = bs.props, deletes = bs.deletes, spec = bs.spec,
+      refOverride = name, parentOverride = base, eraOverride = bs.specEra)
+    st.latestVersion + 1
+  }
+
+  /** FAST-FORWARD PUBLISH (write-audit-publish's last step): main moves
+    * to the branch head as ONE data commit. Legal only when main has
+    * not advanced past the branch's fork base — anything else is not a
+    * fast-forward and aborts with a retryable conflict (re-branch from
+    * current main and re-apply). The publish commit's touched-group
+    * metadata is the branch-vs-main diff, so the CHANGE FEED delivers
+    * the whole audited batch as the row-level delta it is, at publish
+    * time, never earlier. Returns (branchHead, publishVersion). */
+  def publish(k: String, branch: String): (Int, Int) = synchronized {
+    val st = stateOf(k)
+    val bh = st.headOf(branch)
+    require(bh >= 0, s"graft_lake: ref '$branch' does not exist on $k")
+    require(!st.isTag(branch),
+      s"graft_lake: '$branch' is a TAG — only branches publish")
+    val creation = st.snapshots.indexWhere(_.ref == branch)
+    val base = st.snapshots(creation).parent
+    val mh = st.mainHead
+    if (mh != base) throw new CommitConflictException(
+      s"graft_lake: publish of '$branch' on $k is not a fast-forward — " +
+        s"main advanced from v$base to v$mh since the branch was created; " +
+        "re-branch from current main and re-apply the audited writes. " +
+        "[NotFastForward]")
+    val b = st.snapshots(bh)
+    val m = st.snapshots(mh)
+    val mPaths = m.files.map(_.path).toSet
+    val bPaths = b.files.map(_.path).toSet
+    val added = b.files.filterNot(f => mPaths.contains(f.path))
+    val removed = m.files.filterNot(f => bPaths.contains(f.path))
+    val groupOf = (m.files ++ b.files).map(f => f.path -> f.group).toMap
+    val dvDiff = (m.deletes.toSet diff b.deletes.toSet) ++
+      (b.deletes.toSet diff m.deletes.toSet)
+    val touched = (added ++ removed).map(_.group).toSet ++
+      dvDiff.flatMap(d => groupOf.get(d.dataFile))
+    lastReplacedGroups.update(k, Some(touched))
+    lastReplacedFiles.update(k, (removed.map(_.path), added.map(_.path)))
+    commit(k, st, "publish", b.files, added, removed.map(_.path),
+      commitGroups = Some(touched), dataChange = true, schema = b.schema,
+      props = b.props, deletes = b.deletes, spec = b.spec,
+      refOverride = "main", parentOverride = mh, eraOverride = b.specEra)
+    (bh, st.latestVersion + 1)
+  }
+
+  // ------------------------------------- optimistic concurrency (p58)
+
+  /** What a transaction READ (and therefore claims exclusively), for
+    * conflict checking at commit — the Delta ConflictChecker taxonomy at
+    * this store's partition-group granularity. Writers plan against a
+    * snapshot (the READ VERSION) and commit later; if the table advanced
+    * in between, the commit classifies every intervening commit and
+    * either REBASES (commits on top — logically non-conflicting) or
+    * aborts loudly with [[CommitConflictException]]. */
+  sealed trait TxnScope
+  /** Reads nothing, removes nothing: a blind INSERT/append. Rebases over
+    * ANY concurrent data commit — two appends, or an append racing a
+    * MERGE, all land. Only a concurrent METADATA change aborts (the
+    * written files were shaped by a schema/spec that no longer holds). */
+  case object BlindAppend extends TxnScope
+  /** Replaces the whole table (truncate / un-partitioned row-level op /
+    * whole-table OPTIMIZE): any concurrent data commit conflicts. */
+  case object WholeTable extends TxnScope
+  /** Claims exactly the group keys the predicate accepts — the groups
+    * the statement scanned plus the groups it writes. Rebases over
+    * concurrent commits touching DISJOINT groups (two MERGEs on
+    * different partitions both land); aborts when the claims overlap
+    * (the statement's output was derived from rows another writer just
+    * changed — committing would silently undo their write). */
+  final case class GroupScope(claims: List[Any] => Boolean) extends TxnScope
+
+  /** One optimistic transaction: the version its plan read, and what it
+    * claims. Threaded from write-builder construction to the commit. */
+  final case class Txn(readVersion: Int, scope: TxnScope)
+
+  /** A commit-time conflict: the optimistic transaction lost — aborted
+    * loudly instead of silently overwriting the concurrent commit. The
+    * statement is safe to retry (Delta's retryable conflict contract). */
+  final class CommitConflictException(msg: String)
+      extends IllegalStateException(msg)
+
+  /** Deterministic-interleave hook (specs + p58): runs ONCE, inside the
+    * store lock, immediately before the next append/replace/applyDelta
+    * on the key — the hook may itself run statements that commit (the
+    * lock is re-entrant on the driver thread), which is how a
+    * "concurrent" writer is injected between another writer's PLAN and
+    * its COMMIT without nondeterministic thread timing. */
+  val onNextCommit = TrieMap.empty[String, () => Unit]
+
+  /** Table properties that are TRANSACTION BOOKKEEPING, not metadata:
+    * streaming-epoch high-water marks move on every sink commit and
+    * must not fail unrelated writers' metadata check. */
+  private def metaProps(p: Map[String, String]): Map[String, String] =
+    p.filterNot(_._1.startsWith("graft.stream.epoch."))
+
+  /** The ConflictChecker: compares the read snapshot against the
+    * current one (metadata), then classifies every intervening DATA
+    * commit against the transaction's scope. No conflict = the caller
+    * proceeds to commit on top of the CURRENT state — that proceed IS
+    * the rebase (the store lock serializes commits, so the re-derived
+    * removal sets are exact). Layout-only commits (dataChange=false)
+    * never conflict with group-scoped ops: a group-granularity
+    * copy-on-write statement re-derives its removal set from the LIVE
+    * files, and an OPTIMIZE changed no rows — replacing the compacted
+    * files with output computed from their pre-compaction content is
+    * content-identical. */
+  private def checkConflicts(k: String, st: TableState, txn: Txn): Unit = {
+    val rv = txn.readVersion
+    if (rv < 0 || rv >= st.latestVersion) return // nothing intervened
+    // only commits on the SAME ref can conflict: refs are independent
+    // lineages (a branch writer never races main until PUBLISH)
+    val ref = activeRef
+    val headAt = (v: Int) =>
+      st.snapshots.take(v + 1).lastIndexWhere(_.ref == ref)
+    val baseIdx = headAt(rv)
+    val nowIdx = headAt(st.latestVersion)
+    if (baseIdx < 0 || nowIdx <= baseIdx) return // ref did not advance
+    val base = st.snapshots(baseIdx)
+    val now = st.snapshots(nowIdx)
+    if (base.schema != now.schema || base.spec != now.spec ||
+        metaProps(base.props) != metaProps(now.props))
+      throw new CommitConflictException(
+        s"graft_lake: commit conflict on $k — table metadata (schema/" +
+          s"partition spec/properties) changed concurrently between read " +
+          s"version $rv and current version ${st.latestVersion}; the " +
+          "statement planned against metadata that no longer holds. " +
+          "Retry the statement. [MetadataChanged]")
+    txn.scope match {
+      case BlindAppend => () // composes with any concurrent data commit
+      case WholeTable =>
+        ((rv + 1) to st.latestVersion)
+          .find(v => st.snapshots(v).ref == ref && st.snapshots(v).dataChange)
+          .foreach { v =>
+            throw new CommitConflictException(
+              s"graft_lake: commit conflict on $k — this statement replaces " +
+                s"the WHOLE table but commit v$v (${st.snapshots(v).action}) " +
+                s"wrote concurrently after read version $rv; committing would " +
+                "silently discard it. Retry the statement. [ConcurrentWrite]")
+          }
+      case GroupScope(claims) =>
+        ((rv + 1) to st.latestVersion).foreach { v =>
+          val s = st.snapshots(v)
+          if (s.ref == ref && s.dataChange) s.commitGroups match {
+            case None =>
+              throw new CommitConflictException(
+                s"graft_lake: commit conflict on $k — commit v$v " +
+                  s"(${s.action}) replaced the whole table after read " +
+                  s"version $rv. Retry the statement. [ConcurrentDeleteRead]")
+            case Some(gs) => gs.find(claims).foreach { g =>
+              throw new CommitConflictException(
+                s"graft_lake: commit conflict on $k — commit v$v " +
+                  s"(${s.action}) wrote partition group " +
+                  s"${g.mkString("[", ", ", "]")}, which this statement read " +
+                  s"or replaces (read version $rv); committing would silently " +
+                  "undo it. Disjoint-group writers rebase automatically; " +
+                  "overlapping ones must retry. [ConcurrentAppend]")
+            }
+          }
+        }
+    }
+  }
 
   def key(catalog: String, ident: org.apache.spark.sql.connector.catalog.Identifier): String =
     (Seq(catalog) ++ ident.namespace().toSeq :+ ident.name()).mkString(".")
@@ -236,10 +495,14 @@ object LakeStore {
 
   /** Append commit: the new files join the live set; commit metadata
     * records the appended files' groups. */
-  def append(k: String, files: Seq[FileEntry]): Unit = synchronized {
+  def append(k: String, files: Seq[FileEntry],
+      txn: Option[Txn] = None): Unit = synchronized {
+    onNextCommit.remove(k).foreach(_.apply())
     val st = stateOf(k)
-    commit(k, st, "append", st.current ++ files, files,
-      removed = Nil, commitGroups = Some(files.map(_.group).toSet),
+    txn.foreach(checkConflicts(k, st, _))
+    val stamped = files.map(_.copy(era = st.specEra))
+    commit(k, st, "append", st.current ++ stamped, stamped,
+      removed = Nil, commitGroups = Some(stamped.map(_.group).toSet),
       dataChange = true, schema = st.schema)
   }
 
@@ -255,8 +518,9 @@ object LakeStore {
     val st = stateOf(k)
     val prop = s"graft.stream.epoch.$queryId"
     if (st.props.get(prop).exists(_.toLong >= epochId)) return false
-    commit(k, st, "append", st.current ++ files, files,
-      removed = Nil, commitGroups = Some(files.map(_.group).toSet),
+    val stamped = files.map(_.copy(era = st.specEra))
+    commit(k, st, "append", st.current ++ stamped, stamped,
+      removed = Nil, commitGroups = Some(stamped.map(_.group).toSet),
       dataChange = true, schema = st.schema,
       props = st.props.updated(prop, epochId.toString))
     true
@@ -273,21 +537,25 @@ object LakeStore {
     * table), and an incremental CHANGES read must see that insert.
     * `lastReplacedGroups` stays scanned-only — the pruning audit. */
   def replace(k: String, files: Seq[FileEntry],
-      groups: Option[Set[List[Any]]]): Unit = synchronized {
+      groups: Option[Set[List[Any]]],
+      txn: Option[Txn] = None): Unit = synchronized {
+    onNextCommit.remove(k).foreach(_.apply())
     val st = stateOf(k)
+    txn.foreach(checkConflicts(k, st, _))
+    val stamped = files.map(_.copy(era = st.specEra))
     val removed = groups match {
       case None => st.current
       case Some(gs) => st.current.filter(f => gs.contains(f.group))
     }
-    val live = (st.current diff removed) ++ files
+    val live = (st.current diff removed) ++ stamped
     val layoutOnly = nextReplaceIsLayoutOnly.remove(k).getOrElse(false)
     lastReplacedGroups.update(k, groups)
-    lastReplacedFiles.update(k, (removed.map(_.path), files.map(_.path)))
-    commit(k, st, if (layoutOnly) "optimize" else "replace", live, files,
+    lastReplacedFiles.update(k, (removed.map(_.path), stamped.map(_.path)))
+    commit(k, st, if (layoutOnly) "optimize" else "replace", live, stamped,
       removed = removed.map(_.path),
       commitGroups =
         if (layoutOnly) Some(Set.empty)
-        else groups.map(_ ++ files.map(_.group)),
+        else groups.map(_ ++ stamped.map(_.group)),
       dataChange = !layoutOnly, schema = st.schema)
   }
 
@@ -298,9 +566,13 @@ object LakeStore {
     * Nothing is rewritten: a 3-row DELETE against a 1 TB group costs 3
     * positions, not a group rewrite; the read side pays the merge. */
   def applyDelta(k: String, files: Seq[FileEntry], newDeletes: Seq[DeleteEntry],
-      groups: Set[List[Any]]): Unit = synchronized {
+      groups: Set[List[Any]],
+      txn: Option[Txn] = None): Unit = synchronized {
+    onNextCommit.remove(k).foreach(_.apply())
     val st = stateOf(k)
-    commit(k, st, "delta", st.current ++ files, files, removed = Nil,
+    txn.foreach(checkConflicts(k, st, _))
+    val stamped = files.map(_.copy(era = st.specEra))
+    commit(k, st, "delta", st.current ++ stamped, stamped, removed = Nil,
       commitGroups = Some(groups), dataChange = true, schema = st.schema,
       deletes = st.deletes ++ newDeletes)
   }
@@ -310,6 +582,7 @@ object LakeStore {
     * readers pad the added columns with null — the parquet mergeSchema
     * behavior, done from manifest metadata instead of footer merging. */
   def alterSchema(k: String, newSchema: StructType): Unit = synchronized {
+    requireMain(k, "ALTER TABLE (schema)")
     val st = stateOf(k)
     commit(k, st, "alter", st.current, Nil, removed = Nil,
       commitGroups = Some(Set.empty), dataChange = false, schema = newSchema)
@@ -329,6 +602,7 @@ object LakeStore {
     * the restore point must not silently vanish). Restoring past the
     * VACUUM horizon is refused — those files are gone. */
   def restore(k: String, toVersion: Int): Unit = synchronized {
+    requireMain(k, "RESTORE")
     val st = stateOf(k)
     require(toVersion >= 0 && toVersion <= st.latestVersion,
       s"graft_lake: RESTORE version $toVersion out of range [0, ${st.latestVersion}] for $k")
@@ -367,6 +641,7 @@ object LakeStore {
     * clones, the same contract Delta states. A clone's own VACUUM only
     * ever deletes files in its own data dir. */
   def cloneTable(srcKey: String, dstKey: String): Unit = synchronized {
+    requireMain(srcKey, "CLONE")
     val src = stateOf(srcKey)
     // table PROPERTIES travel with the clone (the Delta CLONE contract):
     // constraints, merge-on-read mode, bloom configs — a clone that
@@ -374,7 +649,12 @@ object LakeStore {
     require(!tables.contains(dstKey) &&
         create(dstKey, src.schema, src.partitionCols, src.props),
       s"graft_lake: CLONE target $dstKey already exists")
-    val refs = src.current.map(f => f.copy(path = resolvePath(srcKey, f)))
+    // spec eras renumber into the clone's own counting (a fresh table
+    // starts at era 0): the source's CURRENT-era files become era 0,
+    // pre-evolution stragglers go negative — never equal to any era the
+    // clone can reach, so they stay correctly SPJ-ineligible
+    val refs = src.current.map(f => f.copy(path = resolvePath(srcKey, f),
+      era = f.era - src.specEra))
     // deletion vectors travel with the clone, absolutely referenced and
     // re-keyed to the now-absolute data paths
     val refDeletes = src.deletes.map(d => d.copy(
@@ -398,10 +678,16 @@ object LakeStore {
     * (the staged files are already in it). */
   def commitStaged(k: String, schema: StructType, partitionCols: Seq[String],
       props: Map[String, String], files: Seq[FileEntry]): Unit = synchronized {
+    requireMain(k, "CREATE/REPLACE TABLE (staged)")
     validateSpec(k, schema, partitionCols)
     get(k) match {
       case Some(st) =>
-        commit(k, st, "replace", files.toVector, files,
+        // the staged writer derived group keys under the NEW definition's
+        // spec — stamp its files with the era this commit establishes
+        val era =
+          if (partitionCols == st.partitionCols) st.specEra else st.specEra + 1
+        val stamped = files.toVector.map(_.copy(era = era))
+        commit(k, st, "replace", stamped, stamped,
           removed = st.current.map(_.path),
           commitGroups = None, dataChange = true, schema = schema,
           props = props, deletes = Vector.empty, spec = partitionCols)
@@ -442,6 +728,7 @@ object LakeStore {
     * zones ([[graft.sources.LakeGroupScan]]), so runtime group
     * filtering keeps working across the boundary. */
   def alterPartitionSpec(k: String, newCols: Seq[String]): Unit = synchronized {
+    requireMain(k, "partition evolution")
     val st = stateOf(k)
     validateSpec(k, st.schema, newCols)
     commit(k, st, "repartition", st.current, Nil, removed = Nil,
@@ -455,6 +742,7 @@ object LakeStore {
     * the prefix is `graft.constraints.`). Validation happens in the
     * catalog (the layer with a SparkSession); this just commits. */
   def setProperties(k: String, newProps: Map[String, String]): Unit = synchronized {
+    requireMain(k, "ALTER TABLE (properties)")
     val st = stateOf(k)
     commit(k, st, "setprops", st.current, Nil, removed = Nil,
       commitGroups = Some(Set.empty), dataChange = false, schema = st.schema,
@@ -488,6 +776,7 @@ object LakeStore {
     * (filesDeleted, horizonVersion). */
   def vacuum(k: String, retainLast: Int,
       graceMs: Long = orphanGraceMs): (Int, Int) = synchronized {
+    requireMain(k, "VACUUM")
     require(retainLast >= 1, s"graft_lake: VACUUM must retain >= 1 version, got $retainLast")
     val st = stateOf(k)
     val horizon = math.max(0, st.latestVersion - retainLast + 1)
@@ -539,7 +828,12 @@ object LakeStore {
     require(idx >= 0,
       s"graft_lake: no snapshot of $k at or before timestamp ${tsMs}ms " +
         s"(earliest commit: ${times.headOption.getOrElse(-1L)}ms)")
-    idx
+    // timestamp travel answers "what did MAIN look like then" — a
+    // branch commit landing at that instant is not main's state
+    val st = stateOf(k)
+    val mainIdx = st.snapshots.take(idx + 1).lastIndexWhere(_.ref == "main")
+    require(mainIdx >= 0, s"graft_lake: no main snapshot of $k at ${tsMs}ms")
+    mainIdx
   }
 
   /** Retention gate shared by time travel and incremental reads. */
@@ -554,10 +848,29 @@ object LakeStore {
       commitGroups: Option[Set[List[Any]]], dataChange: Boolean,
       schema: StructType, props: Map[String, String] = null,
       deletes: Vector[DeleteEntry] = null,
-      spec: Seq[String] = null): Unit = {
+      spec: Seq[String] = null,
+      refOverride: String = null, parentOverride: Int = -2,
+      eraOverride: Int = -1): Unit = {
     val version = st.latestVersion + 1
+    // the ref this commit belongs to: the active session ref by default
+    // (branch writes), overridden by ref machinery (creation, publish)
+    val ref = Option(refOverride).getOrElse(activeRef)
+    require(refOverride != null || !st.isTag(ref),
+      s"graft_lake: ref '$ref' of $k is a TAG — tags are immutable " +
+        "(branch from it to write)")
+    val parent = if (parentOverride != -2) parentOverride else {
+      val h = st.headOf(ref)
+      require(h >= 0, s"graft_lake: ref '$ref' does not exist on $k")
+      h
+    }
     val newProps = Option(props).getOrElse(st.props) // null = carry forward
     val newSpec = Option(spec).getOrElse(st.partitionCols) // null = carry forward
+    // spec era advances exactly when the spec CHANGES (partition
+    // evolution, staged replace with a new layout) — the counter the
+    // per-file era stamps compare against
+    val newEra =
+      if (eraOverride >= 0) eraOverride
+      else if (newSpec == st.partitionCols) st.specEra else st.specEra + 1
     // null = carry forward, minus entries whose data file just left the
     // live set (a replaced/compacted file takes its deletion vectors
     // with it). The log stores the LIVE delete list per commit — it is
@@ -570,6 +883,11 @@ object LakeStore {
       "action" -> JString(action),
       "schema" -> JString(schema.json),
       "dataChange" -> JBool(dataChange),
+      // ref lineage: which named ref this commit extends, and the log
+      // version its state builds on (parent ≠ version-1 exactly when
+      // refs interleave in the log)
+      "ref" -> JString(ref),
+      "parent" -> JInt(BigInt(parent)),
       // the spec AS OF this commit (partition evolution rewrites it;
       // every other action carries it forward) — replay needs it to
       // decode this entry's group keys with the right era's types
@@ -586,7 +904,7 @@ object LakeStore {
     writeLogEntry(k, version, entry)
     val newSt = st.copy(snapshots =
       st.snapshots :+ Snapshot(schema, live, commitGroups, dataChange, action,
-        newProps, newDeletes, newSpec))
+        newProps, newDeletes, newSpec, newEra, ref, parent))
     tables.update(k, newSt)
     val ci = checkpointInterval
     if (ci > 0 && version % ci == 0) writeCheckpoint(k, newSt)
@@ -654,7 +972,13 @@ object LakeStore {
       }
       val added = j("add").asInstanceOf[JArray].arr.map(f => fileFromJson(f, schema, partTypes))
       val removed = j("remove").asInstanceOf[JArray].arr.map(str).toSet
-      val prev = snapshots.lastOption.map(_.files).getOrElse(Vector.empty)
+      // ref lineage: the entry's state builds on its PARENT snapshot,
+      // not on version adjacency — branch commits interleave in the log
+      val ref = j.get("ref").map(str).getOrElse("main")
+      val parent = j.get("parent").map(num(_).intValue())
+        .getOrElse(snapshots.length - 1)
+      val prevSnap = if (parent >= 0) Some(snapshots(parent)) else None
+      val prev = prevSnap.map(_.files).getOrElse(Vector.empty)
       val live = prev.filterNot(f => removed.contains(f.path)) ++ added
       val cg = j("commitGroups") match {
         case JNull => None
@@ -673,10 +997,14 @@ object LakeStore {
         }.toVector
         case _ => Vector.empty[DeleteEntry] // pre-MoR log entries
       }
+      // spec era replays by the same rule commits use: +1 exactly when
+      // the entry's spec differs from its PARENT snapshot's
+      val specEra = prevSnap.map(p =>
+        if (partitionCols == p.spec) p.specEra else p.specEra + 1).getOrElse(0)
       snapshots :+= Snapshot(schema, live,
         cg, j.get("dataChange").forall(_ == JBool(true)),
         j.get("action").map(str).getOrElse("unknown"), props, deletes,
-        partitionCols)
+        partitionCols, specEra, ref, parent)
     }
     val marker = new Path(dir, "_horizon")
     val earliest =
@@ -770,7 +1098,8 @@ object LakeStore {
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
                 finally in.close()
       val o = JsonMethods.parse(txt).asInstanceOf[JObject].obj.toMap
-      val snaps = o("snapshots").asInstanceOf[JArray].arr.map(snapFromJson).toVector
+      val snaps = o("snapshots").asInstanceOf[JArray].arr.zipWithIndex
+        .map { case (sj, i) => snapFromJson(sj, i) }.toVector
       if (snaps.length != v + 1) None else Some((v, snaps))
     } catch { case _: Exception => None }
 
@@ -785,6 +1114,9 @@ object LakeStore {
     "schema" -> JString(s.schema.json),
     "dataChange" -> JBool(s.dataChange),
     "partitionCols" -> JArray(s.spec.map(JString(_)).toList),
+    "specEra" -> JInt(BigInt(s.specEra)),
+    "ref" -> JString(s.ref),
+    "parent" -> JInt(BigInt(s.parent)),
     "props" -> JObject(s.props.toList.map { case (pk, pv) =>
       pk -> (JString(pv): JValue) }),
     "deletes" -> JArray(s.deletes.toList.map(d => JObject(
@@ -794,7 +1126,7 @@ object LakeStore {
       JArray(gs.toList.map(g => JArray(g.map(tjval).toList)))),
     "files" -> JArray(s.files.toList.map(f => tagged(fileJson(f), f))))
 
-  private def snapFromJson(j: JValue): Snapshot = {
+  private def snapFromJson(j: JValue, idx: Int): Snapshot = {
     val o = j.asInstanceOf[JObject].obj.toMap
     val schema = DataType.fromJson(str(o("schema"))).asInstanceOf[StructType]
     val spec = o("partitionCols").asInstanceOf[JArray].arr.map(str)
@@ -813,7 +1145,10 @@ object LakeStore {
       DeleteEntry(str(d("path")), str(d("dataFile")), num(d("rows")).longValue())
     }.toVector
     Snapshot(schema, files, cg, o("dataChange") == JBool(true),
-      str(o("action")), props, deletes, spec)
+      str(o("action")), props, deletes, spec,
+      specEra = o.get("specEra").map(num(_).intValue()).getOrElse(0),
+      ref = o.get("ref").map(str).getOrElse("main"),
+      parent = o.get("parent").map(num(_).intValue()).getOrElse(idx - 1))
   }
 
   /** Stored-form type tags: group keys hold manifest STORED forms
@@ -871,7 +1206,10 @@ object LakeStore {
       case (None, _) => None
       case (Some(acc), v) =>
         val snap = st.snapshots(v)
-        if (!snap.dataChange) Some(acc) else snap.commitGroups.map(acc ++ _)
+        // branch commits are invisible to main's change metadata until
+        // PUBLISH delivers their diff as one main commit
+        if (!snap.dataChange || snap.ref != "main") Some(acc)
+        else snap.commitGroups.map(acc ++ _)
     }
   }
 
@@ -1049,6 +1387,7 @@ object LakeStore {
       "path" -> (JString(f.path): JValue),
       "group" -> JArray(f.group.map(jval).toList),
       "rows" -> JInt(BigInt(f.rows)),
+      "era" -> JInt(BigInt(f.era)),
       "cols" -> JArray(f.cols.map(JString(_)).toList),
       "zones" -> JObject(f.zones.toList.map { case (c, (mn, mx)) =>
         c -> (JArray(List(jval(mn), jval(mx))): JValue)
@@ -1086,6 +1425,7 @@ object LakeStore {
       case _ => Map.empty[String, String]
     }
     FileEntry(str(o("path")), group, num(o("rows")).longValue(),
-      o("cols").asInstanceOf[JArray].arr.map(str), zones, blooms)
+      o("cols").asInstanceOf[JArray].arr.map(str), zones, blooms,
+      era = o.get("era").map(num(_).intValue()).getOrElse(0))
   }
 }

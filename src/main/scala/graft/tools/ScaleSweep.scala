@@ -187,7 +187,9 @@ object ScaleSweep {
       "p55_replace_table" -> "atomic CREATE OR REPLACE via staging (one replace commit)",
       "st18_cdc_replication" -> "CDC replication (stream changes -> MERGE into replica)",
       "p56_type_widening" -> "metadata-only type widening (narrow files read wide)",
-      "p57_hidden_partitioning" -> "hidden partitioning (days/bucket derived groups)")
+      "p57_hidden_partitioning" -> "hidden partitioning (days/bucket derived groups)",
+      "p58_optimistic_concurrency" -> "optimistic concurrency (conflict-classified rebase/abort)",
+      "p59_branch_wap" -> "branches/tags + write-audit-publish (zero-copy refs)")
 
     // warm the JVM/codegen on the smallest sf so cold-start lands nowhere
     queries.foreach { case (q, _) =>

@@ -1,0 +1,421 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{GraftLake, LakeStore}
+
+/** Round-12 regression pins. First, the three round-11 fixes that
+  * shipped without tests (each of these FAILS if its fix is reverted):
+  * identity high-water read by physical zone key after RENAME COLUMN,
+  * multi-column ZORDER zone lookup after RENAME COLUMN, and `<=>`
+  * against a NULL literal never consulting zones/blooms. Then the two
+  * round-11 ADVICE wrong-results edges closed this round: the
+  * storage-partitioned-join SPEC-ERA gate (same-arity partition
+  * evolution must disable SPJ — arity alone cannot tell an old key
+  * from a current one) and replaceWhere DATA VALIDATION (written rows
+  * outside the overwrite filter abort the commit, the Delta contract). */
+class Round12OpsSpec extends SparkTestBase {
+
+  private def registerCatalog(): Unit =
+    if (!spark.conf.getOption("spark.sql.catalog.graft_lake").contains(
+        classOf[graft.sources.GraftLakeCatalog].getName))
+      spark.conf.set("spark.sql.catalog.graft_lake",
+        classOf[graft.sources.GraftLakeCatalog].getName)
+
+  private def causes(t: Throwable): Seq[Throwable] =
+    if (t == null) Nil else t +: causes(t.getCause)
+
+  // ----------------- r11 fix #1: identity high-water across a RENAME
+
+  test("identity high-water mark survives RENAME COLUMN (no duplicate ids)") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_lake.idren")
+    spark.sql("""CREATE TABLE graft_lake.idren (
+                |  row_id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 1 INCREMENT BY 1),
+                |  payload BIGINT
+                |)""".stripMargin)
+    import spark.implicits._
+    (0L until 40L).toDF("payload").writeTo("graft_lake.idren").append()
+    // the rename moves only the LOGICAL name; zones stay keyed by the
+    // physical birth name — a logical-name lookup would find no zones
+    // and silently reset the sequencer to START WITH
+    spark.sql("ALTER TABLE graft_lake.idren RENAME COLUMN row_id TO seq_id")
+    (40L until 70L).toDF("payload").writeTo("graft_lake.idren").append()
+    // and once more across a cold replay (a restarted writer must
+    // recover the high-water from the replayed manifest, not the cache)
+    LakeStore.invalidateCache("graft_lake.idren")
+    (70L until 90L).toDF("payload").writeTo("graft_lake.idren").append()
+    val ids = spark.table("graft_lake.idren").select("seq_id")
+      .collect().map(_.getLong(0))
+    assert(ids.length === 90 && ids.distinct.length === 90,
+      s"duplicate identity values after RENAME: ${ids.length} rows, " +
+        s"${ids.distinct.length} distinct")
+  }
+
+  // ----------------- r11 fix #2: multi-column ZORDER after a RENAME
+
+  test("OPTIMIZE ZORDER BY renamed columns succeeds and still prunes") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_lake.zren")
+    spark.sql("CREATE TABLE graft_lake.zren (x BIGINT, y BIGINT)")
+    import spark.implicits._
+    spark.range(0L, 16384L)
+      .select((col("id") % 128L).as("x"), (col("id") / 128L).as("y"))
+      .writeTo("graft_lake.zren").append()
+    spark.sql("ALTER TABLE graft_lake.zren RENAME COLUMN x TO xx")
+    spark.sql("ALTER TABLE graft_lake.zren RENAME COLUMN y TO yy")
+    // the multi-column path normalizes each rank against the MANIFEST
+    // zones, which are keyed by physical name — a logical-name lookup
+    // finds none and aborts with "no numeric zones"
+    GraftLake.optimize(spark, "graft_lake.zren", Seq("xx", "yy"), 16)
+    val cnt = spark.table("graft_lake.zren")
+      .filter(col("xx") >= 32L && col("xx") <= 63L &&
+        col("yy") >= 32L && col("yy") <= 63L).count()
+    assert(cnt === 1024L)
+    val stats = LakeStore.lastScanStats("graft_lake.zren")
+    assert(stats.filesTotal === 16 && stats.filesScanned < stats.filesTotal,
+      s"z-order tiles did not prune: ${stats.filesScanned}/${stats.filesTotal}")
+  }
+
+  // ----------------- r11 fix #3: null-safe equality vs a NULL literal
+
+  test("col <=> NULL on a bloom-indexed column keeps every file and returns the null rows") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_lake.nseq")
+    spark.sql("""CREATE TABLE graft_lake.nseq (id BIGINT, tag STRING)
+                |TBLPROPERTIES ('graft.bloom.columns' = 'tag')""".stripMargin)
+    import spark.implicits._
+    // file A: every tag NULL (no zone, empty bloom); file B: all present
+    (1L to 5L).map(i => (i, null: String)).toDF("id", "tag")
+      .coalesce(1).writeTo("graft_lake.nseq").append()
+    (6L to 10L).map(i => (i, s"t$i")).toDF("id", "tag")
+      .coalesce(1).writeTo("graft_lake.nseq").append()
+    // `<=>` against NULL is an IS-NULL seek: zones and blooms describe
+    // only NON-null values, so no file may be skipped on it (the all-null
+    // file is exactly the one that must survive)
+    val rows = spark.table("graft_lake.nseq")
+      .filter(col("tag") <=> lit(null).cast("string"))
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(rows.toSeq === (1L to 5L))
+    val stats = LakeStore.lastScanStats("graft_lake.nseq")
+    assert(stats.filesScanned === stats.filesTotal,
+      s"IS-NULL seek skipped files: ${stats.filesScanned}/${stats.filesTotal}")
+    // and null-safe equality against a PRESENT value still blooms down to 1 file
+    assert(spark.table("graft_lake.nseq")
+      .filter(col("tag") <=> lit("t7")).count() === 1L)
+    assert(LakeStore.lastScanStats("graft_lake.nseq").filesScanned === 1)
+  }
+
+  // ----------------- SPJ spec-era gate (same-arity partition evolution)
+
+  test("SPJ refuses same-arity pre-evolution files: conf ON equals conf OFF") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_lake.eraa")
+    spark.sql("DROP TABLE IF EXISTS graft_lake.erab")
+    spark.sql("""CREATE TABLE graft_lake.eraa (id BIGINT, src STRING, lang STRING, v BIGINT)
+                |PARTITIONED BY (src)""".stripMargin)
+    spark.sql("""CREATE TABLE graft_lake.erab (lang STRING, w BIGINT)
+                |PARTITIONED BY (lang)""".stripMargin)
+    import spark.implicits._
+    // eraa's files are keyed by SRC ('a'/'b'); every row's lang is 'x'
+    (0L until 20L).map(i => (i, if (i % 2 == 0) "a" else "b", "x", i))
+      .toDF("id", "src", "lang", "v").writeTo("graft_lake.eraa").append()
+    (Seq(("x", 100L), ("y", 200L))).toDF("lang", "w")
+      .writeTo("graft_lake.erab").append()
+    // SAME-ARITY evolution: identity(src) -> identity(lang). Old files
+    // keep src-keys of identical shape — treating them as lang keys
+    // would align group 'a' against group 'x' and lose every match.
+    GraftLake.setPartitionSpec("graft_lake.eraa", Seq("lang"))
+    val st = LakeStore.get("graft_lake.eraa").get
+    assert(st.specEra === 1 && st.current.forall(_.era === 0))
+    val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.adaptive.enabled", "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def run(): Seq[(Long, Long)] =
+        spark.table("graft_lake.eraa").select("id", "lang")
+          .join(spark.table("graft_lake.erab"), "lang")
+          .select("id", "w").collect().map(r => (r.getLong(0), r.getLong(1)))
+          .sorted.toSeq
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      val off = run()
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      val on = run()
+      assert(off === (0L until 20L).map(i => (i, 100L)))
+      assert(on === off, "SPJ across a same-arity partition evolution " +
+        "returned different results than the shuffled plan")
+      // post-evolution appends migrate nothing: the gate stays shut
+      // until every live file is current-era — then SPJ re-arms
+      spark.sql("DELETE FROM graft_lake.eraa WHERE id >= 0") // migrates: COW rewrite
+      (0L until 20L).map(i => (i, "s", "x", i))
+        .toDF("id", "src", "lang", "v").writeTo("graft_lake.eraa").append()
+      val st2 = LakeStore.get("graft_lake.eraa").get
+      assert(st2.current.forall(_.era === 1))
+      val on2 = run()
+      assert(on2 === (0L until 20L).map(i => (i, 100L)))
+    } finally saved.foreach { case (k, vOpt) =>
+      vOpt.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
+  // ----------------- replaceWhere data validation
+
+  test("replaceWhere refuses written rows outside the overwrite filter") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_lake.rwval")
+    spark.sql("""CREATE TABLE graft_lake.rwval (id BIGINT, grp STRING, v BIGINT)
+                |PARTITIONED BY (grp)""".stripMargin)
+    import spark.implicits._
+    (0L until 12L).map(i => (i, s"g${i % 2}", i)).toDF("id", "grp", "v")
+      .writeTo("graft_lake.rwval").append()
+    // data containing g1 rows under an overwrite filtered to g0: the g1
+    // rows would land BESIDE g1's untouched files — refuse the commit
+    val e = intercept[Exception] {
+      Seq((100L, "g0", 0L), (101L, "g1", 0L)).toDF("id", "grp", "v")
+        .writeTo("graft_lake.rwval").overwrite(col("grp") === "g0")
+    }
+    assert(causes(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("replaceWhere data validation")))
+    // nothing committed: both partitions exactly as before
+    val after = spark.table("graft_lake.rwval").groupBy("grp").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(after.toSeq === Seq(("g0", 6L), ("g1", 6L)))
+    // and the aborted write's staged files were swept, not orphaned
+    val st = LakeStore.get("graft_lake.rwval").get
+    val fs = new org.apache.hadoop.fs.Path(LakeStore.dataDir("graft_lake.rwval"))
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val onDisk = fs.listStatus(fs.makeQualified(
+      new org.apache.hadoop.fs.Path(LakeStore.dataDir("graft_lake.rwval"))))
+      .map(_.getPath.getName).count(_.endsWith(".parquet"))
+    assert(onDisk === st.current.length)
+    // a filter naming a partition with NO live files yet is legal when
+    // the data satisfies it (Delta: replaceWhere can seed new partitions)
+    Seq((200L, "g7", 7L)).toDF("id", "grp", "v")
+      .writeTo("graft_lake.rwval").overwrite(col("grp") === "g7")
+    val seeded = spark.table("graft_lake.rwval").groupBy("grp").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(seeded.toSeq === Seq(("g0", 6L), ("g1", 6L), ("g7", 1L)))
+  }
+
+  // ----------------- spec-era bookkeeping survives replay
+
+  test("file spec eras and the era counter survive cold replay and RESTORE") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_lake.eras")
+    spark.sql("""CREATE TABLE graft_lake.eras (id BIGINT, a STRING, b STRING)
+                |PARTITIONED BY (a)""".stripMargin)
+    import spark.implicits._
+    (0L until 6L).map(i => (i, s"a${i % 2}", s"b${i % 3}")).toDF("id", "a", "b")
+      .writeTo("graft_lake.eras").append() // v1: era-0 files
+    GraftLake.setPartitionSpec("graft_lake.eras", Seq("b")) // v2: era 1
+    (6L until 12L).map(i => (i, s"a${i % 2}", s"b${i % 3}")).toDF("id", "a", "b")
+      .writeTo("graft_lake.eras").append() // v3: era-1 files
+    def erasOf(st: LakeStore.TableState): Set[Int] = st.current.map(_.era).toSet
+    val warm = LakeStore.get("graft_lake.eras").get
+    assert(warm.specEra === 1 && erasOf(warm) === Set(0, 1))
+    LakeStore.invalidateCache("graft_lake.eras")
+    val cold = LakeStore.get("graft_lake.eras").get
+    assert(cold.specEra === 1 && erasOf(cold) === Set(0, 1))
+    // RESTORE to the pre-evolution snapshot: old-era files come back
+    // under the CURRENT spec — they must return with their BIRTH eras,
+    // keeping the SPJ and overwrite gates shut
+    GraftLake.restore("graft_lake.eras", 1)
+    val restored = LakeStore.get("graft_lake.eras").get
+    assert(restored.specEra === 1 && erasOf(restored) === Set(0))
+  }
+
+  // ----------------- p58 optimistic concurrency, per conflict class
+
+  private def occTable(name: String, partitioned: Boolean = true,
+      props: String = ""): String = {
+    registerCatalog()
+    val key = s"graft_lake.$name"
+    spark.sql(s"DROP TABLE IF EXISTS $key")
+    spark.sql(s"CREATE TABLE $key (id BIGINT, grp STRING, v BIGINT)" +
+      (if (partitioned) " PARTITIONED BY (grp)" else "") + props)
+    import spark.implicits._
+    (0L until 12L).map(i => (i, s"g${i % 3}", i)).toDF("id", "grp", "v")
+      .writeTo(key).append()
+    key
+  }
+
+  private def isConflict(e: Throwable): Boolean =
+    causes(e).exists(_.isInstanceOf[LakeStore.CommitConflictException])
+
+  test("p58/disjoint row-level writers both land (rebase)") {
+    val key = occTable("occ_disj")
+    LakeStore.onNextCommit.put(key, () =>
+      spark.sql(s"UPDATE $key SET v = v + 1000 WHERE grp = 'g1'"))
+    spark.sql(s"UPDATE $key SET v = v + 100 WHERE grp = 'g0'")
+    val sums = spark.table(key).groupBy("grp").agg(sum("v").as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = (g: Int) => (0L until 12L).filter(_ % 3 == g).sum
+    assert(sums === Map("g0" -> (base(0) + 400L), "g1" -> (base(1) + 4000L),
+      "g2" -> base(2)))
+  }
+
+  test("p58/overlapping row-level writers: the optimistic one aborts, the other's write survives") {
+    val key = occTable("occ_over")
+    LakeStore.onNextCommit.put(key, () =>
+      spark.sql(s"UPDATE $key SET v = v + 7 WHERE grp = 'g0'"))
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE $key SET v = v + 5 WHERE grp = 'g0'")
+    }
+    assert(isConflict(e), s"expected CommitConflictException, got $e")
+    val g0 = spark.table(key).filter(col("grp") === "g0")
+      .agg(sum("v")).collect()(0).getLong(0)
+    assert(g0 === (0L until 12L).filter(_ % 3 == 0).sum + 4 * 7L)
+  }
+
+  test("p58/blind append rebases over anything; metadata change aborts it") {
+    val key = occTable("occ_app")
+    import spark.implicits._
+    LakeStore.onNextCommit.put(key, () =>
+      spark.sql(s"UPDATE $key SET v = v + 1 WHERE grp = 'g2'"))
+    Seq((100L, "g0", 50L)).toDF("id", "grp", "v").writeTo(key).append()
+    assert(spark.table(key).count() === 13L) // both landed
+    // a concurrent CHECK constraint invalidates the planned append
+    LakeStore.onNextCommit.put(key, () =>
+      spark.sql(s"ALTER TABLE $key SET TBLPROPERTIES ('graft.constraints.p' = 'v >= 0')"))
+    val e = intercept[Exception] {
+      Seq((101L, "g0", 51L)).toDF("id", "grp", "v").writeTo(key).append()
+    }
+    assert(isConflict(e))
+    assert(spark.table(key).count() === 13L) // the aborted append left nothing
+  }
+
+  test("p58/layout-only OPTIMIZE never conflicts with a row-level writer") {
+    val key = occTable("occ_opt")
+    LakeStore.onNextCommit.put(key, () =>
+      GraftLake.optimize(spark, key, "id", 2)) // dataChange=false rewrite
+    spark.sql(s"UPDATE $key SET v = v + 9 WHERE grp = 'g1'")
+    val total = spark.table(key).agg(sum("v")).collect()(0).getLong(0)
+    assert(total === (0L until 12L).sum + 4 * 9L)
+  }
+
+  test("p58/an unpartitioned (whole-table) statement aborts on any concurrent data commit") {
+    val key = occTable("occ_whole", partitioned = false)
+    import spark.implicits._
+    LakeStore.onNextCommit.put(key, () =>
+      Seq((200L, "gx", 1L)).toDF("id", "grp", "v").writeTo(key).append())
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE $key SET v = v + 5 WHERE id < 6")
+    }
+    assert(isConflict(e))
+    // the interleaved append survived; the aborted update changed nothing
+    assert(spark.table(key).count() === 13L)
+    assert(spark.table(key).agg(sum("v")).collect()(0).getLong(0)
+      === (0L until 12L).sum + 1L)
+  }
+
+  // ----------------- p59 branches / tags / write-audit-publish
+
+  private def onBranch[T](name: String)(body: => T): T = {
+    spark.conf.set("graft.lake.branch", name)
+    try body finally spark.conf.unset("graft.lake.branch")
+  }
+
+  test("p59/branch writes are invisible to main until fast-forward publish") {
+    val key = occTable("wap_iso")
+    spark.sql(s"CALL graft_lake.system.create_branch(tbl => 'wap_iso', name => 'b1')")
+    import spark.implicits._
+    onBranch("b1") {
+      Seq((100L, "g0", 77L)).toDF("id", "grp", "v").writeTo(key).append()
+      spark.sql(s"UPDATE $key SET v = v + 1000 WHERE grp = 'g1'")
+    }
+    // main: untouched; branch: both writes visible via named-ref travel
+    assert(spark.table(key).count() === 12L)
+    assert(spark.table(key).agg(sum("v")).collect()(0).getLong(0)
+      === (0L until 12L).sum)
+    val b = spark.sql(s"SELECT count(*) AS c, sum(v) AS s FROM $key VERSION AS OF 'b1'")
+      .collect()(0)
+    assert(b.getLong(0) === 13L)
+    assert(b.getLong(1) === (0L until 12L).sum + 77L + 4 * 1000L)
+    // the change feed carries NOTHING for the branch commits yet
+    val preFeed = spark.read.option("startingVersion", "2")
+      .table(s"$key.changes").count()
+    assert(preFeed === 0L)
+    // publish: one main commit moves main to the branch head
+    val pub = spark.sql(
+      s"CALL graft_lake.system.publish(tbl => 'wap_iso', branch => 'b1')").collect()(0)
+    assert(spark.table(key).count() === 13L)
+    assert(spark.table(key).agg(sum("v")).collect()(0).getLong(0)
+      === (0L until 12L).sum + 77L + 4 * 1000L)
+    // and the feed delivers the whole audited delta AT the publish commit
+    val feed = spark.read.option("startingVersion", pub.getLong(1).toString)
+      .table(s"$key.changes").groupBy("_change").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(feed("I") === 5L && feed("D") === 4L) // 4 g1 rewrites + 1 append
+  }
+
+  test("p59/tags are immutable, DDL is main-only, publish refuses non-fast-forward") {
+    val key = occTable("wap_guards")
+    spark.sql(s"CALL graft_lake.system.create_tag(tbl => 'wap_guards', name => 't1')")
+    import spark.implicits._
+    // write under the tag ref: refused
+    val e1 = intercept[Exception] { onBranch("t1") {
+      Seq((300L, "g0", 1L)).toDF("id", "grp", "v").writeTo(key).append() } }
+    assert(causes(e1).exists(c => c.getMessage != null &&
+      c.getMessage.contains("TAG")))
+    // DDL under a branch ref: refused
+    spark.sql(s"CALL graft_lake.system.create_branch(tbl => 'wap_guards', name => 'b2')")
+    val e2 = intercept[Exception] { onBranch("b2") {
+      spark.sql(s"ALTER TABLE $key ADD COLUMN extra BIGINT") } }
+    assert(causes(e2).exists(c => c.getMessage != null &&
+      c.getMessage.contains("TABLE-LEVEL")))
+    // main advances past the fork base -> publish is not a fast-forward
+    Seq((301L, "g0", 1L)).toDF("id", "grp", "v").writeTo(key).append()
+    val e3 = intercept[Exception] {
+      spark.sql(s"CALL graft_lake.system.publish(tbl => 'wap_guards', branch => 'b2')")
+        .collect()
+    }
+    assert(causes(e3).exists(c => c.getMessage != null &&
+      c.getMessage.contains("not a fast-forward")))
+    // reads of an unknown ref fail loudly, not silently as main
+    val e4 = intercept[Exception] { onBranch("nope") { spark.table(key).count() } }
+    assert(causes(e4).exists(c => c.getMessage != null &&
+      c.getMessage.contains("does not exist")))
+  }
+
+  test("p59/refs survive cold replay; branch and main writers never conflict") {
+    val key = occTable("wap_replay")
+    spark.sql(s"CALL graft_lake.system.create_branch(tbl => 'wap_replay', name => 'dev')")
+    import spark.implicits._
+    onBranch("dev") {
+      Seq((500L, "g2", 5L)).toDF("id", "grp", "v").writeTo(key).append()
+    }
+    // cross-ref interleave on the SAME group: no conflict (independent
+    // lineages) — main's update rebases over the branch commit
+    LakeStore.onNextCommit.put(key, () => onBranch("dev") {
+      spark.sql(s"UPDATE $key SET v = v + 50 WHERE grp = 'g0'")
+    })
+    spark.sql(s"UPDATE $key SET v = v + 7 WHERE grp = 'g0'") // main, same group
+    assert(spark.table(key).agg(sum("v")).collect()(0).getLong(0)
+      === (0L until 12L).sum + 4 * 7L)
+    // cold replay rebuilds both lineages and the refs table
+    LakeStore.invalidateCache(key)
+    val st = LakeStore.get(key).get
+    assert(st.headOf("dev") >= 0 && !st.isTag("dev"))
+    val devSum = onBranch("dev") {
+      spark.table(key).agg(sum("v")).collect()(0).getLong(0) }
+    assert(devSum === (0L until 12L).sum + 5L + 4 * 50L)
+    val refs = spark.sql(s"SELECT name, kind FROM $key.refs ORDER BY name")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(refs === Seq(("dev", "branch"), ("main", "branch")))
+  }
+
+  test("p58/merge-on-read writers conflict-check their deletion vectors too") {
+    val key = occTable("occ_mor",
+      props = " TBLPROPERTIES ('graft.merge-on-read' = 'true')")
+    LakeStore.onNextCommit.put(key, () =>
+      spark.sql(s"DELETE FROM $key WHERE grp = 'g0' AND id = 0"))
+    val e = intercept[Exception] {
+      spark.sql(s"DELETE FROM $key WHERE grp = 'g0' AND id = 3")
+    }
+    assert(isConflict(e))
+    // the interleaved delete landed; the aborted one did not
+    assert(spark.table(key).filter(col("grp") === "g0").count() === 3L)
+    assert(spark.table(key).filter(col("id") === 3L).count() === 1L)
+  }
+}
