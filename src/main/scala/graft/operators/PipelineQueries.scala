@@ -4107,7 +4107,225 @@ object PipelineQueries {
       |  'audit:branch,main:branch,rel1:tag' AS refs
       |FROM fin GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- p60
+  /** MERGE WITH SCHEMA EVOLUTION — the ONE-STATEMENT form of Delta's
+    * auto schema evolution: the table declares Spark 4's
+    * `AUTOMATIC_SCHEMA_EVOLUTION` capability, so the analyzer's
+    * ResolveMergeIntoSchemaEvolution computes the source-only columns as
+    * `TableChange.AddColumn` and drives this catalog's alterTable BEFORE
+    * planning the merge — the same metadata-only ADD COLUMN commit as
+    * p37 (zero files rewritten; pre-evolution files read the new column
+    * as null), now applied automatically inside the MERGE instead of as
+    * a separate ALTER. Column mapping composes: if the incoming column
+    * name collides with a renamed column's physical birth name, the
+    * re-ADD binds a fresh physical name and stale bytes never resurrect
+    * (pinned in Round12OpsSpec).
+    *
+    * Inside the hash: per-source aggregates after a MERGE whose source
+    * carries a brand-new `label` column (updates + inserts), the null
+    * count on `label` for untouched rows, and the pre-merge schema width
+    * via time travel. */
+  def p60MergeSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    registerLake(s)
+    val key = "graft_lake.mse"
+    s.sql(s"DROP TABLE IF EXISTS $key")
+    s.sql(s"""CREATE TABLE $key (doc_id BIGINT, source STRING, score BIGINT)
+             |PARTITIONED BY (source)""".stripMargin)
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars").as("score"))
+    docs.writeTo(key).append() // v1
+    docs.filter(col("source") === "src2")
+      .withColumn("score", col("score") + 55L)
+      .withColumn("label", lit("upd"))
+      .unionByName(
+        s.range(40).select((col("id") + 900000L).as("doc_id"),
+          lit("srcN").as("source"), lit(17L).as("score"),
+          lit("new").as("label")))
+      .createOrReplaceTempView("p60_src")
+    s.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $key t
+             |USING p60_src s ON t.doc_id = s.doc_id
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val v1Cols = s.sql(s"SELECT * FROM $key VERSION AS OF 1 LIMIT 0")
+      .columns.length.toLong
+    s.table(key)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("score")).as("sum_score"),
+        count(col("label")).as("n_labeled"))
+      .withColumn("pre_merge_cols", lit(v1Cols))
+      .orderBy(col("source"))
+  }
+
+  val p60Sql: String =
+    """WITH d AS (SELECT doc_id, source, n_chars AS score FROM documents),
+      |fin AS (
+      |  SELECT source,
+      |    score + CASE source WHEN 'src2' THEN 55 ELSE 0 END AS score,
+      |    CASE source WHEN 'src2' THEN 'upd' END AS label
+      |  FROM d
+      |  UNION ALL SELECT 'srcN', 17, 'new' FROM range(40))
+      |SELECT source, COUNT(*) AS n_rows,
+      |  CAST(SUM(score) AS BIGINT) AS sum_score,
+      |  CAST(COUNT(label) AS BIGINT) AS n_labeled,
+      |  CAST(3 AS BIGINT) AS pre_merge_cols
+      |FROM fin GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- p61
+  /** ROW LINEAGE — Delta row tracking's observable contract: every row
+    * carries a STABLE engine-assigned `row_id`, invariant across
+    * copy-on-write UPDATE and layout-only OPTIMIZE/ZORDER (the two ways
+    * a row physically moves without logically changing). The id is the
+    * existing IDENTITY machinery doing lineage duty: writer-assigned
+    * from coordination-free per-task blocks at insert, CARRIED
+    * verbatim through row-level rewrites and (fixed this round) through
+    * layout rewrites — so `changes()` keyed by `row_id` classifies a
+    * rewrite-heavy history exactly, immune to any reordering of
+    * payload-identical rows. All invariance checks below run as
+    * DISTRIBUTED time-travel self-joins (no driver-side row maps).
+    *
+    * Inside the hash: per-source aggregates after an UPDATE, an
+    * id-uniqueness count, two invariance flags (update, optimize) from
+    * version-pinned joins, and the row_id-keyed change-feed U count. */
+  def p61RowLineage(s: SparkSession, dir: String): DataFrame = {
+    registerLake(s)
+    val key = "graft_lake.rowlin"
+    s.sql(s"DROP TABLE IF EXISTS $key")
+    s.sql(s"""CREATE TABLE $key (
+             |  row_id BIGINT GENERATED ALWAYS AS IDENTITY,
+             |  doc_id BIGINT, source STRING, score BIGINT)
+             |PARTITIONED BY (source)""".stripMargin)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars").as("score"))
+      .writeTo(key).append() // v1: ids assigned
+    def lineageAt(v: Int) =
+      s.sql(s"SELECT row_id, doc_id FROM $key VERSION AS OF $v")
+    s.sql(s"UPDATE $key SET score = score + 9 WHERE source = 'src3'") // v2
+    val stableUpdate = lineageAt(2).as("b").join(lineageAt(1).as("a"), "doc_id")
+      .filter(col("a.row_id") =!= col("b.row_id")).count()
+    graft.sources.GraftLake.optimize(s, key, Seq("doc_id", "score"), 4) // v3
+    val stableOptimize = lineageAt(3).as("b").join(lineageAt(2).as("a"), "doc_id")
+      .filter(col("a.row_id") =!= col("b.row_id")).count()
+    val ids = s.table(key).agg(
+      count(lit(1)).as("n"), countDistinct(col("row_id")).as("d")).collect()(0)
+    // stable ids make the change feed EXACT: keyed by row_id, the
+    // UPDATE's commit nets to exactly the touched rows as U
+    val cdfU = graft.sources.GraftLake.changes(s, key, 1, 2, "row_id")
+      .filter(col("change") === "U").count()
+    s.table(key)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("score")).as("sum_score"))
+      .withColumn("ids_unique", lit(if (ids.getLong(0) == ids.getLong(1)) 1L else 0L))
+      .withColumn("stable_under_update", lit(if (stableUpdate == 0L) 1L else 0L))
+      .withColumn("stable_under_optimize", lit(if (stableOptimize == 0L) 1L else 0L))
+      .withColumn("cdf_updates", lit(cdfU))
+      .orderBy(col("source"))
+  }
+
+  val p61Sql: String =
+    """WITH d AS (SELECT doc_id, source, n_chars AS score FROM documents)
+      |SELECT source, COUNT(*) AS n_rows,
+      |  CAST(SUM(score + CASE source WHEN 'src3' THEN 9 ELSE 0 END) AS BIGINT)
+      |    AS sum_score,
+      |  CAST(1 AS BIGINT) AS ids_unique,
+      |  CAST(1 AS BIGINT) AS stable_under_update,
+      |  CAST(1 AS BIGINT) AS stable_under_optimize,
+      |  CAST((SELECT COUNT(*) FROM d WHERE source = 'src3') AS BIGINT)
+      |    AS cdf_updates
+      |FROM d GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- p62
+  /** EQUALITY DELETES — Iceberg v2's keyed-upsert write path, the
+    * merge-on-read flavor position vectors cannot give: an upsert
+    * APPENDS its new row versions and records, in the SAME commit, an
+    * equality delete on the key columns referencing those rows' own
+    * files — older rows with matching keys die at READ time through a
+    * per-file sequence gate (delete applies to files with seq < its
+    * own). Write cost = append cost: nothing is read, nothing is
+    * rewritten — the primitive that makes high-rate keyed streaming
+    * ingestion affordable at 100 TB, where a MERGE pays a read of every
+    * matched partition before it can write. Readers pay a bounded
+    * key-set probe (the upserted keys since the last compaction);
+    * any OPTIMIZE/rewrite migrates the table off the delete debt and
+    * the entry is PRUNED from the snapshot.
+    *
+    * Inside the hash: per-source aggregates after two stacked upserts
+    * (re-score + new docs, then a partial re-version of the first
+    * batch — the sequence gate layering), a zero-rewrite flag (every
+    * pre-upsert file still live by path), the change feed's exact I/D
+    * counts for both upsert commits, and the post-OPTIMIZE prune flag
+    * with identical aggregates. */
+  def p62EqualityDeletes(s: SparkSession, dir: String): DataFrame = {
+    registerLake(s)
+    val key = "graft_lake.equp"
+    s.sql(s"DROP TABLE IF EXISTS $key")
+    s.sql(s"""CREATE TABLE $key (doc_id BIGINT, source STRING, score BIGINT)
+             |PARTITIONED BY (source)""".stripMargin)
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars").as("score"))
+    docs.writeTo(key).append() // v1
+    val pathsV1 = graft.sources.LakeStore.get(key).get.current.map(_.path).toSet
+    // upsert 1 (v2): re-score src2 + 30 brand-new srcU docs
+    graft.sources.GraftLake.upsert(
+      docs.filter(col("source") === "src2")
+        .withColumn("score", col("score") + 500L)
+        .unionByName(s.range(30).select((col("id") + 900000L).as("doc_id"),
+          lit("srcU").as("source"), lit(19L).as("score"))),
+      key, Seq("doc_id"))
+    // upsert 2 (v3): re-version HALF of the srcU batch — the new rows
+    // post-date upsert 1's delete, and upsert 2's delete kills exactly
+    // their v2 versions (sequence layering)
+    graft.sources.GraftLake.upsert(
+      s.range(30).filter(col("id") % 2 === 0)
+        .select((col("id") + 900000L).as("doc_id"),
+          lit("srcU").as("source"), lit(23L).as("score")),
+      key, Seq("doc_id"))
+    val st3 = graft.sources.LakeStore.get(key).get
+    val noRewrite = if (pathsV1.subsetOf(st3.current.map(_.path).toSet)) 1L else 0L
+    def feed(v: Int): Map[String, Long] =
+      s.read.option("startingVersion", v.toString).option("endingVersion", v.toString)
+        .table(s"$key.changes").groupBy(col("_change")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (f2, f3) = (feed(2), feed(3))
+    // compaction materializes the deletes: entries pruned, content same
+    graft.sources.GraftLake.optimize(s, key, "doc_id", 4)
+    val pruned =
+      if (graft.sources.LakeStore.get(key).get.eqDeletes.isEmpty) 1L else 0L
+    s.table(key)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("score")).as("sum_score"))
+      .withColumn("no_rewrite", lit(noRewrite))
+      .withColumn("feed_i_v2", lit(f2.getOrElse("I", 0L)))
+      .withColumn("feed_d_v2", lit(f2.getOrElse("D", 0L)))
+      .withColumn("feed_i_v3", lit(f3.getOrElse("I", 0L)))
+      .withColumn("feed_d_v3", lit(f3.getOrElse("D", 0L)))
+      .withColumn("eq_pruned", lit(pruned))
+      .orderBy(col("source"))
+  }
+
+  val p62Sql: String =
+    """WITH d AS (SELECT doc_id, source, n_chars AS score FROM documents),
+      |fin AS (
+      |  SELECT source,
+      |    score + CASE source WHEN 'src2' THEN 500 ELSE 0 END AS score
+      |  FROM d
+      |  UNION ALL SELECT 'srcU', CASE WHEN i % 2 = 0 THEN 23 ELSE 19 END
+      |    FROM range(30) t(i))
+      |SELECT source, COUNT(*) AS n_rows,
+      |  CAST(SUM(score) AS BIGINT) AS sum_score,
+      |  CAST(1 AS BIGINT) AS no_rewrite,
+      |  CAST((SELECT COUNT(*) FROM d WHERE source = 'src2') + 30 AS BIGINT)
+      |    AS feed_i_v2,
+      |  CAST((SELECT COUNT(*) FROM d WHERE source = 'src2') AS BIGINT)
+      |    AS feed_d_v2,
+      |  CAST(15 AS BIGINT) AS feed_i_v3,
+      |  CAST(15 AS BIGINT) AS feed_d_v3,
+      |  CAST(1 AS BIGINT) AS eq_pruned
+      |FROM fin GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p62_equality_deletes" -> (p62EqualityDeletes _),
+    "p61_row_lineage" -> (p61RowLineage _),
+    "p60_merge_schema_evolution" -> (p60MergeSchemaEvolution _),
     "p59_branch_wap" -> (p59BranchWap _),
     "p58_optimistic_concurrency" -> (p58OptimisticConcurrency _),
     "p57_hidden_partitioning" -> (p57HiddenPartitioning _),
@@ -4170,6 +4388,9 @@ object PipelineQueries {
   // def, not val: p19Sql embeds Sidecars.oracleDir-keyed paths, which
   // Verify pins at runtime before dumping oracle_sql.json
   def oracle: Map[String, String] = Map(
+    "p62_equality_deletes" -> p62Sql,
+    "p61_row_lineage" -> p61Sql,
+    "p60_merge_schema_evolution" -> p60Sql,
     "p59_branch_wap" -> p59Sql,
     "p58_optimistic_concurrency" -> p58Sql,
     "p57_hidden_partitioning" -> p57Sql,

@@ -246,6 +246,24 @@ object GraftLake {
   def publish(qualifiedKey: String, branch: String): (Int, Int) =
     LakeStore.publish(qualifiedKey, branch)
 
+  /** Drop a branch or tag: one metadata-only tombstone — the name frees
+    * immediately; the lineage's files age out with VACUUM. */
+  def dropRef(qualifiedKey: String, name: String): Unit =
+    LakeStore.dropRef(qualifiedKey, name)
+
+  /** KEYED UPSERT through the equality-delete write path (Iceberg v2):
+    * appends `df`'s rows and, in the SAME commit, an equality delete on
+    * `keyCols` referencing those rows' own files — older rows with
+    * matching keys die at read time through the sequence gate. Write
+    * cost = append cost: nothing is read, nothing is rewritten (the
+    * MERGE alternative pays a read of every matched partition). Scans
+    * pay a bounded key-set probe until any OPTIMIZE/rewrite migrates
+    * the table off the delete. */
+  def upsert(df: org.apache.spark.sql.DataFrame, tableRef: String,
+      keyCols: Seq[String]): Unit =
+    df.writeTo(tableRef).option("graft.upsert.keys", keyCols.mkString(","))
+      .append()
+
   /** Row-level CHANGES between snapshot v1 and v2 of `tableRef`
     * (qualified `catalog.table`, which is also its store key), keyed by
     * the unique `keyCol`: one row per inserted ('I'), deleted ('D'), or
@@ -520,10 +538,21 @@ class GraftLakeCatalog extends TableCatalog
           require(t.arguments().length == 1,
             s"graft_lake: bad identity transform $t")
           ref(t.arguments()(0))
-        case "days" =>
+        case fn @ ("days" | "hours" | "months" | "years") =>
           require(t.arguments().length == 1,
-            s"graft_lake: bad days transform $t")
-          s"days(${ref(t.arguments()(0))})"
+            s"graft_lake: bad $fn transform $t")
+          s"$fn(${ref(t.arguments()(0))})"
+        case "truncate" =>
+          val w = t.arguments().collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+              l.value().toString.toInt
+          }.getOrElse(throw new IllegalArgumentException(
+            s"graft_lake: truncate transform needs a width: $t"))
+          val c = t.arguments().collectFirst {
+            case r: org.apache.spark.sql.connector.expressions.NamedReference => ref(r)
+          }.getOrElse(throw new IllegalArgumentException(
+            s"graft_lake: truncate transform needs a column: $t"))
+          s"truncate($w, $c)"
         case "bucket" =>
           val n = t.arguments().collectFirst {
             case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
@@ -883,14 +912,25 @@ class GraftLakeTable(val key: String, val tableSchema: StructType,
         p.fn match {
           case "" => Expressions.identity(p.col)
           case "days" => Expressions.days(p.col)
+          case "hours" => Expressions.hours(p.col)
+          case "months" => Expressions.months(p.col)
+          case "years" => Expressions.years(p.col)
           case "bucket" => Expressions.bucket(p.arg, p.col)
+          case "truncate" => Expressions.apply("truncate",
+            Expressions.literal(p.arg), Expressions.column(p.col))
         }
       }.toArray
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.OVERWRITE_DYNAMIC, TableCapability.MICRO_BATCH_READ,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE,
+      // MERGE WITH SCHEMA EVOLUTION (p60): the analyzer's
+      // ResolveMergeIntoSchemaEvolution computes the source-only columns
+      // as TableChange.AddColumn and drives this catalog's alterTable —
+      // the same metadata-only ADD COLUMN path as p37, now auto-applied
+      // inside the one MERGE statement (Delta's withSchemaEvolution)
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   /** Surfaced to `SHOW TBLPROPERTIES`; a time-travel view shows the
     * properties AS OF its pinned version. */
@@ -909,8 +949,26 @@ class GraftLakeTable(val key: String, val tableSchema: StructType,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedVersion.isEmpty, "graft_lake: cannot write to a time-travel view")
+    // `option("graft.upsert.keys", "k1,k2")` turns the append into a
+    // KEYED UPSERT (equality-delete write path): same files, plus one
+    // EqDelete entry in the same commit. Keys translate to PHYSICAL
+    // names here — the manifest's own naming.
+    val upsertCols = Option(info.options.get("graft.upsert.keys"))
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val upsertPhys = if (upsertCols.isEmpty) Nil else {
+      val st = LakeStore.get(key).getOrElse(
+        throw new NoSuchTableException(key.split('.').toSeq))
+      upsertCols.map { c =>
+        require(st.schema.fieldNames.contains(c),
+          s"graft_lake: upsert key column $c does not exist in $key")
+        require(LakeStore.zoneSerializable(st.schema(c).dataType),
+          s"graft_lake: upsert key column $c of $key has a type the " +
+            "manifest cannot compare")
+        LakeStore.physicalName(st.schema(c))
+      }
+    }
     new LakeWriteBuilder(key, info.schema(), LakeWriteBuilder.AppendMode,
-      info.queryId())
+      info.queryId(), upsertPhys)
   }
 
   override def newRowLevelOperationBuilder(
@@ -1273,13 +1331,31 @@ class LakeScan(key: String, schema: StructType,
     }
   }
 
+  /** Live equality deletes of the scanned snapshot, in chunk form
+    * (physical cols + types resolved through the snapshot schema,
+    * file paths absolute). */
+  protected def eqOf(st: LakeStore.TableState): Seq[(Int, LakeEqDel)] = {
+    val snap = pinnedVersion.fold(st.active)(v => st.snapshots(v))
+    if (snap.eqDeletes.isEmpty) return Nil
+    val typeByPhysical: Map[String, org.apache.spark.sql.types.DataType] =
+      snap.schema.fields.iterator
+        .map(f => LakeStore.physicalName(f) -> f.dataType).toMap
+    snap.eqDeletes.map { d =>
+      d.seq -> LakeEqDel(d.cols, d.cols.map(typeByPhysical), 
+        d.files.map(LakeStore.resolveRaw(key, _)))
+    }
+  }
+
   /** Chunk builder over a PRE-COMPUTED dv map (compute [[dvOf]] once per
-    * plan, not once per file). */
+    * plan, not once per file). Each chunk carries the equality deletes
+    * whose sequence POST-DATES the file — the Iceberg v2 apply rule. */
   protected def toChunk(st: LakeStore.TableState): LakeStore.FileEntry => LakeFileChunk = {
     val dvMap = dvOf(st)
+    val eqs = eqOf(st)
     f => {
       val (dv, dvRows) = dvMap.getOrElse(f.path, (Nil, 0L))
-      LakeFileChunk(LakeStore.resolvePath(key, f), f.cols, f.rows, dv, dvRows)
+      LakeFileChunk(LakeStore.resolvePath(key, f), f.cols, f.rows, dv, dvRows,
+        eqDel = eqs.collect { case (seq, e) if f.seq < seq => e })
     }
   }
 
@@ -1386,7 +1462,11 @@ class LakeScan(key: String, schema: StructType,
     // the manifest guarantees enough rows — LIMIT 10 opens one file of a
     // 100 TB table. (Spark only pushes a limit when no filter sits
     // between it and the scan, so every planned row is a delivered row.)
-    val planned = limit.filter(_ => pushed.isEmpty) match {
+    // Live EQUALITY deletes disable the fast path: their row impact is
+    // key-resolved at read time, so manifest counts cannot guarantee
+    // delivery — plan every surviving file and let the limit exec stop.
+    val eqLive = stOpt.exists(st => eqOf(st).nonEmpty)
+    val planned = limit.filter(_ => pushed.isEmpty && !eqLive) match {
       case Some(n) =>
         val dv = stOpt.map(dvOf).getOrElse(Map.empty)
         var cum = 0L
@@ -1528,6 +1608,18 @@ object LakeCdf {
       }
     val dvAtV = dvMap(snap.deletes)
     val dvAtPrev = dvMap(prev.deletes)
+    // equality deletes in chunk form: the rows of a file are dead at a
+    // version exactly when a delete with a LATER sequence names their
+    // key — D chunks must not resurrect them, and an upsert commit's
+    // implicit deletes are the include-mode inverse
+    def eqChunk(d: LakeStore.EqDelete, schema: StructType): LakeEqDel = {
+      val typeByPhys = schema.fields.iterator
+        .map(f => LakeStore.physicalName(f) -> f.dataType).toMap
+      LakeEqDel(d.cols, d.cols.map(typeByPhys),
+        d.files.map(LakeStore.resolveRaw(key, _)))
+    }
+    def priorEq(f: LakeStore.FileEntry): Seq[LakeEqDel] =
+      prev.eqDeletes.filter(_.seq > f.seq).map(eqChunk(_, prev.schema))
     val added = snap.files.filterNot(f => prevPaths.contains(f.path)).map { f =>
       val (dv, n) = dvAtV.getOrElse(f.path, (Nil, 0L))
       LakeFileChunk(LakeStore.resolvePath(key, f), f.cols, f.rows, dv, n,
@@ -1536,8 +1628,20 @@ object LakeCdf {
     val removed = prev.files.filterNot(f => curPaths.contains(f.path)).map { f =>
       val (dv, n) = dvAtPrev.getOrElse(f.path, (Nil, 0L))
       LakeFileChunk(LakeStore.resolvePath(key, f), f.cols, f.rows, dv, n,
-        change = "D", version = v.toLong)
+        change = "D", version = v.toLong, eqDel = priorEq(f))
     }
+    // an UPSERT commit's implicit deletes: every pre-dating live file
+    // emits exactly its rows whose keys the new delete names (include
+    // mode), minus rows already dead before this commit
+    val newEq = snap.eqDeletes.filter(_.seq == v)
+    val upserted =
+      if (newEq.isEmpty) Nil
+      else prev.files.filter(f => f.seq < v && curPaths.contains(f.path)).map { f =>
+        val (dv, n) = dvAtPrev.getOrElse(f.path, (Nil, 0L))
+        LakeFileChunk(LakeStore.resolvePath(key, f), f.cols, f.rows, dv, n,
+          change = "D", version = v.toLong, eqDel = priorEq(f),
+          eqIncl = newEq.map(eqChunk(_, snap.schema)))
+      }
     // merge-on-read: sidecars NEW at v over files that were ALREADY
     // live at v-1 — each is O(positions deleted), read include-mode.
     // A file ADDED at v arrives with its DVs already subtracted from
@@ -1554,7 +1658,7 @@ object LakeCdf {
           es.map(e => LakeStore.resolveRaw(key, e.path)), es.map(_.rows).sum,
           dvInclude = true, change = "D", version = v.toLong)
     }.toSeq
-    added ++ removed ++ morDeletes
+    added ++ removed ++ morDeletes ++ upserted
   }
 }
 
@@ -1685,10 +1789,23 @@ class LakeCdfMicroBatchStream(key: String, required: StructType,
   * (null/-1 for plain scans). */
 case class LakeFileChunk(path: String, cols: Seq[String], rows: Long,
     dv: Seq[String] = Nil, dvRows: Long = 0L, dvInclude: Boolean = false,
-    change: String = null, version: Long = -1L) {
-  /** Rows this chunk delivers, from manifest counts alone. */
+    change: String = null, version: Long = -1L,
+    eqDel: Seq[LakeEqDel] = Nil, eqIncl: Seq[LakeEqDel] = Nil) {
+  /** Rows this chunk delivers, from manifest counts alone — EXACT for
+    * position vectors; callers gate the count-only fast paths off when
+    * equality deletes are in play (their row impact is key-resolved at
+    * read time, not manifest-known). */
   def deliveredRows: Long = if (dvInclude) dvRows else rows - dvRows
 }
+
+/** One equality-delete obligation attached to a scanned chunk: the key
+  * COLUMNS (physical names + types) and the upsert data files (absolute
+  * paths) whose key sets define the deleted keys. In `eqDel` position a
+  * matching row is SKIPPED (the scan default); in `eqIncl` position the
+  * chunk emits ONLY matching rows — how the change feed reads "the rows
+  * an upsert implicitly deleted" straight out of the old files. */
+case class LakeEqDel(cols: Seq[String],
+    dts: Seq[org.apache.spark.sql.types.DataType], files: Seq[String])
 
 /** An input partition = a BIN of file chunks. Small files are packed
   * together (the file source's maxPartitionBytes move, done on manifest
@@ -1743,9 +1860,11 @@ class LakeReaderFactory(required: StructType,
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val bin = partition.asInstanceOf[LakeBin]
 
-    if (required.isEmpty) {
+    if (required.isEmpty && bin.chunks.forall(c =>
+        c.eqDel.isEmpty && c.eqIncl.isEmpty)) {
       // metadata-only read: the manifest row count, minus rows hidden by
-      // deletion vectors, answers without opening anything
+      // deletion vectors, answers without opening anything (equality
+      // deletes force a key-column read even for count(*))
       return new PartitionReader[InternalRow] {
         private var remaining = bin.chunks.map(_.deliveredRows).sum
         private val empty = new GenericInternalRow(0)
@@ -1774,6 +1893,50 @@ class LakeReaderFactory(required: StructType,
       override def close(): Unit = if (cur != null) cur.close()
     }
   }
+
+  /** Equality-delete key sets, loaded ONCE per task from the upsert
+    * data files' key COLUMNS (columnar read of just those columns) and
+    * shared across every chunk in the bin — bounded by the upserted row
+    * count since the last compaction, never by table size. */
+  @transient private lazy val eqCache =
+    scala.collection.concurrent.TrieMap.empty[LakeEqDel, java.util.HashSet[Seq[Any]]]
+
+  private def loadEqKeys(e: LakeEqDel): java.util.HashSet[Seq[Any]] =
+    eqCache.getOrElseUpdate(e, {
+      val set = new java.util.HashSet[Seq[Any]]()
+      val keySchema = StructType(e.cols.zip(e.dts).map { case (c, dt) =>
+        StructField(c, dt) })
+      e.files.foreach { f =>
+        val conf = new Configuration()
+        conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, keySchema.json)
+        conf.setBoolean("spark.sql.parquet.binaryAsString", false)
+        conf.setBoolean("spark.sql.parquet.int96AsTimestamp", true)
+        conf.setBoolean("spark.sql.caseSensitive", false)
+        conf.setBoolean("spark.sql.parquet.fieldId.read.enabled", false)
+        conf.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", true)
+        conf.setBoolean("spark.sql.legacy.parquet.nanosAsLong", false)
+        conf.setBoolean("spark.sql.parquet.variant.annotateLogicalType.enabled", true)
+        conf.setBoolean("spark.sql.parquet.ignoreVariantAnnotation", false)
+        conf.setBoolean("spark.sql.parquet.reader.respectUnknownTypeAnnotation.enabled", false)
+        val spec = org.apache.spark.sql.catalyst.util.RebaseDateTime
+          .RebaseSpec(org.apache.spark.sql.internal.LegacyBehaviorPolicy.CORRECTED)
+        val reader = org.apache.parquet.hadoop.ParquetReader
+          .builder[InternalRow](
+            new ParquetReadSupport(None, enableVectorizedReader = false, spec, spec),
+            new Path(f))
+          .withConf(conf).build()
+        try {
+          var row = reader.read()
+          while (row != null) {
+            set.add(e.dts.indices.map(i =>
+              if (row.isNullAt(i)) null
+              else LakeStore.toStored(row.get(i, e.dts(i)))))
+            row = reader.read()
+          }
+        } finally reader.close()
+      }
+      set
+    })
 
   /** Load a chunk's position-delete sidecars into one membership set —
     * bounded by the rows DELETED from this file, not the file size. */
@@ -1818,8 +1981,19 @@ class LakeReaderFactory(required: StructType,
       f.copy(name = physicalOf.getOrElse(f.name, f.name),
         metadata = org.apache.spark.sql.types.Metadata.empty) })
 
+    // EQUALITY deletes: key columns must be read even when pruned from
+    // `required` — appended to the parquet request (physical names, like
+    // every file read), never copied to the output row. A file that
+    // physically lacks a key column probes null for it.
+    val eqExtra: Seq[StructField] = (p.eqDel ++ p.eqIncl)
+      .flatMap(e => e.cols.zip(e.dts)).distinct
+      .collect { case (c, dt)
+        if !fileSchema.fieldNames.contains(c) && p.cols.contains(c) =>
+          StructField(c, dt) }
+    val readSchema = StructType(fileSchema.fields ++ eqExtra)
+
     val conf = new Configuration()
-    conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, fileSchema.json)
+    conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, readSchema.json)
     conf.setBoolean("spark.sql.parquet.binaryAsString", false)
     conf.setBoolean("spark.sql.parquet.int96AsTimestamp", true)
     conf.setBoolean("spark.sql.caseSensitive", false)
@@ -1841,6 +2015,14 @@ class LakeReaderFactory(required: StructType,
     val dts = fileSchema.fields.map(_.dataType)
     val targetIdx = availIdx.map(_._2) // position of each read column in `required`
     val dv = if (p.dv.isEmpty) null else loadDv(p)
+    def eqProbe(es: Seq[LakeEqDel]): Array[(java.util.HashSet[Seq[Any]], Array[Int], Array[org.apache.spark.sql.types.DataType])] =
+      es.map { e =>
+        val ords = e.cols.map(c =>
+          if (readSchema.fieldNames.contains(c)) readSchema.fieldIndex(c) else -1).toArray
+        (loadEqKeys(e), ords, e.dts.toArray)
+      }.toArray
+    val eqDelProbes = eqProbe(p.eqDel)
+    val eqInclProbes = eqProbe(p.eqIncl)
     val filePathUtf8 = org.apache.spark.unsafe.types.UTF8String.fromString(p.path)
 
     new PartitionReader[InternalRow] {
@@ -1855,10 +2037,25 @@ class LakeReaderFactory(required: StructType,
           // a change-feed D chunk INVERTS it and emits only the
           // positions the commit deleted
           val hit = dv != null && dv.contains(pos)
-          if (if (p.dvInclude) hit else !hit) return true
+          val posOk = if (p.dvInclude) hit else !hit
+          // equality deletes: a row whose key matches any post-dating
+          // upsert is dead (eqDel); an include-mode chunk (change feed)
+          // emits ONLY the rows a new upsert killed (eqIncl)
+          val eqOk = posOk && (eqDelProbes.isEmpty ||
+              !eqDelProbes.exists(pr => pr._1.contains(keyAt(pr._2, pr._3)))) &&
+            (eqInclProbes.isEmpty ||
+              eqInclProbes.exists(pr => pr._1.contains(keyAt(pr._2, pr._3))))
+          if (eqOk) return true
         }
         false
       }
+      private def keyAt(ords: Array[Int],
+          kdts: Array[org.apache.spark.sql.types.DataType]): Seq[Any] =
+        ords.indices.map { i =>
+          val o = ords(i)
+          if (o < 0 || cur.isNullAt(o)) null
+          else LakeStore.toStored(cur.get(o, kdts(i)))
+        }
       override def get(): InternalRow = {
         // copy out of the materializer's (reusable) row, padding columns
         // the file predates with null; metadata columns are computed
@@ -2200,10 +2397,9 @@ object LakeMetaTable {
         s.files.map(_.rows).sum - s.deletes.map(_.rows).sum
       }
       val named = st.refNames.map { r =>
-        val creation = st.snapshots.indexWhere(_.ref == r)
         Vector[Any](r,
           if (st.isTag(r)) "tag" else "branch",
-          st.headOf(r).toLong, st.snapshots(creation).parent.toLong,
+          st.headOf(r).toLong, st.snapshots(st.creationOf(r)).parent.toLong,
           liveRows(st.headOf(r)))
       }.toVector
       Vector[Any]("main", "branch", st.mainHead.toLong, 0L,
@@ -2287,7 +2483,8 @@ object LakeWriteBuilder {
 
 class LakeWriteBuilder(key: String, writeSchema: StructType,
     private var mode: LakeWriteBuilder.Mode,
-    queryId: String = "") extends WriteBuilder
+    queryId: String = "",
+    upsertCols: Seq[String] = Nil) extends WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsOverwriteV2
     with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
   import LakeWriteBuilder._
@@ -2361,9 +2558,16 @@ class LakeWriteBuilder(key: String, writeSchema: StructType,
       st.map(_.schema).getOrElse(writeSchema))
     val props = st.map(_.props).getOrElse(Map.empty)
     val phys = st.map(s => LakeStore.physicalMap(s.schema)).getOrElse(Map.empty)
+    // rows CARRY their identity values through row-level rewrites AND
+    // layout-only rewrites (OPTIMIZE re-lands existing rows — refusing
+    // their explicit identity values would make clustering impossible
+    // on any identity/row-tracked table); generated columns recompute
+    // on both paths, which is a no-op for OPTIMIZE (deps unchanged)
+    val carryRows = mode.isInstanceOf[RowLevelMode] ||
+      LakeStore.nextReplaceIsLayoutOnly.getOrElse(key, false)
     new LakeWriterFactory(LakeStore.dataDir(key), writeSchema, partitionCols,
       constraints, derived, LakeBloom.columnsOf(props), LakeBloom.bitsOf(props),
-      phys, recomputeGenerated = mode.isInstanceOf[RowLevelMode])
+      phys, recomputeGenerated = carryRows)
   }
 
   private def sweepFiles(messages: Iterator[WriterCommitMessage]): Unit = {
@@ -2383,6 +2587,11 @@ class LakeWriteBuilder(key: String, writeSchema: StructType,
           .flatMap(_.files.iterator)
           .toSeq
         mode match {
+          case AppendMode if upsertCols.nonEmpty =>
+            // a keyed upsert can delete rows ANYWHERE — its conflict
+            // claim is the whole table (the Iceberg global-delete shape)
+            LakeStore.appendUpsert(key, files, upsertCols,
+              Some(LakeStore.Txn(readVersion, LakeStore.WholeTable)))
           case AppendMode => LakeStore.append(key, files,
             Some(LakeStore.Txn(readVersion, LakeStore.BlindAppend)))
           case TruncateMode => LakeStore.replace(key, files, None,
@@ -2447,6 +2656,9 @@ class LakeWriteBuilder(key: String, writeSchema: StructType,
       new org.apache.spark.sql.connector.write.streaming.StreamingWrite {
         require(mode == AppendMode,
           s"graft_lake: streaming writes to $key support append mode only")
+        require(upsertCols.isEmpty,
+          s"graft_lake: streaming upsert into $key is not supported — " +
+            "run the upsert per micro-batch via foreachBatch")
         override def createStreamingWriterFactory(info: PhysicalWriteInfo):
             org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
           val inner = writerFactory()

@@ -30,7 +30,7 @@ object LakeProcedures {
 
   val Names: Seq[String] = Seq(
     "optimize", "vacuum", "restore", "clone", "set_partition_spec",
-    "create_branch", "create_tag", "publish")
+    "create_branch", "create_tag", "publish", "drop_ref")
 
   def identifiers(namespace: Array[String]): Array[Identifier] =
     Names.map(n => Identifier.of(Array("system"), n)).toArray
@@ -191,5 +191,16 @@ object LakeProcedures {
         val k = key(catalog, input.getUTF8String(0).toString)
         val (bh, pv) = GraftLake.publish(k, input.getUTF8String(1).toString)
         row(bh.toLong, pv.toLong)
+      }),
+
+    "drop_ref" -> Proc("drop_ref",
+      Array(in("tbl", StringType), in("name", StringType)),
+      StructType(Seq(
+        StructField("dropped", StringType, nullable = false))),
+      (catalog, input) => {
+        val k = key(catalog, input.getUTF8String(0).toString)
+        val name = input.getUTF8String(1).toString
+        GraftLake.dropRef(k, name)
+        row(utf(name))
       }))
 }

@@ -72,7 +72,25 @@ object LakeStore {
     * storage-partitioned-join results. */
   final case class FileEntry(path: String, group: List[Any], rows: Long,
       cols: Seq[String], zones: Map[String, (Any, Any)],
-      blooms: Map[String, String] = Map.empty, era: Int = 0)
+      blooms: Map[String, String] = Map.empty, era: Int = 0,
+      seq: Int = 0)
+
+  /** One EQUALITY DELETE (Iceberg v2's second delete-file flavor):
+    * "delete every row whose `cols` values appear in the key sets of
+    * data files `files`, from any data file with [[FileEntry.seq]] <
+    * this entry's `seq`". The KEYED-UPSERT primitive that position
+    * vectors cannot give: an upsert APPENDS its new row versions and
+    * records this entry in the same commit — nothing is read, nothing
+    * is rewritten, the old versions die by key at READ time. The key
+    * set is not copied anywhere: `files` are the upsert's own data
+    * files (relative manifest paths), and readers load just their key
+    * COLUMNS — the sequence gate keeps the new rows themselves alive
+    * (their seq equals the delete's). An entry dies (is pruned from the
+    * snapshot) once no live file predates it — any compaction/rewrite
+    * migrates the table off it. `cols` are PHYSICAL column names, like
+    * zones. */
+  final case class EqDelete(files: Seq[String], cols: Seq[String],
+      seq: Int)
 
   /** One POSITION-DELETE file (Iceberg v2's delete-file shape, Delta's
     * deletion vector): `path` is the sidecar holding sorted row
@@ -102,7 +120,8 @@ object LakeStore {
       action: String = "unknown", props: Map[String, String] = Map.empty,
       deletes: Vector[DeleteEntry] = Vector.empty,
       spec: Seq[String] = Nil, specEra: Int = 0,
-      ref: String = "main", parent: Int = -1)
+      ref: String = "main", parent: Int = -1,
+      eqDeletes: Vector[EqDelete] = Vector.empty)
 
   final case class TableState(key: String,
       snapshots: Vector[Snapshot], earliest: Int = 0) {
@@ -111,7 +130,12 @@ object LakeStore {
       * state, a copy of its base). -1 = no such ref. Branch commits
       * occupy ordinary log versions; a ref's lineage is the
       * [[Snapshot.parent]] chain, not version adjacency. */
-    def headOf(ref: String): Int = snapshots.lastIndexWhere(_.ref == ref)
+    def headOf(ref: String): Int = {
+      val i = snapshots.lastIndexWhere(_.ref == ref)
+      // a "dropref" tombstone is the ref's last snapshot exactly when
+      // the ref was dropped — the name is then free for re-creation
+      if (i >= 0 && snapshots(i).action == "dropref") -1 else i
+    }
     /** Head of MAIN — the default lineage every table has from v0. */
     def mainHead: Int = snapshots.lastIndexWhere(_.ref == "main")
     /** The snapshot the ACTIVE ref points at (Iceberg's
@@ -140,19 +164,29 @@ object LakeStore {
     def specEra: Int = active.specEra
     /** Live position-delete files (merge-on-read state). */
     def deletes: Vector[DeleteEntry] = active.deletes
+    /** Live equality deletes (keyed-upsert state). */
+    def eqDeletes: Vector[EqDelete] = active.eqDeletes
     /** Partition-group keys present in the current live file set —
       * mixed-arity after a partition evolution (pre-evolution files
       * keep their old spec's keys). */
     def liveGroups: Set[List[Any]] = current.iterator.map(_.group).toSet
     /** Whether `ref` is a TAG (immutable pointer): decided by its
-      * creation snapshot's action. */
-    def isTag(ref: String): Boolean = snapshots.indexWhere(_.ref == ref) match {
-      case -1 => false
-      case i => snapshots(i).action == "tag"
+      * LATEST creation snapshot's action (a dropped-and-recreated name
+      * takes the new kind). */
+    def isTag(ref: String): Boolean = {
+      val i = snapshots.lastIndexWhere(s =>
+        s.ref == ref && (s.action == "tag" || s.action == "branch"))
+      i >= 0 && snapshots(i).action == "tag"
     }
-    /** All named refs (branches + tags) in creation order, main excluded. */
+    /** Log index of `ref`'s LATEST creation entry (its fork point's
+      * child). -1 = never created. */
+    def creationOf(ref: String): Int = snapshots.lastIndexWhere(s =>
+      s.ref == ref && (s.action == "tag" || s.action == "branch"))
+    /** All LIVE named refs (branches + tags) in creation order, main
+      * and dropped refs excluded. */
     def refNames: Seq[String] =
-      snapshots.iterator.map(_.ref).distinct.filterNot(_ == "main").toSeq
+      snapshots.iterator.map(_.ref).distinct
+        .filterNot(_ == "main").filter(headOf(_) >= 0).toSeq
   }
 
   // ------------------------------------------------------------ root dir
@@ -262,7 +296,8 @@ object LakeStore {
     commit(k, st, kind, bs.files, added = Nil, removed = Nil,
       commitGroups = Some(Set.empty), dataChange = false, schema = bs.schema,
       props = bs.props, deletes = bs.deletes, spec = bs.spec,
-      refOverride = name, parentOverride = base, eraOverride = bs.specEra)
+      refOverride = name, parentOverride = base, eraOverride = bs.specEra,
+      eqDeletes = bs.eqDeletes)
     st.latestVersion + 1
   }
 
@@ -280,8 +315,7 @@ object LakeStore {
     require(bh >= 0, s"graft_lake: ref '$branch' does not exist on $k")
     require(!st.isTag(branch),
       s"graft_lake: '$branch' is a TAG — only branches publish")
-    val creation = st.snapshots.indexWhere(_.ref == branch)
-    val base = st.snapshots(creation).parent
+    val base = st.snapshots(st.creationOf(branch)).parent
     val mh = st.mainHead
     if (mh != base) throw new CommitConflictException(
       s"graft_lake: publish of '$branch' on $k is not a fast-forward — " +
@@ -304,8 +338,26 @@ object LakeStore {
     commit(k, st, "publish", b.files, added, removed.map(_.path),
       commitGroups = Some(touched), dataChange = true, schema = b.schema,
       props = b.props, deletes = b.deletes, spec = b.spec,
-      refOverride = "main", parentOverride = mh, eraOverride = b.specEra)
+      refOverride = "main", parentOverride = mh, eraOverride = b.specEra,
+      eqDeletes = b.eqDeletes)
     (bh, st.latestVersion + 1)
+  }
+
+  /** Drop a named ref: one metadata-only tombstone entry — the name is
+    * immediately free for re-creation, the dropped lineage's snapshots
+    * stay in the log (time travel by NUMBER still reads them until
+    * VACUUM's horizon passes; its files leave every keep-set then). */
+  def dropRef(k: String, name: String): Unit = synchronized {
+    require(name != "main", "graft_lake: cannot drop main")
+    val st = stateOf(k)
+    val h = st.headOf(name)
+    require(h >= 0, s"graft_lake: ref '$name' does not exist on $k")
+    val hs = st.snapshots(h)
+    commit(k, st, "dropref", hs.files, added = Nil, removed = Nil,
+      commitGroups = Some(Set.empty), dataChange = false, schema = hs.schema,
+      props = hs.props, deletes = hs.deletes, spec = hs.spec,
+      refOverride = name, parentOverride = h, eraOverride = hs.specEra,
+      eqDeletes = hs.eqDeletes)
   }
 
   // ------------------------------------- optimistic concurrency (p58)
@@ -500,10 +552,34 @@ object LakeStore {
     onNextCommit.remove(k).foreach(_.apply())
     val st = stateOf(k)
     txn.foreach(checkConflicts(k, st, _))
-    val stamped = files.map(_.copy(era = st.specEra))
+    val stamped = files.map(_.copy(era = st.specEra, seq = st.latestVersion + 1))
     commit(k, st, "append", st.current ++ stamped, stamped,
       removed = Nil, commitGroups = Some(stamped.map(_.group).toSet),
       dataChange = true, schema = st.schema)
+  }
+
+  /** KEYED UPSERT as one append-only commit (Iceberg's equality-delete
+    * write path): the batch's new row versions land as ordinary data
+    * files AND an [[EqDelete]] entry referencing those same files'
+    * `keyCols` (physical names) — every OLDER row with a matching key
+    * dies at read time through the sequence gate. Nothing is read,
+    * nothing is rewritten: the write cost of an upsert equals the write
+    * cost of an append, the property that makes high-rate keyed
+    * streaming ingestion possible at all (position vectors pay a
+    * read-before-write to find their targets). Commit metadata is
+    * whole-table (None): a key can hide anywhere. */
+  def appendUpsert(k: String, files: Seq[FileEntry], keyCols: Seq[String],
+      txn: Option[Txn] = None): Unit = synchronized {
+    require(keyCols.nonEmpty, s"graft_lake: upsert into $k needs key columns")
+    onNextCommit.remove(k).foreach(_.apply())
+    val st = stateOf(k)
+    txn.foreach(checkConflicts(k, st, _))
+    val version = st.latestVersion + 1
+    val stamped = files.map(_.copy(era = st.specEra, seq = version))
+    commit(k, st, "upsert", st.current ++ stamped, stamped,
+      removed = Nil, commitGroups = None,
+      dataChange = true, schema = st.schema,
+      eqDeletes = st.eqDeletes :+ EqDelete(stamped.map(_.path), keyCols, version))
   }
 
   /** Streaming-sink append with EXACTLY-ONCE epoch idempotence (the
@@ -518,7 +594,7 @@ object LakeStore {
     val st = stateOf(k)
     val prop = s"graft.stream.epoch.$queryId"
     if (st.props.get(prop).exists(_.toLong >= epochId)) return false
-    val stamped = files.map(_.copy(era = st.specEra))
+    val stamped = files.map(_.copy(era = st.specEra, seq = st.latestVersion + 1))
     commit(k, st, "append", st.current ++ stamped, stamped,
       removed = Nil, commitGroups = Some(stamped.map(_.group).toSet),
       dataChange = true, schema = st.schema,
@@ -542,7 +618,7 @@ object LakeStore {
     onNextCommit.remove(k).foreach(_.apply())
     val st = stateOf(k)
     txn.foreach(checkConflicts(k, st, _))
-    val stamped = files.map(_.copy(era = st.specEra))
+    val stamped = files.map(_.copy(era = st.specEra, seq = st.latestVersion + 1))
     val removed = groups match {
       case None => st.current
       case Some(gs) => st.current.filter(f => gs.contains(f.group))
@@ -571,7 +647,7 @@ object LakeStore {
     onNextCommit.remove(k).foreach(_.apply())
     val st = stateOf(k)
     txn.foreach(checkConflicts(k, st, _))
-    val stamped = files.map(_.copy(era = st.specEra))
+    val stamped = files.map(_.copy(era = st.specEra, seq = st.latestVersion + 1))
     commit(k, st, "delta", st.current ++ stamped, stamped, removed = Nil,
       commitGroups = Some(groups), dataChange = true, schema = st.schema,
       deletes = st.deletes ++ newDeletes)
@@ -626,7 +702,8 @@ object LakeStore {
     lastReplacedFiles.update(k, (removed.map(_.path), added.map(_.path)))
     commit(k, st, "restore", target.files, added, removed.map(_.path),
       commitGroups = Some(touched), dataChange = true, schema = target.schema,
-      deletes = target.deletes) // the restore point's deletion vectors
+      deletes = target.deletes, // the restore point's deletion vectors
+      eqDeletes = target.eqDeletes)
   }
 
   /** Shallow CLONE: a new table whose first data commit REFERENCES the
@@ -643,6 +720,12 @@ object LakeStore {
   def cloneTable(srcKey: String, dstKey: String): Unit = synchronized {
     requireMain(srcKey, "CLONE")
     val src = stateOf(srcKey)
+    // live equality deletes cannot travel: their sequence gate is in
+    // the SOURCE's version numbering — compact the source first (any
+    // rewrite migrates off them). Checked BEFORE the target exists.
+    require(src.eqDeletes.isEmpty,
+      s"graft_lake: CLONE of $srcKey with live equality deletes is not " +
+        "supported — OPTIMIZE the source first to materialize them")
     // table PROPERTIES travel with the clone (the Delta CLONE contract):
     // constraints, merge-on-read mode, bloom configs — a clone that
     // silently dropped them would enforce less than its source
@@ -653,8 +736,10 @@ object LakeStore {
     // starts at era 0): the source's CURRENT-era files become era 0,
     // pre-evolution stragglers go negative — never equal to any era the
     // clone can reach, so they stay correctly SPJ-ineligible
+    // clone sequence numbering restarts: every referenced file pre-dates
+    // whatever the clone commits later (its data commit is v1)
     val refs = src.current.map(f => f.copy(path = resolvePath(srcKey, f),
-      era = f.era - src.specEra))
+      era = f.era - src.specEra, seq = 1))
     // deletion vectors travel with the clone, absolutely referenced and
     // re-keyed to the now-absolute data paths
     val refDeletes = src.deletes.map(d => d.copy(
@@ -686,7 +771,8 @@ object LakeStore {
         // spec — stamp its files with the era this commit establishes
         val era =
           if (partitionCols == st.partitionCols) st.specEra else st.specEra + 1
-        val stamped = files.toVector.map(_.copy(era = era))
+        val stamped = files.toVector.map(_.copy(era = era,
+          seq = st.latestVersion + 1))
         commit(k, st, "replace", stamped, stamped,
           removed = st.current.map(_.path),
           commitGroups = None, dataChange = true, schema = schema,
@@ -850,7 +936,8 @@ object LakeStore {
       deletes: Vector[DeleteEntry] = null,
       spec: Seq[String] = null,
       refOverride: String = null, parentOverride: Int = -2,
-      eraOverride: Int = -1): Unit = {
+      eraOverride: Int = -1,
+      eqDeletes: Vector[EqDelete] = null): Unit = {
     val version = st.latestVersion + 1
     // the ref this commit belongs to: the active session ref by default
     // (branch writes), overridden by ref machinery (creation, publish)
@@ -879,6 +966,11 @@ object LakeStore {
       val gone = removed.toSet
       st.deletes.filterNot(d => gone.contains(d.dataFile))
     }
+    // equality deletes carry forward and PRUNE: an entry is dead once
+    // no live file pre-dates it (every rewrite lands with a newer seq,
+    // so compaction migrates the table off its delete debt for free)
+    val newEqDeletes = Option(eqDeletes).getOrElse(st.eqDeletes)
+      .filter(d => live.exists(f => f.seq < d.seq))
     val entry = JObject(
       "action" -> JString(action),
       "schema" -> JString(schema.json),
@@ -897,6 +989,10 @@ object LakeStore {
       "deletes" -> JArray(newDeletes.toList.map(d => JObject(
         "path" -> JString(d.path), "dataFile" -> JString(d.dataFile),
         "rows" -> JInt(BigInt(d.rows))))),
+      "eqDeletes" -> JArray(newEqDeletes.toList.map(d => JObject(
+        "files" -> JArray(d.files.map(JString(_)).toList),
+        "cols" -> JArray(d.cols.map(JString(_)).toList),
+        "seq" -> JInt(BigInt(d.seq))))),
       "commitGroups" -> commitGroups.fold[JValue](JNull)(gs =>
         JArray(gs.toList.map(g => JArray(g.map(jval).toList)))),
       "add" -> JArray(added.map(fileJson).toList),
@@ -904,7 +1000,7 @@ object LakeStore {
     writeLogEntry(k, version, entry)
     val newSt = st.copy(snapshots =
       st.snapshots :+ Snapshot(schema, live, commitGroups, dataChange, action,
-        newProps, newDeletes, newSpec, newEra, ref, parent))
+        newProps, newDeletes, newSpec, newEra, ref, parent, newEqDeletes))
     tables.update(k, newSt)
     val ci = checkpointInterval
     if (ci > 0 && version % ci == 0) writeCheckpoint(k, newSt)
@@ -997,6 +1093,7 @@ object LakeStore {
         }.toVector
         case _ => Vector.empty[DeleteEntry] // pre-MoR log entries
       }
+      val eqDeletes = parseEqDeletes(j)
       // spec era replays by the same rule commits use: +1 exactly when
       // the entry's spec differs from its PARENT snapshot's
       val specEra = prevSnap.map(p =>
@@ -1004,7 +1101,7 @@ object LakeStore {
       snapshots :+= Snapshot(schema, live,
         cg, j.get("dataChange").forall(_ == JBool(true)),
         j.get("action").map(str).getOrElse("unknown"), props, deletes,
-        partitionCols, specEra, ref, parent)
+        partitionCols, specEra, ref, parent, eqDeletes)
     }
     val marker = new Path(dir, "_horizon")
     val earliest =
@@ -1109,6 +1206,17 @@ object LakeStore {
     * mixes files of several spec eras, so the snapshot's own spec types
     * cannot decode every file's key (the log never has this problem:
     * it decodes each file in the entry that ADDED it). */
+  private def parseEqDeletes(j: Map[String, JValue]): Vector[EqDelete] =
+    j.get("eqDeletes") match {
+      case Some(JArray(ds)) => ds.map { dj =>
+        val o = dj.asInstanceOf[JObject].obj.toMap
+        EqDelete(o("files").asInstanceOf[JArray].arr.map(str),
+          o("cols").asInstanceOf[JArray].arr.map(str),
+          num(o("seq")).intValue())
+      }.toVector
+      case _ => Vector.empty[EqDelete] // pre-upsert log entries
+    }
+
   private def snapJson(s: Snapshot): JObject = JObject(
     "action" -> JString(s.action),
     "schema" -> JString(s.schema.json),
@@ -1122,6 +1230,10 @@ object LakeStore {
     "deletes" -> JArray(s.deletes.toList.map(d => JObject(
       "path" -> JString(d.path), "dataFile" -> JString(d.dataFile),
       "rows" -> JInt(BigInt(d.rows))))),
+    "eqDeletes" -> JArray(s.eqDeletes.toList.map(d => JObject(
+      "files" -> JArray(d.files.map(JString(_)).toList),
+      "cols" -> JArray(d.cols.map(JString(_)).toList),
+      "seq" -> JInt(BigInt(d.seq))))),
     "commitGroups" -> s.commitGroups.fold[JValue](JNull)(gs =>
       JArray(gs.toList.map(g => JArray(g.map(tjval).toList)))),
     "files" -> JArray(s.files.toList.map(f => tagged(fileJson(f), f))))
@@ -1148,7 +1260,8 @@ object LakeStore {
       str(o("action")), props, deletes, spec,
       specEra = o.get("specEra").map(num(_).intValue()).getOrElse(0),
       ref = o.get("ref").map(str).getOrElse("main"),
-      parent = o.get("parent").map(num(_).intValue()).getOrElse(idx - 1))
+      parent = o.get("parent").map(num(_).intValue()).getOrElse(idx - 1),
+      eqDeletes = parseEqDeletes(o))
   }
 
   /** Stored-form type tags: group keys hold manifest STORED forms
@@ -1240,22 +1353,28 @@ object LakeStore {
     * still works because group-envelope zones bound the source values
     * ([[graft.sources.LakeGroupScan]] / the group-key compare never
     * needs inverting). Spec entries are stored as their raw strings in
-    * the commit log; `fn` is "" (identity), "days" or "bucket". */
+    * the commit log; `fn` is "" (identity) or one of Iceberg's
+    * transform roster: `days`/`hours`/`months`/`years` (calendar
+    * granularities of a timestamp/date), `bucket(N, col)` (murmur
+    * hash), `truncate(W, col)` (string prefix / integer width floor —
+    * the one transform whose key keeps the SOURCE type). */
   final case class PartExpr(raw: String, col: String, fn: String, arg: Int)
 
   private val bucketRe = """bucket\((\d+),\s*([A-Za-z0-9_]+)\)""".r
-  private val daysRe = """days\(([A-Za-z0-9_]+)\)""".r
+  private val truncateRe = """truncate\((\d+),\s*([A-Za-z0-9_]+)\)""".r
+  private val unaryRe = """(days|hours|months|years)\(([A-Za-z0-9_]+)\)""".r
   def parsePart(raw: String): PartExpr = raw match {
     case bucketRe(n, c) => PartExpr(raw, c, "bucket", n.toInt)
-    case daysRe(c) => PartExpr(raw, c, "days", 0)
+    case truncateRe(w, c) => PartExpr(raw, c, "truncate", w.toInt)
+    case unaryRe(fn, c) => PartExpr(raw, c, fn, 0)
     case c => PartExpr(raw, c, "", 0)
   }
   def isIdentitySpec(raw: String): Boolean = parsePart(raw).fn.isEmpty
 
   /** Group-key type a spec entry produces from its source type. */
   def partKeyType(p: PartExpr, src: DataType): DataType = p.fn match {
-    case "" => src
-    case _ => IntegerType // days since epoch / bucket ordinal
+    case "" | "truncate" => src // truncate keeps the source type
+    case _ => IntegerType // days/hours/months/years ordinal, bucket id
   }
 
   /** STORED-form source value -> STORED-form group key. `days` floors
@@ -1272,6 +1391,38 @@ object LakeStore {
       case days: java.lang.Integer => days
       case other => throw new IllegalArgumentException(
         s"graft_lake: days(${p.col}) cannot derive from $other (${other.getClass})")
+    }
+    case "hours" => v match {
+      case micros: java.lang.Long =>
+        java.lang.Integer.valueOf(Math.floorDiv(micros, 3600000000L).toInt)
+      case other => throw new IllegalArgumentException(
+        s"graft_lake: hours(${p.col}) cannot derive from $other (${other.getClass})")
+    }
+    case "months" | "years" =>
+      // calendar ordinals since 1970 (Iceberg's month/year transforms) —
+      // from the Catalyst primitive encodings: DATE is already epoch
+      // days, TIMESTAMP floors micros to days first
+      val epochDay: Long = v match {
+        case micros: java.lang.Long => Math.floorDiv(micros, 86400000000L)
+        case days: java.lang.Integer => days.longValue()
+        case other => throw new IllegalArgumentException(
+          s"graft_lake: ${p.fn}(${p.col}) cannot derive from $other (${other.getClass})")
+      }
+      val d = java.time.LocalDate.ofEpochDay(epochDay)
+      java.lang.Integer.valueOf(
+        if (p.fn == "years") d.getYear - 1970
+        else (d.getYear - 1970) * 12 + (d.getMonthValue - 1))
+    case "truncate" => v match {
+      // Iceberg truncate: strings keep their W-char prefix, integrals
+      // floor to width-W multiples (Math.floorDiv handles negatives) —
+      // both ORDER-PRESERVING, so zone/range pruning stays exact
+      case s: String => s.substring(0, math.min(p.arg, s.length))
+      case l: java.lang.Long => java.lang.Long.valueOf(Math.floorDiv(l, p.arg.toLong) * p.arg)
+      case i: java.lang.Integer => java.lang.Integer.valueOf(Math.floorDiv(i, p.arg) * p.arg)
+      case h: java.lang.Short => java.lang.Short.valueOf((Math.floorDiv(h.toInt, p.arg) * p.arg).toShort)
+      case y: java.lang.Byte => java.lang.Byte.valueOf((Math.floorDiv(y.toInt, p.arg) * p.arg).toByte)
+      case other => throw new IllegalArgumentException(
+        s"graft_lake: truncate(${p.arg}, ${p.col}) cannot derive from $other (${other.getClass})")
     }
     case "bucket" =>
       val bs = v match {
@@ -1295,12 +1446,23 @@ object LakeStore {
         s"graft_lake: partition column ${p.col} does not exist in $k")
       val src = schema(p.col).dataType
       p.fn match {
-        case "days" => require(
+        case "days" | "months" | "years" => require(
           src == TimestampType || src == TimestampNTZType || src == DateType,
-          s"graft_lake: days(${p.col}) of $k needs a timestamp/date column, " +
+          s"graft_lake: ${p.fn}(${p.col}) of $k needs a timestamp/date column, " +
+            s"got ${src.simpleString}")
+        case "hours" => require(
+          src == TimestampType || src == TimestampNTZType,
+          s"graft_lake: hours(${p.col}) of $k needs a timestamp column, " +
             s"got ${src.simpleString}")
         case "bucket" => require(p.arg >= 1,
           s"graft_lake: bucket(${p.arg}, ${p.col}) of $k needs >= 1 buckets")
+        case "truncate" =>
+          require(p.arg >= 1,
+            s"graft_lake: truncate(${p.arg}, ${p.col}) of $k needs width >= 1")
+          require(src == StringType || src == LongType || src == IntegerType ||
+              src == ShortType || src == ByteType,
+            s"graft_lake: truncate(${p.col}) of $k needs a string/integral " +
+              s"column, got ${src.simpleString}")
         case _ => ()
       }
       require(zoneSerializable(partKeyType(p, src)) && zoneSerializable(src),
@@ -1388,6 +1550,7 @@ object LakeStore {
       "group" -> JArray(f.group.map(jval).toList),
       "rows" -> JInt(BigInt(f.rows)),
       "era" -> JInt(BigInt(f.era)),
+      "seq" -> JInt(BigInt(f.seq)),
       "cols" -> JArray(f.cols.map(JString(_)).toList),
       "zones" -> JObject(f.zones.toList.map { case (c, (mn, mx)) =>
         c -> (JArray(List(jval(mn), jval(mx))): JValue)
@@ -1426,6 +1589,7 @@ object LakeStore {
     }
     FileEntry(str(o("path")), group, num(o("rows")).longValue(),
       o("cols").asInstanceOf[JArray].arr.map(str), zones, blooms,
-      era = o.get("era").map(num(_).intValue()).getOrElse(0))
+      era = o.get("era").map(num(_).intValue()).getOrElse(0),
+      seq = o.get("seq").map(num(_).intValue()).getOrElse(0))
   }
 }

@@ -189,7 +189,10 @@ object ScaleSweep {
       "p56_type_widening" -> "metadata-only type widening (narrow files read wide)",
       "p57_hidden_partitioning" -> "hidden partitioning (days/bucket derived groups)",
       "p58_optimistic_concurrency" -> "optimistic concurrency (conflict-classified rebase/abort)",
-      "p59_branch_wap" -> "branches/tags + write-audit-publish (zero-copy refs)")
+      "p59_branch_wap" -> "branches/tags + write-audit-publish (zero-copy refs)",
+      "p60_merge_schema_evolution" -> "MERGE WITH SCHEMA EVOLUTION (auto ADD COLUMN)",
+      "p61_row_lineage" -> "row lineage (stable ids across UPDATE/OPTIMIZE)",
+      "p62_equality_deletes" -> "equality deletes (write-without-read keyed upsert)")
 
     // warm the JVM/codegen on the smallest sf so cold-start lands nowhere
     queries.foreach { case (q, _) =>

@@ -225,6 +225,132 @@ class Round12OpsSpec extends SparkTestBase {
     assert(restored.specEra === 1 && erasOf(restored) === Set(0))
   }
 
+  // ----------------- hidden-partitioning transform roster (p57 extension)
+
+  test("hours/months/years/truncate transforms derive keys, prune on source columns, and guard") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_lake.hp2")
+    spark.sql("""CREATE TABLE graft_lake.hp2 (ev BIGINT, name STRING, ts TIMESTAMP)
+                |PARTITIONED BY (months(ts), truncate(4, name))""".stripMargin)
+    spark.sql("""INSERT INTO graft_lake.hp2 VALUES
+                |(1, 'alpha-one', TIMESTAMP'2024-01-05 01:00:00'),
+                |(2, 'alpha-two', TIMESTAMP'2024-01-20 23:00:00'),
+                |(3, 'beta-one',  TIMESTAMP'2024-02-02 12:00:00'),
+                |(4, 'beta-two',  TIMESTAMP'2023-12-31 05:00:00')""".stripMargin)
+    val st = LakeStore.get("graft_lake.hp2").get
+    val groups = st.current.map(_.group)
+    // months since 1970-01: 2023-12 = 647, 2024-01 = 648, 2024-02 = 649;
+    // truncate(4) keeps the 4-char prefix with the SOURCE type
+    assert(groups.map(g => (g(0), g(1))).toSet ===
+      Set((648, "alph"), (649, "beta"), (647, "beta")))
+    // pruning stays on SOURCE columns: one month's ts range opens only
+    // that month's files; a name-prefix range lands on one prefix group
+    assert(spark.table("graft_lake.hp2")
+      .filter(col("ts") >= lit("2024-02-01").cast("timestamp")).count() === 1L)
+    val s1 = LakeStore.lastScanStats("graft_lake.hp2")
+    assert(s1.filesScanned < s1.filesTotal)
+    assert(spark.table("graft_lake.hp2")
+      .filter(col("name") >= "beta" && col("name") < "betb").count() === 2L)
+    val s2 = LakeStore.lastScanStats("graft_lake.hp2")
+    assert(s2.filesScanned < s2.filesTotal)
+    // hours(ts) derives epoch-hour keys; hours(DATE) is refused
+    spark.sql("DROP TABLE IF EXISTS graft_lake.hp3")
+    spark.sql("""CREATE TABLE graft_lake.hp3 (ev BIGINT, ts TIMESTAMP)
+                |PARTITIONED BY (hours(ts))""".stripMargin)
+    spark.sql("""INSERT INTO graft_lake.hp3 VALUES
+                |(1, TIMESTAMP'2024-01-01 00:30:00'), (2, TIMESTAMP'2024-01-01 02:30:00')""".stripMargin)
+    val hKeys = LakeStore.get("graft_lake.hp3").get.current.map(_.group.head)
+    assert(hKeys.toSet === Set(473352, 473354)) // epoch hours
+    val e = intercept[Exception] {
+      spark.sql("""CREATE TABLE graft_lake.hp4 (ev BIGINT, d DATE)
+                  |PARTITIONED BY (hours(d))""".stripMargin)
+    }
+    assert(causes(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("needs a timestamp")))
+    // negative integral truncate floors toward -infinity (order-preserving)
+    spark.sql("DROP TABLE IF EXISTS graft_lake.hp5")
+    spark.sql("""CREATE TABLE graft_lake.hp5 (v BIGINT)
+                |PARTITIONED BY (truncate(10, v))""".stripMargin)
+    spark.sql("INSERT INTO graft_lake.hp5 VALUES (-7), (-13), (23)")
+    assert(LakeStore.get("graft_lake.hp5").get.current.map(_.group.head).toSet
+      === Set(-10L, -20L, 20L))
+  }
+
+  // ----------------- p62 equality deletes (keyed upsert)
+
+  test("p62/keyed upsert: append-only commit, old keys die at read time, nothing rewritten") {
+    val key = occTable("equ1") // (id, grp, v) partitioned by grp, 12 rows
+    import spark.implicits._
+    val pathsBefore = LakeStore.get(key).get.current.map(_.path).toSet
+    GraftLake.upsert(
+      Seq((3L, "g0", 333L), (100L, "g1", 1000L)).toDF("id", "grp", "v"), key, Seq("id"))
+    // content: id 3 re-versioned, id 100 new, everything else untouched
+    assert(spark.table(key).count() === 13L) // count(*) is eq-aware
+    val rows = spark.table(key).select("id", "v").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows(3L) === 333L && rows(100L) === 1000L && rows(5L) === 5L)
+    // write-without-read: every pre-upsert file is STILL LIVE by path
+    val st = LakeStore.get(key).get
+    assert(pathsBefore.subsetOf(st.current.map(_.path).toSet))
+    assert(st.eqDeletes.length === 1 && st.snapshots.last.action === "upsert")
+    // a PRUNED read that drops the key column still applies the delete
+    assert(spark.table(key).groupBy("grp").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      === Map("g0" -> 4L, "g1" -> 5L, "g2" -> 4L))
+    // the sequence gate: an append AFTER the upsert re-inserts a deleted
+    // key — the new row post-dates the delete and survives
+    Seq((3L, "g2", 3333L)).toDF("id", "grp", "v").writeTo(key).append()
+    assert(spark.table(key).filter(col("id") === 3L)
+      .select("v").collect().map(_.getLong(0)).sorted.toSeq === Seq(333L, 3333L))
+    // cold replay keeps the delete exact
+    LakeStore.invalidateCache(key)
+    assert(spark.table(key).count() === 14L)
+    assert(LakeStore.get(key).get.eqDeletes.length === 1)
+    // time travel BELOW the upsert reads the original value
+    assert(spark.sql(s"SELECT v FROM $key VERSION AS OF 1 WHERE id = 3")
+      .collect()(0).getLong(0) === 3L)
+  }
+
+  test("p62/OPTIMIZE materializes equality deletes and prunes the entry; CLONE guards") {
+    val key = occTable("equ2")
+    import spark.implicits._
+    GraftLake.upsert(Seq((0L, "g0", 900L)).toDF("id", "grp", "v"), key, Seq("id"))
+    assert(LakeStore.get(key).get.eqDeletes.nonEmpty)
+    // a clone cannot carry the sequence-gated delete: refused loudly
+    val e = intercept[Exception] { GraftLake.shallowClone(key, "graft_lake.equ2c") }
+    assert(e.getMessage.contains("equality deletes"))
+    // compaction rewrites every file with a newer seq -> the delete is
+    // dead and PRUNED from the snapshot; content identical
+    GraftLake.optimize(spark, key, "id", 2)
+    val st = LakeStore.get(key).get
+    assert(st.eqDeletes.isEmpty)
+    assert(spark.table(key).count() === 12L)
+    assert(spark.table(key).filter(col("id") === 0L)
+      .select("v").collect()(0).getLong(0) === 900L)
+    // and now the clone works
+    GraftLake.shallowClone(key, "graft_lake.equ2c")
+    assert(spark.table("graft_lake.equ2c").count() === 12L)
+    spark.sql("DROP TABLE IF EXISTS graft_lake.equ2c")
+  }
+
+  test("p62/the change feed delivers an upsert as exact I and D rows") {
+    val key = occTable("equ3")
+    import spark.implicits._
+    GraftLake.upsert(
+      Seq((1L, "g1", 111L), (200L, "g0", 2000L)).toDF("id", "grp", "v"), key, Seq("id"))
+    val feed = spark.read.option("startingVersion", "2")
+      .table(s"$key.changes")
+      .select("id", "v", "_change").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    // I: the upsert batch; D: exactly the OLD row version of id 1
+    assert(feed.toSeq === Seq((1L, 1L, "D"), (1L, 111L, "I"), (200L, 2000L, "I")))
+    // the keyed batch diff nets the same: one U, one I
+    val ch = GraftLake.changes(spark, key, 1, 2, "id")
+      .select(col("id"), col("change")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(ch.toSeq === Seq((1L, "U"), (200L, "I")))
+  }
+
   // ----------------- p58 optimistic concurrency, per conflict class
 
   private def occTable(name: String, partitioned: Boolean = true,
@@ -403,6 +529,101 @@ class Round12OpsSpec extends SparkTestBase {
     val refs = spark.sql(s"SELECT name, kind FROM $key.refs ORDER BY name")
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
     assert(refs === Seq(("dev", "branch"), ("main", "branch")))
+    // drop_ref tombstones the name (reads refuse, refs table forgets)
+    // and frees it for re-creation under a different kind
+    spark.sql(s"CALL graft_lake.system.drop_ref(tbl => 'wap_replay', name => 'dev')")
+    val eGone = intercept[Exception] { onBranch("dev") { spark.table(key).count() } }
+    assert(causes(eGone).exists(c => c.getMessage != null &&
+      c.getMessage.contains("does not exist")))
+    spark.sql(s"CALL graft_lake.system.create_tag(tbl => 'wap_replay', name => 'dev')")
+    assert(LakeStore.get(key).get.isTag("dev"))
+    val refs2 = spark.sql(s"SELECT name, kind FROM $key.refs ORDER BY name")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(refs2 === Seq(("dev", "tag"), ("main", "branch")))
+  }
+
+  // ----------------- p60 MERGE WITH SCHEMA EVOLUTION
+
+  test("p60/MERGE WITH SCHEMA EVOLUTION auto-adds source-only columns; old rows read null") {
+    val key = occTable("mse1")
+    import spark.implicits._
+    Seq((1L, "g1", 100L, "fresh"), (50L, "g0", 500L, "new"))
+      .toDF("id", "grp", "v", "note").createOrReplaceTempView("mse1_src")
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $key t
+         |USING mse1_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val st = LakeStore.get(key).get
+    assert(st.schema.fieldNames.toSeq === Seq("id", "grp", "v", "note"))
+    val rows = spark.table(key).select("id", "v", "note").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2))).sortBy(_._1)
+    assert(rows.toSeq === Seq((0L, 0L, null), (1L, 100L, "fresh"), (2L, 2L, null),
+      (3L, 3L, null), (4L, 4L, null), (5L, 5L, null), (6L, 6L, null),
+      (7L, 7L, null), (8L, 8L, null), (9L, 9L, null), (10L, 10L, null),
+      (11L, 11L, null), (50L, 500L, "new")))
+    // the evolution is its own metadata commit: time travel below it
+    // reads the NARROW schema
+    assert(spark.sql(s"SELECT * FROM $key VERSION AS OF 1 LIMIT 0")
+      .columns.toSeq === Seq("id", "grp", "v"))
+  }
+
+  test("p60/rename-then-evolve never collides physical names or resurrects stale bytes") {
+    val key = occTable("mse2")
+    import spark.implicits._
+    // rename v away; its files still physically store column "v"
+    spark.sql(s"ALTER TABLE $key RENAME COLUMN v TO w")
+    // the merge source RE-INTRODUCES the name "v": auto-ADD must bind a
+    // fresh physical name — reading the old files' stale "v" bytes
+    // through the new logical "v" would corrupt every pre-merge row
+    Seq((60L, "g0", 7L, 999L)).toDF("id", "grp", "w", "v")
+      .createOrReplaceTempView("mse2_src")
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $key t
+         |USING mse2_src s ON t.id = s.id
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val st = LakeStore.get(key).get
+    val reAdded = st.schema("v")
+    assert(LakeStore.physicalName(reAdded) !== "v",
+      s"re-added 'v' bound the renamed column's birth physical name")
+    // pre-merge rows: w reads the original values, the NEW v reads null
+    assert(spark.table(key).filter(col("id") < 12L)
+      .filter(col("v").isNotNull).count() === 0L)
+    assert(spark.table(key).filter(col("id") < 12L)
+      .agg(sum("w")).collect()(0).getLong(0) === (0L until 12L).sum)
+    assert(spark.table(key).filter(col("id") === 60L)
+      .select("w", "v").collect()(0).toSeq === Seq(7L, 999L))
+  }
+
+  // ----------------- p61 row lineage
+
+  test("p61/OPTIMIZE carries identity row ids instead of refusing them") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_lake.rowids")
+    spark.sql("""CREATE TABLE graft_lake.rowids (
+                |  row_id BIGINT GENERATED ALWAYS AS IDENTITY,
+                |  payload BIGINT)""".stripMargin)
+    import spark.implicits._
+    (0L until 64L).toDF("payload").writeTo("graft_lake.rowids").append()
+    val before = spark.table("graft_lake.rowids").select("payload", "row_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // pre-fix this ABORTED: the layout rewrite's writer treated carried
+    // identity values as forbidden explicit inserts
+    GraftLake.optimize(spark, "graft_lake.rowids", "payload", 2)
+    val after = spark.table("graft_lake.rowids").select("payload", "row_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after === before, "row ids changed across a layout-only OPTIMIZE")
+    // and the layout rewrite stayed invisible to CDC
+    val st = LakeStore.get("graft_lake.rowids").get
+    assert(!st.snapshots.last.dataChange)
+    // a plain INSERT still refuses explicit ids (the carry is scoped to
+    // row-level and layout rewrites, not user writes)
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO graft_lake.rowids (row_id, payload) VALUES (1, 99)")
+    }
+    assert(causes(e).exists(c => c.getMessage != null &&
+      c.getMessage.toLowerCase.contains("identity")))
   }
 
   test("p58/merge-on-read writers conflict-check their deletion vectors too") {
