@@ -4322,7 +4322,250 @@ object PipelineQueries {
       |  CAST(1 AS BIGINT) AS eq_pruned
       |FROM fin GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- p63
+  /** STORAGE-PARTITIONED JOIN OVER A BUCKET TRANSFORM — Iceberg's
+    * signature shuffle elimination, one step past p54's identity SPJ:
+    * both tables are hidden-partitioned `bucket(8, doc_id)`, and the
+    * catalog's FUNCTION CATALOG ([[graft.sources.LakeFunctions]])
+    * resolves the transform so Catalyst can PROVE co-location — the
+    * scan reports `KeyGroupedPartitioning(bucket(8, doc_id))`, Spark
+    * binds `graft_lake.bucket` on both sides, checks canonical-name and
+    * partition-value agreement, and plans the doc_id join with ZERO
+    * exchanges. Bucketing is THE co-location layout for
+    * high-cardinality keys at 100 TB (identity would make one group per
+    * doc); the same partitioning also satisfies groupBy(doc_id)'s
+    * distribution — bucket(doc_id) clusters doc_id — so the per-doc
+    * aggregate runs exchange-free too.
+    *
+    * Inside the hash: per-source joined aggregates, `join_exchanges`
+    * (shuffles inside the SortMergeJoin subtree — 0 is the point),
+    * `agg_exchanges` (shuffles in a groupBy over the bucket SOURCE
+    * column — also 0), and `fn_matches_layout` — the SQL-callable
+    * `graft_lake.bucket(8, doc_id)` reproduces every live file's
+    * manifest group key, i.e. the reader's co-location proof and the
+    * writer's routing are the same function, row for row. */
+  def p63BucketSpj(s: SparkSession, dir: String): DataFrame = {
+    registerLake(s)
+    s.sql("DROP TABLE IF EXISTS graft_lake.bspj_chars")
+    s.sql("DROP TABLE IF EXISTS graft_lake.bspj_langs")
+    s.sql("""CREATE TABLE graft_lake.bspj_chars (doc_id BIGINT, source STRING, n_chars BIGINT)
+            |PARTITIONED BY (bucket(8, doc_id))""".stripMargin)
+    s.sql("""CREATE TABLE graft_lake.bspj_langs (doc_id BIGINT, lang STRING)
+            |PARTITIONED BY (bucket(8, doc_id))""".stripMargin)
+    val docs = Tables.documents(s, dir)
+    docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .writeTo("graft_lake.bspj_chars").append()
+    docs.select(col("doc_id"), col("lang"))
+      .writeTo("graft_lake.bspj_langs").append()
+    // reader-side function vs writer-side routing: every (file, fn-bucket)
+    // pair observed in the data must be that file's manifest group key
+    val got = s.sql(
+      """SELECT _file, graft_lake.bucket(8, doc_id) AS b
+        |FROM graft_lake.bspj_chars""".stripMargin)
+      .distinct().collect().map(r => r.getString(0) -> r.getInt(1))
+    val want = {
+      val st = graft.sources.LakeStore.get("graft_lake.bspj_chars").get
+      st.current.map(f =>
+        graft.sources.LakeStore.resolvePath("graft_lake.bspj_chars", f)
+          -> f.group.head).toMap
+    }
+    val fnMatches = got.length == want.size &&
+      got.forall { case (p, b) => want.get(p).exists(_ == b) }
+    val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.adaptive.enabled", "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> s.conf.getOption(k))
+    try {
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val perDoc = s.table("graft_lake.bspj_chars")
+        .groupBy("doc_id").agg(sum(col("n_chars")).as("chars"))
+      val aggExchanges = perDoc.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }.length
+      val j = s.table("graft_lake.bspj_chars")
+        .join(s.table("graft_lake.bspj_langs"), "doc_id")
+      val joinExchanges = j.queryExecution.executedPlan.collect {
+        case sj: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+          sj.collect {
+            case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+          }.length
+      }
+      require(joinExchanges.nonEmpty, "graft: p63 expected a sort-merge join")
+      val res = j.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          min(col("lang")).as("min_lang"), max(col("lang")).as("max_lang"))
+        .withColumn("join_exchanges", lit(joinExchanges.max.toLong))
+        .withColumn("agg_exchanges", lit(aggExchanges.toLong))
+        .withColumn("fn_matches_layout", lit(if (fnMatches) 1L else 0L))
+        .orderBy(col("source"))
+      val rows = res.collect() // materialize under the audited confs
+      s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), res.schema)
+    } finally saved.foreach { case (k, vOpt) =>
+      vOpt.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+  }
+
+  val p63Sql: String =
+    """SELECT source,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  MIN(lang) AS min_lang,
+      |  MAX(lang) AS max_lang,
+      |  CAST(0 AS BIGINT) AS join_exchanges,
+      |  CAST(0 AS BIGINT) AS agg_exchanges,
+      |  CAST(1 AS BIGINT) AS fn_matches_layout
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- p64
+  /** STORAGE-PARTITIONED JOIN OVER A TEMPORAL TRANSFORM — the
+    * time-series sibling of p63: two event column families are
+    * hidden-partitioned `days(ts)`, and joining them back on
+    * (event_id, ts) is exchange-free because `days(ts)`'s references
+    * are a subset of the join keys — Catalyst aligns the two scans'
+    * day groups directly. This is the canonical 100 TB log-enrichment
+    * shape: telemetry and its enrichment land day-partitioned by
+    * arrival, and the join never shuffles either side. Day-level
+    * PARTITION PRUNING composes: the ts range filter prunes whole day
+    * groups on both sides BEFORE planning, and the pruned scans still
+    * align key-grouped.
+    *
+    * Inside the hash: per-type joined aggregates over a 10-day window
+    * (cents-exact value sums), `join_exchanges` = 0, and
+    * `groups_pruned_gt0` — the window filter skipped whole day groups
+    * (scan-stats audit), proving pruning and SPJ compose. */
+  def p64TemporalSpj(s: SparkSession, dir: String): DataFrame = {
+    registerLake(s)
+    s.sql("DROP TABLE IF EXISTS graft_lake.tspj_types")
+    s.sql("DROP TABLE IF EXISTS graft_lake.tspj_values")
+    s.sql("""CREATE TABLE graft_lake.tspj_types (event_id BIGINT, ts TIMESTAMP, event_type STRING)
+            |PARTITIONED BY (days(ts))""".stripMargin)
+    s.sql("""CREATE TABLE graft_lake.tspj_values (event_id BIGINT, ts TIMESTAMP, cents BIGINT)
+            |PARTITIONED BY (days(ts))""".stripMargin)
+    val ev = Tables.events(s, dir)
+    ev.select(col("event_id"), col("ts"), col("event_type"))
+      .writeTo("graft_lake.tspj_types").append()
+    ev.select(col("event_id"), col("ts"),
+        expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
+      .writeTo("graft_lake.tspj_values").append()
+    val lo = ev.agg(min(col("ts"))).collect()(0).getTimestamp(0)
+    val hi = new java.sql.Timestamp(lo.getTime + 10L * 86400000L)
+    val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.requireAllClusterKeysForCoPartition",
+      "spark.sql.adaptive.enabled", "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> s.conf.getOption(k))
+    try {
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      // the join clusters on (event_id, ts) — a SUPERSET of the
+      // partitioning's references ({ts}): subset-compatibility is
+      // exactly what this conf unlocks (Spark defaults to demanding
+      // the clustering equal the partition keys verbatim)
+      s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val a = s.table("graft_lake.tspj_types")
+        .filter(col("ts") >= lit(lo) && col("ts") < lit(hi))
+      val b = s.table("graft_lake.tspj_values")
+        .filter(col("ts") >= lit(lo) && col("ts") < lit(hi))
+      val j = a.join(b, Seq("event_id", "ts"))
+      val joinExchanges = j.queryExecution.executedPlan.collect {
+        case sj: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+          sj.collect {
+            case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+          }.length
+      }
+      require(joinExchanges.nonEmpty, "graft: p64 expected a sort-merge join")
+      val res = j.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+        .withColumn("join_exchanges", lit(joinExchanges.max.toLong))
+        .orderBy(col("event_type"))
+      val rows = res.collect()
+      val stats = graft.sources.LakeStore.lastScanStats("graft_lake.tspj_types")
+      val pruned = stats.groupsTotal - stats.groupsScanned
+      s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), res.schema)
+        .withColumn("groups_pruned_gt0", lit(if (pruned > 0) 1L else 0L))
+    } finally saved.foreach { case (k, vOpt) =>
+      vOpt.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+  }
+
+  val p64Sql: String =
+    """WITH w AS (
+      |  SELECT event_id, ts, event_type,
+      |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events
+      |  WHERE ts < (SELECT MIN(ts) FROM events) + INTERVAL 10 DAY)
+      |SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  CAST(0 AS BIGINT) AS join_exchanges,
+      |  CAST(1 AS BIGINT) AS groups_pruned_gt0
+      |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- p65
+  /** WRITE DISTRIBUTION & ORDERING — Iceberg's `write.distribution-mode`
+    * as a DSv2 `RequiresDistributionAndOrdering` write: with the table
+    * property set to `hash`, Spark shuffles incoming rows BY THE
+    * PARTITION TRANSFORM before tasks write, so an append produces ONE
+    * file per partition group instead of (input tasks x groups). This is
+    * the writer-side scale property that keeps the manifest growing with
+    * the DATA rather than with data x cluster width — on a 1000-executor
+    * cluster writing a 4096-bucket table, mode=none means up to 4M files
+    * PER APPEND, mode=hash means 4096. The clustering expression is the
+    * transform itself (`bucket(8, doc_id)`), resolved through the same
+    * [[graft.sources.LakeFunctions]] catalog the read-side SPJ uses —
+    * write routing, read alignment and shuffle clustering are one
+    * definition. Both appends carry identical rows, so the files audit
+    * is isolated to layout.
+    *
+    * Inside the hash: doubled per-source aggregates (the same rows land
+    * under both modes), `none_files` vs `hash_files` behavior flags
+    * (adversarial 16-task input: none writes MORE files than groups,
+    * hash writes EXACTLY one per group), and the group count. */
+  def p65WriteDistribution(s: SparkSession, dir: String): DataFrame = {
+    registerLake(s)
+    val key = "graft_lake.wdist"
+    s.sql(s"DROP TABLE IF EXISTS $key")
+    s.sql(s"""CREATE TABLE $key (doc_id BIGINT, source STRING, n_chars BIGINT)
+             |PARTITIONED BY (bucket(8, doc_id))""".stripMargin)
+    // adversarial input layout: 16 tasks, rows of every bucket in each
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .repartition(16)
+    docs.writeTo(key).append() // v1: mode=none — every task hits every bucket
+    s.sql(s"ALTER TABLE $key SET TBLPROPERTIES " +
+      "('graft.write.distribution-mode' = 'hash')")
+    docs.writeTo(key).append() // hash-clustered: one file per bucket
+    val st = graft.sources.LakeStore.get(key).get
+    def addedAt(v: Int): Int =
+      (st.snapshots(v).files.map(_.path).toSet --
+        st.snapshots(v - 1).files.map(_.path).toSet).size
+    val noneFiles = addedAt(1)
+    val hashFiles = addedAt(st.latestVersion)
+    val groups = st.current.map(_.group).distinct.size
+    s.table(key)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"))
+      .withColumn("n_groups", lit(groups.toLong))
+      .withColumn("none_exploded", lit(if (noneFiles > groups) 1L else 0L))
+      .withColumn("hash_one_per_group", lit(if (hashFiles == groups) 1L else 0L))
+      .orderBy(col("source"))
+  }
+
+  val p65Sql: String =
+    """SELECT source, 2 * COUNT(*) AS n_rows,
+      |  CAST(2 * SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(8 AS BIGINT) AS n_groups,
+      |  CAST(1 AS BIGINT) AS none_exploded,
+      |  CAST(1 AS BIGINT) AS hash_one_per_group
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p65_write_distribution" -> (p65WriteDistribution _),\n    "p64_temporal_spj" -> (p64TemporalSpj _),
+    "p63_bucket_spj" -> (p63BucketSpj _),
     "p62_equality_deletes" -> (p62EqualityDeletes _),
     "p61_row_lineage" -> (p61RowLineage _),
     "p60_merge_schema_evolution" -> (p60MergeSchemaEvolution _),
@@ -4388,6 +4631,8 @@ object PipelineQueries {
   // def, not val: p19Sql embeds Sidecars.oracleDir-keyed paths, which
   // Verify pins at runtime before dumping oracle_sql.json
   def oracle: Map[String, String] = Map(
+    "p65_write_distribution" -> p65Sql,\n    "p64_temporal_spj" -> p64Sql,
+    "p63_bucket_spj" -> p63Sql,
     "p62_equality_deletes" -> p62Sql,
     "p61_row_lineage" -> p61Sql,
     "p60_merge_schema_evolution" -> p60Sql,

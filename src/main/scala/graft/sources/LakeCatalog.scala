@@ -411,7 +411,8 @@ object GraftLake {
 
 class GraftLakeCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.StagingTableCatalog
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
   import org.apache.spark.sql.connector.catalog.StagedTable
   private var catalogName: String = _
 
@@ -422,6 +423,21 @@ class GraftLakeCatalog extends TableCatalog
     LakeProcedures.load(catalogName, ident)
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     LakeProcedures.identifiers(namespace)
+
+  /** The partition-transform FUNCTION CATALOG ([[LakeFunctions]] —
+    * Iceberg's SystemFunctions pattern): Catalyst loads `bucket`/`days`/
+    * ... from here to resolve a transform-partitioned scan's
+    * `KeyGroupedPartitioning` (storage-partitioned joins over hidden
+    * partitioning), and `SELECT graft_lake.bucket(8, id)` makes the
+    * writer's routing SQL-auditable. Served at the root namespace. */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) LakeFunctions.names.map(Identifier.of(namespace, _))
+    else Array.empty
+  override def loadFunction(ident: Identifier):
+      org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    (if (ident.namespace().isEmpty) LakeFunctions.load(ident.name()) else None)
+      .getOrElse(throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident))
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
     catalogName = name
@@ -863,6 +879,26 @@ object GraftLakeTable {
   val FileMetaCol = "_file"
   val PosMetaCol = "_pos"
 
+  /** Raw spec strings -> connector `Transform`s — the ONE rendering
+    * shared by `Table.partitioning()` and the scan's
+    * `outputPartitioning()` (Catalyst resolves both against
+    * [[LakeFunctions]], so the two reports must agree verbatim). */
+  def specTransforms(spec: Seq[String]): Array[org.apache.spark.sql.connector.expressions.Transform] =
+    spec.map { raw =>
+      import org.apache.spark.sql.connector.expressions.Expressions
+      val p = LakeStore.parsePart(raw)
+      p.fn match {
+        case "" => Expressions.identity(p.col)
+        case "days" => Expressions.days(p.col)
+        case "hours" => Expressions.hours(p.col)
+        case "months" => Expressions.months(p.col)
+        case "years" => Expressions.years(p.col)
+        case "bucket" => Expressions.bucket(p.arg, p.col)
+        case "truncate" => Expressions.apply("truncate",
+          Expressions.literal(p.arg), Expressions.column(p.col))
+      }
+    }.toArray
+
   /** `_file` (absolute data-file path) and `_pos` (physical row position
     * in that file) — the merge-on-read rowId, and generally useful scan
     * metadata (the input_file_name of the lake). */
@@ -905,21 +941,8 @@ class GraftLakeTable(val key: String, val tableSchema: StructType,
     key + pinnedVersion.map(v => s"@v$v").getOrElse("")
   override def schema(): StructType = tableSchema
   override def partitioning(): Array[Transform] =
-    LakeStore.get(key).map(_.partitionCols).getOrElse(Nil)
-      .map { raw =>
-        import org.apache.spark.sql.connector.expressions.Expressions
-        val p = LakeStore.parsePart(raw)
-        p.fn match {
-          case "" => Expressions.identity(p.col)
-          case "days" => Expressions.days(p.col)
-          case "hours" => Expressions.hours(p.col)
-          case "months" => Expressions.months(p.col)
-          case "years" => Expressions.years(p.col)
-          case "bucket" => Expressions.bucket(p.arg, p.col)
-          case "truncate" => Expressions.apply("truncate",
-            Expressions.literal(p.arg), Expressions.column(p.col))
-        }
-      }.toArray
+    GraftLakeTable.specTransforms(
+      LakeStore.get(key).map(_.partitionCols).getOrElse(Nil))
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
@@ -1385,12 +1408,17 @@ class LakeScan(key: String, schema: StructType,
     * when `spark.sql.sources.v2.bucketing.enabled` is on, the table has
     * a partition spec, every live file belongs to the CURRENT spec's era
     * (a pre-evolution cohort has keys of another arity — co-location
-    * cannot be promised across eras), all spec columns survive column
-    * pruning, and no pushed LIMIT truncates planning, the scan reports
-    * `KeyGroupedPartitioning` and emits ONE keyed partition per group —
-    * two lake tables partitioned the same way then join with ZERO
-    * exchanges, the decisive shuffle elimination at 100 TB. Off by
-    * default (the conf gates it), so ordinary scans keep bin-packing. */
+    * cannot be promised across eras), all spec SOURCE columns survive
+    * column pruning, and no pushed LIMIT truncates planning, the scan
+    * reports `KeyGroupedPartitioning` and emits ONE keyed partition per
+    * group — two lake tables partitioned the same way then join with
+    * ZERO exchanges, the decisive shuffle elimination at 100 TB.
+    * TRANSFORM specs qualify too (`bucket(8, id)`, `days(ts)`, ...):
+    * Catalyst resolves the reported transform through this catalog's
+    * [[LakeFunctions]] and aligns on the derived keys — bucketing is
+    * the co-location layout for high-cardinality keys, where identity
+    * would make one group per value. Off by default (the conf gates
+    * it), so ordinary scans keep bin-packing. */
   private def keyGroupedSpec: Option[Seq[String]] = {
     val enabled = org.apache.spark.sql.internal.SQLConf.get
       .getConfString("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
@@ -1404,8 +1432,8 @@ class LakeScan(key: String, schema: StructType,
       // files whose keys pass any shape check but mean a different
       // column — treating them as current-spec keys would promise false
       // co-location and return silently wrong join results
-      if (spec.nonEmpty && spec.forall(LakeStore.isIdentitySpec) &&
-          spec.forall(readCols.fieldNames.contains) &&
+      if (spec.nonEmpty &&
+          spec.forall(r => readCols.fieldNames.contains(LakeStore.parsePart(r).col)) &&
           files.forall(f => f.era == era && f.group.length == spec.length))
         Some(spec)
       else None
@@ -1425,8 +1453,8 @@ class LakeScan(key: String, schema: StructType,
       // KeyGroupedPartitioning has nothing to align on
       case Some(spec) if survivingGroups(spec).nonEmpty =>
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-          spec.map(c => org.apache.spark.sql.connector.expressions.Expressions.identity(c)
-            : org.apache.spark.sql.connector.expressions.Expression).toArray,
+          GraftLakeTable.specTransforms(spec)
+            .map(t => t: org.apache.spark.sql.connector.expressions.Expression),
           survivingGroups(spec).length)
       case _ =>
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
@@ -1440,8 +1468,13 @@ class LakeScan(key: String, schema: StructType,
     keyGroupedSpec match {
       case Some(spec) =>
         // SPJ mode: one UNSPLITTABLE partition per group, carrying its
-        // key in Catalyst form for Spark's key-grouped alignment
-        val types = spec.map(c => schema(c).dataType)
+        // key in Catalyst form for Spark's key-grouped alignment — the
+        // key's type is the TRANSFORM's result type (bucket id / day
+        // ordinal INT, identity/truncate keep the source type)
+        val types = spec.map { r =>
+          val p = LakeStore.parsePart(r)
+          LakeStore.partKeyType(p, schema(p.col).dataType)
+        }
         val grouped = survivingGroups(spec)
         val toC = stOpt.map(toChunk).getOrElse((f: LakeStore.FileEntry) =>
           LakeFileChunk(LakeStore.resolvePath(key, f), f.cols, f.rows, Nil, 0L))
@@ -2577,7 +2610,50 @@ class LakeWriteBuilder(key: String, writeSchema: StructType,
       .foreach(f => fs.delete(new Path(LakeStore.dataDir(key), f.path), false))
   }
 
-  override def build(): Write = new Write {
+  /** WRITE DISTRIBUTION & ORDERING (Iceberg's `write.distribution-mode`):
+    * when the table property `graft.write.distribution-mode` is `hash`,
+    * the write REQUIRES a clustering by the partition transforms —
+    * Spark shuffles the incoming rows so each partition group lands in
+    * exactly ONE task, and each append produces ONE file per group
+    * instead of (tasks × groups). At 100 TB this is the difference
+    * between a manifest that grows with the data and a small-file
+    * explosion that grows with data × cluster width. `range` asks for a
+    * global sort on the same expressions (clustered AND ordered output
+    * files); `none` (the default) writes on the query's own layout.
+    * Transform specs cluster on the TRANSFORM (`bucket(8, id)`),
+    * resolved through [[LakeFunctions]] — the write-side twin of the
+    * storage-partitioned-join read path. Both non-none modes also
+    * request a WITHIN-partition sort on the partition expressions, so a
+    * task holding several groups writes them sequentially (one open
+    * file at a time). */
+  private def distributionMode: String = {
+    val m = LakeStore.get(key).map(_.props).getOrElse(Map.empty)
+      .getOrElse("graft.write.distribution-mode", "none")
+    require(m == "none" || m == "hash" || m == "range",
+      s"graft_lake: unknown graft.write.distribution-mode '$m' on $key " +
+        "(none | hash | range)")
+    m
+  }
+
+  override def build(): Write = new Write
+      with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+    import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
+    private val partExprs: Array[org.apache.spark.sql.connector.expressions.Expression] =
+      GraftLakeTable.specTransforms(
+        LakeStore.get(key).map(_.partitionCols).getOrElse(Nil))
+        .map(t => t: org.apache.spark.sql.connector.expressions.Expression)
+    private val active = partExprs.nonEmpty && distributionMode != "none"
+    private def sortOrders: Array[SortOrder] =
+      partExprs.map(e => Expressions.sort(e,
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+    override def requiredDistribution(): Distribution =
+      if (!active) Distributions.unspecified()
+      else if (distributionMode == "range") Distributions.ordered(sortOrders)
+      else Distributions.clustered(partExprs)
+    override def requiredOrdering(): Array[SortOrder] =
+      if (!active) Array.empty else sortOrders
+
     override def toBatch: BatchWrite = new BatchWrite {
       override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
         writerFactory()

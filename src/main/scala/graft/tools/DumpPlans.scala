@@ -224,7 +224,10 @@ object DumpPlans {
         StreamingQueries.st11OuterStreamJoin(spark, dir)),
       ("p54_storage_partitioned_join",
         "STORAGE-PARTITIONED JOIN: both lake scans report KeyGroupedPartitioning (one keyed input partition per partition group), so the per-source aggregations AND the SortMergeJoin between them plan with ZERO ShuffleExchange nodes — look for the missing Exchange between the scans and the join. The published frame is the joined aggregate; join_exchanges=0 is asserted inside the oracle hash.",
-        PipelineQueries.p54StoragePartitionedJoin(spark, dir)))
+        PipelineQueries.p54StoragePartitionedJoin(spark, dir)),
+      ("p63_bucket_spj",
+        "SPJ OVER A BUCKET TRANSFORM: the scans report KeyGroupedPartitioning(bucket(8, doc_id)) and Catalyst resolves the transform through the catalog's FUNCTION CATALOG (LakeFunctions), so the doc_id join AND a groupBy over the bucket source column both plan exchange-free — the co-location layout for high-cardinality keys, where identity partitioning would make one group per value. join_exchanges=0, agg_exchanges=0 and the writer-routing audit are all inside the oracle hash.",
+        PipelineQueries.p63BucketSpj(spark, dir)))
 
     val sb = new StringBuilder
     sb.append("# Flagship physical plans (generated by graft.tools.DumpPlans at sf0.01)\n\n")
@@ -304,6 +307,32 @@ object DumpPlans {
           "Exchange nodes — only sorts sit between the scans and the join. " +
           "At 100 TB this is the decisive shuffle elimination: co-location " +
           "replaces data movement entirely.\n\n" +
+          s"```\n${j.queryExecution.executedPlan.toString.trim.take(4000)}\n```\n")
+      } finally saved.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+    }
+
+    // Same conf-scoped treatment for the TRANSFORM flavor (p63): the
+    // bucket(8, doc_id) join over the tables p63 just built.
+    {
+      import org.apache.spark.sql.functions.col
+      val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+        "spark.sql.adaptive.enabled", "spark.sql.autoBroadcastJoinThreshold")
+        .map(k => k -> spark.conf.getOption(k))
+      try {
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val j = spark.table("graft_lake.bspj_chars")
+          .join(spark.table("graft_lake.bspj_langs"), "doc_id")
+          .filter(col("n_chars") >= 0L)
+        sb.append("\n## statement: bucket-transform storage-partitioned join (p63)\n\n" +
+          "Both scans report KeyGroupedPartitioning(bucket(8, doc_id)); " +
+          "Catalyst resolves `bucket` through the catalog's FunctionCatalog " +
+          "and aligns the two scans' bucket groups directly — the doc_id " +
+          "SortMergeJoin plans with ZERO Exchange nodes over a " +
+          "high-cardinality key that identity partitioning could never " +
+          "co-locate (one group per value).\n\n" +
           s"```\n${j.queryExecution.executedPlan.toString.trim.take(4000)}\n```\n")
       } finally saved.foreach { case (k, v) =>
         v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }

@@ -192,7 +192,10 @@ object ScaleSweep {
       "p59_branch_wap" -> "branches/tags + write-audit-publish (zero-copy refs)",
       "p60_merge_schema_evolution" -> "MERGE WITH SCHEMA EVOLUTION (auto ADD COLUMN)",
       "p61_row_lineage" -> "row lineage (stable ids across UPDATE/OPTIMIZE)",
-      "p62_equality_deletes" -> "equality deletes (write-without-read keyed upsert)")
+      "p62_equality_deletes" -> "equality deletes (write-without-read keyed upsert)",
+      "p63_bucket_spj" -> "SPJ over bucket transform (function-catalog-resolved)",
+      "p64_temporal_spj" -> "SPJ over days transform (+ group pruning composed)",
+      "p65_write_distribution" -> "write distribution-mode hash (one file per group)")
 
     // warm the JVM/codegen on the smallest sf so cold-start lands nowhere
     queries.foreach { case (q, _) =>

@@ -626,6 +626,141 @@ class Round12OpsSpec extends SparkTestBase {
       c.getMessage.toLowerCase.contains("identity")))
   }
 
+  // ----------------- p63/p64 function catalog + SPJ over transforms
+
+  test("p63/partition-transform functions are SQL-callable and agree with the writer's routing") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_lake.fnaudit")
+    spark.sql("""CREATE TABLE graft_lake.fnaudit (id BIGINT, name STRING, ts TIMESTAMP)
+                |PARTITIONED BY (bucket(4, name), days(ts))""".stripMargin)
+    spark.sql("""INSERT INTO graft_lake.fnaudit VALUES
+                |(1, 'alpha', TIMESTAMP'2024-01-05 01:00:00'),
+                |(2, 'beta',  TIMESTAMP'2024-01-05 23:00:00'),
+                |(3, 'gamma', TIMESTAMP'2024-02-02 12:00:00'),
+                |(4, NULL,    TIMESTAMP'2024-02-02 13:00:00')""".stripMargin)
+    // reader-side functions reproduce the writer's routing row-for-row
+    // (and the pruned _file metadata ties each row to its manifest group)
+    val got = spark.sql(
+      """SELECT _file, graft_lake.bucket(4, name) AS b, graft_lake.days(ts) AS d
+        |FROM graft_lake.fnaudit WHERE name IS NOT NULL""".stripMargin)
+      .distinct().collect().map(r => r.getString(0) -> List(r.getInt(1), r.getInt(2)))
+    val want = LakeStore.get("graft_lake.fnaudit").get.current
+      .map(f => LakeStore.resolvePath("graft_lake.fnaudit", f) -> f.group).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (p, g) => assert(want(p) === g, s"fn != manifest for $p") }
+    // nulls route to the null group and the fn agrees
+    assert(want.values.exists(_.head == null))
+    assert(spark.sql("SELECT graft_lake.bucket(4, CAST(NULL AS STRING))")
+      .collect()(0).isNullAt(0))
+    // spot values for the whole roster (epoch ordinals per LakeStore.partKey)
+    val spot = spark.sql(
+      """SELECT graft_lake.months(TIMESTAMP'2024-02-02 12:00:00'),
+        |       graft_lake.years(TIMESTAMP'2024-02-02 12:00:00'),
+        |       graft_lake.hours(TIMESTAMP'2024-01-01 02:30:00'),
+        |       graft_lake.truncate(4, 'alpha-one'),
+        |       graft_lake.truncate(10, CAST(-13 AS BIGINT))""".stripMargin).collect()(0)
+    assert(spot.getInt(0) === 649 && spot.getInt(1) === 54 &&
+      spot.getInt(2) === 473354 && spot.getString(3) === "alph" &&
+      spot.getLong(4) === -20L)
+    // unsupported source types refuse to bind, loudly
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_lake.bucket(4, CAST(1.5 AS DOUBLE))").collect()
+    }
+    assert(causes(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("unsupported")))
+  }
+
+  test("p63/SPJ over a bucket transform joins exchange-free; same-arity bucket evolution disarms it") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_lake.bspja")
+    spark.sql("DROP TABLE IF EXISTS graft_lake.bspjb")
+    spark.sql("""CREATE TABLE graft_lake.bspja (id BIGINT, v BIGINT)
+                |PARTITIONED BY (bucket(4, id))""".stripMargin)
+    spark.sql("""CREATE TABLE graft_lake.bspjb (id BIGINT, w BIGINT)
+                |PARTITIONED BY (bucket(4, id))""".stripMargin)
+    import spark.implicits._
+    (0L until 64L).map(i => (i, i)).toDF("id", "v").writeTo("graft_lake.bspja").append()
+    (0L until 64L).map(i => (i, i * 10)).toDF("id", "w").writeTo("graft_lake.bspjb").append()
+    val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.adaptive.enabled", "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def plan() = spark.table("graft_lake.bspja")
+        .join(spark.table("graft_lake.bspjb"), "id")
+      def exchanges() = plan().queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }.length
+      def sums() = plan().agg(sum("v"), sum("w")).collect()(0)
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      val off = sums(); assert(exchanges() > 0)
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      assert(exchanges() === 0,
+        "bucket-transform SPJ left a shuffle in the join")
+      assert(sums() === off)
+      // SAME-ARITY transform evolution bucket(4) -> bucket(8): old files'
+      // keys are 0..3-valued and SHAPE-compatible with the new spec, but
+      // mean different buckets — the era gate must disarm SPJ
+      GraftLake.setPartitionSpec("graft_lake.bspja", Seq("bucket(8, id)"))
+      assert(exchanges() > 0,
+        "SPJ stayed armed across a same-arity bucket evolution")
+      assert(sums() === off)
+    } finally saved.foreach { case (k, vOpt) =>
+      vOpt.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
+  // ----------------- p65 write distribution & ordering
+
+  test("p65/write distribution: hash clusters by partition key, range sorts, none stays put") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_lake.wdm")
+    spark.sql("""CREATE TABLE graft_lake.wdm (id BIGINT, grp STRING, v BIGINT)
+                |PARTITIONED BY (grp)""".stripMargin)
+    import spark.implicits._
+    def batch() = (0L until 96L).map(i => (i, s"g${i % 3}", i))
+      .toDF("id", "grp", "v").repartition(8)
+    def addedFiles(): Int = {
+      val st = LakeStore.get("graft_lake.wdm").get
+      val v = st.latestVersion
+      (st.snapshots(v).files.map(_.path).toSet --
+        st.snapshots(v - 1).files.map(_.path).toSet).size
+    }
+    batch().writeTo("graft_lake.wdm").append()
+    assert(addedFiles() > 3, "mode=none should write on the query layout")
+    spark.sql("ALTER TABLE graft_lake.wdm SET TBLPROPERTIES " +
+      "('graft.write.distribution-mode' = 'hash')")
+    batch().writeTo("graft_lake.wdm").append()
+    assert(addedFiles() === 3, "mode=hash must write one file per group")
+    spark.sql("ALTER TABLE graft_lake.wdm SET TBLPROPERTIES " +
+      "('graft.write.distribution-mode' = 'range')")
+    batch().writeTo("graft_lake.wdm").append()
+    assert(addedFiles() === 3, "mode=range must also co-locate groups")
+    // all three layouts carry the same rows
+    assert(spark.table("graft_lake.wdm").groupBy("grp").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      === Map("g0" -> 96L, "g1" -> 96L, "g2" -> 96L))
+    // row-level ops flow through the same distributed write path
+    spark.sql("UPDATE graft_lake.wdm SET v = v + 1 WHERE grp = 'g1'")
+    assert(spark.table("graft_lake.wdm").filter(col("grp") === "g1")
+      .agg(sum("v")).collect()(0).getLong(0)
+      === 3 * (0L until 96L).filter(_ % 3 == 1).sum + 96L)
+    // unknown modes refuse loudly; unpartitioned tables are a no-op
+    spark.sql("ALTER TABLE graft_lake.wdm SET TBLPROPERTIES " +
+      "('graft.write.distribution-mode' = 'zorder')")
+    val e = intercept[Exception] {
+      batch().writeTo("graft_lake.wdm").append()
+    }
+    assert(causes(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("distribution-mode")))
+    spark.sql("DROP TABLE IF EXISTS graft_lake.wdm2")
+    spark.sql("CREATE TABLE graft_lake.wdm2 (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.write.distribution-mode' = 'hash')")
+    (0L until 8L).map(i => (i, i)).toDF("id", "v")
+      .writeTo("graft_lake.wdm2").append()
+    assert(spark.table("graft_lake.wdm2").count() === 8L)
+  }
+
   test("p58/merge-on-read writers conflict-check their deletion vectors too") {
     val key = occTable("occ_mor",
       props = " TBLPROPERTIES ('graft.merge-on-read' = 'true')")
