@@ -4563,8 +4563,148 @@ object PipelineQueries {
       |  CAST(1 AS BIGINT) AS hash_one_per_group
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- p66
+  /** COMPATIBLE BUCKET COUNTS + ONE-SIDE SHUFFLE — the two SPJ variants
+    * that keep shuffles off MISMATCHED layouts. (1) A bucket(16, doc_id)
+    * table joins a bucket(8, doc_id) table with ZERO exchanges: the
+    * bucket function is a `ReducibleFunction`, so the 16-side reduces
+    * each bucket id mod 8 — sound because `(h mod 16) mod 8 == h mod 8`
+    * — and Spark aligns two fine groups onto each coarse one (Iceberg's
+    * compatible-transforms behavior; at 100 TB this is what lets a
+    * re-bucketed table keep joining its old-layout peers exchange-free
+    * through a gradual migration). (2) The same bucketed table joins a
+    * PLAIN unpartitioned view with exactly ONE exchange: Spark shuffles
+    * only the unpartitioned side, computing its bucket ids by evaluating
+    * the catalog's own `bucket` function — the storage side never moves
+    * (`v2.bucketing.shuffle.enabled`).
+    *
+    * Inside the hash: per-source aggregates of the 16<->8 join,
+    * `compat_exchanges` = 0, `oneside_exchanges` = 1 (the plain side's
+    * single shuffle), and the one-side join's row count. */
+  def p66CompatBucketJoin(s: SparkSession, dir: String): DataFrame = {
+    registerLake(s)
+    s.sql("DROP TABLE IF EXISTS graft_lake.cb16")
+    s.sql("DROP TABLE IF EXISTS graft_lake.cb8")
+    s.sql("""CREATE TABLE graft_lake.cb16 (doc_id BIGINT, source STRING, n_chars BIGINT)
+            |PARTITIONED BY (bucket(16, doc_id))""".stripMargin)
+    s.sql("""CREATE TABLE graft_lake.cb8 (doc_id BIGINT, lang STRING)
+            |PARTITIONED BY (bucket(8, doc_id))""".stripMargin)
+    val docs = Tables.documents(s, dir)
+    docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .writeTo("graft_lake.cb16").append()
+    docs.select(col("doc_id"), col("lang"))
+      .writeTo("graft_lake.cb8").append()
+    docs.select(col("doc_id"), col("lang"))
+      .createOrReplaceTempView("p66_plain")
+    val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled",
+      "spark.sql.sources.v2.bucketing.shuffle.enabled",
+      "spark.sql.adaptive.enabled", "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> s.conf.getOption(k))
+    try {
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      s.conf.set("spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled", "true")
+      s.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def joinExchanges(j: DataFrame): Int = {
+        val counts = j.queryExecution.executedPlan.collect {
+          case sj: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+            sj.collect {
+              case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+            }.length
+        }
+        require(counts.nonEmpty, "graft: p66 expected a sort-merge join")
+        counts.max
+      }
+      val compat = s.table("graft_lake.cb16")
+        .join(s.table("graft_lake.cb8"), "doc_id")
+      val compatEx = joinExchanges(compat)
+      val oneSide = s.table("graft_lake.cb16")
+        .join(s.table("p66_plain").hint("SHUFFLE_MERGE"), "doc_id")
+      val oneSideEx = joinExchanges(oneSide)
+      val oneSideRows = oneSide.count()
+      val res = compat.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          max(col("lang")).as("max_lang"))
+        .withColumn("compat_exchanges", lit(compatEx.toLong))
+        .withColumn("oneside_exchanges", lit(oneSideEx.toLong))
+        .withColumn("oneside_rows", lit(oneSideRows))
+        .orderBy(col("source"))
+      val rows = res.collect()
+      s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), res.schema)
+    } finally saved.foreach { case (k, vOpt) =>
+      vOpt.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+  }
+
+  val p66Sql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  MAX(lang) AS max_lang,
+      |  CAST(0 AS BIGINT) AS compat_exchanges,
+      |  CAST(1 AS BIGINT) AS oneside_exchanges,
+      |  CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS oneside_rows
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- p67
+  /** DESCRIBE DETAIL + MANIFEST FILE SIZES — Delta's `DESCRIBE DETAIL`
+    * as a one-row `.detail` metadata table, fed by on-disk sizes the
+    * manifest now carries per file (Iceberg/Delta both do): the writer
+    * stats each closed parquet once at task commit, so "how big is this
+    * table, how many files, how much delete debt" is a METADATA read —
+    * no filesystem listing, no data scan, O(1) at 100 TB. The `.files`
+    * table exposes the same per-file `bytes`, which is what maintenance
+    * planning (compaction targets, vacuum audits) keys off.
+    *
+    * Inside the hash: the detail row's deterministic fields (row count,
+    * file count under hash-distributed writes = groups x appends,
+    * commit/ref/property counts, partition columns, name/format) plus
+    * two size audits — size_bytes > 0 and sum(.files.bytes) ==
+    * detail.size_bytes. */
+  def p67DescribeDetail(s: SparkSession, dir: String): DataFrame = {
+    registerLake(s)
+    val key = "graft_lake.dd"
+    s.sql(s"DROP TABLE IF EXISTS $key")
+    s.sql(s"""CREATE TABLE $key (doc_id BIGINT, source STRING, n_chars BIGINT)
+             |PARTITIONED BY (source)
+             |TBLPROPERTIES ('graft.write.distribution-mode' = 'hash')""".stripMargin)
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    docs.writeTo(key).append() // v1: one file per source group
+    docs.writeTo(key).append() // v2: again — num_files = 2 x groups
+    val filesSum = s.sql(s"SELECT CAST(COALESCE(SUM(bytes), 0) AS BIGINT) FROM $key.files")
+      .collect()(0).getLong(0)
+    s.table(s"$key.detail")
+      .withColumn("size_pos", lit(1L) * (col("size_bytes") > 0L).cast("long"))
+      .withColumn("files_bytes_match",
+        lit(1L) * (col("size_bytes") === lit(filesSum)).cast("long"))
+      .select(col("name"), col("format"), col("num_files"), col("rows").as("n_rows"),
+        col("partition_columns"), col("num_commits"), col("num_refs"),
+        col("num_properties"), col("num_live_dvs"), col("num_eq_deletes"),
+        col("size_pos"), col("files_bytes_match"))
+  }
+
+  val p67Sql: String =
+    """SELECT 'graft_lake.dd' AS name, 'graft_lake' AS format,
+      |  CAST(2 * COUNT(DISTINCT source) AS BIGINT) AS num_files,
+      |  CAST(2 * COUNT(*) AS BIGINT) AS n_rows,
+      |  'source' AS partition_columns,
+      |  CAST(3 AS BIGINT) AS num_commits,
+      |  CAST(1 AS BIGINT) AS num_refs,
+      |  CAST(1 AS BIGINT) AS num_properties,
+      |  CAST(0 AS BIGINT) AS num_live_dvs,
+      |  CAST(0 AS BIGINT) AS num_eq_deletes,
+      |  CAST(1 AS BIGINT) AS size_pos,
+      |  CAST(1 AS BIGINT) AS files_bytes_match
+      |FROM documents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "p65_write_distribution" -> (p65WriteDistribution _),\n    "p64_temporal_spj" -> (p64TemporalSpj _),
+    "p67_describe_detail" -> (p67DescribeDetail _),
+    "p66_compat_bucket_join" -> (p66CompatBucketJoin _),
+    "p65_write_distribution" -> (p65WriteDistribution _),
+    "p64_temporal_spj" -> (p64TemporalSpj _),
     "p63_bucket_spj" -> (p63BucketSpj _),
     "p62_equality_deletes" -> (p62EqualityDeletes _),
     "p61_row_lineage" -> (p61RowLineage _),
@@ -4631,7 +4771,10 @@ object PipelineQueries {
   // def, not val: p19Sql embeds Sidecars.oracleDir-keyed paths, which
   // Verify pins at runtime before dumping oracle_sql.json
   def oracle: Map[String, String] = Map(
-    "p65_write_distribution" -> p65Sql,\n    "p64_temporal_spj" -> p64Sql,
+    "p67_describe_detail" -> p67Sql,
+    "p66_compat_bucket_join" -> p66Sql,
+    "p65_write_distribution" -> p65Sql,
+    "p64_temporal_spj" -> p64Sql,
     "p63_bucket_spj" -> p63Sql,
     "p62_equality_deletes" -> p62Sql,
     "p61_row_lineage" -> p61Sql,

@@ -2344,7 +2344,7 @@ object LakeDerivedColumns {
 object LakeMetaTable {
   import org.apache.spark.sql.types.{BooleanType, LongType, StringType}
 
-  val kinds: Set[String] = Set("history", "files", "partitions", "refs")
+  val kinds: Set[String] = Set("history", "files", "partitions", "refs", "detail")
 
   def schemaOf(kind: String): StructType = kind match {
     case "partitions" => StructType(Seq(
@@ -2369,7 +2369,23 @@ object LakeMetaTable {
       StructField("rows", LongType, nullable = false),
       StructField("n_cols", LongType, nullable = false),
       // rows hidden by live deletion vectors (merge-on-read tables)
-      StructField("dv_rows", LongType, nullable = false)))
+      StructField("dv_rows", LongType, nullable = false),
+      // on-disk parquet size from the manifest (0 = pre-bytes manifest)
+      StructField("bytes", LongType, nullable = false)))
+    // Delta's DESCRIBE DETAIL, one row: the table's operational footprint
+    // straight from the manifest — no filesystem listing, no data reads
+    case "detail" => StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("format", StringType, nullable = false),
+      StructField("num_files", LongType, nullable = false),
+      StructField("size_bytes", LongType, nullable = false),
+      StructField("rows", LongType, nullable = false),
+      StructField("partition_columns", StringType, nullable = false),
+      StructField("num_commits", LongType, nullable = false),
+      StructField("num_refs", LongType, nullable = false),
+      StructField("num_properties", LongType, nullable = false),
+      StructField("num_live_dvs", LongType, nullable = false),
+      StructField("num_eq_deletes", LongType, nullable = false)))
     // Iceberg's refs table: one row per named ref (branch/tag) plus main
     case "refs" => StructType(Seq(
       StructField("name", StringType, nullable = false),
@@ -2422,8 +2438,19 @@ object LakeMetaTable {
         df -> es.map(_.rows).sum }
       st.current.map { f =>
         Vector[Any](f.path, partLabel(st, f.group),
-          f.rows, f.cols.length.toLong, dvRows.getOrElse(f.path, 0L))
+          f.rows, f.cols.length.toLong, dvRows.getOrElse(f.path, 0L), f.bytes)
       }
+    case "detail" =>
+      Vector(Vector[Any](st.key, "graft_lake",
+        st.current.length.toLong,
+        st.current.map(_.bytes).sum,
+        st.current.map(_.rows).sum - st.deletes.map(_.rows).sum,
+        st.partitionCols.mkString(","),
+        (st.latestVersion + 1).toLong,
+        st.refNames.length.toLong + 1L, // named refs + main
+        st.props.size.toLong,
+        st.deletes.length.toLong,
+        st.eqDeletes.length.toLong))
     case "refs" =>
       def liveRows(v: Int): Long = {
         val s = st.snapshots(v)
@@ -3093,9 +3120,16 @@ class LakeWriterFactory(dataDir: String, schema: StructType,
 
       override def commit(): WriterCommitMessage = {
         open.values.foreach(_.writer.close())
+        // on-disk size lands in the manifest (Iceberg/Delta both carry
+        // it): one task-side stat per closed file, consumed by the
+        // .files/.detail metadata tables and maintenance planning —
+        // never a read-path scan of the data directory
+        val fs = new Path(dataDir).getFileSystem(new Configuration())
         LakeCommit(open.map { case (group, f) =>
+          val len = try fs.getFileStatus(new Path(dataDir, f.relPath)).getLen
+            catch { case _: Exception => 0L }
           LakeStore.FileEntry(f.relPath, group, f.rows, colNames.toSeq, f.zones,
-            f.blooms)
+            f.blooms, bytes = len)
         }.toSeq)
       }
 

@@ -58,11 +58,37 @@ object LakeFunctions {
       s"graft_lake: unsupported transform input type ${other.simpleString}")
   }
 
+  /** Marker for [[BucketUnbound]]'s bound instances — reducer
+    * compatibility must only ever fire between two graft bucket
+    * functions (each `bind` returns a fresh anonymous instance, so
+    * identity cannot tell). */
+  private trait GraftBucketFn
+
+  /** `bucket_n -> bucket_m` group-key reduction — ships INSIDE the plan
+    * (`StoragePartitionJoinParams`), so it must serialize standalone
+    * (the `Reducer` interface itself is not `Serializable`). */
+  private final case class BucketReducer(m: Int)
+      extends org.apache.spark.sql.connector.catalog.functions.Reducer[Integer, Integer]
+      with Serializable {
+    override def reduce(v: Integer): Integer =
+      if (v == null) null else Integer.valueOf(v % m)
+  }
+
   /** `bucket(N, col)` — murmur3 over canonical bytes, mod N. The
     * canonical name is type-blind ON PURPOSE: integral canonicalization
     * pads to long bytes, so bucket(8, int_col) and bucket(8, bigint_col)
-    * agree row-for-row and may legally co-partition. */
+    * agree row-for-row and may legally co-partition.
+    *
+    * Also a [[ReducibleFunction]] (Iceberg's compatible-bucket-counts
+    * move): when two joined tables bucket the same key with counts n
+    * and m where m divides n, the n-side REDUCES each bucket id mod m —
+    * sound because `(h mod n) mod m == h mod m` exactly when m | n —
+    * and the storage-partitioned join still plans with zero exchanges,
+    * two-to-one group alignment instead of a full shuffle. Gated by
+    * Spark's `spark.sql.sources.v2.bucketing.allowCompatibleTransforms
+    * .enabled`. */
   private object BucketUnbound extends UnboundFunction {
+    import org.apache.spark.sql.connector.catalog.functions.{Reducer, ReducibleFunction}
     override def name(): String = "bucket"
     override def description(): String =
       "bucket(numBuckets, col) — graft_lake partition transform (murmur3)"
@@ -75,7 +101,8 @@ object LakeFunctions {
         case other => throw new UnsupportedOperationException(
           s"graft_lake: bucket over ${other.simpleString} unsupported")
       }
-      new ScalarFunction[Integer] {
+      new ScalarFunction[Integer] with ReducibleFunction[Integer, Integer]
+          with GraftBucketFn {
         override def inputTypes(): Array[DataType] = Array(IntegerType, src)
         override def resultType(): DataType = IntegerType
         override def name(): String = "bucket"
@@ -84,6 +111,14 @@ object LakeFunctions {
           if (row.isNullAt(1)) null
           else pk("bucket", row.getInt(0), storedAt(row, 1, src))
             .asInstanceOf[Integer]
+        override def reducer(thisN: Int,
+            other: ReducibleFunction[_, _], otherN: Int): Reducer[Integer, Integer] =
+          other match {
+            case _: GraftBucketFn if otherN > 0 && thisN != otherN &&
+                thisN % otherN == 0 =>
+              BucketReducer(otherN)
+            case _ => null // incompatible counts: no reduction exists
+          }
       }
     }
   }

@@ -73,7 +73,7 @@ object LakeStore {
   final case class FileEntry(path: String, group: List[Any], rows: Long,
       cols: Seq[String], zones: Map[String, (Any, Any)],
       blooms: Map[String, String] = Map.empty, era: Int = 0,
-      seq: Int = 0)
+      seq: Int = 0, bytes: Long = 0L)
 
   /** One EQUALITY DELETE (Iceberg v2's second delete-file flavor):
     * "delete every row whose `cols` values appear in the key sets of
@@ -1551,6 +1551,7 @@ object LakeStore {
       "rows" -> JInt(BigInt(f.rows)),
       "era" -> JInt(BigInt(f.era)),
       "seq" -> JInt(BigInt(f.seq)),
+      "bytes" -> JInt(BigInt(f.bytes)),
       "cols" -> JArray(f.cols.map(JString(_)).toList),
       "zones" -> JObject(f.zones.toList.map { case (c, (mn, mx)) =>
         c -> (JArray(List(jval(mn), jval(mx))): JValue)
@@ -1590,6 +1591,8 @@ object LakeStore {
     FileEntry(str(o("path")), group, num(o("rows")).longValue(),
       o("cols").asInstanceOf[JArray].arr.map(str), zones, blooms,
       era = o.get("era").map(num(_).intValue()).getOrElse(0),
-      seq = o.get("seq").map(num(_).intValue()).getOrElse(0))
+      seq = o.get("seq").map(num(_).intValue()).getOrElse(0),
+      // pre-bytes manifests read 0 — "size unknown", never wrong
+      bytes = o.get("bytes").map(num(_).longValue()).getOrElse(0L))
   }
 }

@@ -710,6 +710,113 @@ class Round12OpsSpec extends SparkTestBase {
       vOpt.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  // ----------------- p67 manifest file sizes + DESCRIBE DETAIL
+
+  test("p67/manifest bytes equal filesystem truth, survive cold replay, refresh on rewrite") {
+    val key = occTable("detail1")
+    import spark.implicits._
+    val dir = LakeStore.dataDir(key)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    def fsLen(rel: String): Long =
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(dir, rel)).getLen
+    def st() = LakeStore.get(key).get
+    assert(st().current.nonEmpty)
+    st().current.foreach(f => assert(f.bytes === fsLen(f.path) && f.bytes > 0L))
+    // cold replay (log) and checkpoint replay both round-trip bytes
+    LakeStore.invalidateCache(key)
+    st().current.foreach(f => assert(f.bytes === fsLen(f.path)))
+    (0 until 12).foreach { i => // push past the 10-commit checkpoint
+      Seq((100L + i, "g0", 1L)).toDF("id", "grp", "v").writeTo(key).append()
+    }
+    LakeStore.invalidateCache(key)
+    assert(LakeStore.lastReplayStats(key).checkpoint.nonEmpty)
+    st().current.foreach(f => assert(f.bytes === fsLen(f.path) && f.bytes > 0L))
+    // a rewrite's files carry their own fresh sizes
+    GraftLake.optimize(spark, key, "id", 2)
+    st().current.foreach(f => assert(f.bytes === fsLen(f.path) && f.bytes > 0L))
+    // .files agrees with the manifest; .detail aggregates it
+    val filesBytes = spark.sql(s"SELECT path, bytes FROM $key.files").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(filesBytes === st().current.map(f => f.path -> f.bytes).toMap)
+    val d = spark.table(s"$key.detail").collect()(0)
+    assert(d.getAs[String]("name") === key)
+    assert(d.getAs[Long]("num_files") === st().current.length.toLong)
+    assert(d.getAs[Long]("size_bytes") === st().current.map(_.bytes).sum)
+    assert(d.getAs[Long]("rows") === 24L)
+    assert(d.getAs[String]("partition_columns") === "grp")
+    assert(d.getAs[Long]("num_commits") === st().latestVersion + 1L)
+  }
+
+  test("p67/detail counts delete debt: live DVs and equality deletes") {
+    val key = occTable("detail2",
+      props = " TBLPROPERTIES ('graft.merge-on-read' = 'true')")
+    spark.sql(s"DELETE FROM $key WHERE id = 1")
+    import spark.implicits._
+    GraftLake.upsert(Seq((2L, "g2", 22L)).toDF("id", "grp", "v"), key, Seq("id"))
+    val d = spark.table(s"$key.detail").collect()(0)
+    assert(d.getAs[Long]("num_live_dvs") === 1L)
+    assert(d.getAs[Long]("num_eq_deletes") === 1L)
+    assert(d.getAs[Long]("num_properties") === 1L)
+  }
+
+  // ----------------- p66 compatible bucket counts + one-side shuffle
+
+  test("p66/bucket(16) joins bucket(8) exchange-free; non-divisible counts fall back; one-side shuffle") {
+    registerCatalog()
+    Seq("cba" -> 16, "cbb" -> 8, "cbc" -> 6).foreach { case (t, n) =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_lake.$t")
+      spark.sql(s"""CREATE TABLE graft_lake.$t (id BIGINT, v BIGINT)
+                   |PARTITIONED BY (bucket($n, id))""".stripMargin)
+      import spark.implicits._
+      (0L until 128L).map(i => (i, i * 10)).toDF("id", "v")
+        .writeTo(s"graft_lake.$t").append()
+    }
+    import spark.implicits._
+    (0L until 128L).map(i => (i, i)).toDF("id", "w")
+      .createOrReplaceTempView("p66t_plain")
+    val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled",
+      "spark.sql.sources.v2.bucketing.shuffle.enabled",
+      "spark.sql.adaptive.enabled", "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      spark.conf.set("spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled", "true")
+      spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def exchanges(j: org.apache.spark.sql.DataFrame): Int =
+        j.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+        }.length
+      def check(j: org.apache.spark.sql.DataFrame, wSum: Long): Unit =
+        assert(j.agg(sum("v"), sum("w"), count(lit(1))).collect()(0).toSeq
+          === Seq((0L until 128L).map(_ * 10).sum, wSum, 128L))
+      // m | n: the 16-side reduces mod 8, zero exchanges
+      val compat = spark.table("graft_lake.cba")
+        .join(spark.table("graft_lake.cbb").withColumnRenamed("v", "w"), "id")
+      assert(exchanges(compat) === 0,
+        "compatible bucket counts (16 vs 8) still shuffled")
+      check(compat, (0L until 128L).map(_ * 10).sum)
+      // 16 vs 6: no reducer exists — falls back to shuffling, same rows
+      val incompat = spark.table("graft_lake.cba")
+        .join(spark.table("graft_lake.cbc").withColumnRenamed("v", "w"), "id")
+      assert(exchanges(incompat) > 0)
+      check(incompat, (0L until 128L).map(_ * 10).sum)
+      // storage side vs plain view: ONE exchange (the plain side only),
+      // its partitioner evaluating the catalog's own bucket function
+      val oneSide = spark.table("graft_lake.cba")
+        .join(spark.table("p66t_plain"), "id")
+      assert(exchanges(oneSide) === 1,
+        s"one-side shuffle expected exactly 1 exchange, got ${exchanges(oneSide)}")
+      check(oneSide, (0L until 128L).sum)
+    } finally saved.foreach { case (k, vOpt) =>
+      vOpt.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   // ----------------- p65 write distribution & ordering
 
   test("p65/write distribution: hash clusters by partition key, range sorts, none stays put") {
