@@ -4700,7 +4700,77 @@ object PipelineQueries {
       |  CAST(1 AS BIGINT) AS files_bytes_match
       |FROM documents""".stripMargin
 
+  // ---------------------------------------------------------------- p68
+  /** AGGREGATE PUSHDOWN — COUNT(*)/COUNT(col)/MIN/MAX answered entirely
+    * from the manifest (`SupportsPushDownAggregates`, complete-pushdown
+    * only): row counts, WRITE-TIME NULL COUNTS (Iceberg's
+    * null_value_counts, recorded per column per file by the writer) and
+    * zone min/max produce the one final row with ZERO data files opened
+    * — `SELECT count(*) FROM t` on a 100 TB table is a driver-side
+    * metadata read. All-or-nothing with loud refusal gates: GROUP BY
+    * (pre-evolution group keys are era-scoped), live DVs / equality
+    * deletes (they hide rows the manifest counts), AVG/SUM/DISTINCT,
+    * float/double (NaN never enters a zone) and string (UTF-16 manifest
+    * order vs Catalyst's UTF-8) MIN/MAX — each falls back to reading
+    * data with identical results.
+    *
+    * Inside the hash: the pushed aggregates (count star, a null-count-
+    * driven COUNT(col), min/max of doc_id and n_chars) with
+    * pushed_before=1 proving the manifest answered, then a merge-on-read
+    * DELETE lands deletion vectors and the SAME aggregates recompute
+    * from data (pushed_after=0) with the deleted rows gone. */
+  def p68AggPushdown(s: SparkSession, dir: String): DataFrame = {
+    registerLake(s)
+    val key = "graft_lake.aggpd"
+    s.sql(s"DROP TABLE IF EXISTS $key")
+    s.sql(s"""CREATE TABLE $key (doc_id BIGINT, source STRING, n_chars BIGINT, opt BIGINT)
+             |PARTITIONED BY (source)
+             |TBLPROPERTIES ('graft.merge-on-read' = 'true')""".stripMargin)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        when(col("doc_id") % 3 === 0, lit(null)).otherwise(col("n_chars"))
+          .cast("bigint").as("opt"))
+      .writeTo(key).append()
+    def aggScans(df: DataFrame): Long = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+          if b.scan.isInstanceOf[graft.sources.LakeAggScan] => b
+    }.length.toLong
+    val before = s.table(key).agg(
+      count(lit(1)).as("n"), count(col("opt")).as("nopt"),
+      min(col("doc_id")).as("mnid"), max(col("doc_id")).as("mxid"),
+      min(col("n_chars")).as("mnch"), max(col("n_chars")).as("mxch"))
+    val pushedBefore = aggScans(before)
+    val b = before.collect()(0)
+    s.sql(s"DELETE FROM $key WHERE doc_id % 100 = 0")
+    val after = s.table(key).agg(count(lit(1)).as("n"), max(col("n_chars")).as("mxch"))
+    val pushedAfter = aggScans(after)
+    val a = after.collect()(0)
+    s.range(1).select(
+      lit(b.getLong(0)).as("n_before"), lit(b.getLong(1)).as("n_opt"),
+      lit(b.getLong(2)).as("min_id"), lit(b.getLong(3)).as("max_id"),
+      lit(b.getLong(4)).as("min_chars"), lit(b.getLong(5)).as("max_chars"),
+      lit(pushedBefore).as("pushed_before"),
+      lit(a.getLong(0)).as("n_after"), lit(a.getLong(1)).as("max_chars_after"),
+      lit(pushedAfter).as("pushed_after"))
+  }
+
+  val p68Sql: String =
+    """SELECT
+      |  CAST(COUNT(*) AS BIGINT) AS n_before,
+      |  CAST(COUNT(CASE WHEN doc_id % 3 = 0 THEN NULL ELSE n_chars END) AS BIGINT) AS n_opt,
+      |  CAST(MIN(doc_id) AS BIGINT) AS min_id,
+      |  CAST(MAX(doc_id) AS BIGINT) AS max_id,
+      |  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+      |  CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+      |  CAST(1 AS BIGINT) AS pushed_before,
+      |  CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 100 <> 0) AS BIGINT) AS n_after,
+      |  CAST((SELECT MAX(n_chars) FROM documents WHERE doc_id % 100 <> 0) AS BIGINT)
+      |    AS max_chars_after,
+      |  CAST(0 AS BIGINT) AS pushed_after
+      |FROM documents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p68_agg_pushdown" -> (p68AggPushdown _),
     "p67_describe_detail" -> (p67DescribeDetail _),
     "p66_compat_bucket_join" -> (p66CompatBucketJoin _),
     "p65_write_distribution" -> (p65WriteDistribution _),
@@ -4771,6 +4841,7 @@ object PipelineQueries {
   // def, not val: p19Sql embeds Sidecars.oracleDir-keyed paths, which
   // Verify pins at runtime before dumping oracle_sql.json
   def oracle: Map[String, String] = Map(
+    "p68_agg_pushdown" -> p68Sql,
     "p67_describe_detail" -> p67Sql,
     "p66_compat_bucket_join" -> p66Sql,
     "p65_write_distribution" -> p65Sql,

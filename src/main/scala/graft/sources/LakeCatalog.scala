@@ -1221,12 +1221,132 @@ class LakeScanBuilder(key: String, schema: StructType, pinnedVersion: Option[Int
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownV2Filters
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
 
   private var pushed: Array[V2Predicate] = Array.empty
   private var required: StructType = schema
   private var limit: Option[Int] = None
+  private var aggAnswer: Option[(StructType, Seq[Any])] = None
+
+  /** AGGREGATE PUSHDOWN (Iceberg parity): COUNT(*) / COUNT(col) /
+    * MIN(col) / MAX(col) answered ENTIRELY from the manifest — row
+    * counts, write-time null counts and zone min/max — so the query
+    * opens ZERO data files at any scale. Complete-pushdown only: the
+    * scan emits the one final row, or the whole attempt is refused and
+    * Spark computes normally. Spark itself only offers the aggregate
+    * when no residual Filter sits above the scan (every predicate we
+    * accept stays residual), so a WHERE clause disables this for free.
+    *
+    * Refusal gates — each names the wrong answer it prevents:
+    *  - GROUP BY anything: group keys would have to come from the
+    *    manifest's group tuples, which pre-evolution files key by an
+    *    OLDER spec (the SPJ era lesson) — refused, like Iceberg.
+    *  - live deletion vectors / equality deletes: manifest row counts
+    *    include rows those hide.
+    *  - COUNT(DISTINCT), AVG, SUM, anything else: not derivable from
+    *    (rows, nulls, min, max).
+    *  - COUNT(col) when any live file containing the column predates
+    *    null-count manifests: its non-null count is unknown.
+    *  - MIN/MAX on float/double (a NaN never enters a zone: zones
+    *    order by cmp, so a file of NaNs would report a finite extreme),
+    *    on strings (zones hold JVM UTF-16 code-unit order; Catalyst
+    *    compares UTF-8 bytes — they disagree beyond the BMP), or on
+    *    any type the manifest doesn't zone.
+    *  - MIN/MAX when a file has no zone for the column and its null
+    *    count cannot PROVE the column all-null there. */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    resolveAggregation(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    // partial pushdown (supportComplete false, push true) is never
+    // taken: we either answer exactly or let Spark read the data
+    val r = resolveAggregation(agg)
+    aggAnswer = r.orElse(aggAnswer)
+    r.isDefined
+  }
+
+  private def singleCol(
+      e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference
+          if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0))
+      case _ => None
+    }
+
+  private def resolveAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Seq[Any])] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    import org.apache.spark.sql.types._
+    if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty) return None
+    val st = LakeStore.get(key).getOrElse(return None)
+    val snap = pinnedVersion.map(st.snapshots(_))
+    val files = snap.map(_.files).getOrElse(st.current)
+    if (snap.map(_.deletes).getOrElse(st.deletes).nonEmpty ||
+        snap.map(_.eqDeletes).getOrElse(st.eqDeletes).nonEmpty) return None
+    val phys = LakeStore.physicalMap(schema)
+    def exactOrdered(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+           TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    // per-file MIN/MAX contribution: None = proven no non-null values
+    def minMaxOf(c: String): Option[Seq[(Any, Any)]] = {
+      val p = phys.getOrElse(c, c)
+      val per = files.map { f =>
+        if (!f.cols.contains(p)) Some(None) // column added after: all null
+        else f.zones.get(p) match {
+          case Some(z) => Some(Some(z))
+          case None if f.nulls.get(p).contains(f.rows) => Some(None)
+          case None => None // no zone, nulls unknown: cannot answer
+        }
+      }
+      if (per.exists(_.isEmpty)) None else Some(per.flatMap(_.flatten))
+    }
+    val resolved: Seq[Option[(StructField, Any)]] = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        Some(StructField("agg_count_star", LongType, nullable = false) ->
+          java.lang.Long.valueOf(files.map(_.rows).sum))
+      case cnt: Count if !cnt.isDistinct =>
+        singleCol(cnt.column()).filter(schema.fieldNames.contains).flatMap { c =>
+          val p = phys.getOrElse(c, c)
+          val per = files.map { f =>
+            if (!f.cols.contains(p)) Some(0L)
+            else f.nulls.get(p).map(f.rows - _)
+          }
+          if (per.exists(_.isEmpty)) None
+          else Some(StructField(s"agg_count_$c", LongType, nullable = false) ->
+            java.lang.Long.valueOf(per.flatten.sum))
+        }
+      case mn: Min =>
+        singleCol(mn.column()).filter(c => schema.fieldNames.contains(c) &&
+            exactOrdered(schema(c).dataType)).flatMap { c =>
+          minMaxOf(c).map { zs =>
+            val v = if (zs.isEmpty) null
+              else zs.map(_._1).reduce((a, b) =>
+                if (ZonePrune.cmp(a, b).exists(_ <= 0)) a else b)
+            StructField(s"agg_min_$c", schema(c).dataType, nullable = true) -> v
+          }
+        }
+      case mx: Max =>
+        singleCol(mx.column()).filter(c => schema.fieldNames.contains(c) &&
+            exactOrdered(schema(c).dataType)).flatMap { c =>
+          minMaxOf(c).map { zs =>
+            val v = if (zs.isEmpty) null
+              else zs.map(_._2).reduce((a, b) =>
+                if (ZonePrune.cmp(a, b).exists(_ >= 0)) a else b)
+            StructField(s"agg_max_$c", schema(c).dataType, nullable = true) -> v
+          }
+        }
+      case _ => None // AVG/SUM/DISTINCT/...: not derivable from the manifest
+    }
+    if (resolved.exists(_.isEmpty)) None
+    else Some(StructType(resolved.flatten.map(_._1)) -> resolved.flatten.map(_._2))
+  }
 
   override def pushPredicates(predicates: Array[V2Predicate]): Array[V2Predicate] = {
     // only columns the manifest zone-records are skippable; a compare on
@@ -1244,7 +1364,49 @@ class LakeScanBuilder(key: String, schema: StructType, pinnedVersion: Option[Int
     * rows, and each reader early-exits — `LIMIT 10` against a 100 TB
     * table opens one file. */
   override def pushLimit(n: Int): Boolean = { limit = Some(n); false }
-  override def build(): Scan = new LakeScan(key, schema, pinnedVersion, pushed, required, limit)
+  override def build(): Scan = aggAnswer match {
+    case Some((out, values)) => new LakeAggScan(key, out, values)
+    case None => new LakeScan(key, schema, pinnedVersion, pushed, required, limit)
+  }
+}
+
+/** The scan a completely-pushed aggregate builds: ONE input partition
+  * whose reader emits the single pre-computed row. The values were
+  * resolved from the manifest at pushdown time (the same plan-time
+  * snapshot semantics every LakeScan has) — executors receive literals,
+  * never file lists. Stored forms are already Catalyst-internal for
+  * every type the pushdown admits (integrals; DATE as Int days,
+  * TIMESTAMP as Long micros). */
+class LakeAggScan(key: String, out: StructType, values: Seq[Any])
+    extends Scan with Batch with Serializable {
+  override def readSchema(): StructType = out
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftLakeAgg $key manifest-only aggregate [${out.fieldNames.mkString(",")}]"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(LakeAggScan.AggPartition(values))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LakeAggScan.AggReaderFactory
+}
+
+object LakeAggScan {
+  final case class AggPartition(values: Seq[Any]) extends InputPartition
+
+  final class AggReaderFactory extends PartitionReaderFactory {
+    override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+      new PartitionReader[InternalRow] {
+        private val vals = p.asInstanceOf[AggPartition].values
+        private var emitted = false
+        override def next(): Boolean =
+          if (emitted) false else { emitted = true; true }
+        override def get(): InternalRow = {
+          val r = new GenericInternalRow(vals.length)
+          vals.indices.foreach(i => r.update(i, vals(i)))
+          r
+        }
+        override def close(): Unit = ()
+      }
+  }
 }
 
 /** Snapshot scan: the live (or version-pinned) FILE LIST is captured at
@@ -2996,6 +3158,10 @@ class LakeWriterFactory(dataDir: String, schema: StructType,
       var rows: Long = 0L
       val mins: Array[Any] = Array.fill[Any](dts.length)(null)
       val maxs: Array[Any] = Array.fill[Any](dts.length)(null)
+      // per-column null counts (every column, not just zoneable ones):
+      // COUNT(col) is type-independent, and rows==nulls is what later
+      // proves an all-null column safe to skip for MIN/MAX pushdown
+      val nullCnt: Array[Long] = Array.fill(dts.length)(0L)
       // one bloom bit-array per indexed column, folded as rows stream
       val bloomBitsArr: Array[Array[Long]] =
         Array.fill(bloomIdx.length)(LakeBloom.newBits(bloomBits))
@@ -3004,6 +3170,9 @@ class LakeWriterFactory(dataDir: String, schema: StructType,
         colNames.indices.collect {
           case i if mins(i) != null => colNames(i) -> ((mins(i), maxs(i)))
         }.toMap
+
+      def nulls: Map[String, Long] =
+        colNames.indices.map(i => colNames(i) -> nullCnt(i)).toMap
 
       def blooms: Map[String, String] =
         bloomIdx.indices.map(bi =>
@@ -3099,7 +3268,8 @@ class LakeWriterFactory(dataDir: String, schema: StructType,
         file.rows += 1
         var i = 0
         while (i < dts.length) {
-          if (zoneable(i) && !full.isNullAt(i)) {
+          if (full.isNullAt(i)) file.nullCnt(i) += 1
+          else if (zoneable(i)) {
             val v = LakeStore.toStored(full.get(i, dts(i)))
             if (file.mins(i) == null) { file.mins(i) = v; file.maxs(i) = v }
             else {
@@ -3129,7 +3299,7 @@ class LakeWriterFactory(dataDir: String, schema: StructType,
           val len = try fs.getFileStatus(new Path(dataDir, f.relPath)).getLen
             catch { case _: Exception => 0L }
           LakeStore.FileEntry(f.relPath, group, f.rows, colNames.toSeq, f.zones,
-            f.blooms, bytes = len)
+            f.blooms, bytes = len, nulls = f.nulls)
         }.toSeq)
       }
 

@@ -73,7 +73,12 @@ object LakeStore {
   final case class FileEntry(path: String, group: List[Any], rows: Long,
       cols: Seq[String], zones: Map[String, (Any, Any)],
       blooms: Map[String, String] = Map.empty, era: Int = 0,
-      seq: Int = 0, bytes: Long = 0L)
+      seq: Int = 0, bytes: Long = 0L,
+      // per-column NULL counts (physical names) — Iceberg's
+      // null_value_counts: what makes COUNT(col) a metadata read and
+      // disambiguates "all-null file" from "no stats" for MIN/MAX
+      // pushdown; empty = pre-nulls manifest = unknown, never wrong
+      nulls: Map[String, Long] = Map.empty)
 
   /** One EQUALITY DELETE (Iceberg v2's second delete-file flavor):
     * "delete every row whose `cols` values appear in the key sets of
@@ -1552,6 +1557,9 @@ object LakeStore {
       "era" -> JInt(BigInt(f.era)),
       "seq" -> JInt(BigInt(f.seq)),
       "bytes" -> JInt(BigInt(f.bytes)),
+      "nulls" -> JObject(f.nulls.toList.map { case (c, n) =>
+        c -> (JInt(BigInt(n)): JValue)
+      }),
       "cols" -> JArray(f.cols.map(JString(_)).toList),
       "zones" -> JObject(f.zones.toList.map { case (c, (mn, mx)) =>
         c -> (JArray(List(jval(mn), jval(mx))): JValue)
@@ -1593,6 +1601,11 @@ object LakeStore {
       era = o.get("era").map(num(_).intValue()).getOrElse(0),
       seq = o.get("seq").map(num(_).intValue()).getOrElse(0),
       // pre-bytes manifests read 0 — "size unknown", never wrong
-      bytes = o.get("bytes").map(num(_).longValue()).getOrElse(0L))
+      bytes = o.get("bytes").map(num(_).longValue()).getOrElse(0L),
+      // pre-nulls manifests read empty — "null counts unknown", which
+      // refuses aggregate pushdown rather than miscounting
+      nulls = o.get("nulls").map(_.asInstanceOf[JObject].obj.map {
+        case (c, n) => c -> num(n).longValue()
+      }.toMap).getOrElse(Map.empty))
   }
 }

@@ -227,7 +227,10 @@ object DumpPlans {
         PipelineQueries.p54StoragePartitionedJoin(spark, dir)),
       ("p63_bucket_spj",
         "SPJ OVER A BUCKET TRANSFORM: the scans report KeyGroupedPartitioning(bucket(8, doc_id)) and Catalyst resolves the transform through the catalog's FUNCTION CATALOG (LakeFunctions), so the doc_id join AND a groupBy over the bucket source column both plan exchange-free — the co-location layout for high-cardinality keys, where identity partitioning would make one group per value. join_exchanges=0, agg_exchanges=0 and the writer-routing audit are all inside the oracle hash.",
-        PipelineQueries.p63BucketSpj(spark, dir)))
+        PipelineQueries.p63BucketSpj(spark, dir)),
+      ("p68_agg_pushdown",
+        "AGGREGATE PUSHDOWN: the published frame is the audited one-row summary; the property to see is in the spec plan it audits — `SELECT count(*), count(opt), min/max(...)` over the lake table plans as a single GraftLakeAgg BatchScan (manifest row counts + write-time null counts + zone min/max), NO parquet scan, NO exchange, NO HashAggregate. pushed_before=1 / pushed_after=0 (after a MoR DELETE lands deletion vectors) are asserted inside the oracle hash.",
+        PipelineQueries.p68AggPushdown(spark, dir)))
 
     val sb = new StringBuilder
     sb.append("# Flagship physical plans (generated by graft.tools.DumpPlans at sf0.01)\n\n")
@@ -276,7 +279,10 @@ object DumpPlans {
           |WHEN NOT MATCHED THEN INSERT *""".stripMargin),
       ("merge-on-read DELETE (p44)",
         "Catalyst plans WriteDelta instead of ReplaceData for the SupportsDelta operation: the row-level scan emits ONLY matching rows with their (_file, _pos) rowId metadata columns — no carry-over join, no group rewrite — and each row reaches the delta writer as a DELETE op that folds into a position-delete sidecar.",
-        "DELETE FROM graft_lake.mor WHERE n_chars >= 900"))
+        "DELETE FROM graft_lake.mor WHERE n_chars >= 900"),
+      ("aggregate pushdown (p68)",
+        "The whole Aggregate collapses into ONE GraftLakeAgg BatchScan — no parquet scan, no Exchange, no HashAggregate: counts come from manifest row+null counts, min/max from zones. VERSION AS OF 1 pins the pre-DELETE snapshot (the flagship run above landed deletion vectors on HEAD, where the same query correctly falls back to reading data).",
+        "SELECT count(*) AS n, count(opt) AS nopt, min(doc_id) AS mn, max(n_chars) AS mx FROM graft_lake.aggpd VERSION AS OF 1"))
     statements.foreach { case (name, note, stmt) =>
       val txt = spark.sql("EXPLAIN FORMATTED " + stmt).collect()(0).getString(0)
       sb.append(s"\n## statement: $name\n\n$note\n\n```\n${txt.trim.take(4000)}\n```\n")

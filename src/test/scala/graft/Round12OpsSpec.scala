@@ -760,6 +760,115 @@ class Round12OpsSpec extends SparkTestBase {
     assert(d.getAs[Long]("num_properties") === 1L)
   }
 
+  // ----------------- p68 aggregate pushdown (manifest-only COUNT/MIN/MAX)
+
+  private def aggScans(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+          if b.scan.isInstanceOf[graft.sources.LakeAggScan] => b
+    }.length
+
+  test("p68/aggregates answered from the manifest: counts, null counts, rename, evolution") {
+    val key = occTable("agg1") // 12 rows: id 0..11, v 0..11, grp g0/g1/g2
+    import spark.implicits._
+    Seq((100L, "g0", Option.empty[Long]), (101L, "g1", Option(50L)))
+      .toDF("id", "grp", "v").writeTo(key).append()
+    val q = spark.table(key).agg(
+      count(lit(1)).as("n"), count(col("v")).as("nv"),
+      min(col("id")).as("mni"), max(col("id")).as("mxi"),
+      min(col("v")).as("mnv"), max(col("v")).as("mxv"))
+    assert(aggScans(q) === 1, "aggregate was not answered from the manifest")
+    assert(q.collect()(0).toSeq === Seq(14L, 13L, 0L, 101L, 0L, 50L))
+    // RENAME: zones/null counts stay under the birth name; the logical
+    // name must still resolve through the physical map
+    spark.sql(s"ALTER TABLE $key RENAME COLUMN v TO vv")
+    val qr = spark.table(key).agg(count(col("vv")).as("nv"),
+      min(col("vv")).as("mn"), max(col("vv")).as("mx"))
+    assert(aggScans(qr) === 1)
+    assert(qr.collect()(0).toSeq === Seq(13L, 0L, 50L))
+    // ADD COLUMN: files that predate the column count as all-null for
+    // it — COUNT 0 / MIN NULL without opening anything
+    spark.sql(s"ALTER TABLE $key ADD COLUMN w BIGINT")
+    val q0 = spark.table(key).agg(count(col("w")).as("nw"), min(col("w")).as("mw"))
+    assert(aggScans(q0) === 1)
+    assert(q0.collect()(0).toSeq === Seq(0L, null))
+    Seq((200L, "g2", Option(7L), Option(99L))).toDF("id", "grp", "vv", "w")
+      .writeTo(key).append()
+    val q1 = spark.table(key).agg(count(col("w")).as("nw"), max(col("w")).as("mw"))
+    assert(aggScans(q1) === 1)
+    assert(q1.collect()(0).toSeq === Seq(1L, 99L))
+    // SQL COUNT(*) takes the same path
+    val sqlCnt = spark.sql(s"SELECT count(*) AS n FROM $key")
+    assert(aggScans(sqlCnt) === 1 && sqlCnt.collect()(0).getLong(0) === 15L)
+  }
+
+  test("p68/refusal gates: WHERE, GROUP BY, AVG/SUM, strings, doubles, DVs, eq-deletes") {
+    val key = occTable("agg2")
+    import spark.implicits._
+    // a residual WHERE keeps a Filter above the scan — Spark never
+    // offers the aggregate, and the filtered answer comes from data
+    val w = spark.table(key).where(col("grp") === "g0").agg(count(lit(1)).as("n"))
+    assert(aggScans(w) === 0 && w.collect()(0).getLong(0) === 4L)
+    // GROUP BY is refused (pre-evolution group keys are era-scoped)
+    val g = spark.table(key).groupBy(col("grp")).agg(count(lit(1)).as("n"))
+    assert(aggScans(g) === 0 && g.collect().map(_.getLong(1)).sum === 12L)
+    // AVG/SUM are not derivable from (rows, nulls, min, max)
+    assert(aggScans(spark.table(key).agg(avg(col("v")))) === 0)
+    assert(aggScans(spark.table(key).agg(sum(col("v")))) === 0)
+    assert(aggScans(spark.table(key).agg(count_distinct(col("v")))) === 0)
+    // one refused function refuses the WHOLE pushdown (all-or-nothing)
+    assert(aggScans(spark.table(key).agg(count(lit(1)), avg(col("v")))) === 0)
+    // string MIN orders differently in the manifest (UTF-16) than in
+    // Catalyst (UTF-8 bytes) — refused even though zones exist
+    val s = spark.table(key).agg(min(col("grp")).as("m"))
+    assert(aggScans(s) === 0 && s.collect()(0).getString(0) === "g0")
+    // doubles: NaN never enters a zone — refused
+    val dkey = "graft_lake.aggd"
+    spark.sql(s"DROP TABLE IF EXISTS $dkey")
+    spark.sql(s"CREATE TABLE $dkey (id BIGINT, x DOUBLE)")
+    Seq((1L, 1.5), (2L, Double.NaN)).toDF("id", "x").writeTo(dkey).append()
+    val dq = spark.table(dkey).agg(max(col("x")).as("m"))
+    assert(aggScans(dq) === 0 && dq.collect()(0).getDouble(0).isNaN)
+    // live deletion vectors hide rows the manifest still counts
+    val mkey = occTable("agg3",
+      props = " TBLPROPERTIES ('graft.merge-on-read' = 'true')")
+    spark.sql(s"DELETE FROM $mkey WHERE id = 1")
+    val mq = spark.table(mkey).agg(count(lit(1)).as("n"))
+    assert(aggScans(mq) === 0 && mq.collect()(0).getLong(0) === 11L)
+    // equality deletes likewise
+    GraftLake.upsert(Seq((2L, "g2", 22L)).toDF("id", "grp", "v"), mkey, Seq("id"))
+    val eq = spark.table(mkey).agg(count(lit(1)).as("n"))
+    assert(aggScans(eq) === 0 && eq.collect()(0).getLong(0) === 11L)
+  }
+
+  test("p68/all-null files prove themselves via null counts; time travel pins the snapshot") {
+    registerCatalog()
+    val key = "graft_lake.agg4"
+    spark.sql(s"DROP TABLE IF EXISTS $key")
+    spark.sql(s"CREATE TABLE $key (id BIGINT, v BIGINT)")
+    import spark.implicits._
+    // v1: a file whose v is ALL NULL — no zone, but nulls==rows proves
+    // it contributes nothing to MIN/MAX
+    Seq((1L, Option.empty[Long]), (2L, Option.empty[Long]))
+      .toDF("id", "v").writeTo(key).append()
+    val e = spark.table(key).agg(count(col("v")).as("n"), min(col("v")).as("m"))
+    assert(aggScans(e) === 1)
+    assert(e.collect()(0).toSeq === Seq(0L, null))
+    Seq((3L, Option(30L))).toDF("id", "v").writeTo(key).append()
+    val f = spark.table(key).agg(count(col("v")).as("n"),
+      min(col("v")).as("mn"), max(col("v")).as("mx"))
+    assert(aggScans(f) === 1)
+    assert(f.collect()(0).toSeq === Seq(1L, 30L, 30L))
+    // time travel: the pinned snapshot's manifest answers, not HEAD
+    val t = spark.sql(s"SELECT count(*) AS n, count(v) AS nv FROM $key VERSION AS OF 1")
+    assert(aggScans(t) === 1)
+    assert(t.collect()(0).toSeq === Seq(2L, 0L))
+    // and the pushed answer survives a cold manifest replay
+    LakeStore.invalidateCache(key)
+    val c = spark.table(key).agg(count(col("v")).as("n"), max(col("v")).as("m"))
+    assert(aggScans(c) === 1 && c.collect()(0).toSeq === Seq(1L, 30L))
+  }
+
   // ----------------- p66 compatible bucket counts + one-side shuffle
 
   test("p66/bucket(16) joins bucket(8) exchange-free; non-divisible counts fall back; one-side shuffle") {
