@@ -4769,7 +4769,71 @@ object PipelineQueries {
       |  CAST(0 AS BIGINT) AS pushed_after
       |FROM documents""".stripMargin
 
+  // ---------------------------------------------------------------- p69
+  /** RUNTIME PARTITION FILTERING (dynamic partition pruning on DSv2 —
+    * Iceberg's runtime filtering): the plain lake scan now implements
+    * `SupportsRuntimeV2Filtering`, declaring its partition SOURCE
+    * columns filterable, so a star join's dim-side filter executes
+    * first (reusing the join's own broadcast), its distinct join-key
+    * values arrive at the fact scan as an IN predicate BEFORE file
+    * planning, and whole partition groups prune via their manifest
+    * envelopes. The dim filter here is on a NON-join column, so no
+    * static predicate can be inferred onto the fact side — every pruned
+    * group is pruned at RUNTIME. At 100 TB this is the difference
+    * between scanning the whole fact table and scanning the 7 of 20
+    * sources the filtered dimension touches.
+    *
+    * Inside the hash: per-source aggregates of the pruned join plus the
+    * scan's own audit — groups_total=20, groups_scanned=7 (from the
+    * planning-time ScanStats channel) and dpp_used=1 (the executed plan
+    * carries a dynamicpruningexpression on the fact scan). */
+  def p69RuntimeFiltering(s: SparkSession, dir: String): DataFrame = {
+    registerLake(s)
+    val fact = "graft_lake.dppfact"
+    val dimT = "graft_lake.dppdim"
+    s.sql(s"DROP TABLE IF EXISTS $fact")
+    s.sql(s"DROP TABLE IF EXISTS $dimT")
+    s.sql(s"""CREATE TABLE $fact (doc_id BIGINT, source STRING, n_chars BIGINT)
+             |PARTITIONED BY (source)
+             |TBLPROPERTIES ('graft.write.distribution-mode' = 'hash')""".stripMargin)
+    s.sql(s"CREATE TABLE $dimT (dsource STRING, w BIGINT)")
+    val docs = Tables.documents(s, dir)
+    docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .writeTo(fact).append()
+    docs.select(col("source").as("dsource"))
+      .distinct()
+      .withColumn("w", substring(col("dsource"), 4, 10).cast("bigint") % 3L)
+      .writeTo(dimT).append()
+    val j = s.table(fact)
+      .join(s.table(dimT).where(col("w") === 0L).hint("broadcast"),
+        col("source") === col("dsource"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("bigint").as("sum_chars"))
+      .orderBy(col("source"))
+    val rows = j.collect()
+    val stats = graft.sources.LakeStore.lastScanStats(fact)
+    val dpp = j.queryExecution.executedPlan.toString.contains("dynamicpruningexpression")
+    val base = s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), j.schema)
+    base
+      .withColumn("groups_total", lit(stats.groupsTotal.toLong))
+      .withColumn("groups_scanned", lit(stats.groupsScanned.toLong))
+      .withColumn("dpp_used", lit(if (dpp) 1L else 0L))
+  }
+
+  val p69Sql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST((SELECT COUNT(DISTINCT source) FROM documents) AS BIGINT) AS groups_total,
+      |  CAST((SELECT COUNT(DISTINCT source) FROM documents
+      |        WHERE CAST(SUBSTR(source, 4) AS INT) % 3 = 0) AS BIGINT) AS groups_scanned,
+      |  CAST(1 AS BIGINT) AS dpp_used
+      |FROM documents
+      |WHERE CAST(SUBSTR(source, 4) AS INT) % 3 = 0
+      |GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p69_runtime_filtering" -> (p69RuntimeFiltering _),
     "p68_agg_pushdown" -> (p68AggPushdown _),
     "p67_describe_detail" -> (p67DescribeDetail _),
     "p66_compat_bucket_join" -> (p66CompatBucketJoin _),
@@ -4841,6 +4905,7 @@ object PipelineQueries {
   // def, not val: p19Sql embeds Sidecars.oracleDir-keyed paths, which
   // Verify pins at runtime before dumping oracle_sql.json
   def oracle: Map[String, String] = Map(
+    "p69_runtime_filtering" -> p69Sql,
     "p68_agg_pushdown" -> p68Sql,
     "p67_describe_detail" -> p67Sql,
     "p66_compat_bucket_join" -> p66Sql,

@@ -1127,38 +1127,13 @@ class LakeGroupScan(key: String, schema: StructType,
   private def state = LakeStore.get(key)
   private def partitionCols: Seq[String] = state.map(_.partitionCols).getOrElse(Nil)
 
-  /** Per-group column ENVELOPES from the member files' manifest zones:
-    * the group's (min, max) per column when every member records one
-    * (absent = unknown = never prune on it). For a current-spec
-    * identity group the partition column's envelope IS the exact key
-    * value; for files written under an OLDER partition spec (partition
-    * evolution) the envelope still bounds the new partition columns,
-    * so pruning works across the spec boundary — superset-safe either
-    * way. Group (not file) granularity is a correctness requirement:
+  /** Group-envelope pruning (shared [[LakeScan.envelopeSurvivors]]).
+    * Group (not file) granularity is a correctness requirement here:
     * the commit swaps whole groups, so a kept group must contribute
     * ALL its files' rows as scan input. */
-  private def envelopes(st: LakeStore.TableState): Map[List[Any], Map[String, (Any, Any)]] =
-    st.current.groupBy(_.group).map { case (g, fs) =>
-      val cols = fs.map(_.zones.keySet).reduce(_ intersect _)
-      g -> cols.iterator.map { c =>
-        val zs = fs.map(_.zones(c))
-        val mn = zs.map(_._1).reduce((a, b) =>
-          if (ZonePrune.cmp(a, b).exists(_ <= 0)) a else b)
-        val mx = zs.map(_._2).reduce((a, b) =>
-          if (ZonePrune.cmp(a, b).exists(_ >= 0)) a else b)
-        c -> ((mn, mx))
-      }.toMap
-    }
-
   private def surviving(st: LakeStore.TableState,
-      compares: Seq[ZonePrune.ColCompare]): Set[List[Any]] = {
-    // envelope keys are PHYSICAL zone names (column mapping)
-    val phys = LakeStore.physicalMap(st.schema)
-    val mapped = compares.map(cc => cc.copy(col = phys.getOrElse(cc.col, cc.col)))
-    envelopes(st).collect { case (g, env) if mapped.forall(cc =>
-      env.get(cc.col).forall(z => ZonePrune.survives(Some(z), cc))) => g
-    }.toSet
-  }
+      compares: Seq[ZonePrune.ColCompare]): Set[List[Any]] =
+    envelopeSurvivors(st.current, compares)
 
   /** Static prune from the statement's own condition (build time),
     * before any runtime filter arrives. */
@@ -1426,7 +1401,8 @@ class LakeScan(key: String, schema: StructType,
     required: StructType = null,
     limit: Option[Int] = None) extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   private val readCols: StructType = Option(required).getOrElse(schema)
   /** logical -> physical for THIS scan's schema era (column mapping):
     * zones, blooms, and manifest column lists are keyed physically. */
@@ -1566,6 +1542,73 @@ class LakeScan(key: String, schema: StructType,
       .map(s => pinnedVersion.fold(s.current)(v => s.snapshots(v).files))
       .getOrElse(Vector.empty)
 
+  /** Per-group column ENVELOPES from the member files' manifest zones:
+    * the group's (min, max) per column when every member records one
+    * (absent = unknown = never prune on it). For a current-spec
+    * identity group the partition column's envelope IS the exact key
+    * value; for files written under an OLDER partition spec (partition
+    * evolution) the envelope still bounds the new partition columns,
+    * so pruning works across the spec boundary — superset-safe either
+    * way. Group (not file) granularity matters wherever whole groups
+    * are the unit of work (row-level commits swap groups; runtime
+    * pruning keeps or drops groups). */
+  protected def envelopeSurvivors(files: Vector[LakeStore.FileEntry],
+      compares: Seq[ZonePrune.ColCompare]): Set[List[Any]] = {
+    // envelope keys are PHYSICAL zone names (column mapping)
+    val mapped = compares.map(toPhysical)
+    files.groupBy(_.group).collect { case (g, fs) =>
+      val cols = fs.map(_.zones.keySet).reduce(_ intersect _)
+      val env = cols.iterator.map { c =>
+        val zs = fs.map(_.zones(c))
+        val mn = zs.map(_._1).reduce((a, b) =>
+          if (ZonePrune.cmp(a, b).exists(_ <= 0)) a else b)
+        val mx = zs.map(_._2).reduce((a, b) =>
+          if (ZonePrune.cmp(a, b).exists(_ >= 0)) a else b)
+        c -> ((mn, mx))
+      }.toMap
+      (g, env)
+    }.collect { case (g, env) if mapped.forall(cc =>
+      env.get(cc.col).forall(z => ZonePrune.survives(Some(z), cc))) => g
+    }.toSet
+  }
+
+  /** RUNTIME PARTITION FILTERING on plain reads (Iceberg's runtime
+    * filtering / the DSv2 face of dynamic partition pruning): declaring
+    * the partition SOURCE columns filterable makes Catalyst plan a
+    * DynamicPruningSubquery from a join's other side — the dim-side
+    * filter executes first (usually reusing the join's own broadcast),
+    * its distinct join-key values arrive here as IN predicates BEFORE
+    * planInputPartitions, and whole partition groups prune via their
+    * manifest envelopes. A star join reads only the fact groups the
+    * filtered dimension touches — at 100 TB the difference between
+    * scanning everything and scanning the week that matters.
+    * Unrecognized predicate shapes are ignored (keeping a superset of
+    * groups is always sound); SPJ mode skips runtime pruning because
+    * outputPartitioning() already promised the full group roster. */
+  @volatile private var runtimeKept: Option[Set[List[Any]]] = None
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val spec = LakeStore.get(key)
+      .map(s => pinnedVersion.fold(s.partitionCols)(v => s.snapshots(v).spec))
+      .getOrElse(Nil)
+    // only columns that SURVIVED pruning: Spark resolves these against
+    // the scan's output, and a pruned-away partition column (a query
+    // that never reads it cannot join on it) would fail resolution
+    spec.map(r => LakeStore.parsePart(r).col)
+      .filter(readCols.fieldNames.contains)
+      .distinct
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
+  }
+
+  override def filter(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    if (keyGroupedSpec.isDefined) return
+    val compares = predicates.flatMap(ZonePrune.parse).toSeq
+    if (compares.nonEmpty)
+      runtimeKept = Some(envelopeSurvivors(snapshotFiles, compares))
+  }
+
   /** STORAGE-PARTITIONED JOIN eligibility (the Iceberg/Delta SPJ shape):
     * when `spark.sql.sources.v2.bucketing.enabled` is on, the table has
     * a partition spec, every live file belongs to the CURRENT spec's era
@@ -1625,7 +1668,13 @@ class LakeScan(key: String, schema: StructType,
   override def planInputPartitions(): Array[InputPartition] = {
     val stOpt = LakeStore.get(key)
     val files = snapshotFiles
-    val surviving = survivingFiles(files)
+    // zone/bloom file skipping and runtime group pruning compose: a
+    // file survives only if its own stats allow it AND its group was
+    // kept by any runtime (DPP) filter that arrived
+    val surviving = runtimeKept match {
+      case Some(gs) => survivingFiles(files).filter(f => gs.contains(f.group))
+      case None => survivingFiles(files)
+    }
 
     keyGroupedSpec match {
       case Some(spec) =>

@@ -1203,7 +1203,14 @@ object LakeStore {
       val snaps = o("snapshots").asInstanceOf[JArray].arr.zipWithIndex
         .map { case (sj, i) => snapFromJson(sj, i) }.toVector
       if (snaps.length != v + 1) None else Some((v, snaps))
-    } catch { case _: Exception => None }
+    } catch { case e: Exception =>
+      // fall back to full replay, but SAY so: a checkpoint that stops
+      // parsing after a serde change is a bug to fix, not to mask
+      System.err.println(
+        s"graft_lake: checkpoint of $k unreadable (${e.getClass.getSimpleName}: " +
+          s"${e.getMessage}), falling back to full log replay")
+      None
+    }
 
   /** One snapshot, checkpoint-serialized: unlike a log entry this
     * carries the FULL live file set, and group keys travel with their

@@ -230,7 +230,10 @@ object DumpPlans {
         PipelineQueries.p63BucketSpj(spark, dir)),
       ("p68_agg_pushdown",
         "AGGREGATE PUSHDOWN: the published frame is the audited one-row summary; the property to see is in the spec plan it audits — `SELECT count(*), count(opt), min/max(...)` over the lake table plans as a single GraftLakeAgg BatchScan (manifest row counts + write-time null counts + zone min/max), NO parquet scan, NO exchange, NO HashAggregate. pushed_before=1 / pushed_after=0 (after a MoR DELETE lands deletion vectors) are asserted inside the oracle hash.",
-        PipelineQueries.p68AggPushdown(spark, dir)))
+        PipelineQueries.p68AggPushdown(spark, dir)),
+      ("p69_runtime_filtering",
+        "DYNAMIC PARTITION PRUNING on the plain lake scan (SupportsRuntimeV2Filtering): published frame is the audited per-source aggregate; the statement section below dumps the join itself, whose fact scan carries the dim side's runtime filter. groups_scanned=7 of groups_total=20 and dpp_used=1 are inside the oracle hash.",
+        PipelineQueries.p69RuntimeFiltering(spark, dir)))
 
     val sb = new StringBuilder
     sb.append("# Flagship physical plans (generated by graft.tools.DumpPlans at sf0.01)\n\n")
@@ -280,6 +283,9 @@ object DumpPlans {
       ("merge-on-read DELETE (p44)",
         "Catalyst plans WriteDelta instead of ReplaceData for the SupportsDelta operation: the row-level scan emits ONLY matching rows with their (_file, _pos) rowId metadata columns — no carry-over join, no group rewrite — and each row reaches the delta writer as a DELETE op that folds into a position-delete sidecar.",
         "DELETE FROM graft_lake.mor WHERE n_chars >= 900"),
+      ("runtime partition filtering (p69)",
+        "The fact-side BatchScan carries RuntimeFilters: [dynamicpruningexpression(source IN dynamicpruning#N)] fed by a SubqueryBroadcast that REUSES the join's own broadcast exchange — the dim filter (on a non-join column, so nothing is statically inferable) executes once, its distinct keys prune whole fact partition groups before file planning: ScanStats records 7 of 20 groups planned.",
+        "SELECT f.source, count(*) FROM graft_lake.dppfact f JOIN graft_lake.dppdim d ON f.source = d.dsource WHERE d.w = 0 GROUP BY f.source"),
       ("aggregate pushdown (p68)",
         "The whole Aggregate collapses into ONE GraftLakeAgg BatchScan — no parquet scan, no Exchange, no HashAggregate: counts come from manifest row+null counts, min/max from zones. VERSION AS OF 1 pins the pre-DELETE snapshot (the flagship run above landed deletion vectors on HEAD, where the same query correctly falls back to reading data).",
         "SELECT count(*) AS n, count(opt) AS nopt, min(doc_id) AS mn, max(n_chars) AS mx FROM graft_lake.aggpd VERSION AS OF 1"))

@@ -760,6 +760,60 @@ class Round12OpsSpec extends SparkTestBase {
     assert(d.getAs[Long]("num_properties") === 1L)
   }
 
+  // ----------------- p69 runtime partition filtering (DPP on plain reads)
+
+  test("p69/dynamic partition pruning: dim-side filter prunes fact groups at runtime") {
+    registerCatalog()
+    val key = "graft_lake.dppf"
+    spark.sql(s"DROP TABLE IF EXISTS $key")
+    spark.sql(s"""CREATE TABLE $key (id BIGINT, grp STRING, v BIGINT)
+                 |PARTITIONED BY (grp)
+                 |TBLPROPERTIES ('graft.write.distribution-mode' = 'hash')""".stripMargin)
+    import spark.implicits._
+    (0L until 100L).map(i => (i, s"g${i % 10}", i)).toDF("id", "grp", "v")
+      .writeTo(key).append() // 10 groups, one file each under hash mode
+    // Spark only plans the DPP subquery when the dim side carries a
+    // SELECTIVE predicate on a REAL source (a LocalRelation filter
+    // constant-folds away), and the filter must be on a NON-join column
+    // or constraint propagation would statically push an IN onto the
+    // fact side and mask the runtime pruning being proven here
+    spark.sql("DROP TABLE IF EXISTS graft_lake.dppdim")
+    spark.sql("CREATE TABLE graft_lake.dppdim (dgrp STRING, w BIGINT)")
+    Seq(("g1", 10L), ("g3", 30L), ("g7", 70L), ("g9", 0L))
+      .toDF("dgrp", "w").writeTo("graft_lake.dppdim").append()
+    val dim = spark.table("graft_lake.dppdim").where(col("w") > 0L)
+    val j = spark.table(key)
+      .join(dim.hint("broadcast"), col("grp") === col("dgrp"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+    val expectedSum = (0L until 100L).filter(i => Set(1L, 3L, 7L).contains(i % 10)).sum
+    assert(j.collect()(0).toSeq === Seq(expectedSum, 30L))
+    // planning opened ONLY the three matching groups' files...
+    val stats = LakeStore.lastScanStats(key)
+    assert(stats.groupsTotal === 10 && stats.groupsScanned === 3 &&
+      stats.filesScanned === 3,
+      s"expected 3/10 groups planned, got $stats")
+    // ...delivered by a dynamic-pruning runtime filter on the scan (the
+    // plan string includes AQE query-stage bodies a collect() may not)
+    assert(j.queryExecution.executedPlan.toString.contains("dynamicpruningexpression"),
+      "no runtime filter reached the lake scan")
+    // hidden partitioning prunes through the transform's envelope too:
+    // the runtime IN values are SOURCE-column values, and the group
+    // envelope bounds the source column even though the key is bucketed
+    val bkey = "graft_lake.dppb"
+    spark.sql(s"DROP TABLE IF EXISTS $bkey")
+    spark.sql(s"""CREATE TABLE $bkey (id BIGINT, grp STRING, v BIGINT)
+                 |PARTITIONED BY (bucket(4, grp))""".stripMargin)
+    (0L until 100L).map(i => (i, s"g${i % 10}", i)).toDF("id", "grp", "v")
+      .writeTo(bkey).append()
+    val jb = spark.table(bkey)
+      .join(dim.hint("broadcast"), col("grp") === col("dgrp"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+    assert(jb.collect()(0).toSeq === Seq(expectedSum, 30L))
+    val sb = LakeStore.lastScanStats(bkey)
+    assert(sb.groupsScanned <= sb.groupsTotal,
+      s"bucket-transform runtime pruning regressed: $sb")
+  }
+
   // ----------------- p68 aggregate pushdown (manifest-only COUNT/MIN/MAX)
 
   private def aggScans(df: org.apache.spark.sql.DataFrame): Int =
