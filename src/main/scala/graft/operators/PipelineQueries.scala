@@ -3679,10 +3679,12 @@ object PipelineQueries {
     docs.select(col("doc_id"), col("source"), col("lang"))
       .writeTo("graft_lake.spj_langs").append()
     val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.graft.preserve-data-grouping",
       "spark.sql.adaptive.enabled", "spark.sql.autoBroadcastJoinThreshold")
       .map(k => k -> s.conf.getOption(k))
     try {
       s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.graft.preserve-data-grouping", "true")
       s.conf.set("spark.sql.adaptive.enabled", "false") // concrete plan to audit
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val a = s.table("graft_lake.spj_chars").groupBy("source")
@@ -4373,10 +4375,12 @@ object PipelineQueries {
       got.forall { case (p, b) => want.get(p).exists(_ == b) }
     val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
       "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.graft.preserve-data-grouping",
       "spark.sql.adaptive.enabled", "spark.sql.autoBroadcastJoinThreshold")
       .map(k => k -> s.conf.getOption(k))
     try {
       s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.graft.preserve-data-grouping", "true")
       s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
       s.conf.set("spark.sql.adaptive.enabled", "false")
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -4456,10 +4460,12 @@ object PipelineQueries {
     val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
       "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
       "spark.sql.requireAllClusterKeysForCoPartition",
+      "spark.sql.graft.preserve-data-grouping",
       "spark.sql.adaptive.enabled", "spark.sql.autoBroadcastJoinThreshold")
       .map(k => k -> s.conf.getOption(k))
     try {
       s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.graft.preserve-data-grouping", "true")
       s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
       // the join clusters on (event_id, ts) — a SUPERSET of the
       // partitioning's references ({ts}): subset-compatibility is
@@ -4600,10 +4606,12 @@ object PipelineQueries {
       "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
       "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled",
       "spark.sql.sources.v2.bucketing.shuffle.enabled",
+      "spark.sql.graft.preserve-data-grouping",
       "spark.sql.adaptive.enabled", "spark.sql.autoBroadcastJoinThreshold")
       .map(k => k -> s.conf.getOption(k))
     try {
       s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.graft.preserve-data-grouping", "true")
       s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
       s.conf.set("spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled", "true")
       s.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
@@ -4832,7 +4840,61 @@ object PipelineQueries {
       |WHERE CAST(SUBSTR(source, 4) AS INT) % 3 = 0
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- p70
+  /** SNAPSHOT EXPIRY UNDER LIVE REFS (Iceberg's expire_snapshots rule:
+    * a snapshot referenced by a branch or tag never expires). VACUUM's
+    * keep-set is the retention window PLUS every live ref head — a tag
+    * pinned BELOW the horizon keeps its files on disk and stays
+    * readable by name after the sweep, while files referenced only by
+    * expired, untagged history are physically deleted. At 100 TB this
+    * is the difference between "retention reclaims space" and
+    * "retention silently destroys the quarterly-audit tag".
+    *
+    * Inside the hash: the tag's aggregates read AFTER the vacuum (they
+    * match the pre-rewrite corpus exactly), the current table's
+    * aggregates (three whole-table UPDATE rewrites later), `vacuumed` = 1
+    * (the sweep deleted at least one expired file), and
+    * `tag_below_horizon` = 1 (the tag head predates the horizon — the
+    * case that loses data without the ref-aware keep-set). */
+  def p70ExpireRefs(s: SparkSession, dir: String): DataFrame = {
+    registerLake(s)
+    val key = "graft_lake.expref"
+    s.sql(s"DROP TABLE IF EXISTS $key")
+    s.sql(s"""CREATE TABLE $key (doc_id BIGINT, source STRING, n_chars BIGINT)
+             |PARTITIONED BY (source)
+             |TBLPROPERTIES ('graft.write.distribution-mode' = 'hash')""".stripMargin)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .writeTo(key).append()                       // v1
+    graft.sources.GraftLake.createTag(key, "audit") // v2 (metadata)
+    s.sql(s"UPDATE $key SET n_chars = n_chars + 1") // v3: COW rewrite
+    s.sql(s"UPDATE $key SET n_chars = n_chars + 1") // v4: COW rewrite
+    s.sql(s"UPDATE $key SET n_chars = n_chars + 1") // v5: COW rewrite
+    // retain {v4, v5}: v3's rewrite output is expired-and-untagged
+    // (physically deleted); v1's files survive ONLY via the tag head
+    val (deleted, horizon) = graft.sources.GraftLake.vacuum(key, 2)
+    val tag = s.sql(s"SELECT * FROM $key VERSION AS OF 'audit'")
+      .agg(count(lit(1)).as("tag_docs"),
+        sum(col("n_chars")).cast("bigint").as("tag_chars"))
+    val cur = s.table(key)
+      .agg(count(lit(1)).as("cur_docs"),
+        sum(col("n_chars")).cast("bigint").as("cur_chars"))
+    tag.crossJoin(cur)
+      .withColumn("vacuumed", lit(if (deleted > 0) 1L else 0L))
+      .withColumn("tag_below_horizon", lit(if (horizon > 1) 1L else 0L))
+  }
+
+  val p70Sql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS tag_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS tag_chars,
+      |  CAST(COUNT(*) AS BIGINT) AS cur_docs,
+      |  CAST(SUM(n_chars) + 3 * COUNT(*) AS BIGINT) AS cur_chars,
+      |  CAST(1 AS BIGINT) AS vacuumed,
+      |  CAST(1 AS BIGINT) AS tag_below_horizon
+      |FROM documents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p70_expire_refs" -> (p70ExpireRefs _),
     "p69_runtime_filtering" -> (p69RuntimeFiltering _),
     "p68_agg_pushdown" -> (p68AggPushdown _),
     "p67_describe_detail" -> (p67DescribeDetail _),
@@ -4905,6 +4967,7 @@ object PipelineQueries {
   // def, not val: p19Sql embeds Sidecars.oracleDir-keyed paths, which
   // Verify pins at runtime before dumping oracle_sql.json
   def oracle: Map[String, String] = Map(
+    "p70_expire_refs" -> p70Sql,
     "p69_runtime_filtering" -> p69Sql,
     "p68_agg_pushdown" -> p68Sql,
     "p67_describe_detail" -> p67Sql,

@@ -1269,6 +1269,22 @@ class LakeScanBuilder(key: String, schema: StructType, pinnedVersion: Option[Int
            TimestampType | TimestampNTZType => true
       case _ => false
     }
+    // The winning zone value is boxed at its file's WRITE-TIME width
+    // (metadata-only type widening, p56: pre-widening files replay
+    // Integer zones under a now-LongType column). The answer row is
+    // typed by the CURRENT schema, so coerce to its Catalyst primitive
+    // — an Integer in a LongType slot would throw ClassCastException
+    // at the first downstream getLong.
+    def coerce(v: Any, dt: DataType): Any = (v, dt) match {
+      case (null, _) => null
+      case (n: java.lang.Number, LongType | TimestampType | TimestampNTZType) =>
+        java.lang.Long.valueOf(n.longValue())
+      case (n: java.lang.Number, IntegerType | DateType) =>
+        java.lang.Integer.valueOf(n.intValue())
+      case (n: java.lang.Number, ShortType) => java.lang.Short.valueOf(n.shortValue())
+      case (n: java.lang.Number, ByteType) => java.lang.Byte.valueOf(n.byteValue())
+      case _ => v
+    }
     // per-file MIN/MAX contribution: None = proven no non-null values
     def minMaxOf(c: String): Option[Seq[(Any, Any)]] = {
       val p = phys.getOrElse(c, c)
@@ -1304,7 +1320,8 @@ class LakeScanBuilder(key: String, schema: StructType, pinnedVersion: Option[Int
             val v = if (zs.isEmpty) null
               else zs.map(_._1).reduce((a, b) =>
                 if (ZonePrune.cmp(a, b).exists(_ <= 0)) a else b)
-            StructField(s"agg_min_$c", schema(c).dataType, nullable = true) -> v
+            StructField(s"agg_min_$c", schema(c).dataType, nullable = true) ->
+              coerce(v, schema(c).dataType)
           }
         }
       case mx: Max =>
@@ -1314,7 +1331,8 @@ class LakeScanBuilder(key: String, schema: StructType, pinnedVersion: Option[Int
             val v = if (zs.isEmpty) null
               else zs.map(_._2).reduce((a, b) =>
                 if (ZonePrune.cmp(a, b).exists(_ >= 0)) a else b)
-            StructField(s"agg_max_$c", schema(c).dataType, nullable = true) -> v
+            StructField(s"agg_max_$c", schema(c).dataType, nullable = true) ->
+              coerce(v, schema(c).dataType)
           }
         }
       case _ => None // AVG/SUM/DISTINCT/...: not derivable from the manifest
@@ -1603,10 +1621,12 @@ class LakeScan(key: String, schema: StructType,
 
   override def filter(predicates: Array[
       org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
-    if (keyGroupedSpec.isDefined) return
     val compares = predicates.flatMap(ZonePrune.parse).toSeq
     if (compares.nonEmpty)
       runtimeKept = Some(envelopeSurvivors(snapshotFiles, compares))
+    LakeStore.lastRuntimeFilter.update(key,
+      s"predicates=${predicates.map(p => p.name() + "(" + p.children().length + ")").mkString(",")} " +
+      s"parsed=${compares.mkString(";")} kept=${runtimeKept.map(_.size)}")
   }
 
   /** STORAGE-PARTITIONED JOIN eligibility (the Iceberg/Delta SPJ shape):
@@ -1622,12 +1642,29 @@ class LakeScan(key: String, schema: StructType,
     * Catalyst resolves the reported transform through this catalog's
     * [[LakeFunctions]] and aligns on the derived keys — bucketing is
     * the co-location layout for high-cardinality keys, where identity
-    * would make one group per value. Off by default (the conf gates
-    * it), so ordinary scans keep bin-packing. */
+    * would make one group per value.
+    *
+    * TWO confs gate it, exactly Iceberg's shape: Spark's
+    * `spark.sql.sources.v2.bucketing.enabled` (default TRUE since
+    * Spark 4 — reading it with a false fallback would silently diverge
+    * from Spark's documented default the moment anyone materializes
+    * the session value) AND this source's own
+    * `spark.sql.graft.preserve-data-grouping` (default FALSE, the
+    * analogue of Iceberg's `preserve-data-grouping`): reporting
+    * KeyGroupedPartitioning makes one partition PER GROUP, which
+    * destroys bin-packing on ordinary scans — a small-file table would
+    * schedule a task per partition value even when no join can use the
+    * grouping. SPJ is a join-time layout promise, so the user opts a
+    * query into it; everything else keeps packed bins AND runtime
+    * filtering (which composes with SPJ mode too — see
+    * [[planInputPartitions]]). */
   private def keyGroupedSpec: Option[Seq[String]] = {
-    val enabled = org.apache.spark.sql.internal.SQLConf.get
-      .getConfString("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
-    if (!enabled || limit.isDefined) None
+    val conf = org.apache.spark.sql.internal.SQLConf.get
+    val enabled = conf
+      .getConfString("spark.sql.sources.v2.bucketing.enabled", "true").toBoolean
+    val preserve = conf
+      .getConfString("spark.sql.graft.preserve-data-grouping", "false").toBoolean
+    if (!enabled || !preserve || limit.isDefined) None
     else LakeStore.get(key).flatMap { st =>
       val spec = pinnedVersion.fold(st.partitionCols)(v => st.snapshots(v).spec)
       val files = pinnedVersion.fold(st.current)(v => st.snapshots(v).files)
@@ -1681,12 +1718,20 @@ class LakeScan(key: String, schema: StructType,
         // SPJ mode: one UNSPLITTABLE partition per group, carrying its
         // key in Catalyst form for Spark's key-grouped alignment — the
         // key's type is the TRANSFORM's result type (bucket id / day
-        // ordinal INT, identity/truncate keep the source type)
+        // ordinal INT, identity/truncate keep the source type).
+        // Runtime (DPP) filters COMPOSE: outputPartitioning() promised
+        // a group ROSTER (Spark verifies the key set is unchanged after
+        // runtime filtering), so a pruned group keeps its keyed
+        // partition but carries ZERO files — the roster survives, the
+        // I/O disappears
         val types = spec.map { r =>
           val p = LakeStore.parsePart(r)
           LakeStore.partKeyType(p, schema(p.col).dataType)
         }
-        val grouped = survivingGroups(spec)
+        val grouped = survivingGroups(spec).map { case (g, fs) =>
+          if (runtimeKept.forall(_.contains(g))) (g, fs)
+          else (g, Vector.empty[LakeStore.FileEntry])
+        }
         val toC = stOpt.map(toChunk).getOrElse((f: LakeStore.FileEntry) =>
           LakeFileChunk(LakeStore.resolvePath(key, f), f.cols, f.rows, Nil, 0L))
         val parts = grouped.map { case (g, fs) =>
@@ -1695,7 +1740,7 @@ class LakeScan(key: String, schema: StructType,
           LakeKeyedFilePartition(fs.map(toC), keyRow): InputPartition
         }
         LakeStore.lastScanStats.update(key, LakeStore.ScanStats(
-          files.map(_.group).distinct.length, grouped.length,
+          files.map(_.group).distinct.length, grouped.count(_._2.nonEmpty),
           files.length, grouped.map(_._2.length).sum,
           parts.flatMap(_.asInstanceOf[LakeBin].chunks.map(_.deliveredRows)).sum,
           readCols.fieldNames.toSeq))
@@ -1864,27 +1909,57 @@ object LakeCdf {
     }
     def priorEq(f: LakeStore.FileEntry): Seq[LakeEqDel] =
       prev.eqDeletes.filter(_.seq > f.seq).map(eqChunk(_, prev.schema))
+    // an ADDED file can arrive with rows ALREADY dead by equality
+    // deletes carried in the same commit: a PUBLISH fast-forwards a
+    // branch whose upserts killed keys in branch-added files, and a
+    // RESTORE re-adds files with their old seqs under re-introduced
+    // deletes. An ordinary append's own files have seq == v, so no
+    // delete's seq exceeds it and the probe set is empty — this costs
+    // nothing on the hot path.
     val added = snap.files.filterNot(f => prevPaths.contains(f.path)).map { f =>
       val (dv, n) = dvAtV.getOrElse(f.path, (Nil, 0L))
       LakeFileChunk(LakeStore.resolvePath(key, f), f.cols, f.rows, dv, n,
-        change = "I", version = v.toLong)
+        change = "I", version = v.toLong,
+        eqDel = snap.eqDeletes.filter(_.seq > f.seq).map(eqChunk(_, snap.schema)))
     }
     val removed = prev.files.filterNot(f => curPaths.contains(f.path)).map { f =>
       val (dv, n) = dvAtPrev.getOrElse(f.path, (Nil, 0L))
       LakeFileChunk(LakeStore.resolvePath(key, f), f.cols, f.rows, dv, n,
         change = "D", version = v.toLong, eqDel = priorEq(f))
     }
-    // an UPSERT commit's implicit deletes: every pre-dating live file
-    // emits exactly its rows whose keys the new delete names (include
-    // mode), minus rows already dead before this commit
-    val newEq = snap.eqDeletes.filter(_.seq == v)
+    // implicit deletes: every pre-dating live file emits exactly its
+    // rows whose keys a NEW delete names (include mode), minus rows
+    // already dead before this commit. "New" means new RELATIVE TO THE
+    // PARENT, not seq == v: a PUBLISH delivers a branch's upsert
+    // deletes in one commit (their seqs are branch versions), and a
+    // RESTORE re-introduces deletes from the target snapshot — both
+    // must emit the row-level D side of the batch they land.
+    val prevEqSet = prev.eqDeletes.toSet
+    val newEq = snap.eqDeletes.filterNot(prevEqSet)
     val upserted =
       if (newEq.isEmpty) Nil
-      else prev.files.filter(f => f.seq < v && curPaths.contains(f.path)).map { f =>
+      else prev.files.filter(f => curPaths.contains(f.path) &&
+          newEq.exists(_.seq > f.seq)).map { f =>
         val (dv, n) = dvAtPrev.getOrElse(f.path, (Nil, 0L))
         LakeFileChunk(LakeStore.resolvePath(key, f), f.cols, f.rows, dv, n,
           change = "D", version = v.toLong, eqDel = priorEq(f),
-          eqIncl = newEq.map(eqChunk(_, snap.schema)))
+          eqIncl = newEq.filter(_.seq > f.seq).map(eqChunk(_, snap.schema)))
+      }
+    // the inverse: equality deletes GONE relative to the parent (a
+    // RESTORE rolling back an upsert) resurrect the rows they hid —
+    // emit them as I, include-mode on the vanished probes, minus rows
+    // still dead under the commit's remaining deletes or its DVs.
+    val snapEqSet = snap.eqDeletes.toSet
+    val goneEq = prev.eqDeletes.filterNot(snapEqSet)
+    val resurrected =
+      if (goneEq.isEmpty) Nil
+      else prev.files.filter(f => curPaths.contains(f.path) &&
+          goneEq.exists(_.seq > f.seq)).map { f =>
+        val (dv, n) = dvAtV.getOrElse(f.path, (Nil, 0L))
+        LakeFileChunk(LakeStore.resolvePath(key, f), f.cols, f.rows, dv, n,
+          change = "I", version = v.toLong,
+          eqDel = snap.eqDeletes.filter(_.seq > f.seq).map(eqChunk(_, snap.schema)),
+          eqIncl = goneEq.filter(_.seq > f.seq).map(eqChunk(_, prev.schema)))
       }
     // merge-on-read: sidecars NEW at v over files that were ALREADY
     // live at v-1 — each is O(positions deleted), read include-mode.
@@ -1902,7 +1977,7 @@ object LakeCdf {
           es.map(e => LakeStore.resolveRaw(key, e.path)), es.map(_.rows).sum,
           dvInclude = true, change = "D", version = v.toLong)
     }.toSeq
-    added ++ removed ++ morDeletes ++ upserted
+    added ++ removed ++ morDeletes ++ upserted ++ resurrected
   }
 }
 
@@ -2590,6 +2665,11 @@ object LakeMetaTable {
       StructField("format", StringType, nullable = false),
       StructField("num_files", LongType, nullable = false),
       StructField("size_bytes", LongType, nullable = false),
+      // manifest rows minus position-delete rows; -1 = UNKNOWN while
+      // equality deletes are live (their row impact is key-resolved at
+      // read time — the manifest cannot count it, and an upper bound
+      // masquerading as a count is how dashboards lie). Mirrors the
+      // aggregate-pushdown refusal rule.
       StructField("rows", LongType, nullable = false),
       StructField("partition_columns", StringType, nullable = false),
       StructField("num_commits", LongType, nullable = false),
@@ -2603,6 +2683,7 @@ object LakeMetaTable {
       StructField("kind", StringType, nullable = false),
       StructField("head_version", LongType, nullable = false),
       StructField("base_version", LongType, nullable = false),
+      // -1 = unknown while the ref head has live equality deletes
       StructField("rows", LongType, nullable = false)))
     case other => throw new IllegalArgumentException(
       s"graft_lake: unknown metadata table kind $other")
@@ -2655,7 +2736,8 @@ object LakeMetaTable {
       Vector(Vector[Any](st.key, "graft_lake",
         st.current.length.toLong,
         st.current.map(_.bytes).sum,
-        st.current.map(_.rows).sum - st.deletes.map(_.rows).sum,
+        if (st.eqDeletes.nonEmpty) -1L
+        else st.current.map(_.rows).sum - st.deletes.map(_.rows).sum,
         st.partitionCols.mkString(","),
         (st.latestVersion + 1).toLong,
         st.refNames.length.toLong + 1L, // named refs + main
@@ -2665,7 +2747,8 @@ object LakeMetaTable {
     case "refs" =>
       def liveRows(v: Int): Long = {
         val s = st.snapshots(v)
-        s.files.map(_.rows).sum - s.deletes.map(_.rows).sum
+        if (s.eqDeletes.nonEmpty) -1L
+        else s.files.map(_.rows).sum - s.deletes.map(_.rows).sum
       }
       val named = st.refNames.map { r =>
         Vector[Any](r,

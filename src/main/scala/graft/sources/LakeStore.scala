@@ -251,6 +251,13 @@ object LakeStore {
       filesTotal: Int, filesScanned: Int, rowsEmitted: Long, colsRead: Seq[String])
   val lastScanStats = TrieMap.empty[String, ScanStats]
 
+  /** What the last RUNTIME filter delivery to each table's scan looked
+    * like (predicate shapes in, parsed compares, groups kept) — the
+    * observability hook the DPP specs and `tools` probes read; runtime
+    * filters arrive on executors' planning thread inside
+    * `BatchScanExec.filteredPartitions`, invisible to a plan dump. */
+  val lastRuntimeFilter = TrieMap.empty[String, String]
+
   /** Set by [[GraftLake.optimize]] so the next replace commit on the key
     * is recorded dataChange=false (a layout-only rewrite). */
   private[sources] val nextReplaceIsLayoutOnly = TrieMap.empty[String, Boolean]
@@ -290,6 +297,13 @@ object LakeStore {
     require(name.nonEmpty && name != "main" &&
         name.forall(c => c.isLetterOrDigit || c == '_' || c == '-'),
       s"graft_lake: invalid ref name '$name'")
+    // VERSION AS OF resolves numeric strings as snapshot indexes BEFORE
+    // ref names — an all-digit ref would be unreadable by name (the
+    // query would silently read snapshot N instead: wrong data, no
+    // error). Refuse at creation, where the mistake is still cheap.
+    require(name.exists(!_.isDigit),
+      s"graft_lake: ref name '$name' is all digits — it would collide " +
+        "with VERSION AS OF snapshot numbers; include a non-digit")
     val st = stateOf(k)
     require(st.headOf(name) < 0,
       s"graft_lake: ref '$name' already exists on $k")
@@ -338,10 +352,15 @@ object LakeStore {
       (b.deletes.toSet diff m.deletes.toSet)
     val touched = (added ++ removed).map(_.group).toSet ++
       dvDiff.flatMap(d => groupOf.get(d.dataFile))
-    lastReplacedGroups.update(k, Some(touched))
+    // branch upserts land as equality deletes: key-scoped, so no
+    // per-group claim is honest — degrade to whole-table (same rule as
+    // RESTORE across an eq-delete difference)
+    val eqChanged = m.eqDeletes.toSet != b.eqDeletes.toSet
+    lastReplacedGroups.update(k, if (eqChanged) None else Some(touched))
     lastReplacedFiles.update(k, (removed.map(_.path), added.map(_.path)))
     commit(k, st, "publish", b.files, added, removed.map(_.path),
-      commitGroups = Some(touched), dataChange = true, schema = b.schema,
+      commitGroups = if (eqChanged) None else Some(touched),
+      dataChange = true, schema = b.schema,
       props = b.props, deletes = b.deletes, spec = b.spec,
       refOverride = "main", parentOverride = mh, eraOverride = b.specEra,
       eqDeletes = b.eqDeletes)
@@ -652,6 +671,23 @@ object LakeStore {
     onNextCommit.remove(k).foreach(_.apply())
     val st = stateOf(k)
     txn.foreach(checkConflicts(k, st, _))
+    // A deletion vector binds to a specific (file, positions) pair, so
+    // the dataChange=false exemption in checkConflicts does NOT cover
+    // this commit: an OPTIMIZE interleaved between this statement's
+    // plan and its commit removed the very file the DV points at —
+    // landing the DV anyway would leave the deleted rows alive in the
+    // compacted file (a lost update). Re-validate liveness HERE, inside
+    // the store lock, rather than widening the layout-only exemption:
+    // copy-on-write replace re-derives its removal set and stays safe.
+    val live = st.current.map(_.path).toSet
+    val dead = newDeletes.filterNot(d => live.contains(d.dataFile))
+    if (dead.nonEmpty)
+      throw new CommitConflictException(
+        s"graft_lake: commit conflict on $k — this statement's deletion " +
+          s"vectors target ${dead.map(_.dataFile).distinct.mkString(", ")}, " +
+          "which a concurrent commit (OPTIMIZE or rewrite) removed after " +
+          "the statement planned; committing would silently lose the " +
+          "deletes. Retry the statement. [ConcurrentDeleteDelete]")
     val stamped = files.map(_.copy(era = st.specEra, seq = st.latestVersion + 1))
     commit(k, st, "delta", st.current ++ stamped, stamped, removed = Nil,
       commitGroups = Some(groups), dataChange = true, schema = st.schema,
@@ -703,10 +739,17 @@ object LakeStore {
       (target.deletes.toSet diff st.deletes.toSet)
     val touched = (added ++ removed).map(_.group).toSet ++
       dvDiff.flatMap(d => groupOf.get(d.dataFile))
-    lastReplacedGroups.update(k, Some(touched))
+    // an EQUALITY-delete difference is key-scoped, not file-scoped: the
+    // rolled-back (or re-introduced) deletes may hide rows in ANY
+    // pre-dating group, so no per-group touched set is honest —
+    // degrade to the whole-table claim (conflict checking and the
+    // partition-diff reader then treat the restore as table-wide)
+    val eqChanged = st.eqDeletes.toSet != target.eqDeletes.toSet
+    lastReplacedGroups.update(k, if (eqChanged) None else Some(touched))
     lastReplacedFiles.update(k, (removed.map(_.path), added.map(_.path)))
     commit(k, st, "restore", target.files, added, removed.map(_.path),
-      commitGroups = Some(touched), dataChange = true, schema = target.schema,
+      commitGroups = if (eqChanged) None else Some(touched),
+      dataChange = true, schema = target.schema,
       deletes = target.deletes, // the restore point's deletion vectors
       eqDeletes = target.eqDeletes)
   }
@@ -871,9 +914,18 @@ object LakeStore {
     require(retainLast >= 1, s"graft_lake: VACUUM must retain >= 1 version, got $retainLast")
     val st = stateOf(k)
     val horizon = math.max(0, st.latestVersion - retainLast + 1)
+    def reachable(v: Int): Iterator[String] = {
+      val s = st.snapshots(v)
+      s.files.iterator.map(_.path) ++ s.deletes.iterator.map(_.path) ++
+        s.eqDeletes.iterator.flatMap(_.files)
+    }
+    // retention window PLUS every live ref HEAD (Iceberg's expire rule:
+    // a snapshot referenced by a branch or tag never expires) — a tag
+    // pinned below the horizon stays readable by name forever, so its
+    // files must survive every VACUUM
     val keep: Set[String] =
-      (horizon to st.latestVersion).flatMap(v => st.snapshots(v).files.map(_.path)).toSet ++
-        (horizon to st.latestVersion).flatMap(v => st.snapshots(v).deletes.map(_.path))
+      ((horizon to st.latestVersion).iterator.flatMap(reachable) ++
+        st.refNames.iterator.map(st.headOf).filter(_ >= 0).flatMap(reachable)).toSet
     // everything ANY committed version ever referenced: a doomed file in
     // this set is expired history (safe immediately); outside it, a true
     // orphan — possibly an uncommitted in-flight write — gated by mtime
@@ -927,10 +979,14 @@ object LakeStore {
     mainIdx
   }
 
-  /** Retention gate shared by time travel and incremental reads. */
+  /** Retention gate shared by time travel and incremental reads. A
+    * version that is a LIVE REF'S HEAD stays readable below the
+    * horizon — VACUUM's keep-set protects exactly those files, so the
+    * gate and the sweep agree on what survives. */
   def requireReadable(k: String, version: Int): Unit = {
     val st = stateOf(k)
-    require(version >= st.earliest,
+    require(version >= st.earliest ||
+        st.refNames.exists(r => st.headOf(r) == version),
       s"graft_lake: version $version of $k was vacuumed (earliest readable: ${st.earliest})")
   }
 

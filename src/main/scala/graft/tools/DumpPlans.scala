@@ -233,7 +233,10 @@ object DumpPlans {
         PipelineQueries.p68AggPushdown(spark, dir)),
       ("p69_runtime_filtering",
         "DYNAMIC PARTITION PRUNING on the plain lake scan (SupportsRuntimeV2Filtering): published frame is the audited per-source aggregate; the statement section below dumps the join itself, whose fact scan carries the dim side's runtime filter. groups_scanned=7 of groups_total=20 and dpp_used=1 are inside the oracle hash.",
-        PipelineQueries.p69RuntimeFiltering(spark, dir)))
+        PipelineQueries.p69RuntimeFiltering(spark, dir)),
+      ("p70_expire_refs",
+        "SNAPSHOT EXPIRY UNDER LIVE REFS: the published frame joins the tag's post-vacuum aggregates (pre-rewrite corpus, readable ONLY because VACUUM's keep-set includes every live ref head) against the current table's; vacuumed=1 proves the sweep actually deleted expired untagged rewrite output, tag_below_horizon=1 proves the tag predates the horizon — the case a window-only keep-set destroys.",
+        PipelineQueries.p70ExpireRefs(spark, dir)))
 
     val sb = new StringBuilder
     sb.append("# Flagship physical plans (generated by graft.tools.DumpPlans at sf0.01)\n\n")
@@ -301,10 +304,12 @@ object DumpPlans {
     {
       import org.apache.spark.sql.functions.{col, min, sum}
       val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+        "spark.sql.graft.preserve-data-grouping",
         "spark.sql.adaptive.enabled", "spark.sql.autoBroadcastJoinThreshold")
         .map(k => k -> spark.conf.getOption(k))
       try {
         spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        spark.conf.set("spark.sql.graft.preserve-data-grouping", "true")
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         val a = spark.table("graft_lake.spj_chars").groupBy("source")
@@ -329,10 +334,12 @@ object DumpPlans {
     {
       import org.apache.spark.sql.functions.col
       val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+        "spark.sql.graft.preserve-data-grouping",
         "spark.sql.adaptive.enabled", "spark.sql.autoBroadcastJoinThreshold")
         .map(k => k -> spark.conf.getOption(k))
       try {
         spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        spark.conf.set("spark.sql.graft.preserve-data-grouping", "true")
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         val j = spark.table("graft_lake.bspj_chars")

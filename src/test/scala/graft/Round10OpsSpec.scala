@@ -795,10 +795,12 @@ class Round10OpsSpec extends SparkTestBase {
     (0L until 30L).map(i => (i, s"g${i % 3}", i * 2)).toDF("id", "grp", "w")
       .writeTo("graft_lake.spjb").append()
     val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.graft.preserve-data-grouping",
       "spark.sql.adaptive.enabled", "spark.sql.autoBroadcastJoinThreshold")
       .map(k => k -> spark.conf.getOption(k))
     try {
       spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.graft.preserve-data-grouping", "true")
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val a = spark.table("graft_lake.spja").groupBy("grp")

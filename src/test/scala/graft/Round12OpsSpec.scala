@@ -129,6 +129,7 @@ class Round12OpsSpec extends SparkTestBase {
     val st = LakeStore.get("graft_lake.eraa").get
     assert(st.specEra === 1 && st.current.forall(_.era === 0))
     val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.graft.preserve-data-grouping",
       "spark.sql.adaptive.enabled", "spark.sql.autoBroadcastJoinThreshold")
       .map(k => k -> spark.conf.getOption(k))
     try {
@@ -142,6 +143,7 @@ class Round12OpsSpec extends SparkTestBase {
       spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
       val off = run()
       spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.graft.preserve-data-grouping", "true")
       val on = run()
       assert(off === (0L until 20L).map(i => (i, 100L)))
       assert(on === off, "SPJ across a same-arity partition evolution " +
@@ -682,6 +684,7 @@ class Round12OpsSpec extends SparkTestBase {
     (0L until 64L).map(i => (i, i)).toDF("id", "v").writeTo("graft_lake.bspja").append()
     (0L until 64L).map(i => (i, i * 10)).toDF("id", "w").writeTo("graft_lake.bspjb").append()
     val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.graft.preserve-data-grouping",
       "spark.sql.adaptive.enabled", "spark.sql.autoBroadcastJoinThreshold")
       .map(k => k -> spark.conf.getOption(k))
     try {
@@ -696,6 +699,7 @@ class Round12OpsSpec extends SparkTestBase {
       spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
       val off = sums(); assert(exchanges() > 0)
       spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.graft.preserve-data-grouping", "true")
       assert(exchanges() === 0,
         "bucket-transform SPJ left a shuffle in the join")
       assert(sums() === off)
@@ -730,8 +734,12 @@ class Round12OpsSpec extends SparkTestBase {
       Seq((100L + i, "g0", 1L)).toDF("id", "grp", "v").writeTo(key).append()
     }
     LakeStore.invalidateCache(key)
-    assert(LakeStore.lastReplayStats(key).checkpoint.nonEmpty)
+    // replay is LAZY: st() below is the cold read that triggers it —
+    // only then do the replay stats describe the checkpointed open
     st().current.foreach(f => assert(f.bytes === fsLen(f.path) && f.bytes > 0L))
+    assert(LakeStore.lastReplayStats(key).checkpoint === Some(10))
+    // checkpoint + tail economics: v11..v13 are the only entries parsed
+    assert(LakeStore.lastReplayStats(key).entriesParsed === 3)
     // a rewrite's files carry their own fresh sizes
     GraftLake.optimize(spark, key, "id", 2)
     st().current.foreach(f => assert(f.bytes === fsLen(f.path) && f.bytes > 0L))
@@ -758,6 +766,10 @@ class Round12OpsSpec extends SparkTestBase {
     assert(d.getAs[Long]("num_live_dvs") === 1L)
     assert(d.getAs[Long]("num_eq_deletes") === 1L)
     assert(d.getAs[Long]("num_properties") === 1L)
+    // live equality deletes hide rows only a keyed read can count: the
+    // manifest answer would OVERCOUNT, so detail reports -1 (unknown)
+    // instead of an upper bound masquerading as a count
+    assert(d.getAs[Long]("rows") === -1L)
   }
 
   // ----------------- p69 runtime partition filtering (DPP on plain reads)
@@ -791,7 +803,9 @@ class Round12OpsSpec extends SparkTestBase {
     val stats = LakeStore.lastScanStats(key)
     assert(stats.groupsTotal === 10 && stats.groupsScanned === 3 &&
       stats.filesScanned === 3,
-      s"expected 3/10 groups planned, got $stats")
+      s"expected 3/10 groups planned, got $stats " +
+      s"rt=${LakeStore.lastRuntimeFilter.get(key)} " +
+      s"dppInPlan=${j.queryExecution.executedPlan.toString.contains("dynamicpruningexpression")}")
     // ...delivered by a dynamic-pruning runtime filter on the scan (the
     // plan string includes AQE query-stage bodies a collect() may not)
     assert(j.queryExecution.executedPlan.toString.contains("dynamicpruningexpression"),
@@ -812,6 +826,25 @@ class Round12OpsSpec extends SparkTestBase {
     val sb = LakeStore.lastScanStats(bkey)
     assert(sb.groupsScanned <= sb.groupsTotal,
       s"bucket-transform runtime pruning regressed: $sb")
+    // SPJ mode (preserve-data-grouping) COMPOSES with runtime
+    // filtering: Spark verifies the promised group ROSTER is unchanged
+    // after filter(), so pruned groups keep their keyed partitions but
+    // carry zero files — same answer, 3/10 groups' files opened
+    val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.graft.preserve-data-grouping")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.graft.preserve-data-grouping", "true")
+      val js = spark.table(key)
+        .join(dim.hint("broadcast"), col("grp") === col("dgrp"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      assert(js.collect()(0).toSeq === Seq(expectedSum, 30L))
+      val ss = LakeStore.lastScanStats(key)
+      assert(ss.groupsTotal === 10 && ss.groupsScanned === 3 &&
+        ss.filesScanned === 3, s"SPJ+DPP compose: $ss")
+    } finally saved.foreach { case (k, vOpt) =>
+      vOpt.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
   // ----------------- p68 aggregate pushdown (manifest-only COUNT/MIN/MAX)
@@ -939,6 +972,7 @@ class Round12OpsSpec extends SparkTestBase {
     (0L until 128L).map(i => (i, i)).toDF("id", "w")
       .createOrReplaceTempView("p66t_plain")
     val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.graft.preserve-data-grouping",
       "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
       "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled",
       "spark.sql.sources.v2.bucketing.shuffle.enabled",
@@ -946,6 +980,7 @@ class Round12OpsSpec extends SparkTestBase {
       .map(k => k -> spark.conf.getOption(k))
     try {
       spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.graft.preserve-data-grouping", "true")
       spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
       spark.conf.set("spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled", "true")
       spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
