@@ -4893,7 +4893,79 @@ object PipelineQueries {
       |  CAST(1 AS BIGINT) AS tag_below_horizon
       |FROM documents""".stripMargin
 
+  // ---------------------------------------------------------------- p71
+  /** SIZE-AWARE INCREMENTAL COMPACTION (Delta OPTIMIZE's small-file
+    * bin-packing): the manifest's per-file `bytes` select which
+    * partition groups need compacting (>= minInputFiles files under the
+    * size threshold), and ONLY those groups rewrite through the
+    * group-exact replaceWhere path — the maintenance job scales with
+    * the small-file PROBLEM, not with the table. Here three whole
+    * appends give every source 3 files and a fourth partial append
+    * gives half the sources a 4th; compaction at minInputFiles=4 picks
+    * exactly that half, packs each to ONE file, and a second pass finds
+    * nothing left to do.
+    *
+    * Inside the hash: per-corpus aggregates BEFORE and AFTER (identical
+    * — layout-only), groups_compacted / files_removed from the manifest
+    * math (S_even groups, 4*S_even files), files_after =
+    * S_even + 3*(S - S_even), and recompact_groups = 0 (idempotence). */
+  def p71SmallFileCompaction(s: SparkSession, dir: String): DataFrame = {
+    registerLake(s)
+    val key = "graft_lake.cmpct"
+    s.sql(s"DROP TABLE IF EXISTS $key")
+    s.sql(s"""CREATE TABLE $key (doc_id BIGINT, source STRING, n_chars BIGINT)
+             |PARTITIONED BY (source)""".stripMargin)
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    // one task per append -> ONE file per group per append: 3 each
+    (1 to 3).foreach(_ => docs.repartition(1).writeTo(key).append())
+    // half the sources get a 4th small file
+    docs.filter(expr("cast(substr(source, 4) as int) % 2 = 0"))
+      .repartition(1).writeTo(key).append()
+    val before = s.table(key)
+      .agg(count(lit(1)).as("docs_before"),
+        sum(col("n_chars")).cast("bigint").as("chars_before"))
+    val beforeRow = before.collect()(0)
+    val (groups, removed) =
+      graft.sources.GraftLake.compact(s, key, Long.MaxValue, minInputFiles = 4)
+    val filesAfter = graft.sources.LakeStore.get(key).get.current.length
+    val (g2, _) =
+      graft.sources.GraftLake.compact(s, key, Long.MaxValue, minInputFiles = 4)
+    s.table(key)
+      .agg(count(lit(1)).as("docs_after"),
+        sum(col("n_chars")).cast("bigint").as("chars_after"))
+      .withColumn("docs_before", lit(beforeRow.getLong(0)))
+      .withColumn("chars_before", lit(beforeRow.getLong(1)))
+      .withColumn("groups_compacted", lit(groups.toLong))
+      .withColumn("files_removed", lit(removed.toLong))
+      .withColumn("files_after", lit(filesAfter.toLong))
+      .withColumn("recompact_groups", lit(g2.toLong))
+      .select(col("docs_before"), col("chars_before"), col("docs_after"),
+        col("chars_after"), col("groups_compacted"), col("files_removed"),
+        col("files_after"), col("recompact_groups"))
+  }
+
+  val p71Sql: String =
+    """WITH s AS (SELECT COUNT(DISTINCT source) AS n FROM documents),
+      |  se AS (SELECT COUNT(DISTINCT source) AS n FROM documents
+      |         WHERE CAST(SUBSTR(source, 4) AS INT) % 2 = 0),
+      |  d AS (SELECT CAST(3 * COUNT(*) +
+      |          SUM(CASE WHEN CAST(SUBSTR(source, 4) AS INT) % 2 = 0
+      |            THEN 1 ELSE 0 END) AS BIGINT) AS docs,
+      |        CAST(3 * SUM(n_chars) +
+      |          SUM(CASE WHEN CAST(SUBSTR(source, 4) AS INT) % 2 = 0
+      |            THEN n_chars ELSE 0 END) AS BIGINT) AS chars
+      |        FROM documents)
+      |SELECT d.docs AS docs_before, d.chars AS chars_before,
+      |  d.docs AS docs_after, d.chars AS chars_after,
+      |  CAST(se.n AS BIGINT) AS groups_compacted,
+      |  CAST(4 * se.n AS BIGINT) AS files_removed,
+      |  CAST(se.n + 3 * (s.n - se.n) AS BIGINT) AS files_after,
+      |  CAST(0 AS BIGINT) AS recompact_groups
+      |FROM d, s, se""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p71_small_file_compaction" -> (p71SmallFileCompaction _),
     "p70_expire_refs" -> (p70ExpireRefs _),
     "p69_runtime_filtering" -> (p69RuntimeFiltering _),
     "p68_agg_pushdown" -> (p68AggPushdown _),
@@ -4967,6 +5039,7 @@ object PipelineQueries {
   // def, not val: p19Sql embeds Sidecars.oracleDir-keyed paths, which
   // Verify pins at runtime before dumping oracle_sql.json
   def oracle: Map[String, String] = Map(
+    "p71_small_file_compaction" -> p71Sql,
     "p70_expire_refs" -> p70Sql,
     "p69_runtime_filtering" -> p69Sql,
     "p68_agg_pushdown" -> p68Sql,

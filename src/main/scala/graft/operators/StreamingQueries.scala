@@ -1194,7 +1194,72 @@ object StreamingQueries {
       |  CAST(0 AS BIGINT) AS src_minus_replica
       |FROM fin""".stripMargin
 
+  /** RATE-LIMITED STREAMING SOURCE — Delta's `maxFilesPerTrigger` as
+    * DSv2 admission control ([[graft.sources.LakeMicroBatchStream]]
+    * `SupportsAdmissionControl`): the option caps how many appended
+    * FILES a micro-batch admits, at COMMIT granularity (a commit never
+    * splits across batches — exactly-once offsets stay versions), with
+    * a progress guarantee (one data commit always admits). Three
+    * one-file appends land BEFORE the stream starts; an unlimited drain
+    * would deliver all of them as one catch-up batch, the rate-limited
+    * drain delivers exactly one commit per batch — the difference
+    * between a 100 TB backfill arriving as one giant batch and as
+    * bounded, checkpointed increments.
+    *
+    * Inside the hash: one row per NON-EMPTY batch in delivery order —
+    * each batch is exactly one append slice (its count and doc_id sum),
+    * so the row count ITSELF (3, not 1) proves the rate limit split the
+    * catch-up. */
+  def st19StreamRateLimit(s: SparkSession, dir: String): DataFrame = {
+    if (!s.conf.getOption("spark.sql.catalog.graft_lake").contains(
+        classOf[graft.sources.GraftLakeCatalog].getName))
+      s.conf.set("spark.sql.catalog.graft_lake",
+        classOf[graft.sources.GraftLakeCatalog].getName)
+    val root = s"/tmp/graft_stream_${Sidecars.tag(dir)}/st19"
+    deleteRecursively(java.nio.file.Paths.get(root))
+    s.sql("DROP TABLE IF EXISTS graft_lake.rl_src")
+    s.sql("CREATE TABLE graft_lake.rl_src (doc_id BIGINT, n_chars BIGINT)")
+    val docs = graft.Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+    // three commits of ONE file each, all before the stream starts
+    (0 to 2).foreach { slice =>
+      docs.filter(col("doc_id") % 3 === slice).coalesce(1)
+        .writeTo("graft_lake.rl_src").append()
+    }
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val q = s.readStream
+      .option("maxFilesPerTrigger", "1")
+      .table("graft_lake.rl_src")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val r = batch.agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L)))
+          .collect()(0)
+        if (r.getLong(0) > 0) buf.add((r.getLong(0), r.getLong(1)))
+        ()
+      }
+      .option("checkpointLocation", s"$root/_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    import s.implicits._
+    buf.iterator().asScala.toSeq.zipWithIndex
+      .map { case ((n, sm), i) => (i.toLong + 1L, n, sm) }
+      .toDF("batch_seq", "n_rows", "sum_ids")
+      .orderBy(col("batch_seq"))
+  }
+
+  val st19Sql: String =
+    """SELECT CAST(batch_seq AS BIGINT) AS batch_seq,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+      |FROM (
+      |  SELECT 1 AS batch_seq, doc_id FROM documents WHERE doc_id % 3 = 0
+      |  UNION ALL SELECT 2, doc_id FROM documents WHERE doc_id % 3 = 1
+      |  UNION ALL SELECT 3, doc_id FROM documents WHERE doc_id % 3 = 2)
+      |GROUP BY batch_seq ORDER BY batch_seq""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st19_stream_rate_limit" -> (st19StreamRateLimit _),
     "st18_cdc_replication" -> (st18CdcReplication _),
     "st17_stream_lake_sink" -> (st17StreamLakeSink _),
     "st16_stream_change_feed" -> (st16StreamChangeFeed _),
@@ -1215,6 +1280,7 @@ object StreamingQueries {
     "st05_stream_filter" -> (st05StreamFilter _))
 
   val oracle: Map[String, String] = Map(
+    "st19_stream_rate_limit" -> st19Sql,
     "st18_cdc_replication" -> st18Sql,
     "st17_stream_lake_sink" -> st17Sql,
     "st16_stream_change_feed" -> st16Sql,

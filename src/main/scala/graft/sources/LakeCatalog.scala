@@ -407,6 +407,52 @@ object GraftLake {
     try df.writeTo(tableRef).overwrite(lit(true))
     finally LakeStore.nextReplaceIsLayoutOnly.remove(tableRef)
   }
+
+  /** SIZE-AWARE INCREMENTAL COMPACTION — Delta OPTIMIZE's small-file
+    * bin-packing shape: pick, from the MANIFEST alone (per-file
+    * `bytes`, no filesystem listing), the partition groups holding at
+    * least `minInputFiles` files under `maxFileBytes`, and rewrite ONLY
+    * those groups through the partition-scoped replaceWhere path. A
+    * 100 TB table with a small-file problem in last hour's partitions
+    * compacts exactly those partitions — the full-table [[optimize]]
+    * would rewrite everything, which is the difference between a
+    * maintenance job that scales with the PROBLEM and one that scales
+    * with the table. The rewrite is layout-only (dataChange=false: time
+    * travel keeps every prior version, the change feed sees nothing),
+    * reads resolve deletion vectors and equality deletes for the
+    * compacted groups (the commit prunes their entries — compaction
+    * pays the delete debt down exactly where it rewrites), and
+    * untouched groups' files are not moved, reread, or re-stamped.
+    * Returns (groupsCompacted, filesRemoved). Limited to single-column
+    * identity specs — the selection must be expressible as the
+    * group-exact IN predicate replaceWhere validates; transform or
+    * multi-column layouts take the full [[optimize]]. */
+  def compact(s: SparkSession, tableRef: String, maxFileBytes: Long,
+      minInputFiles: Int = 2): (Int, Int) = {
+    require(minInputFiles >= 2,
+      "graft_lake: compaction needs minInputFiles >= 2 (one file is already compact)")
+    val st = LakeStore.get(tableRef).getOrElse(
+      throw new NoSuchTableException(tableRef.split('.').toSeq))
+    val pc = st.partitionCols
+    require(pc.length == 1 && LakeStore.isIdentitySpec(pc.head),
+      s"graft_lake: incremental compaction needs a single identity partition " +
+        s"column on $tableRef; use optimize() for other layouts")
+    val smallGroups = st.current.groupBy(_.group).collect {
+      case (g, fs) if fs.count(f => f.bytes < maxFileBytes) >= minInputFiles => g
+    }.toSet
+    if (smallGroups.isEmpty) return (0, 0)
+    val values = smallGroups.map(_.head).toSeq
+    val removedCount = st.current.count(f => smallGroups.contains(f.group))
+    val pred = col(pc.head).isin(values: _*)
+    // route each compacted group to one task -> one output file per
+    // group (the writer opens per-group files within a task)
+    val df = s.table(tableRef).where(pred)
+      .repartition(smallGroups.size, col(pc.head))
+    LakeStore.nextReplaceIsLayoutOnly.update(tableRef, true)
+    try df.writeTo(tableRef).overwrite(pred)
+    finally LakeStore.nextReplaceIsLayoutOnly.remove(tableRef)
+    (smallGroups.size, removedCount)
+  }
 }
 
 class GraftLakeCatalog extends TableCatalog
@@ -968,7 +1014,7 @@ class GraftLakeTable(val key: String, val tableSchema: StructType,
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new LakeScanBuilder(key, tableSchema, pinnedVersion)
+    new LakeScanBuilder(key, tableSchema, pinnedVersion, options)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedVersion.isEmpty, "graft_lake: cannot write to a time-travel view")
@@ -1192,7 +1238,8 @@ class LakeGroupScan(key: String, schema: StructType,
   * ([[ZonePrune]]) plus column pruning. Every predicate Spark offers is
   * returned as residual — the scan only ever narrows WHICH FILES and
   * WHICH COLUMNS flow, never final row semantics. */
-class LakeScanBuilder(key: String, schema: StructType, pinnedVersion: Option[Int])
+class LakeScanBuilder(key: String, schema: StructType, pinnedVersion: Option[Int],
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownV2Filters
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
@@ -1359,7 +1406,8 @@ class LakeScanBuilder(key: String, schema: StructType, pinnedVersion: Option[Int
   override def pushLimit(n: Int): Boolean = { limit = Some(n); false }
   override def build(): Scan = aggAnswer match {
     case Some((out, values)) => new LakeAggScan(key, out, values)
-    case None => new LakeScan(key, schema, pinnedVersion, pushed, required, limit)
+    case None => new LakeScan(key, schema, pinnedVersion, pushed, required, limit,
+      streamMaxFiles = Option(options.get("maxFilesPerTrigger")).map(_.toInt))
   }
 }
 
@@ -1417,7 +1465,8 @@ class LakeScan(key: String, schema: StructType,
     pinnedVersion: Option[Int] = None,
     pushed: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] = Array.empty,
     required: StructType = null,
-    limit: Option[Int] = None) extends Scan with Batch
+    limit: Option[Int] = None,
+    streamMaxFiles: Option[Int] = None) extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
@@ -1784,7 +1833,7 @@ class LakeScan(key: String, schema: StructType,
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(pinnedVersion.isEmpty,
       "graft_lake: cannot stream from a time-travel view")
-    new LakeMicroBatchStream(key, readCols, physNames)
+    new LakeMicroBatchStream(key, readCols, physNames, streamMaxFiles)
   }
 }
 
@@ -1803,9 +1852,12 @@ class LakeScan(key: String, schema: StructType,
   * .changes) instead — the same contract Delta's source enforces
   * without ignoreChanges. */
 class LakeMicroBatchStream(key: String, required: StructType,
-    physicalOf: Map[String, String] = Map.empty)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.{Offset => V2Offset}
+    physicalOf: Map[String, String] = Map.empty,
+    maxFilesPerTrigger: Option[Int] = None)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => V2Offset,
+    ReadLimit, ReadMaxFiles}
 
   private case class VersionOffset(v: Int) extends V2Offset {
     override def json: String = s"""{"version":$v}"""
@@ -1825,6 +1877,64 @@ class LakeMicroBatchStream(key: String, required: StructType,
   override def latestOffset(): V2Offset = VersionOffset(state.latestVersion)
   override def deserializeOffset(json: String): V2Offset =
     VersionOffset(json.split(':')(1).stripSuffix("}").trim.toInt)
+
+  /** RATE LIMITING (Delta's `maxFilesPerTrigger` — DSv2 admission
+    * control): a micro-batch admits whole COMMITS while their
+    * cumulative appended-file count stays within the cap, always
+    * admitting at least one data commit so the stream can never stall
+    * behind a single oversized append. Commit granularity keeps the
+    * source's exactly-once contract untouched (offsets stay versions;
+    * a commit is never split across batches), and the decision is
+    * O(admitted commits) manifest arithmetic — no file listing. A
+    * 100 TB backfill then drains as bounded batches instead of one
+    * giant first batch that overwhelms the sink. */
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n))
+      .getOrElse(ReadLimit.allAvailable())
+
+  /** `Trigger.AvailableNow` + a read limit = a BOUNDED DRAIN in several
+    * batches: the cliff is pinned HERE at query start (without this
+    * hook Spark falls back to one all-available batch, defeating the
+    * rate limit), then each batch admits up to the limit until the
+    * pinned version is reached. */
+  @volatile private var availableNowCap: Option[Int] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(state.latestVersion)
+
+  private def appendedAt(st: LakeStore.TableState, v: Int): Int = {
+    val snap = st.snapshots(v)
+    if (!snap.dataChange || snap.ref != "main") 0
+    else {
+      val prevPaths = st.snapshots(
+        if (snap.parent >= 0) snap.parent else v - 1).files.map(_.path).toSet
+      snap.files.count(f => !prevPaths.contains(f.path))
+    }
+  }
+
+  override def latestOffset(start: V2Offset, limit: ReadLimit): V2Offset = {
+    val st = state
+    val s0 = versionOf(start)
+    val cliff = availableNowCap.getOrElse(st.latestVersion)
+    limit match {
+      case m: ReadMaxFiles =>
+        var v = s0
+        var files = 0
+        var progressed = false
+        var stop = false
+        while (v < cliff && !stop) {
+          val add = appendedAt(st, v + 1)
+          // metadata/layout commits (add == 0) ride along free; the
+          // first data commit always admits (progress guarantee)
+          if (add == 0 || !progressed || files + add <= m.maxFiles()) {
+            v += 1
+            files += add
+            if (add > 0) progressed = true
+          } else stop = true
+        }
+        VersionOffset(v)
+      case _ => VersionOffset(cliff)
+    }
+  }
 
   override def planInputPartitions(start: V2Offset, end: V2Offset): Array[InputPartition] = {
     val st = state

@@ -29,7 +29,7 @@ import org.apache.spark.unsafe.types.UTF8String
 object LakeProcedures {
 
   val Names: Seq[String] = Seq(
-    "optimize", "vacuum", "restore", "clone", "set_partition_spec",
+    "optimize", "compact", "vacuum", "restore", "clone", "set_partition_spec",
     "create_branch", "create_tag", "publish", "drop_ref")
 
   def identifiers(namespace: Array[String]): Array[Identifier] =
@@ -102,6 +102,21 @@ object LakeProcedures {
         GraftLake.optimize(SparkSession.active, k, cols, n)
         val st = LakeStore.get(k).get
         row(before, st.current.length.toLong, st.latestVersion.toLong)
+      }),
+
+    "compact" -> Proc("compact",
+      Array(in("tbl", StringType), in("max_file_bytes", LongType),
+        inDefault("min_input_files", IntegerType, "2")),
+      StructType(Seq(
+        StructField("groups_compacted", LongType, nullable = false),
+        StructField("files_removed", LongType, nullable = false),
+        StructField("files_after", LongType, nullable = false))),
+      (catalog, input) => {
+        val k = key(catalog, input.getUTF8String(0).toString)
+        val (groups, removed) = GraftLake.compact(
+          SparkSession.active, k, input.getLong(1), input.getInt(2))
+        row(groups.toLong, removed.toLong,
+          LakeStore.get(k).map(_.current.length.toLong).getOrElse(0L))
       }),
 
     "vacuum" -> Proc("vacuum",

@@ -199,7 +199,8 @@ object ScaleSweep {
       "p66_compat_bucket_join" -> "compatible bucket counts + one-side shuffle SPJ",
       "p68_agg_pushdown" -> "aggregate pushdown (manifest-only count/min/max)",
       "p69_runtime_filtering" -> "dynamic partition pruning (runtime V2 filtering)",
-      "p70_expire_refs" -> "snapshot expiry under live refs (ref-aware VACUUM)")
+      "p70_expire_refs" -> "snapshot expiry under live refs (ref-aware VACUUM)",
+      "p71_small_file_compaction" -> "size-aware incremental compaction (manifest-driven binpack)")
 
     // warm the JVM/codegen on the smallest sf so cold-start lands nowhere
     queries.foreach { case (q, _) =>

@@ -219,6 +219,136 @@ class Round13OpsSpec extends SparkTestBase {
       .exists(_.contains("vacuumed"))), s"wrong gate: $e")
   }
 
+  // ----------------- runtime filtering composes with merge-on-read
+
+  test("DPP prunes fact groups on a MoR table with live DVs and equality deletes") {
+    registerCatalog()
+    val key = "graft_lake.dppmor"
+    spark.sql(s"DROP TABLE IF EXISTS $key")
+    spark.sql(s"""CREATE TABLE $key (id BIGINT, grp STRING, v BIGINT)
+                 |PARTITIONED BY (grp)
+                 |TBLPROPERTIES ('graft.write.distribution-mode' = 'hash',
+                 |               'graft.merge-on-read' = 'true')""".stripMargin)
+    import spark.implicits._
+    (0L until 100L).map(i => (i, s"g${i % 10}", i)).toDF("id", "grp", "v")
+      .writeTo(key).append() // 10 groups, one file each
+    // live row-level delete debt of BOTH kinds: a positional DV in a
+    // group the join keeps (g1) and an equality delete upserting a key
+    // in another kept group (g3) — the read-time resolution paths that
+    // p68's aggregate pushdown and the LIMIT fast path must disarm on,
+    // but runtime PARTITION pruning composes with (group envelopes
+    // don't count rows, they bound values)
+    spark.sql(s"DELETE FROM $key WHERE id = 11") // DV in g1
+    GraftLake.upsert(Seq((13L, "g3", 1313L)).toDF("id", "grp", "v"),
+      key, Seq("id")) // equality delete on id=13 in g3
+    spark.sql("DROP TABLE IF EXISTS graft_lake.dppmordim")
+    spark.sql("CREATE TABLE graft_lake.dppmordim (dgrp STRING, w BIGINT)")
+    Seq(("g1", 10L), ("g3", 30L), ("g7", 70L), ("g9", 0L))
+      .toDF("dgrp", "w").writeTo("graft_lake.dppmordim").append()
+    val dim = spark.table("graft_lake.dppmordim").where(col("w") > 0L)
+    val j = spark.table(key)
+      .join(dim.hint("broadcast"), col("grp") === col("dgrp"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+    // expected: groups 1,3,7 (30 rows), minus the DV'd id=11, minus the
+    // key-dead old id=13, plus its upserted replacement — 29 rows
+    val base = (0L until 100L).filter(i => Set(1L, 3L, 7L).contains(i % 10))
+    val expectedSum = base.sum - 11L - 13L + 1313L
+    assert(j.collect()(0).toSeq === Seq(expectedSum, 29L))
+    val stats = LakeStore.lastScanStats(key)
+    assert(stats.groupsScanned < stats.groupsTotal,
+      s"runtime filtering disarmed on a MoR table: $stats")
+    assert(stats.groupsTotal === 10 && stats.groupsScanned === 3, s"$stats")
+    assert(j.queryExecution.executedPlan.toString.contains("dynamicpruningexpression"),
+      "no runtime filter reached the MoR lake scan")
+  }
+
+  // ----------------- size-aware incremental compaction (p71)
+
+  test("compact rewrites only groups with enough under-threshold files") {
+    registerCatalog()
+    val key = "graft_lake.cmp"
+    spark.sql(s"DROP TABLE IF EXISTS $key")
+    spark.sql(s"""CREATE TABLE $key (id BIGINT, grp STRING, v BIGINT)
+                 |PARTITIONED BY (grp)""".stripMargin)
+    import spark.implicits._
+    // g0: one BIG file; then two small (g0,g1) appends; g2: one small
+    (0L until 5000L).map(i => (i, "g0", i)).toDF("id", "grp", "v")
+      .repartition(1).writeTo(key).append()
+    (1 to 2).foreach { a =>
+      Seq((10000L + a, "g0", 1L), (20000L + a, "g1", 1L))
+        .toDF("id", "grp", "v").repartition(1).writeTo(key).append()
+    }
+    Seq((30000L, "g2", 1L)).toDF("id", "grp", "v").writeTo(key).append()
+    def st() = LakeStore.get(key).get
+    val bigBytes = st().current.filter(_.rows >= 5000L).map(_.bytes).min
+    val smallMax = st().current.filter(_.rows < 5000L).map(_.bytes).max
+    assert(smallMax < bigBytes, s"fixture: small $smallMax !< big $bigBytes")
+    val threshold = (smallMax + bigBytes) / 2
+    val g2Path = st().current.filter(_.group == List("g2")).map(_.path)
+    val rowsBefore = spark.table(key).count()
+    val sumBefore = spark.table(key).agg(sum("v")).collect()(0).getLong(0)
+    // g0 has 2 small files (the big one is over threshold but the group
+    // qualifies on its small count); g1 has 2 small; g2 only 1 -> skip
+    val (groups, removed) = GraftLake.compact(spark, key, threshold, minInputFiles = 2)
+    assert(groups === 2 && removed === 5, s"($groups, $removed)") // g0: 3 files, g1: 2
+    val after = st().current.groupBy(_.group).map { case (g, fs) => g -> fs.length }
+    assert(after(List("g0")) === 1 && after(List("g1")) === 1)
+    // the untouched group kept its exact file (not moved, not re-stamped)
+    assert(st().current.filter(_.group == List("g2")).map(_.path) === g2Path)
+    // layout-only: content identical, change feed silent, idempotent
+    assert(spark.table(key).count() === rowsBefore)
+    assert(spark.table(key).agg(sum("v")).collect()(0).getLong(0) === sumBefore)
+    val v = st().latestVersion
+    assert(!st().snapshots(v).dataChange)
+    assert(GraftLake.compact(spark, key, threshold, minInputFiles = 2) === ((0, 0)))
+    // non-identity layouts are refused toward the full optimize
+    spark.sql("DROP TABLE IF EXISTS graft_lake.cmpb")
+    spark.sql("""CREATE TABLE graft_lake.cmpb (id BIGINT, v BIGINT)
+                |PARTITIONED BY (bucket(4, id))""".stripMargin)
+    Seq((1L, 1L)).toDF("id", "v").writeTo("graft_lake.cmpb").append()
+    val e = intercept[Exception] {
+      GraftLake.compact(spark, "graft_lake.cmpb", Long.MaxValue)
+    }
+    assert(causes(e).exists(c => Option(c.getMessage)
+      .exists(_.contains("identity"))), s"wrong guard: $e")
+  }
+
+  // ----------------- streaming rate limiting (st19)
+
+  test("maxFilesPerTrigger batches per-commit; an oversized commit still admits") {
+    registerCatalog()
+    val key = "graft_lake.rl"
+    spark.sql(s"DROP TABLE IF EXISTS $key")
+    spark.sql(s"CREATE TABLE $key (id BIGINT, v BIGINT)")
+    import spark.implicits._
+    // v1..v3: one file each; v4: FOUR files in one commit (over any cap)
+    (1 to 3).foreach { c =>
+      (0L until 10L).map(i => (c * 100L + i, i)).toDF("id", "v")
+        .coalesce(1).writeTo(key).append()
+    }
+    (0L until 40L).map(i => (1000L + i, i)).toDF("id", "v")
+      .repartition(4).writeTo(key).append()
+    val root = s"/tmp/graft_rl_spec_${System.nanoTime()}"
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream
+      .option("maxFilesPerTrigger", "2")
+      .table(key)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        val n = b.count(); if (n > 0) batches.add(n); ()
+      }
+      .option("checkpointLocation", s"$root/_cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    // cap=2: batch1 admits v1+v2 (2 files), batch2 admits v3 alone (v4's
+    // 4 files would blow the cap), batch3 admits v4 whole — the progress
+    // guarantee (a commit never splits, so an oversized one rides alone)
+    assert(batches.iterator().asScala.toSeq === Seq(20L, 10L, 40L))
+  }
+
   // ----------------- ADVICE 5: refs row counts under equality deletes
 
   test("refs table reports rows = -1 while a ref head has live equality deletes") {
