@@ -1407,7 +1407,9 @@ class LakeScanBuilder(key: String, schema: StructType, pinnedVersion: Option[Int
   override def build(): Scan = aggAnswer match {
     case Some((out, values)) => new LakeAggScan(key, out, values)
     case None => new LakeScan(key, schema, pinnedVersion, pushed, required, limit,
-      streamMaxFiles = Option(options.get("maxFilesPerTrigger")).map(_.toInt))
+      streamMaxFiles = Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+      streamMaxBytes = Option(options.get("maxBytesPerTrigger")).map(_.toLong),
+      streamStartVersion = Option(options.get("startingVersion")))
   }
 }
 
@@ -1466,7 +1468,9 @@ class LakeScan(key: String, schema: StructType,
     pushed: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] = Array.empty,
     required: StructType = null,
     limit: Option[Int] = None,
-    streamMaxFiles: Option[Int] = None) extends Scan with Batch
+    streamMaxFiles: Option[Int] = None,
+    streamMaxBytes: Option[Long] = None,
+    streamStartVersion: Option[String] = None) extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
@@ -1833,7 +1837,8 @@ class LakeScan(key: String, schema: StructType,
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(pinnedVersion.isEmpty,
       "graft_lake: cannot stream from a time-travel view")
-    new LakeMicroBatchStream(key, readCols, physNames, streamMaxFiles)
+    new LakeMicroBatchStream(key, readCols, physNames, streamMaxFiles,
+      streamMaxBytes, streamStartVersion)
   }
 }
 
@@ -1853,7 +1858,9 @@ class LakeScan(key: String, schema: StructType,
   * without ignoreChanges. */
 class LakeMicroBatchStream(key: String, required: StructType,
     physicalOf: Map[String, String] = Map.empty,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None,
+    startingVersion: Option[String] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset => V2Offset,
@@ -1873,7 +1880,22 @@ class LakeMicroBatchStream(key: String, required: StructType,
   private def state = LakeStore.get(key).getOrElse(
     throw new NoSuchTableException(key.split('.').toSeq))
 
-  override def initialOffset(): V2Offset = VersionOffset(0)
+  /** `startingVersion` (Delta's option): where a FRESH stream begins.
+    * Default replays the whole commit history as the initial load;
+    * `"latest"` starts from NOW (the first batch delivers only commits
+    * after query start — on a 100 TB table the difference between an
+    * initial load that rereads everything and a tail-follow); a number
+    * N delivers from commit N inclusive. Checkpointed restarts ignore
+    * this — the checkpoint owns the position. */
+  override def initialOffset(): V2Offset = startingVersion match {
+    case None => VersionOffset(0)
+    case Some("latest") => VersionOffset(state.latestVersion)
+    case Some(n) =>
+      val v = n.toInt
+      require(v >= 1 && v <= state.latestVersion + 1,
+        s"graft_lake: startingVersion $v out of range [1, ${state.latestVersion + 1}] for $key")
+      VersionOffset(v - 1)
+  }
   override def latestOffset(): V2Offset = VersionOffset(state.latestVersion)
   override def deserializeOffset(json: String): V2Offset =
     VersionOffset(json.split(':')(1).stripSuffix("}").trim.toInt)
@@ -1892,6 +1914,14 @@ class LakeMicroBatchStream(key: String, required: StructType,
     maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n))
       .getOrElse(ReadLimit.allAvailable())
 
+  /** `maxBytesPerTrigger` composes with the file cap (Delta's pair):
+    * Spark's ReadLimit vocabulary has no bytes variant, so the bytes
+    * cap is applied directly from the option inside [[latestOffset]] —
+    * the same place Delta enforces its own. Manifest `bytes` make the
+    * decision O(admitted commits), no filesystem stat. */
+  private def admits(files: Int, bytes: Long, capFiles: Option[Int]): Boolean =
+    capFiles.forall(files <= _) && maxBytesPerTrigger.forall(bytes <= _)
+
   /** `Trigger.AvailableNow` + a read limit = a BOUNDED DRAIN in several
     * batches: the cliff is pinned HERE at query start (without this
     * hook Spark falls back to one all-available batch, defeating the
@@ -1901,13 +1931,15 @@ class LakeMicroBatchStream(key: String, required: StructType,
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowCap = Some(state.latestVersion)
 
-  private def appendedAt(st: LakeStore.TableState, v: Int): Int = {
+  /** (files, bytes) a commit appended — 0 for metadata/layout/branch. */
+  private def appendedAt(st: LakeStore.TableState, v: Int): (Int, Long) = {
     val snap = st.snapshots(v)
-    if (!snap.dataChange || snap.ref != "main") 0
+    if (!snap.dataChange || snap.ref != "main") (0, 0L)
     else {
       val prevPaths = st.snapshots(
         if (snap.parent >= 0) snap.parent else v - 1).files.map(_.path).toSet
-      snap.files.count(f => !prevPaths.contains(f.path))
+      val added = snap.files.filterNot(f => prevPaths.contains(f.path))
+      (added.length, added.map(_.bytes).sum)
     }
   }
 
@@ -1915,25 +1947,29 @@ class LakeMicroBatchStream(key: String, required: StructType,
     val st = state
     val s0 = versionOf(start)
     val cliff = availableNowCap.getOrElse(st.latestVersion)
-    limit match {
-      case m: ReadMaxFiles =>
-        var v = s0
-        var files = 0
-        var progressed = false
-        var stop = false
-        while (v < cliff && !stop) {
-          val add = appendedAt(st, v + 1)
-          // metadata/layout commits (add == 0) ride along free; the
-          // first data commit always admits (progress guarantee)
-          if (add == 0 || !progressed || files + add <= m.maxFiles()) {
-            v += 1
-            files += add
-            if (add > 0) progressed = true
-          } else stop = true
-        }
-        VersionOffset(v)
-      case _ => VersionOffset(cliff)
+    val capFiles = limit match {
+      case m: ReadMaxFiles => Some(m.maxFiles())
+      case _ => None
     }
+    if (capFiles.isEmpty && maxBytesPerTrigger.isEmpty)
+      return VersionOffset(cliff)
+    var v = s0
+    var files = 0
+    var bytes = 0L
+    var progressed = false
+    var stop = false
+    while (v < cliff && !stop) {
+      val (addF, addB) = appendedAt(st, v + 1)
+      // metadata/layout commits (addF == 0) ride along free; the
+      // first data commit always admits (progress guarantee)
+      if (addF == 0 || !progressed || admits(files + addF, bytes + addB, capFiles)) {
+        v += 1
+        files += addF
+        bytes += addB
+        if (addF > 0) progressed = true
+      } else stop = true
+    }
+    VersionOffset(v)
   }
 
   override def planInputPartitions(start: V2Offset, end: V2Offset): Array[InputPartition] = {

@@ -186,6 +186,7 @@ object ScaleSweep {
       "p54_storage_partitioned_join" -> "storage-partitioned join (zero-exchange agg+join)",
       "p55_replace_table" -> "atomic CREATE OR REPLACE via staging (one replace commit)",
       "st18_cdc_replication" -> "CDC replication (stream changes -> MERGE into replica)",
+      "st19_stream_rate_limit" -> "rate-limited streaming source (maxFilesPerTrigger admission)",
       "p56_type_widening" -> "metadata-only type widening (narrow files read wide)",
       "p57_hidden_partitioning" -> "hidden partitioning (days/bucket derived groups)",
       "p58_optimistic_concurrency" -> "optimistic concurrency (conflict-classified rebase/abort)",

@@ -24,7 +24,14 @@ import graft.sources.{GraftLake, LakeStore}
   *     unreadable by name and silently read the wrong data);
   *  5. DESCRIBE DETAIL reports rows = -1 (unknown) while equality
   *     deletes are live (Round12OpsSpec pins the detail side; the refs
-  *     side is pinned here). */
+  *     side is pinned here).
+  *
+  * MUTATION-CHECKED (round 13): reverting the three code fixes —
+  * `if (false && dead.nonEmpty)` in LakeStore.applyDelta,
+  * `newEq = snap.eqDeletes.filter(_.seq == v)` in LakeCdf.chunksFor,
+  * and dropping `coerce(...)` from the MIN pushdown answer — fails
+  * exactly the MoR-conflict, publish-CDF, and min/max-widening tests
+  * here (7 succeeded, 3 failed), so each test pins its own fix. */
 class Round13OpsSpec extends SparkTestBase {
 
   private def registerCatalog(): Unit =
@@ -347,6 +354,70 @@ class Round13OpsSpec extends SparkTestBase {
     // 4 files would blow the cap), batch3 admits v4 whole — the progress
     // guarantee (a commit never splits, so an oversized one rides alone)
     assert(batches.iterator().asScala.toSeq === Seq(20L, 10L, 40L))
+  }
+
+  // ----------------- startingVersion + maxBytesPerTrigger (st19 kin)
+
+  private def drainLake(key: String, cp: String,
+      opts: Map[String, String]): Seq[Long] = {
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val r = opts.foldLeft(spark.readStream) { case (b, (k2, v2)) => b.option(k2, v2) }
+    val q = r.table(key)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        val n = b.count(); if (n > 0) batches.add(n); ()
+      }
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    batches.iterator().asScala.toSeq
+  }
+
+  test("startingVersion=latest tails instead of replaying; numeric starts mid-log") {
+    registerCatalog()
+    val key = "graft_lake.rlsv"
+    spark.sql(s"DROP TABLE IF EXISTS $key")
+    spark.sql(s"CREATE TABLE $key (id BIGINT, v BIGINT)")
+    import spark.implicits._
+    (1 to 3).foreach { c =>
+      (0L until 10L).map(i => (c * 100L + i, i)).toDF("id", "v")
+        .coalesce(1).writeTo(key).append() // v1..v3
+    }
+    val root = s"/tmp/graft_sv_spec_${System.nanoTime()}"
+    // latest: the initial drain delivers NOTHING (no history replay)...
+    assert(drainLake(key, s"$root/cp1", Map("startingVersion" -> "latest")) === Nil)
+    // ...and the same checkpoint then tails only what lands after
+    (0L until 5L).map(i => (400L + i, i)).toDF("id", "v")
+      .coalesce(1).writeTo(key).append() // v4
+    assert(drainLake(key, s"$root/cp1", Map("startingVersion" -> "latest")) === Seq(5L))
+    // a numeric start delivers from that commit inclusive (fresh
+    // checkpoint; on restart the option is ignored — the checkpoint
+    // owns the position)
+    assert(drainLake(key, s"$root/cp2", Map("startingVersion" -> "3"))
+      === Seq(15L)) // v3's 10 rows + v4's 5 in one catch-up batch
+  }
+
+  test("maxBytesPerTrigger caps batches by manifest bytes") {
+    registerCatalog()
+    val key = "graft_lake.rlmb"
+    spark.sql(s"DROP TABLE IF EXISTS $key")
+    spark.sql(s"CREATE TABLE $key (id BIGINT, v BIGINT)")
+    import spark.implicits._
+    (1 to 3).foreach { c =>
+      (0L until 10L).map(i => (c * 100L + i, i)).toDF("id", "v")
+        .coalesce(1).writeTo(key).append()
+    }
+    val root = s"/tmp/graft_mb_spec_${System.nanoTime()}"
+    // a 1-byte cap forces one commit per batch (progress guarantee:
+    // every real commit exceeds it, so each rides alone)
+    assert(drainLake(key, s"$root/cp", Map("maxBytesPerTrigger" -> "1"))
+      === Seq(10L, 10L, 10L))
+    // a generous cap drains everything in one batch
+    assert(drainLake(key, s"$root/cp2", Map("maxBytesPerTrigger" -> "1000000000"))
+      === Seq(30L))
   }
 
   // ----------------- ADVICE 5: refs row counts under equality deletes
