@@ -4964,7 +4964,168 @@ object PipelineQueries {
       |  CAST(0 AS BIGINT) AS recompact_groups
       |FROM d, s, se""".stripMargin
 
+  // ---------------------------------------------------------------- p72
+  /** MANIFEST NDV STATISTICS (Iceberg's per-column `ndv` stat written
+    * by ANALYZE, Delta's column statistics): every writer task folds a
+    * K-minimum-values sketch per `graft.ndv.columns` column as rows
+    * stream ([[graft.sources.LakeNdv]]), the manifest stores it
+    * per file, and a table-level COUNT(DISTINCT)-quality answer is a
+    * zero-I/O manifest fold — exact while every file holds < K=1024
+    * distinct values (their union stays exact even ABOVE K), a
+    * ±3.1%-RSE bottom-k estimate once any file saturates. The same fold
+    * feeds Catalyst as `ColumnStatistics.distinctCount` through
+    * [[graft.sources.LakeScan.estimateStatistics]] — join-size
+    * estimation from write-time metadata, never an ANALYZE scan. At
+    * 100 TB that is the difference between CBO having NDV and CBO
+    * guessing from row counts.
+    *
+    * Two appends at repartition(2) give four files; the two enum
+    * columns stay exact in every file (NDV is the true distinct
+    * count), while o_orderkey/o_custkey saturate per-file sketches and
+    * take the estimator path. Inside the hash: the exact NDVs for
+    * low-cardinality columns, `est_ok` (exact columns answer exactly;
+    * saturated columns land within 10% — 3.2 sigma at K=1024), and
+    * full sketch coverage. */
+  def p72NdvStats(s: SparkSession, dir: String): DataFrame = {
+    registerLake(s)
+    val key = "graft_lake.ndvt"
+    s.sql(s"DROP TABLE IF EXISTS $key")
+    s.sql(s"""CREATE TABLE $key
+             |(o_orderkey BIGINT, o_custkey BIGINT,
+             | o_orderstatus STRING, o_orderpriority STRING)
+             |TBLPROPERTIES ('graft.ndv.columns' =
+             |  'o_orderkey,o_custkey,o_orderstatus,o_orderpriority')""".stripMargin)
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_orderpriority"))
+    // two commits x repartition(2) = four files; each file sees ~1/4 of
+    // the keyspace, far above K for the two id columns -> saturation
+    orders.filter(col("o_orderkey") % 2 === 0).repartition(2)
+      .writeTo(key).append()
+    orders.filter(col("o_orderkey") % 2 =!= 0).repartition(2)
+      .writeTo(key).append()
+    val exact = orders.select(
+      countDistinct(col("o_orderkey")).as("o_orderkey"),
+      countDistinct(col("o_custkey")).as("o_custkey"),
+      countDistinct(col("o_orderstatus")).as("o_orderstatus"),
+      countDistinct(col("o_orderpriority")).as("o_orderpriority"))
+      .selectExpr("stack(4, 'o_orderkey', o_orderkey, 'o_custkey', o_custkey," +
+        " 'o_orderstatus', o_orderstatus, 'o_orderpriority', o_orderpriority)" +
+        " as (col_name, ndv_exact)")
+    s.table(s"$key.stats")
+      .join(broadcast(exact), col("column") === col("col_name"))
+      .select(
+        col("col_name"),
+        col("ndv_exact").cast("bigint").as("ndv_exact"),
+        // hash-pin the exact answer where the sketch must BE exact
+        // (global cardinality <= 64 keeps every file sketch below K)
+        when(col("ndv_exact") <= 64, col("ndv")).otherwise(lit(-1L))
+          .cast("bigint").as("ndv_small"),
+        when(col("is_exact"), (col("ndv") === col("ndv_exact")).cast("bigint"))
+          .otherwise((abs(col("ndv") / col("ndv_exact") - 1.0) <= 0.10)
+            .cast("bigint")).as("est_ok"),
+        (col("files_sketched") === col("files_total")).cast("bigint")
+          .as("coverage_ok"))
+      .orderBy(col("col_name"))
+  }
+
+  val p72Sql: String =
+    """WITH e AS (
+      |  SELECT 'o_orderkey' AS col_name,
+      |    COUNT(DISTINCT o_orderkey) AS ndv_exact FROM orders
+      |  UNION ALL SELECT 'o_custkey', COUNT(DISTINCT o_custkey) FROM orders
+      |  UNION ALL SELECT 'o_orderstatus', COUNT(DISTINCT o_orderstatus) FROM orders
+      |  UNION ALL SELECT 'o_orderpriority', COUNT(DISTINCT o_orderpriority) FROM orders)
+      |SELECT col_name, CAST(ndv_exact AS BIGINT) AS ndv_exact,
+      |  CAST(CASE WHEN ndv_exact <= 64 THEN ndv_exact ELSE -1 END AS BIGINT) AS ndv_small,
+      |  CAST(1 AS BIGINT) AS est_ok,
+      |  CAST(1 AS BIGINT) AS coverage_ok
+      |FROM e ORDER BY col_name""".stripMargin
+
+  // ---------------------------------------------------------------- p73
+  /** POSITION-DELETE COMPACTION (Iceberg's
+    * `rewrite_position_delete_files`, Delta's DV compaction): three
+    * merge-on-read DELETEs leave up to three sidecars per data file,
+    * and every scan of the file must open ALL of them — read
+    * amplification that grows with write history. `CALL
+    * graft_lake.system.rewrite_deletes` folds each file's sidecars
+    * into one (merged, deduplicated, sorted) as a LAYOUT-ONLY commit:
+    * no data file moves, visible rows are bit-identical, the change
+    * feed sees nothing, and time travel to the pre-rewrite version
+    * still reads the original sidecars. O(deleted positions) — the
+    * cheap maintenance tier below p71's data-file compaction.
+    *
+    * Inside the hash: visible aggregates before/after/at the
+    * pre-rewrite version (all equal), the sidecar ledger from the
+    * delete-hit matrix (files x mod classes present), and zero CDC
+    * rows out of the rewrite commit. */
+  def p73RewriteDeletes(s: SparkSession, dir: String): DataFrame = {
+    registerLake(s)
+    val key = "graft_lake.rwdel"
+    s.sql(s"DROP TABLE IF EXISTS $key")
+    s.sql(s"""CREATE TABLE $key (doc_id BIGINT, source STRING, n_chars BIGINT)
+             |PARTITIONED BY (source)
+             |TBLPROPERTIES ('graft.merge-on-read' = 'true')""".stripMargin)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .repartition(1) // one file per source group
+      .writeTo(key).append() // v1
+    s.sql(s"DELETE FROM $key WHERE doc_id % 97 = 0") // v2: 1st sidecar wave
+    s.sql(s"DELETE FROM $key WHERE doc_id % 97 = 1") // v3: 2nd
+    s.sql(s"DELETE FROM $key WHERE doc_id % 97 = 2") // v4: 3rd
+    val preVersion = graft.sources.LakeStore.get(key).get.latestVersion
+    val sidecarsBefore =
+      graft.sources.LakeStore.get(key).get.deletes.length.toLong
+    val beforeRow = s.table(key)
+      .agg(count(lit(1)), sum(col("n_chars")).cast("bigint")).collect()(0)
+    val proc = s.sql(
+      s"CALL graft_lake.system.rewrite_deletes('rwdel', 2)").collect()(0)
+    val postVersion = graft.sources.LakeStore.get(key).get.latestVersion
+    // layout-only: the change feed across the rewrite commit is EMPTY
+    val cdcRows = graft.sources.GraftLake
+      .changes(s, key, preVersion, postVersion, "doc_id").count()
+    val tt = s.sql(s"SELECT * FROM $key VERSION AS OF $preVersion")
+      .agg(count(lit(1)), sum(col("n_chars")).cast("bigint")).collect()(0)
+    s.table(key)
+      .agg(count(lit(1)).as("docs_after"),
+        sum(col("n_chars")).cast("bigint").as("chars_after"))
+      .withColumn("docs_before", lit(beforeRow.getLong(0)))
+      .withColumn("chars_before", lit(beforeRow.getLong(1)))
+      .withColumn("docs_tt", lit(tt.getLong(0)))
+      .withColumn("chars_tt", lit(tt.getLong(1)))
+      .withColumn("sidecars_before", lit(sidecarsBefore))
+      .withColumn("files_rewritten", lit(proc.getLong(0)))
+      .withColumn("sidecars_removed", lit(proc.getLong(1)))
+      .withColumn("sidecars_after", lit(proc.getLong(2)))
+      .withColumn("cdc_rows", lit(cdcRows))
+      .select(col("docs_before"), col("chars_before"), col("docs_after"),
+        col("chars_after"), col("docs_tt"), col("chars_tt"),
+        col("sidecars_before"), col("files_rewritten"),
+        col("sidecars_removed"), col("sidecars_after"), col("cdc_rows"))
+  }
+
+  val p73Sql: String =
+    """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+      |hit AS (SELECT source, doc_id % 97 AS m FROM d
+      |        WHERE doc_id % 97 IN (0, 1, 2) GROUP BY source, doc_id % 97),
+      |per AS (SELECT source, COUNT(*) AS k FROM hit GROUP BY source),
+      |vis AS (SELECT CAST(COUNT(*) AS BIGINT) AS docs,
+      |          CAST(SUM(n_chars) AS BIGINT) AS chars
+      |        FROM d WHERE doc_id % 97 NOT IN (0, 1, 2))
+      |SELECT vis.docs AS docs_before, vis.chars AS chars_before,
+      |  vis.docs AS docs_after, vis.chars AS chars_after,
+      |  vis.docs AS docs_tt, vis.chars AS chars_tt,
+      |  CAST((SELECT COALESCE(SUM(k), 0) FROM per) AS BIGINT) AS sidecars_before,
+      |  CAST((SELECT COUNT(*) FROM per WHERE k >= 2) AS BIGINT) AS files_rewritten,
+      |  CAST((SELECT COALESCE(SUM(k - 1), 0) FROM per WHERE k >= 2) AS BIGINT)
+      |    AS sidecars_removed,
+      |  CAST((SELECT COUNT(*) FROM per) AS BIGINT) AS sidecars_after,
+      |  CAST(0 AS BIGINT) AS cdc_rows
+      |FROM vis""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p73_rewrite_deletes" -> (p73RewriteDeletes _),
+    "p72_ndv_stats" -> (p72NdvStats _),
     "p71_small_file_compaction" -> (p71SmallFileCompaction _),
     "p70_expire_refs" -> (p70ExpireRefs _),
     "p69_runtime_filtering" -> (p69RuntimeFiltering _),
@@ -5039,6 +5200,8 @@ object PipelineQueries {
   // def, not val: p19Sql embeds Sidecars.oracleDir-keyed paths, which
   // Verify pins at runtime before dumping oracle_sql.json
   def oracle: Map[String, String] = Map(
+    "p73_rewrite_deletes" -> p73Sql,
+    "p72_ndv_stats" -> p72Sql,
     "p71_small_file_compaction" -> p71Sql,
     "p70_expire_refs" -> p70Sql,
     "p69_runtime_filtering" -> p69Sql,

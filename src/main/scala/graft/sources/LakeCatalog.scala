@@ -895,7 +895,8 @@ class LakeStagedTable(key: String, stagedSchema: StructType,
               LakeConstraints.compileProps(tableProps, info.schema(), key),
               LakeDerivedColumns.compile(key, stagedSchema),
               LakeBloom.columnsOf(tableProps), LakeBloom.bitsOf(tableProps),
-              LakeStore.physicalMap(stagedSchema))
+              LakeStore.physicalMap(stagedSchema),
+              ndvCols = LakeNdv.columnsOf(tableProps))
           override def commit(messages: Array[WriterCommitMessage]): Unit =
             stagedFiles ++= messages.iterator.filter(_ != null)
               .map(_.asInstanceOf[LakeCommit]).flatMap(_.files.iterator)
@@ -1519,23 +1520,35 @@ class LakeScan(key: String, schema: StructType,
              org.apache.spark.sql.types.TimestampNTZType => true
         case _ => false
       }
-      if (numericLike) {
-        val phys = physNames.getOrElse(f.name, f.name)
-        val zs = surviving.flatMap(_.zones.get(phys))
-        if (zs.nonEmpty) {
-          val mn = zs.map(_._1).reduce((a, b) =>
-            if (ZonePrune.cmp(a, b).exists(_ <= 0)) a else b)
-          val mx = zs.map(_._2).reduce((a, b) =>
-            if (ZonePrune.cmp(a, b).exists(_ >= 0)) a else b)
-          colStats.put(
-            org.apache.spark.sql.connector.expressions.Expressions.column(f.name),
-            new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
-              override def min(): java.util.Optional[Object] =
-                java.util.Optional.of(mn.asInstanceOf[Object])
-              override def max(): java.util.Optional[Object] =
-                java.util.Optional.of(mx.asInstanceOf[Object])
-            })
-        }
+      val phys = physNames.getOrElse(f.name, f.name)
+      val zs = if (numericLike) surviving.flatMap(_.zones.get(phys)) else Vector.empty
+      // NDV from the manifest's KMV sketches (any type, strings too) —
+      // what join-size estimation actually keys on. Only reported when
+      // EVERY surviving file carries a sketch: a partial fold is an
+      // undercount, and an optimizer trusts what it is given.
+      val sketches = surviving.flatMap(_.ndv.get(phys))
+      val ndvOpt: Option[Long] =
+        if (surviving.nonEmpty && sketches.length == surviving.length)
+          Some(LakeNdv.mergedNdv(sketches)._1)
+        else None
+      if (zs.nonEmpty || ndvOpt.isDefined) {
+        val mnOpt = if (zs.isEmpty) None else Some(zs.map(_._1).reduce((a, b) =>
+          if (ZonePrune.cmp(a, b).exists(_ <= 0)) a else b))
+        val mxOpt = if (zs.isEmpty) None else Some(zs.map(_._2).reduce((a, b) =>
+          if (ZonePrune.cmp(a, b).exists(_ >= 0)) a else b))
+        colStats.put(
+          org.apache.spark.sql.connector.expressions.Expressions.column(f.name),
+          new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+            override def min(): java.util.Optional[Object] =
+              mnOpt.fold(java.util.Optional.empty[Object]())(v =>
+                java.util.Optional.of(v.asInstanceOf[Object]))
+            override def max(): java.util.Optional[Object] =
+              mxOpt.fold(java.util.Optional.empty[Object]())(v =>
+                java.util.Optional.of(v.asInstanceOf[Object]))
+            override def distinctCount(): java.util.OptionalLong =
+              ndvOpt.fold(java.util.OptionalLong.empty())(
+                java.util.OptionalLong.of)
+          })
       }
     }
     new org.apache.spark.sql.connector.read.Statistics {
@@ -2641,6 +2654,10 @@ object LakeBloom {
     m
   }
 
+  /** Canonical byte form shared with the NDV sketches ([[LakeNdv]]):
+    * both indexes must agree that INT 5 and BIGINT 5 are one value. */
+  private[sources] def canonicalBytes(v: Any): Array[Byte] = bytesOf(v)
+
   private def bytesOf(v: Any): Array[Byte] = v match {
     case s: String => s.getBytes("UTF-8")
     case b: java.lang.Boolean => Array(if (b) 1.toByte else 0.toByte)
@@ -2776,7 +2793,8 @@ object LakeDerivedColumns {
 object LakeMetaTable {
   import org.apache.spark.sql.types.{BooleanType, LongType, StringType}
 
-  val kinds: Set[String] = Set("history", "files", "partitions", "refs", "detail")
+  val kinds: Set[String] =
+    Set("history", "files", "partitions", "refs", "detail", "stats")
 
   def schemaOf(kind: String): StructType = kind match {
     case "partitions" => StructType(Seq(
@@ -2823,6 +2841,19 @@ object LakeMetaTable {
       StructField("num_properties", LongType, nullable = false),
       StructField("num_live_dvs", LongType, nullable = false),
       StructField("num_eq_deletes", LongType, nullable = false)))
+    // table-level column statistics from the manifest's KMV sketches
+    // (Iceberg's ANALYZE-written ndv stat, readable as a table): one
+    // row per column named by `graft.ndv.columns`. `ndv` counts values
+    // WRITTEN into live files — rows hidden by deletion vectors or
+    // equality deletes still count (a distinct sketch cannot subtract);
+    // `is_exact` = every live file's sketch is below saturation, so the
+    // number is a true COUNT(DISTINCT) rather than a ±1/sqrt(K) estimate.
+    case "stats" => StructType(Seq(
+      StructField("column", StringType, nullable = false),
+      StructField("ndv", LongType, nullable = false),
+      StructField("is_exact", BooleanType, nullable = false),
+      StructField("files_sketched", LongType, nullable = false),
+      StructField("files_total", LongType, nullable = false)))
     // Iceberg's refs table: one row per named ref (branch/tag) plus main
     case "refs" => StructType(Seq(
       StructField("name", StringType, nullable = false),
@@ -2890,6 +2921,18 @@ object LakeMetaTable {
         st.props.size.toLong,
         st.deletes.length.toLong,
         st.eqDeletes.length.toLong))
+    case "stats" =>
+      // a manifest fold: merge each sketched column's per-file KMV sets
+      // (union, exact while every input is exact) — zero data I/O, the
+      // same numbers LakeScan.estimateStatistics hands Catalyst
+      val phys = LakeStore.physicalMap(st.schema)
+      LakeNdv.columnsOf(st.props).sorted.toVector.map { c =>
+        val p = phys.getOrElse(c, c)
+        val sketches = st.current.flatMap(_.ndv.get(p))
+        val (ndv, exact) = LakeNdv.mergedNdv(sketches)
+        Vector[Any](c, ndv, exact && sketches.length == st.current.length,
+          sketches.length.toLong, st.current.length.toLong)
+      }
     case "refs" =>
       def liveRows(v: Int): Long = {
         val s = st.snapshots(v)
@@ -3067,7 +3110,7 @@ class LakeWriteBuilder(key: String, writeSchema: StructType,
       LakeStore.nextReplaceIsLayoutOnly.getOrElse(key, false)
     new LakeWriterFactory(LakeStore.dataDir(key), writeSchema, partitionCols,
       constraints, derived, LakeBloom.columnsOf(props), LakeBloom.bitsOf(props),
-      phys, recomputeGenerated = carryRows)
+      phys, recomputeGenerated = carryRows, ndvCols = LakeNdv.columnsOf(props))
   }
 
   private def sweepFiles(messages: Iterator[WriterCommitMessage]): Unit = {
@@ -3261,7 +3304,7 @@ class LakeDeltaBatchWrite(key: String, rowSchema: StructType)
     val phys = st.map(s => LakeStore.physicalMap(s.schema)).getOrElse(Map.empty)
     new LakeDeltaWriterFactory(LakeStore.dataDir(key), rowSchema, partitionCols,
       constraints, derived, LakeBloom.columnsOf(props), LakeBloom.bitsOf(props),
-      phys)
+      phys, ndvCols = LakeNdv.columnsOf(props))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -3303,7 +3346,8 @@ class LakeDeltaWriterFactory(dataDir: String, schema: StructType,
     constraints: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)],
     derived: LakeDerivedColumns.Spec = LakeDerivedColumns.empty,
     bloomCols: Seq[String] = Nil, bloomBits: Int = 1 << 16,
-    physicalOf: Map[String, String] = Map.empty)
+    physicalOf: Map[String, String] = Map.empty,
+    ndvCols: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
   import org.apache.spark.sql.connector.write.DeltaWriter
 
@@ -3318,7 +3362,7 @@ class LakeDeltaWriterFactory(dataDir: String, schema: StructType,
           // columns RECOMPUTE (see the batch writer's contract note)
           innerOpt = new LakeWriterFactory(dataDir, schema, partitionCols,
             constraints, derived, bloomCols, bloomBits, physicalOf,
-            recomputeGenerated = true)
+            recomputeGenerated = true, ndvCols = ndvCols)
             .createWriter(partitionId, taskId)
         innerOpt
       }
@@ -3372,7 +3416,8 @@ class LakeWriterFactory(dataDir: String, schema: StructType,
     derived: LakeDerivedColumns.Spec = LakeDerivedColumns.empty,
     bloomCols: Seq[String] = Nil, bloomBits: Int = 1 << 16,
     physicalOf: Map[String, String] = Map.empty,
-    recomputeGenerated: Boolean = false)
+    recomputeGenerated: Boolean = false,
+    ndvCols: Seq[String] = Nil)
     extends DataWriterFactory {
 
   /** Per-task identity block: task `p` owns value indexes
@@ -3418,6 +3463,10 @@ class LakeWriterFactory(dataDir: String, schema: StructType,
     val bloomIdx: Array[Int] = bloomCols.flatMap(c =>
       if (schema.fieldNames.contains(c)) Some(schema.fieldIndex(c)) else None).toArray
 
+    // ordinals of the NDV-sketched columns present in this write schema
+    val ndvIdx: Array[Int] = ndvCols.flatMap(c =>
+      if (schema.fieldNames.contains(c)) Some(schema.fieldIndex(c)) else None).toArray
+
     final class OpenFile(val relPath: String) {
       val writer: ParquetWriter[InternalRow] = {
         val conf = new Configuration()
@@ -3443,6 +3492,9 @@ class LakeWriterFactory(dataDir: String, schema: StructType,
       // one bloom bit-array per indexed column, folded as rows stream
       val bloomBitsArr: Array[Array[Long]] =
         Array.fill(bloomIdx.length)(LakeBloom.newBits(bloomBits))
+      // one KMV distinct sketch per ndv column, folded as rows stream
+      val ndvSketches: Array[LakeNdv.Sketch] =
+        Array.fill(ndvIdx.length)(new LakeNdv.Sketch)
 
       def zones: Map[String, (Any, Any)] =
         colNames.indices.collect {
@@ -3455,6 +3507,10 @@ class LakeWriterFactory(dataDir: String, schema: StructType,
       def blooms: Map[String, String] =
         bloomIdx.indices.map(bi =>
           colNames(bloomIdx(bi)) -> LakeBloom.encode(bloomBitsArr(bi))).toMap
+
+      def ndv: Map[String, String] =
+        ndvIdx.indices.map(ni =>
+          colNames(ndvIdx(ni)) -> ndvSketches(ni).encode).toMap
     }
 
     new DataWriter[InternalRow] {
@@ -3564,6 +3620,13 @@ class LakeWriterFactory(dataDir: String, schema: StructType,
             LakeBloom.add(file.bloomBitsArr(bi), LakeStore.toStored(full.get(ci, dts(ci))))
           bi += 1
         }
+        var ni = 0
+        while (ni < ndvIdx.length) {
+          val ci = ndvIdx(ni)
+          if (!full.isNullAt(ci))
+            file.ndvSketches(ni).add(LakeStore.toStored(full.get(ci, dts(ci))))
+          ni += 1
+        }
       }
 
       override def commit(): WriterCommitMessage = {
@@ -3577,7 +3640,7 @@ class LakeWriterFactory(dataDir: String, schema: StructType,
           val len = try fs.getFileStatus(new Path(dataDir, f.relPath)).getLen
             catch { case _: Exception => 0L }
           LakeStore.FileEntry(f.relPath, group, f.rows, colNames.toSeq, f.zones,
-            f.blooms, bytes = len, nulls = f.nulls)
+            f.blooms, bytes = len, nulls = f.nulls, ndv = f.ndv)
         }.toSeq)
       }
 

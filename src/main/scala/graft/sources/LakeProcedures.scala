@@ -29,8 +29,8 @@ import org.apache.spark.unsafe.types.UTF8String
 object LakeProcedures {
 
   val Names: Seq[String] = Seq(
-    "optimize", "compact", "vacuum", "restore", "clone", "set_partition_spec",
-    "create_branch", "create_tag", "publish", "drop_ref")
+    "optimize", "compact", "rewrite_deletes", "vacuum", "restore", "clone",
+    "set_partition_spec", "create_branch", "create_tag", "publish", "drop_ref")
 
   def identifiers(namespace: Array[String]): Array[Identifier] =
     Names.map(n => Identifier.of(Array("system"), n)).toArray
@@ -117,6 +117,20 @@ object LakeProcedures {
           SparkSession.active, k, input.getLong(1), input.getInt(2))
         row(groups.toLong, removed.toLong,
           LakeStore.get(k).map(_.current.length.toLong).getOrElse(0L))
+      }),
+
+    "rewrite_deletes" -> Proc("rewrite_deletes",
+      Array(in("tbl", StringType), inDefault("min_sidecars", IntegerType, "2")),
+      StructType(Seq(
+        StructField("files_rewritten", LongType, nullable = false),
+        StructField("sidecars_removed", LongType, nullable = false),
+        StructField("sidecars_after", LongType, nullable = false))),
+      (catalog, input) => {
+        val k = key(catalog, input.getUTF8String(0).toString)
+        val (files, removedSidecars) =
+          LakeStore.rewriteDeletes(k, input.getInt(1))
+        row(files.toLong, removedSidecars.toLong,
+          LakeStore.get(k).map(_.deletes.length.toLong).getOrElse(0L))
       }),
 
     "vacuum" -> Proc("vacuum",

@@ -78,7 +78,12 @@ object LakeStore {
       // null_value_counts: what makes COUNT(col) a metadata read and
       // disambiguates "all-null file" from "no stats" for MIN/MAX
       // pushdown; empty = pre-nulls manifest = unknown, never wrong
-      nulls: Map[String, Long] = Map.empty)
+      nulls: Map[String, Long] = Map.empty,
+      // per-column KMV distinct sketches (physical names, encoded by
+      // [[LakeNdv]]) for the columns `graft.ndv.columns` names —
+      // Iceberg's per-column ndv stat, mergeable across files so a
+      // table-level NDV is a manifest fold; empty = unsketched
+      ndv: Map[String, String] = Map.empty)
 
   /** One EQUALITY DELETE (Iceberg v2's second delete-file flavor):
     * "delete every row whose `cols` values appear in the key sets of
@@ -692,6 +697,67 @@ object LakeStore {
     commit(k, st, "delta", st.current ++ stamped, stamped, removed = Nil,
       commitGroups = Some(groups), dataChange = true, schema = st.schema,
       deletes = st.deletes ++ newDeletes)
+  }
+
+  /** Position-delete maintenance (Iceberg's
+    * `rewrite_position_delete_files`, Delta's deletion-vector
+    * compaction): every repeated merge-on-read DELETE/UPDATE against
+    * the same data file adds ANOTHER sidecar, and each scan of that
+    * file then opens all of them — read amplification that grows with
+    * write history, not data. This folds each data file's >=
+    * `minSidecars` live sidecars into ONE merged, deduplicated, sorted
+    * sidecar and commits the swap as a LAYOUT-ONLY change
+    * (dataChange=false — no row moved, CDC sees nothing, time travel
+    * still reads the old sidecars, which vacuum collects once their
+    * versions expire). Data files are NOT rewritten — this is strictly
+    * cheaper than compaction (O(deleted positions), zero data I/O) and
+    * is the right tool while the deleted fraction is too small to
+    * justify p71's rewrite.
+    *
+    * Planning and commit run inside one store-lock hold, so there is
+    * no applyDelta-style conflict window: the merged entries replace
+    * exactly the entries read, and nothing else can interleave.
+    * Returns (data files rewritten, sidecars merged away). */
+  def rewriteDeletes(k: String, minSidecars: Int = 2): (Int, Int) = synchronized {
+    require(minSidecars >= 2,
+      s"graft_lake: rewrite_deletes min_sidecars must be >= 2, got $minSidecars")
+    val st = stateOf(k)
+    val targets = st.deletes.groupBy(_.dataFile)
+      .filter(_._2.length >= minSidecars)
+    if (targets.isEmpty) (0, 0)
+    else {
+      val dir = dataDir(k)
+      val fs = new Path(dir).getFileSystem(new Configuration())
+      val merged = targets.toSeq.sortBy(_._1).map { case (df, entries) =>
+        // dedup via the set: live sidecars of one file hold disjoint
+        // positions by construction (a hidden row cannot re-match a
+        // DELETE), but the merge must not AMPLIFY rows if that
+        // invariant ever bends — dv_rows accounting sums entry rows
+        val positions = new java.util.TreeSet[java.lang.Long]()
+        entries.foreach { e =>
+          val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+            fs.open(new Path(dir, e.path))))
+          try {
+            val n = in.readInt()
+            var i = 0
+            while (i < n) { positions.add(in.readLong()); i += 1 }
+          } finally in.close()
+        }
+        val rel = java.util.UUID.randomUUID().toString + ".dv"
+        val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+          fs.create(new Path(dir, rel), false)))
+        try {
+          out.writeInt(positions.size)
+          positions.forEach(p => out.writeLong(p))
+        } finally out.close()
+        DeleteEntry(rel, df, positions.size.toLong)
+      }
+      val keep = st.deletes.filterNot(d => targets.contains(d.dataFile))
+      commit(k, st, "rewrite_deletes", st.current, Nil, removed = Nil,
+        commitGroups = Some(Set.empty), dataChange = false, schema = st.schema,
+        deletes = keep ++ merged)
+      (targets.size, targets.valuesIterator.map(_.length).sum - targets.size)
+    }
   }
 
   /** Schema-evolution commit (ALTER TABLE ADD COLUMN): same live files,
@@ -1629,7 +1695,10 @@ object LakeStore {
       })) ++
       (if (f.blooms.isEmpty) Nil
        else List("blooms" -> (JObject(f.blooms.toList.map { case (c, b) =>
-         c -> (JString(b): JValue) }): JValue))))
+         c -> (JString(b): JValue) }): JValue))) ++
+      (if (f.ndv.isEmpty) Nil
+       else List("ndv" -> (JObject(f.ndv.toList.map { case (c, s) =>
+         c -> (JString(s): JValue) }): JValue))))
 
   private def fileFromJson(j: JValue, schema: StructType,
       partTypes: Seq[DataType]): FileEntry = {
@@ -1669,6 +1738,12 @@ object LakeStore {
       // refuses aggregate pushdown rather than miscounting
       nulls = o.get("nulls").map(_.asInstanceOf[JObject].obj.map {
         case (c, n) => c -> num(n).longValue()
-      }.toMap).getOrElse(Map.empty))
+      }.toMap).getOrElse(Map.empty),
+      // pre-ndv manifests read empty — "no sketch", which reports no
+      // distinct count rather than a wrong one
+      ndv = o.get("ndv") match {
+        case Some(JObject(fields)) => fields.map { case (c, s) => c -> str(s) }.toMap
+        case _ => Map.empty[String, String]
+      })
   }
 }

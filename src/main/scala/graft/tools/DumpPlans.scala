@@ -236,7 +236,13 @@ object DumpPlans {
         PipelineQueries.p69RuntimeFiltering(spark, dir)),
       ("p70_expire_refs",
         "SNAPSHOT EXPIRY UNDER LIVE REFS: the published frame joins the tag's post-vacuum aggregates (pre-rewrite corpus, readable ONLY because VACUUM's keep-set includes every live ref head) against the current table's; vacuumed=1 proves the sweep actually deleted expired untagged rewrite output, tag_below_horizon=1 proves the tag predates the horizon — the case a window-only keep-set destroys.",
-        PipelineQueries.p70ExpireRefs(spark, dir)))
+        PipelineQueries.p70ExpireRefs(spark, dir)),
+      ("p72_ndv_stats",
+        "MANIFEST NDV STATISTICS: the stats metadata table is a single driver-side manifest fold (one LocalScan partition — no data I/O, no exchange); the per-file KMV sketches it merges were written as rows streamed. The same fold feeds ColumnStatistics.distinctCount through estimateStatistics, so CBO's join-size estimation gets ANALYZE-quality NDV for free. est_ok=1 on every column (exact below saturation, within 10% above) and full coverage are inside the oracle hash.",
+        PipelineQueries.p72NdvStats(spark, dir)),
+      ("p73_rewrite_deletes",
+        "POSITION-DELETE COMPACTION: a layout-only commit swaps each data file's >= 2 sidecars for ONE merged sidecar — zero data I/O, O(deleted positions). The published frame's scan afterwards opens exactly one sidecar per file; visible aggregates before/after/time-travel are equal and cdc_rows=0 inside the oracle hash.",
+        PipelineQueries.p73RewriteDeletes(spark, dir)))
 
     val sb = new StringBuilder
     sb.append("# Flagship physical plans (generated by graft.tools.DumpPlans at sf0.01)\n\n")

@@ -201,7 +201,9 @@ object ScaleSweep {
       "p68_agg_pushdown" -> "aggregate pushdown (manifest-only count/min/max)",
       "p69_runtime_filtering" -> "dynamic partition pruning (runtime V2 filtering)",
       "p70_expire_refs" -> "snapshot expiry under live refs (ref-aware VACUUM)",
-      "p71_small_file_compaction" -> "size-aware incremental compaction (manifest-driven binpack)")
+      "p71_small_file_compaction" -> "size-aware incremental compaction (manifest-driven binpack)",
+      "p72_ndv_stats" -> "manifest NDV statistics (per-file KMV sketches, zero-I/O fold)",
+      "p73_rewrite_deletes" -> "position-delete sidecar compaction (layout-only)")
 
     // warm the JVM/codegen on the smallest sf so cold-start lands nowhere
     queries.foreach { case (q, _) =>

@@ -1,0 +1,201 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{GraftLake, LakeNdv, LakeStore}
+
+/** Round-13 feature pins: manifest NDV sketches (p72) and
+  * position-delete sidecar compaction (p73).
+  *
+  *  - the KMV sketch is EXACT below saturation, merges exactly while
+  *    every input is exact (even above K), and estimates within its
+  *    error contract once saturated;
+  *  - sketches survive the manifest log AND a cold checkpoint replay;
+  *  - `LakeScan.estimateStatistics` hands Catalyst the merged NDV as
+  *    `ColumnStatistics.distinctCount`, shrunk by pushed filters;
+  *  - `rewrite_deletes` folds a file's sidecars into one, preserves
+  *    visible rows, single-sidecar and untouched files, time travel,
+  *    and CDC invisibility, and composes with later MoR deletes. */
+class Round13bOpsSpec extends SparkTestBase {
+
+  private def registerCatalog(): Unit =
+    if (!spark.conf.getOption("spark.sql.catalog.graft_lake").contains(
+        classOf[graft.sources.GraftLakeCatalog].getName))
+      spark.conf.set("spark.sql.catalog.graft_lake",
+        classOf[graft.sources.GraftLakeCatalog].getName)
+
+  // ----------------- KMV sketch unit contracts
+
+  test("KMV: exact below K, exact merge above K, saturated estimate in contract") {
+    // exact below K: the sketch IS the distinct set
+    val s1 = new LakeNdv.Sketch
+    (0 until 500).foreach(i => s1.add(s"v$i"))
+    (0 until 500).foreach(i => s1.add(s"v$i")) // idempotent re-adds
+    val (h1, sat1) = LakeNdv.decode(s1.encode)
+    assert(!sat1 && h1.length === 500)
+    assert(LakeNdv.mergedNdv(Seq(s1.encode)) === ((500L, true)))
+
+    // two exact sketches with 800 distinct each, 300 shared: the merge
+    // is a set union — exact at 1300 even though 1300 > K = 1024
+    val a = new LakeNdv.Sketch
+    val b = new LakeNdv.Sketch
+    (0 until 800).foreach(i => a.add(s"k$i"))
+    (500 until 1300).foreach(i => b.add(s"k$i"))
+    assert(LakeNdv.mergedNdv(Seq(a.encode, b.encode)) === ((1300L, true)))
+
+    // saturated: 50_000 distinct through one sketch — the bottom-k
+    // estimator must land within 10% (3.2 sigma at K=1024); the flag
+    // and the cardinality both say "estimate"
+    val big = new LakeNdv.Sketch
+    (0 until 50000).foreach(i => big.add(s"u$i"))
+    val (hb, satb) = LakeNdv.decode(big.encode)
+    assert(satb && hb.length === LakeNdv.K)
+    val (est, exact) = LakeNdv.mergedNdv(Seq(big.encode))
+    assert(!exact)
+    assert(math.abs(est / 50000.0 - 1.0) <= 0.10,
+      s"saturated KMV estimate $est is outside 10% of 50000")
+
+    // hashes are stored in UNSIGNED order (the estimator's kth-smallest
+    // depends on it): every adjacent pair must compare unsigned-ascending
+    assert(hb.sliding(2).forall(p =>
+      java.lang.Long.compareUnsigned(p(0), p(1)) < 0))
+  }
+
+  test("KMV: canonical hashing agrees across integral widths") {
+    // INT 7 and BIGINT 7 must be ONE distinct value, like the bloom
+    val s = new LakeNdv.Sketch
+    s.add(java.lang.Integer.valueOf(7))
+    s.add(java.lang.Long.valueOf(7L))
+    assert(LakeNdv.mergedNdv(Seq(s.encode)) === ((1L, true)))
+  }
+
+  // ----------------- manifest + checkpoint round-trip
+
+  test("ndv sketches survive the log, a cold replay, and checkpoint cadence") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_lake.ndvrt")
+    spark.sql("""CREATE TABLE graft_lake.ndvrt (id BIGINT, cat STRING)
+                |TBLPROPERTIES ('graft.ndv.columns' = 'id,cat')""".stripMargin)
+    import spark.implicits._
+    // 12 commits crosses the checkpoint cadence (10), so the cold
+    // replay below reads checkpoint + tail — sketches must survive BOTH
+    // serde paths
+    (0 until 12).foreach { c =>
+      (0L until 50L).map(i => (c * 50L + i, s"cat${i % 7}")).toDF("id", "cat")
+        .coalesce(1).writeTo("graft_lake.ndvrt").append()
+    }
+    def statsRows(): Map[String, (Long, Boolean, Long, Long)] =
+      spark.table("graft_lake.ndvrt.stats").collect().map(r =>
+        r.getString(0) -> ((r.getLong(1), r.getBoolean(2), r.getLong(3),
+          r.getLong(4)))).toMap
+    val warm = statsRows()
+    assert(warm("id") === ((600L, true, 12L, 12L))) // 12 x 50 disjoint ids
+    assert(warm("cat") === ((7L, true, 12L, 12L)))
+    LakeStore.invalidateCache("graft_lake.ndvrt")
+    assert(statsRows() === warm, "cold checkpoint+tail replay changed the stats")
+  }
+
+  // ----------------- estimateStatistics exposes distinctCount
+
+  test("scan statistics report merged NDV, shrunk by pushed filters") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_lake.ndvcbo")
+    spark.sql("""CREATE TABLE graft_lake.ndvcbo (id BIGINT, grp BIGINT)
+                |TBLPROPERTIES ('graft.ndv.columns' = 'id,grp')""".stripMargin)
+    import spark.implicits._
+    // two files with DISJOINT grp ranges: a zone-pruned scan must fold
+    // only the surviving file's sketch
+    (0L until 100L).map(i => (i, i % 4)).toDF("id", "grp")
+      .coalesce(1).writeTo("graft_lake.ndvcbo").append()
+    (100L until 200L).map(i => (i, 10L + i % 4)).toDF("id", "grp")
+      .coalesce(1).writeTo("graft_lake.ndvcbo").append()
+    def ndvOf(df: org.apache.spark.sql.DataFrame, col: String): Option[Long] = {
+      import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+      val scans = df.queryExecution.executedPlan.collect {
+        case b: BatchScanExec => b.scan }
+      assert(scans.length === 1)
+      val st = scans.head.asInstanceOf[
+        org.apache.spark.sql.connector.read.SupportsReportStatistics]
+        .estimateStatistics()
+      import scala.jdk.CollectionConverters._
+      st.columnStats().asScala.collectFirst {
+        case (ref, cs) if ref.fieldNames().sameElements(Array(col)) &&
+            cs.distinctCount().isPresent => cs.distinctCount().getAsLong
+      }
+    }
+    val full = spark.table("graft_lake.ndvcbo")
+    assert(ndvOf(full, "id") === Some(200L))
+    assert(ndvOf(full, "grp") === Some(8L))
+    // zone pruning drops file 2 (grp >= 10): the reported NDV is the
+    // SURVIVING file's — what a join-size estimate should see
+    val pruned = spark.table("graft_lake.ndvcbo").filter(col("grp") < 4)
+    assert(ndvOf(pruned, "id") === Some(100L))
+    assert(ndvOf(pruned, "grp") === Some(4L))
+  }
+
+  // ----------------- rewrite_deletes semantics
+
+  private def morTable(name: String): String = {
+    registerCatalog()
+    val key = s"graft_lake.$name"
+    spark.sql(s"DROP TABLE IF EXISTS $key")
+    spark.sql(s"""CREATE TABLE $key (id BIGINT, grp STRING, v BIGINT)
+                 |PARTITIONED BY (grp)
+                 |TBLPROPERTIES ('graft.merge-on-read' = 'true')""".stripMargin)
+    import spark.implicits._
+    (0L until 40L).map(i => (i, s"g${i % 2}", i)).toDF("id", "grp", "v")
+      .repartition(1).writeTo(key).append() // one file per group
+    key
+  }
+
+  test("rewrite_deletes folds sidecars, preserves rows, stays CDC-invisible") {
+    val key = morTable("rwd1")
+    // three MoR deletes: g0's file collects 3 sidecars, g1's collects 2
+    spark.sql(s"DELETE FROM $key WHERE id IN (0, 1)")   // g0 + g1
+    spark.sql(s"DELETE FROM $key WHERE id IN (2, 3)")   // g0 + g1
+    spark.sql(s"DELETE FROM $key WHERE id = 4")         // g0 only
+    val st0 = LakeStore.get(key).get
+    assert(st0.deletes.length === 5)
+    val preVersion = st0.latestVersion
+    val visBefore = spark.table(key).agg(sum("v"), count(lit(1))).collect()(0)
+
+    val r = spark.sql(
+      s"CALL graft_lake.system.rewrite_deletes('rwd1', 2)").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((2L, 3L, 2L)))
+
+    val st1 = LakeStore.get(key).get
+    assert(st1.deletes.length === 2)
+    assert(st1.deletes.map(_.rows).sum === 5L) // merged positions, no loss
+    assert(st1.current.map(_.path) === st0.current.map(_.path)) // no data moved
+    assert(!st1.snapshots(st1.latestVersion).dataChange)
+
+    // visible rows bit-identical; time travel still reads old sidecars
+    assert(spark.table(key).agg(sum("v"), count(lit(1))).collect()(0)
+      === visBefore)
+    assert(spark.sql(s"SELECT * FROM $key VERSION AS OF $preVersion")
+      .agg(sum("v"), count(lit(1))).collect()(0) === visBefore)
+
+    // the change feed across the rewrite is EMPTY (layout-only)
+    assert(GraftLake.changes(spark, key, preVersion,
+      st1.latestVersion, "id").count() === 0L)
+
+    // later MoR deletes compose on top of the merged sidecar
+    spark.sql(s"DELETE FROM $key WHERE id = 6")
+    assert(spark.table(key).count() === 34L)
+    assert(LakeStore.get(key).get.deletes.length === 3)
+  }
+
+  test("rewrite_deletes is a no-op below min_sidecars and on clean tables") {
+    val key = morTable("rwd2")
+    assert(LakeStore.rewriteDeletes(key) === ((0, 0))) // no deletes at all
+    spark.sql(s"DELETE FROM $key WHERE id IN (0, 1)") // 1 sidecar per file
+    val before = LakeStore.get(key).get
+    assert(LakeStore.rewriteDeletes(key, 2) === ((0, 0)))
+    val after = LakeStore.get(key).get
+    assert(after.latestVersion === before.latestVersion, "no-op must not commit")
+    // min_sidecars is a real threshold: 2 sidecars on one file, min 3
+    spark.sql(s"DELETE FROM $key WHERE id IN (2, 3)")
+    assert(LakeStore.rewriteDeletes(key, 3) === ((0, 0)))
+    assert(LakeStore.rewriteDeletes(key, 2)._1 === 2)
+  }
+}
