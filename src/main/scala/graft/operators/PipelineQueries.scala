@@ -2691,7 +2691,9 @@ object PipelineQueries {
     * query's read side. The scenario makes every number deterministic:
     * two group-aligned appends (repartition on the partition column →
     * exactly one file per source per commit) and a whole-partition
-    * DELETE, then the history aggregates per action (commit counts,
+    * DELETE (which the SupportsDeleteV2 gate lands as a METADATA-ONLY
+    * `delete` commit — p74's operator, visible here in the history
+    * action), then the history aggregates per action (commit counts,
     * files/rows added and removed, data-change flags) and the files
     * table's live footprint (file/row/group counts) are all restated
     * by the oracle from the corpus itself.
@@ -2744,7 +2746,7 @@ object PipelineQueries {
       |  UNION ALL
       |  SELECT 'create', 1, 0, 0, 0, 0, 0
       |  UNION ALL
-      |  SELECT 'replace', 1, 0,
+      |  SELECT 'delete', 1, 0,
       |    CAST(1 + (SELECT CASE WHEN COUNT(*) > 0 THEN 1 ELSE 0 END
       |              FROM sl WHERE source = 'src3') AS BIGINT),
       |    0,
@@ -5123,7 +5125,88 @@ object PipelineQueries {
       |  CAST(0 AS BIGINT) AS cdc_rows
       |FROM vis""".stripMargin
 
+  // ---------------------------------------------------------------- p74
+  /** METADATA-ONLY DELETE (Iceberg's metadata delete, Delta's
+    * partition-aligned DELETE): when every DELETE conjunct is an
+    * `=`/`IN` on an identity partition column, Catalyst's
+    * OptimizeMetadataOnlyDeleteFromTable swaps the planned row-level
+    * rewrite for one [[graft.sources.GraftLakeTable.deleteWhere]] call
+    * — the matching groups' files leave the manifest, NOTHING is
+    * scanned or rewritten, and the commit is O(metadata). At 100 TB
+    * "drop these two sources" costs milliseconds instead of a
+    * partition rewrite; time travel and the change feed still see the
+    * full row-level delete. A predicate the gate cannot decide from
+    * group keys (here `doc_id % 11 = 4`) falls back to the planned
+    * copy-on-write path unchanged.
+    *
+    * Inside the hash: visible aggregates after each step, ZERO new
+    * files from the aligned delete (pure manifest removal) vs new
+    * rewrite output from the fallback, the history action ledger
+    * (the aligned commit lands as `delete`, the fallback as
+    * `replace`), and the change feed's D-row count for the dropped
+    * sources. */
+  def p74MetadataDelete(s: SparkSession, dir: String): DataFrame = {
+    registerLake(s)
+    val key = "graft_lake.mdel"
+    s.sql(s"DROP TABLE IF EXISTS $key")
+    s.sql(s"""CREATE TABLE $key (doc_id BIGINT, source STRING, n_chars BIGINT)
+             |PARTITIONED BY (source)""".stripMargin)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .repartition(col("source"))
+      .writeTo(key).append() // v1: one file per source
+    val pathsV1 = graft.sources.LakeStore.get(key).get.current.map(_.path).toSet
+    s.sql(s"DELETE FROM $key WHERE source IN ('src3', 'src7')") // v2: aligned
+    val stAligned = graft.sources.LakeStore.get(key).get
+    val alignedNewFiles = stAligned.current.map(_.path).count(!pathsV1.contains(_))
+    val alignedAction = stAligned.snapshots(stAligned.latestVersion).action
+    val cdcD = graft.sources.GraftLake.changes(s, key, 1, 2, "doc_id")
+      .filter(col("change") === "D").count()
+    val afterAligned = s.table(key)
+      .agg(count(lit(1)), sum(col("n_chars")).cast("bigint")).collect()(0)
+    s.sql(s"DELETE FROM $key WHERE doc_id % 11 = 4") // v3: fallback rewrite
+    val stFb = graft.sources.LakeStore.get(key).get
+    val fbNewFiles = stFb.current.map(_.path).count(!pathsV1.contains(_))
+    val fbAction = stFb.snapshots(stFb.latestVersion).action
+    s.table(key)
+      .agg(count(lit(1)).as("docs_final"),
+        sum(col("n_chars")).cast("bigint").as("chars_final"))
+      .withColumn("docs_aligned", lit(afterAligned.getLong(0)))
+      .withColumn("chars_aligned", lit(afterAligned.getLong(1)))
+      .withColumn("aligned_new_files", lit(alignedNewFiles.toLong))
+      .withColumn("aligned_is_metadata_delete",
+        lit(if (alignedAction == "delete") 1L else 0L))
+      .withColumn("cdc_d_rows", lit(cdcD))
+      .withColumn("fallback_rewrote", lit(if (fbNewFiles > 0) 1L else 0L))
+      .withColumn("fallback_is_row_level",
+        lit(if (fbAction == "replace") 1L else 0L))
+      .select(col("docs_aligned"), col("chars_aligned"), col("docs_final"),
+        col("chars_final"), col("aligned_new_files"),
+        col("aligned_is_metadata_delete"), col("cdc_d_rows"),
+        col("fallback_rewrote"), col("fallback_is_row_level"))
+  }
+
+  val p74Sql: String =
+    """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+      |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS docs,
+      |        CAST(SUM(n_chars) AS BIGINT) AS chars
+      |      FROM d WHERE source NOT IN ('src3', 'src7')),
+      |f AS (SELECT CAST(COUNT(*) AS BIGINT) AS docs,
+      |        CAST(SUM(n_chars) AS BIGINT) AS chars
+      |      FROM d WHERE source NOT IN ('src3', 'src7')
+      |        AND NOT (doc_id % 11 = 4))
+      |SELECT a.docs AS docs_aligned, a.chars AS chars_aligned,
+      |  f.docs AS docs_final, f.chars AS chars_final,
+      |  CAST(0 AS BIGINT) AS aligned_new_files,
+      |  CAST(1 AS BIGINT) AS aligned_is_metadata_delete,
+      |  CAST((SELECT COUNT(*) FROM d WHERE source IN ('src3', 'src7'))
+      |    AS BIGINT) AS cdc_d_rows,
+      |  CAST(1 AS BIGINT) AS fallback_rewrote,
+      |  CAST(1 AS BIGINT) AS fallback_is_row_level
+      |FROM a, f""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p74_metadata_delete" -> (p74MetadataDelete _),
     "p73_rewrite_deletes" -> (p73RewriteDeletes _),
     "p72_ndv_stats" -> (p72NdvStats _),
     "p71_small_file_compaction" -> (p71SmallFileCompaction _),
@@ -5200,6 +5283,7 @@ object PipelineQueries {
   // def, not val: p19Sql embeds Sidecars.oracleDir-keyed paths, which
   // Verify pins at runtime before dumping oracle_sql.json
   def oracle: Map[String, String] = Map(
+    "p74_metadata_delete" -> p74Sql,
     "p73_rewrite_deletes" -> p73Sql,
     "p72_ndv_stats" -> p72Sql,
     "p71_small_file_compaction" -> p71Sql,

@@ -968,7 +968,54 @@ class GraftLakeTable(val key: String, val tableSchema: StructType,
     pinnedVersion: Option[Int] = None)
     extends Table with SupportsRead with SupportsWrite with SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
-    with org.apache.spark.sql.connector.catalog.TruncatableTable {
+    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
+
+  /** METADATA-ONLY DELETE gate (Catalyst's
+    * OptimizeMetadataOnlyDeleteFromTable asks through
+    * [[canDeleteWhere]] after planning the row-level rewrite): the
+    * answer is yes exactly when every conjunct is an `=`/`IN` against
+    * an IDENTITY partition column of the CURRENT spec with non-null
+    * literals, and every live file carries a current-era group key —
+    * then predicate truth is UNIFORM per file and dropping whole files
+    * from the manifest is the same rows as the rewrite, for O(metadata)
+    * cost. Anything else (non-partition column, range, transform specs
+    * like days()/bucket() where source-column predicates are not
+    * group-decidable, pre-evolution files) answers no and the planned
+    * row-level path runs unchanged. */
+  private def metadataDeleteMatcher(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Option[List[Any] => Boolean] = {
+    val st = LakeStore.get(key).getOrElse(return None)
+    if (st.current.exists(_.era != st.specEra)) return None
+    val spec = st.partitionCols
+    val compares = predicates.flatMap(ZonePrune.conjuncts).map { c =>
+      ZonePrune.parse(c) match {
+        case Some(cc) if (cc.op == "=" || cc.op == "IN") &&
+            !cc.lits.contains(null) =>
+          val idx = spec.indexWhere(raw =>
+            LakeStore.isIdentitySpec(raw) && LakeStore.parsePart(raw).col == cc.col)
+          if (idx < 0) return None
+          (idx, cc.lits.toSet)
+        case _ => return None
+      }
+    }
+    Some(g => compares.forall { case (i, lits) =>
+      i < g.length && lits.contains(g(i)) })
+  }
+
+  override def canDeleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
+    pinnedVersion.isEmpty && predicates.nonEmpty &&
+      metadataDeleteMatcher(predicates).isDefined
+
+  override def deleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val matcher = metadataDeleteMatcher(predicates).getOrElse(
+      throw new IllegalStateException(
+        s"graft_lake: deleteWhere called on $key with predicates the " +
+          "canDeleteWhere gate refuses"))
+    LakeStore.deleteGroups(key, matcher)
+  }
 
   /** `TRUNCATE TABLE` — one history-PRESERVING whole-table replace
     * commit (Delta's shape): the files leave the live set but stay on

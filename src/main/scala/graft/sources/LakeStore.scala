@@ -699,6 +699,32 @@ object LakeStore {
       deletes = st.deletes ++ newDeletes)
   }
 
+  /** METADATA-ONLY DELETE (Iceberg's metadata delete, Delta's
+    * partition-aligned DELETE): when a DELETE predicate is exactly
+    * decidable from identity partition keys, the matching groups' files
+    * simply LEAVE the live set — no scan, no rewrite, no sidecars, one
+    * manifest commit. At 100 TB this is how "drop last quarter" costs
+    * milliseconds instead of a table rewrite. The files stay on disk
+    * for time travel (vacuum collects them past the horizon), removed
+    * files take their deletion vectors with them, and the change feed
+    * sees the commit as the row-level delete it is (file-removal D
+    * rows). Returns (files removed, manifest rows removed). */
+  def deleteGroups(k: String, matcher: List[Any] => Boolean): (Int, Long) = synchronized {
+    onNextCommit.remove(k).foreach(_.apply())
+    val st = stateOf(k)
+    val removed = st.current.filter(f => matcher(f.group))
+    if (removed.isEmpty) (0, 0L)
+    else {
+      val live = st.current.filterNot(f => matcher(f.group))
+      val groups = removed.map(_.group).toSet
+      lastReplacedGroups.update(k, Some(groups))
+      lastReplacedFiles.update(k, (removed.map(_.path), Nil))
+      commit(k, st, "delete", live, Nil, removed = removed.map(_.path),
+        commitGroups = Some(groups), dataChange = true, schema = st.schema)
+      (removed.length, removed.map(_.rows).sum)
+    }
+  }
+
   /** Position-delete maintenance (Iceberg's
     * `rewrite_position_delete_files`, Delta's deletion-vector
     * compaction): every repeated merge-on-read DELETE/UPDATE against

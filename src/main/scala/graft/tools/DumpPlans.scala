@@ -242,7 +242,10 @@ object DumpPlans {
         PipelineQueries.p72NdvStats(spark, dir)),
       ("p73_rewrite_deletes",
         "POSITION-DELETE COMPACTION: a layout-only commit swaps each data file's >= 2 sidecars for ONE merged sidecar — zero data I/O, O(deleted positions). The published frame's scan afterwards opens exactly one sidecar per file; visible aggregates before/after/time-travel are equal and cdc_rows=0 inside the oracle hash.",
-        PipelineQueries.p73RewriteDeletes(spark, dir)))
+        PipelineQueries.p73RewriteDeletes(spark, dir)),
+      ("p74_metadata_delete",
+        "METADATA-ONLY DELETE: Catalyst's OptimizeMetadataOnlyDeleteFromTable swaps the planned row-level rewrite for one deleteWhere call when the predicate is identity-partition-decidable — the aligned DELETE adds ZERO files (pure manifest removal, action=delete) while the non-decidable fallback rewrites (action=replace); both pinned inside the oracle hash together with the CDC D-row count.",
+        PipelineQueries.p74MetadataDelete(spark, dir)))
 
     val sb = new StringBuilder
     sb.append("# Flagship physical plans (generated by graft.tools.DumpPlans at sf0.01)\n\n")

@@ -203,7 +203,8 @@ object ScaleSweep {
       "p70_expire_refs" -> "snapshot expiry under live refs (ref-aware VACUUM)",
       "p71_small_file_compaction" -> "size-aware incremental compaction (manifest-driven binpack)",
       "p72_ndv_stats" -> "manifest NDV statistics (per-file KMV sketches, zero-I/O fold)",
-      "p73_rewrite_deletes" -> "position-delete sidecar compaction (layout-only)")
+      "p73_rewrite_deletes" -> "position-delete sidecar compaction (layout-only)",
+      "p74_metadata_delete" -> "metadata-only partition DELETE (manifest file drop)")
 
     // warm the JVM/codegen on the smallest sf so cold-start lands nowhere
     queries.foreach { case (q, _) =>

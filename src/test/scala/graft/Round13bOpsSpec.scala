@@ -185,6 +185,80 @@ class Round13bOpsSpec extends SparkTestBase {
     assert(LakeStore.get(key).get.deletes.length === 3)
   }
 
+  // ----------------- metadata-only DELETE gate (p74)
+
+  test("partition-aligned DELETE is metadata-only; others fall back") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_lake.md1")
+    spark.sql("""CREATE TABLE graft_lake.md1 (id BIGINT, grp STRING, v BIGINT)
+                |PARTITIONED BY (grp)""".stripMargin)
+    import spark.implicits._
+    (0L until 30L).map(i => (i, s"g${i % 3}", i)).toDF("id", "grp", "v")
+      .repartition(col("grp")).writeTo("graft_lake.md1").append()
+    val paths0 = LakeStore.get("graft_lake.md1").get.current.map(_.path).toSet
+
+    // aligned: IN on the identity partition column -> manifest-only
+    spark.sql("DELETE FROM graft_lake.md1 WHERE grp IN ('g0', 'g2')")
+    val st1 = LakeStore.get("graft_lake.md1").get
+    assert(st1.snapshots(st1.latestVersion).action === "delete")
+    assert(st1.current.map(_.path).forall(paths0.contains), "no rewrite output")
+    assert(spark.table("graft_lake.md1").select(collect_set("grp"))
+      .collect()(0).getSeq[String](0) === Seq("g1"))
+
+    // the change feed sees the full row-level delete
+    assert(GraftLake.changes(spark, "graft_lake.md1", 1, 2, "id")
+      .filter(col("change") === "D").count() === 20L)
+
+    // non-aligned predicate: the planned copy-on-write path runs
+    spark.sql("DELETE FROM graft_lake.md1 WHERE v % 2 = 0")
+    val st2 = LakeStore.get("graft_lake.md1").get
+    assert(st2.snapshots(st2.latestVersion).action === "replace")
+    assert(spark.table("graft_lake.md1").count() === 5L)
+  }
+
+  test("metadata DELETE works on merge-on-read tables and keeps DVs consistent") {
+    val key = morTable("md2") // 40 rows, g0/g1, MoR, one file per group
+    spark.sql(s"DELETE FROM $key WHERE id IN (0, 1)") // MoR: sidecars on both files
+    assert(LakeStore.get(key).get.deletes.length === 2)
+    // aligned delete drops g0's file — its deletion vector must go too
+    spark.sql(s"DELETE FROM $key WHERE grp = 'g0'")
+    val st = LakeStore.get(key).get
+    assert(st.snapshots(st.latestVersion).action === "delete")
+    assert(st.current.length === 1)
+    assert(st.deletes.length === 1, "removed file's DV must prune")
+    assert(spark.table(key).count() === 19L) // g1 minus id=1
+  }
+
+  test("metadata DELETE gate refuses transforms, old eras, and null literals") {
+    registerCatalog()
+    // days() transform: a source-column equality is NOT group-decidable
+    spark.sql("DROP TABLE IF EXISTS graft_lake.md3")
+    spark.sql("""CREATE TABLE graft_lake.md3 (id BIGINT, s STRING)
+                |PARTITIONED BY (bucket(4, s))""".stripMargin)
+    import spark.implicits._
+    (0L until 20L).map(i => (i, s"s${i % 5}")).toDF("id", "s")
+      .writeTo("graft_lake.md3").append()
+    spark.sql("DELETE FROM graft_lake.md3 WHERE s = 's1'")
+    val st3 = LakeStore.get("graft_lake.md3").get
+    assert(st3.snapshots(st3.latestVersion).action === "replace",
+      "bucket spec must take the row-level path")
+    assert(spark.table("graft_lake.md3").count() === 16L)
+
+    // pre-evolution files: group keys of the OLD spec cannot decide a
+    // predicate on the NEW spec's column — must fall back
+    spark.sql("DROP TABLE IF EXISTS graft_lake.md4")
+    spark.sql("""CREATE TABLE graft_lake.md4 (id BIGINT, a STRING, b STRING)
+                |PARTITIONED BY (a)""".stripMargin)
+    (0L until 12L).map(i => (i, s"a${i % 2}", s"b${i % 3}")).toDF("id", "a", "b")
+      .writeTo("graft_lake.md4").append() // era-0 files
+    GraftLake.setPartitionSpec("graft_lake.md4", Seq("b")) // era 1
+    spark.sql("DELETE FROM graft_lake.md4 WHERE b = 'b1'")
+    val st4 = LakeStore.get("graft_lake.md4").get
+    assert(st4.snapshots(st4.latestVersion).action === "replace",
+      "mixed-era live set must take the row-level path")
+    assert(spark.table("graft_lake.md4").count() === 8L)
+  }
+
   test("rewrite_deletes is a no-op below min_sidecars and on clean tables") {
     val key = morTable("rwd2")
     assert(LakeStore.rewriteDeletes(key) === ((0, 0))) // no deletes at all

@@ -98,7 +98,9 @@ class Round9bOpsSpec extends SparkTestBase {
     spark.sql("DELETE FROM graft_lake.meta1 WHERE grp = 0") // v2
     val hist = spark.sql(
       "SELECT * FROM graft_lake.meta1.history ORDER BY version").collect()
-    assert(hist.map(_.getAs[String]("action")).toSeq === Seq("create", "append", "replace"))
+    // the partition-aligned DELETE lands as p74's METADATA-ONLY commit
+    // (action "delete") — before round 13 it was a row-level "replace"
+    assert(hist.map(_.getAs[String]("action")).toSeq === Seq("create", "append", "delete"))
     assert(hist.map(_.getAs[Long]("version")).toSeq === Seq(0L, 1L, 2L))
     assert(hist(1).getAs[Long]("files_added") === 3L)
     assert(hist(1).getAs[Long]("rows_added") === 30L)
