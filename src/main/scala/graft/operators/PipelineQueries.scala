@@ -5205,7 +5205,84 @@ object PipelineQueries {
       |  CAST(1 AS BIGINT) AS fallback_is_row_level
       |FROM a, f""".stripMargin
 
+  // ---------------------------------------------------------------- p75
+  /** STATS-DRIVEN BROADCAST — the payoff of
+    * [[graft.sources.LakeScan.estimateStatistics]]: a DSv2 scan that
+    * reports NO statistics defaults to `spark.sql.defaultSizeInBytes`
+    * (Long.MaxValue — "assume huge"), so every lake-dim join would
+    * sort-merge forever. The manifest-driven numbers (row counts AND
+    * per-column zones/NDV, zero file I/O) let the STATIC planner pick
+    * BroadcastHashJoin for the 25-row nation dim at the stock 10 MB
+    * threshold — no AQE runtime correction needed, which at 100 TB
+    * means the first attempt already skips the fact-side shuffle.
+    * The audit is strict: adaptive OFF so the decision is provably
+    * cost-model-from-manifest, bhj=1 / smj=0 counted from the executed
+    * plan, and the dim scan's reported row count (exactly 25, straight
+    * from manifest rows) inside the hash.
+    *
+    * Correctness rides along: per-nation customer counts and exact
+    * decimal-summed balances against the DuckDB oracle. */
+  def p75StatsBroadcast(s: SparkSession, dir: String): DataFrame = {
+    registerLake(s)
+    val dimKey = "graft_lake.bnation"
+    val factKey = "graft_lake.bcust"
+    s.sql(s"DROP TABLE IF EXISTS $dimKey")
+    s.sql(s"DROP TABLE IF EXISTS $factKey")
+    s.sql(s"CREATE TABLE $dimKey (n_nationkey INT, n_name STRING)")
+    s.sql(s"""CREATE TABLE $factKey
+             |(c_custkey BIGINT, c_nationkey INT, c_acctbal DOUBLE)""".stripMargin)
+    Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+      .writeTo(dimKey).append()
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      .writeTo(factKey).append()
+    val saved = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> s.conf.getOption(k))
+    try {
+      s.conf.set("spark.sql.adaptive.enabled", "false") // static decision only
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760") // stock 10 MB
+      val j = s.table(factKey)
+        .join(s.table(dimKey), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          Tables.dsum(col("c_acctbal"), 30, 2).as("sum_acctbal"))
+      val plan = j.queryExecution.executedPlan
+      val bhj = plan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }.length
+      val smj = plan.collect {
+        case m: org.apache.spark.sql.execution.joins.SortMergeJoinExec => m
+      }.length
+      // the dim scan's own manifest-driven row count (what the cost
+      // model consumed): exactly nation's 25 rows, no file opened
+      val dimReported = s.table(dimKey).queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.asInstanceOf[
+            org.apache.spark.sql.connector.read.SupportsReportStatistics]
+            .estimateStatistics().numRows().orElse(-1L)
+      }.head
+      val rows = j.collect() // materialize under the audited plan
+      s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), j.schema)
+        .withColumn("bhj_used", lit(bhj.toLong))
+        .withColumn("smj_used", lit(smj.toLong))
+        .withColumn("dim_reported_rows", lit(dimReported))
+        .orderBy(col("n_name"))
+    } finally saved.foreach { case (k, vOpt) =>
+      vOpt.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+  }
+
+  val p75Sql: String =
+    """SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_customers,
+      |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(30, 2))) AS DOUBLE) AS DOUBLE)
+      |    AS sum_acctbal,
+      |  CAST(1 AS BIGINT) AS bhj_used,
+      |  CAST(0 AS BIGINT) AS smj_used,
+      |  CAST(25 AS BIGINT) AS dim_reported_rows
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p75_stats_broadcast" -> (p75StatsBroadcast _),
     "p74_metadata_delete" -> (p74MetadataDelete _),
     "p73_rewrite_deletes" -> (p73RewriteDeletes _),
     "p72_ndv_stats" -> (p72NdvStats _),
@@ -5283,6 +5360,7 @@ object PipelineQueries {
   // def, not val: p19Sql embeds Sidecars.oracleDir-keyed paths, which
   // Verify pins at runtime before dumping oracle_sql.json
   def oracle: Map[String, String] = Map(
+    "p75_stats_broadcast" -> p75Sql,
     "p74_metadata_delete" -> p74Sql,
     "p73_rewrite_deletes" -> p73Sql,
     "p72_ndv_stats" -> p72Sql,

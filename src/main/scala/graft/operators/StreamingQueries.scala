@@ -1258,7 +1258,85 @@ object StreamingQueries {
       |  UNION ALL SELECT 3, doc_id FROM documents WHERE doc_id % 3 = 2)
       |GROUP BY batch_seq ORDER BY batch_seq""".stripMargin
 
+  /** `skipChangeCommits` (Delta's option) — the streaming source's
+    * contract with NON-APPEND history: by default a rewrite commit
+    * fails the stream LOUDLY (re-delivering re-landed files would
+    * duplicate every carried-over row; silently skipping would hide
+    * changes), and `skipChangeCommits=true` is the documented opt-out
+    * that delivers appends only, letting UPDATE rewrites and p74
+    * metadata deletes pass through invisibly. The scenario interleaves
+    * three append slices with a copy-on-write UPDATE and a
+    * metadata-only DELETE; the opted-in stream must deliver exactly
+    * the three slices AS APPENDED (original values — the rewrite's
+    * output files are change-commit cargo, not appends), and the
+    * default stream over the same history must fail with the
+    * append-only error. Both facts are inside the hash. */
+  def st20SkipChangeCommits(s: SparkSession, dir: String): DataFrame = {
+    if (!s.conf.getOption("spark.sql.catalog.graft_lake").contains(
+        classOf[graft.sources.GraftLakeCatalog].getName))
+      s.conf.set("spark.sql.catalog.graft_lake",
+        classOf[graft.sources.GraftLakeCatalog].getName)
+    val root = s"/tmp/graft_stream_${Sidecars.tag(dir)}/st20"
+    deleteRecursively(java.nio.file.Paths.get(root))
+    s.sql("DROP TABLE IF EXISTS graft_lake.scc_src")
+    s.sql("""CREATE TABLE graft_lake.scc_src
+            |(doc_id BIGINT, source STRING, n_chars BIGINT)
+            |PARTITIONED BY (source)""".stripMargin)
+    val docs = graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    def appendSlice(m: Int): Unit =
+      docs.filter(col("doc_id") % 3 === m).repartition(col("source"))
+        .writeTo("graft_lake.scc_src").append()
+    appendSlice(0) // v1
+    s.sql("UPDATE graft_lake.scc_src SET n_chars = n_chars + 1000 WHERE source = 'src3'") // v2: COW rewrite
+    appendSlice(1) // v3
+    s.sql("DELETE FROM graft_lake.scc_src WHERE source = 'src5'") // v4: metadata delete (p74)
+    appendSlice(2) // v5
+    // opted-in stream: appends only, change commits pass invisibly
+    val q = s.readStream
+      .option("skipChangeCommits", "true")
+      .table("graft_lake.scc_src")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_chars")).cast("bigint").as("sum_chars"))
+      .writeStream
+      .format("memory").queryName("st20_scc")
+      .outputMode("complete")
+      .option("checkpointLocation", s"$root/_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the default stream over the same history fails loudly
+    val failed =
+      try {
+        val q2 = s.readStream.table("graft_lake.scc_src")
+          .writeStream.format("noop")
+          .option("checkpointLocation", s"$root/_checkpoint2")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q2.awaitTermination()
+        0L
+      } catch {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+          def causes(t: Throwable): Seq[Throwable] =
+            if (t == null) Nil else t +: causes(t.getCause)
+          if (causes(e).exists(c => c.isInstanceOf[UnsupportedOperationException] &&
+            c.getMessage.contains("append-only"))) 1L else 0L
+      }
+    s.table("st20_scc")
+      .withColumn("default_stream_failed", lit(failed))
+      .orderBy(col("source"))
+  }
+
+  val st20Sql: String =
+    """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(1 AS BIGINT) AS default_stream_failed
+      |FROM documents
+      |GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st20_skip_change_commits" -> (st20SkipChangeCommits _),
     "st19_stream_rate_limit" -> (st19StreamRateLimit _),
     "st18_cdc_replication" -> (st18CdcReplication _),
     "st17_stream_lake_sink" -> (st17StreamLakeSink _),
@@ -1280,6 +1358,7 @@ object StreamingQueries {
     "st05_stream_filter" -> (st05StreamFilter _))
 
   val oracle: Map[String, String] = Map(
+    "st20_skip_change_commits" -> st20Sql,
     "st19_stream_rate_limit" -> st19Sql,
     "st18_cdc_replication" -> st18Sql,
     "st17_stream_lake_sink" -> st17Sql,

@@ -1457,7 +1457,9 @@ class LakeScanBuilder(key: String, schema: StructType, pinnedVersion: Option[Int
     case None => new LakeScan(key, schema, pinnedVersion, pushed, required, limit,
       streamMaxFiles = Option(options.get("maxFilesPerTrigger")).map(_.toInt),
       streamMaxBytes = Option(options.get("maxBytesPerTrigger")).map(_.toLong),
-      streamStartVersion = Option(options.get("startingVersion")))
+      streamStartVersion = Option(options.get("startingVersion")),
+      streamSkipChangeCommits =
+        Option(options.get("skipChangeCommits")).exists(_.toBoolean))
   }
 }
 
@@ -1518,7 +1520,8 @@ class LakeScan(key: String, schema: StructType,
     limit: Option[Int] = None,
     streamMaxFiles: Option[Int] = None,
     streamMaxBytes: Option[Long] = None,
-    streamStartVersion: Option[String] = None) extends Scan with Batch
+    streamStartVersion: Option[String] = None,
+    streamSkipChangeCommits: Boolean = false) extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
@@ -1898,7 +1901,7 @@ class LakeScan(key: String, schema: StructType,
     require(pinnedVersion.isEmpty,
       "graft_lake: cannot stream from a time-travel view")
     new LakeMicroBatchStream(key, readCols, physNames, streamMaxFiles,
-      streamMaxBytes, streamStartVersion)
+      streamMaxBytes, streamStartVersion, streamSkipChangeCommits)
   }
 }
 
@@ -1920,7 +1923,8 @@ class LakeMicroBatchStream(key: String, required: StructType,
     physicalOf: Map[String, String] = Map.empty,
     maxFilesPerTrigger: Option[Int] = None,
     maxBytesPerTrigger: Option[Long] = None,
-    startingVersion: Option[String] = None)
+    startingVersion: Option[String] = None,
+    skipChangeCommits: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset => V2Offset,
@@ -1991,10 +1995,14 @@ class LakeMicroBatchStream(key: String, required: StructType,
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowCap = Some(state.latestVersion)
 
-  /** (files, bytes) a commit appended — 0 for metadata/layout/branch. */
+  /** (files, bytes) a commit appended — 0 for metadata/layout/branch,
+    * and for skipped change commits (they deliver nothing, so they
+    * must not consume the rate-limit budget). */
   private def appendedAt(st: LakeStore.TableState, v: Int): (Int, Long) = {
     val snap = st.snapshots(v)
     if (!snap.dataChange || snap.ref != "main") (0, 0L)
+    else if (skipChangeCommits &&
+        snap.action != "append" && snap.action != "clone") (0, 0L)
     else {
       val prevPaths = st.snapshots(
         if (snap.parent >= 0) snap.parent else v - 1).files.map(_.path).toSet
@@ -2049,9 +2057,18 @@ class LakeMicroBatchStream(key: String, required: StructType,
           if (snap.parent >= 0) snap.parent else v - 1).files.map(_.path).toSet
         snap.files.filterNot(f => prevPaths.contains(f.path)).map(f =>
           LakeFileChunk(LakeStore.resolvePath(key, f), f.cols, f.rows))
-      } else throw new UnsupportedOperationException(
+      } else if (skipChangeCommits) Nil
+      // Delta's contract: fail LOUDLY by default on a non-append data
+      // commit — re-delivering a rewrite's re-landed files would
+      // DUPLICATE every carried-over row downstream, and silently
+      // skipping would hide updates/deletes the consumer may need.
+      // `skipChangeCommits=true` (above) is the documented opt-out:
+      // the stream delivers appends only and change commits pass
+      // through invisibly.
+      else throw new UnsupportedOperationException(
         s"graft_lake: streaming source requires append-only history, but " +
-          s"commit $v of $key is '${snap.action}' — consume the change feed " +
+          s"commit $v of $key is '${snap.action}' — set skipChangeCommits=true " +
+          "to stream appends only, or consume the change feed " +
           "(GraftLake.changes) for row-level deltas instead")
     }
     LakeFilePartition.pack(chunks)

@@ -245,7 +245,10 @@ object DumpPlans {
         PipelineQueries.p73RewriteDeletes(spark, dir)),
       ("p74_metadata_delete",
         "METADATA-ONLY DELETE: Catalyst's OptimizeMetadataOnlyDeleteFromTable swaps the planned row-level rewrite for one deleteWhere call when the predicate is identity-partition-decidable — the aligned DELETE adds ZERO files (pure manifest removal, action=delete) while the non-decidable fallback rewrites (action=replace); both pinned inside the oracle hash together with the CDC D-row count.",
-        PipelineQueries.p74MetadataDelete(spark, dir)))
+        PipelineQueries.p74MetadataDelete(spark, dir)),
+      ("p75_stats_broadcast",
+        "STATS-DRIVEN BROADCAST: with adaptive OFF, the static planner picks BroadcastHashJoin for the 25-row lake dim PURELY from the scan's manifest-reported statistics (a stats-less DSv2 scan defaults to Long.MaxValue and would sort-merge) — look for BroadcastHashJoin + BroadcastExchange on the dim side and NO shuffle on the fact side before the partial aggregate. bhj=1/smj=0/dim_reported_rows=25 are inside the oracle hash.",
+        PipelineQueries.p75StatsBroadcast(spark, dir)))
 
     val sb = new StringBuilder
     sb.append("# Flagship physical plans (generated by graft.tools.DumpPlans at sf0.01)\n\n")
@@ -298,6 +301,11 @@ object DumpPlans {
       ("runtime partition filtering (p69)",
         "The fact-side BatchScan carries RuntimeFilters: [dynamicpruningexpression(source IN dynamicpruning#N)] fed by a SubqueryBroadcast that REUSES the join's own broadcast exchange — the dim filter (on a non-join column, so nothing is statically inferable) executes once, its distinct keys prune whole fact partition groups before file planning: ScanStats records 7 of 20 groups planned.",
         "SELECT f.source, count(*) FROM graft_lake.dppfact f JOIN graft_lake.dppdim d ON f.source = d.dsource WHERE d.w = 0 GROUP BY f.source"),
+      ("stats-driven broadcast (p75)",
+        "The dim side plans as BroadcastExchange + BroadcastHashJoin STATICALLY — the cost model consumed the lake scan's manifest-reported 25 rows (estimateStatistics; a stats-less DSv2 scan would report Long.MaxValue and sort-merge). The fact side flows scan -> partial aggregate with no join shuffle.",
+        """SELECT n_name, count(*) AS n_customers
+          |FROM graft_lake.bcust JOIN graft_lake.bnation ON c_nationkey = n_nationkey
+          |GROUP BY n_name""".stripMargin),
       ("aggregate pushdown (p68)",
         "The whole Aggregate collapses into ONE GraftLakeAgg BatchScan — no parquet scan, no Exchange, no HashAggregate: counts come from manifest row+null counts, min/max from zones. VERSION AS OF 1 pins the pre-DELETE snapshot (the flagship run above landed deletion vectors on HEAD, where the same query correctly falls back to reading data).",
         "SELECT count(*) AS n, count(opt) AS nopt, min(doc_id) AS mn, max(n_chars) AS mx FROM graft_lake.aggpd VERSION AS OF 1"))
