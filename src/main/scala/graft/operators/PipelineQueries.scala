@@ -5281,7 +5281,100 @@ object PipelineQueries {
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  // ---------------------------------------------------------------- p76
+  /** ANN OVER A CELL-PARTITIONED LAKE TABLE — the vector family's IVF
+    * probing (s05) fused with the lake's partition pruning: embeddings
+    * are STORED under their quantizer cell (`PARTITIONED BY (cell)`,
+    * geometric nearest-centroid assignment, one file per cell via a
+    * hash-clustered write), so a probe query's `cell IN (...)` filter
+    * prunes whole partition groups at FILE-PLANNING time — the nProbe
+    * recall/cost dial becomes "how many partition groups does the scan
+    * even open". At 100 TB this is the ANN architecture that needs no
+    * index server: the table IS the index, probing is partition
+    * pruning, and re-clustering is an OPTIMIZE.
+    *
+    * Retrieval truth uses the s05 planted construction (queries are
+    * tiny perturbations of base vectors, whose global argmax sits in
+    * the probed cell set by construction), so DuckDB's corpus-wide
+    * brute-force argmax equals the cell-scoped answer. Inside the
+    * hash: the exact top-1 per query and `scan_pruned`=1 — the scan's
+    * own ScanStats prove it opened fewer groups than the table holds
+    * (4 queries probe <= 8 of the ~10 cells). */
+  def p76AnnLakePruned(s: SparkSession, dir: String): DataFrame = {
+    registerLake(s)
+    import SimilarityQueries.{embD, dot}
+    val key = "graft_lake.annlake"
+    s.sql(s"DROP TABLE IF EXISTS $key")
+    s.sql(s"""CREATE TABLE $key
+             |(vec_id BIGINT, cell INT, v ARRAY<DOUBLE>, norm DOUBLE)
+             |PARTITIONED BY (cell)
+             |TBLPROPERTIES ('graft.write.distribution-mode' = 'hash')""".stripMargin)
+    val e = Tables.spread(Tables.embeddings(s, dir)).withColumn("v", embD)
+      .withColumn("norm", sqrt(dot("v", "v")))
+      .select(col("vec_id"), col("label"), col("v"), col("norm"))
+    val cents = SimilarityQueries.codebook(e)
+    e.withColumn("cell",
+        element_at(SimilarityQueries.probeCells(cents, col("v"), 1), 1))
+      .select(col("vec_id"), col("cell"), col("v"), col("norm"))
+      .writeTo(key).append()
+    val q = SimilarityQueries
+      .plantedQueries(e.select(col("vec_id"), col("v")), k = 4, off = 171, factor = 0.1)
+      .withColumn("qnorm", sqrt(dot("qv", "qv")))
+    val probes = q.select(col("q_id"), col("qv"), col("qnorm"),
+      explode(SimilarityQueries.probeCells(cents, col("qv"), 2)).as("cell"))
+    // the probe set is driver-side (<= 2 * |queries| cell ids): the
+    // scan's pushed IN predicate is what prunes partition groups
+    val probedCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val cand = s.table(key)
+      .filter(col("cell").isin(probedCells.map(c => c: Any): _*))
+      .join(broadcast(probes), Seq("cell"))
+      .withColumn("cosine",
+        floor(dot("qv", "v") / (col("qnorm") * col("norm")) * 1e6 + 0.5) / 1e6)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val top = cand.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cosine"))
+    val rows = top.collect() // materialize -> the scan records its stats
+    val st = graft.sources.LakeStore.lastScanStats(key)
+    s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), top.schema)
+      .withColumn("scan_pruned",
+        lit(if (st.groupsScanned < st.groupsTotal) 1L else 0L))
+      .orderBy(col("q_id"))
+  }
+
+  val p76Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cnt AS (SELECT COUNT(*) AS n FROM e),
+      |q AS (
+      |  SELECT b.vec_id AS q_id,
+      |    list_transform(generate_series(1, 64), i -> b.v[i] + 0.1 * p.v[i]) AS qv
+      |  FROM e b JOIN cnt ON TRUE JOIN e p ON p.vec_id = (b.vec_id + 171) % cnt.n
+      |  WHERE b.vec_id < 4),
+      |qn AS (
+      |  SELECT q_id, qv,
+      |    SQRT(list_reduce(list_transform(generate_series(1, 64), i -> qv[i] * qv[i]), (x, y) -> x + y)) AS qnrm
+      |  FROM q),
+      |cn AS (
+      |  SELECT vec_id, v,
+      |    SQRT(list_reduce(list_transform(generate_series(1, 64), i -> v[i] * v[i]), (x, y) -> x + y)) AS nrm
+      |  FROM e),
+      |scored AS (
+      |  SELECT q_id, vec_id AS neighbor_id,
+      |    FLOOR(list_reduce(list_transform(generate_series(1, 64), i -> qv[i] * v[i]), (x, y) -> x + y)
+      |      / (qnrm * nrm) * 1e6 + 0.5) / 1e6 AS cosine
+      |  FROM qn CROSS JOIN cn),
+      |ranked AS (
+      |  SELECT q_id, neighbor_id, cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rnk
+      |  FROM scored)
+      |SELECT q_id, neighbor_id, cosine, CAST(1 AS BIGINT) AS scan_pruned
+      |FROM ranked WHERE rnk = 1 ORDER BY q_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p76_ann_lake_pruned" -> (p76AnnLakePruned _),
     "p75_stats_broadcast" -> (p75StatsBroadcast _),
     "p74_metadata_delete" -> (p74MetadataDelete _),
     "p73_rewrite_deletes" -> (p73RewriteDeletes _),
@@ -5360,6 +5453,7 @@ object PipelineQueries {
   // def, not val: p19Sql embeds Sidecars.oracleDir-keyed paths, which
   // Verify pins at runtime before dumping oracle_sql.json
   def oracle: Map[String, String] = Map(
+    "p76_ann_lake_pruned" -> p76Sql,
     "p75_stats_broadcast" -> p75Sql,
     "p74_metadata_delete" -> p74Sql,
     "p73_rewrite_deletes" -> p73Sql,

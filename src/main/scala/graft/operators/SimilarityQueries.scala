@@ -141,7 +141,7 @@ object SimilarityQueries {
   /** Derived planted queries (q_id, qv): q_i = v_i + factor * v_((i+off) mod N)
     * for i < k — shared by s02 (LSH path) and s05 (IVF path); each choice of
     * (k, off, factor) plants a distinct retrievable argmax. */
-  private def plantedQueries(e: DataFrame, k: Int, off: Int, factor: Double): DataFrame = {
+  private[operators] def plantedQueries(e: DataFrame, k: Int, off: Int, factor: Double): DataFrame = {
     val n = e.count() // corpus size: one cheap scalar action, any scale
     e.filter(col("vec_id") < k)
       .withColumn("partner", (col("vec_id") + off) % n)

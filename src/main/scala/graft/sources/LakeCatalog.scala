@@ -732,13 +732,15 @@ class GraftLakeCatalog extends TableCatalog
         val exprTexts =
           props.collect { case (pk, pv) if pk.startsWith(LakeConstraints.prefix) => pv } ++
             props.get(LakeBloom.ColumnsProp).toSeq ++
+            props.get(LakeNdv.ColumnsProp).toSeq ++
             schema.fields.flatMap(f => org.apache.spark.sql.catalyst.util
               .GeneratedColumn.getGenerationExpression(f))
         val word = ("(?i)(?<![A-Za-z0-9_`])" +
           java.util.regex.Pattern.quote(oldName) + "(?![A-Za-z0-9_])").r
         require(!exprTexts.exists(t => word.findFirstIn(t).isDefined),
-          s"graft_lake: cannot rename $oldName — a CHECK constraint or " +
-            "generation expression references it; drop/recreate that first")
+          s"graft_lake: cannot rename $oldName — a CHECK constraint, " +
+            "generation expression, or bloom/ndv index references it; " +
+            "drop/recreate that first")
         val i = schema.fieldIndex(oldName)
         val f = schema(i)
         val newMeta = new org.apache.spark.sql.types.MetadataBuilder()

@@ -248,7 +248,10 @@ object DumpPlans {
         PipelineQueries.p74MetadataDelete(spark, dir)),
       ("p75_stats_broadcast",
         "STATS-DRIVEN BROADCAST: with adaptive OFF, the static planner picks BroadcastHashJoin for the 25-row lake dim PURELY from the scan's manifest-reported statistics (a stats-less DSv2 scan defaults to Long.MaxValue and would sort-merge) — look for BroadcastHashJoin + BroadcastExchange on the dim side and NO shuffle on the fact side before the partial aggregate. bhj=1/smj=0/dim_reported_rows=25 are inside the oracle hash.",
-        PipelineQueries.p75StatsBroadcast(spark, dir)))
+        PipelineQueries.p75StatsBroadcast(spark, dir)),
+      ("p76_ann_lake_pruned",
+        "ANN OVER A CELL-PARTITIONED LAKE: the candidate scan's pushed `cell IN (...)` predicate (the IVF probe set, <= 8 driver-side literals) prunes whole partition groups at file-planning time — the BatchScan's skipPredicates show the IN, ScanStats record fewer groups opened than the table holds (scan_pruned=1 in the oracle hash), and the rerank is a broadcast join against the tiny probe set — no shuffle on the corpus side.",
+        PipelineQueries.p76AnnLakePruned(spark, dir)))
 
     val sb = new StringBuilder
     sb.append("# Flagship physical plans (generated by graft.tools.DumpPlans at sf0.01)\n\n")

@@ -185,6 +185,34 @@ class Round13bOpsSpec extends SparkTestBase {
     assert(LakeStore.get(key).get.deletes.length === 3)
   }
 
+  test("ndv columns refuse rename (like blooms); widening keeps one hash space") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_lake.ndvren")
+    spark.sql("""CREATE TABLE graft_lake.ndvren (id INT, cat STRING, free STRING)
+                |TBLPROPERTIES ('graft.ndv.columns' = 'id,cat')""".stripMargin)
+    import spark.implicits._
+    (0 until 50).map(i => (i, s"c${i % 5}", s"f$i")).toDF("id", "cat", "free")
+      .coalesce(1).writeTo("graft_lake.ndvren").append()
+    // renaming a sketched column would orphan the ndv.columns property
+    // (new writes would silently stop sketching) — refused loudly,
+    // exactly like bloom-indexed columns
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft_lake.ndvren RENAME COLUMN cat TO category")
+    }
+    assert(e.getMessage.contains("ndv"))
+    // an unsketched column renames freely
+    spark.sql("ALTER TABLE graft_lake.ndvren RENAME COLUMN free TO free2")
+    // widening INT -> BIGINT must not split old and new value hashes:
+    // the canonical byte form collapses integral widths
+    spark.sql("ALTER TABLE graft_lake.ndvren ALTER COLUMN id TYPE BIGINT")
+    (0L until 50L).map(i => (i, s"c${i % 5}", s"f$i")).toDF("id", "cat", "free2")
+      .coalesce(1).writeTo("graft_lake.ndvren").append() // same ids as longs
+    val widened = spark.table("graft_lake.ndvren.stats").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toList.sortBy(_._1)
+    assert(widened === List(("cat", 5L, true), ("id", 50L, true)),
+      "re-appended ids as BIGINT must hash onto the same 50 distinct values")
+  }
+
   // ----------------- metadata-only DELETE gate (p74)
 
   test("partition-aligned DELETE is metadata-only; others fall back") {
