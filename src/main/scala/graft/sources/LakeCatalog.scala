@@ -1461,7 +1461,8 @@ class LakeScanBuilder(key: String, schema: StructType, pinnedVersion: Option[Int
       streamMaxBytes = Option(options.get("maxBytesPerTrigger")).map(_.toLong),
       streamStartVersion = Option(options.get("startingVersion")),
       streamSkipChangeCommits =
-        Option(options.get("skipChangeCommits")).exists(_.toBoolean))
+        Option(options.get("skipChangeCommits")).exists(_.toBoolean),
+      streamStartTimestamp = Option(options.get("startingTimestamp")))
   }
 }
 
@@ -1523,7 +1524,8 @@ class LakeScan(key: String, schema: StructType,
     streamMaxFiles: Option[Int] = None,
     streamMaxBytes: Option[Long] = None,
     streamStartVersion: Option[String] = None,
-    streamSkipChangeCommits: Boolean = false) extends Scan with Batch
+    streamSkipChangeCommits: Boolean = false,
+    streamStartTimestamp: Option[String] = None) extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
@@ -1903,7 +1905,8 @@ class LakeScan(key: String, schema: StructType,
     require(pinnedVersion.isEmpty,
       "graft_lake: cannot stream from a time-travel view")
     new LakeMicroBatchStream(key, readCols, physNames, streamMaxFiles,
-      streamMaxBytes, streamStartVersion, streamSkipChangeCommits)
+      streamMaxBytes, streamStartVersion, streamSkipChangeCommits,
+      streamStartTimestamp)
   }
 }
 
@@ -1926,7 +1929,8 @@ class LakeMicroBatchStream(key: String, required: StructType,
     maxFilesPerTrigger: Option[Int] = None,
     maxBytesPerTrigger: Option[Long] = None,
     startingVersion: Option[String] = None,
-    skipChangeCommits: Boolean = false)
+    skipChangeCommits: Boolean = false,
+    startingTimestamp: Option[String] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset => V2Offset,
@@ -1953,14 +1957,34 @@ class LakeMicroBatchStream(key: String, required: StructType,
     * initial load that rereads everything and a tail-follow); a number
     * N delivers from commit N inclusive. Checkpointed restarts ignore
     * this — the checkpoint owns the position. */
-  override def initialOffset(): V2Offset = startingVersion match {
-    case None => VersionOffset(0)
-    case Some("latest") => VersionOffset(state.latestVersion)
-    case Some(n) =>
-      val v = n.toInt
-      require(v >= 1 && v <= state.latestVersion + 1,
-        s"graft_lake: startingVersion $v out of range [1, ${state.latestVersion + 1}] for $key")
-      VersionOffset(v - 1)
+  override def initialOffset(): V2Offset = {
+    require(startingVersion.isEmpty || startingTimestamp.isEmpty,
+      s"graft_lake: startingVersion and startingTimestamp are mutually " +
+        s"exclusive on $key")
+    startingTimestamp match {
+      // `startingTimestamp` (Delta's option): deliver from the earliest
+      // commit AT OR AFTER the instant — epoch millis or
+      // 'yyyy-MM-dd HH:mm:ss[.SSS]' (local clock, same as the log's
+      // mtimes that answer the lookup). Checkpointed restarts ignore
+      // this like startingVersion — the checkpoint owns the position.
+      case Some(ts) =>
+        val ms = ts.toLongOption.getOrElse {
+          val fmt = new java.text.SimpleDateFormat(
+            if (ts.contains('.')) "yyyy-MM-dd HH:mm:ss.SSS"
+            else "yyyy-MM-dd HH:mm:ss")
+          fmt.parse(ts).getTime
+        }
+        VersionOffset(math.max(0, LakeStore.versionAtOrAfter(key, ms) - 1))
+      case None => startingVersion match {
+        case None => VersionOffset(0)
+        case Some("latest") => VersionOffset(state.latestVersion)
+        case Some(n) =>
+          val v = n.toInt
+          require(v >= 1 && v <= state.latestVersion + 1,
+            s"graft_lake: startingVersion $v out of range [1, ${state.latestVersion + 1}] for $key")
+          VersionOffset(v - 1)
+      }
+    }
   }
   override def latestOffset(): V2Offset = VersionOffset(state.latestVersion)
   override def deserializeOffset(json: String): V2Offset =

@@ -1071,6 +1071,26 @@ object LakeStore {
     mainIdx
   }
 
+  /** The earliest version committed AT OR AFTER `tsMs` (Delta's
+    * streaming `startingTimestamp` resolution — the dual of
+    * [[versionAt]]'s at-or-before): the log files' own modification
+    * times are the clock, like versionAt. Refused when the timestamp
+    * is after the latest commit (Delta's contract — a silent
+    * empty-forever stream would look identical to a broken one). */
+  def versionAtOrAfter(k: String, tsMs: Long): Int = {
+    stateOf(k) // existence (and cold replay) first
+    val dir = logDir(k)
+    val fs = fsOf(dir)
+    val times = fs.listStatus(dir).filter(s => isLogEntry(s.getPath.getName))
+      .sortBy(_.getPath.getName).map(_.getModificationTime)
+    val idx = times.indexWhere(_ >= tsMs)
+    require(idx >= 0,
+      s"graft_lake: no commit of $k at or after timestamp ${tsMs}ms " +
+        s"(latest commit: ${times.lastOption.getOrElse(-1L)}ms); " +
+        "use startingVersion='latest' to tail new commits")
+    idx
+  }
+
   /** Retention gate shared by time travel and incremental reads. A
     * version that is a LIVE REF'S HEAD stays readable below the
     * horizon — VACUUM's keep-set protects exactly those files, so the

@@ -287,6 +287,54 @@ class Round13bOpsSpec extends SparkTestBase {
     assert(spark.table("graft_lake.md4").count() === 8L)
   }
 
+  // ----------------- streaming startingTimestamp
+
+  test("startingTimestamp starts at the earliest commit at or after the instant") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_lake.stts")
+    spark.sql("CREATE TABLE graft_lake.stts (id BIGINT)")
+    import spark.implicits._
+    def append(lo: Long, hi: Long): Unit =
+      (lo until hi).toDF("id").coalesce(1).writeTo("graft_lake.stts").append()
+    append(0, 10) // v1
+    Thread.sleep(30)
+    val cut = System.currentTimeMillis()
+    Thread.sleep(30)
+    append(10, 20) // v2
+    append(20, 30) // v3
+    def drain(opts: Map[String, String], name: String): Seq[Long] = {
+      val root = s"/tmp/graft_stts_$name"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val reader = opts.foldLeft(spark.readStream) { case (r, (k, v)) => r.option(k, v) }
+      val q = reader.table("graft_lake.stts")
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", s"$root/_cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(name).collect().map(_.getLong(0)).sorted.toSeq
+    }
+    // from the cut: v1 predates it, v2+v3 deliver
+    assert(drain(Map("startingTimestamp" -> cut.toString), "stts_cut")
+      === (10L until 30L))
+    // a timestamp after the latest commit is refused loudly (a silent
+    // empty-forever stream would look identical to a broken one)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(Map("startingTimestamp" ->
+        (System.currentTimeMillis() + 60000).toString), "stts_late")
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("at or after timestamp")))
+    // mutually exclusive with startingVersion
+    val e2 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(Map("startingTimestamp" -> cut.toString,
+        "startingVersion" -> "latest"), "stts_both")
+    }
+    assert(causes(e2).exists(c => c.getMessage != null &&
+      c.getMessage.contains("mutually exclusive")))
+  }
+
   test("rewrite_deletes is a no-op below min_sidecars and on clean tables") {
     val key = morTable("rwd2")
     assert(LakeStore.rewriteDeletes(key) === ((0, 0))) // no deletes at all
