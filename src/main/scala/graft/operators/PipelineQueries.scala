@@ -5373,7 +5373,80 @@ object PipelineQueries {
       |SELECT q_id, neighbor_id, cosine, CAST(1 AS BIGINT) AS scan_pruned
       |FROM ranked WHERE rnk = 1 ORDER BY q_id""".stripMargin
 
+  // ---------------------------------------------------------------- p77
+  /** COPY INTO — idempotent file-level ingest (Delta's `COPY INTO`,
+    * `CALL graft_lake.system.copy_into`): load every source file not
+    * yet in the `graft.copyinto.loaded` ledger, where the ledger
+    * update and the rows land in ONE commit — a crash can never ingest
+    * data without recording it, so RE-RUNNING the same COPY INTO after
+    * any failure (or on a schedule against a landing directory) is
+    * always safe. The landing-zone pattern every 100 TB ingest
+    * pipeline runs on: upstream drops files, a cron re-runs COPY INTO,
+    * exactly-once at FILE granularity with a driver-side set lookup
+    * per listed file.
+    *
+    * Inside the hash: three staged slices load once (3 files), the
+    * immediate re-run loads ZERO, a later fourth slice loads exactly
+    * one more, and the final table equals slices 1-4 by aggregate —
+    * restated by the oracle from the corpus. */
+  def p77CopyInto(s: SparkSession, dir: String): DataFrame = {
+    registerLake(s)
+    val key = "graft_lake.landing"
+    s.sql(s"DROP TABLE IF EXISTS $key")
+    s.sql(s"CREATE TABLE $key (doc_id BIGINT, source STRING, n_chars BIGINT)")
+    val src = s"/tmp/graft_copyinto_${graft.Sidecars.tag(dir)}"
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    fs.delete(new org.apache.hadoop.fs.Path(src), true)
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    def stage(name: String, slice: DataFrame): Unit = {
+      val tmp = s"$src/_stage_$name"
+      slice.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+      fs.rename(part, new org.apache.hadoop.fs.Path(s"$src/$name.parquet"))
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+    (0 to 2).foreach(i => stage(s"slice$i", docs.filter(col("doc_id") % 3 === i)))
+    val first = s.sql(
+      s"CALL graft_lake.system.copy_into('landing', '$src')").collect()(0)
+    val rerun = s.sql(
+      s"CALL graft_lake.system.copy_into('landing', '$src')").collect()(0)
+    stage("slice3", docs.filter(col("doc_id") % 7 === 0))
+    val incr = s.sql(
+      s"CALL graft_lake.system.copy_into('landing', '$src')").collect()(0)
+    s.table(key)
+      .agg(count(lit(1)).as("docs_total"),
+        sum(col("n_chars")).cast("bigint").as("chars_total"))
+      .withColumn("first_files", lit(first.getLong(0)))
+      .withColumn("first_rows", lit(first.getLong(1)))
+      .withColumn("rerun_files", lit(rerun.getLong(0)))
+      .withColumn("rerun_rows", lit(rerun.getLong(1)))
+      .withColumn("incr_files", lit(incr.getLong(0)))
+      .withColumn("incr_rows", lit(incr.getLong(1)))
+      .select(col("docs_total"), col("chars_total"), col("first_files"),
+        col("first_rows"), col("rerun_files"), col("rerun_rows"),
+        col("incr_files"), col("incr_rows"))
+  }
+
+  val p77Sql: String =
+    """WITH d AS (SELECT doc_id, n_chars FROM documents),
+      |s7 AS (SELECT COUNT(*) AS n, COALESCE(SUM(n_chars), 0) AS c
+      |       FROM d WHERE doc_id % 7 = 0),
+      |tot AS (SELECT COUNT(*) AS n, SUM(n_chars) AS c FROM d)
+      |SELECT CAST(tot.n + s7.n AS BIGINT) AS docs_total,
+      |  CAST(tot.c + s7.c AS BIGINT) AS chars_total,
+      |  CAST(3 AS BIGINT) AS first_files,
+      |  CAST(tot.n AS BIGINT) AS first_rows,
+      |  CAST(0 AS BIGINT) AS rerun_files,
+      |  CAST(0 AS BIGINT) AS rerun_rows,
+      |  CAST(1 AS BIGINT) AS incr_files,
+      |  CAST(s7.n AS BIGINT) AS incr_rows
+      |FROM tot, s7""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p77_copy_into" -> (p77CopyInto _),
     "p76_ann_lake_pruned" -> (p76AnnLakePruned _),
     "p75_stats_broadcast" -> (p75StatsBroadcast _),
     "p74_metadata_delete" -> (p74MetadataDelete _),
@@ -5453,6 +5526,7 @@ object PipelineQueries {
   // def, not val: p19Sql embeds Sidecars.oracleDir-keyed paths, which
   // Verify pins at runtime before dumping oracle_sql.json
   def oracle: Map[String, String] = Map(
+    "p77_copy_into" -> p77Sql,
     "p76_ann_lake_pruned" -> p76Sql,
     "p75_stats_broadcast" -> p75Sql,
     "p74_metadata_delete" -> p74Sql,

@@ -352,6 +352,44 @@ object GraftLake {
     * it writes get TIGHT zones — the property that turns a post-
     * optimize box predicate into an O(matching files) scan (p38 pins
     * this via [[LakeStore.lastScanStats]] before/after). */
+  /** COPY INTO — idempotent file-level ingest (Delta's `COPY INTO`):
+    * load every source file matching `pattern` that has NOT been
+    * loaded before, where "before" is the `graft.copyinto.loaded`
+    * ledger the ingest commit itself carries — the ledger update and
+    * the rows land in ONE commit ([[LakeStore.nextAppendCopyIds]]), so
+    * a crash can never ingest data without recording it, and re-running
+    * the same COPY INTO after any failure is always safe. File identity
+    * is `name@size`: a re-staged file with new content under the same
+    * name and size is (by the Delta contract) the caller's problem —
+    * use a new name. At 100 TB the ledger costs ~40 bytes per ingested
+    * file and the skip decision is a driver-side set lookup per listed
+    * file; the data path is an ordinary parallel parquet read + lake
+    * append. Returns (files loaded, rows loaded). */
+  def copyInto(s: SparkSession, tableRef: String, srcDir: String,
+      pattern: String = "*.parquet"): (Int, Long) = {
+    val st = LakeStore.get(tableRef).getOrElse(
+      throw new NoSuchTableException(tableRef.split('.').toSeq))
+    val fs = new Path(srcDir).getFileSystem(new Configuration())
+    val files = fs.globStatus(new Path(srcDir, pattern))
+      .filter(_.isFile).sortBy(_.getPath.getName)
+    val loaded = st.props.get(LakeStore.CopyLedgerProp)
+      .map(_.split(",").filter(_.nonEmpty).toSet).getOrElse(Set.empty[String])
+    def fid(f: org.apache.hadoop.fs.FileStatus): String =
+      s"${f.getPath.getName}@${f.getLen}"
+    val fresh = files.filterNot(f => loaded(fid(f)))
+    if (fresh.isEmpty) return (0, 0L)
+    val df = s.read.parquet(fresh.map(_.getPath.toString).toIndexedSeq: _*)
+      .select(st.schema.fieldNames.map(org.apache.spark.sql.functions.col(_)).toIndexedSeq: _*)
+    LakeStore.nextAppendCopyIds.update(tableRef, fresh.map(fid).toSeq)
+    try df.writeTo(tableRef).append()
+    finally LakeStore.nextAppendCopyIds.remove(tableRef)
+    val st2 = LakeStore.get(tableRef).get
+    val snap = st2.snapshots(st2.latestVersion)
+    val prev = st2.snapshots(snap.parent).files.map(_.path).toSet
+    (fresh.length,
+      snap.files.filterNot(f => prev.contains(f.path)).map(_.rows).sum)
+  }
+
   def optimize(s: SparkSession, tableRef: String, clusterCol: String,
       nFiles: Int): Unit =
     optimize(s, tableRef, Seq(clusterCol), nFiles)
@@ -2028,7 +2066,8 @@ class LakeMicroBatchStream(key: String, required: StructType,
     val snap = st.snapshots(v)
     if (!snap.dataChange || snap.ref != "main") (0, 0L)
     else if (skipChangeCommits &&
-        snap.action != "append" && snap.action != "clone") (0, 0L)
+        snap.action != "append" && snap.action != "clone" &&
+        snap.action != "copyinto") (0, 0L)
     else {
       val prevPaths = st.snapshots(
         if (snap.parent >= 0) snap.parent else v - 1).files.map(_.path).toSet
@@ -2078,7 +2117,8 @@ class LakeMicroBatchStream(key: String, required: StructType,
       // branch commits are not main's rows (they surface at PUBLISH);
       // layout/metadata commits deliver nothing
       if (!snap.dataChange || snap.ref != "main") Nil
-      else if (snap.action == "append" || snap.action == "clone") {
+      else if (snap.action == "append" || snap.action == "clone" ||
+          snap.action == "copyinto") {
         val prevPaths = st.snapshots(
           if (snap.parent >= 0) snap.parent else v - 1).files.map(_.path).toSet
         snap.files.filterNot(f => prevPaths.contains(f.path)).map(f =>

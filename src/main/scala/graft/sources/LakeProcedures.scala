@@ -29,8 +29,9 @@ import org.apache.spark.unsafe.types.UTF8String
 object LakeProcedures {
 
   val Names: Seq[String] = Seq(
-    "optimize", "compact", "rewrite_deletes", "vacuum", "restore", "clone",
-    "set_partition_spec", "create_branch", "create_tag", "publish", "drop_ref")
+    "optimize", "compact", "rewrite_deletes", "copy_into", "vacuum", "restore",
+    "clone", "set_partition_spec", "create_branch", "create_tag", "publish",
+    "drop_ref")
 
   def identifiers(namespace: Array[String]): Array[Identifier] =
     Names.map(n => Identifier.of(Array("system"), n)).toArray
@@ -131,6 +132,19 @@ object LakeProcedures {
           LakeStore.rewriteDeletes(k, input.getInt(1))
         row(files.toLong, removedSidecars.toLong,
           LakeStore.get(k).map(_.deletes.length.toLong).getOrElse(0L))
+      }),
+
+    "copy_into" -> Proc("copy_into",
+      Array(in("tbl", StringType), in("src_dir", StringType),
+        inDefault("pattern", StringType, "'*.parquet'")),
+      StructType(Seq(
+        StructField("files_loaded", LongType, nullable = false),
+        StructField("rows_loaded", LongType, nullable = false))),
+      (catalog, input) => {
+        val k = key(catalog, input.getUTF8String(0).toString)
+        val (nf, nr) = GraftLake.copyInto(SparkSession.active, k,
+          input.getUTF8String(1).toString, input.getUTF8String(2).toString)
+        row(nf.toLong, nr)
       }),
 
     "vacuum" -> Proc("vacuum",

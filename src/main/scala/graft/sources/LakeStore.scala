@@ -576,15 +576,33 @@ object LakeStore {
 
   /** Append commit: the new files join the live set; commit metadata
     * records the appended files' groups. */
+  /** COPY INTO's ingest ledger (set by [[graft.sources.GraftLake
+    * .copyInto]] immediately before its append, consumed by the SAME
+    * commit): the loaded source-file identities fold into the
+    * `graft.copyinto.loaded` table property ATOMICALLY with the rows —
+    * a crash can never land data without its ledger entry (the
+    * re-run-duplicates failure COPY INTO exists to prevent). */
+  private[sources] val nextAppendCopyIds = TrieMap.empty[String, Seq[String]]
+  val CopyLedgerProp = "graft.copyinto.loaded"
+
   def append(k: String, files: Seq[FileEntry],
       txn: Option[Txn] = None): Unit = synchronized {
     onNextCommit.remove(k).foreach(_.apply())
     val st = stateOf(k)
     txn.foreach(checkConflicts(k, st, _))
     val stamped = files.map(_.copy(era = st.specEra, seq = st.latestVersion + 1))
-    commit(k, st, "append", st.current ++ stamped, stamped,
+    val copyIds = nextAppendCopyIds.remove(k)
+    val props = copyIds match {
+      case None => null // carry forward
+      case Some(ids) =>
+        val prior = st.props.get(CopyLedgerProp)
+          .map(_.split(",").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+        st.props.updated(CopyLedgerProp, (prior ++ ids).toSeq.sorted.mkString(","))
+    }
+    commit(k, st, if (copyIds.isDefined) "copyinto" else "append",
+      st.current ++ stamped, stamped,
       removed = Nil, commitGroups = Some(stamped.map(_.group).toSet),
-      dataChange = true, schema = st.schema)
+      dataChange = true, schema = st.schema, props = props)
   }
 
   /** KEYED UPSERT as one append-only commit (Iceberg's equality-delete

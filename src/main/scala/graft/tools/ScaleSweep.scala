@@ -206,7 +206,8 @@ object ScaleSweep {
       "p73_rewrite_deletes" -> "position-delete sidecar compaction (layout-only)",
       "p74_metadata_delete" -> "metadata-only partition DELETE (manifest file drop)",
       "p75_stats_broadcast" -> "stats-driven broadcast (manifest-reported join sizing)",
-      "p76_ann_lake_pruned" -> "ANN over cell-partitioned lake (probe = partition pruning)")
+      "p76_ann_lake_pruned" -> "ANN over cell-partitioned lake (probe = partition pruning)",
+      "p77_copy_into" -> "COPY INTO idempotent file ingest (one-commit ledger)")
 
     // warm the JVM/codegen on the smallest sf so cold-start lands nowhere
     queries.foreach { case (q, _) =>

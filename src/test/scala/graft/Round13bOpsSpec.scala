@@ -287,6 +287,50 @@ class Round13bOpsSpec extends SparkTestBase {
     assert(spark.table("graft_lake.md4").count() === 8L)
   }
 
+  // ----------------- COPY INTO ledger atomicity (p77)
+
+  test("copy_into: a failed ingest records nothing; the retry loads it all") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft_lake.cpin")
+    spark.sql("""CREATE TABLE graft_lake.cpin (id BIGINT, v BIGINT)
+                |TBLPROPERTIES ('graft.constraints.nonneg' = 'v >= 0')""".stripMargin)
+    import spark.implicits._
+    val src = "/tmp/graft_cpin_spec"
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    fs.delete(new org.apache.hadoop.fs.Path(src), true)
+    def stage(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = s"$src/_t_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+      fs.rename(part, new org.apache.hadoop.fs.Path(s"$src/$name.parquet"))
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+    stage("bad", (0L until 5L).map(i => (i, -1L)).toDF("id", "v")) // violates CHECK
+    // the ingest job FAILS on the constraint — and the ledger must not
+    // have recorded the file (ledger and rows are one commit)
+    intercept[Exception] {
+      GraftLake.copyInto(spark, "graft_lake.cpin", src)
+    }
+    val st0 = LakeStore.get("graft_lake.cpin").get
+    assert(!st0.props.contains(LakeStore.CopyLedgerProp),
+      "aborted ingest must not mark its files loaded")
+    assert(spark.table("graft_lake.cpin").count() === 0L)
+    // replace the bad file (new name — file identity is name@size) and
+    // retry: everything loads exactly once
+    fs.delete(new org.apache.hadoop.fs.Path(s"$src/bad.parquet"), false)
+    stage("good", (0L until 5L).map(i => (i, i)).toDF("id", "v"))
+    assert(GraftLake.copyInto(spark, "graft_lake.cpin", src) === ((1, 5L)))
+    assert(GraftLake.copyInto(spark, "graft_lake.cpin", src) === ((0, 0L)))
+    assert(spark.table("graft_lake.cpin").count() === 5L)
+    // the ledger survives unrelated commits (props carry forward)
+    (5L until 8L).map(i => (i, i)).toDF("id", "v")
+      .writeTo("graft_lake.cpin").append()
+    assert(GraftLake.copyInto(spark, "graft_lake.cpin", src) === ((0, 0L)))
+    assert(spark.table("graft_lake.cpin").count() === 8L)
+  }
+
   // ----------------- streaming startingTimestamp
 
   test("startingTimestamp starts at the earliest commit at or after the instant") {
