@@ -370,7 +370,9 @@ object GraftLake {
     val st = LakeStore.get(tableRef).getOrElse(
       throw new NoSuchTableException(tableRef.split('.').toSeq))
     val fs = new Path(srcDir).getFileSystem(new Configuration())
-    val files = fs.globStatus(new Path(srcDir, pattern))
+    // globStatus returns NULL (not empty) for a nonexistent directory
+    val files = Option(fs.globStatus(new Path(srcDir, pattern)))
+      .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
       .filter(_.isFile).sortBy(_.getPath.getName)
     val loaded = st.props.get(LakeStore.CopyLedgerProp)
       .map(_.split(",").filter(_.nonEmpty).toSet).getOrElse(Set.empty[String])
