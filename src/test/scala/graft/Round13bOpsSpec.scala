@@ -15,7 +15,15 @@ import graft.sources.{GraftLake, LakeNdv, LakeStore}
   *    `ColumnStatistics.distinctCount`, shrunk by pushed filters;
   *  - `rewrite_deletes` folds a file's sidecars into one, preserves
   *    visible rows, single-sidecar and untouched files, time travel,
-  *    and CDC invisibility, and composes with later MoR deletes. */
+  *    and CDC invisibility, and composes with later MoR deletes.
+  *
+  * MUTATION-CHECKED (round 13): three reverts each fail exactly their
+  * pinning tests — (M1) `metadataDeleteMatcher` forced to None fails
+  * the two metadata-DELETE-lands tests (and ONLY those; the refusal
+  * test stays green), (M2) dropping the COPY INTO ledger fold from
+  * `LakeStore.append` fails the ledger-atomicity test (the rerun
+  * re-loads), (M3) trimming the exact-sketch union to K in
+  * `LakeNdv.mergedNdv` fails the exact-merge-above-K contract. */
 class Round13bOpsSpec extends SparkTestBase {
 
   private def registerCatalog(): Unit =
