@@ -5445,7 +5445,102 @@ object PipelineQueries {
       |  CAST(s7.n AS BIGINT) AS incr_rows
       |FROM tot, s7""".stripMargin
 
+  // ---------------------------------------------------------------- p78
+  /** CBO JOIN REORDERING FROM MANIFEST NDV — the payoff p72's sketches
+    * exist for (Iceberg feeds theta-sketch NDVs to Spark's CBO for
+    * exactly this): a 3-table join written in a BAD syntactic order is
+    * REORDERED by `CostBasedJoinReorder` only when the scans report
+    * per-column distinctCount. The trap is a row-count mirage: dimA is
+    * TINY (10 rows) so every size-only heuristic joins it first — but
+    * its key has NDV=1 (every row matches every fact row: a 10x
+    * fan-out), while dimB is 4x larger yet joins on a high-NDV key
+    * that CONTRACTS the fact side. Only equi-join cardinality
+    * estimation — |L⋈R| = |L||R|/max(ndv) — sees through the mirage,
+    * and its NDV comes straight from the write-time manifest
+    * ([[graft.sources.LakeScan.estimateStatistics]]: rows, zones, KMV
+    * sketches — no ANALYZE scan). At 100 TB the reorder is the
+    * difference between shuffling a 10x-exploded intermediate and
+    * never materializing it.
+    *
+    * The audit runs the SAME query against twin table sets — one with
+    * `graft.ndv.columns` sketches, one without — under identical CBO
+    * confs, and pins BOTH optimized-plan leaf orders in the hash: with
+    * NDV the contracting dim leads; without NDV the estimator has no
+    * cardinalities, falls back to size, and the exploding syntactic
+    * order survives. Correctness rides along: both plans' aggregates
+    * equal DuckDB's. */
+  def p78CboJoinReorder(s: SparkSession, dir: String): DataFrame = {
+    registerLake(s)
+    def buildTables(suffix: String, withNdv: Boolean): (String, String, String) = {
+      val (f, da, db) = (s"graft_lake.cbofact$suffix",
+        s"graft_lake.cbodima$suffix", s"graft_lake.cbodimb$suffix")
+      def ndvProp(cols: String): String =
+        if (withNdv) s" TBLPROPERTIES ('graft.ndv.columns' = '$cols')" else ""
+      Seq(f, da, db).foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      s.sql(s"CREATE TABLE $f (doc_id BIGINT, ka INT, kb INT)" + ndvProp("ka,kb"))
+      s.sql(s"CREATE TABLE $da (ka_d INT, wa BIGINT)" + ndvProp("ka_d"))
+      s.sql(s"CREATE TABLE $db (kb_d INT, wb BIGINT)" + ndvProp("kb_d"))
+      Tables.documents(s, dir).select(col("doc_id"),
+          lit(0).cast("int").as("ka"), // NDV 1: the fan-out key
+          (col("doc_id") % 100).cast("int").as("kb"))
+        .repartition(2).writeTo(f).append()
+      // 10 rows, ALL key 0: every fact row matches all ten (10x fan-out)
+      s.range(0, 10).select(lit(0).cast("int").as("ka_d"),
+        (col("id") * 3).as("wa")).coalesce(1).writeTo(da).append()
+      // 4x larger than dimA, but contracts: 5 of fact.kb's 100 values
+      s.range(0, 40).select((col("id") % 5).cast("int").as("kb_d"),
+        (col("id") * 7).as("wb")).coalesce(1).writeTo(db).append()
+      (f, da, db)
+    }
+    def leafOrder(df: DataFrame): String =
+      df.queryExecution.optimizedPlan.collectLeaves().collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.relation.table.name().split('.').last.replaceAll("(_ndv|_raw)$", "")
+      }.mkString(">")
+    def run(suffix: String, withNdv: Boolean): (String, org.apache.spark.sql.Row) = {
+      val (f, da, db) = buildTables(suffix, withNdv)
+      // bad syntactic order: the 200-row dim joins before the selective one
+      val q = s.table(f)
+        .join(s.table(da), col("ka") === col("ka_d"))
+        .join(s.table(db), col("kb") === col("kb_d"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("sum_ids"),
+          sum(col("wa") + col("wb")).as("sum_w"))
+      (leafOrder(q), q.collect()(0))
+    }
+    val saved = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled",
+      "spark.sql.adaptive.enabled").map(k => k -> s.conf.getOption(k))
+    try {
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      s.conf.set("spark.sql.adaptive.enabled", "false") // static decision only
+      val (orderNdv, r) = run("_ndv", withNdv = true)
+      val (orderRaw, r2) = run("_raw", withNdv = false)
+      import s.implicits._
+      Seq((r.getLong(0), r.getLong(1), r.getLong(2),
+          if (orderNdv == "cbofact>cbodimb>cbodima") 1L else 0L,
+          if (orderRaw == "cbofact>cbodima>cbodimb") 1L else 0L,
+          if (r == r2) 1L else 0L))
+        .toDF("n_rows", "sum_ids", "sum_w", "ndv_reordered_selective_first",
+          "raw_kept_syntactic_order", "orders_agree")
+    } finally saved.foreach { case (k, vOpt) =>
+      vOpt.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+  }
+
+  val p78Sql: String =
+    """WITH f AS (SELECT doc_id, 0 AS ka, doc_id % 100 AS kb
+      |           FROM documents),
+      |da AS (SELECT 0 AS ka_d, 3 * i AS wa FROM generate_series(0, 9) t(i)),
+      |db AS (SELECT i % 5 AS kb_d, 7 * i AS wb FROM generate_series(0, 39) t(i))
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+      |  CAST(SUM(wa + wb) AS BIGINT) AS sum_w,
+      |  CAST(1 AS BIGINT) AS ndv_reordered_selective_first,
+      |  CAST(1 AS BIGINT) AS raw_kept_syntactic_order,
+      |  CAST(1 AS BIGINT) AS orders_agree
+      |FROM f JOIN da ON ka = ka_d JOIN db ON kb = kb_d""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p78_cbo_join_reorder" -> (p78CboJoinReorder _),
     "p77_copy_into" -> (p77CopyInto _),
     "p76_ann_lake_pruned" -> (p76AnnLakePruned _),
     "p75_stats_broadcast" -> (p75StatsBroadcast _),
@@ -5526,6 +5621,7 @@ object PipelineQueries {
   // def, not val: p19Sql embeds Sidecars.oracleDir-keyed paths, which
   // Verify pins at runtime before dumping oracle_sql.json
   def oracle: Map[String, String] = Map(
+    "p78_cbo_join_reorder" -> p78Sql,
     "p77_copy_into" -> p77Sql,
     "p76_ann_lake_pruned" -> p76Sql,
     "p75_stats_broadcast" -> p75Sql,

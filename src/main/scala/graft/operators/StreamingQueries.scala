@@ -1335,7 +1335,131 @@ object StreamingQueries {
       |FROM documents
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** STREAMING ACROSS SCHEMA EVOLUTION — Delta's contract for a table
+    * that takes an `ALTER TABLE ADD COLUMN` while a stream is RUNNING:
+    * the stream fails LOUDLY at exactly the evolution commit (silently
+    * continuing would drop the new column's data from every batch with
+    * no trace), the failure is lossless (the offset did not advance,
+    * so nothing is skipped or doubled), and a RESTART — which re-reads
+    * the table's now-current schema — resumes from the checkpoint and
+    * delivers exactly the commits after it. `mergeSchema=true` is the
+    * opt-in to continue under the stream's own schema until a restart.
+    * The operational hit every long-running 100 TB ingest eventually
+    * takes; the guard is [[graft.sources.LakeMicroBatchStream
+    * .requireSchemaCompatible]].
+    *
+    * Inside the hash: rows delivered before the evolution, the loud
+    * failure AND its exact commit boundary, the resumed drain
+    * delivering ONLY the post-evolution append (no loss, no replay)
+    * with the new column populated, and the mergeSchema twin stream
+    * sailing through the same history uninterrupted. */
+  def st21StreamSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    if (!s.conf.getOption("spark.sql.catalog.graft_lake").contains(
+        classOf[graft.sources.GraftLakeCatalog].getName))
+      s.conf.set("spark.sql.catalog.graft_lake",
+        classOf[graft.sources.GraftLakeCatalog].getName)
+    val root = s"/tmp/graft_stream_${Sidecars.tag(dir)}/st21"
+    deleteRecursively(java.nio.file.Paths.get(root))
+    val docs = graft.Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+    def build(key: String): Unit = {
+      s.sql(s"DROP TABLE IF EXISTS graft_lake.$key")
+      s.sql(s"CREATE TABLE graft_lake.$key (doc_id BIGINT, n_chars BIGINT)")
+      (0 to 1).foreach(m => docs.filter(col("doc_id") % 3 === m)
+        .writeTo(s"graft_lake.$key").append()) // v1, v2
+    }
+    def evolve(key: String): Unit = {
+      s.sql(s"ALTER TABLE graft_lake.$key ADD COLUMN lang STRING") // v3
+      docs.filter(col("doc_id") % 3 === 2).withColumn("lang", lit("en"))
+        .writeTo(s"graft_lake.$key").append() // v4
+    }
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    def sink(b: org.apache.spark.sql.Dataset[Row]): Unit = {
+      val r = b.agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L))).collect()(0)
+      if (r.getLong(0) > 0) buf.add((r.getLong(0), r.getLong(1)))
+    }
+    // ---- default contract: a running stream dies AT the alter commit
+    build("sev_src")
+    val q1 = s.readStream.table("graft_lake.sev_src")
+      .writeStream
+      .foreachBatch((b: org.apache.spark.sql.Dataset[Row], _: Long) => sink(b))
+      .option("checkpointLocation", s"$root/cp1")
+      .start()
+    q1.processAllAvailable() // v1 + v2 delivered, offset committed
+    val phase1 = buf.iterator() // snapshot: (rows, sum) per batch so far
+    var (p1Rows, p1Sum) = (0L, 0L)
+    while (phase1.hasNext) { val (n, sm) = phase1.next(); p1Rows += n; p1Sum += sm }
+    evolve("sev_src") // v3 = ALTER while the stream runs, v4 = new-col append
+    val failMsg =
+      try { q1.processAllAvailable(); "" }
+      catch { case e: Throwable =>
+        def causes(t: Throwable): Seq[Throwable] =
+          if (t == null) Nil else t +: causes(t.getCause)
+        causes(e).map(c => Option(c.getMessage).getOrElse(""))
+          .find(_.contains("evolved at commit")).getOrElse("")
+      } finally if (q1.isActive) q1.stop()
+    val failedAtAlter = if (failMsg.nonEmpty) 1L else 0L
+    val failedAtBoundary = if (failMsg.contains("evolved at commit 3")) 1L else 0L
+    // ---- restart: the new stream reads the evolved schema and resumes
+    // from the SAME checkpoint — exactly the post-alter commits deliver
+    buf.clear()
+    val resumedLang = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q2 = s.readStream.table("graft_lake.sev_src")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        sink(b)
+        resumedLang.addAndGet(b.filter(col("lang") === "en").count())
+        ()
+      }
+      .option("checkpointLocation", s"$root/cp1")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    var (rRows, rSum) = (0L, 0L)
+    val it2 = buf.iterator()
+    while (it2.hasNext) { val (n, sm) = it2.next(); rRows += n; rSum += sm }
+    // ---- mergeSchema=true: the twin stream crosses the same history live
+    build("sev_m")
+    buf.clear()
+    val q3 = s.readStream.option("mergeSchema", "true")
+      .table("graft_lake.sev_m")
+      .writeStream
+      .foreachBatch((b: org.apache.spark.sql.Dataset[Row], _: Long) => sink(b))
+      .option("checkpointLocation", s"$root/cp3")
+      .start()
+    q3.processAllAvailable()
+    evolve("sev_m")
+    val merged =
+      try { q3.processAllAvailable(); 1L } catch { case _: Throwable => 0L }
+      finally if (q3.isActive) q3.stop()
+    var (mRows, mSum) = (0L, 0L)
+    val it3 = buf.iterator()
+    while (it3.hasNext) { val (n, sm) = it3.next(); mRows += n; mSum += sm }
+    import s.implicits._
+    Seq((p1Rows, p1Sum, failedAtAlter, failedAtBoundary, rRows, rSum,
+      resumedLang.get(), mRows, mSum, merged))
+      .toDF("phase1_rows", "phase1_sum_ids", "failed_at_alter",
+        "failed_at_commit3", "resumed_rows", "resumed_sum_ids",
+        "resumed_lang_rows", "merge_rows", "merge_sum_ids",
+        "merge_survived")
+  }
+
+  val st21Sql: String =
+    """WITH ab AS (SELECT doc_id FROM documents WHERE doc_id % 3 < 2),
+      |c AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2)
+      |SELECT
+      |  (SELECT COUNT(*) FROM ab) AS phase1_rows,
+      |  (SELECT CAST(SUM(doc_id) AS BIGINT) FROM ab) AS phase1_sum_ids,
+      |  CAST(1 AS BIGINT) AS failed_at_alter,
+      |  CAST(1 AS BIGINT) AS failed_at_commit3,
+      |  (SELECT COUNT(*) FROM c) AS resumed_rows,
+      |  (SELECT CAST(SUM(doc_id) AS BIGINT) FROM c) AS resumed_sum_ids,
+      |  (SELECT COUNT(*) FROM c) AS resumed_lang_rows,
+      |  (SELECT COUNT(*) FROM documents) AS merge_rows,
+      |  (SELECT CAST(SUM(doc_id) AS BIGINT) FROM documents) AS merge_sum_ids,
+      |  CAST(1 AS BIGINT) AS merge_survived""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st21_stream_schema_evolution" -> (st21StreamSchemaEvolution _),
     "st20_skip_change_commits" -> (st20SkipChangeCommits _),
     "st19_stream_rate_limit" -> (st19StreamRateLimit _),
     "st18_cdc_replication" -> (st18CdcReplication _),
@@ -1358,6 +1482,7 @@ object StreamingQueries {
     "st05_stream_filter" -> (st05StreamFilter _))
 
   val oracle: Map[String, String] = Map(
+    "st21_stream_schema_evolution" -> st21Sql,
     "st20_skip_change_commits" -> st20Sql,
     "st19_stream_rate_limit" -> st19Sql,
     "st18_cdc_replication" -> st18Sql,

@@ -354,17 +354,21 @@ object GraftLake {
     * this via [[LakeStore.lastScanStats]] before/after). */
   /** COPY INTO — idempotent file-level ingest (Delta's `COPY INTO`):
     * load every source file matching `pattern` that has NOT been
-    * loaded before, where "before" is the `graft.copyinto.loaded`
-    * ledger the ingest commit itself carries — the ledger update and
-    * the rows land in ONE commit ([[LakeStore.nextAppendCopyIds]]), so
-    * a crash can never ingest data without recording it, and re-running
-    * the same COPY INTO after any failure is always safe. File identity
-    * is `name@size`: a re-staged file with new content under the same
-    * name and size is (by the Delta contract) the caller's problem —
-    * use a new name. At 100 TB the ledger costs ~40 bytes per ingested
-    * file and the skip decision is a driver-side set lookup per listed
-    * file; the data path is an ordinary parallel parquet read + lake
-    * append. Returns (files loaded, rows loaded). */
+    * loaded before, where "before" is the table's ingest ledger — the
+    * union of the per-commit `copyIds` sections every prior ingest
+    * commit carries ([[LakeStore.TableState.copyLedger]]). The ledger
+    * entry and the rows land in ONE commit ([[LakeStore
+    * .pendingCopyIds]], a same-thread token — a concurrent plain
+    * append can never consume it), so a crash can never ingest data
+    * without recording it, and re-running the same COPY INTO after any
+    * failure is always safe. File identity is `name@size`: a re-staged
+    * file with new content under the same name and size is (by the
+    * Delta contract) the caller's problem — use a new name. At 100 TB
+    * each ingest commit's log entry costs O(files in THAT ingest) —
+    * commit-log growth is flat in ingest history, not O(all files ever
+    * loaded) — and the skip decision is a driver-side set lookup per
+    * listed file; the data path is an ordinary parallel parquet read +
+    * lake append. Returns (files loaded, rows loaded). */
   def copyInto(s: SparkSession, tableRef: String, srcDir: String,
       pattern: String = "*.parquet"): (Int, Long) = {
     val st = LakeStore.get(tableRef).getOrElse(
@@ -374,17 +378,16 @@ object GraftLake {
     val files = Option(fs.globStatus(new Path(srcDir, pattern)))
       .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
       .filter(_.isFile).sortBy(_.getPath.getName)
-    val loaded = st.props.get(LakeStore.CopyLedgerProp)
-      .map(_.split(",").filter(_.nonEmpty).toSet).getOrElse(Set.empty[String])
+    val loaded = st.copyLedger
     def fid(f: org.apache.hadoop.fs.FileStatus): String =
       s"${f.getPath.getName}@${f.getLen}"
     val fresh = files.filterNot(f => loaded(fid(f)))
     if (fresh.isEmpty) return (0, 0L)
     val df = s.read.parquet(fresh.map(_.getPath.toString).toIndexedSeq: _*)
       .select(st.schema.fieldNames.map(org.apache.spark.sql.functions.col(_)).toIndexedSeq: _*)
-    LakeStore.nextAppendCopyIds.update(tableRef, fresh.map(fid).toSeq)
+    LakeStore.pendingCopyIds.set((tableRef, fresh.map(fid).toSeq))
     try df.writeTo(tableRef).append()
-    finally LakeStore.nextAppendCopyIds.remove(tableRef)
+    finally LakeStore.pendingCopyIds.remove()
     val st2 = LakeStore.get(tableRef).get
     val snap = st2.snapshots(st2.latestVersion)
     val prev = st2.snapshots(snap.parent).files.map(_.path).toSet
@@ -1502,7 +1505,9 @@ class LakeScanBuilder(key: String, schema: StructType, pinnedVersion: Option[Int
       streamStartVersion = Option(options.get("startingVersion")),
       streamSkipChangeCommits =
         Option(options.get("skipChangeCommits")).exists(_.toBoolean),
-      streamStartTimestamp = Option(options.get("startingTimestamp")))
+      streamStartTimestamp = Option(options.get("startingTimestamp")),
+      streamMergeSchema =
+        Option(options.get("mergeSchema")).exists(_.toBoolean))
   }
 }
 
@@ -1565,7 +1570,8 @@ class LakeScan(key: String, schema: StructType,
     streamMaxBytes: Option[Long] = None,
     streamStartVersion: Option[String] = None,
     streamSkipChangeCommits: Boolean = false,
-    streamStartTimestamp: Option[String] = None) extends Scan with Batch
+    streamStartTimestamp: Option[String] = None,
+    streamMergeSchema: Boolean = false) extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
@@ -1625,6 +1631,17 @@ class LakeScan(key: String, schema: StructType,
         if (surviving.nonEmpty && sketches.length == surviving.length)
           Some(LakeNdv.mergedNdv(sketches)._1)
         else None
+      // NULL counts from the manifest (Iceberg's null_value_counts),
+      // reported only when every surviving file recorded one — Catalyst
+      // REQUIRES nullCount next to distinctCount before its join
+      // estimator will consume either (JoinEstimation's
+      // columnStatsWithCountsExist gate): without it, a 3-table reorder
+      // silently degrades to size-product costs and NDV goes unread
+      val nullsOpt: Option[Long] = {
+        val ns = surviving.flatMap(_.nulls.get(phys))
+        if (surviving.nonEmpty && ns.length == surviving.length) Some(ns.sum)
+        else None
+      }
       if (zs.nonEmpty || ndvOpt.isDefined) {
         val mnOpt = if (zs.isEmpty) None else Some(zs.map(_._1).reduce((a, b) =>
           if (ZonePrune.cmp(a, b).exists(_ <= 0)) a else b))
@@ -1641,6 +1658,9 @@ class LakeScan(key: String, schema: StructType,
                 java.util.Optional.of(v.asInstanceOf[Object]))
             override def distinctCount(): java.util.OptionalLong =
               ndvOpt.fold(java.util.OptionalLong.empty())(
+                java.util.OptionalLong.of)
+            override def nullCount(): java.util.OptionalLong =
+              nullsOpt.fold(java.util.OptionalLong.empty())(
                 java.util.OptionalLong.of)
           })
       }
@@ -1946,7 +1966,8 @@ class LakeScan(key: String, schema: StructType,
       "graft_lake: cannot stream from a time-travel view")
     new LakeMicroBatchStream(key, readCols, physNames, streamMaxFiles,
       streamMaxBytes, streamStartVersion, streamSkipChangeCommits,
-      streamStartTimestamp)
+      streamStartTimestamp, tableSchema = schema,
+      mergeSchema = streamMergeSchema)
   }
 }
 
@@ -1970,7 +1991,9 @@ class LakeMicroBatchStream(key: String, required: StructType,
     maxBytesPerTrigger: Option[Long] = None,
     startingVersion: Option[String] = None,
     skipChangeCommits: Boolean = false,
-    startingTimestamp: Option[String] = None)
+    startingTimestamp: Option[String] = None,
+    tableSchema: StructType = null,
+    mergeSchema: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset => V2Offset,
@@ -2107,6 +2130,35 @@ class LakeMicroBatchStream(key: String, required: StructType,
     VersionOffset(v)
   }
 
+  /** SCHEMA EVOLUTION across a RUNNING stream (Delta's contract): an
+    * ALTER commit whose schema carries a column this stream does not
+    * know fails the stream LOUDLY at exactly that commit — silently
+    * continuing would drop the new column's data from every subsequent
+    * batch with no trace. The failure is lossless: the offset did not
+    * advance, and a RESTART (which re-reads the table's now-current
+    * schema) resumes from the checkpoint with the evolved schema —
+    * Delta's restart semantics. `mergeSchema=true` is the documented
+    * opt-in to continue under the stream's own schema (the added
+    * column stays invisible until a restart). Alters the stream's
+    * schema already covers — every historical ALTER a fresh stream
+    * replays over, and the very ALTER a restarted stream re-crosses —
+    * pass: files written under a narrower schema null-pad, the
+    * standing lake read contract. */
+  private def requireSchemaCompatible(snap: LakeStore.Snapshot, v: Int): Unit = {
+    if (snap.action != "alter" || mergeSchema || tableSchema == null) return
+    val known = tableSchema.fields.iterator
+      .map(f => (f.name, f.dataType)).toSet
+    val novel = snap.schema.fields.filterNot(f => known((f.name, f.dataType)))
+    if (novel.nonEmpty) throw new UnsupportedOperationException(
+      s"graft_lake: schema of $key evolved at commit $v — " +
+        s"column(s) ${novel.map(f => s"${f.name} ${f.dataType.simpleString}")
+          .mkString(", ")} were added after this stream started, and " +
+        "delivering under the stream's schema would silently drop them. " +
+        "Restart the stream to adopt the new schema (it resumes from the " +
+        "checkpoint), or set mergeSchema=true to continue under the " +
+        "current schema until a restart")
+  }
+
   override def planInputPartitions(start: V2Offset, end: V2Offset): Array[InputPartition] = {
     val st = state
     val (s0, e0) = (versionOf(start), versionOf(end))
@@ -2116,6 +2168,7 @@ class LakeMicroBatchStream(key: String, required: StructType,
     if (s0 + 1 <= e0) LakeStore.requireReadable(key, s0 + 1)
     val chunks = ((s0 + 1) to e0).flatMap { v =>
       val snap = st.snapshots(v)
+      if (snap.ref == "main") requireSchemaCompatible(snap, v)
       // branch commits are not main's rows (they surface at PUBLISH);
       // layout/metadata commits deliver nothing
       if (!snap.dataChange || snap.ref != "main") Nil

@@ -131,10 +131,27 @@ object LakeStore {
       deletes: Vector[DeleteEntry] = Vector.empty,
       spec: Seq[String] = Nil, specEra: Int = 0,
       ref: String = "main", parent: Int = -1,
-      eqDeletes: Vector[EqDelete] = Vector.empty)
+      eqDeletes: Vector[EqDelete] = Vector.empty,
+      // source-file ids THIS commit ingested via COPY INTO (Delta's
+      // per-commit provenance shape): the ledger lives in the commits
+      // that did the ingesting, so a commit's log entry costs
+      // O(files-in-THIS-commit) — never the O(all-files-ever-loaded)
+      // a props-carried ledger re-serializes into every snapshot
+      copyIds: Seq[String] = Nil)
 
   final case class TableState(key: String,
       snapshots: Vector[Snapshot], earliest: Int = 0) {
+    /** Every source-file id COPY INTO has EVER ingested into this
+      * table — the skip-set an ingest checks listed files against.
+      * Folded lazily from the per-commit `copyIds` ledger sections
+      * (plus the legacy `graft.copyinto.loaded` prop of pre-round-14
+      * logs), computed at most once per table version and only when a
+      * COPY INTO actually runs: ordinary commits never touch it. Ever-
+      * ingested (not live-state) by design — a RESTORE must not make a
+      * re-run re-ingest files whose rows it deliberately rolled back. */
+    lazy val copyLedger: Set[String] = snapshots.iterator.flatMap(s =>
+      s.copyIds.iterator ++ s.props.get(CopyLedgerProp).iterator
+        .flatMap(_.split(",").iterator.filter(_.nonEmpty))).toSet
     /** Log index of `ref`'s HEAD — the last snapshot committed to it (a
       * branch/tag creation snapshot counts: it IS the ref's initial
       * state, a copy of its base). -1 = no such ref. Branch commits
@@ -434,10 +451,12 @@ object LakeStore {
   val onNextCommit = TrieMap.empty[String, () => Unit]
 
   /** Table properties that are TRANSACTION BOOKKEEPING, not metadata:
-    * streaming-epoch high-water marks move on every sink commit and
-    * must not fail unrelated writers' metadata check. */
+    * streaming-epoch high-water marks move on every sink commit, and
+    * the legacy COPY INTO ledger prop is retired by the next ingest —
+    * neither must fail unrelated writers' metadata check. */
   private def metaProps(p: Map[String, String]): Map[String, String] =
-    p.filterNot(_._1.startsWith("graft.stream.epoch."))
+    p.filterNot(kv => kv._1.startsWith("graft.stream.epoch.") ||
+      kv._1 == CopyLedgerProp)
 
   /** The ConflictChecker: compares the read snapshot against the
     * current one (metadata), then classifies every intervening DATA
@@ -574,35 +593,49 @@ object LakeStore {
     existed || onDisk
   }
 
-  /** Append commit: the new files join the live set; commit metadata
-    * records the appended files' groups. */
-  /** COPY INTO's ingest ledger (set by [[graft.sources.GraftLake
+  /** COPY INTO's ingest handoff (set by [[graft.sources.GraftLake
     * .copyInto]] immediately before its append, consumed by the SAME
-    * commit): the loaded source-file identities fold into the
-    * `graft.copyinto.loaded` table property ATOMICALLY with the rows —
-    * a crash can never land data without its ledger entry (the
-    * re-run-duplicates failure COPY INTO exists to prevent). */
-  private[sources] val nextAppendCopyIds = TrieMap.empty[String, Seq[String]]
+    * commit): the loaded source-file identities land as the commit's
+    * OWN `copyIds` ledger section ATOMICALLY with the rows — a crash
+    * can never land data without its ledger entry (the re-run-
+    * duplicates failure COPY INTO exists to prevent). A ThreadLocal,
+    * not a table-keyed map: DSv2 batch commits run on the driver
+    * thread that invoked the write, so only copyInto's OWN append can
+    * consume its ids — a concurrent plain append to the same table
+    * from another thread commits as an ordinary 'append' and can never
+    * steal the ledger (the lost-exactly-once race a shared map had). */
+  private[sources] val pendingCopyIds =
+    new ThreadLocal[(String, Seq[String])]
+  /** Legacy (pre-round-14) ledger property: read-only for migration —
+    * old logs' accumulated comma-joined ids still fold into
+    * [[TableState.copyLedger]]; new ingests never write it. */
   val CopyLedgerProp = "graft.copyinto.loaded"
 
+  /** Append commit: the new files join the live set; commit metadata
+    * records the appended files' groups. */
   def append(k: String, files: Seq[FileEntry],
       txn: Option[Txn] = None): Unit = synchronized {
     onNextCommit.remove(k).foreach(_.apply())
     val st = stateOf(k)
     txn.foreach(checkConflicts(k, st, _))
     val stamped = files.map(_.copy(era = st.specEra, seq = st.latestVersion + 1))
-    val copyIds = nextAppendCopyIds.remove(k)
+    val copyIds = Option(pendingCopyIds.get).filter(_._1 == k).map(_._2)
+    if (copyIds.isDefined) pendingCopyIds.remove()
+    // an ingest commit also RETIRES the legacy props ledger if one is
+    // still carried: its ids remain readable from this table's older
+    // snapshots (the copyLedger fold sees every era), and dropping it
+    // stops re-serializing O(all-ingested-files) into each commit
     val props = copyIds match {
       case None => null // carry forward
-      case Some(ids) =>
-        val prior = st.props.get(CopyLedgerProp)
-          .map(_.split(",").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
-        st.props.updated(CopyLedgerProp, (prior ++ ids).toSeq.sorted.mkString(","))
+      case Some(_) if st.props.contains(CopyLedgerProp) =>
+        st.props - CopyLedgerProp
+      case Some(_) => null
     }
     commit(k, st, if (copyIds.isDefined) "copyinto" else "append",
       st.current ++ stamped, stamped,
       removed = Nil, commitGroups = Some(stamped.map(_.group).toSet),
-      dataChange = true, schema = st.schema, props = props)
+      dataChange = true, schema = st.schema, props = props,
+      copyIds = copyIds.getOrElse(Nil))
   }
 
   /** KEYED UPSERT as one append-only commit (Iceberg's equality-delete
@@ -1096,17 +1129,24 @@ object LakeStore {
     * is after the latest commit (Delta's contract — a silent
     * empty-forever stream would look identical to a broken one). */
   def versionAtOrAfter(k: String, tsMs: Long): Int = {
-    stateOf(k) // existence (and cold replay) first
+    val st = stateOf(k) // existence (and cold replay) first
     val dir = logDir(k)
     val fs = fsOf(dir)
     val times = fs.listStatus(dir).filter(s => isLogEntry(s.getPath.getName))
       .sortBy(_.getPath.getName).map(_.getModificationTime)
-    val idx = times.indexWhere(_ >= tsMs)
-    require(idx >= 0,
-      s"graft_lake: no commit of $k at or after timestamp ${tsMs}ms " +
+    // MAIN-ref commits only, mirroring versionAt: a stream reads main's
+    // lineage, so a branch/tag commit landing after the timestamp must
+    // not satisfy the lookup — accepting it when no main commit follows
+    // would admit exactly the silent empty-forever stream this
+    // require() exists to refuse
+    val idx = times.indices.find(i =>
+      times(i) >= tsMs && i < st.snapshots.length &&
+        st.snapshots(i).ref == "main")
+    require(idx.isDefined,
+      s"graft_lake: no main commit of $k at or after timestamp ${tsMs}ms " +
         s"(latest commit: ${times.lastOption.getOrElse(-1L)}ms); " +
         "use startingVersion='latest' to tail new commits")
-    idx
+    idx.get
   }
 
   /** Retention gate shared by time travel and incremental reads. A
@@ -1128,7 +1168,8 @@ object LakeStore {
       spec: Seq[String] = null,
       refOverride: String = null, parentOverride: Int = -2,
       eraOverride: Int = -1,
-      eqDeletes: Vector[EqDelete] = null): Unit = {
+      eqDeletes: Vector[EqDelete] = null,
+      copyIds: Seq[String] = Nil): Unit = {
     val version = st.latestVersion + 1
     // the ref this commit belongs to: the active session ref by default
     // (branch writes), overridden by ref machinery (creation, publish)
@@ -1188,10 +1229,18 @@ object LakeStore {
         JArray(gs.toList.map(g => JArray(g.map(jval).toList)))),
       "add" -> JArray(added.map(fileJson).toList),
       "remove" -> JArray(removed.map(JString(_)).toList))
-    writeLogEntry(k, version, entry)
+    // the COPY INTO ledger section: ONLY the ids this commit ingested
+    // (JSON array — file names with commas or quotes round-trip), so
+    // log-entry size is O(this commit), independent of ingest history
+    val entryWithLedger =
+      if (copyIds.isEmpty) entry
+      else JObject(entry.obj :+
+        ("copyIds" -> (JArray(copyIds.map(JString(_)).toList): JValue)))
+    writeLogEntry(k, version, entryWithLedger)
     val newSt = st.copy(snapshots =
       st.snapshots :+ Snapshot(schema, live, commitGroups, dataChange, action,
-        newProps, newDeletes, newSpec, newEra, ref, parent, newEqDeletes))
+        newProps, newDeletes, newSpec, newEra, ref, parent, newEqDeletes,
+        copyIds))
     tables.update(k, newSt)
     val ci = checkpointInterval
     if (ci > 0 && version % ci == 0) writeCheckpoint(k, newSt)
@@ -1292,7 +1341,7 @@ object LakeStore {
       snapshots :+= Snapshot(schema, live,
         cg, j.get("dataChange").forall(_ == JBool(true)),
         j.get("action").map(str).getOrElse("unknown"), props, deletes,
-        partitionCols, specEra, ref, parent, eqDeletes)
+        partitionCols, specEra, ref, parent, eqDeletes, parseCopyIds(j))
     }
     val marker = new Path(dir, "_horizon")
     val earliest =
@@ -1404,6 +1453,14 @@ object LakeStore {
     * mixes files of several spec eras, so the snapshot's own spec types
     * cannot decode every file's key (the log never has this problem:
     * it decodes each file in the entry that ADDED it). */
+  /** This entry's own COPY INTO ledger section (absent = ingested
+    * nothing — every non-copyinto commit, and every pre-round-14 log). */
+  private def parseCopyIds(j: Map[String, JValue]): Seq[String] =
+    j.get("copyIds") match {
+      case Some(JArray(ids)) => ids.map(str)
+      case _ => Nil
+    }
+
   private def parseEqDeletes(j: Map[String, JValue]): Vector[EqDelete] =
     j.get("eqDeletes") match {
       case Some(JArray(ds)) => ds.map { dj =>
@@ -1432,6 +1489,7 @@ object LakeStore {
       "files" -> JArray(d.files.map(JString(_)).toList),
       "cols" -> JArray(d.cols.map(JString(_)).toList),
       "seq" -> JInt(BigInt(d.seq))))),
+    "copyIds" -> JArray(s.copyIds.map(JString(_)).toList),
     "commitGroups" -> s.commitGroups.fold[JValue](JNull)(gs =>
       JArray(gs.toList.map(g => JArray(g.map(tjval).toList)))),
     "files" -> JArray(s.files.toList.map(f => tagged(fileJson(f), f))))
@@ -1459,7 +1517,7 @@ object LakeStore {
       specEra = o.get("specEra").map(num(_).intValue()).getOrElse(0),
       ref = o.get("ref").map(str).getOrElse("main"),
       parent = o.get("parent").map(num(_).intValue()).getOrElse(idx - 1),
-      eqDeletes = parseEqDeletes(o))
+      eqDeletes = parseEqDeletes(o), copyIds = parseCopyIds(o))
   }
 
   /** Stored-form type tags: group keys hold manifest STORED forms

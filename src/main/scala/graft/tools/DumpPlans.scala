@@ -250,8 +250,11 @@ object DumpPlans {
         "STATS-DRIVEN BROADCAST: with adaptive OFF, the static planner picks BroadcastHashJoin for the 25-row lake dim PURELY from the scan's manifest-reported statistics (a stats-less DSv2 scan defaults to Long.MaxValue and would sort-merge) — look for BroadcastHashJoin + BroadcastExchange on the dim side and NO shuffle on the fact side before the partial aggregate. bhj=1/smj=0/dim_reported_rows=25 are inside the oracle hash.",
         PipelineQueries.p75StatsBroadcast(spark, dir)),
       ("p76_ann_lake_pruned",
-        "ANN OVER A CELL-PARTITIONED LAKE: the candidate scan's pushed `cell IN (...)` predicate (the IVF probe set, <= 8 driver-side literals) prunes whole partition groups at file-planning time — the BatchScan's skipPredicates show the IN, ScanStats record fewer groups opened than the table holds (scan_pruned=1 in the oracle hash), and the rerank is a broadcast join against the tiny probe set — no shuffle on the corpus side.",
-        PipelineQueries.p76AnnLakePruned(spark, dir)))
+        "ANN OVER A CELL-PARTITIONED LAKE: the candidate scan's pushed `cell IN (...)` predicate (the IVF probe set, <= 8 driver-side literals) prunes whole partition groups at file-planning time — the BatchScan's skipPredicates show the IN, ScanStats record fewer groups opened than the table holds (scan_pruned=1 in the oracle hash), and the rerank is a broadcast join against the tiny probe set — no shuffle on the corpus side. The pruned scan itself is dumped in the 'statement:' section (this top-level frame is the post-materialization audit row).",
+        PipelineQueries.p76AnnLakePruned(spark, dir)),
+      ("p78_cbo_join_reorder",
+        "CBO JOIN REORDER FROM MANIFEST NDV: the published frame is the literal audit row (both twin runs' leaf orders are inside the oracle hash); the two optimized join trees — NDV-present reordering the exploding dim behind the contracting one, NDV-absent keeping syntactic order — are dumped in the 'statement:' section.",
+        PipelineQueries.p78CboJoinReorder(spark, dir)))
 
     val sb = new StringBuilder
     sb.append("# Flagship physical plans (generated by graft.tools.DumpPlans at sf0.01)\n\n")
@@ -261,6 +264,15 @@ object DumpPlans {
       df.collect() // finalize AQE
       val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
       sb.append(s"\n## $name\n\n$note\n\n```\n${plan.trim.take(4000)}\n```\n")
+      // a dump whose every leaf is ExistingRDD audits NOTHING (the query
+      // materialized mid-flight and this is the shell around the cached
+      // rows) — flag it so the real evidence lives in a statement section
+      val leaves = df.queryExecution.executedPlan.collectLeaves()
+      if (leaves.nonEmpty && leaves.forall(
+          _.getClass.getSimpleName == "RDDScanExec"))
+        sb.append("\n> NOTE: this top-level dump degenerates to ExistingRDD " +
+          "(the registry entry materializes mid-query); the audited plan " +
+          "is dumped in its 'statement:' section below.\n")
     }
 
     // SQL row-level statements: for MERGE/UPDATE/DELETE the interesting
@@ -376,6 +388,65 @@ object DumpPlans {
       } finally saved.foreach { case (k, v) =>
         v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
     }
+    // p76: statement-level dump of the PRUNED ANN scan itself (the
+    // registry frame is post-materialization). A literal probe set over
+    // the cell-partitioned table p76 just built: the BatchScan must
+    // carry skipPredicates=[cell IN (...)], and the recorded ScanStats
+    // prove fewer partition groups were OPENED than the table holds.
+    {
+      import org.apache.spark.sql.functions.col
+      val probe = spark.table("graft_lake.annlake")
+        .filter(col("cell").isin(0, 1, 2))
+        .groupBy(col("cell")).count()
+      probe.collect() // materialize -> the scan records its stats
+      val st = graft.sources.LakeStore.lastScanStats("graft_lake.annlake")
+      val txt = probe.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      sb.append("\n## statement: ANN partition-group pruning (p76)\n\n" +
+        "The probe's `cell IN (0, 1, 2)` reaches the lake scan as a " +
+        "skipPredicate and prunes whole partition groups at FILE-PLANNING " +
+        "time — the table is the IVF index, nProbe = groups opened. " +
+        s"Recorded ScanStats for this statement: opened " +
+        s"${st.groupsScanned} of ${st.groupsTotal} partition groups, " +
+        s"${st.filesScanned} of ${st.filesTotal} files.\n\n" +
+        s"```\n${txt.trim.take(4000)}\n```\n")
+    }
+
+    // p78: the join-order flip itself — the OPTIMIZED logical trees of
+    // the twin runs (tables p78 just built), same CBO confs as the row.
+    {
+      import org.apache.spark.sql.functions.{col, count, lit, sum}
+      val saved = Seq("spark.sql.cbo.enabled",
+        "spark.sql.cbo.joinReorder.enabled", "spark.sql.adaptive.enabled")
+        .map(k => k -> spark.conf.getOption(k))
+      try {
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        Seq(
+          ("_ndv", "WITH manifest NDV: the estimator sees dimA's key at " +
+            "NDV=1 (a 10x fan-out) and dimB's join CONTRACTING the fact " +
+            "side, so CostBasedJoinReorder joins dimB first — the " +
+            "syntactically-first exploding dim moves LAST."),
+          ("_raw", "WITHOUT NDV (same confs, same row counts): join " +
+            "cardinalities are unestimable, costs fall back to size " +
+            "products, and the exploding syntactic order survives.")
+        ).foreach { case (suffix, note) =>
+          val q = spark.table(s"graft_lake.cbofact$suffix")
+            .join(spark.table(s"graft_lake.cbodima$suffix"),
+              col("ka") === col("ka_d"))
+            .join(spark.table(s"graft_lake.cbodimb$suffix"),
+              col("kb") === col("kb_d"))
+            .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("s"),
+              sum(col("wa") + col("wb")).as("w"))
+          sb.append(s"\n## statement: CBO join reorder, $suffix twin (p78)\n\n" +
+            note + "\n\n" +
+            s"```\n${q.queryExecution.optimizedPlan.treeString.trim.take(3000)}\n```\n")
+        }
+      } finally saved.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+    }
+
     Files.writeString(Paths.get(out), sb.toString)
     println(s"wrote $out")
     spark.stop()

@@ -207,7 +207,9 @@ object ScaleSweep {
       "p74_metadata_delete" -> "metadata-only partition DELETE (manifest file drop)",
       "p75_stats_broadcast" -> "stats-driven broadcast (manifest-reported join sizing)",
       "p76_ann_lake_pruned" -> "ANN over cell-partitioned lake (probe = partition pruning)",
-      "p77_copy_into" -> "COPY INTO idempotent file ingest (one-commit ledger)")
+      "p77_copy_into" -> "COPY INTO idempotent file ingest (one-commit ledger)",
+      "p78_cbo_join_reorder" -> "CBO join reorder from manifest NDV (twin plans)",
+      "st21_stream_schema_evolution" -> "stream across ALTER ADD COLUMN (fail/restart/mergeSchema)")
 
     // warm the JVM/codegen on the smallest sf so cold-start lands nowhere
     queries.foreach { case (q, _) =>

