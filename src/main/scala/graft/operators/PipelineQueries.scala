@@ -5539,7 +5539,101 @@ object PipelineQueries {
       |  CAST(1 AS BIGINT) AS orders_agree
       |FROM f JOIN da ON ka = ka_d JOIN db ON kb = kb_d""".stripMargin
 
+  // ---------------------------------------------------------------- p79
+  /** ANALYZE — NDV back-fill for tables created WITHOUT
+    * `graft.ndv.columns` (Iceberg's `ANALYZE TABLE` writing puffin
+    * stats; `CALL graft_lake.system.analyze(tbl, cols)`): one
+    * distributed pass reads only the requested columns, folds a KMV
+    * sketch per (file, column) on the executors (partials merge by
+    * bottom-k union — K longs per file-column cross the shuffle, never
+    * values), and ONE metadata-only commit attaches the sketches and
+    * sets the roster so future appends sketch at write time. The
+    * payoff is p78's: the same exploding-dim join that plans in
+    * syntactic order against the un-analyzed tables REORDERS after the
+    * three `CALL ... analyze` statements — CBO flipped by a metadata
+    * commit, no rewrite, no restart. At 100 TB this is how a table
+    * that was loaded before anyone thought about statistics joins like
+    * one that always had them.
+    *
+    * Inside the hash: the pre-analyze syntactic order, the
+    * post-analyze flip, files/columns analyzed per CALL, equal
+    * aggregates from both plans, and CDC silence (dataChange=false:
+    * the analyze commits are invisible to the change feed). */
+  def p79AnalyzeBackfill(s: SparkSession, dir: String): DataFrame = {
+    registerLake(s)
+    val (f, da, db) = ("graft_lake.anzfact", "graft_lake.anzdima",
+      "graft_lake.anzdimb")
+    Seq(f, da, db).foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    // NO ndv properties: these tables predate statistics
+    s.sql(s"CREATE TABLE $f (doc_id BIGINT, ka INT, kb INT)")
+    s.sql(s"CREATE TABLE $da (ka_d INT, wa BIGINT)")
+    s.sql(s"CREATE TABLE $db (kb_d INT, wb BIGINT)")
+    Tables.documents(s, dir).select(col("doc_id"),
+        lit(0).cast("int").as("ka"), // NDV 1: the fan-out key
+        (col("doc_id") % 100).cast("int").as("kb"))
+      .repartition(2).writeTo(f).append()
+    s.range(0, 10).select(lit(0).cast("int").as("ka_d"),
+      (col("id") * 3).as("wa")).coalesce(1).writeTo(da).append()
+    s.range(0, 40).select((col("id") % 5).cast("int").as("kb_d"),
+      (col("id") * 7).as("wb")).coalesce(1).writeTo(db).append()
+    def q: DataFrame = s.table(f)
+      .join(s.table(da), col("ka") === col("ka_d"))
+      .join(s.table(db), col("kb") === col("kb_d"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("sum_ids"),
+        sum(col("wa") + col("wb")).as("sum_w"))
+    def leafOrder(df: DataFrame): String =
+      df.queryExecution.optimizedPlan.collectLeaves().collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.relation.table.name().split('.').last
+      }.mkString(">")
+    val saved = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled",
+      "spark.sql.adaptive.enabled").map(k => k -> s.conf.getOption(k))
+    try {
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      val (orderBefore, rBefore) = (leafOrder(q), q.collect()(0))
+      val vPre = graft.sources.LakeStore.get(f).get.latestVersion
+      val calls = Seq(f -> "ka,kb", da -> "ka_d", db -> "kb_d").map {
+        case (t, cs) => s.sql(
+          s"CALL graft_lake.system.analyze('${t.split('.').last}', '$cs')")
+          .collect()(0)
+      }
+      // the analyze commits are CDC-invisible (dataChange=false)
+      val cdc = graft.sources.GraftLake.changes(s, f, vPre,
+        graft.sources.LakeStore.get(f).get.latestVersion, "doc_id").count()
+      val (orderAfter, rAfter) = (leafOrder(q), q.collect()(0))
+      import s.implicits._
+      Seq((rAfter.getLong(0), rAfter.getLong(1), rAfter.getLong(2),
+          if (orderBefore == "anzfact>anzdima>anzdimb") 1L else 0L,
+          if (orderAfter == "anzfact>anzdimb>anzdima") 1L else 0L,
+          if (rBefore == rAfter) 1L else 0L,
+          calls.head.getLong(0), calls.map(_.getLong(1)).sum, cdc))
+        .toDF("n_rows", "sum_ids", "sum_w", "before_syntactic_order",
+          "after_reordered", "results_agree", "fact_files_analyzed",
+          "columns_sketched", "cdc_rows")
+    } finally saved.foreach { case (k, vOpt) =>
+      vOpt.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+  }
+
+  val p79Sql: String =
+    """WITH f AS (SELECT doc_id, 0 AS ka, doc_id % 100 AS kb
+      |           FROM documents),
+      |da AS (SELECT 0 AS ka_d, 3 * i AS wa FROM generate_series(0, 9) t(i)),
+      |db AS (SELECT i % 5 AS kb_d, 7 * i AS wb FROM generate_series(0, 39) t(i))
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+      |  CAST(SUM(wa + wb) AS BIGINT) AS sum_w,
+      |  CAST(1 AS BIGINT) AS before_syntactic_order,
+      |  CAST(1 AS BIGINT) AS after_reordered,
+      |  CAST(1 AS BIGINT) AS results_agree,
+      |  CAST(2 AS BIGINT) AS fact_files_analyzed,
+      |  CAST(4 AS BIGINT) AS columns_sketched,
+      |  CAST(0 AS BIGINT) AS cdc_rows
+      |FROM f JOIN da ON ka = ka_d JOIN db ON kb = kb_d""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p79_analyze_backfill" -> (p79AnalyzeBackfill _),
     "p78_cbo_join_reorder" -> (p78CboJoinReorder _),
     "p77_copy_into" -> (p77CopyInto _),
     "p76_ann_lake_pruned" -> (p76AnnLakePruned _),
@@ -5621,6 +5715,7 @@ object PipelineQueries {
   // def, not val: p19Sql embeds Sidecars.oracleDir-keyed paths, which
   // Verify pins at runtime before dumping oracle_sql.json
   def oracle: Map[String, String] = Map(
+    "p79_analyze_backfill" -> p79Sql,
     "p78_cbo_join_reorder" -> p78Sql,
     "p77_copy_into" -> p77Sql,
     "p76_ann_lake_pruned" -> p76Sql,

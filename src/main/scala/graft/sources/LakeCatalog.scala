@@ -395,6 +395,100 @@ object GraftLake {
       snap.files.filterNot(f => prev.contains(f.path)).map(_.rows).sum)
   }
 
+  /** ANALYZE — back-fill per-file NDV sketches for `cols` on every live
+    * file (Iceberg's `ANALYZE TABLE` writing puffin stats; Delta's
+    * ANALYZE computing column statistics): one distributed pass reads
+    * ONLY the requested columns (plus the file-path metadata column),
+    * folds a [[LakeNdv.Sketch]] per (file, column) on the executors
+    * (partial sketches merge by bottom-k union — associative, so the
+    * reduce is shuffle-cheap: K longs per file-column cross the wire,
+    * never values), and ONE metadata-only commit attaches the sketches
+    * AND sets `graft.ndv.columns`, so history is back-filled and every
+    * future append sketches at write time — coverage stays complete,
+    * which is what [[LakeScan.estimateStatistics]] requires before
+    * reporting distinctCount to CBO. Hashing uses the writer's own
+    * canonical forms, so back-filled and write-time sketches agree
+    * exactly. Returns (files analyzed, columns sketched). */
+  def analyzeTable(s: SparkSession, tableRef: String,
+      cols: Seq[String]): (Int, Int) = {
+    val st = LakeStore.get(tableRef).getOrElse(
+      throw new NoSuchTableException(tableRef.split('.').toSeq))
+    require(cols.nonEmpty, s"graft_lake: ANALYZE $tableRef needs columns")
+    val phys = LakeStore.physicalMap(st.schema)
+    cols.foreach { c =>
+      require(st.schema.fieldNames.contains(c),
+        s"graft_lake: ANALYZE column $c does not exist in $tableRef")
+      val dt = st.schema(c).dataType
+      // the external Row values this pass reads must hash to the SAME
+      // canonical bytes the writer's stored forms do — true for these
+      // types verbatim; datetimes/decimals arrive as java.sql/BigDecimal
+      // objects whose bytes differ, so they sketch at write time only
+      require((dt.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
+            !dt.isInstanceOf[org.apache.spark.sql.types.DecimalType]) ||
+          dt == org.apache.spark.sql.types.StringType ||
+          dt == org.apache.spark.sql.types.BooleanType,
+        s"graft_lake: ANALYZE $tableRef column $c has type " +
+          s"${dt.simpleString} — only integral/float/string/boolean " +
+          "columns back-fill (others sketch at write time via " +
+          "graft.ndv.columns)")
+    }
+    if (st.current.isEmpty) {
+      LakeStore.setFileStats(tableRef, Map.empty,
+        Map(LakeNdv.ColumnsProp -> mergedNdvRoster(st.props, cols)))
+      return (0, cols.length)
+    }
+    // read only files that physically store >= 1 requested column; a
+    // file storing none (pre-ADD-COLUMN era) is all-null there, and an
+    // all-null column's exact sketch is EMPTY — attach it driver-side
+    val physCols = cols.map(c => phys.getOrElse(c, c))
+    val emptySketch = LakeNdv.encode(Array.emptyLongArray, saturated = false)
+    val df = s.read
+      .schema(org.apache.spark.sql.types.StructType(
+        cols.map(c => st.schema(c).copy(name = phys.getOrElse(c, c)))))
+      .parquet(st.current.map(f => LakeStore.resolvePath(tableRef, f)): _*)
+      .select(org.apache.spark.sql.functions.col("_metadata.file_path")
+        .as("__file") +: physCols.map(org.apache.spark.sql.functions.col): _*)
+    val nCols = physCols.length
+    val partials = df.rdd.mapPartitions { it =>
+      val acc = scala.collection.mutable.HashMap
+        .empty[String, Array[LakeNdv.Sketch]]
+      it.foreach { r =>
+        val sks = acc.getOrElseUpdate(r.getString(0),
+          Array.fill(nCols)(new LakeNdv.Sketch))
+        var i = 0
+        while (i < nCols) {
+          val v = r.get(i + 1)
+          if (v != null) sks(i).add(v)
+          i += 1
+        }
+      }
+      acc.iterator.map { case (f, sks) => f -> sks.map(_.encode) }
+    }.reduceByKey((a, b) => a.zip(b).map { case (x, y) => LakeNdv.mergeFileSketches(x, y) })
+      .collect()
+    // `_metadata.file_path` is a URI (file://...); match manifest
+    // entries by data-file NAME — uuid-unique per table, scheme-proof
+    def nameOf(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+    val sksByName: Map[String, Array[String]] =
+      partials.iterator.map { case (abs, sks) => nameOf(abs) -> sks }.toMap
+    val ndvByPath: Map[String, Map[String, String]] = st.current.iterator.map { f =>
+      val sks = sksByName.getOrElse(
+        nameOf(LakeStore.resolvePath(tableRef, f)),
+        Array.fill(nCols)(emptySketch))
+      // columns the file does not physically store are all-null THERE:
+      // exact empty sketch (never wrong, keeps coverage complete)
+      f.path -> physCols.zipWithIndex.map { case (c, i) =>
+        c -> (if (f.cols.contains(c)) sks(i) else emptySketch)
+      }.toMap
+    }.toMap
+    LakeStore.setFileStats(tableRef, ndvByPath,
+      Map(LakeNdv.ColumnsProp -> mergedNdvRoster(st.props, cols)))
+    (st.current.length, cols.length)
+  }
+
+  private def mergedNdvRoster(props: Map[String, String],
+      cols: Seq[String]): String =
+    (LakeNdv.columnsOf(props) ++ cols).distinct.mkString(",")
+
   def optimize(s: SparkSession, tableRef: String, clusterCol: String,
       nFiles: Int): Unit =
     optimize(s, tableRef, Seq(clusterCol), nFiles)

@@ -93,6 +93,30 @@ object LakeNdv {
   private def toUnsignedDouble(x: Long): Double =
     if (x >= 0) x.toDouble else x.toDouble + 1.8446744073709552e19
 
+  /** Merge two PARTIAL sketches of the SAME file into one file sketch
+    * (the ANALYZE reduce step — executors each saw a slice of the
+    * file's rows): bottom-K union, exact iff both inputs were exact AND
+    * the union fits under K (a union spilling past K means the file
+    * holds > K distinct values — saturated, trimmed to the true bottom
+    * K, exactly what the writer's streaming Sketch would have said). */
+  def mergeFileSketches(a: String, b: String): String = {
+    val (ha, sa) = decode(a)
+    val (hb, sb) = decode(b)
+    val union = new java.util.TreeSet[java.lang.Long](unsignedOrd)
+    ha.foreach(h => union.add(h))
+    hb.foreach(h => union.add(h))
+    if (!sa && !sb && union.size <= K)
+      encode(union.toArray(new Array[java.lang.Long](0)).map(_.longValue()),
+        saturated = false)
+    else {
+      val out = new Array[Long](math.min(K, union.size))
+      val it = union.iterator()
+      var i = 0
+      while (i < out.length) { out(i) = it.next(); i += 1 }
+      encode(out, saturated = true)
+    }
+  }
+
   /** Merge encoded file sketches into one table-level NDV.
     * Returns (ndv, exact): exact iff EVERY input was exact — their
     * union is then the full distinct hash set and its SIZE is the

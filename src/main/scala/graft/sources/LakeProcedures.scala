@@ -31,7 +31,7 @@ object LakeProcedures {
   val Names: Seq[String] = Seq(
     "optimize", "compact", "rewrite_deletes", "copy_into", "vacuum", "restore",
     "clone", "set_partition_spec", "create_branch", "create_tag", "publish",
-    "drop_ref")
+    "drop_ref", "analyze")
 
   def identifiers(namespace: Array[String]): Array[Identifier] =
     Names.map(n => Identifier.of(Array("system"), n)).toArray
@@ -245,5 +245,19 @@ object LakeProcedures {
         val name = input.getUTF8String(1).toString
         GraftLake.dropRef(k, name)
         row(utf(name))
+      }),
+
+    "analyze" -> Proc("analyze",
+      Array(in("tbl", StringType), in("cols", StringType)),
+      StructType(Seq(
+        StructField("files_analyzed", LongType, nullable = false),
+        StructField("columns_sketched", LongType, nullable = false),
+        StructField("version", LongType, nullable = false))),
+      (catalog, input) => {
+        val k = key(catalog, input.getUTF8String(0).toString)
+        val cols = input.getUTF8String(1).toString.split(',').map(_.trim)
+          .filter(_.nonEmpty).toSeq
+        val (nf, nc) = GraftLake.analyzeTable(SparkSession.active, k, cols)
+        row(nf.toLong, nc.toLong, LakeStore.get(k).get.latestVersion.toLong)
       }))
 }

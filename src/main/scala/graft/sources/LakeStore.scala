@@ -848,6 +848,36 @@ object LakeStore {
       commitGroups = Some(Set.empty), dataChange = false, schema = newSchema)
   }
 
+  /** ANALYZE commit (Iceberg's `ANALYZE TABLE` writing puffin stats):
+    * the same live files re-enter the manifest with per-file NDV
+    * sketches attached — one METADATA-ONLY commit (dataChange=false: no
+    * row moved, CDC sees nothing, time travel still reads the
+    * un-analyzed entries), O(files) log bytes paid once. The commit
+    * also merges `newProps` (the `graft.ndv.columns` roster), so one
+    * call BACK-FILLS history and turns write-time sketching on going
+    * forward — coverage stays complete for every later append. Files
+    * keep their era/seq stamps (nothing is rewritten); deletion vectors
+    * and equality deletes carry through untouched. */
+  def setFileStats(k: String, ndvByPath: Map[String, Map[String, String]],
+      newProps: Map[String, String] = Map.empty): Unit = synchronized {
+    requireMain(k, "ANALYZE")
+    val st = stateOf(k)
+    val enriched = st.current.map(f =>
+      ndvByPath.get(f.path).fold(f)(m => f.copy(ndv = f.ndv ++ m)))
+    val changed = st.current.zip(enriched).filter { case (a, b) => a != b }
+    val changedPaths = changed.map(_._1.path).toSet
+    // live ordered the way replay rebuilds it (untouched ++ re-added),
+    // so a cache-vs-replay diff stays exactly empty
+    val live = st.current.filterNot(f => changedPaths.contains(f.path)) ++
+      changed.map(_._2)
+    commit(k, st, "analyze", live,
+      added = changed.map(_._2), removed = changed.map(_._1.path),
+      commitGroups = Some(Set.empty), dataChange = false,
+      schema = st.schema,
+      props = if (newProps.isEmpty) st.props else st.props ++ newProps,
+      deletes = st.deletes) // carry through: removed paths stay LIVE here
+  }
+
   /** RESTORE: roll the table back to snapshot `toVersion` as a NEW
     * data-change commit — Delta's `RESTORE TABLE ... TO VERSION AS OF`.
     * Purely a manifest move: the target version's files become the live
@@ -1227,7 +1257,10 @@ object LakeStore {
         "seq" -> JInt(BigInt(d.seq))))),
       "commitGroups" -> commitGroups.fold[JValue](JNull)(gs =>
         JArray(gs.toList.map(g => JArray(g.map(jval).toList)))),
-      "add" -> JArray(added.map(fileJson).toList),
+      // adds carry per-value group TYPE TAGS (like checkpoints): an
+      // ANALYZE re-adds pre-evolution files whose keys the CURRENT
+      // spec's types cannot decode — tags make every add self-decoding
+      "add" -> JArray(added.map(f => tagged(fileJson(f), f)).toList),
       "remove" -> JArray(removed.map(JString(_)).toList))
     // the COPY INTO ledger section: ONLY the ids this commit ingested
     // (JSON array — file names with commas or quotes round-trip), so

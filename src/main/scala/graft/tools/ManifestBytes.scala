@@ -44,12 +44,12 @@ object ManifestBytes {
       spark.sql(
         s"""CREATE TABLE $key
            |(doc_id BIGINT, source STRING, lang STRING, n_chars BIGINT,
-           | n_tokens BIGINT, quality_milli BIGINT)
+           | n_tokens BIGINT, text_hash BIGINT)
            |$ddlTail""".stripMargin)
       val docs = graft.Tables.documents(spark, dir)
         .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
-          col("n_tokens"), (col("quality") * 1000).cast("bigint")
-            .as("quality_milli"))
+          size(split(col("text"), " ")).cast("bigint").as("n_tokens"),
+          xxhash64(col("text")).as("text_hash"))
       val writer =
         if (cfg == "plain") docs.repartition(8)
         else docs.repartitionByRange(8, col("source"), col("doc_id"))

@@ -209,6 +209,7 @@ object ScaleSweep {
       "p76_ann_lake_pruned" -> "ANN over cell-partitioned lake (probe = partition pruning)",
       "p77_copy_into" -> "COPY INTO idempotent file ingest (one-commit ledger)",
       "p78_cbo_join_reorder" -> "CBO join reorder from manifest NDV (twin plans)",
+      "p79_analyze_backfill" -> "ANALYZE NDV back-fill (distributed sketch + metadata commit)",
       "st21_stream_schema_evolution" -> "stream across ALTER ADD COLUMN (fail/restart/mergeSchema)")
 
     // warm the JVM/codegen on the smallest sf so cold-start lands nowhere

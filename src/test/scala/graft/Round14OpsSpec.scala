@@ -10,7 +10,18 @@ import graft.sources.{GraftLake, LakeStore}
   * `startingTimestamp` resolution, CBO statistics completeness
   * (nullCount beside distinctCount — what Catalyst's join estimator
   * gates on), and a true multi-thread OCC stress over the commit path
-  * (real racing writers, no onNextCommit choreography). */
+  * (real racing writers, no onNextCommit choreography).
+  *
+  * MUTATION-CHECKED (round 14): four targeted reverts each fail
+  * exactly their pinning check — (M1) nullCount() forced empty flips
+  * p78's ndv_reordered_selective_first to 0 (the oracle row goes red:
+  * Catalyst refuses NDV without null counts), (M2) dropping the
+  * copyIds section from the ingest commit fails the ledger-scale test
+  * (per-commit sections vanish), (M3) removing versionAtOrAfter's
+  * main-ref filter fails its test here (the branch commit satisfies
+  * the cut), (M4) no-op'ing requireSchemaCompatible flips st21's
+  * failed_at_alter/failed_at_commit3 to 0 (the stream sails past the
+  * evolution silently). */
 class Round14OpsSpec extends SparkTestBase {
 
   private def registerCatalog(): Unit =
@@ -141,6 +152,77 @@ class Round14OpsSpec extends SparkTestBase {
     val got = LakeStore.versionAtOrAfter(key, cut)
     assert(st.snapshots.length === 4) // sanity: v4 appended after snapshot
     assert(got === 4, s"earliest main commit at/after cut is v4, got $got")
+  }
+
+  // ----------------- ANALYZE back-fill (p79)
+
+  test("analyze: back-fills exact NDV, survives cold replay, stays CDC-silent") {
+    registerCatalog()
+    import spark.implicits._
+    val key = "graft_lake.anz1"
+    spark.sql(s"DROP TABLE IF EXISTS $key")
+    spark.sql(s"CREATE TABLE $key (id BIGINT, cat STRING)") // no ndv props
+    (0L until 300L).map(i => (i, s"c${i % 7}")).toDF("id", "cat")
+      .repartition(3).writeTo(key).append()
+    val vPre = LakeStore.get(key).get.latestVersion
+    assert(GraftLake.analyzeTable(spark, key, Seq("id", "cat")) === ((3, 2)))
+    // exact NDV through the stats metadata table (sketches cover all files)
+    val stats = spark.table(s"$key.stats").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(stats("cat") === ((7L, true)), "7 categories, exact")
+    assert(stats("id") === ((300L, true)), "300 ids, exact (union of exacts)")
+    // the roster is now set: FUTURE appends sketch at write time
+    assert(graft.sources.LakeNdv.columnsOf(LakeStore.get(key).get.props)
+      .toSet === Set("id", "cat"))
+    (300L until 400L).map(i => (i, s"c${i % 7}")).toDF("id", "cat")
+      .repartition(1).writeTo(key).append()
+    val stats2 = spark.table(s"$key.stats").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stats2("id") === 400L, "write-time sketches continue coverage")
+    // the analyze commit is metadata-only: CDC sees nothing from it
+    val st = LakeStore.get(key).get
+    val anzV = st.snapshots.indexWhere(_.action === "analyze")
+    assert(anzV === vPre + 1)
+    assert(!st.snapshots(anzV).dataChange)
+    assert(GraftLake.changes(spark, key, vPre, anzV, "id").count() === 0L)
+    // cold replay (tagged add entries) preserves the sketches exactly
+    LakeStore.invalidateCache(key)
+    val stats3 = spark.table(s"$key.stats").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stats3 === stats2, "sketches survive log replay")
+  }
+
+  test("analyze: mixed-era group keys round-trip; refusals are loud") {
+    registerCatalog()
+    import spark.implicits._
+    val key = "graft_lake.anz2"
+    spark.sql(s"DROP TABLE IF EXISTS $key")
+    spark.sql(s"""CREATE TABLE $key (id BIGINT, a STRING, ts TIMESTAMP)
+                 |PARTITIONED BY (a)""".stripMargin)
+    (0L until 40L).map(i => (i, s"a${i % 2}"))
+      .toDF("id", "a").withColumn("ts", current_timestamp())
+      .writeTo(key).append() // era-0 files, string group keys
+    GraftLake.setPartitionSpec(key, Seq("bucket(4, id)")) // era 1
+    (40L until 80L).map(i => (i, s"a${i % 2}"))
+      .toDF("id", "a").withColumn("ts", current_timestamp())
+      .writeTo(key).append() // era-1 files, int group keys
+    assert(GraftLake.analyzeTable(spark, key, Seq("id"))._2 === 1)
+    // the analyze RE-ADDED pre-evolution files: their old-spec string
+    // keys must decode back through the tagged entries on cold replay
+    LakeStore.invalidateCache(key)
+    assert(spark.table(key).count() === 80L)
+    assert(spark.sql(s"SELECT count(*) FROM $key WHERE a = 'a1'")
+      .collect()(0).getLong(0) === 40L, "era-0 group pruning still exact")
+    val stats = spark.table(s"$key.stats").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stats("id") === 80L)
+    // refusals: unknown column, unsupported type
+    intercept[IllegalArgumentException] {
+      GraftLake.analyzeTable(spark, key, Seq("nope"))
+    }
+    intercept[IllegalArgumentException] {
+      GraftLake.analyzeTable(spark, key, Seq("ts"))
+    }
   }
 
   // ----------------- true concurrent-writer OCC stress (no choreography)
