@@ -5445,6 +5445,16 @@ object PipelineQueries {
       |  CAST(s7.n AS BIGINT) AS incr_rows
       |FROM tot, s7""".stripMargin
 
+  /** Leaf DSv2 table names of a query's OPTIMIZED plan, in join-tree
+    * order — the plan-shape audit p78/p79 pin their reorder flags on.
+    * One definition: the `.split('.').last` naming assumption lives
+    * here and nowhere else. */
+  private def v2LeafOrder(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collectLeaves().collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.relation.table.name().split('.').last
+    }
+
   // ---------------------------------------------------------------- p78
   /** CBO JOIN REORDERING FROM MANIFEST NDV — the payoff p72's sketches
     * exist for (Iceberg feeds theta-sketch NDVs to Spark's CBO for
@@ -5493,10 +5503,7 @@ object PipelineQueries {
       (f, da, db)
     }
     def leafOrder(df: DataFrame): String =
-      df.queryExecution.optimizedPlan.collectLeaves().collect {
-        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
-          r.relation.table.name().split('.').last.replaceAll("(_ndv|_raw)$", "")
-      }.mkString(">")
+      v2LeafOrder(df).map(_.replaceAll("(_ndv|_raw)$", "")).mkString(">")
     def run(suffix: String, withNdv: Boolean): (String, org.apache.spark.sql.Row) = {
       val (f, da, db) = buildTables(suffix, withNdv)
       // bad syntactic order: the 200-row dim joins before the selective one
@@ -5581,11 +5588,7 @@ object PipelineQueries {
       .join(s.table(db), col("kb") === col("kb_d"))
       .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("sum_ids"),
         sum(col("wa") + col("wb")).as("sum_w"))
-    def leafOrder(df: DataFrame): String =
-      df.queryExecution.optimizedPlan.collectLeaves().collect {
-        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
-          r.relation.table.name().split('.').last
-      }.mkString(">")
+    def leafOrder(df: DataFrame): String = v2LeafOrder(df).mkString(">")
     val saved = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled",
       "spark.sql.adaptive.enabled").map(k => k -> s.conf.getOption(k))
     try {

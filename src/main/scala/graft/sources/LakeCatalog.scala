@@ -385,11 +385,16 @@ object GraftLake {
     if (fresh.isEmpty) return (0, 0L)
     val df = s.read.parquet(fresh.map(_.getPath.toString).toIndexedSeq: _*)
       .select(st.schema.fieldNames.map(org.apache.spark.sql.functions.col(_)).toIndexedSeq: _*)
-    LakeStore.pendingCopyIds.set((tableRef, fresh.map(fid).toSeq))
+    val ids = fresh.map(fid).toSeq
+    LakeStore.pendingCopyIds.set((tableRef, ids))
     try df.writeTo(tableRef).append()
     finally LakeStore.pendingCopyIds.remove()
+    // report THIS ingest's commit — located by its own ledger section,
+    // not the table head (a concurrent commit may already sit above it)
     val st2 = LakeStore.get(tableRef).get
-    val snap = st2.snapshots(st2.latestVersion)
+    val v = st2.snapshots.lastIndexWhere(_.copyIds == ids)
+    require(v >= 0, s"graft_lake: COPY INTO commit not found on $tableRef")
+    val snap = st2.snapshots(v)
     val prev = st2.snapshots(snap.parent).files.map(_.path).toSet
     (fresh.length,
       snap.files.filterNot(f => prev.contains(f.path)).map(_.rows).sum)
@@ -433,19 +438,25 @@ object GraftLake {
           "graft.ndv.columns)")
     }
     if (st.current.isEmpty) {
-      LakeStore.setFileStats(tableRef, Map.empty,
-        Map(LakeNdv.ColumnsProp -> mergedNdvRoster(st.props, cols)))
+      LakeStore.setFileStats(tableRef, Map.empty, cols)
       return (0, cols.length)
     }
     // read only files that physically store >= 1 requested column; a
     // file storing none (pre-ADD-COLUMN era) is all-null there, and an
     // all-null column's exact sketch is EMPTY — attach it driver-side
+    // without streaming the file's rows through the scan at all
     val physCols = cols.map(c => phys.getOrElse(c, c))
     val emptySketch = LakeNdv.encode(Array.emptyLongArray, saturated = false)
+    val readable = st.current.filter(f => physCols.exists(f.cols.contains))
+    if (readable.isEmpty) {
+      LakeStore.setFileStats(tableRef, st.current.iterator.map(f =>
+        f.path -> physCols.map(_ -> emptySketch).toMap).toMap, cols)
+      return (st.current.length, cols.length)
+    }
     val df = s.read
       .schema(org.apache.spark.sql.types.StructType(
         cols.map(c => st.schema(c).copy(name = phys.getOrElse(c, c)))))
-      .parquet(st.current.map(f => LakeStore.resolvePath(tableRef, f)): _*)
+      .parquet(readable.map(f => LakeStore.resolvePath(tableRef, f)): _*)
       .select(org.apache.spark.sql.functions.col("_metadata.file_path")
         .as("__file") +: physCols.map(org.apache.spark.sql.functions.col): _*)
     val nCols = physCols.length
@@ -480,14 +491,9 @@ object GraftLake {
         c -> (if (f.cols.contains(c)) sks(i) else emptySketch)
       }.toMap
     }.toMap
-    LakeStore.setFileStats(tableRef, ndvByPath,
-      Map(LakeNdv.ColumnsProp -> mergedNdvRoster(st.props, cols)))
+    LakeStore.setFileStats(tableRef, ndvByPath, cols)
     (st.current.length, cols.length)
   }
-
-  private def mergedNdvRoster(props: Map[String, String],
-      cols: Seq[String]): String =
-    (LakeNdv.columnsOf(props) ++ cols).distinct.mkString(",")
 
   def optimize(s: SparkSession, tableRef: String, clusterCol: String,
       nFiles: Int): Unit =
@@ -1730,10 +1736,19 @@ class LakeScan(key: String, schema: StructType,
       // REQUIRES nullCount next to distinctCount before its join
       // estimator will consume either (JoinEstimation's
       // columnStatsWithCountsExist gate): without it, a 3-table reorder
-      // silently degrades to size-product costs and NDV goes unread
+      // silently degrades to size-product costs and NDV goes unread.
+      // Suppressed whenever row-level deletes hide rows in the scanned
+      // snapshot: numRows already subtracts them, and a raw per-file
+      // null count can then EXCEED the reported row count — a
+      // nullCount > rowCount ColumnStat drives the estimator's
+      // non-null fraction negative, worse than reporting nothing.
+      val deletesHideRows = dvRows.nonEmpty ||
+        st.exists(s => pinnedVersion.fold(s.eqDeletes)(v =>
+          s.snapshots(v).eqDeletes).nonEmpty)
       val nullsOpt: Option[Long] = {
         val ns = surviving.flatMap(_.nulls.get(phys))
-        if (surviving.nonEmpty && ns.length == surviving.length) Some(ns.sum)
+        if (!deletesHideRows && surviving.nonEmpty &&
+            ns.length == surviving.length) Some(ns.sum)
         else None
       }
       if (zs.nonEmpty || ndvOpt.isDefined) {
@@ -2237,12 +2252,18 @@ class LakeMicroBatchStream(key: String, required: StructType,
     * schema already covers — every historical ALTER a fresh stream
     * replays over, and the very ALTER a restarted stream re-crosses —
     * pass: files written under a narrower schema null-pad, the
-    * standing lake read contract. */
+    * standing lake read contract. A historically-added column the
+    * table has SINCE dropped or renamed away also passes: its data is
+    * equally invisible at the table's own head, and failing there
+    * would poison full-history replay with a restart that can never
+    * succeed (the restart message below must always be a true fix). */
   private def requireSchemaCompatible(snap: LakeStore.Snapshot, v: Int): Unit = {
     if (snap.action != "alter" || mergeSchema || tableSchema == null) return
     val known = tableSchema.fields.iterator
       .map(f => (f.name, f.dataType)).toSet
+    val currentNames = state.schema.fieldNames.toSet
     val novel = snap.schema.fields.filterNot(f => known((f.name, f.dataType)))
+      .filter(f => currentNames.contains(f.name))
     if (novel.nonEmpty) throw new UnsupportedOperationException(
       s"graft_lake: schema of $key evolved at commit $v — " +
         s"column(s) ${novel.map(f => s"${f.name} ${f.dataType.simpleString}")

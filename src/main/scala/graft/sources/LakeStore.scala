@@ -615,12 +615,29 @@ object LakeStore {
     * records the appended files' groups. */
   def append(k: String, files: Seq[FileEntry],
       txn: Option[Txn] = None): Unit = synchronized {
+    // claim the ingest token BEFORE the interleave hook runs: a
+    // hook-injected append on the same table (same thread — the lock is
+    // re-entrant) must not consume THIS append's ledger
+    val copyIds = Option(pendingCopyIds.get).filter(_._1 == k).map(_._2)
+    if (copyIds.isDefined) pendingCopyIds.remove()
     onNextCommit.remove(k).foreach(_.apply())
     val st = stateOf(k)
     txn.foreach(checkConflicts(k, st, _))
     val stamped = files.map(_.copy(era = st.specEra, seq = st.latestVersion + 1))
-    val copyIds = Option(pendingCopyIds.get).filter(_._1 == k).map(_._2)
-    if (copyIds.isDefined) pendingCopyIds.remove()
+    // exactly-once under CONCURRENT ingests: two COPY INTO runs that
+    // both saw a file unloaded both reach here — the second must abort
+    // (its rows never enter the manifest; its orphan files sweep later)
+    // rather than land a duplicate. Checked under the store lock, so
+    // the race window is exactly zero; the conflict is retryable (a
+    // re-run recomputes its fresh set against the updated ledger).
+    copyIds.foreach { ids =>
+      val dup = ids.filter(st.copyLedger)
+      if (dup.nonEmpty) throw new CommitConflictException(
+        s"graft_lake: COPY INTO conflict on $k — source file(s) " +
+          s"${dup.mkString(", ")} were ingested by a concurrent COPY INTO " +
+          "after this run listed them; committing would duplicate their " +
+          "rows. Re-run the COPY INTO (it will skip them). [ConcurrentCopyInto]")
+    }
     // an ingest commit also RETIRES the legacy props ledger if one is
     // still carried: its ids remain readable from this table's older
     // snapshots (the copyLedger fold sees every era), and dropping it
@@ -853,15 +870,23 @@ object LakeStore {
     * sketches attached — one METADATA-ONLY commit (dataChange=false: no
     * row moved, CDC sees nothing, time travel still reads the
     * un-analyzed entries), O(files) log bytes paid once. The commit
-    * also merges `newProps` (the `graft.ndv.columns` roster), so one
-    * call BACK-FILLS history and turns write-time sketching on going
-    * forward — coverage stays complete for every later append. Files
-    * keep their era/seq stamps (nothing is rewritten); deletion vectors
-    * and equality deletes carry through untouched. */
+    * also UNIONS `newNdvCols` into the `graft.ndv.columns` roster —
+    * against the props read HERE, under the store lock, so a
+    * concurrent ANALYZE of a different column (or a roster ALTER)
+    * committed during the caller's long sketch pass is merged with,
+    * never clobbered — so one call BACK-FILLS history and turns
+    * write-time sketching on going forward; coverage stays complete
+    * for every later append. Files keep their era/seq stamps (nothing
+    * is rewritten); deletion vectors and equality deletes carry
+    * through untouched. */
   def setFileStats(k: String, ndvByPath: Map[String, Map[String, String]],
-      newProps: Map[String, String] = Map.empty): Unit = synchronized {
+      newNdvCols: Seq[String] = Nil): Unit = synchronized {
     requireMain(k, "ANALYZE")
     val st = stateOf(k)
+    val newProps =
+      if (newNdvCols.isEmpty) Map.empty[String, String]
+      else Map(LakeNdv.ColumnsProp ->
+        (LakeNdv.columnsOf(st.props) ++ newNdvCols).distinct.mkString(","))
     val enriched = st.current.map(f =>
       ndvByPath.get(f.path).fold(f)(m => f.copy(ndv = f.ndv ++ m)))
     val changed = st.current.zip(enriched).filter { case (a, b) => a != b }

@@ -225,6 +225,96 @@ class Round14OpsSpec extends SparkTestBase {
     }
   }
 
+  test("analyze: sequential analyzes UNION the roster (no clobber)") {
+    registerCatalog()
+    import spark.implicits._
+    val key = "graft_lake.anz3"
+    spark.sql(s"DROP TABLE IF EXISTS $key")
+    spark.sql(s"CREATE TABLE $key (id BIGINT, cat STRING)")
+    (0L until 50L).map(i => (i, s"c${i % 3}")).toDF("id", "cat")
+      .writeTo(key).append()
+    GraftLake.analyzeTable(spark, key, Seq("id"))
+    GraftLake.analyzeTable(spark, key, Seq("cat"))
+    assert(graft.sources.LakeNdv.columnsOf(LakeStore.get(key).get.props)
+      .toSet === Set("id", "cat"),
+      "the second analyze merges into the roster, never clobbers it")
+    val stats = spark.table(s"$key.stats").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stats === Map("id" -> 50L, "cat" -> 3L))
+  }
+
+  // ----------------- statistics honesty under row-level deletes
+
+  test("nullCount reports with distinctCount, and both suppress under live DVs") {
+    registerCatalog()
+    import spark.implicits._
+    val key = "graft_lake.nstats"
+    spark.sql(s"DROP TABLE IF EXISTS $key")
+    spark.sql(s"""CREATE TABLE $key (id BIGINT, opt BIGINT)
+                 |TBLPROPERTIES ('graft.ndv.columns' = 'id,opt',
+                 |  'graft.merge-on-read' = 'true')""".stripMargin)
+    (0L until 100L).map(i => (i, if (i % 5 == 0) null else i: java.lang.Long))
+      .toDF("id", "opt").coalesce(1).writeTo(key).append()
+    def colStat(col: String): (Option[Long], Option[Long]) = {
+      import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+      val scans = spark.table(key).queryExecution.executedPlan.collect {
+        case b: BatchScanExec => b.scan }
+      val st = scans.head.asInstanceOf[
+        org.apache.spark.sql.connector.read.SupportsReportStatistics]
+        .estimateStatistics()
+      import scala.jdk.CollectionConverters._
+      st.columnStats().asScala.collectFirst {
+        case (ref, cs) if ref.fieldNames().sameElements(Array(col)) =>
+          (if (cs.distinctCount().isPresent) Some(cs.distinctCount().getAsLong) else None,
+            if (cs.nullCount().isPresent) Some(cs.nullCount().getAsLong) else None)
+      }.getOrElse((None, None))
+    }
+    // clean table: both halves of the estimator gate are present
+    assert(colStat("opt")._2 === Some(20L))
+    assert(colStat("id") === ((Some(100L), Some(0L))))
+    // a MoR DELETE hides rows via deletion vectors: numRows subtracts
+    // them, so raw per-file null counts could EXCEED it — nullCount
+    // must suppress (a ColumnStat with nullCount > rowCount drives the
+    // estimator's non-null fraction negative)
+    spark.sql(s"DELETE FROM $key WHERE id >= 10")
+    assert(LakeStore.get(key).get.deletes.nonEmpty, "DV-bearing table")
+    assert(colStat("opt")._2 === None, "nullCount suppressed under DVs")
+    assert(colStat("id")._2 === None)
+  }
+
+  // ----------------- stream schema guard: dropped columns do not poison
+
+  test("full-history stream replays an ADD-then-DROP column without failing") {
+    registerCatalog()
+    import spark.implicits._
+    val key = "graft_lake.sevdrop"
+    spark.sql(s"DROP TABLE IF EXISTS $key")
+    spark.sql(s"CREATE TABLE $key (id BIGINT)")
+    Seq(1L, 2L).toDF("id").writeTo(key).append() // v1
+    spark.sql(s"ALTER TABLE $key ADD COLUMN x STRING") // v2
+    Seq(3L).toDF("id").withColumn("x", lit("gone"))
+      .writeTo(key).append() // v3
+    spark.sql(s"ALTER TABLE $key DROP COLUMN x") // v4
+    Seq(4L).toDF("id").writeTo(key).append() // v5
+    // the v2 alter's schema carries x, which the CURRENT schema (and
+    // therefore this fresh stream) lacks — but x was since dropped, so
+    // nothing the table's own head can see is being withheld: the
+    // replay must pass (failing here would prescribe a restart that
+    // can never succeed)
+    val root = "/tmp/graft_sevdrop_spec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val buf = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = spark.readStream.table(key)
+      .writeStream
+      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) => { buf.addAndGet(b.count()); () })
+      .option("checkpointLocation", s"$root/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(buf.get() === 4L, "all four rows replay across the dead column")
+  }
+
   // ----------------- true concurrent-writer OCC stress (no choreography)
 
   test("OCC stress: racing writer threads never lose a committed row") {

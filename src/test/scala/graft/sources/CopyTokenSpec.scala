@@ -47,4 +47,36 @@ class CopyTokenSpec extends graft.SparkTestBase {
       assert(st2.copyLedger === Set("staged.parquet@42"))
     } finally LakeStore.pendingCopyIds.remove()
   }
+
+  test("concurrent COPY INTO runs cannot double-ingest the same file") {
+    if (!spark.conf.getOption("spark.sql.catalog.graft_lake").contains(
+        classOf[GraftLakeCatalog].getName))
+      spark.conf.set("spark.sql.catalog.graft_lake",
+        classOf[GraftLakeCatalog].getName)
+    import spark.implicits._
+    val key = "graft_lake.cprace"
+    spark.sql(s"DROP TABLE IF EXISTS $key")
+    spark.sql(s"CREATE TABLE $key (id BIGINT)")
+    // run 1 ingests f1 (simulated: its ids land via the token path)
+    LakeStore.pendingCopyIds.set((key, Seq("f1.parquet@10")))
+    try Seq(1L).toDF("id").writeTo(key).append()
+    finally LakeStore.pendingCopyIds.remove()
+    assert(LakeStore.get(key).get.copyLedger === Set("f1.parquet@10"))
+    // run 2 ALSO listed f1 before run 1 committed (both saw it
+    // unloaded) — its commit must abort under the store lock instead
+    // of landing f1's rows a second time
+    LakeStore.pendingCopyIds.set((key, Seq("f1.parquet@10", "f2.parquet@20")))
+    val e = try intercept[Exception] {
+      Seq(1L).toDF("id").writeTo(key).append()
+    } finally LakeStore.pendingCopyIds.remove()
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      c.isInstanceOf[LakeStore.CommitConflictException] &&
+        c.getMessage.contains("ConcurrentCopyInto")),
+      s"expected a retryable COPY INTO conflict, got $e")
+    // nothing landed, nothing new was ledgered: the re-run contract
+    assert(LakeStore.get(key).get.copyLedger === Set("f1.parquet@10"))
+    assert(spark.table(key).count() === 1L)
+  }
 }
