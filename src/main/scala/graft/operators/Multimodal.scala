@@ -610,6 +610,19 @@ object Multimodal {
     * any true pair ALWAYS shares a band — recall is structural. Scale:
     * candidates are band collisions only (random 64-bit fingerprints sit
     * ~32 bits apart); no all-pairs step — d05's shape on binary media.
+    *
+    * Scale envelope, stated honestly: with the radius fixed at 7, the
+    * pigeonhole forces 8 bands of 8 bits, so each band has only 256
+    * buckets and candidate volume grows Θ(n²/2^bandBits) once n >> 256
+    * — SCALE.md's extended step measures the onset (~2-4x steps past
+    * sf0.1 on the media rows). The scale lever is FINGERPRINT WIDTH,
+    * not the join shape: a 256-bit pHash at the same relative radius
+    * takes 16-bit bands (65536 buckets/band, the same candidate math
+    * at 1/256th the density) — the banding code below is width-generic
+    * by construction (shift/mask over the band roster). 64-bit
+    * fingerprints are this library's pinned oracle contract (DuckDB
+    * restates them bit-for-bit); widening is a data-model choice, not
+    * an engine rewrite.
     */
   private def bandedHammingPairs(hashed: DataFrame, maxHamming: Int): DataFrame = {
     val banded = hashed.select(col("media_id"), col("h"), explode(expr(

@@ -604,7 +604,7 @@ object LakeStore {
     * consume its ids — a concurrent plain append to the same table
     * from another thread commits as an ordinary 'append' and can never
     * steal the ledger (the lost-exactly-once race a shared map had). */
-  private[sources] val pendingCopyIds =
+  private[graft] val pendingCopyIds =
     new ThreadLocal[(String, Seq[String])]
   /** Legacy (pre-round-14) ledger property: read-only for migration —
     * old logs' accumulated comma-joined ids still fold into

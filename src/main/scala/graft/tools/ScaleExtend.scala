@@ -43,7 +43,9 @@ object ScaleExtend {
     * regenerates the testdata, the stale 2x/5x replicas are rebuilt
     * instead of silently timing old data. */
   private def srcFingerprint(srcDir: String): String =
-    Seq("orders", "lineitem", "documents", "events", "embeddings").map { t =>
+    // gen:v2 = per-word replica salt (bumping the tag rebuilds replicas
+    // produced by an older generator even over unchanged source data)
+    "gen:v2," + Seq("orders", "lineitem", "documents", "events", "embeddings").map { t =>
       val fs = new java.io.File(s"$srcDir/$t.parquet")
       val files = Option(fs.listFiles()).map(_.toSeq).getOrElse(Seq(fs))
       s"$t:${files.map(f => f.length() + f.lastModified()).sum}"
@@ -68,11 +70,21 @@ object ScaleExtend {
       .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
     cross(Tables.documents(spark, srcDir))
       .withColumn("doc_id", col("doc_id") + col("rep") * KeyStride)
-      // the salt lands INSIDE canonText's alphabet so fingerprints differ
-      // across replicas — per-replica dup structure identical to sf0.1
+      // PER-WORD replica salt (gen:v2): every token of replica N becomes
+      // `<token>zrN` — a BIJECTIVE token mapping, so each replica's
+      // shingle/fingerprint structure is exactly isomorphic to sf0.1's
+      // (dup docs stay dups, near-dups keep their jaccard) while
+      // replicas share ZERO shingles with each other. The old
+      // whole-doc suffix salt decorrelated only EXACT fingerprints:
+      // MinHash/SimHash saw every doc as a ~0.99-jaccard copy of its
+      // K-1 replica twins (and the media tables, whose payload bytes
+      // derive from the text, collided the same way) — a K^2
+      // cross-replica pair blowup that real 2x data does not have,
+      // which is what a 2x SCALE step must model.
       .withColumn("text",
         when(col("rep") === 0, col("text"))
-          .otherwise(concat(col("text"), lit(" rep"), col("rep"))))
+          .otherwise(expr(
+            """regexp_replace(text, '(\\S+)', concat('$1zr', cast(rep as string)))""")))
       .drop("rep")
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     // Embeddings replicas must stay DISJOINT in vector space (identical
@@ -159,6 +171,67 @@ object ScaleExtend {
     (mergeSec, changesSec, restoreSec, replaced)
   }
 
+  /** COPY INTO ledger-at-scale probe (round-14): the round-13 design
+    * carried the ingest ledger as a table property re-serialized
+    * O(all-files-ever-loaded) into EVERY commit — the one design the
+    * round-13 verdict called out as not surviving 100x. The rebuild
+    * stores per-commit `copyIds` sections, so the variable to isolate
+    * is LEDGER SIZE alone: fabricate an ingest history of `nHistory`
+    * file ids through the real commit path (metadata-only appends
+    * carrying ledger sections — no staging I/O, so the probe measures
+    * the ledger, not parquet writes), then time ONE real 3-file COPY
+    * INTO and record its commit's log-entry bytes. FLAT time and FLAT
+    * bytes across 100x history is the PASS condition; the old design
+    * fails the bytes bar by construction (40 B x history per commit).
+    * Returns (ingestSec, commitBytes, ledgerSize). */
+  private def copyIntoProbe(spark: SparkSession, srcDir: String,
+      nHistory: Int): (Double, Long, Int) = {
+    if (!spark.conf.getOption("spark.sql.catalog.graft_lake").contains(
+        classOf[graft.sources.GraftLakeCatalog].getName))
+      spark.conf.set("spark.sql.catalog.graft_lake",
+        classOf[graft.sources.GraftLakeCatalog].getName)
+    import graft.sources.LakeStore
+    val key = "graft_lake.scale_landing"
+    spark.sql(s"DROP TABLE IF EXISTS $key")
+    spark.sql(s"CREATE TABLE $key (doc_id BIGINT, n_chars BIGINT)")
+    // history: 50-id ledger sections through the real append path
+    (0 until nHistory / 50).foreach { b =>
+      LakeStore.pendingCopyIds.set((key,
+        (0 until 50).map(i => s"hist${b * 50 + i}.parquet@${b * 50 + i}")))
+      try LakeStore.append(key, Nil)
+      finally LakeStore.pendingCopyIds.remove()
+    }
+    // one real ingest of 3 fresh files, timed end to end
+    val staging = s"/tmp/graft_scale_copyinto"
+    val fs = new org.apache.hadoop.fs.Path(staging)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$staging/slice2.parquet"))) {
+      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+      val docs = Tables.documents(spark, srcDir)
+        .select(col("doc_id"), col("n_chars")).limit(3000)
+      (0 to 2).foreach { i =>
+        val tmp = s"$staging/_t$i"
+        docs.filter(col("doc_id") % 3 === i).coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+        fs.rename(part, new org.apache.hadoop.fs.Path(s"$staging/slice$i.parquet"))
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      }
+    }
+    val t0 = System.nanoTime()
+    val (nf, _) = graft.sources.GraftLake.copyInto(spark, key, staging)
+    val sec = (System.nanoTime() - t0) / 1e9
+    require(nf == 3, s"probe expected 3 files, loaded $nf")
+    val st = LakeStore.get(key).get
+    val v = st.snapshots.lastIndexWhere(_.action == "copyinto")
+    val log = new org.apache.hadoop.fs.Path(
+      s"${LakeStore.tableDir(key)}/_log/" + f"$v%020d.json")
+    val bytes = log.getFileSystem(
+      new org.apache.hadoop.conf.Configuration()).getFileStatus(log).getLen
+    (sec, bytes, st.copyLedger.size)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession("scale-extend")
     spark.sparkContext.setLogLevel("WARN")
@@ -235,6 +308,23 @@ object ScaleExtend {
     sb.append(f"| RESTORE (manifest re-point) | ${lakeRows(0)._3}%.2f | ${lakeRows(1)._3}%.2f " +
       f"| ${lakeRows(2)._3}%.2f | ${lakeRows(1)._3 / lakeRows(0)._3}%.1fx " +
       f"| ${lakeRows(2)._3 / lakeRows(1)._3}%.1fx | — |\n")
+    // COPY INTO ledger at scale: 100x ingest HISTORY, one fixed ingest
+    val copyRows = Seq(1000, 10000, 100000).map(n =>
+      n -> copyIntoProbe(spark, src, n))
+    sb.append("\n### COPY INTO ledger at scale: 100x ingest history, one fixed ingest (p77 contract)\n\n")
+    sb.append("The table's ledger holds N already-ingested file ids (fabricated\n")
+    sb.append("through the real commit path); one 3-file COPY INTO is then timed\n")
+    sb.append("and its commit's log-entry size measured. FLAT time and FLAT bytes\n")
+    sb.append("across 100x history is the PASS condition — the retired props-\n")
+    sb.append("carried design grows the bytes column ~40 B per historical file\n")
+    sb.append("(4 MB at N=100k) by construction.\n\n")
+    sb.append("| ledger ids | ingest sec | ingest commit bytes |\n")
+    sb.append("|---|---|---|\n")
+    copyRows.foreach { case (n, (sec, bytes, ledger)) =>
+      require(ledger >= n, s"probe ledger $ledger < fabricated $n")
+      sb.append(f"| $n%,d | $sec%.2f | $bytes%,d |\n")
+    }
+
     val path = java.nio.file.Paths.get("/root/repo/SCALE.md")
     val cur = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
     // drop a previous extension section before re-appending
