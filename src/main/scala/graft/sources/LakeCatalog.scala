@@ -415,7 +415,7 @@ object GraftLake {
     * canonical forms, so back-filled and write-time sketches agree
     * exactly. Returns (files analyzed, columns sketched). */
   def analyzeTable(s: SparkSession, tableRef: String,
-      cols: Seq[String]): (Int, Int) = {
+      cols: Seq[String], withBlooms: Boolean = false): (Int, Int) = {
     val st = LakeStore.get(tableRef).getOrElse(
       throw new NoSuchTableException(tableRef.split('.').toSeq))
     require(cols.nonEmpty, s"graft_lake: ANALYZE $tableRef needs columns")
@@ -438,7 +438,8 @@ object GraftLake {
           "graft.ndv.columns)")
     }
     if (st.current.isEmpty) {
-      LakeStore.setFileStats(tableRef, Map.empty, cols)
+      LakeStore.setFileStats(tableRef, Map.empty, cols,
+        newBloomCols = if (withBlooms) cols else Nil)
       return (0, cols.length)
     }
     // read only files that physically store >= 1 requested column; a
@@ -447,10 +448,19 @@ object GraftLake {
     // without streaming the file's rows through the scan at all
     val physCols = cols.map(c => phys.getOrElse(c, c))
     val emptySketch = LakeNdv.encode(Array.emptyLongArray, saturated = false)
+    val bloomBits = LakeBloom.bitsOf(st.props)
+    // the all-zero bloom ("never contains"): correct for a column the
+    // file stores only nulls in — an equality probe cannot match null
+    val emptyBloom = LakeBloom.encode(LakeBloom.newBits(bloomBits))
+    def allNullStats(f: LakeStore.FileEntry) = (
+      f.path -> physCols.map(_ -> emptySketch).toMap,
+      f.path -> physCols.map(_ -> emptyBloom).toMap)
     val readable = st.current.filter(f => physCols.exists(f.cols.contains))
     if (readable.isEmpty) {
-      LakeStore.setFileStats(tableRef, st.current.iterator.map(f =>
-        f.path -> physCols.map(_ -> emptySketch).toMap).toMap, cols)
+      val (nm, bm) = st.current.map(allNullStats).unzip
+      LakeStore.setFileStats(tableRef, nm.toMap, cols,
+        bloomsByPath = if (withBlooms) bm.toMap else Map.empty,
+        newBloomCols = if (withBlooms) cols else Nil)
       return (st.current.length, cols.length)
     }
     val df = s.read
@@ -460,38 +470,63 @@ object GraftLake {
       .select(org.apache.spark.sql.functions.col("_metadata.file_path")
         .as("__file") +: physCols.map(org.apache.spark.sql.functions.col): _*)
     val nCols = physCols.length
+    val blooms = withBlooms // stable capture for the task closure
+    // encoded partial per (file): nCols sketch slots, then (optionally)
+    // nCols bloom slots — merged slot-wise (bottom-k union / bit OR)
     val partials = df.rdd.mapPartitions { it =>
-      val acc = scala.collection.mutable.HashMap
+      val sAcc = scala.collection.mutable.HashMap
         .empty[String, Array[LakeNdv.Sketch]]
+      val bAcc = scala.collection.mutable.HashMap
+        .empty[String, Array[Array[Long]]]
       it.foreach { r =>
-        val sks = acc.getOrElseUpdate(r.getString(0),
-          Array.fill(nCols)(new LakeNdv.Sketch))
+        val f = r.getString(0)
+        val sks = sAcc.getOrElseUpdate(f, Array.fill(nCols)(new LakeNdv.Sketch))
+        val bts = if (blooms) bAcc.getOrElseUpdate(f,
+          Array.fill(nCols)(LakeBloom.newBits(bloomBits))) else null
         var i = 0
         while (i < nCols) {
           val v = r.get(i + 1)
-          if (v != null) sks(i).add(v)
+          if (v != null) {
+            sks(i).add(v)
+            if (blooms) LakeBloom.add(bts(i), v)
+          }
           i += 1
         }
       }
-      acc.iterator.map { case (f, sks) => f -> sks.map(_.encode) }
-    }.reduceByKey((a, b) => a.zip(b).map { case (x, y) => LakeNdv.mergeFileSketches(x, y) })
+      sAcc.iterator.map { case (f, sks) =>
+        f -> (sks.map(_.encode) ++
+          (if (blooms) bAcc(f).map(LakeBloom.encode) else Array.empty[String]))
+      }
+    }.reduceByKey((a, b) => a.indices.toArray.map(i =>
+      if (i < nCols) LakeNdv.mergeFileSketches(a(i), b(i))
+      else LakeBloom.merge(a(i), b(i))))
       .collect()
     // `_metadata.file_path` is a URI (file://...); match manifest
     // entries by data-file NAME — uuid-unique per table, scheme-proof
     def nameOf(p: String): String = p.substring(p.lastIndexOf('/') + 1)
     val sksByName: Map[String, Array[String]] =
       partials.iterator.map { case (abs, sks) => nameOf(abs) -> sks }.toMap
-    val ndvByPath: Map[String, Map[String, String]] = st.current.iterator.map { f =>
-      val sks = sksByName.getOrElse(
+    val statsByPath = st.current.iterator.map { f =>
+      val enc = sksByName.getOrElse(
         nameOf(LakeStore.resolvePath(tableRef, f)),
-        Array.fill(nCols)(emptySketch))
+        Array.fill(nCols)(emptySketch) ++
+          (if (withBlooms) Array.fill(nCols)(emptyBloom) else Array.empty[String]))
       // columns the file does not physically store are all-null THERE:
-      // exact empty sketch (never wrong, keeps coverage complete)
-      f.path -> physCols.zipWithIndex.map { case (c, i) =>
-        c -> (if (f.cols.contains(c)) sks(i) else emptySketch)
+      // exact empty sketch / zero bloom (never wrong, keeps coverage)
+      val ndv = physCols.zipWithIndex.map { case (c, i) =>
+        c -> (if (f.cols.contains(c)) enc(i) else emptySketch)
       }.toMap
-    }.toMap
-    LakeStore.setFileStats(tableRef, ndvByPath, cols)
+      val blm =
+        if (!withBlooms) Map.empty[String, String]
+        else physCols.zipWithIndex.map { case (c, i) =>
+          c -> (if (f.cols.contains(c)) enc(nCols + i) else emptyBloom)
+        }.toMap
+      (f.path -> ndv, f.path -> blm)
+    }.toVector
+    LakeStore.setFileStats(tableRef, statsByPath.map(_._1).toMap, cols,
+      bloomsByPath =
+        if (withBlooms) statsByPath.map(_._2).toMap else Map.empty,
+      newBloomCols = if (withBlooms) cols else Nil)
     (st.current.length, cols.length)
   }
 
@@ -2986,6 +3021,16 @@ object LakeBloom {
     val bb = java.nio.ByteBuffer.allocate(bits.length * 8)
     bits.foreach(bb.putLong)
     java.util.Base64.getEncoder.encodeToString(bb.array())
+  }
+
+  /** Merge two encoded partial blooms of the SAME file (the ANALYZE
+    * back-fill reduce step): plain bit OR — the same fold the writer
+    * does as rows stream. */
+  def merge(a: String, b: String): String = {
+    val (ba, bb) = (decode(a), decode(b))
+    require(ba.length == bb.length,
+      s"graft_lake: bloom merge arity mismatch (${ba.length} vs ${bb.length})")
+    encode(ba.indices.toArray.map(i => ba(i) | bb(i)))
   }
   def decode(s: String): Array[Long] = {
     val bb = java.nio.ByteBuffer.wrap(java.util.Base64.getDecoder.decode(s))

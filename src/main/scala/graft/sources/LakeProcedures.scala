@@ -248,7 +248,8 @@ object LakeProcedures {
       }),
 
     "analyze" -> Proc("analyze",
-      Array(in("tbl", StringType), in("cols", StringType)),
+      Array(in("tbl", StringType), in("cols", StringType),
+        inDefault("with_blooms", org.apache.spark.sql.types.BooleanType, "false")),
       StructType(Seq(
         StructField("files_analyzed", LongType, nullable = false),
         StructField("columns_sketched", LongType, nullable = false),
@@ -257,7 +258,8 @@ object LakeProcedures {
         val k = key(catalog, input.getUTF8String(0).toString)
         val cols = input.getUTF8String(1).toString.split(',').map(_.trim)
           .filter(_.nonEmpty).toSeq
-        val (nf, nc) = GraftLake.analyzeTable(SparkSession.active, k, cols)
+        val (nf, nc) = GraftLake.analyzeTable(SparkSession.active, k, cols,
+          withBlooms = input.getBoolean(2))
         row(nf.toLong, nc.toLong, LakeStore.get(k).get.latestVersion.toLong)
       }))
 }

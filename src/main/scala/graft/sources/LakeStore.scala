@@ -880,15 +880,22 @@ object LakeStore {
     * is rewritten); deletion vectors and equality deletes carry
     * through untouched. */
   def setFileStats(k: String, ndvByPath: Map[String, Map[String, String]],
-      newNdvCols: Seq[String] = Nil): Unit = synchronized {
+      newNdvCols: Seq[String] = Nil,
+      bloomsByPath: Map[String, Map[String, String]] = Map.empty,
+      newBloomCols: Seq[String] = Nil): Unit = synchronized {
     requireMain(k, "ANALYZE")
     val st = stateOf(k)
-    val newProps =
-      if (newNdvCols.isEmpty) Map.empty[String, String]
-      else Map(LakeNdv.ColumnsProp ->
-        (LakeNdv.columnsOf(st.props) ++ newNdvCols).distinct.mkString(","))
-    val enriched = st.current.map(f =>
-      ndvByPath.get(f.path).fold(f)(m => f.copy(ndv = f.ndv ++ m)))
+    def roster(prop: String, add: Seq[String]): Map[String, String] =
+      if (add.isEmpty) Map.empty
+      else Map(prop -> (st.props.get(prop).toSeq.flatMap(_.split(','))
+        .map(_.trim).filter(_.nonEmpty) ++ add).distinct.mkString(","))
+    val newProps = roster(LakeNdv.ColumnsProp, newNdvCols) ++
+      roster("graft.bloom.columns", newBloomCols)
+    val enriched = st.current.map { f =>
+      val withNdv = ndvByPath.get(f.path).fold(f)(m => f.copy(ndv = f.ndv ++ m))
+      bloomsByPath.get(f.path).fold(withNdv)(m =>
+        withNdv.copy(blooms = withNdv.blooms ++ m))
+    }
     val changed = st.current.zip(enriched).filter { case (a, b) => a != b }
     val changedPaths = changed.map(_._1.path).toSet
     // live ordered the way replay rebuilds it (untouched ++ re-added),

@@ -243,6 +243,45 @@ class Round14OpsSpec extends SparkTestBase {
     assert(stats === Map("id" -> 50L, "cat" -> 3L))
   }
 
+  test("analyze with_blooms: back-filled blooms skip files on equality probes") {
+    registerCatalog()
+    import spark.implicits._
+    val key = "graft_lake.anzbloom"
+    spark.sql(s"DROP TABLE IF EXISTS $key")
+    spark.sql(s"CREATE TABLE $key (id BIGINT, v BIGINT)") // no index props
+    // four files with DISJOINT id ranges but identical zones on v — only
+    // a bloom can skip an id equality probe here... except zones on id
+    // also skip; so give every file the FULL id zone span by planting
+    // min/max sentinels, making blooms the only discriminator
+    (0 to 3).foreach { b =>
+      val ids = Seq(0L, 999999L) ++ (1000L * b + 1 until 1000L * b + 50)
+      ids.map(i => (i, i % 7)).toDF("id", "v").coalesce(1)
+        .writeTo(key).append()
+    }
+    // pre-analyze: an equality probe opens every file (zones all span)
+    spark.table(key).filter(col("id") === 2025L).count()
+    val pre = LakeStore.lastScanStats(key)
+    assert(pre.filesScanned === pre.filesTotal, "no bloom yet: no skipping")
+    assert(spark.sql(
+      s"CALL graft_lake.system.analyze('anzbloom', 'id', with_blooms => true)")
+      .collect()(0).getLong(0) === 4L)
+    // post-analyze: the back-filled bloom skips the three foreign files
+    assert(spark.table(key).filter(col("id") === 2025L).count() === 1L)
+    val post = LakeStore.lastScanStats(key)
+    assert(post.filesScanned === 1 && post.filesTotal === 4,
+      s"bloom must skip 3 of 4 files, scanned ${post.filesScanned}")
+    // the roster is set: FUTURE appends build write-time blooms too
+    Seq((5000L, 0L)).toDF("id", "v").coalesce(1).writeTo(key).append()
+    assert(spark.table(key).filter(col("id") === 2025L).count() === 1L)
+    val post2 = LakeStore.lastScanStats(key)
+    assert(post2.filesScanned === 1 && post2.filesTotal === 5,
+      "write-time bloom on the new file keeps skipping")
+    // cold replay keeps the back-filled blooms
+    LakeStore.invalidateCache(key)
+    assert(spark.table(key).filter(col("id") === 2025L).count() === 1L)
+    assert(LakeStore.lastScanStats(key).filesScanned === 1)
+  }
+
   // ----------------- statistics honesty under row-level deletes
 
   test("nullCount reports with distinctCount, and both suppress under live DVs") {
