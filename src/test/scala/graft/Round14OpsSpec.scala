@@ -154,6 +154,53 @@ class Round14OpsSpec extends SparkTestBase {
     assert(got === 4, s"earliest main commit at/after cut is v4, got $got")
   }
 
+  // ----------------- distributed-merge unit contracts (ANALYZE reduce)
+  // At test scale a file never splits across input partitions, so the
+  // reduceByKey merge path of the back-fill runs only at 100 TB file
+  // sizes — these pin it directly against the streaming writer's folds.
+
+  test("mergeFileSketches matches a single streaming sketch over the union") {
+    import graft.sources.LakeNdv
+    def sk(vals: Range): String = {
+      val s = new LakeNdv.Sketch; vals.foreach(v => s.add(s"v$v")); s.encode
+    }
+    // exact + exact, union under K: stays exact, NDV = true union size
+    val m1 = LakeNdv.mergeFileSketches(sk(0 until 300), sk(200 until 500))
+    assert(LakeNdv.mergedNdv(Seq(m1)) === ((500L, true)))
+    // exact + exact, union over K: saturated, equals the one-pass sketch
+    val big = new LakeNdv.Sketch
+    (0 until 800).foreach(v => big.add(s"v$v"))
+    (600 until 1400).foreach(v => big.add(s"v$v"))
+    val m2 = LakeNdv.mergeFileSketches(sk(0 until 800), sk(600 until 1400))
+    assert(m2 === big.encode,
+      "split-scan merge must equal the writer's streaming fold bit-for-bit")
+    // exact + saturated: saturated, bottom-K preserved
+    val m3 = LakeNdv.mergeFileSketches(sk(0 until 10), m2)
+    val (ndv3, exact3) = LakeNdv.mergedNdv(Seq(m3))
+    assert(!exact3 && math.abs(ndv3 - 1410.0) / 1410.0 <= 0.10)
+  }
+
+  test("LakeBloom.merge is the writer's bit-OR fold") {
+    import graft.sources.LakeBloom
+    val bits = 1 << 10
+    val (a, b, one) =
+      (LakeBloom.newBits(bits), LakeBloom.newBits(bits), LakeBloom.newBits(bits))
+    (0 until 50).foreach(i => { LakeBloom.add(a, s"a$i"); LakeBloom.add(one, s"a$i") })
+    (0 until 50).foreach(i => { LakeBloom.add(b, s"b$i"); LakeBloom.add(one, s"b$i") })
+    val merged = LakeBloom.merge(LakeBloom.encode(a), LakeBloom.encode(b))
+    assert(merged === LakeBloom.encode(one),
+      "split-scan merge must equal the one-pass bloom bit-for-bit")
+    val dec = LakeBloom.decode(merged)
+    (0 until 50).foreach { i =>
+      assert(LakeBloom.maybeContains(dec, s"a$i") &&
+        LakeBloom.maybeContains(dec, s"b$i"))
+    }
+    intercept[IllegalArgumentException] {
+      LakeBloom.merge(LakeBloom.encode(a),
+        LakeBloom.encode(LakeBloom.newBits(bits * 2)))
+    }
+  }
+
   // ----------------- ANALYZE back-fill (p79)
 
   test("analyze: back-fills exact NDV, survives cold replay, stays CDC-silent") {
