@@ -1222,6 +1222,81 @@ object Multimodal {
       |WHERE bit_count(xor(ha, hb)) <= 7 AND bit_count(xor(aa, ab)) <= 7
       |ORDER BY ida, idb""".stripMargin
 
+  // ---------------------------------------------------------------- m10
+  /** Driver-contract query: image near-dup dedup over a 128-BIT
+    * fingerprint with 16-BIT bands — the WIDTH LEVER the 64-bit rows'
+    * scale note names, exercised end to end. The fingerprint
+    * concatenates the two independent 64-bit views the m06 verify
+    * already computes (spectral pHash ‖ spatial aHash); at the same
+    * absolute radius (combined Hamming <= 7) the pigeonhole still
+    * needs only 8 disjoint bands, so each band WIDENS from 8 to 16
+    * bits: 65,536 buckets per band instead of 256. Candidate volume is
+    * Θ(n²/bandBuckets) for the random non-dup mass, so the 128-bit
+    * shape carries 256x more corpus before band saturation — the
+    * quadratic onset SCALE.md measured past sf0.1 on the 64-bit rows
+    * moves two orders of magnitude out, with the SAME join shape
+    * (shift/mask band keys, bucket-collision shortlist, exact popcount
+    * verify). Recall stays structural: 7 flips across 128 bits cannot
+    * touch all 8 bands. Same fused synthesis as m06 (encode once,
+    * perturb once, hash both views); both longs land in the sidecar so
+    * DuckDB restates shortlist AND verify bit-for-bit. */
+  def m10WideFingerprintDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashed = Tables.spread(Tables.documents(s, dir))
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val raw = text.getBytes("UTF-8")
+        val base = if (raw.isEmpty) Array[Byte](0) else raw
+        val orig = encodeBmp(base)
+        val twin = perturbContrast(orig)
+        Seq((id, pHash(orig), aHash(orig)),
+          (id + 1000000L, pHash(twin), aHash(twin)))
+      })
+      .toDF("media_id", "h0", "h1")
+    val side = graft.Sidecars.write(hashed, dir, "m10_wide")
+    // 8 bands x 16 bits over the 128-bit concatenation: bands 0-3 from
+    // h0, 4-7 from h1 — the width-generic shift/mask roster
+    val banded = side.select(col("media_id"), col("h0"), col("h1"), explode(expr(
+        "transform(sequence(0, 7), b -> named_struct('band', b, 'bucket', " +
+          "CASE WHEN b < 4 THEN (h0 >> (b * 16)) & 65535 " +
+          "ELSE (h1 >> ((b - 4) * 16)) & 65535 END))")).as("bb"))
+      .select(col("media_id"), col("h0"), col("h1"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("ida"), col("x.h0").as("h0a"), col("x.h1").as("h1a"),
+        col("y.media_id").as("idb"), col("y.h0").as("h0b"), col("y.h1").as("h1b"))
+      .distinct()
+      .withColumn("hamming",
+        expr("bit_count(h0a ^ h0b) + bit_count(h1a ^ h1b)").cast(LongType))
+      .filter(col("hamming") <= 7)
+      .select(col("ida"), col("idb"), col("hamming"))
+      .orderBy(col("ida"), col("idb"))
+  }
+
+  /** The 16-bit band shortlist + 128-bit popcount verify restated over
+    * the (h0, h1) sidecar. */
+  private def m10Sql: String =
+    s"""WITH side AS (SELECT * FROM '${graft.Sidecars.oraclePath("m10_wide")}/*.parquet'),
+      |banded AS (
+      |  SELECT media_id, h0, h1, g.b AS band,
+      |    CASE WHEN g.b < 4 THEN (h0 >> (g.b * 16)) & 65535
+      |         ELSE (h1 >> ((g.b - 4) * 16)) & 65535 END AS bucket
+      |  FROM side, unnest(generate_series(0, 7)) AS g(b)),
+      |pairs AS (
+      |  SELECT DISTINCT x.media_id AS ida, x.h0 AS h0a, x.h1 AS h1a,
+      |    y.media_id AS idb, y.h0 AS h0b, y.h1 AS h1b
+      |  FROM banded x JOIN banded y
+      |    ON x.band = y.band AND x.bucket = y.bucket AND x.media_id < y.media_id)
+      |SELECT ida, idb,
+      |  CAST(bit_count(xor(h0a, h0b)) + bit_count(xor(h1a, h1b)) AS BIGINT) AS hamming
+      |FROM pairs
+      |WHERE bit_count(xor(h0a, h0b)) + bit_count(xor(h1a, h1b)) <= 7
+      |ORDER BY ida, idb""".stripMargin
+
   // ---------------------------------------------------------------- m08
   /** One scene raster from a seed — encodeAvi's f=0 pixel mapping with a
     * uniform brightness offset per frame (NO per-frame phase scramble:
@@ -1419,6 +1494,7 @@ object Multimodal {
       |FROM side ORDER BY media_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m10_wide_fingerprint_dedup" -> (m10WideFingerprintDedup _),
     "m09_audio_qa" -> (m09AudioQa _),
     "m08_scene_cuts" -> (m08SceneCuts _),
     "m07_spectral_audio_dedup" -> (m07SpectralAudioDedup _),
@@ -1437,6 +1513,7 @@ object Multimodal {
     * same two-sided closure t17 uses. def, not val: the SQL embeds the
     * Sidecars.oracleDir-keyed paths Verify pins at runtime. */
   def oracle: Map[String, String] = Map(
+    "m10_wide_fingerprint_dedup" -> m10Sql,
     "m09_audio_qa" -> m09Sql,
     "m08_scene_cuts" -> m08Sql,
     "m07_spectral_audio_dedup" -> bandedHammingSql("m07_spectralfp", maxHamming = 3),

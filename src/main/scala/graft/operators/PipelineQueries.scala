@@ -3582,7 +3582,7 @@ object PipelineQueries {
     val st = graft.sources.LakeStore.get("graft_lake.drp").get
     val freshPhysical =
       if (graft.sources.LakeStore.physicalName(st.schema("lang")) != "lang") 1L else 0L
-    val v1Files = st.snapshots(1).files
+    val v1Files = st.filesAt(1)
     val oldFilesIntact = if (v1Files.nonEmpty &&
       v1Files.forall(f => st.current.contains(f) && f.cols.contains("lang"))) 1L else 0L
     val v1LangRows = s.sql(
@@ -4548,9 +4548,7 @@ object PipelineQueries {
       "('graft.write.distribution-mode' = 'hash')")
     docs.writeTo(key).append() // hash-clustered: one file per bucket
     val st = graft.sources.LakeStore.get(key).get
-    def addedAt(v: Int): Int =
-      (st.snapshots(v).files.map(_.path).toSet --
-        st.snapshots(v - 1).files.map(_.path).toSet).size
+    def addedAt(v: Int): Int = st.addedAt(v).length
     val noneFiles = addedAt(1)
     val hashFiles = addedAt(st.latestVersion)
     val groups = st.current.map(_.group).distinct.size
@@ -5506,7 +5504,8 @@ object PipelineQueries {
       v2LeafOrder(df).map(_.replaceAll("(_ndv|_raw)$", "")).mkString(">")
     def run(suffix: String, withNdv: Boolean): (String, org.apache.spark.sql.Row) = {
       val (f, da, db) = buildTables(suffix, withNdv)
-      // bad syntactic order: the 200-row dim joins before the selective one
+      // bad syntactic order: the tiny 10-row fan-out dim joins before
+      // the selective 40-row one
       val q = s.table(f)
         .join(s.table(da), col("ka") === col("ka_d"))
         .join(s.table(db), col("kb") === col("kb_d"))
@@ -5619,6 +5618,124 @@ object PipelineQueries {
       vOpt.fold(s.conf.unset(k))(s.conf.set(k, _)) }
   }
 
+  // ---------------------------------------------------------------- p80
+  /** CBO REORDER x AQE COMPOSITION — the production configuration p78
+    * deliberately isolated away (it pinned the static decision with
+    * AQE off): real clusters run AQE ON, and the question that matters
+    * at 100 TB is whether the manifest-NDV reorder still lands there.
+    * It does, by architecture: `CostBasedJoinReorder` is a STATIC
+    * logical rule that runs before any physical planning, while AQE
+    * reoptimizes PHYSICAL subtrees from runtime shuffle/broadcast
+    * statistics — it can re-pick join STRATEGIES (sort-merge ->
+    * broadcast) but never re-orders the logical join tree it was
+    * handed. So the static NDV decision is exactly the one AQE
+    * inherits, and it must be right BEFORE execution: the join order
+    * decides which intermediate gets materialized at all, and the
+    * 10x-exploded intermediate the bad order builds is the very first
+    * shuffle — runtime adaptivity only sees it after paying for it.
+    *
+    * The audit is p78's twin-table construction with
+    * `spark.sql.adaptive.enabled=true`: the NDV twin's OPTIMIZED plan
+    * still leads with the contracting dim, the stats-less twin still
+    * keeps the bad syntactic order, both EXECUTED plans are adaptive
+    * (AdaptiveSparkPlanExec roots), and AQE composes on top — the
+    * final adaptive plan broadcasts both tiny dims. All four flags +
+    * both aggregates in the oracle hash. */
+  def p80CboReorderUnderAqe(s: SparkSession, dir: String): DataFrame = {
+    registerLake(s)
+    def buildTables(suffix: String, withNdv: Boolean): (String, String, String) = {
+      val (f, da, db) = (s"graft_lake.cbofact$suffix",
+        s"graft_lake.cbodima$suffix", s"graft_lake.cbodimb$suffix")
+      def ndvProp(cols: String): String =
+        if (withNdv) s" TBLPROPERTIES ('graft.ndv.columns' = '$cols')" else ""
+      Seq(f, da, db).foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      s.sql(s"CREATE TABLE $f (doc_id BIGINT, ka INT, kb INT)" + ndvProp("ka,kb"))
+      s.sql(s"CREATE TABLE $da (ka_d INT, wa BIGINT)" + ndvProp("ka_d"))
+      s.sql(s"CREATE TABLE $db (kb_d INT, wb BIGINT)" + ndvProp("kb_d"))
+      Tables.documents(s, dir).select(col("doc_id"),
+          lit(0).cast("int").as("ka"),
+          (col("doc_id") % 100).cast("int").as("kb"))
+        .repartition(2).writeTo(f).append()
+      s.range(0, 10).select(lit(0).cast("int").as("ka_d"),
+        (col("id") * 3).as("wa")).coalesce(1).writeTo(da).append()
+      s.range(0, 40).select((col("id") % 5).cast("int").as("kb_d"),
+        (col("id") * 7).as("wb")).coalesce(1).writeTo(db).append()
+      (f, da, db)
+    }
+    def leafOrder(df: DataFrame): String =
+      v2LeafOrder(df).map(_.replaceAll("(_qaqe|_raqe)$", "")).mkString(">")
+    // the FINAL adaptive physical plan, after execution materialized it.
+    // Spark 4 wraps materialized stages in QueryStageExec nodes (result
+    // stage included) whose children are Nil — a plain collect() sees
+    // nothing below a stage boundary, so walk through `stage.plan`.
+    def countBhj(p: org.apache.spark.sql.execution.SparkPlan): Long = {
+      val self = p match {
+        case _: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => 1L
+        case _ => 0L
+      }
+      val kids = p match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      self + kids.map(countBhj).sum
+    }
+    def finalPlan(df: DataFrame): (Long, Long) = {
+      df.collect()
+      df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          (1L, countBhj(a.executedPlan))
+        case _ => (0L, 0L)
+      }
+    }
+    def run(suffix: String, withNdv: Boolean)
+        : (String, org.apache.spark.sql.Row, Long, Long) = {
+      val (f, da, db) = buildTables(suffix, withNdv)
+      val q = s.table(f)
+        .join(s.table(da), col("ka") === col("ka_d"))
+        .join(s.table(db), col("kb") === col("kb_d"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("sum_ids"),
+          sum(col("wa") + col("wb")).as("sum_w"))
+      val order = leafOrder(q)
+      val (adaptive, bhj) = finalPlan(q)
+      (order, q.collect()(0), adaptive, bhj)
+    }
+    val saved = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled",
+      "spark.sql.adaptive.enabled").map(k => k -> s.conf.getOption(k))
+    try {
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      s.conf.set("spark.sql.adaptive.enabled", "true") // the production mode
+      val (orderNdv, r, adaptN, bhjN) = run("_qaqe", withNdv = true)
+      val (orderRaw, r2, adaptR, _) = run("_raqe", withNdv = false)
+      import s.implicits._
+      Seq((r.getLong(0), r.getLong(1), r.getLong(2),
+          if (orderNdv == "cbofact>cbodimb>cbodima") 1L else 0L,
+          if (orderRaw == "cbofact>cbodima>cbodimb") 1L else 0L,
+          if (r == r2) 1L else 0L,
+          adaptN * adaptR, // both executed plans adaptive
+          if (bhjN >= 2) 1L else 0L)) // AQE/planner broadcast both dims
+        .toDF("n_rows", "sum_ids", "sum_w", "ndv_reordered_under_aqe",
+          "raw_kept_syntactic_order", "orders_agree", "plans_adaptive",
+          "both_dims_broadcast")
+    } finally saved.foreach { case (k, vOpt) =>
+      vOpt.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+  }
+
+  val p80Sql: String =
+    """WITH f AS (SELECT doc_id, 0 AS ka, doc_id % 100 AS kb
+      |           FROM documents),
+      |da AS (SELECT 0 AS ka_d, 3 * i AS wa FROM generate_series(0, 9) t(i)),
+      |db AS (SELECT i % 5 AS kb_d, 7 * i AS wb FROM generate_series(0, 39) t(i))
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+      |  CAST(SUM(wa + wb) AS BIGINT) AS sum_w,
+      |  CAST(1 AS BIGINT) AS ndv_reordered_under_aqe,
+      |  CAST(1 AS BIGINT) AS raw_kept_syntactic_order,
+      |  CAST(1 AS BIGINT) AS orders_agree,
+      |  CAST(1 AS BIGINT) AS plans_adaptive,
+      |  CAST(1 AS BIGINT) AS both_dims_broadcast
+      |FROM f JOIN da ON ka = ka_d JOIN db ON kb = kb_d""".stripMargin
+
   val p79Sql: String =
     """WITH f AS (SELECT doc_id, 0 AS ka, doc_id % 100 AS kb
       |           FROM documents),
@@ -5636,6 +5753,7 @@ object PipelineQueries {
       |FROM f JOIN da ON ka = ka_d JOIN db ON kb = kb_d""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p80_cbo_reorder_under_aqe" -> (p80CboReorderUnderAqe _),
     "p79_analyze_backfill" -> (p79AnalyzeBackfill _),
     "p78_cbo_join_reorder" -> (p78CboJoinReorder _),
     "p77_copy_into" -> (p77CopyInto _),
@@ -5718,6 +5836,7 @@ object PipelineQueries {
   // def, not val: p19Sql embeds Sidecars.oracleDir-keyed paths, which
   // Verify pins at runtime before dumping oracle_sql.json
   def oracle: Map[String, String] = Map(
+    "p80_cbo_reorder_under_aqe" -> p80Sql,
     "p79_analyze_backfill" -> p79Sql,
     "p78_cbo_join_reorder" -> p78Sql,
     "p77_copy_into" -> p77Sql,

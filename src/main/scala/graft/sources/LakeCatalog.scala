@@ -357,11 +357,13 @@ object GraftLake {
     * loaded before, where "before" is the table's ingest ledger — the
     * union of the per-commit `copyIds` sections every prior ingest
     * commit carries ([[LakeStore.TableState.copyLedger]]). The ledger
-    * entry and the rows land in ONE commit ([[LakeStore
-    * .pendingCopyIds]], a same-thread token — a concurrent plain
-    * append can never consume it), so a crash can never ingest data
-    * without recording it, and re-running the same COPY INTO after any
-    * failure is always safe. File identity is `name@size`: a re-staged
+    * entry and the rows land in ONE commit: the ids ride the write
+    * itself as a DSv2 option ([[LakeStore.CopyIdsOption]]) that the
+    * write builder hands to its own commit — explicit plumbing bound
+    * to ONE logical write whatever thread Spark commits on, so a
+    * concurrent plain append structurally cannot steal it. A crash can
+    * never ingest data without recording it, and re-running the same
+    * COPY INTO after any failure is always safe. File identity is `name@size`: a re-staged
     * file with new content under the same name and size is (by the
     * Delta contract) the caller's problem — use a new name. At 100 TB
     * each ingest commit's log entry costs O(files in THAT ingest) —
@@ -386,18 +388,20 @@ object GraftLake {
     val df = s.read.parquet(fresh.map(_.getPath.toString).toIndexedSeq: _*)
       .select(st.schema.fieldNames.map(org.apache.spark.sql.functions.col(_)).toIndexedSeq: _*)
     val ids = fresh.map(fid).toSeq
-    LakeStore.pendingCopyIds.set((tableRef, ids))
-    try df.writeTo(tableRef).append()
-    finally LakeStore.pendingCopyIds.remove()
+    // the ids ride the WRITE itself (a DSv2 option the write builder
+    // hands to its own commit) — one logical write owns its ledger from
+    // option to commit, whatever thread Spark commits on
+    df.writeTo(tableRef)
+      .option(LakeStore.CopyIdsOption, org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(
+          org.json4s.JArray(ids.map(org.json4s.JString(_)).toList))))
+      .append()
     // report THIS ingest's commit — located by its own ledger section,
     // not the table head (a concurrent commit may already sit above it)
     val st2 = LakeStore.get(tableRef).get
     val v = st2.snapshots.lastIndexWhere(_.copyIds == ids)
     require(v >= 0, s"graft_lake: COPY INTO commit not found on $tableRef")
-    val snap = st2.snapshots(v)
-    val prev = st2.snapshots(snap.parent).files.map(_.path).toSet
-    (fresh.length,
-      snap.files.filterNot(f => prev.contains(f.path)).map(_.rows).sum)
+    (fresh.length, st2.addedAt(v).map(_.rows).sum)
   }
 
   /** ANALYZE — back-fill per-file NDV sketches for `cols` on every live
@@ -407,13 +411,18 @@ object GraftLake {
     * folds a [[LakeNdv.Sketch]] per (file, column) on the executors
     * (partial sketches merge by bottom-k union — associative, so the
     * reduce is shuffle-cheap: K longs per file-column cross the wire,
-    * never values), and ONE metadata-only commit attaches the sketches
+    * never values), the merged sketches land as EXECUTOR-WRITTEN stats
+    * sidecars ([[LakeStatsSidecar]] — the Iceberg puffin shape: the
+    * driver collects ~60 B pointers, never the 8 KB-per-column
+    * payloads), and ONE metadata-only commit attaches the pointers
     * AND sets `graft.ndv.columns`, so history is back-filled and every
     * future append sketches at write time — coverage stays complete,
     * which is what [[LakeScan.estimateStatistics]] requires before
-    * reporting distinctCount to CBO. Hashing uses the writer's own
-    * canonical forms, so back-filled and write-time sketches agree
-    * exactly. Returns (files analyzed, columns sketched). */
+    * reporting distinctCount to CBO (readers resolve pointers and
+    * inline write-time sketches identically). Hashing uses the
+    * writer's own canonical forms, so back-filled and write-time
+    * sketches agree exactly. Returns (files analyzed, columns
+    * sketched). */
   def analyzeTable(s: SparkSession, tableRef: String,
       cols: Seq[String], withBlooms: Boolean = false): (Int, Int) = {
     val st = LakeStore.get(tableRef).getOrElse(
@@ -500,26 +509,47 @@ object GraftLake {
     }.reduceByKey((a, b) => a.indices.toArray.map(i =>
       if (i < nCols) LakeNdv.mergeFileSketches(a(i), b(i))
       else LakeBloom.merge(a(i), b(i))))
-      .collect()
     // `_metadata.file_path` is a URI (file://...); match manifest
     // entries by data-file NAME — uuid-unique per table, scheme-proof
     def nameOf(p: String): String = p.substring(p.lastIndexOf('/') + 1)
-    val sksByName: Map[String, Array[String]] =
-      partials.iterator.map { case (abs, sks) => nameOf(abs) -> sks }.toMap
+    // the Iceberg-puffin landing: each REDUCE task writes its merged
+    // (file -> slots) map as ONE stats sidecar in the table's data dir
+    // and ships back only (fileName -> sidecar) pointers — the driver
+    // never holds sketch payloads, so its memory per ANALYZE is bounded
+    // by file NAMES (assembly) and the commit carries ~60 B pointers
+    // instead of 8 KB-per-column blobs
+    val dataDir = LakeStore.dataDir(tableRef)
+    val pointerPairs = partials.mapPartitions { it =>
+      val entries = it.map { case (abs, slots) =>
+        abs.substring(abs.lastIndexOf('/') + 1) -> slots }.toMap
+      if (entries.isEmpty) Iterator.empty
+      else {
+        val rel = LakeStatsSidecar.write(dataDir, entries)
+        entries.keysIterator.map(n => n -> rel)
+      }
+    }.collect()
+    val sidecarOf: Map[String, String] = pointerPairs.toMap
+    LakeStore.lastAnalyzeStats.update(tableRef, LakeStore.AnalyzeStats(
+      filesAnalyzed = st.current.length,
+      sidecarsWritten = sidecarOf.values.toSet.size,
+      driverBytesCollected =
+        pointerPairs.iterator.map { case (n, r) => n.length + r.length }.sum.toLong))
     val statsByPath = st.current.iterator.map { f =>
-      val enc = sksByName.getOrElse(
-        nameOf(LakeStore.resolvePath(tableRef, f)),
-        Array.fill(nCols)(emptySketch) ++
-          (if (withBlooms) Array.fill(nCols)(emptyBloom) else Array.empty[String]))
+      val side = sidecarOf.get(nameOf(LakeStore.resolvePath(tableRef, f)))
+      def slot(i: Int, empty: String): String = side match {
+        case Some(rel) => LakeStatsSidecar.pointer(rel,
+          nameOf(LakeStore.resolvePath(tableRef, f)), i)
+        case None => empty // file contributed no rows: all-null there
+      }
       // columns the file does not physically store are all-null THERE:
       // exact empty sketch / zero bloom (never wrong, keeps coverage)
       val ndv = physCols.zipWithIndex.map { case (c, i) =>
-        c -> (if (f.cols.contains(c)) enc(i) else emptySketch)
+        c -> (if (f.cols.contains(c)) slot(i, emptySketch) else emptySketch)
       }.toMap
       val blm =
         if (!withBlooms) Map.empty[String, String]
         else physCols.zipWithIndex.map { case (c, i) =>
-          c -> (if (f.cols.contains(c)) enc(nCols + i) else emptyBloom)
+          c -> (if (f.cols.contains(c)) slot(nCols + i, emptyBloom) else emptyBloom)
         }.toMap
       (f.path -> ndv, f.path -> blm)
     }.toVector
@@ -1264,8 +1294,19 @@ class GraftLakeTable(val key: String, val tableSchema: StructType,
         LakeStore.physicalName(st.schema(c))
       }
     }
+    // COPY INTO's ledger ids arrive as a write option (JSON array) and
+    // thread explicitly to the commit — see LakeStore.CopyIdsOption
+    val copyIds = Option(info.options.get(LakeStore.CopyIdsOption)).map { enc =>
+      org.json4s.jackson.JsonMethods.parse(enc) match {
+        case org.json4s.JArray(vs) => vs.map(_.asInstanceOf[org.json4s.JString].s)
+        case other => throw new IllegalArgumentException(
+          s"graft_lake: bad ${LakeStore.CopyIdsOption} payload $other")
+      }
+    }
+    require(copyIds.isEmpty || upsertPhys.isEmpty,
+      s"graft_lake: COPY INTO cannot combine with upsert keys on $key")
     new LakeWriteBuilder(key, info.schema(), LakeWriteBuilder.AppendMode,
-      info.queryId(), upsertPhys)
+      info.queryId(), upsertPhys, copyIds)
   }
 
   override def newRowLevelOperationBuilder(
@@ -1535,7 +1576,7 @@ class LakeScanBuilder(key: String, schema: StructType, pinnedVersion: Option[Int
     if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty) return None
     val st = LakeStore.get(key).getOrElse(return None)
     val snap = pinnedVersion.map(st.snapshots(_))
-    val files = snap.map(_.files).getOrElse(st.current)
+    val files = pinnedVersion.fold(st.current)(st.filesAt)
     if (snap.map(_.deletes).getOrElse(st.deletes).nonEmpty ||
         snap.map(_.eqDeletes).getOrElse(st.eqDeletes).nonEmpty) return None
     val phys = LakeStore.physicalMap(schema)
@@ -1727,7 +1768,7 @@ class LakeScan(key: String, schema: StructType,
     * rows and zones, not byte sizes). */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
     val st = LakeStore.get(key)
-    val files = st.map(s => pinnedVersion.fold(s.current)(v => s.snapshots(v).files))
+    val files = st.map(s => pinnedVersion.fold(s.current)(s.filesAt))
       .getOrElse(Vector.empty)
     val compares = pushed.flatMap(ZonePrune.parse).map(toPhysical)
     val surviving =
@@ -1762,6 +1803,7 @@ class LakeScan(key: String, schema: StructType,
       // EVERY surviving file carries a sketch: a partial fold is an
       // undercount, and an optimizer trusts what it is given.
       val sketches = surviving.flatMap(_.ndv.get(phys))
+        .map(LakeStatsSidecar.resolve(key, _))
       val ndvOpt: Option[Long] =
         if (surviving.nonEmpty && sketches.length == surviving.length)
           Some(LakeNdv.mergedNdv(sketches)._1)
@@ -1876,12 +1918,13 @@ class LakeScan(key: String, schema: StructType,
     else files.filter(f =>
       compares.forall(cc => ZonePrune.survives(f.zones.get(cc.col), cc)) &&
         eqProbes.forall(cc => f.blooms.get(cc.col)
-          .forall(enc => LakeBloom.mayMatch(enc, cc.lits))))
+          .forall(enc => LakeBloom.mayMatch(
+            LakeStatsSidecar.resolve(key, enc), cc.lits))))
   }
 
   private def snapshotFiles: Vector[LakeStore.FileEntry] =
     LakeStore.get(key)
-      .map(s => pinnedVersion.fold(s.current)(v => s.snapshots(v).files))
+      .map(s => pinnedVersion.fold(s.current)(s.filesAt))
       .getOrElse(Vector.empty)
 
   /** Per-group column ENVELOPES from the member files' manifest zones:
@@ -1991,7 +2034,7 @@ class LakeScan(key: String, schema: StructType,
     if (!enabled || !preserve || limit.isDefined) None
     else LakeStore.get(key).flatMap { st =>
       val spec = pinnedVersion.fold(st.partitionCols)(v => st.snapshots(v).spec)
-      val files = pinnedVersion.fold(st.current)(v => st.snapshots(v).files)
+      val files = pinnedVersion.fold(st.current)(st.filesAt)
       val era = pinnedVersion.fold(st.specEra)(v => st.snapshots(v).specEra)
       // era equality is the exact current-spec test: a SAME-ARITY
       // partition evolution (identity(a) -> identity(b)) leaves old
@@ -2230,7 +2273,11 @@ class LakeMicroBatchStream(key: String, required: StructType,
 
   /** (files, bytes) a commit appended — 0 for metadata/layout/branch,
     * and for skipped change commits (they deliver nothing, so they
-    * must not consume the rate-limit budget). */
+    * must not consume the rate-limit budget). Read straight off the
+    * commit's own add-list: O(files in THIS commit) driver work, never
+    * the O(table) full-list set-diff — the planning cost a long-running
+    * ingest stream pays per delivered commit must not grow with the
+    * table it tails. */
   private def appendedAt(st: LakeStore.TableState, v: Int): (Int, Long) = {
     val snap = st.snapshots(v)
     if (!snap.dataChange || snap.ref != "main") (0, 0L)
@@ -2238,9 +2285,7 @@ class LakeMicroBatchStream(key: String, required: StructType,
         snap.action != "append" && snap.action != "clone" &&
         snap.action != "copyinto") (0, 0L)
     else {
-      val prevPaths = st.snapshots(
-        if (snap.parent >= 0) snap.parent else v - 1).files.map(_.path).toSet
-      val added = snap.files.filterNot(f => prevPaths.contains(f.path))
+      val added = st.addedAt(v)
       (added.length, added.map(_.bytes).sum)
     }
   }
@@ -2292,8 +2337,17 @@ class LakeMicroBatchStream(key: String, required: StructType,
     * equally invisible at the table's own head, and failing there
     * would poison full-history replay with a restart that can never
     * succeed (the restart message below must always be a true fix). */
-  private def requireSchemaCompatible(snap: LakeStore.Snapshot, v: Int): Unit = {
-    if (snap.action != "alter" || mergeSchema || tableSchema == null) return
+  private def requireSchemaCompatible(st: LakeStore.TableState,
+      snap: LakeStore.Snapshot, v: Int): Unit = {
+    // keyed on the schema actually CHANGING across the commit (vs its
+    // parent snapshot), not on the action tag: a staged REPLACE that
+    // retypes or adds columns crosses a running stream exactly like an
+    // ALTER does, and under skipChangeCommits its successor appends
+    // would otherwise deliver under the stream's stale schema — the
+    // silent-drop failure this guard exists to refuse. Delta fails a
+    // stream on any schema-changing commit for the same reason.
+    if (mergeSchema || tableSchema == null || snap.parent < 0 ||
+        snap.schema == st.snapshots(snap.parent).schema) return
     val known = tableSchema.fields.iterator
       .map(f => (f.name, f.dataType)).toSet
     val currentNames = state.schema.fieldNames.toSet
@@ -2318,15 +2372,16 @@ class LakeMicroBatchStream(key: String, required: StructType,
     if (s0 + 1 <= e0) LakeStore.requireReadable(key, s0 + 1)
     val chunks = ((s0 + 1) to e0).flatMap { v =>
       val snap = st.snapshots(v)
-      if (snap.ref == "main") requireSchemaCompatible(snap, v)
+      if (snap.ref == "main") requireSchemaCompatible(st, snap, v)
       // branch commits are not main's rows (they surface at PUBLISH);
       // layout/metadata commits deliver nothing
       if (!snap.dataChange || snap.ref != "main") Nil
       else if (snap.action == "append" || snap.action == "clone" ||
           snap.action == "copyinto") {
-        val prevPaths = st.snapshots(
-          if (snap.parent >= 0) snap.parent else v - 1).files.map(_.path).toSet
-        snap.files.filterNot(f => prevPaths.contains(f.path)).map(f =>
+        // the commit's own add-list IS the delivery (append-family
+        // commits never re-add a live path): O(commit size), no
+        // full-file-list reconstruction anywhere on the stream path
+        st.addedAt(v).map(f =>
           LakeFileChunk(LakeStore.resolvePath(key, f), f.cols, f.rows))
       } else if (skipChangeCommits) Nil
       // Delta's contract: fail LOUDLY by default on a non-append data
@@ -2376,15 +2431,42 @@ class LakeMicroBatchStream(key: String, required: StructType,
   * layout-only commits (OPTIMIZE) and metadata commits deliver
   * nothing — the dataChange=false contract. */
 object LakeCdf {
-  def chunksFor(key: String, st: LakeStore.TableState, v: Int): Seq[LakeFileChunk] = {
+  /** CDF over a version range with an INCREMENTAL live-set fold: within
+    * the range, each main commit's live set derives from the previous
+    * one by applying the commit's own delta — O(chain(from) + Σ commit
+    * deltas) driver work for the whole range, never O(range × table
+    * files). Only the range's entry point pays a parent-chain replay. */
+  def chunksForRange(key: String, st: LakeStore.TableState,
+      from: Int, to: Int): Seq[LakeFileChunk] = {
+    var lastV = -2
+    var lastFiles: Vector[LakeStore.FileEntry] = null
+    (from to to).flatMap { v =>
+      val snap = st.snapshots(v)
+      if (!snap.dataChange || snap.ref != "main") Nil
+      else {
+        val p = if (snap.parent >= 0) snap.parent else v - 1
+        val prev = if (p == lastV) lastFiles else st.filesAt(p)
+        val rem = st.removedAt(v).toSet
+        val cur = (if (rem.isEmpty) prev
+          else prev.filterNot(f => rem.contains(f.path))) ++ st.addedAt(v)
+        lastV = v
+        lastFiles = cur
+        chunksFor(key, st, v, prev, cur)
+      }
+    }
+  }
+
+  def chunksFor(key: String, st: LakeStore.TableState, v: Int,
+      prevFiles: Vector[LakeStore.FileEntry],
+      curFiles: Vector[LakeStore.FileEntry]): Seq[LakeFileChunk] = {
     val snap = st.snapshots(v)
     // the change feed is MAIN's row history: branch commits surface as
     // one delta at PUBLISH (whose parent is the prior main head), never
     // earlier — the write-audit-publish contract
     if (!snap.dataChange || snap.ref != "main") return Nil
     val prev = st.snapshots(if (snap.parent >= 0) snap.parent else v - 1)
-    val prevPaths = prev.files.map(_.path).toSet
-    val curPaths = snap.files.map(_.path).toSet
+    val prevPaths = prevFiles.map(_.path).toSet
+    val curPaths = curFiles.map(_.path).toSet
     def dvMap(ds: Vector[LakeStore.DeleteEntry]): Map[String, (Seq[String], Long)] =
       ds.groupBy(_.dataFile).map { case (df, es) =>
         df -> (es.map(e => LakeStore.resolveRaw(key, e.path)), es.map(_.rows).sum)
@@ -2410,13 +2492,13 @@ object LakeCdf {
     // deletes. An ordinary append's own files have seq == v, so no
     // delete's seq exceeds it and the probe set is empty — this costs
     // nothing on the hot path.
-    val added = snap.files.filterNot(f => prevPaths.contains(f.path)).map { f =>
+    val added = curFiles.filterNot(f => prevPaths.contains(f.path)).map { f =>
       val (dv, n) = dvAtV.getOrElse(f.path, (Nil, 0L))
       LakeFileChunk(LakeStore.resolvePath(key, f), f.cols, f.rows, dv, n,
         change = "I", version = v.toLong,
         eqDel = snap.eqDeletes.filter(_.seq > f.seq).map(eqChunk(_, snap.schema)))
     }
-    val removed = prev.files.filterNot(f => curPaths.contains(f.path)).map { f =>
+    val removed = prevFiles.filterNot(f => curPaths.contains(f.path)).map { f =>
       val (dv, n) = dvAtPrev.getOrElse(f.path, (Nil, 0L))
       LakeFileChunk(LakeStore.resolvePath(key, f), f.cols, f.rows, dv, n,
         change = "D", version = v.toLong, eqDel = priorEq(f))
@@ -2432,7 +2514,7 @@ object LakeCdf {
     val newEq = snap.eqDeletes.filterNot(prevEqSet)
     val upserted =
       if (newEq.isEmpty) Nil
-      else prev.files.filter(f => curPaths.contains(f.path) &&
+      else prevFiles.filter(f => curPaths.contains(f.path) &&
           newEq.exists(_.seq > f.seq)).map { f =>
         val (dv, n) = dvAtPrev.getOrElse(f.path, (Nil, 0L))
         LakeFileChunk(LakeStore.resolvePath(key, f), f.cols, f.rows, dv, n,
@@ -2447,7 +2529,7 @@ object LakeCdf {
     val goneEq = prev.eqDeletes.filterNot(snapEqSet)
     val resurrected =
       if (goneEq.isEmpty) Nil
-      else prev.files.filter(f => curPaths.contains(f.path) &&
+      else prevFiles.filter(f => curPaths.contains(f.path) &&
           goneEq.exists(_.seq > f.seq)).map { f =>
         val (dv, n) = dvAtV.getOrElse(f.path, (Nil, 0L))
         LakeFileChunk(LakeStore.resolvePath(key, f), f.cols, f.rows, dv, n,
@@ -2463,7 +2545,7 @@ object LakeCdf {
     // are part of the insert shape, not deletions.
     val prevEntries = prev.deletes.toSet
     val newDv = snap.deletes.filterNot(prevEntries).groupBy(_.dataFile)
-    val byPath = snap.files.iterator.map(f => f.path -> f).toMap
+    val byPath = curFiles.iterator.map(f => f.path -> f).toMap
     val morDeletes = newDv.iterator.collect {
       case (df, es) if byPath.contains(df) && prevPaths.contains(df) =>
         val f = byPath(df)
@@ -2536,7 +2618,7 @@ class LakeChangesScan(parentKey: String, required: StructType,
     val from = startingVersion.getOrElse(s0.earliest + 1)
     val to = endingVersion.getOrElse(s0.latestVersion)
     if (from <= to) LakeStore.requireReadable(parentKey, from - 1)
-    LakeFilePartition.pack((from to to).flatMap(v => LakeCdf.chunksFor(parentKey, s0, v)))
+    LakeFilePartition.pack(LakeCdf.chunksForRange(parentKey, s0, from, to))
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new LakeReaderFactory(required, phys)
@@ -2580,7 +2662,7 @@ class LakeCdfMicroBatchStream(key: String, required: StructType,
     val (s0, e0) = (versionOf(start), versionOf(end))
     // the diff of version s0+1 reads against snapshot s0
     if (s0 + 1 <= e0) LakeStore.requireReadable(key, s0)
-    LakeFilePartition.pack(((s0 + 1) to e0).flatMap(v => LakeCdf.chunksFor(key, st, v)))
+    LakeFilePartition.pack(LakeCdf.chunksForRange(key, st, s0 + 1, e0))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -3114,7 +3196,12 @@ object LakeDerivedColumns {
       // Zones are keyed by PHYSICAL name (column mapping): a renamed
       // identity column keeps its birth-name zones, and looking them up
       // logically would silently reset the sequencer to START WITH.
-      val past = LakeStore.get(key).toSeq.flatMap(_.snapshots).flatMap(_.files)
+      // every file EVER: the union of per-commit add-lists (files only
+      // enter the manifest through an add). O(history) log reads when
+      // old deltas have paged out — the honest cost of a sequencer that
+      // must never reuse a deleted row's identity.
+      val past = LakeStore.get(key).toSeq.flatMap(st =>
+        st.snapshots.indices.flatMap(st.addedAt))
         .flatMap(_.zones.get(LakeStore.physicalName(f)))
         .flatMap { case (mn, mx) => Seq(mn, mx) }
         .collect { case n: java.lang.Number => n.longValue() }
@@ -3234,17 +3321,28 @@ object LakeMetaTable {
             fs.map(_.rows).sum, fs.map(f => dvRows.getOrElse(f.path, 0L)).sum)
         }
     case "history" =>
+      // per-commit add/remove straight off the deltas; rows of removed
+      // files resolve through a running path->rows map built from every
+      // add seen so far (a manifest path is added before it is ever
+      // removed, and data paths are uuid-unique per table). The only
+      // wrinkle is an ANALYZE-style re-add (same path removed and
+      // re-added in one commit to swap its stats): net it out so the
+      // table reports what DESCRIBE HISTORY means — files that actually
+      // entered or left the live set.
+      val rowsOf = scala.collection.mutable.HashMap.empty[String, Long]
       (0 to st.latestVersion).iterator.map { v =>
         val snap = st.snapshots(v)
-        val prev = if (snap.parent < 0) Vector.empty[LakeStore.FileEntry]
-          else st.snapshots(snap.parent).files
-        val prevPaths = prev.map(_.path).toSet
-        val curPaths = snap.files.map(_.path).toSet
-        val added = snap.files.filterNot(f => prevPaths.contains(f.path))
-        val removed = prev.filterNot(f => curPaths.contains(f.path))
+        val add = st.addedAt(v)
+        val remPaths = st.removedAt(v)
+        add.foreach(f => rowsOf.update(f.path, f.rows))
+        val remSet = remPaths.toSet
+        val addPaths = add.iterator.map(_.path).toSet
+        val netAdded = add.filterNot(f => remSet.contains(f.path))
+        val netRemoved = remPaths.filterNot(addPaths.contains)
         Vector[Any](v.toLong, snap.action, snap.dataChange,
-          added.length.toLong, removed.length.toLong,
-          added.iterator.map(_.rows).sum, removed.iterator.map(_.rows).sum,
+          netAdded.length.toLong, netRemoved.length.toLong,
+          netAdded.iterator.map(_.rows).sum,
+          netRemoved.iterator.map(p => rowsOf.getOrElse(p, 0L)).sum,
           snap.commitGroups.map(g => java.lang.Long.valueOf(g.size.toLong)).orNull)
       }.toVector
     case "files" =>
@@ -3274,6 +3372,7 @@ object LakeMetaTable {
       LakeNdv.columnsOf(st.props).sorted.toVector.map { c =>
         val p = phys.getOrElse(c, c)
         val sketches = st.current.flatMap(_.ndv.get(p))
+          .map(LakeStatsSidecar.resolve(st.key, _))
         val (ndv, exact) = LakeNdv.mergedNdv(sketches)
         Vector[Any](c, ndv, exact && sketches.length == st.current.length,
           sketches.length.toLong, st.current.length.toLong)
@@ -3282,7 +3381,8 @@ object LakeMetaTable {
       def liveRows(v: Int): Long = {
         val s = st.snapshots(v)
         if (s.eqDeletes.nonEmpty) -1L
-        else s.files.map(_.rows).sum - s.deletes.map(_.rows).sum
+        // ref heads are materialized — O(1); never a chain replay here
+        else st.filesAt(v).map(_.rows).sum - s.deletes.map(_.rows).sum
       }
       val named = st.refNames.map { r =>
         Vector[Any](r,
@@ -3372,7 +3472,8 @@ object LakeWriteBuilder {
 class LakeWriteBuilder(key: String, writeSchema: StructType,
     private var mode: LakeWriteBuilder.Mode,
     queryId: String = "",
-    upsertCols: Seq[String] = Nil) extends WriteBuilder
+    upsertCols: Seq[String] = Nil,
+    copyIds: Option[Seq[String]] = None) extends WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsOverwriteV2
     with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
   import LakeWriteBuilder._
@@ -3524,7 +3625,8 @@ class LakeWriteBuilder(key: String, writeSchema: StructType,
             LakeStore.appendUpsert(key, files, upsertCols,
               Some(LakeStore.Txn(readVersion, LakeStore.WholeTable)))
           case AppendMode => LakeStore.append(key, files,
-            Some(LakeStore.Txn(readVersion, LakeStore.BlindAppend)))
+            Some(LakeStore.Txn(readVersion, LakeStore.BlindAppend)),
+            ingestIds = copyIds)
           case TruncateMode => LakeStore.replace(key, files, None,
             Some(LakeStore.Txn(readVersion, LakeStore.WholeTable)))
           case OverwriteGroups(gs, guards) =>

@@ -196,10 +196,8 @@ object ScaleExtend {
     spark.sql(s"CREATE TABLE $key (doc_id BIGINT, n_chars BIGINT)")
     // history: 50-id ledger sections through the real append path
     (0 until nHistory / 50).foreach { b =>
-      LakeStore.pendingCopyIds.set((key,
+      LakeStore.append(key, Nil, ingestIds = Some(
         (0 until 50).map(i => s"hist${b * 50 + i}.parquet@${b * 50 + i}")))
-      try LakeStore.append(key, Nil)
-      finally LakeStore.pendingCopyIds.remove()
     }
     // one real ingest of 3 fresh files, timed end to end
     val staging = s"/tmp/graft_scale_copyinto"
@@ -256,7 +254,13 @@ object ScaleExtend {
       "p19_multimodal_curation" -> "4-modality dedup composition + CC",
       "d16_incremental_neardup" -> "probe vs persisted LSH index",
       "d17_band_planning" -> "3 banding configs + exact truth join",
-      "g15_mutual_knn_clusters" -> "mutual filter + star CC over s24 kNN")
+      "g15_mutual_knn_clusters" -> "mutual filter + star CC over s24 kNN",
+      // round-15: the media-fingerprint WIDTH lever, measured — the
+      // 64-bit row (8-bit bands, 256 buckets/band: the documented
+      // quadratic onset) against its 128-bit twin (16-bit bands,
+      // 65,536 buckets/band) at the same Hamming radius
+      "m03_image_dedup" -> "64-bit banded Hamming (8-bit bands)",
+      "m10_wide_fingerprint_dedup" -> "128-bit banded Hamming (16-bit bands)")
     // untimed warmup at the smallest step
     queries.foreach { case (q, _) =>
       SparkEntry.queries(q)(spark, src).count(); spark.catalog.clearCache()

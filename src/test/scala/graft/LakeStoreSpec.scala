@@ -83,11 +83,16 @@ class LakeStoreSpec extends SparkTestBase {
 
     assert(cold.partitionCols === warm.partitionCols)
     assert(cold.snapshots.length === warm.snapshots.length)
-    cold.snapshots.zip(warm.snapshots).foreach { case (c, w) =>
+    cold.snapshots.zip(warm.snapshots).zipWithIndex.foreach { case ((c, w), v) =>
       assert(c.schema === w.schema)
       assert(c.commitGroups === w.commitGroups)
       assert(c.dataChange === w.dataChange)
-      assert(c.files.sortBy(_.path) === w.files.sortBy(_.path))
+      // delta-encoded state: the replayed chain rebuilds the exact live
+      // set AND the same materialization/paging shape the warm cache
+      // maintained incrementally
+      assert(c.live.isDefined === w.live.isDefined, s"materialization at v$v")
+      assert(c.paged === w.paged, s"paging at v$v")
+      assert(cold.filesAt(v).sortBy(_.path) === warm.filesAt(v).sortBy(_.path))
     }
     // and the replayed table still answers queries + time travel
     assert(spark.table("graft_lake.replay").orderBy("id").collect().toSeq ===

@@ -197,7 +197,7 @@ class MergeIntoSpec extends SparkTestBase {
     val replayed = graft.sources.LakeStore.get("graft_lake.evomerge").get
     assert(replayed.snapshots(1).spec === Nil)
     assert(replayed.partitionCols === Seq("grp"))
-    assert(replayed.snapshots(3).files.map(_.group).toSet
+    assert(replayed.filesAt(3).map(_.group).toSet
       .contains(List())) // old era's key survived replay
     assert(spark.table("graft_lake.evomerge").count() === 41L)
   }

@@ -139,6 +139,22 @@ class MultimodalSpec extends SparkTestBase {
     assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
 
+  test("128-bit wide-fingerprint dedup retrieves exactly the planted twins through 16-bit bands (m10)") {
+    val out = Multimodal.m10WideFingerprintDedup(spark, Sf0001).collect()
+    val imageIds = media.filter(_.kind == "image").collect().map(_.media_id).toSet
+    // the width lever: same corpus, same twins, same combined Hamming
+    // <= 7 radius — retrieved through 16-bit bands (65,536 buckets per
+    // band instead of 256), the configuration that carries 256x more
+    // corpus before band saturation. Recall stays structural (7 flips
+    // cannot touch all 8 disjoint bands of the 128-bit fingerprint),
+    // and the two-view concatenation kills single-hash impostors.
+    val expected = imageIds.map(id => (id, id + 1000000L))
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet === expected)
+    out.foreach(r => assert(r.getLong(2) >= 0 && r.getLong(2) <= 7))
+    val again = Multimodal.m10WideFingerprintDedup(spark, Sf0001).collect()
+    assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
   test("spectral audio dedup retrieves exactly the planted DC-offset twins (m07)") {
     val out = Multimodal.m07SpectralAudioDedup(spark, Sf0001).collect()
     val audioIds = media.filter(_.kind == "audio").collect().map(_.media_id).toSet

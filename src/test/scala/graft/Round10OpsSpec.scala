@@ -148,11 +148,10 @@ class Round10OpsSpec extends SparkTestBase {
     assert(ids.forall(v => v >= 1000L && (v - 1000L) % 2 === 0L)) // start+step respected
     // second append's values sit above the first commit's high-water mark
     val st = LakeStore.get("graft_lake.idt").get
-    val v1Max = st.snapshots(1).files.flatMap(_.zones.get("row_id"))
+    val v1Max = st.filesAt(1).flatMap(_.zones.get("row_id"))
       .map(_._2.asInstanceOf[java.lang.Number].longValue()).max
     val v2Min = {
-      val v1Paths = st.snapshots(1).files.map(_.path).toSet
-      st.snapshots(2).files.filterNot(f => v1Paths.contains(f.path))
+      st.addedAt(2)
         .flatMap(_.zones.get("row_id"))
         .map(_._1.asInstanceOf[java.lang.Number].longValue()).min
     }

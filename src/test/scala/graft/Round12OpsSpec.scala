@@ -1028,8 +1028,7 @@ class Round12OpsSpec extends SparkTestBase {
     def addedFiles(): Int = {
       val st = LakeStore.get("graft_lake.wdm").get
       val v = st.latestVersion
-      (st.snapshots(v).files.map(_.path).toSet --
-        st.snapshots(v - 1).files.map(_.path).toSet).size
+      st.addedAt(v).length
     }
     batch().writeTo("graft_lake.wdm").append()
     assert(addedFiles() > 3, "mode=none should write on the query layout")

@@ -115,7 +115,7 @@ class Round9OpsSpec extends SparkTestBase {
     }
     spark.sql("DELETE FROM graft_lake.vacx WHERE v < 5") // v4: COW rewrite
     val st = LakeStore.get("graft_lake.vacx").get
-    val ingestFiles = st.snapshots(3).files.map(_.path).toSet
+    val ingestFiles = st.filesAt(3).map(_.path).toSet
     val liveFiles = st.current.map(_.path).toSet
     assert((ingestFiles intersect liveFiles).isEmpty) // fully rewritten
 

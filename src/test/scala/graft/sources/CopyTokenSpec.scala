@@ -2,16 +2,24 @@ package graft.sources
 
 import org.apache.spark.sql.functions._
 
-/** The COPY INTO handoff is a SAME-THREAD token: a concurrent plain
-  * append to the same table from another thread must commit as an
-  * ordinary 'append' and can never consume (or be stamped with) the
-  * ingest ledger — the lost-exactly-once race a table-keyed shared map
-  * had (a stolen ledger marks files loaded without their rows, so a
-  * re-run would skip them forever; an unledgered ingest re-loads them
-  * as duplicates). */
+/** The COPY INTO ledger handoff is EXPLICIT write-path plumbing: the
+  * loaded ids ride the ingest's own DSv2 write as an option
+  * ([[LakeStore.CopyIdsOption]]) that its write builder hands to its
+  * own commit — bound to one logical write whatever thread Spark
+  * commits on. A concurrent plain append (any thread, any
+  * interleaving) carries no option and so structurally cannot consume
+  * or be stamped with another write's ledger — the lost-exactly-once
+  * race a shared table-keyed map had, and the thread-affinity
+  * assumption the earlier ThreadLocal token quietly leaned on
+  * (a DSv2 engine committing on a different thread would have landed
+  * the rows as a plain unledgered append). */
 class CopyTokenSpec extends graft.SparkTestBase {
 
-  test("a racing thread's append cannot steal another thread's copy ids") {
+  private def withIds(ids: Seq[String]): String =
+    org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods
+      .render(org.json4s.JArray(ids.map(org.json4s.JString(_)).toList)))
+
+  test("an interleaved plain append cannot steal a pending ingest's copy ids") {
     if (!spark.conf.getOption("spark.sql.catalog.graft_lake").contains(
         classOf[GraftLakeCatalog].getName))
       spark.conf.set("spark.sql.catalog.graft_lake",
@@ -20,32 +28,29 @@ class CopyTokenSpec extends graft.SparkTestBase {
     val key = "graft_lake.cptoken"
     spark.sql(s"DROP TABLE IF EXISTS $key")
     spark.sql(s"CREATE TABLE $key (id BIGINT)")
-    // this thread is mid-COPY-INTO: ids staged, append not yet committed
-    LakeStore.pendingCopyIds.set((key, Seq("staged.parquet@42")))
-    try {
-      // a concurrent writer lands a plain append from ANOTHER thread
-      val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
-      val racer = new Thread(() => {
-        try Seq(7L).toDF("id").writeTo(key).append()
-        catch { case e: Throwable => err.set(e) }
-      })
-      racer.start()
-      racer.join(120000)
-      assert(err.get() == null, s"racer append failed: ${err.get()}")
-      val st = LakeStore.get(key).get
-      assert(st.snapshots(st.latestVersion).action === "append",
-        "the racer's commit is an ordinary append, not a copyinto")
-      assert(st.snapshots(st.latestVersion).copyIds.isEmpty,
-        "the racer must not be stamped with this thread's ledger")
-      assert(st.copyLedger.isEmpty,
-        "nothing is marked loaded until the ingest's OWN commit lands")
-      // ... and this thread's own append still carries its ids
-      Seq(8L).toDF("id").writeTo(key).append()
-      val st2 = LakeStore.get(key).get
-      assert(st2.snapshots(st2.latestVersion).action === "copyinto")
-      assert(st2.snapshots(st2.latestVersion).copyIds === Seq("staged.parquet@42"))
-      assert(st2.copyLedger === Set("staged.parquet@42"))
-    } finally LakeStore.pendingCopyIds.remove()
+    // an ingest is in flight: interleave a plain append between the
+    // ingest's plan and its commit (the deterministic-interleave hook
+    // fires inside the store lock immediately before the ingest's own
+    // append — the exact window where a shared-state handoff once let
+    // the interloper consume the staged ledger)
+    LakeStore.onNextCommit.update(key, () =>
+      Seq(7L).toDF("id").writeTo(key).append())
+    Seq(8L).toDF("id").writeTo(key)
+      .option(LakeStore.CopyIdsOption, withIds(Seq("staged.parquet@42")))
+      .append()
+    val st = LakeStore.get(key).get
+    // two commits landed: the racer's plain append (first — the hook
+    // ran before the ingest committed) and the ingest's own
+    val appendV = st.snapshots.indexWhere(_.action == "append")
+    val ingestV = st.snapshots.indexWhere(_.action == "copyinto")
+    assert(appendV > 0 && ingestV > appendV,
+      "racer lands first (inside the hook), ingest rebases on top")
+    assert(st.snapshots(appendV).copyIds.isEmpty,
+      "the racer must not be stamped with the ingest's ledger")
+    assert(st.snapshots(ingestV).copyIds === Seq("staged.parquet@42"),
+      "the ingest's own commit carries its ids — nothing was stolen")
+    assert(st.copyLedger === Set("staged.parquet@42"))
+    assert(spark.table(key).count() === 2L)
   }
 
   test("concurrent COPY INTO runs cannot double-ingest the same file") {
@@ -57,18 +62,18 @@ class CopyTokenSpec extends graft.SparkTestBase {
     val key = "graft_lake.cprace"
     spark.sql(s"DROP TABLE IF EXISTS $key")
     spark.sql(s"CREATE TABLE $key (id BIGINT)")
-    // run 1 ingests f1 (simulated: its ids land via the token path)
-    LakeStore.pendingCopyIds.set((key, Seq("f1.parquet@10")))
-    try Seq(1L).toDF("id").writeTo(key).append()
-    finally LakeStore.pendingCopyIds.remove()
+    // run 1 ingests f1
+    Seq(1L).toDF("id").writeTo(key)
+      .option(LakeStore.CopyIdsOption, withIds(Seq("f1.parquet@10"))).append()
     assert(LakeStore.get(key).get.copyLedger === Set("f1.parquet@10"))
     // run 2 ALSO listed f1 before run 1 committed (both saw it
     // unloaded) — its commit must abort under the store lock instead
     // of landing f1's rows a second time
-    LakeStore.pendingCopyIds.set((key, Seq("f1.parquet@10", "f2.parquet@20")))
-    val e = try intercept[Exception] {
-      Seq(1L).toDF("id").writeTo(key).append()
-    } finally LakeStore.pendingCopyIds.remove()
+    val e = intercept[Exception] {
+      Seq(1L).toDF("id").writeTo(key)
+        .option(LakeStore.CopyIdsOption,
+          withIds(Seq("f1.parquet@10", "f2.parquet@20"))).append()
+    }
     def causes(t: Throwable): Seq[Throwable] =
       if (t == null) Nil else t +: causes(t.getCause)
     assert(causes(e).exists(c =>
