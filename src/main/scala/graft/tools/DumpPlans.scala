@@ -254,7 +254,10 @@ object DumpPlans {
         PipelineQueries.p76AnnLakePruned(spark, dir)),
       ("p78_cbo_join_reorder",
         "CBO JOIN REORDER FROM MANIFEST NDV: the published frame is the literal audit row (both twin runs' leaf orders are inside the oracle hash); the two optimized join trees — NDV-present reordering the exploding dim behind the contracting one, NDV-absent keeping syntactic order — are dumped in the 'statement:' section.",
-        PipelineQueries.p78CboJoinReorder(spark, dir)))
+        PipelineQueries.p78CboJoinReorder(spark, dir)),
+      ("p80_cbo_reorder_under_aqe",
+        "CBO REORDER x AQE (the production configuration): CostBasedJoinReorder is a static logical rule, AQE reoptimizes physical subtrees — so the manifest-NDV join order survives adaptivity unchanged, and AQE composes on top (the final adaptive plan broadcasts both tiny dims). Both twins' leaf orders, adaptivity of both executed plans, and the broadcast count are inside the oracle hash; the optimized tree and the FINAL adaptive physical plan are dumped in the 'statement:' section.",
+        PipelineQueries.p80CboReorderUnderAqe(spark, dir)))
 
     val sb = new StringBuilder
     sb.append("# Flagship physical plans (generated by graft.tools.DumpPlans at sf0.01)\n\n")
@@ -443,6 +446,41 @@ object DumpPlans {
             note + "\n\n" +
             s"```\n${q.queryExecution.optimizedPlan.treeString.trim.take(3000)}\n```\n")
         }
+      } finally saved.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+    }
+
+    // p80: the same reorder with AQE ON (the production mode) — the
+    // optimized logical tree (the static decision AQE inherits) and the
+    // FINAL adaptive physical plan after execution (what AQE composed
+    // on top: broadcast both dims), over the tables p80 just built.
+    {
+      import org.apache.spark.sql.functions.{col, count, lit, sum}
+      val saved = Seq("spark.sql.cbo.enabled",
+        "spark.sql.cbo.joinReorder.enabled", "spark.sql.adaptive.enabled")
+        .map(k => k -> spark.conf.getOption(k))
+      try {
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        val q = spark.table("graft_lake.cbofact_qaqe")
+          .join(spark.table("graft_lake.cbodima_qaqe"),
+            col("ka") === col("ka_d"))
+          .join(spark.table("graft_lake.cbodimb_qaqe"),
+            col("kb") === col("kb_d"))
+          .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("s"),
+            sum(col("wa") + col("wb")).as("w"))
+        q.collect() // materialize the adaptive plan
+        sb.append("\n## statement: CBO reorder under AQE, optimized logical tree (p80)\n\n" +
+          "The static CostBasedJoinReorder decision with adaptive ON — " +
+          "identical to the p78 _ndv twin's: the contracting dim (cbodimb) " +
+          "joins first. AQE cannot re-order this tree; it inherits it.\n\n" +
+          s"```\n${q.queryExecution.optimizedPlan.treeString.trim.take(3000)}\n```\n")
+        sb.append("\n## statement: CBO reorder under AQE, FINAL adaptive physical plan (p80)\n\n" +
+          "What AQE composed on top of the static order: both dims enter " +
+          "via BroadcastHashJoin inside materialized query stages — zero " +
+          "shuffles on the fact side before the partial aggregate.\n\n" +
+          s"```\n${q.queryExecution.executedPlan.toString.trim.take(4000)}\n```\n")
       } finally saved.foreach { case (k, v) =>
         v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
     }
