@@ -5721,6 +5721,87 @@ object PipelineQueries {
       vOpt.fold(s.conf.unset(k))(s.conf.set(k, _)) }
   }
 
+  // ---------------------------------------------------------------- p81
+  /** PAGED-HISTORY READS — the round-15 snapshot rebuild exercised
+    * end-to-end in the ORACLE board, not just specs: 35 single-slice
+    * appends push the oldest commits past the paging window (their
+    * deltas leave driver memory entirely; the log entry is the durable
+    * copy), then every read class that touches deep history runs
+    * against the paged state — (a) time travel to a version whose
+    * whole parent chain is paged (VERSION AS OF 10: reconstruction
+    * reloads each commit's add-list from the log), (b) a fresh
+    * full-history stream drain (paged commits deliver from their own
+    * log entries, O(1) file read per commit — Delta reading commit
+    * JSONs), (c) the change feed over the entire version range. At
+    * 100 TB this is the contract that lets a table hold years of
+    * history while the driver holds one live list plus a window: cold
+    * history costs a log read WHEN ASKED FOR, never resident memory.
+    * `paged_ok`/`reloaded_ok` pin that the probe actually ran against
+    * paged state (>= 5 paged commits, > 0 log reloads) — without them
+    * a shrunk corpus or widened window would silently turn this row
+    * into a no-op. */
+  def p81PagedHistoryReads(s: SparkSession, dir: String): DataFrame = {
+    registerLake(s)
+    val key = "graft_lake.pagedhist"
+    s.sql(s"DROP TABLE IF EXISTS $key")
+    s.sql(s"CREATE TABLE $key (doc_id BIGINT, n_chars BIGINT)")
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+    (0 until 35).foreach { i => // v1..v35; window 24 pages v1..v11
+      docs.filter(col("doc_id") % 35 === i).coalesce(1).writeTo(key).append()
+    }
+    val st = graft.sources.LakeStore.get(key).get
+    val pagedOk =
+      if (st.snapshots.count(_.paged) >= 5) 1L else 0L
+    val reloads0 = graft.sources.LakeStore.deltaReloads.get()
+    // (a) time travel through the fully-paged prefix
+    val tt = s.sql(s"SELECT COUNT(*) AS n, CAST(COALESCE(SUM(n_chars), 0) " +
+      s"AS BIGINT) AS c FROM $key VERSION AS OF 10").collect()(0)
+    val reloadedOk =
+      if (graft.sources.LakeStore.deltaReloads.get() > reloads0) 1L else 0L
+    // (b) fresh full-history stream drain across the paged commits
+    val root = s"/tmp/graft_p81_${graft.Sidecars.tag(dir)}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val sRows = new java.util.concurrent.atomic.AtomicLong(0L)
+    val sChars = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = s.readStream.table(key)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val r = b.agg(count(lit(1)), coalesce(sum(col("n_chars")), lit(0L)))
+          .collect()(0)
+        sRows.addAndGet(r.getLong(0))
+        sChars.addAndGet(r.getLong(1))
+        ()
+      }
+      .option("checkpointLocation", s"$root/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // (c) the change feed over the whole range (all inserts)
+    val cdc = graft.sources.GraftLake
+      .changes(s, key, 0, st.latestVersion, "doc_id").count()
+    val tot = s.table(key)
+      .agg(count(lit(1)), coalesce(sum(col("n_chars")), lit(0L))).collect()(0)
+    import s.implicits._
+    Seq((tot.getLong(0), tot.getLong(1),
+        tt.getLong(0), tt.getLong(1),
+        sRows.get(), sChars.get(), cdc, pagedOk, reloadedOk))
+      .toDF("total_rows", "total_chars", "tt10_rows", "tt10_chars",
+        "stream_rows", "stream_chars", "cdc_rows", "paged_ok", "reloaded_ok")
+  }
+
+  val p81Sql: String =
+    """SELECT
+      |  CAST(COUNT(*) AS BIGINT) AS total_rows,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(SUM(CASE WHEN doc_id % 35 < 10 THEN 1 ELSE 0 END) AS BIGINT) AS tt10_rows,
+      |  CAST(SUM(CASE WHEN doc_id % 35 < 10 THEN n_chars ELSE 0 END) AS BIGINT) AS tt10_chars,
+      |  CAST(COUNT(*) AS BIGINT) AS stream_rows,
+      |  CAST(SUM(n_chars) AS BIGINT) AS stream_chars,
+      |  CAST(COUNT(*) AS BIGINT) AS cdc_rows,
+      |  CAST(1 AS BIGINT) AS paged_ok,
+      |  CAST(1 AS BIGINT) AS reloaded_ok
+      |FROM documents""".stripMargin
+
   val p80Sql: String =
     """WITH f AS (SELECT doc_id, 0 AS ka, doc_id % 100 AS kb
       |           FROM documents),
@@ -5753,6 +5834,7 @@ object PipelineQueries {
       |FROM f JOIN da ON ka = ka_d JOIN db ON kb = kb_d""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p81_paged_history_reads" -> (p81PagedHistoryReads _),
     "p80_cbo_reorder_under_aqe" -> (p80CboReorderUnderAqe _),
     "p79_analyze_backfill" -> (p79AnalyzeBackfill _),
     "p78_cbo_join_reorder" -> (p78CboJoinReorder _),
@@ -5836,6 +5918,7 @@ object PipelineQueries {
   // def, not val: p19Sql embeds Sidecars.oracleDir-keyed paths, which
   // Verify pins at runtime before dumping oracle_sql.json
   def oracle: Map[String, String] = Map(
+    "p81_paged_history_reads" -> p81Sql,
     "p80_cbo_reorder_under_aqe" -> p80Sql,
     "p79_analyze_backfill" -> p79Sql,
     "p78_cbo_join_reorder" -> p78Sql,

@@ -1577,8 +1577,8 @@ class LakeScanBuilder(key: String, schema: StructType, pinnedVersion: Option[Int
     val st = LakeStore.get(key).getOrElse(return None)
     val snap = pinnedVersion.map(st.snapshots(_))
     val files = pinnedVersion.fold(st.current)(st.filesAt)
-    if (snap.map(_.deletes).getOrElse(st.deletes).nonEmpty ||
-        snap.map(_.eqDeletes).getOrElse(st.eqDeletes).nonEmpty) return None
+    if (pinnedVersion.fold(st.deletes)(st.deletesAt).nonEmpty ||
+        pinnedVersion.fold(st.eqDeletes)(st.eqDeletesAt).nonEmpty) return None
     val phys = LakeStore.physicalMap(schema)
     def exactOrdered(dt: DataType): Boolean = dt match {
       case ByteType | ShortType | IntegerType | LongType | DateType |
@@ -1775,7 +1775,7 @@ class LakeScan(key: String, schema: StructType,
       if (compares.isEmpty) files
       else files.filter(f => compares.forall(cc => ZonePrune.survives(f.zones.get(cc.col), cc)))
     val dvRows = st.map(s =>
-      pinnedVersion.fold(s.deletes)(v => s.snapshots(v).deletes))
+      pinnedVersion.fold(s.deletes)(s.deletesAt))
       .getOrElse(Vector.empty)
       .groupBy(_.dataFile).map { case (df, es) => df -> es.map(_.rows).sum }
     val rows = surviving.map(f => f.rows - dvRows.getOrElse(f.path, 0L)).sum
@@ -1820,8 +1820,7 @@ class LakeScan(key: String, schema: StructType,
       // nullCount > rowCount ColumnStat drives the estimator's
       // non-null fraction negative, worse than reporting nothing.
       val deletesHideRows = dvRows.nonEmpty ||
-        st.exists(s => pinnedVersion.fold(s.eqDeletes)(v =>
-          s.snapshots(v).eqDeletes).nonEmpty)
+        st.exists(s => pinnedVersion.fold(s.eqDeletes)(s.eqDeletesAt).nonEmpty)
       val nullsOpt: Option[Long] = {
         val ns = surviving.flatMap(_.nulls.get(phys))
         if (!deletesHideRows && surviving.nonEmpty &&
@@ -1870,7 +1869,7 @@ class LakeScan(key: String, schema: StructType,
   /** Deletion vectors of the scanned snapshot, keyed by manifest data
     * path: (absolute sidecar paths, total hidden positions). */
   protected def dvOf(st: LakeStore.TableState): Map[String, (Seq[String], Long)] = {
-    val ds = pinnedVersion.fold(st.deletes)(v => st.snapshots(v).deletes)
+    val ds = pinnedVersion.fold(st.deletes)(st.deletesAt)
     ds.groupBy(_.dataFile).map { case (df, es) =>
       df -> (es.map(e => LakeStore.resolveRaw(key, e.path)), es.map(_.rows).sum)
     }
@@ -1881,11 +1880,12 @@ class LakeScan(key: String, schema: StructType,
     * file paths absolute). */
   protected def eqOf(st: LakeStore.TableState): Seq[(Int, LakeEqDel)] = {
     val snap = pinnedVersion.fold(st.active)(v => st.snapshots(v))
-    if (snap.eqDeletes.isEmpty) return Nil
+    val eqs = pinnedVersion.fold(st.eqDeletes)(st.eqDeletesAt)
+    if (eqs.isEmpty) return Nil
     val typeByPhysical: Map[String, org.apache.spark.sql.types.DataType] =
       snap.schema.fields.iterator
         .map(f => LakeStore.physicalName(f) -> f.dataType).toMap
-    snap.eqDeletes.map { d =>
+    eqs.map { d =>
       d.seq -> LakeEqDel(d.cols, d.cols.map(typeByPhysical), 
         d.files.map(LakeStore.resolveRaw(key, _)))
     }
@@ -2464,15 +2464,22 @@ object LakeCdf {
     // one delta at PUBLISH (whose parent is the prior main head), never
     // earlier — the write-audit-publish contract
     if (!snap.dataChange || snap.ref != "main") return Nil
-    val prev = st.snapshots(if (snap.parent >= 0) snap.parent else v - 1)
+    val pIdx = if (snap.parent >= 0) snap.parent else v - 1
+    val prev = st.snapshots(pIdx)
+    // delete state through the paged accessors: a CDF range can reach
+    // versions whose inline delete lists paged out with their deltas
+    val snapDeletes = st.deletesAt(v)
+    val prevDeletes = st.deletesAt(pIdx)
+    val snapEq = st.eqDeletesAt(v)
+    val prevEq = st.eqDeletesAt(pIdx)
     val prevPaths = prevFiles.map(_.path).toSet
     val curPaths = curFiles.map(_.path).toSet
     def dvMap(ds: Vector[LakeStore.DeleteEntry]): Map[String, (Seq[String], Long)] =
       ds.groupBy(_.dataFile).map { case (df, es) =>
         df -> (es.map(e => LakeStore.resolveRaw(key, e.path)), es.map(_.rows).sum)
       }
-    val dvAtV = dvMap(snap.deletes)
-    val dvAtPrev = dvMap(prev.deletes)
+    val dvAtV = dvMap(snapDeletes)
+    val dvAtPrev = dvMap(prevDeletes)
     // equality deletes in chunk form: the rows of a file are dead at a
     // version exactly when a delete with a LATER sequence names their
     // key — D chunks must not resurrect them, and an upsert commit's
@@ -2484,7 +2491,7 @@ object LakeCdf {
         d.files.map(LakeStore.resolveRaw(key, _)))
     }
     def priorEq(f: LakeStore.FileEntry): Seq[LakeEqDel] =
-      prev.eqDeletes.filter(_.seq > f.seq).map(eqChunk(_, prev.schema))
+      prevEq.filter(_.seq > f.seq).map(eqChunk(_, prev.schema))
     // an ADDED file can arrive with rows ALREADY dead by equality
     // deletes carried in the same commit: a PUBLISH fast-forwards a
     // branch whose upserts killed keys in branch-added files, and a
@@ -2496,7 +2503,7 @@ object LakeCdf {
       val (dv, n) = dvAtV.getOrElse(f.path, (Nil, 0L))
       LakeFileChunk(LakeStore.resolvePath(key, f), f.cols, f.rows, dv, n,
         change = "I", version = v.toLong,
-        eqDel = snap.eqDeletes.filter(_.seq > f.seq).map(eqChunk(_, snap.schema)))
+        eqDel = snapEq.filter(_.seq > f.seq).map(eqChunk(_, snap.schema)))
     }
     val removed = prevFiles.filterNot(f => curPaths.contains(f.path)).map { f =>
       val (dv, n) = dvAtPrev.getOrElse(f.path, (Nil, 0L))
@@ -2510,8 +2517,8 @@ object LakeCdf {
     // deletes in one commit (their seqs are branch versions), and a
     // RESTORE re-introduces deletes from the target snapshot — both
     // must emit the row-level D side of the batch they land.
-    val prevEqSet = prev.eqDeletes.toSet
-    val newEq = snap.eqDeletes.filterNot(prevEqSet)
+    val prevEqSet = prevEq.toSet
+    val newEq = snapEq.filterNot(prevEqSet)
     val upserted =
       if (newEq.isEmpty) Nil
       else prevFiles.filter(f => curPaths.contains(f.path) &&
@@ -2525,8 +2532,8 @@ object LakeCdf {
     // RESTORE rolling back an upsert) resurrect the rows they hid —
     // emit them as I, include-mode on the vanished probes, minus rows
     // still dead under the commit's remaining deletes or its DVs.
-    val snapEqSet = snap.eqDeletes.toSet
-    val goneEq = prev.eqDeletes.filterNot(snapEqSet)
+    val snapEqSet = snapEq.toSet
+    val goneEq = prevEq.filterNot(snapEqSet)
     val resurrected =
       if (goneEq.isEmpty) Nil
       else prevFiles.filter(f => curPaths.contains(f.path) &&
@@ -2534,7 +2541,7 @@ object LakeCdf {
         val (dv, n) = dvAtV.getOrElse(f.path, (Nil, 0L))
         LakeFileChunk(LakeStore.resolvePath(key, f), f.cols, f.rows, dv, n,
           change = "I", version = v.toLong,
-          eqDel = snap.eqDeletes.filter(_.seq > f.seq).map(eqChunk(_, snap.schema)),
+          eqDel = snapEq.filter(_.seq > f.seq).map(eqChunk(_, snap.schema)),
           eqIncl = goneEq.filter(_.seq > f.seq).map(eqChunk(_, prev.schema)))
       }
     // merge-on-read: sidecars NEW at v over files that were ALREADY
@@ -2543,8 +2550,8 @@ object LakeCdf {
     // its own I chunk (a CLONE carries the source's vectors in its
     // first commit); those positions were never visible here, so they
     // are part of the insert shape, not deletions.
-    val prevEntries = prev.deletes.toSet
-    val newDv = snap.deletes.filterNot(prevEntries).groupBy(_.dataFile)
+    val prevEntries = prevDeletes.toSet
+    val newDv = snapDeletes.filterNot(prevEntries).groupBy(_.dataFile)
     val byPath = curFiles.iterator.map(f => f.path -> f).toMap
     val morDeletes = newDv.iterator.collect {
       case (df, es) if byPath.contains(df) && prevPaths.contains(df) =>
@@ -3379,10 +3386,9 @@ object LakeMetaTable {
       }
     case "refs" =>
       def liveRows(v: Int): Long = {
-        val s = st.snapshots(v)
-        if (s.eqDeletes.nonEmpty) -1L
+        if (st.eqDeletesAt(v).nonEmpty) -1L
         // ref heads are materialized — O(1); never a chain replay here
-        else st.filesAt(v).map(_.rows).sum - s.deletes.map(_.rows).sum
+        else st.filesAt(v).map(_.rows).sum - st.deletesAt(v).map(_.rows).sum
       }
       val named = st.refNames.map { r =>
         Vector[Any](r,

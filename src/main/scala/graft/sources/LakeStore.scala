@@ -218,11 +218,24 @@ object LakeStore {
       * immutable log entry after (O(1) file open, LRU-cached). */
     def addedAt(v: Int): Vector[FileEntry] = {
       val s = snapshots(v)
-      if (!s.paged) s.added else LakeStore.readDelta(key, v, s)._1
+      if (!s.paged) s.added else LakeStore.readDelta(key, v, s).added
     }
     def removedAt(v: Int): Vector[String] = {
       val s = snapshots(v)
-      if (!s.paged) s.removedPaths else LakeStore.readDelta(key, v, s)._2
+      if (!s.paged) s.removedPaths else LakeStore.readDelta(key, v, s).removed
+    }
+    /** The LIVE delete-sidecar / equality-delete state AS OF version
+      * `v` — inline for heads and in-window versions, re-read from the
+      * version's own log entry for paged history (the log stores each
+      * commit's full live delete list — KB-scale — precisely so replay
+      * and paging need no delete-delta algebra). */
+    def deletesAt(v: Int): Vector[DeleteEntry] = {
+      val s = snapshots(v)
+      if (!s.paged) s.deletes else LakeStore.readDelta(key, v, s).deletes
+    }
+    def eqDeletesAt(v: Int): Vector[EqDelete] = {
+      val s = snapshots(v)
+      if (!s.paged) s.eqDeletes else LakeStore.readDelta(key, v, s).eqDeletes
     }
 
     /** The live file set AS OF version `v`: the materialized list when
@@ -428,9 +441,9 @@ object LakeStore {
     val bs = st.snapshots(base)
     commit(k, st, kind, st.filesAt(base), added = Nil, removed = Nil,
       commitGroups = Some(Set.empty), dataChange = false, schema = bs.schema,
-      props = bs.props, deletes = bs.deletes, spec = bs.spec,
+      props = bs.props, deletes = st.deletesAt(base), spec = bs.spec,
       refOverride = name, parentOverride = base, eraOverride = bs.specEra,
-      eqDeletes = bs.eqDeletes)
+      eqDeletes = st.eqDeletesAt(base))
     st.latestVersion + 1
   }
 
@@ -662,22 +675,30 @@ object LakeStore {
   val liveReconstructions = new java.util.concurrent.atomic.AtomicLong
   val deltaReloads = new java.util.concurrent.atomic.AtomicLong
 
-  /** Bounded LRU over re-read paged deltas (a log entry is immutable, so
-    * caching is always sound); smaller than any real window of interest,
-    * it only smooths repeated historical walks (identity high-water,
-    * VACUUM keep-sets) without re-accumulating O(history) state. */
+  /** A paged version's per-entry state, re-read from the log: the
+    * commit's own delta plus its live delete-sidecar / equality-delete
+    * lists (the log stores those in full per commit). */
+  final case class EntryState(added: Vector[FileEntry],
+      removed: Vector[String], deletes: Vector[DeleteEntry],
+      eqDeletes: Vector[EqDelete])
+
+  /** Bounded LRU over re-read paged entries (a log entry is immutable,
+    * so caching is always sound); smaller than any real window of
+    * interest, it only smooths repeated historical walks (identity
+    * high-water, VACUUM keep-sets) without re-accumulating O(history)
+    * state. */
   private val deltaCache =
-    new java.util.LinkedHashMap[(String, Int), (Vector[FileEntry], Vector[String])](64, 0.75f, true) {
+    new java.util.LinkedHashMap[(String, Int), EntryState](64, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Int), (Vector[FileEntry], Vector[String])]): Boolean =
+          e: java.util.Map.Entry[(String, Int), EntryState]): Boolean =
         size() > 64
     }
 
-  /** Re-read a paged snapshot's delta from its own commit-log entry.
+  /** Re-read a paged snapshot's state from its own commit-log entry.
     * Every log `add` is self-decoding (per-value group type tags +
     * the entry's own schema), so no surrounding state is needed. */
   private[sources] def readDelta(k: String, version: Int,
-      snap: Snapshot): (Vector[FileEntry], Vector[String]) = {
+      snap: Snapshot): EntryState = {
     deltaCache.synchronized {
       val hit = deltaCache.get((k, version))
       if (hit != null) return hit
@@ -699,20 +720,26 @@ object LakeStore {
     val added = j("add").asInstanceOf[JArray].arr
       .map(f => fileFromJson(f, schema, partTypes)).toVector
     val removed = j("remove").asInstanceOf[JArray].arr.map(str).toVector
-    val out = (added, removed)
+    val out = EntryState(added, removed, parseDeletes(j), parseEqDeletes(j))
     deltaCache.synchronized { deltaCache.put((k, version), out) }
     out
   }
 
   /** Apply the paging window over `snapshots` (shared by the commit
     * path — one demotion per commit — and cold replay, which pages the
-    * whole below-window prefix so cache and replay agree exactly). */
+    * whole below-window prefix so cache and replay agree exactly).
+    * Ref HEADS never page: writers and scans read their delete state
+    * through the Snapshot fields directly (an old tag or idle branch
+    * head must stay whole however far below the window it sits). */
   private def pageOld(snapshots: Vector[Snapshot]): Vector[Snapshot] = {
     val cut = snapshots.length - 1 - snapshotWindow
     if (cut < 0) snapshots
     else snapshots.zipWithIndex.map { case (s, i) =>
-      if (i <= cut && !s.paged && (s.added.nonEmpty || s.removedPaths.nonEmpty))
-        s.copy(added = Vector.empty, removedPaths = Vector.empty, paged = true)
+      if (i <= cut && !s.paged && s.live.isEmpty &&
+          (s.added.nonEmpty || s.removedPaths.nonEmpty ||
+            s.deletes.nonEmpty || s.eqDeletes.nonEmpty))
+        s.copy(added = Vector.empty, removedPaths = Vector.empty,
+          deletes = Vector.empty, eqDeletes = Vector.empty, paged = true)
       else s
     }
   }
@@ -729,6 +756,7 @@ object LakeStore {
       // stops CREATE from destroying the evidence.
       if (get(k).isDefined) return false
       validateSpec(k, schema, partitionCols)
+      deltaCache.synchronized { deltaCache.keySet.removeIf(_._1 == k) }
       val dir = new Path(tableDir(k))
       val fs = fsOf(dir)
       // only a leftover dir with NO replayable log reaches this point
@@ -753,6 +781,12 @@ object LakeStore {
     }
 
   def drop(k: String): Boolean = synchronized {
+    // a re-created table reuses the key with a NEW log: paged-delta
+    // cache entries keyed (k, version) would serve the dead table's
+    // state — purge them with the table
+    deltaCache.synchronized {
+      deltaCache.keySet.removeIf(_._1 == k)
+    }
     val existed = tables.remove(k).isDefined
     val dir = new Path(tableDir(k))
     val fs = fsOf(dir)
@@ -1098,6 +1132,8 @@ object LakeStore {
         s"(earliest readable: ${st.earliest})")
     val target = st.snapshots(toVersion)
     val targetFiles = st.filesAt(toVersion)
+    val targetDeletes = st.deletesAt(toVersion)
+    val targetEq = st.eqDeletesAt(toVersion)
     val curPaths = st.current.map(_.path).toSet
     val tgtPaths = targetFiles.map(_.path).toSet
     val added = targetFiles.filterNot(f => curPaths.contains(f.path))
@@ -1106,8 +1142,8 @@ object LakeStore {
     // deletion-vector sets differ (same files, different hidden rows —
     // rolling back a merge-on-read DELETE changes rows too)
     val groupOf = (st.current ++ targetFiles).map(f => f.path -> f.group).toMap
-    val dvDiff = (st.deletes.toSet diff target.deletes.toSet) ++
-      (target.deletes.toSet diff st.deletes.toSet)
+    val dvDiff = (st.deletes.toSet diff targetDeletes.toSet) ++
+      (targetDeletes.toSet diff st.deletes.toSet)
     val touched = (added ++ removed).map(_.group).toSet ++
       dvDiff.flatMap(d => groupOf.get(d.dataFile))
     // an EQUALITY-delete difference is key-scoped, not file-scoped: the
@@ -1115,14 +1151,14 @@ object LakeStore {
     // pre-dating group, so no per-group touched set is honest —
     // degrade to the whole-table claim (conflict checking and the
     // partition-diff reader then treat the restore as table-wide)
-    val eqChanged = st.eqDeletes.toSet != target.eqDeletes.toSet
+    val eqChanged = st.eqDeletes.toSet != targetEq.toSet
     lastReplacedGroups.update(k, if (eqChanged) None else Some(touched))
     lastReplacedFiles.update(k, (removed.map(_.path), added.map(_.path)))
     commit(k, st, "restore", targetFiles, added, removed.map(_.path),
       commitGroups = if (eqChanged) None else Some(touched),
       dataChange = true, schema = target.schema,
-      deletes = target.deletes, // the restore point's deletion vectors
-      eqDeletes = target.eqDeletes)
+      deletes = targetDeletes, // the restore point's deletion vectors
+      eqDeletes = targetEq)
   }
 
   /** Shallow CLONE: a new table whose first data commit REFERENCES the
@@ -1295,10 +1331,9 @@ object LakeStore {
     // replays ONCE for the whole sweep, not once per reachable version
     val memo = scala.collection.mutable.HashMap.empty[Int, Vector[FileEntry]]
     def reachable(v: Int): Iterator[String] = {
-      val s = st.snapshots(v)
       st.filesAtWith(memo, v).iterator.map(_.path) ++
-        s.deletes.iterator.map(_.path) ++
-        s.eqDeletes.iterator.flatMap(_.files)
+        st.deletesAt(v).iterator.map(_.path) ++
+        st.eqDeletesAt(v).iterator.flatMap(_.files)
     }
     // retention window PLUS every live ref HEAD (Iceberg's expire rule:
     // a snapshot referenced by a branch or tag never expires) — a tag
@@ -1314,7 +1349,8 @@ object LakeStore {
     // the union of per-commit deltas IS the ever-referenced set.
     val everReferenced: Set[String] =
       (st.snapshots.indices.iterator.flatMap(v => st.addedAt(v).iterator.map(_.path)) ++
-        st.snapshots.iterator.flatMap(_.deletes.iterator.map(_.path))).toSet
+        st.snapshots.indices.iterator.flatMap(v =>
+          st.deletesAt(v).iterator.map(_.path))).toSet
     val dir = new Path(dataDir(k))
     val fs = fsOf(dir)
     val cutoff = System.currentTimeMillis() - graceMs
@@ -1605,13 +1641,7 @@ object LakeStore {
         case Some(JObject(fields)) => fields.map { case (pk, pv) => pk -> str(pv) }.toMap
         case _ => Map.empty[String, String] // pre-props log entries
       }
-      val deletes = j.get("deletes") match {
-        case Some(JArray(ds)) => ds.map { dj =>
-          val o = dj.asInstanceOf[JObject].obj.toMap
-          DeleteEntry(str(o("path")), str(o("dataFile")), num(o("rows")).longValue())
-        }.toVector
-        case _ => Vector.empty[DeleteEntry] // pre-MoR log entries
-      }
+      val deletes = parseDeletes(j)
       val eqDeletes = parseEqDeletes(j)
       // spec era replays by the same rule commits use: +1 exactly when
       // the entry's spec differs from its PARENT snapshot's
@@ -1755,6 +1785,15 @@ object LakeStore {
     j.get("copyIds") match {
       case Some(JArray(ids)) => ids.map(str)
       case _ => Nil
+    }
+
+  private def parseDeletes(j: Map[String, JValue]): Vector[DeleteEntry] =
+    j.get("deletes") match {
+      case Some(JArray(ds)) => ds.map { dj =>
+        val o = dj.asInstanceOf[JObject].obj.toMap
+        DeleteEntry(str(o("path")), str(o("dataFile")), num(o("rows")).longValue())
+      }.toVector
+      case _ => Vector.empty[DeleteEntry] // pre-MoR log entries
     }
 
   private def parseEqDeletes(j: Map[String, JValue]): Vector[EqDelete] =
