@@ -292,6 +292,44 @@ class Round15OpsSpec extends SparkTestBase {
     assert(stats2 === Map("id" -> 600L, "cat" -> 5L))
   }
 
+  test("VACUUM plans its keep-set through paged history exactly") {
+    registerCatalog()
+    withWindow(4) {
+      import spark.implicits._
+      val key = "graft_lake.vacpage"
+      spark.sql(s"DROP TABLE IF EXISTS $key")
+      spark.sql(s"CREATE TABLE $key (id BIGINT)")
+      (0 until 12).foreach { i => // v1..v12; v1..v7 page out
+        Seq(i.toLong).toDF("id").coalesce(1).writeTo(key).append()
+      }
+      // a tag pinned DEEP below the window: its head files must survive
+      // every VACUUM even though its version's surroundings are paged
+      LakeStore.createRef(key, "keepme", "tag", at = Some(3))
+      spark.sql(s"DELETE FROM $key WHERE id < 6") // v14: COW rewrite
+      val st0 = LakeStore.get(key).get
+      assert(st0.snapshots.count(_.paged) >= 5, "history must be paged")
+      val (deleted, horizon) = LakeStore.vacuum(key, retainLast = 2, graceMs = 0L)
+      // the whole-table COW rewrite replaced all 12 ingest files; the
+      // deep tag still reaches v1..v3's three, so exactly 9 sweep —
+      // both the keep-set walk and the ever-referenced union ran
+      // THROUGH paged history to get this number
+      assert(deleted === 9, s"swept $deleted files (expected the 9 " +
+        "rewritten-away files the v3 tag does not reach)")
+      assert(horizon === LakeStore.get(key).get.latestVersion - 1)
+      // the tag still reads exactly its pinned state — through paged
+      // reconstruction AND surviving data files
+      assert(spark.sql(s"SELECT count(*) FROM $key VERSION AS OF 'keepme'")
+        .collect()(0).getLong(0) === 3L)
+      // current state intact
+      assert(spark.table(key).count() === 6L)
+      // vacuumed versions are gated loudly
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT count(*) FROM $key VERSION AS OF 5").collect()
+      }
+      assert(e.getMessage.contains("vacuum"), s"got: ${e.getMessage}")
+    }
+  }
+
   test("OCC stress: COPY INTO ledger and epoch sink stay exactly-once under racing writers") {
     registerCatalog()
     import spark.implicits._
