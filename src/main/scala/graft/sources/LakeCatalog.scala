@@ -392,9 +392,7 @@ object GraftLake {
     // hands to its own commit) — one logical write owns its ledger from
     // option to commit, whatever thread Spark commits on
     df.writeTo(tableRef)
-      .option(LakeStore.CopyIdsOption, org.json4s.jackson.JsonMethods.compact(
-        org.json4s.jackson.JsonMethods.render(
-          org.json4s.JArray(ids.map(org.json4s.JString(_)).toList))))
+      .option(LakeStore.CopyIdsOption, LakeStore.encodeCopyIds(ids))
       .append()
     // report THIS ingest's commit — located by its own ledger section,
     // not the table head (a concurrent commit may already sit above it)
@@ -508,7 +506,12 @@ object GraftLake {
       }
     }.reduceByKey((a, b) => a.indices.toArray.map(i =>
       if (i < nCols) LakeNdv.mergeFileSketches(a(i), b(i))
-      else LakeBloom.merge(a(i), b(i))))
+      else LakeBloom.merge(a(i), b(i))),
+      // bound the reduce fan-in: one sidecar per REDUCE partition, so a
+      // 1,000-split scan must not scatter 1,000 one-file sidecars the
+      // reader-side LRU can never hold — 8 sidecars per ANALYZE keeps
+      // every later planning pass at <= 8 opens, all cache-resident
+      numPartitions = 8)
     // `_metadata.file_path` is a URI (file://...); match manifest
     // entries by data-file NAME — uuid-unique per table, scheme-proof
     def nameOf(p: String): String = p.substring(p.lastIndexOf('/') + 1)
@@ -1296,13 +1299,8 @@ class GraftLakeTable(val key: String, val tableSchema: StructType,
     }
     // COPY INTO's ledger ids arrive as a write option (JSON array) and
     // thread explicitly to the commit — see LakeStore.CopyIdsOption
-    val copyIds = Option(info.options.get(LakeStore.CopyIdsOption)).map { enc =>
-      org.json4s.jackson.JsonMethods.parse(enc) match {
-        case org.json4s.JArray(vs) => vs.map(_.asInstanceOf[org.json4s.JString].s)
-        case other => throw new IllegalArgumentException(
-          s"graft_lake: bad ${LakeStore.CopyIdsOption} payload $other")
-      }
-    }
+    val copyIds = Option(info.options.get(LakeStore.CopyIdsOption))
+      .map(LakeStore.decodeCopyIds)
     require(copyIds.isEmpty || upsertPhys.isEmpty,
       s"graft_lake: COPY INTO cannot combine with upsert keys on $key")
     new LakeWriteBuilder(key, info.schema(), LakeWriteBuilder.AppendMode,
@@ -3197,25 +3195,44 @@ object LakeDerivedColumns {
     }.toSeq
     val idents = identFields.map { case (f, i) =>
       val spec = IdentityColumn.getIdentityInfo(f).get
-      // high-water mark from the manifest zones of EVERY snapshot (a
-      // deleted row's identity is never reused — Delta's rule); the
-      // column's own write-time statistics double as the sequencer state.
-      // Zones are keyed by PHYSICAL name (column mapping): a renamed
-      // identity column keeps its birth-name zones, and looking them up
-      // logically would silently reset the sequencer to START WITH.
-      // every file EVER: the union of per-commit add-lists (files only
-      // enter the manifest through an add). O(history) log reads when
-      // old deltas have paged out — the honest cost of a sequencer that
-      // must never reuse a deleted row's identity.
-      val past = LakeStore.get(key).toSeq.flatMap(st =>
-        st.snapshots.indices.flatMap(st.addedAt))
-        .flatMap(_.zones.get(LakeStore.physicalName(f)))
-        .flatMap { case (mn, mx) => Seq(mn, mx) }
-        .collect { case n: java.lang.Number => n.longValue() }
-      val base =
-        if (past.isEmpty) spec.getStart
-        else if (spec.getStep > 0) math.max(past.max + spec.getStep, spec.getStart)
-        else math.min(past.min + spec.getStep, spec.getStart)
+      // high-water mark from the manifest zones of EVERY add-list ever
+      // (a deleted row's identity is never reused — Delta's rule); the
+      // column's own write-time statistics double as the sequencer
+      // state. Zones are keyed by PHYSICAL name (column mapping): a
+      // renamed identity column keeps its birth-name zones, and looking
+      // them up logically would silently reset the sequencer to START
+      // WITH. Folded INCREMENTALLY through LakeStore.identityHighWater:
+      // each write statement folds only the commits that landed since
+      // its last fold, so sequencer setup is O(new commits) per append
+      // — never a full history walk through paged deltas (a fresh JVM
+      // pays one full fold, then increments).
+      val phys = LakeStore.physicalName(f)
+      val range: Option[(Long, Long)] = LakeStore.get(key).flatMap { st =>
+        val cached = LakeStore.identityHighWater.get((key, phys))
+          .filter(_._1 <= st.latestVersion)
+        val from = cached.map(_._1).getOrElse(-1)
+        var acc = cached.map(c => (c._2, c._3))
+        ((from + 1) to st.latestVersion).foreach { v =>
+          st.addedAt(v).flatMap(_.zones.get(phys))
+            .flatMap { case (mn, mx) => Seq(mn, mx) }
+            .collect { case n: java.lang.Number => n.longValue() }
+            .foreach { x =>
+              acc = Some(acc.fold((x, x)) { case (a, b) =>
+                (math.min(a, x), math.max(b, x)) })
+            }
+        }
+        acc.foreach { case (a, b) =>
+          LakeStore.identityHighWater.update((key, phys),
+            (st.latestVersion, a, b))
+        }
+        acc
+      }
+      val base = range match {
+        case None => spec.getStart
+        case Some((mn, mx)) =>
+          if (spec.getStep > 0) math.max(mx + spec.getStep, spec.getStart)
+          else math.min(mn + spec.getStep, spec.getStart)
+      }
       Ident(i, f.name, spec.getStep, spec.isAllowExplicitInsert, base)
     }.toSeq
     Spec(gens, idents)

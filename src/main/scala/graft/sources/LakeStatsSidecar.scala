@@ -68,10 +68,10 @@ object LakeStatsSidecar {
   /** Bounded LRU over parsed sidecars (immutable once written): one
     * open+parse serves every file pointing into the same sidecar. */
   private val cache =
-    new java.util.LinkedHashMap[String, Map[String, Array[String]]](16, 0.75f, true) {
+    new java.util.LinkedHashMap[String, Map[String, Array[String]]](64, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[String, Map[String, Array[String]]]): Boolean =
-        size() > 16
+        size() > 64
     }
 
   private def load(abs: String): Map[String, Array[String]] = {

@@ -378,6 +378,17 @@ object LakeStore {
       driverBytesCollected: Long)
   val lastAnalyzeStats = TrieMap.empty[String, AnalyzeStats]
 
+  /** Incrementally-maintained IDENTITY sequencer state: (table, physical
+    * column) -> (folded through version, min, max of every add-list zone
+    * ever seen). The identity Spec builder folds only the versions that
+    * landed since its last fold, so a write statement's sequencer setup
+    * is O(new commits) — never a full history walk through paged deltas
+    * per append. Purged with the table (drop/create); a fresh JVM pays
+    * one full fold, then increments. Monotone by construction: files
+    * only enter the manifest through add-lists, and identity values are
+    * never reused. */
+  val identityHighWater = TrieMap.empty[(String, String), (Int, Long, Long)]
+
   /** What the last RUNTIME filter delivery to each table's scan looked
     * like (predicate shapes in, parsed compares, groups kept) — the
     * observability hook the DPP specs and `tools` probes read; runtime
@@ -725,23 +736,35 @@ object LakeStore {
     out
   }
 
-  /** Apply the paging window over `snapshots` (shared by the commit
-    * path — one demotion per commit — and cold replay, which pages the
-    * whole below-window prefix so cache and replay agree exactly).
-    * Ref HEADS never page: writers and scans read their delete state
-    * through the Snapshot fields directly (an old tag or idle branch
-    * head must stay whole however far below the window it sits). */
+  /** Page one snapshot if it is below the window, holds payload, and is
+    * not a materialized head. Ref HEADS never page: writers and scans
+    * read their delete state through the Snapshot fields directly (an
+    * old tag or idle branch head must stay whole however far below the
+    * window it sits). */
+  private def pageAt(snapshots: Vector[Snapshot], i: Int): Vector[Snapshot] = {
+    val cut = snapshots.length - 1 - snapshotWindow
+    if (i < 0 || i > cut) return snapshots
+    val s = snapshots(i)
+    if (!s.paged && s.live.isEmpty &&
+        (s.added.nonEmpty || s.removedPaths.nonEmpty ||
+          s.deletes.nonEmpty || s.eqDeletes.nonEmpty))
+      snapshots.updated(i, s.copy(added = Vector.empty,
+        removedPaths = Vector.empty, deletes = Vector.empty,
+        eqDeletes = Vector.empty, paged = true))
+    else snapshots
+  }
+
+  /** Apply the paging window over the WHOLE vector — cold replay's one
+    * full pass. The commit path never calls this: the window advances
+    * one index per commit, so it pages exactly the entry crossing the
+    * cut (plus a just-demoted head already below it) via [[pageAt]] —
+    * O(1) per commit instead of an O(versions) rescan, with the same
+    * final shape by induction (an entry is paged when it crosses the
+    * cut, or at demotion if it crossed while still a head). */
   private def pageOld(snapshots: Vector[Snapshot]): Vector[Snapshot] = {
     val cut = snapshots.length - 1 - snapshotWindow
     if (cut < 0) snapshots
-    else snapshots.zipWithIndex.map { case (s, i) =>
-      if (i <= cut && !s.paged && s.live.isEmpty &&
-          (s.added.nonEmpty || s.removedPaths.nonEmpty ||
-            s.deletes.nonEmpty || s.eqDeletes.nonEmpty))
-        s.copy(added = Vector.empty, removedPaths = Vector.empty,
-          deletes = Vector.empty, eqDeletes = Vector.empty, paged = true)
-      else s
-    }
+    else (0 to cut).foldLeft(snapshots)(pageAt)
   }
 
   // ------------------------------------------------------------ commits
@@ -757,6 +780,7 @@ object LakeStore {
       if (get(k).isDefined) return false
       validateSpec(k, schema, partitionCols)
       deltaCache.synchronized { deltaCache.keySet.removeIf(_._1 == k) }
+      identityHighWater.keys.filter(_._1 == k).foreach(identityHighWater.remove)
       val dir = new Path(tableDir(k))
       val fs = fsOf(dir)
       // only a leftover dir with NO replayable log reaches this point
@@ -787,6 +811,7 @@ object LakeStore {
     deltaCache.synchronized {
       deltaCache.keySet.removeIf(_._1 == k)
     }
+    identityHighWater.keys.filter(_._1 == k).foreach(identityHighWater.remove)
     val existed = tables.remove(k).isDefined
     val dir = new Path(tableDir(k))
     val fs = fsOf(dir)
@@ -807,6 +832,17 @@ object LakeStore {
     * thread, any interleaving — structurally cannot steal or be stamped
     * with another write's ledger. */
   val CopyIdsOption = "graft.copyinto.ids"
+  /** The option's wire codec, in ONE place (ingest writer, write
+    * builder and specs all speak it): a JSON array, so file names with
+    * commas or quotes round-trip. */
+  def encodeCopyIds(ids: Seq[String]): String =
+    JsonMethods.compact(JsonMethods.render(JArray(ids.map(JString(_)).toList)))
+  def decodeCopyIds(enc: String): Seq[String] =
+    JsonMethods.parse(enc) match {
+      case JArray(vs) => vs.map(_.asInstanceOf[JString].s)
+      case other => throw new IllegalArgumentException(
+        s"graft_lake: bad $CopyIdsOption payload $other")
+    }
   /** Legacy (pre-round-14) ledger property: read-only for migration —
     * old logs' accumulated comma-joined ids still fold into
     * [[TableState.copyLedger]]; new ingests never write it. */
@@ -1406,20 +1442,31 @@ object LakeStore {
     * is after the latest commit (Delta's contract — a silent
     * empty-forever stream would look identical to a broken one). */
   def versionAtOrAfter(k: String, tsMs: Long): Int = {
-    val st = stateOf(k) // existence (and cold replay) first
+    var st = stateOf(k) // existence (and cold replay) first
     val dir = logDir(k)
     val fs = fsOf(dir)
-    val times = fs.listStatus(dir).filter(s => isLogEntry(s.getPath.getName))
+    def listTimes() = fs.listStatus(dir).filter(s => isLogEntry(s.getPath.getName))
       .sortBy(_.getPath.getName).map(_.getModificationTime)
+    var times = listTimes()
     // the listing indexes by version and the replayed state must cover
-    // every on-disk entry — a second writer process having advanced the
-    // log past this JVM's cached state must fail LOUDLY here, not
-    // silently refuse a main commit that genuinely exists on disk
+    // every on-disk entry. A LONGER listing has two causes: an
+    // IN-FLIGHT commit in this JVM (entry written, cache not yet
+    // updated — commit holds the store lock while doing both) or a
+    // second writer process. Both resolve the same way: re-read the
+    // state from the log (bounded retries — the synchronized replay
+    // serializes against this JVM's own commits). Only a listing that
+    // will not converge fails loudly — never a silent refusal of a
+    // main commit that genuinely exists on disk.
+    var tries = 0
+    while (times.length != st.snapshots.length && tries < 3) {
+      synchronized { invalidateCache(k); st = stateOf(k) }
+      times = listTimes()
+      tries += 1
+    }
     require(times.length == st.snapshots.length,
       s"graft_lake: commit log of $k has ${times.length} entries but the " +
-        s"replayed state holds ${st.snapshots.length} — another writer " +
-        "advanced the log; invalidate the cache (LakeStore.invalidateCache) " +
-        "and retry so the lookup sees every commit")
+        s"replayed state holds ${st.snapshots.length} even after replay — " +
+        "the log and state cannot be aligned; retry the stream start")
     // MAIN-ref commits only, mirroring versionAt: a stream reads main's
     // lineage, so a branch/tag commit landing after the timestamp must
     // not satisfy the lookup — accepting it when no main commit follows
@@ -1543,21 +1590,30 @@ object LakeStore {
       else JObject(entry.obj :+
         ("copyIds" -> (JArray(copyIds.map(JString(_)).toList): JValue)))
     writeLogEntry(k, version, entryWithLedger)
-    // the ref's head moves: the new snapshot materializes the live set,
-    // the ref's PREVIOUS last entry (its parent normally; a dropped
-    // ref's tombstone on re-creation) demotes to delta-only — exactly
-    // one materialized list per ref name at all times, the same rule
-    // cold replay applies, so cache and replay stay structurally equal
+    // the ref's head moves: the new snapshot materializes the live set
+    // (EXCEPT a dropref tombstone — nothing can ever read a dropped
+    // ref's state by name, so pinning a full dead file list per dropped
+    // branch would defeat the memory bound; time travel by NUMBER still
+    // reconstructs it), and the ref's PREVIOUS last entry (its parent
+    // normally; a dropped ref's tombstone on re-creation) demotes to
+    // delta-only — at most one materialized list per live ref name, the
+    // same rule cold replay applies, so cache and replay stay
+    // structurally equal
     val prevOfRef = st.snapshots.lastIndexWhere(_.ref == ref)
     val demoted =
       if (prevOfRef >= 0 && st.snapshots(prevOfRef).live.isDefined)
         st.snapshots.updated(prevOfRef, st.snapshots(prevOfRef).copy(live = None))
       else st.snapshots
-    val newSt = st.copy(snapshots = pageOld(
-      demoted :+ Snapshot(schema, commitGroups, dataChange, action,
-        newProps, newDeletes, newSpec, newEra, ref, parent, newEqDeletes,
-        copyIds, added = added.toVector, removedPaths = removed.toVector,
-        live = Some(storedLive))))
+    val appended = demoted :+ Snapshot(schema, commitGroups, dataChange,
+      action, newProps, newDeletes, newSpec, newEra, ref, parent,
+      newEqDeletes, copyIds, added = added.toVector,
+      removedPaths = removed.toVector,
+      live = if (action == "dropref") None else Some(storedLive))
+    // O(1) paging per commit: the entry crossing the window now, and
+    // the just-demoted head if its crossing happened while it was
+    // still materialized (pageAt itself rejects in-window indexes)
+    val newSt = st.copy(snapshots =
+      pageAt(pageAt(appended, appended.length - 1 - snapshotWindow), prevOfRef))
     tables.update(k, newSt)
     val ci = checkpointInterval
     if (ci > 0 && version % ci == 0) writeCheckpoint(k, newSt)
@@ -1663,17 +1719,30 @@ object LakeStore {
       }
     lastReplayStats.update(k, ReplayStats(cp.map(_._1), tail.length))
     // materialize exactly the versions the commit path leaves
-    // materialized — each ref's LAST entry — by the same parent-chain
-    // fold the warm cache maintains incrementally; everything else
-    // stays delta-only. Then page the below-window prefix (the same
-    // rule the commit path applies one version at a time), so a cold
-    // replay and the warm cache are structurally identical.
+    // materialized — each ref's LAST entry, except dropref tombstones
+    // (a dropped ref is unreadable by name; the commit path never pins
+    // its dead file list) — by the same parent-chain fold the warm
+    // cache maintains incrementally; everything else stays delta-only.
+    // Checkpoint-restored snapshots that already carry a live list
+    // (they were heads at checkpoint time) keep it when still heads and
+    // demote otherwise, so reconstruction of a moved head STOPS at the
+    // checkpoint head instead of replaying to v0 — cold-load filesystem
+    // opens stay O(1) + O(commits since checkpoint), the economics the
+    // checkpoint exists for. Then page the below-window prefix (the
+    // same rule the commit path applies one version at a time), so a
+    // cold replay and the warm cache are structurally identical.
     val heads: Set[Int] = snapshots.indices
-      .groupBy(i => snapshots(i).ref).valuesIterator.map(_.max).toSet
+      .groupBy(i => snapshots(i).ref).valuesIterator.map(_.max)
+      .filter(i => snapshots(i).action != "dropref").toSet
     val replayed = TableState(k, snapshots, earliest)
     val memo = scala.collection.mutable.HashMap.empty[Int, Vector[FileEntry]]
     val materialized = snapshots.zipWithIndex.map { case (s, i) =>
-      if (heads(i)) s.copy(live = Some(replayed.filesAtWith(memo, i))) else s
+      if (heads(i)) {
+        if (s.live.isDefined) s
+        else s.copy(live = Some(replayed.filesAtWith(memo, i)))
+      }
+      else if (s.live.isDefined) s.copy(live = None)
+      else s
     }
     Some(TableState(k, pageOld(materialized), earliest))
   }
@@ -1835,7 +1904,14 @@ object LakeStore {
       JArray(gs.toList.map(g => JArray(g.map(tjval).toList)))),
     "paged" -> JBool(s.paged),
     "added" -> JArray(s.added.toList.map(f => tagged(fileJson(f), f))),
-    "removed" -> JArray(s.removedPaths.map(JString(_)).toList))
+    "removed" -> JArray(s.removedPaths.map(JString(_)).toList),
+    // heads carry their MATERIALIZED live list (O(live files), bounded
+    // by refs): a cold load then rebuilds a moved head by applying only
+    // the post-checkpoint tail deltas on top — never a full-history
+    // walk through paged entries (one filesystem open per old commit is
+    // exactly what the checkpoint exists to avoid on an object store)
+    "live" -> s.live.fold[JValue](JNull)(fs =>
+      JArray(fs.toList.map(f => tagged(fileJson(f), f)))))
 
   private def snapFromJson(j: JValue, idx: Int): Snapshot = {
     val o = j.asInstanceOf[JObject].obj.toMap
@@ -1863,6 +1939,11 @@ object LakeStore {
       parent = o.get("parent").map(num(_).intValue()).getOrElse(idx - 1),
       eqDeletes = parseEqDeletes(o), copyIds = parseCopyIds(o),
       added = added, removedPaths = removed,
+      live = o.get("live") match {
+        case Some(JArray(fs)) =>
+          Some(fs.map(fj => fileFromJson(fj, schema, Nil)).toVector)
+        case _ => None
+      },
       paged = o.get("paged") == Some(JBool(true)))
   }
 

@@ -336,9 +336,7 @@ class Round15OpsSpec extends SparkTestBase {
     val key = "graft_lake.occwide"
     spark.sql(s"DROP TABLE IF EXISTS $key")
     spark.sql(s"CREATE TABLE $key (id BIGINT)")
-    def idsJson(ids: Seq[String]): String =
-      org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods
-        .render(org.json4s.JArray(ids.map(org.json4s.JString(_)).toList)))
+    def idsJson(ids: Seq[String]): String = LakeStore.encodeCopyIds(ids)
     // a SHARED source-file pool both ingest threads list — the
     // contended exactly-once case: every pool file must land exactly
     // once however the threads interleave

@@ -16,8 +16,7 @@ import org.apache.spark.sql.functions._
 class CopyTokenSpec extends graft.SparkTestBase {
 
   private def withIds(ids: Seq[String]): String =
-    org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods
-      .render(org.json4s.JArray(ids.map(org.json4s.JString(_)).toList)))
+    LakeStore.encodeCopyIds(ids)
 
   test("an interleaved plain append cannot steal a pending ingest's copy ids") {
     if (!spark.conf.getOption("spark.sql.catalog.graft_lake").contains(
