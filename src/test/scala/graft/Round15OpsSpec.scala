@@ -88,7 +88,17 @@ class Round15OpsSpec extends SparkTestBase {
       spark.sql(s"ALTER TABLE $key ADD COLUMN note STRING") // metadata commit
       val warm = LakeStore.get(key).get
       LakeStore.invalidateCache(key)
+      // the checkpoint carries the head's MATERIALIZED live list, so a
+      // cold load applies only the post-checkpoint tail deltas — zero
+      // paged-entry reloads, zero full-chain reconstructions, whatever
+      // the history length (the object-store economics checkpoints buy)
+      val reloads0 = LakeStore.deltaReloads.get()
+      val recons0 = LakeStore.liveReconstructions.get()
       val cold = LakeStore.get(key).get
+      assert(LakeStore.deltaReloads.get() === reloads0,
+        "cold load must not re-open paged log entries")
+      assert(LakeStore.liveReconstructions.get() <= recons0 + 1,
+        "cold load rebuilds the moved head from the checkpoint head only")
       assert(cold.snapshots.length === warm.snapshots.length)
       cold.snapshots.zip(warm.snapshots).zipWithIndex.foreach { case ((c, w), v) =>
         assert(c.live.isDefined === w.live.isDefined, s"materialization at v$v")
