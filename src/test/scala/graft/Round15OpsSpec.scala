@@ -117,6 +117,48 @@ class Round15OpsSpec extends SparkTestBase {
     }
   }
 
+  test("a branch head demoted below the window pages at demotion, matching cold replay") {
+    registerCatalog()
+    withWindow(4) {
+      import spark.implicits._
+      val key = "graft_lake.demopage"
+      spark.sql(s"DROP TABLE IF EXISTS $key")
+      spark.sql(s"CREATE TABLE $key (id BIGINT)")
+      Seq(1L, 2L).toDF("id").coalesce(1).writeTo(key).append() // v1
+      LakeStore.createRef(key, "dev", "branch") // v2: dev head
+      def onBranch[T](body: => T): T = {
+        spark.conf.set("graft.lake.branch", "dev")
+        try body finally spark.conf.unset("graft.lake.branch")
+      }
+      onBranch { Seq(10L).toDF("id").coalesce(1).writeTo(key).append() } // v3: dev head WITH payload
+      (0 until 8).foreach { i => // v4..v11: dev's head falls far below the window
+        Seq(100L + i).toDF("id").coalesce(1).writeTo(key).append()
+      }
+      val before = LakeStore.get(key).get
+      // the old branch head is below the cut but stays whole: heads
+      // never page, however deep they sink
+      assert(before.snapshots(3).live.isDefined && !before.snapshots(3).paged)
+      // a new branch commit demotes it — and because it already sits
+      // below the window, it pages AT demotion (the one crossing the
+      // O(1)-per-commit rule would otherwise miss)
+      onBranch { Seq(11L).toDF("id").coalesce(1).writeTo(key).append() } // v12
+      val st = LakeStore.get(key).get
+      assert(st.snapshots(3).live.isEmpty && st.snapshots(3).paged,
+        "the demoted deep head must page immediately")
+      assert(st.snapshots(12).live.isDefined, "the new branch head is whole")
+      // the warm shape IS the cold shape — any interleaving
+      LakeStore.invalidateCache(key)
+      val cold = LakeStore.get(key).get
+      cold.snapshots.zip(st.snapshots).zipWithIndex.foreach { case ((c, w), v) =>
+        assert(c.live.isDefined === w.live.isDefined, s"materialization at v$v")
+        assert(c.paged === w.paged, s"paging at v$v")
+      }
+      // both lineages read exactly their own rows
+      assert(spark.table(key).count() === 10L) // main: 2 + 8
+      assert(onBranch(spark.table(key).count()) === 4L) // dev: 2 + 1 + 1
+    }
+  }
+
   test("merge-on-read delete state pages with the window and reloads exactly") {
     registerCatalog()
     withWindow(4) {
