@@ -31,3 +31,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Tests run the lake store's exhaustive internal invariants (the O(live)
+// stored-vs-caller live-set comparison per commit); production/bench
+// runs pay only the O(1) length check.
+Test / javaOptions += "-Dgraft.lake.debug.invariants=true"

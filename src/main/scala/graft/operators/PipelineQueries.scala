@@ -5833,7 +5833,115 @@ object PipelineQueries {
       |  CAST(0 AS BIGINT) AS cdc_rows
       |FROM f JOIN da ON ka = ka_d JOIN db ON kb = kb_d""".stripMargin
 
+  // ---------------------------------------------------------------- p82
+  /** ANN UNDER ROW-LEVEL DELETES — p76's cell-partitioned lake ANN with
+    * both delete flavors applied to the vector table, pinning that the
+    * SCAN SUBSTRATE (deletion-vector subtraction + equality-delete
+    * sequence gates) removes dead vectors from every ANN shortlist:
+    * a merge-on-read DELETE hides two query bases by position vector,
+    * and a keyed upsert re-versions two more bases with NEGATED vectors
+    * (equality delete kills the old versions; the new versions score
+    * cosine ~ -1 and can never rank). The retrieval then runs the full
+    * verify-stage brute force over the post-delete table — top-1 per
+    * query must be the corpus argmax EXCLUDING the dead rows, which the
+    * oracle restates from the raw corpus. Guard flags ride the hash:
+    * `dv_excluded` (no DV-deleted id survives a scan) and `eq_excluded`
+    * (each upserted key resolves to exactly ONE live version). Without
+    * this row, a future scan-path optimization could silently leak
+    * deleted vectors back into ANN results — at 100 TB the same
+    * substrate serves the p76 partition-pruned probe path, so exclusion
+    * proven here covers it. */
+  def p82AnnUnderDeletes(s: SparkSession, dir: String): DataFrame = {
+    registerLake(s)
+    import SimilarityQueries.{embD, dot}
+    val key = "graft_lake.annled"
+    s.sql(s"DROP TABLE IF EXISTS $key")
+    s.sql(s"""CREATE TABLE $key
+             |(vec_id BIGINT, cell INT, v ARRAY<DOUBLE>, norm DOUBLE)
+             |PARTITIONED BY (cell)
+             |TBLPROPERTIES ('graft.write.distribution-mode' = 'hash',
+             |               'graft.merge-on-read' = 'true')""".stripMargin)
+    val e = Tables.spread(Tables.embeddings(s, dir)).withColumn("v", embD)
+      .withColumn("norm", sqrt(dot("v", "v")))
+      .select(col("vec_id"), col("label"), col("v"), col("norm"))
+    val cents = SimilarityQueries.codebook(e)
+    def withCell(df: DataFrame): DataFrame = df.withColumn("cell",
+        element_at(SimilarityQueries.probeCells(cents, col("v"), 1), 1))
+      .select(col("vec_id"), col("cell"), col("v"), col("norm"))
+    withCell(e).writeTo(key).append()
+    // queries derive from the SOURCE corpus (their bases exist before
+    // the deletes — that is the point: the dead bases WERE the argmax)
+    val qn = SimilarityQueries
+      .plantedQueries(e.select(col("vec_id"), col("v")), k = 4, off = 171, factor = 0.1)
+      .withColumn("qnorm", sqrt(dot("qv", "qv")))
+    // delete flavor 1: merge-on-read DELETE — queries 0/1 lose their
+    // bases to position-delete vectors over untouched files
+    s.sql(s"DELETE FROM $key WHERE vec_id IN (0, 1)")
+    // delete flavor 2: keyed upsert — queries 2/3's bases re-version
+    // with negated vectors (old versions die via the equality delete's
+    // sequence gate; cosine against a negated self is ~ -1)
+    val negated = withCell(
+      e.filter(col("vec_id").isin(2L, 3L))
+        .withColumn("v", expr("transform(v, x -> -x)")))
+    graft.sources.GraftLake.upsert(negated, key, Seq("vec_id"))
+    val tbl = s.table(key)
+    // guard flags: the scan substrate must show the dead rows GONE
+    val dvGone = tbl.filter(col("vec_id").isin(0L, 1L)).count() == 0L
+    val eqSingle = tbl.filter(col("vec_id").isin(2L, 3L)).count() == 2L
+    // verify-stage brute force over the post-delete table: the 4-row
+    // query side broadcasts, the corpus side streams — no shuffle
+    val cand = tbl.crossJoin(broadcast(qn))
+      .withColumn("cosine",
+        floor(dot("qv", "v") / (col("qnorm") * col("norm")) * 1e6 + 0.5) / 1e6)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    cand.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cosine"),
+        lit(if (dvGone) 1L else 0L).as("dv_excluded"),
+        lit(if (eqSingle) 1L else 0L).as("eq_excluded"))
+      .orderBy(col("q_id"))
+  }
+
+  /** Brute-force argmax over the post-delete corpus, restated from the
+    * raw parquet: ids 0/1 excluded (DV-deleted), ids 2/3 negated (the
+    * upsert's live versions). Guard flags asserted at 1. */
+  val p82Sql: String =
+    """WITH e0 AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cnt AS (SELECT COUNT(*) AS n FROM e0),
+      |q AS (
+      |  SELECT b.vec_id AS q_id,
+      |    list_transform(generate_series(1, 64), i -> b.v[i] + 0.1 * p.v[i]) AS qv
+      |  FROM e0 b JOIN cnt ON TRUE JOIN e0 p ON p.vec_id = (b.vec_id + 171) % cnt.n
+      |  WHERE b.vec_id < 4),
+      |qn AS (
+      |  SELECT q_id, qv,
+      |    SQRT(list_reduce(list_transform(generate_series(1, 64), i -> qv[i] * qv[i]), (x, y) -> x + y)) AS qnrm
+      |  FROM q),
+      |e AS (
+      |  SELECT vec_id,
+      |    CASE WHEN vec_id IN (2, 3) THEN list_transform(v, x -> -x) ELSE v END AS v
+      |  FROM e0 WHERE vec_id NOT IN (0, 1)),
+      |cn AS (
+      |  SELECT vec_id, v,
+      |    SQRT(list_reduce(list_transform(generate_series(1, 64), i -> v[i] * v[i]), (x, y) -> x + y)) AS nrm
+      |  FROM e),
+      |scored AS (
+      |  SELECT q_id, vec_id AS neighbor_id,
+      |    FLOOR(list_reduce(list_transform(generate_series(1, 64), i -> qv[i] * v[i]), (x, y) -> x + y)
+      |      / (qnrm * nrm) * 1e6 + 0.5) / 1e6 AS cosine
+      |  FROM qn CROSS JOIN cn),
+      |ranked AS (
+      |  SELECT q_id, neighbor_id, cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rnk
+      |  FROM scored)
+      |SELECT q_id, neighbor_id, cosine,
+      |  CAST(1 AS BIGINT) AS dv_excluded, CAST(1 AS BIGINT) AS eq_excluded
+      |FROM ranked WHERE rnk = 1 ORDER BY q_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p82_ann_under_deletes" -> (p82AnnUnderDeletes _),
     "p81_paged_history_reads" -> (p81PagedHistoryReads _),
     "p80_cbo_reorder_under_aqe" -> (p80CboReorderUnderAqe _),
     "p79_analyze_backfill" -> (p79AnalyzeBackfill _),
@@ -5918,6 +6026,7 @@ object PipelineQueries {
   // def, not val: p19Sql embeds Sidecars.oracleDir-keyed paths, which
   // Verify pins at runtime before dumping oracle_sql.json
   def oracle: Map[String, String] = Map(
+    "p82_ann_under_deletes" -> p82Sql,
     "p81_paged_history_reads" -> p81Sql,
     "p80_cbo_reorder_under_aqe" -> p80Sql,
     "p79_analyze_backfill" -> p79Sql,

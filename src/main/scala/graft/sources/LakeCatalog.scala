@@ -2429,38 +2429,71 @@ class LakeMicroBatchStream(key: String, required: StructType,
   * layout-only commits (OPTIMIZE) and metadata commits deliver
   * nothing — the dataChange=false contract. */
 object LakeCdf {
-  /** CDF over a version range with an INCREMENTAL live-set fold: within
-    * the range, each main commit's live set derives from the previous
-    * one by applying the commit's own delta — O(chain(from) + Σ commit
-    * deltas) driver work for the whole range, never O(range × table
-    * files). Only the range's entry point pays a parent-chain replay. */
+  /** Probe counter: how many times a range read had to SEED its
+    * path-keyed live map with a full live-list build (the range entry
+    * point — O(chain) once per range; contiguous main lineage inside
+    * the range folds each commit's own delta instead). The Round16 spec
+    * pins this at ONE per range read, with zero per-commit full-list
+    * materializations. */
+  val rangeSeeds = new java.util.concurrent.atomic.AtomicLong
+
+  /** CDF over a version range with an INCREMENTAL live-set fold: one
+    * path-keyed map of main's live files is seeded at the range's entry
+    * point (the single O(live files) step) and then advanced by each
+    * commit's OWN delta — layout-only commits included, so an OPTIMIZE
+    * between two data commits never forces a re-seed. Per-delivered-
+    * commit driver work is O(commit delta), never O(live files): at
+    * 800k live files a 100-commit range pays ~Σ deltas, not ~80M
+    * set inserts. */
   def chunksForRange(key: String, st: LakeStore.TableState,
       from: Int, to: Int): Seq[LakeFileChunk] = {
-    var lastV = -2
-    var lastFiles: Vector[LakeStore.FileEntry] = null
+    val live = new java.util.LinkedHashMap[String, LakeStore.FileEntry]()
+    var mapV = -2
+    def seed(p: Int): Unit = {
+      rangeSeeds.incrementAndGet()
+      live.clear()
+      if (p >= 0) st.filesAt(p).foreach(f => live.put(f.path, f))
+      mapV = p
+    }
     (from to to).flatMap { v =>
       val snap = st.snapshots(v)
-      if (!snap.dataChange || snap.ref != "main") Nil
+      // the change feed is MAIN's row history: branch commits surface
+      // as one delta at PUBLISH (whose parent is the prior main head),
+      // never earlier — the write-audit-publish contract. Branch/tag
+      // commits also never move main's live set, so the map skips them.
+      if (snap.ref != "main") Nil
       else {
         val p = if (snap.parent >= 0) snap.parent else v - 1
-        val prev = if (p == lastV) lastFiles else st.filesAt(p)
-        val rem = st.removedAt(v).toSet
-        val cur = (if (rem.isEmpty) prev
-          else prev.filterNot(f => rem.contains(f.path))) ++ st.addedAt(v)
-        lastV = v
-        lastFiles = cur
-        chunksFor(key, st, v, prev, cur)
+        if (p != mapV) seed(p)
+        val added = st.addedAt(v)
+        val removed = st.removedAt(v)
+        val chunks =
+          if (!snap.dataChange) Nil
+          else chunksFor(key, st, v, live, added, removed)
+        // advance to v by this commit's own delta (dataChange or
+        // layout-only alike — both move the file set)
+        removed.foreach(live.remove)
+        added.foreach(f => live.put(f.path, f))
+        mapV = v
+        chunks
       }
     }
   }
 
+  /** Change chunks of ONE main data commit `v`, planned from the
+    * commit's own delta (`added` entries / `removed` paths) against
+    * `prevLive`, the parent version's live files keyed by path — the
+    * caller-maintained map [[chunksForRange]] folds. No full live-list
+    * set is built here: I chunks come straight from the add-list, D
+    * chunks resolve removed paths through the map (O(delta) lookups),
+    * and only a commit that CHANGED equality-delete state walks the
+    * live map (inherent: a keyed delete can hide rows in any pre-dating
+    * file). */
   def chunksFor(key: String, st: LakeStore.TableState, v: Int,
-      prevFiles: Vector[LakeStore.FileEntry],
-      curFiles: Vector[LakeStore.FileEntry]): Seq[LakeFileChunk] = {
+      prevLive: java.util.Map[String, LakeStore.FileEntry],
+      added: Vector[LakeStore.FileEntry],
+      removed: Vector[String]): Seq[LakeFileChunk] = {
     val snap = st.snapshots(v)
-    // the change feed is MAIN's row history: branch commits surface as
-    // one delta at PUBLISH (whose parent is the prior main head), never
-    // earlier — the write-audit-publish contract
     if (!snap.dataChange || snap.ref != "main") return Nil
     val pIdx = if (snap.parent >= 0) snap.parent else v - 1
     val prev = st.snapshots(pIdx)
@@ -2470,8 +2503,7 @@ object LakeCdf {
     val prevDeletes = st.deletesAt(pIdx)
     val snapEq = st.eqDeletesAt(v)
     val prevEq = st.eqDeletesAt(pIdx)
-    val prevPaths = prevFiles.map(_.path).toSet
-    val curPaths = curFiles.map(_.path).toSet
+    val removedSet = removed.toSet // O(commit delta)
     def dvMap(ds: Vector[LakeStore.DeleteEntry]): Map[String, (Seq[String], Long)] =
       ds.groupBy(_.dataFile).map { case (df, es) =>
         df -> (es.map(e => LakeStore.resolveRaw(key, e.path)), es.map(_.rows).sum)
@@ -2496,14 +2528,18 @@ object LakeCdf {
     // RESTORE re-adds files with their old seqs under re-introduced
     // deletes. An ordinary append's own files have seq == v, so no
     // delete's seq exceeds it and the probe set is empty — this costs
-    // nothing on the hot path.
-    val added = curFiles.filterNot(f => prevPaths.contains(f.path)).map { f =>
+    // nothing on the hot path. I chunks are exactly the commit's own
+    // add-list (a commit never adds an already-live path; the map
+    // lookup guards the invariant cheaply).
+    val iChunks = added.filterNot(f => prevLive.containsKey(f.path)).map { f =>
       val (dv, n) = dvAtV.getOrElse(f.path, (Nil, 0L))
       LakeFileChunk(LakeStore.resolvePath(key, f), f.cols, f.rows, dv, n,
         change = "I", version = v.toLong,
         eqDel = snapEq.filter(_.seq > f.seq).map(eqChunk(_, snap.schema)))
     }
-    val removed = prevFiles.filterNot(f => curPaths.contains(f.path)).map { f =>
+    // D chunks: the commit's removed paths resolved to their manifest
+    // entries through the parent live map — O(delta) lookups
+    val dChunks = removed.flatMap(p => Option(prevLive.get(p))).map { f =>
       val (dv, n) = dvAtPrev.getOrElse(f.path, (Nil, 0L))
       LakeFileChunk(LakeStore.resolvePath(key, f), f.cols, f.rows, dv, n,
         change = "D", version = v.toLong, eqDel = priorEq(f))
@@ -2515,17 +2551,27 @@ object LakeCdf {
     // deletes in one commit (their seqs are branch versions), and a
     // RESTORE re-introduces deletes from the target snapshot — both
     // must emit the row-level D side of the batch they land.
+    // "live at both versions" = in the parent map and not removed by
+    // this commit — O(1) per probe, no current-version set build
+    def carried(f: LakeStore.FileEntry): Boolean = !removedSet.contains(f.path)
+    def prevLiveIter: Iterator[LakeStore.FileEntry] = {
+      val it = prevLive.values().iterator()
+      new Iterator[LakeStore.FileEntry] {
+        def hasNext: Boolean = it.hasNext
+        def next(): LakeStore.FileEntry = it.next()
+      }
+    }
     val prevEqSet = prevEq.toSet
     val newEq = snapEq.filterNot(prevEqSet)
     val upserted =
       if (newEq.isEmpty) Nil
-      else prevFiles.filter(f => curPaths.contains(f.path) &&
+      else prevLiveIter.filter(f => carried(f) &&
           newEq.exists(_.seq > f.seq)).map { f =>
         val (dv, n) = dvAtPrev.getOrElse(f.path, (Nil, 0L))
         LakeFileChunk(LakeStore.resolvePath(key, f), f.cols, f.rows, dv, n,
           change = "D", version = v.toLong, eqDel = priorEq(f),
           eqIncl = newEq.filter(_.seq > f.seq).map(eqChunk(_, snap.schema)))
-      }
+      }.toSeq
     // the inverse: equality deletes GONE relative to the parent (a
     // RESTORE rolling back an upsert) resurrect the rows they hid —
     // emit them as I, include-mode on the vanished probes, minus rows
@@ -2534,14 +2580,14 @@ object LakeCdf {
     val goneEq = prevEq.filterNot(snapEqSet)
     val resurrected =
       if (goneEq.isEmpty) Nil
-      else prevFiles.filter(f => curPaths.contains(f.path) &&
+      else prevLiveIter.filter(f => carried(f) &&
           goneEq.exists(_.seq > f.seq)).map { f =>
         val (dv, n) = dvAtV.getOrElse(f.path, (Nil, 0L))
         LakeFileChunk(LakeStore.resolvePath(key, f), f.cols, f.rows, dv, n,
           change = "I", version = v.toLong,
           eqDel = snapEq.filter(_.seq > f.seq).map(eqChunk(_, snap.schema)),
           eqIncl = goneEq.filter(_.seq > f.seq).map(eqChunk(_, prev.schema)))
-      }
+      }.toSeq
     // merge-on-read: sidecars NEW at v over files that were ALREADY
     // live at v-1 — each is O(positions deleted), read include-mode.
     // A file ADDED at v arrives with its DVs already subtracted from
@@ -2550,15 +2596,14 @@ object LakeCdf {
     // are part of the insert shape, not deletions.
     val prevEntries = prevDeletes.toSet
     val newDv = snapDeletes.filterNot(prevEntries).groupBy(_.dataFile)
-    val byPath = curFiles.iterator.map(f => f.path -> f).toMap
     val morDeletes = newDv.iterator.collect {
-      case (df, es) if byPath.contains(df) && prevPaths.contains(df) =>
-        val f = byPath(df)
+      case (df, es) if prevLive.containsKey(df) && !removedSet.contains(df) =>
+        val f = prevLive.get(df)
         LakeFileChunk(LakeStore.resolvePath(key, f), f.cols, f.rows,
           es.map(e => LakeStore.resolveRaw(key, e.path)), es.map(_.rows).sum,
           dvInclude = true, change = "D", version = v.toLong)
     }.toSeq
-    added ++ removed ++ morDeletes ++ upserted ++ resurrected
+    iChunks ++ dChunks ++ morDeletes ++ upserted ++ resurrected
   }
 }
 

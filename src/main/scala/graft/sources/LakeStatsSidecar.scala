@@ -24,9 +24,11 @@ import org.json4s.jackson.JsonMethods
   * then bloom columns), pinned by the pointer's own slot index so the
   * format needs no schema. Sidecars are immutable once written (like
   * data files); a bounded LRU shares one parse across the many files
-  * that point into the same sidecar. VACUUM never deletes `.stats.json`
-  * files — they are referenced by live manifests the sweep does not
-  * parse; the cost is one small orphan per superseded ANALYZE. */
+  * that point into the same sidecar. VACUUM sweeps ORPHAN sidecars: it
+  * folds the keep-set versions' pointer slots into a referenced set
+  * and deletes unreferenced `.stats.json` files older than the orphan
+  * grace window — superseded ANALYZE runs, failed jobs and speculative
+  * tasks no longer accumulate garbage forever. */
 object LakeStatsSidecar {
 
   val PointerPrefix = "P:"

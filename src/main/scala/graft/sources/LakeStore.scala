@@ -378,6 +378,10 @@ object LakeStore {
       driverBytesCollected: Long)
   val lastAnalyzeStats = TrieMap.empty[String, AnalyzeStats]
 
+  /** Audit hook: what the last VACUUM of each table physically removed —
+    * (data/dv files deleted, orphan stats sidecars deleted). */
+  val lastVacuumStats = TrieMap.empty[String, (Int, Int)]
+
   /** Incrementally-maintained IDENTITY sequencer state: (table, physical
     * column) -> (folded through version, min, max of every add-list zone
     * ever seen). The identity Spec builder folds only the versions that
@@ -664,9 +668,18 @@ object LakeStore {
   def list(catalog: String): Seq[String] =
     tables.keys.filter(_.startsWith(catalog + ".")).toSeq.sorted
 
-  /** Drop the warm cache entry only (durability spec hook): the next
-    * [[get]] replays the on-disk log. */
-  def invalidateCache(k: String): Unit = tables.remove(k)
+  /** Drop the warm cache entry — AND every sidecar cache keyed by the
+    * table: the next [[get]] replays the on-disk log, and the replay
+    * must never pair fresh snapshots with a DEAD table's cached paged
+    * deltas or identity high-water folds (the documented second-writer-
+    * process scenario can drop and re-create the table externally, so
+    * (k, version) keys alone do not guarantee the cached entry belongs
+    * to the log being replayed). Mirrors what drop()/create() purge. */
+  def invalidateCache(k: String): Unit = {
+    tables.remove(k)
+    deltaCache.synchronized { deltaCache.keySet.removeIf(_._1 == k) }
+    identityHighWater.keys.filter(_._1 == k).foreach(identityHighWater.remove)
+  }
 
   // ------------------------------------------- delta paging (round 15)
 
@@ -679,12 +692,29 @@ object LakeStore {
   def snapshotWindow: Int =
     sys.props.get("graft.lake.snapshot.window").map(_.toInt).getOrElse(24)
 
+  /** Table property overriding [[snapshotWindow]] PER TABLE — a driver
+    * hosting many tables multiplies the global window, so a hot
+    * high-churn table can run a tight window (page aggressively) while
+    * a small dimension keeps everything warm. Read from the committing
+    * snapshot's own props, so `ALTER TABLE SET TBLPROPERTIES` takes
+    * effect from the next commit on. */
+  val SnapshotWindowProp = "graft.lake.snapshot.window"
+  def snapshotWindowFor(props: Map[String, String]): Int =
+    props.get(SnapshotWindowProp).map(_.toInt).getOrElse(snapshotWindow)
+
   /** Probe counters: how many live-set reconstructions (chain replays)
     * and paged-delta reloads (log-entry re-reads) ran — what the
     * st15-17 delivery specs assert stays ZERO on the streaming hot path
     * and the SnapshotBytes probe reports. */
   val liveReconstructions = new java.util.concurrent.atomic.AtomicLong
   val deltaReloads = new java.util.concurrent.atomic.AtomicLong
+
+  /** Debug switch for the exhaustive internal commit invariants (the
+    * O(live files) stored-vs-caller live-set comparison). Tests run with
+    * it ON (build.sbt sets it for forked test JVMs); production commits
+    * pay only the O(1) length check. */
+  private def debugInvariants: Boolean =
+    sys.props.get("graft.lake.debug.invariants").exists(_.toBoolean)
 
   /** A paged version's per-entry state, re-read from the log: the
     * commit's own delta plus its live delete-sidecar / equality-delete
@@ -741,8 +771,9 @@ object LakeStore {
     * read their delete state through the Snapshot fields directly (an
     * old tag or idle branch head must stay whole however far below the
     * window it sits). */
-  private def pageAt(snapshots: Vector[Snapshot], i: Int): Vector[Snapshot] = {
-    val cut = snapshots.length - 1 - snapshotWindow
+  private def pageAt(snapshots: Vector[Snapshot], i: Int,
+      window: Int): Vector[Snapshot] = {
+    val cut = snapshots.length - 1 - window
     if (i < 0 || i > cut) return snapshots
     val s = snapshots(i)
     if (!s.paged && s.live.isEmpty &&
@@ -761,10 +792,11 @@ object LakeStore {
     * O(1) per commit instead of an O(versions) rescan, with the same
     * final shape by induction (an entry is paged when it crosses the
     * cut, or at demotion if it crossed while still a head). */
-  private def pageOld(snapshots: Vector[Snapshot]): Vector[Snapshot] = {
-    val cut = snapshots.length - 1 - snapshotWindow
+  private def pageOld(snapshots: Vector[Snapshot],
+      window: Int): Vector[Snapshot] = {
+    val cut = snapshots.length - 1 - window
     if (cut < 0) snapshots
-    else (0 to cut).foldLeft(snapshots)(pageAt)
+    else (0 to cut).foldLeft(snapshots)(pageAt(_, _, window))
   }
 
   // ------------------------------------------------------------ commits
@@ -1375,9 +1407,31 @@ object LakeStore {
     // a snapshot referenced by a branch or tag never expires) — a tag
     // pinned below the horizon stays readable by name forever, so its
     // files must survive every VACUUM
-    val keep: Set[String] =
-      ((horizon to st.latestVersion).iterator.flatMap(reachable) ++
-        st.refNames.iterator.map(st.headOf).filter(_ >= 0).flatMap(reachable)).toSet
+    def keepVersions: Iterator[Int] =
+      (horizon to st.latestVersion).iterator ++
+        st.refNames.iterator.map(st.headOf).filter(_ >= 0)
+    val keep: Set[String] = keepVersions.flatMap(reachable).toSet
+    // ANALYZE sidecars referenced by any readable version's manifests
+    // (pointer-form ndv/bloom slots) — superseded ANALYZE runs, failed
+    // jobs and speculative tasks each leave a never-referenced
+    // `.stats.json` behind, and without this sweep a frequently
+    // re-analyzed table grows garbage forever. Only names in THIS
+    // table's data dir are ours to keep or sweep (a clone points at
+    // its source's sidecars absolutely).
+    def sidecarNameOf(enc: String): Option[String] =
+      if (!LakeStatsSidecar.isPointer(enc)) None
+      else {
+        val body = enc.substring(LakeStatsSidecar.PointerPrefix.length)
+          .takeWhile(_ != '#')
+        if (!body.startsWith("/")) Some(body)
+        else if (body.startsWith(dataDir(k) + "/"))
+          Some(body.substring(dataDir(k).length + 1))
+        else None
+      }
+    val keepStats: Set[String] = keepVersions.flatMap(v =>
+      st.filesAtWith(memo, v).iterator.flatMap(f =>
+        (f.ndv.valuesIterator ++ f.blooms.valuesIterator)
+          .flatMap(sidecarNameOf))).toSet
     // everything ANY committed version ever referenced: a doomed file in
     // this set is expired history (safe immediately); outside it, a true
     // orphan — possibly an uncommitted in-flight write — gated by mtime.
@@ -1390,7 +1444,8 @@ object LakeStore {
     val dir = new Path(dataDir(k))
     val fs = fsOf(dir)
     val cutoff = System.currentTimeMillis() - graceMs
-    val onDisk = fs.listStatus(dir)
+    val listed = fs.listStatus(dir)
+    val onDisk = listed
       .filter(s => s.getPath.getName.endsWith(".parquet") || s.getPath.getName.endsWith(".dv"))
     val doomed = onDisk.filter { s =>
       val name = s.getPath.getName
@@ -1398,6 +1453,18 @@ object LakeStore {
         (everReferenced.contains(name) || s.getModificationTime < cutoff)
     }.map(_.getPath)
     doomed.foreach(fs.delete(_, false))
+    // sidecar sweep: unreferenced `.stats.json` past the grace window
+    // (always mtime-gated — an in-flight ANALYZE's sidecars are
+    // "orphans" until its commit lands, exactly like in-flight data
+    // files). Count reported via lastVacuumStats, not the return value
+    // (callers' file counts mean DATA files).
+    val doomedStats = listed.filter { s =>
+      val name = s.getPath.getName
+      name.endsWith(".stats.json") && !keepStats.contains(name) &&
+        s.getModificationTime < cutoff
+    }.map(_.getPath)
+    doomedStats.foreach(fs.delete(_, false))
+    lastVacuumStats.update(k, (doomed.length, doomedStats.length))
     // persist the horizon (atomic tmp+rename, like log entries)
     val marker = new Path(logDir(k), "_horizon")
     val tmp = new Path(logDir(k), "_horizon.tmp")
@@ -1447,25 +1514,28 @@ object LakeStore {
     val fs = fsOf(dir)
     def listTimes() = fs.listStatus(dir).filter(s => isLogEntry(s.getPath.getName))
       .sortBy(_.getPath.getName).map(_.getModificationTime)
-    var times = listTimes()
-    // the listing indexes by version and the replayed state must cover
-    // every on-disk entry. A LONGER listing has two causes: an
-    // IN-FLIGHT commit in this JVM (entry written, cache not yet
-    // updated — commit holds the store lock while doing both) or a
-    // second writer process. Both resolve the same way: re-read the
-    // state from the log (bounded retries — the synchronized replay
-    // serializes against this JVM's own commits). Only a listing that
-    // will not converge fails loudly — never a silent refusal of a
-    // main commit that genuinely exists on disk.
+    // answer against ONE STABLE listing snapshot: log versions are dense
+    // and entries immutable, so listing index i IS version i and stays
+    // valid however far the state advances past it. The replayed state
+    // must merely COVER the listed entries (the log is append-only —
+    // any later replay sees a superset); requiring exact length equality
+    // against a continuously re-taken listing could lose the race to a
+    // sustained concurrent writer forever, failing a legitimate stream
+    // start spuriously (and paying a full invalidate+replay per retry).
+    val times = listTimes()
+    // a shorter state has two causes: an IN-FLIGHT commit in this JVM
+    // (entry written, cache not yet updated — commit holds the store
+    // lock while doing both) or a second writer process. Both resolve
+    // with a synchronized re-replay (serializes against this JVM's own
+    // commits), which by append-only-ness must reach the stable listing.
     var tries = 0
-    while (times.length != st.snapshots.length && tries < 3) {
+    while (st.snapshots.length < times.length && tries < 3) {
       synchronized { invalidateCache(k); st = stateOf(k) }
-      times = listTimes()
       tries += 1
     }
-    require(times.length == st.snapshots.length,
-      s"graft_lake: commit log of $k has ${times.length} entries but the " +
-        s"replayed state holds ${st.snapshots.length} even after replay — " +
+    require(st.snapshots.length >= times.length,
+      s"graft_lake: commit log of $k listed ${times.length} entries but the " +
+        s"replayed state holds only ${st.snapshots.length} even after replay — " +
         "the log and state cannot be aligned; retry the stream start")
     // MAIN-ref commits only, mirroring versionAt: a stream reads main's
     // lineage, so a branch/tag commit landing after the timestamp must
@@ -1542,8 +1612,13 @@ object LakeStore {
     val storedLive =
       (if (removedSet.isEmpty) parentFiles
        else parentFiles.filterNot(f => removedSet.contains(f.path))) ++ added
+    // the cheap length check always runs; the exhaustive O(live files)
+    // path-set comparison — two full hash-set builds per commit, pure
+    // overhead on hot-path appends against large tables — runs only
+    // under the debug sys-prop (tests enable it; see build.sbt)
     require(storedLive.length == live.length &&
-        storedLive.iterator.map(_.path).toSet == live.iterator.map(_.path).toSet,
+        (!debugInvariants ||
+          storedLive.iterator.map(_.path).toSet == live.iterator.map(_.path).toSet),
       s"graft_lake: internal — $action commit v$version of $k derived a " +
         s"live set (${storedLive.length} files) that disagrees with the " +
         s"statement's own (${live.length}); refusing to commit a state " +
@@ -1611,22 +1686,34 @@ object LakeStore {
       live = if (action == "dropref") None else Some(storedLive))
     // O(1) paging per commit: the entry crossing the window now, and
     // the just-demoted head if its crossing happened while it was
-    // still materialized (pageAt itself rejects in-window indexes)
+    // still materialized (pageAt itself rejects in-window indexes).
+    // Window resolution is per TABLE (the committing snapshot's props
+    // override the global default).
+    val win = snapshotWindowFor(newProps)
     val newSt = st.copy(snapshots =
-      pageAt(pageAt(appended, appended.length - 1 - snapshotWindow), prevOfRef))
+      pageAt(pageAt(appended, appended.length - 1 - win, win), prevOfRef, win))
     tables.update(k, newSt)
     val ci = checkpointInterval
     if (ci > 0 && version % ci == 0) writeCheckpoint(k, newSt)
   }
 
-  /** One atomic log append: write to a temp name, rename into place —
-    * the standard commit-protocol move. On HDFS the rename itself
-    * refuses an existing destination (atomic no-overwrite); POSIX
-    * rename silently replaces, so the existence check carries the
-    * conflict detection there (in-process commits are serialized by
-    * the store lock, making it exact locally; an object store would
-    * use a conditional PUT). A conflict means another writer claimed
-    * this version — the commit must fail loudly, never overwrite. */
+  /** One atomic log append: write to a temp name, claim the version
+    * name atomically. The claim primitive is per-filesystem:
+    *
+    *  - LOCAL (file://): `link(2)` via `Files.createLink` — the one
+    *    POSIX rename-family call that is atomic AND fails EEXIST
+    *    instead of silently replacing. A plain check-then-rename races
+    *    a second writer PROCESS (this JVM's commits are lock-
+    *    serialized, cross-process ones are not): both check, both
+    *    rename, the second silently replaces the first — a LOST
+    *    COMMIT. Pinned by the two-process stress in Round16OpsSpec.
+    *  - HDFS &co: `rename` itself refuses an existing destination
+    *    atomically; the existence check is just a cheaper first look.
+    *    (An object store would use a conditional PUT.)
+    *
+    * A conflict means another writer claimed this version — the commit
+    * must fail loudly, never overwrite; the loser re-replays the log
+    * and retries on top. */
   private def writeLogEntry(k: String, version: Int, entry: JObject): Unit = {
     val dir = logDir(k)
     val fs = fsOf(dir)
@@ -1635,11 +1722,20 @@ object LakeStore {
     val out = fs.create(tmp, true)
     try out.write(JsonMethods.compact(JsonMethods.render(entry)).getBytes("UTF-8"))
     finally out.close()
-    if (fs.exists(dst) || !fs.rename(tmp, dst)) {
-      fs.delete(tmp, false)
-      throw new IllegalStateException(
-        s"graft_lake: commit $version of $k lost the race to a concurrent writer")
-    }
+    val claimed =
+      if ("file" == fs.getUri.getScheme) {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(dst.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else !fs.exists(dst) && fs.rename(tmp, dst)
+    // the local claim leaves tmp behind (link, not move) — sweep it on
+    // both outcomes; the rename path consumed tmp on success
+    if (fs.exists(tmp)) fs.delete(tmp, false)
+    if (!claimed) throw new IllegalStateException(
+      s"graft_lake: commit $version of $k lost the race to a concurrent writer")
   }
 
   // ----------------------------------------------------------- log replay
@@ -1664,16 +1760,35 @@ object LakeStore {
     var snapshots = cp.map(_._2).getOrElse(Vector.empty)
     val tail = entries.filter(p =>
       p.getName.takeWhile(_.isDigit).toInt > cp.map(_._1).getOrElse(-1))
+    // STRUCTURAL SHARING across versions (the Iceberg schema-id idea,
+    // without the indirection): every log entry serializes its full
+    // schema, but 99.9% of a long history's entries carry the SAME one —
+    // parse each distinct schema JSON once and let all its versions
+    // share the instance, so retained shell memory is O(distinct
+    // schemas), not O(versions × schema size). The warm commit path
+    // already shares (`schema = st.schema` threads the same reference);
+    // this makes cold replay match. The checkpoint reader shares
+    // internally too; seed the tail from its last snapshot so the tail
+    // joins that instance when the schema is unchanged.
+    val schemaShare = scala.collection.mutable.HashMap.empty[String, StructType]
+    snapshots.lastOption.foreach(s =>
+      schemaShare.getOrElseUpdate(s.schema.json, s.schema))
     tail.foreach { p =>
       val in = fs.open(p)
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
       val j = JsonMethods.parse(txt).asInstanceOf[JObject].obj.toMap
-      val schema = DataType.fromJson(str(j("schema"))).asInstanceOf[StructType]
+      val schemaJson = str(j("schema"))
+      val schema = schemaShare.getOrElseUpdate(schemaJson,
+        DataType.fromJson(schemaJson).asInstanceOf[StructType])
       // the spec as of THIS entry (partition evolution changes it
       // mid-log; pre-evolution entries in old logs only carried it at
-      // v0 — carry the last seen spec forward for those)
+      // v0 — carry the last seen spec forward for those). Keep the
+      // SAME Seq instance while unchanged (structural sharing, like
+      // schemas): a million-commit table retains O(spec changes)
+      // lists, not one per version.
       j.get("partitionCols").foreach { pc =>
-        partitionCols = pc.asInstanceOf[JArray].arr.map(str)
+        val fresh = pc.asInstanceOf[JArray].arr.map(str)
+        if (fresh != partitionCols) partitionCols = fresh
       }
       val partTypes = partitionCols.map { raw =>
         val p = parsePart(raw)
@@ -1693,10 +1808,14 @@ object LakeStore {
           g.asInstanceOf[JArray].arr.zip(partTypes).map { case (v, dt) => unjval(v, dt) }).toSet)
         case other => throw new IllegalStateException(s"graft_lake: bad commitGroups $other")
       }
-      val props = j.get("props") match {
+      val parsedProps = j.get("props") match {
         case Some(JObject(fields)) => fields.map { case (pk, pv) => pk -> str(pv) }.toMap
         case _ => Map.empty[String, String] // pre-props log entries
       }
+      // share the parent's map instance when the props are unchanged —
+      // the common case (props move on setprops/epoch commits only)
+      val props = prevSnap.map(_.props).filter(_ == parsedProps)
+        .getOrElse(parsedProps)
       val deletes = parseDeletes(j)
       val eqDeletes = parseEqDeletes(j)
       // spec era replays by the same rule commits use: +1 exactly when
@@ -1744,7 +1863,14 @@ object LakeStore {
       else if (s.live.isDefined) s.copy(live = None)
       else s
     }
-    Some(TableState(k, pageOld(materialized), earliest))
+    // replay pages under the table's own window (main head's props —
+    // the same property the commit path reads), falling back to the
+    // global default when unset
+    val win = snapshots.lastIndexWhere(_.ref == "main") match {
+      case -1 => snapshotWindow
+      case i => snapshotWindowFor(snapshots(i).props)
+    }
+    Some(TableState(k, pageOld(materialized, win), earliest))
   }
 
   // --------------------------------------------------- log checkpoints
@@ -1795,15 +1921,28 @@ object LakeStore {
     val out = fs.create(tmp, true)
     try out.write(JsonMethods.compact(JsonMethods.render(body)).getBytes("UTF-8"))
     finally out.close()
+    // the checkpoint is DERIVED data: losing a delete/rename race to a
+    // second writer process must never fail the commit that already
+    // landed its log entry — the other writer's checkpoint (or full
+    // replay) serves readers just as well. Warn and move on.
     fs.delete(dst, false)
-    if (!fs.rename(tmp, dst)) throw new IllegalStateException(
-      s"graft_lake: checkpoint $v of $k lost a rename race")
+    if (!fs.rename(tmp, dst)) {
+      System.err.println(
+        s"graft_lake: checkpoint $v of $k lost a rename race (benign — " +
+          "the log remains the source of truth)")
+      fs.delete(tmp, false)
+      return
+    }
     val ptmp = new Path(dir, "_last_checkpoint.tmp")
     val pout = fs.create(ptmp, true)
     try pout.write(v.toString.getBytes("UTF-8")) finally pout.close()
     fs.delete(lastCheckpointPath(k), false)
-    if (!fs.rename(ptmp, lastCheckpointPath(k))) throw new IllegalStateException(
-      s"graft_lake: checkpoint pointer of $k lost a rename race")
+    if (!fs.rename(ptmp, lastCheckpointPath(k))) {
+      System.err.println(
+        s"graft_lake: checkpoint pointer of $k lost a rename race (benign)")
+      fs.delete(ptmp, false)
+      return
+    }
     // GC superseded checkpoints: each is O(history) — keeping only the
     // newest bounds checkpoint storage at one copy (the log itself
     // remains complete; an old checkpoint serves no reader the pointer
@@ -1836,8 +1975,12 @@ object LakeStore {
       // snapshot; the log remains complete, so fall back to replay
       // rather than decode a shape this reader no longer builds
       if (!o.get("format").exists(f => num(f).intValue() == 2)) return None
+      // one parsed StructType per DISTINCT schema JSON across the whole
+      // checkpoint (structural sharing — see load): a long history's
+      // snapshot shells retain O(distinct schemas) instances
+      val share = scala.collection.mutable.HashMap.empty[String, StructType]
       val snaps = o("snapshots").asInstanceOf[JArray].arr.zipWithIndex
-        .map { case (sj, i) => snapFromJson(sj, i) }.toVector
+        .map { case (sj, i) => snapFromJson(sj, i, share) }.toVector
       if (snaps.length != v + 1) None else Some((v, snaps))
     } catch { case e: Exception =>
       // fall back to full replay, but SAY so: a checkpoint that stops
@@ -1913,9 +2056,12 @@ object LakeStore {
     "live" -> s.live.fold[JValue](JNull)(fs =>
       JArray(fs.toList.map(f => tagged(fileJson(f), f)))))
 
-  private def snapFromJson(j: JValue, idx: Int): Snapshot = {
+  private def snapFromJson(j: JValue, idx: Int,
+      schemaShare: scala.collection.mutable.HashMap[String, StructType]): Snapshot = {
     val o = j.asInstanceOf[JObject].obj.toMap
-    val schema = DataType.fromJson(str(o("schema"))).asInstanceOf[StructType]
+    val schemaJson = str(o("schema"))
+    val schema = schemaShare.getOrElseUpdate(schemaJson,
+      DataType.fromJson(schemaJson).asInstanceOf[StructType])
     val spec = o("partitionCols").asInstanceOf[JArray].arr.map(str)
     val added = o("added").asInstanceOf[JArray].arr
       .map(fj => fileFromJson(fj, schema, Nil)).toVector

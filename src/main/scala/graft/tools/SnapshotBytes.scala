@@ -46,7 +46,17 @@ object SnapshotBytes {
         f.zones.size * 32 + f.blooms.valuesIterator.map(_.length).sum +
         f.ndv.valuesIterator.map(_.length).sum + 64).toLong
 
-    def audit(key: String): (Long, Long, Long, Long, Double) = {
+    // retained SHELL instances: distinct-by-REFERENCE StructType /
+    // props-map objects across all snapshots — what structural sharing
+    // (round 16) bounds at O(distinct schemas), not O(versions). An
+    // IdentityHashMap counts references, not equality.
+    def identityCount[T <: AnyRef](xs: Iterator[T]): Int = {
+      val m = new java.util.IdentityHashMap[T, java.lang.Boolean]()
+      xs.foreach(m.put(_, java.lang.Boolean.TRUE))
+      m.size()
+    }
+
+    def audit(key: String): (Long, Long, Long, Long, Double, Int, Int) = {
       val st = LakeStore.get(key).get
       // what THIS design retains: materialized head lists + in-window deltas
       val retainedEntries = st.snapshots.iterator.map(s =>
@@ -63,23 +73,33 @@ object SnapshotBytes {
         .map(v => st.filesAtWith(memo, v).iterator.map(entryBytes).sum).sum
       val pagedFrac = st.snapshots.count(_.paged).toDouble /
         math.max(1, st.snapshots.length)
-      (retainedEntries, retainedBytes, oldEntries, oldBytes, pagedFrac)
+      val schemaObjs = identityCount(st.snapshots.iterator.map(_.schema))
+      val propsObjs = identityCount(st.snapshots.iterator.map(_.props))
+      (retainedEntries, retainedBytes, oldEntries, oldBytes, pagedFrac,
+        schemaObjs, propsObjs)
     }
 
-    println("| history | commits | live files | entries r15 | entries per-version-live | bytes r15 | bytes old | paged |")
-    println("|---|---|---|---|---|---|---|---|")
+    println("| history | commits | live files | entries r15 | entries per-version-live | bytes r15 | bytes old | paged | schema objs (warm/cold) | props objs |")
+    println("|---|---|---|---|---|---|---|---|---|---|")
     ns.foreach { n =>
-      // ---- append-only: one 3-row file per commit
+      // ---- append-only: one 3-row file per commit, one mid-history
+      // ALTER so the history holds exactly TWO distinct schemas — the
+      // shell-sharing contract is "retained StructType instances =
+      // O(distinct schemas)", warm and after a cold replay alike
       val ka = "graft_lake.snapbytes_app"
       spark.sql(s"DROP TABLE IF EXISTS $ka")
       spark.sql(s"CREATE TABLE $ka (id BIGINT)")
       (0 until n).foreach { i =>
+        if (i == n / 2) spark.sql(s"ALTER TABLE $ka ADD COLUMN extra INT")
         Seq(i * 3L, i * 3L + 1, i * 3L + 2).toDF("id")
+          .select(col("id") +: (if (i >= n / 2) Seq(lit(1).as("extra")) else Nil): _*)
           .coalesce(1).writeTo(ka).append()
       }
       val sta = LakeStore.get(ka).get
-      val (re, rb, oe, ob, pf) = audit(ka)
-      println(f"| append-only | $n | ${sta.current.length} | $re | $oe | $rb | $ob | ${pf * 100}%.0f%% |")
+      val (re, rb, oe, ob, pf, so, po) = audit(ka)
+      LakeStore.invalidateCache(ka) // cold replay must share too
+      val (_, _, _, _, _, soCold, _) = audit(ka)
+      println(f"| append-only | $n | ${sta.current.length} | $re | $oe | $rb | $ob | ${pf * 100}%.0f%% | $so/$soCold | $po |")
 
       // ---- full-churn: 8 files, then n whole-table OPTIMIZE rewrites
       val kc = "graft_lake.snapbytes_churn"
@@ -88,9 +108,30 @@ object SnapshotBytes {
       spark.range(0, 64).select(col("id")).repartition(8).writeTo(kc).append()
       (0 until n).foreach(_ => GraftLake.optimize(spark, kc, "id", 8))
       val stc = LakeStore.get(kc).get
-      val (re2, rb2, oe2, ob2, pf2) = audit(kc)
-      println(f"| full-churn | $n | ${stc.current.length} | $re2 | $oe2 | $rb2 | $ob2 | ${pf2 * 100}%.0f%% |")
+      val (re2, rb2, oe2, ob2, pf2, so2, po2) = audit(kc)
+      LakeStore.invalidateCache(kc)
+      val (_, _, _, _, _, so2c, _) = audit(kc)
+      println(f"| full-churn | $n | ${stc.current.length} | $re2 | $oe2 | $rb2 | $ob2 | ${pf2 * 100}%.0f%% | $so2/$so2c | $po2 |")
     }
+
+    // ---- multi-table budget: 10 tables, full-churn, per-table window
+    // property 4 (vs the global 24) — the knob a driver hosting many
+    // tables turns so the sum of windows stays inside a byte budget
+    println()
+    println("| tables | commits each | window | total entries | total bytes | budget 512KB |")
+    println("|---|---|---|---|---|---|")
+    val keys = (0 until 10).map(i => s"graft_lake.snapbytes_multi$i")
+    keys.foreach { kk =>
+      spark.sql(s"DROP TABLE IF EXISTS $kk")
+      spark.sql(s"CREATE TABLE $kk (id BIGINT) " +
+        s"TBLPROPERTIES ('${LakeStore.SnapshotWindowProp}' = '4')")
+      spark.range(0, 64).select(col("id")).repartition(8).writeTo(kk).append()
+      (0 until 60).foreach(_ => GraftLake.optimize(spark, kk, "id", 8))
+    }
+    val totals = keys.map(audit)
+    val totEntries = totals.map(_._1).sum
+    val totBytes = totals.map(_._2).sum
+    println(f"| ${keys.length} | 60 | 4 | $totEntries | $totBytes | ${if (totBytes < 512 * 1024) "PASS" else "FAIL"} |")
     spark.stop()
   }
 }
