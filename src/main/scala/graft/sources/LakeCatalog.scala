@@ -3412,7 +3412,7 @@ object LakeMetaTable {
           netAdded.length.toLong, netRemoved.length.toLong,
           netAdded.iterator.map(_.rows).sum,
           netRemoved.iterator.map(p => rowsOf.getOrElse(p, 0L)).sum,
-          snap.commitGroups.map(g => java.lang.Long.valueOf(g.size.toLong)).orNull)
+          st.commitGroupsAt(v).map(g => java.lang.Long.valueOf(g.size.toLong)).orNull)
       }.toVector
     case "files" =>
       val dvRows = st.deletes.groupBy(_.dataFile).map { case (df, es) =>

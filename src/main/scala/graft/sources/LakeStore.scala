@@ -137,9 +137,11 @@ object LakeStore {
     * ([[TableState.filesAt]]) — time travel pays O(chain), the scans
     * that run per-query pay O(1). Deltas older than
     * [[LakeStore.snapshotWindow]] commits page OUT of memory entirely
-    * (`paged=true`, added/removedPaths emptied) and reload from their
-    * own immutable log entry when a reconstruction or CHANGES read
-    * actually needs them — Delta reading commit JSONs on demand. */
+    * (`paged=true`; added/removedPaths, delete lists and commitGroups
+    * emptied) and reload from their own immutable log entry when a
+    * reconstruction, CHANGES read, deep conflict check or DESCRIBE
+    * HISTORY actually needs them — Delta reading commit JSONs on
+    * demand. */
   final case class Snapshot(schema: StructType,
       commitGroups: Option[Set[List[Any]]], dataChange: Boolean,
       action: String = "unknown", props: Map[String, String] = Map.empty,
@@ -236,6 +238,15 @@ object LakeStore {
     def eqDeletesAt(v: Int): Vector[EqDelete] = {
       val s = snapshots(v)
       if (!s.paged) s.eqDeletes else LakeStore.readDelta(key, v, s).eqDeletes
+    }
+    /** The commit's touched-group metadata (None = whole table) —
+      * paged with the rest of the per-version payload; incremental-
+      * CHANGES planning, conflict classification against deep read
+      * versions and DESCRIBE HISTORY reload it from the commit's own
+      * log entry past the window. */
+    def commitGroupsAt(v: Int): Option[Set[List[Any]]] = {
+      val s = snapshots(v)
+      if (!s.paged) s.commitGroups else LakeStore.readDelta(key, v, s).groups
     }
 
     /** The live file set AS OF version `v`: the materialized list when
@@ -627,7 +638,7 @@ object LakeStore {
       case GroupScope(claims) =>
         ((rv + 1) to st.latestVersion).foreach { v =>
           val s = st.snapshots(v)
-          if (s.ref == ref && s.dataChange) s.commitGroups match {
+          if (s.ref == ref && s.dataChange) st.commitGroupsAt(v) match {
             case None =>
               throw new CommitConflictException(
                 s"graft_lake: commit conflict on $k — commit v$v " +
@@ -717,11 +728,13 @@ object LakeStore {
     sys.props.get("graft.lake.debug.invariants").exists(_.toBoolean)
 
   /** A paged version's per-entry state, re-read from the log: the
-    * commit's own delta plus its live delete-sidecar / equality-delete
-    * lists (the log stores those in full per commit). */
+    * commit's own delta, its live delete-sidecar / equality-delete
+    * lists (the log stores those in full per commit), and its
+    * touched-group metadata (None = whole table). */
   final case class EntryState(added: Vector[FileEntry],
       removed: Vector[String], deletes: Vector[DeleteEntry],
-      eqDeletes: Vector[EqDelete])
+      eqDeletes: Vector[EqDelete],
+      groups: Option[Set[List[Any]]])
 
   /** Bounded LRU over re-read paged entries (a log entry is immutable,
     * so caching is always sound); smaller than any real window of
@@ -761,7 +774,17 @@ object LakeStore {
     val added = j("add").asInstanceOf[JArray].arr
       .map(f => fileFromJson(f, schema, partTypes)).toVector
     val removed = j("remove").asInstanceOf[JArray].arr.map(str).toVector
-    val out = EntryState(added, removed, parseDeletes(j), parseEqDeletes(j))
+    // touched-group metadata, decoded exactly the way cold replay
+    // decodes it (the entry's own spec era's key types)
+    val groups = j("commitGroups") match {
+      case JNull => None
+      case JArray(gs) => Some(gs.map(g => g.asInstanceOf[JArray].arr
+        .zip(partTypes).map { case (gv, dt) => unjval(gv, dt) }).toSet)
+      case other => throw new IllegalStateException(
+        s"graft_lake: bad commitGroups $other in $k v$version")
+    }
+    val out = EntryState(added, removed, parseDeletes(j), parseEqDeletes(j),
+      groups)
     deltaCache.synchronized { deltaCache.put((k, version), out) }
     out
   }
@@ -776,12 +799,17 @@ object LakeStore {
     val cut = snapshots.length - 1 - window
     if (i < 0 || i > cut) return snapshots
     val s = snapshots(i)
+    // commitGroups page too (None — the whole-table marker — and
+    // nonempty sets both count as payload; the accessor restores the
+    // exact value from the log, so the in-memory placeholder is free)
     if (!s.paged && s.live.isEmpty &&
         (s.added.nonEmpty || s.removedPaths.nonEmpty ||
-          s.deletes.nonEmpty || s.eqDeletes.nonEmpty))
+          s.deletes.nonEmpty || s.eqDeletes.nonEmpty ||
+          s.commitGroups.forall(_.nonEmpty)))
       snapshots.updated(i, s.copy(added = Vector.empty,
         removedPaths = Vector.empty, deletes = Vector.empty,
-        eqDeletes = Vector.empty, paged = true))
+        eqDeletes = Vector.empty, commitGroups = Some(Set.empty),
+        paged = true))
     else snapshots
   }
 
@@ -2151,7 +2179,7 @@ object LakeStore {
         // branch commits are invisible to main's change metadata until
         // PUBLISH delivers their diff as one main commit
         if (!snap.dataChange || snap.ref != "main") Some(acc)
-        else snap.commitGroups.map(acc ++ _)
+        else st.commitGroupsAt(v).map(acc ++ _)
     }
   }
 

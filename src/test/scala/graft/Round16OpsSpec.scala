@@ -119,6 +119,42 @@ class Round16OpsSpec extends SparkTestBase {
     assert(spark.table(key).count() === 30L)
   }
 
+  test("commitGroups page with the window and reload exactly for CHANGES planning and history") {
+    registerCatalog()
+    withWindow(2) {
+      import spark.implicits._
+      val key = "graft_lake.groupspage"
+      spark.sql(s"DROP TABLE IF EXISTS $key")
+      spark.sql(s"CREATE TABLE $key (id BIGINT, src STRING) PARTITIONED BY (src)")
+      (0 until 8).foreach { i =>
+        Seq((i.toLong, s"s${i % 3}")).toDF("id", "src")
+          .coalesce(1).writeTo(key).append()
+      }
+      val st = LakeStore.get(key).get
+      // below-window snapshots hold only the placeholder in memory...
+      (1 to st.latestVersion - 2).foreach { v =>
+        assert(st.snapshots(v).paged)
+        assert(st.snapshots(v).commitGroups === Some(Set.empty))
+        // ...but the accessor restores the commit's real touched group
+        assert(st.commitGroupsAt(v) === Some(Set(List(s"s${(v - 1) % 3}"))),
+          s"v$v groups")
+      }
+      // incremental-CHANGES planning over the paged range sees every
+      // touched partition, so the diff stays partition-scoped
+      assert(LakeStore.changedGroups(key, 0, 3) ===
+        Some(Set(List("s0"), List("s1"), List("s2"))))
+      assert(LakeStore.changedGroups(key, 0, 2) ===
+        Some(Set(List("s0"), List("s1"))))
+      // DESCRIBE HISTORY's group counts come from the reload, not the
+      // placeholder (1 touched group per append, at every version)
+      val hist = spark.table(s"$key.history")
+        .select(col("version"), col("groups_touched")).collect()
+        .map(r => r.getLong(0) -> r.get(1)).toMap
+      (1 to st.latestVersion).foreach(v =>
+        assert(hist(v.toLong) === 1L, s"history groups at v$v"))
+    }
+  }
+
   // ------------------------------------------------------------ task 8
 
   test("paging window is table-tunable via graft.lake.snapshot.window property") {
