@@ -614,9 +614,12 @@ object GraftLake {
         }.reduce(_ + _)
       }
     val df = s.table(tableRef).repartitionByRange(nFiles, sortKey)
-    LakeStore.nextReplaceIsLayoutOnly.update(tableRef, true)
-    try df.writeTo(tableRef).overwrite(lit(true))
-    finally LakeStore.nextReplaceIsLayoutOnly.remove(tableRef)
+    // the layout-only marker rides THIS write (option -> commit, like
+    // COPY INTO's ledger ids) — a table-keyed "next replace" flag was
+    // stealable by a concurrent row-level replace, mislabeling it
+    // dataChange=false and opening a lost-update window
+    df.writeTo(tableRef).option(LakeStore.LayoutOnlyOption, "true")
+      .overwrite(lit(true))
   }
 
   /** SIZE-AWARE INCREMENTAL COMPACTION — Delta OPTIMIZE's small-file
@@ -659,9 +662,8 @@ object GraftLake {
     // group (the writer opens per-group files within a task)
     val df = s.table(tableRef).where(pred)
       .repartition(smallGroups.size, col(pc.head))
-    LakeStore.nextReplaceIsLayoutOnly.update(tableRef, true)
-    try df.writeTo(tableRef).overwrite(pred)
-    finally LakeStore.nextReplaceIsLayoutOnly.remove(tableRef)
+    df.writeTo(tableRef).option(LakeStore.LayoutOnlyOption, "true")
+      .overwrite(pred)
     (smallGroups.size, removedCount)
   }
 }
@@ -1303,8 +1305,11 @@ class GraftLakeTable(val key: String, val tableSchema: StructType,
       .map(LakeStore.decodeCopyIds)
     require(copyIds.isEmpty || upsertPhys.isEmpty,
       s"graft_lake: COPY INTO cannot combine with upsert keys on $key")
+    // OPTIMIZE's layout-only marker rides the write the same way
+    val layoutOnly = Option(info.options.get(LakeStore.LayoutOnlyOption))
+      .exists(_.toBoolean)
     new LakeWriteBuilder(key, info.schema(), LakeWriteBuilder.AppendMode,
-      info.queryId(), upsertPhys, copyIds)
+      info.queryId(), upsertPhys, copyIds, layoutOnly)
   }
 
   override def newRowLevelOperationBuilder(
@@ -3541,7 +3546,8 @@ class LakeWriteBuilder(key: String, writeSchema: StructType,
     private var mode: LakeWriteBuilder.Mode,
     queryId: String = "",
     upsertCols: Seq[String] = Nil,
-    copyIds: Option[Seq[String]] = None) extends WriteBuilder
+    copyIds: Option[Seq[String]] = None,
+    layoutOnly: Boolean = false) extends WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsOverwriteV2
     with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
   import LakeWriteBuilder._
@@ -3620,8 +3626,7 @@ class LakeWriteBuilder(key: String, writeSchema: StructType,
     // their explicit identity values would make clustering impossible
     // on any identity/row-tracked table); generated columns recompute
     // on both paths, which is a no-op for OPTIMIZE (deps unchanged)
-    val carryRows = mode.isInstanceOf[RowLevelMode] ||
-      LakeStore.nextReplaceIsLayoutOnly.getOrElse(key, false)
+    val carryRows = mode.isInstanceOf[RowLevelMode] || layoutOnly
     new LakeWriterFactory(LakeStore.dataDir(key), writeSchema, partitionCols,
       constraints, derived, LakeBloom.columnsOf(props), LakeBloom.bitsOf(props),
       phys, recomputeGenerated = carryRows, ndvCols = LakeNdv.columnsOf(props))
@@ -3696,7 +3701,8 @@ class LakeWriteBuilder(key: String, writeSchema: StructType,
             Some(LakeStore.Txn(readVersion, LakeStore.BlindAppend)),
             ingestIds = copyIds)
           case TruncateMode => LakeStore.replace(key, files, None,
-            Some(LakeStore.Txn(readVersion, LakeStore.WholeTable)))
+            Some(LakeStore.Txn(readVersion, LakeStore.WholeTable)),
+            layoutOnly = layoutOnly)
           case OverwriteGroups(gs, guards) =>
             // replaceWhere data validation (the Delta contract): every
             // produced file's group must satisfy the overwrite filter —
@@ -3720,7 +3726,8 @@ class LakeWriteBuilder(key: String, writeSchema: StructType,
             LakeStore.replace(key, files, Some(gs),
               Some(LakeStore.Txn(readVersion, LakeStore.GroupScope(g =>
                 guards.forall { case (i, allowed) =>
-                  i < g.length && allowed.contains(g(i)) }))))
+                  i < g.length && allowed.contains(g(i)) }))),
+              layoutOnly = layoutOnly)
           case DynamicMode =>
             val written = files.map(_.group).toSet
             LakeStore.replace(key, files, Some(written),

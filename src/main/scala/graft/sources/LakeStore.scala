@@ -171,16 +171,42 @@ object LakeStore {
   final case class TableState(key: String,
       snapshots: Vector[Snapshot], earliest: Int = 0) {
     /** Every source-file id COPY INTO has EVER ingested into this
-      * table — the skip-set an ingest checks listed files against.
-      * Folded lazily from the per-commit `copyIds` ledger sections
-      * (plus the legacy `graft.copyinto.loaded` prop of pre-round-14
-      * logs), computed at most once per table version and only when a
-      * COPY INTO actually runs: ordinary commits never touch it. Ever-
-      * ingested (not live-state) by design — a RESTORE must not make a
-      * re-run re-ingest files whose rows it deliberately rolled back. */
-    lazy val copyLedger: Set[String] = snapshots.iterator.flatMap(s =>
+      * table — the skip-set an ingest checks listed files against,
+      * folded from the per-commit `copyIds` ledger sections (plus the
+      * legacy `graft.copyinto.loaded` prop of pre-round-14 logs) and
+      * maintained INCREMENTALLY in a store-level cache keyed by the
+      * table ([[LakeStore.copyLedgerCache]], the identityHighWater
+      * shape): the fold is append-only across versions — ids only ever
+      * enter, never leave — so each ingest extends the cached set by
+      * exactly the commits that landed since the last fold, O(new
+      * commits), never an O(versions) rewalk rebuilding the full set
+      * per ingest (a landing-zone table ingesting every few minutes
+      * accumulates thousands of ledger commits). Purged with the table
+      * (drop/create/invalidateCache); a fresh JVM pays one full fold,
+      * then increments. Only COPY INTO touches it: ordinary commits
+      * never pay. Ever-ingested (not live-state) by design — a RESTORE
+      * must not make a re-run re-ingest files whose rows it
+      * deliberately rolled back. */
+    def copyLedger: Set[String] = {
+      val (through, cached) =
+        LakeStore.copyLedgerCache.getOrElse(key, (-1, Set.empty[String]))
+      if (through == latestVersion) cached
+      else if (through > latestVersion) {
+        // a STALE TableState instance asked (cache advanced past it):
+        // answer from its own snapshots without touching the cache
+        snapshots.iterator.flatMap(ledgerIdsOf).toSet
+      } else {
+        val merged = cached ++
+          ((through + 1) to latestVersion).iterator
+            .flatMap(v => ledgerIdsOf(snapshots(v)))
+        LakeStore.copyLedgerFoldedVersions.addAndGet(latestVersion - through)
+        LakeStore.copyLedgerCache.update(key, (latestVersion, merged))
+        merged
+      }
+    }
+    private def ledgerIdsOf(s: Snapshot): Iterator[String] =
       s.copyIds.iterator ++ s.props.get(CopyLedgerProp).iterator
-        .flatMap(_.split(",").iterator.filter(_.nonEmpty))).toSet
+        .flatMap(_.split(",").iterator.filter(_.nonEmpty))
     /** Log index of `ref`'s HEAD — the last snapshot committed to it (a
       * branch/tag creation snapshot counts: it IS the ref's initial
       * state, a copy of its base). -1 = no such ref. Branch commits
@@ -404,6 +430,15 @@ object LakeStore {
     * never reused. */
   val identityHighWater = TrieMap.empty[(String, String), (Int, Long, Long)]
 
+  /** Incrementally-maintained COPY INTO ledger state: table -> (folded
+    * through version, every source-file id ever ingested) — see
+    * [[TableState.copyLedger]]. Sound because the fold is monotone (ids
+    * only ever enter through commits). Purged with the table. */
+  val copyLedgerCache = TrieMap.empty[String, (Int, Set[String])]
+  /** Probe counter: how many VERSIONS ledger folds have walked — what
+    * the incremental-fold spec pins at O(new commits) per ingest. */
+  val copyLedgerFoldedVersions = new java.util.concurrent.atomic.AtomicLong
+
   /** What the last RUNTIME filter delivery to each table's scan looked
     * like (predicate shapes in, parsed compares, groups kept) — the
     * observability hook the DPP specs and `tools` probes read; runtime
@@ -411,9 +446,17 @@ object LakeStore {
     * `BatchScanExec.filteredPartitions`, invisible to a plan dump. */
   val lastRuntimeFilter = TrieMap.empty[String, String]
 
-  /** Set by [[GraftLake.optimize]] so the next replace commit on the key
-    * is recorded dataChange=false (a layout-only rewrite). */
-  private[sources] val nextReplaceIsLayoutOnly = TrieMap.empty[String, Boolean]
+  /** DSv2 write option marking a replace as LAYOUT-ONLY (OPTIMIZE /
+    * small-file compaction: rows unchanged, recorded dataChange=false so
+    * CDC skips it). Rides the write itself — option to commit, whatever
+    * thread Spark commits on — exactly like [[CopyIdsOption]]: the old
+    * table-keyed flag ("the NEXT replace on this key is layout-only")
+    * was stealable by any row-level replace landing inside OPTIMIZE's
+    * multi-second job window, which mislabeled THAT commit
+    * dataChange=false — making it invisible to OPTIMIZE's own
+    * WholeTable conflict check, which then committed stale content over
+    * it: a silent LOST UPDATE (caught by the Round14 OCC stress). */
+  val LayoutOnlyOption = "graft.optimize.layoutOnly"
 
   // --------------------------------------- branches and tags (p59)
 
@@ -690,6 +733,7 @@ object LakeStore {
     tables.remove(k)
     deltaCache.synchronized { deltaCache.keySet.removeIf(_._1 == k) }
     identityHighWater.keys.filter(_._1 == k).foreach(identityHighWater.remove)
+    copyLedgerCache.remove(k)
   }
 
   // ------------------------------------------- delta paging (round 15)
@@ -841,6 +885,7 @@ object LakeStore {
       validateSpec(k, schema, partitionCols)
       deltaCache.synchronized { deltaCache.keySet.removeIf(_._1 == k) }
       identityHighWater.keys.filter(_._1 == k).foreach(identityHighWater.remove)
+      copyLedgerCache.remove(k)
       val dir = new Path(tableDir(k))
       val fs = fsOf(dir)
       // only a leftover dir with NO replayable log reaches this point
@@ -872,6 +917,7 @@ object LakeStore {
       deltaCache.keySet.removeIf(_._1 == k)
     }
     identityHighWater.keys.filter(_._1 == k).foreach(identityHighWater.remove)
+    copyLedgerCache.remove(k)
     val existed = tables.remove(k).isDefined
     val dir = new Path(tableDir(k))
     val fs = fsOf(dir)
@@ -1006,7 +1052,8 @@ object LakeStore {
     * `lastReplacedGroups` stays scanned-only — the pruning audit. */
   def replace(k: String, files: Seq[FileEntry],
       groups: Option[Set[List[Any]]],
-      txn: Option[Txn] = None): Unit = synchronized {
+      txn: Option[Txn] = None,
+      layoutOnly: Boolean = false): Unit = synchronized {
     onNextCommit.remove(k).foreach(_.apply())
     val st = stateOf(k)
     txn.foreach(checkConflicts(k, st, _))
@@ -1016,7 +1063,6 @@ object LakeStore {
       case Some(gs) => st.current.filter(f => gs.contains(f.group))
     }
     val live = (st.current diff removed) ++ stamped
-    val layoutOnly = nextReplaceIsLayoutOnly.remove(k).getOrElse(false)
     lastReplacedGroups.update(k, groups)
     lastReplacedFiles.update(k, (removed.map(_.path), stamped.map(_.path)))
     commit(k, st, if (layoutOnly) "optimize" else "replace", live, stamped,

@@ -194,6 +194,46 @@ class Round16OpsSpec extends SparkTestBase {
     assert(spark.table(wide).count() === 30L)
   }
 
+  test("COPY INTO ledger folds incrementally: O(new commits) per ingest, not O(versions)") {
+    registerCatalog()
+    import spark.implicits._
+    val key = "graft_lake.ledgerinc"
+    spark.sql(s"DROP TABLE IF EXISTS $key")
+    spark.sql(s"CREATE TABLE $key (id BIGINT)")
+    val src = java.nio.file.Files.createTempDirectory("graft_ledger_inc_").toString
+    val fs = new Path(src).getFileSystem(new Configuration())
+    def stage(name: String, ids: Seq[Long]): Unit = {
+      val tmp = s"$src/_st_$name"
+      ids.toDF("id").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = fs.listStatus(new Path(tmp)).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).head
+      fs.rename(part, new Path(s"$src/$name.parquet"))
+      fs.delete(new Path(tmp), true)
+    }
+    stage("a", 0L until 5L)
+    assert(GraftLake.copyInto(spark, key, src)._1 === 1)
+    // history grows: 20 unrelated appends after the first ingest
+    (0 until 20).foreach(i =>
+      Seq(100L + i).toDF("id").coalesce(1).writeTo(key).append())
+    stage("b", 10L until 15L)
+    assert(GraftLake.copyInto(spark, key, src)._1 === 1) // folds the 20 appends once
+    // the third ingest follows immediately: only the second ingest's own
+    // commit landed since the last fold, so the ledger walk must be a
+    // handful of versions — a full rewalk would be ~24 per copyLedger
+    // touch (copyInto plans one, the commit's dup-check pays another)
+    stage("c", 20L until 25L)
+    val before = LakeStore.copyLedgerFoldedVersions.get()
+    assert(GraftLake.copyInto(spark, key, src)._1 === 1)
+    val walked = LakeStore.copyLedgerFoldedVersions.get() - before
+    assert(walked <= 4, s"ledger fold walked $walked versions; want O(new commits)")
+    // re-run ingests nothing, and a cold replay refolds the full ledger
+    // to the same skip decision
+    assert(GraftLake.copyInto(spark, key, src)._1 === 0)
+    LakeStore.invalidateCache(key)
+    assert(GraftLake.copyInto(spark, key, src)._1 === 0)
+    assert(spark.table(key).count() === 35L) // 5 + 20 + 5 + 5
+  }
+
   // ---------------------------------------------------- ADVICE medium
 
   test("invalidateCache purges paged-delta cache: external drop/recreate cannot serve stale deltas") {
@@ -319,6 +359,49 @@ class Round16OpsSpec extends SparkTestBase {
     (1 to st.latestVersion).foreach(v =>
       assert(st.snapshots(v).parent === v - 1, s"non-linear chain at v$v"))
     info(s"parent retries after lost races: $parentRetries")
+  }
+
+  test("OPTIMIZE racing a row-level UPDATE aborts instead of losing the update") {
+    registerCatalog()
+    import spark.implicits._
+    val key = "graft_lake.optrace"
+    spark.sql(s"DROP TABLE IF EXISTS $key")
+    spark.sql(s"CREATE TABLE $key (id BIGINT, src STRING, v BIGINT) PARTITIONED BY (src)")
+    Seq((1L, "s0", 1L), (2L, "s0", 2L), (3L, "s0", 3L), (4L, "s0", 4L))
+      .toDF("id", "src", "v").coalesce(1).writeTo(key).append()
+    // inject an UPDATE into OPTIMIZE's plan-to-commit window (the
+    // deterministic-interleave hook fires inside the store lock right
+    // before OPTIMIZE's own replace commit). The old table-keyed
+    // "next replace is layout-only" flag was STOLEN by exactly this
+    // interleaving: the UPDATE committed dataChange=false, OPTIMIZE's
+    // WholeTable conflict check could not see it, and OPTIMIZE then
+    // committed its stale pre-update content — a silent lost update.
+    LakeStore.onNextCommit.update(key, () =>
+      spark.sql(s"UPDATE $key SET v = v + 100 WHERE id = 2"))
+    def isConflict(t: Throwable): Boolean = {
+      var c = t
+      while (c != null) {
+        if (c.isInstanceOf[LakeStore.CommitConflictException]) return true
+        c = c.getCause
+      }
+      false
+    }
+    val e = intercept[Throwable] { GraftLake.optimize(spark, key, "id", 2) }
+    assert(isConflict(e), s"optimize should abort with a retryable conflict, got $e")
+    // the interleaved UPDATE survived, correctly labeled a DATA change
+    assert(spark.table(key).filter(col("id") === 2)
+      .select("v").collect()(0).getLong(0) === 102L)
+    val st = LakeStore.get(key).get
+    assert(st.snapshots(st.latestVersion).dataChange,
+      "the interleaved UPDATE must be a data change, not a stolen layout-only label")
+    // the retried OPTIMIZE (no interloper) commits layout-only and
+    // preserves the updated content
+    GraftLake.optimize(spark, key, "id", 2)
+    val st2 = LakeStore.get(key).get
+    assert(st2.snapshots(st2.latestVersion).action === "optimize")
+    assert(!st2.snapshots(st2.latestVersion).dataChange)
+    assert(spark.table(key).filter(col("id") === 2)
+      .select("v").collect()(0).getLong(0) === 102L)
   }
 
   // ------------------------------------------------------------ task 7
