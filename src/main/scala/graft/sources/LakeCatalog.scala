@@ -2559,13 +2559,9 @@ object LakeCdf {
     // "live at both versions" = in the parent map and not removed by
     // this commit — O(1) per probe, no current-version set build
     def carried(f: LakeStore.FileEntry): Boolean = !removedSet.contains(f.path)
-    def prevLiveIter: Iterator[LakeStore.FileEntry] = {
-      val it = prevLive.values().iterator()
-      new Iterator[LakeStore.FileEntry] {
-        def hasNext: Boolean = it.hasNext
-        def next(): LakeStore.FileEntry = it.next()
-      }
-    }
+    import scala.jdk.CollectionConverters._
+    def prevLiveIter: Iterator[LakeStore.FileEntry] =
+      prevLive.values().iterator().asScala
     val prevEqSet = prevEq.toSet
     val newEq = snapEq.filterNot(prevEqSet)
     val upserted =
@@ -3731,7 +3727,8 @@ class LakeWriteBuilder(key: String, writeSchema: StructType,
           case DynamicMode =>
             val written = files.map(_.group).toSet
             LakeStore.replace(key, files, Some(written),
-              Some(LakeStore.Txn(readVersion, LakeStore.GroupScope(written))))
+              Some(LakeStore.Txn(readVersion, LakeStore.GroupScope(written))),
+              layoutOnly = layoutOnly)
           case RowLevelMode(gs) =>
             val scanned = gs()
             // claims = the groups the statement SCANNED plus the groups

@@ -754,8 +754,23 @@ object LakeStore {
     * snapshot's own props, so `ALTER TABLE SET TBLPROPERTIES` takes
     * effect from the next commit on. */
   val SnapshotWindowProp = "graft.lake.snapshot.window"
+  /** Defensive by construction: the read side NEVER throws (an
+    * unparseable or non-positive value falls back to the global
+    * default), because it runs after a commit's log entry is already
+    * durable and inside cold replay — throwing there would brick the
+    * table. The loud rejection lives at property-SET time
+    * ([[validateWindowProp]], called from create/setProperties/staged
+    * replace), where the mistake is still cheap. */
   def snapshotWindowFor(props: Map[String, String]): Int =
-    props.get(SnapshotWindowProp).map(_.toInt).getOrElse(snapshotWindow)
+    props.get(SnapshotWindowProp).flatMap(_.toIntOption).filter(_ >= 1)
+      .getOrElse(snapshotWindow)
+
+  private def validateWindowProp(k: String, props: Map[String, String]): Unit =
+    props.get(SnapshotWindowProp).foreach { raw =>
+      require(raw.toIntOption.exists(_ >= 1),
+        s"graft_lake: $SnapshotWindowProp of $k must be a positive " +
+          s"integer, got '$raw'")
+    }
 
   /** Probe counters: how many live-set reconstructions (chain replays)
     * and paged-delta reloads (log-entry re-reads) ran — what the
@@ -818,19 +833,22 @@ object LakeStore {
     val added = j("add").asInstanceOf[JArray].arr
       .map(f => fileFromJson(f, schema, partTypes)).toVector
     val removed = j("remove").asInstanceOf[JArray].arr.map(str).toVector
-    // touched-group metadata, decoded exactly the way cold replay
-    // decodes it (the entry's own spec era's key types)
-    val groups = j("commitGroups") match {
-      case JNull => None
-      case JArray(gs) => Some(gs.map(g => g.asInstanceOf[JArray].arr
-        .zip(partTypes).map { case (gv, dt) => unjval(gv, dt) }).toSet)
-      case other => throw new IllegalStateException(
-        s"graft_lake: bad commitGroups $other in $k v$version")
-    }
     val out = EntryState(added, removed, parseDeletes(j), parseEqDeletes(j),
-      groups)
+      decodeCommitGroups(j("commitGroups"), partTypes))
     deltaCache.synchronized { deltaCache.put((k, version), out) }
     out
+  }
+
+  /** Touched-group metadata decode, shared by cold replay and paged-
+    * entry reload so the two can never drift: group values zip against
+    * the entry's own spec era's key types. None = whole table. */
+  private def decodeCommitGroups(j: JValue,
+      partTypes: Seq[DataType]): Option[Set[List[Any]]] = j match {
+    case JNull => None
+    case JArray(gs) => Some(gs.map(g => g.asInstanceOf[JArray].arr
+      .zip(partTypes).map { case (gv, dt) => unjval(gv, dt) }).toSet)
+    case other => throw new IllegalStateException(
+      s"graft_lake: bad commitGroups $other")
   }
 
   /** Page one snapshot if it is below the window, holds payload, and is
@@ -883,6 +901,7 @@ object LakeStore {
       // stops CREATE from destroying the evidence.
       if (get(k).isDefined) return false
       validateSpec(k, schema, partitionCols)
+      validateWindowProp(k, props)
       deltaCache.synchronized { deltaCache.keySet.removeIf(_._1 == k) }
       identityHighWater.keys.filter(_._1 == k).foreach(identityHighWater.remove)
       copyLedgerCache.remove(k)
@@ -1368,6 +1387,7 @@ object LakeStore {
       props: Map[String, String], files: Seq[FileEntry]): Unit = synchronized {
     requireMain(k, "CREATE/REPLACE TABLE (staged)")
     validateSpec(k, schema, partitionCols)
+    validateWindowProp(k, props)
     get(k) match {
       case Some(st) =>
         // the staged writer derived group keys under the NEW definition's
@@ -1432,6 +1452,7 @@ object LakeStore {
     * catalog (the layer with a SparkSession); this just commits. */
   def setProperties(k: String, newProps: Map[String, String]): Unit = synchronized {
     requireMain(k, "ALTER TABLE (properties)")
+    validateWindowProp(k, newProps)
     val st = stateOf(k)
     commit(k, st, "setprops", st.current, Nil, removed = Nil,
       commitGroups = Some(Set.empty), dataChange = false, schema = st.schema,
@@ -1762,10 +1783,17 @@ object LakeStore {
     // the just-demoted head if its crossing happened while it was
     // still materialized (pageAt itself rejects in-window indexes).
     // Window resolution is per TABLE (the committing snapshot's props
-    // override the global default).
+    // override the global default). A SHRUNK window (a setprops commit
+    // lowering it) pays one full sweep — without it the O(1) path
+    // would leave every entry between the old and new cut materialized
+    // forever, defeating the memory reclaim the operator asked for. A
+    // GROWN window takes effect for new entries only: already-paged
+    // entries stay paged (paging is monotone in the warm cache; the
+    // paged accessors serve identical values either way).
     val win = snapshotWindowFor(newProps)
     val newSt = st.copy(snapshots =
-      pageAt(pageAt(appended, appended.length - 1 - win, win), prevOfRef, win))
+      if (win < snapshotWindowFor(st.props)) pageOld(appended, win)
+      else pageAt(pageAt(appended, appended.length - 1 - win, win), prevOfRef, win))
     tables.update(k, newSt)
     val ci = checkpointInterval
     if (ci > 0 && version % ci == 0) writeCheckpoint(k, newSt)
@@ -1791,7 +1819,14 @@ object LakeStore {
   private def writeLogEntry(k: String, version: Int, entry: JObject): Unit = {
     val dir = logDir(k)
     val fs = fsOf(dir)
-    val tmp = new Path(dir, f"$version%020d.json.tmp")
+    // the temp name is PER-WRITER unique: two processes racing the same
+    // version with a shared ".tmp" name could truncate each other's
+    // staging file — including, after a link, the already-committed
+    // destination's shared inode — or publish the other writer's entry
+    // under their own claim. Uniqueness confines each writer to its own
+    // inode; only the atomic claim below is shared.
+    val tmp = new Path(dir,
+      f"$version%020d.json.${java.util.UUID.randomUUID()}.tmp")
     val dst = new Path(dir, f"$version%020d.json")
     val out = fs.create(tmp, true)
     try out.write(JsonMethods.compact(JsonMethods.render(entry)).getBytes("UTF-8"))
@@ -1876,12 +1911,7 @@ object LakeStore {
       val parent = j.get("parent").map(num(_).intValue())
         .getOrElse(snapshots.length - 1)
       val prevSnap = if (parent >= 0) Some(snapshots(parent)) else None
-      val cg = j("commitGroups") match {
-        case JNull => None
-        case JArray(gs) => Some(gs.map(g =>
-          g.asInstanceOf[JArray].arr.zip(partTypes).map { case (v, dt) => unjval(v, dt) }).toSet)
-        case other => throw new IllegalStateException(s"graft_lake: bad commitGroups $other")
-      }
+      val cg = decodeCommitGroups(j("commitGroups"), partTypes)
       val parsedProps = j.get("props") match {
         case Some(JObject(fields)) => fields.map { case (pk, pv) => pk -> str(pv) }.toMap
         case _ => Map.empty[String, String] // pre-props log entries

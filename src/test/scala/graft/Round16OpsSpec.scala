@@ -192,6 +192,32 @@ class Round16OpsSpec extends SparkTestBase {
       .collect()(0).getLong(0) === 4L)
     assert(spark.table(tight).count() === 10L)
     assert(spark.table(wide).count() === 30L)
+    // SHRINKING the window via SET TBLPROPERTIES pages the backlog at
+    // the very next commit (the setprops commit's own sweep) — the
+    // memory reclaim the operator asked for, not just new entries
+    spark.sql(s"ALTER TABLE $wide SET TBLPROPERTIES " +
+      s"('${LakeStore.SnapshotWindowProp}' = '2')")
+    val shrunk = LakeStore.get(wide).get
+    val cut = shrunk.latestVersion - 2
+    (1 to cut).foreach(v =>
+      assert(shrunk.snapshots(v).paged, s"backlog v$v unpaged after shrink"))
+    assert(spark.table(wide).count() === 30L)
+    assert(spark.sql(s"SELECT count(*) FROM $wide VERSION AS OF 7")
+      .collect()(0).getLong(0) === 7L)
+    // an unparseable or non-positive window is refused at SET time —
+    // never evaluated after a durable commit (which would brick replay)
+    Seq("'4x'", "'-1'", "'0'").foreach { bad =>
+      val e = intercept[Throwable] {
+        spark.sql(s"ALTER TABLE $wide SET TBLPROPERTIES " +
+          s"('${LakeStore.SnapshotWindowProp}' = $bad)")
+      }
+      def msg(t: Throwable): String = {
+        var c = t; val sb = new StringBuilder
+        while (c != null) { sb.append(c.getMessage).append(' '); c = c.getCause }
+        sb.toString
+      }
+      assert(msg(e).contains("positive integer"), s"bad window $bad: $e")
+    }
   }
 
   test("COPY INTO ledger folds incrementally: O(new commits) per ingest, not O(versions)") {
