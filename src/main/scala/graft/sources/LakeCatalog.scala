@@ -2442,6 +2442,95 @@ object LakeCdf {
     * materializations. */
   val rangeSeeds = new java.util.concurrent.atomic.AtomicLong
 
+  /** Probe counters for the upsert-CDF fan-out: across all [[chunksFor]]
+    * calls, how many delete-side/resurrect-side chunks the per-file key
+    * STATISTICS pruned vs emitted. What they pin (Round17 spec): with
+    * blooms (or disjoint zones) on the key column, an upsert commit's
+    * change-feed plan emits O(files-that-can-contain-the-deleted-keys)
+    * chunks, not O(live files) — the read-amplification bound that
+    * makes CDC-of-upserts consumable at 800k files. */
+  val upsertFanoutEmitted = new java.util.concurrent.atomic.AtomicLong
+  val upsertFanoutPruned = new java.util.concurrent.atomic.AtomicLong
+
+  /** Plan-time key statistics of ONE equality delete, folded from the
+    * manifest entries of the delete's OWN data files (the upsert's key
+    * source): per key column, may-the-keys-be-NULL, are-there-any-
+    * non-null-keys, a min/max envelope over the key files' zones, and
+    * an OR-fold of their bloom filters. [[mayHold]] is the sound prune:
+    * a candidate file is skipped from the fan-out exactly when some key
+    * column PROVES value-disjointness between the file and every key
+    * file (bloom bit-intersection when both sides carry filters of one
+    * width, zone-range disjointness otherwise) AND the null case cannot
+    * match (the reader's probe is exact stored-tuple membership, so a
+    * NULL key only matches a NULL cell; zones/blooms describe non-null
+    * values only). Any absent statistic answers "may hold" — emission
+    * is always the safe side. `resolved = None` (a key file not found
+    * in the parent live set or the commit's own add-list — compacted
+    * away, or foreign) disables pruning for this delete entirely. */
+  private final class EqKeyStats(key: String, d: LakeStore.EqDelete,
+      resolved: Option[Seq[LakeStore.FileEntry]]) {
+    private def noNulls(e: LakeStore.FileEntry, c: String): Boolean =
+      e.nulls.get(c).contains(0L)
+    private def allNull(e: LakeStore.FileEntry, c: String): Boolean =
+      e.nulls.get(c).contains(e.rows)
+    private val byCol: Map[String, (Boolean, Boolean, Option[(Any, Any)], Option[Array[Long]])] =
+      resolved match {
+        case None => Map.empty
+        case Some(fs) => d.cols.iterator.map { c =>
+          val mayNull = fs.exists(e => !noNulls(e, c))
+          // a key file whose column is ALL null contributes no values —
+          // exact via the per-file null counts, so it neither blocks the
+          // envelope nor requires a bloom
+          val valued = fs.filterNot(allNull(_, c))
+          val env =
+            if (valued.nonEmpty && valued.forall(_.zones.contains(c))) {
+              val zs = valued.map(_.zones(c))
+              val mn = zs.map(_._1).reduce((a, b) =>
+                if (ZonePrune.cmp(a, b).exists(_ <= 0)) a else b)
+              val mx = zs.map(_._2).reduce((a, b) =>
+                if (ZonePrune.cmp(a, b).exists(_ >= 0)) a else b)
+              Some((mn, mx))
+            } else None
+          val bloom =
+            if (valued.nonEmpty && valued.forall(_.blooms.contains(c))) {
+              val bs = valued.map(e => LakeBloom.decode(
+                LakeStatsSidecar.resolve(key, e.blooms(c))))
+              if (bs.map(_.length).distinct.lengthCompare(1) == 0)
+                Some(bs.reduce { (a, b) =>
+                  val r = a.clone(); var i = 0
+                  while (i < r.length) { r(i) |= b(i); i += 1 }
+                  r
+                })
+              else None
+            } else None
+          c -> ((mayNull, valued.isEmpty, env, bloom))
+        }.toMap
+      }
+
+    /** Can data file `f` hold any of this delete's keys? */
+    def mayHold(f: LakeStore.FileEntry): Boolean =
+      byCol.isEmpty || !d.cols.exists { c =>
+        val (delMayNull, delEmpty, env, delBloom) = byCol(c)
+        if (delMayNull && !noNulls(f, c)) false // NULL may match NULL
+        else if (delEmpty || allNull(f, c)) true // a side has no values
+        else {
+          val zoneDisjoint = (f.zones.get(c), env) match {
+            case (Some((fmn, fmx)), Some((dmn, dmx))) =>
+              ZonePrune.cmp(fmx, dmn).exists(_ < 0) ||
+                ZonePrune.cmp(dmx, fmn).exists(_ < 0)
+            case _ => false
+          }
+          def bloomDisjoint = (f.blooms.get(c), delBloom) match {
+            case (Some(enc), Some(db)) =>
+              !LakeBloom.mayIntersect(
+                LakeBloom.decode(LakeStatsSidecar.resolve(key, enc)), db)
+            case _ => false
+          }
+          zoneDisjoint || bloomDisjoint
+        }
+      }
+  }
+
   /** CDF over a version range with an INCREMENTAL live-set fold: one
     * path-keyed map of main's live files is seeded at the range's entry
     * point (the single O(live files) step) and then advanced by each
@@ -2564,31 +2653,55 @@ object LakeCdf {
       prevLive.values().iterator().asScala
     val prevEqSet = prevEq.toSet
     val newEq = snapEq.filterNot(prevEqSet)
-    val upserted =
-      if (newEq.isEmpty) Nil
-      else prevLiveIter.filter(f => carried(f) &&
-          newEq.exists(_.seq > f.seq)).map { f =>
-        val (dv, n) = dvAtPrev.getOrElse(f.path, (Nil, 0L))
-        LakeFileChunk(LakeStore.resolvePath(key, f), f.cols, f.rows, dv, n,
-          change = "D", version = v.toLong, eqDel = priorEq(f),
-          eqIncl = newEq.filter(_.seq > f.seq).map(eqChunk(_, snap.schema)))
-      }.toSeq
+    // key-stats pruning of the fan-outs: a delete's own data files (the
+    // key source) resolve through this commit's add-list or the parent
+    // live map — their zones/blooms/null-counts bound which carried
+    // files can possibly contain the deleted keys, so the plan emits
+    // O(files-admitting-the-keys) chunks, not O(live files). Dropping a
+    // provably-key-free delete from a chunk's include list is sound for
+    // the same reason the chunk itself can be skipped: include-mode
+    // emits only rows whose key the probe set names, and the stats
+    // prove there are none in this file.
+    val addedByPath = added.iterator.map(f => f.path -> f).toMap
+    def statsOf(eqs: Vector[LakeStore.EqDelete]): Vector[(LakeStore.EqDelete, EqKeyStats)] =
+      eqs.map { d =>
+        val es = d.files.flatMap(p =>
+          addedByPath.get(p).orElse(Option(prevLive.get(p))))
+        d -> new EqKeyStats(key, d,
+          if (es.length == d.files.length) Some(es) else None)
+      }
+    def fanOut(eqs: Vector[LakeStore.EqDelete],
+        emit: (LakeStore.FileEntry, Vector[LakeStore.EqDelete]) => LakeFileChunk): Seq[LakeFileChunk] =
+      if (eqs.isEmpty) Nil
+      else {
+        val pruners = statsOf(eqs)
+        prevLiveIter.filter(f => carried(f) && eqs.exists(_.seq > f.seq))
+          .flatMap { f =>
+            val hitting = pruners.collect {
+              case (d, pr) if d.seq > f.seq && pr.mayHold(f) => d }
+            if (hitting.isEmpty) { upsertFanoutPruned.incrementAndGet(); None }
+            else { upsertFanoutEmitted.incrementAndGet(); Some(emit(f, hitting)) }
+          }.toSeq
+      }
+    val upserted = fanOut(newEq, { (f, hitting) =>
+      val (dv, n) = dvAtPrev.getOrElse(f.path, (Nil, 0L))
+      LakeFileChunk(LakeStore.resolvePath(key, f), f.cols, f.rows, dv, n,
+        change = "D", version = v.toLong, eqDel = priorEq(f),
+        eqIncl = hitting.map(eqChunk(_, snap.schema)))
+    })
     // the inverse: equality deletes GONE relative to the parent (a
     // RESTORE rolling back an upsert) resurrect the rows they hid —
     // emit them as I, include-mode on the vanished probes, minus rows
     // still dead under the commit's remaining deletes or its DVs.
     val snapEqSet = snapEq.toSet
     val goneEq = prevEq.filterNot(snapEqSet)
-    val resurrected =
-      if (goneEq.isEmpty) Nil
-      else prevLiveIter.filter(f => carried(f) &&
-          goneEq.exists(_.seq > f.seq)).map { f =>
-        val (dv, n) = dvAtV.getOrElse(f.path, (Nil, 0L))
-        LakeFileChunk(LakeStore.resolvePath(key, f), f.cols, f.rows, dv, n,
-          change = "I", version = v.toLong,
-          eqDel = snapEq.filter(_.seq > f.seq).map(eqChunk(_, snap.schema)),
-          eqIncl = goneEq.filter(_.seq > f.seq).map(eqChunk(_, prev.schema)))
-      }.toSeq
+    val resurrected = fanOut(goneEq, { (f, hitting) =>
+      val (dv, n) = dvAtV.getOrElse(f.path, (Nil, 0L))
+      LakeFileChunk(LakeStore.resolvePath(key, f), f.cols, f.rows, dv, n,
+        change = "I", version = v.toLong,
+        eqDel = snapEq.filter(_.seq > f.seq).map(eqChunk(_, snap.schema)),
+        eqIncl = hitting.map(eqChunk(_, prev.schema)))
+    })
     // merge-on-read: sidecars NEW at v over files that were ALREADY
     // live at v-1 — each is O(positions deleted), read include-mode.
     // A file ADDED at v arrives with its DVs already subtracted from
@@ -2604,7 +2717,25 @@ object LakeCdf {
           es.map(e => LakeStore.resolveRaw(key, e.path)), es.map(_.rows).sum,
           dvInclude = true, change = "D", version = v.toLong)
     }.toSeq
-    iChunks ++ dChunks ++ morDeletes ++ upserted ++ resurrected
+    // the position-vector inverse of `resurrected`: DVs GONE relative
+    // to the parent (a RESTORE rolling back a merge-on-read DELETE)
+    // resurrect exactly their positions out of the still-carried data
+    // file — include-mode on the vanished vector, O(restored
+    // positions). Equality deletes still live at v keep their gate
+    // (a resurrected position whose key a post-dating upsert names
+    // stays dead); overlapping vectors on one position cannot occur
+    // (a DELETE only ever records then-visible positions).
+    val snapEntrySet = snapDeletes.toSet
+    val goneDv = prevDeletes.filterNot(snapEntrySet).groupBy(_.dataFile)
+    val dvResurrected = goneDv.iterator.collect {
+      case (df, es) if prevLive.containsKey(df) && !removedSet.contains(df) =>
+        val f = prevLive.get(df)
+        LakeFileChunk(LakeStore.resolvePath(key, f), f.cols, f.rows,
+          es.map(e => LakeStore.resolveRaw(key, e.path)), es.map(_.rows).sum,
+          dvInclude = true, change = "I", version = v.toLong,
+          eqDel = snapEq.filter(_.seq > f.seq).map(eqChunk(_, snap.schema)))
+    }.toSeq
+    iChunks ++ dChunks ++ morDeletes ++ dvResurrected ++ upserted ++ resurrected
   }
 }
 
@@ -3176,6 +3307,18 @@ object LakeBloom {
     val bits = decode(encoded)
     lits.exists(maybeContains(bits, _))
   }
+
+  /** Can two same-shape filters share ANY value? Bit-intersection
+    * emptiness is a SOUND disjointness proof: a value present in both
+    * underlying sets sets the same K bits in both filters (same hash
+    * family, same width), so those bits survive the AND — an all-zero
+    * intersection means no common value exists. A non-empty
+    * intersection proves nothing (collisions), and mismatched widths
+    * (the table's `graft.bloom.bits` changed between writes) make the
+    * bit positions incomparable — both answer "may", the keep-side
+    * default. */
+  def mayIntersect(a: Array[Long], b: Array[Long]): Boolean =
+    a.length != b.length || a.indices.exists(i => (a(i) & b(i)) != 0L)
 }
 
 /** GENERATED and IDENTITY columns — Spark 4's native DDL, computed and

@@ -51,6 +51,20 @@ import org.json4s.jackson.JsonMethods
   */
 object LakeStore {
 
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.lake")
+
+  /** Test/ops escape hatch: `-Dgraft.lake.commit.noHardLinks=true`
+    * forces the exists+rename commit claim even where link(2) works —
+    * how the fallback path stays exercised on filesystems that DO
+    * support hard links. */
+  val NoHardLinksProp = "graft.lake.commit.noHardLinks"
+
+  /** Latched once a local root's filesystem throws
+    * UnsupportedOperationException from createLink: hard links are
+    * structurally absent there (not a transient error), so every later
+    * claim goes straight to exists+rename without re-probing. */
+  @volatile private var hardLinksUnsupported = false
+
   /** Manifest entry for one immutable parquet file group: its path
     * (relative to the table's data dir), the partition-group key it
     * belongs to, row count, the columns it physically stores (files
@@ -1831,15 +1845,39 @@ object LakeStore {
     val out = fs.create(tmp, true)
     try out.write(JsonMethods.compact(JsonMethods.render(entry)).getBytes("UTF-8"))
     finally out.close()
+    def renameClaim(): Boolean = !fs.exists(dst) && fs.rename(tmp, dst)
     val claimed =
-      if ("file" == fs.getUri.getScheme) {
+      if ("file" == fs.getUri.getScheme && !hardLinksUnsupported &&
+          !java.lang.Boolean.getBoolean(NoHardLinksProp)) {
         try {
           java.nio.file.Files.createLink(
             java.nio.file.Paths.get(dst.toUri.getPath),
             java.nio.file.Paths.get(tmp.toUri.getPath))
           true
-        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      } else !fs.exists(dst) && fs.rename(tmp, dst)
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          // a local filesystem that cannot hard-link AT ALL (overlay/
+          // FUSE/exFAT/SMB-style mounts) must not brick every commit:
+          // degrade to the exists+rename claim — the pre-link primitive,
+          // atomic within one JVM (commits are lock-serialized here) but
+          // with a weaker cross-process guarantee, which we say once.
+          // UnsupportedOperationException latches the degradation for
+          // the JVM; any other FileSystemException (EPERM/EXDEV shapes
+          // differ by mount) falls back per-call so a TRANSIENT error
+          // (quota, disk full) doesn't permanently downgrade the claim —
+          // the retry cost is one failed syscall per commit.
+          case e: UnsupportedOperationException =>
+            hardLinksUnsupported = true
+            log.warn("graft_lake: {} does not support hard links ({}); " +
+              "commit claims degrade to exists+rename for this JVM — " +
+              "cross-process commit atomicity is weakened", dir, e.toString)
+            renameClaim()
+          case e: java.nio.file.FileSystemException =>
+            log.warn("graft_lake: link(2) claim failed on {} ({}); " +
+              "falling back to exists+rename for this commit", dir, e.toString)
+            renameClaim()
+        }
+      } else renameClaim()
     // the local claim leaves tmp behind (link, not move) — sweep it on
     // both outcomes; the rename path consumed tmp on success
     if (fs.exists(tmp)) fs.delete(tmp, false)
@@ -2031,9 +2069,8 @@ object LakeStore {
     // replay) serves readers just as well. Warn and move on.
     fs.delete(dst, false)
     if (!fs.rename(tmp, dst)) {
-      System.err.println(
-        s"graft_lake: checkpoint $v of $k lost a rename race (benign — " +
-          "the log remains the source of truth)")
+      log.warn("graft_lake: checkpoint {} of {} lost a rename race " +
+        "(benign — the log remains the source of truth)", v, k)
       fs.delete(tmp, false)
       return
     }
@@ -2042,8 +2079,8 @@ object LakeStore {
     try pout.write(v.toString.getBytes("UTF-8")) finally pout.close()
     fs.delete(lastCheckpointPath(k), false)
     if (!fs.rename(ptmp, lastCheckpointPath(k))) {
-      System.err.println(
-        s"graft_lake: checkpoint pointer of $k lost a rename race (benign)")
+      log.warn("graft_lake: checkpoint pointer of {} lost a rename race " +
+        "(benign)", k)
       fs.delete(ptmp, false)
       return
     }
@@ -2089,9 +2126,9 @@ object LakeStore {
     } catch { case e: Exception =>
       // fall back to full replay, but SAY so: a checkpoint that stops
       // parsing after a serde change is a bug to fix, not to mask
-      System.err.println(
-        s"graft_lake: checkpoint of $k unreadable (${e.getClass.getSimpleName}: " +
-          s"${e.getMessage}), falling back to full log replay")
+      log.warn(s"graft_lake: checkpoint of $k unreadable " +
+        s"(${e.getClass.getSimpleName}: ${e.getMessage}), falling back " +
+        "to full log replay")
       None
     }
 
