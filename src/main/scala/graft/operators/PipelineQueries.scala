@@ -5940,7 +5940,147 @@ object PipelineQueries {
       |  CAST(1 AS BIGINT) AS dv_excluded, CAST(1 AS BIGINT) AS eq_excluded
       |FROM ranked WHERE rnk = 1 ORDER BY q_id""".stripMargin
 
+  // ---------------------------------------------------------------- p83
+  /** UPSERT-HEAVY CDC WITH A STATS-BOUNDED PLAN — the read-amplification
+    * contract that makes a change feed of keyed upserts consumable at
+    * 800k files: each upsert commit's delete-side fan-out may touch only
+    * the files whose per-file statistics ADMIT the deleted keys, never
+    * O(live files). The corpus is written as 8 appends INTERLEAVED on
+    * `doc_id % 8`, so every file's min/max zone spans the whole id range
+    * and zones can prove nothing — the write-time bloom filters
+    * (`graft.bloom.columns`) are the only statistics that can bound the
+    * plan. Four upserts then re-score key slices congruent to u mod 8;
+    * each slice's keys live in exactly ONE append file, so the planner
+    * must emit 4 fan-out chunks total (one per upsert) and prune the
+    * other 34 candidates (7 foreign appends per upsert + every earlier
+    * upsert's own file). Both counts ride the hash as guard flags —
+    * emitted from the actual planner counters, not the construction —
+    * and the row-level feed totals are restated by DuckDB from the raw
+    * documents table. A regression that fans out O(live) again flips
+    * `fanout_pruned`; one that over-prunes (unsound bloom/zone/null
+    * logic) loses D rows and flips `d_rows`/`d_chars`. */
+  def p83UpsertCdcPruned(s: SparkSession, dir: String): DataFrame = {
+    registerLake(s)
+    val key = "graft_lake.cdcprune"
+    s.sql(s"DROP TABLE IF EXISTS $key")
+    s.sql(s"""CREATE TABLE $key (doc_id BIGINT, n_chars BIGINT)
+             |TBLPROPERTIES ('graft.bloom.columns' = 'doc_id')""".stripMargin)
+    val docs = Tables.documents(s, dir)
+      .filter(col("doc_id") < 400).select(col("doc_id"), col("n_chars"))
+    (0 until 8).foreach { j =>
+      docs.filter(col("doc_id") % 8 === j).coalesce(1).writeTo(key).append()
+    }
+    val v0 = graft.sources.LakeStore.get(key).get.latestVersion
+    (0 until 4).foreach { u =>
+      graft.sources.GraftLake.upsert(
+        docs.filter(col("doc_id") < 40 && col("doc_id") % 8 === u)
+          .withColumn("n_chars", col("n_chars") + 1000000L).coalesce(1),
+        key, Seq("doc_id"))
+    }
+    val st = graft.sources.LakeStore.get(key).get
+    import graft.sources.LakeCdf
+    val e0 = LakeCdf.upsertFanoutEmitted.get()
+    val pr0 = LakeCdf.upsertFanoutPruned.get()
+    LakeCdf.chunksForRange(key, st, v0 + 1, st.latestVersion)
+    val emitted = LakeCdf.upsertFanoutEmitted.get() - e0
+    val pruned = LakeCdf.upsertFanoutPruned.get() - pr0
+    val feed = s.read.option("startingVersion", (v0 + 1).toString)
+      .table(s"$key.changes")
+    feed.agg(
+      sum(when(col("_change") === "I", 1L).otherwise(0L)).as("i_rows"),
+      sum(when(col("_change") === "D", 1L).otherwise(0L)).as("d_rows"),
+      sum(when(col("_change") === "D", col("n_chars")).otherwise(0L)).as("d_chars"),
+      sum(when(col("_change") === "I", col("n_chars")).otherwise(0L)).as("i_chars"))
+      .withColumn("fanout_emitted", lit(emitted))
+      .withColumn("fanout_pruned", lit(pruned))
+  }
+
+  val p83Sql: String =
+    """WITH s AS (
+      |  SELECT doc_id, n_chars FROM documents
+      |  WHERE doc_id < 40 AND doc_id % 8 < 4)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS i_rows,
+      |  CAST(COUNT(*) AS BIGINT) AS d_rows,
+      |  CAST(SUM(n_chars) AS BIGINT) AS d_chars,
+      |  CAST(SUM(n_chars + 1000000) AS BIGINT) AS i_chars,
+      |  CAST(4 AS BIGINT) AS fanout_emitted,
+      |  CAST(34 AS BIGINT) AS fanout_pruned
+      |FROM s""".stripMargin
+
+  // ---------------------------------------------------------------- p84
+  /** CHANGE FEED THROUGH A RESTORE — a version range whose INTERIOR
+    * crosses a rollback of BOTH row-level delete flavors. What the row
+    * pins: (a) the range planner needs exactly ONE live-map seed even
+    * across the restore (main lineage stays contiguous — a restore
+    * re-ADDS old content under a new version rather than re-pointing
+    * history), measured from the planner's own counter and carried as
+    * `seed_ok`; (b) the restore commit's deltas are EXACT row-level
+    * changes — the rolled-back upsert's batch dies (D), the old row
+    * versions its equality delete hid resurrect (I), and the positions
+    * a rolled-back merge-on-read DELETE's vector hid resurrect (I,
+    * include-mode on the vanished vector). DuckDB restates every
+    * aggregate from the raw documents table via the deterministic
+    * construction, so a planner that re-seeds, drops a resurrection, or
+    * double-delivers flips a hashed column. */
+  def p84RestoreRangeCdf(s: SparkSession, dir: String): DataFrame = {
+    registerLake(s)
+    val key = "graft_lake.cdfrest"
+    s.sql(s"DROP TABLE IF EXISTS $key")
+    s.sql(s"""CREATE TABLE $key (doc_id BIGINT, n_chars BIGINT)
+             |TBLPROPERTIES ('graft.merge-on-read' = 'true')""".stripMargin)
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+    docs.filter(col("doc_id") < 100).coalesce(1).writeTo(key).append() // v1
+    docs.filter(col("doc_id") >= 100 && col("doc_id") < 200)
+      .coalesce(1).writeTo(key).append() // v2
+    s.sql(s"DELETE FROM $key WHERE doc_id = 150") // v3: MoR position vector
+    graft.sources.GraftLake.upsert( // v4: equality-delete upsert
+      docs.filter(col("doc_id").isin(10L, 11L))
+        .withColumn("n_chars", col("n_chars") + 1000000L).coalesce(1),
+      key, Seq("doc_id"))
+    graft.sources.GraftLake.restore(key, 2) // v5: roll back both deletes
+    val st = graft.sources.LakeStore.get(key).get
+    import graft.sources.LakeCdf
+    val s0 = LakeCdf.rangeSeeds.get()
+    LakeCdf.chunksForRange(key, st, 1, st.latestVersion)
+    val seedOk = if (LakeCdf.rangeSeeds.get() - s0 == 1L) 1L else 0L
+    val feed = s.read.option("startingVersion", "1").table(s"$key.changes")
+    val tot = s.table(key)
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("c")).collect()(0)
+    feed.agg(
+      sum(when(col("_change") === "I", 1L).otherwise(0L)).as("i_rows"),
+      sum(when(col("_change") === "D", 1L).otherwise(0L)).as("d_rows"),
+      sum(when(col("_change") === "I", col("n_chars")).otherwise(0L)).as("i_chars"),
+      sum(when(col("_change") === "D", col("n_chars")).otherwise(0L)).as("d_chars"))
+      .withColumn("final_rows", lit(tot.getLong(0)))
+      .withColumn("final_chars", lit(tot.getLong(1)))
+      .withColumn("seed_ok", lit(seedOk))
+  }
+
+  /** a = Σ chars(doc_id<200); b = Σ chars({10,11}); c = chars(150).
+    * I rows: 200 appends + 2 upserted + 2 eq-resurrected + 1
+    * DV-resurrected = 205, chars a + 2b + c + 2,000,000.
+    * D rows: the MoR delete, the upsert's 2 implicit deletes, and the
+    * restore killing the upsert batch = 5, chars 2b + c + 2,000,000.
+    * The final table is exactly the v2 snapshot. */
+  val p84Sql: String =
+    """WITH d AS (SELECT doc_id, n_chars FROM documents WHERE doc_id < 200)
+      |SELECT CAST(205 AS BIGINT) AS i_rows,
+      |  CAST(5 AS BIGINT) AS d_rows,
+      |  CAST(SUM(n_chars)
+      |    + 2 * SUM(CASE WHEN doc_id IN (10, 11) THEN n_chars ELSE 0 END)
+      |    + SUM(CASE WHEN doc_id = 150 THEN n_chars ELSE 0 END)
+      |    + 2000000 AS BIGINT) AS i_chars,
+      |  CAST(2 * SUM(CASE WHEN doc_id IN (10, 11) THEN n_chars ELSE 0 END)
+      |    + SUM(CASE WHEN doc_id = 150 THEN n_chars ELSE 0 END)
+      |    + 2000000 AS BIGINT) AS d_chars,
+      |  CAST(COUNT(*) AS BIGINT) AS final_rows,
+      |  CAST(SUM(n_chars) AS BIGINT) AS final_chars,
+      |  CAST(1 AS BIGINT) AS seed_ok
+      |FROM d""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p84_restore_range_cdf" -> (p84RestoreRangeCdf _),
+    "p83_upsert_cdc_pruned" -> (p83UpsertCdcPruned _),
     "p82_ann_under_deletes" -> (p82AnnUnderDeletes _),
     "p81_paged_history_reads" -> (p81PagedHistoryReads _),
     "p80_cbo_reorder_under_aqe" -> (p80CboReorderUnderAqe _),
@@ -6026,6 +6166,8 @@ object PipelineQueries {
   // def, not val: p19Sql embeds Sidecars.oracleDir-keyed paths, which
   // Verify pins at runtime before dumping oracle_sql.json
   def oracle: Map[String, String] = Map(
+    "p84_restore_range_cdf" -> p84Sql,
+    "p83_upsert_cdc_pruned" -> p83Sql,
     "p82_ann_under_deletes" -> p82Sql,
     "p81_paged_history_reads" -> p81Sql,
     "p80_cbo_reorder_under_aqe" -> p80Sql,

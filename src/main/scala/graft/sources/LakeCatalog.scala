@@ -2467,17 +2467,43 @@ object LakeCdf {
     * is always the safe side. `resolved = None` (a key file not found
     * in the parent live set or the commit's own add-list — compacted
     * away, or foreign) disables pruning for this delete entirely. */
+  /** Per-delete bound on plan-time key loading: a delete whose key
+    * files hold at most this many rows has its key VALUES read at
+    * planning (one bounded columnar read, LRU-shared with the scan's
+    * own probe sets) so candidate blooms are probed per-value — the
+    * tight, membership-grade test. Above the bound the planner keeps
+    * the statistics-only pruning (zone envelope + bloom
+    * bit-intersection), which stays sound but admits more files: a
+    * bit-intersection between a 50-value filter and a 5-value filter
+    * goes non-empty by collision ~13% of the time at the default width,
+    * where a per-value probe's false-positive rate is (density)^K. */
+  private val MaxProbeKeys = 4096L
+
   private final class EqKeyStats(key: String, d: LakeStore.EqDelete,
-      resolved: Option[Seq[LakeStore.FileEntry]]) {
+      resolved: Option[Seq[LakeStore.FileEntry]], chunk: LakeEqDel) {
     private def noNulls(e: LakeStore.FileEntry, c: String): Boolean =
       e.nulls.get(c).contains(0L)
     private def allNull(e: LakeStore.FileEntry, c: String): Boolean =
       e.nulls.get(c).contains(e.rows)
+    // (has-null, distinct non-null stored values) per key column, when
+    // the delete is small enough to read its keys at plan time
+    private val valuesByCol: Map[String, (Boolean, Array[Any])] =
+      resolved.filter(_.iterator.map(_.rows).sum <= MaxProbeKeys) match {
+        case None => Map.empty
+        case Some(_) =>
+          import scala.jdk.CollectionConverters._
+          val ts = LakeEqKeys.load(chunk).asScala.toVector
+          d.cols.zipWithIndex.map { case (c, i) =>
+            val vs = ts.map(_(i))
+            c -> ((vs.contains(null), vs.filter(_ != null).distinct.toArray))
+          }.toMap
+      }
     private val byCol: Map[String, (Boolean, Boolean, Option[(Any, Any)], Option[Array[Long]])] =
       resolved match {
         case None => Map.empty
         case Some(fs) => d.cols.iterator.map { c =>
-          val mayNull = fs.exists(e => !noNulls(e, c))
+          val mayNull = valuesByCol.get(c).map(_._1)
+            .getOrElse(fs.exists(e => !noNulls(e, c)))
           // a key file whose column is ALL null contributes no values —
           // exact via the per-file null counts, so it neither blocks the
           // envelope nor requires a bloom
@@ -2503,8 +2529,18 @@ object LakeCdf {
                 })
               else None
             } else None
-          c -> ((mayNull, valued.isEmpty, env, bloom))
+          c -> ((mayNull, valuesByCol.get(c).map(_._2.isEmpty)
+            .getOrElse(valued.isEmpty), env, bloom))
         }.toMap
+      }
+
+    // can stored value v fall inside the file's zone for c? (absent or
+    // incomparable zone = yes — only a proven miss skips)
+    private def zoneAdmits(f: LakeStore.FileEntry, c: String, v: Any): Boolean =
+      f.zones.get(c) match {
+        case Some((mn, mx)) =>
+          !(ZonePrune.cmp(v, mn).exists(_ < 0) || ZonePrune.cmp(v, mx).exists(_ > 0))
+        case None => true
       }
 
     /** Can data file `f` hold any of this delete's keys? */
@@ -2520,13 +2556,24 @@ object LakeCdf {
                 ZonePrune.cmp(dmx, fmn).exists(_ < 0)
             case _ => false
           }
-          def bloomDisjoint = (f.blooms.get(c), delBloom) match {
-            case (Some(enc), Some(db)) =>
-              !LakeBloom.mayIntersect(
-                LakeBloom.decode(LakeStatsSidecar.resolve(key, enc)), db)
-            case _ => false
+          if (zoneDisjoint) true
+          else {
+            lazy val fBits = f.blooms.get(c).map(enc =>
+              LakeBloom.decode(LakeStatsSidecar.resolve(key, enc)))
+            val bitDisjoint = (fBits, delBloom) match {
+              case (Some(fb), Some(db)) => !LakeBloom.mayIntersect(fb, db)
+              case _ => false
+            }
+            if (bitDisjoint) true
+            else valuesByCol.get(c) match {
+              // the tight test: some actual deleted key must survive
+              // BOTH the file's zone and its bloom to keep the file
+              case Some((_, vals)) if fBits.isDefined || f.zones.contains(c) =>
+                !vals.exists(v => zoneAdmits(f, c, v) &&
+                  fBits.forall(LakeBloom.maybeContains(_, v)))
+              case _ => false
+            }
           }
-          zoneDisjoint || bloomDisjoint
         }
       }
   }
@@ -2663,18 +2710,20 @@ object LakeCdf {
     // emits only rows whose key the probe set names, and the stats
     // prove there are none in this file.
     val addedByPath = added.iterator.map(f => f.path -> f).toMap
-    def statsOf(eqs: Vector[LakeStore.EqDelete]): Vector[(LakeStore.EqDelete, EqKeyStats)] =
+    def statsOf(eqs: Vector[LakeStore.EqDelete],
+        schema: StructType): Vector[(LakeStore.EqDelete, EqKeyStats)] =
       eqs.map { d =>
         val es = d.files.flatMap(p =>
           addedByPath.get(p).orElse(Option(prevLive.get(p))))
         d -> new EqKeyStats(key, d,
-          if (es.length == d.files.length) Some(es) else None)
+          if (es.length == d.files.length) Some(es) else None,
+          eqChunk(d, schema))
       }
-    def fanOut(eqs: Vector[LakeStore.EqDelete],
+    def fanOut(eqs: Vector[LakeStore.EqDelete], schema: StructType,
         emit: (LakeStore.FileEntry, Vector[LakeStore.EqDelete]) => LakeFileChunk): Seq[LakeFileChunk] =
       if (eqs.isEmpty) Nil
       else {
-        val pruners = statsOf(eqs)
+        val pruners = statsOf(eqs, schema)
         prevLiveIter.filter(f => carried(f) && eqs.exists(_.seq > f.seq))
           .flatMap { f =>
             val hitting = pruners.collect {
@@ -2683,7 +2732,7 @@ object LakeCdf {
             else { upsertFanoutEmitted.incrementAndGet(); Some(emit(f, hitting)) }
           }.toSeq
       }
-    val upserted = fanOut(newEq, { (f, hitting) =>
+    val upserted = fanOut(newEq, snap.schema, { (f, hitting) =>
       val (dv, n) = dvAtPrev.getOrElse(f.path, (Nil, 0L))
       LakeFileChunk(LakeStore.resolvePath(key, f), f.cols, f.rows, dv, n,
         change = "D", version = v.toLong, eqDel = priorEq(f),
@@ -2695,7 +2744,7 @@ object LakeCdf {
     // still dead under the commit's remaining deletes or its DVs.
     val snapEqSet = snapEq.toSet
     val goneEq = prevEq.filterNot(snapEqSet)
-    val resurrected = fanOut(goneEq, { (f, hitting) =>
+    val resurrected = fanOut(goneEq, prev.schema, { (f, hitting) =>
       val (dv, n) = dvAtV.getOrElse(f.path, (Nil, 0L))
       LakeFileChunk(LakeStore.resolvePath(key, f), f.cols, f.rows, dv, n,
         change = "I", version = v.toLong,
@@ -2923,6 +2972,64 @@ object LakeFilePartition {
   }
 }
 
+/** Equality-delete key sets, loaded from the upsert data files' key
+  * COLUMNS (a columnar read of just those columns) — bounded by the
+  * upserted row count since the last compaction, never by table size.
+  * Shared by the EXECUTOR-side reader (row-level probes during the
+  * scan's merge) and the DRIVER-side change-feed planner (probing
+  * candidate files' bloom filters with the actual deleted key values
+  * to bound the upsert fan-out): one JVM-wide bounded LRU, since the
+  * key sets are immutable once written, exactly like stats sidecars. */
+object LakeEqKeys {
+  private val cache =
+    new java.util.LinkedHashMap[LakeEqDel, java.util.HashSet[Seq[Any]]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[LakeEqDel, java.util.HashSet[Seq[Any]]]): Boolean =
+        size() > 64
+    }
+
+  def load(e: LakeEqDel): java.util.HashSet[Seq[Any]] = {
+    cache.synchronized {
+      val hit = cache.get(e)
+      if (hit != null) return hit
+    }
+    val set = new java.util.HashSet[Seq[Any]]()
+    val keySchema = StructType(e.cols.zip(e.dts).map { case (c, dt) =>
+      StructField(c, dt) })
+    e.files.foreach { f =>
+      val conf = new Configuration()
+      conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, keySchema.json)
+      conf.setBoolean("spark.sql.parquet.binaryAsString", false)
+      conf.setBoolean("spark.sql.parquet.int96AsTimestamp", true)
+      conf.setBoolean("spark.sql.caseSensitive", false)
+      conf.setBoolean("spark.sql.parquet.fieldId.read.enabled", false)
+      conf.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", true)
+      conf.setBoolean("spark.sql.legacy.parquet.nanosAsLong", false)
+      conf.setBoolean("spark.sql.parquet.variant.annotateLogicalType.enabled", true)
+      conf.setBoolean("spark.sql.parquet.ignoreVariantAnnotation", false)
+      conf.setBoolean("spark.sql.parquet.reader.respectUnknownTypeAnnotation.enabled", false)
+      val spec = org.apache.spark.sql.catalyst.util.RebaseDateTime
+        .RebaseSpec(org.apache.spark.sql.internal.LegacyBehaviorPolicy.CORRECTED)
+      val reader = org.apache.parquet.hadoop.ParquetReader
+        .builder[InternalRow](
+          new ParquetReadSupport(None, enableVectorizedReader = false, spec, spec),
+          new Path(f))
+        .withConf(conf).build()
+      try {
+        var row = reader.read()
+        while (row != null) {
+          set.add(e.dts.indices.map(i =>
+            if (row.isNullAt(i)) null
+            else LakeStore.toStored(row.get(i, e.dts(i)))))
+          row = reader.read()
+        }
+      } finally reader.close()
+    }
+    cache.synchronized { cache.put(e, set) }
+    set
+  }
+}
+
 /** Executor-side parquet reader: opens the file group with Spark's own
   * ParquetReadSupport (the same record materializer the file source
   * uses), requests only the columns that are BOTH required and present
@@ -2971,49 +3078,8 @@ class LakeReaderFactory(required: StructType,
     }
   }
 
-  /** Equality-delete key sets, loaded ONCE per task from the upsert
-    * data files' key COLUMNS (columnar read of just those columns) and
-    * shared across every chunk in the bin — bounded by the upserted row
-    * count since the last compaction, never by table size. */
-  @transient private lazy val eqCache =
-    scala.collection.concurrent.TrieMap.empty[LakeEqDel, java.util.HashSet[Seq[Any]]]
-
   private def loadEqKeys(e: LakeEqDel): java.util.HashSet[Seq[Any]] =
-    eqCache.getOrElseUpdate(e, {
-      val set = new java.util.HashSet[Seq[Any]]()
-      val keySchema = StructType(e.cols.zip(e.dts).map { case (c, dt) =>
-        StructField(c, dt) })
-      e.files.foreach { f =>
-        val conf = new Configuration()
-        conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, keySchema.json)
-        conf.setBoolean("spark.sql.parquet.binaryAsString", false)
-        conf.setBoolean("spark.sql.parquet.int96AsTimestamp", true)
-        conf.setBoolean("spark.sql.caseSensitive", false)
-        conf.setBoolean("spark.sql.parquet.fieldId.read.enabled", false)
-        conf.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", true)
-        conf.setBoolean("spark.sql.legacy.parquet.nanosAsLong", false)
-        conf.setBoolean("spark.sql.parquet.variant.annotateLogicalType.enabled", true)
-        conf.setBoolean("spark.sql.parquet.ignoreVariantAnnotation", false)
-        conf.setBoolean("spark.sql.parquet.reader.respectUnknownTypeAnnotation.enabled", false)
-        val spec = org.apache.spark.sql.catalyst.util.RebaseDateTime
-          .RebaseSpec(org.apache.spark.sql.internal.LegacyBehaviorPolicy.CORRECTED)
-        val reader = org.apache.parquet.hadoop.ParquetReader
-          .builder[InternalRow](
-            new ParquetReadSupport(None, enableVectorizedReader = false, spec, spec),
-            new Path(f))
-          .withConf(conf).build()
-        try {
-          var row = reader.read()
-          while (row != null) {
-            set.add(e.dts.indices.map(i =>
-              if (row.isNullAt(i)) null
-              else LakeStore.toStored(row.get(i, e.dts(i)))))
-            row = reader.read()
-          }
-        } finally reader.close()
-      }
-      set
-    })
+    LakeEqKeys.load(e)
 
   /** Load a chunk's position-delete sidecars into one membership set —
     * bounded by the rows DELETED from this file, not the file size. */
