@@ -2050,14 +2050,37 @@ object LakeStore {
     val v = st.latestVersion
     val dir = logDir(k)
     val fs = fsOf(dir)
+    // ONE schema table for the whole checkpoint: the retained shells
+    // already share StructType INSTANCES across same-schema versions
+    // (structural sharing, see load), so serializing per-identity and
+    // emitting an index gives O(distinct schemas) schema bytes on disk
+    // — the Iceberg schema-id shape — instead of O(versions × schema
+    // size). A 200-commit single-schema history serializes its schema
+    // JSON once, not 200 times.
+    val schemaJsonOf = new java.util.IdentityHashMap[StructType, String]()
+    def sjson(s: StructType): String = {
+      var j = schemaJsonOf.get(s)
+      if (j == null) { j = s.json; schemaJsonOf.put(s, j) }
+      j
+    }
+    val schemaIdx = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    st.snapshots.foreach { s =>
+      val sj = sjson(s.schema)
+      if (!schemaIdx.contains(sj)) schemaIdx.update(sj, schemaIdx.size)
+    }
     val body = JObject(
       "version" -> JInt(BigInt(v)),
       // format 2 (round 15): snapshots carry their DELTAS, not full
       // live lists — checkpoint bytes are O(log), not O(versions ×
-      // files); readers reconstruct heads by the replay fold. Readers
-      // that only know format 1 fall back to full log replay.
-      "format" -> JInt(BigInt(2)),
-      "snapshots" -> JArray(st.snapshots.toList.map(snapJson)))
+      // files); readers reconstruct heads by the replay fold.
+      // format 3 (round 17): adds the checkpoint-level `schemas` table;
+      // snapshots carry `schemaId` indexes instead of inline schema
+      // JSON. Readers that only know an older format fall back to full
+      // log replay (the checkpoint is derived data).
+      "format" -> JInt(BigInt(3)),
+      "schemas" -> JArray(schemaIdx.keys.toList.map(JString(_))),
+      "snapshots" -> JArray(st.snapshots.toList.map(s =>
+        snapJson(s, schemaIdx(sjson(s.schema))))))
     val dst = new Path(dir, f"$v%020d.checkpoint.json")
     val tmp = new Path(dir, f"$v%020d.checkpoint.json.tmp")
     val out = fs.create(tmp, true)
@@ -2114,14 +2137,20 @@ object LakeStore {
       val o = JsonMethods.parse(txt).asInstanceOf[JObject].obj.toMap
       // a pre-delta (format-1) checkpoint stored full live lists per
       // snapshot; the log remains complete, so fall back to replay
-      // rather than decode a shape this reader no longer builds
-      if (!o.get("format").exists(f => num(f).intValue() == 2)) return None
+      // rather than decode a shape this reader no longer builds.
+      // format 2 inlines a schema JSON per snapshot; format 3 carries a
+      // checkpoint-level schema table + per-snapshot ids — both load.
+      val fmt = o.get("format").map(f => num(f).intValue()).getOrElse(1)
+      if (fmt != 2 && fmt != 3) return None
+      val schemaTable: IndexedSeq[String] =
+        if (fmt >= 3) o("schemas").asInstanceOf[JArray].arr.map(str).toIndexedSeq
+        else IndexedSeq.empty
       // one parsed StructType per DISTINCT schema JSON across the whole
       // checkpoint (structural sharing — see load): a long history's
       // snapshot shells retain O(distinct schemas) instances
       val share = scala.collection.mutable.HashMap.empty[String, StructType]
       val snaps = o("snapshots").asInstanceOf[JArray].arr.zipWithIndex
-        .map { case (sj, i) => snapFromJson(sj, i, share) }.toVector
+        .map { case (sj, i) => snapFromJson(sj, i, share, schemaTable) }.toVector
       if (snaps.length != v + 1) None else Some((v, snaps))
     } catch { case e: Exception =>
       // fall back to full replay, but SAY so: a checkpoint that stops
@@ -2166,9 +2195,9 @@ object LakeStore {
     * deltas already paged out when the checkpoint was written — their
     * durable copy is the commit-log entry itself, which readers reload
     * on demand exactly like the warm cache does. */
-  private def snapJson(s: Snapshot): JObject = JObject(
+  private def snapJson(s: Snapshot, schemaId: Int): JObject = JObject(
     "action" -> JString(s.action),
-    "schema" -> JString(s.schema.json),
+    "schemaId" -> JInt(BigInt(schemaId)),
     "dataChange" -> JBool(s.dataChange),
     "partitionCols" -> JArray(s.spec.map(JString(_)).toList),
     "specEra" -> JInt(BigInt(s.specEra)),
@@ -2198,9 +2227,13 @@ object LakeStore {
       JArray(fs.toList.map(f => tagged(fileJson(f), f)))))
 
   private def snapFromJson(j: JValue, idx: Int,
-      schemaShare: scala.collection.mutable.HashMap[String, StructType]): Snapshot = {
+      schemaShare: scala.collection.mutable.HashMap[String, StructType],
+      schemaTable: IndexedSeq[String] = IndexedSeq.empty): Snapshot = {
     val o = j.asInstanceOf[JObject].obj.toMap
-    val schemaJson = str(o("schema"))
+    val schemaJson = o.get("schemaId") match {
+      case Some(id) => schemaTable(num(id).intValue()) // format 3
+      case None => str(o("schema")) // format 2 inline
+    }
     val schema = schemaShare.getOrElseUpdate(schemaJson,
       DataType.fromJson(schemaJson).asInstanceOf[StructType])
     val spec = o("partitionCols").asInstanceOf[JArray].arr.map(str)

@@ -79,8 +79,28 @@ object SnapshotBytes {
         schemaObjs, propsObjs)
     }
 
-    println("| history | commits | live files | entries r15 | entries per-version-live | bytes r15 | bytes old | paged | schema objs (warm/cold) | props objs |")
-    println("|---|---|---|---|---|---|---|---|---|---|")
+    // ON-DISK checkpoint audit (round 17): the newest checkpoint's byte
+    // size, how many schema DOCUMENTS it physically serializes (format
+    // 3's table — flat at O(distinct schemas) however long the
+    // history), and the bytes the pre-format-3 inline-schema layout
+    // would have added back (one schema JSON per snapshot).
+    def cpStats(key: String): (Long, Int, Long) = {
+      val dir = new java.io.File(s"${LakeStore.root}/$key/_log")
+      val cps = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.endsWith(".checkpoint.json"))
+      if (cps.isEmpty) return (0L, 0, 0L)
+      val cp = cps.maxBy(_.getName)
+      val txt = java.nio.file.Files.readString(cp.toPath)
+      val docs = "struct".r.findAllIn(txt).length
+      val st = LakeStore.get(key).get
+      val perVersion = st.snapshots.iterator.map(_.schema.json.length.toLong).sum
+      val distinct = st.snapshots.iterator.map(_.schema.json).toSet
+        .iterator.map((s: String) => s.length.toLong).sum
+      (cp.length(), docs, perVersion - distinct)
+    }
+
+    println("| history | commits | live files | entries r15 | entries per-version-live | bytes r15 | bytes old | paged | schema objs (warm/cold) | props objs | cp bytes | cp schema docs | inline-schema bytes saved |")
+    println("|---|---|---|---|---|---|---|---|---|---|---|---|---|")
     ns.foreach { n =>
       // ---- append-only: one 3-row file per commit, one mid-history
       // ALTER so the history holds exactly TWO distinct schemas — the
@@ -99,7 +119,8 @@ object SnapshotBytes {
       val (re, rb, oe, ob, pf, so, po) = audit(ka)
       LakeStore.invalidateCache(ka) // cold replay must share too
       val (_, _, _, _, _, soCold, _) = audit(ka)
-      println(f"| append-only | $n | ${sta.current.length} | $re | $oe | $rb | $ob | ${pf * 100}%.0f%% | $so/$soCold | $po |")
+      val (cpb, cpd, sav) = cpStats(ka)
+      println(f"| append-only | $n | ${sta.current.length} | $re | $oe | $rb | $ob | ${pf * 100}%.0f%% | $so/$soCold | $po | $cpb | $cpd | $sav |")
 
       // ---- full-churn: 8 files, then n whole-table OPTIMIZE rewrites
       val kc = "graft_lake.snapbytes_churn"
@@ -111,7 +132,8 @@ object SnapshotBytes {
       val (re2, rb2, oe2, ob2, pf2, so2, po2) = audit(kc)
       LakeStore.invalidateCache(kc)
       val (_, _, _, _, _, so2c, _) = audit(kc)
-      println(f"| full-churn | $n | ${stc.current.length} | $re2 | $oe2 | $rb2 | $ob2 | ${pf2 * 100}%.0f%% | $so2/$so2c | $po2 |")
+      val (cpb2, cpd2, sav2) = cpStats(kc)
+      println(f"| full-churn | $n | ${stc.current.length} | $re2 | $oe2 | $rb2 | $ob2 | ${pf2 * 100}%.0f%% | $so2/$so2c | $po2 | $cpb2 | $cpd2 | $sav2 |")
     }
 
     // ---- multi-table budget: 10 tables, full-churn, per-table window

@@ -220,6 +220,74 @@ class Round17OpsSpec extends SparkTestBase {
     info(s"parent retries after conflicts/lost claims: $parentRetries")
   }
 
+  // ------------------------------- task 5: checkpoint schema dedup disk
+
+  test("checkpoint schema table: O(distinct schemas) bytes on disk, reader loads formats 2 and 3") {
+    registerCatalog()
+    import spark.implicits._
+    val key = "graft_lake.ckptschema"
+    spark.sql(s"DROP TABLE IF EXISTS $key")
+    spark.sql(s"CREATE TABLE $key (id BIGINT)")
+    (0 until 40).foreach { i =>
+      if (i == 20) spark.sql(s"ALTER TABLE $key ADD COLUMN extra INT")
+      val df = if (i >= 20) Seq((i.toLong, i)).toDF("id", "extra")
+        else Seq(i.toLong).toDF("id")
+      df.coalesce(1).writeTo(key).append()
+    }
+    val logDir = new java.io.File(s"${LakeStore.root}/$key/_log")
+    val cps = logDir.listFiles().filter(_.getName.endsWith(".checkpoint.json"))
+    assert(cps.nonEmpty, "default 10-commit cadence should have checkpointed")
+    val cp = cps.maxBy(_.getName)
+    val txt = java.nio.file.Files.readString(cp.toPath)
+    // byte-level: the 41 serialized snapshots carry exactly TWO schema
+    // documents (the word "struct" appears once per schema table entry
+    // and nowhere else in this table's checkpoint) — not one inline
+    // copy per version
+    assert("struct".r.findAllIn(txt).length === 2,
+      "schema JSON must serialize once per DISTINCT schema")
+    // cold replay from the format-3 checkpoint
+    LakeStore.invalidateCache(key)
+    val st3 = LakeStore.get(key).get
+    assert(LakeStore.lastReplayStats(key).checkpoint.isDefined,
+      "format-3 checkpoint must be used, not full replay")
+    assert(spark.table(key).count() === 40L)
+    // rewrite the SAME checkpoint to format 2 (inline schema per
+    // snapshot) and reload: upgraded readers must keep loading the
+    // older format — rolling upgrades replay no extra log
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val parsed = JsonMethods.parse(txt).asInstanceOf[JObject].obj.toMap
+    val schemas = parsed("schemas").asInstanceOf[JArray].arr
+      .map(_.asInstanceOf[JString].s)
+    assert(schemas.length === 2, s"schema table size: ${schemas.length}")
+    val snapArr = parsed("snapshots").asInstanceOf[JArray].arr
+    assert(snapArr.forall(sj =>
+      !sj.asInstanceOf[JObject].obj.exists(_._1 == "schema")),
+      "format-3 snapshots must reference the schema table, never inline")
+    val snaps2 = snapArr.map { sj =>
+      JObject(sj.asInstanceOf[JObject].obj.map {
+        case ("schemaId", JInt(i)) => "schema" -> (JString(schemas(i.toInt)): JValue)
+        case kv => kv
+      })
+    }
+    val fmt2 = JObject("version" -> parsed("version"),
+      "format" -> JInt(2), "snapshots" -> JArray(snaps2))
+    java.nio.file.Files.writeString(cp.toPath,
+      JsonMethods.compact(JsonMethods.render(fmt2)))
+    // the raw rewrite bypassed Hadoop's ChecksumFileSystem — drop the
+    // stale CRC sidecar so the store's read sees the new bytes
+    new java.io.File(logDir, s".${cp.getName}.crc").delete()
+    LakeStore.invalidateCache(key)
+    val st2 = LakeStore.get(key).get
+    assert(st2.latestVersion === st3.latestVersion)
+    assert(LakeStore.lastReplayStats(key).checkpoint.isDefined,
+      "format-2 checkpoint must still load after the format bump")
+    assert(spark.table(key).agg(sum("id")).collect()(0).getLong(0) ===
+      (0L until 40L).sum)
+    assert(st2.snapshots(st2.latestVersion).schema ===
+      st3.snapshots(st3.latestVersion).schema)
+  }
+
   // --------------------------------------- task 4: CDF across a RESTORE
 
   test("CDF range across a RESTORE: one seed, exact rollback deltas incl. DV resurrection") {
