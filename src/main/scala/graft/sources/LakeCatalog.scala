@@ -617,8 +617,11 @@ object GraftLake {
     // the layout-only marker rides THIS write (option -> commit, like
     // COPY INTO's ledger ids) — a table-keyed "next replace" flag was
     // stealable by a concurrent row-level replace, mislabeling it
-    // dataChange=false and opening a lost-update window
-    df.writeTo(tableRef).option(LakeStore.LayoutOnlyOption, "true")
+    // dataChange=false and opening a lost-update window. The value is a
+    // minted one-shot nonce: the option is internal, an ordinary write
+    // setting it is rejected at the builder.
+    df.writeTo(tableRef)
+      .option(LakeStore.LayoutOnlyOption, LakeStore.mintLayoutNonce())
       .overwrite(lit(true))
   }
 
@@ -662,7 +665,8 @@ object GraftLake {
     // group (the writer opens per-group files within a task)
     val df = s.table(tableRef).where(pred)
       .repartition(smallGroups.size, col(pc.head))
-    df.writeTo(tableRef).option(LakeStore.LayoutOnlyOption, "true")
+    df.writeTo(tableRef)
+      .option(LakeStore.LayoutOnlyOption, LakeStore.mintLayoutNonce())
       .overwrite(pred)
     (smallGroups.size, removedCount)
   }
@@ -1305,9 +1309,24 @@ class GraftLakeTable(val key: String, val tableSchema: StructType,
       .map(LakeStore.decodeCopyIds)
     require(copyIds.isEmpty || upsertPhys.isEmpty,
       s"graft_lake: COPY INTO cannot combine with upsert keys on $key")
-    // OPTIMIZE's layout-only marker rides the write the same way
-    val layoutOnly = Option(info.options.get(LakeStore.LayoutOnlyOption))
-      .exists(_.toBoolean)
+    // OPTIMIZE's layout-only marker rides the write the same way — but
+    // the option alone is NOT the authority: its value must be a
+    // one-shot nonce this JVM's maintenance entry points minted.
+    // dataChange=false is a correctness label (invisible to CDF readers
+    // and to other writers' WholeTable conflict checks); honoring a
+    // user-settable "true" would let any ordinary overwrite relabel
+    // itself and reopen the lost-update / CDC-skip class the
+    // ride-the-write marker exists to close.
+    val layoutOnly = Option(info.options.get(LakeStore.LayoutOnlyOption)) match {
+      case None => false
+      case Some(n) =>
+        require(LakeStore.claimLayoutNonce(n),
+          s"graft_lake: ${LakeStore.LayoutOnlyOption} is an internal " +
+            "maintenance marker (OPTIMIZE/compaction mint a one-shot " +
+            "token per rewrite); ordinary writes cannot label " +
+            "themselves layout-only")
+        true
+    }
     new LakeWriteBuilder(key, info.schema(), LakeWriteBuilder.AppendMode,
       info.queryId(), upsertPhys, copyIds, layoutOnly)
   }

@@ -472,6 +472,24 @@ object LakeStore {
     * it: a silent LOST UPDATE (caught by the Round14 OCC stress). */
   val LayoutOnlyOption = "graft.optimize.layoutOnly"
 
+  /** The option's VALUES are one-shot nonces minted here by the
+    * maintenance entry points (OPTIMIZE / Z-order / compaction) and
+    * claimed exactly once by the write builder. An external writer
+    * setting the option cannot mint a valid token, so an ordinary
+    * append/overwrite can never self-label dataChange=false — which
+    * would hide its rows from CDF readers and from other writers'
+    * WholeTable conflict checks. A nonce minted for a rewrite that
+    * fails before building its write leaks one UUID string — bounded,
+    * harmless, and unclaimable by anyone who did not hold it. */
+  private val layoutNonces =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  def mintLayoutNonce(): String = {
+    val n = java.util.UUID.randomUUID().toString
+    layoutNonces.add(n)
+    n
+  }
+  def claimLayoutNonce(n: String): Boolean = layoutNonces.remove(n)
+
   // --------------------------------------- branches and tags (p59)
 
   /** The ACTIVE ref for reads and writes — Iceberg's `spark.wap.branch`
@@ -1367,15 +1385,38 @@ object LakeStore {
     // pre-evolution stragglers go negative — never equal to any era the
     // clone can reach, so they stay correctly SPJ-ineligible
     // clone sequence numbering restarts: every referenced file pre-dates
-    // whatever the clone commits later (its data commit is v1)
-    // stats POINTERS (ANALYZE sidecars) absolutize like data paths: the
-    // clone's own data dir never holds the source's sidecars
+    // whatever the clone commits later (its data commit is v1).
+    // Stats POINTERS (ANALYZE sidecars) do NOT absolutize like data
+    // paths: sidecars are COPIED into the clone's own data dir and
+    // re-pointed relative. Data files share the documented Delta
+    // shallow-clone hazard (source VACUUM must account for clones), but
+    // sidecars would add a SECOND, subtler one — the source's VACUUM
+    // sweeps orphan sidecars by ITS OWN keep-set, so a superseded
+    // ANALYZE's sidecar that only the clone still references would be
+    // deleted and brick the clone's scans. Sidecar bytes are bounded by
+    // the source's manifest (a few KB per ANALYZE task), so the copy is
+    // metadata-priced, not a data copy.
+    val sidecarCopied = scala.collection.mutable.HashMap.empty[String, String]
+    def repoint(enc: String): String =
+      if (!LakeStatsSidecar.isPointer(enc)) enc
+      else {
+        val body = enc.substring(LakeStatsSidecar.PointerPrefix.length)
+        val i = body.indexOf('#')
+        val abs = resolveRaw(srcKey, body.substring(0, i))
+        val rel = sidecarCopied.getOrElseUpdate(abs, {
+          val from = new Path(abs)
+          val to = new Path(dataDir(dstKey), from.getName)
+          val fs = fsOf(from)
+          org.apache.hadoop.fs.FileUtil.copy(fs, from, fsOf(to), to,
+            false, true, new Configuration())
+          from.getName
+        })
+        LakeStatsSidecar.PointerPrefix + rel + body.substring(i)
+      }
     val refs = src.current.map(f => f.copy(path = resolvePath(srcKey, f),
       era = f.era - src.specEra, seq = 1,
-      ndv = f.ndv.map { case (c, e) =>
-        c -> LakeStatsSidecar.absolutize(srcKey, e) },
-      blooms = f.blooms.map { case (c, e) =>
-        c -> LakeStatsSidecar.absolutize(srcKey, e) }))
+      ndv = f.ndv.map { case (c, e) => c -> repoint(e) },
+      blooms = f.blooms.map { case (c, e) => c -> repoint(e) }))
     // deletion vectors travel with the clone, absolutely referenced and
     // re-keyed to the now-absolute data paths
     val refDeletes = src.deletes.map(d => d.copy(
@@ -1721,11 +1762,18 @@ object LakeStore {
     val storedLive =
       (if (removedSet.isEmpty) parentFiles
        else parentFiles.filterNot(f => removedSet.contains(f.path))) ++ added
-    // the cheap length check always runs; the exhaustive O(live files)
-    // path-set comparison — two full hash-set builds per commit, pure
-    // overhead on hot-path appends against large tables — runs only
+    // production pays a one-pass ORDER-INDEPENDENT checksum per side
+    // (XOR + sum of path hashes, allocation-free): content-level
+    // detection of a same-cardinality divergence, without the two full
+    // hash-set builds of the exhaustive compare — which still runs
     // under the debug sys-prop (tests enable it; see build.sbt)
+    def pathFold(fs: Iterable[FileEntry]): (Long, Long) = {
+      var x = 0L; var s = 0L
+      fs.foreach { f => val h = f.path.hashCode.toLong; x ^= h; s += h }
+      (x, s)
+    }
     require(storedLive.length == live.length &&
+        pathFold(storedLive) == pathFold(live) &&
         (!debugInvariants ||
           storedLive.iterator.map(_.path).toSet == live.iterator.map(_.path).toSet),
       s"graft_lake: internal — $action commit v$version of $k derived a " +

@@ -220,6 +220,78 @@ class Round17OpsSpec extends SparkTestBase {
     info(s"parent retries after conflicts/lost claims: $parentRetries")
   }
 
+  // ----------------------------- advice: layout-only marker is internal
+
+  test("layout-only marker is internal: an ordinary write cannot self-label dataChange=false") {
+    registerCatalog()
+    import spark.implicits._
+    val key = "graft_lake.layoutnonce"
+    spark.sql(s"DROP TABLE IF EXISTS $key")
+    spark.sql(s"CREATE TABLE $key (id BIGINT)")
+    Seq(1L, 2L).toDF("id").coalesce(1).writeTo(key).append()
+    // a user-settable "true" would hide this overwrite from CDF readers
+    // and from other writers' conflict checks — the builder must refuse
+    // anything but a minted one-shot nonce
+    val e = intercept[Exception] {
+      Seq(9L).toDF("id").coalesce(1).writeTo(key)
+        .option(LakeStore.LayoutOnlyOption, "true").overwrite(lit(true))
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(causes(e).exists(c => Option(c.getMessage)
+      .exists(_.contains("internal maintenance marker"))), s"wrong refusal: $e")
+    assert(spark.table(key).count() === 2L, "the refused write must not land")
+    // the real maintenance path still mints, claims, and commits
+    // dataChange=false exactly once
+    graft.sources.GraftLake.optimize(spark, key, "id", 1)
+    val st = LakeStore.get(key).get
+    assert(st.snapshots(st.latestVersion).action === "optimize")
+    assert(!st.snapshots(st.latestVersion).dataChange)
+    assert(spark.table(key).count() === 2L)
+  }
+
+  // ------------------------- advice: clone copies its ANALYZE sidecars
+
+  test("shallow clone copies ANALYZE sidecars: source VACUUM cannot strand the clone's stats") {
+    registerCatalog()
+    import spark.implicits._
+    val src = "graft_lake.clstat_src"
+    val dst = "graft_lake.clstat_dst"
+    spark.sql(s"DROP TABLE IF EXISTS $dst")
+    spark.sql(s"DROP TABLE IF EXISTS $src")
+    spark.sql(s"CREATE TABLE $src (id BIGINT)")
+    Seq(1L, 2L).toDF("id").coalesce(1).writeTo(src).append()
+    Seq(3L, 4L).toDF("id").coalesce(1).writeTo(src).append()
+    GraftLake.analyzeTable(spark, src, Seq("id"), withBlooms = true)
+    val srcSidecars = new java.io.File(s"${LakeStore.root}/$src/data")
+      .listFiles().filter(_.getName.endsWith(".stats.json")).map(_.getName).toSet
+    assert(srcSidecars.nonEmpty, "ANALYZE should have written pointer sidecars")
+    GraftLake.shallowClone(src, dst)
+    // the clone's pointers are CLONE-relative, into its own copies
+    val cloneEntries = LakeStore.get(dst).get.current
+    val clonePtrs = cloneEntries.flatMap(f => f.ndv.values ++ f.blooms.values)
+      .filter(graft.sources.LakeStatsSidecar.isPointer)
+    assert(clonePtrs.nonEmpty)
+    assert(clonePtrs.forall(!_.contains(s"/$src/")),
+      "clone stats must not point into the source's data dir")
+    val dstSidecars = new java.io.File(s"${LakeStore.root}/$dst/data")
+      .listFiles().filter(_.getName.endsWith(".stats.json")).map(_.getName).toSet
+    assert(dstSidecars === srcSidecars, "referenced sidecars must be copied")
+    // supersede the source's ANALYZE and sweep: the source's VACUUM
+    // keep-set knows nothing about clones — pre-copy, this deleted the
+    // exact sidecar the clone still referenced
+    GraftLake.analyzeTable(spark, src, Seq("id"), withBlooms = true)
+    Seq(5L).toDF("id").coalesce(1).writeTo(src).append()
+    GraftLake.vacuum(src, retainLast = 1, graceMs = 0L)
+    val srcAfter = new java.io.File(s"${LakeStore.root}/$src/data")
+      .listFiles().filter(_.getName.endsWith(".stats.json")).map(_.getName).toSet
+    assert((srcSidecars -- srcAfter).nonEmpty,
+      "the superseded sidecar should have been swept at the source")
+    // every clone pointer still resolves, and a stats-consuming scan runs
+    clonePtrs.foreach(p => graft.sources.LakeStatsSidecar.resolve(dst, p))
+    assert(spark.table(dst).filter(col("id") === 3L).count() === 1L)
+  }
+
   // ------------------------------- task 5: checkpoint schema dedup disk
 
   test("checkpoint schema table: O(distinct schemas) bytes on disk, reader loads formats 2 and 3") {
