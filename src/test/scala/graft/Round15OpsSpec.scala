@@ -327,16 +327,22 @@ class Round15OpsSpec extends SparkTestBase {
       .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
       .estimateStatistics().columnStats()
     assert(!ndvReported.isEmpty, "pointer-backed NDV must reach CBO stats")
-    // a CLONE absolutizes the pointers (its own data dir has no sidecars)
+    // a CLONE COPIES referenced sidecars into its own data dir and
+    // re-points relative (round 17 — the source's VACUUM sweeps orphan
+    // sidecars by its own keep-set and cannot know about clones, so an
+    // absolutized pointer was one superseded ANALYZE away from
+    // bricking the clone's scans)
     spark.sql(s"DROP TABLE IF EXISTS ${key}_cl")
     LakeStore.cloneTable(key, s"${key}_cl")
     val cl = LakeStore.get(s"${key}_cl").get
     val clStats = spark.table(s"${key}_cl.stats").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(clStats === Map("id" -> 600L, "cat" -> 5L),
-      "clone must resolve the source's sidecars absolutely")
-    assert(cl.current.flatMap(_.ndv.values).forall(_.contains("/")),
-      "clone pointers must be absolute")
+      "clone must resolve its own sidecar copies")
+    assert(cl.current.flatMap(_.ndv.values)
+      .filter(graft.sources.LakeStatsSidecar.isPointer)
+      .forall(!_.contains(s"/$key/")),
+      "clone pointers must not reach into the source's data dir")
     // cold replay carries the pointers (strings in the log) exactly
     LakeStore.invalidateCache(key)
     val stats2 = spark.table(s"$key.stats").collect()
