@@ -26,6 +26,56 @@ object StreamingQueries {
     }
   }
 
+  /** SCALE-ADAPTIVE state/shuffle partitioning for a streaming run.
+    *
+    * Batch plans right-size their post-shuffle partitions at runtime via
+    * AQE coalescing; a streaming query CANNOT — its stateful-operator
+    * partition count is frozen from `spark.sql.shuffle.partitions` when
+    * the checkpoint is born, AQE is disabled by the engine, and every
+    * micro-batch then pays a fixed per-partition price (state-store
+    * instance load + commit file + task) regardless of how much data the
+    * batch carries. Measured on this box (sf0.1, local[32]): the
+    * stream-stream joins ran 32 state partitions x ~3.4 s of uniform
+    * per-task machinery per micro-batch job — 220 s of task time to join
+    * 2 MB of events; the same query at 4 partitions dropped 9.5 s -> 3.2 s
+    * wall with an identical result.
+    *
+    * So derive the partition count the way AQE would have: from the BYTE
+    * SIZE of the streamed source (~[[StatePartitionBytes]] of input per
+    * state partition), clamped to [1, session default]. The clamp keeps a
+    * cluster deployment's configured parallelism intact — a 100 TB source
+    * divides into far more chunks than any session default, so production
+    * streams keep their full partition count; only audit-scale inputs
+    * stop paying 32x fixed costs for KB-scale state. The partition count
+    * never changes a stateful operator's RESULT (state is keyed; fewer
+    * partitions only co-locate more keys per store), and each bench/verify
+    * run births a fresh checkpoint, so the count is re-derived per run.
+    */
+  private val StatePartitionBytes: Long = 32L << 20
+
+  private def sourceBytes(paths: String*): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles() match {
+        case null => 0L
+        case cs => cs.map(walk).sum
+      }
+      else if (f.isFile) f.length
+      else 0L
+    paths.map(p => walk(new java.io.File(p))).sum
+  }
+
+  private def withAdaptiveStreamShuffle[T](s: SparkSession, dir: String)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    // every streaming scenario in this registry streams a frame derived
+    // from the events and/or documents base tables of this sf dir
+    val bytes = sourceBytes(s"$dir/events.parquet", s"$dir/documents.parquet")
+    val n = math.min(prev.toLong,
+      math.max(1L, (bytes + StatePartitionBytes - 1) / StatePartitionBytes))
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Hourly tumbling-window rollup, streamed: readStream → watermark +
     * window agg → foreachBatch sink (Complete mode, AvailableNow) — the
     * production exactly-once snapshot pattern: every micro-batch
@@ -1458,28 +1508,43 @@ object StreamingQueries {
       |  (SELECT CAST(SUM(doc_id) AS BIGINT) FROM documents) AS merge_sum_ids,
       |  CAST(1 AS BIGINT) AS merge_survived""".stripMargin
 
+  /** Registry entries with STATEFUL streaming operators (agg / dedup /
+    * join / transformWithState state stores) run under the adaptive
+    * state-partition derivation (see [[withAdaptiveStreamShuffle]]): the
+    * conf is set before the query function builds its streams and restored
+    * after the result frame is constructed — the returned frame itself is
+    * a batch read (memory table / parquet) whose later evaluation is
+    * AQE-sized as usual. foreachBatch-consumer entries (st13–st17, st21)
+    * stay UNWRAPPED: they hold no streaming state, their per-batch work is
+    * real batch jobs (MERGEs, change materialization) that AQE already
+    * right-sizes, and measurement showed the 1-partition floor serializing
+    * that inner work (st15 4.9 s -> 7.7 s wrapped; see OPTIMIZATION_r17). */
+  private def adaptive(fn: (SparkSession, String) => DataFrame)
+      : (SparkSession, String) => DataFrame =
+    (s, dir) => withAdaptiveStreamShuffle(s, dir) { fn(s, dir) }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st21_stream_schema_evolution" -> (st21StreamSchemaEvolution _),
-    "st20_skip_change_commits" -> (st20SkipChangeCommits _),
-    "st19_stream_rate_limit" -> (st19StreamRateLimit _),
-    "st18_cdc_replication" -> (st18CdcReplication _),
+    "st20_skip_change_commits" -> adaptive(st20SkipChangeCommits _),
+    "st19_stream_rate_limit" -> adaptive(st19StreamRateLimit _),
+    "st18_cdc_replication" -> adaptive(st18CdcReplication _),
     "st17_stream_lake_sink" -> (st17StreamLakeSink _),
     "st16_stream_change_feed" -> (st16StreamChangeFeed _),
     "st15_stream_lake_source" -> (st15StreamLakeSource _),
     "st14_change_feed" -> (st14ChangeFeed _),
     "st13_stream_merge_upsert" -> (st13StreamMergeUpsert _),
-    "st12_transition_counts" -> (st12TransitionCounts _),
-    "st11_outer_stream_join" -> (st11OuterStreamJoin _),
-    "st10_timer_sessions" -> (st10TimerSessions _),
-    "st09_transform_with_state" -> (st09TransformWithState _),
-    "st08_stream_enrich" -> (st08StreamEnrich _),
-    "st07_watermark_late_data" -> (st07WatermarkLateData _),
-    "st06_stream_incremental_mv" -> (st06StreamIncrementalMv _),
-    "st01_stream_hourly" -> (st01StreamHourly _),
-    "st02_stream_dedup" -> (st02StreamDedup _),
-    "st03_stream_join" -> (st03StreamJoin _),
-    "st04_stream_sessions" -> (st04StreamSessions _),
-    "st05_stream_filter" -> (st05StreamFilter _))
+    "st12_transition_counts" -> adaptive(st12TransitionCounts _),
+    "st11_outer_stream_join" -> adaptive(st11OuterStreamJoin _),
+    "st10_timer_sessions" -> adaptive(st10TimerSessions _),
+    "st09_transform_with_state" -> adaptive(st09TransformWithState _),
+    "st08_stream_enrich" -> adaptive(st08StreamEnrich _),
+    "st07_watermark_late_data" -> adaptive(st07WatermarkLateData _),
+    "st06_stream_incremental_mv" -> adaptive(st06StreamIncrementalMv _),
+    "st01_stream_hourly" -> adaptive(st01StreamHourly _),
+    "st02_stream_dedup" -> adaptive(st02StreamDedup _),
+    "st03_stream_join" -> adaptive(st03StreamJoin _),
+    "st04_stream_sessions" -> adaptive(st04StreamSessions _),
+    "st05_stream_filter" -> adaptive(st05StreamFilter _))
 
   val oracle: Map[String, String] = Map(
     "st21_stream_schema_evolution" -> st21Sql,
