@@ -35,10 +35,21 @@ object Sidecars {
 
   /** Materialize `df` as the sidecar for (dir, name) and return the
     * read-back frame — downstream aggregation MUST consume the read-back
-    * (not the live frame) so both engines see identical bytes. */
+    * (not the live frame) so both engines see identical bytes.
+    *
+    * repartition(1), not coalesce(1): the sidecar must stay one file (a
+    * deterministic artifact both engines glob), but coalesce(1) PROPAGATES
+    * past the upstream exchange and collapses the compute ABOVE it — the
+    * fingerprint/signature/deflate map phases these writers materialize
+    * (all Tables.spread to defaultParallelism precisely to parallelize)
+    * were running in a single task. repartition(1) inserts its own
+    * exchange below the writer instead: the heavy map work keeps its
+    * parallelism and only the (small) result rows funnel to one writer
+    * task. Measured at sf0.1/local[32]: d17 5.9 s -> 3.6 s, m05
+    * 2.7 s -> 1.9 s, p19 12.3 s -> 9.5 s (OPTIMIZATION_r17.md). */
   def write(df: DataFrame, dir: String, name: String): DataFrame = {
     val p = path(dir, name)
-    df.coalesce(1).write.mode("overwrite").parquet(p)
+    df.repartition(1).write.mode("overwrite").parquet(p)
     df.sparkSession.read.parquet(p)
   }
 }
