@@ -55,6 +55,15 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Let AQE right-size CACHED plans too (off by default for plan-reuse
+      // compatibility): without it every .cache() materializes at the full
+      // pre-AQE partition fan-out and each reader pays an N-task in-memory
+      // scan of KB-sized partitions — the multi-reader cached frames here
+      // (shingle sets, pair unions, CC inputs) were costing 32-128 tasks
+      // per read at sf0.1. At scale AQE only coalesces below the advisory
+      // size, so large caches keep full parallelism. Measured: p19
+      // 15.5->9.9 s, d03 8.2->1.9 s, g15 14.9->10.0 s (same box window).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -16,6 +16,8 @@ object Verify {
       // Tables.normalizeTs maps to TIMESTAMP alongside the NTZ/micros
       // layouts newer generations ship
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // cached plans get AQE-coalesced partitioning (see GraftSession)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
